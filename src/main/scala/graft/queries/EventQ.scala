@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Event-stream shapes (SURVEY §2A/§2B streaming rows), run in batch here so
+  * the DuckDB oracle can check them; the same expressions run unchanged
+  * under `readStream` (see graft.streaming and the streaming specs).
+  */
+object EventQ {
+
+  /** Tumbling window aggregation — `window()` is the batch/streaming-shared
+    * primitive; oracle reproduces the epoch-aligned 6h buckets
+    * arithmetically. */
+  private val q36 = GQuery(
+    "q36_tumbling_window",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(tsStr(col("window.start")).as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some(s"""SELECT
+      strftime(to_timestamp(((epoch_us(ts) // 1000000) // 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, COUNT(*) AS n, ${moneySumSql("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type"""))
+
+  /** Session windows (30-minute inactivity gap) per user — the call/session
+    * aggregation shape. Oracle rebuilds sessions with lag + cumulative sum. */
+  private val q37 = GQuery(
+    "q37_session_window",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          tsStr(col("session_window.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some(s"""WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id,
+      ${tsStrSql("MIN(ts)")} AS session_start,
+      COUNT(*) AS n_events, ${moneySumSql("value")} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start"""))
+
+  /** Sliding windows (1h window, 15m slide): each event lands in 4 windows.
+    * Oracle expands the window set with generate_series + unnest. */
+  private val q38 = GQuery(
+    "q38_sliding_window",
+    (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(tsStr(col("window.start")).as("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+    Some(s"""WITH expanded AS (
+      SELECT to_timestamp(w) AS window_start, value
+      FROM events,
+        UNNEST(generate_series(
+          (((epoch_us(ts) // 1000000)) // 900) * 900 - 2700,
+          (((epoch_us(ts) // 1000000)) // 900) * 900,
+          900)) AS t(w))
+    SELECT ${tsStrSql("window_start")} AS window_start,
+      COUNT(*) AS n, ${moneySumSql("value")} AS sum_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start"""))
+
+  /** JSON extraction from the props payload (`from_json`-style access). */
+  private val q22 = GQuery(
+    "q22_json_extract",
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k_val")).as("sum_k"),
+          count(col("k_val")).as("n_with_k"),
+          max(col("k_val")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      CAST(SUM(k_val) AS BIGINT) AS sum_k,
+      COUNT(k_val) AS n_with_k,
+      MAX(k_val) AS max_k
+    FROM (SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type"""))
+
+  /** Pivot: per-user event-type counts as columns (dynamic demux to a fixed
+    * schema — the reference's route-by-type shape, `MFramework.cpp:1372`). */
+  private val q23 = GQuery(
+    "q23_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38)
+}

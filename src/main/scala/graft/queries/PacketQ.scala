@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Packet-plane operators (SURVEY §2A): the reference's `k=v\n` wire codec
+  * (`MFramework.cpp:1230-1243` parse, `1552-1560` serialize), the required
+  * `'s'` key validation (`:1245-1250`), and route-by-target
+  * (`:1372-1377`) — re-expressed as codegen'd expressions over columns.
+  */
+object PacketQ {
+
+  /** Serialize→parse round trip: build a wire packet per event, parse it
+    * back with str_to_map, validate the session key, route-count by target.
+    * Events with user_id % 7 == 0 are emitted without the 's' line and must
+    * be dropped (dead-letter path). The oracle computes the surviving
+    * routing table directly. */
+  private val q24 = GQuery(
+    "q24_packet_roundtrip",
+    (s, dir) => {
+      val wire = t(s, dir, "events")
+        .withColumn("wire",
+          when(col("user_id") % 7 === 0,
+            concat(lit("f=EV_"), col("event_id"), lit(".dat\nt="), upper(col("event_type"))))
+          .otherwise(
+            concat(lit("s="), col("user_id") % 8,
+              lit("\nf=EV_"), col("event_id"), lit(".dat\nt="), upper(col("event_type")))))
+      wire
+        .withColumn("pkt", expr("str_to_map(wire, '\n', '=')"))
+        .select(
+          element_at(col("pkt"), "s").cast(LongType).as("session_id"),
+          element_at(col("pkt"), "f").as("file_name"),
+          element_at(col("pkt"), "t").as("target"))
+        .filter(col("session_id").isNotNull)
+        .groupBy(col("target"), col("session_id"))
+        .agg(count(lit(1)).as("n_packets"), min(col("file_name")).as("first_file"))
+        .orderBy(col("target"), col("session_id"))
+    },
+    Some("""SELECT upper(event_type) AS target,
+      CAST(user_id % 8 AS BIGINT) AS session_id,
+      COUNT(*) AS n_packets,
+      MIN('EV_' || CAST(event_id AS VARCHAR) || '.dat') AS first_file
+    FROM events
+    WHERE user_id % 7 <> 0
+    GROUP BY 1, 2
+    ORDER BY target, session_id"""))
+
+  /** Round-robin redistribution (reference operator #8,
+    * `MFramework.cpp:1565-1571`): assign each packet a rotating writer
+    * index and count per writer. Made deterministic by keying the rotation
+    * on a row attribute (true round-robin is order-dependent; at scale use
+    * `repartition(n)` which is Spark's RoundRobinPartitioning). */
+  private val q24b = GQuery(
+    "q24b_round_robin",
+    (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("writer", col("event_id") % 4)
+        .groupBy(col("writer"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("writer"))
+    },
+    Some("""SELECT event_id % 4 AS writer, COUNT(*) AS n,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY writer"""))
+
+  /** Log-level bitmask filter (reference operator #10,
+    * `LoggerWriter.cpp:171-224`): level codes carry a bit each; a message
+    * passes when `globalLevel & msgLevel != 0`. Modeled as data with the
+    * global mask = 11 (INFO|WARN|ALERT). */
+  private val q24c = GQuery(
+    "q24c_log_level_filter",
+    (s, dir) => {
+      val lvl = when(col("event_type") === "error", 4)
+        .when(col("event_type") === "purchase", 8)
+        .when(col("event_type") === "signup", 2)
+        .otherwise(1)
+      t(s, dir, "events")
+        .withColumn("level", lvl)
+        .filter((lit(11).bitwiseAND(col("level"))) =!= 0)
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("level", col("level").cast(LongType))
+        .orderBy(col("level"))
+    },
+    Some("""SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n
+    FROM (SELECT CASE WHEN event_type = 'error' THEN 4
+                      WHEN event_type = 'purchase' THEN 8
+                      WHEN event_type = 'signup' THEN 2
+                      ELSE 1 END AS level
+          FROM events)
+    WHERE (11 & level) <> 0
+    GROUP BY level
+    ORDER BY level"""))
+
+  val queries: Seq[GQuery] = Seq(q24, q24b, q24c)
+}

@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Core relational surface (SURVEY §2B): scans, filters, the join family,
+  * hash aggregation, rollup/cube, set ops, top-k, scalar functions.
+  *
+  * The reference delegates all of this to unshipped session plugins (its
+  * visible layer only routes packets, `MFramework.cpp:1275-1314`); here it
+  * is the declarative DataFrame surface, so Catalyst supplies pushdown,
+  * pruning, broadcast selection and whole-stage codegen.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide hash aggregate with partial
+    * (map-side) aggregation — the shape that must scale by key count, not
+    * row count. */
+  private val q01 = GQuery(
+    "q01_pricing_summary",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avg6(col("l_quantity")).as("avg_qty"),
+          avg6(col("l_extendedprice")).as("avg_price"),
+          avg6(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${moneySumSql("l_quantity")} AS sum_qty,
+      ${moneySumSql("l_extendedprice")} AS sum_base_price,
+      ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${moneySumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${avg6Sql("l_quantity")} AS avg_qty,
+      ${avg6Sql("l_extendedprice")} AS avg_price,
+      ${avg6Sql("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Flagship: revenue by region — fact⋈fact sort-merge (lineitem⋈orders)
+    * plus broadcast dims, filter pushed to the orders scan, then hash agg.
+    * At 100 TB the dims stay broadcast; only one big shuffle (the fact
+    * join) survives, and AQE coalesces the agg. */
+  private val q02 = GQuery(
+    "q02_revenue_by_region",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("r_name"))
+    },
+    Some(s"""SELECT r_name,
+      ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name
+    ORDER BY revenue DESC, r_name"""))
+
+  /** Top-k: highest-revenue orders; Catalyst plans the sort+limit as
+    * TakeOrderedAndProject (per-partition top-k, no global sort). */
+  private val q03 = GQuery(
+    "q03_top_orders",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      t(s, dir, "orders")
+        .join(rev, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), dateStr(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT o_orderkey, ${dateStrSql("o_orderdate")} AS order_date,
+      o_orderpriority, revenue
+    FROM orders
+    JOIN (SELECT l_orderkey,
+            ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem GROUP BY l_orderkey) r ON o_orderkey = l_orderkey
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""))
+
+  /** Left-semi join (EXISTS): order priorities having a big-quantity line. */
+  private val q04 = GQuery(
+    "q04_semi_join",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders, by segment. */
+  private val q05 = GQuery(
+    "q05_anti_join",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      ${moneySumSql("c_acctbal")} AS sum_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""))
+
+  /** TPC-H Q6-style: tight scan + filter + scalar aggregate; the predicate
+    * must reach the parquet scan (PushedFilters). */
+  private val q06 = GQuery(
+    "q06_filtered_revenue",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** ROLLUP: hierarchical subtotals (usage-report shape, SURVEY §2B). */
+  private val q10 = GQuery(
+    "q10_rollup",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${moneySumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** CUBE over order status × priority. */
+  private val q11 = GQuery(
+    "q11_cube",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(moneySum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      ${moneySumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase distinct aggregate. */
+  private val q12 = GQuery(
+    "q12_count_distinct",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""))
+
+  /** HLL sketch (approx_count_distinct) — algorithm-specific, so no SQL
+    * oracle; the driver records a rows-only check. */
+  private val q12b = GQuery(
+    "q12b_hll_approx",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  /** Set operators: customers ordering in 1996 vs 1997 (INTERSECT /
+    * EXCEPT with distinct semantics, tagged and unioned). */
+  private val q13 = GQuery(
+    "q13_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def ofYear(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+        .select(col("o_custkey"))
+      val a = ofYear(1996)
+      val b = ofYear(1997)
+      a.intersect(b).withColumn("tag", lit("both"))
+        .union(a.except(b).withColumn("tag", lit("only_1996")))
+        .union(b.except(a).withColumn("tag", lit("only_1997")))
+        .orderBy(col("tag"), col("o_custkey"))
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+         b AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_custkey, tag FROM (
+      SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT o_custkey, 'only_1996' FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT o_custkey, 'only_1997' FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    ) ORDER BY tag, o_custkey"""))
+
+  /** Conditional aggregation: CASE WHEN / filtered counts (rating pipelines
+    * bucket charges by status this way). */
+  private val q14 = GQuery(
+    "q14_conditional_agg",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          moneySum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)).as("f_total"),
+          moneySum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)).as("o_total"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority,
+      ${moneySumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS f_total,
+      ${moneySumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS o_total,
+      COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
+  /** String function surface: substring/upper/lpad/regexp/concat/replace —
+    * the MSISDN/IMSI-normalization shapes of a mediation stage. */
+  private val q15 = GQuery(
+    "q15_string_funcs",
+    (s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+          lpad(col("c_custkey").cast(StringType), 12, "0").as("padded_key"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+          concat_ws("|", col("c_mktsegment"), trim(col("c_name"))).as("seg_name"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          replace(col("c_mktsegment"), lit("A"), lit("@")).as("seg_repl"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+      upper(substring(c_name, 1, 8)) AS name_prefix,
+      lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+      regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+      concat_ws('|', c_mktsegment, trim(c_name)) AS seg_name,
+      length(c_name) AS name_len,
+      replace(c_mktsegment, 'A', '@') AS seg_repl
+    FROM customer
+    ORDER BY c_custkey"""))
+
+  /** Date/time surface: trunc, extract, datediff, interval arithmetic —
+    * call-time bucketing shapes. */
+  private val q16 = GQuery(
+    "q16_date_funcs",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          dateStr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since_epoch_start"),
+          dateStr(add_months(col("o_orderdate"), 3)).as("plus_3m"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+      CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+      strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m
+    FROM orders
+    ORDER BY o_orderkey"""))
+
+  /** Math/decimal surface: round/floor/ceil/abs/mod/sqrt (charge math). */
+  private val q17 = GQuery(
+    "q17_math_funcs",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      round(l_extendedprice, 1) AS price_r1,
+      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      abs(l_discount - 0.05) AS disc_dev,
+      l_orderkey % 7 AS key_mod7,
+      sqrt(l_quantity) AS qty_sqrt,
+      l_quantity * l_quantity AS qty_sq
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Predicate surface: IN / LIKE / BETWEEN / null-safe filters. */
+  private val q18 = GQuery(
+    "q18_predicates",
+    (s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50) &&
+          col("p_retailprice").between(500.0, 1500.0) &&
+          col("p_type").like("%a%") && col("p_brand").isNotNull)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), moneySum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n_parts,
+      ${moneySumSql("p_retailprice")} AS sum_price
+    FROM part
+    WHERE p_size IN (1,5,10,15,20,25,30,35,40,45,50)
+      AND p_retailprice BETWEEN 500.0 AND 1500.0
+      AND p_type LIKE '%a%' AND p_brand IS NOT NULL
+    GROUP BY p_brand
+    ORDER BY p_brand"""))
+
+  /** Theta join: equi key plus a range residual (tariff-band shape —
+    * quantity must fall in a size-dependent band). Broadcast the dim so the
+    * range residual is evaluated stream-side with no extra shuffle. */
+  private val q19 = GQuery(
+    "q19_theta_join",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      t(s, dir, "lineitem")
+        .join(broadcast(p),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") >= col("p_size") &&
+            col("l_quantity") < col("p_size") + 10)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n,
+      ${moneySumSql("l_extendedprice")} AS sum_price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+      AND l_quantity >= p_size AND l_quantity < p_size + 10
+    GROUP BY p_brand
+    ORDER BY p_brand"""))
+
+  /** GROUPING SETS through the SQL front-end (registered temp views). */
+  private val q21 = GQuery(
+    "q21_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+        ${moneySumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      ${moneySumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val queries: Seq[GQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q14,
+      q15, q16, q17, q18, q19, q21)
+}

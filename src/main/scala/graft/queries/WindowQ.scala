@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Window-function surface (SURVEY §2B): ranking, analytic lag/lead,
+  * running frames, and the as-of join expressed as join + rank — the
+  * tariff-version-lookup shape of a rating pipeline.
+  */
+object WindowQ {
+
+  /** row_number ranking: top-3 orders per customer. */
+  private val q07 = GQuery(
+    "q07_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn"""))
+
+  /** Running total over a ROWS frame (per-supplier cumulative quantity). */
+  private val q08 = GQuery(
+    "q08_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(38, 4))).over(w)
+            .cast(DoubleType).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER (
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** lag/lead analytics: per-customer order history with day gaps. */
+  private val q09 = GQuery(
+    "q09_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dateStr(col("o_orderdate")).as("order_date"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast(LongType).as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+      ${dateStrSql("o_orderdate")} AS order_date,
+      LAG(o_orderkey, 1) OVER w AS prev_order,
+      LEAD(o_orderkey, 1) OVER w AS next_order,
+      CAST(date_diff('day',
+        CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+        CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  /** As-of join: for each purchase event, the most recent prior-or-equal
+    * click by the same user — join on key + time predicate, then keep
+    * rank 1. The reference's tariff lookup (rate valid-from ≤ ts) has this
+    * exact shape. At scale both sides shuffle once on user_id; the rank
+    * dedup rides the same partitioning. */
+  private val q20 = GQuery(
+    "q20_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_ts").desc, col("c_id").desc)
+      purchases
+        .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_user").as("user_id"), col("c_id").as("last_click_id"),
+          (col("p_ts").cast(LongType) - col("c_ts").cast(LongType)).as("secs_since_click"))
+        .orderBy(col("p_id"))
+    },
+    Some("""SELECT p_id, user_id, last_click_id, secs_since_click FROM (
+      SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS last_click_id,
+        (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) AS secs_since_click,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts)
+    WHERE rn = 1
+    ORDER BY p_id"""))
+
+  /** first/last/nth analytics over frames. */
+  private val q07b = GQuery(
+    "q07b_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      LAST_VALUE(o_orderkey) OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20)
+}
