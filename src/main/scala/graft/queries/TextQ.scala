@@ -1,6 +1,335 @@
 package graft.queries
 
-/** Text-analysis & dedup operators (SURVEY §2C) — filled in next batch. */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** LLM-data-pipeline text operators (SURVEY §2C): exact + fuzzy dedup
+  * (content hash, MinHash-LSH, SimHash, n-gram Jaccard), language ID,
+  * quality scoring, token counting, and winnowing fingerprints — all over
+  * the `documents` table.
+  *
+  * Everything is expression-based (codegen'd, no UDFs) and shuffle-lean:
+  * dedup keys (hash / band key / simhash) are group-by columns, so at
+  * 100 TB each operator is one hash-partitioned aggregation rather than a
+  * pairwise scan; only LSH-bucketed candidates are ever joined pairwise.
+  *
+  * Hashes are md5 hex strings so the DuckDB oracle can reproduce them
+  * byte-for-byte (both engines emit lowercase hex).
+  */
 object TextQ {
-  val queries: Seq[GQuery] = Seq()
+
+  /** 3-token shingles as a Spark SQL expression over `text`. */
+  private val shinglesExpr =
+    """transform(sequence(0, size(split(text, ' ')) - 3),
+       i -> concat(element_at(split(text, ' '), i + 1), ' ',
+                   element_at(split(text, ' '), i + 2), ' ',
+                   element_at(split(text, ' '), i + 3)))"""
+
+  /** DuckDB twin of [[shinglesExpr]]: doc_id, sh rows. */
+  private val shinglesSql =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+                     FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       shingles AS (SELECT doc_id, source,
+                      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh, i
+                    FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))"""
+
+  /** Exact dedup: canonical-row selection by content hash (sha256). Each
+    * doc keeps only if it is the min doc_id of its hash group. */
+  private val q25 = GQuery(
+    "q25_dedup_exact",
+    (s, dir) => {
+      val w = Window.partitionBy(sha2(col("text"), 256))
+      t(s, dir, "documents")
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+    FROM documents
+    ORDER BY doc_id"""))
+
+  /** MinHash signatures (8 permutations approximated as min-over-salted-md5)
+    * + LSH banding (4 bands × 2 rows) + candidate-pair estimation. */
+  private val q26 = {
+    val sigCols = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
+    val bandSql = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    val estSql = (0 until 8).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ") / 8.0")
+    GQuery(
+      "q26_minhash_lsh",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        val sig = sh.groupBy(col("doc_id"))
+          .agg((0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")).head,
+            (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+        val bands = sig.selectExpr("doc_id",
+          "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)")
+          .select(col("doc_id"), col("band"), col("bkey"))
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val est = (0 until 8)
+          .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast(IntegerType))
+          .reduce(_ + _) / lit(8.0)
+        pairs
+          .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+          .filter(col("est_jaccard") >= 0.25)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$shinglesSql,
+        sig AS (SELECT doc_id, $sigCols FROM shingles GROUP BY doc_id),
+        bands AS ($bandSql),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT * FROM (
+        SELECT doc_a, doc_b, $estSql AS est_jaccard
+        FROM pairs
+        JOIN sig a ON doc_a = a.doc_id
+        JOIN sig b ON doc_b = b.doc_id)
+      WHERE est_jaccard >= 0.25
+      ORDER BY doc_a, doc_b"""))
+  }
+
+  /** 16-bit SimHash from the first 4 hex chars of each token's md5; the
+    * per-bit majority vote is a single grouped aggregation. */
+  private val q27 = {
+    // One term per bit, parametrized by engine syntax (instr vs strpos,
+    // `div` vs `//`) so both engines evaluate the identical formula.
+    def terms(strpos: String, idiv: String): String =
+      (0 until 16).map { j =>
+        val k = j / 4 + 1
+        val d = 1 << (3 - (j % 4))
+        val bit = s"((($strpos('0123456789abcdef', substr(md5(tok), $k, 1)) - 1) $idiv $d) % 2)"
+        s"(CASE WHEN SUM(2 * $bit - 1) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    GQuery(
+      "q27_simhash",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(expr(s"CAST(${terms("instr", "div")} AS BIGINT)").as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, CAST(${terms("strpos", "//")} AS BIGINT) AS simhash
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+  }
+
+  /** Exact n-gram Jaccard over LSH-free blocking (same `source`): distinct
+    * shingle sets joined on (source, shingle) — inter/union arithmetic, no
+    * full cross join. */
+  private val q28 = GQuery(
+    "q28_ngram_jaccard",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("x")
+        .join(sh.as("y"),
+          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_inter").cast(DoubleType) /
+            (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""$shinglesSql,
+      dsh AS (SELECT DISTINCT doc_id, source, sh FROM shingles),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+      inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+                FROM dsh x JOIN dsh y
+                  ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+    SELECT * FROM (
+      SELECT doc_a, doc_b,
+        ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id)
+    WHERE jaccard >= 0.1
+    ORDER BY doc_a, doc_b"""))
+
+  /** Language ID by stopword-profile voting with a deterministic
+    * precedence-ordered argmax; output is the lang × predicted confusion
+    * matrix. */
+  private val q31 = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("data", "row", "value"),
+      "de" -> Seq("join", "merge", "hash"),
+      "fr" -> Seq("query", "filter", "sort"),
+      "zh" -> Seq("spark", "stream", "batch"))
+    def hitsExpr(words: Seq[String], filterFn: String, lenFn: String, splitFn: String) =
+      s"$lenFn($filterFn($splitFn(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    def predSql(filterFn: String, lenFn: String, splitFn: String): String = {
+      val hs = profiles.map { case (l, ws) => l -> hitsExpr(ws, filterFn, lenFn, splitFn) }
+      val cases = hs.zipWithIndex.init.map { case ((l, h), i) =>
+        val rest = hs.drop(i + 1).map(_._2)
+        s"WHEN ${rest.map(r => s"$h >= $r").mkString(" AND ")} THEN '$l'"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE '${profiles.last._1}' END"
+    }
+    GQuery(
+      "q31_lang_id",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("predicted", expr(predSql("filter", "size", "split")))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""SELECT lang, ${predSql("list_filter", "len", "string_split")} AS predicted,
+        COUNT(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY lang, predicted"""))
+  }
+
+  /** Quality scoring: token counts, average token length, stopword ratio,
+    * and a blended 0-1 score — the filter stage of a pretraining pipeline. */
+  private val q32 = {
+    val stop = Seq("the", "a", "of", "and", "data", "row")
+      .map(w => s"'$w'").mkString(", ")
+    def exprs(filterFn: String, lenFn: String, strlenFn: String, splitFn: String) = Map(
+      "n_tokens" -> s"CAST($lenFn($splitFn(text, ' ')) AS BIGINT)",
+      "n_stop" -> s"CAST($lenFn($filterFn($splitFn(text, ' '), x -> x IN ($stop))) AS BIGINT)",
+      "n_alpha" -> s"CAST($strlenFn(replace(text, ' ', '')) AS BIGINT)")
+    GQuery(
+      "q32_quality_score",
+      (s, dir) => {
+        val e = exprs("filter", "size", "length", "split")
+        t(s, dir, "documents")
+          .withColumn("n_tokens", expr(e("n_tokens")))
+          .withColumn("n_stop", expr(e("n_stop")))
+          .withColumn("n_alpha", expr(e("n_alpha")))
+          .select(
+            col("doc_id"), col("n_tokens"),
+            round(col("n_alpha").cast(DoubleType) / col("n_tokens"), 6).as("avg_tok_len"),
+            round(col("n_stop").cast(DoubleType) / col("n_tokens"), 6).as("stop_ratio"),
+            round(least(col("n_tokens").cast(DoubleType) / 200.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.5, 6)
+              .as("q_score"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val e = exprs("list_filter", "len", "len", "string_split")
+        Some(s"""SELECT doc_id, n_tokens,
+          ROUND(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+          ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+          ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5 +
+                (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5, 6) AS q_score
+        FROM (SELECT doc_id, ${e("n_tokens")} AS n_tokens,
+                ${e("n_stop")} AS n_stop, ${e("n_alpha")} AS n_alpha
+              FROM documents)
+        ORDER BY doc_id""")
+      })
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single other), aggregated per lang. */
+  private val q33 = GQuery(
+    "q33_token_count",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_toks"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast(LongType).as("re_toks"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws_toks")).as("sum_ws_tokens"),
+          sum(col("re_toks")).as("sum_re_tokens"),
+          max(col("ws_toks")).as("max_ws_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang,
+      CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_tokens,
+      CAST(SUM(re_toks) AS BIGINT) AS sum_re_tokens,
+      CAST(MAX(ws_toks) AS BIGINT) AS max_ws_tokens,
+      COUNT(*) AS n_docs
+    FROM (SELECT lang,
+            len(string_split(text, ' ')) AS ws_toks,
+            len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_toks
+          FROM documents)
+    GROUP BY lang
+    ORDER BY lang"""))
+
+  /** Winnowing-style document fingerprints: min md5 within each window of
+    * 4 consecutive shingles; distinct mins are the fingerprint set. */
+  private val q34 = GQuery(
+    "q34_fingerprint",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      sh.withColumn("f", min(col("h")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("f")).as("n_fp"), min(col("f")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$shinglesSql,
+      hashed AS (SELECT doc_id, i, md5(sh) AS h FROM shingles),
+      fp AS (SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+             FROM hashed)
+    SELECT doc_id, COUNT(DISTINCT f) AS n_fp, MIN(f) AS min_fp
+    FROM fp
+    GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  /** Multimodal column plumbing: payload as an opaque binary column with
+    * typed metadata; "decode" is a deterministic stub (length + header hex
+    * + strided frame samples) since no media codecs ship in this env — the
+    * schema/partitioning/batch shape is the real, tested part. */
+  private val q35 = GQuery(
+    "q35_multimodal_stub",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+          col("lang"), col("source"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).cast(LongType).as("n_bytes"),
+          lower(hex(expr("substring(payload, 1, 8)"))).as("header_hex"),
+          lower(hex(expr("substring(payload, 33, 4)"))).as("frame1_hex"),
+          lower(hex(expr("substring(payload, 65, 4)"))).as("frame2_hex"),
+          concat(col("lang"), lit("/"), col("source")).as("media_tag"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      lower(hex(encode(substring(text, 1, 8)))) AS header_hex,
+      lower(hex(encode(substring(text, 33, 4)))) AS frame1_hex,
+      lower(hex(encode(substring(text, 65, 4)))) AS frame2_hex,
+      lang || '/' || source AS media_tag
+    FROM documents
+    ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35)
 }

@@ -1,6 +1,139 @@
 package graft.queries
 
-/** Embedding similarity operators (SURVEY §2C) — filled in next batch. */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Embedding similarity search (SURVEY §2C) over `embeddings`
+  * (ArrayType(FloatType), dim 64).
+  *
+  * Spark side uses codegen'd higher-order functions (zip_with/aggregate) —
+  * no UDFs — with norms precomputed once per vector. The query set is
+  * broadcast, so the candidate side streams with no shuffle; the bucketed
+  * variant joins on a coarse partition key (the 100 TB path: hash-partition
+  * by bucket, prune candidates before any pairwise work).
+  *
+  * The DuckDB oracle reproduces the identical IEEE arithmetic as an
+  * explicit 64-term left-associated chain (same fold order as Spark's
+  * aggregate()), so cosines match bit-for-bit before the 6-dp round.
+  */
 object VectorQ {
-  val queries: Seq[GQuery] = Seq()
+
+  private val dim = 64
+
+  private val normExpr =
+    "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  private val dotExpr =
+    "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** 64-term DuckDB chain matching Spark's left-to-right fold. */
+  private def dotSql(a: String, b: String): String =
+    (1 to dim).map(k => s"(CAST($a[$k] AS DOUBLE) * CAST($b[$k] AS DOUBLE))").mkString(" + ")
+  private def normSql(a: String): String = dotSql(a, a)
+
+  /** Brute-force top-5 cosine neighbors for a 5% query sample — the exact
+    * baseline every ANN variant is judged against. */
+  private val q29 = GQuery(
+    "q29_cosine_topk",
+    (s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr(normExpr))
+      val q = v.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id % 20 = 0),
+      pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
+          ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+        FROM v c, q WHERE c.vec_id <> query_id),
+      ranked AS (SELECT query_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN (the scale path): 3 sign bits of the leading
+    * components form a coarse bucket; candidates are only same-bucket, so
+    * the pairwise work is an equi-join that hash-partitions cleanly. */
+  private val q30 = GQuery(
+    "q30_ann_bucketed",
+    (s, dir) => {
+      val bucket = (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0) +
+        when(element_at(col("embedding"), 2) > 0f, 2).otherwise(0) +
+        when(element_at(col("embedding"), 3) > 0f, 1).otherwise(0)).cast(LongType)
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr(normExpr))
+        .withColumn("bucket", bucket)
+      val q = v.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+          col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+          CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   bucket AS qbucket
+            FROM v WHERE vec_id % 20 = 0),
+      pairs AS (SELECT query_id, qbucket AS bucket, c.vec_id AS neighbor_id,
+          ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+        FROM v c, q WHERE c.bucket = qbucket AND c.vec_id <> query_id),
+      ranked AS (SELECT query_id, bucket, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+    SELECT query_id, bucket, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""))
+
+  /** Vector aggregate: per-label centroid norm + count — the Aggregator
+    * shape (mean vector) reduced to oracle-checkable scalars. */
+  private val q29b = GQuery(
+    "q29b_centroid_stats",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), expr(normExpr).as("nrm"),
+          expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("e1"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast(DecimalType(38, 8))), 4).cast(DoubleType).as("sum_sq_norm"),
+          round(sum(col("e1").cast(DecimalType(38, 8))), 4).cast(DoubleType).as("sum_e1"))
+        .orderBy(col("label"))
+    },
+    Some(s"""SELECT label, COUNT(*) AS n,
+      CAST(ROUND(SUM(CAST(${normSql("embedding")} AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_sq_norm,
+      CAST(ROUND(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_e1
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label"""))
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30)
 }
