@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import scala.collection.concurrent.TrieMap
+
+/** One pipeline stage: a named streaming query = the reference's "session"
+  * (a thread + input queue + plugin Run loop, `MFramework.cpp:714-915`).
+  * The transform runs between a source DataFrame and a sink starter so
+  * stages stay declarative and composable.
+  */
+final case class StageSpec(
+    name: String,
+    source: SparkSession => DataFrame,
+    transform: DataFrame => DataFrame,
+    sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+
+/** Start/stop/restart named streaming stages — the control-plane surface
+  * of the reference (`m_HandleControlStart/Stop`, `MFramework.cpp:
+  * 1774-1925`) on top of Spark's StreamingQueryManager. Checkpointing,
+  * exactly-once file handoff and recovery all come from Structured
+  * Streaming (replacing the Dir1/Dir2 marker protocol,
+  * `MFramework.cpp:821-903`).
+  */
+final class PipelineRunner(spark: SparkSession) {
+
+  private val specs = TrieMap[String, StageSpec]()
+  private val active = TrieMap[String, StreamingQuery]()
+
+  def register(spec: StageSpec): Unit = specs.put(spec.name, spec)
+
+  def registered: Seq[String] = specs.keys.toSeq.sorted
+
+  def isRunning(name: String): Boolean = active.get(name).exists(_.isActive)
+
+  /** `startsession` (`MFramework.cpp:1689,1774-1868`). Idempotent: an
+    * already-active stage is left alone. */
+  def start(name: String): StreamingQuery = {
+    val spec = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown stage '$name' (have: ${registered.mkString(", ")})"))
+    active.get(name).filter(_.isActive).getOrElse {
+      val q = spec.sink(spec.transform(spec.source(spark))).queryName(name).start()
+      active.put(name, q)
+      q
+    }
+  }
+
+  /** `stopsession` (`MFramework.cpp:1748,1874-1925`). */
+  def stop(name: String): Unit =
+    active.remove(name).foreach(q => if (q.isActive) q.stop())
+
+  /** `restartsession` = stop + start (`MFramework.cpp:1750-1754`). */
+  def restart(name: String): StreamingQuery = { stop(name); start(name) }
+
+  /** The reference's session-id-0 broadcast (`MFramework.cpp:1695-1726`). */
+  def startAll(): Unit = registered.foreach(start)
+  def stopAll(): Unit = active.keys.foreach(stop)
+
+  /** Process one control packet (`s=<id or name>\na=<action>`), the
+    * control-thread dispatch of `MFramework.cpp:1669-1754`. Target "0"
+    * broadcasts to all registered stages. */
+  def control(wire: String): Unit = {
+    val m = graft.etl.PacketCodec.parseLocal(wire)
+    val target = m.getOrElse(graft.etl.PacketCodec.SessionKey, return)
+    val action = m.getOrElse(graft.etl.PacketCodec.ActionKey, return)
+    val names = if (target == "0") registered else Seq(target)
+    action match {
+      case "startsession"   => names.foreach(start)
+      case "stopsession"    => names.foreach(stop)
+      case "restartsession" => names.foreach(restart)
+      case _                => // unknown actions ignored, as in the reference
+    }
+  }
+
+  def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
+}
+
+/** Supervisor: auto-restart terminated-with-error stages — the reference's
+  * monitor thread (`m_StartMonitoring`, `MFramework.cpp:1931-1970`, 1 s
+  * poll + restart of dead sessions) as an event listener with a bounded
+  * retry budget.
+  */
+final class SupervisorListener(runner: PipelineRunner, maxRestarts: Int = 3)
+    extends StreamingQueryListener {
+
+  private val restarts = TrieMap[String, Int]()
+  private val namesById = TrieMap[java.util.UUID, String]()
+
+  def restartCount(name: String): Int = restarts.getOrElse(name, 0)
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    if (e.name != null) namesById.put(e.id, e.name)
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    val name = namesById.getOrElse(e.id, null)
+    if (name != null && e.exception.isDefined) {
+      val n = restarts.updateWith(name) { c => Some(c.getOrElse(0) + 1) }.getOrElse(0)
+      if (n <= maxRestarts && runner.registered.contains(name)) runner.restart(name)
+    }
+  }
+}
+
+object Triggers {
+  /** The reference's polling micro-batch cadence (2/10 ms sleeps,
+    * `MFramework.cpp:1473,1574`) maps to ProcessingTime triggers; its
+    * cron-launched batch runs (`gsmrating.sh`) map to AvailableNow. */
+  def microBatch(interval: String = "1 second"): Trigger = Trigger.ProcessingTime(interval)
+  def drainAvailable: Trigger = Trigger.AvailableNow()
+}

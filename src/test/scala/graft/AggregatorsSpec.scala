@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+
+class AggregatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("BitmaskOr accumulates level masks like the reference logger") {
+    // levels: INFO=1, DEBUG=2, WARN=4 (LoggerWriter.cpp:182-205 bit codes)
+    val masks = Seq(1L, 2L, 4L, 1L).toDS()
+    val or = masks.select(Aggregators.BitmaskOr.toColumn).head()
+    assert(or == 7L)
+    // filter semantics: globalLevel & msgLevel (LoggerWriter.cpp:178)
+    val global = 5L // INFO | WARN
+    assert(masks.filter(m => (global & m) != 0).collect().sorted.sameElements(Array(1L, 1L, 4L)))
+  }
+
+  test("VectorMean computes the per-group centroid distributively") {
+    val vecs = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, Array(3.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f))).toDS()
+    val centroid = new Aggregators.VectorMean(2).toColumn
+    val rows = vecs.groupByKey(_._1).mapValues(_._2).agg(centroid)
+      .collect().toMap
+    assert(rows(0).sameElements(Array(2.0, 4.0)))
+    assert(rows(1).sameElements(Array(10.0, 0.0)))
+  }
+
+  test("VectorMean over the embeddings fixture matches the SQL centroid") {
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val typed = emb.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+    val got = typed.groupByKey(_._1).mapValues(_._2)
+      .agg(new Aggregators.VectorMean(64).toColumn).collect().toMap
+    val expected = emb
+      .select(col("label"), expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("e1"))
+      .groupBy("label").agg(avg("e1")).as[(Int, Double)].collect().toMap
+    expected.foreach { case (label, e1avg) =>
+      assert(math.abs(got(label)(0) - e1avg) < 1e-9)
+    }
+  }
+}

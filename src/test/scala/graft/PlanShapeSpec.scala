@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape assertions (SURVEY §5.4): the "free" Catalyst optimizations
+  * must actually be present — broadcast joins for dims, filter pushdown
+  * into the parquet scan, top-k as TakeOrderedAndProject. These guard the
+  * 100 TB story: if a dim join stops broadcasting or a filter stops
+  * pushing down, correctness tests stay green but the plan is wrong.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Registry.byName(name).build(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 joins dims with BroadcastHashJoin") {
+    assert(planOf("q02_revenue_by_region").contains("BroadcastHashJoin"))
+  }
+
+  test("q06 pushes predicates into the parquet scan") {
+    val plan = planOf("q06_filtered_revenue")
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q06 prunes columns: scan reads only needed fields") {
+    val plan = planOf("q06_filtered_revenue")
+    // ReadSchema must not include unneeded wide columns like l_returnflag
+    val read = plan.split("ReadSchema:").last.takeWhile(_ != '\n')
+    assert(!read.contains("l_returnflag"), s"unpruned scan: $read")
+    assert(read.contains("l_extendedprice"))
+  }
+
+  test("q03 plans top-k, not global sort") {
+    assert(planOf("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04 semi-join stays a join, not a cartesian") {
+    val plan = planOf("q04_semi_join")
+    assert(plan.contains("LeftSemi"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregation is partial (map-side combine) via HashAggregate") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    // AQE finalizes subplans lazily — execute, then inspect the final plan.
+    // Codegen'd spans print as "*(n)" in the tree string.
+    val df = Registry.byName("q01_pricing_summary").build(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
+  }
+
+  test("q29 broadcasts the query side of the similarity join") {
+    assert(planOf("q29_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      planOf("q29_cosine_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("q30 bucketed ANN is an equi-join (hash-partitionable)") {
+    val plan = planOf("q30_ann_bucketed")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+  }
+}
