@@ -20,12 +20,15 @@ import Dsl._
   */
 object TextQ {
 
-  /** 3-token shingles as a Spark SQL expression over `text`. */
+  /** 3-token shingles over a pre-materialized `toks` array column. The
+    * token array MUST be a column (not `split(text)` inlined): expressions
+    * inside the transform lambda re-evaluate per element, which would make
+    * shingling O(tokens²) in string work per document. */
   private val shinglesExpr =
-    """transform(sequence(0, size(split(text, ' ')) - 3),
-       i -> concat(element_at(split(text, ' '), i + 1), ' ',
-                   element_at(split(text, ' '), i + 2), ' ',
-                   element_at(split(text, ' '), i + 3)))"""
+    """transform(sequence(0, size(toks) - 3),
+       i -> concat(element_at(toks, i + 1), ' ',
+                   element_at(toks, i + 2), ' ',
+                   element_at(toks, i + 3)))"""
 
   /** DuckDB twin of [[shinglesExpr]]: doc_id, sh rows. */
   private val shinglesSql =
@@ -64,7 +67,8 @@ object TextQ {
       "q26_minhash_lsh",
       (s, dir) => {
         val sh = t(s, dir, "documents")
-          .filter(size(split(col("text"), " ")) >= 3)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
         val sig = sh.groupBy(col("doc_id"))
           .agg((0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")).head,
@@ -137,7 +141,8 @@ object TextQ {
     "q28_ngram_jaccard",
     (s, dir) => {
       val sh = t(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -282,7 +287,8 @@ object TextQ {
     "q34_fingerprint",
     (s, dir) => {
       val sh = t(s, dir, "documents")
-        .filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

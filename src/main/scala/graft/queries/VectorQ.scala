@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
+import graft.functions.VectorFunctions.{vec_dot, vec_norm2}
 
 /** Embedding similarity search (SURVEY §2C) over `embeddings`
   * (ArrayType(FloatType), dim 64).
@@ -22,10 +23,6 @@ object VectorQ {
 
   private val dim = 64
 
-  private val normExpr =
-    "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-  private val dotExpr =
-    "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
   /** 64-term DuckDB chain matching Spark's left-to-right fold. */
   private def dotSql(a: String, b: String): String =
@@ -39,14 +36,14 @@ object VectorQ {
     (s, dir) => {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", expr(normExpr))
+        .withColumn("nrm", vec_norm2(col("embedding")))
       val q = v.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       v.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .withColumn("cosine",
-          round(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+          round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
@@ -78,7 +75,7 @@ object VectorQ {
         when(element_at(col("embedding"), 3) > 0f, 1).otherwise(0)).cast(LongType)
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", expr(normExpr))
+        .withColumn("nrm", vec_norm2(col("embedding")))
         .withColumn("bucket", bucket)
       val q = v.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -88,7 +85,7 @@ object VectorQ {
       v.join(broadcast(q),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
         .withColumn("cosine",
-          round(expr(dotExpr) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+          round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
@@ -120,7 +117,7 @@ object VectorQ {
     "q29b_centroid_stats",
     (s, dir) => {
       t(s, dir, "embeddings")
-        .select(col("label"), expr(normExpr).as("nrm"),
+        .select(col("label"), vec_norm2(col("embedding")).as("nrm"),
           expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("e1"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),

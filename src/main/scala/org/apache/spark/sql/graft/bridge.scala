@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the Column(expr) constructor
+  * internal (columns wrap ColumnNodes); extensions that define custom
+  * Catalyst expressions reach it through the classic converter, which is
+  * only visible from the org.apache.spark.sql package hierarchy.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
