@@ -114,6 +114,36 @@ object WindowQ {
     WHERE rn = 1
     ORDER BY p_id"""))
 
+  /** The same as-of semantics through the engine's custom Catalyst
+    * operator (graft.plans.AsOfJoin: LogicalPlan + Strategy + Exec —
+    * binary-search per left row instead of the join+rank blow-up). Same
+    * oracle as q20 modulo timestamp ties, which the fixture doesn't have. */
+  private val q20b = GQuery(
+    "q20b_asof_custom",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks,
+          Seq("p_user"), Seq("c_user"), "p_ts", "c_ts")
+        .select(col("p_id"), col("p_user").as("user_id"),
+          col("c_id").as("last_click_id"),
+          (col("p_ts").cast(LongType) - col("c_ts").cast(LongType)).as("secs_since_click"))
+        .orderBy(col("p_id"))
+    },
+    Some("""SELECT p_id, user_id, last_click_id, secs_since_click FROM (
+      SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS last_click_id,
+        (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) AS secs_since_click,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts)
+    WHERE rn = 1
+    ORDER BY p_id"""))
+
   /** first/last/nth analytics over frames. */
   private val q07b = GQuery(
     "q07b_first_last",
@@ -136,5 +166,5 @@ object WindowQ {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey"""))
 
-  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20)
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b)
 }
