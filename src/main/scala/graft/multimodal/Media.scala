@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (SURVEY §2C): media payloads as opaque binary
+  * columns with typed metadata, plus per-partition batched decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The decode step is a STUB behind [[MediaDecoder]] — no image/audio
+  * codecs ship in this environment — with [[FakeDecoder]] as a
+  * deterministic stand-in. The Spark-side plumbing is the real, tested
+  * part: the schema (binary + metadata map), the typed row model, the
+  * mapPartitions batch shape (decoder initialized once per partition, the
+  * expensive-resource pattern), and partition sizing by byte budget.
+  */
+final case class MediaRow(
+    media_id: Long,
+    payload: Array[Byte],
+    mime: String,
+    meta: Map[String, String])
+
+final case class MediaFeatures(
+    media_id: Long,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    fingerprint: Long,
+    frame_hashes: Array[Long])
+
+/** One decoder instance per partition; implementations wrap the actual
+  * codec (JNI, javacv, …) and are expected to be expensive to construct. */
+trait MediaDecoder extends Serializable {
+  def decode(payload: Array[Byte], mime: String): (Int, Int, Int) // width, height, frames
+}
+
+/** Deterministic fake: derives plausible dimensions from payload bytes —
+  * stands in for the codec so the pipeline shape is testable end-to-end. */
+final class FakeDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte], mime: String): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 16 + math.abs(h % 16) * 16
+    val ht = 16 + math.abs((h / 16) % 16) * 16
+    val frames = if (mime.startsWith("video")) 1 + math.abs(h % 30) else 1
+    (w, ht, frames)
+  }
+}
+
+object Media {
+
+  /** Wrap any table into the media schema: payload binary + metadata map.
+    * Mirrors the reference's bulk-plane pattern (packets carry file
+    * pointers, SURVEY §1.1): payloads can equally be path references
+    * resolved at decode time. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, mime: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(mime).as("mime"),
+      map(lit("src"), lit(payloadCol)).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode + feature extraction: decoder built once per
+    * partition (mapPartitions, not per-row UDF), rows streamed through.
+    * This is the Scala analogue of the mapInPandas batch shape. */
+  def extractFeatures(media: Dataset[MediaRow], mkDecoder: () => MediaDecoder,
+      frameSample: Int = 4): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = mkDecoder() // once per partition
+      rows.map { r =>
+        val (w, h, frames) = decoder.decode(r.payload, r.mime)
+        val n = r.payload.length
+        // strided frame sampling over the payload bytes
+        val stride = math.max(1, n / math.max(frameSample, 1))
+        val frameHashes = (0 until math.min(frameSample, n)).map { i =>
+          val off = i * stride
+          val end = math.min(off + stride, n)
+          var acc = 1125899906842597L
+          var j = off
+          while (j < end) { acc = acc * 31 + r.payload(j); j += 1 }
+          acc
+        }.toArray
+        MediaFeatures(r.media_id, n.toLong, w, h, frames,
+          frameHashes.foldLeft(17L)(_ * 31 + _), frameHashes)
+      }
+    }
+  }
+
+  /** Repartition a media set by byte budget, not row count — payload sizes
+    * are wildly skewed, so partitions are sized by total bytes per task. */
+  def repartitionByBytes(media: Dataset[MediaRow], targetBytesPerPartition: Long): Dataset[MediaRow] = {
+    val totalBytes = media.select(sum(length(col("payload")))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / math.max(targetBytesPerPartition, 1L)).toInt)
+    media.repartition(parts)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.Skew
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage (SURVEY §2B rows 1-2): CSV, JSON, text
+  * round-trips; partitioned and append/overwrite writes; plus the salted
+  * skew join. JDBC needs an external database and is covered by the
+  * ConnectorRegistry design (prod path per SURVEY §1.3).
+  */
+class SourcesSinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val nation = graft.core.Tables.load(spark, sfDir, "nation")
+
+  test("csv round-trip preserves rows and schema-on-read types") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 25)
+    assert(back.select(sum(col("n_nationkey"))).head().getLong(0) ==
+      nation.select(sum(col("n_nationkey"))).head().getLong(0))
+  }
+
+  test("json round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    nation.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 25)
+    assert(back.columns.sorted.sameElements(Array("n_name", "n_nationkey", "n_regionkey")))
+  }
+
+  test("text source reads raw lines") {
+    val dir = Files.createTempDirectory("graft_text").toString
+    nation.select(concat_ws("|", col("n_nationkey"), col("n_name"))).write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir)
+    assert(lines.count() == 25)
+    // delimited parse of a text scan (the CDR-file shape)
+    val parsed = lines.select(split(col("value"), "\\|").as("f"))
+      .select(element_at(col("f"), 1).cast("int").as("k"), element_at(col("f"), 2).as("n"))
+    assert(parsed.where(col("k") === 0).select("n").as[String].head() ==
+      nation.where(col("n_nationkey") === 0).select("n_name").as[String].head())
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    graft.core.Tables.load(spark, sfDir, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("status") === "F")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan)
+    assert(one.count() ==
+      graft.core.Tables.load(spark, sfDir, "orders").filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("append vs overwrite modes") {
+    val dir = Files.createTempDirectory("graft_modes").toString
+    spark.range(5).write.mode("overwrite").parquet(dir)
+    spark.range(5).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 10)
+    spark.range(3).write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("salted join spreads a hot key and matches the plain join") {
+    val hot = spark.range(10000).withColumn("k", when(col("id") % 10 === 0, 1L).otherwise(col("id")))
+    val dim = spark.range(20000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val plain = hot.join(dim, Seq("k")).agg(sum("v"), count(lit(1))).head()
+    val salted = Skew.saltedJoin(hot.toDF(), dim.toDF(), "k", col("id"), factor = 8)
+      .agg(sum("v"), count(lit(1))).head()
+    assert(plain == salted)
+    // salt actually spreads the hot key across distinct reducers
+    val salts = hot.filter(col("k") === 1)
+      .select(Skew.salt(col("id"), 8)).distinct().count()
+    assert(salts == 8)
+  }
+}

@@ -95,6 +95,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState assembles multi-leg calls with RocksDB state") {
+    import graft.streaming.{Leg, LegAssembler, AssembledCall}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Leg]
+      val out = in.toDS().groupByKey(_.call_id)
+        .transformWithState(new LegAssembler, TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      try {
+        in.addData(Leg("call_a", 1, 2, 10.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_out").count() == 0, "incomplete call must stay in state")
+        in.addData(Leg("call_a", 2, 2, 5.0), Leg("call_b", 1, 1, 7.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out").as[AssembledCall].collect()
+          .map(c => c.call_id -> ((c.n_legs, c.total_duration))).toMap
+        assert(rows == Map("call_a" -> ((2, 15.0)), "call_b" -> ((1, 7.0))))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("PipelineRunner start/stop/restart/control drives named stages") {
     val src = Files.createTempDirectory("graft_stage_src").toString
     val ckpt = Files.createTempDirectory("graft_stage_ckpt").toString
