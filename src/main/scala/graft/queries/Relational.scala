@@ -420,7 +420,96 @@ object Relational {
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** unionByName (schema-aligned union across differently-ordered
+    * projections) + dropDuplicates — the re-rating reconciliation shape. */
+  private val q13b = GQuery(
+    "q13b_union_by_name",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_suppkey").as("id"), lit("supplier").as("kind"))
+      c.union(c) // duplicate feed, as when a batch is re-delivered
+        .unionByName(sup)
+        .dropDuplicates(Seq("id", "kind"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+        .orderBy(col("kind"))
+    },
+    Some("""SELECT kind, COUNT(*) AS n, MIN(name) AS first_name FROM (
+      SELECT DISTINCT id, name, kind FROM (
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, 'customer' FROM customer
+        UNION ALL
+        SELECT s_suppkey, s_name, 'supplier' FROM supplier))
+    GROUP BY kind
+    ORDER BY kind"""))
+
+  /** Null-handling functions: nullif / coalesce (nvl). */
+  private val q14b = GQuery(
+    "q14b_null_funcs",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .select(coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+          when(col("o_totalprice") > 150000, col("o_totalprice")).as("big_or_null"))
+        .groupBy(col("status2"))
+        .agg(count(lit(1)).as("n"),
+          count(col("big_or_null")).as("n_big"),
+          moneySum(coalesce(col("big_or_null"), lit(0.0))).as("sum_big"))
+        .orderBy(col("status2"))
+    },
+    Some(s"""SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2,
+      COUNT(*) AS n,
+      COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
+      ${moneySumSql("CASE WHEN o_totalprice > 150000 THEN o_totalprice ELSE 0.0 END")} AS sum_big
+    FROM orders
+    GROUP BY 1
+    ORDER BY status2"""))
+
+  /** Generator (UDTF shape): split one record into N legs — the CDR
+    * multi-leg expansion (`flatMap`/explode of a computed sequence). */
+  private val q39 = GQuery(
+    "q39_explode_legs",
+    (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("n_legs", (col("event_id") % 3 + 1).cast(IntegerType))
+        .withColumn("leg", explode(expr("sequence(1, n_legs)")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_leg_rows"),
+          moneySum(col("value") / col("n_legs")).as("sum_leg_value"),
+          max(col("leg")).cast(LongType).as("max_leg"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n_leg_rows,
+      ${moneySumSql("value / n_legs")} AS sum_leg_value,
+      CAST(MAX(leg) AS BIGINT) AS max_leg
+    FROM (SELECT event_type, value, CAST(event_id % 3 + 1 AS INT) AS n_legs, leg
+          FROM events, UNNEST(generate_series(1, CAST(event_id % 3 + 1 AS INT))) AS t(leg))
+    GROUP BY event_type
+    ORDER BY event_type"""))
+
+  /** Registered scalar UDF (the rating-formula extension point; built-in
+    * functions remain the preference — this declares the UDF surface). */
+  private val q40 = GQuery(
+    "q40_scalar_udf",
+    (s, dir) => {
+      s.udf.register("graft_bulk_discount",
+        (qty: Double, price: Double) => if (qty > 30) price * 0.9 else price)
+      t(s, dir, "lineitem")
+        .withColumn("adj", expr("graft_bulk_discount(l_quantity, l_extendedprice)"))
+        .groupBy(col("l_returnflag"))
+        .agg(moneySum(col("adj")).as("sum_adj"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag,
+      ${moneySumSql("CASE WHEN l_quantity > 30 THEN l_extendedprice * 0.9 ELSE l_extendedprice END")} AS sum_adj,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
+
   val queries: Seq[GQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q14,
-      q15, q16, q17, q18, q19, q21)
+    Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40)
 }

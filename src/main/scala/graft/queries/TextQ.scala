@@ -73,22 +73,24 @@ object TextQ {
         val sig = sh.groupBy(col("doc_id"))
           .agg((0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")).head,
             (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
-        val bands = sig.selectExpr("doc_id",
+        // Carry the full signature through the band rows: the candidate
+        // self-join then yields est_jaccard directly, so the expensive
+        // shingle→signature subtree is built once per join side (and the
+        // two sides are identical → exchange reuse), instead of being
+        // recomputed by two extra signature joins afterwards.
+        val bands = sig.selectExpr(
+          "doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
           "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)")
-          .select(col("doc_id"), col("band"), col("bkey"))
-        val pairs = bands.as("x")
+        val est = (0 until 8)
+          .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
+          .reduce(_ + _) / lit(8.0)
+        bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            est.as("est_jaccard"))
           .distinct()
-        val est = (0 until 8)
-          .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast(IntegerType))
-          .reduce(_ + _) / lit(8.0)
-        pairs
-          .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
-          .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
           .filter(col("est_jaccard") >= 0.25)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -140,24 +142,26 @@ object TextQ {
   private val q28 = GQuery(
     "q28_ngram_jaccard",
     (s, dir) => {
+      // Per-doc set size rides along on every shingle row (window count),
+      // so the union size falls out of the one self-join — no separate
+      // sizes table, no extra joins, and both join sides are the same
+      // subtree (exchange reuse).
       val sh = t(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
         .distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = sh.as("x")
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      sh.as("x")
         .join(sh.as("y"),
           col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
             col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .agg(count(lit(1)).as("n_inter"),
+          min(col("x.n_sh")).as("na"), min(col("y.n_sh")).as("nb"))
         .select(col("doc_a"), col("doc_b"),
           round(col("n_inter").cast(DoubleType) /
-            (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")), 6).as("jaccard"))
+            (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
         .orderBy(col("doc_a"), col("doc_b"))
     },
