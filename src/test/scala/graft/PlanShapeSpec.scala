@@ -61,6 +61,11 @@ class PlanShapeSpec extends SparkSpec {
       planOf("q29_cosine_topk").contains("BroadcastHashJoin"))
   }
 
+  test("repartition(n) plans RoundRobinPartitioning (reference operator #8)") {
+    val df = Registry.byName("q01_pricing_summary").build(spark, sfDir).repartition(4)
+    assert(df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
+  }
+
   test("q30 bucketed ANN is an equi-join (hash-partitionable)") {
     val plan = planOf("q30_ann_bucketed")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))

@@ -159,6 +159,39 @@ class StreamingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](runner.start("nope")).getMessage.contains("unknown stage"))
   }
 
+  test("chained stages: stage N sink dir feeds stage N+1 source (linked sessions)") {
+    // the reference's M_LINKED_SESSIONS DAG (MFramework.cpp:981-1011):
+    // component boundaries become sink-dir → source-dir handoffs.
+    val src = Files.createTempDirectory("graft_chain_src").toString
+    val mid = Files.createTempDirectory("graft_chain_mid").toString
+    val out = Files.createTempDirectory("graft_chain_out").toString
+    val ck1 = Files.createTempDirectory("graft_chain_ck1").toString
+    val ck2 = Files.createTempDirectory("graft_chain_ck2").toString
+    spark.range(100).toDF("id").write.mode("append").parquet(src)
+    val runner = new PipelineRunner(spark)
+    val idSchema = StructType(Seq(StructField("id", LongType)))
+    runner.register(StageSpec("stage1",
+      s => s.readStream.schema(idSchema).parquet(src),
+      df => df.filter(col("id") % 2 === 0), // prerating: drop odd records
+      df => df.writeStream.format("parquet").outputMode("append")
+        .option("path", mid).option("checkpointLocation", ck1)
+        .trigger(Triggers.microBatch("100 milliseconds"))))
+    runner.register(StageSpec("stage2",
+      s => s.readStream.schema(idSchema).parquet(mid),
+      df => df.withColumn("charge", col("id") * 2), // rating
+      df => df.writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck2)
+        .trigger(Triggers.microBatch("100 milliseconds"))))
+    runner.control("s=0\na=startsession") // broadcast start, like session id 0
+    try {
+      runner.start("stage1").processAllAvailable()
+      runner.start("stage2").processAllAvailable()
+      val result = spark.read.parquet(out)
+      assert(result.count() == 50)
+      assert(result.agg(sum(col("charge"))).head().getLong(0) == (0L until 100 by 2).map(_ * 2).sum)
+    } finally runner.stopAll()
+  }
+
   test("file-source pipeline over events with AvailableNow drains and stops") {
     val src = Files.createTempDirectory("graft_events_src").toString
     val events = graft.core.Tables.load(spark, sfDir, "events")
