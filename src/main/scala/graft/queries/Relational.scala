@@ -509,7 +509,29 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
+  /** Exact percentiles with linear interpolation (usage-distribution
+    * reporting); both engines implement the same type-7 quantile, rounded
+    * to absorb any last-ulp interpolation differences. */
+  private val q41 = GQuery(
+    "q41_percentile",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40)
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41)
 }
