@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 
 import scala.collection.mutable
 
@@ -17,11 +18,12 @@ import scala.collection.mutable
   *
   * The composed alternative (join on key + time inequality, then
   * row_number() == 1) materializes every (row × candidate-version) pair
-  * before discarding all but one; this operator hash-partitions both sides
-  * once on the keys and resolves each left row with a binary search over
-  * the per-key version list — no intermediate blow-up, no window shuffle.
-  * The right side is expected to be the versioned dimension (bounded per
-  * key), which is the as-of use case.
+  * before discarding all but one; this operator resolves each left row
+  * with a binary search over the per-key version list — no intermediate
+  * blow-up, no window shuffle. Physical strategy mirrors Spark's own join
+  * selection: a small right side (≤ autoBroadcastJoinThreshold by stats)
+  * broadcasts, leaving the fact side entirely unshuffled; otherwise both
+  * sides cluster on the keys (one shuffle each).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -39,74 +41,107 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Probe-side logic shared by the shuffled and broadcast variants. */
+trait AsOfJoinLike extends BinaryExecNode {
+  def leftKeys: Seq[Expression]
+  def rightKeys: Seq[Expression]
+  def leftTime: Expression
+  def rightTime: Expression
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Versions per key, sorted ascending by time. */
+  protected def buildIndex(rows: Iterator[InternalRow])
+      : mutable.HashMap[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]] = {
+    val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+    val rTimeBound = BindReferences.bindReference(rightTime, right.output)
+    val byKey = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]]
+    rows.foreach { row =>
+      val t = rTimeBound.eval(row)
+      if (t != null) {
+        val key = rKeyProj(row).copy()
+        byKey.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+          .append((t.asInstanceOf[Long], row.copy()))
+      }
+    }
+    byKey.values.foreach(_.sortInPlaceBy(_._1))
+    byKey
+  }
+
+  protected def probe(
+      lIter: Iterator[InternalRow],
+      byKey: mutable.HashMap[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]])
+      : Iterator[InternalRow] = {
+    val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+    val lTimeBound = BindReferences.bindReference(leftTime, left.output)
+    val nullRight = new GenericInternalRow(right.output.length)
+    val joined = new JoinedRow
+    lIter.map { lRow =>
+      val t = lTimeBound.eval(lRow)
+      val matched: InternalRow =
+        if (t == null) nullRight
+        else byKey.get(lKeyProj(lRow)) match {
+          case None => nullRight
+          case Some(versions) =>
+            // rightmost version with time <= t
+            var lo = 0
+            var hi = versions.length - 1
+            var ans = -1
+            val lt = t.asInstanceOf[Long]
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (versions(mid)._1 <= lt) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans < 0) nullRight else versions(ans)._2
+        }
+      joined(lRow, matched)
+    }
+  }
+}
+
+/** Shuffled variant: both sides cluster on the equi-keys — one shuffle
+  * each, co-partitioned by EnsureRequirements; AQE sizes the partitions. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression) extends AsOfJoinLike {
 
-  override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
-
-  /** Both sides cluster on the equi-keys: one shuffle each, co-partitioned
-    * by EnsureRequirements — at scale this is the same cost as any
-    * shuffled equi-join, with AQE free to pick partition counts. */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val lOutput = left.output
-    val rOutput = right.output
-    val lKeys = leftKeys
-    val rKeys = rightKeys
-    val lTime = leftTime
-    val rTime = rightTime
-    val rWidth = rOutput.length
-
+  override protected def doExecute(): RDD[InternalRow] =
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
-      val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
-      val rTimeBound = BindReferences.bindReference(rTime, rOutput)
-      val lTimeBound = BindReferences.bindReference(lTime, lOutput)
+      probe(lIter, buildIndex(rIter))
+    }
 
-      // versions per key, sorted ascending by time
-      val byKey = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, InternalRow)]]
-      rIter.foreach { row =>
-        val t = rTimeBound.eval(row)
-        if (t != null) {
-          val key = rKeyProj(row).copy()
-          byKey.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-            .append((t.asInstanceOf[Long], row.copy()))
-        }
-      }
-      byKey.values.foreach(buf => buf.sortInPlaceBy(_._1))
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
 
-      val nullRight = new GenericInternalRow(rWidth)
-      val joined = new JoinedRow
+/** Broadcast variant: the versioned dimension ships to every task and the
+  * fact side is NOT shuffled at all — the right plan for tariff-sized
+  * dimensions at 100 TB fact scale. */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends AsOfJoinLike {
 
-      lIter.map { lRow =>
-        val t = lTimeBound.eval(lRow)
-        val matched: InternalRow =
-          if (t == null) nullRight
-          else byKey.get(lKeyProj(lRow)) match {
-            case None => nullRight
-            case Some(versions) =>
-              // rightmost version with time <= t
-              var lo = 0
-              var hi = versions.length - 1
-              var ans = -1
-              val lt = t.asInstanceOf[Long]
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (versions(mid)._1 <= lt) { ans = mid; lo = mid + 1 }
-                else hi = mid - 1
-              }
-              if (ans < 0) nullRight else versions(ans)._2
-          }
-        joined(lRow, matched)
-      }
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      probe(lIter, buildIndex(broadcastRows.value.iterator))
     }
   }
 
@@ -118,7 +153,11 @@ case class AsOfJoinExec(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }

@@ -61,13 +61,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(custom == composed)
   }
 
-  test("plans as AsOfJoinExec with clustered (co-partitioned) children") {
+  test("small right side plans BroadcastAsOfJoin — fact side unshuffled") {
     val df = AsOf.join(calls, tariffs, Seq("ct"), Seq("t_ct"), "call_ts", "valid_from")
     val plan = df.queryExecution.executedPlan.toString
-    // the exec node prints without the Exec suffix
-    assert(plan.contains("AsOfJoin "), plan)
-    assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 2,
-      s"expected exactly one clustering shuffle per side:\n$plan")
+    // exec nodes print without the Exec suffix
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle anything:\n$plan")
+  }
+
+  test("large right side plans the shuffled variant with co-partitioned children") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = AsOf.join(calls, tariffs, Seq("ct"), Seq("t_ct"), "call_ts", "valid_from")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin "), plan)
+      assert(plan.split("\n").count(_.contains("Exchange hashpartitioning")) == 2,
+        s"expected exactly one clustering shuffle per side:\n$plan")
+      // same results on the shuffled path
+      val got = df.select(col("call_id"), col("rate"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got(2L) == Some(2.0) && got(4L).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("multi-key as-of join") {
