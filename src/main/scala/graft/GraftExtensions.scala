@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOfJoin)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -83,22 +83,13 @@ object RatingPipeline {
     * SURVEY §2B joins) and charge computation:
     * setup_fee + ceil(duration/60) * rate_per_min, in exact decimals. */
   def rate(calls: DataFrame, tariffs: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col("imsi"), col("msisdn"), col("other_party"),
-        col("call_start_ts"), col("call_type"))
-      .orderBy(col("valid_from").desc_nulls_last)
-    // The as-of predicate must be IN the join condition: filtering after a
-    // left join would drop calls that predate every tariff version instead
-    // of rating them with a null charge.
+    // The engine's as-of operator: tariff-sized right side → broadcast
+    // variant, so the call stream is never shuffled for the lookup, and
+    // calls predating every tariff version keep a null charge (left-outer).
     val t = tariffs.withColumnRenamed("call_type", "t_call_type")
-    calls
-      .join(broadcast(t),
-        col("call_type") === col("t_call_type") &&
-          col("valid_from") <= col("call_start_ts"), "left")
+    graft.plans.AsOf.join(calls, t,
+        Seq("call_type"), Seq("t_call_type"), "call_start_ts", "valid_from")
       .drop("t_call_type")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
       .withColumn("billed_min", ceil(col("duration_sec") / lit(60.0)))
       .withColumn("charge",
         (col("setup_fee").cast(DecimalType(18, 4)) +

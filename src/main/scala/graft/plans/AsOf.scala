@@ -13,6 +13,9 @@ object AsOf {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushLeftFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushLeftFilterThroughAsOfJoin
   }
 
   /** Left as-of join: for each left row, the latest right row (by

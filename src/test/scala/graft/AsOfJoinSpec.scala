@@ -86,6 +86,22 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("left-side filters above the as-of join reach the parquet scan") {
+    val ev = graft.core.Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val df = AsOf.join(purchases, clicks, Seq("p_user"), Seq("c_user"), "p_ts", "c_ts")
+      .filter(col("p_id") > 500) // written ABOVE the custom node
+    val plan = df.queryExecution.executedPlan.toString
+    // PushLeftFilterThroughAsOfJoin + Catalyst pushdown must land it in
+    // the left scan's Filter/PushedFilters (plan strings truncate long
+    // filter lists, so match the data-filter form), not above the join.
+    assert(plan.contains("> 500)"), plan)
+    assert(plan.contains("GreaterThan(event_id,5"), plan)
+  }
+
   test("multi-key as-of join") {
     val l = Seq((1L, "a", 1, ts("2026-01-02 00:00:00"))).toDF("id", "k1", "k2", "t")
     val r = Seq(
