@@ -345,7 +345,10 @@ object Relational {
           (col("l_orderkey") % 7).as("key_mod7"),
           sqrt(col("l_quantity")).as("qty_sqrt"),
           (col("l_quantity") * col("l_quantity")).as("qty_sq"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique in the fixture — order
+        // by value columns too so the output order is total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_r1"),
+          col("disc_dev"), col("qty_sq"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
       round(l_extendedprice, 1) AS price_r1,
@@ -356,7 +359,7 @@ object Relational {
       sqrt(l_quantity) AS qty_sqrt,
       l_quantity * l_quantity AS qty_sq
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber"""))
+    ORDER BY l_orderkey, l_linenumber, price_r1, disc_dev, qty_sq"""))
 
   /** Predicate surface: IN / LIKE / BETWEEN / null-safe filters. */
   private val q18 = GQuery(

@@ -31,27 +31,33 @@ object WindowQ {
     WHERE rn <= 3
     ORDER BY o_custkey, rn"""))
 
-  /** Running total over a ROWS frame (per-supplier cumulative quantity). */
+  /** Running total over a ROWS frame (per-supplier cumulative quantity).
+    * The fixture's (l_orderkey, l_linenumber) is NOT unique, so both the
+    * window order and the output order carry value tiebreaks
+    * (l_quantity / running_qty) — without them one sf0.1 tie makes the
+    * running sums genuinely nondeterministic in both engines. */
   private val q08 = GQuery(
     "q08_running_total",
     (s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast(DecimalType(38, 4))).over(w)
             .cast(DoubleType).as("running_qty"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER (
         PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
     FROM lineitem
-    ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+    ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty"""))
 
   /** lag/lead analytics: per-customer order history with day gaps. */
   private val q09 = GQuery(
