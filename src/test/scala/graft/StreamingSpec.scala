@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped and counted") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      in.addData((ts("2026-01-01 01:00:00"), 1.0))
+      q.processAllAvailable()
+      // watermark advances to 00:50; this event is far older → dropped
+      in.addData((ts("2026-01-01 00:00:00"), 99.0))
+      q.processAllAvailable()
+      // close the first window so it emits in append mode
+      in.addData((ts("2026-01-01 02:00:00"), 2.0))
+      q.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .select(col("window.start").cast(StringType), col("v"))
+        .as[(String, Double)].collect().toMap
+      assert(emitted == Map("2026-01-01 01:00:00" -> 1.0),
+        s"late row must not resurrect a closed window: $emitted")
+      val droppedByWatermark = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(droppedByWatermark >= 1, "watermark drop metric not recorded")
+    } finally q.stop()
+  }
+
   test("stateful session assembly via flatMapGroupsWithState") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val ctx = spark.sqlContext
