@@ -534,7 +534,37 @@ object Relational {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""))
 
+  /** Correlated scalar subquery through the SQL front end — Catalyst
+    * decorrelates it into a join + aggregate (§4 "free" rewrite; the plan
+    * test asserts no per-row subquery survives). */
+  private val q44 = GQuery(
+    "q44_correlated_subquery",
+    (s, dir) => {
+      // price > group avg, stated as price*n > sum in exact decimals —
+      // float averages tie-break differently across engines when a price
+      // equals its group mean exactly
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql(s"""SELECT p_brand, COUNT(*) AS n_above,
+        ${moneySumSql("p_retailprice")} AS sum_above
+      FROM part_v p
+      WHERE CAST(p_retailprice AS DECIMAL(18,4)) *
+              (SELECT COUNT(*) FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+            > (SELECT SUM(CAST(p3.p_retailprice AS DECIMAL(18,4)))
+               FROM part_v p3 WHERE p3.p_brand = p.p_brand)
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n_above,
+      ${moneySumSql("p_retailprice")} AS sum_above
+    FROM part p
+    WHERE CAST(p_retailprice AS DECIMAL(18,4)) *
+            (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+          > (SELECT SUM(CAST(p3.p_retailprice AS DECIMAL(18,4)))
+             FROM part p3 WHERE p3.p_brand = p.p_brand)
+    GROUP BY p_brand
+    ORDER BY p_brand"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41)
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44)
 }

@@ -132,5 +132,53 @@ object VectorQ {
     GROUP BY label
     ORDER BY label"""))
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30)
+  /** Embedding-cosine near-duplicate dedup (SURVEY §2C dedup list): pairs
+    * above a cosine threshold inside coarse sign buckets form dup groups;
+    * a vector survives unless a lower-id near-duplicate exists (anti-join
+    * canonical selection — same shape as exact dedup, but the key is a
+    * similarity relation). */
+  private val q42 = {
+    val bucketSql =
+      """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
+    GQuery(
+      "q42_embedding_dedup",
+      (s, dir) => {
+        val bucket = (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0) +
+          when(element_at(col("embedding"), 2) > 0f, 2).otherwise(0) +
+          when(element_at(col("embedding"), 3) > 0f, 1).otherwise(0)).cast(LongType)
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", vec_norm2(col("embedding")))
+          .withColumn("bucket", bucket)
+        val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("nrm").as("a_nrm"), col("bucket"))
+        val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm"), col("bucket"))
+        val dupOf = a.join(b, Seq("bucket"))
+          .filter(col("b_id") < col("a_id"))
+          .withColumn("cosine",
+            round(vec_dot(col("a_emb"), col("b_emb")) / (sqrt(col("a_nrm")) * sqrt(col("b_nrm"))), 6))
+          .filter(col("cosine") >= 0.2)
+          .select(col("a_id")).distinct()
+        v.join(dupOf, col("vec_id") === col("a_id"), "left_anti")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_kept"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bucketSql AS bucket FROM embeddings),
+        dup_of AS (SELECT DISTINCT a.vec_id AS a_id
+          FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+          WHERE ROUND((${dotSql("a.embedding", "b.embedding")}) /
+                      (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= 0.2)
+      SELECT bucket, COUNT(*) AS n_kept, MIN(vec_id) AS first_kept
+      FROM v
+      WHERE vec_id NOT IN (SELECT a_id FROM dup_of)
+      GROUP BY bucket
+      ORDER BY bucket"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42)
 }

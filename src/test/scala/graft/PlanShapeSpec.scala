@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"))
   }
 
+  test("q44 correlated subqueries decorrelate into joins") {
+    val plan = planOf("q44_correlated_subquery")
+    // no per-row subquery execution survives the rewrite
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q30 bucketed ANN is an equi-join (hash-partitionable)") {
     val plan = planOf("q30_ann_bucketed")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
