@@ -142,11 +142,55 @@ class StreamingSpec extends SparkSpec {
         in.addData(Leg("call_a", 1, 2, 10.0))
         q.processAllAvailable()
         assert(spark.table("tws_out").count() == 0, "incomplete call must stay in state")
+        in.addData(Leg("call_a", 1, 2, 10.0)) // duplicate leg redelivery
         in.addData(Leg("call_a", 2, 2, 5.0), Leg("call_b", 1, 1, 7.0))
         q.processAllAvailable()
         val rows = spark.table("tws_out").as[AssembledCall].collect()
-          .map(c => c.call_id -> ((c.n_legs, c.total_duration))).toMap
-        assert(rows == Map("call_a" -> ((2, 15.0)), "call_b" -> ((1, 7.0))))
+          .map(c => c.call_id -> ((c.n_legs, c.total_duration, c.complete))).toMap
+        // duplicate seq=1 must not double-count duration
+        assert(rows == Map("call_a" -> ((2, 15.0, true)), "call_b" -> ((1, 7.0, true))))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState timeout flushes incomplete calls as partial") {
+    import graft.streaming.{Leg, LegAssembler, AssembledCall}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Leg]
+      val out = in.toDS().groupByKey(_.call_id)
+        .transformWithState(new LegAssembler(timeoutMs = 300),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("tws_timeout_out").start()
+      // NOTE: processAllAvailable() never latches with processing-time
+      // timers (timer-driven batches keep resetting noNewData) — poll the
+      // sink with a deadline instead.
+      def rowsNow() = spark.table("tws_timeout_out").as[AssembledCall].collect()
+        .map(c => c.call_id -> ((c.n_legs, c.total_duration, c.complete))).toMap
+      def eventually(ms: Long)(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + ms
+        while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
+        cond
+      }
+      try {
+        in.addData(Leg("call_x", 1, 3, 10.0), Leg("call_x", 2, 3, 4.0)) // leg 3 never arrives
+        in.addData(Leg("call_y", 1, 1, 1.0)) // completes immediately
+        assert(eventually(30000)(rowsNow().contains("call_y")))
+        assert(rowsNow()("call_y") == ((1, 1.0, true)))
+        // the 300ms processing-time timer then flushes the partial call
+        assert(eventually(30000)(rowsNow().contains("call_x")),
+          s"timed-out call never flushed: ${rowsNow()}")
+        assert(rowsNow()("call_x") == ((2, 14.0, false)))
       } finally q.stop()
     } finally {
       prior match {
