@@ -180,5 +180,69 @@ object VectorQ {
       ORDER BY bucket"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42)
+  /** IVF-style ANN: 4 deterministic seed centroids (first vectors),
+    * nearest-centroid assignment via dist² = |a|² + |c|² − 2·a·c with a
+    * ranked tiebreak, then top-k search within the query's own cell
+    * (nprobe=1). At scale the assignment is one broadcast pass and the
+    * search an equi-join on cluster — same partitioning story as q30, but
+    * with data-adaptive cells instead of sign buckets. */
+  private val q43 = {
+    val assignSqlDist =
+      s"v.nrm + s.nrm - 2 * (${dotSql("v.embedding", "s.embedding")})"
+    GQuery(
+      "q43_ann_ivf",
+      (s, dir) => {
+        val v = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", vec_norm2(col("embedding")))
+        val seeds = v.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist_sq"), col("seed_id"))
+        val assigned = v.crossJoin(broadcast(seeds))
+          .withColumn("dist_sq",
+            col("nrm") + col("snrm") - lit(2.0) * vec_dot(col("embedding"), col("semb")))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+        val q = assigned.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"), col("cluster").as("qcluster"))
+        val wRank = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        assigned.join(broadcast(q),
+            col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+          .withColumn("rank", row_number().over(wRank).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
+            col("cosine"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                  FROM embeddings),
+        seeds AS (SELECT vec_id AS seed_id, embedding, nrm FROM v WHERE vec_id < 4),
+        assigned AS (SELECT vec_id, embedding, nrm, cluster FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, s.seed_id AS cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY $assignSqlDist, s.seed_id) AS arn
+          FROM v, seeds s) WHERE arn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                     cluster AS qcluster
+              FROM assigned WHERE vec_id % 20 = 0),
+        pairs AS (SELECT query_id, qcluster AS cluster, c.vec_id AS neighbor_id,
+            ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+          FROM assigned c, q
+          WHERE c.cluster = qcluster AND c.vec_id <> query_id),
+        ranked AS (SELECT query_id, cluster, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs)
+      SELECT query_id, cluster, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43)
 }
