@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** JDBC source/sink (SURVEY §2B scans row; the reference's config plane is
+  * Oracle tables read at boot, `MFramework.cpp:341-432`). Embedded Derby
+  * stands in for Oracle: write the config dimension over JDBC, read it
+  * back, broadcast-join it against facts — the reference's
+  * config-lookup pattern end-to-end.
+  */
+class JdbcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val url = {
+    val dir = Files.createTempDirectory("graft_derby").toString
+    s"jdbc:derby:$dir/configdb;create=true"
+  }
+  private val props = new java.util.Properties()
+  props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("config tables round-trip over JDBC and broadcast-join the facts") {
+    // M_SYSTEM_SETTINGS-shaped config (MFramework.cpp:406-417)
+    val settings = Seq(
+      ("click", 1.0), ("error", 0.0), ("purchase", 5.0),
+      ("signup", 2.0), ("view", 0.5))
+      .toDF("event_type_key", "weight")
+    settings.write.mode("overwrite").jdbc(url, "m_event_weights", props)
+
+    val back = spark.read.jdbc(url, "m_event_weights", props)
+    assert(back.count() == 5)
+    assert(back.schema.fieldNames.map(_.toLowerCase).sorted
+      .sameElements(Array("event_type_key", "weight")))
+
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val joined = events
+      .join(broadcast(back), col("event_type") === col("event_type_key"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value") * col("weight")), 2).as("weighted"))
+    assert(joined.count() == 5)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("JDBCRelation"), plan)
+  }
+
+  test("predicate pushdown reaches the JDBC scan") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .write.mode("overwrite").jdbc(url, "m_push", props)
+    val df = spark.read.jdbc(url, "m_push", props).filter(col("id") > 1)
+    assert(df.count() == 2)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      df.queryExecution.executedPlan.toString)
+  }
+}
