@@ -10,6 +10,29 @@ import Dsl._
   */
 object EventQ {
 
+  final case class Ev(user_id: Long, event_type: String, value: Double)
+
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  object CountEv extends Aggregator[Ev, Long, Long] {
+    def zero = 0L
+    def reduce(b: Long, a: Ev): Long = b + 1
+    def merge(x: Long, y: Long): Long = x + y
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  object SumUsers extends Aggregator[Ev, Long, Long] {
+    def zero = 0L
+    def reduce(b: Long, a: Ev): Long = b + a.user_id
+    def merge(x: Long, y: Long): Long = x + y
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Tumbling window aggregation — `window()` is the batch/streaming-shared
     * primitive; oracle reproduces the epoch-aligned 6h buckets
     * arithmetically. */
@@ -132,5 +155,26 @@ object EventQ {
     GROUP BY user_id
     ORDER BY user_id"""))
 
-  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38)
+  /** Typed Dataset pipeline (SURVEY §1.3: `Dataset[T]` for typed stages):
+    * case-class rows, groupByKey + typed Aggregators — compile-checked
+    * fields; long sums are associative so any merge order is exact. */
+  private val q46 = GQuery(
+    "q46_typed_agg",
+    (s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value")).as[EventQ.Ev]
+      ds.groupByKey(_.event_type)
+        .agg(EventQ.CountEv.toColumn.name("n"),
+          EventQ.SumUsers.toColumn.name("sum_users"))
+        .toDF("event_type", "n", "sum_users")
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(user_id) AS n,
+      CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46)
 }

@@ -341,5 +341,33 @@ object TextQ {
     FROM documents
     ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35)
+  /** Corpus n-gram statistics: top-20 bigrams by frequency with doc
+    * frequency — the vocabulary-analysis pass of a pretraining pipeline
+    * (one explode + one aggregation; top-k via rank, not a global sort). */
+  private val q45 = GQuery(
+    "q45_ngram_topk",
+    (s, dir) => {
+      val bigram =
+        """transform(sequence(0, size(toks) - 2),
+           i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(bigram)).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      bigrams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i))
+    SELECT bg, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM bigrams
+    GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 20"""))
+
+  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35, q45)
 }
