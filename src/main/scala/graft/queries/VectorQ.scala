@@ -9,15 +9,18 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm2}
 /** Embedding similarity search (SURVEY §2C) over `embeddings`
   * (ArrayType(FloatType), dim 64).
   *
-  * Spark side uses codegen'd higher-order functions (zip_with/aggregate) —
-  * no UDFs — with norms precomputed once per vector. The query set is
-  * broadcast, so the candidate side streams with no shuffle; the bucketed
-  * variant joins on a coarse partition key (the 100 TB path: hash-partition
-  * by bucket, prune candidates before any pairwise work).
+  * Spark side uses the engine's codegen'd VecDot expression (a fused
+  * loop inside whole-stage codegen, ~6x over the interpreted
+  * zip_with/aggregate formulation) with norms precomputed once per
+  * vector. The query set is broadcast, so the candidate side streams with
+  * no shuffle; the bucketed/IVF variants join on a coarse partition key
+  * (the 100 TB path: hash-partition by cell, prune candidates before any
+  * pairwise work).
   *
   * The DuckDB oracle reproduces the identical IEEE arithmetic as an
-  * explicit 64-term left-associated chain (same fold order as Spark's
-  * aggregate()), so cosines match bit-for-bit before the 6-dp round.
+  * explicit 64-term left-associated chain (same fold order as VecDot's
+  * accumulation loop), so cosines match bit-for-bit before the 6-dp
+  * round.
   */
 object VectorQ {
 
