@@ -369,5 +369,39 @@ object TextQ {
     ORDER BY n DESC, bg
     LIMIT 20"""))
 
-  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35, q45)
+  /** Curation: stratified top-N selection — keep the 5 highest-quality
+    * docs per source (the per-domain cap of a pretraining mix). Score is
+    * the q32 formula; ranking is one window per source, so at corpus scale
+    * this is a single hash-partitioned pass, not a global sort. */
+  private val q47 = {
+    def scoreSql(filterFn: String, lenFn: String, splitFn: String): String = {
+      val nTok = s"$lenFn($splitFn(text, ' '))"
+      val nStop = s"$lenFn($filterFn($splitFn(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'data', 'row')))"
+      s"""ROUND(LEAST(CAST($nTok AS DOUBLE) / 200.0, 1.0) * 0.5 +
+          (1.0 - CAST($nStop AS DOUBLE) / $nTok) * 0.5, 6)"""
+    }
+    GQuery(
+      "q47_curation_topn",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q_score").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("q_score", expr(scoreSql("filter", "size", "split")))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("rn"), col("doc_id"), col("q_score"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some(s"""SELECT source, rn, doc_id, q_score FROM (
+        SELECT source, doc_id, q_score,
+          ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY q_score DESC, doc_id) AS rn
+        FROM (SELECT source, doc_id,
+                ${scoreSql("list_filter", "len", "string_split")} AS q_score
+              FROM documents))
+      WHERE rn <= 5
+      ORDER BY source, rn"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35, q45, q47)
 }
