@@ -54,10 +54,15 @@ object TextQ {
     FROM documents
     ORDER BY doc_id"""))
 
-  /** MinHash signatures (8 permutations approximated as min-over-salted-md5)
-    * + LSH banding (4 bands × 2 rows) + candidate-pair estimation. */
+  /** MinHash signatures (8 permutations approximated as min-over-hash)
+    * + LSH banding (4 bands × 2 rows) + candidate-pair estimation.
+    * The 8 signature lanes slice two md5 digests (8 hex chars each)
+    * rather than salting 8 separate md5 calls — 4x less hashing per
+    * shingle, same independence-in-practice for banding. */
   private val q26 = {
-    val sigCols = (0 until 8).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(", ")
+    def lane(i: Int, h1: String, h2: String): String =
+      if (i < 4) s"substr($h1, ${i * 8 + 1}, 8)" else s"substr($h2, ${(i - 4) * 8 + 1}, 8)"
+    val sigCols = (0 until 8).map(i => s"MIN(${lane(i, "h1", "h2")}) AS h$i").mkString(", ")
     val bandSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig")
       .mkString(" UNION ALL ")
@@ -70,9 +75,10 @@ object TextQ {
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-        val sig = sh.groupBy(col("doc_id"))
-          .agg((0 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")).head,
-            (1 until 8).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
+          .withColumn("h1", md5(col("sh")))
+          .withColumn("h2", md5(concat(lit("x:"), col("sh"))))
+        val laneAggs = (0 until 8).map(i => min(expr(lane(i, "h1", "h2"))).as(s"h$i"))
+        val sig = sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
         // Carry the full signature through the band rows: the candidate
         // self-join then yields est_jaccard directly, so the expensive
         // shingle→signature subtree is built once per join side (and the
@@ -95,7 +101,10 @@ object TextQ {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""$shinglesSql,
-        sig AS (SELECT doc_id, $sigCols FROM shingles GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sigCols
+                FROM (SELECT doc_id, md5(sh) AS h1, md5('x:' || sh) AS h2
+                      FROM shingles)
+                GROUP BY doc_id),
         bands AS ($bandSql),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM bands x JOIN bands y

@@ -87,6 +87,20 @@ class RatingPipelineSpec extends SparkSpec {
     assert(sums("SMS") == ((1L, 0.1)))
   }
 
+  test("malformed CDR lines land in the dead-letter path, not silently dropped") {
+    val dir = Files.createTempDirectory("graft_cdr_bad").toString
+    Files.writeString(java.nio.file.Path.of(dir, "bad.csv"),
+      """record_type,imsi,msisdn,other_party,call_start_ts,duration_sec,cell_id,call_type,partial_seq
+        |this,is,junk
+        |MOC,404551234567899,9812345699,919876543210,2026-08-12 04:00:00,60,c9,VOICE,1
+        |,,,,,,,,
+        |""".stripMargin)
+    val (valid, dead) = RatingPipeline.split(
+      RatingPipeline.normalize(RatingPipeline.readCdrs(spark, dir)))
+    assert(valid.count() == 1)
+    assert(dead.count() == 2, "permissive-parsed garbage must fail validation")
+  }
+
   test("calls before any tariff version rate as null charge, not dropped") {
     import spark.implicits._
     val early = Seq(("MOC", "404550000000001", "919800000001", "x",
