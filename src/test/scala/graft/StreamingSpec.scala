@@ -279,11 +279,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("events_drain").as[(String, Long)].collect().map(_._2).sum == 200)
   }
 
-  test("SupervisorListener tracks restarts for failed queries") {
+  test("SupervisorListener auto-restarts a crashing stage up to its budget") {
+    val src = Files.createTempDirectory("graft_sup_src").toString
+    spark.range(5).toDF("id").write.mode("append").parquet(src)
     val runner = new PipelineRunner(spark)
-    val sup = new SupervisorListener(runner, maxRestarts = 1)
-    assert(sup.restartCount("x") == 0) // listener wiring is exercised in-line:
+    val sup = new SupervisorListener(runner, maxRestarts = 2)
     spark.streams.addListener(sup)
-    spark.streams.removeListener(sup)
+    try {
+      runner.register(StageSpec("crashy",
+        s => s.readStream.schema(StructType(Seq(StructField("id", LongType)))).parquet(src),
+        df => df.withColumn("boom",
+          udf((id: Long) => { throw new RuntimeException("plugin crash"); id }).apply(col("id"))),
+        df => df.writeStream.format("noop").outputMode("append")
+          .trigger(Triggers.microBatch("100 milliseconds"))))
+      runner.start("crashy")
+      // monitor semantics (MFramework.cpp:1931-1970): dead session is
+      // restarted; our budget stops after maxRestarts attempts
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && sup.restartCount("crashy") < 2)
+        Thread.sleep(200)
+      assert(sup.restartCount("crashy") >= 2,
+        s"supervisor restarted only ${sup.restartCount("crashy")} times")
+    } finally {
+      spark.streams.removeListener(sup)
+      runner.stopAll()
+    }
   }
 }
