@@ -1,10 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Protocol per BASELINE.md: one warm-up execution,
   * then the median of 3 timed runs per query.
+  *
+  * Each run fully materializes the result through a `noop`-format write:
+  * under `count()` Catalyst prunes projections and drops sorts, so
+  * projection-only queries would measure a row-count scan instead of the
+  * declared work.
   */
 object Bench {
 
@@ -14,24 +19,24 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Execute the full plan — every output column, every sort — without
+    * collecting to the driver or touching disk.
+    */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val results = queries.Registry.all.filter(_.bench).map { q =>
       val med =
         try {
-          time(q.build(spark, sfDir).count()) // warm-up (plans + page cache)
-          val ts = Seq.fill(runs)(time(q.build(spark, sfDir).count())).sorted
+          time(materialize(q.build(spark, sfDir))) // warm-up (plans + page cache)
+          val ts = Seq.fill(runs)(time(materialize(q.build(spark, sfDir)))).sorted
           ts(ts.length / 2)
         } catch { case _: Throwable => -1.0 }
       q.name -> med

@@ -22,8 +22,11 @@ object Tables {
     * TIMESTAMP here (truncating, which matches DuckDB's nanos→micros read
     * path) so every downstream operator sees a plain timestamp column.
     */
+  /** Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which [[GraftSession.builder]] sets; `load` itself never mutates session
+    * conf so concurrent queries see a stable session.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeNanos(df) else df
   }

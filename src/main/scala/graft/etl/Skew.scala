@@ -17,11 +17,21 @@ object Skew {
   def salt(stable: Column, factor: Int): Column =
     pmod(hash(stable), lit(factor))
 
+  /** Join types where replicating the small side across salt values cannot
+    * duplicate output rows: the small side only ever contributes matched
+    * rows (or none). Right/full outer would emit each unmatched small-side
+    * row `factor` times — silently wrong, so they're rejected. */
+  private val safeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross")
+
   /** Salted equi-join: `big` ⋈ `small` on `key`, with `big` salted by the
     * stable column and `small` exploded across the factor. One shuffle on
     * (key, salt); the hot key now spreads over `factor` reducers. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       stable: Column, factor: Int, joinType: String = "inner"): DataFrame = {
+    require(safeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti/cross; '$joinType' would " +
+        "replicate unmatched small-side rows across salt values")
     val salted = big.withColumn("_salt", salt(stable, factor))
     val replicated = small
       .withColumn("_salt", explode(array((0 until factor).map(lit): _*)))

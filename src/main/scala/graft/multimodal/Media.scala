@@ -95,7 +95,8 @@ object Media {
   /** Repartition a media set by byte budget, not row count — payload sizes
     * are wildly skewed, so partitions are sized by total bytes per task. */
   def repartitionByBytes(media: Dataset[MediaRow], targetBytesPerPartition: Long): Dataset[MediaRow] = {
-    val totalBytes = media.select(sum(length(col("payload")))).head().getLong(0)
+    // coalesce: sum() is NULL on an empty dataset
+    val totalBytes = media.select(coalesce(sum(length(col("payload"))), lit(0L))).head().getLong(0)
     val parts = math.max(1, (totalBytes / math.max(targetBytesPerPartition, 1L)).toInt)
     media.repartition(parts)
   }

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** User-facing as-of join API. */
 object AsOf {
@@ -34,9 +35,17 @@ object AsOf {
     def resolve(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+    // The probe's binary search compares long-backed time values; anything
+    // else (DateType is int-backed) would ClassCastException deep inside a
+    // task — reject it here with a buildable error instead.
+    def checkTime(a: Attribute): Attribute = a.dataType match {
+      case TimestampType | TimestampNTZType | LongType => a
+      case dt => throw new IllegalArgumentException(
+        s"as-of time column '${a.name}' must be TIMESTAMP or BIGINT, got ${dt.simpleString}")
+    }
     val node = AsOfJoin(lp, rp,
       leftKeys.map(resolve(lp, _)), rightKeys.map(resolve(rp, _)),
-      resolve(lp, leftTimeCol), resolve(rp, rightTimeCol))
+      checkTime(resolve(lp, leftTimeCol)), checkTime(resolve(rp, rightTimeCol)))
     bridge.dataset(spark, node)
   }
 }

@@ -77,6 +77,11 @@ trait AsOfJoinLike extends BinaryExecNode {
     val lTimeBound = BindReferences.bindReference(leftTime, left.output)
     val nullRight = new GenericInternalRow(right.output.length)
     val joined = new JoinedRow
+    // Parents such as ShuffleExchange's UnsafeRowSerializer or SortExec
+    // require UnsafeRow input; emit through a final unsafe projection like
+    // Spark's own join execs (genResultProjection) instead of leaking
+    // JoinedRow/GenericInternalRow upward.
+    val resultProj = UnsafeProjection.create(output, output)
     lIter.map { lRow =>
       val t = lTimeBound.eval(lRow)
       val matched: InternalRow =
@@ -96,7 +101,7 @@ trait AsOfJoinLike extends BinaryExecNode {
             }
             if (ans < 0) nullRight else versions(ans)._2
         }
-      joined(lRow, matched)
+      resultProj(joined(lRow, matched))
     }
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -17,6 +18,12 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm2}
   * (the 100 TB path: hash-partition by cell, prune candidates before any
   * pairwise work).
   *
+  * Bucket/cell counts are PARAMETERS, not constants: pairwise work inside
+  * a bucket is O(b·(n/b)²) = O(n²/b), so the bucket count b must grow with
+  * the corpus. Pick `bits ≈ log2(n / targetBucketSize)` for sign-LSH and
+  * `cells ≈ √n` with `nprobe` > 1 for IVF. The oracle-gated queries pin the
+  * fixture defaults (3 bits, 4 cells) so results stay byte-identical.
+  *
   * The DuckDB oracle reproduces the identical IEEE arithmetic as an
   * explicit 64-term left-associated chain (same fold order as VecDot's
   * accumulation loop), so cosines match bit-for-bit before the 6-dp
@@ -26,27 +33,117 @@ object VectorQ {
 
   private val dim = 64
 
-
   /** 64-term DuckDB chain matching Spark's left-to-right fold. */
   private def dotSql(a: String, b: String): String =
     (1 to dim).map(k => s"(CAST($a[$k] AS DOUBLE) * CAST($b[$k] AS DOUBLE))").mkString(" + ")
   private def normSql(a: String): String = dotSql(a, a)
+
+  /** Sign-bit LSH bucket id from the leading `bits` embedding components
+    * (bucket count = 2^bits). At corpus size n choose
+    * `bits ≈ log2(n / targetBucketSize)` so per-bucket candidate sets stay
+    * bounded — a constant here is O(n²/2^bits) pairwise work at scale.
+    */
+  def signBucket(emb: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"sign-bucket bits must be in [1,62], got $bits")
+    (1 to bits).map { i =>
+      when(element_at(emb, i) > 0f, lit(1L << (bits - i))).otherwise(lit(0L))
+    }.reduce(_ + _).cast(LongType)
+  }
+
+  /** Normalize a raw embeddings table to (vec_id, embedding, nrm). */
+  private def withNorm(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", vec_norm2(col("embedding")))
+
+  private def cosine(qe: Column, qn: Column, e: Column, n: Column): Column =
+    round(vec_dot(qe, e) / (sqrt(qn) * sqrt(n)), 6)
+
+  /** LSH-bucketed ANN top-k (the scale path): `bits` sign bits form a
+    * coarse bucket; candidates are only same-bucket, so the pairwise work
+    * is an equi-join that hash-partitions cleanly. Queries are the vectors
+    * with `vec_id % queryMod == 0` (broadcast — at 100 TB cap the query
+    * sample or shuffle-join on bucket instead).
+    */
+  def annBucketed(raw: DataFrame, bits: Int = 3, k: Int = 3, queryMod: Int = 20): DataFrame = {
+    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate survivors: a vector is kept unless a
+    * lower-id near-duplicate (cosine ≥ threshold) shares its sign bucket.
+    * Returns (vec_id, embedding, nrm, bucket) of the kept vectors.
+    */
+  def embeddingDedupKept(raw: DataFrame, bits: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
+    val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_nrm"), col("bucket"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    val dupOf = a.join(b, Seq("bucket"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("cosine", cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id")).distinct()
+    v.join(dupOf, col("vec_id") === col("a_id"), "left_anti")
+  }
+
+  /** IVF-style ANN top-k: `cells` deterministic seed centroids (first
+    * vectors — a stand-in for sampled/trained centroids), nearest-centroid
+    * assignment via dist² = |a|² + |c|² − 2·a·c with a ranked tiebreak,
+    * then top-k search within the query's own cell (nprobe=1). Real IVF at
+    * corpus size n wants `cells ≈ √n` and nprobe of a few — the assignment
+    * stays one broadcast pass and the search an equi-join on cluster.
+    */
+  def annIvf(raw: DataFrame, cells: Int = 4, k: Int = 3, queryMod: Int = 20): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val v = withNorm(raw)
+    val seeds = v.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_sq"), col("seed_id"))
+    val assigned = v.crossJoin(broadcast(seeds))
+      .withColumn("dist_sq",
+        col("nrm") + col("snrm") - lit(2.0) * vec_dot(col("embedding"), col("semb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+    val q = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cluster").as("qcluster"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
 
   /** Brute-force top-5 cosine neighbors for a 5% query sample — the exact
     * baseline every ANN variant is judged against. */
   private val q29 = GQuery(
     "q29_cosine_topk",
     (s, dir) => {
-      val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", vec_norm2(col("embedding")))
+      val v = withNorm(t(s, dir, "embeddings"))
       val q = v.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cosine",
-          round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+        .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
@@ -67,34 +164,11 @@ object VectorQ {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""))
 
-  /** LSH-bucketed ANN (the scale path): 3 sign bits of the leading
-    * components form a coarse bucket; candidates are only same-bucket, so
-    * the pairwise work is an equi-join that hash-partitions cleanly. */
+  /** Oracle-gated fixture instance of [[annBucketed]] (bits=3, k=3). */
   private val q30 = GQuery(
     "q30_ann_bucketed",
-    (s, dir) => {
-      val bucket = (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0) +
-        when(element_at(col("embedding"), 2) > 0f, 2).otherwise(0) +
-        when(element_at(col("embedding"), 3) > 0f, 1).otherwise(0)).cast(LongType)
-      val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", vec_norm2(col("embedding")))
-        .withColumn("bucket", bucket)
-      val q = v.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bucket").as("qbucket"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-        .withColumn("cosine",
-          round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
-          col("cosine"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    (s, dir) => annBucketed(t(s, dir, "embeddings"))
+      .orderBy(col("query_id"), col("rank")),
     Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
           CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
                (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
@@ -135,11 +209,8 @@ object VectorQ {
     GROUP BY label
     ORDER BY label"""))
 
-  /** Embedding-cosine near-duplicate dedup (SURVEY §2C dedup list): pairs
-    * above a cosine threshold inside coarse sign buckets form dup groups;
-    * a vector survives unless a lower-id near-duplicate exists (anti-join
-    * canonical selection — same shape as exact dedup, but the key is a
-    * similarity relation). */
+  /** Oracle-gated fixture instance of [[embeddingDedupKept]] (bits=3,
+    * threshold=0.2), reduced to a per-bucket survivor summary. */
   private val q42 = {
     val bucketSql =
       """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
@@ -147,29 +218,10 @@ object VectorQ {
               (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
     GQuery(
       "q42_embedding_dedup",
-      (s, dir) => {
-        val bucket = (when(element_at(col("embedding"), 1) > 0f, 4).otherwise(0) +
-          when(element_at(col("embedding"), 2) > 0f, 2).otherwise(0) +
-          when(element_at(col("embedding"), 3) > 0f, 1).otherwise(0)).cast(LongType)
-        val v = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("nrm", vec_norm2(col("embedding")))
-          .withColumn("bucket", bucket)
-        val a = v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("nrm").as("a_nrm"), col("bucket"))
-        val b = v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("nrm").as("b_nrm"), col("bucket"))
-        val dupOf = a.join(b, Seq("bucket"))
-          .filter(col("b_id") < col("a_id"))
-          .withColumn("cosine",
-            round(vec_dot(col("a_emb"), col("b_emb")) / (sqrt(col("a_nrm")) * sqrt(col("b_nrm"))), 6))
-          .filter(col("cosine") >= 0.2)
-          .select(col("a_id")).distinct()
-        v.join(dupOf, col("vec_id") === col("a_id"), "left_anti")
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_kept"))
-          .orderBy(col("bucket"))
-      },
+      (s, dir) => embeddingDedupKept(t(s, dir, "embeddings"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("first_kept"))
+        .orderBy(col("bucket")),
       Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
             $bucketSql AS bucket FROM embeddings),
         dup_of AS (SELECT DISTINCT a.vec_id AS a_id
@@ -183,46 +235,14 @@ object VectorQ {
       ORDER BY bucket"""))
   }
 
-  /** IVF-style ANN: 4 deterministic seed centroids (first vectors),
-    * nearest-centroid assignment via dist² = |a|² + |c|² − 2·a·c with a
-    * ranked tiebreak, then top-k search within the query's own cell
-    * (nprobe=1). At scale the assignment is one broadcast pass and the
-    * search an equi-join on cluster — same partitioning story as q30, but
-    * with data-adaptive cells instead of sign buckets. */
+  /** Oracle-gated fixture instance of [[annIvf]] (cells=4, k=3). */
   private val q43 = {
     val assignSqlDist =
       s"v.nrm + s.nrm - 2 * (${dotSql("v.embedding", "s.embedding")})"
     GQuery(
       "q43_ann_ivf",
-      (s, dir) => {
-        val v = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("nrm", vec_norm2(col("embedding")))
-        val seeds = v.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist_sq"), col("seed_id"))
-        val assigned = v.crossJoin(broadcast(seeds))
-          .withColumn("dist_sq",
-            col("nrm") + col("snrm") - lit(2.0) * vec_dot(col("embedding"), col("semb")))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
-        val q = assigned.filter(col("vec_id") % 20 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"), col("cluster").as("qcluster"))
-        val wRank = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-        assigned.join(broadcast(q),
-            col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
-          .withColumn("cosine",
-            round(vec_dot(col("qe"), col("embedding")) / (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
-          .withColumn("rank", row_number().over(wRank).cast(LongType))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
-            col("cosine"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => annIvf(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                   FROM embeddings),
         seeds AS (SELECT vec_id AS seed_id, embedding, nrm FROM v WHERE vec_id < 4),

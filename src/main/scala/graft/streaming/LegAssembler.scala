@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Multi-leg (partial) CDR assembly as arbitrary streaming state
   * (SURVEY §2B streaming row, `transformWithState`): legs of one call
@@ -19,45 +19,81 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   *  - when built with a timeout, a processing-time timer emits the
   *    incomplete call (complete = false) and frees its state, so open
   *    calls cannot leak state forever.
+  *
+  * State is a single compact [[LegProgress]] record per key — a seen-seq
+  * bitmask plus running aggregates — NOT the leg list: per-arrival work is
+  * O(batch legs), not O(all legs so far), and a hot key's state stays a few
+  * dozen bytes regardless of leg count. The bitmask bounds `seq`/`total`
+  * to 64, far above real CDR leg counts.
+  *
+  * After completion (timeout mode) the record is kept as a `done`
+  * tombstone until the already-registered timer fires, so duplicate legs
+  * redelivered post-completion are dropped instead of re-opening state and
+  * later flushing a spurious incomplete call; the timer then clears the
+  * tombstone silently — no timer leak, no unbounded state.
   */
 final case class Leg(call_id: String, seq: Int, total: Int, duration_sec: Double)
 final case class AssembledCall(
     call_id: String, n_legs: Int, total_duration: Double, complete: Boolean)
 
+/** Compact per-call state: bit i-1 of `seenMask` = leg seq i arrived. */
+final case class LegProgress(
+    seenMask: Long, declared: Int, n: Int, sumDur: Double, done: Boolean)
+
 final class LegAssembler(timeoutMs: Long = -1L)
     extends StatefulProcessor[String, Leg, AssembledCall] {
 
-  @transient private var legs: ListState[Leg] = _
+  @transient private var progress: ValueState[LegProgress] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    legs = getHandle.getListState[Leg]("legs", Encoders.product[Leg], TTLConfig.NONE)
+    progress = getHandle.getValueState[LegProgress](
+      "progress", Encoders.product[LegProgress], TTLConfig.NONE)
 
   override def handleInputRows(key: String, rows: Iterator[Leg],
       timers: TimerValues): Iterator[AssembledCall] = {
-    val existing = legs.get().toSeq
-    val seen = scala.collection.mutable.Set(existing.map(_.seq): _*)
-    val fresh = rows.filter(l => seen.add(l.seq)).toSeq // duplicate seqs dropped
-    if (existing.isEmpty && fresh.nonEmpty && timeoutMs >= 0)
+    val isNew = !progress.exists()
+    val cur = if (isNew) LegProgress(0L, 0, 0, 0.0, done = false) else progress.get()
+    if (cur.done) return Iterator.empty // post-completion redelivery window
+
+    var mask = cur.seenMask
+    var declared = cur.declared
+    var n = cur.n
+    var sum = cur.sumDur
+    rows.foreach { l =>
+      require(l.seq >= 1 && l.seq <= 64 && l.total >= 1 && l.total <= 64,
+        s"leg seq/total must be in [1,64]: seq=${l.seq} total=${l.total}")
+      val bit = 1L << (l.seq - 1)
+      if ((mask & bit) == 0L) { // duplicate seqs dropped
+        mask |= bit
+        n += 1
+        sum += l.duration_sec
+      }
+      if (l.total > declared) declared = l.total
+    }
+    if (isNew && n > 0 && timeoutMs >= 0)
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + timeoutMs)
-    val all = existing ++ fresh
-    val declared = all.map(_.total).max
-    if (all.map(_.seq).toSet == (1 to declared).toSet) {
-      legs.clear()
-      Iterator.single(AssembledCall(key, all.size, all.map(_.duration_sec).sum, complete = true))
+
+    val want = if (declared == 64) -1L else (1L << declared) - 1L
+    if (declared > 0 && mask == want) {
+      if (timeoutMs >= 0)
+        progress.update(LegProgress(mask, declared, n, sum, done = true))
+      else
+        progress.clear()
+      Iterator.single(AssembledCall(key, n, sum, complete = true))
     } else {
-      fresh.foreach(legs.appendValue)
+      progress.update(LegProgress(mask, declared, n, sum, done = false))
       Iterator.empty
     }
   }
 
   /** Timeout: flush whatever arrived, flagged incomplete (the late-leg
-    * reconciliation path owns it from here). */
+    * reconciliation path owns it from here); a `done` tombstone is just
+    * cleared — the call was already emitted complete. */
   override def handleExpiredTimer(key: String, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[AssembledCall] = {
-    val all = legs.get().toSeq
-    legs.clear()
-    if (all.isEmpty) Iterator.empty
-    else Iterator.single(
-      AssembledCall(key, all.size, all.map(_.duration_sec).sum, complete = false))
+    val cur = if (progress.exists()) progress.get() else null
+    progress.clear()
+    if (cur == null || cur.done || cur.n == 0) Iterator.empty
+    else Iterator.single(AssembledCall(key, cur.n, cur.sumDur, complete = false))
   }
 }

@@ -118,4 +118,31 @@ class AsOfJoinSpec extends SparkSpec {
       AsOf.join(calls, tariffs, Seq("nope"), Seq("t_ct"), "call_ts", "valid_from"))
     assert(e.getMessage.contains("'nope' not in"))
   }
+
+  test("join output feeds UnsafeRow-requiring parents without a Project") {
+    // Shuffle (repartition) and sort directly above the raw join output —
+    // regression for emitting JoinedRow/GenericInternalRow upward.
+    val raw = AsOf.join(calls, tariffs, Seq("ct"), Seq("t_ct"), "call_ts", "valid_from")
+    val viaShuffle = raw.repartition(3).orderBy(col("call_id")).collect()
+    assert(viaShuffle.length == 5)
+    // and on the shuffled-join path too
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = AsOf.join(calls, tariffs, Seq("ct"), Seq("t_ct"), "call_ts", "valid_from")
+        .repartition(3).orderBy(col("call_id")).collect()
+      assert(shuffled.length == 5)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("non-long-backed time columns are rejected at build time") {
+    val datedCalls = calls.withColumn("call_d", to_date(col("call_ts")))
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(datedCalls, tariffs, Seq("ct"), Seq("t_ct"), "call_d", "valid_from"))
+    assert(e.getMessage.contains("must be TIMESTAMP or BIGINT"))
+    val datedTariffs = tariffs.withColumn("valid_d", to_date(col("valid_from")))
+    val e2 = intercept[IllegalArgumentException](
+      AsOf.join(calls, datedTariffs, Seq("ct"), Seq("t_ct"), "call_ts", "valid_d"))
+    assert(e2.getMessage.contains("must be TIMESTAMP or BIGINT"))
+  }
 }

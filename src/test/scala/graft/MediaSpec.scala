@@ -41,4 +41,9 @@ class MediaSpec extends SparkSpec {
     val parts = Media.repartitionByBytes(m, total / 8).rdd.getNumPartitions
     assert(parts == 8)
   }
+
+  test("repartitionByBytes handles an empty media set") {
+    val empty = mediaSet().filter(col("media_id") < 0)
+    assert(Media.repartitionByBytes(empty, 1024).rdd.getNumPartitions == 1)
+  }
 }

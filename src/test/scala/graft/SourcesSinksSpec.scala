@@ -78,4 +78,18 @@ class SourcesSinksSpec extends SparkSpec {
       .select(Skew.salt(col("id"), 8)).distinct().count()
     assert(salts == 8)
   }
+
+  test("salted join rejects join types that would duplicate small-side rows") {
+    val hot = spark.range(10).toDF()
+    val dim = spark.range(10).select(col("id").as("k"), col("id").as("v"))
+    for (jt <- Seq("right", "right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException](
+        Skew.saltedJoin(hot.withColumn("k", col("id")), dim, "k", col("id"), 4, jt))
+      assert(e.getMessage.contains("replicate unmatched"))
+    }
+    // left_outer remains allowed and correct for unmatched BIG-side rows
+    val big = spark.range(5).select(col("id"), (col("id") + 100).as("k"))
+    val res = Skew.saltedJoin(big, dim, "k", col("id"), 4, "left_outer")
+    assert(res.count() == 5 && res.filter(col("v").isNull).count() == 5)
+  }
 }

@@ -200,6 +200,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("legs redelivered after completion are dropped by the done-tombstone") {
+    import graft.streaming.{Leg, LegAssembler, AssembledCall}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Leg]
+      // long timeout: the tombstone must outlive the whole test
+      val out = in.toDS().groupByKey(_.call_id)
+        .transformWithState(new LegAssembler(timeoutMs = 120000),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("tws_redeliver_out").start()
+      def rowsNow() = spark.table("tws_redeliver_out").as[AssembledCall].collect()
+      def eventually(ms: Long)(cond: => Boolean): Boolean = {
+        val deadline = System.currentTimeMillis() + ms
+        while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
+        cond
+      }
+      try {
+        in.addData(Leg("call_r", 1, 2, 3.0), Leg("call_r", 2, 2, 4.0))
+        assert(eventually(30000)(rowsNow().length == 1))
+        assert(rowsNow().head == AssembledCall("call_r", 2, 7.0, complete = true))
+        // redeliver a leg of the completed call: must NOT re-open state or
+        // emit anything (previously it re-opened and later flushed a
+        // spurious incomplete call at timer expiry)
+        in.addData(Leg("call_r", 2, 2, 4.0))
+        in.addData(Leg("call_z", 1, 1, 9.0)) // marker proving batches drained
+        assert(eventually(30000)(rowsNow().exists(_.call_id == "call_z")))
+        assert(rowsNow().count(_.call_id == "call_r") == 1)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("PipelineRunner start/stop/restart/control drives named stages") {
     val src = Files.createTempDirectory("graft_stage_src").toString
     val ckpt = Files.createTempDirectory("graft_stage_ckpt").toString

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorQ
+
+/** Scale mechanics for the ANN family (VERDICT r1 task 3): bucket/cell
+  * counts are parameters, and growing them must shrink per-bucket candidate
+  * sets — the difference between O(n²/b) pairwise work melting at 100 TB
+  * and a bounded per-partition cost.
+  */
+class VectorScaleSpec extends SparkSpec {
+
+  private lazy val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+
+  /** Total same-bucket candidate pairs Σ c·(c−1)/2 for a bucketing column. */
+  private def pairWork(counts: Seq[Long]): Long =
+    counts.map(c => c * (c - 1) / 2).sum
+
+  private def bucketCounts(bits: Int): Seq[Long] =
+    emb.select(VectorQ.signBucket(col("embedding"), bits).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1)).toSeq
+
+  test("sign-LSH: more bits => smaller max bucket and less pairwise work") {
+    val byBits = Seq(1, 3, 6).map(b => b -> bucketCounts(b)).toMap
+    // buckets multiply...
+    assert(byBits(1).size < byBits(3).size && byBits(3).size < byBits(6).size)
+    // ...so the biggest candidate set shrinks...
+    assert(byBits(3).max < byBits(1).max)
+    assert(byBits(6).max < byBits(3).max)
+    // ...and total pairwise comparisons drop monotonically.
+    assert(pairWork(byBits(3)) < pairWork(byBits(1)))
+    assert(pairWork(byBits(6)) < pairWork(byBits(3)))
+  }
+
+  test("annBucketed at higher bits stays a subset-quality search with bounded buckets") {
+    // With more bits each query still gets ranked neighbors, and every
+    // returned neighbor shares the query's (finer) bucket.
+    val res = VectorQ.annBucketed(emb, bits = 6, k = 3)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.groupBy(_.getLong(0)).values
+    assert(ranks.forall(g => g.map(_.getLong(4)).sorted.sameElements(1L to g.length)))
+  }
+
+  test("IVF: more cells => smaller max cell population") {
+    def cellCounts(cells: Int): Seq[Long] = {
+      val v = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vec_norm2(col("embedding")))
+      // reuse the library assignment by running annIvf's parent: count via
+      // a tiny local reimplementation would defeat the test, so derive the
+      // assignment from annIvf's output cluster column over all queries.
+      VectorQ.annIvf(emb, cells = cells, k = 1, queryMod = 1)
+        .groupBy(col("cluster")).count().collect().map(_.getLong(1)).toSeq
+    }
+    val c2 = cellCounts(2)
+    val c16 = cellCounts(16)
+    assert(c16.size > c2.size)
+    assert(c16.max < c2.max)
+  }
+
+  test("signBucket rejects degenerate bit counts") {
+    intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 0))
+    intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 63))
+  }
+}
