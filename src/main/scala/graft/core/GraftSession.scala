@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Singleton execution guard (reference: flock'd config file,
+      // MFramework.cpp:487-601): a checkpoint dir is an instance lock —
+      // a second start on it must FAIL FAST, not silently stop the live
+      // instance (Spark's default latest-wins takeover).
+      .config("spark.sql.streaming.stopActiveRunOnRestart", "false")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {

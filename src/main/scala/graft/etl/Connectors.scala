@@ -38,6 +38,58 @@ final class LandingZoneConnector(val scheme: String, mirrorRoot: String) extends
   }
 }
 
+/** Pluggable remote-file transport — the reference's SOConnection family
+  * behind `ProtocolFactory` (`ProtocolFactory.cpp:78-118`). A production
+  * deployment plugs an SSH/SFTP client implementation; tests plug a
+  * local-FS fake. The connector layer above is transport-agnostic.
+  */
+trait FileTransport {
+  /** Names (relative) of the files under `remotePath` on `host`. */
+  def list(host: String, remotePath: String): Seq[String]
+  /** Byte size of one remote file — used to skip re-staging. */
+  def size(host: String, remoteFile: String): Long
+  /** Fetch one remote file to `localDest` (overwrite). */
+  def fetch(host: String, remoteFile: String, localDest: java.nio.file.Path): Unit
+}
+
+/** `sftp://host/path` connector: performs the sync the reference's FTP
+  * family did (`MFramework.cpp:152-155` registrations) — stages remote
+  * files into a per-host landing zone through the [[FileTransport]], then
+  * reads the staged copies with Spark. Staging is incremental: a file
+  * already staged at the same byte size is not re-fetched, so repeated
+  * reads only pull new/changed files (the reference's marker-file delta
+  * protocol, `MFramework.cpp:821-903`, collapsed to size comparison).
+  */
+final class SftpConnector(transport: FileTransport, stagingRoot: String,
+    val scheme: String = "sftp") extends Connector {
+
+  def read(spark: SparkSession, path: String, format: String,
+      options: Map[String, String]): DataFrame = {
+    val stageDir = stage(path)
+    spark.read.format(format).options(options).load(stageDir.toString)
+  }
+
+  /** Sync the remote dir into the landing zone; returns the staged dir. */
+  def stage(uri: String): java.nio.file.Path = {
+    val rest = uri.stripPrefix(s"$scheme://")
+    val (host, remotePath) = rest.split("/", 2) match {
+      case Array(h, p) => (h, p)
+      case Array(h)    => (h, "")
+    }
+    require(host.nonEmpty, s"no host in '$uri'")
+    val stageDir = java.nio.file.Paths.get(stagingRoot, host, remotePath)
+    java.nio.file.Files.createDirectories(stageDir)
+    transport.list(host, remotePath).foreach { name =>
+      val dest = stageDir.resolve(name)
+      val remoteFile = if (remotePath.isEmpty) name else s"$remotePath/$name"
+      val upToDate = java.nio.file.Files.exists(dest) &&
+        java.nio.file.Files.size(dest) == transport.size(host, remoteFile)
+      if (!upToDate) transport.fetch(host, remoteFile, dest)
+    }
+    stageDir
+  }
+}
+
 object ConnectorRegistry {
   private val connectors = TrieMap[String, Connector]()
   register(new LocalConnector())

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -54,15 +55,66 @@ object TextQ {
     FROM documents
     ORDER BY doc_id"""))
 
-  /** MinHash signatures (8 permutations approximated as min-over-hash)
-    * + LSH banding (4 bands × 2 rows) + candidate-pair estimation.
-    * The 8 signature lanes slice two md5 digests (8 hex chars each)
-    * rather than salting 8 separate md5 calls — 4x less hashing per
-    * shingle, same independence-in-practice for banding. */
+  private def minhashLane(i: Int, h1: String, h2: String): String =
+    if (i < 4) s"substr($h1, ${i * 8 + 1}, 8)" else s"substr($h2, ${(i - 4) * 8 + 1}, 8)"
+
+  /** MinHash signature + LSH band rows for a documents-shaped DF
+    * (doc_id, text): 8 signature lanes (min-over-hash, slicing two md5
+    * digests — 4x less hashing than 8 salted md5 calls, same
+    * independence-in-practice) → 4 bands × 2 rows. The full signature is
+    * carried on every band row so the candidate self-join yields
+    * est_jaccard directly — the expensive shingle→signature subtree is
+    * built once per join side (identical sides → exchange reuse) instead
+    * of being recomputed by two extra signature joins afterwards. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .withColumn("h1", md5(col("sh")))
+      .withColumn("h2", md5(concat(lit("x:"), col("sh"))))
+    val laneAggs = (0 until 8).map(i => min(expr(minhashLane(i, "h1", "h2"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
+      .selectExpr(
+        "doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
+        "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)")
+  }
+
+  /** Degenerate band keys: (band, bkey) shared by more than `maxBandSize`
+    * docs — the skew metric surfaced alongside [[lshCandidates]]. A
+    * boilerplate phrase every doc shares can collapse signatures into one
+    * band key; its reducer then does O(size²) pairwise work. */
+  def bandSkew(bands: DataFrame, maxBandSize: Int): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBandSize)
+
+  /** LSH candidate pairs with estimated Jaccard, guarded against band
+    * skew: band keys shared by more than `maxBandSize` docs are excluded
+    * from pairing (report them via [[bandSkew]] and handle those docs with
+    * exact dedup or a tighter band scheme). The guard is a window count on
+    * the join key's own partitioning, so it adds no extra shuffle. */
+  def lshCandidates(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
+    val wb = Window.partitionBy(col("band"), col("bkey"))
+    val guarded = bands.withColumn("_bn", count(lit(1)).over(wb))
+      .filter(col("_bn") <= maxBandSize).drop("_bn")
+    val est = (0 until 8)
+      .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
+      .reduce(_ + _) / lit(8.0)
+    guarded.as("x")
+      .join(guarded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        est.as("est_jaccard"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup candidates (oracle fixture: threshold 0.25; the
+    * 1000-doc band cap never triggers at fixture scale, so results match
+    * the unguarded oracle SQL byte-for-byte). */
   private val q26 = {
-    def lane(i: Int, h1: String, h2: String): String =
-      if (i < 4) s"substr($h1, ${i * 8 + 1}, 8)" else s"substr($h2, ${(i - 4) * 8 + 1}, 8)"
-    val sigCols = (0 until 8).map(i => s"MIN(${lane(i, "h1", "h2")}) AS h$i").mkString(", ")
+    val sigCols = (0 until 8).map(i => s"MIN(${minhashLane(i, "h1", "h2")}) AS h$i").mkString(", ")
     val bandSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig")
       .mkString(" UNION ALL ")
@@ -70,36 +122,9 @@ object TextQ {
       .mkString("(", " + ", ") / 8.0")
     GQuery(
       "q26_minhash_lsh",
-      (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-          .withColumn("h1", md5(col("sh")))
-          .withColumn("h2", md5(concat(lit("x:"), col("sh"))))
-        val laneAggs = (0 until 8).map(i => min(expr(lane(i, "h1", "h2"))).as(s"h$i"))
-        val sig = sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
-        // Carry the full signature through the band rows: the candidate
-        // self-join then yields est_jaccard directly, so the expensive
-        // shingle→signature subtree is built once per join side (and the
-        // two sides are identical → exchange reuse), instead of being
-        // recomputed by two extra signature joins afterwards.
-        val bands = sig.selectExpr(
-          "doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
-          "stack(4, 0, concat(h0, h1), 1, concat(h2, h3), 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)")
-        val est = (0 until 8)
-          .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
-          .reduce(_ + _) / lit(8.0)
-        bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            est.as("est_jaccard"))
-          .distinct()
-          .filter(col("est_jaccard") >= 0.25)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) => lshCandidates(minhashBands(t(s, dir, "documents")))
+        .filter(col("est_jaccard") >= 0.25)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""$shinglesSql,
         sig AS (SELECT doc_id, $sigCols
                 FROM (SELECT doc_id, md5(sh) AS h1, md5('x:' || sh) AS h2

@@ -74,6 +74,35 @@ final class PipelineRunner(spark: SparkSession) {
   }
 
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
+
+  /** Attach a listening control-plane ingress: a streaming file source
+    * watching `dir`, where each dropped file is ONE wire control packet
+    * (`s=<stage>\na=<action>`) dispatched through [[control]] — the
+    * analogue of the reference's control thread blocking on its AMQP
+    * control queue (`MFramework.cpp:1581-1768`), so an external operator
+    * can start/stop/restart stages while the app runs just by writing a
+    * file.
+    *
+    * The checkpoint makes control consumption resumable (a packet is not
+    * re-dispatched after its batch commits). The per-batch collect is
+    * driver-side by design: control packets are human-scale commands, not
+    * data. The ingress itself is not a registered stage, so a broadcast
+    * `s=0` stop does not stop the listener.
+    */
+  def controlIngress(dir: String, checkpointDir: String,
+      trigger: Trigger = Triggers.microBatch("500 milliseconds")): StreamingQuery = {
+    val packets = spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+    packets.writeStream
+      .queryName(s"control_ingress_$dir")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(row => control(row.getString(0)))
+      }
+      .start()
+  }
 }
 
 /** Supervisor: auto-restart terminated-with-error stages — the reference's

@@ -2,7 +2,9 @@ package graft
 
 import java.nio.file.Files
 
-import graft.etl.{ConnectorRegistry, LandingZoneConnector}
+import scala.jdk.CollectionConverters._
+
+import graft.etl.{ConnectorRegistry, FileTransport, LandingZoneConnector, SftpConnector}
 
 /** Connector registry — the ProtocolFactory analogue
   * (`ProtocolFactory.cpp:78-118`). */
@@ -14,12 +16,12 @@ class ConnectorsSpec extends SparkSpec {
   }
 
   test("landing-zone connector maps remote URIs to the mirror root") {
-    val mirror = Files.createTempDirectory("graft_sftp_mirror").toString
+    val mirror = Files.createTempDirectory("graft_ftps_mirror").toString
     spark.range(3).toDF("id").write.parquet(s"$mirror/inbox/batch1")
-    ConnectorRegistry.register(new LandingZoneConnector("sftp", mirror))
-    val df = ConnectorRegistry.read(spark, "sftp://inbox/batch1", "parquet")
+    ConnectorRegistry.register(new LandingZoneConnector("ftps", mirror))
+    val df = ConnectorRegistry.read(spark, "ftps://inbox/batch1", "parquet")
     assert(df.count() == 3)
-    assert(ConnectorRegistry.registered.contains("sftp"))
+    assert(ConnectorRegistry.registered.contains("ftps"))
   }
 
   test("unknown scheme fails with the registered list, like m_GetProtocol") {
@@ -30,7 +32,61 @@ class ConnectorsSpec extends SparkSpec {
 
   test("registration is idempotent (SOContainer.cpp:67-80 semantics)") {
     val before = ConnectorRegistry.registered.size
-    ConnectorRegistry.register(new LandingZoneConnector("sftp", "/other"))
+    ConnectorRegistry.register(new LandingZoneConnector("ftps", "/other"))
     assert(ConnectorRegistry.registered.size == before)
+  }
+
+  /** Local-FS fake transport: a directory tree stands in for the remote
+    * host; fetch() counts calls so staging incrementality is observable. */
+  private final class LocalFsTransport(remoteRoot: String) extends FileTransport {
+    var fetches = 0
+    private def p(host: String, rest: String) =
+      java.nio.file.Paths.get(remoteRoot, host, rest)
+    def list(host: String, remotePath: String): Seq[String] = {
+      val dir = p(host, remotePath)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+        finally s.close()
+      }
+    }
+    def size(host: String, remoteFile: String): Long = Files.size(p(host, remoteFile))
+    def fetch(host: String, remoteFile: String, localDest: java.nio.file.Path): Unit = {
+      fetches += 1
+      Files.copy(p(host, remoteFile), localDest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("sftp connector stages remote files through the transport and reads them") {
+    val remote = Files.createTempDirectory("graft_sftp_remote").toString
+    val staging = Files.createTempDirectory("graft_sftp_staging").toString
+    // "remote host" content: two csv files on mediator1:/outbox/cdrs
+    val outbox = java.nio.file.Paths.get(remote, "mediator1", "outbox", "cdrs")
+    Files.createDirectories(outbox)
+    Files.writeString(outbox.resolve("a.csv"), "id,v\n1,10\n2,20\n")
+    Files.writeString(outbox.resolve("b.csv"), "id,v\n3,30\n")
+    val transport = new LocalFsTransport(remote)
+    ConnectorRegistry.register(new SftpConnector(transport, staging))
+    assert(ConnectorRegistry.registered.contains("sftp"))
+
+    val df = ConnectorRegistry.read(spark, "sftp://mediator1/outbox/cdrs", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(df.count() == 3)
+    assert(transport.fetches == 2)
+
+    // incremental re-sync: unchanged files are not re-fetched...
+    ConnectorRegistry.read(spark, "sftp://mediator1/outbox/cdrs", "csv",
+      Map("header" -> "true"))
+    assert(transport.fetches == 2, "unchanged files must not re-stage")
+
+    // ...new remote files are
+    Files.writeString(outbox.resolve("c.csv"), "id,v\n4,40\n5,50\n")
+    val df2 = ConnectorRegistry.read(spark, "sftp://mediator1/outbox/cdrs", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(transport.fetches == 3)
+    assert(df2.count() == 5)
   }
 }

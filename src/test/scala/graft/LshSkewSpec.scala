@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQ
+
+/** Band-skew guard for MinHash-LSH (VERDICT r1 task 7): identical
+  * boilerplate text collapses signatures into one band key whose reducer
+  * would do O(size²) pairwise work; the guard excludes such keys from
+  * pairing and surfaces them as a metric.
+  */
+class LshSkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 40 docs of identical boilerplate (signatures collapse → every band key
+  // shared by all 40) + 3 distinct docs + 2 genuine near-dups.
+  private lazy val docs = {
+    val boiler = (1L to 40L).map(i => (i, "please subscribe to our newsletter for updates today"))
+    val distinct = Seq(
+      (101L, "alpha bravo charlie delta echo foxtrot golf"),
+      (102L, "one two three four five six seven eight"),
+      (103L, "red orange yellow green blue indigo violet"))
+    val nearDup = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog"),
+      (202L, "the quick brown fox jumps over the lazy cat"))
+    (boiler ++ distinct ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("poisoned boilerplate band keys are excluded from pairing and surfaced") {
+    val bands = TextQ.minhashBands(docs)
+
+    // Unguarded: the 40-doc boilerplate group alone yields 40*39/2 = 780
+    // pairs per matching band — the degenerate blow-up.
+    val unguarded = TextQ.lshCandidates(bands, maxBandSize = Int.MaxValue)
+    assert(unguarded.filter(col("doc_a") <= 40 && col("doc_b") <= 40).count() == 780)
+
+    // Guarded at cap 10: boilerplate pairs are gone...
+    val guarded = TextQ.lshCandidates(bands, maxBandSize = 10)
+    assert(guarded.filter(col("doc_a") <= 40 && col("doc_b") <= 40).count() == 0)
+    // ...but genuinely similar small groups still pair
+    assert(guarded.filter(col("doc_a") === 201 && col("doc_b") === 202).count() == 1)
+
+    // and the skew metric names the degenerate keys with their size
+    val skew = TextQ.bandSkew(bands, maxBandSize = 10).collect()
+    assert(skew.nonEmpty)
+    assert(skew.forall(_.getLong(2) == 40))
+    // 4 bands of identical signatures → 4 degenerate keys
+    assert(skew.length == 4)
+  }
+
+  test("guard is inert when no band exceeds the cap (oracle fixture path)") {
+    val fixture = graft.core.Tables.load(spark, sfDir, "documents")
+    val bands = TextQ.minhashBands(fixture)
+    val a = TextQ.lshCandidates(bands, maxBandSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = TextQ.lshCandidates(bands, maxBandSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+}

@@ -274,6 +274,76 @@ class StreamingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](runner.start("nope")).getMessage.contains("unknown stage"))
   }
 
+  test("singleton guard: a second query on the same checkpoint dir fails fast") {
+    // The reference double-locks its config file (flock MFramework.cpp:492
+    // + fcntl :576-578) so only one instance runs. Spark-native analogue:
+    // the checkpoint dir IS the instance lock — its metadata pins the query
+    // id, and with stopActiveRunOnRestart=false (set by GraftSession) the
+    // StreamingQueryManager refuses a second active query with that id,
+    // synchronously at start(), instead of the default latest-wins
+    // takeover that would silently kill the live instance.
+    val src = Files.createTempDirectory("graft_lock_src").toString
+    val ckpt = Files.createTempDirectory("graft_lock_ckpt").toString
+    val out1 = Files.createTempDirectory("graft_lock_out1").toString
+    val out2 = Files.createTempDirectory("graft_lock_out2").toString
+    spark.range(5).toDF("id").write.mode("append").parquet(src)
+    def streamFrom(outDir: String) = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType)))).parquet(src)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Triggers.microBatch("100 milliseconds"))
+    val first = streamFrom(out1).start()
+    try {
+      assert(first.isActive)
+      // double-start must be rejected at start(), not fail asynchronously
+      val e = intercept[Exception](streamFrom(out2).start())
+      assert(e.getMessage.toLowerCase.contains("already active"),
+        s"expected an already-active rejection, got: ${e.getMessage}")
+      assert(first.isActive, "the live instance must survive the rejected start")
+    } finally first.stop()
+  }
+
+  test("control ingress: a dropped packet file stops the target stage") {
+    val src = Files.createTempDirectory("graft_ci_src").toString
+    val ckpt = Files.createTempDirectory("graft_ci_ckpt").toString
+    val out = Files.createTempDirectory("graft_ci_out").toString
+    val ctlDir = Files.createTempDirectory("graft_ci_ctl").toString
+    val ctlCkpt = Files.createTempDirectory("graft_ci_ctl_ckpt").toString
+    spark.range(10).toDF("id").write.mode("append").parquet(src)
+    val runner = new PipelineRunner(spark)
+    runner.register(StageSpec(
+      name = "ci_stage",
+      source = s => s.readStream.schema(StructType(Seq(StructField("id", LongType)))).parquet(src),
+      transform = identity,
+      sink = df => df.writeStream.format("parquet").outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt).trigger(Triggers.microBatch("100 milliseconds"))))
+    runner.start("ci_stage")
+    val ingress = runner.controlIngress(ctlDir, ctlCkpt,
+      Triggers.microBatch("100 milliseconds"))
+    def eventually(ms: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.currentTimeMillis() + ms
+      while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
+      cond
+    }
+    try {
+      assert(runner.isRunning("ci_stage"))
+      // external operator drops a wire packet file — no API call involved
+      Files.writeString(java.nio.file.Paths.get(s"$ctlDir/cmd_001.pkt"),
+        "s=ci_stage\na=stopsession")
+      assert(eventually(30000)(!runner.isRunning("ci_stage")),
+        "control packet file must stop the stage")
+      // a second packet restarts it through the same listening channel
+      Files.writeString(java.nio.file.Paths.get(s"$ctlDir/cmd_002.pkt"),
+        "s=ci_stage\na=startsession")
+      assert(eventually(30000)(runner.isRunning("ci_stage")),
+        "control packet file must restart the stage")
+    } finally {
+      ingress.stop()
+      runner.stopAll()
+    }
+  }
+
   test("chained stages: stage N sink dir feeds stage N+1 source (linked sessions)") {
     // the reference's M_LINKED_SESSIONS DAG (MFramework.cpp:981-1011):
     // component boundaries become sink-dir → source-dir handoffs.
