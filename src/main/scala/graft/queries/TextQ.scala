@@ -143,32 +143,80 @@ object TextQ {
       ORDER BY doc_a, doc_b"""))
   }
 
-  /** 16-bit SimHash from the first 4 hex chars of each token's md5; the
-    * per-bit majority vote is a single grouped aggregation. */
-  private val q27 = {
-    // One term per bit, parametrized by engine syntax (instr vs strpos,
-    // `div` vs `//`) so both engines evaluate the identical formula.
-    def terms(strpos: String, idiv: String): String =
-      (0 until 16).map { j =>
-        val k = j / 4 + 1
-        val d = 1 << (3 - (j % 4))
-        val bit = s"((($strpos('0123456789abcdef', substr(md5(tok), $k, 1)) - 1) $idiv $d) % 2)"
-        s"(CASE WHEN SUM(2 * $bit - 1) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-    GQuery(
-      "q27_simhash",
-      (s, dir) => {
-        t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("doc_id"))
-          .agg(expr(s"CAST(${terms("instr", "div")} AS BIGINT)").as("simhash"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""SELECT doc_id, CAST(${terms("strpos", "//")} AS BIGINT) AS simhash
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY doc_id
-      ORDER BY doc_id"""))
+  // One term per SimHash bit, parametrized by engine syntax (instr vs
+  // strpos, `div` vs `//`) so both engines evaluate the identical formula.
+  // Bit j comes from hex char j/4 of the token's md5, so `bits` ≤ 128.
+  private def simhashTerms(strpos: String, idiv: String, bits: Int = 16): String =
+    (0 until bits).map { j =>
+      val k = j / 4 + 1
+      val d = 1 << (3 - (j % 4))
+      val bit = s"((($strpos('0123456789abcdef', substr(md5(tok), $k, 1)) - 1) $idiv $d) % 2)"
+      s"(CASE WHEN SUM(2 * $bit - 1) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** SimHash per doc from the leading hex chars of each token's md5; the
+    * per-bit majority vote is a single grouped aggregation. 16 bits for
+    * the compact fingerprint (q27's oracle shape); 32 for near-dup
+    * pairing, where 16 bits saturates with collisions on a homogeneous
+    * corpus. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr(s"CAST(${simhashTerms("instr", "div", bits)} AS BIGINT)").as("simhash"))
+
+  /** SimHash near-duplicate pairs (hamming distance ≤ `maxHamming`) via
+    * multi-index blocking: the 32-bit hash splits into 4 chunks of 8
+    * bits; by pigeonhole, any pair within hamming ≤ 3 agrees on at least
+    * one chunk, so candidates are an equi-join on (chunk index, chunk
+    * value) — hash-partitioned, never all-pairs — and only candidates pay
+    * the exact bit_count(xor) check. The simhash rides on every chunk row
+    * so no re-join against the signature table is needed (same trick as
+    * the MinHash band rows). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk blocking only covers hamming <= 3, got $maxHamming")
+    val chunks = simhash(docs, bits = 32)
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("ci"))
+      .withColumn("cv", expr("shiftright(simhash, ci * 8) & 255"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  private val q27 = GQuery(
+    "q27_simhash",
+    (s, dir) => simhash(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, CAST(${simhashTerms("strpos", "//")} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  /** Oracle fixture of [[simhashNearDups]] (32-bit, hamming ≤ 1). */
+  private val q27b = GQuery(
+    "q27b_simhash_neardup",
+    (s, dir) => simhashNearDups(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH sh AS (
+        SELECT doc_id, CAST(${simhashTerms("strpos", "//", 32)} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id),
+      chunks AS (SELECT doc_id, simhash, i AS ci, (simhash >> (i * 8)) & 255 AS cv
+                 FROM sh, UNNEST([0, 1, 2, 3]) AS u(i)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                      x.simhash AS sa, y.simhash AS sb
+               FROM chunks x JOIN chunks y
+                 ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 1
+    ORDER BY doc_a, doc_b"""))
 
   /** Exact n-gram Jaccard over LSH-free blocking (same `source`): distinct
     * shingle sets joined on (source, shingle) — inter/union arithmetic, no
@@ -437,5 +485,5 @@ object TextQ {
       ORDER BY source, rn"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q25, q26, q27, q28, q31, q32, q33, q34, q35, q45, q47)
+  val queries: Seq[GQuery] = Seq(q25, q26, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47)
 }

@@ -45,6 +45,20 @@ class SourcesSinksSpec extends SparkSpec {
       nation.where(col("n_nationkey") === 0).select("n_name").as[String].head())
   }
 
+  test("orc round-trip with predicate pushdown into the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    graft.core.Tables.load(spark, sfDir, "orders").write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("o_orderkey") === 7)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(o_orderkey,7"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+      s"ORC scan must prune to the two projected columns:\n$plan")
+    assert(back.count() ==
+      graft.core.Tables.load(spark, sfDir, "orders").filter(col("o_orderkey") === 7).count())
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     graft.core.Tables.load(spark, sfDir, "orders")

@@ -45,6 +45,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates two live feeds with watermarks") {
+    // Two live feeds (the reference's multi-queue correlation case): a
+    // purchase joins the same user's clicks from the preceding 10 minutes.
+    // Both sides carry watermarks so Spark can bound the join state and
+    // age out unmatched rows.
+    implicit val ctx = spark.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long, String)]
+    val buysIn = MemoryStream[(Timestamp, Long, String)]
+    val clicks = clicksIn.toDF().toDF("c_ts", "c_user", "page")
+      .withWatermark("c_ts", "20 minutes")
+    val buys = buysIn.toDF().toDF("b_ts", "b_user", "item")
+      .withWatermark("b_ts", "20 minutes")
+    val joined = buys.join(clicks,
+      col("b_user") === col("c_user") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("b_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicksIn.addData(
+        (ts("2026-01-01 00:01:00"), 7L, "home"),
+        (ts("2026-01-01 00:05:00"), 7L, "product"),
+        (ts("2026-01-01 00:05:00"), 8L, "home"),
+        (ts("2026-01-01 00:50:00"), 7L, "too_late_page")) // outside any buy's window
+      buysIn.addData((ts("2026-01-01 00:08:00"), 7L, "widget"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select(col("item"), col("page")).as[(String, String)].collect().toSet
+      // user 7's buy at 00:08 sees clicks at 00:01 and 00:05, not 00:50;
+      // user 8's click matches nothing
+      assert(rows == Set(("widget", "home"), ("widget", "product")))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups late copies") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
