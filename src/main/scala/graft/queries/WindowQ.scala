@@ -46,7 +46,9 @@ object WindowQ {
       t(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast(DecimalType(38, 4))).over(w)
+          // (18,4) keeps per-row Decimals long-backed (see Dsl.moneySum);
+          // exact for quantity magnitudes, same value as the (38,4) twin
+          sum(col("l_quantity").cast(DecimalType(18, 4))).over(w)
             .cast(DoubleType).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("running_qty"))
