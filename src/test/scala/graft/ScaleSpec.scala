@@ -43,6 +43,52 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The planned-ahead path is Skew.saltedJoin; this proves the runtime
+    // half of the story: AQE's OptimizeSkewedJoin carves the hot key's
+    // oversized shuffle partition into parallel splits. Thresholds are
+    // lowered so fixture-sized data exhibits what a 100 TB hot key would.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 99.9% of 300k rows land on join key 1 (data-driven, not a foldable
+      // literal) vs a uniform small side
+      val hot = spark.range(300000)
+        .select(when(col("id") % 1000 =!= 0, 1L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val uniform = spark.range(100).select((col("id") % 50).as("k"), col("id").as("v"))
+      val joined = hot.join(uniform, Seq("k"))
+      joined.collect() // execute THIS queryExecution so AQE finalizes it
+                       // (write/foreach spawn a separate execution)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("HLL sketches are partition-layout independent (mergeable partials)") {
+    // q12b's approx_count_distinct has no DuckDB oracle (algorithm-
+    // specific); this pins the property that makes it safe at cluster
+    // scale: partial sketches merged across ANY partitioning produce the
+    // identical estimate.
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    def est(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("e"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val base = est(li)
+    assert(est(li.repartition(17)) == base)
+    assert(est(li.repartition(2, col("l_suppkey"))) == base)
+    assert(est(li.coalesce(1)) == base)
+  }
+
   test("dynamic partition pruning kicks in for partitioned fact × filtered dim") {
     val dir = Files.createTempDirectory("graft_dpp").toString
     graft.core.Tables.load(spark, sfDir, "orders")

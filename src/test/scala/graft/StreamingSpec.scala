@@ -308,6 +308,34 @@ class StreamingSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](runner.start("nope")).getMessage.contains("unknown stage"))
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (the prefetch=1 analogue)") {
+    // The reference consumes its AMQP queues with prefetch batch 1
+    // (MFramework.cpp:1173,1606) so one slow record can't monopolize a
+    // session; the streaming twin is per-trigger admission control.
+    val src = Files.createTempDirectory("graft_mft_src").toString
+    val out = Files.createTempDirectory("graft_mft_out").toString
+    val ckpt = Files.createTempDirectory("graft_mft_ckpt").toString
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3, s"expected >=3 bounded batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 10),
+        "each micro-batch must admit at most one file's rows")
+      assert(spark.read.parquet(out).count() == 30)
+    } finally q.stop()
+  }
+
   test("singleton guard: a second query on the same checkpoint dir fails fast") {
     // The reference double-locks its config file (flock MFramework.cpp:492
     // + fcntl :576-578) so only one instance runs. Spark-native analogue:
