@@ -96,8 +96,15 @@ object TextQ {
     * the join key's own partitioning, so it adds no extra shuffle. */
   def lshCandidates(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
     val wb = Window.partitionBy(col("band"), col("bkey"))
+    // hint("merge"): the two join sides are the same subtree; a sort-merge
+    // join lets the shuffle exchange be computed once and REUSED (one pass
+    // over the expensive shingle→signature pipeline), where the size
+    // estimate after the guard filter would otherwise pick a broadcast
+    // join that recomputes the subtree for the broadcast side. SMJ is also
+    // what AQE picks at real corpus sizes.
     val guarded = bands.withColumn("_bn", count(lit(1)).over(wb))
       .filter(col("_bn") <= maxBandSize).drop("_bn")
+      .hint("merge")
     val est = (0 until 8)
       .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
       .reduce(_ + _) / lit(8.0)
@@ -178,6 +185,9 @@ object TextQ {
     val chunks = simhash(docs, bits = 32)
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("ci"))
       .withColumn("cv", expr("shiftright(simhash, ci * 8) & 255"))
+      .hint("merge") // identical join sides: SMJ reuses the md5-heavy
+                     // simhash exchange instead of recomputing it for a
+                     // broadcast side (see lshCandidates)
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
