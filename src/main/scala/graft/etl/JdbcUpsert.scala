@@ -1,0 +1,95 @@
+package graft.etl
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once JDBC upsert sink for `foreachBatch` — the engine's analogue
+  * of the reference's transactional Oracle writes (its marker-file protocol
+  * existed to avoid re-applying replayed work after a crash,
+  * `MFramework.cpp:821-903`; Structured Streaming replays the last
+  * uncommitted micro-batch on recovery, so a naive JDBC append would
+  * double-apply it).
+  *
+  * Per batch:
+  *  1. the batch DataFrame overwrites a staging table (distributed write —
+  *     overwrite makes the step idempotent under retry);
+  *  2. one driver-side transaction: skip if `batchId` is already in the
+  *     ledger, else delete target rows whose keys appear in staging,
+  *     insert staging into the target, record the batchId — commit.
+  * A replayed batch either finds its ledger row (no-op) or re-runs the
+  * transaction from a consistent staging snapshot; the target never sees a
+  * partial or doubled batch.
+  */
+final class JdbcUpsert(url: String, props: Properties, target: String,
+    staging: String, ledger: String, keyCols: Seq[String]) extends Serializable {
+
+  require(keyCols.nonEmpty, "at least one key column required")
+
+  /** The (batch, batchId) function to pass to `writeStream.foreachBatch`. */
+  def sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+    // string columns as VARCHAR, not the dialect's default CLOB — Derby
+    // CLOBs aren't comparable, and the key-match below compares them
+    val stringCols = batch.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(512)")
+    val writer = batch.write.mode("overwrite")
+    (if (stringCols.nonEmpty)
+       writer.option("createTableColumnTypes", stringCols.mkString(", "))
+     else writer).jdbc(url, staging, props)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      ensureTables(conn)
+      val seen = {
+        val ps = conn.prepareStatement(
+          s"SELECT 1 FROM $ledger WHERE sink_name = ? AND batch_id = ?")
+        ps.setString(1, target); ps.setLong(2, batchId)
+        val rs = ps.executeQuery()
+        try rs.next() finally { rs.close(); ps.close() }
+      }
+      if (!seen) {
+        // no alias on the DELETE target (Derby doesn't allow one); column
+        // identifiers are double-quoted because Spark's JDBC writer
+        // creates them quoted (case-sensitive lowercase)
+        val keyMatch = keyCols.map(k => s"""$target."$k" = s."$k"""").mkString(" AND ")
+        val st = conn.createStatement()
+        st.executeUpdate(
+          s"DELETE FROM $target WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
+        st.executeUpdate(
+          s"INSERT INTO $target SELECT * FROM $staging")
+        st.close()
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $ledger (sink_name, batch_id) VALUES (?, ?)")
+        ps.setString(1, target); ps.setLong(2, batchId)
+        ps.executeUpdate(); ps.close()
+      }
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  /** Create target (cloned from staging's JDBC schema) and ledger if absent
+    * — inside the caller's transaction, so creation races roll back clean. */
+  private def ensureTables(conn: java.sql.Connection): Unit = {
+    def exists(name: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+      try rs.next() finally rs.close()
+    }
+    if (!exists(target)) {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA")
+      st.close()
+    }
+    if (!exists(ledger)) {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"CREATE TABLE $ledger (sink_name VARCHAR(128) NOT NULL, " +
+          "batch_id BIGINT NOT NULL, PRIMARY KEY (sink_name, batch_id))")
+      st.close()
+    }
+  }
+}
