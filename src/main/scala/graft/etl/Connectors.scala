@@ -69,23 +69,46 @@ final class SftpConnector(transport: FileTransport, stagingRoot: String,
     spark.read.format(format).options(options).load(stageDir.toString)
   }
 
-  /** Sync the remote dir into the landing zone; returns the staged dir. */
+  /** Sync the remote dir into the landing zone; returns the staged dir.
+    *
+    * Remote-supplied names are UNTRUSTED: both the URI path and each
+    * listed file name are normalized and required to stay inside the
+    * staging root / stage dir, so a hostile or misbehaving remote can't
+    * traverse (`../../...`) into arbitrary local paths. Files that
+    * disappeared remotely are removed from the stage dir, so retracted
+    * data stops flowing on the next read.
+    */
   def stage(uri: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
     val rest = uri.stripPrefix(s"$scheme://")
     val (host, remotePath) = rest.split("/", 2) match {
       case Array(h, p) => (h, p)
       case Array(h)    => (h, "")
     }
     require(host.nonEmpty, s"no host in '$uri'")
-    val stageDir = java.nio.file.Paths.get(stagingRoot, host, remotePath)
-    java.nio.file.Files.createDirectories(stageDir)
-    transport.list(host, remotePath).foreach { name =>
-      val dest = stageDir.resolve(name)
+    val root = Paths.get(stagingRoot).toAbsolutePath.normalize
+    def confined(p: Path, base: Path, what: String): Path = {
+      val n = p.toAbsolutePath.normalize
+      require(n.startsWith(base), s"$what escapes the staging area: $p")
+      n
+    }
+    val stageDir = confined(Paths.get(stagingRoot, host, remotePath), root, s"'$uri'")
+    Files.createDirectories(stageDir)
+    val remoteNames = transport.list(host, remotePath)
+    remoteNames.foreach { name =>
+      val dest = confined(stageDir.resolve(name), stageDir, s"remote name '$name'")
       val remoteFile = if (remotePath.isEmpty) name else s"$remotePath/$name"
-      val upToDate = java.nio.file.Files.exists(dest) &&
-        java.nio.file.Files.size(dest) == transport.size(host, remoteFile)
+      val upToDate = Files.exists(dest) &&
+        Files.size(dest) == transport.size(host, remoteFile)
       if (!upToDate) transport.fetch(host, remoteFile, dest)
     }
+    // reconcile deletions (top-level staged files no longer listed)
+    val keep = remoteNames.toSet
+    val listing = Files.list(stageDir)
+    try listing.iterator().forEachRemaining { p =>
+      if (Files.isRegularFile(p) && !keep.contains(p.getFileName.toString))
+        Files.delete(p)
+    } finally listing.close()
     stageDir
   }
 }

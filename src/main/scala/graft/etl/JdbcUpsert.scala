@@ -22,10 +22,16 @@ import org.apache.spark.sql.DataFrame
   * transaction from a consistent staging snapshot; the target never sees a
   * partial or doubled batch.
   */
+/** @param maxStringLen staged string columns become VARCHAR(maxStringLen)
+  *   (Derby's CLOB default is not comparable); a batch row with a longer
+  *   value fails the staging write, so size it to the domain's widest key.
+  */
 final class JdbcUpsert(url: String, props: Properties, target: String,
-    staging: String, ledger: String, keyCols: Seq[String]) extends Serializable {
+    staging: String, ledger: String, keyCols: Seq[String],
+    maxStringLen: Int = 512) extends Serializable {
 
   require(keyCols.nonEmpty, "at least one key column required")
+  require(maxStringLen > 0, "maxStringLen must be positive")
 
   /** The (batch, batchId) function to pass to `writeStream.foreachBatch`. */
   def sink: (DataFrame, Long) => Unit = (batch, batchId) => {
@@ -33,7 +39,7 @@ final class JdbcUpsert(url: String, props: Properties, target: String,
     // CLOBs aren't comparable, and the key-match below compares them
     val stringCols = batch.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(512)")
+      .map(f => s"${f.name} VARCHAR($maxStringLen)")
     val writer = batch.write.mode("overwrite")
     (if (stringCols.nonEmpty)
        writer.option("createTableColumnTypes", stringCols.mkString(", "))
@@ -57,8 +63,12 @@ final class JdbcUpsert(url: String, props: Properties, target: String,
         val st = conn.createStatement()
         st.executeUpdate(
           s"DELETE FROM $target WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
+        // explicit column list: the target schema is frozen at first-ever
+        // batch while staging is recreated per batch — a positional
+        // SELECT * would silently mis-map reordered columns on redeploy
+        val colList = batch.schema.fieldNames.map(c => s""""$c"""").mkString(", ")
         st.executeUpdate(
-          s"INSERT INTO $target SELECT * FROM $staging")
+          s"INSERT INTO $target ($colList) SELECT $colList FROM $staging")
         st.close()
         val ps = conn.prepareStatement(
           s"INSERT INTO $ledger (sink_name, batch_id) VALUES (?, ?)")

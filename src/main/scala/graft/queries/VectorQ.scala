@@ -65,6 +65,7 @@ object VectorQ {
     * sample or shuffle-join on bucket instead).
     */
   def annBucketed(raw: DataFrame, bits: Int = 3, k: Int = 3, queryMod: Int = 20): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
     val q = v.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -107,6 +108,7 @@ object VectorQ {
     */
   def annIvf(raw: DataFrame, cells: Int = 4, k: Int = 3, queryMod: Int = 20): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     val v = withNorm(raw)
     val seeds = v.filter(col("vec_id") < cells)
       .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))

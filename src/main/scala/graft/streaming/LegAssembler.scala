@@ -24,7 +24,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * bitmask plus running aggregates — NOT the leg list: per-arrival work is
   * O(batch legs), not O(all legs so far), and a hot key's state stays a few
   * dozen bytes regardless of leg count. The bitmask bounds `seq`/`total`
-  * to 64, far above real CDR leg counts.
+  * to 64, far above real CDR leg counts; out-of-range legs are dropped
+  * (never thrown on — that would poison-pill the micro-batch).
   *
   * After completion (timeout mode) the record is kept as a `done`
   * tombstone until the already-registered timer fires, so duplicate legs
@@ -60,18 +61,23 @@ final class LegAssembler(timeoutMs: Long = -1L)
     var n = cur.n
     var sum = cur.sumDur
     rows.foreach { l =>
-      require(l.seq >= 1 && l.seq <= 64 && l.total >= 1 && l.total <= 64,
-        s"leg seq/total must be in [1,64]: seq=${l.seq} total=${l.total}")
-      val bit = 1L << (l.seq - 1)
-      if ((mask & bit) == 0L) { // duplicate seqs dropped
-        mask |= bit
-        n += 1
-        sum += l.duration_sec
+      // out-of-range legs are DROPPED, not thrown on: an exception here is
+      // a poison pill (the failed micro-batch replays forever on restart);
+      // malformed CDRs belong to the dead-letter path upstream
+      if (l.seq >= 1 && l.seq <= 64 && l.total >= 1 && l.total <= 64) {
+        val bit = 1L << (l.seq - 1)
+        if ((mask & bit) == 0L) { // duplicate seqs dropped
+          mask |= bit
+          n += 1
+          sum += l.duration_sec
+        }
+        if (l.total > declared) declared = l.total
       }
-      if (l.total > declared) declared = l.total
     }
     if (isNew && n > 0 && timeoutMs >= 0)
       getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + timeoutMs)
+
+    if (isNew && n == 0) return Iterator.empty // only dropped garbage — no state
 
     val want = if (declared == 64) -1L else (1L << declared) - 1L
     if (declared > 0 && mask == want) {

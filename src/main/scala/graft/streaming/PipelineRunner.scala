@@ -91,15 +91,28 @@ final class PipelineRunner(spark: SparkSession) {
     */
   def controlIngress(dir: String, checkpointDir: String,
       trigger: Trigger = Triggers.microBatch("500 milliseconds")): StreamingQuery = {
+    import org.apache.spark.sql.functions.input_file_name
     val packets = spark.readStream
       .option("wholetext", "true")
       .text(dir)
+      .withColumn("src_file", input_file_name())
     packets.writeStream
       .queryName(s"control_ingress_$dir")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(row => control(row.getString(0)))
+        // dispatch in drop order (file name), not partition order — a
+        // stop;start sequence landing in one trigger must not reverse
+        batch.collect().sortBy(_.getString(1)).foreach { row =>
+          // a malformed packet (unknown stage, bad wire format) must not
+          // kill the listening channel: the batch would never commit and
+          // the checkpoint would replay the poison file forever
+          try control(row.getString(0))
+          catch {
+            case e: Exception =>
+              System.err.println(s"[control-ingress] dropped bad packet ${row.getString(1)}: ${e.getMessage}")
+          }
+        }
       }
       .start()
   }

@@ -88,5 +88,26 @@ class ConnectorsSpec extends SparkSpec {
       Map("header" -> "true", "inferSchema" -> "true"))
     assert(transport.fetches == 3)
     assert(df2.count() == 5)
+
+    // ...and remotely-deleted files stop flowing on the next read
+    Files.delete(outbox.resolve("b.csv"))
+    val df3 = ConnectorRegistry.read(spark, "sftp://mediator1/outbox/cdrs", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(df3.count() == 4, "retracted remote file must leave the stage")
+  }
+
+  test("sftp connector rejects traversal from remote names and URIs") {
+    val staging = Files.createTempDirectory("graft_sftp_evil").toString
+    val evilTransport = new FileTransport {
+      def list(host: String, remotePath: String): Seq[String] = Seq("../../evil.csv")
+      def size(host: String, remoteFile: String): Long = 1L
+      def fetch(host: String, remoteFile: String, localDest: java.nio.file.Path): Unit =
+        fail(s"fetch must never be called for a traversal name: $remoteFile")
+    }
+    val c = new SftpConnector(evilTransport, staging, scheme = "sftpx")
+    val e = intercept[IllegalArgumentException](c.stage("sftpx://host/inbox"))
+    assert(e.getMessage.contains("escapes the staging area"))
+    val e2 = intercept[IllegalArgumentException](c.stage("sftpx://host/../../etc"))
+    assert(e2.getMessage.contains("escapes the staging area"))
   }
 }

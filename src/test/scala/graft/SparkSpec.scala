@@ -18,4 +18,12 @@ abstract class SparkSpec extends AnyFunSuite {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Poll `cond` until true or the deadline — for streaming tests where
+    * processAllAvailable can't latch (processing-time timers). */
+  def eventually(ms: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
+    cond
+  }
 }

@@ -173,6 +173,9 @@ class StreamingSpec extends SparkSpec {
       val q = out.toDF().writeStream.outputMode("append")
         .format("memory").queryName("tws_out").start()
       try {
+        // out-of-range legs (seq/total outside [1,64]) are dropped, not
+        // thrown on — a throw would poison-pill the micro-batch forever
+        in.addData(Leg("call_junk", 0, 0, 1.0), Leg("call_junk", 70, 2, 1.0))
         in.addData(Leg("call_a", 1, 2, 10.0))
         q.processAllAvailable()
         assert(spark.table("tws_out").count() == 0, "incomplete call must stay in state")
@@ -211,11 +214,6 @@ class StreamingSpec extends SparkSpec {
       // sink with a deadline instead.
       def rowsNow() = spark.table("tws_timeout_out").as[AssembledCall].collect()
         .map(c => c.call_id -> ((c.n_legs, c.total_duration, c.complete))).toMap
-      def eventually(ms: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + ms
-        while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
-        cond
-      }
       try {
         in.addData(Leg("call_x", 1, 3, 10.0), Leg("call_x", 2, 3, 4.0)) // leg 3 never arrives
         in.addData(Leg("call_y", 1, 1, 1.0)) // completes immediately
@@ -250,11 +248,6 @@ class StreamingSpec extends SparkSpec {
       val q = out.toDF().writeStream.outputMode("append")
         .format("memory").queryName("tws_redeliver_out").start()
       def rowsNow() = spark.table("tws_redeliver_out").as[AssembledCall].collect()
-      def eventually(ms: Long)(cond: => Boolean): Boolean = {
-        val deadline = System.currentTimeMillis() + ms
-        while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
-        cond
-      }
       try {
         in.addData(Leg("call_r", 1, 2, 3.0), Leg("call_r", 2, 2, 4.0))
         assert(eventually(30000)(rowsNow().length == 1))
@@ -383,11 +376,6 @@ class StreamingSpec extends SparkSpec {
     runner.start("ci_stage")
     val ingress = runner.controlIngress(ctlDir, ctlCkpt,
       Triggers.microBatch("100 milliseconds"))
-    def eventually(ms: Long)(cond: => Boolean): Boolean = {
-      val deadline = System.currentTimeMillis() + ms
-      while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(100)
-      cond
-    }
     try {
       assert(runner.isRunning("ci_stage"))
       // external operator drops a wire packet file — no API call involved
@@ -400,6 +388,15 @@ class StreamingSpec extends SparkSpec {
         "s=ci_stage\na=startsession")
       assert(eventually(30000)(runner.isRunning("ci_stage")),
         "control packet file must restart the stage")
+      // a malformed packet (unknown stage) must NOT kill the channel:
+      // the next good packet still lands
+      Files.writeString(java.nio.file.Paths.get(s"$ctlDir/cmd_003.pkt"),
+        "s=no_such_stage\na=startsession")
+      Files.writeString(java.nio.file.Paths.get(s"$ctlDir/cmd_004.pkt"),
+        "s=ci_stage\na=stopsession")
+      assert(eventually(30000)(!runner.isRunning("ci_stage")),
+        "ingress must survive a poison packet and process the next one")
+      assert(ingress.isActive, "poison packet must not terminate the ingress query")
     } finally {
       ingress.stop()
       runner.stopAll()
