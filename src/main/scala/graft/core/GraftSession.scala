@@ -33,4 +33,38 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Shuffle/scan sizing for a target input volume — the knob the brief's
+    * scale note calls out: partitions must fit executor memory at the
+    * target SF, and the count must grow with the data, not stay at a
+    * local-mode constant.
+    *
+    * - `spark.sql.shuffle.partitions`: totalInputBytes / targetPartitionBytes,
+    *   clamped to [minPartitions, 200000] (AQE coalesces down when stages
+    *   shrink after filters — overshooting is cheap, undershooting spills).
+    * - `spark.sql.files.maxPartitionBytes`: the same target, so scan tasks
+    *   and shuffle partitions are sized consistently.
+    * - advisory size for AQE re-coalescing matches too.
+    *
+    * E.g. 100 TB at the default 256 MB target → 409600 → clamped 200000
+    * shuffle partitions; a 1000-executor × 8-core cluster then runs ~25
+    * waves — reasonable task granularity with headroom for skew splits.
+    */
+  def scaledConf(totalInputBytes: Long,
+      targetPartitionBytes: Long = 256L << 20,
+      minPartitions: Int = 32): Map[String, String] = {
+    require(totalInputBytes > 0 && targetPartitionBytes > 0)
+    val raw = (totalInputBytes + targetPartitionBytes - 1) / targetPartitionBytes
+    val parts = math.min(200000L, math.max(minPartitions.toLong, raw))
+    Map(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.files.maxPartitionBytes" -> targetPartitionBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> targetPartitionBytes.toString)
+  }
+
+  /** Builder preconfigured for a known input volume. */
+  def builderForVolume(totalInputBytes: Long, master: String = "local[*]"): SparkSession.Builder =
+    scaledConf(totalInputBytes).foldLeft(builder(master)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }
