@@ -85,30 +85,39 @@ final class SftpConnector(transport: FileTransport, stagingRoot: String,
       case Array(h, p) => (h, p)
       case Array(h)    => (h, "")
     }
-    require(host.nonEmpty, s"no host in '$uri'")
-    val root = Paths.get(stagingRoot).toAbsolutePath.normalize
+    // the host names a directory component — forbid anything that could
+    // redirect it (separators, dots-only) before it touches a path
+    require(host.nonEmpty && host.matches("[A-Za-z0-9._-]+") && !host.forall(_ == '.'),
+      s"invalid host in '$uri'")
+    val hostRoot = Paths.get(stagingRoot, host).toAbsolutePath.normalize
     def confined(p: Path, base: Path, what: String): Path = {
       val n = p.toAbsolutePath.normalize
-      require(n.startsWith(base), s"$what escapes the staging area: $p")
+      require(n.startsWith(base) && n != base, s"$what escapes the staging area: $p")
       n
     }
-    val stageDir = confined(Paths.get(stagingRoot, host, remotePath), root, s"'$uri'")
+    // confinement is per-HOST: a URI like sftp://evil/../trusted/x must not
+    // reach (or reconcile-delete inside) another host's landing zone
+    val stageDir =
+      if (remotePath.isEmpty) hostRoot
+      else confined(hostRoot.resolve(remotePath), hostRoot, s"'$uri'")
     Files.createDirectories(stageDir)
     val remoteNames = transport.list(host, remotePath)
-    remoteNames.foreach { name =>
+    val staged = remoteNames.map { name =>
       val dest = confined(stageDir.resolve(name), stageDir, s"remote name '$name'")
+      Files.createDirectories(dest.getParent) // names may be nested (y/m/f.csv)
       val remoteFile = if (remotePath.isEmpty) name else s"$remotePath/$name"
       val upToDate = Files.exists(dest) &&
         Files.size(dest) == transport.size(host, remoteFile)
       if (!upToDate) transport.fetch(host, remoteFile, dest)
-    }
-    // reconcile deletions (top-level staged files no longer listed)
-    val keep = remoteNames.toSet
-    val listing = Files.list(stageDir)
-    try listing.iterator().forEachRemaining { p =>
-      if (Files.isRegularFile(p) && !keep.contains(p.getFileName.toString))
+      dest
+    }.toSet
+    // reconcile deletions at any depth: staged files the remote no longer
+    // lists stop flowing on the next read
+    val walk = Files.walk(stageDir)
+    try walk.iterator().forEachRemaining { p =>
+      if (Files.isRegularFile(p) && !staged.contains(p.toAbsolutePath.normalize))
         Files.delete(p)
-    } finally listing.close()
+    } finally walk.close()
     stageDir
   }
 }

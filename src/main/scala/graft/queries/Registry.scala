@@ -36,13 +36,15 @@ object Dsl {
 
   /** Exact sum of a double expression, emitted as a 2-decimal double.
     *
-    * Spark-side inputs cast to DECIMAL(18,8), not (38,8): precision ≤ 18
-    * keeps each row's Decimal long-backed (compact fast path, ~12% off
-    * decimal-heavy aggs) while staying exact for money-like magnitudes
-    * (< 10^10). The sum widens to DECIMAL(28,8) internally; results are
-    * bit-identical to the DuckDB twin's (38,8) accumulation. */
+    * Inputs cast to DECIMAL(38,8) deliberately: a (18,8) cast is ~12%
+    * faster (long-backed compact Decimals) but caps values at 1e10 — one
+    * bad-amount outlier row would abort the whole query under Spark 4's
+    * ANSI-on default (CAST_OVERFLOW), or silently diverge from the oracle
+    * with ANSI off. At 100 TB, absorbing the outlier beats the micro-win;
+    * use a narrower cast only where the column's domain is truly bounded
+    * (see q08's quantity running sum). */
   def moneySum(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 8))), 2).cast(DoubleType)
+    round(sum(c.cast(DecimalType(38, 8))), 2).cast(DoubleType)
 
   /** SQL twin of [[moneySum]]. */
   def moneySumSql(e: String): String =
@@ -50,7 +52,7 @@ object Dsl {
 
   /** Deterministic average: exact decimal sum / count, rounded to 6dp. */
   def avg6(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)), 6)
+    round(sum(c.cast(DecimalType(38, 8))).cast(DoubleType) / count(lit(1)), 6)
 
   /** SQL twin of [[avg6]]. */
   def avg6Sql(e: String): String =

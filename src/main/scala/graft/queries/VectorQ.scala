@@ -110,7 +110,10 @@ object VectorQ {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     val v = withNorm(raw)
-    val seeds = v.filter(col("vec_id") < cells)
+    // seeds = the `cells` lowest vec_ids (a top-k, not `vec_id < cells`:
+    // ids need not start at 0 — a filtered corpus would otherwise yield
+    // zero seeds and a silently empty result)
+    val seeds = v.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist_sq"), col("seed_id"))

@@ -61,10 +61,13 @@ final class LegAssembler(timeoutMs: Long = -1L)
     var n = cur.n
     var sum = cur.sumDur
     rows.foreach { l =>
-      // out-of-range legs are DROPPED, not thrown on: an exception here is
-      // a poison pill (the failed micro-batch replays forever on restart);
-      // malformed CDRs belong to the dead-letter path upstream
-      if (l.seq >= 1 && l.seq <= 64 && l.total >= 1 && l.total <= 64) {
+      // Legs with seq outside [1,64] are DROPPED, not thrown on: an
+      // exception here is a poison pill (the failed micro-batch replays
+      // forever on restart); malformed CDRs belong upstream in the
+      // dead-letter path. A declared total beyond 64 is kept: completion
+      // can never fire for it, but the call stays in state and the
+      // timeout flushes it complete=false — it must not silently vanish.
+      if (l.seq >= 1 && l.seq <= 64 && l.total >= 1) {
         val bit = 1L << (l.seq - 1)
         if ((mask & bit) == 0L) { // duplicate seqs dropped
           mask |= bit
@@ -80,7 +83,7 @@ final class LegAssembler(timeoutMs: Long = -1L)
     if (isNew && n == 0) return Iterator.empty // only dropped garbage — no state
 
     val want = if (declared == 64) -1L else (1L << declared) - 1L
-    if (declared > 0 && mask == want) {
+    if (declared >= 1 && declared <= 64 && mask == want) {
       if (timeoutMs >= 0)
         progress.update(LegProgress(mask, declared, n, sum, done = true))
       else

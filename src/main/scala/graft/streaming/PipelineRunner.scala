@@ -25,6 +25,11 @@ final case class StageSpec(
   */
 final class PipelineRunner(spark: SparkSession) {
 
+  /** Sort key treating digit runs as numbers: cmd_9 < cmd_10 (each digit
+    * run is left-padded to a fixed width in the comparison key). */
+  private def naturalKey(s: String): String =
+    """\d+""".r.replaceAllIn(s, m => f"${BigInt(m.matched)}%040d")
+
   private val specs = TrieMap[String, StageSpec]()
   private val active = TrieMap[String, StreamingQuery]()
 
@@ -91,19 +96,25 @@ final class PipelineRunner(spark: SparkSession) {
     */
   def controlIngress(dir: String, checkpointDir: String,
       trigger: Trigger = Triggers.microBatch("500 milliseconds")): StreamingQuery = {
-    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.functions.{input_file_name, length, substring}
     val packets = spark.readStream
       .option("wholetext", "true")
       .text(dir)
-      .withColumn("src_file", input_file_name())
+      // control packets are human-scale commands; a data file dropped in
+      // the control dir by mistake must not be hauled to the driver
+      .filter(length(org.apache.spark.sql.functions.col("value")) <= 65536)
+      .select(substring(org.apache.spark.sql.functions.col("value"), 1, 65536).as("value"),
+        input_file_name().as("src_file"))
     packets.writeStream
       .queryName(s"control_ingress_$dir")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // dispatch in drop order (file name), not partition order — a
-        // stop;start sequence landing in one trigger must not reverse
-        batch.collect().sortBy(_.getString(1)).foreach { row =>
+        // dispatch in drop order, not partition order — a stop;start
+        // sequence landing in one trigger must not reverse. Natural sort
+        // (digit runs compared numerically) so cmd_9 precedes cmd_10 even
+        // without zero padding.
+        batch.collect().sortBy(r => naturalKey(r.getString(1))).foreach { row =>
           // a malformed packet (unknown stage, bad wire format) must not
           // kill the listening channel: the batch would never commit and
           // the checkpoint would replay the poison file forever
