@@ -73,6 +73,32 @@ class ScaleSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // At 100 TB a selective dim-side filter should cut fact-scan output
+    // BEFORE the shuffle: Spark's runtime bloom filter builds a sketch of
+    // the filtered build side and injects might_contain on the probe side.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // fixture-sized fact side; production default (10GB) stays for clusters
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    try {
+      val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      val o = graft.core.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "P") // selective dim-side filter
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey")).agg(count(lit(1)))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("HLL sketches are partition-layout independent (mergeable partials)") {
     // q12b's approx_count_distinct has no DuckDB oracle (algorithm-
     // specific); this pins the property that makes it safe at cluster
