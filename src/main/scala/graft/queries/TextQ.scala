@@ -120,19 +120,16 @@ object TextQ {
   /** MinHash-LSH near-dup candidates (oracle fixture: threshold 0.25; the
     * 1000-doc band cap never triggers at fixture scale, so results match
     * the unguarded oracle SQL byte-for-byte). */
-  private val q26 = {
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b, est_jaccard)` — the
+    * shared oracle prefix for q26 and q26b. */
+  private lazy val minhashCandSql = {
     val sigCols = (0 until 8).map(i => s"MIN(${minhashLane(i, "h1", "h2")}) AS h$i").mkString(", ")
     val bandSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig")
       .mkString(" UNION ALL ")
     val estSql = (0 until 8).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
       .mkString("(", " + ", ") / 8.0")
-    GQuery(
-      "q26_minhash_lsh",
-      (s, dir) => lshCandidates(minhashBands(t(s, dir, "documents")))
-        .filter(col("est_jaccard") >= 0.25)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""$shinglesSql,
+    s"""$shinglesSql,
         sig AS (SELECT doc_id, $sigCols
                 FROM (SELECT doc_id, md5(sh) AS h1, md5('x:' || sh) AS h2
                       FROM shingles)
@@ -140,15 +137,45 @@ object TextQ {
         bands AS ($bandSql),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                   FROM bands x JOIN bands y
-                    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-      SELECT * FROM (
-        SELECT doc_a, doc_b, $estSql AS est_jaccard
-        FROM pairs
-        JOIN sig a ON doc_a = a.doc_id
-        JOIN sig b ON doc_b = b.doc_id)
-      WHERE est_jaccard >= 0.25
-      ORDER BY doc_a, doc_b"""))
+                    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        cand AS (SELECT * FROM (
+            SELECT doc_a, doc_b, $estSql AS est_jaccard
+            FROM pairs
+            JOIN sig a ON doc_a = a.doc_id
+            JOIN sig b ON doc_b = b.doc_id)
+          WHERE est_jaccard >= 0.25)"""
   }
+
+  private val q26 = GQuery(
+    "q26_minhash_lsh",
+    (s, dir) => lshCandidates(minhashBands(t(s, dir, "documents")))
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""$minhashCandSql
+      SELECT doc_a, doc_b, est_jaccard FROM cand
+      ORDER BY doc_a, doc_b"""))
+
+  /** Near-dup CLUSTERS: connected components over q26's candidate pairs
+    * (component id = min doc_id in the component — the survivor a dedup
+    * pass would keep). The DuckDB twin computes the same components with
+    * a recursive transitive-closure CTE. */
+  private val q26b = GQuery(
+    "q26b_neardup_components",
+    (s, dir) => connectedComponents(
+        lshCandidates(minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25))
+      .orderBy(col("doc_id")),
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+    FROM reach
+    GROUP BY u
+    ORDER BY doc_id"""))
 
   // One term per SimHash bit, parametrized by engine syntax (instr vs
   // strpos, `div` vs `//`) so both engines evaluate the identical formula.
@@ -198,6 +225,43 @@ object TextQ {
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components over an undirected pair graph (doc_a, doc_b) —
+    * the step that turns pairwise near-dup candidates into duplicate
+    * CLUSTERS (one representative survives per component).
+    *
+    * Min-label propagation: every member starts labeled with its own id;
+    * each round a member takes the min label among itself and its
+    * neighbors; converges in O(component diameter) rounds. Near-dup
+    * components are shallow (dozens of docs), so a handful of rounds
+    * suffices; each round is one shuffle on doc_id. For graphs with huge
+    * diameters the large-star/small-star variant halves rounds, but the
+    * data layout here is the same. The loop materializes a driver-side
+    * scalar per round (the change count) — a deliberate convergence
+    * check, not a data path.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u").as("doc_id_n")).agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, col("doc_id") === col("doc_id_n"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .localCheckpoint() // cut the lineage so plans don't grow per round
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
   }
 
   private val q27 = GQuery(
@@ -495,5 +559,5 @@ object TextQ {
       ORDER BY source, rn"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q25, q26, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47)
+  val queries: Seq[GQuery] = Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47)
 }

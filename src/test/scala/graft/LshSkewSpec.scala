@@ -49,6 +49,21 @@ class LshSkewSpec extends SparkSpec {
     assert(skew.length == 4)
   }
 
+  test("connectedComponents labels chains, cliques and disjoint pairs correctly") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // clique {10,11,12}, disjoint pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val comp = TextQ.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("guard is inert when no band exceeds the cap (oracle fixture path)") {
     val fixture = graft.core.Tables.load(spark, sfDir, "documents")
     val bands = TextQ.minhashBands(fixture)
