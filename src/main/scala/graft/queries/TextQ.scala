@@ -242,8 +242,12 @@ object TextQ {
     * check, not a data path.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — without this the (potentially
+    // expensive) upstream pipeline producing `pairs` re-executes on every
+    // propagation round and every convergence check
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
     var converged = false
