@@ -563,5 +563,96 @@ object TextQ {
       ORDER BY source, rn"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47)
+  /** Deterministic hash bucket in [0, 100) from a doc id — the
+    * reproducible train/val/test splitter: no RNG, so the same doc lands
+    * in the same split on every run, every engine, every cluster size
+    * (sampleBy-style RNG splits are neither reproducible cross-engine nor
+    * stable under repartitioning). Value = first 4 hex chars of
+    * md5(doc_id) as an int, mod 100. */
+  private def hashBucketExpr(strpos: String, idCol: String, strType: String): String = {
+    def h(k: Int) = s"($strpos('0123456789abcdef', substr(md5(CAST($idCol AS $strType)), $k, 1)) - 1)"
+    s"((((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) % 100)"
+  }
+
+  /** Assign each doc a deterministic split label: [0,trainPct) → train,
+    * [trainPct,trainPct+valPct) → val, rest → test. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucketExpr("instr", "doc_id", "STRING")
+    docs.withColumn("split",
+      expr(s"""CASE WHEN $b < $trainPct THEN 'train'
+               WHEN $b < ${trainPct + valPct} THEN 'val'
+               ELSE 'test' END"""))
+  }
+
+  /** `width`-gram shingle array over a pre-split `toks` column (same
+    * concat layout as the DuckDB `ts[i] || ' ' || ...` chain). */
+  private def shingleExprN(width: Int): String = {
+    val parts = (1 to width).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    s"transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $parts))"
+  }
+
+  /** Benchmark decontamination: train docs sharing at least one
+    * `width`-gram with any eval doc. Distinct shingles per side, one
+    * equi-join on the shingle — hash-partitioned, never all-pairs; at
+    * 100 TB the (much smaller) eval shingle set typically broadcasts.
+    * Returns (doc_id, n_hits = distinct shared shingles). */
+  def decontaminationHits(train: DataFrame, eval: DataFrame, width: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), explode(expr(shingleExprN(width))).as("s"))
+      .distinct()
+    val evalShingles = shingles(eval).select(col("s")).distinct()
+    shingles(train).join(evalShingles, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+  }
+
+  /** Oracle fixture of [[hashSplit]]: per-split doc and token counts. */
+  private val q48 = GQuery(
+    "q48_hash_split",
+    (s, dir) => hashSplit(t(s, dir, "documents"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .orderBy(col("split")),
+    Some(s"""SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM (SELECT text,
+          CASE WHEN ${hashBucketExpr("strpos", "doc_id", "VARCHAR")} < 90 THEN 'train'
+               WHEN ${hashBucketExpr("strpos", "doc_id", "VARCHAR")} < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY split
+      ORDER BY split"""))
+
+  /** Oracle fixture of [[decontaminationHits]]: eval set = doc_id % 97 = 0
+    * (a deterministic stand-in benchmark), 5-gram overlap. */
+  private val q50 = {
+    val idx5 = (0 until 5).map(k => s"ts[i + $k]").mkString(" || ' ' || ")
+    GQuery(
+      "q50_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        decontaminationHits(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        sh AS (SELECT DISTINCT doc_id, $idx5 AS s
+               FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_hits
+      FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % 97 <> 0
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id"""))
+  }
+
+  val queries: Seq[GQuery] =
+    Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47, q48, q50)
 }
