@@ -21,15 +21,19 @@ import Dsl._
   */
 object TextQ {
 
-  /** 3-token shingles over a pre-materialized `toks` array column. The
-    * token array MUST be a column (not `split(text)` inlined): expressions
-    * inside the transform lambda re-evaluate per element, which would make
-    * shingling O(tokens²) in string work per document. */
-  private val shinglesExpr =
-    """transform(sequence(0, size(toks) - 3),
-       i -> concat(element_at(toks, i + 1), ' ',
-                   element_at(toks, i + 2), ' ',
-                   element_at(toks, i + 3)))"""
+  /** `width`-token shingle array over a pre-materialized `toks` column
+    * (space-joined, the same layout as the DuckDB `ts[i] || ' ' || ...`
+    * chain). The token array MUST be a column (not `split(text)`
+    * inlined): expressions inside the transform lambda re-evaluate per
+    * element, which would make shingling O(tokens²) in string work per
+    * document. */
+  private def shingleExprN(width: Int): String = {
+    val parts = (1 to width).map(k => s"element_at(toks, i + $k)").mkString(", ")
+    s"transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $parts))"
+  }
+
+  /** The MinHash/Jaccard 3-token shingles. */
+  private val shinglesExpr = shingleExprN(3)
 
   /** DuckDB twin of [[shinglesExpr]]: doc_id, sh rows. */
   private val shinglesSql =
@@ -117,9 +121,6 @@ object TextQ {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup candidates (oracle fixture: threshold 0.25; the
-    * 1000-doc band cap never triggers at fixture scale, so results match
-    * the unguarded oracle SQL byte-for-byte). */
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b, est_jaccard)` — the
     * shared oracle prefix for q26 and q26b. */
   private lazy val minhashCandSql = {
@@ -146,6 +147,9 @@ object TextQ {
           WHERE est_jaccard >= 0.25)"""
   }
 
+  /** MinHash-LSH near-dup candidates (oracle fixture: threshold 0.25; the
+    * 1000-doc band cap never triggers at fixture scale, so results match
+    * the unguarded oracle SQL byte-for-byte). */
   private val q26 = GQuery(
     "q26_minhash_lsh",
     (s, dir) => lshCandidates(minhashBands(t(s, dir, "documents")))
@@ -240,14 +244,25 @@ object TextQ {
     * data layout here is the same. The loop materializes a driver-side
     * scalar per round (the change count) — a deliberate convergence
     * check, not a data path.
+    *
+    * Non-convergence within `maxIter` THROWS rather than silently
+    * returning split clusters (a dedup pass would keep several
+    * "survivors" of one real cluster). `reliable = true` uses
+    * fault-tolerant checkpoints (requires `sparkContext.setCheckpointDir`)
+    * so a lost executor mid-loop recovers instead of aborting —
+    * localCheckpoint blocks are executor-local, fine on local[n], not on
+    * a long-running cluster job.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list ONCE — without this the (potentially
     // expensive) upstream pipeline producing `pairs` re-executes on every
     // propagation round and every convergence check
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
+    val edges = snap(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
     var converged = false
@@ -256,15 +271,18 @@ object TextQ {
       val viaNeighbors = edges
         .join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u").as("doc_id_n")).agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbors, col("doc_id") === col("doc_id_n"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .localCheckpoint() // cut the lineage so plans don't grow per round
+      val next = snap( // cut the lineage so plans don't grow per round
+        labels.join(viaNeighbors, col("doc_id") === col("doc_id_n"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("n_comp"), col("component"))).as("component")))
       converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .filter(col("component") =!= col("prev")).isEmpty
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds the budget; raise maxIter (rounds needed ≈ diameter)")
     labels
   }
 
@@ -507,13 +525,10 @@ object TextQ {
   private val q45 = GQuery(
     "q45_ngram_topk",
     (s, dir) => {
-      val bigram =
-        """transform(sequence(0, size(toks) - 2),
-           i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
       t(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(bigram)).as("bg"))
+        .select(col("doc_id"), explode(expr(shingleExprN(2))).as("bg"))
         .groupBy(col("bg"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("n").desc, col("bg"))
@@ -586,26 +601,21 @@ object TextQ {
                ELSE 'test' END"""))
   }
 
-  /** `width`-gram shingle array over a pre-split `toks` column (same
-    * concat layout as the DuckDB `ts[i] || ' ' || ...` chain). */
-  private def shingleExprN(width: Int): String = {
-    val parts = (1 to width).map(k => s"element_at(toks, i + $k)").mkString(", ")
-    s"transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $parts))"
-  }
-
   /** Benchmark decontamination: train docs sharing at least one
     * `width`-gram with any eval doc. Distinct shingles per side, one
     * equi-join on the shingle — hash-partitioned, never all-pairs; at
     * 100 TB the (much smaller) eval shingle set typically broadcasts.
     * Returns (doc_id, n_hits = distinct shared shingles). */
   def decontaminationHits(train: DataFrame, eval: DataFrame, width: Int = 5): DataFrame = {
-    def shingles(df: DataFrame) = df
+    def explodedShingles(df: DataFrame) = df
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"), explode(expr(shingleExprN(width))).as("s"))
-      .distinct()
-    val evalShingles = shingles(eval).select(col("s")).distinct()
-    shingles(train).join(evalShingles, "s")
+    // eval side dedups straight on the shingle — a (doc_id, s) distinct
+    // first would be a second, wasted shuffle of the eval shingles
+    val evalShingles = explodedShingles(eval).select(col("s")).distinct()
+    explodedShingles(train).distinct()
+      .join(evalShingles, "s")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_hits"))
   }

@@ -11,7 +11,8 @@ class QueriesSpec extends SparkSpec {
   // Queries that legitimately return zero rows at sf0.001 (e.g. every
   // customer has an order there; near-dup pairs may not exist).
   private val mayBeEmpty = Set("q05_anti_join", "q18_predicates",
-    "q26_minhash_lsh", "q28_ngram_jaccard")
+    "q26_minhash_lsh", "q26b_neardup_components", "q28_ngram_jaccard",
+    "q50_decontamination")
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs and is well-formed") {
