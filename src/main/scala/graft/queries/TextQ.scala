@@ -663,6 +663,34 @@ object TextQ {
       ORDER BY sh.doc_id"""))
   }
 
+  /** Intra-document repetition stats (the Gopher-style repetition
+    * filter): fraction of a doc's 3-gram shingles that are duplicates —
+    * high dup_ratio marks boilerplate/looping text a pretraining pipeline
+    * drops. One explode + one grouped aggregation per doc; no joins. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("s")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_shingles"), 6))
+
+  /** Oracle fixture of [[repetitionStats]]. */
+  private val q49 = GQuery(
+    "q49_repetition",
+    (s, dir) => repetitionStats(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+             FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i))
+    SELECT doc_id, COUNT(*) AS n_shingles,
+      COUNT(DISTINCT s) AS n_distinct,
+      ROUND(1.0 - (1.0 * COUNT(DISTINCT s)) / COUNT(*), 6) AS dup_ratio
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
-    Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47, q48, q50)
+    Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47, q48, q49, q50)
 }
