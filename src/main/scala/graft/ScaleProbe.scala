@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicate the sf0.1 fixtures K× with shifted keys into
+  * a temp dir (multi-file output — unlike the single-row-group fixtures,
+  * scans parallelize), then time headline queries at 1× vs K× to verify
+  * near-linear scaling of the plans. Results go to SCALING.md.
+  *
+  * Key shifting keeps join fan-outs realistic: each replica's orderkeys /
+  * doc_ids / vec_ids are offset so replicas don't collapse into the same
+  * join/dedup groups (which would quadratically inflate self-joins).
+  */
+object ScaleProbe {
+
+  private val headline = Seq(
+    "q01_pricing_summary", "q02_revenue_by_region", "q03_top_orders",
+    "q08_running_total", "q25_dedup_exact", "q26_minhash_lsh",
+    "q27b_simhash_neardup", "q30_ann_bucketed", "q48_hash_split",
+    "q49_repetition")
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = core.GraftSession.builder("local[32]", 32).getOrCreate()
+
+    // --- replicate with shifted keys ------------------------------------
+    def replicate(name: String, keyCols: Seq[String], shift: Long): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out = (0 until k).map { i =>
+        keyCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i * shift))
+        }
+      }.reduce(_ union _)
+      out.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    }
+    // dims stay 1x; facts and corpus tables replicate with shifted keys
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      spark.read.parquet(s"$srcDir/$n.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$n.parquet")
+    }
+    replicate("orders", Seq("o_orderkey"), 10000000L)
+    replicate("lineitem", Seq("l_orderkey"), 10000000L)
+    replicate("events", Seq("event_id"), 100000000L)
+    replicate("documents", Seq("doc_id"), 1000000L)
+    replicate("embeddings", Seq("vec_id"), 1000000L)
+
+    // --- time 1x vs Kx --------------------------------------------------
+    println(s"query,t1x_sec,t${k}x_sec,ratio")
+    headline.foreach { name =>
+      val q = queries.Registry.byName(name)
+      noop(q.build(spark, srcDir)) // warm
+      val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).sorted.apply(1)
+      noop(q.build(spark, outDir))
+      val tk = Seq.fill(3)(time(noop(q.build(spark, outDir)))).sorted.apply(1)
+      println(f"$name,$t1%.3f,$tk%.3f,${tk / t1}%.2f")
+    }
+    spark.stop()
+  }
+}
