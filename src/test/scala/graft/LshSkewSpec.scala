@@ -64,6 +64,22 @@ class LshSkewSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents reliable mode and non-convergence guard") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // fault-tolerant checkpoints (the cluster-scale path)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val comp = TextQ.connectedComponents(pairs, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a diameter beyond the round budget fails loud, not silently split
+    val chain = (1L to 6L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      TextQ.connectedComponents(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("guard is inert when no band exceeds the cap (oracle fixture path)") {
     val fixture = graft.core.Tables.load(spark, sfDir, "documents")
     val bands = TextQ.minhashBands(fixture)
