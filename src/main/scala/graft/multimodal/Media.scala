@@ -92,6 +92,24 @@ object Media {
     }
   }
 
+  /** Ingest raw on-disk media: Spark's binaryFile source reads each file
+    * as (path, modificationTime, length, content) with the payload kept
+    * opaque — the production ingestion path (fixture tests fake payloads
+    * from text). media_id is the leading integer of the file's base name;
+    * source path and size ride along as metadata. */
+  def fromBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      mime: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)[^/]*$", 1).cast("long").as("media_id"),
+        col("content").as("payload"),
+        lit(mime).as("mime"),
+        map(lit("src"), col("path"),
+          lit("len"), col("length").cast("string")).as("meta"))
+      .as[MediaRow]
+  }
+
   /** Repartition a media set by byte budget, not row count — payload sizes
     * are wildly skewed, so partitions are sized by total bytes per task. */
   def repartitionByBytes(media: Dataset[MediaRow], targetBytesPerPartition: Long): Dataset[MediaRow] = {

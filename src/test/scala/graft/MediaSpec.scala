@@ -42,6 +42,22 @@ class MediaSpec extends SparkSpec {
     assert(parts == 8)
   }
 
+  test("binaryFile source ingests on-disk media files as opaque payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binmedia")
+    (1 to 5).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"${i}_clip.bin"),
+        Array.fill(i * 100)(i.toByte))
+    }
+    val m = Media.fromBinaryFiles(spark, dir.toString, "video/mp4")
+    val rows = m.collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    assert(rows.forall(r => r.payload.length == r.media_id * 100))
+    assert(rows.forall(r => r.meta("len").toLong == r.payload.length))
+    // ingested rows flow straight into the feature extractor
+    val feats = Media.extractFeatures(m, () => new FakeDecoder).collect()
+    assert(feats.length == 5 && feats.forall(_.n_bytes > 0))
+  }
+
   test("repartitionByBytes handles an empty media set") {
     val empty = mediaSet().filter(col("media_id") < 0)
     assert(Media.repartitionByBytes(empty, 1024).rdd.getNumPartitions == 1)

@@ -45,6 +45,19 @@ class SourcesSinksSpec extends SparkSpec {
       nation.where(col("n_nationkey") === 0).select("n_name").as[String].head())
   }
 
+  test("xml round-trip (the CDR interchange format of the reference's world)") {
+    val dir = Files.createTempDirectory("graft_xml").toString
+    nation.write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .xml(dir)
+    val back = spark.read.option("rowTag", "nation").xml(dir)
+    assert(back.count() == 25)
+    assert(back.select(sum(col("n_nationkey"))).head().getLong(0) ==
+      nation.select(sum(col("n_nationkey"))).head().getLong(0))
+    assert(back.where(col("n_nationkey") === 0).select("n_name").as[String].head() ==
+      nation.where(col("n_nationkey") === 0).select("n_name").as[String].head())
+  }
+
   test("orc round-trip with predicate pushdown into the scan") {
     val dir = Files.createTempDirectory("graft_orc").toString
     graft.core.Tables.load(spark, sfDir, "orders").write.mode("overwrite").orc(dir)
