@@ -31,7 +31,7 @@ class StreamingRatingSpec extends SparkSpec {
     Files.writeString(Path.of(dir, name), (header +: rows).mkString("\n") + "\n")
   }
 
-  test("two-stage streaming mediation: normalize → dead-letter → rate") {
+  test("three-stage streaming mediation: normalize → dead-letter → rate → bill") {
     val in = Files.createTempDirectory("graft_srp_in").toString
     val valid = Files.createTempDirectory("graft_srp_valid").toString
     val dead = Files.createTempDirectory("graft_srp_dead").toString
@@ -88,6 +88,32 @@ class StreamingRatingSpec extends SparkSpec {
         .as[(String, java.math.BigDecimal)].collect()
         .map(x => x._1 -> x._2.doubleValue).toMap
       assert(charges == Map("VOICE" -> 3.5, "SMS" -> 0.1))
+
+      // stage 3: billing — per-type totals land exactly-once in the RDBMS
+      // (the reference's Oracle write-back), replay-safe via JdbcUpsert
+      val ck3 = Files.createTempDirectory("graft_srp_ck3").toString
+      val url = s"jdbc:derby:${Files.createTempDirectory("graft_srp_db")}/bill;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val upsert = new graft.etl.JdbcUpsert(url, props,
+        target = "billing_totals", staging = "billing_stage",
+        ledger = "billing_ledger", keyCols = Seq("call_type"))
+      val ratedSchema = spark.read.parquet(rated).schema
+      runner.register(StageSpec("billing",
+        s => s.readStream.schema(ratedSchema).parquet(rated),
+        df => df.groupBy(col("call_type"))
+          .agg(sum(col("charge").cast("double")).as("total_charge"),
+            count(lit(1)).as("n_calls")),
+        df => df.writeStream.outputMode("update")
+          .option("checkpointLocation", ck3)
+          .trigger(Triggers.microBatch("100 milliseconds"))
+          .foreachBatch(upsert.sink)))
+      runner.start("billing").processAllAvailable()
+      val bill = spark.read.jdbc(url, "billing_totals", props)
+        .as[(String, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(bill == Map("VOICE" -> ((3.5, 1L)), "SMS" -> ((0.1, 1L))),
+        s"billing totals wrong: $bill")
     } finally runner.stopAll()
   }
 }
