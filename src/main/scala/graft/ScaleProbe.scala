@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * scans parallelize), then time headline queries at 1× vs K× to verify
   * near-linear scaling of the plans. Results go to SCALING.md.
   *
-  * Key shifting keeps join fan-outs realistic: each replica's orderkeys /
-  * doc_ids / vec_ids are offset so replicas don't collapse into the same
-  * join/dedup groups (which would quadratically inflate self-joins).
+  * Key shifting keeps ID-join fan-outs realistic: each replica's orderkeys
+  * / doc_ids / vec_ids are offset so replicas don't collapse into the same
+  * key-join groups. It does NOT change text/embedding CONTENT, so the
+  * similarity family (q25/q26/q27b/q30) still sees every replica as a
+  * duplicate of the original and candidate pairs grow ~K² — that
+  * super-linear growth is the duplicate density of a replicated corpus,
+  * not a plan failure (SCALING.md discusses the measured effect).
   */
 object ScaleProbe {
 

@@ -48,6 +48,10 @@ trait FileTransport {
   def list(host: String, remotePath: String): Seq[String]
   /** Byte size of one remote file — used to skip re-staging. */
   def size(host: String, remoteFile: String): Long
+  /** Remote modification time (epoch millis). Transports that can't report
+    * one return <= 0, and staging falls back to size-only comparison — a
+    * same-size in-place edit is then invisible until a forced restage. */
+  def mtime(host: String, remoteFile: String): Long = 0L
   /** Fetch one remote file to `localDest` (overwrite). */
   def fetch(host: String, remoteFile: String, localDest: java.nio.file.Path): Unit
 }
@@ -56,9 +60,10 @@ trait FileTransport {
   * family did (`MFramework.cpp:152-155` registrations) — stages remote
   * files into a per-host landing zone through the [[FileTransport]], then
   * reads the staged copies with Spark. Staging is incremental: a file
-  * already staged at the same byte size is not re-fetched, so repeated
-  * reads only pull new/changed files (the reference's marker-file delta
-  * protocol, `MFramework.cpp:821-903`, collapsed to size comparison).
+  * already staged at the same byte size AND remote mtime is not
+  * re-fetched, so repeated reads only pull new/changed files (the
+  * reference's marker-file delta protocol, `MFramework.cpp:821-903`,
+  * collapsed to a size+mtime comparison).
   */
 final class SftpConnector(transport: FileTransport, stagingRoot: String,
     val scheme: String = "sftp") extends Connector {
@@ -106,9 +111,19 @@ final class SftpConnector(transport: FileTransport, stagingRoot: String,
       val dest = confined(stageDir.resolve(name), stageDir, s"remote name '$name'")
       Files.createDirectories(dest.getParent) // names may be nested (y/m/f.csv)
       val remoteFile = if (remotePath.isEmpty) name else s"$remotePath/$name"
+      // staged copies carry the REMOTE mtime (stamped below), so equality
+      // detects same-size in-place edits; mtime <= 0 → size-only fallback
+      val remoteMtime = transport.mtime(host, remoteFile)
       val upToDate = Files.exists(dest) &&
-        Files.size(dest) == transport.size(host, remoteFile)
-      if (!upToDate) transport.fetch(host, remoteFile, dest)
+        Files.size(dest) == transport.size(host, remoteFile) &&
+        (remoteMtime <= 0L ||
+          Files.getLastModifiedTime(dest).toMillis == remoteMtime)
+      if (!upToDate) {
+        transport.fetch(host, remoteFile, dest)
+        if (remoteMtime > 0L)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(remoteMtime))
+      }
       dest
     }.toSet
     // reconcile deletions at any depth: staged files the remote no longer

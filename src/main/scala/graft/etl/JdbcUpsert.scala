@@ -23,23 +23,54 @@ import org.apache.spark.sql.DataFrame
   * partial or doubled batch.
   */
 /** @param maxStringLen staged string columns become VARCHAR(maxStringLen)
-  *   (Derby's CLOB default is not comparable); a batch row with a longer
-  *   value fails the staging write, so size it to the domain's widest key.
+  *   (Derby's CLOB default is not comparable), so size it to the domain's
+  *   widest key.
+  * @param truncateOverflow what to do with a string value longer than
+  *   `maxStringLen`. `true` (default): silently right-truncate — the write
+  *   always succeeds, at the cost of merged keys if a KEY column overflows
+  *   (size `maxStringLen` so keys never do). `false`: fail the batch with
+  *   an error naming the offending column(s). Either way the failure mode
+  *   is explicit — without this, one over-length row fails the staging
+  *   write on every replay of the micro-batch: a permanent poison pill
+  *   that halts the stream (the exact failure LegAssembler avoids).
   */
 final class JdbcUpsert(url: String, props: Properties, target: String,
     staging: String, ledger: String, keyCols: Seq[String],
-    maxStringLen: Int = 512) extends Serializable {
+    maxStringLen: Int = 512, truncateOverflow: Boolean = true)
+    extends Serializable {
 
   require(keyCols.nonEmpty, "at least one key column required")
   require(maxStringLen > 0, "maxStringLen must be positive")
 
   /** The (batch, batchId) function to pass to `writeStream.foreachBatch`. */
-  def sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+  def sink: (DataFrame, Long) => Unit = (batch0, batchId) => {
+    import org.apache.spark.sql.functions.{col, length, max, substring}
+    val stringFields = batch0.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+    val batch =
+      if (stringFields.isEmpty) batch0
+      else if (truncateOverflow)
+        stringFields.foldLeft(batch0)((df, f) =>
+          df.withColumn(f.name, substring(col(f.name), 1, maxStringLen)))
+      else {
+        // one aggregate over the batch names every offending column up
+        // front — a clear, actionable error instead of a dialect-specific
+        // write failure that replays forever
+        val widths = batch0.agg(
+          max(length(col(stringFields.head.name))),
+          stringFields.tail.map(f => max(length(col(f.name)))): _*).head()
+        val over = stringFields.zipWithIndex.collect {
+          case (f, i) if !widths.isNullAt(i) && widths.getInt(i) > maxStringLen =>
+            s"${f.name} (max ${widths.getInt(i)})"
+        }
+        require(over.isEmpty,
+          s"batch $batchId has string values over VARCHAR($maxStringLen) in: " +
+            over.mkString(", ") + " — widen maxStringLen or enable truncateOverflow")
+        batch0
+      }
     // string columns as VARCHAR, not the dialect's default CLOB — Derby
     // CLOBs aren't comparable, and the key-match below compares them
-    val stringCols = batch.schema.fields
-      .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR($maxStringLen)")
+    val stringCols = stringFields.map(f => s"${f.name} VARCHAR($maxStringLen)")
     val writer = batch.write.mode("overwrite")
     (if (stringCols.nonEmpty)
        writer.option("createTableColumnTypes", stringCols.mkString(", "))
@@ -84,8 +115,19 @@ final class JdbcUpsert(url: String, props: Properties, target: String,
   /** Create target (cloned from staging's JDBC schema) and ledger if absent
     * — inside the caller's transaction, so creation races roll back clean. */
   private def ensureTables(conn: java.sql.Connection): Unit = {
+    // resolve schema-qualified / quoted names before the metadata lookup:
+    // `app.t` → (schema APP, table T); `"MixedCase"` keeps its exact case;
+    // unquoted parts fold to upper (Derby's identifier rule)
     def exists(name: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+      def part(s: String): String =
+        if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+          s.substring(1, s.length - 1)
+        else s.toUpperCase
+      val (schema, table) = name.split("\\.", 2) match {
+        case Array(sch, t) => (part(sch), part(t))
+        case _             => (null, part(name))
+      }
+      val rs = conn.getMetaData.getTables(null, schema, table, null)
       try rs.next() finally rs.close()
     }
     if (!exists(target)) {

@@ -183,7 +183,9 @@ object TextQ {
 
   // One term per SimHash bit, parametrized by engine syntax (instr vs
   // strpos, `div` vs `//`) so both engines evaluate the identical formula.
-  // Bit j comes from hex char j/4 of the token's md5, so `bits` ≤ 128.
+  // Bit j comes from hex char j/4 of the token's md5; the `1L << j` weight
+  // lives in a signed 64-bit long, so bits is capped at 62 (j = 63 goes
+  // negative and j >= 64 wraps — Scala shifts are mod 64).
   private def simhashTerms(strpos: String, idiv: String, bits: Int = 16): String =
     (0 until bits).map { j =>
       val k = j / 4 + 1
@@ -197,10 +199,13 @@ object TextQ {
     * the compact fingerprint (q27's oracle shape); 32 for near-dup
     * pairing, where 16 bits saturates with collisions on a homogeneous
     * corpus. */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame =
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 62,
+      s"simhash bits must be in [1, 62] (long-backed fingerprint), got $bits")
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(expr(s"CAST(${simhashTerms("instr", "div", bits)} AS BIGINT)").as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs (hamming distance ≤ `maxHamming`) via
     * multi-index blocking: the 32-bit hash splits into 4 chunks of 8

@@ -53,6 +53,8 @@ class ConnectorsSpec extends SparkSpec {
       }
     }
     def size(host: String, remoteFile: String): Long = Files.size(p(host, remoteFile))
+    override def mtime(host: String, remoteFile: String): Long =
+      Files.getLastModifiedTime(p(host, remoteFile)).toMillis
     def fetch(host: String, remoteFile: String, localDest: java.nio.file.Path): Unit = {
       fetches += 1
       Files.copy(p(host, remoteFile), localDest,
@@ -94,6 +96,33 @@ class ConnectorsSpec extends SparkSpec {
     val df3 = ConnectorRegistry.read(spark, "sftp://mediator1/outbox/cdrs", "csv",
       Map("header" -> "true", "inferSchema" -> "true"))
     assert(df3.count() == 4, "retracted remote file must leave the stage")
+  }
+
+  test("sftp connector re-stages a same-size in-place edit (mtime changed)") {
+    val remote = Files.createTempDirectory("graft_sftp_mtime_remote").toString
+    val staging = Files.createTempDirectory("graft_sftp_mtime_staging").toString
+    val inbox = java.nio.file.Paths.get(remote, "h1", "inbox")
+    Files.createDirectories(inbox)
+    val f = inbox.resolve("a.csv")
+    Files.writeString(f, "id,v\n1,10\n2,20\n")
+    val transport = new LocalFsTransport(remote)
+    val c = new SftpConnector(transport, staging, scheme = "sftpm")
+
+    val r1 = c.read(spark, "sftpm://h1/inbox", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(r1.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 30)
+    assert(transport.fetches == 1)
+    c.read(spark, "sftpm://h1/inbox", "csv", Map("header" -> "true"))
+    assert(transport.fetches == 1, "unchanged file must not re-stage")
+
+    // overwrite with SAME byte length but different content + newer mtime
+    Files.writeString(f, "id,v\n1,11\n2,22\n")
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(f).toMillis + 5000))
+    val r2 = c.read(spark, "sftpm://h1/inbox", "csv",
+      Map("header" -> "true", "inferSchema" -> "true"))
+    assert(transport.fetches == 2, "same-size edit must re-stage via mtime")
+    assert(r2.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 33)
   }
 
   test("sftp connector rejects traversal from remote names and URIs") {

@@ -81,6 +81,41 @@ class JdbcSpec extends SparkSpec {
     assert(table() == Map("click" -> 7.0, "view" -> 6.0))
   }
 
+  test("over-length strings truncate by default; strict mode names the column") {
+    import graft.etl.JdbcUpsert
+    val long = "x" * 40
+    val batch = Seq(("k1", long), ("k2", "short")).toDF("k", "payload")
+
+    // default: right-truncate — the batch applies instead of poisoning
+    // every replay with a dialect write error
+    val lax = new JdbcUpsert(url, props, target = "ovf_t", staging = "ovf_s",
+      ledger = "ovf_ledger", keyCols = Seq("k"), maxStringLen = 16)
+    lax.sink(batch, 0L)
+    val got = spark.read.jdbc(url, "ovf_t", props)
+      .as[(String, String)].collect().toMap
+    assert(got("k1") == "x" * 16 && got("k2") == "short")
+
+    // strict: fails fast, naming the offending column and observed width
+    val strict = new JdbcUpsert(url, props, target = "ovf_t2", staging = "ovf_s2",
+      ledger = "ovf_ledger2", keyCols = Seq("k"), maxStringLen = 16,
+      truncateOverflow = false)
+    val e = intercept[IllegalArgumentException](strict.sink(batch, 0L))
+    assert(e.getMessage.contains("payload (max 40)"), e.getMessage)
+  }
+
+  test("ensureTables resolves schema-qualified and quoted table names") {
+    import graft.etl.JdbcUpsert
+    // APP is Derby's default schema — a qualified name must not break the
+    // existence check (the unqualified lookup used to scan all schemas)
+    val up = new JdbcUpsert(url, props, target = "APP.qual_t",
+      staging = "qual_s", ledger = "\"qual_ledger\"", keyCols = Seq("k"))
+    up.sink(Seq(("a", 1.0)).toDF("k", "total"), 0L)
+    up.sink(Seq(("a", 2.0)).toDF("k", "total"), 1L) // second batch: tables exist
+    val got = spark.read.jdbc(url, "APP.qual_t", props)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 2.0))
+  }
+
   test("predicate pushdown reaches the JDBC scan") {
     Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
       .write.mode("overwrite").jdbc(url, "m_push", props)

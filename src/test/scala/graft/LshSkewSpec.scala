@@ -27,6 +27,13 @@ class LshSkewSpec extends SparkSpec {
     (boiler ++ distinct ++ nearDup).toDF("doc_id", "text")
   }
 
+  test("simhash rejects bit widths a signed long fingerprint can't hold") {
+    intercept[IllegalArgumentException](TextQ.simhash(docs, bits = 63))
+    intercept[IllegalArgumentException](TextQ.simhash(docs, bits = 0))
+    // 62 is the widest valid fingerprint — must build and stay positive-safe
+    assert(TextQ.simhash(docs, bits = 62).limit(1).count() == 1)
+  }
+
   test("poisoned boilerplate band keys are excluded from pairing and surfaced") {
     val bands = TextQ.minhashBands(docs)
 
