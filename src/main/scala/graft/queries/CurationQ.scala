@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity (SURVEY §2C): deterministic sampling (stratified
+  * rebalancing and exact-N uniform), PII redaction, and TF-IDF term
+  * scoring. Everything is expression-based and single-pass where the
+  * semantics allow; the only joins are broadcast (scalar corpus stats) or
+  * hash-partitioned on a key (term df).
+  *
+  * Sampling is HASH-based, never RNG-based: `rand()`-family sampling is
+  * not reproducible across runs, engines, or cluster sizes (partition
+  * seeding), which breaks the train/eval hygiene a data pipeline must
+  * guarantee. An md5-derived bucket of the doc id gives every document a
+  * stable [0,100) coordinate — the same doc is sampled on every rerun, and
+  * the SAMPLE coordinate (md5 chars 5-8) is independent of the q48 SPLIT
+  * coordinate (chars 1-4), so sampling doesn't skew the split.
+  */
+object CurationQ {
+
+  /** Per-stratum deterministic sampling: keep a doc iff its hash bucket
+    * falls under its stratum's percentage. One scan, no shuffle, no state;
+    * at 100 TB the filter is codegen'd into the parquet scan. Strata
+    * absent from `rates` keep `defaultPct`. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate required")
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"rates must be percentages in [0,100]: $rates default=$defaultPct")
+    require(rates.keys.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"stratum keys must be simple identifiers: ${rates.keys}")
+    val b = TextQ.hashBucketExpr("instr", "doc_id", "STRING", offset = 5)
+    val cases = rates.toSeq.sorted
+      .map { case (k, p) => s"WHEN '$k' THEN $p" }.mkString(" ")
+    docs.filter(expr(s"$b < CASE $strataCol $cases ELSE $defaultPct END"))
+  }
+
+  /** Exact-N deterministic uniform sample: order by a hash of the id and
+    * take the first N — the distributed equivalent of a seeded reservoir,
+    * but reproducible and rerun-stable. Spark plans this as
+    * TakeOrderedAndProject (per-partition top-N + driver merge of N·P
+    * rows), never a global sort. */
+  def uniformSampleN(docs: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    docs.orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id")).limit(n)
+  }
+
+  // PII patterns, in the order they are applied. Email runs first so its
+  // digits can't be claimed by the phone pattern; the phone pattern is
+  // anchored on '+' so it can never swallow a dotted IP octet. The regex
+  // subset used (classes, bounded repeats) means Java regex (Spark) and
+  // RE2 (DuckDB) match identically.
+  private val piiPatterns = Seq(
+    ("email", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "<EMAIL>"),
+    ("ip", """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}""", "<IP>"),
+    ("phone", """\+\d{7,}""", "<PHONE>"))
+
+  /** Redact emails, IPv4 addresses and +-prefixed phone numbers from
+    * `textCol`, adding `n_email`/`n_ip`/`n_phone` match counts and the
+    * `redacted` text. Counts are taken against the progressively-redacted
+    * value, so one character span is only ever counted (and redacted)
+    * once. Single-pass, codegen'd, no shuffle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    // function API with lit() patterns on purpose: a pattern routed
+    // through expr()/SQL would lose its backslashes to string-literal
+    // escaping (spark.sql.parser.escapedStringLiterals defaults false)
+    piiPatterns.foldLeft(df.withColumn("redacted", col(textCol))) {
+      case (acc, (name, pat, token)) =>
+        acc
+          .withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(pat), lit(0))).cast(LongType))
+          .withColumn("redacted", regexp_replace(col("redacted"), pat, token))
+    }
+
+  /** TF-IDF term scores, integer-scaled so both engines rank identically:
+    * `score = tf * ((1000000 * n_docs) div df)` — exact BIGINT arithmetic,
+    * no cross-engine log/double drift. Two hash-partitioned aggregations
+    * (tf on (doc, term), df on term), one equi-join on term, and the
+    * corpus size joins in as a broadcast scalar. Returns the top
+    * `perDoc` terms per document. */
+  def tfidfTop(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    require(perDoc >= 1, s"perDoc must be >= 1, got $perDoc")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((1000000 * n_docs) div df)"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= perDoc)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rn"))
+  }
+
+  /** Oracle fixture of [[stratifiedSample]]: rebalance the corpus by
+    * downsampling dominant English (20%) and keeping half of everything
+    * else — the language-rebalancing step of a pretraining mix. */
+  private val q51 = {
+    val b = TextQ.hashBucketExpr("strpos", "doc_id", "VARCHAR", offset = 5)
+    GQuery(
+      "q51_stratified_sample",
+      (s, dir) => stratifiedSample(t(s, dir, "documents"), "lang",
+          Map("en" -> 20, "de" -> 50, "es" -> 50, "fr" -> 50, "zh" -> 50))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang
+        FROM documents
+        WHERE $b < CASE lang WHEN 'de' THEN 50 WHEN 'en' THEN 20
+                             WHEN 'es' THEN 50 WHEN 'fr' THEN 50
+                             WHEN 'zh' THEN 50 ELSE 0 END
+        ORDER BY doc_id"""))
+  }
+
+  /** Oracle fixture of [[uniformSampleN]] (N=100). */
+  private val q56 = GQuery(
+    "q56_uniform_sample",
+    (s, dir) => uniformSampleN(t(s, dir, "documents"), 100)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM (
+        SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100)
+      ORDER BY doc_id"""))
+
+  /** Oracle fixture of [[redactPii]]. The synthetic corpus carries no PII,
+    * so the query PLANTS a deterministic contact line per document (built
+    * from doc_id, identically in both engines) and then proves the
+    * redaction strips it: counts per category plus the sha256 of the
+    * redacted text (byte-identical redaction, compact output). */
+  private val q52 = {
+    def planted(cast: String) =
+      s"""text || ' contact user' || CAST(doc_id AS $cast) ||
+          '@example.com or 10.0.' || CAST(doc_id % 256 AS $cast) || '.' ||
+          CAST(doc_id % 7 AS $cast) || ' tel +1555012' || CAST(doc_id % 10 AS $cast)"""
+    val redactedSql = piiPatterns.foldLeft("raw") {
+      case (acc, (_, pat, token)) => s"regexp_replace($acc, '$pat', '$token', 'g')"
+    }
+    val countsSql = piiPatterns
+      .scanLeft(("", "raw")) { case ((_, prev), (name, pat, token)) =>
+        (s"len(regexp_extract_all($prev, '$pat')) AS n_$name",
+          s"regexp_replace($prev, '$pat', '$token', 'g')")
+      }.tail.map(_._1)
+    GQuery(
+      "q52_pii_redaction",
+      (s, dir) => redactPii(
+          t(s, dir, "documents").withColumn("raw", expr(planted("STRING"))),
+          "raw")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          sha2(col("redacted"), 256).as("red_hash"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${countsSql.mkString(", ")},
+          sha256($redactedSql) AS red_hash
+        FROM (SELECT doc_id, ${planted("VARCHAR")} AS raw FROM documents)
+        ORDER BY doc_id"""))
+  }
+
+  /** Oracle fixture of [[tfidfTop]] (top 3 terms per doc). */
+  private val q53 = GQuery(
+    "q53_tfidf_topk",
+    (s, dir) => tfidfTop(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("rn")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, tok, tf, df,
+          tf * ((1000000 * n_docs) // df) AS score
+        FROM tf JOIN dfreq USING (tok), n),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, tok) AS rn FROM scored)
+    SELECT doc_id, tok, tf, df, score, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rn"""))
+
+  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56)
+}

@@ -587,11 +587,14 @@ object TextQ {
     * reproducible train/val/test splitter: no RNG, so the same doc lands
     * in the same split on every run, every engine, every cluster size
     * (sampleBy-style RNG splits are neither reproducible cross-engine nor
-    * stable under repartitioning). Value = first 4 hex chars of
-    * md5(doc_id) as an int, mod 100. */
-  private def hashBucketExpr(strpos: String, idCol: String, strType: String): String = {
+    * stable under repartitioning). Value = 4 hex chars of md5(doc_id)
+    * starting at `offset` as an int, mod 100 — different offsets give
+    * independent buckets, so e.g. a stratified SAMPLE decision doesn't
+    * correlate with the train/val/test SPLIT decision. */
+  private[queries] def hashBucketExpr(strpos: String, idCol: String,
+      strType: String, offset: Int = 1): String = {
     def h(k: Int) = s"($strpos('0123456789abcdef', substr(md5(CAST($idCol AS $strType)), $k, 1)) - 1)"
-    s"((((${h(1)} * 16 + ${h(2)}) * 16 + ${h(3)}) * 16 + ${h(4)}) % 100)"
+    s"((((${h(offset)} * 16 + ${h(offset + 1)}) * 16 + ${h(offset + 2)}) * 16 + ${h(offset + 3)}) % 100)"
   }
 
   /** Assign each doc a deterministic split label: [0,trainPct) → train,
@@ -612,14 +615,41 @@ object TextQ {
     * 100 TB the (much smaller) eval shingle set typically broadcasts.
     * Returns (doc_id, n_hits = distinct shared shingles). */
   def decontaminationHits(train: DataFrame, eval: DataFrame, width: Int = 5): DataFrame = {
-    def explodedShingles(df: DataFrame) = df
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), explode(expr(shingleExprN(width))).as("s"))
     // eval side dedups straight on the shingle — a (doc_id, s) distinct
     // first would be a second, wasted shuffle of the eval shingles
-    val evalShingles = explodedShingles(eval).select(col("s")).distinct()
-    explodedShingles(train).distinct()
+    val evalShingles = explodedShingles(eval, width).select(col("s")).distinct()
+    explodedShingles(train, width).distinct()
+      .join(evalShingles, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hits"))
+  }
+
+  private def explodedShingles(df: DataFrame, width: Int) = df
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= width)
+    .select(col("doc_id"), explode(expr(shingleExprN(width))).as("s"))
+
+  /** [[decontaminationHits]] with a Bloom-filter prefilter — the 100 TB
+    * path. The eval side's distinct shingles build one compact Bloom
+    * sketch (a distributed aggregation; only the ~`1.2·n·log2(1/fpp)`-bit
+    * sketch reaches the driver), which then prunes the train shingles
+    * MAP-SIDE, before the (doc_id, shingle) distinct: the corpus-sized
+    * shuffle carries only probable hits instead of every shingle of every
+    * document. The exact confirm-join afterwards removes the Bloom false
+    * positives, so the result is byte-identical to [[decontaminationHits]]
+    * — the sketch changes the plan, never the answer. */
+  def decontaminationHitsBloom(train: DataFrame, eval: DataFrame,
+      width: Int = 5, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val evalShingles = explodedShingles(eval, width).select(col("s")).distinct()
+    // expectedNumItems needs a count first; both jobs scan only the eval
+    // side (the small one, by construction of a decontamination run)
+    val n = math.max(evalShingles.count(), 1L)
+    val bloom = evalShingles.stat.bloomFilter("s", n, fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
+    explodedShingles(train, width)
+      .filter(mightContain(col("s"))) // before distinct: shrink the shuffle
+      .distinct()
       .join(evalShingles, "s")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_hits"))
@@ -668,6 +698,32 @@ object TextQ {
       ORDER BY sh.doc_id"""))
   }
 
+  /** Oracle fixture of [[decontaminationHitsBloom]]: eval set =
+    * doc_id % 89 = 0, 5-gram overlap. The oracle is the EXACT-join SQL —
+    * the Bloom prefilter must not change the answer, only the plan. */
+  private val q54 = {
+    val idx5 = (0 until 5).map(k => s"ts[i + $k]").mkString(" || ' ' || ")
+    GQuery(
+      "q54_bloom_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        decontaminationHitsBloom(
+            docs.filter(col("doc_id") % 89 =!= 0),
+            docs.filter(col("doc_id") % 89 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        sh AS (SELECT DISTINCT doc_id, $idx5 AS s
+               FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0)
+      SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_hits
+      FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % 89 <> 0
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id"""))
+  }
+
   /** Intra-document repetition stats (the Gopher-style repetition
     * filter): fraction of a doc's 3-gram shingles that are duplicates —
     * high dup_ratio marks boilerplate/looping text a pretraining pipeline
@@ -697,5 +753,6 @@ object TextQ {
     ORDER BY doc_id"""))
 
   val queries: Seq[GQuery] =
-    Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47, q48, q49, q50)
+    Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
+      q48, q49, q50, q54)
 }

@@ -137,6 +137,50 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
+  /** Symmetric per-vector int8 quantization: each component maps to
+    * round(x * 127 / max_abs) — the 4-byte-float → 1-byte-int compression
+    * every production vector store runs at scale (4× less shuffle/cache
+    * footprint; integer dot products). Rounding is floor(x + 0.5), which
+    * both engines evaluate identically (round() half-ties do NOT match
+    * cross-engine). Adds `qv` (array<bigint>) to (vec_id, embedding, ...).
+    */
+  def quantizeInt8(raw: DataFrame): DataFrame =
+    raw
+      // materialize max_abs as a column FIRST: referenced inside the
+      // transform lambda it would re-evaluate per element (O(dim²))
+      .withColumn("mx", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qv", expr(
+        """CASE WHEN mx = 0 THEN transform(embedding, x -> CAST(0 AS BIGINT))
+           ELSE transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
+           END"""))
+
+  /** ANN top-k over int8-quantized vectors: sign-bucket prefilter (as
+    * [[annBucketed]]) + exact integer dot product on the quantized
+    * vectors as the similarity. The int dot is exact BIGINT arithmetic —
+    * no float accumulation at all in the scoring loop, and the candidate
+    * vectors move as 1/4 the bytes. */
+  def annQuantized(raw: DataFrame, bits: Int = 3, k: Int = 3, queryMod: Int = 20): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val v = quantizeInt8(raw)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .select(col("vec_id"), col("qv"), col("bucket"))
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("dot_q", expr(
+        "aggregate(zip_with(qqv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("dot_q"), col("rank"))
+  }
+
   /** Brute-force top-5 cosine neighbors for a 5% query sample — the exact
     * baseline every ANN variant is judged against. */
   private val q29 = GQuery(
@@ -272,5 +316,42 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43)
+  /** Oracle-gated fixture instance of [[annQuantized]] (bits=3, k=3). */
+  private val q55 = {
+    val bucketSql =
+      """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
+    val intDotSql = (1 to dim).map(k => s"(qqv[$k] * c.qv[$k])").mkString(" + ")
+    GQuery(
+      "q55_quantized_ann",
+      (s, dir) => annQuantized(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH m AS (SELECT vec_id, embedding,
+            list_aggregate(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+          FROM embeddings),
+        v AS (SELECT vec_id,
+            CASE WHEN mx = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
+            END AS qv,
+            $bucketSql AS bucket
+          FROM m),
+        q AS (SELECT vec_id AS query_id, qv AS qqv, bucket AS qbucket
+              FROM v WHERE vec_id % 20 = 0),
+        pairs AS (SELECT query_id, qbucket AS bucket, c.vec_id AS neighbor_id,
+            ($intDotSql) AS dot_q
+          FROM v c, q WHERE c.bucket = qbucket AND c.vec_id <> query_id),
+        ranked AS (SELECT query_id, bucket, neighbor_id, dot_q,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, neighbor_id) AS rank
+          FROM pairs)
+      SELECT query_id, bucket, neighbor_id, dot_q, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55)
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQ, TextQ, VectorQ}
+
+/** Curation operators (SURVEY §2C additions round 3): deterministic
+  * sampling, PII redaction, TF-IDF, Bloom-prefiltered decontamination and
+  * int8-quantized ANN.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = graft.core.Tables.load(spark, sfDir, "documents")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val rates = Map("en" -> 20, "de" -> 50, "es" -> 50, "fr" -> 50, "zh" -> 50)
+    val s1 = CurationQ.stratifiedSample(docs, "lang", rates)
+      .select("doc_id").as[Long].collect().sorted
+    val s2 = CurationQ.stratifiedSample(docs, "lang", rates)
+      .select("doc_id").as[Long].collect().sorted
+    assert(s1.sameElements(s2), "same docs on every run")
+    // per-stratum keep fraction ≈ rate (md5 buckets, so binomial noise):
+    // just assert the en rate is well below the others' on this fixture
+    val kept = CurationQ.stratifiedSample(docs, "lang", rates)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enFrac = kept("en").toDouble / total("en")
+    val deFrac = kept("de").toDouble / total("de")
+    assert(enFrac < deFrac, s"en=$enFrac must undersample vs de=$deFrac")
+    assert(enFrac > 0.05 && enFrac < 0.40, s"en frac out of band: $enFrac")
+  }
+
+  test("stratified sample validates rates and stratum keys") {
+    intercept[IllegalArgumentException](
+      CurationQ.stratifiedSample(docs, "lang", Map("en" -> 101)))
+    intercept[IllegalArgumentException](
+      CurationQ.stratifiedSample(docs, "lang", Map.empty))
+    intercept[IllegalArgumentException](
+      CurationQ.stratifiedSample(docs, "lang", Map("x' OR '1" -> 10)))
+  }
+
+  test("uniform sample returns exactly N, stable, via TakeOrderedAndProject") {
+    val s = CurationQ.uniformSampleN(docs, 37)
+    assert(s.count() == 37)
+    val a = s.select("doc_id").as[Long].collect().sorted
+    val b = CurationQ.uniformSampleN(docs, 37).select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("redactPii strips emails, IPs and phones; counts each span once") {
+    val df = Seq(
+      (1L, "mail bob.smith@corp.example.org and 192.168.1.254 then +4915512345678"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io one ip 10.0.0.1")).toDF("doc_id", "raw")
+    val r = CurationQ.redactPii(df, "raw")
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 1L, 1L, "mail <EMAIL> and <IP> then <PHONE>")))
+    assert(r(1) == ((2L, 0L, 0L, 0L, "no pii here at all")))
+    assert(r(2) == ((3L, 2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("tfidf ranks rare terms above corpus-wide ones") {
+    val corpus = Seq(
+      (1L, "common common rare1"),
+      (2L, "common zebra zebra zebra"),
+      (3L, "common plain")).toDF("doc_id", "text")
+    val top = CurationQ.tfidfTop(corpus, perDoc = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // 'common' is in every doc (df=3 → idf 1M·3/3=1M); rare terms df=1 → 3M
+    assert(top(1L) == "rare1")
+    assert(top(2L) == "zebra")
+    assert(top(3L) == "plain")
+  }
+
+  test("bloom decontamination returns exactly the exact-join result") {
+    val train = docs.filter(col("doc_id") % 89 =!= 0)
+    val eval = docs.filter(col("doc_id") % 89 === 0)
+    val exact = TextQ.decontaminationHits(train, eval)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // even a sloppy 30% fpp sketch must not change the answer — the
+    // confirm join removes every false positive
+    val bloom = TextQ.decontaminationHitsBloom(train, eval, fpp = 0.3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(bloom.sameElements(exact))
+    assert(exact.nonEmpty, "fixture must actually have contamination hits")
+  }
+
+  test("int8 quantization bounds components and zero-vectors quantize to zero") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = VectorQ.quantizeInt8(vecs)
+      .select("vec_id", "qv").as[(Long, Array[Long])].collect().toMap
+    assert(q(1L).sameElements(Array(64L, -127L, 32L))) // 0.5*127=63.5→64
+    assert(q(2L).sameElements(Array(0L, 0L, 0L)))
+    val fixture = VectorQ.quantizeInt8(
+      graft.core.Tables.load(spark, sfDir, "embeddings"))
+    val mx = fixture.select(max(expr(
+      "array_max(transform(qv, x -> abs(x)))"))).head.getLong(0)
+    assert(mx <= 127L, s"quantized component out of int8 range: $mx")
+  }
+
+  test("quantized ANN agrees with float ANN on most neighbors") {
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val iq = VectorQ.annQuantized(emb).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(iq.size == fq.size)
+    // int8 ranks by unnormalized dot, float by cosine — identical sets
+    // are not expected, but most wildly-nearest neighbors should agree
+    val overlap = (fq intersect iq).size.toDouble / fq.size
+    assert(overlap >= 0.5, s"quantized/float neighbor overlap too low: $overlap")
+  }
+}
