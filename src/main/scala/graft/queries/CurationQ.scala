@@ -87,7 +87,10 @@ object CurationQ {
     require(perDoc >= 1, s"perDoc must be >= 1, got $perDoc")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf — its rows ARE the distinct (doc, term) pairs —
+    // so the corpus is exploded once, not twice, and the df aggregation
+    // is a plain count instead of a two-shuffle count-distinct
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))

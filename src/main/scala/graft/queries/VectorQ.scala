@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
-import graft.functions.VectorFunctions.{vec_dot, vec_norm2}
+import graft.functions.VectorFunctions.{vec_dot, vec_dot_long, vec_norm2}
 
 /** Embedding similarity search (SURVEY §2C) over `embeddings`
   * (ArrayType(FloatType), dim 64).
@@ -173,8 +173,7 @@ object VectorQ {
       .orderBy(col("dot_q").desc, col("vec_id"))
     v.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("dot_q", expr(
-        "aggregate(zip_with(qqv, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, e) -> acc + e)"))
+      .withColumn("dot_q", vec_dot_long(col("qqv"), col("qv")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
