@@ -102,6 +102,80 @@ object CurationQ {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rn"))
   }
 
+  /** Cross-document boilerplate removal (the RefinedWeb/CCNet "repeated
+    * lines" filter, expressed over fixed-width word chunks since the
+    * corpus has no line structure): split each document into
+    * `chunkWords`-word segments, drop every segment whose text occurs in
+    * more than `maxDocs` distinct documents (nav bars, footers, licence
+    * blocks), and rebuild the remaining text in order.
+    *
+    * Scale shape is strictly linear: one explode, one hash aggregation on
+    * chunk text (the frequency pass), one anti join against the
+    * boilerplate set (tiny by construction — only chunks repeated across
+    * >maxDocs docs — so AQE broadcasts it), and one per-doc reassembly
+    * aggregation. No pairwise work anywhere; at 100 TB hash the chunk to
+    * a 64-bit key for the frequency pass if chunk strings dominate
+    * shuffle bytes.
+    *
+    * Returns (doc_id, n_chunks, n_kept, cleaned) — docs whose every chunk
+    * was boilerplate survive with n_kept=0 and empty text.
+    */
+  def boilerplateChunks(docs: DataFrame, chunkWords: Int = 8, maxDocs: Int = 2): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val cw = chunkWords
+    val chunked = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunks", expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $cw.0) AS INT) - 1),
+            i -> array_join(slice(toks, i * $cw + 1, $cw), ' '))"""))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+    val boiler = chunked.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("chunk"))
+    val totals = chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = chunked.join(boiler, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // collect_list order is partition-dependent; the array_sort on
+        // (pos, chunk) structs restores document order deterministically
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")),
+          " ").as("cleaned"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
+  /** Oracle fixture of [[boilerplateChunks]] (8-word chunks, boilerplate =
+    * shared by >2 docs); the rebuilt text ships as its sha256 so the
+    * compare proves byte-identical reconstruction compactly. */
+  private val q57 = GQuery(
+    "q57_boilerplate_chunks",
+    (s, dir) => boilerplateChunks(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        sha2(col("cleaned"), 256).as("clean_hash"))
+      .orderBy(col("doc_id")),
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      c AS (SELECT doc_id,
+          UNNEST(range(CAST(ceil(len(l) / 8.0) AS INT))) AS pos,
+          UNNEST(list_transform(range(CAST(ceil(len(l) / 8.0) AS INT)),
+                 i -> array_to_string(l[i*8+1 : i*8+8], ' '))) AS chunk
+        FROM docs),
+      boiler AS (SELECT chunk FROM c GROUP BY chunk
+                 HAVING COUNT(DISTINCT doc_id) > 2),
+      totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY 1),
+      rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+        FROM c WHERE chunk NOT IN (SELECT chunk FROM boiler)
+        GROUP BY 1)
+    SELECT t.doc_id, t.n_chunks, COALESCE(r.n_kept, 0) AS n_kept,
+           sha256(COALESCE(r.cleaned, '')) AS clean_hash
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id"""))
+
   /** Oracle fixture of [[stratifiedSample]]: rebalance the corpus by
     * downsampling dominant English (20%) and keeping half of everything
     * else — the language-rebalancing step of a pretraining mix. */
@@ -184,5 +258,5 @@ object CurationQ {
     FROM ranked WHERE rn <= 3
     ORDER BY doc_id, rn"""))
 
-  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56)
+  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57)
 }

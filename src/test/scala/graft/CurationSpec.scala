@@ -105,6 +105,35 @@ class CurationSpec extends SparkSpec {
     assert(mx <= 127L, s"quantized component out of int8 range: $mx")
   }
 
+  test("boilerplate chunks: repeated segments drop, text rebuilds in order") {
+    val corpus = Seq(
+      (1L, "copyright notice acme corp all rights reserved alpha beta unique one two"),
+      (2L, "copyright notice acme corp all rights reserved gamma delta something else here"),
+      (3L, "copyright notice acme corp all rights reserved epsilon zeta other words go"),
+      (4L, "copyright notice acme corp all rights reserved"),
+      (5L, "entirely original document with no shared text")).toDF("doc_id", "text")
+    // 7-word chunks: docs 1-4 share the leading 7-word copyright banner
+    // (4 docs > maxDocs=2 → boilerplate); their tails are unique and kept
+    val r = CurationQ.boilerplateChunks(corpus, chunkWords = 7, maxDocs = 2)
+      .select("doc_id", "n_chunks", "n_kept", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 1L, "alpha beta unique one two")))
+    assert(r(1) == ((2L, 2L, 1L, "gamma delta something else here")))
+    assert(r(2) == ((3L, 2L, 1L, "epsilon zeta other words go")))
+    // doc 4 is ALL boilerplate — must survive with empty text, not vanish
+    assert(r(3) == ((4L, 1L, 0L, "")))
+    assert(r(4) == ((5L, 1L, 1L, "entirely original document with no shared text")))
+  }
+
+  test("boilerplate chunks reassemble multi-chunk docs in document order") {
+    // 12 words at chunkWords=3 → 4 chunks; none repeated → text unchanged
+    val one = Seq((9L, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12"))
+      .toDF("doc_id", "text")
+    val r = CurationQ.boilerplateChunks(one, chunkWords = 3, maxDocs = 1)
+      .select("n_chunks", "cleaned").as[(Long, String)].head()
+    assert(r == ((4L, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12")))
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
