@@ -180,23 +180,48 @@ object VectorQ {
         col("dot_q"), col("rank"))
   }
 
+  /** Exact brute-force top-k cosine neighbors for the `vec_id % queryMod`
+    * query sample — the ground truth every ANN variant is judged against.
+    * O(n·q) pairwise, so q must stay a bounded sample at scale.
+    */
+  def cosineTopK(raw: DataFrame, k: Int = 5, queryMod: Int = 20): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val v = withNorm(raw)
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Recall of an ANN result against exact ground truth: per query, how
+    * many of the true top-k neighbors the approximate search returned.
+    * Both inputs are (query_id, neighbor_id, ...); `exact` defines the
+    * denominator. The quality gate a production ANN runs continuously —
+    * ship it next to every index build. Two hash aggregations and one
+    * equi-join on (query_id, neighbor_id); cost is the ground-truth
+    * sample's, not the corpus's.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val den = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    den.join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
   /** Brute-force top-5 cosine neighbors for a 5% query sample — the exact
     * baseline every ANN variant is judged against. */
   private val q29 = GQuery(
     "q29_cosine_topk",
-    (s, dir) => {
-      val v = withNorm(t(s, dir, "embeddings"))
-      val q = v.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
+    (s, dir) => cosineTopK(t(s, dir, "embeddings"), k = 5)
+      .orderBy(col("query_id"), col("rank")),
     Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
                 FROM embeddings),
       q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
@@ -352,5 +377,52 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55)
+  /** Recall@3 of the bucketed ANN (q30 fixture parameters) against exact
+    * brute-force top-3 — the index-quality metric, oracle-checked
+    * end-to-end. Low n_hits rows are the queries whose true neighbors sit
+    * across a sign-bucket boundary. */
+  private val q58 = {
+    val bucketSql =
+      """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
+    GQuery(
+      "q58_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        annRecall(
+          cosineTopK(emb, k = 3).select(col("query_id"), col("neighbor_id")),
+          annBucketed(emb).select(col("query_id"), col("neighbor_id")))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                     bucket AS qbucket
+              FROM v WHERE vec_id % 20 = 0),
+        exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, c.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) DESC,
+                c.vec_id) AS rank
+            FROM v c, q WHERE c.vec_id <> query_id)
+          WHERE rank <= 3),
+        ann AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, c.vec_id AS neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) DESC,
+                c.vec_id) AS rank
+            FROM v c, q WHERE c.bucket = qbucket AND c.vec_id <> query_id)
+          WHERE rank <= 3),
+        den AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+        hits AS (SELECT e.query_id, COUNT(*) AS n_hits
+                 FROM exact e JOIN ann a
+                   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                 GROUP BY 1)
+      SELECT d.query_id, d.n_exact, COALESCE(h.n_hits, 0) AS n_hits
+      FROM den d LEFT JOIN hits h ON d.query_id = h.query_id
+      ORDER BY d.query_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58)
 }

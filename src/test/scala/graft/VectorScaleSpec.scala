@@ -59,6 +59,26 @@ class VectorScaleSpec extends SparkSpec {
     assert(c16.max < c2.max)
   }
 
+  test("annRecall measures the speed/quality trade: coarser buckets recall more") {
+    val exact = VectorQ.cosineTopK(emb, k = 3).select("query_id", "neighbor_id")
+    def meanRecall(bits: Int): Double = {
+      val r = VectorQ.annRecall(exact,
+          VectorQ.annBucketed(emb, bits = bits, k = 3)
+            .select("query_id", "neighbor_id"))
+        .agg(sum(col("n_hits")).cast("double") / sum(col("n_exact"))).head.getDouble(0)
+      r
+    }
+    val coarse = meanRecall(1)   // 2 buckets: half the corpus per candidate set
+    val fine = meanRecall(6)     // 64 buckets: tiny candidate sets
+    assert(coarse > fine,
+      s"recall must degrade as buckets shrink: bits=1 → $coarse, bits=6 → $fine")
+    assert(coarse >= 0.5, s"2-bucket LSH should catch most true neighbors: $coarse")
+    // every query keeps its denominator: no rows lost by the left join
+    val perQuery = VectorQ.annRecall(exact,
+      VectorQ.annBucketed(emb, bits = 6, k = 3).select("query_id", "neighbor_id"))
+    assert(perQuery.filter(col("n_exact") =!= 3).count() == 0)
+  }
+
   test("signBucket rejects degenerate bit counts") {
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 0))
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 63))
