@@ -180,6 +180,98 @@ object VectorQ {
         col("dot_q"), col("rank"))
   }
 
+  /** Left-associated per-component dot product of two array columns —
+    * the same fold order as [[graft.functions.VecDot]] and the oracle's
+    * 64-term SQL chain, so mixed float/double operands stay bit-identical
+    * cross-engine. */
+  private def dotCols(a: Column, b: Column): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
+      .reduce(_ + _)
+
+  /** Nearest-centroid assignment: one broadcast of the (small) centroid
+    * table against the full corpus, argmin via a map-side `min(struct)` —
+    * no window, no extra shuffle beyond the per-vector aggregation.
+    * `centroids` is (cluster: Long, centroid: array<double>). Returns
+    * (vec_id, embedding, nrm, cluster). Ties break to the lowest cluster
+    * id, matching the oracle's `ORDER BY dist_sq, cluster` rank. */
+  def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroids))
+      .withColumn("dist_sq",
+        col("nrm") + dotCols(col("centroid"), col("centroid"))
+          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist_sq"), col("cluster"))).as("m"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("m.cluster").as("cluster"), col("m.dist_sq").as("dist_sq"))
+
+  /** Distributed Lloyd k-means over the embedding column — the trained
+    * replacement for [[annIvf]]'s seed centroids. Deterministic end to
+    * end: seeds are the `cells` lowest vec_ids, every per-dimension mean
+    * is an exact DECIMAL(38,8) sum divided by the count and rounded to
+    * 6 dp (no float-accumulation order dependence), and ties in the
+    * assignment break to the lowest cluster id.
+    *
+    * Per iteration: one broadcast-assign pass (no shuffle beyond the
+    * per-vector argmin aggregation) and one per-(cluster, dimension) mean
+    * aggregation. Centroids — O(cells · dim) values, NOT data-sized —
+    * come back to the driver between iterations; chaining the loop
+    * lazily instead would grow the plan exponentially. Clusters that
+    * lose every member keep their previous centroid. Returns
+    * (cluster: Long, centroid: array<double>) with 6-dp components.
+    */
+  def kmeansCentroids(raw: DataFrame, cells: Int = 4, iters: Int = 2): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val v = withNorm(raw)
+    var cents: Seq[(Long, Seq[Double])] = v.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id"), col("embedding")).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cluster", "centroid")
+      val assigned = assignToCentroids(v, cdf)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(
+          sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))")).cast(DoubleType)
+            / count(lit(1)), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"),
+          transform(col("pm"), x => x.getField("m")).as("centroid"))
+        .as[(Long, Seq[Double])].collect()
+      val refined = means.toMap
+      cents = cents.map { case (c, old) => c -> refined.getOrElse(c, old) }
+    }
+    cents.toDF("cluster", "centroid")
+  }
+
+  /** IVF search over TRAINED centroids (from [[kmeansCentroids]] or any
+    * (cluster, centroid) table): broadcast-assign, then top-k within the
+    * query's cell — the same scale shape as [[annIvf]] with better cell
+    * balance than raw seeds. */
+  def annIvfTrained(raw: DataFrame, centroids: DataFrame, k: Int = 3,
+      queryMod: Int = 20): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val assigned = assignToCentroids(withNorm(raw), centroids)
+    val q = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cluster").as("qcluster"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Exact brute-force top-k cosine neighbors for the `vec_id % queryMod`
     * query sample — the ground truth every ANN variant is judged against.
     * O(n·q) pairwise, so q must stay a bounded sample at scale.
@@ -424,5 +516,55 @@ object VectorQ {
       ORDER BY d.query_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58)
+  /** One oracle-checked Lloyd iteration (cells=4): seed-assign → exact
+    * decimal per-dimension means → reassign to the refined centroids.
+    * Output is the post-iteration cluster census plus the first refined
+    * centroid component — enough to pin both the assignment and the mean
+    * arithmetic cross-engine. */
+  private val q59 = {
+    val meanCols = (1 to dim).map(k =>
+      s"ROUND(CAST(SUM(CAST(CAST(embedding[$k] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS c$k")
+      .mkString(", ")
+    val coalCols = (1 to dim).map(k =>
+      s"COALESCE(m.c$k, CAST(s.embedding[$k] AS DOUBLE)) AS c$k").mkString(", ")
+    val cnormChain = (1 to dim).map(k => s"(c.c$k * c.c$k)").mkString(" + ")
+    val dotChain = (1 to dim).map(k =>
+      s"(CAST(v.embedding[$k] AS DOUBLE) * c.c$k)").mkString(" + ")
+    GQuery(
+      "q59_kmeans_iter",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = kmeansCentroids(emb, cells = 4, iters = 1)
+        assignToCentroids(withNorm(emb), cents)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_member"))
+          .join(cents.select(col("cluster"),
+            element_at(col("centroid"), 1).as("c1")), Seq("cluster"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                  FROM embeddings),
+        seeds AS (SELECT vec_id AS seed_id, embedding FROM v WHERE vec_id < 4),
+        a0 AS (SELECT vec_id, embedding, cluster FROM (
+            SELECT v.vec_id, v.embedding, s.seed_id AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY v.nrm + (${normSql("s.embedding")})
+                  - 2 * (${dotSql("v.embedding", "s.embedding")}), s.seed_id) AS arn
+            FROM v, seeds s) WHERE arn = 1),
+        m AS (SELECT cluster, $meanCols FROM a0 GROUP BY cluster),
+        cents AS (SELECT s.seed_id AS cluster, $coalCols
+                  FROM seeds s LEFT JOIN m ON s.seed_id = m.cluster),
+        a1 AS (SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.cluster,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY v.nrm + ($cnormChain) - 2 * ($dotChain), c.cluster) AS arn
+            FROM v, cents c) WHERE arn = 1)
+      SELECT a1.cluster, COUNT(*) AS n_members, MIN(a1.vec_id) AS first_member,
+             ce.c1 AS c1
+      FROM a1 JOIN cents ce ON a1.cluster = ce.cluster
+      GROUP BY a1.cluster, ce.c1
+      ORDER BY a1.cluster"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59)
 }

@@ -79,6 +79,51 @@ class VectorScaleSpec extends SparkSpec {
     assert(perQuery.filter(col("n_exact") =!= 3).count() == 0)
   }
 
+  private def inertia(cents: org.apache.spark.sql.DataFrame): Double = {
+    val v = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", graft.functions.VectorFunctions.vec_norm2(col("embedding")))
+    VectorQ.assignToCentroids(v, cents)
+      .agg(sum(col("dist_sq"))).head.getDouble(0)
+  }
+
+  test("kmeans: zero iterations returns the seed vectors as centroids") {
+    val seeds = VectorQ.kmeansCentroids(emb, cells = 3, iters = 0)
+      .orderBy(col("cluster")).collect()
+    val lowest = emb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(seeds.map(_.getLong(0)).sameElements(lowest.map(_.getLong(0))))
+    val s0 = seeds(0).getSeq[Double](1)
+    val l0 = lowest(0).getSeq[Float](1).map(_.toDouble)
+    assert(s0 == l0, "iters=0 centroid must be the raw seed embedding")
+  }
+
+  test("kmeans: Lloyd iterations do not increase inertia, and training helps") {
+    val i0 = inertia(VectorQ.kmeansCentroids(emb, cells = 8, iters = 0))
+    val i1 = inertia(VectorQ.kmeansCentroids(emb, cells = 8, iters = 1))
+    val i3 = inertia(VectorQ.kmeansCentroids(emb, cells = 8, iters = 3))
+    // 6-dp centroid rounding can wiggle the tail, so allow 0.01% slack
+    assert(i1 <= i0 * 1.0001, s"iter1 inertia $i1 > iter0 $i0")
+    assert(i3 <= i1 * 1.0001, s"iter3 inertia $i3 > iter1 $i1")
+    assert(i3 < i0 * 0.95, s"training barely moved inertia: $i0 -> $i3")
+  }
+
+  test("kmeans is deterministic across runs") {
+    val a = VectorQ.kmeansCentroids(emb, cells = 4, iters = 2)
+      .orderBy(col("cluster")).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = VectorQ.kmeansCentroids(emb, cells = 4, iters = 2)
+      .orderBy(col("cluster")).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b))
+  }
+
+  test("trained IVF search returns complete ranked neighbor lists") {
+    val cents = VectorQ.kmeansCentroids(emb, cells = 4, iters = 2)
+    val res = VectorQ.annIvfTrained(emb, cents, k = 3).collect()
+    assert(res.nonEmpty)
+    val byQuery = res.groupBy(_.getLong(0)).values
+    assert(byQuery.forall(g =>
+      g.map(_.getLong(4)).sorted.sameElements(1L to g.length)))
+  }
+
   test("signBucket rejects degenerate bit counts") {
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 0))
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 63))
