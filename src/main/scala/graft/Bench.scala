@@ -32,7 +32,12 @@ object Bench {
     val spark = core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = queries.Registry.all.filter(_.bench).map { q =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q26b_neardup_components,q01_…
+    // times just those queries; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = queries.Registry.all
+      .filter(q => q.bench && only.forall(_.contains(q.name))).map { q =>
       val med =
         try {
           time(materialize(q.build(spark, sfDir))) // warm-up (plans + page cache)

@@ -276,13 +276,16 @@ object TextQ {
       val viaNeighbors = edges
         .join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u").as("doc_id_n")).agg(min(col("component")).as("n_comp"))
+      // carry the previous label through the checkpoint: the convergence
+      // check is then a scan of the (already materialized) snapshot
+      // instead of a per-round join back against the old labels
       val next = snap( // cut the lineage so plans don't grow per round
         labels.join(viaNeighbors, col("doc_id") === col("doc_id_n"), "left")
           .select(col("doc_id"),
-            least(col("component"), coalesce(col("n_comp"), col("component"))).as("component")))
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels = next
+            least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
+            col("component").as("prev")))
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
