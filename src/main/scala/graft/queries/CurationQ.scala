@@ -133,20 +133,25 @@ object CurationQ {
     val boiler = chunked.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > maxDocs)
-      .select(col("chunk"))
-    val totals = chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-    val rebuilt = chunked.join(boiler, Seq("chunk"), "left_anti")
+      .select(col("chunk"), lit(true).as("is_boiler"))
+    // flag-join (not anti-join) so ONE per-doc aggregation yields the
+    // total count, the kept count and the rebuilt text together — the
+    // corpus is scanned/exploded twice (frequency pass + this one), not
+    // three times, and all-boilerplate docs survive without a backfill
+    // join. boiler chunks are distinct, so the left join never fans out.
+    chunked.join(boiler, Seq("chunk"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        // collect_list order is partition-dependent; the array_sort on
-        // (pos, chunk) structs restores document order deterministically
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+        // collect_list skips the nulls (boilerplate rows) and its order is
+        // partition-dependent; array_sort on (pos, chunk) structs restores
+        // document order deterministically
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("pos"), col("chunk"))))),
             x => x.getField("chunk")),
           " ").as("cleaned"))
-    totals.join(rebuilt, Seq("doc_id"), "left")
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
   }
 
   /** Oracle fixture of [[boilerplateChunks]] (8-word chunks, boilerplate =
