@@ -87,14 +87,15 @@ object CurationQ {
     require(perDoc >= 1, s"perDoc must be >= 1, got $perDoc")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    // df derives from tf — its rows ARE the distinct (doc, term) pairs —
-    // so the corpus is exploded once, not twice, and the df aggregation
-    // is a plain count instead of a two-shuffle count-distinct
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df is a WINDOW count over tok on the tf rows (which ARE the distinct
+    // (doc, term) pairs): the corpus is exploded and aggregated exactly
+    // once, and df attaches with one tok-shuffle — no second branch for
+    // Catalyst to prune into a non-reusable subtree, no join
+    val wdf = Window.partitionBy(col("tok"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
-    tf.join(dfreq, "tok")
+    tf.withColumn("df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(n))
       .withColumn("score", expr("tf * ((1000000 * n_docs) div df)"))
       .withColumn("rn", row_number().over(w).cast(LongType))
