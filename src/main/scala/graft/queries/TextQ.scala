@@ -644,9 +644,12 @@ object TextQ {
   def decontaminationHitsBloom(train: DataFrame, eval: DataFrame,
       width: Int = 5, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // the eval shingle set is read three times (count for sizing, sketch
+    // build, confirm join) and is small by construction of a
+    // decontamination run — cache it rather than re-exploding the eval
+    // docs per use; eviction is LRU if memory is ever tight
     val evalShingles = explodedShingles(eval, width).select(col("s")).distinct()
-    // expectedNumItems needs a count first; both jobs scan only the eval
-    // side (the small one, by construction of a decontamination run)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = math.max(evalShingles.count(), 1L)
     val bloom = evalShingles.stat.bloomFilter("s", n, fpp)
     val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
