@@ -264,5 +264,25 @@ object CurationQ {
     FROM ranked WHERE rn <= 3
     ORDER BY doc_id, rn"""))
 
-  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57)
+  /** Oracle fixture of [[graft.etl.Layout.zorder2]]: Morton codes for a
+    * 128×128 grid derived from doc_id, proving the interleave arithmetic
+    * bit-for-bit cross-engine (the layout writers cluster files by this
+    * value). */
+  private val q60 = {
+    val z = graft.etl.Layout.zorder2Sql("x", "y", bits = 7)
+    GQuery(
+      "q60_zorder_curve",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 128).as("x"),
+          ((col("doc_id") / 128).cast(LongType) % 128).as("y"))
+        .withColumn("z", graft.etl.Layout.zorder2(col("x"), col("y"), bits = 7))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, x, y, $z AS z
+        FROM (SELECT doc_id, doc_id % 128 AS x, (doc_id // 128) % 128 AS y
+              FROM documents)
+        ORDER BY doc_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60)
 }
