@@ -264,6 +264,51 @@ object CurationQ {
     FROM ranked WHERE rn <= 3
     ORDER BY doc_id, rn"""))
 
+  /** Sequence packing (concat-and-chunk): assign documents to fixed
+    * token-budget training sequences. Docs are concatenated in a
+    * deterministic order and chunked every `budget` tokens; a document's
+    * bin is where its first token lands, and `offset` is its start
+    * position within that bin — exactly the bookkeeping a pretraining
+    * dataloader needs to slice packed sequences.
+    *
+    * Packing is per `shardCol` group (a corpus shard: source, split,
+    * …): a single global running sum would serialize on one partition,
+    * so the window partitions by shard and shards pack in parallel —
+    * the layout real pipelines use (each worker packs its own shard).
+    * One explode-free pass: token counts come from `size(split(...))`,
+    * the running sum is a window aggregation.
+    */
+  def packSequences(docs: DataFrame, shardCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(end_tok - n_tokens) div $budget"))
+      .withColumn("offset", expr(s"(end_tok - n_tokens) % $budget"))
+  }
+
+  /** Oracle fixture of [[packSequences]] (shard = source, 2048-token
+    * sequences): per-doc bin/offset assignments, plus enough columns to
+    * pin the running sum itself. */
+  private val q61 = GQuery(
+    "q61_sequence_packing",
+    (s, dir) => packSequences(t(s, dir, "documents"), "source", budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("end_tok"),
+        col("bin"), col("offset"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source, n_tokens, end_tok,
+        CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS bin,
+        CAST((end_tok - n_tokens) % 2048 AS BIGINT) AS "offset"
+      FROM (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+        FROM documents)
+      ORDER BY doc_id"""))
+
   /** Oracle fixture of [[graft.etl.Layout.zorder2]]: Morton codes for a
     * 128×128 grid derived from doc_id, proving the interleave arithmetic
     * bit-for-bit cross-engine (the layout writers cluster files by this
@@ -284,5 +329,5 @@ object CurationQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60)
+  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60, q61)
 }

@@ -134,6 +134,27 @@ class CurationSpec extends SparkSpec {
     assert(r == ((4L, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12")))
   }
 
+  test("sequence packing: offsets bounded, bins monotone, totals conserved") {
+    val budget = 256
+    val packed = CurationQ.packSequences(docs, "source", budget)
+      .select("source", "doc_id", "n_tokens", "end_tok", "bin", "offset")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    packed.foreach { case (_, id, n, end, bin, off) =>
+      assert(off >= 0 && off < budget, s"doc $id offset $off out of [0,$budget)")
+      assert(bin == (end - n) / budget, s"doc $id bin/cumsum mismatch")
+    }
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // first doc of each shard starts the first sequence at position 0
+      assert(ordered.head._5 == 0L && ordered.head._6 == 0L, s"shard $src start")
+      // bins never decrease as docs concatenate
+      assert(ordered.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // the running total ends at the shard's token sum (nothing dropped)
+      assert(ordered.last._4 == ordered.map(_._3).sum, s"shard $src total")
+    }
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
