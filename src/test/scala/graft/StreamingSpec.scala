@@ -449,6 +449,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("events_drain").as[(String, Long)].collect().map(_._2).sum == 200)
   }
 
+  test("streaming curation: quality gate + PII redaction + cross-batch dedup") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the batch curation operators are pure expressions, so they lift
+    // into a stream unchanged: micro-batches of arriving documents get
+    // quality-filtered, redacted and exactly-deduplicated across batches
+    val curated = graft.queries.CurationQ.redactPii(
+        in.toDF().toDF("doc_id", "text")
+          .filter(size(split(col("text"), " ")) >= 3) // quality gate
+          .withColumn("h", sha2(col("text"), 256))
+          .dropDuplicates("h"), // stateful: dedups ACROSS micro-batches
+        "text")
+      .select(col("doc_id"), col("redacted"), col("n_email"))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    try {
+      in.addData((1L, "mail me at bob@corp.example.org today"),
+        (2L, "too short"), (3L, "clean document with no pii at all"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1's text under a new id and adds one new doc
+      in.addData((4L, "mail me at bob@corp.example.org today"),
+        (5L, "another clean document arriving later"))
+      q.processAllAvailable()
+      val rows = spark.table("curated_out")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 3L, 5L), s"got ${rows.toSeq}")
+      assert(rows.head._2 == "mail me at <EMAIL> today")
+      assert(rows.head._3 == 1L)
+      assert(rows.forall(r => !r._2.contains("@")))
+    } finally q.stop()
+  }
+
   test("SupervisorListener auto-restarts a crashing stage up to its budget") {
     val src = Files.createTempDirectory("graft_sup_src").toString
     spark.range(5).toDF("id").write.mode("append").parquet(src)
