@@ -252,23 +252,38 @@ object VectorQ {
 
   /** IVF search over TRAINED centroids (from [[kmeansCentroids]] or any
     * (cluster, centroid) table): broadcast-assign, then top-k within the
-    * query's cell — the same scale shape as [[annIvf]] with better cell
-    * balance than raw seeds. */
+    * query's `nprobe` NEAREST cells — the same scale shape as [[annIvf]]
+    * with better cell balance than raw seeds, and the standard
+    * recall/cost dial: a true neighbor just across a cell boundary is
+    * found by probing the adjacent cell. Candidate work scales with
+    * nprobe/cells of the corpus per query; the probe-set join stays a
+    * (cluster)-equi-join, so it hash-partitions exactly like nprobe=1. */
   def annIvfTrained(raw: DataFrame, centroids: DataFrame, k: Int = 3,
-      queryMod: Int = 20): DataFrame = {
+      queryMod: Int = 20, nprobe: Int = 1): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = assignToCentroids(withNorm(raw), centroids)
-    val q = assigned.filter(col("vec_id") % queryMod === 0)
+    // probe sets: rank ALL cells per query vector and keep the nearest
+    // nprobe — one row per (query, probed cell)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_sq"), col("cluster"))
+    val probes = withNorm(raw).filter(col("vec_id") % queryMod === 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist_sq",
+        col("nrm") + dotCols(col("centroid"), col("centroid"))
+          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cluster").as("qcluster"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(q),
+    assigned.join(broadcast(probes),
         col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
 

@@ -121,7 +121,24 @@ class VectorScaleSpec extends SparkSpec {
     assert(res.nonEmpty)
     val byQuery = res.groupBy(_.getLong(0)).values
     assert(byQuery.forall(g =>
-      g.map(_.getLong(4)).sorted.sameElements(1L to g.length)))
+      g.map(_.getLong(3)).sorted.sameElements(1L to g.length)))
+  }
+
+  test("IVF nprobe dial: probing more cells never lowers recall") {
+    val cents = VectorQ.kmeansCentroids(emb, cells = 8, iters = 2)
+    val exact = VectorQ.cosineTopK(emb, k = 3).select("query_id", "neighbor_id")
+    def recall(nprobe: Int): Double =
+      VectorQ.annRecall(exact,
+          VectorQ.annIvfTrained(emb, cents, k = 3, nprobe = nprobe)
+            .select("query_id", "neighbor_id"))
+        .agg(sum(col("n_hits")).cast("double") / sum(col("n_exact"))).head.getDouble(0)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r8 = recall(8) // probe every cell == exact search
+    assert(r1 <= r2 + 1e-9, s"nprobe=2 recall $r2 below nprobe=1 $r1")
+    assert(r2 <= r8 + 1e-9, s"nprobe=8 recall $r8 below nprobe=2 $r2")
+    assert(math.abs(r8 - 1.0) < 1e-9,
+      s"probing all cells must recover exact top-k, got $r8")
   }
 
   test("signBucket rejects degenerate bit counts") {
