@@ -730,6 +730,28 @@ object TextQ {
       ORDER BY sh.doc_id"""))
   }
 
+  /** Oracle fixture of [[graft.functions.Aggregators.FrequentItems]]:
+    * token heavy hitters via a Misra–Gries sketch sized above the corpus
+    * vocabulary, where the sketch is provably exact — so the full
+    * GROUP-BY histogram is the oracle. The under-pressure approximation
+    * guarantee is AggregatorsSpec's job; this pins the reduce/merge
+    * plumbing end-to-end through a real shuffle. */
+  private val q62 = GQuery(
+    "q62_heavy_hitters",
+    (s, dir) => {
+      val mg = udaf(new graft.functions.Aggregators.FrequentItems(256),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(mg(col("tok")).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("tok", "est")))
+        .orderBy(col("tok"))
+    },
+    Some("""SELECT tok, COUNT(*) AS est
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY tok"""))
+
   /** Intra-document repetition stats (the Gopher-style repetition
     * filter): fraction of a doc's 3-gram shingles that are duplicates —
     * high dup_ratio marks boilerplate/looping text a pretraining pipeline
@@ -760,5 +782,5 @@ object TextQ {
 
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54)
+      q48, q49, q50, q54, q62)
 }

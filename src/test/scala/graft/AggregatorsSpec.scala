@@ -29,6 +29,30 @@ class AggregatorsSpec extends SparkSpec {
     assert(rows(1).sameElements(Array(10.0, 0.0)))
   }
 
+  test("FrequentItems is exact when capacity covers the domain") {
+    val toks = Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++ Seq.fill(5)("cold")
+    val got = toks.toDS().repartition(7) // force several partials + a merge
+      .select(udaf(new Aggregators.FrequentItems(10),
+        org.apache.spark.sql.Encoders.STRING).apply(col("value")))
+      .head.getMap[String, Long](0)
+    assert(got == Map("hot" -> 50L, "warm" -> 20L, "cold" -> 5L))
+  }
+
+  test("FrequentItems under pressure keeps heavy hitters within the MG bound") {
+    // n=130: one heavy item (100) + 30 singletons, capacity 4
+    // → guarantee: any item with count > n/(cap+1) = 26 survives, and
+    // estimates under-count by at most 26
+    val toks = Seq.fill(100)("heavy") ++ (1 to 30).map(i => s"noise$i")
+    val got = toks.toDS().repartition(5)
+      .select(udaf(new Aggregators.FrequentItems(4),
+        org.apache.spark.sql.Encoders.STRING).apply(col("value")))
+      .head.getMap[String, Long](0)
+    assert(got.size <= 4, s"sketch exceeded capacity: $got")
+    assert(got.contains("heavy"), s"heavy hitter evicted: $got")
+    val est = got("heavy")
+    assert(est <= 100L && est >= 100L - 26L, s"estimate $est outside MG bound")
+  }
+
   test("VectorMean over the embeddings fixture matches the SQL centroid") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val typed = emb.select(col("label"), col("embedding"))
