@@ -22,7 +22,8 @@ object ScaleProbe {
     "q01_pricing_summary", "q02_revenue_by_region", "q03_top_orders",
     "q08_running_total", "q25_dedup_exact", "q26_minhash_lsh",
     "q27b_simhash_neardup", "q30_ann_bucketed", "q48_hash_split",
-    "q49_repetition")
+    "q49_repetition", "q53_tfidf_topk", "q57_boilerplate_chunks",
+    "q61_sequence_packing", "q62_heavy_hitters")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

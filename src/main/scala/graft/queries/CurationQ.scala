@@ -264,6 +264,87 @@ object CurationQ {
     FROM ranked WHERE rn <= 3
     ORDER BY doc_id, rn"""))
 
+  private val stopWords = Seq("the", "a", "of", "and", "data", "row")
+
+  /** The composite keep/drop decision a curation pipeline actually ships:
+    * every per-document signal — length, stopword ratio (gibberish
+    * proxy), intra-doc repetition (Gopher dup-ratio), PII presence —
+    * folded into one `reason` bitmask (0 = keep). Reasons are bits, not
+    * a first-match CASE, so operators see every failing filter at once
+    * and filter-attrition reports are a single group-by on `reason`.
+    *
+    * Cost: the expression signals are a single scan; repetition is the
+    * one aggregation (3-gram shingle stats), joined back on doc_id.
+    * Bits: 1 = too short, 2 = stopword ratio below floor, 4 = repetitive,
+    * 8 = contains PII.
+    */
+  def curationVerdict(docs: DataFrame, minTokens: Int = 20,
+      minStopRatio: Double = 0.05, maxDupRatio: Double = 0.5): DataFrame = {
+    val stop = stopWords.map(w => s"'$w'").mkString(", ")
+    val rep = TextQ.repetitionStats(docs).select(col("doc_id"), col("dup_ratio"))
+    redactPii(docs, "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter(split(text, ' '), x -> x IN ($stop))) AS BIGINT)"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 6))
+      .withColumn("n_pii",
+        col("n_email") + col("n_ip") + col("n_phone"))
+      .join(rep, Seq("doc_id"), "left")
+      // docs under 3 tokens have no shingle row: not repetitive, by definition
+      .withColumn("dup_ratio", coalesce(col("dup_ratio"), lit(0.0)))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, 1L).otherwise(0L)
+          + when(col("stop_ratio") < minStopRatio, 2L).otherwise(0L)
+          + when(col("dup_ratio") > maxDupRatio, 4L).otherwise(0L)
+          + when(col("n_pii") > 0, 8L).otherwise(0L))
+      .withColumn("keep", (col("reason") === 0L).cast(LongType))
+  }
+
+  /** Oracle fixture of [[curationVerdict]] — the full per-doc verdict
+    * table (fixture corpus carries no PII, so bit 8 stays 0 here; the
+    * spec plants PII to prove that bit). */
+  private val q63 = {
+    val stop = stopWords.map(w => s"'$w'").mkString(", ")
+    GQuery(
+      "q63_curation_verdict",
+      (s, dir) => curationVerdict(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("dup_ratio"), col("n_pii"), col("reason"), col("keep"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+               FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+        rep AS (SELECT doc_id,
+            ROUND(1.0 - (1.0 * COUNT(DISTINCT s)) / COUNT(*), 6) AS dup_ratio
+          FROM sh GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ROUND(CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ($stop))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS stop_ratio,
+            CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) +
+              len(regexp_extract_all(text,
+                '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) +
+              len(regexp_extract_all(text, '\\+\\d{7,}')) AS BIGINT) AS n_pii
+          FROM documents),
+        v AS (SELECT sig.doc_id, n_tokens, stop_ratio,
+            COALESCE(rep.dup_ratio, 0.0) AS dup_ratio, n_pii
+          FROM sig LEFT JOIN rep ON sig.doc_id = rep.doc_id)
+      SELECT doc_id, n_tokens, stop_ratio, dup_ratio, n_pii,
+        (CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END
+         + CASE WHEN stop_ratio < 0.05 THEN 2 ELSE 0 END
+         + CASE WHEN dup_ratio > 0.5 THEN 4 ELSE 0 END
+         + CASE WHEN n_pii > 0 THEN 8 ELSE 0 END)::BIGINT AS reason,
+        (CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.05
+               AND dup_ratio <= 0.5 AND n_pii = 0
+          THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM v
+      ORDER BY doc_id"""))
+  }
+
   /** Sequence packing (concat-and-chunk): assign documents to fixed
     * token-budget training sequences. Docs are concatenated in a
     * deterministic order and chunked every `budget` tokens; a document's
@@ -329,5 +410,5 @@ object CurationQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60, q61)
+  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60, q61, q63)
 }

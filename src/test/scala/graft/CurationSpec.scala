@@ -155,6 +155,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation verdict: every filter sets its own reason bit") {
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => if (i % 5 == 0) "the" else s"w$i").mkString(" ")), // clean → keep
+      (2L, "too short but the of and"),                          // bit 1
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll " * 2), // bit 2 (no stopwords)
+      (4L, "the of and " + Seq.fill(40)("loop loop loop").mkString(" ")), // bit 4
+      (5L, ("the of and data row mail bob@x.io now " * 5).trim)  // bit 8
+    ).toDF("doc_id", "text")
+    val v = CurationQ.curationVerdict(corpus)
+      .select("doc_id", "reason", "keep").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v(1L) == ((0L, 1L)), s"clean doc: ${v(1L)}")
+    assert((v(2L)._1 & 1L) != 0 && v(2L)._2 == 0L, s"short: ${v(2L)}")
+    assert((v(3L)._1 & 2L) != 0 && v(3L)._2 == 0L, s"gibberish: ${v(3L)}")
+    assert((v(4L)._1 & 4L) != 0 && v(4L)._2 == 0L, s"repetitive: ${v(4L)}")
+    assert((v(5L)._1 & 8L) != 0 && v(5L)._2 == 0L, s"pii: ${v(5L)}")
+    // reasons accumulate: a short gibberish doc carries both bits
+    val both = CurationQ.curationVerdict(
+        Seq((9L, "xq zr wt")).toDF("doc_id", "text"))
+      .select("reason").as[Long].head()
+    assert((both & 1L) != 0 && (both & 2L) != 0, s"expected 1|2 in $both")
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
