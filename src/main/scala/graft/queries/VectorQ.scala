@@ -81,6 +81,38 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
+  /** Multi-probe LSH ANN: each query searches its own sign bucket AND
+    * every bucket within hamming distance `probeHamming` of it — a true
+    * neighbor that lands just across one sign boundary (the dominant LSH
+    * failure mode) is found in the flipped bucket. The probe set explodes
+    * to Σ C(bits, h) rows per query BEFORE the broadcast, so the
+    * candidate join stays a plain bucket-equi-join; cost multiplies by
+    * the probe count, recall climbs toward exact. `probeHamming = bits`
+    * probes every bucket and recovers exact search. */
+  def annBucketedMultiProbe(raw: DataFrame, bits: Int = 3, k: Int = 3,
+      queryMod: Int = 20, probeHamming: Int = 1): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    require(probeHamming >= 0 && probeHamming <= bits,
+      s"probeHamming must be in [0,$bits], got $probeHamming")
+    val masks: Seq[Long] = (0 to probeHamming)
+      .flatMap(h => (0 until bits).combinations(h).map(_.map(1L << _).sum))
+    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("home"))
+      .withColumn("qbucket",
+        explode(array(masks.map(m => col("home").bitwiseXOR(lit(m))): _*)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate survivors: a vector is kept unless a
     * lower-id near-duplicate (cosine ≥ threshold) shares its sign bucket.
     * Returns (vec_id, embedding, nrm, bucket) of the kept vectors.

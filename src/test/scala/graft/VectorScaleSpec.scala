@@ -11,6 +11,8 @@ import graft.queries.VectorQ
   */
 class VectorScaleSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private lazy val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
 
   /** Total same-bucket candidate pairs Σ c·(c−1)/2 for a bucketing column. */
@@ -139,6 +141,27 @@ class VectorScaleSpec extends SparkSpec {
     assert(r2 <= r8 + 1e-9, s"nprobe=8 recall $r8 below nprobe=2 $r2")
     assert(math.abs(r8 - 1.0) < 1e-9,
       s"probing all cells must recover exact top-k, got $r8")
+  }
+
+  test("multi-probe LSH: recall climbs with probe distance, exact at bits") {
+    val exact = VectorQ.cosineTopK(emb, k = 3).select("query_id", "neighbor_id")
+    def recall(h: Int): Double =
+      VectorQ.annRecall(exact,
+          VectorQ.annBucketedMultiProbe(emb, bits = 3, k = 3, probeHamming = h)
+            .select("query_id", "neighbor_id"))
+        .agg(sum(col("n_hits")).cast("double") / sum(col("n_exact"))).head.getDouble(0)
+    val r0 = recall(0) // own bucket only == annBucketed
+    val r1 = recall(1)
+    val r3 = recall(3) // every bucket probed == exact search
+    assert(r0 <= r1 + 1e-9, s"h=1 recall $r1 below h=0 $r0")
+    assert(r1 <= r3 + 1e-9, s"h=3 recall $r3 below h=1 $r1")
+    assert(math.abs(r3 - 1.0) < 1e-9, s"probing all buckets must be exact: $r3")
+    // h=0 must coincide with the plain bucketed search
+    val plain = VectorQ.annBucketed(emb, bits = 3, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val h0 = VectorQ.annBucketedMultiProbe(emb, bits = 3, k = 3, probeHamming = 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(h0 == plain)
   }
 
   test("signBucket rejects degenerate bit counts") {
