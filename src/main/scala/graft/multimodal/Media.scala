@@ -29,6 +29,15 @@ final case class MediaFeatures(
     fingerprint: Long,
     frame_hashes: Array[Long])
 
+/** One sampled frame of a media payload: the per-frame row a vision
+  * pipeline feeds to feature extraction / embedding. */
+final case class MediaFrame(
+    media_id: Long,
+    frame_idx: Int,
+    n_frames: Int,
+    payload: Array[Byte],
+    meta: Map[String, String])
+
 /** One decoder instance per partition; implementations wrap the actual
   * codec (JNI, javacv, …) and are expected to be expensive to construct. */
 trait MediaDecoder extends Serializable {
@@ -44,6 +53,30 @@ final class FakeDecoder extends MediaDecoder {
     val ht = 16 + math.abs((h / 16) % 16) * 16
     val frames = if (mime.startsWith("video")) 1 + math.abs(h % 30) else 1
     (w, ht, frames)
+  }
+}
+
+/** Per-partition transcoder: resize a payload to fit (maxW, maxH),
+  * returning the new payload and actual output dimensions. Real
+  * implementations wrap an image codec; construction is expensive. */
+trait MediaTranscoder extends Serializable {
+  def resize(payload: Array[Byte], mime: String,
+      maxW: Int, maxH: Int): (Array[Byte], Int, Int)
+}
+
+/** Deterministic stub resize: scales the [[FakeDecoder]] dimensions to
+  * fit the box preserving aspect ratio, and shrinks the payload
+  * proportionally to the pixel reduction (what a real re-encode roughly
+  * does) — byte-deterministic so specs can pin it. */
+final class FakeTranscoder extends MediaTranscoder {
+  private val dec = new FakeDecoder
+  def resize(payload: Array[Byte], mime: String,
+      maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+    val (w, h, _) = dec.decode(payload, mime)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    val keep = math.max(1, (payload.length * (nw.toLong * nh) / (w.toLong * h)).toInt)
+    (payload.take(keep), nw, nh)
   }
 }
 
@@ -108,6 +141,51 @@ object Media {
         map(lit("src"), col("path"),
           lit("len"), col("length").cast("string")).as("meta"))
       .as[MediaRow]
+  }
+
+  /** Batched resize: transcoder built once per partition, payloads
+    * streamed through; output rows carry the new dimensions in `meta`
+    * (out_w/out_h) next to the untouched source metadata. The write-side
+    * of a thumbnail/normalization pass. */
+  def resizeTo(media: Dataset[MediaRow], maxW: Int, maxH: Int,
+      mkTranscoder: () => MediaTranscoder): Dataset[MediaRow] = {
+    require(maxW >= 1 && maxH >= 1, s"target box must be positive: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val t = mkTranscoder() // once per partition
+      rows.map { r =>
+        val (bytes, w, h) = t.resize(r.payload, r.mime, maxW, maxH)
+        r.copy(payload = bytes,
+          meta = r.meta + ("out_w" -> w.toString) + ("out_h" -> h.toString))
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per KEPT frame (every `everyN`-th),
+    * payload sliced per frame by the stub in lieu of a codec. The
+    * iterator flatMap streams frames — a 10k-frame video never
+    * materializes whole in memory, and downstream per-frame work
+    * (embedding, hashing) parallelizes over frames, not videos. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int,
+      mkDecoder: () => MediaDecoder): Dataset[MediaFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = mkDecoder() // once per partition
+      rows.flatMap { r =>
+        val (_, _, frames) = decoder.decode(r.payload, r.mime)
+        val stride = math.max(1, r.payload.length / math.max(frames, 1))
+        (0 until frames by everyN).iterator.map { i =>
+          val off = math.min(i * stride, math.max(r.payload.length - 1, 0))
+          val end = math.min(off + stride, r.payload.length)
+          MediaFrame(r.media_id, i, frames,
+            java.util.Arrays.copyOfRange(r.payload, off, end),
+            r.meta + ("frame" -> i.toString))
+        }
+      }
+    }
   }
 
   /** Repartition a media set by byte budget, not row count — payload sizes

@@ -35,6 +35,42 @@ class MediaSpec extends SparkSpec {
     assert(f1.forall(f => f.n_bytes == lens(f.media_id)))
   }
 
+  test("resizeTo shrinks payloads into the box, preserving aspect and determinism") {
+    val dec = new FakeDecoder
+    val resized = Media.resizeTo(mediaSet(), 64, 64, () => new graft.multimodal.FakeTranscoder)
+      .collect().sortBy(_.media_id)
+    val originals = mediaSet().collect().sortBy(_.media_id)
+    assert(resized.length == originals.length)
+    resized.zip(originals).foreach { case (r, o) =>
+      val (w0, h0, _) = dec.decode(o.payload, o.mime)
+      val (w, h) = (r.meta("out_w").toInt, r.meta("out_h").toInt)
+      assert(w <= 64 && h <= 64, s"${r.media_id}: ${w}x$h not in box")
+      assert(r.payload.length <= o.payload.length)
+      // aspect ratio preserved within integer truncation
+      if (w0 >= h0) assert(w >= h) else assert(h >= w)
+      // no-op when already inside the box
+      if (w0 <= 64 && h0 <= 64) assert(w == w0 && h == h0)
+    }
+    val again = Media.resizeTo(mediaSet().repartition(5), 64, 64,
+      () => new graft.multimodal.FakeTranscoder).collect().sortBy(_.media_id)
+    assert(resized.map(_.payload.length).sameElements(again.map(_.payload.length)))
+  }
+
+  test("sampleFrames yields every Nth frame as its own row") {
+    val dec = new FakeDecoder
+    val media = mediaSet()
+    val frames = Media.sampleFrames(media, everyN = 3, () => new FakeDecoder)
+      .collect().groupBy(_.media_id)
+    media.collect().foreach { m =>
+      val (_, _, n) = dec.decode(m.payload, m.mime)
+      val expected = (0 until n by 3).toArray
+      val got = frames(m.media_id).map(_.frame_idx).sorted
+      assert(got.sameElements(expected), s"media ${m.media_id}: ${got.toSeq}")
+      assert(frames(m.media_id).forall(_.n_frames == n))
+      assert(frames(m.media_id).forall(f => f.meta("frame") == f.frame_idx.toString))
+    }
+  }
+
   test("repartitionByBytes sizes partitions by payload volume") {
     val m = mediaSet()
     val total = m.selectExpr("sum(length(payload))").as[Long].head()
