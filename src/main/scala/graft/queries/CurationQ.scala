@@ -410,5 +410,229 @@ object CurationQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q51, q52, q53, q56, q57, q60, q61, q63)
+  /** Data-driven mixture rebalancing — the "data mixing" step that turns a
+    * raw crawl into a target pretraining mix. Given target corpus shares
+    * per stratum (in ppm), compute per-stratum sampling rates that hit the
+    * target mix by DOWNSAMPLING only: the binding stratum (scarcest
+    * relative to its target) keeps 100% and every other stratum scales
+    * down proportionally, so no stratum is asked to produce docs it
+    * doesn't have. All arithmetic is exact BIGINT ppm — no doubles — so
+    * reruns and engines agree bit-for-bit.
+    *
+    * One count aggregation + three broadcast scalars; the per-stratum
+    * output is dimension-table sized at any corpus scale. Strata absent
+    * from `targets` get no row (rate 0 — dropped by [[rebalanceToMix]]).
+    *
+    * Returns (stratum, n_docs, actual_ppm, target_ppm, rate_ppm,
+    * expected_kept), where expected_kept = the exact doc count a
+    * rate-perfect sampler would keep.
+    */
+  def mixtureWeights(docs: DataFrame, strataCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "at least one target share required")
+    require(targets.values.forall(p => p > 0 && p <= 1000000),
+      s"target shares must be ppm in (0, 1e6]: $targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF(strataCol, "target_ppm")
+    // ONE corpus scan: total is the sum of the per-stratum counts, not a
+    // second docs aggregation (the count exchange is reused across all
+    // three consumers; only post-aggregation stratum-sized rows recompute)
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val withTgt = counts.join(broadcast(tgt), Seq(strataCol))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    // K = docs a full-corpus-equivalent holds, set by the binding stratum
+    val k = withTgt.agg(min(expr("(1000000 * n_docs) div target_ppm")).as("k_scaled"))
+    withTgt.crossJoin(broadcast(total)).crossJoin(broadcast(k))
+      .withColumn("actual_ppm", expr("(1000000 * n_docs) div total"))
+      .withColumn("expected_kept", expr("(k_scaled * target_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        expr("least(1000000, (1000000 * expected_kept) div n_docs)"))
+      .select(col(strataCol), col("n_docs"), col("actual_ppm"),
+        col("target_ppm"), col("rate_ppm"), col("expected_kept"))
+  }
+
+  /** Apply [[mixtureWeights]]: keep a doc iff its ppm hash coordinate
+    * falls under its stratum's computed rate. The rate table broadcasts
+    * (it is stratum-sized), so the apply pass is one scan with a
+    * broadcast join — no extra shuffle at any corpus size. The ppm
+    * coordinate uses md5 chars 9-13, independent of the q48 SPLIT
+    * (chars 1-4) and q51 SAMPLE (chars 5-8) coordinates. */
+  def rebalanceToMix(docs: DataFrame, strataCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    val rates = mixtureWeights(docs, strataCol, targets)
+      .select(col(strataCol), col("rate_ppm"))
+    val b = TextQ.ppmBucketExpr("instr", "doc_id", "STRING", offset = 9)
+    docs.join(broadcast(rates), Seq(strataCol))
+      .filter(expr(s"$b < rate_ppm"))
+      .drop("rate_ppm")
+  }
+
+  /** Bigram language-model quality score — the perplexity-filter analogue
+    * of a CCNet/KenLM pass, in exact integer arithmetic. The corpus IS the
+    * model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with add-one smoothing
+    * over the corpus vocabulary, and a document's score is the average
+    * smoothed transition probability over its bigrams, in ppm. Natural
+    * in-domain text scores high; shuffled/gibberish text scores low.
+    * Integer-scaled (div, not log-sum) so scores are order-independent
+    * and bit-identical cross-engine — a float log-prob sum is neither.
+    *
+    * Scale shape: one bigram explode aggregated ONCE per doc
+    * ((doc,w1,w2) tf); the model counts attach as window sums over that
+    * same relation (no second corpus pass, the q53 df trick), and the
+    * vocabulary joins in as a broadcast scalar. Docs with fewer than two
+    * tokens have no bigrams and drop out.
+    *
+    * Returns (doc_id, n_bigrams, score = Σ tf·p_ppm, avg_ppm).
+    */
+  def lmTransitionScore(docs: DataFrame): DataFrame = {
+    val tf = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+            i -> struct(element_at(toks, i) AS w1,
+                        element_at(toks, i + 1) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val w12 = Window.partitionBy(col("w1"), col("w2"))
+    val w1 = Window.partitionBy(col("w1"))
+    tf.withColumn("c12", sum(col("tf")).over(w12))
+      .withColumn("c1", sum(col("tf")).over(w1))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_ppm", expr("(1000000 * (c12 + 1)) div (c1 + vocab)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("p_ppm")).as("score"))
+      .withColumn("avg_ppm", expr("score div n_bigrams"))
+  }
+
+  /** Overlapping sliding-window chunking — the retrieval/embedding
+    * chunker: every `stride` tokens starts a `window`-token chunk, so
+    * context at a chunk boundary also appears intact inside a neighbor.
+    * Documents shorter than `window` yield their single truncated chunk.
+    * One explode, no shuffle, no state: at 100 TB this is a map-only
+    * stage whose output feeds the embedding UDF batch-wise.
+    *
+    * Returns one row per chunk: (doc_id, chunk_idx, n_toks, chunk).
+    */
+  def chunkOverlap(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: stride=$stride window=$window")
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("nc", expr(
+        s"CAST(ceil(greatest(size(toks) - $window, 0) / $stride.0) AS INT) + 1"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, nc - 1),
+            i -> array_join(slice(toks, i * $stride + 1, $window), ' '))"""))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast(LongType).as("n_toks"),
+        col("chunk"))
+  }
+
+  // q64/q64b fixture mix: an equal five-way language split
+  private val mixTargets: Map[String, Long] =
+    Seq("de", "en", "es", "fr", "zh").map(_ -> 200000L).toMap
+  private val mixTargetsSql: String = mixTargets.toSeq.sorted
+    .map { case (k, v) => s"('$k', ${v}::BIGINT)" }.mkString(", ")
+
+  /** Oracle fixture of [[mixtureWeights]]: rebalance the lang-skewed
+    * corpus to an equal five-way mix. */
+  private val q64 = GQuery(
+    "q64_mixture_weights",
+    (s, dir) => mixtureWeights(t(s, dir, "documents"), "lang", mixTargets)
+      .orderBy(col("lang")),
+    Some(s"""WITH tgt(lang, target_ppm) AS (VALUES $mixTargetsSql),
+      counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      j AS (SELECT * FROM counts JOIN tgt USING (lang)),
+      tot AS (SELECT COUNT(*) AS total FROM documents),
+      k AS (SELECT MIN((1000000 * n_docs) // target_ppm) AS k_scaled FROM j)
+    SELECT lang, n_docs,
+      CAST((1000000 * n_docs) // total AS BIGINT) AS actual_ppm,
+      target_ppm,
+      CAST(least(1000000,
+        (1000000 * ((k_scaled * target_ppm) // 1000000)) // n_docs) AS BIGINT)
+        AS rate_ppm,
+      CAST((k_scaled * target_ppm) // 1000000 AS BIGINT) AS expected_kept
+    FROM j, tot, k
+    ORDER BY lang"""))
+
+  /** Oracle fixture of [[rebalanceToMix]]: the applied per-doc filter. */
+  private val q64b = {
+    val b = TextQ.ppmBucketExpr("strpos", "d.doc_id", "VARCHAR", offset = 9)
+    GQuery(
+      "q64b_rebalanced",
+      (s, dir) => rebalanceToMix(t(s, dir, "documents"), "lang", mixTargets)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tgt(lang, target_ppm) AS (VALUES $mixTargetsSql),
+        counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        j AS (SELECT * FROM counts JOIN tgt USING (lang)),
+        k AS (SELECT MIN((1000000 * n_docs) // target_ppm) AS k_scaled FROM j),
+        rates AS (SELECT lang,
+            least(1000000,
+              (1000000 * ((k_scaled * target_ppm) // 1000000)) // n_docs)
+              AS rate_ppm
+          FROM j, k)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE $b < r.rate_ppm
+      ORDER BY d.doc_id"""))
+  }
+
+  /** Oracle fixture of [[lmTransitionScore]] over the full corpus. */
+  private val q65 = GQuery(
+    "q65_lm_score",
+    (s, dir) => lmTransitionScore(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+      bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+             WHERE len(ts) >= 2),
+      tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM
+              (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+      c AS (SELECT doc_id, tf,
+          CAST(SUM(tf) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+          CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        FROM tf),
+      p AS (SELECT doc_id, tf,
+          CAST((1000000 * (c12 + 1)) // (c1 + vocab) AS BIGINT) AS p_ppm
+        FROM c, v)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      CAST(SUM(tf * p_ppm) AS BIGINT) AS score,
+      CAST(SUM(tf * p_ppm) // SUM(tf) AS BIGINT) AS avg_ppm
+    FROM p GROUP BY doc_id
+    ORDER BY doc_id"""))
+
+  /** Oracle fixture of [[chunkOverlap]] (window 6, stride 3); chunk text
+    * ships as sha256 so the compare pins exact content compactly. */
+  private val q66 = GQuery(
+    "q66_chunk_overlap",
+    (s, dir) => chunkOverlap(t(s, dir, "documents"), window = 6, stride = 3)
+      .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        sha2(col("chunk"), 256).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+          CAST(ceil(greatest(len(string_split(text, ' ')) - 6, 0) / 3.0)
+            AS INT) + 1 AS nc
+        FROM documents),
+      c AS (SELECT doc_id,
+          UNNEST(range(nc)) AS chunk_idx,
+          UNNEST(list_transform(range(nc),
+            i -> array_to_string(l[i*3+1 : i*3+6], ' '))) AS chunk
+        FROM d)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks,
+      sha256(chunk) AS chunk_hash
+    FROM c
+    ORDER BY doc_id, chunk_idx"""))
+
+  val queries: Seq[GQuery] =
+    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66)
 }

@@ -600,6 +600,22 @@ object TextQ {
     s"((((${h(offset)} * 16 + ${h(offset + 1)}) * 16 + ${h(offset + 2)}) * 16 + ${h(offset + 3)}) % 100)"
   }
 
+  /** Fine-grained sibling of [[hashBucketExpr]]: a deterministic bucket in
+    * [0, 1e6) from 5 md5 nibbles at `offset` (value 0..1048575, mod 1e6 —
+    * the fold-back gives buckets under 48576 weight 2/16^5 instead of
+    * 1/16^5, a ≤4.7% density ripple that is irrelevant for sampling and
+    * identical in both engines). Parts-per-million granularity is what
+    * DATA-DRIVEN rates need: mixture-rebalance rates are computed in ppm,
+    * and rounding them to percent would visibly distort small strata. */
+  private[queries] def ppmBucketExpr(strpos: String, idCol: String,
+      strType: String, offset: Int): String = {
+    def h(k: Int) = s"($strpos('0123456789abcdef', substr(md5(CAST($idCol AS $strType)), $k, 1)) - 1)"
+    val folded = (1 until 5).foldLeft(h(offset)) {
+      case (acc, i) => s"($acc * 16 + ${h(offset + i)})"
+    }
+    s"($folded % 1000000)"
+  }
+
   /** Assign each doc a deterministic split label: [0,trainPct) → train,
     * [trainPct,trainPct+valPct) → val, rest → test. */
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {

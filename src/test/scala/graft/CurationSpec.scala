@@ -178,6 +178,69 @@ class CurationSpec extends SparkSpec {
     assert((both & 1L) != 0 && (both & 2L) != 0, s"expected 1|2 in $both")
   }
 
+  test("mixture weights hit the target mix by downsampling only") {
+    val targets = Seq("de", "en", "es", "fr", "zh").map(_ -> 200000L).toMap
+    val w = CurationQ.mixtureWeights(docs, "lang", targets)
+      .select("lang", "n_docs", "rate_ppm", "expected_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(w.length == targets.size)
+    w.foreach { case (lang, n, rate, kept) =>
+      assert(rate >= 0 && rate <= 1000000, s"$lang rate $rate")
+      assert(kept <= n, s"$lang asked to produce $kept of $n docs")
+    }
+    // the binding (scarcest-vs-target) stratum keeps ~everything
+    assert(w.map(_._3).max >= 999000, s"no stratum at full rate: ${w.toSeq}")
+    // equal targets → expected counts equal up to ppm rounding
+    val keps = w.map(_._4)
+    assert(keps.max - keps.min <= 1, s"unequal mix: ${w.toSeq}")
+    // the applied filter lands within binomial noise of expectation
+    val got = CurationQ.rebalanceToMix(docs, "lang", targets)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    w.foreach { case (lang, n, _, kept) =>
+      val tol = math.max(6.0, 4 * math.sqrt(n.toDouble)) // ±4σ
+      assert(math.abs(got.getOrElse(lang, 0L) - kept) <= tol,
+        s"$lang kept ${got.getOrElse(lang, 0L)} vs expected $kept (n=$n)")
+    }
+  }
+
+  test("mixture weights validate targets") {
+    intercept[IllegalArgumentException](
+      CurationQ.mixtureWeights(docs, "lang", Map.empty))
+    intercept[IllegalArgumentException](
+      CurationQ.mixtureWeights(docs, "lang", Map("en" -> 0L)))
+    intercept[IllegalArgumentException](
+      CurationQ.mixtureWeights(docs, "lang", Map("en" -> 1000001L)))
+  }
+
+  test("lm transition score ranks natural text above shuffled gibberish") {
+    // corpus with a strong bigram structure: "a b" dominates transitions
+    val natural = Seq.tabulate(8)(i => (i.toLong, "a b a b a b a b a b"))
+    val gibberish = Seq((100L, "b b a a b a a b b a"))
+    val scores = CurationQ.lmTransitionScore(
+        (natural ++ gibberish).toDF("doc_id", "text"))
+      .select("doc_id", "avg_ppm").as[(Long, Long)].collect().toMap
+    assert(scores(0L) > scores(100L),
+      s"natural ${scores(0L)} must outscore shuffled ${scores(100L)}")
+    // single-token docs carry no bigram — they drop out, not crash
+    val one = CurationQ.lmTransitionScore(Seq((7L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+  }
+
+  test("chunk overlap: strided windows cover every token, short docs survive") {
+    val r = CurationQ.chunkOverlap(
+        Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8"), (2L, "tiny doc")).toDF("doc_id", "text"),
+        window = 4, stride = 2)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+    // 8 tokens, w=4 s=2 → ceil(4/2)+1 = 3 chunks, overlapping by 2
+    assert(r.filter(_._1 == 1L).map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8"))
+    // shorter than the window → its single (whole-doc) chunk
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("tiny doc"))
+    intercept[IllegalArgumentException](
+      CurationQ.chunkOverlap(docs, window = 2, stride = 3))
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
