@@ -534,6 +534,42 @@ object CurationQ {
         col("chunk"))
   }
 
+  /** Cap every stratum at `n` documents — the C4/Gopher "at most N docs
+    * per host" guard against a single domain dominating the corpus.
+    * Deterministic, not RNG: docs rank within their stratum by the md5
+    * coordinate of their id (the q56 ordering), so the same N survive on
+    * every run, engine and cluster size.
+    *
+    * One window shuffle on the stratum key. A mega-stratum serializes
+    * into one task's sort; at that scale, prefilter with a ppm hash
+    * threshold from the stratum's count (keeping a small superset) and
+    * rank only the survivors — same result with bounded partitions,
+    * at the cost of a count pass.
+    *
+    * Returns the input columns plus `rn` (the doc's rank within its
+    * stratum, 1-based). */
+  def capPerStratum(docs: DataFrame, strataCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= n)
+  }
+
+  /** Oracle fixture of [[capPerStratum]] (≤60 docs per language). */
+  private val q67 = GQuery(
+    "q67_domain_cap",
+    (s, dir) => capPerStratum(t(s, dir, "documents"), "lang", 60)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        FROM documents)
+      WHERE rn <= 60
+      ORDER BY doc_id"""))
+
   // q64/q64b fixture mix: an equal five-way language split
   private val mixTargets: Map[String, Long] =
     Seq("de", "en", "es", "fr", "zh").map(_ -> 200000L).toMap
@@ -634,5 +670,5 @@ object CurationQ {
     ORDER BY doc_id, chunk_idx"""))
 
   val queries: Seq[GQuery] =
-    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66)
+    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67)
 }

@@ -176,5 +176,52 @@ object EventQ {
     GROUP BY event_type
     ORDER BY event_type"""))
 
-  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46)
+  /** Bucketized temporal range self-join: for each event, count OTHER
+    * events within ±`windowSec` seconds. The naive formulation is a
+    * non-equi self-join (O(n²), and Spark would plan a nested-loop);
+    * bucketizing turns it into an EQUI join: each probe event lands in
+    * one `windowSec`-wide time cell, the build side replicates into its
+    * own and both adjacent cells, and the equi-join on the cell plus a
+    * residual |Δ| filter finds every qualifying pair exactly once. Cost
+    * is O(pairs-within-window) after one hash shuffle on the cell — the
+    * standard range-join-at-scale shape (same trick as the LSH band
+    * join). A hot cell (event burst) is a skew key: AQE skew-join
+    * handles moderate cases; salt the cell for pathological ones.
+    *
+    * Left join, so isolated events report n_concurrent = 0 instead of
+    * vanishing. Returns (event_id, n_concurrent).
+    */
+  def concurrentCounts(events: org.apache.spark.sql.DataFrame,
+      windowSec: Long): org.apache.spark.sql.DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val secs = events.select(col("event_id"),
+      col("ts").cast(LongType).as("sec"))
+    val probe = secs.withColumn("cell", expr(s"sec div $windowSec"))
+    val build = secs.select(col("event_id").as("r_id"), col("sec").as("r_sec"))
+      .select(col("r_id"), col("r_sec"), explode(expr(
+        s"array(r_sec div $windowSec - 1, r_sec div $windowSec, r_sec div $windowSec + 1)")).as("cell"))
+    probe.join(build,
+        probe("cell") === build("cell") &&
+          abs(probe("sec") - build("r_sec")) <= windowSec &&
+          probe("event_id") =!= build("r_id"),
+        "left_outer")
+      .groupBy(probe("event_id"))
+      .agg(count(col("r_id")).as("n_concurrent"))
+  }
+
+  /** Oracle fixture of [[concurrentCounts]] (±1 hour): DuckDB checks the
+    * bucketized plan against the naive inequality join it optimizes. */
+  private val q68 = GQuery(
+    "q68_range_join",
+    (s, dir) => concurrentCounts(t(s, dir, "events"), windowSec = 3600L)
+      .orderBy(col("event_id")),
+    Some("""WITH e AS (SELECT event_id,
+          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM events)
+      SELECT l.event_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_concurrent
+      FROM e l LEFT JOIN e r
+        ON abs(l.sec - r.sec) <= 3600 AND l.event_id != r.event_id
+      GROUP BY l.event_id
+      ORDER BY l.event_id"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68)
 }

@@ -241,6 +241,22 @@ class CurationSpec extends SparkSpec {
       CurationQ.chunkOverlap(docs, window = 2, stride = 3))
   }
 
+  test("per-stratum cap keeps exactly min(n, stratum size), stably") {
+    val capped = CurationQ.capPerStratum(docs, "lang", 60)
+    val byLang = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0L) == math.min(60L, n), s"$lang: ${byLang.get(lang)}")
+    }
+    // stable across runs and partitionings
+    val a = capped.select("doc_id").as[Long].collect().sorted
+    val b = CurationQ.capPerStratum(docs.repartition(7), "lang", 60)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    // a huge cap keeps everything
+    assert(CurationQ.capPerStratum(docs, "lang", Int.MaxValue).count() == docs.count())
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")

@@ -77,4 +77,22 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf("q30_ann_bucketed")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
   }
+
+  test("q68 bucketized range join plans as an equi-join, not a nested loop") {
+    val plan = planOf("q68_range_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("concurrentCounts finds every pair exactly once, across cell borders") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // cells of 10s: ids 1,2 same cell; 3 in next cell but within range of 2;
+    // 4 far away; 5 exactly at the window boundary from 3 (inclusive)
+    val ev = Seq((1L, 100L), (2L, 105L), (3L, 112L), (4L, 500L), (5L, 122L))
+      .toDF("event_id", "s").select(col("event_id"), timestamp_seconds(col("s")).as("ts"))
+    val got = graft.queries.EventQ.concurrentCounts(ev, windowSec = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 1L), got.toString)
+  }
 }
