@@ -23,7 +23,8 @@ object ScaleProbe {
     "q08_running_total", "q25_dedup_exact", "q26_minhash_lsh",
     "q27b_simhash_neardup", "q30_ann_bucketed", "q48_hash_split",
     "q49_repetition", "q53_tfidf_topk", "q57_boilerplate_chunks",
-    "q61_sequence_packing", "q62_heavy_hitters")
+    "q61_sequence_packing", "q62_heavy_hitters", "q65_lm_score",
+    "q68_range_join")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -41,12 +42,22 @@ object ScaleProbe {
     val spark = core.GraftSession.builder("local[32]", 32).getOrCreate()
 
     // --- replicate with shifted keys ------------------------------------
-    def replicate(name: String, keyCols: Seq[String], shift: Long): Unit = {
+    def replicate(name: String, keyCols: Seq[String], shift: Long,
+        tsCol: Option[String] = None): Unit = {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       val out = (0 until k).map { i =>
-        keyCols.foldLeft(base) { (df, c) =>
+        val keyed = keyCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * shift))
         }
+        // temporal tables EXTEND the timeline (one fixture span per
+        // replica) instead of densifying it: a real event corpus grows
+        // by covering more time, and range-join pair volume then grows
+        // linearly, not K² — densified replicas would conflate "more
+        // data" with "more concurrency". ts is raw nanos here (the
+        // session reads parquet TIMESTAMP(NANOS) as long), so the
+        // 31-day shift is applied in nanoseconds.
+        tsCol.fold(keyed)(c =>
+          keyed.withColumn(c, col(c) + lit(i * 31L * 86400L * 1000000000L)))
       }.reduce(_ union _)
       out.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
     }
@@ -57,7 +68,7 @@ object ScaleProbe {
     }
     replicate("orders", Seq("o_orderkey"), 10000000L)
     replicate("lineitem", Seq("l_orderkey"), 10000000L)
-    replicate("events", Seq("event_id"), 100000000L)
+    replicate("events", Seq("event_id"), 100000000L, tsCol = Some("ts"))
     replicate("documents", Seq("doc_id"), 1000000L)
     replicate("embeddings", Seq("vec_id"), 1000000L)
 

@@ -40,4 +40,20 @@ object AuditLog {
     levelFilter(df, col(levelCol), globalMask)
       .withColumn("log_day", to_date(col(timeCol)))
       .write.mode("append").partitionBy("log_day", levelCol).parquet(path)
+
+  /** Attach free data-quality counters to a pipeline stage: row count
+    * plus a null count per listed column, collected by Spark's
+    * `Observation` machinery DURING the action that materializes `df` —
+    * no second scan, no extra job, works at any scale because the
+    * metrics are accumulator-merged map-side. Read
+    * `observation.get` AFTER an action has run. The batch analogue of
+    * the reference's per-session processed/error counters
+    * (`MFramework.cpp:1261-1302` audits batches as they land). */
+  def observed(df: DataFrame, name: String, nullCheckCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      nullCheckCols.map(c => count(when(col(c).isNull, 1)).as(s"n_null_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

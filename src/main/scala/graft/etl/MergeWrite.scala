@@ -46,6 +46,7 @@ object MergeWrite {
 
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)) // partition-count sized, never row-sized
+    if (touched.isEmpty) return MergeStats(Seq.empty, 0L) // empty batch: no-op
     val merged =
       if (!fs.exists(base) || fs.listStatus(base).isEmpty) updates
       else {

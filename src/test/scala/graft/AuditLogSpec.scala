@@ -42,4 +42,18 @@ class AuditLogSpec extends SparkSpec {
     val days = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("log_day=")).sorted
     assert(days.sameElements(Array("log_day=2026-08-12", "log_day=2026-08-13")))
   }
+
+  test("observed() collects row/null counters during the action, no extra job") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "v")
+    val (out, obs) = graft.etl.AuditLog.observed(df.filter($"id" =!= 3L),
+      "stage_audit", Seq("v"))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    out.write.format("noop").mode("overwrite").save() // the one materializing action
+    val row = obs.get
+    assert(row("n_rows") == 3L && row("n_null_v") == 2L, row.toString)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter - jobsBefore <= 1, s"metrics must not add jobs: $jobsBefore -> $jobsAfter")
+  }
 }

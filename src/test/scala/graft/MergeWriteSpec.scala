@@ -55,6 +55,16 @@ class MergeWriteSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("merge of an empty batch is a no-op") {
+    val dir = Files.createTempDirectory("graft_merge_empty").toString + "/t"
+    MergeWrite.merge(spark, dir,
+      Seq((1L, "x", "a")).toDF("id", "v", "part"), Seq("id"), "part")
+    val stats = MergeWrite.merge(spark, dir,
+      Seq.empty[(Long, String, String)].toDF("id", "v", "part"), Seq("id"), "part")
+    assert(stats.partitionsRewritten.isEmpty && stats.rowsWritten == 0)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("merge validates key columns") {
     val df = Seq((1L, "x", "a")).toDF("id", "v", "part")
     intercept[IllegalArgumentException](

@@ -481,6 +481,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunking: chunkOverlap lifts into a stream unchanged") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // stateless map-only operator — each arriving doc fans out to its
+    // strided chunks within the micro-batch, no state, no watermark
+    val chunks = graft.queries.CurationQ.chunkOverlap(
+      in.toDF().toDF("doc_id", "text"), window = 4, stride = 2)
+    val q = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try {
+      in.addData((1L, "a b c d e f"), (2L, "x y"))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_out").select("doc_id", "chunk_idx", "chunk")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq((1L, 0L, "a b c d"), (1L, 1L, "c d e f"),
+        (2L, 0L, "x y")), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("SupervisorListener auto-restarts a crashing stage up to its budget") {
     val src = Files.createTempDirectory("graft_sup_src").toString
     spark.range(5).toDF("id").write.mode("append").parquet(src)
