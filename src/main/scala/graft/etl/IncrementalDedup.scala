@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.queries.TextQ
+
+/** Incremental near-duplicate detection for an append-only corpus — the
+  * shape ingestion actually has at 100 TB. Re-running full-corpus dedup
+  * per arriving batch is quadratic in corpus size over time; instead the
+  * corpus keeps a SIGNATURE STORE (MinHash band rows — tens of bytes per
+  * document, ~10⁴× smaller than text), and a delta batch dedups against
+  * all of history by joining its band rows against the store: candidates
+  * share a (band, bkey) bucket, so work is proportional to collisions,
+  * never to corpus size, and corpus TEXT is never re-read.
+  *
+  * Store layout is plain parquet. At real scale, bucket it by `bkey` so
+  * the delta join shuffles only the (small) delta side; the store is
+  * append-only, so [[append]] composes with streaming `foreachBatch`.
+  */
+object IncrementalDedup {
+
+  /** Build (or rebuild) the signature store from a corpus slice. */
+  def initStore(docs: DataFrame, storePath: String): Unit =
+    TextQ.minhashBands(docs)
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Add a new batch's signatures to the store (call AFTER [[dedupDelta]]
+    * so the batch does not match itself through the store). */
+  def append(newDocs: DataFrame, storePath: String): Unit =
+    TextQ.minhashBands(newDocs)
+      .write.mode("append").parquet(storePath)
+
+  /** Near-dup candidates of `newDocs` against everything in the store:
+    * (new_id, corpus_id, est_jaccard) with est_jaccard from the 8
+    * signature lanes carried on the band rows — no join back to any
+    * signature table. The store side streams from parquet; only band
+    * rows sharing a bucket with the delta ever pair. */
+  def dedupDelta(spark: SparkSession, newDocs: DataFrame, storePath: String,
+      minJaccard: Double = 0.25): DataFrame = {
+    val est = (0 until 8)
+      .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
+      .reduce(_ + _) / lit(8.0)
+    TextQ.minhashBands(newDocs).as("x")
+      .join(spark.read.parquet(storePath).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
+        est.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+}

@@ -294,6 +294,53 @@ object TextQ {
     labels
   }
 
+  /** Canonical selection per duplicate cluster — the merge POLICY of a
+    * dedup pass. q25/q26b keep the min doc_id; real pipelines keep the
+    * BEST replica (near-dups differ: one is truncated, one is clean).
+    * `quality` is (doc_id, any integer quality column named by
+    * `qualityCol`) — integer so ranking has no float ties; doc_id breaks
+    * exact ties deterministically. One join (cluster membership is tiny
+    * relative to the corpus — AQE broadcasts it) and one window over
+    * components (shallow partitions). Returns (doc_id, component, keep).
+    */
+  def keepBestPerCluster(components: DataFrame, quality: DataFrame,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col("doc_id"))
+    components.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("keep"))
+  }
+
+  /** Oracle fixture of [[keepBestPerCluster]] over the q26b clusters with
+    * n_chars as the quality signal: per near-dup cluster, the longest
+    * member survives. */
+  private val q69 = GQuery(
+    "q69_dedup_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      keepBestPerCluster(
+        connectedComponents(
+          lshCandidates(minhashBands(docs)).filter(col("est_jaccard") >= 0.25)),
+        docs.select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u)
+    SELECT doc_id, component, rn = 1 AS keep FROM (
+      SELECT c.doc_id, c.component,
+        ROW_NUMBER() OVER (PARTITION BY c.component
+          ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    ORDER BY doc_id"""))
+
   private val q27 = GQuery(
     "q27_simhash",
     (s, dir) => simhash(t(s, dir, "documents")).orderBy(col("doc_id")),
@@ -798,5 +845,5 @@ object TextQ {
 
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62)
+      q48, q49, q50, q54, q62, q69)
 }
