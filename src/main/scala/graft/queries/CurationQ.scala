@@ -570,6 +570,38 @@ object CurationQ {
       WHERE rn <= 60
       ORDER BY doc_id"""))
 
+  /** Per-document weighted sampling: keep a doc with probability
+    * `weightPpm`/1e6, where the weight is any integer ppm expression —
+    * typically a quality score, so high-quality documents survive at a
+    * higher rate (the "soft" quality filter / temperature-sampling
+    * analogue, vs the hard cutoff of [[curationVerdict]]). Deterministic
+    * like every sampler here: the decision compares the doc's md5 ppm
+    * coordinate (chars 14-18 — independent of the split/sample/rebalance
+    * coordinates) against its weight, so reruns keep identical docs.
+    * Single codegen'd scan, no shuffle, no state. */
+  def weightedSample(docs: DataFrame,
+      weightPpm: org.apache.spark.sql.Column): DataFrame = {
+    val b = TextQ.ppmBucketExpr("instr", "doc_id", "STRING", offset = 14)
+    docs.filter(expr(b).cast(LongType) < weightPpm.cast(LongType))
+  }
+
+  /** Oracle fixture of [[weightedSample]] with weight = min(1e6,
+    * n_chars·2000): longer docs keep proportionally more probability
+    * mass, capped at certainty. */
+  private val q71 = {
+    val b = TextQ.ppmBucketExpr("strpos", "doc_id", "VARCHAR", offset = 14)
+    GQuery(
+      "q71_weighted_sample",
+      (s, dir) => weightedSample(t(s, dir, "documents"),
+          expr("least(1000000L, n_chars * 2000L)"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE $b < least(1000000, n_chars * 2000)
+        ORDER BY doc_id"""))
+  }
+
   // q64/q64b fixture mix: an equal five-way language split
   private val mixTargets: Map[String, Long] =
     Seq("de", "en", "es", "fr", "zh").map(_ -> 200000L).toMap
@@ -670,5 +702,5 @@ object CurationQ {
     ORDER BY doc_id, chunk_idx"""))
 
   val queries: Seq[GQuery] =
-    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67)
+    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67, q71)
 }

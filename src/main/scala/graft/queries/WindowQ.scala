@@ -174,5 +174,42 @@ object WindowQ {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey"""))
 
-  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b)
+  /** Build a slowly-changing-dimension (SCD type 2) table from a change
+    * log: each (key, change_ts, attributes) event becomes a VERSION row
+    * with `[valid_from, valid_to)` validity and an `is_current` flag —
+    * the versioned dimension the as-of join ([[graft.plans.AsOf]])
+    * consumes, and the config-plane maintenance the reference performs
+    * on its tariff tables. One window (lead over the key's change
+    * order); `tieCol` disambiguates same-timestamp changes so version
+    * intervals are deterministic. */
+  def scd2(changes: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, tieCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Oracle fixture of [[scd2]]: the events log as a change stream —
+    * each user's event_type becomes a versioned attribute. Timestamps
+    * render at second granularity (cross-engine safe); open-ended
+    * current versions carry NULL valid_to in both engines. */
+  private val q70 = GQuery(
+    "q70_scd2_versions",
+    (s, dir) => scd2(t(s, dir, "events"), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsStr(col("valid_from")).as("valid_from"),
+        tsStr(col("valid_to")).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+    Some(s"""SELECT user_id, event_id, event_type,
+        ${tsStrSql("ts")} AS valid_from,
+        ${tsStrSql("LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS valid_to,
+        LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS is_current
+      FROM events
+      ORDER BY user_id, valid_from, event_id"""))
+
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70)
 }

@@ -257,6 +257,44 @@ class CurationSpec extends SparkSpec {
     assert(CurationQ.capPerStratum(docs, "lang", Int.MaxValue).count() == docs.count())
   }
 
+  test("weighted sample keeps higher-weight docs at a higher rate, stably") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val a = CurationQ.weightedSample(docs, expr("least(1000000L, n_chars * 2000L)"))
+      .select("doc_id").as[Long].collect().sorted
+    val b = CurationQ.weightedSample(docs.repartition(9),
+        expr("least(1000000L, n_chars * 2000L)"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "same docs on every run and partitioning")
+    // weight 1e6 keeps everything; weight 0 keeps nothing
+    assert(CurationQ.weightedSample(docs, lit(1000000L)).count() == docs.count())
+    assert(CurationQ.weightedSample(docs, lit(0L)).count() == 0)
+    // a 30% flat weight lands within binomial noise of 30%
+    val n = docs.count().toDouble
+    val kept = CurationQ.weightedSample(docs, lit(300000L)).count().toDouble
+    assert(math.abs(kept / n - 0.3) < 4 * math.sqrt(0.3 * 0.7 / n),
+      s"flat 30% weight kept ${kept / n}")
+  }
+
+  test("scd2 builds versioned intervals: abutting, ordered, one current per key") {
+    import org.apache.spark.sql.functions.col
+    val v = graft.queries.WindowQ.scd2(
+        graft.core.Tables.load(spark, sfDir, "events"), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        col("valid_from").cast("long"), col("valid_to").cast("long"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+    v.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      // exactly one open-ended current version per key — the latest
+      assert(ordered.count(_._4.isEmpty) == 1, s"user $uid currents")
+      assert(ordered.last._4.isEmpty, s"user $uid: current must be last")
+      // every closed version ends exactly where the next one starts
+      ordered.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (prev, next) = (pair(0), pair(1))
+        assert(prev._4.contains(next._3), s"user $uid: gap at ${prev._2}")
+      }
+    }
+  }
+
   test("quantized ANN agrees with float ANN on most neighbors") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val fq = VectorQ.annBucketed(emb).select("query_id", "neighbor_id")
