@@ -84,6 +84,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("concurrentCounts matches a naive O(n²) reference on seeded random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rnd = new scala.util.Random(20260812L) // seeded: reproducible
+    val secs = Array.fill(300)(rnd.nextInt(100000).toLong)
+    val naive = secs.indices.map { i =>
+      i.toLong -> secs.indices.count(j =>
+        j != i && math.abs(secs(i) - secs(j)) <= 997L).toLong
+    }.toMap
+    val ev = secs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq
+      .toDF("event_id", "s").select(col("event_id"), timestamp_seconds(col("s")).as("ts"))
+    val got = graft.queries.EventQ.concurrentCounts(ev, windowSec = 997L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive, "bucketized result diverged from the naive reference")
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
