@@ -11,6 +11,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.RewriteAbsRangeJoin)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
