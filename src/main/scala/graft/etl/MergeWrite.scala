@@ -87,6 +87,27 @@ object MergeWrite {
       : (DataFrame, Long) => Unit =
     (batch, _) => { merge(batch.sparkSession, basePath, batch, keyCols, partitionCol); () }
 
+  /** Remove leftover staging directories from merges or compactions that
+    * crashed between the staged write and the swap. Safe to run any time
+    * — a LIVE staging dir belongs to an in-flight job, so only staging
+    * siblings older than `olderThanMs` are deleted (default 1 h, far
+    * beyond any swap window). Returns the deleted paths. */
+  def vacuum(spark: SparkSession, basePath: String,
+      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sessionState.newHadoopConf())
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(parent)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(base.getName + "_staging_") ||
+          s.getPath.getName.startsWith(base.getName + "_compact_")) &&
+        s.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+      .toSeq.sorted
+  }
+
   /** Files and bytes before/after a compaction pass. */
   final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 

@@ -341,6 +341,40 @@ object TextQ {
       FROM comp c JOIN documents d USING (doc_id))
     ORDER BY doc_id"""))
 
+  /** Canonical text normalization — the first mile of every text
+    * pipeline, run BEFORE exact dedup so spacing/case variants of the
+    * same document collapse to one hash group: trim, collapse runs of
+    * whitespace to single spaces, lowercase. Pure codegen'd expressions,
+    * single scan. Adds `norm` and a `changed` flag (the normalization
+    * attrition metric). */
+  def normalize(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm",
+        lower(regexp_replace(trim(col(textCol)), "\\s+", " ")))
+      .withColumn("changed", col("norm") =!= col(textCol))
+
+  /** Oracle fixture of [[normalize]]: the fixture corpus is already
+    * canonical, so the query PLANTS leading/trailing/internal whitespace
+    * and mixed case (identically in both engines) and proves the
+    * normalizer undoes exactly that — sha256 pins the normalized bytes. */
+  private val q72 = {
+    def planted(upperFn: String) =
+      s"('  ' || $upperFn(substr(text, 1, 4)) || substr(text, 5) || '   tail  CASE ')"
+    GQuery(
+      "q72_normalize",
+      (s, dir) => normalize(
+          t(s, dir, "documents").withColumn("raw", expr(planted("upper"))),
+          "raw")
+        .select(col("doc_id"), sha2(col("norm"), 256).as("norm_hash"),
+          col("changed"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          sha256(lower(regexp_replace(trim(raw), '\\s+', ' ', 'g'))) AS norm_hash,
+          lower(regexp_replace(trim(raw), '\\s+', ' ', 'g')) != raw AS changed
+        FROM (SELECT doc_id, ${planted("upper")} AS raw FROM documents)
+        ORDER BY doc_id"""))
+  }
+
   private val q27 = GQuery(
     "q27_simhash",
     (s, dir) => simhash(t(s, dir, "documents")).orderBy(col("doc_id")),
@@ -845,5 +879,5 @@ object TextQ {
 
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69)
+      q48, q49, q50, q54, q62, q69, q72)
 }

@@ -91,6 +91,22 @@ class MergeWriteSpec extends SparkSpec {
     assert(again.filesBefore == 1 && again.filesAfter == 1)
   }
 
+  test("vacuum removes stale staging dirs, keeps fresh ones and the table") {
+    val root = Files.createTempDirectory("graft_vacuum").toString
+    val dir = root + "/t"
+    MergeWrite.merge(spark, dir,
+      Seq((1L, "x", "a")).toDF("id", "v", "part"), Seq("id"), "part")
+    Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_123"))
+    Files.createDirectory(java.nio.file.Paths.get(root + "/t_compact_456"))
+    // cutoff in the future -> both leftovers qualify as stale
+    val deleted = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
+    assert(deleted.map(_.split('/').last).sorted == Seq("t_compact_456", "t_staging_123"))
+    assert(spark.read.parquet(dir).count() == 1) // the table itself untouched
+    // default window: a just-created staging dir is NOT stale
+    Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_789"))
+    assert(MergeWrite.vacuum(spark, dir).isEmpty)
+  }
+
   test("streaming sink upserts each micro-batch into the lake table") {
     val dir = Files.createTempDirectory("graft_merge_stream").toString + "/t"
     MergeWrite.merge(spark, dir,
