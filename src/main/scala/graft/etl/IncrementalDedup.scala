@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 import graft.queries.TextQ
 
@@ -36,17 +35,19 @@ object IncrementalDedup {
     * (new_id, corpus_id, est_jaccard) with est_jaccard from the 8
     * signature lanes carried on the band rows — no join back to any
     * signature table. The store side streams from parquet; only band
-    * rows sharing a bucket with the delta ever pair. */
+    * rows sharing a bucket with the delta ever pair, and store band
+    * keys shared by more than `maxBandSize` docs are excluded (the same
+    * degenerate-boilerplate guard as `TextQ.lshCandidates` — one hot
+    * bucket would otherwise pair every matching delta doc against
+    * millions of store rows). */
   def dedupDelta(spark: SparkSession, newDocs: DataFrame, storePath: String,
-      minJaccard: Double = 0.25): DataFrame = {
-    val est = (0 until 8)
-      .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
-      .reduce(_ + _) / lit(8.0)
+      minJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+    val store = TextQ.bandSizeGuard(spark.read.parquet(storePath), maxBandSize)
     TextQ.minhashBands(newDocs).as("x")
-      .join(spark.read.parquet(storePath).as("y"),
+      .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
-        est.as("est_jaccard"))
+        TextQ.laneAgreement.as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minJaccard)
   }

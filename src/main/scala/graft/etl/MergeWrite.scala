@@ -1,7 +1,7 @@
 package graft.etl
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Copy-on-write upsert and small-file compaction for partitioned parquet
@@ -9,21 +9,54 @@ import org.apache.spark.sql.functions._
   * warehouse side; the reference merges CDR batches into Oracle,
   * `MFramework.cpp:1261-1302` stages them as files first).
   *
-  * No table-format dependency: merged partition data is written to a
-  * staging directory FIRST, then swapped into the base with directory
-  * renames, so a concurrent reader never observes a half-written
-  * partition and the job never reads and overwrites the same path (which
-  * Spark refuses). Merge cost scales with the UPDATE footprint — only
-  * partitions that updates touch are read and rewritten; at 100 TB an
-  * upsert of one day's keys rewrites one day's partitions, never the
-  * table. Renames are atomic on HDFS-like filesystems; on object stores
-  * they are copies — front with a metastore/format commit there.
+  * No table-format dependency. The commit protocol is staged and
+  * CRASH-RECOVERABLE:
+  *
+  *  1. the merged/compacted data is fully written to a staging sibling
+  *     (`<base>_staging_*` / `<dir>_compact_*`); Spark's committer drops a
+  *     `_SUCCESS` marker when — and only when — the staged copy is
+  *     complete and authoritative;
+  *  2. the swap replaces each target directory by delete+rename (renames
+  *     are metadata operations on HDFS-like filesystems; object stores
+  *     copy — front with a metastore/format commit there);
+  *  3. the staging dir is removed.
+  *
+  * A crash between 2 and 3 leaves a `_SUCCESS`-marked staging dir:
+  * [[vacuum]] RE-APPLIES its swap (idempotent — staging stays
+  * authoritative until deleted) instead of discarding data. A crash
+  * during 1 leaves no marker and vacuum reaps it. A reader overlapping
+  * step 2 sees the old or the new partition, or — for the sub-second
+  * delete→rename window — a missing one; closing that last window needs
+  * a commit log (a table format), which is out of scope and documented
+  * honestly here. Single writer per table directory is assumed, as with
+  * any formatless parquet layout.
+  *
+  * Merge cost scales with the UPDATE footprint — only partitions that
+  * updates touch are read and rewritten; at 100 TB an upsert of one
+  * day's keys rewrites one day's partitions, never the table.
   */
 object MergeWrite {
 
   /** Partitions swapped and the staging row count — the numbers an
     * orchestrator logs per merge commit. */
   final case class MergeStats(partitionsRewritten: Seq[String], rowsWritten: Long)
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+
+  /** Move every staged child directory (the partition dirs) over its
+    * same-named child under `base`. Idempotent: re-applying after a
+    * partial swap skips the children already moved. */
+  private def applyPartitionSwap(fs: FileSystem, staging: Path, base: Path): Seq[String] = {
+    if (!fs.exists(base)) fs.mkdirs(base)
+    fs.listStatus(staging).filter(_.isDirectory).map { part =>
+      val target = new Path(base, part.getPath.getName)
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(part.getPath, target),
+        s"failed to swap partition ${part.getPath.getName}")
+      part.getPath.getName
+    }.toSeq.sorted
+  }
 
   /** Upsert `updates` into the partitioned parquet dataset at `basePath`:
     * base rows matching an update's `keyCols` are replaced, unmatched
@@ -33,15 +66,16 @@ object MergeWrite {
     * Keys are scoped within a partition: a key's partition value must be
     * stable across versions (the standard partitioned-upsert contract —
     * a key that "moves" partitions needs a delete in the old partition,
-    * which this operator does not synthesize).
+    * which this operator does not synthesize). A null partition value is
+    * a partition like any other (Hive default-partition layout).
     */
   def merge(spark: SparkSession, basePath: String, updates: DataFrame,
       keyCols: Seq[String], partitionCol: String): MergeStats = {
     require(keyCols.nonEmpty, "at least one merge key required")
     require(!keyCols.contains(partitionCol),
       s"partition column $partitionCol cannot be a merge key")
-    val fs = FileSystem.get(new Path(basePath).toUri, spark.sessionState.newHadoopConf())
     val base = new Path(basePath)
+    val fs = fsFor(spark, base)
     val staging = new Path(basePath + s"_staging_${System.nanoTime()}")
 
     val touched = updates.select(col(partitionCol)).distinct()
@@ -50,31 +84,27 @@ object MergeWrite {
     val merged =
       if (!fs.exists(base) || fs.listStatus(base).isEmpty) updates
       else {
-        val current = spark.read.parquet(basePath)
-          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*)) // partition pruning
+        val nonNull = touched.filter(_ != null).toIndexedSeq
+        // isin() never matches null — a null-partition update must still
+        // pull the existing null-partition rows into the merge
+        val touchedPred =
+          if (!touched.contains(null)) col(partitionCol).isin(nonNull: _*)
+          else if (nonNull.isEmpty) col(partitionCol).isNull
+          else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+        val current = spark.read.parquet(basePath).filter(touchedPred) // partition pruning
         current
           .join(updates.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
           .unionByName(updates.select(current.columns.map(col): _*))
       }
-    merged.write.mode("overwrite").partitionBy(partitionCol)
+    // row count rides the staged write as an Observation — no second scan
+    val obs = Observation(s"merge_${System.nanoTime()}")
+    merged.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
 
-    // swap: every staged <partitionCol>=<value> directory replaces its
-    // base counterpart. Directory names come from what Spark actually
-    // wrote (escaping included), never reconstructed.
-    val stagedParts = fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
-    val swapped = stagedParts.map { part =>
-      val target = new Path(base, part.getPath.getName)
-      if (fs.exists(target)) fs.delete(target, true)
-      if (!fs.exists(base)) fs.mkdirs(base)
-      require(fs.rename(part.getPath, target),
-        s"failed to swap partition ${part.getPath.getName}")
-      part.getPath.getName
-    }.toSeq.sorted
-    val rows = spark.read.parquet(
-      swapped.map(p => new Path(base, p).toString): _*).count()
+    val swapped = applyPartitionSwap(fs, staging, base)
     fs.delete(staging, true)
     MergeStats(swapped, rows)
   }
@@ -87,25 +117,52 @@ object MergeWrite {
       : (DataFrame, Long) => Unit =
     (batch, _) => { merge(batch.sparkSession, basePath, batch, keyCols, partitionCol); () }
 
-  /** Remove leftover staging directories from merges or compactions that
-    * crashed between the staged write and the swap. Safe to run any time
-    * — a LIVE staging dir belongs to an in-flight job, so only staging
-    * siblings older than `olderThanMs` are deleted (default 1 h, far
-    * beyond any swap window). Returns the deleted paths. */
+  /** What [[vacuum]] did with each leftover staging dir. */
+  final case class VacuumStats(recovered: Seq[String], deleted: Seq[String])
+
+  /** Reap or RECOVER leftover staging directories.
+    *
+    * A stale staging dir carrying `_SUCCESS` is a completed write whose
+    * swap crashed: its swap is re-applied (the data is the authoritative
+    * new state — deleting it would lose the only copy of a swapped-out
+    * partition), then the dir is removed. A stale dir without the marker
+    * is an aborted write and is deleted.
+    *
+    * Staleness uses the newest modification time across the dir and its
+    * direct children, so a long-running staged write keeps refreshing its
+    * own liveness; `olderThanMs` (default 1 h) must still exceed any gap
+    * between the job's directory touches. Single-writer-per-table is
+    * assumed, as for the commit protocol itself. */
   def vacuum(spark: SparkSession, basePath: String,
-      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+      olderThanMs: Long = 3600L * 1000): VacuumStats = {
     val base = new Path(basePath)
-    val fs = FileSystem.get(base.toUri, spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, base)
     val parent = base.getParent
-    if (parent == null || !fs.exists(parent)) return Seq.empty
+    if (parent == null || !fs.exists(parent)) return VacuumStats(Seq.empty, Seq.empty)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    fs.listStatus(parent)
+    def lastTouched(s: FileStatus): Long =
+      (s.getModificationTime +: fs.listStatus(s.getPath).map(_.getModificationTime).toSeq).max
+    val leftovers = fs.listStatus(parent)
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(base.getName + "_staging_") ||
           s.getPath.getName.startsWith(base.getName + "_compact_")) &&
-        s.getModificationTime < cutoff)
-      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+        lastTouched(s) < cutoff)
+    val (complete, aborted) = leftovers.partition(s =>
+      fs.exists(new Path(s.getPath, "_SUCCESS")))
+    val recovered = complete.map { s =>
+      if (s.getPath.getName.startsWith(base.getName + "_compact_")) {
+        // whole-directory replacement
+        if (fs.exists(base)) fs.delete(base, true)
+        require(fs.rename(s.getPath, base), s"failed to recover ${s.getPath}")
+      } else {
+        applyPartitionSwap(fs, s.getPath, base)
+        fs.delete(s.getPath, true)
+      }
+      s.getPath.toString
+    }.toSeq.sorted
+    val deleted = aborted.map { s => fs.delete(s.getPath, true); s.getPath.toString }
       .toSeq.sorted
+    VacuumStats(recovered, deleted)
   }
 
   /** Files and bytes before/after a compaction pass. */
@@ -115,14 +172,15 @@ object MergeWrite {
     * ceil(bytes/targetBytes) files — the periodic small-file compaction
     * every streaming ingest needs (thousands of micro-batch files make
     * scans task-bound, not byte-bound). `coalesce` packs existing
-    * partitions without a shuffle; the swap is staged like [[merge]].
-    * For a partitioned table, compact each partition directory — that
-    * keeps the operation per-partition atomic and trivially parallel
-    * across an orchestrator's workers. */
+    * partitions without a shuffle; the swap follows the staged protocol
+    * above (whole-directory replacement — one delete + one rename, and
+    * [[vacuum]] completes it after a crash). For a partitioned table,
+    * compact each partition directory — per-partition atomic and
+    * trivially parallel across an orchestrator's workers. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): CompactStats = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val fs = FileSystem.get(new Path(dir).toUri, spark.sessionState.newHadoopConf())
     val d = new Path(dir)
+    val fs = fsFor(spark, d)
     val files = fs.listStatus(d).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -131,11 +189,10 @@ object MergeWrite {
     val staging = new Path(dir + s"_compact_${System.nanoTime()}")
     spark.read.parquet(dir).coalesce(n)
       .write.mode("overwrite").parquet(staging.toString)
-    files.foreach(f => fs.delete(f.getPath, false))
-    val out = fs.listStatus(staging).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    out.foreach(f => require(fs.rename(f.getPath, new Path(d, f.getPath.getName)),
-      s"failed to move compacted file ${f.getPath}"))
-    fs.delete(staging, true)
-    CompactStats(files.length, out.length, bytes)
+    val out = fs.listStatus(staging)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    fs.delete(d, true)
+    require(fs.rename(staging, d), s"failed to swap compacted ${staging.getName}")
+    CompactStats(files.length, out, bytes)
   }
 }

@@ -66,7 +66,7 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def hasCrossEqui(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Boolean =
     conjuncts.exists {
-      case EqualTo(x, y) =>
+      case Equality(x, y) => // EqualTo and EqualNullSafe both hash-join already
         (x.references.subsetOf(left.outputSet) && y.references.subsetOf(right.outputSet)) ||
           (y.references.subsetOf(left.outputSet) && x.references.subsetOf(right.outputSet))
       case _ => false

@@ -98,20 +98,33 @@ object TextQ {
     * from pairing (report them via [[bandSkew]] and handle those docs with
     * exact dedup or a tighter band scheme). The guard is a window count on
     * the join key's own partitioning, so it adds no extra shuffle. */
-  def lshCandidates(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
+  /** Estimated Jaccard between two band-row sides aliased `x`/`y`: the
+    * fraction of agreeing signature lanes. Shared by the [[lshCandidates]]
+    * self-join and the incremental store cross-join
+    * ([[graft.etl.IncrementalDedup]]) so the lane scheme has one home. */
+  private[graft] def laneAgreement: org.apache.spark.sql.Column =
+    (0 until 8)
+      .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
+      .reduce(_ + _) / lit(8.0)
+
+  /** Exclude band keys shared by more than `maxBandSize` rows — the
+    * degenerate-boilerplate guard; a window count on the join key's own
+    * partitioning, no extra shuffle beyond the join's. */
+  private[graft] def bandSizeGuard(bands: DataFrame, maxBandSize: Int): DataFrame = {
     val wb = Window.partitionBy(col("band"), col("bkey"))
+    bands.withColumn("_bn", count(lit(1)).over(wb))
+      .filter(col("_bn") <= maxBandSize).drop("_bn")
+  }
+
+  def lshCandidates(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
     // hint("merge"): the two join sides are the same subtree; a sort-merge
     // join lets the shuffle exchange be computed once and REUSED (one pass
     // over the expensive shingle→signature pipeline), where the size
     // estimate after the guard filter would otherwise pick a broadcast
     // join that recomputes the subtree for the broadcast side. SMJ is also
     // what AQE picks at real corpus sizes.
-    val guarded = bands.withColumn("_bn", count(lit(1)).over(wb))
-      .filter(col("_bn") <= maxBandSize).drop("_bn")
-      .hint("merge")
-    val est = (0 until 8)
-      .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
-      .reduce(_ + _) / lit(8.0)
+    val guarded = bandSizeGuard(bands, maxBandSize).hint("merge")
+    val est = laneAgreement
     guarded.as("x")
       .join(guarded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

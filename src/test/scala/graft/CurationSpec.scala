@@ -212,6 +212,17 @@ class CurationSpec extends SparkSpec {
       CurationQ.mixtureWeights(docs, "lang", Map("en" -> 1000001L)))
   }
 
+  test("mixture weights fail loudly when a target stratum has no docs") {
+    val ex = intercept[Exception] {
+      CurationQ.mixtureWeights(docs, "lang",
+        Map("en" -> 500000L, "xx" -> 500000L)).collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("absent from corpus") ||
+        Option(ex.getCause).exists(_.getMessage.contains("absent from corpus"))),
+      s"unexpected failure: $ex")
+  }
+
   test("lm transition score ranks natural text above shuffled gibberish") {
     // corpus with a strong bigram structure: "a b" dominates transitions
     val natural = Seq.tabulate(8)(i => (i.toLong, "a b a b a b a b a b"))

@@ -40,4 +40,17 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(hitsB.toSeq == Seq((20L, 11L)), hitsB.toSeq.toString)
     assert(spark.read.parquet(store).count() == 16)
   }
+
+  test("degenerate store buckets are excluded by the band-size guard") {
+    val store = Files.createTempDirectory("graft_sigstore_skew").toString + "/bands"
+    // 30 identical corpus docs collapse into the same band keys
+    val poisoned = (1L to 30L).map(i => (i, corpusText1)).toDF("doc_id", "text")
+    IncrementalDedup.initStore(poisoned, store)
+    val delta = Seq((100L, corpusText1)).toDF("doc_id", "text")
+    // cap below the bucket size: the hot bucket contributes no pairs...
+    assert(IncrementalDedup.dedupDelta(spark, delta, store, maxBandSize = 10)
+      .count() == 0)
+    // ...while the default cap finds all 30 duplicates
+    assert(IncrementalDedup.dedupDelta(spark, delta, store).count() == 30)
+  }
 }

@@ -91,20 +91,63 @@ class MergeWriteSpec extends SparkSpec {
     assert(again.filesBefore == 1 && again.filesAfter == 1)
   }
 
-  test("vacuum removes stale staging dirs, keeps fresh ones and the table") {
+  test("vacuum deletes stale aborted staging, keeps fresh ones and the table") {
     val root = Files.createTempDirectory("graft_vacuum").toString
     val dir = root + "/t"
     MergeWrite.merge(spark, dir,
       Seq((1L, "x", "a")).toDF("id", "v", "part"), Seq("id"), "part")
+    // no _SUCCESS marker -> aborted writes, reaped once stale
     Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_123"))
     Files.createDirectory(java.nio.file.Paths.get(root + "/t_compact_456"))
     // cutoff in the future -> both leftovers qualify as stale
-    val deleted = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
-    assert(deleted.map(_.split('/').last).sorted == Seq("t_compact_456", "t_staging_123"))
+    val stats = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
+    assert(stats.recovered.isEmpty)
+    assert(stats.deleted.map(_.split('/').last).sorted ==
+      Seq("t_compact_456", "t_staging_123"))
     assert(spark.read.parquet(dir).count() == 1) // the table itself untouched
     // default window: a just-created staging dir is NOT stale
     Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_789"))
-    assert(MergeWrite.vacuum(spark, dir).isEmpty)
+    val fresh = MergeWrite.vacuum(spark, dir)
+    assert(fresh.recovered.isEmpty && fresh.deleted.isEmpty)
+  }
+
+  test("vacuum completes the swap of a crashed merge instead of losing data") {
+    val root = Files.createTempDirectory("graft_vacuum_rec").toString
+    val dir = root + "/t"
+    MergeWrite.merge(spark, dir,
+      Seq((1L, "old", "a"), (2L, "keep", "b")).toDF("id", "v", "part"),
+      Seq("id"), "part")
+    // simulate a crash between staged write and swap: a _SUCCESS-marked
+    // staging dir exists AND the target partition was already deleted
+    val staging = root + "/t_staging_999"
+    Seq((1L, "recovered", "a")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/part=a"), true)
+
+    val stats = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
+    assert(stats.recovered.map(_.split('/').last) == Seq("t_staging_999"))
+    val rows = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "recovered"), (2L, "keep")), rows.toSeq.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+  }
+
+  test("merge treats a null partition value as a partition like any other") {
+    val root = Files.createTempDirectory("graft_merge_null").toString + "/t"
+    Seq((1L, "a-null", Option.empty[String]), (2L, "b-null", Option.empty[String]),
+      (3L, "c", Option("p1")))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(root)
+    // an update touching the null partition must MERGE with its existing
+    // rows, not replace the whole partition with just the update
+    MergeWrite.merge(spark, root,
+      Seq((1L, "a-null-v2", Option.empty[String])).toDF("id", "v", "part"),
+      Seq("id"), "part")
+    val rows = spark.read.parquet(root).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a-null-v2"), (2L, "b-null"), (3L, "c")),
+      rows.toSeq.toString)
   }
 
   test("streaming sink upserts each micro-batch into the lake table") {

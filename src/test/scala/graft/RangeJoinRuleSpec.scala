@@ -72,6 +72,10 @@ class RangeJoinRuleSpec extends SparkSpec {
       abs(col("lv") - col("rv")) <= 50L)
     assert(!equi.queryExecution.optimizedPlan.toString.contains("__cell_"),
       equi.queryExecution.optimizedPlan.toString)
+    // null-safe equality is hash-joinable too — must not be rewritten
+    val nullSafe = l.join(r, col("lid") <=> col("rid") &&
+      abs(col("lv") - col("rv")) <= 50L)
+    assert(!nullSafe.queryExecution.optimizedPlan.toString.contains("__cell_"))
     // outer band joins keep their (nested-loop) semantics untouched
     val outer = l.join(r, abs(col("lv") - col("rv")) <= 50L, "left_outer")
     assert(!outer.queryExecution.optimizedPlan.toString.contains("__cell_"))
