@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
@@ -567,7 +568,86 @@ object Relational {
     GROUP BY p_brand
     ORDER BY p_brand"""))
 
+  /** Equi-width histogram of a numeric column — the profiling primitive
+    * behind data-quality dashboards and AQE-style cardinality checks.
+    * `step` is computed ONCE and used identically in both engines (its
+    * shortest decimal representation round-trips to the same double), so
+    * bin boundaries are bit-identical. Out-of-range values clamp into the
+    * edge bins. One scan, one hash aggregation on the bin id. */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"empty range: [$lo, $hi)")
+    val step = (hi - lo) / bins
+    df.withColumn("bin",
+        least(lit(bins - 1L), greatest(lit(0L),
+          floor((c - lit(lo)) / lit(step)))).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle fixture of [[histogram]]: 16 price bins over lineitem. */
+  private val q73 = {
+    val bins = 16
+    val lo = 900.0; val hi = 105000.0
+    val step = (hi - lo) / bins
+    GQuery(
+      "q73_histogram",
+      (s, dir) => histogram(t(s, dir, "lineitem"), col("l_extendedprice"),
+          lo, hi, bins)
+        .orderBy(col("bin")),
+      Some(s"""SELECT CAST(least(${bins - 1}, greatest(0,
+          floor((l_extendedprice - $lo) / $step))) AS BIGINT) AS bin,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY bin"""))
+  }
+
+  /** Single-pass column profile over NUMERIC columns: per column, row
+    * count, null count, exact distinct count, min and max — the
+    * data-quality report an ingest stage emits per batch. ONE scan: all
+    * per-column aggregates compute in one aggregation (distincts via
+    * expand), and the wide result row unpivots with `stack`. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val numeric = cols.forall(c => df.schema(c).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType])
+    require(numeric, s"profile() supports numeric columns, got: $cols")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast(DoubleType).as(s"mn_$c"),
+      max(col(c)).cast(DoubleType).as(s"mx_$c")))
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+  }
+
+  /** Oracle fixture of [[profile]] over three orders columns (the DuckDB
+    * twin is a UNION ALL of per-column aggregates — same values, its
+    * planner fuses the scans). */
+  private val q74 = {
+    def row(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+          COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+          COUNT(DISTINCT $c) AS n_distinct,
+          CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+        FROM orders"""
+    GQuery(
+      "q74_profile",
+      (s, dir) => profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .orderBy(col("col_name")),
+      Some(Seq("o_custkey", "o_orderkey", "o_totalprice").map(row)
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44)
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74)
 }

@@ -211,5 +211,34 @@ object WindowQ {
       FROM events
       ORDER BY user_id, valid_from, event_id"""))
 
-  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70)
+  /** CDC batch compaction: keep only the LATEST row per key (highest
+    * `versionCol`, ties broken by `tieCol`) — the step that collapses a
+    * change-capture batch to one action per key before it feeds
+    * [[graft.etl.MergeWrite.merge]] (whose key contract is one update
+    * row per key). One window shuffle on the key. */
+  def latestPerKey(changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      versionCol: String, tieCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(tieCol).desc)
+    changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Oracle fixture of [[latestPerKey]]: each user's latest event — the
+    * compacted state a CDC consumer upserts. */
+  private val q75 = GQuery(
+    "q75_latest_per_key",
+    (s, dir) => latestPerKey(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsStr(col("ts")).as("ts"))
+      .orderBy(col("user_id")),
+    Some(s"""SELECT user_id, event_id, event_type, ${tsStrSql("ts")} AS ts
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75)
 }
