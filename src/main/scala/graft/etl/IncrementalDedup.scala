@@ -39,10 +39,18 @@ object IncrementalDedup {
     * keys shared by more than `maxBandSize` docs are excluded (the same
     * degenerate-boilerplate guard as `TextQ.lshCandidates` — one hot
     * bucket would otherwise pair every matching delta doc against
-    * millions of store rows). */
+    * millions of store rows). The guard is an aggregate + broadcast
+    * anti-join, NOT a window: a window over (band, bkey) would force a
+    * full-store shuffle+sort per delta batch, while the aggregate is a
+    * map-side partial count whose hot-key output is tiny — the store
+    * itself never shuffles, keeping delta cost ∝ collisions. */
   def dedupDelta(spark: SparkSession, newDocs: DataFrame, storePath: String,
       minJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
-    val store = TextQ.bandSizeGuard(spark.read.parquet(storePath), maxBandSize)
+    val bands = spark.read.parquet(storePath)
+    val hot = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBandSize)
+      .select(col("band"), col("bkey"))
+    val store = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     TextQ.minhashBands(newDocs).as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))

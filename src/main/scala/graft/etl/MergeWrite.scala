@@ -10,26 +10,30 @@ import org.apache.spark.sql.functions._
   * `MFramework.cpp:1261-1302` stages them as files first).
   *
   * No table-format dependency. The commit protocol is staged and
-  * CRASH-RECOVERABLE:
+  * CRASH-RECOVERABLE under the module's single-writer-per-table contract:
   *
-  *  1. the merged/compacted data is fully written to a staging sibling
-  *     (`<base>_staging_*` / `<dir>_compact_*`); Spark's committer drops a
-  *     `_SUCCESS` marker when — and only when — the staged copy is
-  *     complete and authoritative;
+  *  1. the merged/compacted data is fully written to a DOT-PREFIXED
+  *     staging sibling (`.<base>_staging_*` / `.<dir>_compact_*` — the
+  *     leading dot keeps Spark's file/partition discovery from ever
+  *     reading staging as data, even when the sibling sits inside a
+  *     partitioned table directory); Spark's committer drops `_SUCCESS`
+  *     when — and only when — the staged copy is complete;
   *  2. the swap replaces each target directory by delete+rename (renames
   *     are metadata operations on HDFS-like filesystems; object stores
   *     copy — front with a metastore/format commit there);
   *  3. the staging dir is removed.
   *
-  * A crash between 2 and 3 leaves a `_SUCCESS`-marked staging dir:
-  * [[vacuum]] RE-APPLIES its swap (idempotent — staging stays
-  * authoritative until deleted) instead of discarding data. A crash
-  * during 1 leaves no marker and vacuum reaps it. A reader overlapping
-  * step 2 sees the old or the new partition, or — for the sub-second
-  * delete→rename window — a missing one; closing that last window needs
-  * a commit log (a table format), which is out of scope and documented
-  * honestly here. Single writer per table directory is assumed, as with
-  * any formatless parquet layout.
+  * Crash recovery runs at the START of every [[merge]]/[[compact]] on the
+  * same path — single-writer means any leftover is a past crash, so a
+  * `_SUCCESS`-marked leftover has its swap completed (oldest first) and
+  * an unmarked one is reaped BEFORE new work reads the base. That
+  * ordering is what keeps "staging is authoritative" true: a leftover
+  * can never linger across later successful commits and then clobber
+  * them. [[vacuum]] does the same for tables nobody writes anymore,
+  * guarded by an age window. A reader overlapping step 2 sees the old or
+  * the new partition, or — for the sub-second delete→rename window — a
+  * missing one; closing that last window needs a commit log (a table
+  * format), which is out of scope and documented honestly here.
   *
   * Merge cost scales with the UPDATE footprint — only partitions that
   * updates touch are read and rewritten; at 100 TB an upsert of one
@@ -43,6 +47,9 @@ object MergeWrite {
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+
+  private def stagingName(base: Path, kind: String): Path =
+    new Path(base.getParent, s".${base.getName}_${kind}_${System.nanoTime()}")
 
   /** Move every staged child directory (the partition dirs) over its
     * same-named child under `base`. Idempotent: re-applying after a
@@ -58,10 +65,39 @@ object MergeWrite {
     }.toSeq.sorted
   }
 
+  /** Leftover staging siblings of `base`, oldest first. */
+  private def leftoversOf(fs: FileSystem, base: Path): Seq[FileStatus] = {
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(s".${base.getName}_staging_") ||
+          s.getPath.getName.startsWith(s".${base.getName}_compact_")))
+      .sortBy(_.getModificationTime)
+      .toSeq
+  }
+
+  /** Complete (`_SUCCESS` present) or reap (absent) one leftover.
+    * Returns true when the leftover was recovered, false when reaped. */
+  private def recoverOrReap(fs: FileSystem, base: Path, s: FileStatus): Boolean = {
+    val complete = fs.exists(new Path(s.getPath, "_SUCCESS"))
+    if (complete) {
+      if (s.getPath.getName.startsWith(s".${base.getName}_compact_")) {
+        if (fs.exists(base)) fs.delete(base, true)
+        require(fs.rename(s.getPath, base), s"failed to recover ${s.getPath}")
+      } else {
+        applyPartitionSwap(fs, s.getPath, base)
+        fs.delete(s.getPath, true)
+      }
+    } else fs.delete(s.getPath, true)
+    complete
+  }
+
   /** Upsert `updates` into the partitioned parquet dataset at `basePath`:
     * base rows matching an update's `keyCols` are replaced, unmatched
     * update rows append, base partitions without updates are NOT touched
-    * (their files keep their identity — no rewrite amplification).
+    * (their files keep their identity — no rewrite amplification). Any
+    * leftover from a previously crashed commit is recovered first.
     *
     * Keys are scoped within a partition: a key's partition value must be
     * stable across versions (the standard partitioned-upsert contract —
@@ -76,7 +112,8 @@ object MergeWrite {
       s"partition column $partitionCol cannot be a merge key")
     val base = new Path(basePath)
     val fs = fsFor(spark, base)
-    val staging = new Path(basePath + s"_staging_${System.nanoTime()}")
+    leftoversOf(fs, base).foreach(recoverOrReap(fs, base, _)) // crash recovery
+    val staging = stagingName(base, "staging")
 
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)) // partition-count sized, never row-sized
@@ -120,49 +157,30 @@ object MergeWrite {
   /** What [[vacuum]] did with each leftover staging dir. */
   final case class VacuumStats(recovered: Seq[String], deleted: Seq[String])
 
-  /** Reap or RECOVER leftover staging directories.
+  /** Reap or RECOVER leftover staging directories of a table no writer
+    * is expected to touch again (active tables recover themselves at the
+    * start of each [[merge]]/[[compact]]).
     *
-    * A stale staging dir carrying `_SUCCESS` is a completed write whose
-    * swap crashed: its swap is re-applied (the data is the authoritative
-    * new state — deleting it would lose the only copy of a swapped-out
-    * partition), then the dir is removed. A stale dir without the marker
-    * is an aborted write and is deleted.
+    * A stale leftover carrying `_SUCCESS` is a completed write whose
+    * swap crashed: its swap is re-applied, oldest first (deleting it
+    * would lose the only copy of a swapped-out partition). A stale dir
+    * without the marker is an aborted write and is deleted.
     *
     * Staleness uses the newest modification time across the dir and its
     * direct children, so a long-running staged write keeps refreshing its
     * own liveness; `olderThanMs` (default 1 h) must still exceed any gap
-    * between the job's directory touches. Single-writer-per-table is
-    * assumed, as for the commit protocol itself. */
+    * between the job's directory touches. */
   def vacuum(spark: SparkSession, basePath: String,
       olderThanMs: Long = 3600L * 1000): VacuumStats = {
     val base = new Path(basePath)
     val fs = fsFor(spark, base)
-    val parent = base.getParent
-    if (parent == null || !fs.exists(parent)) return VacuumStats(Seq.empty, Seq.empty)
     val cutoff = System.currentTimeMillis() - olderThanMs
     def lastTouched(s: FileStatus): Long =
       (s.getModificationTime +: fs.listStatus(s.getPath).map(_.getModificationTime).toSeq).max
-    val leftovers = fs.listStatus(parent)
-      .filter(s => s.isDirectory &&
-        (s.getPath.getName.startsWith(base.getName + "_staging_") ||
-          s.getPath.getName.startsWith(base.getName + "_compact_")) &&
-        lastTouched(s) < cutoff)
-    val (complete, aborted) = leftovers.partition(s =>
-      fs.exists(new Path(s.getPath, "_SUCCESS")))
-    val recovered = complete.map { s =>
-      if (s.getPath.getName.startsWith(base.getName + "_compact_")) {
-        // whole-directory replacement
-        if (fs.exists(base)) fs.delete(base, true)
-        require(fs.rename(s.getPath, base), s"failed to recover ${s.getPath}")
-      } else {
-        applyPartitionSwap(fs, s.getPath, base)
-        fs.delete(s.getPath, true)
-      }
-      s.getPath.toString
-    }.toSeq.sorted
-    val deleted = aborted.map { s => fs.delete(s.getPath, true); s.getPath.toString }
-      .toSeq.sorted
-    VacuumStats(recovered, deleted)
+    val stale = leftoversOf(fs, base).filter(lastTouched(_) < cutoff)
+    val (recovered, deleted) = stale.partition(recoverOrReap(fs, base, _))
+    VacuumStats(recovered.map(_.getPath.toString).sorted,
+      deleted.map(_.getPath.toString).sorted)
   }
 
   /** Files and bytes before/after a compaction pass. */
@@ -173,20 +191,28 @@ object MergeWrite {
     * every streaming ingest needs (thousands of micro-batch files make
     * scans task-bound, not byte-bound). `coalesce` packs existing
     * partitions without a shuffle; the swap follows the staged protocol
-    * above (whole-directory replacement — one delete + one rename, and
-    * [[vacuum]] completes it after a crash). For a partitioned table,
-    * compact each partition directory — per-partition atomic and
-    * trivially parallel across an orchestrator's workers. */
+    * above (whole-directory replacement — one delete + one rename,
+    * recovered on the next call or by [[vacuum]] after a crash).
+    *
+    * The directory is treated as pure parquet data: its replacement
+    * holds the compacted files (plus Spark's `_SUCCESS`), so sidecar
+    * files a table FORMAT would track (manifests, checksums) do not
+    * survive — formatless layouts have none, formats bring their own
+    * compaction. For a partitioned table, compact each partition
+    * directory — per-partition atomic, trivially parallel across an
+    * orchestrator's workers, and the dot-prefixed staging sibling stays
+    * invisible to partition discovery meanwhile. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): CompactStats = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val d = new Path(dir)
     val fs = fsFor(spark, d)
+    leftoversOf(fs, d).foreach(recoverOrReap(fs, d, _)) // crash recovery
     val files = fs.listStatus(d).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val bytes = files.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= n) return CompactStats(files.length, files.length, bytes)
 
-    val staging = new Path(dir + s"_compact_${System.nanoTime()}")
+    val staging = stagingName(d, "compact")
     spark.read.parquet(dir).coalesce(n)
       .write.mode("overwrite").parquet(staging.toString)
     val out = fs.listStatus(staging)

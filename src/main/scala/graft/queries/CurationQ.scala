@@ -439,13 +439,17 @@ object CurationQ {
     // second docs aggregation (the count exchange is reused across all
     // three consumers; only post-aggregation stratum-sized rows recompute)
     val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
-    // right join + assert: a target stratum with ZERO corpus docs makes a
-    // downsample-only mix unreachable — fail the job loudly rather than
-    // silently report rates that pretend the mix was achieved
-    val withTgt = counts.join(broadcast(tgt), Seq(strataCol), "right")
-      .withColumn("n_docs", when(assert_true(col("n_docs").isNotNull,
-        concat(lit("mixture target stratum absent from corpus: "),
-          col(strataCol))).isNull, col("n_docs")))
+    // tgt-preserving left join (counts — stratum-sized post-aggregation —
+    // is the broadcast build side; hinting the PRESERVED side of an outer
+    // join is a silent no-op) + raise: a target stratum with ZERO corpus
+    // docs makes a downsample-only mix unreachable — fail the job loudly
+    // rather than silently report rates that pretend the mix was achieved
+    val withTgt = tgt.join(broadcast(counts), Seq(strataCol), "left")
+      .withColumn("n_docs",
+        when(col("n_docs").isNull, raise_error(
+          concat(lit("mixture target stratum absent from corpus: "),
+            col(strataCol))).cast(LongType))
+          .otherwise(col("n_docs")))
     val total = counts.agg(sum(col("n_docs")).as("total"))
     // K = docs a full-corpus-equivalent holds, set by the binding stratum
     val k = withTgt.agg(min(expr("(1000000 * n_docs) div target_ppm")).as("k_scaled"))

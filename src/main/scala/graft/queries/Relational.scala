@@ -573,13 +573,16 @@ object Relational {
     * `step` is computed ONCE and used identically in both engines (its
     * shortest decimal representation round-trips to the same double), so
     * bin boundaries are bit-identical. Out-of-range values clamp into the
-    * edge bins. One scan, one hash aggregation on the bin id. */
+    * edge bins; NULL inputs are excluded (count them with [[profile]] —
+    * a silent `bin = NULL` row would make the bin sums lie). One scan,
+    * one hash aggregation on the bin id. */
   def histogram(df: DataFrame, c: Column, lo: Double, hi: Double,
       bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(hi > lo, s"empty range: [$lo, $hi)")
     val step = (hi - lo) / bins
-    df.withColumn("bin",
+    df.filter(c.isNotNull)
+      .withColumn("bin",
         least(lit(bins - 1L), greatest(lit(0L),
           floor((c - lit(lo)) / lit(step)))).cast(LongType))
       .groupBy(col("bin"))

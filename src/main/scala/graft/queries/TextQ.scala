@@ -93,11 +93,6 @@ object TextQ {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBandSize)
 
-  /** LSH candidate pairs with estimated Jaccard, guarded against band
-    * skew: band keys shared by more than `maxBandSize` docs are excluded
-    * from pairing (report them via [[bandSkew]] and handle those docs with
-    * exact dedup or a tighter band scheme). The guard is a window count on
-    * the join key's own partitioning, so it adds no extra shuffle. */
   /** Estimated Jaccard between two band-row sides aliased `x`/`y`: the
     * fraction of agreeing signature lanes. Shared by the [[lshCandidates]]
     * self-join and the incremental store cross-join
@@ -107,15 +102,23 @@ object TextQ {
       .map(i => (col(s"x.h$i") === col(s"y.h$i")).cast(IntegerType))
       .reduce(_ + _) / lit(8.0)
 
-  /** Exclude band keys shared by more than `maxBandSize` rows — the
-    * degenerate-boilerplate guard; a window count on the join key's own
-    * partitioning, no extra shuffle beyond the join's. */
+  /** Exclude band keys shared by more than `maxBandSize` rows via a
+    * window count — right when the bands feed a shuffle join on
+    * (band, bkey), where the window rides the join's own exchange. For a
+    * big relation that would otherwise NOT shuffle (the incremental
+    * store side), use an aggregate+anti-join instead (see
+    * `IncrementalDedup.dedupDelta`). */
   private[graft] def bandSizeGuard(bands: DataFrame, maxBandSize: Int): DataFrame = {
     val wb = Window.partitionBy(col("band"), col("bkey"))
     bands.withColumn("_bn", count(lit(1)).over(wb))
       .filter(col("_bn") <= maxBandSize).drop("_bn")
   }
 
+  /** LSH candidate pairs with estimated Jaccard, guarded against band
+    * skew: band keys shared by more than `maxBandSize` docs are excluded
+    * from pairing (report them via [[bandSkew]] and handle those docs with
+    * exact dedup or a tighter band scheme). The guard is a window count on
+    * the join key's own partitioning, so it adds no extra shuffle. */
   def lshCandidates(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
     // hint("merge"): the two join sides are the same subtree; a sort-merge
     // join lets the shuffle exchange be computed once and REUSED (one pass

@@ -97,16 +97,16 @@ class MergeWriteSpec extends SparkSpec {
     MergeWrite.merge(spark, dir,
       Seq((1L, "x", "a")).toDF("id", "v", "part"), Seq("id"), "part")
     // no _SUCCESS marker -> aborted writes, reaped once stale
-    Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_123"))
-    Files.createDirectory(java.nio.file.Paths.get(root + "/t_compact_456"))
+    Files.createDirectory(java.nio.file.Paths.get(root + "/.t_staging_123"))
+    Files.createDirectory(java.nio.file.Paths.get(root + "/.t_compact_456"))
     // cutoff in the future -> both leftovers qualify as stale
     val stats = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
     assert(stats.recovered.isEmpty)
     assert(stats.deleted.map(_.split('/').last).sorted ==
-      Seq("t_compact_456", "t_staging_123"))
+      Seq(".t_compact_456", ".t_staging_123"))
     assert(spark.read.parquet(dir).count() == 1) // the table itself untouched
     // default window: a just-created staging dir is NOT stale
-    Files.createDirectory(java.nio.file.Paths.get(root + "/t_staging_789"))
+    Files.createDirectory(java.nio.file.Paths.get(root + "/.t_staging_789"))
     val fresh = MergeWrite.vacuum(spark, dir)
     assert(fresh.recovered.isEmpty && fresh.deleted.isEmpty)
   }
@@ -119,7 +119,7 @@ class MergeWriteSpec extends SparkSpec {
       Seq("id"), "part")
     // simulate a crash between staged write and swap: a _SUCCESS-marked
     // staging dir exists AND the target partition was already deleted
-    val staging = root + "/t_staging_999"
+    val staging = root + "/.t_staging_999"
     Seq((1L, "recovered", "a")).toDF("id", "v", "part")
       .write.partitionBy("part").parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -127,11 +127,54 @@ class MergeWriteSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(dir + "/part=a"), true)
 
     val stats = MergeWrite.vacuum(spark, dir, olderThanMs = -60000L)
-    assert(stats.recovered.map(_.split('/').last) == Seq("t_staging_999"))
+    assert(stats.recovered.map(_.split('/').last) == Seq(".t_staging_999"))
     val rows = spark.read.parquet(dir).select("id", "v")
       .as[(Long, String)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, "recovered"), (2L, "keep")), rows.toSeq.toString)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+  }
+
+  test("a new merge recovers a crashed predecessor before reading the base") {
+    val root = Files.createTempDirectory("graft_merge_rec").toString
+    val dir = root + "/t"
+    MergeWrite.merge(spark, dir,
+      Seq((1L, "v1", "a")).toDF("id", "v", "part"), Seq("id"), "part")
+    // crashed predecessor: staged v2 for id 1, partition already deleted
+    Seq((1L, "v2", "a")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(root + "/.t_staging_111")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/part=a"), true)
+    // the next merge must see v2 (recovered) as the base it merges into
+    MergeWrite.merge(spark, dir,
+      Seq((2L, "other", "a")).toDF("id", "v", "part"), Seq("id"), "part")
+    val rows = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "v2"), (2L, "other")), rows.toSeq.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/.t_staging_111")))
+  }
+
+  test("vacuum recovers a crashed whole-dir compact; staging is invisible to reads") {
+    val root = Files.createTempDirectory("graft_compact_rec").toString
+    // partitioned table with a per-partition compact crash
+    val table = root + "/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(table)
+    val partDir = table + "/part=p1"
+    // staged replacement written, original partition dir already deleted
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(table + "/.part=p1_compact_42")
+    // the dot-prefixed staging must NOT surface in table-level reads
+    assert(spark.read.parquet(table).count() == 2)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(partDir), true)
+
+    val stats = MergeWrite.vacuum(spark, partDir, olderThanMs = -60000L)
+    assert(stats.recovered.map(_.split('/').last) == Seq(".part=p1_compact_42"))
+    val rows = spark.read.parquet(table).select("id", "v")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b")), rows.toSeq.toString)
   }
 
   test("merge treats a null partition value as a partition like any other") {
