@@ -53,4 +53,16 @@ class IncrementalDedupSpec extends SparkSpec {
     // ...while the default cap finds all 30 duplicates
     assert(IncrementalDedup.dedupDelta(spark, delta, store).count() == 30)
   }
+
+  test("delta dedup never window-shuffles the store side") {
+    val store = Files.createTempDirectory("graft_sigstore_plan").toString + "/bands"
+    IncrementalDedup.initStore(
+      Seq((1L, corpusText1), (2L, corpusText2)).toDF("doc_id", "text"), store)
+    val plan = IncrementalDedup.dedupDelta(spark,
+        Seq((9L, corpusText1)).toDF("doc_id", "text"), store)
+      .queryExecution.executedPlan.toString
+    // the skew guard must be an aggregate + anti-join, not a Window over
+    // (band, bkey) — a window would sort the whole store every batch
+    assert(!plan.contains("Window"), plan)
+  }
 }
