@@ -357,6 +357,116 @@ object TextQ {
       FROM comp c JOIN documents d USING (doc_id))
     ORDER BY doc_id"""))
 
+  /** Edit-distance confirmation of LSH candidate pairs — the verify stage
+    * of a fuzzy record-linkage / near-dup pipeline: the cheap signature
+    * join proposes, bounded Levenshtein disposes. The confirm uses the
+    * BANDED distance (`levenshtein(a, b, maxDist)` — O(maxDist·len) and
+    * early-exits to -1 over budget, not the O(len²) full DP), so a false
+    * candidate costs ~maxDist·len character ops instead of len². Work
+    * scales with the CANDIDATE count, never the corpus: text joins back by
+    * doc_id (hash-partitioned equi-joins), and only candidate rows ever
+    * touch the quadratic-ish string kernel. Returns confirmed pairs with
+    * the distance and a length-normalized similarity in exact ppm.
+    */
+  def editConfirmedPairs(docs: DataFrame, maxDist: Int = 64,
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val cand = lshCandidates(minhashBands(docs), maxBandSize)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("lev", expr(s"levenshtein(ta, tb, $maxDist)").cast(LongType))
+      .filter(col("lev") >= 0) // banded kernel reports over-budget as -1
+      .withColumn("sim_ppm", expr(
+        """CAST((CAST(1000000 AS BIGINT) * (greatest(length(ta), length(tb)) - lev))
+           DIV greatest(length(ta), length(tb)) AS BIGINT)"""))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim_ppm"))
+  }
+
+  /** Oracle fixture of [[editConfirmedPairs]] (maxDist=64): the q26
+    * candidates re-checked by true edit distance — the ~0.25-Jaccard
+    * false positives the bands propose (distance 139+ at fixture scale)
+    * are rejected; real near-dups (distance ≤ 8) survive. */
+  private val q77 = GQuery(
+    "q77_edit_confirm",
+    (s, dir) => editConfirmedPairs(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""$minhashCandSql,
+      conf AS (SELECT doc_a, doc_b, levenshtein(a.text, b.text) AS lev,
+          greatest(len(a.text), len(b.text)) AS mxlen
+        FROM cand
+        JOIN documents a ON doc_a = a.doc_id
+        JOIN documents b ON doc_b = b.doc_id)
+    SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+      CAST((1000000 * (mxlen - lev)) // mxlen AS BIGINT) AS sim_ppm
+    FROM conf
+    WHERE lev <= 64
+    ORDER BY doc_a, doc_b"""))
+
+  /** Collocation mining: bigram association strength as an exact-integer
+    * PMI analogue, lift_ppm = 10⁶·P(w1,w2)/(P(w1)·P(w2)) computed as
+    * c12·N·10⁶ div (c1·c2) in BIGINT — no float logs, so the ranking is
+    * bit-identical cross-engine (the log is monotone; ranking by lift IS
+    * ranking by PMI). One bigram explode feeds everything: c12 is the
+    * grouped count, the marginals are window sums OVER THE AGGREGATED
+    * bigram table (tiny vs the corpus), and the global total joins back
+    * as a broadcast scalar — never a single-partition window over data.
+    * `minCount` keeps the low-support noise (hapax pairs have huge lift)
+    * out of the ranking, exactly like classic PMI thresholding.
+    *
+    * BIGINT headroom: c12·10⁶·N needs c12·N < 9.2·10¹² — fine to ~10⁸
+    * bigrams with c12 ≤ 10⁵; past that, rescale to per-mille or compute
+    * the lift in DECIMAL(38,0).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bg = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+           i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))"""))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n = c12.agg(sum(col("c12")).as("n_bigrams"))
+    c12
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        "CAST((c12 * CAST(1000000 AS BIGINT) * n_bigrams) DIV (c1 * c2) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Oracle fixture of [[collocations]] (minCount=5, top-20). */
+  private val q78 = GQuery(
+    "q78_pmi_bigrams",
+    (s, dir) => collocations(t(s, dir, "documents"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2")),
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+             FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+      c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      m AS (SELECT w1, w2, c12,
+          CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+          CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2
+        FROM c),
+      n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM c)
+    SELECT w1, w2, c12, c1, c2,
+      CAST((c12 * 1000000 * n_bigrams) // (c1 * c2) AS BIGINT) AS lift_ppm
+    FROM m, n
+    WHERE c12 >= 5
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT 20"""))
+
   /** Canonical text normalization — the first mile of every text
     * pipeline, run BEFORE exact dedup so spacing/case variants of the
     * same document collapse to one hash group: trim, collapse runs of
@@ -895,5 +1005,5 @@ object TextQ {
 
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69, q72)
+      q48, q49, q50, q54, q62, q69, q72, q77, q78)
 }

@@ -131,6 +131,49 @@ object VectorQ {
     v.join(dupOf, col("vec_id") === col("a_id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540): the
+    * corpus clusters around `cells` centroids (deterministic seeds here —
+    * swap in [[kmeansCentroids]] for trained cells); inside each cluster,
+    * vectors whose pairwise cosine reaches `threshold` form semantic
+    * duplicate groups, and the member FARTHEST from the shared centroid
+    * survives (the paper's keep-low-centroid-similarity policy: the most
+    * marginal exemplar carries the most training signal). Ties break to
+    * the lowest vec_id.
+    *
+    * Scale shape: one broadcast-assign pass, then pairwise work only
+    * WITHIN a cluster — O(n²/cells) total, so `cells` must grow ~√n with
+    * the corpus exactly like [[annIvf]]; the pair join is a (cluster)
+    * equi-join that hash-partitions cleanly. Returns the full census
+    * (vec_id, cluster, dist_sq, keep) so attrition reporting is a free
+    * group-by; filter `keep` for the dedup itself.
+    */
+  def semDedup(raw: DataFrame, cells: Int = 4, threshold: Double = 0.2): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val v = withNorm(raw)
+    val seeds = v.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val assigned = assignToCentroids(v, seeds)
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"), col("dist_sq").as("a_dist"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"), col("dist_sq").as("b_dist"))
+    // a is a duplicate when some close neighbor b beats it on the keep
+    // policy (farther from the centroid, id as the tiebreak)
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("b_id") =!= col("a_id"))
+      .withColumn("cosine", cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")))
+      .filter(col("cosine") >= threshold &&
+        (col("b_dist") > col("a_dist") ||
+          (col("b_dist") === col("a_dist") && col("b_id") < col("a_id"))))
+      .select(col("a_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_dup", lit(true)),
+        col("vec_id") === col("a_id"), "left")
+      .withColumn("keep", col("_dup").isNull)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"), col("keep"))
+  }
+
   /** IVF-style ANN top-k: `cells` deterministic seed centroids (first
     * vectors — a stand-in for sampled/trained centroids), nearest-centroid
     * assignment via dist² = |a|² + |c|² − 2·a·c with a ranked tiebreak,
@@ -613,5 +656,41 @@ object VectorQ {
       ORDER BY a1.cluster"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59)
+  /** Oracle fixture of [[semDedup]] (cells=4, threshold=0.2), reduced to
+    * the per-cluster attrition census: total members, survivors, first
+    * surviving id. The oracle reproduces the seed assignment (q43's CTE),
+    * the pairwise drop rule, and the keep census with identical IEEE
+    * arithmetic. */
+  private val q76 = GQuery(
+    "q76_semdedup",
+    (s, dir) => semDedup(t(s, dir, "embeddings"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep").cast(LongType)).as("n_kept"),
+        min(when(col("keep"), col("vec_id"))).as("first_kept"))
+      .orderBy(col("cluster")),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                FROM embeddings),
+      seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v WHERE vec_id < 4),
+      asg AS (SELECT vec_id, embedding, nrm, cluster, dist_sq FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, s.cluster,
+            v.nrm + (${normSql("s.cemb")}) - 2 * (${dotSql("v.embedding", "s.cemb")}) AS dist_sq,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + (${normSql("s.cemb")})
+                - 2 * (${dotSql("v.embedding", "s.cemb")}), s.cluster) AS arn
+          FROM v, seeds s) WHERE arn = 1),
+      dropped AS (SELECT DISTINCT a.vec_id AS a_id
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+        WHERE ROUND((${dotSql("a.embedding", "b.embedding")}) /
+                    (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= 0.2
+          AND (b.dist_sq > a.dist_sq
+               OR (b.dist_sq = a.dist_sq AND b.vec_id < a.vec_id)))
+    SELECT cluster, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      MIN(CASE WHEN keep THEN vec_id END) AS first_kept
+    FROM (SELECT asg.*, vec_id NOT IN (SELECT a_id FROM dropped) AS keep FROM asg)
+    GROUP BY cluster
+    ORDER BY cluster"""))
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76)
 }

@@ -240,5 +240,90 @@ object WindowQ {
       WHERE rn = 1
       ORDER BY user_id"""))
 
-  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75)
+  /** Keyed diff between two snapshots of one logical table — the dataset-
+    * versioning primitive behind audit/drift reports and incremental
+    * re-publishes: one row per key present in either snapshot, classified
+    * `insert` / `delete` / `update` / `same`, plus a changed-column
+    * bitmask (bit i set ⇔ `compareCols(i)` differs, null-safe) so a
+    * consumer can re-process only the columns that moved.
+    *
+    * One full-outer hash join on the key — both sides shuffle once and
+    * the classification is pure codegen'd expressions; at 100 TB this is
+    * the same plan shape as the merge it usually precedes
+    * ([[graft.etl.MergeWrite.merge]]), and bucketing both snapshots on
+    * the key removes even that shuffle. Presence is tracked with explicit
+    * flags, so null-able keys and all-null compare rows classify
+    * correctly.
+    */
+  def snapshotDiff(oldDf: org.apache.spark.sql.DataFrame,
+      newDf: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(compareCols.nonEmpty && compareCols.size <= 62,
+      s"1..62 compare columns (long bitmask), got ${compareCols.size}")
+    val o = oldDf.select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"old_$c")): _*)
+      .withColumn("_in_old", lit(true))
+    val n = newDf.select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("_in_new", lit(true))
+    val mask = compareCols.zipWithIndex.map { case (c, i) =>
+      when(!(col(s"old_$c") <=> col(s"new_$c")), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_in_old").isNull, lit("insert"))
+          .when(col("_in_new").isNull, lit("delete"))
+          .when(mask > 0, lit("update"))
+          .otherwise(lit("same")))
+      .withColumn("changed_mask",
+        when(col("op") === "update", mask).otherwise(lit(0L)))
+      .select(keyCols.map(col) ++ Seq(col("op"), col("changed_mask")) ++
+        compareCols.map(c => col(s"new_$c")): _*)
+  }
+
+  /** Oracle fixture of [[snapshotDiff]]: per-user latest-event state
+    * compacted at Jan 30 ([[latestPerKey]]) diffed against the final
+    * state — bit 0 = event_type changed, bit 1 = value changed. */
+  private val q79 = GQuery(
+    "q79_snapshot_diff",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      snapshotDiff(
+        latestPerKey(ev.filter(col("ts") < expr("TIMESTAMP '2024-01-30 00:00:00'")),
+          Seq("user_id"), "ts", "event_id"),
+        latestPerKey(ev, Seq("user_id"), "ts", "event_id"),
+        Seq("user_id"), Seq("event_type", "value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH olds AS (SELECT user_id, event_type, value FROM (
+          SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00') WHERE rn = 1),
+      news AS (SELECT user_id, event_type, value FROM (
+          SELECT user_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      j AS (SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+          o.user_id IS NOT NULL AS in_old, n.user_id IS NOT NULL AS in_new,
+          o.event_type AS ot, o.value AS ov,
+          n.event_type AS nt, n.value AS nv
+        FROM olds o FULL OUTER JOIN news n ON o.user_id = n.user_id)
+    SELECT user_id,
+      CASE WHEN NOT in_old THEN 'insert'
+           WHEN NOT in_new THEN 'delete'
+           WHEN (ot IS DISTINCT FROM nt) OR (ov IS DISTINCT FROM nv)
+             THEN 'update'
+           ELSE 'same' END AS op,
+      CAST(CASE WHEN in_old AND in_new THEN
+          (CASE WHEN ot IS DISTINCT FROM nt THEN 1 ELSE 0 END) +
+          (CASE WHEN ov IS DISTINCT FROM nv THEN 2 ELSE 0 END)
+        ELSE 0 END AS BIGINT) AS changed_mask,
+      nt AS new_event_type, nv AS new_value
+    FROM j
+    ORDER BY user_id"""))
+
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75, q79)
 }

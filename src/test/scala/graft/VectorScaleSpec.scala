@@ -164,6 +164,33 @@ class VectorScaleSpec extends SparkSpec {
     assert(h0 == plain)
   }
 
+  test("semDedup census covers the corpus and keeps the marginal exemplar") {
+    val census = VectorQ.semDedup(emb, cells = 4, threshold = 0.2)
+    val rows = census.collect()
+    assert(rows.length == emb.count(), "every vector classifies exactly once")
+    // SemDeDup's keep policy: the member farthest from its centroid can
+    // never be dropped (nothing in the cluster beats it)
+    rows.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val far = members.maxBy(r => (r.getDouble(2), -r.getLong(0)))
+      assert(far.getBoolean(3), s"farthest member ${far.getLong(0)} was dropped")
+    }
+    // the fixture corpus has semantic mass to shed at threshold 0.2
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("semDedup with an unreachable threshold keeps everything") {
+    val census = VectorQ.semDedup(emb, cells = 4, threshold = 1.1)
+    assert(census.filter(!col("keep")).count() == 0)
+  }
+
+  test("semDedup keep-set is stable under repartitioning") {
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      VectorQ.semDedup(df, cells = 4, threshold = 0.2)
+        .filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(keptIds(emb) == keptIds(emb.repartition(13)))
+  }
+
   test("signBucket rejects degenerate bit counts") {
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 0))
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 63))
