@@ -835,6 +835,37 @@ object TextQ {
                ELSE 'test' END"""))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or the model trains on (a copy of) its own
+    * eval set — the contamination [[hashSplit]] cannot see because it
+    * hashes each doc independently. Docs first cluster by the LSH
+    * near-dup graph ([[connectedComponents]] over [[lshCandidates]];
+    * docs with no near-dup are their own singleton cluster), then the
+    * split decision hashes the CLUSTER id, so a whole near-dup family
+    * moves between splits atomically.
+    *
+    * Cost = the near-dup pipeline (bucketed band joins + label
+    * propagation over candidate EDGES only) + one left join of the
+    * cluster labels back onto the corpus — the split itself stays a
+    * scan-side expression. Returns (doc_id, cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val comp = connectedComponents(
+      lshCandidates(minhashBands(docs), maxBandSize)
+        .filter(col("est_jaccard") >= minEstJaccard))
+    val b = hashBucketExpr("instr", "cluster", "STRING")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        expr(s"""CASE WHEN $b < $trainPct THEN 'train'
+                 WHEN $b < ${trainPct + valPct} THEN 'val'
+                 ELSE 'test' END"""))
+      .select(col("doc_id"), col("cluster"), col("split"))
+  }
+
   /** Benchmark decontamination: train docs sharing at least one
     * `width`-gram with any eval doc. Distinct shingles per side, one
     * equi-join on the shingle — hash-partitioned, never all-pairs; at
@@ -1003,7 +1034,32 @@ object TextQ {
     GROUP BY doc_id
     ORDER BY doc_id"""))
 
+  /** Oracle fixture of [[leakageSafeSplit]] (90/5/5): per-doc cluster and
+    * split labels; the oracle rebuilds the near-dup components with the
+    * recursive transitive-closure CTE and hashes the same cluster id. */
+  private val q81 = GQuery(
+    "q81_leakage_split",
+    (s, dir) => leakageSafeSplit(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, cluster,
+      CASE WHEN ${hashBucketExpr("strpos", "cluster", "VARCHAR")} < 90 THEN 'train'
+           WHEN ${hashBucketExpr("strpos", "cluster", "VARCHAR")} < 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM lab
+    ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69, q72, q77, q78)
+      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81)
 }

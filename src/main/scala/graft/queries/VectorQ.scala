@@ -656,6 +656,90 @@ object VectorQ {
       ORDER BY a1.cluster"""))
   }
 
+  /** One row per (vector, subspace) with the subvector cast to double —
+    * the shared explode feeding PQ codebook construction, encoding, and
+    * query lookup tables. `sub` is 0-based. */
+  private def subSliced(df: DataFrame, subs: Int): DataFrame = {
+    val subDim = dim / subs
+    df.select(col("vec_id"), posexplode(array((0 until subs).map(m =>
+      expr(s"transform(slice(embedding, ${m * subDim + 1}, $subDim), x -> CAST(x AS DOUBLE))")): _*))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** Left-associated squared L2 distance between two subvector columns —
+    * the same fold order as the oracle's explicit term chain. */
+  private def subDist(a: Column, b: Column, subDim: Int): Column =
+    (1 to subDim).map { k =>
+      (element_at(a, k) - element_at(b, k)) * (element_at(a, k) - element_at(b, k))
+    }.reduce(_ + _)
+
+  /** Product-quantization codebook: the embedding splits into `subs`
+    * subspaces of dim/subs components, and the `codes` lowest-vec_id
+    * vectors donate their subvectors as codewords (a deterministic
+    * stand-in for per-subspace k-means — train real codebooks with
+    * [[kmeansCentroids]] run per slice and feed them in the same shape).
+    * Returns (sub, code, cw: array<double>) — subs·codes tiny rows,
+    * always broadcastable. */
+  def pqCodebook(raw: DataFrame, subs: Int = 4, codes: Int = 4): DataFrame = {
+    require(subs >= 1 && dim % subs == 0, s"subs must divide dim=$dim, got $subs")
+    require(codes >= 1, s"codes must be >= 1, got $codes")
+    val seeds = raw.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(codes)
+    subSliced(seeds, subs)
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
+  }
+
+  /** PQ encoding: each vector compresses to one code per subspace — the
+    * nearest codeword by squared L2, ties to the lowest code id. At
+    * subs=8/codes=256 this is 8 bytes per vector instead of 256 — the
+    * compression that lets a 100 TB corpus's index live in memory.
+    * One broadcast join + per-(vector, subspace) argmin; returns
+    * (vec_id, sub, code). */
+  def pqEncode(raw: DataFrame, codebook: DataFrame, subs: Int = 4): DataFrame = {
+    require(subs >= 1 && dim % subs == 0, s"subs must divide dim=$dim, got $subs")
+    val subDim = dim / subs
+    subSliced(raw.select(col("vec_id"), col("embedding")), subs)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", subDist(col("sv"), col("cw"), subDim))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+  }
+
+  /** PQ asymmetric-distance ANN top-k (Jégou et al., TPAMI 2011): each
+    * query precomputes a lookup table of partial distances to every
+    * codeword (subs·codes doubles — broadcast), and a candidate's
+    * approximate distance is the SUM of table entries selected by its
+    * codes: the full-corpus scan touches only the 1-byte codes, never
+    * the float vectors. Partial distances are 6-dp-rounded and summed in
+    * DECIMAL(38,8), so the ADC score is order-independent and
+    * bit-identical cross-engine. The score join is (sub, code) against a
+    * broadcast LUT with map-side partial aggregation on
+    * (query, candidate) — no shuffle of the corpus vectors at all. */
+  def annPq(raw: DataFrame, subs: Int = 4, codes: Int = 4, k: Int = 3,
+      queryMod: Int = 20): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val subDim = dim / subs
+    val cb = pqCodebook(raw, subs, codes)
+    val enc = pqEncode(raw, cb, subs)
+    val lut = subSliced(
+        raw.filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id"), col("embedding")), subs)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("pd",
+        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
+    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+  }
+
   /** Oracle fixture of [[semDedup]] (cells=4, threshold=0.2), reduced to
     * the per-cluster attrition census: total members, survivors, first
     * surviving id. The oracle reproduces the seed assignment (q43's CTE),
@@ -692,5 +776,47 @@ object VectorQ {
     GROUP BY cluster
     ORDER BY cluster"""))
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76)
+  /** Oracle fixture of [[annPq]] (4 subspaces × 16 dims, 4 codewords,
+    * k=3). The oracle rebuilds the per-subspace distance table as four
+    * 16-term chains, encodes by ranked argmin, and scores through the
+    * same DECIMAL-summed lookup join. */
+  private val q80 = {
+    val subDim = dim / 4
+    def chain(m: Int) = (1 to subDim).map { j =>
+      val i = m * subDim + j
+      s"((CAST(v.embedding[$i] AS DOUBLE) - CAST(s.semb[$i] AS DOUBLE)) * " +
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(s.semb[$i] AS DOUBLE)))"
+    }.mkString(" + ")
+    val distsSql = (0 until 4).map(m =>
+      s"SELECT v.vec_id, $m AS sub, s.code, ${chain(m)} AS d FROM v, seeds s")
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q80_pq_ann",
+      (s, dir) => annPq(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        seeds AS (SELECT vec_id AS code, embedding AS semb FROM v WHERE vec_id < 4),
+        dists AS ($distsSql),
+        enc AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS query_id, sub, code,
+                       CAST(ROUND(d, 6) AS DECIMAL(38,8)) AS pd
+                FROM dists WHERE vec_id % 20 = 0),
+        scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.pd) AS adc_d
+                   FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+                   WHERE e.vec_id <> l.query_id
+                   GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, adc_d,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_d, neighbor_id) AS rank
+          FROM scored)
+      SELECT query_id, neighbor_id, CAST(adc_d AS DOUBLE) AS adc,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80)
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.queries.{TextQ, WindowQ}
 
 /** Round-4 operators: snapshot diff (dataset versioning), edit-distance
-  * confirmation of LSH candidates, and integer-PMI collocation mining.
-  * The oracle gate pins fixture values; these tests pin the semantics the
-  * fixtures can't reach (deletes, null transitions, hand-computed lifts).
+  * confirmation of LSH candidates, integer-PMI collocation mining, and the
+  * leakage-safe split. The oracle gate pins fixture values; these tests pin
+  * the semantics the fixtures can't reach (deletes, null transitions,
+  * hand-computed lifts, planted cross-split leaks).
   */
 class DiffConfirmSpec extends SparkSpec {
 
@@ -119,5 +120,31 @@ class DiffConfirmSpec extends SparkSpec {
     val rows = TextQ.collocations(docs, minCount = 2, topK = 100).collect()
     assert(!rows.exists(r => r.getString(0) == "rare"),
       "a count-1 bigram must not survive minCount=2")
+  }
+
+  // ---- leakageSafeSplit ----------------------------------------------------
+
+  test("leakageSafeSplit keeps every near-dup cluster in exactly one split") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val lab = TextQ.leakageSafeSplit(docs)
+    assert(lab.count() == docs.count(), "every doc labels exactly once")
+    val mixed = lab.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(mixed.isEmpty, "a cluster straddles splits")
+  }
+
+  test("leakageSafeSplit prevents the leak an independent hash split allows") {
+    // 20 copies of one document: per-doc hashing scatters them across
+    // splits (train would see the eval copies); cluster hashing moves the
+    // whole family together
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq.tabulate(20)(i => (i + 1L, text)).toDF("doc_id", "text")
+    val perDoc = TextQ.hashSplit(docs, trainPct = 50, valPct = 25)
+      .select("split").distinct().count()
+    val safe = TextQ.leakageSafeSplit(docs, trainPct = 50, valPct = 25)
+    assert(perDoc > 1, "fixture must scatter under per-doc hashing to bite")
+    assert(safe.select("split").distinct().count() == 1)
+    assert(safe.select("cluster").distinct().count() == 1)
   }
 }

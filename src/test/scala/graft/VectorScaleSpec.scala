@@ -191,6 +191,35 @@ class VectorScaleSpec extends SparkSpec {
     assert(keptIds(emb) == keptIds(emb.repartition(13)))
   }
 
+  test("pqEncode maps each codeword donor to its own code at distance 0") {
+    val cb = VectorQ.pqCodebook(emb, subs = 4, codes = 4)
+    val seedIds = cb.select("code").distinct().as[Long].collect().sorted
+    val enc = VectorQ.pqEncode(emb, cb, subs = 4)
+      .filter(col("vec_id").isin(seedIds: _*)).collect()
+    // a donor's subvector is IN the codebook, so its nearest codeword is
+    // itself (fixture vectors are distinct — no zero-distance ties)
+    enc.foreach(r => assert(r.getLong(2) == r.getLong(0),
+      s"vec ${r.getLong(0)} sub ${r.getInt(1)} encoded to ${r.getLong(2)}"))
+    assert(enc.length == 4 * 4)
+  }
+
+  test("annPq returns k candidates per query with non-decreasing ADC") {
+    val res = VectorQ.annPq(emb, k = 3).collect()
+      .groupBy(_.getLong(0)).values
+    res.foreach { rows =>
+      assert(rows.length == 3)
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(byRank.forall(_ >= 0.0))
+    }
+  }
+
+  test("pq rejects a subspace count that does not divide the dimension") {
+    intercept[IllegalArgumentException](VectorQ.pqCodebook(emb, subs = 7))
+    intercept[IllegalArgumentException](VectorQ.pqEncode(emb,
+      VectorQ.pqCodebook(emb), subs = 7))
+  }
+
   test("signBucket rejects degenerate bit counts") {
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 0))
     intercept[IllegalArgumentException](VectorQ.signBucket(col("embedding"), 63))
