@@ -776,6 +776,63 @@ object VectorQ {
     GROUP BY cluster
     ORDER BY cluster"""))
 
+  /** IVF-PQ ANN (the FAISS `IVFx,PQy` layout): IVF cells prune WHICH
+    * candidates are scored, PQ codes compress HOW they are scored — a
+    * query probes its `nprobe` nearest cells and ADC-scores only the
+    * codes stored there. At 100 TB this is the only shape that works:
+    * cells (~√n) bound the scan to nprobe/cells of the corpus, codes
+    * bound the bytes per scanned candidate to `subs` instead of 4·dim,
+    * and both joins stay broadcast/equi (cluster prune + (sub, code)
+    * LUT), so the corpus never shuffles. `nprobe = cells` degenerates to
+    * exactly [[annPq]]'s full compressed scan — the recall/cost dial is
+    * the same knob as [[annIvfTrained]]. */
+  def annIvfPq(raw: DataFrame, cells: Int = 4, subs: Int = 4, codes: Int = 4,
+      k: Int = 3, queryMod: Int = 20, nprobe: Int = 1): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val subDim = dim / subs
+    val v = withNorm(raw)
+    val seeds = v.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val assigned = assignToCentroids(v, seeds)
+    val cb = pqCodebook(raw, subs, codes)
+    val enc = pqEncode(raw, cb, subs)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist_sq"), col("cluster"))
+    val probes = v.filter(col("vec_id") % queryMod === 0)
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist_sq",
+        col("nrm") + dotCols(col("centroid"), col("centroid"))
+          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster").as("qcluster"))
+    val lut = subSliced(
+        raw.filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id"), col("embedding")), subs)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("pd",
+        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
+      .join(probes, Seq("query_id"))
+    val e = enc.as("e")
+    val l = lut.as("l")
+    val scored = e.join(broadcast(l),
+        col("e.sub") === col("l.sub") && col("e.code") === col("l.code") &&
+          col("e.cluster") === col("l.qcluster") &&
+          col("e.vec_id") =!= col("l.query_id"))
+      .groupBy(col("l.query_id").as("query_id"), col("e.vec_id").as("vec_id"))
+      .agg(sum(col("l.pd")).as("adc_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+  }
+
   /** Oracle fixture of [[annPq]] (4 subspaces × 16 dims, 4 codewords,
     * k=3). The oracle rebuilds the per-subspace distance table as four
     * 16-term chains, encodes by ranked argmin, and scores through the
@@ -818,5 +875,61 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80)
+  /** Oracle fixture of [[annIvfPq]] (4 cells, 4×16 PQ, nprobe=1, k=3):
+    * q76's assignment CTE prunes the candidates, q80's dists/enc/lut
+    * CTEs score them. */
+  private val q82 = {
+    val subDim = dim / 4
+    def chain(m: Int) = (1 to subDim).map { j =>
+      val i = m * subDim + j
+      s"((CAST(v.embedding[$i] AS DOUBLE) - CAST(s.semb[$i] AS DOUBLE)) * " +
+        s"(CAST(v.embedding[$i] AS DOUBLE) - CAST(s.semb[$i] AS DOUBLE)))"
+    }.mkString(" + ")
+    val distsSql = (0 until 4).map(m =>
+      s"SELECT v.vec_id, $m AS sub, s.code, ${chain(m)} AS d FROM v, pq s")
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q82_ivf_pq",
+      (s, dir) => annIvfPq(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                  FROM embeddings),
+        seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v WHERE vec_id < 4),
+        asg AS (SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY v.nrm + (${normSql("s.cemb")})
+                  - 2 * (${dotSql("v.embedding", "s.cemb")}), s.cluster) AS arn
+            FROM v, seeds s) WHERE arn = 1),
+        pq AS (SELECT vec_id AS code, embedding AS semb FROM v WHERE vec_id < 4),
+        dists AS ($distsSql),
+        enc AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM dists) WHERE rn = 1),
+        lut AS (SELECT vec_id AS query_id, sub, code,
+                       CAST(ROUND(d, 6) AS DECIMAL(38,8)) AS pd
+                FROM dists WHERE vec_id % 20 = 0),
+        qc AS (SELECT vec_id AS query_id, cluster AS qcluster
+               FROM asg WHERE vec_id % 20 = 0),
+        scored AS (SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.pd) AS adc_d
+                   FROM enc e
+                   JOIN asg a ON e.vec_id = a.vec_id
+                   JOIN qc ON a.cluster = qc.qcluster
+                   JOIN lut l ON l.query_id = qc.query_id
+                     AND e.sub = l.sub AND e.code = l.code
+                   WHERE e.vec_id <> qc.query_id
+                   GROUP BY 1, 2),
+        ranked AS (SELECT query_id, neighbor_id, adc_d,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_d, neighbor_id) AS rank
+          FROM scored)
+      SELECT query_id, neighbor_id, CAST(adc_d AS DOUBLE) AS adc,
+             CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
+  val queries: Seq[GQuery] =
+    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82)
 }

@@ -214,6 +214,32 @@ class VectorScaleSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq with nprobe=cells degenerates to annPq's full compressed scan") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))
+    val full = VectorQ.annPq(emb).collect().map(key).toMap
+    val ivf = VectorQ.annIvfPq(emb, nprobe = 4).collect().map(key).toMap
+    assert(ivf == full, "probing every cell must score every candidate")
+  }
+
+  test("annIvfPq neighbors come only from the query's probed cell") {
+    val v = emb
+    val res = VectorQ.annIvfPq(v, nprobe = 1)
+    // recompute the assignment independently and check cluster agreement
+    val seeds = v.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val asg = VectorQ.assignToCentroids(
+      v.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vec_norm2(col("embedding"))),
+      seeds).select(col("vec_id"), col("cluster"))
+    val qc = asg.select(col("vec_id").as("query_id"), col("cluster").as("qc"))
+    val nc = asg.select(col("vec_id").as("neighbor_id"), col("cluster").as("nc"))
+    val crossCell = res.join(qc, "query_id").join(nc, "neighbor_id")
+      .filter(col("qc") =!= col("nc"))
+    assert(crossCell.isEmpty, "a neighbor outside the probed cell leaked in")
+  }
+
   test("pq rejects a subspace count that does not divide the dimension") {
     intercept[IllegalArgumentException](VectorQ.pqCodebook(emb, subs = 7))
     intercept[IllegalArgumentException](VectorQ.pqEncode(emb,
