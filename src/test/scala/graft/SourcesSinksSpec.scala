@@ -93,6 +93,41 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3)
   }
 
+  test("schema evolution: old files without the new column still read (mergeSchema)") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: two columns; generation 2 adds a quality score
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.9)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.sorted.toSeq == Seq("id", "score", "v"))
+    assert(back.count() == 3)
+    // old rows surface the evolved column as null, not as a read failure
+    assert(back.filter(col("score").isNull).count() == 2)
+    assert(back.filter(col("id") === 3L).head().getDouble(2) == 0.9)
+  }
+
+  test("csv corrupt records dead-letter instead of failing the read") {
+    val dir = Files.createTempDirectory("graft_badcsv")
+    Files.write(dir.resolve("part.csv"),
+      "id,amount\n1,10.5\nnot_a_number_row_with,too,many,fields\n2,20.25\n3,oops\n"
+        .getBytes("UTF-8"))
+    val schema = "id BIGINT, amount DOUBLE, _corrupt_record STRING"
+    val read = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString).cache()
+    // the reference's validation-filter/dead-letter split (SURVEY §2A#3)
+    // at the file-source level: clean rows flow, bad rows are quarantined
+    // with their raw payload for replay
+    val clean = read.filter(col("_corrupt_record").isNull)
+    val dead = read.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2 && dead.count() == 2)
+    assert(clean.select(sum(col("amount"))).head().getDouble(0) == 30.75)
+    val raw = dead.select("_corrupt_record").as[String].collect()
+    assert(raw.exists(_.contains("too,many,fields")) && raw.exists(_.contains("oops")))
+    read.unpersist()
+  }
+
   test("salted join spreads a hot key and matches the plain join") {
     val hot = spark.range(10000).withColumn("k", when(col("id") % 10 === 0, 1L).otherwise(col("id")))
     val dim = spark.range(20000).select(col("id").as("k"), (col("id") * 2).as("v"))
