@@ -223,5 +223,67 @@ object EventQ {
       GROUP BY l.event_id
       ORDER BY l.event_id"""))
 
-  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68)
+  /** Regular-grid resampling with forward fill — the feature-engineering
+    * step that turns an irregular event stream into the fixed-step series
+    * a model consumes: time buckets of `stepSec`, one row per (key, cell)
+    * from the key's first to last observed cell, gaps carrying the last
+    * observed value forward. Cell value = the LATEST event in the cell
+    * (ts, then `ordCol` as the replay-stable tiebreak — the same rule as
+    * [[WindowQ.latestPerKey]]).
+    *
+    * Scale shape: the per-cell collapse and the span are aggregations on
+    * (key[, cell]); the grid explodes from the tiny per-key span table;
+    * fill is ONE window per key ordered by cell. Everything partitions by
+    * key — dense keys parallelize across cells only within one partition,
+    * so at extreme per-key density bucket the window by coarse time first
+    * (the classic two-level fill). The leading cell is observed by
+    * construction, so `filled` is never NULL. */
+  def gapFill(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, ordCol: String, valueCol: String,
+      stepSec: Long): org.apache.spark.sql.DataFrame = {
+    require(stepSec >= 1, s"stepSec must be >= 1, got $stepSec")
+    val stepUs = stepSec * 1000000L
+    val obs = df
+      .withColumn("cell", expr(s"unix_micros($tsCol) DIV $stepUs"))
+      .groupBy(col(keyCol), col("cell"))
+      .agg(max(struct(col(tsCol), col(ordCol), col(valueCol))).as("m"))
+      .select(col(keyCol), col("cell"), col(s"m.$valueCol").as("v_obs"))
+    val grid = obs.groupBy(col(keyCol))
+      .agg(min(col("cell")).as("c0"), max(col("cell")).as("c1"))
+      .select(col(keyCol), explode(expr("sequence(c0, c1)")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("cell"))
+    grid.join(obs, Seq(keyCol, "cell"), "left")
+      .withColumn("filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("v_obs").isNull)
+      .select(col(keyCol), col("cell"), col("filled"), col("is_gap"))
+  }
+
+  /** Oracle fixture of [[gapFill]]: per-user event values resampled to a
+    * 6-hour grid with forward fill. */
+  private val q84 = GQuery(
+    "q84_gap_fill",
+    (s, dir) => gapFill(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "value", 21600)
+      .orderBy(col("user_id"), col("cell")),
+    Some("""WITH obs AS (SELECT user_id, cell, value AS v_obs FROM (
+          SELECT user_id, epoch_us(ts) // 21600000000 AS cell, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 21600000000
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      span AS (SELECT user_id, MIN(cell) AS c0, MAX(cell) AS c1
+               FROM obs GROUP BY 1),
+      grid AS (SELECT user_id, u.cell
+               FROM span, UNNEST(generate_series(c0, c1)) AS u(cell)),
+      j AS (SELECT g.user_id, g.cell, o.v_obs
+            FROM grid g LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.cell = o.cell)
+    SELECT user_id, cell,
+      last_value(v_obs IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY cell) AS filled,
+      v_obs IS NULL AS is_gap
+    FROM j
+    ORDER BY user_id, cell"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84)
 }

@@ -650,7 +650,74 @@ object Relational {
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")))
   }
 
+  /** Distribution drift between two snapshots of one column — the check a
+    * dataset re-publish runs before promoting a new version: both sides
+    * bin with the SAME fixed boundaries ([[histogram]]'s clamp-to-edge
+    * rule, so a shifted tail is visible in the edge bins instead of
+    * silently dropped), per-bin shares compare in exact integer ppm, and
+    * `diff_ppm = |p_new − p_old|` per bin; Σ diff_ppm / 2 is the total
+    * variation distance in ppm — the integer-exact drift score (PSI's log
+    * ratio is float-hazardous cross-engine and ranks the same shifts).
+    *
+    * Cost: one scan per snapshot into a ≤`bins`-row table, then all
+    * comparison arithmetic on the tiny joined result with the totals
+    * broadcast back — at 100 TB the drift report costs two aggregated
+    * scans and nothing else. Snapshots must be non-empty (a zero total
+    * makes the ppm shares NULL, not a crash). */
+  def drift(oldDf: DataFrame, newDf: DataFrame, c: Column, lo: Double,
+      hi: Double, bins: Int): DataFrame = {
+    val j = histogram(oldDf, c, lo, hi, bins).withColumnRenamed("n", "n_old")
+      .join(histogram(newDf, c, lo, hi, bins).withColumnRenamed("n", "n_new"),
+        Seq("bin"), "full_outer")
+      .withColumn("n_old", coalesce(col("n_old"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val tot = j.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p_old_ppm",
+        expr("CAST((n_old * CAST(1000000 AS BIGINT)) DIV t_old AS BIGINT)"))
+      .withColumn("p_new_ppm",
+        expr("CAST((n_new * CAST(1000000 AS BIGINT)) DIV t_new AS BIGINT)"))
+      .withColumn("diff_ppm", abs(col("p_new_ppm") - col("p_old_ppm")))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        col("p_old_ppm"), col("p_new_ppm"), col("diff_ppm"))
+  }
+
+  /** Oracle fixture of [[drift]]: the events value distribution, first
+    * half of January vs the full month, 20 bins over [0, 500). */
+  private val q83 = {
+    val bins = 20
+    val lo = 0.0; val hi = 500.0
+    val step = (hi - lo) / bins
+    val binSql = s"CAST(least(${bins - 1}, greatest(0, " +
+      s"floor((value - $lo) / $step))) AS BIGINT)"
+    GQuery(
+      "q83_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        drift(ev.filter(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'")),
+            ev, col("value"), lo, hi, bins)
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH ho AS (SELECT $binSql AS bin, COUNT(*) AS n_old
+                 FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+                 GROUP BY 1),
+        hn AS (SELECT $binSql AS bin, COUNT(*) AS n_new
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+        j AS (SELECT COALESCE(ho.bin, hn.bin) AS bin,
+                COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+              FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin),
+        tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM j)
+      SELECT bin, n_old, n_new,
+        CAST((n_old * 1000000) // t_old AS BIGINT) AS p_old_ppm,
+        CAST((n_new * 1000000) // t_new AS BIGINT) AS p_new_ppm,
+        abs(CAST((n_new * 1000000) // t_new AS BIGINT)
+          - CAST((n_old * 1000000) // t_old AS BIGINT)) AS diff_ppm
+      FROM j, tot
+      ORDER BY bin"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74)
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74, q83)
 }

@@ -122,6 +122,55 @@ class DiffConfirmSpec extends SparkSpec {
       "a count-1 bigram must not survive minCount=2")
   }
 
+  // ---- drift ---------------------------------------------------------------
+
+  test("drift pins a planted full shift at 1e6 ppm in the moved bins") {
+    val old = Seq.fill(10)(5.0).toDF("v") // all mass in bin 0
+    val nw = Seq.fill(40)(95.0).toDF("v") // all mass in bin 9 (different total)
+    val d = graft.queries.Relational.drift(old, nw, col("v"), 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(d(0L).getLong(3) == 1000000L && d(0L).getLong(4) == 0L)
+    assert(d(9L).getLong(3) == 0L && d(9L).getLong(4) == 1000000L)
+    assert(d(0L).getLong(5) == 1000000L && d(9L).getLong(5) == 1000000L)
+    // total variation = sum(diff)/2 = the whole distribution moved
+    assert(d.values.map(_.getLong(5)).sum / 2 == 1000000L)
+  }
+
+  test("drift of a snapshot against itself is zero in every bin") {
+    val df = Seq(1.0, 2.0, 50.0, 99.0, 150.0).toDF("v") // 150 clamps to top bin
+    val d = graft.queries.Relational.drift(df, df, col("v"), 0.0, 100.0, 10)
+    assert(d.filter(col("diff_ppm") =!= 0L).isEmpty)
+    assert(d.agg(sum(col("n_old"))).head().getLong(0) == 5L, "clamped rows counted")
+  }
+
+  // ---- gapFill -------------------------------------------------------------
+
+  test("gapFill carries the last observed value across gaps with flags") {
+    val step = 10L // seconds per cell
+    def at(cellFrac: Double) =
+      new java.sql.Timestamp((cellFrac * step * 1000).toLong)
+    val ev = Seq(
+      (1L, at(0.1), 100L, 1.0), // cell 0
+      (1L, at(0.5), 101L, 2.0), // cell 0, later ts -> wins the cell
+      (1L, at(3.2), 102L, 9.0) // cell 3; cells 1-2 are gaps
+    ).toDF("user_id", "ts", "event_id", "value")
+    val rows = graft.queries.EventQ
+      .gapFill(ev, "user_id", "ts", "event_id", "value", step)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 2.0, false), (1L, 2.0, true), (2L, 2.0, true), (3L, 9.0, false)))
+  }
+
+  test("gapFill ties within a cell break by the ord column, replay-stable") {
+    val t0 = new java.sql.Timestamp(0L)
+    val ev = Seq((1L, t0, 7L, 7.0), (1L, t0, 9L, 9.0), (1L, t0, 8L, 8.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = graft.queries.EventQ
+      .gapFill(ev, "user_id", "ts", "event_id", "value", 10L).collect()
+    assert(r.length == 1 && r.head.getDouble(2) == 9.0)
+  }
+
   // ---- leakageSafeSplit ----------------------------------------------------
 
   test("leakageSafeSplit keeps every near-dup cluster in exactly one split") {
