@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Behavioral / statistical event analytics: ordered funnels, cohort
+  * retention, transition matrices, per-group trend slopes, z-score outlier
+  * flagging, and Pearson correlation. These are the product-analytics
+  * shapes a stream-mediation deployment reports on top of the event flow
+  * the reference moves (its components route and persist events —
+  * `MFramework.cpp:1372` demux, `MFramework.cpp:1537` fan-out — but push
+  * analysis downstream; here the engine answers those questions itself).
+  *
+  * Determinism discipline for the statistical operators: every sum feeding
+  * a floating formula is accumulated EXACTLY first — money values in
+  * centi-unit longs (the fixture's `value` carries 2 decimal digits, so
+  * `round(value*100)` is exact in both engines), timestamps as integer
+  * second offsets from a fixed epoch — and only then combined in double
+  * arithmetic written with IDENTICAL operation order in the Spark and
+  * oracle expressions. Two engines starting from equal integers and
+  * applying the same IEEE ops produce bit-equal doubles; what they do NOT
+  * agree on is rounding a repeating binary double into a decimal string,
+  * which is why no intermediate is ever rounded (only the final display
+  * value, where a tie is measure-zero on synthetic data).
+  *
+  * Scale notes per operator inline; the common theme is that everything
+  * partitions by the analysis key (user, group) — one hash shuffle, no
+  * self-joins, no driver-side iteration.
+  */
+object AnalyticsQ {
+
+  /** Ordered conversion funnel: for each stage k, the users whose first
+    * qualifying stage-k event is at-or-after their stage-(k-1) reach time.
+    * Returns one row per stage: (stage, event_type, n_users).
+    *
+    * Shape: a fold of [filter → join on user → min-agg], all shuffling on
+    * the SAME key (`userCol`), so every stage reuses one partitioning and
+    * the per-stage reach table only ever shrinks. The events side is
+    * filtered to one type BEFORE the join — at 100 TB the join input is a
+    * type partition, not the full stream, and the reach side of later
+    * stages is small enough for AQE to flip to broadcast on its own. No
+    * collect, no iteration over rows — `stages` is a tiny static list. */
+  def funnelReach(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_reach"))
+    val reach = stages.tail.scanLeft(first) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("t_reach").as("t_prev")), userCol)
+        .filter(col(tsCol) >= col("t_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_reach"))
+    }
+    reach.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast(LongType).as("stage"),
+          lit(stages(i)).as("event_type"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy(col("stage"))
+  }
+
+  private val q85 = GQuery(
+    "q85_funnel",
+    (s, dir) => funnelReach(t(s, dir, "events"),
+      Seq("view", "click", "purchase")),
+    Some("""WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t_reach FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_reach FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t_reach
+        WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_reach FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t_reach
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3
+      ORDER BY stage"""))
+
+  /** Cohort retention: users grouped by first-activity date; for each
+    * (cohort, day offset) the count of cohort members active that day.
+    *
+    * Shape: distinct (user, day) — one shuffle on user+day, map-side
+    * combined — then a join back to the per-user cohort table on user and
+    * a small final agg. Cohort table is |users| rows; at 100 TB that is
+    * the big side's join key partitioning, already colocated with the
+    * distinct's output. Output is |cohorts| x |offsets| — tiny. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    val cohort = days.groupBy(col(userCol)).agg(min(col("d")).as("cohort_date"))
+    days.join(cohort, userCol)
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(dateStr(col("cohort_date")).as("cohort_date"), col("day_offset"),
+        col("n_users"))
+  }
+
+  private val q86 = GQuery(
+    "q86_retention",
+    (s, dir) => retentionCohorts(t(s, dir, "events"))
+      .orderBy(col("cohort_date"), col("day_offset")),
+    Some(s"""WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      cohort AS (
+        SELECT user_id, MIN(d) AS cohort_date FROM days GROUP BY 1)
+      SELECT ${dateStrSql("c.cohort_date")} AS cohort_date,
+        CAST(d.d - c.cohort_date AS BIGINT) AS day_offset,
+        COUNT(*) AS n_users
+      FROM days d JOIN cohort c ON d.user_id = c.user_id
+      GROUP BY c.cohort_date, d.d - c.cohort_date
+      ORDER BY cohort_date, day_offset"""))
+
+  /** First-order transition matrix: counts of consecutive event-type pairs
+    * per user, ordered by time with `ordCol` as the replay-stable tiebreak
+    * (the same rule as [[WindowQ.latestPerKey]] — equal timestamps must
+    * order identically on every run and engine).
+    *
+    * Shape: ONE window pass partitioned by user + one small agg; the
+    * window sort is per-user, so skew only matters for a single
+    * pathologically hot user (bucket by coarse time first if so). */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      ordCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(ordCol))
+    events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val q87 = GQuery(
+    "q87_transitions",
+    (s, dir) => transitionMatrix(t(s, dir, "events"))
+      .orderBy(col("from_type"), col("to_type")),
+    Some("""WITH seq AS (
+        SELECT event_type AS from_type,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM events)
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+      ORDER BY from_type, to_type"""))
+
+  /** Events epoch origin: 2024-01-01T00:00:00Z. Offsetting timestamps to
+    * small integers keeps Σx and Σx² inside exact long range (seconds over
+    * a multi-year window × 1e9 rows still fits: x ≤ 1e8 ⇒ x² ≤ 1e16; the
+    * SUM itself is accumulated as DECIMAL, which never overflows). */
+  private val EpochSec = 1704067200L
+
+  /** Per-group least-squares trend of a 2-decimal money column over time,
+    * reported as slope per day. All five sufficient statistics (n, Σx,
+    * Σy, Σxy, Σx²) are exact integers (x = second offset, y = value×100),
+    * so the closed-form slope is a pure function of numbers both engines
+    * hold bit-identically; the double formula is written in the same
+    * operation order on both sides. Single hash aggregation — one
+    * shuffle, map-side partials, output |groups| rows. */
+  def trendSlope(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val x = (unix_micros(col(tsCol)) / lit(1000000L)).cast(LongType) - EpochSec
+    val ly = round(col(valCol) * 100).cast(LongType)
+    events
+      .select(col(groupCol), x.as("x"), ly.as("ly"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("ly").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("ly")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+      .select(col(groupCol), col("n"),
+        round(
+          ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+            * lit(86400d) / lit(100d), 6).as("slope_per_day"))
+  }
+
+  private val q88 = GQuery(
+    "q88_trend",
+    (s, dir) => trendSlope(t(s, dir, "events")).orderBy(col("event_type")),
+    Some(s"""WITH o AS (
+        SELECT event_type,
+          (epoch_us(ts) // 1000000) - $EpochSec AS x,
+          CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events),
+      agg AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(ly AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(x * ly AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        FROM o GROUP BY 1)
+      SELECT event_type, n,
+        round(
+          ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * 86400 / 100, 6) AS slope_per_day
+      FROM agg
+      ORDER BY event_type"""))
+
+  /** Population z-score outlier flags: rows whose money value deviates
+    * more than `threshold` sigmas from their group mean. With exact
+    * centi-unit sums, z = (n·ly − Σly) / sqrt(n·Σly² − (Σly)²) — the
+    * 1/100 scale cancels. The threshold compares UNROUNDED doubles (equal
+    * in both engines); only the reported z is display-rounded.
+    *
+    * Shape: group stats via window functions over the group key — one
+    * shuffle, no join, the row side never rematerializes. At 100 TB
+    * prefer the two-pass variant (tiny stats agg + broadcast join back)
+    * when groups are few: the window sort is wasted work. This fixture
+    * keeps the window form to exercise it; both are provided. */
+  def zscoreOutliers(events: DataFrame, groupCol: String = "event_type",
+      idCol: String = "event_id", valCol: String = "value",
+      threshold: Double = 2.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(col(groupCol))
+    val z = (sum(lit(1)).over(w).cast(DoubleType) * col("ly") -
+        sum(col("ly")).over(w).cast(DoubleType)) /
+      sqrt(sum(lit(1)).over(w).cast(DoubleType) *
+          sum(col("ly") * col("ly")).over(w).cast(DoubleType) -
+        sum(col("ly")).over(w).cast(DoubleType) *
+          sum(col("ly")).over(w).cast(DoubleType))
+    events
+      .select(col(idCol), col(groupCol),
+        round(col(valCol) * 100).cast(LongType).as("ly"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) > threshold)
+      .select(col(idCol), col(groupCol), (col("ly") / lit(100d)).as(valCol),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** Two-pass variant for few-groups/many-rows: aggregate stats, then a
+    * broadcast join back. Same math, same output contract. */
+  def zscoreOutliersBroadcast(events: DataFrame,
+      groupCol: String = "event_type", idCol: String = "event_id",
+      valCol: String = "value", threshold: Double = 2.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val rows = events.select(col(idCol), col(groupCol),
+      round(col(valCol) * 100).cast(LongType).as("ly"))
+    val stats = rows.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(DoubleType).as("n"),
+      sum(col("ly")).cast(DoubleType).as("sy"),
+      sum(col("ly") * col("ly")).cast(DoubleType).as("syy"))
+    rows.join(broadcast(stats), groupCol)
+      .withColumn("z", (col("n") * col("ly") - col("sy")) /
+        sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+      .filter(abs(col("z")) > threshold)
+      .select(col(idCol), col(groupCol), (col("ly") / lit(100d)).as(valCol),
+        round(col("z"), 4).as("z"))
+  }
+
+  private val q89 = GQuery(
+    "q89_outliers",
+    (s, dir) => zscoreOutliers(t(s, dir, "events")).orderBy(col("event_id")),
+    Some("""WITH o AS (
+        SELECT event_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events),
+      win AS (
+        SELECT event_id, event_type, ly,
+          (CAST(COUNT(*) OVER g AS DOUBLE) * ly
+            - CAST(SUM(ly) OVER g AS DOUBLE))
+          / sqrt(CAST(COUNT(*) OVER g AS DOUBLE)
+                 * CAST(SUM(ly * ly) OVER g AS DOUBLE)
+               - CAST(SUM(ly) OVER g AS DOUBLE)
+                 * CAST(SUM(ly) OVER g AS DOUBLE)) AS z
+        FROM o
+        WINDOW g AS (PARTITION BY event_type))
+      SELECT event_id, event_type, ly / 100.0 AS value, round(z, 4) AS z
+      FROM win WHERE abs(z) > 2.5
+      ORDER BY event_id"""))
+
+  /** Pearson correlation between the money value and the JSON `k` payload
+    * per group — both re-expressed as exact integers, same sufficient-
+    * statistics discipline as [[trendSlope]]. One hash aggregation. */
+  def pearsonCorr(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", propsCol: String = "props",
+      propKey: String = "k"): DataFrame = {
+    val ly = round(col(valCol) * 100).cast(LongType)
+    val k = get_json_object(col(propsCol), s"$$.$propKey").cast(LongType)
+    events
+      .select(col(groupCol), ly.as("y"), k.as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col(groupCol), col("n"),
+        round(
+          (col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+              * sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType)
+                - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+          6).as("corr_vk"))
+  }
+
+  private val q90 = GQuery(
+    "q90_correlation",
+    (s, dir) => pearsonCorr(t(s, dir, "events")).orderBy(col("event_type")),
+    Some("""WITH o AS (
+        SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS y,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      agg AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM o GROUP BY 1)
+      SELECT event_type, n,
+        round(
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_vk
+      FROM agg
+      ORDER BY event_type"""))
+
+  /** Key-distribution skew report: the top-`topK` hottest keys of a
+    * column with their share of the table — the diagnostic run BEFORE
+    * picking a join/aggregation key at 100 TB (a 4% key means the
+    * shuffle partition holding it is 40x the average at 1000 partitions;
+    * that key needs salting or an AQE skew-join). Per-key counts are one
+    * map-side-combined aggregation; the total joins back as a broadcast
+    * scalar; top-K is TakeOrdered, never a global sort. Ties break on
+    * key ascending so the report is stable across runs and engines. */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        round(col("cnt") / col("total") * 100, 6).as("pct"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
+
+  private val q92 = GQuery(
+    "q92_key_skew",
+    (s, dir) => keySkewReport(t(s, dir, "lineitem"), "l_suppkey")
+      .orderBy(col("cnt").desc, col("key")),
+    Some("""WITH counts AS (
+        SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      total AS (SELECT COUNT(*) AS total FROM lineitem)
+      SELECT key, cnt, round(cnt / total * 100, 6) AS pct
+      FROM counts, total
+      ORDER BY cnt DESC, key
+      LIMIT 10"""))
+
+  /** Audience overlap: for every pair of event types, the number of
+    * distinct users who performed both — the co-occurrence matrix behind
+    * segment targeting and funnel design. Distinct (user, type) pairs
+    * first (one shuffle, map-side combine), then a self-join on user:
+    * fan-out per user is bounded by |types|², so the join output is at
+    * most |types|² × |users| — linear in users, never all-pairs in
+    * events. The diagonal (a = b) is each type's reach. */
+  def audienceOverlap(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") <= col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q93 = GQuery(
+    "q93_audience_overlap",
+    (s, dir) => audienceOverlap(t(s, dir, "events"))
+      .orderBy(col("type_a"), col("type_b")),
+    Some("""WITH ut AS (
+        SELECT DISTINCT user_id AS u, event_type AS t FROM events)
+      SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_users
+      FROM ut a JOIN ut b ON a.u = b.u AND a.t <= b.t
+      GROUP BY a.t, b.t
+      ORDER BY type_a, type_b"""))
+
+  val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93)
+}

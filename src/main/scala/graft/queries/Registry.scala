@@ -17,7 +17,8 @@ final case class GQuery(
 object Registry {
   lazy val all: Seq[GQuery] =
     Relational.queries ++ WindowQ.queries ++ EventQ.queries ++
-      TextQ.queries ++ CurationQ.queries ++ VectorQ.queries ++ PacketQ.queries
+      AnalyticsQ.queries ++ TextQ.queries ++ CurationQ.queries ++
+      VectorQ.queries ++ PacketQ.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1059,7 +1059,139 @@ object TextQ {
     FROM lab
     ORDER BY doc_id"""))
 
+  /** Inverted index (token → document-frequency + head of the posting
+    * list): the retrieval-side structure a corpus search / dedup-debug
+    * tool builds over a text corpus. The posting list is CAPPED before
+    * collection — `row_number <= maxPostings` runs on the token
+    * partitioning, so no executor ever materializes an unbounded
+    * per-token list (a stopword's full posting list at 100 TB is the
+    * corpus itself; the cap plus the separate exact `df` count is the
+    * scale-safe contract). One shuffle on token: the rank and the df
+    * count share the window exchange; the final agg groups on the same
+    * key (token, df) and AQE coalesces the tiny tail. */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val pairs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val wOrd = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("token"))
+    pairs
+      .select(col("token"), col("doc_id"),
+        row_number().over(wOrd).as("rn"),
+        count(lit(1)).over(wAll).as("df"))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("token"), col("df"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings_head"))
+      .select(col("token"), col("df"), col("postings_head"))
+  }
+
+  /** Oracle fixture of [[invertedIndex]] (cap 20). */
+  private val q91 = GQuery(
+    "q91_inverted_index",
+    (s, dir) => invertedIndex(t(s, dir, "documents"))
+      .orderBy(col("token")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      pairs AS (
+        SELECT DISTINCT doc_id, token FROM tok WHERE len(token) > 0),
+      win AS (
+        SELECT token, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY token) AS df
+        FROM pairs)
+      SELECT token, df,
+        array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_head
+      FROM win WHERE rn <= 20
+      GROUP BY token, df
+      ORDER BY token"""))
+
+  /** DuckDB MinHash signature + band CTEs over a filtered `documents`
+    * subset, prefixed `alias_` — the cross-corpus twin of the
+    * [[minhashCandSql]] self-join prefix. */
+  private def sigSqlFor(alias: String, pred: String): String = {
+    val sigCols = (0 until 8)
+      .map(i => s"MIN(${minhashLane(i, "h1", "h2")}) AS h$i").mkString(", ")
+    val bandSql = (0 until 4).map(b =>
+      s"""SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey,
+          h0, h1, h2, h3, h4, h5, h6, h7 FROM ${alias}_sig""")
+      .mkString(" UNION ALL ")
+    s"""${alias}_toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+          FROM documents
+          WHERE ($pred) AND len(string_split(text, ' ')) >= 3),
+        ${alias}_sh AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+          FROM ${alias}_toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+        ${alias}_sig AS (SELECT doc_id, $sigCols
+          FROM (SELECT doc_id, md5(sh) AS h1, md5('x:' || sh) AS h2
+                FROM ${alias}_sh)
+          GROUP BY doc_id),
+        ${alias}_bands AS ($bandSql)"""
+  }
+
+  /** FUZZY benchmark decontamination: train docs whose MinHash-estimated
+    * Jaccard against ANY eval doc reaches `minEstJaccard` — the
+    * near-duplicate complement of [[decontaminationHits]]' exact n-gram
+    * overlap (a paraphrased eval item shares few exact 5-grams but most
+    * of its 3-token shingles). Returns one row per contaminated train
+    * doc: (train_doc, n_eval_hits, max_est_jaccard).
+    *
+    * Scale shape: eval benchmark suites are small by construction, so the
+    * eval band side is BROADCAST — the train corpus never shuffles; the
+    * band match runs map-side inside the scan stage. The skew guard caps
+    * the eval side's band buckets, which bounds the per-train-row
+    * fan-out at `maxBandSize` regardless of how degenerate a train band
+    * key is. If the eval set ever outgrows broadcast, drop the hint and
+    * the same plan runs as a hash join on (band, bkey). */
+  def fuzzyDecontamination(train: DataFrame, eval: DataFrame,
+      minEstJaccard: Double = 0.5, maxBandSize: Int = 1000): DataFrame = {
+    require(minEstJaccard > 0 && minEstJaccard <= 1,
+      s"minEstJaccard must be in (0,1], got $minEstJaccard")
+    val pairs = minhashBands(train).as("x")
+      .join(broadcast(bandSizeGuard(minhashBands(eval), maxBandSize)).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("train_doc"), col("y.doc_id").as("eval_doc"),
+        laneAgreement.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+    pairs.groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+  }
+
+  /** Oracle fixture of [[fuzzyDecontamination]]: eval set = doc_id % 10
+    * = 3 (a 10% holdout; unlike q50's % 97 split this one cuts through
+    * several of the corpus's near-dup families, so the fixture exercises
+    * real hits), threshold 0.5 (4 of 8 lanes agree). */
+  private val q94 = {
+    val estSql = (0 until 8).map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ") / 8.0")
+    GQuery(
+      "q94_fuzzy_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        fuzzyDecontamination(
+          docs.filter(col("doc_id") % 10 =!= 3),
+          docs.filter(col("doc_id") % 10 === 3))
+          .orderBy(col("train_doc"))
+      },
+      Some(s"""WITH ${sigSqlFor("tr", "doc_id % 10 <> 3")},
+        ${sigSqlFor("ev", "doc_id % 10 = 3")},
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS train_doc, y.doc_id AS eval_doc,
+            $estSql AS est_jaccard
+          FROM tr_bands x JOIN ev_bands y
+            ON x.band = y.band AND x.bkey = y.bkey)
+        SELECT train_doc, COUNT(*) AS n_eval_hits,
+          MAX(est_jaccard) AS max_est_jaccard
+        FROM pairs WHERE est_jaccard >= 0.5
+        GROUP BY train_doc
+        ORDER BY train_doc"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81)
+      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94)
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQ, TextQ}
+
+/** Hand-computed fixtures for the event-analytics operators (AnalyticsQ)
+  * and the round-4 text additions; the sf0.01 oracle gate checks the same
+  * code at scale, this pins the SEMANTICS on cases small enough to verify
+  * by eye (funnel ordering rules, tiebreaks, caps).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def events(rows: (Long, Long, String, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+  }
+
+  test("funnelReach counts stage reach with strict temporal ordering") {
+    val ev = events(
+      (1, 1, "view", "2024-01-01 00:00:01", 0.0),
+      (2, 1, "click", "2024-01-01 00:00:02", 0.0),
+      (3, 1, "purchase", "2024-01-01 00:00:03", 0.0),
+      // user 2: click BEFORE first view — must not count at stage 2
+      (4, 2, "click", "2024-01-01 00:00:01", 0.0),
+      (5, 2, "view", "2024-01-01 00:00:02", 0.0),
+      // user 3: skips click — must not count at stage 2 or 3
+      (6, 3, "view", "2024-01-01 00:00:01", 0.0),
+      (7, 3, "purchase", "2024-01-01 00:00:02", 0.0),
+      // user 4: click at the SAME instant as view — >= counts it
+      (8, 4, "view", "2024-01-01 00:00:01", 0.0),
+      (9, 4, "click", "2024-01-01 00:00:01", 0.0))
+    val got = AnalyticsQ.funnelReach(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 4L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnelReach rejects duplicate stages") {
+    intercept[IllegalArgumentException] {
+      AnalyticsQ.funnelReach(events(), Seq("view", "view"))
+    }
+  }
+
+  test("transitionMatrix orders by ts with event_id tiebreak") {
+    val ev = events(
+      (1, 1, "A", "2024-01-01 00:00:01", 0.0),
+      (2, 1, "B", "2024-01-01 00:00:02", 0.0),
+      // same timestamp: event_id 3 then 4 → C before D
+      (3, 1, "C", "2024-01-01 00:00:03", 0.0),
+      (4, 1, "D", "2024-01-01 00:00:03", 0.0))
+    val got = AnalyticsQ.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L)))
+  }
+
+  test("retentionCohorts offsets against first-activity date") {
+    val ev = events(
+      (1, 1, "view", "2024-01-01 10:00:00", 0.0),
+      (2, 1, "view", "2024-01-01 23:00:00", 0.0), // same day — one row
+      (3, 1, "view", "2024-01-03 01:00:00", 0.0),
+      (4, 2, "view", "2024-01-02 05:00:00", 0.0))
+    val got = AnalyticsQ.retentionCohorts(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("trendSlope recovers an exact linear trend") {
+    // value = 1 + 2 * (seconds since 2024-01-01) → slope 2/sec = 172800/day
+    val ev = events(
+      (1, 1, "g", "2024-01-01 00:00:00", 1.0),
+      (2, 1, "g", "2024-01-01 00:00:01", 3.0),
+      (3, 1, "g", "2024-01-01 00:00:02", 5.0))
+    val row = AnalyticsQ.trendSlope(ev).collect().head
+    assert(row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 172800.0)
+  }
+
+  test("zscore variants agree and flag the planted outlier") {
+    val base = (1 to 20).map(i => (i.toLong, 1L, "g", "2024-01-01 00:00:01", 10.0))
+    val ev = events(base :+ ((99L, 1L, "g", "2024-01-01 00:00:01", 500.0)): _*)
+    val a = AnalyticsQ.zscoreOutliers(ev)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val b = AnalyticsQ.zscoreOutliersBroadcast(ev)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._1).toSeq == Seq(99L))
+    assert(a.head._2 > 4.0) // lone spike in 21 rows is > 4 sigma
+  }
+
+  test("pearsonCorr is 1 for a perfectly linear relation") {
+    import spark.implicits._
+    val ev = (1 to 10).map(i => (i.toLong, "g", i * 2.0, s"""{"k": $i}"""))
+      .toDF("event_id", "event_type", "value", "props")
+    val row = AnalyticsQ.pearsonCorr(ev).collect().head
+    assert(row.getDouble(2) == 1.0)
+  }
+
+  test("keySkewReport ranks hot keys with stable tiebreak") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c"))
+      .toDF("k")
+    val got = AnalyticsQ.keySkewReport(df, "k", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 6L, 50.0), ("b", 3L, 25.0)))
+  }
+
+  test("audienceOverlap counts users per unordered type pair") {
+    val ev = events(
+      (1, 1, "view", "2024-01-01 00:00:01", 0.0),
+      (2, 1, "click", "2024-01-01 00:00:02", 0.0),
+      (3, 1, "click", "2024-01-01 00:00:03", 0.0), // dup (user,type)
+      (4, 2, "view", "2024-01-01 00:00:01", 0.0))
+    val got = AnalyticsQ.audienceOverlap(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("click", "click", 1L), ("click", "view", 1L),
+      ("view", "view", 2L)))
+  }
+
+  test("invertedIndex caps postings but keeps the exact df") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextQ.invertedIndex(docs, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got("x") == ((3L, "1,2"))) // df counts all 3, postings capped at 2
+    assert(got("y") == ((1L, "1")))
+  }
+
+  test("fuzzyDecontamination flags a paraphrase, not an unrelated doc") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark shuffles here now")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val got = TextQ.fuzzyDecontamination(train, eval, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L)))
+  }
+}
