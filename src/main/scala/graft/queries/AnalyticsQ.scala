@@ -286,12 +286,26 @@ object AnalyticsQ {
 
   /** Pearson correlation between the money value and the JSON `k` payload
     * per group — both re-expressed as exact integers, same sufficient-
-    * statistics discipline as [[trendSlope]]. One hash aggregation. */
+    * statistics discipline as [[trendSlope]]. One hash aggregation.
+    *
+    * The integer payload is pulled with a codegen'd regexp, NOT
+    * `get_json_object`: that expression builds a Jackson parser PER ROW,
+    * and each per-row `ThreadLocal.get` behind Jackson's buffer recycler
+    * degenerates into a linear ThreadLocalMap probe once a long-lived
+    * executor thread's map is polluted — profiled here as a multi-10-s
+    * stall on a 100k-row scan, and a real hazard for any hot path at
+    * 100 TB. Use q22's `get_json_object` surface for ad-hoc paths and
+    * schema'd `from_json` (one parser per task) for full JSON structure;
+    * for a single scalar field in a hot aggregate, the regexp keeps the
+    * whole row pipeline inside whole-stage codegen with zero per-row
+    * allocation. */
   def pearsonCorr(events: DataFrame, groupCol: String = "event_type",
       valCol: String = "value", propsCol: String = "props",
       propKey: String = "k"): DataFrame = {
     val ly = round(col(valCol) * 100).cast(LongType)
-    val k = get_json_object(col(propsCol), s"$$.$propKey").cast(LongType)
+    val rx = regexp_extract(col(propsCol),
+      "\"" + propKey + "\"\\s*:\\s*(-?\\d+)", 1)
+    val k = when(length(rx) > 0, rx.cast(LongType))
     events
       .select(col(groupCol), ly.as("y"), k.as("x"))
       .filter(col("x").isNotNull)

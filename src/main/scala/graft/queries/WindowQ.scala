@@ -325,5 +325,50 @@ object WindowQ {
     FROM j
     ORDER BY user_id"""))
 
-  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75, q79)
+  /** Time-RANGE moving aggregate: per-key trailing-`windowSec` event count
+    * and value sum at every event — the rows-frame (q08) counts
+    * neighbors by POSITION; this one by TIME DISTANCE, the semantics a
+    * rate limiter / rolling-revenue monitor needs on an irregular
+    * stream. Money stays in exact centi-unit longs inside the frame sum
+    * (a long sum of cents is order-independent; a double sum is not) and
+    * divides back out once per row. Peers at the same timestamp see the
+    * same frame by RANGE definition, so output is replay-stable without
+    * a tiebreak. One window pass partitioned by key; a pathologically
+    * hot key serializes in one partition — pre-bucket by coarse time if
+    * a single key's history outgrows an executor (two-level rollup). */
+  def movingWindow(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, valCol: String, windowSec: Long): org.apache.spark.sql.DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("sec"))
+      .rangeBetween(-windowSec, Window.currentRow)
+    events
+      .select(col(keyCol), col("event_id"),
+        (unix_micros(col(tsCol)) / lit(1000000L)).cast(LongType).as("sec"),
+        round(col(valCol) * 100).cast(LongType).as("ly"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", sum(col("ly")).over(w) / lit(100d))
+      .select(col("event_id"), col(keyCol), col("n_trailing"), col("sum_trailing"))
+  }
+
+  /** Oracle fixture of [[movingWindow]]: per-user trailing 24 h. */
+  private val q95 = GQuery(
+    "q95_moving_window",
+    (s, dir) => movingWindow(t(s, dir, "events"), "user_id", "ts", "value",
+        windowSec = 86400L)
+      .orderBy(col("event_id")),
+    Some("""WITH o AS (
+        SELECT event_id, user_id,
+          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+          CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events)
+      SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_trailing,
+        CAST(SUM(ly) OVER w AS BIGINT) / 100.0 AS sum_trailing
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75,
+    q79, q95)
 }

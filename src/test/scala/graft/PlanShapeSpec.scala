@@ -100,6 +100,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(got == naive, "bucketized result diverged from the naive reference")
   }
 
+  test("q94 broadcasts the eval band side; train corpus never shuffles for the join") {
+    val plan = planOf("q94_fuzzy_decontamination")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q92 key-skew report plans top-k, not a global sort") {
+    assert(planOf("q92_key_skew").contains("TakeOrderedAndProject"))
+  }
+
+  test("q90 correlation keeps the scan pipeline in one codegen'd aggregate") {
+    val plan = planOf("q90_correlation")
+    assert(plan.contains("HashAggregate"), plan)
+    // the per-row extraction must not fall back to a non-codegen project
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"), plan)
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
