@@ -109,13 +109,20 @@ object EventQ {
     GROUP BY window_start
     ORDER BY window_start"""))
 
-  /** JSON extraction from the props payload (`from_json`-style access). */
+  /** JSON extraction from the props payload via schema'd `from_json` —
+    * ONE Jackson parser per task. The ad-hoc alternative
+    * `get_json_object(props, "$.k")` builds a parser per ROW (and its
+    * per-row ThreadLocal buffer-recycler lookup degenerates badly on a
+    * polluted executor thread — see [[AnalyticsQ.pearsonCorr]]); path
+    * extraction is for exploration, schema'd parse is the pipeline
+    * shape. */
   private val q22 = GQuery(
     "q22_json_extract",
     (s, dir) => {
+      val props = StructType(Seq(StructField("k", LongType)))
       t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+          from_json(col("props"), props).getField("k").as("k_val"))
         .groupBy(col("event_type"))
         .agg(sum(col("k_val")).as("sum_k"),
           count(col("k_val")).as("n_with_k"),

@@ -195,6 +195,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel matches the batch operator and survives batch splits") {
+    import graft.streaming.{FunnelEvent, FunnelTracker, StageReached}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the AnalyticsSpec fixture, in micro-batches, deliberately
+      // unordered WITHIN a batch (the sort must restore time order)
+      val batch1 = Seq(
+        FunnelEvent(1L, "click", 2000L), FunnelEvent(1L, "view", 1000L),
+        FunnelEvent(2L, "click", 1000L),
+        // user 4: click at the SAME microsecond as view, click first in
+        // arrival order — the multi-pass must still advance both stages
+        FunnelEvent(4L, "click", 1000L), FunnelEvent(4L, "view", 1000L))
+      val batch2 = Seq(
+        FunnelEvent(1L, "purchase", 3000L), // crosses a batch boundary
+        FunnelEvent(2L, "view", 2000L),     // click was BEFORE view: no stage 2
+        FunnelEvent(3L, "view", 1000L), FunnelEvent(3L, "purchase", 2000L))
+      val in = MemoryStream[FunnelEvent]
+      val out = in.toDS().groupByKey(_.user_id)
+        .transformWithState(new FunnelTracker(Seq("view", "click", "purchase")),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("funnel_out").start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+        val got = spark.table("funnel_out").as[StageReached].collect()
+          .map(r => (r.user_id, r.stage, r.event_type)).toSet
+        assert(got == Set(
+          (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+          (2L, 1, "view"),
+          (3L, 1, "view"),
+          (4L, 1, "view"), (4L, 2, "click")))
+        // parity: per-stage reach counts equal the batch operator's on the
+        // same rows (all events were in-order across batches here)
+        val all = (batch1 ++ batch2)
+          .map(e => (e.user_id, e.event_type, new Timestamp(e.ts_us / 1000)))
+          .toDF("user_id", "event_type", "ts")
+        val batch = graft.queries.AnalyticsQ
+          .funnelReach(all, Seq("view", "click", "purchase"))
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val streamed = spark.table("funnel_out").as[StageReached].collect()
+          .groupBy(_.stage).view.mapValues(_.length.toLong).toMap
+        assert(batch == Map(1L -> streamed(1), 2L -> streamed(2), 3L -> streamed(3)))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timeout flushes incomplete calls as partial") {
     import graft.streaming.{Leg, LegAssembler, AssembledCall}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
