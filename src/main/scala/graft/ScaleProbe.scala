@@ -24,7 +24,8 @@ object ScaleProbe {
     "q27b_simhash_neardup", "q30_ann_bucketed", "q48_hash_split",
     "q49_repetition", "q53_tfidf_topk", "q57_boilerplate_chunks",
     "q61_sequence_packing", "q62_heavy_hitters", "q65_lm_score",
-    "q68_range_join")
+    "q68_range_join", "q85_funnel", "q91_inverted_index",
+    "q95_moving_window")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
