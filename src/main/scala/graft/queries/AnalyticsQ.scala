@@ -413,38 +413,19 @@ object AnalyticsQ {
       GROUP BY a.t, b.t
       ORDER BY type_a, type_b"""))
 
-  /** Skew-salted equi-join: what [[keySkewReport]] tells you to do when a
-    * join key is hot and NEITHER side broadcasts. The big side gets a
-    * deterministic salt in [0, buckets) hashed from `spreadCols` (columns
-    * that vary WITHIN a key — this is what spreads one hot key across
-    * `buckets` reducers); the small side replicates each row into every
-    * bucket; the join runs on (key, salt), so the hot key's rows land on
-    * `buckets` different partitions instead of one. Result is EXACTLY the
-    * plain inner join — salting only re-partitions work (the q96 oracle
-    * proves it row-for-row against the unsalted SQL join).
-    *
-    * Cost model: the small side's shuffle volume multiplies by
-    * `buckets` — worth it when the hot key's single-reducer time
-    * dominates; prefer AQE's skew-join first (it splits post-hoc), reach
-    * for explicit salting when the skew is known ahead or the join is
-    * sort-merge over pre-bucketed layout where AQE can't split. */
-  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
-      buckets: Int, spreadCols: Seq[String]): DataFrame = {
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    require(spreadCols.nonEmpty, "spreadCols must name at least one column")
-    val bigS = big.withColumn("_salt",
-      pmod(hash(spreadCols.map(col): _*), lit(buckets)))
-    val smallS = small.withColumn("_salt",
-      explode(expr(s"sequence(0, ${buckets - 1})")))
-    bigS.join(smallS, Seq(keyCol, "_salt")).drop("_salt")
-  }
-
+  /** Oracle fixture for `graft.etl.Skew.saltedJoin` — the remedy
+    * [[keySkewReport]]'s output calls for when a hot join key can't
+    * broadcast: the big side salts on a within-key column, the small side
+    * replicates across the factor, the join runs on (key, salt) so the
+    * hot key spreads over `factor` reducers. The DuckDB twin is the PLAIN
+    * unsalted join: hash-matching it proves salting is a pure
+    * repartitioning of work, bit-for-bit result-neutral. */
   private val q96 = GQuery(
     "q96_salted_join",
-    (s, dir) => saltedJoin(
+    (s, dir) => graft.etl.Skew.saltedJoin(
         t(s, dir, "lineitem"), t(s, dir, "orders").select(
           col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        "l_orderkey", buckets = 4, spreadCols = Seq("l_linenumber"))
+        "l_orderkey", stable = col("l_linenumber"), factor = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("o_orderpriority")),

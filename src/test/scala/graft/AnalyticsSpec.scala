@@ -130,26 +130,6 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("y") == ((1L, "1")))
   }
 
-  test("saltedJoin equals the plain join on skewed data, any bucket count") {
-    import spark.implicits._
-    // one hot key (90% of rows) + a long tail — the shape salting exists for
-    val rnd = new scala.util.Random(20260813L)
-    val big = (1 to 500).map { i =>
-      val k = if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(50).toLong
-      (k, i.toLong, rnd.nextInt(1000))
-    }.toDF("k", "row_id", "v")
-    val small = (0L to 49L).map(k => (k, s"dim_$k")).toDF("k", "label")
-    val plain = big.join(small, "k").select("row_id", "label")
-      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    for (b <- Seq(1, 4, 13)) {
-      val salted = graft.queries.AnalyticsQ
-        .saltedJoin(big, small, "k", b, Seq("row_id"))
-        .select("row_id", "label")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-      assert(salted == plain, s"buckets=$b diverged")
-    }
-  }
-
   test("fuzzyDecontamination flags a paraphrase, not an unrelated doc") {
     import spark.implicits._
     val train = Seq(
