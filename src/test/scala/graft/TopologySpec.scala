@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{PipelineRunner, Topology}
+import org.apache.spark.sql.DataFrame
+
+/** Config-driven topology assembly (the reference's M_COMPONENT /
+  * M_LINKED_SESSIONS / M_QUEUE plane): a config RELATION — here written
+  * and read back over JDBC like the reference's Oracle tables — declares
+  * stages, their SQL, and their links; loading validates the DAG and
+  * wires the runner; the chained pipeline then flows end-to-end.
+  */
+class TopologySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def configDf(rows: (String, String, String, String, String, String)*): DataFrame =
+    rows.toSeq
+      .toDF("stage", "input_dir", "format", "transform_sql", "output_dir", "downstream")
+      .withColumn("downstream",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("downstream") === "", null)
+          .otherwise(org.apache.spark.sql.functions.col("downstream")))
+
+  test("a JDBC-loaded two-stage topology flows end-to-end through file handoff") {
+    val in = tmp("topo_in"); val mid = tmp("topo_mid"); val out = tmp("topo_out")
+    val ckpt = tmp("topo_ckpt")
+    // seed the source dir so schema inference has something to read
+    Seq((1L, "view", 10.0), (2L, "error", -1.0), (3L, "purchase", 30.0))
+      .toDF("id", "event_type", "value").write.mode("overwrite").parquet(in)
+
+    // the reference keeps topology in DB tables — round-trip ours over JDBC
+    val dbDir = tmp("topo_derby")
+    val url = s"jdbc:derby:$dbDir/topodb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    configDf(
+      ("clean", in, "parquet",
+        s"SELECT id, event_type, value FROM ${Topology.InputView} WHERE value >= 0",
+        mid, "score"),
+      ("score", mid, "parquet",
+        s"SELECT id, event_type, value * 2 AS scored FROM ${Topology.InputView}",
+        out, ""))
+      .write.mode("overwrite").jdbc(url, "m_topology", props)
+
+    val runner = new PipelineRunner(spark)
+    val order = Topology.load(spark,
+      spark.read.jdbc(url, "m_topology", props), runner, ckpt)
+    assert(order == Seq("clean", "score"))
+
+    runner.start("clean")
+    try {
+      assert(eventually(20000) {
+        spark.streams.active.filter(_.name == "clean").foreach(_.processAllAvailable())
+        spark.read.parquet(mid).count() == 2 // error row filtered
+      })
+      runner.start("score")
+      assert(eventually(20000) {
+        spark.streams.active.filter(_.name == "score").foreach(_.processAllAvailable())
+        scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L) == 2L
+      })
+      val scored = spark.read.parquet(out).select("id", "scored")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(scored == Map(1L -> 20.0, 3L -> 60.0))
+    } finally runner.stopAll()
+  }
+
+  test("validation rejects dangling links, handoff mismatch, dup names, cycles") {
+    val a = tmp("topo_a"); val b = tmp("topo_b")
+    def sql = s"SELECT * FROM ${Topology.InputView}"
+    intercept[IllegalArgumentException] { // dangling downstream
+      Topology.parse(configDf(("s1", a, "parquet", sql, b, "ghost")))
+    }
+    intercept[IllegalArgumentException] { // handoff dir mismatch
+      Topology.parse(configDf(
+        ("s1", a, "parquet", sql, b, "s2"),
+        ("s2", tmp("topo_other"), "parquet", sql, tmp("topo_o2"), "")))
+    }
+    intercept[IllegalArgumentException] { // duplicate stage names
+      Topology.parse(configDf(
+        ("s1", a, "parquet", sql, b, ""),
+        ("s1", a, "parquet", sql, b, "")))
+    }
+    val e = intercept[IllegalArgumentException] { // 2-cycle
+      Topology.parse(configDf(
+        ("s1", a, "parquet", sql, b, "s2"),
+        ("s2", b, "parquet", sql, a, "s1")))
+    }
+    assert(e.getMessage.contains("cycle"))
+    intercept[IllegalArgumentException] { // empty required field
+      Topology.parse(configDf(("", a, "parquet", sql, b, "")))
+    }
+  }
+}
