@@ -65,6 +65,71 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  final case class CmsBuf(rows: Array[Long], n: Long)
+
+  /** Count-min sketch: point-frequency estimates over a stream in
+    * `depth × width` longs, regardless of cardinality — the mergeable
+    * counterpart to [[FrequentItems]] when the QUERY side needs
+    * arbitrary-item lookups rather than a top list. Estimates
+    * OVER-count only: est(x) ≥ true(x), and est(x) ≤ true(x) + εn with
+    * ε ≈ e/width at the usual confidence for `depth` rows. Merge is
+    * element-wise addition, so partials are fixed-size no matter the
+    * partition — the same always-shuffleable property as the other
+    * sketches.
+    *
+    * Hashing: row i uses murmur-ish mixing of (seed=i, item hash) — the
+    * standard pairwise-independent-per-row construction; deterministic
+    * across JVMs (String.hashCode + fixed mixing), so results are
+    * replay-stable and oracle-checkable. With width ≥ distinct items,
+    * collisions are absent and the sketch is EXACT — the oracle fixture
+    * pins that regime; over-count under pressure is spec-tested.
+    */
+  final class CountMinSketch(width: Int, depth: Int)
+      extends Aggregator[String, CmsBuf, Map[String, Long]] {
+    require(width >= 1 && depth >= 1, s"need width,depth >= 1: $width,$depth")
+
+    /** Items to report in finish (the sketch itself answers any item;
+      * an Aggregator must emit a value, so callers name their queries). */
+    private var queryItems: Seq[String] = Nil
+    def queries(items: Seq[String]): CountMinSketch = { queryItems = items; this }
+
+    private def cell(row: Int, item: String): Int = {
+      var h = item.hashCode * 0x9E3779B9 + row * 0x85EBCA6B
+      h ^= h >>> 16; h *= 0x45D9F3B; h ^= h >>> 16
+      math.floorMod(h, width) + row * width
+    }
+
+    def zero: CmsBuf = CmsBuf(new Array[Long](width * depth), 0L)
+
+    def reduce(b: CmsBuf, a: String): CmsBuf = {
+      var r = 0
+      while (r < depth) { b.rows(cell(r, a)) += 1; r += 1 }
+      CmsBuf(b.rows, b.n + 1)
+    }
+
+    def merge(x: CmsBuf, y: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < x.rows.length) { x.rows(i) += y.rows(i); i += 1 }
+      CmsBuf(x.rows, x.n + y.n)
+    }
+
+    /** Min over the depth rows — the count-min estimate. */
+    def estimate(b: CmsBuf, item: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = b.rows(cell(r, item)); if (c < best) best = c; r += 1
+      }
+      best
+    }
+
+    def finish(r: CmsBuf): Map[String, Long] =
+      queryItems.map(q => q -> estimate(r, q)).toMap
+    def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   final case class VecBuf(sum: Array[Double], n: Long)
 
   /** Element-wise mean of embedding vectors (centroid) — partial

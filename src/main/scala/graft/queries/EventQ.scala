@@ -292,5 +292,28 @@ object EventQ {
     FROM j
     ORDER BY user_id, cell"""))
 
-  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84)
+  /** Count-min sketch point estimates for the five event types. Width 256
+    * over 5 items makes the sketch collision-free, so the estimates equal
+    * the exact counts and the DuckDB oracle can hash-check the whole
+    * sketch path (build → merge across partitions → point query); the
+    * over-count-under-pressure guarantee is AggregatorsSpec's job. */
+  private val q97 = GQuery(
+    "q97_cms_counts",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cms = new graft.functions.Aggregators.CountMinSketch(256, 4)
+        .queries(types)
+      t(s, dir, "events")
+        .select(col("event_type")).as[String]
+        .select(cms.toColumn.name("sketch"))
+        .select(explode(col("sketch")).as(Seq("event_type", "est")))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS est
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84, q97)
 }

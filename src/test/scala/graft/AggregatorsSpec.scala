@@ -53,6 +53,27 @@ class AggregatorsSpec extends SparkSpec {
     assert(est <= 100L && est >= 100L - 26L, s"estimate $est outside MG bound")
   }
 
+  test("CountMinSketch never under-counts and is exact without collisions") {
+    import graft.functions.Aggregators.{CmsBuf, CountMinSketch}
+    val items = (1 to 400).map(i => s"item_${i % 37}") // 37 distinct, skewed
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // tiny sketch: estimates must bound truth from ABOVE (CMS over-counts)
+    val tight = new CountMinSketch(8, 3)
+    val bt = items.foldLeft(tight.zero)((b, a) => tight.reduce(b, a))
+    truth.foreach { case (k, t) => assert(tight.estimate(bt, k) >= t, k) }
+
+    // wide sketch: collision-free regime is exact, and a two-way merge
+    // equals single-pass accumulation (partials are element-wise adds)
+    val wide = new CountMinSketch(4096, 4)
+    val (l, r) = items.splitAt(137)
+    val merged = wide.merge(
+      l.foldLeft(wide.zero)((b, a) => wide.reduce(b, a)),
+      r.foldLeft(wide.zero)((b, a) => wide.reduce(b, a)))
+    truth.foreach { case (k, t) => assert(wide.estimate(merged, k) == t, k) }
+    assert(wide.estimate(merged, "never_seen") == 0L)
+  }
+
   test("VectorMean over the embeddings fixture matches the SQL centroid") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val typed = emb.select(col("label"), col("embedding"))
