@@ -369,6 +369,44 @@ object WindowQ {
         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** Moving median over a time-RANGE frame: the robust companion to
+    * [[movingWindow]]'s count/sum — a rate monitor that alerts on the
+    * trailing MEDIAN ignores the single spike that would fire a
+    * mean-based alert. Same exact-centi-unit discipline; the percentile
+    * interpolates between two exact integers, so both engines derive the
+    * same double (the q41 cross-engine precedent, here per-frame).
+    *
+    * Scale note: a percentile over a sliding frame re-aggregates per
+    * frame — O(rows × frame) inside each key partition, the honest cost
+    * of an exact moving quantile. At 100 TB prefer the cell-collapsed
+    * approximation (gapFill's latest-per-cell, then a percentile over
+    * cells) unless exactness is the requirement. */
+  private val q98 = GQuery(
+    "q98_moving_median",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-86400L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast(LongType).as("sec"),
+          round(col("value") * 100).cast(LongType).as("ly"))
+        .withColumn("med_trailing",
+          round(expr("percentile(ly, 0.5)").over(w) / lit(100d), 4))
+        .select(col("event_id"), col("user_id"), col("med_trailing"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH o AS (
+        SELECT event_id, user_id,
+          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+          CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events)
+      SELECT event_id, user_id,
+        round(quantile_cont(ly, 0.5) OVER w / 100.0, 4) AS med_trailing
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75,
-    q79, q95)
+    q79, q95, q98)
 }
