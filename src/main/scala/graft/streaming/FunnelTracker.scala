@@ -25,6 +25,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * operator over the closed window.
   */
 final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+/** `stage` is 1-BASED — stage 1 = first funnel stage — matching the
+  * `stage` column of the batch operator (`AnalyticsQ.funnelReach`), whose
+  * streaming twin this is; the parity test pins the two together. (The
+  * internal [[FunnelProgress.stage]] is the 0-based index of the stage
+  * still AWAITED — after the final advance it equals `stages.length`.) */
 final case class StageReached(
     user_id: Long, stage: Int, event_type: String, ts_us: Long)
 
