@@ -930,6 +930,100 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** kNN classifier evaluation: predict each sample vector's label by
+    * majority vote among its top-k cosine neighbors (self excluded; vote
+    * ties break on the smaller label, cosine ties on neighbor id — both
+    * replay-stable), then score per class: support, predictions, hits,
+    * precision / recall / F1. This is the eval step a curation pipeline
+    * runs on its quality/topic classifier before trusting it to filter a
+    * corpus. All metrics derive from exact integer counts; a class never
+    * predicted reports NULL precision/F1 rather than a fake 0.
+    *
+    * Scale: neighbor generation is [[cosineTopK]] (bounded query sample
+    * over a broadcastable query set); everything after is counts on the
+    * sample — eval cost is sample-sized, never corpus-sized. */
+  def knnEval(raw: DataFrame, k: Int = 5, queryMod: Int = 20): DataFrame = {
+    val labels = raw.select(col("vec_id"), col("label"))
+    val votes = cosineTopK(raw, k, queryMod)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    val pred = votes
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"))
+    val truth = labels.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    val joined = truth.join(pred, "query_id")
+    val byTrue = joined.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val byPred = joined.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("label"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(round(col("n_correct") / col("n_pred"), 6)))
+      .withColumn("recall", round(col("n_correct") / col("n_true"), 6))
+      .withColumn("f1",
+        when(col("n_pred") === 0 || col("n_correct") === 0, lit(null))
+          .otherwise(round(lit(2d) * col("n_correct") / col("n_pred")
+              * (col("n_correct") / col("n_true"))
+              / (col("n_correct") / col("n_pred") + col("n_correct") / col("n_true")),
+            6)))
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
+  /** Oracle fixture of [[knnEval]] (k=5 over the q29 query sample). */
+  private val q99 = GQuery(
+    "q99_knn_eval",
+    (s, dir) => knnEval(t(s, dir, "embeddings"))
+      .orderBy(col("label")),
+    Some(s"""WITH v AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm
+                FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id % 20 = 0),
+      pairs AS (SELECT query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+          ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+        FROM v c, q WHERE c.vec_id <> query_id),
+      ranked AS (SELECT query_id, nlabel,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs),
+      votes AS (SELECT query_id, nlabel, COUNT(*) AS votes
+        FROM ranked WHERE rank <= 5 GROUP BY query_id, nlabel),
+      pred AS (SELECT query_id, nlabel AS pred_label FROM (
+          SELECT query_id, nlabel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nlabel) AS rn
+          FROM votes) WHERE rn = 1),
+      truth AS (SELECT vec_id AS query_id, label AS true_label
+                FROM v WHERE vec_id % 20 = 0),
+      j AS (SELECT t.query_id, t.true_label, p.pred_label
+            FROM truth t JOIN pred p ON t.query_id = p.query_id),
+      by_true AS (SELECT true_label AS label, COUNT(*) AS n_true,
+          CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM j GROUP BY 1),
+      by_pred AS (SELECT pred_label AS label, COUNT(*) AS n_pred
+        FROM j GROUP BY 1)
+      SELECT t.label, t.n_true,
+        COALESCE(p.n_pred, 0) AS n_pred, t.n_correct,
+        CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN NULL
+             ELSE round(CAST(t.n_correct AS DOUBLE) / p.n_pred, 6) END AS precision,
+        round(CAST(t.n_correct AS DOUBLE) / t.n_true, 6) AS recall,
+        CASE WHEN COALESCE(p.n_pred, 0) = 0 OR t.n_correct = 0 THEN NULL
+             ELSE round(2.0 * (CAST(t.n_correct AS DOUBLE) / p.n_pred)
+                  * (CAST(t.n_correct AS DOUBLE) / t.n_true)
+                  / (CAST(t.n_correct AS DOUBLE) / p.n_pred
+                     + CAST(t.n_correct AS DOUBLE) / t.n_true), 6) END AS f1
+      FROM by_true t LEFT JOIN by_pred p ON t.label = p.label
+      ORDER BY t.label"""))
+
   val queries: Seq[GQuery] =
-    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82)
+    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99)
 }
