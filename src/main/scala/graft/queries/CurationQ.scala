@@ -711,6 +711,67 @@ object CurationQ {
     FROM c
     ORDER BY doc_id, chunk_idx"""))
 
+  /** Corpus data card: the one-call dataset report a pipeline publishes
+    * next to a training corpus — volume, source/language diversity,
+    * duplication, length profile — as (metric, value) rows. ONE scan
+    * computes every number (a single aggregate row unpivoted with
+    * `stack`); nothing here is a second pass over the corpus. Ratios are
+    * reported in exact-arithmetic-derived doubles (the ppm/round
+    * discipline of the rest of the engine), so the card is bit-stable
+    * across runs and engines — a changed card means the DATA changed. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val agg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("n_chars") < 50, 1L).otherwise(0L)).as("n_short"),
+      sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+      sum(col("n_chars").cast(DecimalType(38, 0))).as("sum_chars"))
+    agg.select(expr(
+      """stack(8,
+         'n_docs',        CAST(n_docs AS DOUBLE),
+         'n_sources',     CAST(n_sources AS DOUBLE),
+         'n_langs',       CAST(n_langs AS DOUBLE),
+         'n_tokens',      CAST(n_tokens AS DOUBLE),
+         'en_ppm',        round(CAST(n_en AS DOUBLE) * 1000000 / n_docs, 0),
+         'short_ppm',     round(CAST(n_short AS DOUBLE) * 1000000 / n_docs, 0),
+         'dup_ratio',     round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6),
+         'avg_chars',     round(CAST(sum_chars AS DOUBLE) / n_docs, 6)
+       ) AS (metric, value)"""))
+  }
+
+  /** Oracle fixture of [[dataCard]]. */
+  private val q100 = GQuery(
+    "q100_data_card",
+    (s, dir) => dataCard(t(s, dir, "documents")).orderBy(col("metric")),
+    Some("""WITH a AS (
+        SELECT COUNT(*) AS n_docs,
+          COUNT(DISTINCT source) AS n_sources,
+          COUNT(DISTINCT lang) AS n_langs,
+          COUNT(DISTINCT sha256(text)) AS n_unique,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          SUM(CAST(n_chars AS DECIMAL(38,0))) AS sum_chars
+        FROM documents)
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+        UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+        UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+        UNION ALL SELECT 'en_ppm',
+          round(CAST(n_en AS DOUBLE) * 1000000 / n_docs, 0) FROM a
+        UNION ALL SELECT 'short_ppm',
+          round(CAST(n_short AS DOUBLE) * 1000000 / n_docs, 0) FROM a
+        UNION ALL SELECT 'dup_ratio',
+          round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) FROM a
+        UNION ALL SELECT 'avg_chars',
+          round(CAST(sum_chars AS DOUBLE) / n_docs, 6) FROM a)
+      ORDER BY metric"""))
+
   val queries: Seq[GQuery] =
-    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67, q71)
+    Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
+      q71, q100)
 }
