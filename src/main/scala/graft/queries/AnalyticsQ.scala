@@ -45,15 +45,26 @@ object AnalyticsQ {
     * collect, no iteration over rows — `stages` is a tiny static list. */
   def funnelReach(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+    require(maxGapSec.forall(_ >= 1), s"maxGapSec must be >= 1: $maxGapSec")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_reach"))
     val reach = stages.tail.scanLeft(first) { (prev, st) =>
+      // time-bounded conversion: stage k must land within maxGapSec of the
+      // stage-(k-1) reach — the "converted within N hours" funnel. GREEDY
+      // semantics: the gap is measured from the FIRST reach of the prior
+      // stage (a user who missed the window from their first view does
+      // not get re-anchored to a later view) — deterministic and cheap;
+      // any-qualifying-sequence semantics would need per-user sequence
+      // search. The upper bound rides the SAME join filter — no new plan.
+      val withinGap = maxGapSec.map(g =>
+          col(tsCol) <= col("t_prev") + expr(s"INTERVAL $g SECOND"))
+        .getOrElse(lit(true))
       events.filter(col(typeCol) === st)
         .join(prev.select(col(userCol), col("t_reach").as("t_prev")), userCol)
-        .filter(col(tsCol) >= col("t_prev"))
+        .filter(col(tsCol) >= col("t_prev") && withinGap)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t_reach"))
     }
     reach.zipWithIndex.map { case (df, i) =>
@@ -77,6 +88,32 @@ object AnalyticsQ {
       s3 AS (
         SELECT e.user_id, MIN(e.ts) AS t_reach FROM events e
         JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t_reach
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3
+      ORDER BY stage"""))
+
+  /** Time-bounded funnel fixture: view→click→purchase where each stage
+    * must follow within 24 h of the previous reach. */
+  private val q101 = GQuery(
+    "q101_funnel_gap",
+    (s, dir) => funnelReach(t(s, dir, "events"),
+      Seq("view", "click", "purchase"), maxGapSec = Some(86400L)),
+    Some("""WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t_reach FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_reach FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t_reach
+          AND e.ts <= s1.t_reach + INTERVAL 86400 SECOND
+        WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_reach FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t_reach
+          AND e.ts <= s2.t_reach + INTERVAL 86400 SECOND
         WHERE e.event_type = 'purchase' GROUP BY 1)
       SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM s1
       UNION ALL
@@ -435,5 +472,6 @@ object AnalyticsQ {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
-  val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93, q96)
+  val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
+    q96, q101)
 }
