@@ -472,6 +472,74 @@ object AnalyticsQ {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Top-k frequent event-type paths (trigrams): the order-2 extension of
+    * [[transitionMatrix]] — which 3-step flows dominate. Same single
+    * window pass (two leads share one (user, ts, ord) sort), then a
+    * count + top-k; ties break on the path for a stable report. */
+  def pathTrigrams(events: DataFrame, topK: Int = 20,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", ordCol: String = "event_id"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(ordCol))
+    events
+      .withColumn("t2", lead(col(typeCol), 1).over(w))
+      .withColumn("t3", lead(col(typeCol), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(concat_ws(">", col(typeCol), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
+  private val q102 = GQuery(
+    "q102_path_trigrams",
+    (s, dir) => pathTrigrams(t(s, dir, "events"))
+      .orderBy(col("n").desc, col("path")),
+    Some("""WITH seq AS (
+        SELECT event_type AS t1,
+          LEAD(event_type, 1) OVER w AS t2,
+          LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+      ORDER BY n DESC, path
+      LIMIT 20"""))
+
+  /** Inactivity / churn report: per user, last activity and days idle
+    * relative to the corpus high-watermark, flagged when idle beyond the
+    * threshold. One grouped pass for the per-user max; the global
+    * watermark is a broadcast scalar — the same shape as
+    * [[keySkewReport]]'s total. */
+  def churnFlags(events: DataFrame, idleDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(idleDays >= 1, s"idleDays must be >= 1, got $idleDays")
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(col(tsCol)).as("last_ts"))
+    val hwm = events.agg(max(col(tsCol)).as("hwm_ts"))
+    perUser.crossJoin(broadcast(hwm))
+      .select(col(userCol),
+        tsStr(col("last_ts")).as("last_seen"),
+        datediff(to_date(col("hwm_ts")), to_date(col("last_ts")))
+          .cast(LongType).as("days_idle"))
+      .withColumn("churned", col("days_idle") >= idleDays)
+  }
+
+  private val q103 = GQuery(
+    "q103_churn_flags",
+    (s, dir) => churnFlags(t(s, dir, "events"))
+      .orderBy(col("user_id")),
+    Some(s"""WITH per_user AS (
+        SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1),
+      hwm AS (SELECT MAX(ts) AS hwm_ts FROM events)
+      SELECT user_id,
+        ${tsStrSql("last_ts")} AS last_seen,
+        CAST(CAST(hwm_ts AS DATE) - CAST(last_ts AS DATE) AS BIGINT) AS days_idle,
+        (CAST(hwm_ts AS DATE) - CAST(last_ts AS DATE)) >= 7 AS churned
+      FROM per_user, hwm
+      ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101)
+    q96, q101, q102, q103)
 }
