@@ -337,17 +337,18 @@ object WindowQ {
     * hot key serializes in one partition — pre-bucket by coarse time if
     * a single key's history outgrows an executor (two-level rollup). */
   def movingWindow(events: org.apache.spark.sql.DataFrame, keyCol: String,
-      tsCol: String, valCol: String, windowSec: Long): org.apache.spark.sql.DataFrame = {
+      tsCol: String, valCol: String, windowSec: Long,
+      idCol: String = "event_id"): org.apache.spark.sql.DataFrame = {
     require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("sec"))
       .rangeBetween(-windowSec, Window.currentRow)
     events
-      .select(col(keyCol), col("event_id"),
+      .select(col(keyCol), col(idCol),
         (unix_micros(col(tsCol)) / lit(1000000L)).cast(LongType).as("sec"),
         round(col(valCol) * 100).cast(LongType).as("ly"))
       .withColumn("n_trailing", count(lit(1)).over(w))
       .withColumn("sum_trailing", sum(col("ly")).over(w) / lit(100d))
-      .select(col("event_id"), col(keyCol), col("n_trailing"), col("sum_trailing"))
+      .select(col(idCol), col(keyCol), col("n_trailing"), col("sum_trailing"))
   }
 
   /** Oracle fixture of [[movingWindow]]: per-user trailing 24 h. */

@@ -130,6 +130,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("y") == ((1L, "1")))
   }
 
+  test("funnelReach reports zero reach (not zero rows) when no stage-1 events exist") {
+    val ev = events((1, 1, "click", "2024-01-01 00:00:01", 0.0))
+    val got = AnalyticsQ.funnelReach(ev, Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("funnelReach with maxGapSec drops conversions outside the window") {
+    val ev = events(
+      (1, 1, "view", "2024-01-01 00:00:00", 0.0),
+      (2, 1, "click", "2024-01-01 02:00:00", 0.0), // 2h later
+      (3, 2, "view", "2024-01-01 00:00:00", 0.0),
+      (4, 2, "click", "2024-01-01 00:30:00", 0.0)) // within the hour
+    val got = AnalyticsQ.funnelReach(ev, Seq("view", "click"),
+        maxGapSec = Some(3600L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("movingWindow honors a custom id column and single-row keys") {
+    import spark.implicits._
+    val df = Seq((7L, 42L, "2024-01-01 00:00:00", 1.25))
+      .toDF("k", "rid", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = graft.queries.WindowQ
+      .movingWindow(df, "k", "ts", "value", 60L, idCol = "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((42L, 1L, 1.25)))
+  }
+
   test("fuzzyDecontamination flags a paraphrase, not an unrelated doc") {
     import spark.implicits._
     val train = Seq(
