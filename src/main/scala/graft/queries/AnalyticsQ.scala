@@ -205,7 +205,10 @@ object AnalyticsQ {
     * shuffle, map-side partials, output |groups| rows. */
   def trendSlope(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts", valCol: String = "value"): DataFrame = {
-    val x = (unix_micros(col(tsCol)) / lit(1000000L)).cast(LongType) - EpochSec
+    // timestamp→long cast is FLOOR epoch seconds (Math.floorDiv on the
+    // micros) — matching the oracle's `//`; a double division + truncate
+    // would diverge by 1s for pre-1970 timestamps
+    val x = col(tsCol).cast(LongType) - EpochSec
     val ly = round(col(valCol) * 100).cast(LongType)
     events
       .select(col(groupCol), x.as("x"), ly.as("ly"))

@@ -251,7 +251,11 @@ object EventQ {
     require(stepSec >= 1, s"stepSec must be >= 1, got $stepSec")
     val stepUs = stepSec * 1000000L
     val obs = df
-      .withColumn("cell", expr(s"unix_micros($tsCol) DIV $stepUs"))
+      // floor division (DIV truncates toward zero; pre-1970 cells would
+      // shift by one vs the oracle's `//`) — subtract the positive pmod
+      // first so the quotient is exact floor
+      .withColumn("cell", expr(
+        s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $stepUs)) DIV $stepUs"))
       .groupBy(col(keyCol), col("cell"))
       .agg(max(struct(col(tsCol), col(ordCol), col(valueCol))).as("m"))
       .select(col(keyCol), col("cell"), col(s"m.$valueCol").as("v_obs"))

@@ -344,7 +344,8 @@ object WindowQ {
       .rangeBetween(-windowSec, Window.currentRow)
     events
       .select(col(keyCol), col(idCol),
-        (unix_micros(col(tsCol)) / lit(1000000L)).cast(LongType).as("sec"),
+        // ts→long cast = floor epoch seconds, matching the oracle's `//`
+        col(tsCol).cast(LongType).as("sec"),
         round(col(valCol) * 100).cast(LongType).as("ly"))
       .withColumn("n_trailing", count(lit(1)).over(w))
       .withColumn("sum_trailing", sum(col("ly")).over(w) / lit(100d))
@@ -389,7 +390,7 @@ object WindowQ {
         .rangeBetween(-86400L, Window.currentRow)
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          (unix_micros(col("ts")) / lit(1000000L)).cast(LongType).as("sec"),
+          col("ts").cast(LongType).as("sec"),
           round(col("value") * 100).cast(LongType).as("ly"))
         .withColumn("med_trailing",
           round(expr("percentile(ly, 0.5)").over(w) / lit(100d), 4))
