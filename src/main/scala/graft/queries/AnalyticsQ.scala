@@ -543,6 +543,53 @@ object AnalyticsQ {
       FROM per_user, hwm
       ORDER BY user_id"""))
 
+  /** Daily-volume anomaly report: days whose event count deviates more
+    * than `threshold` sigmas from that type's daily mean — the ops alarm
+    * for traffic spikes and outages. Two tiny aggregations (events →
+    * daily counts → per-type stats over ~30 rows each); the z-score
+    * reuses [[zscoreOutliers]]' exact-integer formula with daily counts
+    * as the values, so no scale concern at any corpus size — the stats
+    * table is |types| × |days| no matter how many events. */
+  def volumeAnomalies(events: DataFrame, threshold: Double = 2.0,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol))
+    val z = (sum(lit(1)).over(w).cast(DoubleType) * col("n") -
+        sum(col("n")).over(w).cast(DoubleType)) /
+      sqrt(sum(lit(1)).over(w).cast(DoubleType) *
+          sum(col("n") * col("n")).over(w).cast(DoubleType) -
+        sum(col("n")).over(w).cast(DoubleType) *
+          sum(col("n")).over(w).cast(DoubleType))
+    daily.withColumn("z", z)
+      .filter(abs(col("z")) > threshold)
+      .select(col(typeCol), dateStr(col("d")).as("day"), col("n"),
+        round(col("z"), 4).as("z"))
+  }
+
+  private val q104 = GQuery(
+    "q104_volume_anomaly",
+    (s, dir) => volumeAnomalies(t(s, dir, "events"))
+      .orderBy(col("event_type"), col("day")),
+    Some(s"""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, d, n,
+          (CAST(COUNT(*) OVER g AS DOUBLE) * n
+            - CAST(SUM(n) OVER g AS DOUBLE))
+          / sqrt(CAST(COUNT(*) OVER g AS DOUBLE)
+                 * CAST(SUM(n * n) OVER g AS DOUBLE)
+               - CAST(SUM(n) OVER g AS DOUBLE)
+                 * CAST(SUM(n) OVER g AS DOUBLE)) AS z
+        FROM daily
+        WINDOW g AS (PARTITION BY event_type))
+      SELECT event_type, ${dateStrSql("d")} AS day, n, round(z, 4) AS z
+      FROM win WHERE abs(z) > 2.0
+      ORDER BY event_type, day"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103)
+    q96, q101, q102, q103, q104)
 }
