@@ -1191,7 +1191,36 @@ object TextQ {
         ORDER BY train_doc"""))
   }
 
+  /** Cross-source mirror detection: for every source pair, the number of
+    * distinct document texts they BOTH carry — the provenance-overlap
+    * diagnostic that finds mirrored crawls before per-domain caps or
+    * mixture weights are trusted (two mirrors of one site would count as
+    * two independent "sources" feeding the mix). Distinct (hash, source)
+    * pairs first — one shuffle, the per-hash fan-out bounded by the
+    * source count, never by corpus size — then an equi self-join on the
+    * hash. The diagonal (a = b) is each source's distinct-text count. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val hs = docs.select(sha2(col("text"), 256).as("h"), col("source")).distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Oracle fixture of [[sourceOverlap]]: off-diagonal rows are the
+    * mirror signal (the fixture's near-dup families cross sources). */
+  private val q105 = GQuery(
+    "q105_source_overlap",
+    (s, dir) => sourceOverlap(t(s, dir, "documents"))
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH hs AS (
+        SELECT DISTINCT sha256(text) AS h, source FROM documents)
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
+      GROUP BY a.source, b.source
+      ORDER BY source_a, source_b"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94)
+      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105)
 }
