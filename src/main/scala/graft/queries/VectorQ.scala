@@ -380,6 +380,139 @@ object VectorQ {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  // ===== Explicit-query ANN API ======================================
+  // Production searches bring their own query table — a search request
+  // batch, an eval set — instead of sampling the corpus. These overloads
+  // take a (query_id, embedding) DataFrame and carry NO broadcast hint on
+  // the query side: the corpus-sample variants above broadcast a set that
+  // GROWS with the corpus (at 100x data the "sample" is 100x bigger and
+  // the broadcast kills the job), whereas here AQE broadcasts a small
+  // batch at runtime and falls back to a shuffled equi-join on the
+  // cluster/bucket key when the batch is large. Query ids live in their
+  // own id space, so no vec_id = query_id self-exclusion applies.
+
+  /** Normalize a user query table — (query_id, embedding) — to
+    * (query_id, qe, qn). */
+  private def queryNorm(queryTable: DataFrame): DataFrame =
+    queryTable.select(col("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm2(col("qe")))
+
+  /** Exact brute-force top-k cosine neighbors of each query-table row.
+    * O(n·q) pairwise — the eval-set ground-truth path; for a large live
+    * query stream use the IVF/PQ variants below. */
+  def cosineTopK(raw: DataFrame, queryTable: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = withNorm(raw)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.crossJoin(queryNorm(queryTable))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** [[annIvfTrained]] over an explicit query table: centroids (tiny)
+    * still broadcast for the probe ranking, but the probe-set ->
+    * candidate join is a plain (cluster) equi-join AQE sizes at runtime. */
+  def annIvfTrained(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val assigned = assignToCentroids(withNorm(raw), centroids)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_sq"), col("cluster"))
+    val probes = queryNorm(queryTable)
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist_sq",
+        col("qn") + dotCols(col("centroid"), col("centroid"))
+          - lit(2.0) * dotCols(col("qe"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cluster").as("qcluster"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(probes, col("cluster") === col("qcluster"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** [[annPq]] over an explicit query table: the per-query ADC lookup
+    * table joins the encoded corpus on (sub, code) without a hint — at
+    * eval-batch size AQE broadcasts it, at request-log size it shuffles. */
+  def annPq(raw: DataFrame, queryTable: DataFrame, subs: Int, codes: Int,
+      k: Int, trained: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val subDim = dim / subs
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes)
+             else pqCodebook(raw, subs, codes)
+    val enc = pqEncode(raw, cb, subs)
+    val lut = subSliced(
+        queryTable.select(col("query_id").as("vec_id"), col("embedding")), subs)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("pd",
+        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
+    val scored = enc.join(lut, Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+  }
+
+  /** [[annIvfPq]] over an explicit query table and a caller-supplied
+    * (trained) centroid table — the full production layout: IVF prunes,
+    * PQ compresses, and neither the corpus nor a corpus-coupled query
+    * sample ever sits behind a forced broadcast. */
+  def annIvfPq(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
+      subs: Int, codes: Int, k: Int, nprobe: Int, trained: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val subDim = dim / subs
+    val v = withNorm(raw)
+    val assigned = assignToCentroids(v, centroids)
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes)
+             else pqCodebook(raw, subs, codes)
+    val enc = pqEncode(raw, cb, subs)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist_sq"), col("cluster"))
+    val probes = queryNorm(queryTable)
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist_sq",
+        col("qn") + dotCols(col("centroid"), col("centroid"))
+          - lit(2.0) * dotCols(col("qe"), col("centroid")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("cluster").as("qcluster"))
+    val lut = subSliced(
+        queryTable.select(col("query_id").as("vec_id"), col("embedding")), subs)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("pd",
+        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
+      .join(probes, Seq("query_id"))
+    val e = enc.as("e")
+    val l = lut.as("l")
+    val scored = e.join(l,
+        col("e.sub") === col("l.sub") && col("e.code") === col("l.code") &&
+          col("e.cluster") === col("l.qcluster"))
+      .groupBy(col("l.query_id").as("query_id"), col("e.vec_id").as("vec_id"))
+      .agg(sum(col("l.pd")).as("adc_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+  }
+
   /** Recall of an ANN result against exact ground truth: per query, how
     * many of the true top-k neighbors the approximate search returned.
     * Both inputs are (query_id, neighbor_id, ...); `exact` defines the
@@ -689,6 +822,53 @@ object VectorQ {
       .select(col("sub"), col("vec_id").as("code"), col("sv").as("cw"))
   }
 
+  /** Per-subspace Lloyd-trained PQ codebook — the production replacement
+    * for [[pqCodebook]]'s seed codewords (Jégou et al. train one k-means
+    * per subspace; seeds quantize badly on any clustered corpus). All
+    * `subs` subspaces train TOGETHER in one job per iteration: the
+    * (vec_id, sub, sv) explode joins the broadcast codebook on `sub`,
+    * argmins per (vector, subspace), and per-(sub, code, dimension) means
+    * aggregate in exact DECIMAL(38,8) (6-dp rounded — no accumulation
+    * order dependence). Only the O(subs·codes·dim/subs) codeword table
+    * returns to the driver between iterations, never data. Codes that
+    * lose every member keep their previous codeword; `iters = 0`
+    * degenerates to exactly the seed codebook. Returns (sub, code, cw).
+    */
+  def pqCodebookTrained(raw: DataFrame, subs: Int = 4, codes: Int = 4,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val subDim = dim / subs
+    val sliced = subSliced(raw.select(col("vec_id"), col("embedding")), subs)
+    var cents: Seq[(Int, Long, Seq[Double])] = pqCodebook(raw, subs, codes)
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("sub", "code", "cw")
+      val assigned = sliced.join(broadcast(cdf), Seq("sub"))
+        .withColumn("d", subDist(col("sv"), col("cw"), subDim))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("code"))).as("m"), first(col("sv")).as("sv"))
+        .select(col("sub"), col("m.code").as("code"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(
+          sum(expr("CAST(x AS DECIMAL(38,8))")).cast(DoubleType) / count(lit(1)),
+          6).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), x => x.getField("m")).as("cw"))
+        .as[(Int, Long, Seq[Double])].collect()
+      val refined = means.map(t => (t._1, t._2) -> t._3).toMap
+      cents = cents.map { case (s0, c0, old) =>
+        (s0, c0, refined.getOrElse((s0, c0), old)) }
+    }
+    cents.toDF("sub", "code", "cw")
+  }
+
   /** PQ encoding: each vector compresses to one code per subspace — the
     * nearest codeword by squared L2, ties to the lowest code id. At
     * subs=8/codes=256 this is 8 bytes per vector instead of 256 — the
@@ -717,10 +897,11 @@ object VectorQ {
     * broadcast LUT with map-side partial aggregation on
     * (query, candidate) — no shuffle of the corpus vectors at all. */
   def annPq(raw: DataFrame, subs: Int = 4, codes: Int = 4, k: Int = 3,
-      queryMod: Int = 20): DataFrame = {
+      queryMod: Int = 20, trained: Boolean = false, trainIters: Int = 2): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     val subDim = dim / subs
-    val cb = pqCodebook(raw, subs, codes)
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
+             else pqCodebook(raw, subs, codes)
     val enc = pqEncode(raw, cb, subs)
     val lut = subSliced(
         raw.filter(col("vec_id") % queryMod === 0)
@@ -787,7 +968,8 @@ object VectorQ {
     * exactly [[annPq]]'s full compressed scan — the recall/cost dial is
     * the same knob as [[annIvfTrained]]. */
   def annIvfPq(raw: DataFrame, cells: Int = 4, subs: Int = 4, codes: Int = 4,
-      k: Int = 3, queryMod: Int = 20, nprobe: Int = 1): DataFrame = {
+      k: Int = 3, queryMod: Int = 20, nprobe: Int = 1,
+      trained: Boolean = false, trainIters: Int = 2): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -797,7 +979,8 @@ object VectorQ {
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
     val assigned = assignToCentroids(v, seeds)
-    val cb = pqCodebook(raw, subs, codes)
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
+             else pqCodebook(raw, subs, codes)
     val enc = pqEncode(raw, cb, subs)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
     val wProbe = Window.partitionBy(col("vec_id"))
@@ -1024,6 +1207,54 @@ object VectorQ {
       FROM by_true t LEFT JOIN by_pred p ON t.label = p.label
       ORDER BY t.label"""))
 
+  /** Explicit-query-table IVF search (the bounded-query API): queries are
+    * a SEPARATE (query_id, embedding) table — here a shifted-id sample so
+    * the oracle can prove no self-exclusion leaks in — searched against
+    * iters=0 centroids (the q43 seed assignment) with nprobe=2. The
+    * oracle mirrors the assignment, the per-query probe ranking, and the
+    * probed-cells-only candidate join. */
+  private val q106 = {
+    val assignSqlDist =
+      s"v.nrm + s.nrm - 2 * (${dotSql("v.embedding", "s.embedding")})"
+    val probeSqlDist =
+      s"q.qn + s.nrm - 2 * (${dotSql("q.qe", "s.embedding")})"
+    GQuery(
+      "q106_ann_query_table",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = kmeansCentroids(emb, cells = 4, iters = 0)
+        val queryTable = emb.filter(col("vec_id") % 40 === 17)
+          .select((col("vec_id") + 100000).as("query_id"), col("embedding"))
+        annIvfTrained(emb, cents, queryTable, k = 3, nprobe = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                  FROM embeddings),
+        seeds AS (SELECT vec_id AS cluster, embedding, nrm FROM v WHERE vec_id < 4),
+        assigned AS (SELECT vec_id, embedding, nrm, cluster FROM (
+            SELECT v.vec_id, v.embedding, v.nrm, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY $assignSqlDist, s.cluster) AS arn
+            FROM v, seeds s) WHERE arn = 1),
+        q AS (SELECT vec_id + 100000 AS query_id, embedding AS qe, nrm AS qn
+              FROM v WHERE vec_id % 40 = 17),
+        probes AS (SELECT query_id, qe, qn, cluster AS qcluster FROM (
+            SELECT q.query_id, q.qe, q.qn, s.cluster,
+              ROW_NUMBER() OVER (PARTITION BY q.query_id
+                ORDER BY $probeSqlDist, s.cluster) AS prn
+            FROM q, seeds s) WHERE prn <= 2),
+        pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+            ROUND((${dotSql("p.qe", "c.embedding")}) / (sqrt(p.qn) * sqrt(c.nrm)), 6) AS cosine
+          FROM assigned c JOIN probes p ON c.cluster = p.qcluster),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
   val queries: Seq[GQuery] =
-    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99)
+    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106)
 }
