@@ -73,15 +73,60 @@ object ScaleProbe {
     replicate("documents", Seq("doc_id"), 1000000L)
     replicate("embeddings", Seq("vec_id"), 1000000L)
 
+    // SPARK_GRAFT_SCALE_MODE: "headline", "sim", or unset for both
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "all")
+
     // --- time 1x vs Kx --------------------------------------------------
-    println(s"query,t1x_sec,t${k}x_sec,ratio")
-    headline.foreach { name =>
-      val q = queries.Registry.byName(name)
-      noop(q.build(spark, srcDir)) // warm
-      val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).sorted.apply(1)
-      noop(q.build(spark, outDir))
-      val tk = Seq.fill(3)(time(noop(q.build(spark, outDir)))).sorted.apply(1)
-      println(f"$name,$t1%.3f,$tk%.3f,${tk / t1}%.2f")
+    if (mode != "sim") {
+      println(s"query,t1x_sec,t${k}x_sec,ratio")
+      headline.foreach { name =>
+        val q = queries.Registry.byName(name)
+        noop(q.build(spark, srcDir)) // warm
+        val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).sorted.apply(1)
+        noop(q.build(spark, outDir))
+        val tk = Seq.fill(3)(time(noop(q.build(spark, outDir)))).sorted.apply(1)
+        println(f"$name,$t1%.3f,$tk%.3f,${tk / t1}%.2f")
+      }
+    }
+
+    // --- scaled-knob similarity probe (q76/q80/q82 shapes, round 5) -----
+    // Under K× replication the oracle fixtures' pinned knobs (cells=4,
+    // %20 corpus-sample queries) make work grow ~K² BY CONSTRUCTION —
+    // a probe run that way measures the fixture's constants, not the
+    // plan. Production scales IVF/semdedup cells ~√n and bounds the
+    // query set (the explicit-query API), so the probe applies those
+    // rules at each scale and reports the knob values with the ratio.
+    if (mode != "headline") {
+      import queries.VectorQ
+      def emb(dir: String) = core.Tables.load(spark, dir, "embeddings")
+      val cellsOf = collection.mutable.Map[String, Int]()
+      def cellsFor(dir: String): Int = cellsOf.getOrElseUpdate(dir,
+        math.max(4, math.round(math.sqrt(emb(dir).count().toDouble)).toInt))
+      // a FIXED 100-vector query batch at every scale — a search/eval
+      // workload does not grow because the corpus did
+      def queriesFor(dir: String) = emb(dir).orderBy(col("vec_id")).limit(100)
+        .select((col("vec_id") + 100000000L).as("query_id"), col("embedding"))
+      val sim: Seq[(String, String => DataFrame, String => String)] = Seq(
+        ("q76_semdedup_scaled",
+          dir => VectorQ.semDedup(emb(dir), cells = cellsFor(dir)),
+          dir => s"cells=${cellsFor(dir)}"),
+        ("q80_pq_scaled",
+          dir => VectorQ.annPq(emb(dir), queriesFor(dir), 4, 16, 3, trained = false),
+          _ => "subs=4;codes=16;queries=100"),
+        ("q82_ivfpq_scaled",
+          dir => {
+            val cents = VectorQ.kmeansCentroids(emb(dir), cells = cellsFor(dir), iters = 0)
+            VectorQ.annIvfPq(emb(dir), cents, queriesFor(dir), 4, 16, 3, 2, trained = false)
+          },
+          dir => s"cells=${cellsFor(dir)};nprobe=2;codes=16;queries=100"))
+      println(s"simprobe,knobs_1x,knobs_${k}x,t1x_sec,t${k}x_sec,ratio")
+      sim.foreach { case (name, build, knob) =>
+        noop(build(srcDir))
+        val t1 = Seq.fill(3)(time(noop(build(srcDir)))).sorted.apply(1)
+        noop(build(outDir))
+        val tk = Seq.fill(3)(time(noop(build(outDir)))).sorted.apply(1)
+        println(f"$name,${knob(srcDir)},${knob(outDir)},$t1%.3f,$tk%.3f,${tk / t1}%.2f")
+      }
     }
     spark.stop()
   }

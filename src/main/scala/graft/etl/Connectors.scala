@@ -65,7 +65,7 @@ trait FileTransport {
   * reference's marker-file delta protocol, `MFramework.cpp:821-903`,
   * collapsed to a size+mtime comparison).
   */
-final class SftpConnector(transport: FileTransport, stagingRoot: String,
+class SftpConnector(transport: FileTransport, stagingRoot: String,
     val scheme: String = "sftp") extends Connector {
 
   def read(spark: SparkSession, path: String, format: String,
@@ -136,6 +136,21 @@ final class SftpConnector(transport: FileTransport, stagingRoot: String,
     stageDir
   }
 }
+
+/** Live `ftp://` connector: the reference registers four protocols —
+  * FTP/SFTP/FTPS/LOCAL (`ProtocolFactory.cpp:78-118`, registrations
+  * `MFramework.cpp:152-155`) — and graft's stage-then-read pipeline is
+  * protocol-agnostic behind [[FileTransport]], so the FTP family is the
+  * SAME incremental staging (size+mtime delta, per-host confinement,
+  * deletion reconcile) with an FTP client plugged into the transport
+  * seam. Tests plug a local-FS fake; production plugs a real client. */
+class FtpConnector(transport: FileTransport, stagingRoot: String)
+  extends SftpConnector(transport, stagingRoot, "ftp")
+
+/** Live `ftps://` connector — [[FtpConnector]] over a TLS transport; the
+  * scheme split mirrors the reference's separate FTPS registration. */
+class FtpsConnector(transport: FileTransport, stagingRoot: String)
+  extends SftpConnector(transport, stagingRoot, "ftps")
 
 object ConnectorRegistry {
   private val connectors = TrieMap[String, Connector]()

@@ -80,9 +80,12 @@ object Aggregators {
     * Hashing: row i uses murmur-ish mixing of (seed=i, item hash) — the
     * standard pairwise-independent-per-row construction; deterministic
     * across JVMs (String.hashCode + fixed mixing), so results are
-    * replay-stable and oracle-checkable. With width ≥ distinct items,
-    * collisions are absent and the sketch is EXACT — the oracle fixture
-    * pins that regime; over-count under pressure is spec-tested.
+    * replay-stable and oracle-checkable. Width ≥ distinct items makes
+    * collisions unlikely, NOT impossible (exactness needs the fixed
+    * per-row hashes to be injective on the item set, which is only
+    * probabilistic); the q97 fixture's 256/4 and the spec's configs are
+    * collision-free for THEIR item sets — pinned by the oracle — and
+    * over-count under pressure is spec-tested.
     */
   final class CountMinSketch(width: Int, depth: Int)
       extends Aggregator[String, CmsBuf, Map[String, Long]] {

@@ -296,11 +296,16 @@ object EventQ {
     FROM j
     ORDER BY user_id, cell"""))
 
-  /** Count-min sketch point estimates for the five event types. Width 256
-    * over 5 items makes the sketch collision-free, so the estimates equal
-    * the exact counts and the DuckDB oracle can hash-check the whole
-    * sketch path (build → merge across partitions → point query); the
-    * over-count-under-pressure guarantee is AggregatorsSpec's job. */
+  /** Count-min sketch point estimates for the five event types. At
+    * width 256 the fixed per-row hashes are verified collision-free for
+    * THIS item set (the oracle pins it — see the CountMinSketch doc), so
+    * the estimates equal the exact counts and DuckDB can hash-check the
+    * whole sketch path (build → merge across partitions → point query);
+    * the over-count-under-pressure guarantee is AggregatorsSpec's job.
+    * Zero estimates are filtered: the sketch answers every QUERIED item,
+    * the oracle's GROUP BY only emits types PRESENT — without the filter
+    * the fixture would rely on all five types existing at every scale
+    * factor. */
   private val q97 = GQuery(
     "q97_cms_counts",
     (s, dir) => {
@@ -312,6 +317,7 @@ object EventQ {
         .select(col("event_type")).as[String]
         .select(cms.toColumn.name("sketch"))
         .select(explode(col("sketch")).as(Seq("event_type", "est")))
+        .filter(col("est") > 0)
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type, COUNT(*) AS est

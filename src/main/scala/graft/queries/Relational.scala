@@ -214,8 +214,14 @@ object Relational {
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""))
 
-  /** HLL sketch (approx_count_distinct) — algorithm-specific, so no SQL
-    * oracle; the driver records a rows-only check. rsd 0.02: HLL++
+  /** HLL sketch (approx_count_distinct) — the sketch VALUE is
+    * algorithm-specific (DuckDB cannot replay Spark's HLL++ registers),
+    * but its accuracy CONTRACT is oracle-checkable: emit the exact
+    * distinct count (both engines compute it identically) plus a boolean
+    * `approx_ok` = |approx − exact| ≤ 3σ with σ = the requested rsd 0.02,
+    * which the oracle pins as TRUE. A Spark upgrade that broke the sketch
+    * (or a config that silently degraded precision) now hash-mismatches
+    * instead of sliding through a rows-only check. rsd 0.02: HLL++
     * register count scales with 1/rsd², so 1% precision costs 4× the
     * sketch update/merge work of 2% for no analytical benefit here
     * (q12 carries the exact count). */
@@ -224,10 +230,19 @@ object Relational {
     (s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast(DoubleType) <=
+            lit(0.06) * col("n_exact").cast(DoubleType)).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS n_exact,
+      TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""))
 
   /** Set operators: customers ordering in 1996 vs 1997 (INTERSECT /
     * EXCEPT with distinct semantics, tagged and unioned). */

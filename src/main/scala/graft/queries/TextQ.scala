@@ -1146,9 +1146,21 @@ object TextQ {
     * key is. If the eval set ever outgrows broadcast, drop the hint and
     * the same plan runs as a hash join on (band, bkey). */
   def fuzzyDecontamination(train: DataFrame, eval: DataFrame,
-      minEstJaccard: Double = 0.5, maxBandSize: Int = 1000): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBandSize: Int = 1000,
+      failOnCappedBand: Boolean = false): DataFrame = {
     require(minEstJaccard > 0 && minEstJaccard <= 1,
       s"minEstJaccard must be in (0,1], got $minEstJaccard")
+    // The band cap drops eval buckets — for a DECONTAMINATION filter
+    // that's the unsafe direction (a dropped bucket means contamination
+    // passes unflagged). The opt-in check fails loudly instead; it runs
+    // eagerly but only over the (small, broadcast-bound) eval side.
+    if (failOnCappedBand) {
+      val over = minhashBands(eval).groupBy(col("band"), col("bkey"))
+        .count().filter(col("count") > maxBandSize).count()
+      require(over == 0, s"$over eval band buckets exceed maxBandSize=" +
+        s"$maxBandSize and would be silently dropped; raise the cap, " +
+        "tighten the band scheme, or pre-dedup the eval set")
+    }
     val pairs = minhashBands(train).as("x")
       .join(broadcast(bandSizeGuard(minhashBands(eval), maxBandSize)).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -1179,10 +1191,13 @@ object TextQ {
       },
       Some(s"""WITH ${sigSqlFor("tr", "doc_id % 10 <> 3")},
         ${sigSqlFor("ev", "doc_id % 10 = 3")},
+        ev_capped AS (
+          SELECT * FROM ev_bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 1000),
         pairs AS (
           SELECT DISTINCT x.doc_id AS train_doc, y.doc_id AS eval_doc,
             $estSql AS est_jaccard
-          FROM tr_bands x JOIN ev_bands y
+          FROM tr_bands x JOIN ev_capped y
             ON x.band = y.band AND x.bkey = y.bkey)
         SELECT train_doc, COUNT(*) AS n_eval_hits,
           MAX(est_jaccard) AS max_est_jaccard

@@ -23,6 +23,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * batch is ignored — processing-order semantics, the standard streaming
   * funnel trade-off. For exact out-of-order parity run the batch
   * operator over the closed window.
+  *
+  * State lifetime: with the default `idleTtlMs = -1` state lives forever —
+  * fine for a bounded key space, but on a continuous stream every user
+  * ever seen is retained. Pass a positive `idleTtlMs` to expire a user's
+  * progress that many ms after its LAST update (sliding TTL via the state
+  * store's native `TTLConfig`): an idle user costs nothing, and a
+  * post-TTL event sees empty state and restarts the funnel from stage 1 —
+  * the sessionized semantics a production funnel wants. TTL requires
+  * `TimeMode.ProcessingTime()` on the transformWithState call.
   */
 final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
 
@@ -38,16 +47,22 @@ final case class StageReached(
   * of the last advance (Long.MinValue before any). */
 final case class FunnelProgress(stage: Int, reachUs: Long)
 
-final class FunnelTracker(stages: Seq[String])
+final class FunnelTracker(stages: Seq[String], idleTtlMs: Long = -1L)
     extends StatefulProcessor[Long, FunnelEvent, StageReached] {
   require(stages.nonEmpty, "funnel needs at least one stage")
   require(stages.distinct.size == stages.size, s"duplicate stages: $stages")
+
+  /** stage -> 0-based index: the per-event hot path must not scan the
+    * stage list (indexOf is O(|stages|) string compares per row). */
+  private val stageIdx: Map[String, Int] = stages.zipWithIndex.toMap
 
   @transient private var progress: ValueState[FunnelProgress] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     progress = getHandle.getValueState[FunnelProgress](
-      "funnel", Encoders.product[FunnelProgress], TTLConfig.NONE)
+      "funnel", Encoders.product[FunnelProgress],
+      if (idleTtlMs >= 0) TTLConfig(java.time.Duration.ofMillis(idleTtlMs))
+      else TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
       timers: TimerValues): Iterator[StageReached] = {
@@ -59,7 +74,7 @@ final class FunnelTracker(stages: Seq[String])
     // Only events for stages still ahead can matter; sort restores time
     // order within the batch (ties keep arrival order — the tiebreak only
     // matters across DIFFERENT stages, which the multi-pass handles).
-    val relevant = rows.filter(e => stages.indexOf(e.event_type) >= cur.stage)
+    val relevant = rows.filter(e => stageIdx.getOrElse(e.event_type, -1) >= cur.stage)
       .toArray.sortBy(_.ts_us)
     val out = Seq.newBuilder[StageReached]
     var advanced = true

@@ -32,8 +32,18 @@ final class PipelineRunner(spark: SparkSession) {
 
   private val specs = TrieMap[String, StageSpec]()
   private val active = TrieMap[String, StreamingQuery]()
+  @volatile private var unknownStageResolver: String => Option[StageSpec] = _ => None
 
   def register(spec: StageSpec): Unit = specs.put(spec.name, spec)
+
+  /** Install the unknown-stage fallback [[start]] consults — the
+    * reference's `m_HandleControlStart` reloads session details from the
+    * config DB when the control id is unknown (`MFramework.cpp:
+    * 1802-1812`); [[Topology.wireControlStart]] plugs a config relation
+    * in here so a control packet can start a stage the runner has never
+    * seen. A resolved stage is registered before it starts. */
+  def onUnknownStage(resolve: String => Option[StageSpec]): Unit =
+    unknownStageResolver = resolve
 
   def registered: Seq[String] = specs.keys.toSeq.sorted
 
@@ -42,8 +52,12 @@ final class PipelineRunner(spark: SparkSession) {
   /** `startsession` (`MFramework.cpp:1689,1774-1868`). Idempotent: an
     * already-active stage is left alone. */
   def start(name: String): StreamingQuery = {
-    val spec = specs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown stage '$name' (have: ${registered.mkString(", ")})"))
+    val spec = specs.getOrElse(name, {
+      val loaded = unknownStageResolver(name).getOrElse(throw new IllegalArgumentException(
+        s"unknown stage '$name' (have: ${registered.mkString(", ")})"))
+      specs.put(name, loaded)
+      loaded
+    })
     active.get(name).filter(_.isActive).getOrElse {
       val q = spec.sink(spec.transform(spec.source(spark))).queryName(name).start()
       active.put(name, q)

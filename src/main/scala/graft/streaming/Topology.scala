@@ -53,6 +53,12 @@ object Topology {
           s(3, "transform_sql"), s(4, "output_dir"),
           if (r.isNullAt(5) || r.getString(5).isEmpty) None else Some(r.getString(5)))
       }
+    // stage names become temp-view and query names: a name that parses but
+    // cannot start (e.g. 'my-stage' inside createOrReplaceTempView) would
+    // defeat the fail-at-deploy contract — reject it here
+    confs.foreach(c => require(c.stage.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"stage name '${c.stage}' must match [A-Za-z_][A-Za-z0-9_]* " +
+        "(it names the stage's temp view and streaming query)"))
     val dups = confs.groupBy(_.stage).collect { case (n, g) if g.size > 1 => n }
     require(dups.isEmpty, s"duplicate stage names: ${dups.mkString(", ")}")
     val byName = confs.map(c => c.stage -> c).toMap
@@ -91,13 +97,30 @@ object Topology {
         .load(c.inputDir),
       transform = df => {
         df.createOrReplaceTempView(view)
-        spark.sql(c.transformSql.replace(InputView, view))
+        // word-boundary rewrite: an identifier like `x__input2` survives;
+        // `__input` inside a string literal would still rewrite — config
+        // SQL wanting that literal should spell it differently
+        spark.sql(c.transformSql.replaceAll(s"\\b$InputView\\b", view))
       },
       sink = df => df.writeStream.format(c.format)
         .option("path", c.outputDir)
         .option("checkpointLocation", s"$checkpointRoot/${c.stage}")
         .outputMode("append"))
   }
+
+  /** Wire a runner's unknown-stage path to this config plane: a control
+    * `startsession` naming a stage the runner has never seen re-reads the
+    * config relation (the thunk — a JDBC read picks up rows added since
+    * deploy) and loads just that stage, mirroring the reference's DB
+    * reload on an unknown control id (`m_HandleControlStart`,
+    * `MFramework.cpp:1802-1812`). The WHOLE relation re-validates before
+    * the stage starts: a config edit that broke the DAG fails the control
+    * command, not the running pipeline. */
+  def wireControlStart(spark: SparkSession, config: () => DataFrame,
+      runner: PipelineRunner, checkpointRoot: String): Unit =
+    runner.onUnknownStage { name =>
+      parse(config()).find(_.stage == name).map(toSpec(spark, _, checkpointRoot))
+    }
 
   /** Load a validated topology into a runner. Returns the stage names in
     * upstream-before-downstream order (start order: a consumer stage

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
 
-import graft.etl.{ConnectorRegistry, FileTransport, LandingZoneConnector, SftpConnector}
+import graft.etl.{ConnectorRegistry, FileTransport, FtpConnector, FtpsConnector, LandingZoneConnector, SftpConnector}
 
 /** Connector registry — the ProtocolFactory analogue
   * (`ProtocolFactory.cpp:78-118`). */
@@ -123,6 +123,39 @@ class ConnectorsSpec extends SparkSpec {
       Map("header" -> "true", "inferSchema" -> "true"))
     assert(transport.fetches == 2, "same-size edit must re-stage via mtime")
     assert(r2.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 33)
+  }
+
+  test("ftp/ftps live connectors share the staging pipeline and its guards") {
+    val remote = Files.createTempDirectory("graft_ftp_remote").toString
+    val outbox = java.nio.file.Paths.get(remote, "medhost", "pub", "data")
+    Files.createDirectories(outbox)
+    Files.writeString(outbox.resolve("x.csv"), "id,v\n1,1\n2,2\n")
+    for (mk <- Seq(
+        (t: FileTransport, s: String) => new FtpConnector(t, s),
+        (t: FileTransport, s: String) => new FtpsConnector(t, s))) {
+      val staging = Files.createTempDirectory("graft_ftp_staging").toString
+      val transport = new LocalFsTransport(remote)
+      val c = mk(transport, staging)
+      val uri = s"${c.scheme}://medhost/pub/data"
+      // stage + read
+      val df = c.read(spark, uri, "csv",
+        Map("header" -> "true", "inferSchema" -> "true"))
+      assert(df.count() == 2 && transport.fetches == 1)
+      // incremental: unchanged files are not re-fetched
+      c.read(spark, uri, "csv", Map("header" -> "true"))
+      assert(transport.fetches == 1, s"${c.scheme}: unchanged file re-staged")
+      // per-host confinement holds for the whole FTP family
+      intercept[IllegalArgumentException](
+        c.stage(s"${c.scheme}://medhost/../../etc"))
+    }
+    // registry wiring for the live ftp scheme (ftps is claimed above by the
+    // landing-zone mirror registration — idempotent registry, first wins)
+    ConnectorRegistry.register(
+      new FtpConnector(new LocalFsTransport(remote),
+        Files.createTempDirectory("graft_ftp_reg_staging").toString))
+    assert(ConnectorRegistry.registered.contains("ftp"))
+    assert(ConnectorRegistry.read(spark, "ftp://medhost/pub/data", "csv",
+      Map("header" -> "true")).count() == 2)
   }
 
   test("sftp connector rejects traversal from remote names and URIs") {

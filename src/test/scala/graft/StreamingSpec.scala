@@ -251,6 +251,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("funnel idle-TTL evicts stale users and a post-TTL event restarts cleanly") {
+    import graft.streaming.{FunnelEvent, FunnelTracker, StageReached}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FunnelEvent]
+      val out = in.toDS().groupByKey(_.user_id)
+        .transformWithState(
+          new FunnelTracker(Seq("view", "click"), idleTtlMs = 500L),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("funnel_ttl_out").start()
+      // NOTE: processAllAvailable() never latches in ProcessingTime time
+      // mode (see the LegAssembler timeout test) — poll the sink instead.
+      def rowsNow() = spark.table("funnel_ttl_out").as[StageReached].collect()
+        .map(r => (r.user_id, r.stage, r.event_type))
+      try {
+        // user 9 reaches stage 1 then goes idle; user 10 finishes the
+        // funnel inside one batch — TTL must not disturb active users
+        in.addData(FunnelEvent(9L, "view", 1000L),
+          FunnelEvent(10L, "view", 1000L), FunnelEvent(10L, "click", 2000L))
+        assert(eventually(30000)(rowsNow().toSet == Set(
+          (9L, 1, "view"), (10L, 1, "view"), (10L, 2, "click"))),
+          s"first batch never surfaced: ${rowsNow().toSeq}")
+        // let user 9's state pass its 500ms idle TTL
+        Thread.sleep(1500)
+        // a fresh view must restart the funnel at stage 1 (with LIVE state
+        // it would be ignored — stage 1 already reached — and only the
+        // click would land, leaving the view count at 1); both events ride
+        // one batch so the restarted state can't re-expire between them
+        in.addData(FunnelEvent(9L, "view", 5000L), FunnelEvent(9L, "click", 6000L))
+        assert(eventually(30000)(
+          rowsNow().count(_ == ((9L, 1, "view"))) == 2),
+          s"post-TTL view did not restart the funnel: ${rowsNow().toSeq}")
+        // and the restarted funnel advances normally from there
+        assert(eventually(30000)(rowsNow().contains((9L, 2, "click"))))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timeout flushes incomplete calls as partial") {
     import graft.streaming.{Leg, LegAssembler, AssembledCall}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

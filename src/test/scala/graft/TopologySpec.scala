@@ -69,6 +69,46 @@ class TopologySpec extends SparkSpec {
     } finally runner.stopAll()
   }
 
+  test("control-start of an unknown stage loads it from the config relation") {
+    val in = tmp("topo_cs_in"); val out = tmp("topo_cs_out"); val ckpt = tmp("topo_cs_ckpt")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(in)
+    val dbDir = tmp("topo_cs_derby")
+    val url = s"jdbc:derby:$dbDir/topodb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    configDf(("late_stage", in, "parquet",
+      s"SELECT id, tag FROM ${Topology.InputView} WHERE id > 1", out, ""))
+      .write.mode("overwrite").jdbc(url, "m_topology", props)
+
+    val runner = new PipelineRunner(spark)
+    // nothing loaded up front — the runner has never heard of late_stage
+    Topology.wireControlStart(spark,
+      () => spark.read.jdbc(url, "m_topology", props), runner, ckpt)
+    assert(runner.registered.isEmpty)
+    try {
+      // the reference's m_HandleControlStart DB-reload path: a control
+      // packet for an unknown id consults the config plane and starts it
+      runner.control("s=late_stage\na=startsession")
+      assert(runner.isRunning("late_stage"))
+      assert(runner.registered == Seq("late_stage"))
+      assert(eventually(20000) {
+        spark.streams.active.filter(_.name == "late_stage").foreach(_.processAllAvailable())
+        scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L) == 2L
+      })
+    } finally runner.stopAll()
+    // a stage in neither runner nor config still fails loudly
+    intercept[IllegalArgumentException](runner.control("s=ghost\na=startsession"))
+  }
+
+  test("stage names that are not identifiers fail at parse, not at start") {
+    val a = tmp("topo_id_a"); val b = tmp("topo_id_b")
+    val sql = s"SELECT * FROM ${Topology.InputView}"
+    val e = intercept[IllegalArgumentException](
+      Topology.parse(configDf(("my-stage", a, "parquet", sql, b, ""))))
+    assert(e.getMessage.contains("my-stage"))
+  }
+
   test("validation rejects dangling links, handoff mismatch, dup names, cycles") {
     val a = tmp("topo_a"); val b = tmp("topo_b")
     def sql = s"SELECT * FROM ${Topology.InputView}"
