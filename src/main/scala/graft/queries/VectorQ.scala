@@ -413,6 +413,67 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
+  /** [[annBucketed]] over an explicit query table: queries hash into the
+    * same sign buckets; the bucket equi-join carries no hint. */
+  def annBucketed(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = queryNorm(queryTable).withColumn("qbucket", signBucket(col("qe"), bits))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(q, col("bucket") === col("qbucket"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** [[annBucketedMultiProbe]] over an explicit query table — probe-set
+    * explode on the query side, bucket equi-join without a hint;
+    * `probeHamming = bits` recovers exact search over the query table. */
+  def annBucketedMultiProbe(raw: DataFrame, queryTable: DataFrame, bits: Int,
+      k: Int, probeHamming: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probeHamming >= 0 && probeHamming <= bits,
+      s"probeHamming must be in [0,$bits], got $probeHamming")
+    val masks: Seq[Long] = (0 to probeHamming)
+      .flatMap(h => (0 until bits).combinations(h).map(_.map(1L << _).sum))
+    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = queryNorm(queryTable).withColumn("home", signBucket(col("qe"), bits))
+      .withColumn("qbucket",
+        explode(array(masks.map(m => col("home").bitwiseXOR(lit(m))): _*)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(q, col("bucket") === col("qbucket"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** [[annQuantized]] over an explicit query table: queries quantize with
+    * their own per-vector scale (symmetric int8), candidates move as
+    * 1-byte components, and the bucket equi-join carries no hint. */
+  def annQuantized(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = quantizeInt8(raw)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .select(col("vec_id"), col("qv"), col("bucket"))
+    val q = quantizeInt8(queryTable.select(col("query_id").as("vec_id"), col("embedding")))
+      .withColumn("qbucket", signBucket(col("embedding"), bits))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    v.join(q, col("bucket") === col("qbucket"))
+      .withColumn("dot_q", vec_dot_long(col("qqv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("dot_q"), col("rank"))
+  }
+
   /** [[annIvfTrained]] over an explicit query table: centroids (tiny)
     * still broadcast for the probe ranking, but the probe-set ->
     * candidate join is a plain (cluster) equi-join AQE sizes at runtime. */

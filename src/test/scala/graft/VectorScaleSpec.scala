@@ -271,6 +271,24 @@ class VectorScaleSpec extends SparkSpec {
     assert(ivfpq == pq)
   }
 
+  test("explicit-query LSH family: self top-hit, all-probe recovers brute force") {
+    val brute = VectorQ.cosineTopK(emb, queryTable, 3)
+    // bucketed: a corpus-drawn query shares its own vector's bucket
+    val b = VectorQ.annBucketed(emb, queryTable, 3, 3)
+    b.filter(col("rank") === 1).collect().foreach(r =>
+      assert(r.getLong(2) == r.getLong(0) - 100000))
+    // multi-probe at h=bits probes every bucket == exact over the query table
+    val mp = VectorQ.annBucketedMultiProbe(emb, queryTable, 3, 3, 3)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(keys(mp) == keys(brute))
+    // quantized: complete contiguous ranked lists per query
+    val qz = VectorQ.annQuantized(emb, queryTable, 3, 3).collect()
+    assert(qz.nonEmpty)
+    qz.groupBy(_.getLong(0)).values.foreach(g =>
+      assert(g.map(_.getLong(4)).sorted.sameElements(1L to g.length)))
+  }
+
   test("explicit-query ANN carries no forced query-side broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
