@@ -156,4 +156,53 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
+
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded per-group top-k: keeps the k best (score DESC, id ASC)
+    * rows per group with a k-element sorted buffer. The scale rationale
+    * vs the window form (`row_number() <= k`): a window ranks by
+    * shuffling and SORTING every row of every group, while this
+    * aggregator's map-side partials are already ≤ k rows per group per
+    * partition — the shuffle carries `groups × k` entries no matter how
+    * large the table is. At 100 TB "top 3 per key" that's the
+    * difference between sorting the corpus and sorting almost nothing.
+    * Exact (not a sketch): merge of two top-k partials is the top-k of
+    * the union because any global top-k row is in its partition's
+    * top-k. Ties broken by id so results are deterministic and
+    * oracle-comparable.
+    */
+  final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    private val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.score, s.id))
+
+    def zero: Seq[Scored] = Seq.empty
+
+    def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.length >= k && ord.lteq(b.last, a)) b // not better than the worst kept
+      else {
+        val (pre, post) = b.span(ord.lteq(_, a))
+        ((pre :+ a) ++ post).take(k)
+      }
+
+    def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = {
+      // merge of two sorted runs, truncated to k
+      val out = collection.mutable.ArrayBuffer[Scored]()
+      var (i, j) = (0, 0)
+      while (out.length < k && (i < x.length || j < y.length)) {
+        if (j >= y.length || (i < x.length && ord.lteq(x(i), y(j)))) {
+          out += x(i); i += 1
+        } else { out += y(j); j += 1 }
+      }
+      out.toSeq
+    }
+
+    def finish(r: Seq[Scored]): Seq[Scored] = r
+    def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
 }

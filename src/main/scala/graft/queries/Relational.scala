@@ -732,7 +732,39 @@ object Relational {
       ORDER BY bin"""))
   }
 
+  /** Bounded per-group top-k via the [[graft.functions.Aggregators.TopK]]
+    * aggregator instead of a window sort. The window form shuffles and
+    * sorts EVERY order inside each priority partition; this plan's
+    * map-side partials carry at most k rows per (group, partition), so
+    * the exchange moves `groups × k` entries regardless of table size —
+    * the shape that survives "top 3 per key" at 100 TB. The oracle IS
+    * the window form, so the hash-match proves the aggregator computes
+    * identical results to the full sort. */
+  private val q107 = GQuery(
+    "q107_topk_agg",
+    (s, dir) => {
+      val topk = udaf(new graft.functions.Aggregators.TopK(3),
+        org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.Scored])
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority").as("priority"),
+          posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("priority"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("sc.id").as("order_id"), col("sc.score").as("price"))
+        .orderBy(col("priority"), col("rank"))
+    },
+    Some("""SELECT o_orderpriority AS priority, CAST(rank AS BIGINT) AS rank,
+        o_orderkey AS order_id, o_totalprice AS price
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+      WHERE rank <= 3
+      ORDER BY priority, rank"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74, q83)
+      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74, q83,
+      q107)
 }

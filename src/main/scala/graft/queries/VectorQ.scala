@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
-import graft.functions.VectorFunctions.{vec_dot, vec_dot_long, vec_norm2}
+import graft.functions.VectorFunctions.{vec_dot, vec_dot_long, vec_nearest_cell, vec_norm2}
 
 /** Embedding similarity search (SURVEY §2C) over `embeddings`
   * (ArrayType(FloatType), dim 64).
@@ -264,22 +264,27 @@ object VectorQ {
       element_at(a, i).cast(DoubleType) * element_at(b, i).cast(DoubleType))
       .reduce(_ + _)
 
-  /** Nearest-centroid assignment: one broadcast of the (small) centroid
-    * table against the full corpus, argmin via a map-side `min(struct)` —
-    * no window, no extra shuffle beyond the per-vector aggregation.
+  /** Nearest-centroid assignment as a pure MAP: the centroid table —
+    * bounded at O(cells · dim) values, the same driver traffic the
+    * k-means loop already pays — is collected once and rides inside the
+    * codegen'd [[graft.functions.VecNearestCell]] argmin expression, so
+    * the corpus is scanned exactly once with zero shuffle and zero row
+    * explosion. The previous shape (crossJoin(corpus × broadcast
+    * centroids) + per-vector min-agg) materialized n·cells intermediate
+    * rows each carrying the full embedding array — at the production
+    * cells ≈ √n rule that is n^1.5 KB-wide rows through an exchange,
+    * which the 10× scale probe measured at 18–27× wall growth before
+    * this rewrite. Tie-breaks and arithmetic order are pinned to the
+    * oracle inside the expression (lowest cluster id on equal dist).
     * `centroids` is (cluster: Long, centroid: array<double>). Returns
-    * (vec_id, embedding, nrm, cluster). Ties break to the lowest cluster
-    * id, matching the oracle's `ORDER BY dist_sq, cluster` rank. */
-  def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame =
-    v.crossJoin(broadcast(centroids))
-      .withColumn("dist_sq",
-        col("nrm") + dotCols(col("centroid"), col("centroid"))
-          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist_sq"), col("cluster"))).as("m"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    * (vec_id, embedding, nrm, cluster, dist_sq). */
+  def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cluster"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    v.withColumn("m", vec_nearest_cell(col("embedding"), col("nrm"), cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("m.cluster").as("cluster"), col("m.dist_sq").as("dist_sq"))
+  }
 
   /** Distributed Lloyd k-means over the embedding column — the trained
     * replacement for [[annIvf]]'s seed centroids. Deterministic end to
@@ -1316,6 +1321,46 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** Explicit-query multi-probe LSH, oracle-checked: a (query_id,
+    * embedding) request batch probes its home sign-bucket plus every
+    * bucket at Hamming distance 1 — the standard recall lift over
+    * single-bucket LSH (q30's cross-boundary misses) at probe-set
+    * cost, with no query-side broadcast hint anywhere in the plan. */
+  private val q108 = {
+    val bucketSql =
+      """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
+    GQuery(
+      "q108_ann_multiprobe_query",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queryTable = emb.filter(col("vec_id") % 40 === 5)
+          .select((col("vec_id") + 200000).as("query_id"), col("embedding"))
+        annBucketedMultiProbe(emb, queryTable, bits = 3, k = 3, probeHamming = 1)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bucketSql AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id + 200000 AS query_id, embedding AS qe, nrm AS qn,
+                     bucket AS home
+              FROM v WHERE vec_id % 40 = 5),
+        probes AS (SELECT query_id, qe, qn, xor(home, m) AS qbucket
+                   FROM q, (VALUES (0), (1), (2), (4)) AS masks(m)),
+        pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+            ROUND((${dotSql("p.qe", "c.embedding")}) / (sqrt(p.qn) * sqrt(c.nrm)), 6) AS cosine
+          FROM v c JOIN probes p ON c.bucket = p.qbucket),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs)
+      SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+  }
+
   val queries: Seq[GQuery] =
-    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106)
+    Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
+      q108)
 }

@@ -87,4 +87,51 @@ class AggregatorsSpec extends SparkSpec {
       assert(math.abs(got(label)(0) - e1avg) < 1e-9)
     }
   }
+
+  test("TopK keeps the exact k best across partials, ties broken by id") {
+    import Aggregators.{Scored, TopK}
+    val agg = new TopK(3)
+    // single-pass truth on a shuffled input with a score tie
+    val rows = Seq(Scored(5.0, 7), Scored(9.0, 2), Scored(5.0, 3),
+      Scored(1.0, 9), Scored(9.0, 8), Scored(7.0, 1))
+    val expected = Seq(Scored(9.0, 2), Scored(9.0, 8), Scored(7.0, 1))
+    val single = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(single == expected)
+    // merge of two partials == top-k of the union, any split point
+    (1 until rows.length).foreach { cut =>
+      val (l, r) = rows.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == expected, s"split at $cut")
+    }
+    // fewer rows than k: all kept, in order
+    assert(rows.take(2).foldLeft(agg.zero)(agg.reduce) ==
+      Seq(Scored(9.0, 2), Scored(5.0, 7)))
+  }
+
+  test("TopK through a real shuffle matches the window form") {
+    val topk = udaf(new Aggregators.TopK(3),
+      org.apache.spark.sql.Encoders.product[Aggregators.Scored])
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+    val viaAgg = orders.groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("o_orderpriority"), col("sc.id"), col("sc.score"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    assert(viaAgg.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))) ==
+      viaWindow.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))))
+    // the aggregator plan must not contain a Window/full-sort node
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "TopK plan fell back to a window sort")
+    assert(plan.contains("ObjectHashAggregate"),
+      "TopK should run as partial ObjectHashAggregate")
+  }
 }

@@ -65,4 +65,40 @@ class IncrementalDedupSpec extends SparkSpec {
     // (band, bkey) — a window would sort the whole store every batch
     assert(!plan.contains("Window"), plan)
   }
+
+  test("streaming sink dedups each batch against history; retries are idempotent") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_sigstream").toString
+    val (store, cands) = (s"$root/bands", s"$root/cands")
+    val sink = IncrementalDedup.sink(spark, store, cands, minJaccard = 0.5)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 0: two fresh docs — no history, so the candidate output has
+      // no data files yet (an empty DF under dynamic partition overwrite
+      // touches no partition)
+      in.addData((1L, corpusText1), (2L, corpusText2))
+      q.processAllAvailable()
+      val candFiles = new java.io.File(cands)
+      assert(!candFiles.exists() ||
+        candFiles.listFiles().forall(f => !f.getName.startsWith("batch_id=")))
+      // batch 1: doc 10 duplicates doc 1 from batch 0; doc 11 is new
+      in.addData((10L, corpusText1), (11L, freshText))
+      q.processAllAvailable()
+      val hits = spark.read.parquet(cands)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect()
+      assert(hits.toSeq == Seq((10L, 1L)), hits.toSeq.toString)
+      assert(spark.read.parquet(store).count() == 16)
+    } finally q.stop()
+    // simulate a RETRY of batch 1 (foreachBatch redelivery after a crash):
+    // same data, same batch id — output must be byte-identical, with no
+    // self-matches through the batch's own half-written store partition
+    sink(Seq((10L, corpusText1), (11L, freshText)).toDF("doc_id", "text"), 1L)
+    val after = spark.read.parquet(cands)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    assert(after.toSeq == Seq((10L, 1L)), after.toSeq.toString)
+    assert(spark.read.parquet(store).count() == 16)
+  }
 }
