@@ -89,9 +89,9 @@ object ScaleProbe {
       headline.foreach { name =>
         val q = queries.Registry.byName(name)
         noop(q.build(spark, srcDir)) // warm
-        val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).sorted.apply(1)
+        val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).min
         noop(q.build(spark, outDir))
-        val tk = Seq.fill(3)(time(noop(q.build(spark, outDir)))).sorted.apply(1)
+        val tk = Seq.fill(3)(time(noop(q.build(spark, outDir)))).min
         println(f"$name,$t1%.3f,$tk%.3f,${tk / t1}%.2f")
       }
     }
@@ -129,9 +129,9 @@ object ScaleProbe {
       println(s"simprobe,knobs_1x,knobs_${k}x,t1x_sec,t${k}x_sec,ratio")
       sim.foreach { case (name, build, knob) =>
         noop(build(srcDir))
-        val t1 = Seq.fill(3)(time(noop(build(srcDir)))).sorted.apply(1)
+        val t1 = Seq.fill(3)(time(noop(build(srcDir)))).min
         noop(build(outDir))
-        val tk = Seq.fill(3)(time(noop(build(outDir)))).sorted.apply(1)
+        val tk = Seq.fill(3)(time(noop(build(outDir)))).min
         println(f"$name,${knob(srcDir)},${knob(outDir)},$t1%.3f,$tk%.3f,${tk / t1}%.2f")
       }
     }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Dot product of two float-vector columns, accumulated left-to-right in
   * doubles — a codegen'd Catalyst expression (SURVEY §4 custom item #2).
@@ -192,11 +192,112 @@ case class VecNearestCell(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoding as a single codegen'd map expression:
+  * the (tiny, driver-collected) per-subspace codebooks ride inside the
+  * expression, and each input vector emits its `subs` nearest-codeword
+  * ids in one fused pass — replacing the explode(n×subs) × broadcast
+  * codebook join (n·subs·codes intermediate rows) + per-(vector,
+  * subspace) min-aggregation shuffle that the 10× scale probe measured
+  * as the PQ family's dominant cost. Same arithmetic contract as
+  * [[VecNearestCell]]: per-dimension `(e_i − c_i)²` accumulated
+  * index-ascending in doubles (the oracle's term chain), codewords
+  * scanned in ascending code order with strict `<` so ties keep the
+  * lowest code id.
+  *
+  * Child: embedding (array<float>). `codes(m)(j)` / `cws(m)(j)` are the
+  * j-th codeword id / vector of subspace m; subspace m reads embedding
+  * components `[m·subDim, (m+1)·subDim)`. Returns array<long> of length
+  * `subs` — the code per subspace, positionally.
+  */
+case class VecPqEncode(child: Expression,
+    codes: Array[Array[Long]], cws: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codes.nonEmpty && codes.length == cws.length,
+    s"need per-subspace codebooks, got ${codes.length}/${cws.length}")
+  require(codes.indices.forall(m => codes(m).nonEmpty &&
+    codes(m).length == cws(m).length), "empty or misaligned subspace codebook")
+  require(codes.forall(cs => (1 until cs.length).forall(i => cs(i - 1) < cs(i))),
+    "codeword ids must be strictly ascending per subspace (ties keep the lowest)")
+
+  private val subDim: Int = cws(0)(0).length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override val nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](codes.length)
+    var m = 0
+    while (m < codes.length) {
+      val off = m * subDim
+      var bestCode = codes(m)(0); var bestDist = Double.PositiveInfinity
+      var j = 0
+      while (j < cws(m).length) {
+        val c = cws(m)(j)
+        var acc = 0.0; var i = 0
+        while (i < subDim) {
+          val d = x.getFloat(off + i).toDouble - c(i)
+          acc += d * d; i += 1
+        }
+        if (acc < bestDist) { bestDist = acc; bestCode = codes(m)(j) }
+        j += 1
+      }
+      out(m) = bestCode; m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cid = ctx.addReferenceObj("pqCodes", codes, "long[][]")
+      val mat = ctx.addReferenceObj("pqCws", cws, "double[][][]")
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val off = ctx.freshName("off"); val out = ctx.freshName("out")
+      val bestCode = ctx.freshName("bestCode")
+      val bestDist = ctx.freshName("bestDist")
+      s"""
+         |long[] $out = new long[$cid.length];
+         |for (int $m = 0; $m < $cid.length; $m++) {
+         |  int $off = $m * $subDim;
+         |  long $bestCode = $cid[$m][0];
+         |  double $bestDist = Double.POSITIVE_INFINITY;
+         |  for (int $j = 0; $j < $mat[$m].length; $j++) {
+         |    double[] $c = $mat[$m][$j];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $d = (double) $a.getFloat($off + $i) - $c[$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestDist) { $bestDist = $acc; $bestCode = $cid[$m][$j]; }
+         |  }
+         |  $out[$m] = $bestCode;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Dot product of two array<float> columns as a double. */
   def vec_dot(a: Column, b: Column): Column =
     bridge.column(VecDot(bridge.expression(a), bridge.expression(b)))
+
+  /** PQ codes (one per subspace, positionally) of an array<float> column
+    * against fixed per-subspace codebooks — see [[VecPqEncode]].
+    * `bySub(m)` = (ascending codeword ids, codeword vectors) of
+    * subspace m. */
+  def vec_pq_encode(e: Column,
+      bySub: Seq[(Array[Long], Array[Array[Double]])]): Column =
+    bridge.column(VecPqEncode(bridge.expression(e),
+      bySub.map(_._1).toArray, bySub.map(_._2).toArray))
 
   /** Nearest centroid of an array<float> column against a fixed centroid
     * matrix, as struct(cluster, dist_sq) — see [[VecNearestCell]]. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
-import graft.functions.VectorFunctions.{vec_dot, vec_dot_long, vec_nearest_cell, vec_norm2}
+import graft.functions.VectorFunctions.{vec_dot, vec_dot_long, vec_nearest_cell, vec_norm2, vec_pq_encode}
 
 /** Embedding similarity search (SURVEY §2C) over `embeddings`
   * (ArrayType(FloatType), dim 64).
@@ -523,7 +523,16 @@ object VectorQ {
       .withColumn("pd",
         round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
       .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
-    val scored = enc.join(lut, Seq("sub", "code"))
+    // The LUT join is HINTED broadcast deliberately — this is not the
+    // corpus-coupled broadcast hazard: the LUT is |queries|·subs·codes
+    // rows, sized by the QUERY BATCH alone. And its join key (sub, code)
+    // has only subs·codes distinct values, so a shuffled fallback can
+    // never parallelize past 64-ish reducers — with a corpus-derived
+    // query plan the optimizer's corpus-sized estimate picked exactly
+    // that degenerate shuffle, measured 7× slower at the 10× probe.
+    // ADC's contract is the standard FAISS one: the per-query LUT fits
+    // in memory; chunk a huge query log upstream.
+    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adc_d"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
@@ -567,7 +576,10 @@ object VectorQ {
       .join(probes, Seq("query_id"))
     val e = enc.as("e")
     val l = lut.as("l")
-    val scored = e.join(l,
+    // broadcast for the same reason as the explicit-query [[annPq]]: the
+    // LUT is query-batch-sized and the (sub, code, cluster) key space is
+    // subs·codes·cells values — too few for a useful shuffled join.
+    val scored = e.join(broadcast(l),
         col("e.sub") === col("l.sub") && col("e.code") === col("l.code") &&
           col("e.cluster") === col("l.qcluster"))
       .groupBy(col("l.query_id").as("query_id"), col("e.vec_id").as("vec_id"))
@@ -939,17 +951,24 @@ object VectorQ {
     * nearest codeword by squared L2, ties to the lowest code id. At
     * subs=8/codes=256 this is 8 bytes per vector instead of 256 — the
     * compression that lets a 100 TB corpus's index live in memory.
-    * One broadcast join + per-(vector, subspace) argmin; returns
-    * (vec_id, sub, code). */
+    *
+    * A pure MAP via the codegen'd [[graft.functions.VecPqEncode]]
+    * expression: the bounded (subs·codes·subDim) codebook is collected
+    * once and rides inside the expression, so the corpus is scanned a
+    * single time with zero shuffle — the previous explode × broadcast
+    * join + argmin-agg shape put n·subs·codes intermediate rows through
+    * a per-(vector, subspace) aggregation, the cost the 10× scale probe
+    * saw dominate the PQ family. Returns (vec_id, sub, code). */
   def pqEncode(raw: DataFrame, codebook: DataFrame, subs: Int = 4): DataFrame = {
     require(subs >= 1 && dim % subs == 0, s"subs must divide dim=$dim, got $subs")
-    val subDim = dim / subs
-    subSliced(raw.select(col("vec_id"), col("embedding")), subs)
-      .join(broadcast(codebook), Seq("sub"))
-      .withColumn("d", subDist(col("sv"), col("cw"), subDim))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d"), col("code"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+    val cb = codebook.select(col("sub"), col("code"), col("cw")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val bySub = (0 until subs).map { m =>
+      val rows = cb.filter(_._1 == m).sortBy(_._2)
+      (rows.map(_._2), rows.map(_._3))
+    }
+    raw.select(col("vec_id"),
+      posexplode(vec_pq_encode(col("embedding"), bySub)).as(Seq("sub", "code")))
   }
 
   /** PQ asymmetric-distance ANN top-k (Jégou et al., TPAMI 2011): each

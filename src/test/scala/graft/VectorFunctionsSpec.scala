@@ -43,4 +43,74 @@ class VectorFunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"vec_dot fell out of codegen:\n$plan")
   }
+
+  test("vec_nearest_cell: codegen matches interpreted eval and the join formulation") {
+    import graft.functions.VectorFunctions.vec_nearest_cell
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"),
+        vec_norm2(col("embedding")).as("nrm"))
+    val cents = emb.orderBy(col("vec_id")).limit(5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val fast = emb.select(col("vec_id"),
+      vec_nearest_cell(col("embedding"), col("nrm"), cents).as("m"))
+      .select(col("vec_id"), col("m.cluster"), col("m.dist_sq"))
+      .as[(Long, Long, Double)].collect().toMap2
+    // reference: per-centroid dist via the vec_dot chain, argmin in Scala
+    val ref = emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect().map { r =>
+        val e = r.getSeq[Float](1); val nrm = r.getDouble(2)
+        val best = cents.map { case (id, c) =>
+          var acc = 0.0
+          (0 until math.min(e.length, c.length)).foreach(i => acc += e(i).toDouble * c(i))
+          var cn = 0.0; c.foreach(x => cn += x * x)
+          (id, (nrm + cn) - 2.0 * acc)
+        }.minBy { case (id, d) => (d, id) }
+        r.getLong(0) -> best
+      }.toMap
+    assert(fast == ref)
+    // interpreted (non-codegen) path agrees bit for bit
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = emb.select(col("vec_id"),
+        vec_nearest_cell(col("embedding"), col("nrm"), cents).as("m"))
+        .select(col("vec_id"), col("m.cluster"), col("m.dist_sq"))
+        .as[(Long, Long, Double)].collect().toMap2
+      assert(interp == ref)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
+  test("vec_pq_encode: codegen matches interpreted eval; ties keep the lowest code") {
+    import graft.functions.VectorFunctions.vec_pq_encode
+    // 4-dim vectors, 2 subspaces of 2 dims, 2 codewords each; the second
+    // subspace's codewords are IDENTICAL so every vector ties -> code 10
+    val bySub = Seq(
+      (Array(10L, 20L), Array(Array(0.0, 0.0), Array(1.0, 1.0))),
+      (Array(10L, 20L), Array(Array(0.5, 0.5), Array(0.5, 0.5))))
+    val df = Seq(
+      (1L, Array(0.1f, 0.1f, 9.0f, 9.0f)),
+      (2L, Array(0.9f, 0.9f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run() = df.select(col("vec_id"),
+        vec_pq_encode(col("embedding"), bySub).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fast = run()
+    assert(fast == Map(1L -> Seq(10L, 10L), 2L -> Seq(20L, 10L)))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() == fast)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
 }
