@@ -187,17 +187,16 @@ object VectorQ {
     val v = withNorm(raw)
     // seeds = the `cells` lowest vec_ids (a top-k, not `vec_id < cells`:
     // ids need not start at 0 — a filtered corpus would otherwise yield
-    // zero seeds and a silently empty result)
+    // zero seeds and a silently empty result). Assignment rides the
+    // [[graft.functions.VecNearestCell]] map expression — same
+    // arithmetic/tie contract as the crossJoin + per-vector rank it
+    // replaces (the seed's |c|² and the dot accumulate in the identical
+    // order), with zero shuffle and no n·cells row explosion.
     val seeds = v.orderBy(col("vec_id")).limit(cells)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"), col("nrm").as("snrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist_sq"), col("seed_id"))
-    val assigned = v.crossJoin(broadcast(seeds))
-      .withColumn("dist_sq",
-        col("nrm") + col("snrm") - lit(2.0) * vec_dot(col("embedding"), col("semb")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id").as("cluster"))
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val assigned = assignToCentroids(v, seeds)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
     val q = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cluster").as("qcluster"))
@@ -918,23 +917,29 @@ object VectorQ {
     val spark = raw.sparkSession
     import spark.implicits._
     val subDim = dim / subs
-    val sliced = subSliced(raw.select(col("vec_id"), col("embedding")), subs)
     var cents: Seq[(Int, Long, Seq[Double])] = pqCodebook(raw, subs, codes)
       .collect().toSeq
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
     for (_ <- 1 to iters) {
-      val cdf = cents.toDF("sub", "code", "cw")
-      val assigned = sliced.join(broadcast(cdf), Seq("sub"))
-        .withColumn("d", subDist(col("sv"), col("cw"), subDim))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d"), col("code"))).as("m"), first(col("sv")).as("sv"))
-        .select(col("sub"), col("m.code").as("code"), col("sv"))
-      val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      // assignment via the VecPqEncode map expression (zero shuffle, no
+      // n·subs·codes explosion — see pqEncode); the means stage then
+      // explodes the raw embedding ONCE (n·dim rows — the inherent cost
+      // of computing per-dimension means) and derives (sub, code, pos)
+      // from the component index, no join back to any sliced table.
+      val bySub = (0 until subs).map { m =>
+        val rows = cents.filter(_._1 == m).sortBy(_._2)
+        (rows.map(_._2).toArray, rows.map(_._3.toArray).toArray)
+      }
+      val means = raw
+        .select(vec_pq_encode(col("embedding"), bySub).as("codes"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") / subDim).cast("int").as("sub"),
+          expr(s"codes[CAST(p / $subDim AS INT)]").as("code"),
+          (col("p") % subDim).as("pos"), col("x"))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(round(
-          sum(expr("CAST(x AS DECIMAL(38,8))")).cast(DoubleType) / count(lit(1)),
-          6).as("m"))
+          sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))")).cast(DoubleType)
+            / count(lit(1)), 6).as("m"))
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("sub"), col("code"),
