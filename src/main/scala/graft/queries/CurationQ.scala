@@ -771,7 +771,70 @@ object CurationQ {
           round(CAST(sum_chars AS DOUBLE) / n_docs, 6) FROM a)
       ORDER BY metric"""))
 
+  /** Split-at-boundary packing spans — the complement of
+    * [[packSequences]]: that operator keeps every document whole (its bin
+    * is where its first token lands, so bins overflow past the budget);
+    * this one cuts the concatenated token stream at EXACT `seqLen`
+    * boundaries — the GPT-style pre-training layout where a document may
+    * straddle two training sequences. Emits the doc→sequence index map a
+    * dataloader slicing fixed-length rows needs: one row per (group,
+    * chunk, doc) span with the doc's offset inside the chunk and how many
+    * of its tokens land there. Every chunk except each group's LAST sums
+    * to exactly `seqLen` — pack efficiency is structural, not luck.
+    *
+    * Packing is order-defined, so it is computed per `groupCol` with one
+    * window cumsum: a single hash exchange on the group key, then an
+    * in-partition sort by doc_id. The chunk fan-out (`sequence` over the
+    * doc's chunk range) is map-side. At 100 TB with few distinct groups
+    * the per-group sort is the honest bottleneck — shard the group column
+    * first (e.g. `concat(source, '_', doc_id div 1000000)`): determinism
+    * is kept, parallelism is restored, and the waste is bounded by one
+    * short chunk per shard. */
+  def packedChunkSpans(docs: DataFrame, seqLen: Int,
+      groupCol: String = "source"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
+    docs.select(col(groupCol), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("tok_end", sum(col("n_toks")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_toks"))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"tok_start div ${seqLen}L"),
+        expr(s"(tok_end - 1L) div ${seqLen}L"))))
+      .withColumn("seg_start",
+        greatest(col("tok_start"), col("chunk_id") * seqLen))
+      .select(col(groupCol), col("chunk_id"), col("doc_id"),
+        (col("seg_start") - col("chunk_id") * seqLen).as("offset_in_chunk"),
+        (least(col("tok_end"), (col("chunk_id") + 1) * seqLen)
+          - col("seg_start")).as("n_chunk_toks"))
+  }
+
+  /** Oracle fixture of [[packedChunkSpans]] (seqLen 64, packed per
+    * source). */
+  private val q112 = GQuery(
+    "q112_packed_spans",
+    (s, dir) => packedChunkSpans(t(s, dir, "documents"), seqLen = 64)
+      .orderBy(col("source"), col("chunk_id"), col("doc_id")),
+    Some("""WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      c AS (SELECT source, doc_id, n_toks,
+          CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS tok_end
+        FROM d),
+      s AS (SELECT source, doc_id, tok_end, tok_end - n_toks AS tok_start,
+          CAST((tok_end - n_toks) // 64 AS BIGINT) AS c0,
+          CAST((tok_end - 1) // 64 AS BIGINT) AS c1
+        FROM c)
+      SELECT source, chunk_id, doc_id,
+        GREATEST(tok_start, chunk_id * 64) - chunk_id * 64 AS offset_in_chunk,
+        LEAST(tok_end, (chunk_id + 1) * 64)
+          - GREATEST(tok_start, chunk_id * 64) AS n_chunk_toks
+      FROM s, UNNEST(generate_series(c0, c1)) AS u(chunk_id)
+      ORDER BY source, chunk_id, doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100)
+      q71, q100, q112)
 }

@@ -1235,7 +1235,194 @@ object TextQ {
       GROUP BY a.source, b.source
       ORDER BY source_a, source_b"""))
 
+  /** Cross-document exact-substring duplication (the suffix-array-style
+    * span dedup of "Deduplicating Training Data" re-expressed as a
+    * shuffle-bounded Spark plan): every `width`-token rolling span is a
+    * key; a span occurring more than once ANYWHERE in the corpus is
+    * duplicated, and each doc reports how many of its tokens are covered
+    * by duplicated spans — the trim/drop signal for verbatim-repeated
+    * passages that intra-doc repetition (q49) and whole-doc hashing (q25)
+    * both miss.
+    *
+    * Coverage is an exact interval union, not `n_dup_spans * width`:
+    * overlapping duplicated spans share tokens, so each span contributes
+    * `end - max(prev_covered_end, start - 1)` clipped at 0, with the
+    * running covered-end a window max over the doc's spans in start
+    * order.
+    *
+    * Scale shape: explode is map-side; the duplicate mark is one window
+    * on the span value (hash shuffle on the span — the only corpus-sized
+    * exchange); the coverage window + final aggregation share one
+    * doc_id exchange. No self-join — at 100 TB a stopword-heavy span
+    * key fans out within its window partition but never produces pairs.
+    */
+  def spanDuplication(docs: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 2, s"span width must be >= 2, got $width")
+    val spans = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), posexplode(expr(shingleExprN(width))).as(Seq("i", "span")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = spans
+      .withColumn("dup", count(lit(1)).over(Window.partitionBy(col("span"))) > 1)
+      .withColumn("e", (col("i") + width).cast(LongType))
+      .withColumn("pe", max(when(col("dup"), col("e"))).over(wDoc))
+      .withColumn("contrib", when(col("dup"),
+          greatest(lit(0L), col("e") -
+            greatest(col("i").cast(LongType), coalesce(col("pe"), lit(0L)))))
+        .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(col("contrib")).as("covered_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans", "covered_tokens"))
+      .withColumn("dup_token_ratio",
+        round(col("covered_tokens").cast(DoubleType) / col("n_toks"), 6))
+  }
+
+  /** Oracle fixture of [[spanDuplication]] (width 8). The DuckDB twin
+    * rebuilds the same spans 1-based (`i` is the 1-based start, so
+    * `e = i + 7` and the clip floor is `i - 1`). */
+  private val q110 = GQuery(
+    "q110_span_dedup",
+    (s, dir) => spanDuplication(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+      sp AS (SELECT doc_id, i,
+          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+          ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS span
+        FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
+        WHERE len(ts) >= 8),
+      marked AS (SELECT doc_id, i, i + 7 AS e,
+          COUNT(*) OVER (PARTITION BY span) > 1 AS dup
+        FROM sp),
+      cov AS (SELECT doc_id, i, e, dup,
+          MAX(CASE WHEN dup THEN e END) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM marked),
+      agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+          CAST(SUM(CASE WHEN dup THEN GREATEST(0, e - GREATEST(i - 1, COALESCE(pe, 0)))
+                        ELSE 0 END) AS BIGINT) AS covered_tokens
+        FROM cov GROUP BY doc_id),
+      d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM documents)
+    SELECT d.doc_id, d.n_toks,
+      COALESCE(n_spans, 0) AS n_spans,
+      COALESCE(n_dup_spans, 0) AS n_dup_spans,
+      COALESCE(covered_tokens, 0) AS covered_tokens,
+      ROUND(CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / d.n_toks, 6)
+        AS dup_token_ratio
+    FROM d LEFT JOIN agg USING (doc_id)
+    ORDER BY d.doc_id"""))
+
+  /** BM25 top-k retrieval over an explicit query table (query_id, qtext)
+    * — the ranked-search counterpart of [[invertedIndex]], with
+    * k1 = 1.2 and b = 0.75.
+    *
+    * Determinism contract: the score is computed in EXACT integer
+    * arithmetic so the DuckDB oracle reproduces it bit-for-bit. The
+    * `ln` in the textbook idf is replaced by the scaled Lucene-idf
+    * ratio `(100000 * (2N + 2)) DIV (2 df + 1)` (the q53 trick —
+    * per-term monotone in df, so per-term ranking is preserved; the
+    * doc score is the BIGINT sum of term scores, order-independent).
+    * With k1 = 6/5, b = 3/4 and avgdl carried as milli-tokens
+    * `A = (1000 T) DIV N`, the term score is exactly
+    * `(idf_s * 22*A*tf) DIV (10*A*tf + 3*A + 9000*dl)`.
+    *
+    * Scale shape: term frequencies are one corpus-sized group-by; the
+    * corpus then meets the QUERY VOCABULARY via a broadcast join, so
+    * everything downstream — df, per-term scores, the top-k window — is
+    * proportional to matching (query term × doc) pairs, never to the
+    * corpus. The doc-length join is the one remaining corpus-keyed
+    * exchange and AQE broadcasts the matched side when the query set is
+    * small. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+      .withColumn("a", expr("(1000L * t_toks) DIV n_docs"))
+    val qterms = queries
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
+      .distinct()
+    val vocab = qterms.select(col("tok")).distinct()
+    val matched = tf.join(broadcast(vocab), Seq("tok"))
+    // df per token over the full corpus: tf is already distinct per
+    // (doc, tok), so a count per tok IS the document frequency
+    val dfreq = matched.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(qterms), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_s", expr("(100000L * (2L * n_docs + 2L)) DIV (2L * df + 1L)"))
+      .withColumn("s", expr(
+        "(idf_s * (22L * a * tf)) DIV (10L * a * tf + 3L * a + 9000L * dl)"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .withColumn("rn", row_number().over(wq).cast(LongType))
+      .filter(col("rn") <= topK)
+  }
+
+  /** Oracle fixture of [[bm25TopK]]: four literal queries over the
+    * fixture vocabulary, top 5 docs each. */
+  private val q111 = {
+    val queryRows = Seq(1 -> "vector spark window", 2 -> "hash join",
+      3 -> "customer order data row", 4 -> "stream batch merge")
+    val valuesSql = queryRows
+      .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+    GQuery(
+      "q111_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val q = queryRows.map { case (id, txt) => (id.toLong, txt) }
+          .toDF("query_id", "qtext")
+        bm25TopK(t(s, dir, "documents"), q)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some(s"""WITH q(query_id, qtext) AS (VALUES $valuesSql),
+        qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+                 unnest(string_split(qtext, ' ')) AS tok FROM q),
+        vocab AS (SELECT DISTINCT tok FROM qt),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) JOIN vocab USING (tok)
+          GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+        st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+               FROM dl),
+        sta AS (SELECT n_docs, (1000 * t_toks) // n_docs AS a FROM st),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+            ((100000 * (2 * n_docs + 2)) // (2 * df + 1))
+              * (22 * a * tf.tf) // (10 * a * tf.tf + 3 * a + 9000 * dl.dl) AS s
+          FROM tf JOIN dfreq USING (tok) JOIN qt USING (tok)
+            JOIN dl USING (doc_id), sta),
+        agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+          FROM sc GROUP BY query_id, doc_id),
+        ranked AS (SELECT query_id, doc_id, score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rn
+          FROM agg)
+      SELECT query_id, doc_id, score, rn FROM ranked
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
-      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105)
+      q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
+      q110, q111)
 }

@@ -318,4 +318,99 @@ class CurationSpec extends SparkSpec {
     val overlap = (fq intersect iq).size.toDouble / fq.size
     assert(overlap >= 0.5, s"quantized/float neighbor overlap too low: $overlap")
   }
+
+  test("span duplication: coverage is an interval union, not span*width") {
+    // A's 12 tokens reappear as B's prefix: width-8 spans at starts 0..4
+    // are all duplicated, but they overlap — covered tokens must be the
+    // union (all 12 of A), not 5 spans x 8 tokens = 40.
+    val shared = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, shared + " u1 u2 u3 u4"),
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9"), // unique: no duplicated span
+      (4L, "w1 w2 w3")                     // shorter than width: no spans
+    ).toDF("doc_id", "text")
+    val r = TextQ.spanDuplication(docs, width = 8)
+      .select($"doc_id", $"n_toks", $"n_spans", $"n_dup_spans",
+        $"covered_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 12L, 5L, 5L, 12L)))
+    assert(r(2L) == ((2L, 16L, 9L, 5L, 12L)))
+    assert(r(3L) == ((3L, 9L, 2L, 0L, 0L)))
+    assert(r(4L) == ((4L, 3L, 0L, 0L, 0L)))
+  }
+
+  test("span duplication: disjoint duplicated regions sum their lengths") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 10).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a $gap $b"),        // both blocks duplicated, gap unique
+      (2L, a), (3L, b)
+    ).toDF("doc_id", "text")
+    val r = TextQ.spanDuplication(docs, width = 8)
+      .where($"doc_id" === 1L)
+      .select($"n_dup_spans", $"covered_tokens")
+      .as[(Long, Long)].head()
+    assert(r == ((2L, 16L)), s"expected two disjoint 8-token blocks: $r")
+  }
+
+  test("bm25: rare-term doc outranks common-term doc; k and rn bounded") {
+    val docs = Seq(
+      (1L, "rare apple pear plum"),
+      (2L, "common apple pear plum"),
+      (3L, "common pear apple fig"),
+      (4L, "common fig plum apple"),
+      (5L, "kiwi mango papaya guava")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "rare common")).toDF("query_id", "qtext")
+    val r = TextQ.bm25TopK(docs, queries, topK = 3)
+      .select($"doc_id", $"score", $"rn").as[(Long, Long, Long)]
+      .collect().sortBy(_._3)
+    assert(r.length == 3)
+    assert(r.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    // 'rare' has df=1 vs 'common' df=3: doc 1 must rank first
+    assert(r.head._1 == 1L, s"rare-term doc should win: ${r.toSeq}")
+    // docs 2-4 tie on tf/df/dl; doc_id breaks the tie deterministically
+    assert(r(1)._1 == 2L && r(2)._1 == 3L)
+  }
+
+  test("packed spans: chunks tile exactly; only the last is short") {
+    // source A: 10 + 7 + 5 = 22 tokens at seqLen=8 -> chunks of 8, 8, 6;
+    // doc 1 spans chunks 0-1, doc 2 spans 1-2, doc 3 sits inside chunk 2.
+    def txt(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", txt("a", 10)), (2L, "A", txt("b", 7)), (3L, "A", txt("c", 5)),
+      (4L, "B", txt("d", 3))
+    ).toDF("doc_id", "source", "text")
+    val r = CurationQ.packedChunkSpans(docs, seqLen = 8)
+      .select($"source", $"chunk_id", $"doc_id", $"offset_in_chunk",
+        $"n_chunk_toks")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("A", 0L, 1L, 0L, 8L), ("A", 1L, 1L, 0L, 2L),
+      ("A", 1L, 2L, 2L, 6L), ("A", 2L, 2L, 0L, 1L),
+      ("A", 2L, 3L, 1L, 5L),
+      ("B", 0L, 4L, 0L, 3L)))
+    // every chunk except each group's last sums to exactly seqLen
+    val fills = r.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._5).sum }
+    val lastChunk = Map("A" -> 2L, "B" -> 0L)
+    fills.foreach { case ((src, c), tot) =>
+      if (c < lastChunk(src)) assert(tot == 8L, s"chunk ($src,$c): $tot")
+      else assert(tot <= 8L)
+    }
+  }
+
+  test("bm25: shorter doc wins at equal tf (length normalization)") {
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x y " + (1 to 30).map(i => s"pad$i").mkString(" ")),
+      (3L, "unrelated tokens only here")
+    ).toDF("doc_id", "text")
+    val queries = Seq((7L, "x")).toDF("query_id", "qtext")
+    val r = TextQ.bm25TopK(docs, queries, topK = 5)
+      .select($"doc_id", $"rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L), s"got ${r.toSeq}")
+  }
 }
