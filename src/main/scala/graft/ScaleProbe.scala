@@ -25,7 +25,8 @@ object ScaleProbe {
     "q49_repetition", "q53_tfidf_topk", "q57_boilerplate_chunks",
     "q61_sequence_packing", "q62_heavy_hitters", "q65_lm_score",
     "q68_range_join", "q85_funnel", "q91_inverted_index",
-    "q95_moving_window")
+    "q95_moving_window", "q110_span_dedup", "q111_bm25_topk",
+    "q112_packed_spans")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -244,6 +244,59 @@ object Relational {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""))
 
+  /** Approximate-percentile accuracy contract — q12b's pattern for the
+    * quantile sketch: `approx_percentile`'s value is algorithm-specific
+    * (DuckDB cannot replay Spark's KLL-style summary), but its RANK
+    * guarantee is checkable exactly. With accuracy 1000 the returned
+    * median sits within ±0.1% of rank n/2; the gate brackets it between
+    * the exact order statistics at ranks ⌈0.49n⌉ and ⌈0.51n⌉ (a 10×
+    * margin) and pins `approx_ok` TRUE — a Spark upgrade or config that
+    * degraded the sketch hash-mismatches instead of sliding through.
+    * Rank arithmetic is `(49·n) DIV 100` / `(51·n + 99) DIV 100` on
+    * BIGINTs — positive operands only, where Spark's truncating DIV and
+    * DuckDB's flooring `//` agree. The bracket values are data values
+    * (identical parquet doubles), so they hash cleanly. */
+  private val q14c = GQuery(
+    "q109_percentile_contract",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val wg = Window.partitionBy(col("l_returnflag"))
+      val ranked = li
+        .withColumn("rn",
+          row_number().over(wg.orderBy(col("l_extendedprice"))).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wg))
+      val bounds = ranked
+        .withColumn("lo_rank", greatest(lit(1L), expr("(49L * n) DIV 100L")))
+        .withColumn("hi_rank", least(col("n"), expr("(51L * n + 99L) DIV 100L")))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n_rows"),
+          max(when(col("rn") === col("lo_rank"), col("l_extendedprice"))).as("lo"),
+          max(when(col("rn") === col("hi_rank"), col("l_extendedprice"))).as("hi"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx"))
+      bounds.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"), col("lo"), col("hi"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        MAX(CASE WHEN rn = GREATEST(1, (49 * n) // 100)
+                 THEN l_extendedprice END) AS lo,
+        MAX(CASE WHEN rn = LEAST(n, (51 * n + 99) // 100)
+                 THEN l_extendedprice END) AS hi,
+        TRUE AS approx_ok
+      FROM r GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   /** Set operators: customers ordering in 1996 vs 1997 (INTERSECT /
     * EXCEPT with distinct semantics, tagged and unioned). */
   private val q13 = GQuery(
@@ -765,6 +818,6 @@ object Relational {
 
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
-      q14b, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74, q83,
-      q107)
+      q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
+      q83, q107)
 }

@@ -278,8 +278,11 @@ object VectorQ {
     * `centroids` is (cluster: Long, centroid: array<double>). Returns
     * (vec_id, embedding, nrm, cluster, dist_sq). */
   def assignToCentroids(v: DataFrame, centroids: DataFrame): DataFrame = {
+    // vec_nearest_cell requires strictly-ascending ids; centroid tables
+    // from a group-by (e.g. classMeans) arrive unordered, so sort here.
     val cents = centroids.select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .sortBy(_._1)
     v.withColumn("m", vec_nearest_cell(col("embedding"), col("nrm"), cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("m.cluster").as("cluster"), col("m.dist_sq").as("dist_sq"))
@@ -1384,7 +1387,188 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** Shared oracle CTE prefix: one Lloyd iteration from the `vec_id < 4`
+    * seeds (byte-identical to q59's construction) ending in `a1`
+    * (vec_id, cluster, dist) — each vector's final cell and its exact
+    * squared distance, the same `(nrm + cnorm) - 2·dot` left-associated
+    * chain [[graft.functions.VectorFunctions.vec_nearest_cell]] folds. */
+  private def kmeans1AssignSql: String = {
+    val meanCols = (1 to dim).map(k =>
+      s"ROUND(CAST(SUM(CAST(CAST(embedding[$k] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS c$k")
+      .mkString(", ")
+    val coalCols = (1 to dim).map(k =>
+      s"COALESCE(m.c$k, CAST(s.embedding[$k] AS DOUBLE)) AS c$k").mkString(", ")
+    val cnormChain = (1 to dim).map(k => s"(c.c$k * c.c$k)").mkString(" + ")
+    val dotChain = (1 to dim).map(k =>
+      s"(CAST(v.embedding[$k] AS DOUBLE) * c.c$k)").mkString(" + ")
+    s"""v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+            FROM embeddings),
+      seeds AS (SELECT vec_id AS seed_id, embedding FROM v WHERE vec_id < 4),
+      a0 AS (SELECT vec_id, embedding, cluster FROM (
+          SELECT v.vec_id, v.embedding, s.seed_id AS cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + (${normSql("s.embedding")})
+                - 2 * (${dotSql("v.embedding", "s.embedding")}), s.seed_id) AS arn
+          FROM v, seeds s) WHERE arn = 1),
+      m AS (SELECT cluster, $meanCols FROM a0 GROUP BY cluster),
+      cents AS (SELECT s.seed_id AS cluster, $coalCols
+                FROM seeds s LEFT JOIN m ON s.seed_id = m.cluster),
+      a1 AS (SELECT vec_id, cluster, dist FROM (
+          SELECT v.vec_id, c.cluster,
+            v.nrm + ($cnormChain) - 2 * ($dotChain) AS dist,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + ($cnormChain) - 2 * ($dotChain), c.cluster) AS arn
+          FROM v, cents c) WHERE arn = 1)"""
+  }
+
+  /** Per-cluster prototypes — the `m` members nearest their (trained)
+    * centroid, the coreset/representative-selection primitive: label a
+    * handful of prototypes instead of the corpus, seed a diverse subset,
+    * or eyeball what each cluster "means". One broadcast-assign scan
+    * (centroids ride inside the codegen'd expression) and one window
+    * rank per cluster — at 100 TB the rank shuffle carries (cluster,
+    * dist) pairs, and a top-m-per-cluster is exactly the bounded-state
+    * shape [[graft.functions.Aggregators]]' TopK also offers if the
+    * window sort ever dominates. */
+  def clusterPrototypes(raw: DataFrame, centroids: DataFrame,
+      m: Int = 5): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist_sq"), col("vec_id"))
+    assignToCentroids(withNorm(raw), centroids)
+      .withColumn("proto_rank", row_number().over(w).cast(LongType))
+      .filter(col("proto_rank") <= m)
+      .select(col("cluster"), col("proto_rank"), col("vec_id"))
+  }
+
+  /** Oracle fixture of [[clusterPrototypes]]: one trained Lloyd
+    * iteration (the q59 centroids), 5 prototypes per cell. */
+  private val q113 = GQuery(
+    "q113_cluster_prototypes",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      clusterPrototypes(emb, kmeansCentroids(emb, cells = 4, iters = 1), m = 5)
+        .orderBy(col("cluster"), col("proto_rank"))
+    },
+    Some(s"""WITH ${kmeans1AssignSql},
+      pr AS (SELECT cluster, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY dist, vec_id) AS proto_rank
+        FROM a1)
+      SELECT cluster, CAST(proto_rank AS BIGINT) AS proto_rank, vec_id
+      FROM pr WHERE proto_rank <= 5
+      ORDER BY cluster, proto_rank"""))
+
+  /** Embedding-space outlier pruning: each vector's squared distance to
+    * its own centroid, normalized by the cluster's mean distance (an
+    * exact DECIMAL(38,8) sum over doubles — no float-accumulation order
+    * dependence), flags vectors far from every mode of the corpus — OOD
+    * junk, mislabeled scrapes, encoder failures. The usual curation
+    * dial: drop `is_outlier` rows, or route them to review.
+    *
+    * Same scale shape as [[clusterPrototypes]]: broadcast-assign scan +
+    * one per-cluster window pass (sum/count over the full partition —
+    * swap for a two-pass groupBy-join, [[AnalyticsQ.zscoreOutliersBroadcast]]
+    * style, when clusters are huge and few). */
+  def embeddingOutliers(raw: DataFrame, centroids: DataFrame,
+      threshold: Double = 2.0): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val wC = Window.partitionBy(col("cluster"))
+    assignToCentroids(withNorm(raw), centroids)
+      .withColumn("mean_d",
+        sum(expr("CAST(dist_sq AS DECIMAL(38,8))")).over(wC).cast(DoubleType)
+          / count(lit(1)).over(wC))
+      .withColumn("rel", when(col("mean_d") === 0d, lit(0d))
+        .otherwise(col("dist_sq") / col("mean_d")))
+      .select(col("vec_id"), col("cluster"),
+        round(col("rel"), 6).as("rel_dist"),
+        (col("rel") > threshold).as("is_outlier"))
+  }
+
+  /** Oracle fixture of [[embeddingOutliers]] (q59 centroids, 2× the
+    * cluster-mean distance flags). */
+  private val q114 = GQuery(
+    "q114_embedding_outliers",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      embeddingOutliers(emb, kmeansCentroids(emb, cells = 4, iters = 1))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH ${kmeans1AssignSql},
+      o AS (SELECT vec_id, cluster, dist,
+          CAST(SUM(CAST(dist AS DECIMAL(38,8))) OVER (PARTITION BY cluster)
+            AS DOUBLE) / COUNT(*) OVER (PARTITION BY cluster) AS mean_d
+        FROM a1)
+      SELECT vec_id, cluster,
+        ROUND(CASE WHEN mean_d = 0 THEN 0 ELSE dist / mean_d END, 6)
+          AS rel_dist,
+        CASE WHEN mean_d = 0 THEN FALSE
+             ELSE dist / mean_d > 2.0 END AS is_outlier
+      FROM o ORDER BY vec_id"""))
+
+  /** Per-label mean embeddings in [[kmeansCentroids]]' output shape
+    * (cluster = label, centroid) — exact DECIMAL(38,8) per-dimension
+    * sums, 6-dp rounding, so the result is order-independent and
+    * oracle-replayable. O(|labels| · dim) rows: always broadcastable. */
+  def classMeans(raw: DataFrame): DataFrame =
+    raw.select(col("label").cast(LongType).as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(
+        sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))")).cast(DoubleType)
+          / count(lit(1)), 6).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"),
+        transform(col("pm"), x => x.getField("m")).as("centroid"))
+
+  /** Nearest-class-mean (Rocchio) classifier evaluation: assign every
+    * vector to the nearest per-label mean embedding and emit the
+    * confusion matrix — the cheap linear-probe companion to [[knnEval]]
+    * (one broadcast-assign scan vs kNN's per-query candidate join; when
+    * the two disagree sharply the embedding space is lumpy, when both
+    * are near-chance the labels aren't linearly separable). Train/score
+    * asymmetry at 100 TB: means aggregate ONCE over the labeled set
+    * (one shuffle of |labels|·dim partials), scoring is a stateless
+    * map-side pass — so score a 100 TB corpus with means trained on any
+    * labeled subset by passing that subset's [[classMeans]]. */
+  def nearestClassMeanEval(raw: DataFrame): DataFrame =
+    assignToCentroids(withNorm(raw), classMeans(raw))
+      .select(col("vec_id"), col("cluster").as("pred_label"))
+      .join(raw.select(col("vec_id"), col("label").cast(LongType).as("label")),
+        Seq("vec_id"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** Oracle fixture of [[nearestClassMeanEval]]. */
+  private val q115 = {
+    val meanCols = (1 to dim).map(k =>
+      s"ROUND(CAST(SUM(CAST(CAST(embedding[$k] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS c$k")
+      .mkString(", ")
+    val cnormChain = (1 to dim).map(k => s"(c.c$k * c.c$k)").mkString(" + ")
+    val dotChain = (1 to dim).map(k =>
+      s"(CAST(v.embedding[$k] AS DOUBLE) * c.c$k)").mkString(" + ")
+    GQuery(
+      "q115_class_mean_eval",
+      (s, dir) => nearestClassMeanEval(t(s, dir, "embeddings"))
+        .orderBy(col("label"), col("pred_label")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding, label,
+              ${normSql("embedding")} AS nrm
+            FROM embeddings),
+        cents AS (SELECT CAST(label AS BIGINT) AS cluster, $meanCols
+                  FROM v GROUP BY label),
+        pred AS (SELECT vec_id, pred_label FROM (
+            SELECT v.vec_id, c.cluster AS pred_label,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY v.nrm + ($cnormChain) - 2 * ($dotChain), c.cluster) AS arn
+            FROM v, cents c) WHERE arn = 1)
+      SELECT CAST(v.label AS BIGINT) AS label, pred_label, COUNT(*) AS n_vecs
+      FROM pred JOIN v USING (vec_id)
+      GROUP BY v.label, pred_label
+      ORDER BY label, pred_label"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108)
+      q108, q113, q114, q115)
 }

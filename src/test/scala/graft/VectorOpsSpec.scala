@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.VectorQ
+
+/** Semantics of the embedding curation operators (prototypes, outlier
+  * pruning, nearest-class-mean eval) on planted fixtures where the right
+  * answer is computable by hand.
+  */
+class VectorOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+
+  private def centroids(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toDF("cluster", "centroid")
+
+  test("prototypes: the m nearest members per cluster, in distance order") {
+    val emb = Seq(
+      (1L, vec(10f, 0f)),  // dist 0 to centroid A
+      (2L, vec(9f, 0f)),   // dist 1
+      (3L, vec(7f, 0f)),   // dist 9
+      (4L, vec(0f, 10f)),  // dist 0 to centroid B
+      (5L, vec(0f, 6f))    // dist 16
+    ).toDF("vec_id", "embedding")
+    val cents = centroids(0L -> Seq(10.0, 0.0), 1L -> Seq(0.0, 10.0))
+    val r = VectorQ.clusterPrototypes(emb, cents, m = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 1L, 1L), (0L, 2L, 2L), (1L, 1L, 4L), (1L, 2L, 5L)))
+  }
+
+  test("outliers: far member flagged relative to its own cluster's scale") {
+    val emb = Seq(
+      (1L, vec(10f, 0f)), (2L, vec(11f, 0f)), (3L, vec(9f, 0f)),
+      (4L, vec(10f, 1f)),
+      (5L, vec(30f, 0f)), // dist 400 to A (closer to A than B): the junk
+      (6L, vec(0f, 10f)), (7L, vec(0f, 11f))
+    ).toDF("vec_id", "embedding")
+    val cents = centroids(0L -> Seq(10.0, 0.0), 1L -> Seq(0.0, 10.0))
+    val r = VectorQ.embeddingOutliers(emb, cents, threshold = 2.0)
+      .select($"vec_id", $"is_outlier").as[(Long, Boolean)]
+      .collect().toMap
+    assert(r(5L), "planted far vector must be flagged")
+    assert(Seq(1L, 2L, 3L, 4L, 6L, 7L).forall(id => !r(id)),
+      s"near-centroid members must not be flagged: $r")
+  }
+
+  test("outliers: a zero-spread cluster yields rel_dist 0, no flags") {
+    val emb = Seq((1L, vec(5f, 5f)), (2L, vec(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorQ.embeddingOutliers(emb, centroids(0L -> Seq(5.0, 5.0)))
+      .select($"rel_dist", $"is_outlier").as[(Double, Boolean)].collect()
+    assert(r.forall { case (d, f) => d == 0.0 && !f })
+  }
+
+  test("class-mean eval: separable labels diagonal; planted mislabel lands off-diagonal") {
+    val emb = Seq(
+      (1L, vec(10f, 0f), 0), (2L, vec(11f, 0f), 0),
+      (3L, vec(0f, 10f), 0), // labeled 0 but sits in label-1 territory
+      (4L, vec(0f, 10f), 1), (5L, vec(0f, 9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorQ.nearestClassMeanEval(emb)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 1L, 2L)))
+  }
+
+  test("class means come back in kmeans' (cluster, centroid) shape, rounded") {
+    val emb = Seq(
+      (1L, vec(1f, 0f), 3), (2L, vec(2f, 0f), 3), (3L, vec(0f, 7f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val m = VectorQ.classMeans(emb).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    assert(m.map(_._1).toSeq == Seq(3L, 8L))
+    assert(m(0)._2 == Seq(1.5, 0.0) && m(1)._2 == Seq(0.0, 7.0))
+  }
+}
