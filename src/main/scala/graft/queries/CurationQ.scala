@@ -834,7 +834,140 @@ object CurationQ {
       FROM s, UNNEST(generate_series(c0, c1)) AS u(chunk_id)
       ORDER BY source, chunk_id, doc_id"""))
 
+  /** Deterministic epoch shuffle — the "new random order every epoch"
+    * a training dataloader needs, as a LAYOUT operation that survives
+    * 100 TB: each doc gets the sort key `md5(epoch ':' doc_id)`, its
+    * shard is two independent key nibbles mod `shards`, and `pos` is its
+    * rank inside the shard. Writing the result partitioned by shard and
+    * sorted by pos IS the epoch's read order; a different epoch value
+    * re-derives a statistically independent permutation with no RNG
+    * state anywhere (replay-stable, resumable mid-epoch at any (shard,
+    * pos) watermark).
+    *
+    * One hash exchange on shard + one in-partition sort — the plan a
+    * global `orderBy(rand())` (full range-exchange, RNG per task,
+    * unreproducible) gets wrong. `shards` bounds per-reducer sort size:
+    * pick corpus_bytes / executor_memory at scale. */
+  def epochShuffle(docs: DataFrame, epoch: Int, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 256,
+      s"shards must be in [1, 256] (two key nibbles), got $shards")
+    val d1 = "(instr('0123456789abcdef', substr(skey, 1, 1)) - 1)"
+    val d2 = "(instr('0123456789abcdef', substr(skey, 2, 1)) - 1)"
+    docs.select(col("doc_id"))
+      .withColumn("skey", expr(s"md5(concat('$epoch:', CAST(doc_id AS STRING)))"))
+      .withColumn("shard", expr(s"CAST(($d1 * 16 + $d2) % $shards AS BIGINT)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+        .cast(LongType))
+      .select(col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** Oracle fixture of [[epochShuffle]] (epoch 1, 8 shards). */
+  private val q116 = GQuery(
+    "q116_epoch_shuffle",
+    (s, dir) => epochShuffle(t(s, dir, "documents"), epoch = 1, shards = 8)
+      .orderBy(col("shard"), col("pos")),
+    Some("""WITH h AS (SELECT doc_id,
+          md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      s AS (SELECT doc_id, skey,
+          CAST(((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(skey, 2, 1)) - 1)) % 8
+            AS BIGINT) AS shard
+        FROM h)
+      SELECT shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+          AS BIGINT) AS pos,
+        doc_id
+      FROM s ORDER BY shard, pos"""))
+
+  /** Repetition-factor resampling — the "books ×2.5, web ×0.5" epoch
+    * multiplier of a curated training mix, deterministic in both
+    * directions: a stratum with factor f emits ⌊f⌋ copies of every doc
+    * plus one more for the hash-chosen frac(f) of docs (ppm
+    * granularity, [[TextQ.ppmBucketExpr]] at its own offset so the
+    * decision is independent of the split/sample/mixture buckets).
+    * Factors < 1 downsample (0 copies for the unchosen), unlisted
+    * strata pass through at ×1. Generalizes [[rebalanceToMix]], which
+    * only ever drops.
+    *
+    * Map-side only at any scale: a broadcast factor lookup, a copies
+    * explode bounded by ⌈f⌉ per row, no shuffle. `copy` is 1-based so
+    * downstream can keep `copy = 1` as the canonical instance. */
+  def repeatByFactor(docs: DataFrame, strataCol: String,
+      factors: Map[String, Double]): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f <= 1000),
+      s"factors must be in [0, 1000], got $factors")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ftab = factors.toSeq.map { case (k, f) =>
+      val whole = math.floor(f).toLong
+      (k, whole, math.round((f - whole) * 1e6))
+    }.toDF(strataCol, "whole", "frac_ppm")
+    val ppm = TextQ.ppmBucketExpr("instr", "doc_id", "STRING", offset = 20)
+    docs.join(broadcast(ftab), Seq(strataCol), "left")
+      .na.fill(1L, Seq("whole")).na.fill(0L, Seq("frac_ppm"))
+      .withColumn("n_copies",
+        col("whole") + when(expr(ppm) < col("frac_ppm"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .select(col("doc_id"), col(strataCol), col("copy"))
+  }
+
+  /** Oracle fixture of [[repeatByFactor]]: de ×2.5 (oversample), en ×0.5
+    * (downsample), other langs pass through. */
+  private val q117 = {
+    val ppmSql = TextQ.ppmBucketExpr("strpos", "doc_id", "VARCHAR", offset = 20)
+    GQuery(
+      "q117_repeat_factor",
+      (s, dir) => repeatByFactor(t(s, dir, "documents"), "lang",
+          Map("de" -> 2.5, "en" -> 0.5))
+        .orderBy(col("doc_id"), col("copy")),
+      Some(s"""WITH f(lang, whole, frac_ppm) AS (VALUES
+          ('de', 2, 500000), ('en', 0, 500000)),
+        d AS (SELECT doc_id, d.lang,
+            COALESCE(whole, 1) + CASE WHEN $ppmSql < COALESCE(frac_ppm, 0)
+                                      THEN 1 ELSE 0 END AS n_copies
+          FROM documents d LEFT JOIN f ON d.lang = f.lang)
+      SELECT doc_id, lang, CAST(c AS BIGINT) AS copy
+      FROM d, UNNEST(generate_series(1, n_copies)) AS u(c)
+      WHERE n_copies > 0
+      ORDER BY doc_id, copy"""))
+  }
+
+  /** Score-ranked per-stratum cap — "keep the BEST n per domain", the
+    * quality-aware sibling of [[capPerStratum]] (which keeps a hash-
+    * random n): rank within each stratum by `scoreCol` descending
+    * (doc_id tiebreak) and keep the top n. Pair with any quality signal
+    * — [[curationVerdict]], a classifier score, n_chars. Same shape as
+    * the random cap: one hash exchange on the stratum, top-n window
+    * state bounded by n. */
+  def capPerStratumBest(docs: DataFrame, strataCol: String, n: Int,
+      scoreCol: String): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= n)
+  }
+
+  /** Oracle fixture of [[capPerStratumBest]] (longest 40 docs per
+    * language). */
+  private val q119 = GQuery(
+    "q119_best_cap",
+    (s, dir) => capPerStratumBest(t(s, dir, "documents"), "lang", 40,
+        "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
+      .orderBy(col("lang"), col("rn")),
+    Some("""SELECT doc_id, lang, n_chars, rn FROM (
+        SELECT doc_id, lang, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 40
+      ORDER BY lang, rn"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112)
+      q71, q100, q112, q116, q117, q119)
 }

@@ -1421,8 +1421,62 @@ object TextQ {
       ORDER BY query_id, rn"""))
   }
 
+  /** Cross-source VOCABULARY overlap — the lexical-diversity companion
+    * to [[sourceOverlap]] (which catches verbatim doc mirrors): per
+    * source-pair, shared distinct tokens and exact-ppm Jaccard. Near-1
+    * Jaccard between two "different" sources means one is a re-crawl /
+    * template clone of the other even when no document is byte-identical;
+    * near-0 against the rest flags a source whose tokenizer or language
+    * tag is off.
+    *
+    * Scale shape: one distinct over (source, token) — vocabulary-sized,
+    * not corpus-sized — then a token self-join whose per-token fan-out is
+    * bounded by |sources|² regardless of how hot the token is; never a
+    * doc-level pair. Jaccard as `(10⁶·shared) DIV (va + vb − shared)` on
+    * BIGINTs — exact, engine-portable. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vocab"))
+    st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("vocab", "vocab_a"), Seq("source_a"))
+      .join(broadcast(sizes).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("vocab", "vocab_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("vocab_a"),
+        col("vocab_b"), col("n_shared"),
+        expr("(1000000L * n_shared) DIV (vocab_a + vocab_b - n_shared)")
+          .as("jaccard_ppm"))
+  }
+
+  /** Oracle fixture of [[vocabOverlap]]. */
+  private val q118 = GQuery(
+    "q118_vocab_overlap",
+    (s, dir) => vocabOverlap(t(s, dir, "documents"))
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH st AS (SELECT DISTINCT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) WHERE len(tok) > 0),
+      sizes AS (SELECT source, COUNT(*) AS vocab FROM st GROUP BY source),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+          COUNT(*) AS n_shared
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT source_a, source_b,
+        sa.vocab AS vocab_a, sb.vocab AS vocab_b, n_shared,
+        (1000000 * n_shared) // (sa.vocab + sb.vocab - n_shared)
+          AS jaccard_ppm
+      FROM pairs
+        JOIN sizes sa ON pairs.source_a = sa.source
+        JOIN sizes sb ON pairs.source_b = sb.source
+      ORDER BY source_a, source_b"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111)
+      q110, q111, q118)
 }

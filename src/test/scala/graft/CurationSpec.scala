@@ -413,4 +413,73 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id", $"rn").as[(Long, Long)].collect().sortBy(_._2)
     assert(r.map(_._1).toSeq == Seq(1L, 2L), s"got ${r.toSeq}")
   }
+
+  test("epoch shuffle: a permutation per epoch, different epochs differ") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(epoch: Int): Seq[Long] =
+      CurationQ.epochShuffle(docs, epoch, shards = 4)
+        .orderBy($"shard", $"pos").select($"doc_id").as[Long].collect().toSeq
+    val e1 = order(1); val e2 = order(2)
+    // every doc exactly once, in every epoch
+    assert(e1.sorted == (1L to 200L) && e2.sorted == (1L to 200L))
+    // and the epochs are genuinely different permutations
+    assert(e1 != e2)
+    // shards partition the id space within bounds; pos is 1..|shard|
+    val byShard = CurationQ.epochShuffle(docs, 1, shards = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 4))
+    byShard.values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1L to g.length))
+    }
+  }
+
+  test("repeat-by-factor: integer factors exact, fractional bounded, 1x default") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i <= 100) "tripled" else if (i <= 200) "halved" else "other"))
+      .toDF("doc_id", "lang")
+    val r = CurationQ.repeatByFactor(docs, "lang",
+        Map("tripled" -> 3.0, "halved" -> 0.5))
+      .as[(Long, String, Long)].collect()
+    val byLang = r.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("tripled") == 300, s"3.0 must emit exactly 3 copies: $byLang")
+    assert(byLang("other") == 100, "unlisted stratum passes through at 1x")
+    // 0.5 keeps a hash-chosen subset: strictly between none and all
+    assert(byLang("halved") > 20 && byLang("halved") < 80, s"$byLang")
+    // copies are 1-based and dense per doc
+    val copies = r.filter(_._2 == "tripled").groupBy(_._1).values
+    assert(copies.forall(_.map(_._3).sorted.sameElements(1L to 3L)))
+    // a factor-0.5 doc appears at most once; factor-0 strata would vanish
+    assert(r.filter(_._2 == "halved").groupBy(_._1).values.forall(_.length == 1))
+  }
+
+  test("vocab overlap: exact shared-token Jaccard; zero-overlap pairs absent") {
+    val docs = Seq(
+      (1L, "A", "x y z"), (2L, "A", "x"),   // vocab(A) = {x,y,z}
+      (3L, "B", "x y w"),                   // vocab(B) = {x,y,w}
+      (4L, "C", "p q")                      // vocab(C) disjoint
+    ).toDF("doc_id", "source", "text")
+    val r = TextQ.vocabOverlap(docs)
+      .select($"source_a", $"source_b", $"vocab_a", $"vocab_b",
+        $"n_shared", $"jaccard_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // shared {x,y} of union {x,y,z,w}: 2/4 = 500000 ppm, exactly
+    assert(r == Set(("A", "B", 3L, 3L, 2L, 500000L)),
+      s"zero-overlap pairs must not appear: $r")
+  }
+
+  test("best cap keeps the top-n by score, random cap keeps a hash-chosen n") {
+    val docs = (1L to 10L).map(i => (i, "en", i * 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val best = CurationQ.capPerStratumBest(docs, "lang", 3, "n_chars")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(best == Set(10L, 9L, 8L), s"top scores must survive: $best")
+  }
+
+  test("repeat-by-factor: factor 0 drops the stratum entirely") {
+    val docs = Seq((1L, "junk"), (2L, "junk"), (3L, "keep"))
+      .toDF("doc_id", "lang")
+    val r = CurationQ.repeatByFactor(docs, "lang", Map("junk" -> 0.0))
+      .as[(Long, String, Long)].collect()
+    assert(r.toSet == Set((3L, "keep", 1L)))
+  }
 }
