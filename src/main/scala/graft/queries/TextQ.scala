@@ -1256,15 +1256,24 @@ object TextQ {
     * doc_id exchange. No self-join — at 100 TB a stopword-heavy span
     * key fans out within its window partition but never produces pairs.
     */
-  def spanDuplication(docs: DataFrame, width: Int = 8): DataFrame = {
-    require(width >= 2, s"span width must be >= 2, got $width")
-    val spans = docs.withColumn("toks", split(col("text"), " "))
+  /** One row per rolling `width`-token span: (doc_id, i, span) with `i`
+    * the 0-based start. Map-side explode — shared by [[spanDuplication]]
+    * and [[graft.etl.IncrementalSpanDedup]]. */
+  private[graft] def spanRows(docs: DataFrame, width: Int): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), posexplode(expr(shingleExprN(width))).as(Seq("i", "span")))
+      .select(col("doc_id"),
+        posexplode(expr(shingleExprN(width))).as(Seq("i", "span")))
+
+  /** Fold dup-marked spans (doc_id, i, dup) into per-doc coverage: the
+    * covered-token count is an exact interval union (overlapping
+    * duplicated spans share tokens — each contributes
+    * `end − max(prev_covered_end, start)` clipped at 0, with the running
+    * covered-end a window max over the doc's spans in start order). */
+  private[graft] def spanCoverage(marked: DataFrame, width: Int): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = spans
-      .withColumn("dup", count(lit(1)).over(Window.partitionBy(col("span"))) > 1)
+    marked
       .withColumn("e", (col("i") + width).cast(LongType))
       .withColumn("pe", max(when(col("dup"), col("e"))).over(wDoc))
       .withColumn("contrib", when(col("dup"),
@@ -1275,12 +1284,25 @@ object TextQ {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"),
         sum(col("contrib")).as("covered_tokens"))
+  }
+
+  /** Join per-doc coverage back to every doc (0s for span-less docs) and
+    * derive the ratio. */
+  private[graft] def withCoverageRatio(docs: DataFrame,
+      agg: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_toks"))
       .join(agg, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_spans", "n_dup_spans", "covered_tokens"))
       .withColumn("dup_token_ratio",
         round(col("covered_tokens").cast(DoubleType) / col("n_toks"), 6))
+
+  def spanDuplication(docs: DataFrame, width: Int = 8): DataFrame = {
+    require(width >= 2, s"span width must be >= 2, got $width")
+    val marked = spanRows(docs, width)
+      .withColumn("dup",
+        count(lit(1)).over(Window.partitionBy(col("span"))) > 1)
+    withCoverageRatio(docs, spanCoverage(marked, width))
   }
 
   /** Oracle fixture of [[spanDuplication]] (width 8). The DuckDB twin
