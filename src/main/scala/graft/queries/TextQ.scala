@@ -1497,8 +1497,64 @@ object TextQ {
         JOIN sizes sb ON pairs.source_b = sb.source
       ORDER BY source_a, source_b"""))
 
+  /** Frequency-ranked vocabulary: the `vocabSize` most frequent tokens
+    * as (tok, freq, tok_id) with tok_id 1-based by (freq desc, tok) —
+    * id 0 is reserved for OOV by [[encodeTokens]]. The top-K is a
+    * TakeOrdered (distributed partial top-K, no global sort); the final
+    * rank is a window over only `vocabSize` rows. */
+  def buildVocab(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
+      .withColumn("tok_id", row_number()
+        .over(Window.orderBy(col("freq").desc, col("tok"))).cast(LongType))
+  }
+
+  /** Tokenizer APPLY — the step between curation and the dataloader:
+    * every token becomes its vocabulary id (OOV → 0), one flat
+    * (doc_id, pos, tok_id) row per token with `pos` the token's original
+    * 0-based position. Flat rows rather than arrays so the output is
+    * splittable, engine-portable, and joins directly onto
+    * [[CurationQ.packedChunkSpans]]' (doc, offset) map.
+    *
+    * Scale shape: the vocab is vocabSize rows — always broadcast; the
+    * corpus explode is map-side; nothing shuffles. */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .join(broadcast(vocab.select(col("tok"), col("tok_id"))),
+        Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        coalesce(col("tok_id"), lit(0L)).as("tok_id"))
+
+  /** Oracle fixture of [[buildVocab]] + [[encodeTokens]] (vocab 100). */
+  private val q120 = GQuery(
+    "q120_token_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      encodeTokens(docs, buildVocab(docs, vocabSize = 100))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""WITH tf AS (SELECT tok, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY tok),
+      top AS (SELECT tok, tok_id FROM (
+          SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+            AS BIGINT) AS tok_id
+          FROM tf) WHERE tok_id <= 100),
+      e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          UNNEST(generate_series(1, len(ts))) AS u(i)
+        WHERE len(ts[i]) > 0)
+      SELECT doc_id, pos, COALESCE(tok_id, 0) AS tok_id
+      FROM e LEFT JOIN top USING (tok)
+      ORDER BY doc_id, pos"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118)
+      q110, q111, q118, q120)
 }

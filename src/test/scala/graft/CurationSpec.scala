@@ -475,6 +475,23 @@ class CurationSpec extends SparkSpec {
     assert(best == Set(10L, 9L, 8L), s"top scores must survive: $best")
   }
 
+  test("token encode: frequency-ranked ids, OOV to 0, positions preserved") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a rare b")
+    ).toDF("doc_id", "text")
+    // freq: b=4, a=3, c=1, rare=1 -> ids b=1, a=2, c=3 (vocab 3); rare OOV
+    val vocab = TextQ.buildVocab(docs, vocabSize = 3)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(vocab == Map("b" -> 1L, "a" -> 2L, "c" -> 3L), s"got $vocab")
+    val enc = TextQ.encodeTokens(docs, TextQ.buildVocab(docs, 3))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(enc == Set(
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (1L, 5L, 3L),
+      (2L, 0L, 2L), (2L, 1L, 0L), (2L, 2L, 1L)), s"got $enc")
+  }
+
   test("repeat-by-factor: factor 0 drops the stratum entirely") {
     val docs = Seq((1L, "junk"), (2L, "junk"), (3L, "keep"))
       .toDF("doc_id", "lang")
