@@ -1568,7 +1568,63 @@ object VectorQ {
       ORDER BY label, pred_label"""))
   }
 
+  /** Contrastive pair mining for metric learning: per query vector, the
+    * top-k nearest SAME-label neighbors ("pos" — the positives a
+    * bi-encoder trains toward) and the top-k nearest DIFFERENT-label
+    * neighbors ("neg" — the hard negatives that actually move the loss,
+    * far more informative than random negatives). Exact cosine over the
+    * `vec_id % queryMod` sample, [[cosineTopK]]-style: this is the
+    * mining BASELINE; at corpus scale compose the same label-split rank
+    * with any ANN candidate generator (IVF cells / LSH buckets) so
+    * candidates, not the corpus, get ranked. */
+  def contrastivePairs(raw: DataFrame, k: Int = 3,
+      queryMod: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    val v = raw.select(col("vec_id"), col("embedding"),
+        col("label").cast(LongType).as("label"))
+      .withColumn("nrm", vec_norm2(col("embedding")))
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"), col("kind"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qe"), col("qn"),
+        col("embedding"), col("nrm")))
+      .withColumn("kind",
+        when(col("label") === col("qlabel"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("kind"), col("vec_id").as("candidate_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Oracle fixture of [[contrastivePairs]]. */
+  private val q121 = GQuery(
+    "q121_contrastive_pairs",
+    (s, dir) => contrastivePairs(t(s, dir, "embeddings"))
+      .orderBy(col("query_id"), col("kind"), col("rank")),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+                ${normSql("embedding")} AS nrm
+              FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   label AS qlabel
+            FROM v WHERE vec_id % 20 = 0),
+      pairs AS (SELECT query_id,
+          CASE WHEN c.label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+          c.vec_id AS candidate_id,
+          ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+        FROM v c, q WHERE c.vec_id <> query_id),
+      ranked AS (SELECT query_id, kind, candidate_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                             ORDER BY cosine DESC, candidate_id) AS rank
+        FROM pairs)
+    SELECT query_id, kind, candidate_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, kind, rank"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115)
+      q108, q113, q114, q115, q121)
 }

@@ -66,6 +66,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(r == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 1L, 2L)))
   }
 
+  test("contrastive pairs: positives same-label, the nearest other-label is the hard negative") {
+    val emb = Seq(
+      (0L, vec(10f, 0f), 0),   // query (vec_id % 20 == 0)
+      (1L, vec(9f, 1f), 0),    // near positive
+      (2L, vec(0f, 10f), 0),   // far positive
+      (3L, vec(10f, 1f), 1),   // HARD negative: nearest of the other label
+      (4L, vec(0f, 9f), 1)     // easy negative
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorQ.contrastivePairs(emb, k = 1, queryMod = 20)
+      .select($"query_id", $"kind", $"candidate_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(r == Set((0L, "pos", 1L), (0L, "neg", 3L)), s"got $r")
+  }
+
   test("class means come back in kmeans' (cluster, centroid) shape, rounded") {
     val emb = Seq(
       (1L, vec(1f, 0f), 3), (2L, vec(2f, 0f), 3), (3L, vec(0f, 7f), 8)
