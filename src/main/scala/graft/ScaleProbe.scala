@@ -26,7 +26,8 @@ object ScaleProbe {
     "q61_sequence_packing", "q62_heavy_hitters", "q65_lm_score",
     "q68_range_join", "q85_funnel", "q91_inverted_index",
     "q95_moving_window", "q110_span_dedup", "q111_bm25_topk",
-    "q112_packed_spans")
+    "q112_packed_spans", "q116_epoch_shuffle", "q118_vocab_overlap",
+    "q120_token_encode")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1624,7 +1624,60 @@ object VectorQ {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, kind, rank"""))
 
+  /** Deterministic ±1 sign for projection cell (i, j): parity of the
+    * first byte of md5("i:j"), computed at PLAN BUILD time — the sign
+    * matrix is a set of literal constants baked into the expression, so
+    * Spark and the oracle run byte-identical arithmetic with no SQL-side
+    * hashing at all. */
+  private def projSign(i: Int, j: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    (d(0) & 1) == 0
+  }
+
+  /** The j-th projection as a left-associated signed term chain over
+    * `emb[i]` (1-based accessor supplied per engine). */
+  private def projChain(j: Int, term: Int => String): String =
+    (1 to dim).map { i =>
+      val t = s"CAST(${term(i)} AS DOUBLE)"
+      if (projSign(i, j)) s"($t)" else s"(-$t)"
+    }.mkString(" + ")
+
+  /** Dense ±1 random projection (Achlioptas/Johnson–Lindenstrauss
+    * family) to `outDim` components — the dimensionality-reduction stage
+    * ahead of ANN/LSH when 64 floats per vector is still too wide for a
+    * candidate scan: relative distances are approximately preserved, at
+    * outDim/dim the bytes. The "random" matrix is a deterministic
+    * md5-parity sign grid baked into the plan as constants, so the
+    * projection is reproducible across runs, engines, and languages with
+    * no stored matrix artifact. Scale shape: pure map-side expressions
+    * inside whole-stage codegen — nothing shuffles, nothing broadcasts.
+    * (Unscaled: ANN ranks by relative distance, so the 1/√outDim JL
+    * factor is irrelevant and omitted.) */
+  def randomProject(raw: DataFrame, outDim: Int = 8): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, $dim], got $outDim")
+    val cols = (1 to outDim).map(j =>
+      expr(projChain(j, i => s"element_at(embedding, $i)")).as(s"p$j"))
+    raw.select(col("vec_id") +: cols: _*)
+  }
+
+  /** Oracle fixture of [[randomProject]] (8 components, 6-dp rounded). */
+  private val q122 = {
+    val outCols = (1 to 8).map(j =>
+      s"ROUND(${projChain(j, i => s"embedding[$i]")}, 6) AS p$j").mkString(", ")
+    GQuery(
+      "q122_random_projection",
+      (s, dir) => randomProject(t(s, dir, "embeddings"), outDim = 8)
+        .select(col("vec_id") +: (1 to 8).map(j =>
+          round(col(s"p$j"), 6).as(s"p$j")): _*)
+        .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id, $outCols
+        FROM embeddings
+        ORDER BY vec_id"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121)
+      q108, q113, q114, q115, q121, q122)
 }

@@ -80,6 +80,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(r == Set((0L, "pos", 1L), (0L, "neg", 3L)), s"got $r")
   }
 
+  test("random projection is linear and keeps near/far ordering") {
+    val base = Array.tabulate(64)(i => (i % 7).toFloat)
+    val near = base.clone(); near(0) += 0.1f
+    val far = Array.tabulate(64)(i => ((i * 13) % 11).toFloat)
+    val emb = Seq((1L, base), (2L, near), (3L, far), (4L, base.map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    val p = VectorQ.randomProject(emb, outDim = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getDouble(j)).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // linearity: proj(2x) == 2 * proj(x), exactly (same fold order)
+    assert(p(4L).zip(p(1L)).forall { case (a, b) => a == 2 * b })
+    // JL sanity: the near vector projects nearer than the far one
+    assert(d2(p(1L), p(2L)) < d2(p(1L), p(3L)))
+    // the 8 components are not all identical (sign grid is non-trivial)
+    assert(p(3L).distinct.length > 1)
+  }
+
   test("class means come back in kmeans' (cluster, centroid) shape, rounded") {
     val emb = Seq(
       (1L, vec(1f, 0f), 3), (2L, vec(2f, 0f), 3), (3L, vec(0f, 7f), 8)
