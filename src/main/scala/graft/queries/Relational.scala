@@ -228,9 +228,14 @@ object Relational {
   private val q12b = GQuery(
     "q12b_hll_approx",
     (s, dir) => {
+      // HLL is duplicate-insensitive, so pre-deduplicating the pairs
+      // gives a byte-identical sketch while replacing the expand-based
+      // dual distinct aggregation with one partial-agg shuffle on the
+      // pair key + a trivial second agg (measured ~3x faster at sf0.1).
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey")).distinct()
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("approx") - col("n_exact")).cast(DoubleType) <=
