@@ -967,7 +967,53 @@ object CurationQ {
       WHERE rn <= 40
       ORDER BY lang, rn"""))
 
+  /** Per-source data card — [[dataCard]]'s profile split by source, one
+    * wide row each: the decision INPUT for [[capPerStratum]] /
+    * [[capPerStratumBest]] caps and [[repeatByFactor]] multipliers
+    * ("which domain is duplicated garbage, which is short-doc spam,
+    * which deserves ×2"). Same single-scan shape — one hash exchange on
+    * source; the within-source distinct (dup detection) rides the same
+    * key. */
+  def sourceCard(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("n_chars") < 50, 1L).otherwise(0L)).as("n_short"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        expr("CAST(round(CAST(n_en AS DOUBLE) * 1000000 / n_docs, 0) AS BIGINT)")
+          .as("en_ppm"),
+        expr("CAST(round(CAST(n_short AS DOUBLE) * 1000000 / n_docs, 0) AS BIGINT)")
+          .as("short_ppm"),
+        expr("round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6)")
+          .as("dup_ratio"),
+        expr("round(CAST(CAST(sum_chars AS DOUBLE) AS DOUBLE) / n_docs, 6)")
+          .as("avg_chars"))
+
+  /** Oracle fixture of [[sourceCard]]. */
+  private val q123 = GQuery(
+    "q123_source_card",
+    (s, dir) => sourceCard(t(s, dir, "documents")).orderBy(col("source")),
+    Some("""SELECT source,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        CAST(ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+          * 1000000 / COUNT(*), 0) AS BIGINT) AS en_ppm,
+        CAST(ROUND(CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS DOUBLE)
+          * 1000000 / COUNT(*), 0) AS BIGINT) AS short_ppm,
+        ROUND(1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*), 6)
+          AS dup_ratio,
+        ROUND(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE)
+          / COUNT(*), 6) AS avg_chars
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112, q116, q117, q119)
+      q71, q100, q112, q116, q117, q119, q123)
 }

@@ -116,6 +116,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"), plan)
   }
 
+  test("q122 random projection plans with no exchange at all") {
+    val plan = planOf("q122_random_projection")
+    // map-side only up to the fixture's presentation sort
+    val beforeSort = plan.split("Sort ").head
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+  }
+
+  test("q120 token encode broadcasts the vocabulary") {
+    val plan = planOf("q120_token_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-K must be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q116 epoch shuffle is one hash exchange on the shard") {
+    val plan = planOf("q116_epoch_shuffle")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one hash exchange, got $n:\n$plan")
+  }
+
+  test("q117 repeat-by-factor stays map-side (broadcast lookup, no hash exchange)") {
+    val plan = planOf("q117_repeat_factor")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val beforeSort = plan.split("Sort ").head
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"factor application must not shuffle:\n$plan")
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
