@@ -1013,7 +1013,51 @@ object CurationQ {
       GROUP BY source
       ORDER BY source"""))
 
+  /** Distributed global rank by a non-negative integer score —
+    * curriculum ordering ("train easy→hard") without a single-partition
+    * global sort: scores bucket by `bucketWidth` (one map-side
+    * expression), per-bucket counts aggregate to a TINY cumulative-offset
+    * table (|buckets| rows, broadcast), and the global rank is the
+    * lower-bucket offset plus the in-bucket rank — per-bucket windows
+    * run in parallel, so the sort work spreads over |buckets| reducers
+    * instead of one. The oracle is the NAIVE global ROW_NUMBER, so the
+    * hash-match proves the two-pass construction is result-identical to
+    * the global sort (the q96-salting style of equivalence proof).
+    * Ties: same score ⇒ same bucket, so the doc_id tiebreak agrees with
+    * the global order by construction. */
+  def globalRankBy(docs: DataFrame, scoreCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val scored = docs.select(col("doc_id"),
+        col(scoreCol).cast(LongType).as("score"))
+      .withColumn("b", expr(s"score DIV ${bucketWidth}L"))
+    val offsets = scored.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("b"), col("offset"))
+    val wB = Window.partitionBy(col("b"))
+      .orderBy(col("score"), col("doc_id"))
+    scored
+      .withColumn("rib", row_number().over(wB).cast(LongType))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("doc_id"), col("score"),
+        (col("offset") + col("rib")).as("grank"))
+  }
+
+  /** Oracle fixture of [[globalRankBy]] (score = n_chars, width 64):
+    * the plain global ROW_NUMBER. */
+  private val q124 = GQuery(
+    "q124_curriculum_rank",
+    (s, dir) => globalRankBy(t(s, dir, "documents"), "n_chars", 64L)
+      .orderBy(col("grank")),
+    Some("""SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS grank
+      FROM documents
+      ORDER BY grank"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112, q116, q117, q119, q123)
+      q71, q100, q112, q116, q117, q119, q123, q124)
 }

@@ -492,6 +492,20 @@ class CurationSpec extends SparkSpec {
       (2L, 0L, 2L), (2L, 1L, 0L), (2L, 2L, 1L)), s"got $enc")
   }
 
+  test("global rank: two-pass bucket construction is the exact global order") {
+    // ties inside and across bucket boundaries, empty buckets in between
+    val docs = Seq(
+      (1L, 5L), (2L, 5L), (3L, 7L),          // bucket 0 (width 8)
+      (4L, 8L), (5L, 8L),                    // bucket 1 boundary ties
+      (6L, 300L), (7L, 301L)                 // far bucket, gaps between
+    ).toDF("doc_id", "n_chars")
+    val r = CurationQ.globalRankBy(docs, "n_chars", bucketWidth = 8L)
+      .select($"doc_id", $"grank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(r.map(_._2).toSeq == (1L to 7L), s"dense permutation: ${r.toSeq}")
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      s"(score, doc_id) order: ${r.toSeq}")
+  }
+
   test("repeat-by-factor: factor 0 drops the stratum entirely") {
     val docs = Seq((1L, "junk"), (2L, "junk"), (3L, "keep"))
       .toDF("doc_id", "lang")
