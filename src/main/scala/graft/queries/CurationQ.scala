@@ -1057,7 +1057,90 @@ object CurationQ {
       FROM documents
       ORDER BY grank"""))
 
+  /** Final training-sequence layout — the capstone wiring
+    * [[packedChunkSpans]] (WHERE each doc's tokens land) to
+    * [[graft.queries.TextQ.encodeTokens]] (WHAT id each token is): one
+    * row per (group, chunk, position) with the vocabulary id at that
+    * slot — exactly the fixed-length rows a pre-training dataloader
+    * reads, emitted flat rather than as arrays so the output stays
+    * splittable and engine-portable. Empty tokens are dropped and
+    * positions re-ranked dense, so chunks carry no holes (every chunk
+    * except each group's last is exactly `seqLen` ids).
+    *
+    * Scale shape: the dense re-rank and the per-doc token counts share
+    * one hash exchange on doc_id; the per-group cumulative start is a
+    * window over the DOC-count-sized count table (not the token table);
+    * the token→id lookup is a broadcast of the vocabSize-row vocab; the
+    * chunk/position arithmetic is map-side. Like [[packedChunkSpans]],
+    * packing is order-defined per `groupCol` — shard a huge group first
+    * to restore parallelism at 100 TB. */
+  def assembleSequences(docs: DataFrame, vocab: DataFrame, seqLen: Int,
+      groupCol: String = "source"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val toks = docs.select(col(groupCol), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val dense = toks.withColumn("dpos",
+      (row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos"))) - 1).cast(LongType))
+    val starts = dense.groupBy(col(groupCol), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+      .withColumn("tok_start", coalesce(
+        sum(col("n_toks")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("tok_start"))
+    dense.join(starts, Seq("doc_id"))
+      .join(broadcast(vocab.select(col("tok"), col("tok_id"))),
+        Seq("tok"), "left")
+      .withColumn("gpos", col("tok_start") + col("dpos"))
+      .select(col(groupCol),
+        expr(s"gpos DIV ${seqLen}L").as("chunk_id"),
+        (col("gpos") % seqLen).as("pos_in_chunk"),
+        coalesce(col("tok_id"), lit(0L)).as("tok_id"))
+  }
+
+  /** Oracle fixture of [[assembleSequences]] (q120's vocab-100, q112's
+    * seqLen 64, packed per source). */
+  private val q127 = GQuery(
+    "q127_seq_assembly",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      assembleSequences(docs, TextQ.buildVocab(docs, vocabSize = 100),
+          seqLen = 64)
+        .orderBy(col("source"), col("chunk_id"), col("pos_in_chunk"))
+    },
+    Some("""WITH e AS (SELECT source, doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          ts[i] AS tok
+        FROM (SELECT source, doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+          UNNEST(generate_series(1, len(ts))) AS u(i)
+        WHERE len(ts[i]) > 0),
+      dn AS (SELECT source, doc_id, tok,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS dpos
+        FROM e),
+      cnt AS (SELECT source, doc_id, COUNT(*) AS n_toks
+        FROM dn GROUP BY source, doc_id),
+      st AS (SELECT doc_id, CAST(COALESCE(SUM(n_toks) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS tok_start
+        FROM cnt),
+      tf AS (SELECT tok, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY tok),
+      top AS (SELECT tok, tok_id FROM (
+          SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+            AS BIGINT) AS tok_id
+          FROM tf) WHERE tok_id <= 100)
+      SELECT source, (tok_start + dpos) // 64 AS chunk_id,
+        (tok_start + dpos) % 64 AS pos_in_chunk,
+        COALESCE(tok_id, 0) AS tok_id
+      FROM dn JOIN st USING (doc_id) LEFT JOIN top USING (tok)
+      ORDER BY source, chunk_id, pos_in_chunk"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112, q116, q117, q119, q123, q124)
+      q71, q100, q112, q116, q117, q119, q123, q124, q127)
 }

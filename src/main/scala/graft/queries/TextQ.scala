@@ -1553,8 +1553,76 @@ object TextQ {
       FROM e LEFT JOIN top USING (tok)
       ORDER BY doc_id, pos"""))
 
+  /** Cross-source token-rate drift — the top-k tokens whose usage rate
+    * differs most between two sources (crawl snapshots, domains,
+    * pipeline versions): per token, its count and rate (exact ppm of
+    * the source's token total) on each side, ranked by |rate delta|.
+    * This is the "what actually changed between crawl A and crawl B"
+    * diagnostic run before trusting a re-crawl — template injections,
+    * boilerplate swaps, and language drift all surface as a handful of
+    * tokens with large deltas, where aggregate stats
+    * ([[graft.queries.CurationQ.sourceCard]]) show nothing.
+    *
+    * Scale shape: one corpus explode feeding a single conditional-sum
+    * aggregation on token (the only data-sized shuffle); the totals are
+    * a re-aggregation of the vocabulary-sized count table (never a
+    * second corpus scan) joined back as a broadcast scalar row; the
+    * top-k is a TakeOrdered — distributed partial top-k, no global
+    * sort. Rates in integer ppm keep every value engine-exact; the
+    * (|delta| desc, token) order is total, so the k-boundary is
+    * deterministic. */
+  def distinctiveTokens(docs: DataFrame, sourceA: String, sourceB: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sourceA != sourceB, "sourceA and sourceB must differ")
+    val counts = docs.filter(col("source").isin(sourceA, sourceB))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(
+        sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rate_a_ppm", expr("(1000000 * n_a) DIV tot_a"))
+      .withColumn("rate_b_ppm", expr("(1000000 * n_b) DIV tot_b"))
+      .withColumn("delta_ppm", col("rate_a_ppm") - col("rate_b_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(k)
+      .select(col("tok"), col("n_a"), col("n_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"), col("delta_ppm"))
+  }
+
+  /** Oracle fixture of [[distinctiveTokens]] (src0 vs src1, top 40). */
+  private val q126 = GQuery(
+    "q126_distinctive_tokens",
+    (s, dir) => distinctiveTokens(t(s, dir, "documents"), "src0", "src1",
+        k = 40)
+      .orderBy(abs(col("delta_ppm")).desc, col("tok")),
+    Some("""WITH tk AS (SELECT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE source IN ('src0', 'src1'))
+        WHERE len(tok) > 0),
+      c AS (SELECT tok,
+          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b
+        FROM tk GROUP BY tok),
+      t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(n_b) AS BIGINT) AS tot_b FROM c),
+      d AS (SELECT tok, n_a, n_b,
+          (1000000 * n_a) // tot_a AS rate_a_ppm,
+          (1000000 * n_b) // tot_b AS rate_b_ppm
+        FROM c, t)
+      SELECT tok, n_a, n_b, rate_a_ppm, rate_b_ppm,
+        rate_a_ppm - rate_b_ppm AS delta_ppm
+      FROM d
+      ORDER BY abs(rate_a_ppm - rate_b_ppm) DESC, tok
+      LIMIT 40"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120)
+      q110, q111, q118, q120, q126)
 }

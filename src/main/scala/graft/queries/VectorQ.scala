@@ -1677,7 +1677,64 @@ object VectorQ {
         ORDER BY vec_id"""))
   }
 
+  /** Cluster-purity evaluation — the "did k-means find real structure"
+    * gate run against a labeled sample: per cluster, the member count,
+    * the majority label, and purity (majority fraction, exact ppm).
+    * Low purity on a labeled eval slice means the cells are mixing
+    * classes and IVF routing ([[annIvfTrained]]) will scatter true
+    * neighbors across cells — run this BEFORE trusting a recall number
+    * from [[annRecall]], because a bad clustering caps recall no matter
+    * the nprobe dial.
+    *
+    * Scale shape: one broadcast-assign scan (centroids ride inside the
+    * codegen'd [[graft.functions.VectorFunctions.vec_nearest_cell]]
+    * expression), one (cluster, label) count aggregation — cells·labels
+    * rows, tiny — then windows over that aggregate. The labeled slice is
+    * an eval sample, not the corpus, so every post-scan stage is
+    * bounded by |cells|·|labels| regardless of corpus size. Ties on the
+    * majority count break to the lowest label (pinned by the oracle). */
+  def clusterPurity(raw: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assignToCentroids(withNorm(raw), centroids)
+      .select(col("vec_id"), col("cluster"))
+      .join(raw.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val counts = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_top"))
+    val wc = Window.partitionBy(col("cluster"))
+    counts
+      .withColumn("n", sum(col("n_top")).over(wc))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("n_top").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n"), col("label").as("top_label"),
+        col("n_top"), expr("(1000000 * n_top) DIV n").as("purity_ppm"))
+  }
+
+  /** Oracle fixture of [[clusterPurity]]: the q59/q113 trained centroids
+    * (one Lloyd iteration from the `vec_id < 4` seeds). */
+  private val q125 = GQuery(
+    "q125_cluster_purity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      clusterPurity(emb, kmeansCentroids(emb, cells = 4, iters = 1))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH ${kmeans1AssignSql},
+      j AS (SELECT a1.cluster, e.label
+        FROM a1 JOIN embeddings e USING (vec_id)),
+      c AS (SELECT cluster, label, COUNT(*) AS n_top
+        FROM j GROUP BY cluster, label),
+      r AS (SELECT cluster, label, n_top,
+          CAST(SUM(n_top) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY n_top DESC, label) AS rn
+        FROM c)
+      SELECT cluster, n, label AS top_label, n_top,
+        (1000000 * n_top) // n AS purity_ppm
+      FROM r WHERE rn = 1
+      ORDER BY cluster"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122)
+      q108, q113, q114, q115, q121, q122, q125)
 }

@@ -513,4 +513,42 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(r.toSet == Set((3L, "keep", 1L)))
   }
+
+  test("distinctive tokens: planted drift ranks first with exact ppm rates") {
+    val d = Seq(
+      (1L, "a b common common", "A"),
+      (2L, "a SPAM SPAM SPAM", "A"),   // SPAM only in A: 3/8 of A's tokens
+      (3L, "a b common common", "B"),
+      (4L, "a b only_b common", "B")   // only_b only in B -> negative delta
+    ).toDF("doc_id", "text", "source")
+    val r = TextQ.distinctiveTokens(d, "A", "B", k = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // A: 8 tokens, B: 8 tokens. SPAM: 3/8 = 375000 ppm vs 0.
+    assert(r(0) == ("SPAM", 3L, 0L, 375000L, 0L, 375000L), s"got ${r(0)}")
+    // next-largest |delta|: "b" 1/8 vs 2/8 -> -125000; "common" 2/8 vs 3/8
+    // -> -125000 too; tie breaks on token ("b" < "common")
+    assert(r(1) == ("b", 1L, 2L, 125000L, 250000L, -125000L), s"got ${r(1)}")
+  }
+
+  test("sequence assembly: dense chunks, boundary straddle, OOV id 0") {
+    // one group, seqLen 4; doc 1 has 3 tokens (one an empty-token gap),
+    // doc 2 has 3 tokens and straddles the chunk-0/chunk-1 boundary
+    val d = Seq(
+      (1L, "x  y x", "s"),        // double space: empty token dropped
+      (2L, "y z_oov y", "s")
+    ).toDF("doc_id", "text", "source")
+    val vocab = TextQ.buildVocab(d, vocabSize = 2) // x,y in; z_oov -> 0
+    val r = CurationQ.assembleSequences(d, vocab, seqLen = 4, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._2, t._3))
+    val ids = vocab.as[(String, Long, Long)].collect()
+      .map(v => v._1 -> v._3).toMap
+    val (x, y) = (ids("x"), ids("y"))
+    // stream: x y x | y z y  -> chunk 0 = [x y x y], chunk 1 = [0 y]
+    assert(r.toSeq == Seq(
+      ("s", 0L, 0L, x), ("s", 0L, 1L, y), ("s", 0L, 2L, x), ("s", 0L, 3L, y),
+      ("s", 1L, 0L, 0L), ("s", 1L, 1L, y)), s"got ${r.toSeq}")
+    // every slot filled exactly once (no holes, no overlaps)
+    assert(r.map(t => (t._2, t._3)).distinct.length == r.length)
+  }
 }

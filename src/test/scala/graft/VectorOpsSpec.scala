@@ -107,4 +107,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(m.map(_._1).toSeq == Seq(3L, 8L))
     assert(m(0)._2 == Seq(1.5, 0.0) && m(1)._2 == Seq(0.0, 7.0))
   }
+
+  test("cluster purity: exact ppm, majority ties break to the lowest label") {
+    val emb = Seq(
+      // cluster 0 (around x-axis): labels 7,7,9 -> majority 7, purity 2/3
+      (1L, vec(10f, 0f), 7), (2L, vec(11f, 0f), 7), (3L, vec(9f, 0f), 9),
+      // cluster 1 (around y-axis): labels 2,5 tied 1-1 -> lowest label 2
+      (4L, vec(0f, 10f), 5), (5L, vec(0f, 11f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = centroids(0L -> Seq(10.0, 0.0), 1L -> Seq(0.0, 10.0))
+    val r = VectorQ.clusterPurity(emb, cents)
+      .select($"cluster", $"n", $"top_label", $"n_top", $"purity_ppm")
+      .as[(Long, Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (0L, 3L, 7, 2L, 666666L),   // (1000000 * 2) / 3 truncated
+      (1L, 2L, 2, 1L, 500000L)))
+  }
 }
