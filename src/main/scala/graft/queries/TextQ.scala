@@ -1621,8 +1621,76 @@ object TextQ {
       ORDER BY abs(rate_a_ppm - rate_b_ppm) DESC, tok
       LIMIT 40"""))
 
+  /** MinHash-estimate vs exact-Jaccard agreement — the dedup analog of
+    * q58's ANN recall gate: for every LSH candidate pair, the signature
+    * estimate (agreeing lanes / 8, exact ppm) next to the TRUE
+    * shingle-set Jaccard and their absolute error. Run this before
+    * trusting a lane/band configuration: a fat error tail means the
+    * 8-lane signature is too coarse for the corpus's similarity range
+    * and the q26 threshold is silently mis-calibrated (both false
+    * merges above it and misses below it).
+    *
+    * Scale shape: the exact side is computed for CANDIDATE pairs only
+    * (q77's confirm pattern — never all-pairs): candidates join the
+    * per-doc distinct-shingle table twice, so the cost is
+    * candidates × shingles-per-doc; sizes and intersections are exact
+    * integer counts and the ppm arithmetic is engine-portable. */
+  def minhashAgreement(docs: DataFrame, maxBandSize: Int = 1000): DataFrame = {
+    val cand = lshCandidates(minhashBands(docs), maxBandSize)
+      .filter(col("est_jaccard") >= 0.25)
+      .withColumn("est_ppm",
+        (col("est_jaccard") * 8).cast(LongType) * 125000L)
+    val dsh = docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+    val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("exact_ppm",
+        expr("(1000000 * n_inter) DIV (n_a + n_b - n_inter)"))
+      .select(col("doc_a"), col("doc_b"), col("est_ppm"), col("exact_ppm"),
+        abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
+  }
+
+  /** Oracle fixture of [[minhashAgreement]] (the q26 candidate set). */
+  private val q128 = GQuery(
+    "q128_minhash_agreement",
+    (s, dir) => minhashAgreement(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""$minhashCandSql,
+      dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.doc_a
+        JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY c.doc_a, c.doc_b),
+      agg AS (SELECT c.doc_a, c.doc_b,
+          CAST(CAST(c.est_jaccard * 8 AS BIGINT) * 125000 AS BIGINT)
+            AS est_ppm,
+          (1000000 * COALESCE(n_inter, 0))
+            // (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) AS exact_ppm
+        FROM cand c
+        LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, est_ppm, exact_ppm,
+        abs(est_ppm - exact_ppm) AS err_ppm
+      FROM agg
+      ORDER BY doc_a, doc_b"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126)
+      q110, q111, q118, q120, q126, q128)
 }

@@ -96,4 +96,24 @@ class LshSkewSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("minhash agreement: identical pair exact, near-dup pair's true Jaccard") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat")    // 1-token edit
+    ).toDF("doc_id", "text")
+    val r = TextQ.minhashAgreement(d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    // identical docs: every lane agrees AND every shingle is shared
+    assert(r((1L, 2L)) == (1000000L, 1000000L, 0L), s"got ${r.get((1L, 2L))}")
+    // 9-token docs -> 7 distinct 3-shingles each; the last token appears in
+    // exactly ONE shingle, so the edit changes one: inter 6, union 8
+    // -> exact 750000 ppm on both edit pairs
+    for (p <- Seq((1L, 3L), (2L, 3L)); (est, ex, err) <- r.get(p)) {
+      assert(ex == 750000L, s"pair $p exact: $ex")
+      assert(err == (est - ex).abs, s"pair $p err: $err")
+    }
+  }
 }
