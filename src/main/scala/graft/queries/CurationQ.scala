@@ -1140,7 +1140,115 @@ object CurationQ {
       FROM dn JOIN st USING (doc_id) LEFT JOIN top USING (tok)
       ORDER BY source, chunk_id, pos_in_chunk"""))
 
+  /** Output shard planning — assign every document to a fixed-token-budget
+    * output shard (the files a pre-training dataloader reads), in a
+    * deterministic hash order that decorrelates shard contents from
+    * source/crawl clustering, WITHOUT the single-partition global sort a
+    * naive running total needs: docs bucket by a hash coordinate (map-side
+    * expression over md5 of a 'shard:'-prefixed id, so the coordinate is
+    * independent of every split/sample coordinate), per-bucket token
+    * totals aggregate to a TINY broadcast cumulative-offset table, and
+    * each doc's global token prefix is the lower-bucket offset plus an
+    * in-bucket running sum — the [[globalRankBy]] two-pass construction
+    * applied to a weighted cumsum. `shard_id = prefix DIV tokenBudget`,
+    * so every shard except the last holds ≥ tokenBudget − (doc's tokens)
+    * and < tokenBudget + max-doc tokens. The oracle is the NAIVE global
+    * window cumsum, so the hash-match proves the distributed plan is
+    * result-identical to the global sort. */
+  def planShards(docs: DataFrame, tokenBudget: Long,
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val hk = TextQ.ppmBucketExpr(
+      "instr", "concat('shard:', doc_id)", "STRING", offset = 1)
+    val scored = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .withColumn("hk", expr(hk).cast(LongType))
+      .withColumn("b", expr(s"hk DIV ${bucketWidth}L"))
+    val offsets = scored.groupBy(col("b")).agg(sum(col("n_toks")).as("bt"))
+      .withColumn("offset", coalesce(
+        sum(col("bt")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("offset"))
+    val wB = Window.partitionBy(col("b")).orderBy(col("hk"), col("doc_id"))
+    scored.withColumn("cum", sum(col("n_toks")).over(wB))
+      .join(broadcast(offsets), Seq("b"))
+      .select(col("doc_id"), col("n_toks"),
+        expr(s"(offset + cum - n_toks) DIV ${tokenBudget}L").as("shard_id"))
+  }
+
+  /** Oracle fixture of [[planShards]] (budget 10000): the plain global
+    * running sum over the same hash order. */
+  private val q130 = {
+    val hkSql = TextQ.ppmBucketExpr(
+      "strpos", "concat('shard:', doc_id)", "VARCHAR", offset = 1)
+    GQuery(
+      "q130_shard_plan",
+      (s, dir) => planShards(t(s, dir, "documents"), tokenBudget = 10000L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          CAST($hkSql AS BIGINT) AS hk
+        FROM documents),
+      c AS (SELECT doc_id, n_toks,
+          CAST(SUM(n_toks) OVER (ORDER BY hk, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM d)
+      SELECT doc_id, n_toks, (cum - n_toks) // 10000 AS shard_id
+      FROM c
+      ORDER BY doc_id"""))
+  }
+
+  /** Soft quality sampling — keep each document with probability
+    * proportional to its quality instead of a hard threshold: a doc
+    * survives iff an independent deterministic ppm hash coordinate of its
+    * id falls below `keepPpm` (any integer expression in [0, 1e6]). A
+    * hard filter throws away the entire low-quality tail; the soft filter
+    * retains it at a reduced, quality-proportional rate — the mix-shaping
+    * move when mid-quality data still carries signal. Hash-based like
+    * every sampler here: reruns, engines, and cluster sizes all keep the
+    * same docs, and the 'soft:'-prefixed md5 coordinate is independent of
+    * the split/sample/shard coordinates, so composing them doesn't skew
+    * any of them.
+    *
+    * Scale shape: wholly map-side — zero shuffles, zero joins; at 100 TB
+    * it is one scan that emits the survivors. */
+  def softQualitySample(docs: DataFrame, keepPpm: org.apache.spark.sql.Column)
+      : DataFrame =
+    docs
+      .withColumn("keep_ppm", keepPpm.cast(LongType))
+      .withColumn("hk", expr(TextQ.ppmBucketExpr(
+        "instr", "concat('soft:', doc_id)", "STRING", offset = 1))
+        .cast(LongType))
+      .filter(col("hk") < col("keep_ppm"))
+      .select(col("doc_id"), col("keep_ppm"))
+
+  /** Oracle fixture of [[softQualitySample]]: keep rate = the exact
+    * non-stopword token fraction in ppm (mostly-stopword docs sampled
+    * down proportionally) — all-integer arithmetic, engine-portable. */
+  private val q131 = {
+    val stops = "('the', 'a', 'of', 'and', 'data', 'row')"
+    val hkSql = TextQ.ppmBucketExpr(
+      "strpos", "concat('soft:', doc_id)", "VARCHAR", offset = 1)
+    GQuery(
+      "q131_soft_quality_sample",
+      (s, dir) => softQualitySample(t(s, dir, "documents"),
+        expr(s"""(1000000L * (size(split(text, ' ')) -
+            size(filter(split(text, ' '), x -> x IN $stops))))
+          DIV size(split(text, ' '))"""))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id,
+          (1000000 * (len(string_split(text, ' ')) -
+             len(list_filter(string_split(text, ' '), x -> x IN $stops))))
+            // len(string_split(text, ' ')) AS keep_ppm,
+          CAST($hkSql AS BIGINT) AS hk
+        FROM documents)
+      SELECT doc_id, CAST(keep_ppm AS BIGINT) AS keep_ppm
+      FROM d WHERE hk < keep_ppm
+      ORDER BY doc_id"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112, q116, q117, q119, q123, q124, q127)
+      q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131)
 }

@@ -1689,8 +1689,51 @@ object TextQ {
       FROM agg
       ORDER BY doc_a, doc_b"""))
 
+  /** Within-document repetition signals — the Gopher-style quality
+    * heuristic that catches degenerate generations, boilerplate loops,
+    * and scraped templating that CROSS-doc dedup never sees (the doc is
+    * unique; its content repeats itself). Per doc: total word bigrams,
+    * the fraction that are duplicates of an earlier bigram, and the mass
+    * of the single most frequent bigram — both in exact ppm, so the
+    * downstream filter threshold means the same thing in every engine.
+    *
+    * Scale shape: one explode and two hash aggregations, the first on
+    * (doc_id, bigram) and the second on doc_id — strictly linear in
+    * corpus tokens, no joins, no windows over the token table. At
+    * 100 TB this is the same shape as q33's token count. */
+  def docRepetition(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(shingleExprN(2))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), count(lit(1)).as("n_dist"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bi"),
+        expr("((n_bi - n_dist) * 1000000) DIV n_bi").as("dup_ppm"),
+        expr("(top_c * 1000000) DIV n_bi").as("top_ppm"))
+
+  /** Oracle fixture of [[docRepetition]]. */
+  private val q129 = GQuery(
+    "q129_doc_repetition",
+    (s, dir) => docRepetition(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      bigrams AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+                  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+      bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams
+             GROUP BY doc_id, bg),
+      agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+                COUNT(*) AS n_dist, MAX(c) AS top_c
+              FROM bc GROUP BY doc_id)
+      SELECT doc_id, n_bi,
+        ((n_bi - n_dist) * 1000000) // n_bi AS dup_ppm,
+        (top_c * 1000000) // n_bi AS top_ppm
+      FROM agg
+      ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128)
+      q110, q111, q118, q120, q126, q128, q129)
 }

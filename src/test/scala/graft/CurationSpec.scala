@@ -551,4 +551,64 @@ class CurationSpec extends SparkSpec {
     // every slot filled exactly once (no holes, no overlaps)
     assert(r.map(t => (t._2, t._3)).distinct.length == r.length)
   }
+
+  test("doc repetition: degenerate loop maxes out, all-distinct doc is 0") {
+    val d = Seq(
+      (1L, "a a a a"),             // bigrams: "a a" x3 -> dup 2/3, top 3/3
+      (2L, "w x y z"),             // 3 distinct bigrams -> dup 0, top 1/3
+      (3L, "p q p q p"),           // "p q" x2, "q p" x2 -> dup 2/4, top 2/4
+      (4L, "solo")                 // <2 tokens: absent from output
+    ).toDF("doc_id", "text")
+    val r = TextQ.docRepetition(d).as[(Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L) == (3L, 666666L, 1000000L), s"got ${r(1L)}")
+    assert(r(2L) == (3L, 0L, 333333L), s"got ${r(2L)}")
+    assert(r(3L) == (4L, 500000L, 500000L), s"got ${r(3L)}")
+    assert(!r.contains(4L), "sub-bigram doc must be absent")
+  }
+
+  test("shard plan matches the naive global cumsum and respects the budget") {
+    val plan = CurationQ.planShards(docs, tokenBudget = 2000L)
+      .as[(Long, Long, Long)].collect()
+    // re-derive the naive single-threaded answer: order by (hash, id),
+    // running token prefix DIV budget
+    val hk = docs.selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n",
+        "conv(substr(md5(concat('shard:', doc_id)), 1, 5), 16, 10) % 1000000 AS h")
+      .as[(Long, Long, String)].collect()
+      .map(t => (t._1, t._2, t._3.toLong)).sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val naive = hk.map { case (id, n, _) =>
+      val s = cum / 2000L; cum += n; id -> s
+    }.toMap
+    assert(plan.length == naive.size)
+    plan.foreach { case (id, _, sh) =>
+      assert(sh == naive(id), s"doc $id: $sh vs naive ${naive(id)}") }
+    // shard ids are dense from 0
+    val shards = plan.map(_._3).distinct.sorted
+    assert(shards.head == 0L && shards.sameElements(shards.indices.map(_.toLong)))
+    // every non-final shard's token total lands within one doc of budget
+    val perShard = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = plan.map(_._2).max
+    for ((sh, tot) <- perShard if sh < shards.last) {
+      assert(tot < 2000L + maxDoc, s"shard $sh overfull: $tot")
+      assert(tot + maxDoc >= 2000L, s"shard $sh underfull: $tot")
+    }
+  }
+
+  test("soft quality sample: keep rate tracks keepPpm, endpoints exact") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val n = docs.count()
+    assert(CurationQ.softQualitySample(docs, flit(1000000L)).count() == n)
+    assert(CurationQ.softQualitySample(docs, flit(0L)).count() == 0L)
+    // a 30% keep rate lands near 30% (md5 coordinate, binomial noise)
+    val k = CurationQ.softQualitySample(docs, flit(300000L)).count()
+    assert(k > n * 15 / 100 && k < n * 45 / 100, s"kept $k of $n at 30%")
+    // deterministic: identical survivor set on re-run
+    val a = CurationQ.softQualitySample(docs, flit(300000L))
+      .select("doc_id").as[Long].collect().sorted
+    val b = CurationQ.softQualitySample(docs, flit(300000L))
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
 }
