@@ -28,7 +28,8 @@ object ScaleProbe {
     "q95_moving_window", "q110_span_dedup", "q111_bm25_topk",
     "q112_packed_spans", "q116_epoch_shuffle", "q118_vocab_overlap",
     "q120_token_encode", "q124_curriculum_rank", "q125_cluster_purity",
-    "q126_distinctive_tokens", "q127_seq_assembly")
+    "q126_distinctive_tokens", "q127_seq_assembly", "q129_doc_repetition",
+    "q130_shard_plan")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
