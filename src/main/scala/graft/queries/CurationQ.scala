@@ -1248,7 +1248,84 @@ object CurationQ {
       ORDER BY doc_id"""))
   }
 
+  /** Padding-waste accounting for fixed-shape training batches — the
+    * measurement behind length-bucketed batching: when every batch pads
+    * to its longest member, arrival-order batches waste
+    * max−mean tokens per row, while length-sorted batches put like
+    * lengths together and waste almost nothing. Emits, per policy
+    * ('hash_order' = decorrelated arrival, 'length_sorted' = bucketed),
+    * the batch count, real tokens, padded slots, and exact-ppm waste —
+    * the number that justifies (or kills) a dataloader's bucketing
+    * stage. Lengths clamp at `seqLen` (longer docs truncate in the
+    * loader). Both policies rank with [[globalRankBy]]'s two-pass
+    * construction, so neither needs a single-partition global sort.
+    *
+    * Scale shape: one map-side length/hash scan, two globalRankBy
+    * passes (broadcast offset tables + per-bucket windows), per-batch
+    * aggregation on the batch key, then a 2-row result. */
+  def paddingWaste(docs: DataFrame, batchSize: Int, seqLen: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val base = docs.select(col("doc_id"),
+      least(size(split(col("text"), " ")).cast(LongType),
+        lit(seqLen.toLong)).as("n"))
+    val hk = expr(TextQ.ppmBucketExpr(
+      "instr", "concat('pad:', doc_id)", "STRING", offset = 1))
+      .cast(LongType)
+    def waste(policy: String, ranked: DataFrame): DataFrame =
+      ranked.withColumn("batch", expr(s"(grank - 1) DIV ${batchSize}L"))
+        .groupBy(col("batch"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tok"),
+          count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("tok")).as("n_tokens"),
+          sum(col("mx") * col("cnt")).as("n_slots"))
+        .select(lit(policy).as("policy"), col("n_batches"), col("n_tokens"),
+          col("n_slots"),
+          expr("((n_slots - n_tokens) * 1000000) DIV n_slots")
+            .as("waste_ppm"))
+    val arrival = globalRankBy(base.withColumn("hk", hk), "hk", 50000L)
+      .join(base, Seq("doc_id"))
+    val bySize = globalRankBy(base, "n", 16L)
+      .withColumn("n", col("score"))
+    waste("hash_order", arrival).unionByName(waste("length_sorted", bySize))
+  }
+
+  /** Oracle fixture of [[paddingWaste]] (batch 16, seqLen 64): the naive
+    * global ROW_NUMBER batching under both orders. */
+  private val q133 = {
+    val hkSql = TextQ.ppmBucketExpr(
+      "strpos", "concat('pad:', doc_id)", "VARCHAR", offset = 1)
+    GQuery(
+      "q133_padding_waste",
+      (s, dir) => paddingWaste(t(s, dir, "documents"),
+        batchSize = 16, seqLen = 64).orderBy(col("policy")),
+      Some(s"""WITH d AS (SELECT doc_id,
+          LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 64) AS n,
+          CAST($hkSql AS BIGINT) AS hk
+        FROM documents),
+      r1 AS (SELECT n, (ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1) // 16
+          AS batch FROM d),
+      r2 AS (SELECT n, (ROW_NUMBER() OVER (ORDER BY n, doc_id) - 1) // 16
+          AS batch FROM d),
+      b1 AS (SELECT batch, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tok,
+          COUNT(*) AS cnt FROM r1 GROUP BY batch),
+      b2 AS (SELECT batch, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tok,
+          COUNT(*) AS cnt FROM r2 GROUP BY batch),
+      w1 AS (SELECT 'hash_order' AS policy, COUNT(*) AS n_batches,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(mx * cnt) AS BIGINT) AS n_slots FROM b1),
+      w2 AS (SELECT 'length_sorted' AS policy, COUNT(*) AS n_batches,
+          CAST(SUM(tok) AS BIGINT) AS n_tokens,
+          CAST(SUM(mx * cnt) AS BIGINT) AS n_slots FROM b2),
+      u AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+      SELECT policy, n_batches, n_tokens, n_slots,
+        ((n_slots - n_tokens) * 1000000) // n_slots AS waste_ppm
+      FROM u
+      ORDER BY policy"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
-      q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131)
+      q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
+      q133)
 }

@@ -1734,7 +1734,88 @@ object VectorQ {
       FROM r WHERE rn = 1
       ORDER BY cluster"""))
 
+  /** Embedding-space drift — the vector analog of q126's token drift:
+    * split the corpus into two deterministic halves (an md5 ppm
+    * coordinate of a 'drift:'-prefixed id, independent of every other
+    * split/sample coordinate) and emit, per label, the squared L2
+    * distance between the halves' mean embeddings. On a stable corpus
+    * and encoder the halves are exchangeable, so drift2 ≈ 0 up to
+    * sampling noise; a fat value flags encoder-version skew, a
+    * distribution break between crawls, or label contamination —
+    * checked BEFORE trusting any centroid/IVF structure trained on the
+    * mix. In real use pass crawl A as one half via its own column; the
+    * hash halves make the null-hypothesis calibration run.
+    *
+    * Exactness: per-half means are [[classMeans]]' exact DECIMAL(38,8)
+    * sums rounded to 6 dp, the squared diff accumulates in
+    * DECIMAL(26,16) (exact — no float-order drift), and only the final
+    * value converts to double. Labels missing a half are absent (drift
+    * is undefined without both halves).
+    *
+    * Scale shape: one posexplode + one hash aggregation to
+    * |labels|·|halves|·dim mean rows, then every later stage operates
+    * on that TINY table — at 100 TB the corpus is touched exactly
+    * once. */
+  def embeddingDrift(raw: DataFrame): DataFrame = {
+    val halfCol = when(expr(TextQ.ppmBucketExpr(
+        "instr", "concat('drift:', vec_id)", "STRING", offset = 1))
+        .cast(LongType) < 500000L, lit("a")).otherwise(lit("b"))
+    val h = raw.select(col("label").cast(LongType).as("label"),
+      halfCol.as("half"), col("embedding"))
+    val means = h
+      .select(col("label"), col("half"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(round(
+        sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(38,8))")).cast(DoubleType)
+          / count(lit(1)), 6).as("m"))
+    val counts = h.groupBy(col("label"))
+      .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+    means.filter(col("half") === "a")
+      .select(col("label"), col("pos"), col("m").as("ma"))
+      .join(means.filter(col("half") === "b")
+        .select(col("label"), col("pos"), col("m").as("mb")),
+        Seq("label", "pos"))
+      .withColumn("d", expr(
+        "CAST(ma AS DECIMAL(12,8)) - CAST(mb AS DECIMAL(12,8))"))
+      .groupBy(col("label"))
+      .agg(sum(expr("d * d")).cast(DoubleType).as("drift2"))
+      .join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift2"))
+  }
+
+  /** Oracle fixture of [[embeddingDrift]]. */
+  private val q132 = {
+    val hkSql = TextQ.ppmBucketExpr(
+      "strpos", "concat('drift:', vec_id)", "VARCHAR", offset = 1)
+    val meanCols = (1 to dim).map(k =>
+      s"ROUND(CAST(SUM(CAST(CAST(embedding[$k] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS c$k")
+      .mkString(", ")
+    val diffChain = (1 to dim).map(k =>
+      s"((CAST(a.c$k AS DECIMAL(12,8)) - CAST(b.c$k AS DECIMAL(12,8))) * (CAST(a.c$k AS DECIMAL(12,8)) - CAST(b.c$k AS DECIMAL(12,8))))")
+      .mkString(" + ")
+    GQuery(
+      "q132_embedding_drift",
+      (s, dir) => embeddingDrift(t(s, dir, "embeddings"))
+        .orderBy(col("label")),
+      Some(s"""WITH h AS (SELECT CAST(label AS BIGINT) AS label,
+          CASE WHEN CAST($hkSql AS BIGINT) < 500000 THEN 'a' ELSE 'b' END
+            AS half, embedding
+        FROM embeddings),
+      m AS (SELECT label, half, $meanCols FROM h GROUP BY label, half),
+      cnt AS (SELECT label,
+          CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM h GROUP BY label)
+      SELECT a.label, n_a, n_b, CAST($diffChain AS DOUBLE) AS drift2
+      FROM m a JOIN m b ON a.label = b.label
+        AND a.half = 'a' AND b.half = 'b'
+      JOIN cnt ON cnt.label = a.label
+      ORDER BY a.label"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122, q125)
+      q108, q113, q114, q115, q121, q122, q125, q132)
 }

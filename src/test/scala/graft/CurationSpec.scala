@@ -596,6 +596,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("padding waste: sorted batching never wastes more than hash order") {
+    val r = CurationQ.paddingWaste(docs, batchSize = 16, seqLen = 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    val (hB, hTok, hSlots, hWaste) = r("hash_order")
+    val (sB, sTok, sSlots, sWaste) = r("length_sorted")
+    val n = docs.count()
+    val expectBatches = (n + 15) / 16
+    assert(hB == expectBatches && sB == expectBatches)
+    assert(hTok == sTok, "both policies batch the same tokens")
+    assert(hSlots >= hTok && sSlots >= sTok)
+    assert(sWaste <= hWaste,
+      s"sorted $sWaste must not exceed hash-order $hWaste")
+    assert(hWaste == (hSlots - hTok) * 1000000L / hSlots)
+  }
+
+  test("padding waste: uniform lengths waste zero under both policies") {
+    val d = (1L to 40L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val r = CurationQ.paddingWaste(d, batchSize = 8, seqLen = 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.length == 2)
+    r.foreach { case (p, nb, tok, slots, waste) =>
+      assert(nb == 5L && tok == 200L && slots == 200L && waste == 0L,
+        s"$p: ($nb, $tok, $slots, $waste)")
+    }
+  }
+
   test("soft quality sample: keep rate tracks keepPpm, endpoints exact") {
     import org.apache.spark.sql.functions.{lit => flit}
     val n = docs.count()

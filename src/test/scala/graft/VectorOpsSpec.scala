@@ -123,4 +123,35 @@ class VectorOpsSpec extends SparkSpec {
       (0L, 3L, 7, 2L, 666666L),   // (1000000 * 2) / 3 truncated
       (1L, 2L, 2, 1L, 500000L)))
   }
+
+  test("embedding drift: identical halves drift 0, planted shift exact") {
+    // find each id's hash half with the operator's own coordinate
+    val ids = (1L to 40L) ++ (101L to 140L)
+    val halves = ids.toDF("vec_id").selectExpr("vec_id",
+        "conv(substr(md5(concat('drift:', vec_id)), 1, 5), 16, 10) % 1000000 AS h")
+      .as[(Long, String)].collect()
+      .map(t => t._1 -> (t._2.toLong < 500000L)).toMap
+    def nA(r: Seq[Long]) = r.count(halves(_)).toLong
+    assert(nA(1L to 40L) > 0 && nA(1L to 40L) < 40 &&
+      nA(101L to 140L) > 0 && nA(101L to 140L) < 40,
+      "fixture needs both halves populated for both labels")
+    // label 0: every vector identical -> drift2 exactly 0
+    // label 1: half a = 0.5, half b = 0.6 in dim 0 -> drift2 exactly 0.01
+    // label 2: a single vector (one half only) -> absent from output
+    val emb = (1L to 40L).map { id =>
+      (id, 0, vec(0.25f, -1.5f))
+    } ++ (101L to 140L).map { id =>
+      val x = if (halves(id)) 0.5f else 0.6f
+      (id, 1, vec(x, 2.0f))
+    } :+ ((999L, 2, vec(1f, 1f)))
+    val r = VectorQ.embeddingDrift(
+        emb.toDF("vec_id", "label", "embedding"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(0L) == (nA(1L to 40L), 40L - nA(1L to 40L), 0.0),
+      s"got ${r.get(0L)}")
+    assert(r(1L) == (nA(101L to 140L), 40L - nA(101L to 140L), 0.01),
+      s"got ${r.get(1L)}")
+    assert(!r.contains(2L), "single-half label must be absent")
+  }
 }
