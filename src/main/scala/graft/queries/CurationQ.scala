@@ -1154,11 +1154,14 @@ object CurationQ {
     * so every shard except the last holds ≥ tokenBudget − (doc's tokens)
     * and < tokenBudget + max-doc tokens. The oracle is the NAIVE global
     * window cumsum, so the hash-match proves the distributed plan is
-    * result-identical to the global sort. */
+    * result-identical to the global sort. `startTokens` offsets the
+    * global prefix — the append seam [[graft.etl.IncrementalShardPlan]]
+    * uses to continue an earlier run's last partial shard. */
   def planShards(docs: DataFrame, tokenBudget: Long,
-      bucketWidth: Long = 100000L): DataFrame = {
+      bucketWidth: Long = 100000L, startTokens: Long = 0L): DataFrame = {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(startTokens >= 0L, s"startTokens must be >= 0, got $startTokens")
     val hk = TextQ.ppmBucketExpr(
       "instr", "concat('shard:', doc_id)", "STRING", offset = 1)
     val scored = docs.select(col("doc_id"),
@@ -1174,7 +1177,8 @@ object CurationQ {
     scored.withColumn("cum", sum(col("n_toks")).over(wB))
       .join(broadcast(offsets), Seq("b"))
       .select(col("doc_id"), col("n_toks"),
-        expr(s"(offset + cum - n_toks) DIV ${tokenBudget}L").as("shard_id"))
+        expr(s"(${startTokens}L + offset + cum - n_toks) DIV ${tokenBudget}L")
+          .as("shard_id"))
   }
 
   /** Oracle fixture of [[planShards]] (budget 10000): the plain global
