@@ -1732,8 +1732,97 @@ object TextQ {
       FROM agg
       ORDER BY doc_id"""))
 
+  /** Split-leakage audit — the gate that CATCHES a bad train/val/test
+    * split: for each assignment policy, the number of near-dup candidate
+    * pairs whose two docs landed in different splits (eval answers
+    * leaking into train through a near-duplicate). Run it before
+    * training: [[hashSplit]] ('hash_split') shows the leak a per-doc
+    * hash split necessarily has, and [[leakageSafeSplit]]'s
+    * cluster-atomic assignment ('leakage_safe') must read EXACTLY zero —
+    * this query is the proof obligation q81 discharges, in the q58/q125/
+    * q128 gate family.
+    *
+    * Scale shape: the q26 candidate pipeline runs ONCE (both policies
+    * audit the same pair set and the cluster labels reuse the same
+    * candidates), then two broadcast-sized joins of the assignment onto
+    * the candidate pairs and a 2-row aggregate. */
+  def splitLeakageAudit(docs: DataFrame, minEstJaccard: Double = 0.25,
+      maxBandSize: Int = 1000): DataFrame = {
+    val cand = lshCandidates(minhashBands(docs), maxBandSize)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val comp = connectedComponents(cand)
+    val b = hashBucketExpr("instr", "cluster", "STRING")
+    val safe = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        expr(s"""CASE WHEN $b < 90 THEN 'train'
+                 WHEN $b < 95 THEN 'val'
+                 ELSE 'test' END"""))
+      .select(col("doc_id"), col("split"))
+    val naive = hashSplit(docs).select(col("doc_id"), col("split"))
+    def audit(policy: String, assign: DataFrame): DataFrame =
+      cand.select(col("doc_a"), col("doc_b"))
+        .join(assign.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(policy).as("policy"), col("n_pairs"), col("n_cross"),
+          expr("""CASE WHEN n_pairs = 0 THEN 0L
+                  ELSE (n_cross * 1000000) DIV n_pairs END""").as("leak_ppm"))
+    audit("hash_split", naive).unionByName(audit("leakage_safe", safe))
+  }
+
+  /** Oracle fixture of [[splitLeakageAudit]]. */
+  private val q134 = GQuery(
+    "q134_split_leakage",
+    (s, dir) => splitLeakageAudit(t(s, dir, "documents"))
+      .orderBy(col("policy")),
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      asg AS (SELECT d.doc_id,
+          CASE WHEN ${hashBucketExpr("strpos", "d.doc_id", "VARCHAR")} < 90
+                 THEN 'train'
+               WHEN ${hashBucketExpr("strpos", "d.doc_id", "VARCHAR")} < 95
+                 THEN 'val'
+               ELSE 'test' END AS naive_split,
+          CASE WHEN ${hashBucketExpr("strpos",
+            "COALESCE(c.component, d.doc_id)", "VARCHAR")} < 90 THEN 'train'
+               WHEN ${hashBucketExpr("strpos",
+            "COALESCE(c.component, d.doc_id)", "VARCHAR")} < 95 THEN 'val'
+               ELSE 'test' END AS safe_split
+        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      p AS (SELECT a.naive_split AS na, b.naive_split AS nb,
+          a.safe_split AS fa, b.safe_split AS fb
+        FROM cand c
+        JOIN asg a ON a.doc_id = c.doc_a
+        JOIN asg b ON b.doc_id = c.doc_b),
+      u AS (
+        SELECT 'hash_split' AS policy, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cross
+        FROM p
+        UNION ALL
+        SELECT 'leakage_safe', COUNT(*),
+          CAST(SUM(CASE WHEN fa <> fb THEN 1 ELSE 0 END) AS BIGINT)
+        FROM p)
+      SELECT policy, n_pairs, n_cross,
+        CASE WHEN n_pairs = 0 THEN 0
+             ELSE (n_cross * 1000000) // n_pairs END AS leak_ppm
+      FROM u
+      ORDER BY policy"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128, q129)
+      q110, q111, q118, q120, q126, q128, q129, q134)
 }

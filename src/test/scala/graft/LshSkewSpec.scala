@@ -97,6 +97,20 @@ class LshSkewSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("split leakage audit: cluster-atomic split leaks exactly zero") {
+    val sf = graft.core.Tables.load(spark, sfDir, "documents")
+    val r = TextQ.splitLeakageAudit(sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val (np, nc, _) = r("hash_split")
+    val (sp, sc, sl) = r("leakage_safe")
+    assert(np == sp, "both policies audit the same candidate pairs")
+    assert(np > 0, "fixture must produce near-dup candidates")
+    assert(sc == 0L && sl == 0L,
+      s"leakage-safe split must never cross: $sc cross of $sp")
+    assert(nc >= 0L && nc <= np)
+  }
+
   test("minhash agreement: identical pair exact, near-dup pair's true Jaccard") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
