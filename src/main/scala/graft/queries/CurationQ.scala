@@ -1328,8 +1328,70 @@ object CurationQ {
       ORDER BY policy"""))
   }
 
+  /** Source-interleaved global ordering — the batch-diversity pass a
+    * dataloader runs so consecutive rows rotate across sources instead
+    * of clumping (a source-sorted corpus feeds the model hours of one
+    * domain at a time; gradient quality wants the mix IN the batch).
+    * Docs rank within their source by a decorrelating hash, and the
+    * global order is (rank-level, source): level 1 of every source
+    * first, then level 2, … — round-robin until small sources exhaust,
+    * continuing among the remainder. Emitted as an explicit dense rank
+    * so it composes with q116's shard layout and q130's shard plan.
+    *
+    * No single-partition sort: the level sizes (#sources still alive at
+    * each level) aggregate to a TINY broadcast offset table — the q124
+    * construction with rank-level buckets — and per-level windows rank
+    * by source in parallel. The oracle is the naive global ROW_NUMBER
+    * over (level, source), so the hash-match proves equivalence.
+    *
+    * Scale shape: one hash exchange on source for the in-source rank,
+    * one on level for the in-level rank, a broadcast offset join;
+    * per-level windows are |sources|-sized, per-source windows
+    * corpus/|sources|-sized. */
+  def interleaveBySource(docs: DataFrame, groupCol: String = "source")
+      : DataFrame = {
+    val hk = expr(TextQ.ppmBucketExpr(
+      "instr", "concat('ilv:', doc_id)", "STRING", offset = 1))
+      .cast(LongType)
+    val wS = Window.partitionBy(col(groupCol)).orderBy(col("hk"), col("doc_id"))
+    val ranked = docs.select(col("doc_id"), col(groupCol))
+      .withColumn("hk", hk)
+      .withColumn("r", row_number().over(wS).cast(LongType))
+    val levels = ranked.groupBy(col("r")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(Window.orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("r"), col("offset"))
+    val wR = Window.partitionBy(col("r")).orderBy(col(groupCol))
+    ranked.withColumn("rib", row_number().over(wR).cast(LongType))
+      .join(broadcast(levels), Seq("r"))
+      .select(col("doc_id"), col(groupCol),
+        (col("offset") + col("rib")).as("ilv_rank"))
+  }
+
+  /** Oracle fixture of [[interleaveBySource]]: the naive global
+    * ROW_NUMBER over (in-source rank, source). */
+  private val q135 = {
+    val hkSql = TextQ.ppmBucketExpr(
+      "strpos", "concat('ilv:', doc_id)", "VARCHAR", offset = 1)
+    GQuery(
+      "q135_source_interleave",
+      (s, dir) => interleaveBySource(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+          CAST($hkSql AS BIGINT) AS hk
+        FROM documents),
+      r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS r
+        FROM d)
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (ORDER BY r, source) AS BIGINT) AS ilv_rank
+      FROM r
+      ORDER BY doc_id"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133)
+      q133, q135)
 }

@@ -596,6 +596,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source interleave: consecutive ranks rotate over live sources") {
+    // 3 sources: a=4 docs, b=4, c=2 -> levels 1,2 hold {a,b,c}, levels
+    // 3,4 hold {a,b} once c exhausts
+    val d = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"), (7L, "b"), (8L, "b"),
+      (9L, "c"), (10L, "c")
+    ).toDF("doc_id", "source")
+    val r = CurationQ.interleaveBySource(d)
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(r.map(_._3).toSeq == (1L to 10L), "dense permutation")
+    val bySrc = r.map(_._2)
+    // first two levels: all three sources, in source order within level
+    assert(bySrc.take(6).toSeq == Seq("a", "b", "c", "a", "b", "c"))
+    // after c exhausts, a/b alternate
+    assert(bySrc.drop(6).toSeq == Seq("a", "b", "a", "b"))
+    // every source's own docs appear in a deterministic (hash) order:
+    // re-run is identical
+    val r2 = CurationQ.interleaveBySource(d)
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(r.toSeq == r2.toSeq)
+  }
+
   test("padding waste: sorted batching never wastes more than hash order") {
     val r = CurationQ.paddingWaste(docs, batchSize = 16, seqLen = 64)
       .as[(String, Long, Long, Long, Long)].collect()
