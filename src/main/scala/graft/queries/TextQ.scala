@@ -1399,9 +1399,13 @@ object TextQ {
 
   /** Oracle fixture of [[bm25TopK]]: four literal queries over the
     * fixture vocabulary, top 5 docs each. */
-  private val q111 = {
-    val queryRows = Seq(1 -> "vector spark window", 2 -> "hash join",
+  /** The fixture's four text queries (shared with the q136 hybrid). */
+  private[queries] val bm25FixtureQueries: Seq[(Int, String)] =
+    Seq(1 -> "vector spark window", 2 -> "hash join",
       3 -> "customer order data row", 4 -> "stream batch merge")
+
+  private val q111 = {
+    val queryRows = bm25FixtureQueries
     val valuesSql = queryRows
       .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
     GQuery(
@@ -1414,7 +1418,17 @@ object TextQ {
           .orderBy(col("query_id"), col("rn"))
       },
       Some(s"""WITH q(query_id, qtext) AS (VALUES $valuesSql),
-        qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        $bm25RankedSql
+      SELECT query_id, doc_id, score, rn FROM ranked
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""))
+  }
+
+  /** DuckDB CTE chain from a `q(query_id, qtext)` CTE to
+    * `ranked(query_id, doc_id, score, rn)` — [[bm25TopK]]'s oracle body,
+    * shared with the hybrid-fusion fixture (q136). */
+  private[queries] lazy val bm25RankedSql: String =
+    """qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
                  unnest(string_split(qtext, ' ')) AS tok FROM q),
         vocab AS (SELECT DISTINCT tok FROM qt),
         tf AS (SELECT doc_id, tok, COUNT(*) AS tf
@@ -1437,11 +1451,7 @@ object TextQ {
         ranked AS (SELECT query_id, doc_id, score,
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY score DESC, doc_id) AS rn
-          FROM agg)
-      SELECT query_id, doc_id, score, rn FROM ranked
-      WHERE rn <= 5
-      ORDER BY query_id, rn"""))
-  }
+          FROM agg)"""
 
   /** Cross-source VOCABULARY overlap — the lexical-diversity companion
     * to [[sourceOverlap]] (which catches verbatim doc mirrors): per

@@ -1815,7 +1815,93 @@ object VectorQ {
       ORDER BY a.label"""))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard
+    * lexical+semantic search combiner: BM25 ranks ([[graft.queries.TextQ
+    * .bm25TopK]]) and exact cosine ranks ([[cosineTopK]]'s explicit-query
+    * overload) fuse as `Σ 1e6 DIV (kRrf + rank)`, so a document found by
+    * BOTH modalities beats one found by either alone, without comparing
+    * their incomparable raw scores. All-integer fusion (the 1e6-scaled
+    * reciprocal is exact and monotone in rank), so the result is
+    * engine-portable; ties between single-modality docs break on doc_id.
+    * `textQueries` (query_id, qtext) and `vecQueries` (query_id,
+    * embedding) pair by query_id — the same information need expressed
+    * in both modalities.
+    *
+    * Scale shape: each ranker keeps its own documented shape (BM25's
+    * query-vocabulary broadcast; brute-force cosine's bounded query
+    * batch — swap in [[annIvfTrained]] for a large stream), and the
+    * fusion itself is a full-outer join + window over two topK·|queries|
+    * row sets — negligible at any corpus size. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, textQueries: DataFrame,
+      vecQueries: DataFrame, topK: Int = 5, kRrf: Int = 60): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val txt = TextQ.bm25TopK(docs, textQueries, topK)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rtext"))
+    val vec = cosineTopK(emb, vecQueries, topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    txt.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"""COALESCE(1000000L DIV (${kRrf}L + rtext), 0L) +
+            COALESCE(1000000L DIV (${kRrf}L + rvec), 0L)"""))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
+  }
+
+  /** Oracle fixture of [[hybridRrf]]: q111's four text queries paired
+    * with the embeddings of vec_ids 100·query_id as the vector side. */
+  private val q136 = {
+    val valuesSql = TextQ.bm25FixtureQueries
+      .map { case (id, txt) => s"($id, '$txt')" }.mkString(", ")
+    GQuery(
+      "q136_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val tq = TextQ.bm25FixtureQueries
+          .map { case (id, txt) => (id.toLong, txt) }
+          .toDF("query_id", "qtext")
+        val vq = emb.filter(col("vec_id").isin(100L, 200L, 300L, 400L))
+          .select(expr("vec_id DIV 100L").as("query_id"), col("embedding"))
+        hybridRrf(docs, emb, tq, vq)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q(query_id, qtext) AS (VALUES $valuesSql),
+        ${TextQ.bm25RankedSql},
+        v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+              FROM embeddings),
+        vq AS (SELECT vec_id // 100 AS query_id, embedding AS qe, nrm AS qn
+               FROM v WHERE vec_id IN (100, 200, 300, 400)),
+        vp AS (SELECT query_id, c.vec_id AS doc_id,
+            ROUND((${dotSql("qe", "c.embedding")}) / (sqrt(qn) * sqrt(c.nrm)), 6)
+              AS cosine
+          FROM v c, vq),
+        vranked AS (SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, doc_id) AS rv
+          FROM vp),
+        t5 AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 5),
+        v5 AS (SELECT query_id, doc_id, rv FROM vranked WHERE rv <= 5),
+        fused AS (SELECT query_id, doc_id,
+            COALESCE(1000000 // (60 + rn), 0) +
+              COALESCE(1000000 // (60 + rv), 0) AS rrf
+          FROM t5 FULL OUTER JOIN v5 USING (query_id, doc_id)),
+        fr AS (SELECT query_id, doc_id, rrf,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+      SELECT query_id, doc_id, CAST(rrf AS BIGINT) AS rrf,
+        CAST(rank AS BIGINT) AS rank
+      FROM fr WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122, q125, q132)
+      q108, q113, q114, q115, q121, q122, q125, q132, q136)
 }

@@ -124,6 +124,26 @@ class VectorOpsSpec extends SparkSpec {
       (1L, 2L, 2, 1L, 500000L)))
   }
 
+  test("hybrid rrf: both-modality doc outranks either single-modality doc") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"), (3L, "dog fox")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, vec(0f, 1f)),      // orthogonal to the query
+      (2L, vec(1f, 0f)),      // cosine 1.0 -> vec rank 1
+      (3L, vec(0.9f, 0.1f))   // cosine ~0.994 -> vec rank 2
+    ).toDF("vec_id", "embedding")
+    val tq = Seq((7L, "apple")).toDF("query_id", "qtext")
+    val vq = Seq((7L, vec(1f, 0f))).toDF("query_id", "embedding")
+    // text ranks: docs 1,2 tie on score -> doc_id break: r(1)=1, r(2)=2
+    // fusion: doc2 in both = 1e6/62 + 1e6/61; docs 1,3 single = 1e6/61
+    val r = VectorQ.hybridRrf(docs, emb, tq, vq, topK = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(r.toSeq == Seq(
+      (7L, 2L, 1000000L / 62 + 1000000L / 61, 1L),
+      (7L, 1L, 1000000L / 61, 2L)), s"got ${r.toSeq}")
+  }
+
   test("embedding drift: identical halves drift 0, planted shift exact") {
     // find each id's hash half with the operator's own coordinate
     val ids = (1L to 40L) ++ (101L to 140L)
