@@ -54,6 +54,67 @@ object IncrementalShardPlan {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Streaming-ledger state: (batch_id, tokens before it, tokens after
+    * it); None before the first committed micro-batch. */
+  def batchState(statePath: String): Option[(Long, Long, Long)] = {
+    val f = Paths.get(statePath, "batch_ledger")
+    if (Files.exists(f)) {
+      val parts = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+        .trim.split(",")
+      Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+    } else None
+  }
+
+  private def commitBatch(statePath: String, id: Long, before: Long,
+      after: Long): Unit = {
+    val dir = Paths.get(statePath)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(".batch_ledger.tmp")
+    Files.write(tmp, s"$id,$before,$after".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("batch_ledger"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `foreachBatch` shard writer — the streaming face of [[run]]: every
+    * micro-batch continues the committed token prefix and lands as
+    * parquet under `batch_id=N/shard_id=M` with dynamic partition
+    * overwrite, so a RETRIED micro-batch replaces exactly its own
+    * partitions (never a predecessor's rows in a shared seam shard) and
+    * replays with the SAME start offset — the ledger records (batch_id,
+    * tokens-before, tokens-after), and a repeated batch_id re-plans from
+    * tokens-before instead of double-advancing. A shard's full content
+    * is the union of its `shard_id=M` slices across batch dirs — shards
+    * are append-defined across waves exactly as in [[run]].
+    *
+    * Usage: `docs.writeStream.foreachBatch(IncrementalShardPlan.sink(
+    * tokenBudget, shardsPath, statePath)).start()`. */
+  def sink(tokenBudget: Long, shardsPath: String, statePath: String,
+      bucketWidth: Long = 100000L): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+      val start = batchState(statePath) match {
+        case Some((bid, before, _)) if bid == batchId => before // retry
+        case Some((bid, _, after)) =>
+          require(batchId > bid,
+            s"batch $batchId arrived after committed batch $bid")
+          after
+        case None => 0L
+      }
+      val nRow = batch.selectExpr(
+        "sum(CAST(size(split(text, ' ')) AS BIGINT)) AS n").head()
+      if (!nRow.isNullAt(0)) {
+        val waveTokens = nRow.getLong(0)
+        val plan = CurationQ.planShards(batch, tokenBudget, bucketWidth,
+          startTokens = start)
+        batch.join(plan.select("doc_id", "shard_id"), "doc_id")
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.partitionBy("batch_id", "shard_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(shardsPath)
+        commitBatch(statePath, batchId, start, start + waveTokens)
+      }
+    }
+
   /** Plan one wave: shard-assign `batch` continuing from the committed
     * token total, hand (plan, firstShard) to `process`, then commit the
     * advanced total. Returns the new committed total, or the unchanged

@@ -47,6 +47,34 @@ class IncrementalShardSpec extends SparkSpec {
     assert(IncrementalShardPlan.tokenTotal(state) == Some(32L))
   }
 
+  test("streaming sink: seam shards accumulate, retries replace not duplicate") {
+    val state = tmp("graft_is_sink_state")
+    val shards = tmp("graft_is_sink_out") + "/shards"
+    val sink = IncrementalShardPlan.sink(tokenBudget = 8L, shards, state)
+    val b0 = (1L to 5L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val b1 = (11L to 14L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    sink(b0, 0L)
+    assert(IncrementalShardPlan.batchState(state) == Some((0L, 0L, 20L)))
+    sink(b1, 1L)
+    assert(IncrementalShardPlan.batchState(state) == Some((1L, 20L, 32L)))
+    val out = spark.read.parquet(shards)
+      .select($"doc_id", $"shard_id".cast("long"), $"batch_id".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 9, "all docs written once")
+    // the seam: shard 2 holds rows from BOTH batches
+    val seam = out.filter(_._2 == 2L).map(_._3).distinct.sorted
+    assert(seam.toSeq == Seq(0L, 1L), s"seam shard batches: ${seam.toSeq}")
+    // retry batch 1: same offsets, output replaced (no duplicates)
+    sink(b1, 1L)
+    assert(IncrementalShardPlan.batchState(state) == Some((1L, 20L, 32L)))
+    val out2 = spark.read.parquet(shards)
+      .select($"doc_id").as[Long].collect()
+    assert(out2.length == 9 && out2.distinct.length == 9,
+      s"retry must not duplicate: ${out2.length}")
+    // out-of-order batch id fails loudly
+    intercept[IllegalArgumentException](sink(b0, 0L))
+  }
+
   test("two waves' token accounting equals the one-shot total") {
     val stateA = tmp("graft_is_a")
     val stateB = tmp("graft_is_b")
