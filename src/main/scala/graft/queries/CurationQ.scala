@@ -1338,18 +1338,23 @@ object CurationQ {
     * continuing among the remainder. Emitted as an explicit dense rank
     * so it composes with q116's shard layout and q130's shard plan.
     *
-    * No single-partition sort: the level sizes (#sources still alive at
-    * each level) aggregate to a TINY broadcast offset table — the q124
-    * construction with rank-level buckets — and per-level windows rank
-    * by source in parallel. The oracle is the naive global ROW_NUMBER
-    * over (level, source), so the hash-match proves equivalence.
+    * No single-partition sort, and NOTHING corpus-proportional is ever
+    * broadcast: the per-level table (one row per rank level — up to
+    * corpus/|sources| rows, far too big to broadcast at 100 TB) gets its
+    * own cumulative offsets via a second two-pass: levels bucket by
+    * `levelBucket`, only the |levelBuckets|-row bucket-total table is
+    * broadcast, and the level offsets come from per-bucket windows. The
+    * level table then rejoins the docs by a plain hash join on the rank
+    * level. The oracle is the naive global ROW_NUMBER over
+    * (level, source), so the hash-match proves equivalence.
     *
-    * Scale shape: one hash exchange on source for the in-source rank,
-    * one on level for the in-level rank, a broadcast offset join;
-    * per-level windows are |sources|-sized, per-source windows
-    * corpus/|sources|-sized. */
-  def interleaveBySource(docs: DataFrame, groupCol: String = "source")
-      : DataFrame = {
+    * Scale shape: one hash exchange on source (in-source rank), one on
+    * level (in-level rank + the offset join), a |levelBuckets|-row
+    * broadcast; per-level windows are |sources|-sized, per-source
+    * windows corpus/|sources|-sized. */
+  def interleaveBySource(docs: DataFrame, groupCol: String = "source",
+      levelBucket: Long = 4096L): DataFrame = {
+    require(levelBucket >= 1, s"levelBucket must be >= 1, got $levelBucket")
     val hk = expr(TextQ.ppmBucketExpr(
       "instr", "concat('ilv:', doc_id)", "STRING", offset = 1))
       .cast(LongType)
@@ -1358,13 +1363,22 @@ object CurationQ {
       .withColumn("hk", hk)
       .withColumn("r", row_number().over(wS).cast(LongType))
     val levels = ranked.groupBy(col("r")).agg(count(lit(1)).as("n"))
-      .withColumn("offset", coalesce(
-        sum(col("n")).over(Window.orderBy(col("r"))
+      .withColumn("lb", expr(s"r DIV ${levelBucket}L"))
+    val bucketOffsets = levels.groupBy(col("lb")).agg(sum(col("n")).as("bn"))
+      .withColumn("boffset", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("lb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("r"), col("offset"))
+      .select(col("lb"), col("boffset"))
+    val offsets = levels
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("lb")).orderBy(col("r"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .join(broadcast(bucketOffsets), Seq("lb"))
+      .select(col("r"), (col("boffset") + coalesce(col("cum"), lit(0L)))
+        .as("offset"))
     val wR = Window.partitionBy(col("r")).orderBy(col(groupCol))
     ranked.withColumn("rib", row_number().over(wR).cast(LongType))
-      .join(broadcast(levels), Seq("r"))
+      .join(offsets, Seq("r"))
       .select(col("doc_id"), col(groupCol),
         (col("offset") + col("rib")).as("ilv_rank"))
   }

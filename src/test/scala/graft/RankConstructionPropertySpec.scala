@@ -58,11 +58,13 @@ class RankConstructionPropertySpec extends SparkSpec {
   }
 
   test("interleaveBySource == naive (level, source) ROW_NUMBER on random mixes") {
-    val prop = Prop.forAll(docGen) { rows =>
+    // levelBucket 1 and 4 force level-bucket boundary crossings the
+    // 4096 default never hits at test scale
+    val prop = Prop.forAll(docGen, Gen.oneOf(1L, 4L, 4096L)) { (rows, lb) =>
       val docs = rows.zipWithIndex
         .map { case ((_, _, src), i) => (i.toLong, src) }
         .toDF("doc_id", "source")
-      val fast = CurationQ.interleaveBySource(docs)
+      val fast = CurationQ.interleaveBySource(docs, levelBucket = lb)
         .select($"doc_id", $"ilv_rank").as[(Long, Long)].collect().toMap
       val naive = docs.selectExpr("doc_id", "source",
           "conv(substr(md5(concat('ilv:', doc_id)), 1, 5), 16, 10) % 1000000 AS hk")
