@@ -29,7 +29,7 @@ object ScaleProbe {
     "q112_packed_spans", "q116_epoch_shuffle", "q118_vocab_overlap",
     "q120_token_encode", "q124_curriculum_rank", "q125_cluster_purity",
     "q126_distinctive_tokens", "q127_seq_assembly", "q129_doc_repetition",
-    "q130_shard_plan")
+    "q130_shard_plan", "q138_bpe_encode", "q139_dup_pagerank")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -58,11 +58,15 @@ object ScaleProbe {
         // replica) instead of densifying it: a real event corpus grows
         // by covering more time, and range-join pair volume then grows
         // linearly, not K² — densified replicas would conflate "more
-        // data" with "more concurrency". ts is raw nanos here (the
-        // session reads parquet TIMESTAMP(NANOS) as long), so the
-        // 31-day shift is applied in nanoseconds.
-        tsCol.fold(keyed)(c =>
-          keyed.withColumn(c, col(c) + lit(i * 31L * 86400L * 1000000000L)))
+        // data" with "more concurrency". The fixture's ts arrives either
+        // as raw nanos (legacy TIMESTAMP(NANOS) read as long) or as a
+        // plain timestamp (current micros fixtures) — shift accordingly.
+        tsCol.fold(keyed) { c =>
+          if (keyed.schema(c).dataType == org.apache.spark.sql.types.LongType)
+            keyed.withColumn(c, col(c) + lit(i * 31L * 86400L * 1000000000L))
+          else
+            keyed.withColumn(c, col(c) + expr(s"make_dt_interval(${i * 31}, 0, 0, 0)"))
+        }
       }.reduce(_ union _)
       out.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
     }

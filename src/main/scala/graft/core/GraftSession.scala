@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The synthetic tables carry isAdjustedToUTC=false timestamps, which
+      // Spark 4 would infer as TIMESTAMP_NTZ — a type that breaks epoch
+      // casts and diverges from the DuckDB oracle's naive-as-UTC reading.
+      // Read them as session-timezone (UTC) instants instead.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Singleton execution guard (reference: flock'd config file,
       // MFramework.cpp:487-601): a checkpoint dir is an instance lock —
       // a second start on it must FAIL FAST, not silently stop the live

@@ -17,14 +17,16 @@ object Tables {
 
   /** Load one fixture table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS); Spark reads it as
-    * a long when `nanosAsLong` is on, so we normalize to a microsecond
-    * TIMESTAMP here (truncating, which matches DuckDB's nanos→micros read
-    * path) so every downstream operator sees a plain timestamp column.
-    */
-  /** Reading `events` requires `spark.sql.legacy.parquet.nanosAsLong=true`,
-    * which [[GraftSession.builder]] sets; `load` itself never mutates session
-    * conf so concurrent queries see a stable session.
+    * `events.ts` has shipped in two physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark reads as a long
+    * under `nanosAsLong` (set by [[GraftSession.builder]]) and we
+    * normalize to a microsecond TIMESTAMP here (truncating, matching
+    * DuckDB's nanos→micros read path) — and plain micros with
+    * isAdjustedToUTC=false, which the session reads directly as a
+    * session-timezone TIMESTAMP (`inferTimestampNTZ` off). Either way
+    * every downstream operator sees one plain timestamp column, and
+    * `load` itself never mutates session conf so concurrent queries see
+    * a stable session.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

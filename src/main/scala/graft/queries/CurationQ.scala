@@ -1404,8 +1404,84 @@ object CurationQ {
       ORDER BY doc_id"""))
   }
 
+  /** Data-selection importance weights by TARGET-DOMAIN affinity — the
+    * linearized, exact-integer cousin of DSIR (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * given a target predicate (a trusted high-quality slice — here a
+    * language, in production a curated reference corpus), score every
+    * document by how its unigram mass rates under the target distribution
+    * versus the whole corpus. Docs whose tokens are characteristic of the
+    * target score > 1e6; boilerplate scores below. Feed the score into
+    * [[weightedSample]] and the pipeline is importance RESAMPLING toward
+    * the target domain.
+    *
+    * Exactness: token rates are Laplace-smoothed ppm integers
+    * (`(10⁶·(c+1)) DIV (T+V)` — q65's probability quantization), a doc's
+    * affinity is `(10⁶·Σ tf·rate_target) DIV Σ tf·rate_corpus` — BIGINT
+    * throughout, order-independent, engine-portable. Long bound:
+    * Σ tf·rate ≤ n_toks·10⁶, so docs up to ~10¹² tokens fit.
+    *
+    * Scale shape: one corpus explode → (doc, tok) tf aggregation (the
+    * only corpus-sized shuffle — q53 TF-IDF's shape); token rates are a
+    * vocabulary-sized re-aggregation with conditional sums (target is a
+    * flag, not a second scan) joined back on the token key; the scalar
+    * totals ride a broadcast. */
+  def domainAffinity(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), isTarget.cast(LongType).as("tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("tgt")).as("tgt"))
+    val rates = tf.groupBy(col("tok"))
+      .agg(sum(when(col("tgt") === 1L, col("tf")).otherwise(0L)).as("ct"),
+        sum(col("tf")).as("cc"))
+    val totals = rates.agg(
+      sum(col("ct")).as("tt"), sum(col("cc")).as("tc"),
+      count(lit(1)).as("v"))
+    val rated = rates.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("(1000000 * (ct + 1)) DIV (tt + v)").as("rt_ppm"),
+        expr("(1000000 * (cc + 1)) DIV (tc + v)").as("rc_ppm"))
+    tf.join(rated, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_toks"),
+        expr("(1000000 * SUM(tf * rt_ppm)) DIV SUM(tf * rc_ppm)")
+          .as("affinity_ppm"))
+  }
+
+  /** Oracle fixture of [[domainAffinity]]: target = English documents —
+    * en docs must dominate the top of the affinity ordering. */
+  private val q141 = GQuery(
+    "q141_domain_affinity",
+    (s, dir) => domainAffinity(t(s, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id")),
+    Some("""WITH e AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+            unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf, MAX(tgt) AS tgt
+             FROM e WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      rates AS (SELECT tok,
+          SUM(CASE WHEN tgt = 1 THEN tf ELSE 0 END) AS ct,
+          SUM(tf) AS cc
+        FROM tf GROUP BY tok),
+      totals AS (SELECT SUM(ct) AS tt, SUM(cc) AS tc, COUNT(*) AS v
+                 FROM rates),
+      rated AS (SELECT tok,
+          (1000000 * (ct + 1)) // (tt + v) AS rt_ppm,
+          (1000000 * (cc + 1)) // (tc + v) AS rc_ppm
+        FROM rates, totals)
+      SELECT doc_id, COUNT(*) AS n_types, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        CAST((1000000 * SUM(tf * rt_ppm)) // SUM(tf * rc_ppm) AS BIGINT)
+          AS affinity_ppm
+      FROM tf JOIN rated USING (tok)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135)
+      q133, q135, q141)
 }

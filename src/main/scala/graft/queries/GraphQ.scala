@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Dsl._
+
+/** Graph centrality over the near-duplicate candidate graph.
+  *
+  * [[TextQ.connectedComponents]] tells a dedup pass WHICH docs belong
+  * together; PageRank tells it WHICH ONE to keep: the highest-centrality
+  * member of a mirror family is the canonical origin (the page every
+  * mirror near-duplicates), a materially better survivor than q26b's
+  * min-doc_id or q69's length policy when families mix originals with
+  * truncated/boilerplate-wrapped copies.
+  *
+  * Exact-integer fixed point: ranks are ppm (parts-per-million of the
+  * uniform 1.0 mass), a neighbor's contribution is `rank_ppm DIV degree`
+  * and the damped update is `(10⁶ − damp) + (damp · Σcontrib) DIV 10⁶` —
+  * all BIGINT, so the result is engine-portable and independent of
+  * summation order, and the oracle replays it exactly. Quantization bias
+  * (≤1 ppm per edge per round) is irrelevant for the argmax use.
+  */
+object GraphQ {
+
+  /** `iterations` rounds of damped PageRank over the UNDIRECTED graph of
+    * candidate pairs (doc_a, doc_b); both directions are materialized, so
+    * every node has indegree = outdegree = its degree and no dangling-mass
+    * term is needed. Isolated docs (no candidate edge) are not ranked —
+    * they are their own canonical by definition.
+    *
+    * Scale shape: the edge table is materialized once (lineage cut, the
+    * [[TextQ.connectedComponents]] pattern) with its degree pre-joined;
+    * each round is one hash shuffle on the rank key and one on the
+    * neighbor key — O(iterations) shuffles over candidate-pair-sized
+    * data, never corpus-sized. Driver traffic: zero (no convergence
+    * check — the iteration budget is the contract, matching the oracle's
+    * fixed unrolling).
+    *
+    * Long-arithmetic bound: Σcontrib over a node's in-edges ≤ degree ·
+    * max-neighbor-rank; with band-capped candidate generation
+    * ([[TextQ.lshCandidates]]) degree is bounded by bands·maxBandSize, so
+    * `damp · Σ` stays far from Long overflow at any realistic corpus. */
+  def pagerankPpm(pairs: DataFrame, iterations: Int,
+      dampPpm: Long = 850000L, reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"dampPpm must be in [0, 1e6], got $dampPpm")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // candidate pairs are distinct with doc_a < doc_b, so the two-way
+    // union needs no dedup
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val edges = snap(sym.join(deg, Seq("u")))
+    var ranks = edges.select(col("u")).distinct()
+      .withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      ranks = snap(edges.join(ranks, Seq("u"))
+        .select(col("v"), expr("rank_ppm DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in_ppm"))
+        .select(col("v").as("u"),
+          (lit(1000000L - dampPpm) +
+            expr(s"(CAST($dampPpm AS BIGINT) * in_ppm) DIV 1000000")
+          ).as("rank_ppm")))
+    }
+    ranks.join(deg, Seq("u"))
+      .select(col("u").as("doc_id"), col("rank_ppm"),
+        col("deg").cast(LongType).as("degree"))
+  }
+
+  /** Oracle fixture of [[pagerankPpm]]: 3 rounds over q26's candidate
+    * graph (est Jaccard ≥ 0.25 — the exact `cand` CTE q26 pins). */
+  private val q139 = {
+    val iters = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.v AS u,
+            CAST(150000 + (850000 * SUM(r.rank_ppm // e.deg)) // 1000000
+              AS BIGINT) AS rank_ppm
+          FROM edges e JOIN r${i - 1} r ON e.u = r.u
+          GROUP BY e.v)"""
+    }.mkString(",\n")
+    GQuery(
+      "q139_dup_pagerank",
+      (s, dir) => pagerankPpm(
+        TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25),
+        iterations = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""${TextQ.minhashCandSql},
+        sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION ALL SELECT doc_b, doc_a FROM cand),
+        deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+        edges AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg USING (u)),
+        r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+        $iters
+        SELECT r3.u AS doc_id, r3.rank_ppm, CAST(deg.deg AS BIGINT) AS degree
+        FROM r3 JOIN deg ON r3.u = deg.u
+        ORDER BY doc_id"""))
+  }
+
+  /** The full centrality-based dedup decision: cluster the candidate
+    * graph ([[TextQ.connectedComponents]]) AND rank it ([[pagerankPpm]]),
+    * then keep the highest-centrality member per component (ties broken
+    * by min doc_id — a total order). One `is_canonical` row per ranked
+    * doc, directly anti-joinable against the corpus as the dedup filter.
+    *
+    * The candidate pairs are checkpointed ONCE here and feed both
+    * consumers — without that, the expensive LSH pipeline upstream would
+    * execute twice (each consumer cuts its own lineage internally but
+    * still needs the input materialized). */
+  def canonicalByCentrality(pairs: DataFrame, iterations: Int = 3,
+      reliable: Boolean = false): DataFrame = {
+    val p = if (reliable) pairs.checkpoint() else pairs.localCheckpoint()
+    val comps = TextQ.connectedComponents(p, reliable = reliable)
+    val ranks = pagerankPpm(p, iterations, reliable = reliable)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("rank_ppm").desc, col("doc_id"))
+    comps.join(ranks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("component"), col("rank_ppm"),
+        (col("rn") === 1).as("is_canonical"))
+  }
+
+  /** Oracle fixture of [[canonicalByCentrality]]: q26b's recursive
+    * component closure joined to q139's unrolled 3-round rank, argmax by
+    * (rank desc, doc_id) per component. */
+  private val q140 = {
+    val iters = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.v AS u,
+            CAST(150000 + (850000 * SUM(r.rank_ppm // e.deg)) // 1000000
+              AS BIGINT) AS rank_ppm
+          FROM edges e JOIN r${i - 1} r ON e.u = r.u
+          GROUP BY e.v)"""
+    }.mkString(",\n")
+    GQuery(
+      "q140_canonical_centrality",
+      (s, dir) => canonicalByCentrality(
+        TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25))
+        .orderBy(col("doc_id")),
+      Some(s"""${TextQ.minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION ALL SELECT doc_b, doc_a FROM cand),
+        deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+        edges AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg USING (u)),
+        r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+        $iters,
+        reach(u, v) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+                 FROM reach GROUP BY u)
+        SELECT c.doc_id, c.component, r3.rank_ppm,
+          ROW_NUMBER() OVER (PARTITION BY c.component
+            ORDER BY r3.rank_ppm DESC, c.doc_id) = 1 AS is_canonical
+        FROM comp c JOIN r3 ON c.doc_id = r3.u
+        ORDER BY c.doc_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q139, q140)
+}

@@ -18,7 +18,8 @@ object Registry {
   lazy val all: Seq[GQuery] =
     Relational.queries ++ WindowQ.queries ++ EventQ.queries ++
       AnalyticsQ.queries ++ TextQ.queries ++ CurationQ.queries ++
-      VectorQ.queries ++ PacketQ.queries
+      VectorQ.queries ++ PacketQ.queries ++ TokenizerQ.queries ++
+      GraphQ.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

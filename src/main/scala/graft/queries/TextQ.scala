@@ -138,8 +138,8 @@ object TextQ {
   }
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b, est_jaccard)` — the
-    * shared oracle prefix for q26 and q26b. */
-  private lazy val minhashCandSql = {
+    * shared oracle prefix for q26/q26b and GraphQ's q139. */
+  private[queries] lazy val minhashCandSql = {
     val sigCols = (0 until 8).map(i => s"MIN(${minhashLane(i, "h1", "h2")}) AS h$i").mkString(", ")
     val bandSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sig")

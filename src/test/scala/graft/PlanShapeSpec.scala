@@ -145,6 +145,22 @@ class PlanShapeSpec extends SparkSpec {
       s"factor application must not shuffle:\n$plan")
   }
 
+  test("q138 BPE apply joins the word map and aggregates partially") {
+    val plan = planOf("q138_bpe_encode")
+    // the vocabulary-sized segmentation map must come in as a join (AQE
+    // broadcasts it at fixture scale), never a cartesian; the per-doc
+    // rollup must be a partial HashAggregate
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q139 pagerank iterations are equi-joins over the checkpointed edges") {
+    val plan = planOf("q139_dup_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

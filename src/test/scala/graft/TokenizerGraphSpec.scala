@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraphQ, TokenizerQ}
+
+/** BPE merge learning and candidate-graph PageRank (round 5). */
+class TokenizerGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("BPE first merge is the most frequent adjacent pair, greedily applied") {
+    // 'ab' appears: 3 (abab ×2? no—) count pairs by word freq:
+    // words: "abab" ×2, "aaa" ×1 → pairs: (a,b)=2·2=4, (b,a)=2·1=2, (a,a)=2
+    val docs = docsOf("abab abab aaa")
+    val m = TokenizerQ.bpeMerges(docs, rounds = 1).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[String]("left_sym") == "a")
+    assert(m(0).getAs[String]("right_sym") == "b")
+    assert(m(0).getAs[String]("merged") == "ab")
+    assert(m(0).getAs[Long]("pair_freq") == 4L)
+  }
+
+  test("BPE merge is leftmost-first non-overlapping: 'aaa' + (a,a) -> [aa, a]") {
+    val docs = docsOf("aaaa aaa aa")
+    val m = TokenizerQ.bpeMerges(docs, rounds = 1).collect()
+    assert(m(0).getAs[String]("merged") == "aa")
+    // after merging (a,a): aaaa->2 toks, aaa->2 toks (aa+a), aa->1 tok
+    val counts = TokenizerQ.bpeTokenCounts(docs, rounds = 1)
+      .select("n_words", "n_chars", "n_bpe_tokens").as[(Long, Long, Long)]
+      .collect().head
+    assert(counts == ((3L, 9L, 5L)))
+  }
+
+  test("BPE merged symbol participates in later rounds") {
+    // round 1 merges the dominant (a,b) -> 'ab'; round 2 must be able to
+    // pick a pair whose left side IS 'ab' ('ab','c') from "abc" words
+    val docs = docsOf("abc abc abc ab ab")
+    val m = TokenizerQ.bpeMerges(docs, rounds = 2).collect()
+    assert(m(0).getAs[String]("merged") == "ab")
+    assert(m(0).getAs[Long]("pair_freq") == 5L)
+    assert(m(1).getAs[String]("left_sym") == "ab")
+    assert(m(1).getAs[String]("right_sym") == "c")
+    assert(m(1).getAs[Long]("pair_freq") == 3L)
+  }
+
+  test("BPE fails loudly when rounds exceed available merges") {
+    val docs = docsOf("ab ab")
+    intercept[IllegalStateException](
+      TokenizerQ.bpeMerges(docs, rounds = 5).collect())
+  }
+
+  test("BPE token counts shrink monotonically with more merges") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val t1 = TokenizerQ.bpeTokenCounts(docs, rounds = 1)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val t3 = TokenizerQ.bpeTokenCounts(docs, rounds = 3)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val chars = TokenizerQ.bpeTokenCounts(docs, rounds = 1)
+      .agg(sum("n_chars")).as[Long].head()
+    assert(t3 < t1, s"more merges must compress: r3=$t3 !< r1=$t1")
+    assert(t1 < chars, s"one merge must beat char-level: $t1 !< $chars")
+  }
+
+  test("pagerank matches a hand-rolled integer fixed point on a known graph") {
+    // path a-b-c plus pendant d on b: degrees a=1,b=3,c=1,d=1
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = GraphQ.pagerankPpm(pairs, iterations = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "rank_ppm", "degree").as[(Long, Long, Long)]
+      .collect()
+    // replay the exact integer recurrence in Scala
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 2L -> 4L, 4L -> 2L)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / deg(u) }.sum).toMap
+      rank = in.map { case (v, s) => v -> (150000L + 850000L * s / 1000000L) }
+    }
+    val want = rank.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v, deg(k)) }
+    assert(got.toSeq == want)
+    // the hub must dominate its leaves
+    val byId = got.map(r => r._1 -> r._2).toMap
+    assert(byId(2L) > byId(1L) && byId(2L) > byId(4L))
+    // symmetric leaves tie
+    assert(byId(1L) == byId(4L))
+  }
+
+  test("pagerank mass stays near uniform total (teleport conserves ppm)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val ranks = GraphQ.pagerankPpm(pairs, iterations = 4)
+      .select("rank_ppm").as[Long].collect()
+    // a symmetric cycle is already at the fixed point: every rank is
+    // exactly 1e6 minus only integer-division dust
+    assert(ranks.forall(r => r >= 999998L && r <= 1000000L), ranks.toSeq)
+  }
+
+  test("pagerank validates parameters") {
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException](GraphQ.pagerankPpm(pairs, 0))
+    intercept[IllegalArgumentException](
+      GraphQ.pagerankPpm(pairs, 1, dampPpm = 2000000L))
+  }
+
+  test("canonical-by-centrality keeps exactly the hub of each component") {
+    // component A: star around 2 (2-1, 2-3, 2-4); component B: pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = GraphQ.canonicalByCentrality(pairs)
+      .select("doc_id", "component", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val canon = got.filter(_._3).map(g => g._2 -> g._1).toMap
+    assert(canon(1L) == 2L, s"star hub must be canonical: $got")
+    assert(canon(10L) == 10L, s"symmetric pair ties break to min id: $got")
+    // exactly one canonical per component
+    assert(got.filter(_._3).map(_._2).distinct.size == 2)
+    assert(got.groupBy(_._2).forall { case (_, ms) => ms.count(_._3) == 1 })
+  }
+
+  test("domain affinity ranks target-characteristic docs above generic ones") {
+    import graft.queries.CurationQ
+    val docs = Seq(
+      (1L, "alpha alpha beta", "en"),   // target, characteristic tokens
+      (2L, "alpha beta beta", "en"),    // target
+      (3L, "alpha alpha alpha", "de"),  // non-target but target-like text
+      (4L, "gamma gamma delta", "de"),  // non-target, disjoint vocabulary
+      (5L, "gamma delta delta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = CurationQ.domainAffinity(docs, col("lang") === "en")
+      .select("doc_id", "affinity_ppm").as[(Long, Long)].collect().toMap
+    assert(got(3L) > got(4L),
+      s"target-like vocabulary must outscore disjoint vocabulary: $got")
+    assert(got(1L) > got(4L) && got(2L) > got(5L), got.toString)
+    // disjoint-vocab docs sit below the neutral 1e6 line, target docs above
+    assert(got(4L) < 1000000L && got(1L) > 1000000L, got.toString)
+  }
+}
