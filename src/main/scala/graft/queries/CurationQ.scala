@@ -1404,6 +1404,86 @@ object CurationQ {
       ORDER BY doc_id"""))
   }
 
+  /** Temperature-smoothed mixture targets (α = 1/2): target shares
+    * ∝ √n_s instead of caller-supplied constants — the multilingual
+    * smoothing (mBERT/XLM-style exponent sampling) that lifts tail
+    * languages without letting the head dominate. Derives the targets
+    * FROM the data, then reuses [[mixtureWeights]]' K/rate arithmetic so
+    * the output contract (rate_ppm, expected_kept) is identical.
+    *
+    * √n must be the same integer in both engines: `FLOOR(SQRT(double))`
+    * is correctly rounded but the floor can land one off once n's sqrt
+    * error crosses an integer (possible past ~2²⁶), so the value is
+    * re-anchored with one exact integer comparison step — `isqrt`
+    * semantics at any BIGINT scale. Tiny strata floor at target_ppm = 1
+    * (a 0 target would make the downsample constraint undefined).
+    *
+    * One corpus scan (the stratum count); everything after is
+    * stratum-sized with broadcast scalars. */
+  def temperatureMixWeights(docs: DataFrame, strataCol: String): DataFrame = {
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val tt = counts
+      .withColumn("t_raw",
+        expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sqrt_n", expr(
+        """CASE WHEN (t_raw + 1) * (t_raw + 1) <= n_docs THEN t_raw + 1
+                WHEN t_raw * t_raw > n_docs THEN t_raw - 1
+                ELSE t_raw END"""))
+      .drop("t_raw")
+    val sums = tt.agg(sum(col("sqrt_n")).as("st"), sum(col("n_docs")).as("total"))
+    val w = tt.crossJoin(broadcast(sums))
+      .withColumn("actual_ppm", expr("(1000000 * n_docs) DIV total"))
+      .withColumn("target_ppm", expr("greatest(1, (1000000 * sqrt_n) DIV st)"))
+    val k = w.agg(min(expr("(1000000 * n_docs) div target_ppm")).as("k_scaled"))
+    w.crossJoin(broadcast(k))
+      .withColumn("expected_kept", expr("(k_scaled * target_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        expr("least(1000000, (1000000 * expected_kept) div n_docs)"))
+      .select(col(strataCol), col("n_docs"), col("sqrt_n"), col("actual_ppm"),
+        col("target_ppm"), col("rate_ppm"), col("expected_kept"))
+  }
+
+  /** Apply [[temperatureMixWeights]] as a deterministic per-doc filter —
+    * same ppm-bucket coordinate as [[rebalanceToMix]]. */
+  def temperatureRebalance(docs: DataFrame, strataCol: String): DataFrame = {
+    val rates = temperatureMixWeights(docs, strataCol)
+      .select(col(strataCol), col("rate_ppm"))
+    val b = TextQ.ppmBucketExpr("instr", "doc_id", "STRING", offset = 9)
+    docs.join(broadcast(rates), Seq(strataCol))
+      .filter(expr(s"$b < rate_ppm"))
+      .drop("rate_ppm")
+  }
+
+  /** Oracle fixture of [[temperatureMixWeights]] over language strata. */
+  private val q142 = GQuery(
+    "q142_temperature_mix",
+    (s, dir) => temperatureMixWeights(t(s, dir, "documents"), "lang")
+      .orderBy(col("lang")),
+    Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_docs
+              FROM documents GROUP BY 1),
+      tr AS (SELECT lang, n_docs,
+          CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS t_raw
+        FROM counts),
+      tt AS (SELECT lang, n_docs,
+          CASE WHEN (t_raw + 1) * (t_raw + 1) <= n_docs THEN t_raw + 1
+               WHEN t_raw * t_raw > n_docs THEN t_raw - 1
+               ELSE t_raw END AS sqrt_n
+        FROM tr),
+      s AS (SELECT CAST(SUM(sqrt_n) AS BIGINT) AS st,
+              CAST(SUM(n_docs) AS BIGINT) AS total FROM tt),
+      w AS (SELECT lang, n_docs, sqrt_n,
+          (1000000 * n_docs) // total AS actual_ppm,
+          greatest(1, (1000000 * sqrt_n) // st) AS target_ppm
+        FROM tt, s),
+      k AS (SELECT MIN((1000000 * n_docs) // target_ppm) AS k_scaled FROM w)
+      SELECT lang, n_docs, sqrt_n, actual_ppm, target_ppm,
+        CAST(least(1000000,
+          (1000000 * ((k_scaled * target_ppm) // 1000000)) // n_docs)
+          AS BIGINT) AS rate_ppm,
+        CAST((k_scaled * target_ppm) // 1000000 AS BIGINT) AS expected_kept
+      FROM w, k
+      ORDER BY lang"""))
+
   /** Data-selection importance weights by TARGET-DOMAIN affinity — the
     * linearized, exact-integer cousin of DSIR (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
@@ -1483,5 +1563,5 @@ object CurationQ {
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141)
+      q133, q135, q141, q142)
 }

@@ -661,4 +661,45 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("temperature mix lifts tail strata and caps head strata") {
+    val w = CurationQ.temperatureMixWeights(docs, "lang")
+      .select("lang", "n_docs", "actual_ppm", "target_ppm", "rate_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLang = w.map(r => r._1 -> r).toMap
+    val head = w.maxBy(_._2)
+    val tail = w.minBy(_._2)
+    // sqrt smoothing: the dominant stratum's target share drops below its
+    // actual share, the rarest one's rises above it
+    assert(head._4 < head._3, s"head must be downweighted: $head")
+    assert(tail._4 > tail._3, s"tail must be upweighted: $tail")
+    assert(w.forall(_._5 <= 1000000L))
+    // isqrt anchor is exact on awkward counts: 15 -> 3, 16 -> 4, 17 -> 4
+    val synth = (1L to 15L).map(i => (i, "a")) ++
+      (1L to 16L).map(i => (i + 100, "b")) ++ (1L to 17L).map(i => (i + 200, "c"))
+    val sdf = synth.toDF("doc_id", "lang")
+    val roots = CurationQ.temperatureMixWeights(sdf, "lang")
+      .select("lang", "sqrt_n").as[(String, Long)].collect().toMap
+    assert(roots == Map("a" -> 3L, "b" -> 4L, "c" -> 4L), roots.toString)
+  }
+
+  test("temperature rebalance keeps ~rate_ppm of each stratum, deterministically") {
+    val rates = CurationQ.temperatureMixWeights(docs, "lang")
+      .select("lang", "n_docs", "rate_ppm").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val kept = CurationQ.temperatureRebalance(docs, "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    rates.foreach { case (lang, (n, ppm)) =>
+      val k = kept.getOrElse(lang, 0L)
+      val expect = n * ppm / 1000000L
+      // md5-bucket binomial noise: allow a generous band around expectation
+      assert(math.abs(k - expect) <= math.max(6L, n / 4),
+        s"$lang kept $k expected ~$expect of $n at $ppm ppm")
+    }
+    val a = CurationQ.temperatureRebalance(docs, "lang")
+      .select("doc_id").as[Long].collect().sorted
+    val b = CurationQ.temperatureRebalance(docs, "lang")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
 }
