@@ -55,7 +55,10 @@ object Bench {
     * check for that query (sentinel check still applies).
     */
   private def baselines(): Map[String, Double] = {
-    val row = """^\|\s*(q\S+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r
+    // .unanchored: `case row(...)` full-matches by default, and the table
+    // rows carry trailing columns — anchored, the map silently came back
+    // empty and the baseline trigger never fired (sentinel still did)
+    val row = """^\|\s*(q\S+)\s*\|\s*[\d.]+\s*\|\s*([\d.]+)\s*\|""".r.unanchored
     Seq("BASELINE.md", "/root/repo/BASELINE.md")
       .map(new java.io.File(_)).find(_.isFile).map { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")

@@ -1560,8 +1560,113 @@ object CurationQ {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Multi-class Naive-Bayes-family text classifier with in-sample
+    * confusion eval — the learned alternative to [[TextQ]]'s q31 n-gram
+    * lang-id heuristic, and the lightweight quality/domain classifier
+    * shape (fastText-class) a curation pipeline trains on weak labels.
+    *
+    * Scoring is POSTERIOR VOTING, kept exact-integer: per (token, class)
+    * a Laplace-smoothed ppm rate `(10⁶·(ct+1)) DIV (T_c+V)` over the
+    * FULL token×class grid (absent pairs get the smoothed-zero rate, so
+    * every class competes on every token), normalized per token into a
+    * posterior `(10⁶·rate_c) DIV Σ_c' rate_c'`, and a document's class
+    * score is Σ tf·posterior — each token votes with its class posterior,
+    * so a rare discriminative token contributes its full 10⁶-mass vote
+    * while a token common to all classes splits its vote evenly and
+    * cancels. (The Σ tf·log p formulation would need FP logs; posterior
+    * voting is the standard argmax-preserving integer surrogate with far
+    * better discrimination than raw Σ tf·rate, which head tokens
+    * dominate.) Argmax by (score desc, class) — a total order — reported
+    * as a (true, predicted) confusion matrix. Resubstitution eval
+    * (train = eval corpus) like the q99/q115 eval cards; the
+    * split-hygiene operators (q48/q81) supply held-out variants.
+    *
+    * Scale shape: one corpus explode → (doc, tok) tf (the corpus-sized
+    * shuffle, reused by the rate build via its exchange); the posterior
+    * grid is |vocabulary|·|classes| rows (classes must be few — lang-id /
+    * quality tiers, not open-world) built with one window over the token
+    * key; the scoring join fans each (doc, tok) row out |classes| ways
+    * before the per-(doc, class) aggregation; class totals ride
+    * broadcasts. */
+  def nbConfusion(docs: DataFrame, labelCol: String): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col(labelCol).as("true_label"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("true_label"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("tok"), col("true_label").as("cls"))
+      .agg(sum(col("tf")).as("ct"))
+    val v = counts.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val cls = counts.groupBy(col("cls")).agg(sum(col("ct")).as("tc"))
+      .crossJoin(broadcast(v))
+    val grid = counts.select(col("tok")).distinct()
+      .crossJoin(broadcast(cls))
+      .join(counts, Seq("tok", "cls"), "left")
+      .select(col("tok"), col("cls"),
+        expr("(1000000 * (coalesce(ct, 0) + 1)) DIV (tc + v)").as("rate_ppm"))
+    val wt = Window.partitionBy(col("tok"))
+    val posts = grid
+      .withColumn("tot", sum(col("rate_ppm")).over(wt))
+      .select(col("tok"), col("cls"),
+        expr("(1000000 * rate_ppm) DIV tot").as("post_ppm"))
+    val scores = tf.join(posts, Seq("tok"))
+      .groupBy(col("doc_id"), col("true_label"), col("cls"))
+      .agg(sum(col("tf") * col("post_ppm")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_label"), col("cls").as("pred_label"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Oracle fixture of [[nbConfusion]] on language labels. NOTE: the
+    * synthetic corpus's five "languages" share one identical 31-token
+    * vocabulary (verified: every lang pair's vocab overlap is 31/31), so
+    * lexical lang-id on THIS fixture is near-chance by construction —
+    * only rate differences carry signal. The oracle pins the exact
+    * arithmetic; the CurationSpec planted-vocabulary tests are what
+    * demonstrate discrimination when lexical signal exists. */
+  private val q143 = GQuery(
+    "q143_nb_confusion",
+    (s, dir) => nbConfusion(t(s, dir, "documents"), "lang")
+      .orderBy(col("true_label"), col("pred_label")),
+    Some("""WITH e AS (SELECT doc_id, lang AS true_label,
+            unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tf AS (SELECT doc_id, true_label, tok, COUNT(*) AS tf
+             FROM e WHERE len(tok) > 0 GROUP BY 1, 2, 3),
+      counts AS (SELECT tok, true_label AS cls, CAST(SUM(tf) AS BIGINT) AS ct
+                 FROM tf GROUP BY 1, 2),
+      v AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+      cls AS (SELECT cls, tc, v
+              FROM (SELECT cls, CAST(SUM(ct) AS BIGINT) AS tc
+                    FROM counts GROUP BY 1), v),
+      toks AS (SELECT DISTINCT tok FROM counts),
+      grid AS (SELECT t.tok, c.cls,
+          (1000000 * (COALESCE(ct, 0) + 1)) // (c.tc + c.v) AS rate_ppm
+        FROM toks t CROSS JOIN cls c
+        LEFT JOIN counts ON counts.tok = t.tok AND counts.cls = c.cls),
+      posts AS (SELECT tok, cls,
+          (1000000 * rate_ppm) //
+            (SUM(rate_ppm) OVER (PARTITION BY tok)) AS post_ppm
+        FROM grid),
+      scores AS (SELECT tf.doc_id, tf.true_label, posts.cls,
+          CAST(SUM(tf.tf * post_ppm) AS BIGINT) AS score
+        FROM tf JOIN posts ON tf.tok = posts.tok
+        GROUP BY 1, 2, 3),
+      pred AS (SELECT doc_id, true_label, cls AS pred_label
+        FROM scores
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, cls) = 1)
+      SELECT true_label, pred_label, COUNT(*) AS n_docs
+      FROM pred
+      GROUP BY 1, 2
+      ORDER BY true_label, pred_label"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142)
+      q133, q135, q141, q142, q143)
 }

@@ -702,4 +702,45 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("NB classifier separates disjoint vocabularies perfectly") {
+    val d = Seq(
+      (1L, "foo foo bar", "x"), (2L, "bar foo baz", "x"),
+      (3L, "qux quux corge", "y"), (4L, "corge qux qux", "y"))
+      .toDF("doc_id", "text", "lang")
+    val conf = CurationQ.nbConfusion(d, "lang")
+      .as[(String, String, Long)].collect().toSet
+    assert(conf == Set(("x", "x", 2L), ("y", "y", 2L)), conf.toString)
+  }
+
+  test("NB classifier assigns a mixed doc to its majority vocabulary class") {
+    val d = Seq(
+      (1L, "foo foo foo bar", "x"), (2L, "foo bar bar foo", "x"),
+      (3L, "qux qux corge corge", "y"), (4L, "corge qux corge qux", "y"),
+      // true label y, but its tokens are mostly class-x vocabulary
+      (5L, "foo bar foo qux", "y"))
+      .toDF("doc_id", "text", "lang")
+    val asMap = CurationQ.nbConfusion(d, "lang")
+      .select("true_label", "pred_label", "n_docs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap(("y", "x")) == 1L, s"mixed doc must flip to x: $asMap")
+    assert(asMap(("x", "x")) == 2L && asMap(("y", "y")) == 2L)
+  }
+
+  test("NB confusion on the fixture is well-formed and deterministic") {
+    // the fixture's langs share ONE 31-token vocabulary (no lexical
+    // signal by construction — see q143's doc), so assert structure, not
+    // accuracy: every doc classified exactly once, labels in-domain
+    val conf = CurationQ.nbConfusion(docs, "lang")
+      .select("true_label", "pred_label", "n_docs")
+      .as[(String, String, Long)].collect()
+    assert(conf.map(_._3).sum == docs.count(), "every doc classified once")
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(conf.forall(r => langs(r._1) && langs(r._2)))
+    val again = CurationQ.nbConfusion(docs, "lang")
+      .select("true_label", "pred_label", "n_docs")
+      .as[(String, String, Long)].collect()
+    assert(conf.toSet == again.toSet, "deterministic confusion")
+  }
 }
