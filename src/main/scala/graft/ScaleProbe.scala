@@ -29,7 +29,8 @@ object ScaleProbe {
     "q112_packed_spans", "q116_epoch_shuffle", "q118_vocab_overlap",
     "q120_token_encode", "q124_curriculum_rank", "q125_cluster_purity",
     "q126_distinctive_tokens", "q127_seq_assembly", "q129_doc_repetition",
-    "q130_shard_plan", "q138_bpe_encode", "q139_dup_pagerank")
+    "q130_shard_plan", "q138_bpe_encode", "q139_dup_pagerank",
+    "q141_domain_affinity", "q143_nb_confusion")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -90,11 +91,15 @@ object ScaleProbe {
 
     // SPARK_GRAFT_SCALE_MODE: "headline", "sim", or unset for both
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "all")
+    // dev-loop filter mirroring Bench/Verify: SPARK_GRAFT_PROBE_ONLY=q141_…
+    // probes just those headline queries; unset runs the full sweep
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
     // --- time 1x vs Kx --------------------------------------------------
     if (mode != "sim") {
       println(s"query,t1x_sec,t${k}x_sec,ratio")
-      headline.foreach { name =>
+      headline.filter(n => only.forall(_.contains(n))).foreach { name =>
         val q = queries.Registry.byName(name)
         noop(q.build(spark, srcDir)) // warm
         val t1 = Seq.fill(3)(time(noop(q.build(spark, srcDir)))).min

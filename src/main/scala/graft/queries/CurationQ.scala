@@ -1588,15 +1588,24 @@ object CurationQ {
     * key; the scoring join fans each (doc, tok) row out |classes| ways
     * before the per-(doc, class) aggregation; class totals ride
     * broadcasts. */
-  def nbConfusion(docs: DataFrame, labelCol: String): DataFrame = {
+  def nbConfusion(docs: DataFrame, labelCol: String,
+      reliable: Boolean = false): DataFrame = {
     val tf = docs
       .select(col("doc_id"), col(labelCol).as("true_label"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("true_label"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val counts = tf.groupBy(col("tok"), col("true_label").as("cls"))
+    // counts is vocabulary×classes-sized; materialize it ONCE (lineage
+    // cut, the connectedComponents pattern) — it has four consumers
+    // (vocab scalar, class totals, token list, the grid's left join),
+    // and without the cut each one re-executes the corpus explode: the
+    // probe measured 5 parquet scans and 5.6× wall at 10× data, vs 2
+    // scans (this counts build + the scoring join) and ~2× after.
+    val countsLazy = tf.groupBy(col("tok"), col("true_label").as("cls"))
       .agg(sum(col("tf")).as("ct"))
+    val counts =
+      if (reliable) countsLazy.checkpoint() else countsLazy.localCheckpoint()
     val v = counts.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
     val cls = counts.groupBy(col("cls")).agg(sum(col("ct")).as("tc"))
