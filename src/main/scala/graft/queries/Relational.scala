@@ -821,8 +821,39 @@ object Relational {
       WHERE rank <= 3
       ORDER BY priority, rank"""))
 
+  /** UNPIVOT (wide→long melt) — the inverse of q23's pivot: lineitem's
+    * four measure columns become (metric, value) rows, then a per-metric
+    * exact-decimal sum keeps the fixture compact. Spark's native
+    * `unpivot` is a map-side generator (no shuffle before the agg); the
+    * oracle spells the same relation as a UNION ALL, the portable
+    * formulation. */
+  private val q145 = GQuery(
+    "q145_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .orderBy(col("metric")),
+    Some(s"""SELECT metric, COUNT(*) AS n,
+        ${moneySumSql("value")} AS total
+      FROM (
+        SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+      GROUP BY metric
+      ORDER BY metric"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
       q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
-      q83, q107)
+      q83, q107, q145)
 }

@@ -69,6 +69,11 @@ object TokenizerQ {
         slice(syms, lit(2), size(syms) - 1), element_at(syms, 1), step))
   }
 
+  /** Test seam: [[mergeFold]] exposed for the property spec (which
+    * cross-checks it against a naive imperative greedy merge). */
+  private[graft] def testMergeFold(sym: Column, l: String, r: String): Column =
+    mergeFold(sym, l, r)
+
   /** Run `rounds` merge rounds; returns the merge list and the final
     * (word, freq, sym) table. Fails loudly if the vocabulary runs out of
     * adjacent pairs before `rounds` merges — silently returning fewer

@@ -409,6 +409,34 @@ object WindowQ {
         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** Distribution-rank window functions — ntile bucketing (the
+    * equal-count decile assignment reporting layers ask for) plus
+    * percent_rank/cume_dist. ntile/row-counts are exact integers;
+    * percent_rank and cume_dist are ratios of small integers computed as
+    * the same IEEE division in both engines, so the 6dp round is
+    * engine-stable. The (price desc, orderkey) order is total, making
+    * every bucket boundary deterministic. */
+  private val q144 = GQuery(
+    "q144_ntile_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(10).over(w).cast(LongType).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+        CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderkey"""))
+
   val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75,
-    q79, q95, q98)
+    q79, q95, q98, q144)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.queries.TokenizerQ
+
+/** Property test: the codegen'd BPE merge fold must agree with a naive
+  * imperative greedy leftmost-first merge on arbitrary symbol sequences
+  * and pairs — including the overlapping-run case (l == r) where greedy
+  * semantics are easiest to get wrong, and merged-symbol collisions
+  * (a symbol equal to l+r already present in the sequence).
+  */
+class BpePropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference implementation: scan left to right, merging (l, r) and
+    * consuming both operands so an overlapping second match cannot fire. */
+  private def naiveMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  // tiny alphabet → dense overlaps; include the two-char symbol "aa" so
+  // merged-output collisions (merging (a,a) where "aa" already exists)
+  // are generated
+  private val symGen = Gen.oneOf("a", "b", "c", "aa")
+  private val seqGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, symGen))
+  private val pairGen = Gen.zip(symGen, symGen)
+
+  test("mergeFold == naive greedy merge on random sequences and pairs") {
+    val prop = Prop.forAll(Gen.listOfN(25, seqGen), pairGen) { (seqs, pair) =>
+      val (l, r) = pair
+      // one round of bpeMerges is driven by the corpus argmax, so drive
+      // the fold directly through bpeTokenCounts' apply path instead:
+      // build docs whose words ARE the symbol sequences (joined by a
+      // char that never appears in symbols), learn nothing — use the
+      // package-private fold via a 1-round corpus where (l, r) wins
+      val docs = seqs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.mkString(" ")) }
+        .toDF("doc_id", "sym")
+      val got = docs
+        .withColumn("merged", TokenizerQ.testMergeFold(col("sym"), l, r))
+        .select("doc_id", "merged").as[(Long, String)].collect().toMap
+      seqs.zipWithIndex.forall { case (s, i) =>
+        got(i.toLong) == naiveMerge(s, l, r).mkString(" ")
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
