@@ -1831,8 +1831,52 @@ object TextQ {
       FROM u
       ORDER BY policy"""))
 
+  /** Ingest NOVELTY CURVE — per arrival batch, how much of the batch is
+    * new content vs an exact duplicate of anything earlier: the
+    * "is the crawl saturating?" monitor that decides when further
+    * ingestion stops paying. A doc is novel iff it is the FIRST
+    * occurrence of its content hash in arrival order (min doc_id per
+    * sha256 — doc_id is the fixture's arrival proxy; production passes
+    * its real ingest sequence). Batch = doc_id DIV batchSize. One hash
+    * shuffle (the per-hash window), a batch-sized aggregation, and a
+    * batch-count-sized cumulative window; novelty as exact ppm. */
+  def noveltyCurve(docs: DataFrame, batchSize: Long): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val wh = Window.partitionBy(sha2(col("text"), 256))
+    val wb = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("batch", expr(s"doc_id DIV ${batchSize}L"))
+      .withColumn("novel",
+        (col("doc_id") === min(col("doc_id")).over(wh)).cast(LongType))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) DIV n_docs"))
+      .withColumn("cum_unique", sum(col("n_novel")).over(wb))
+  }
+
+  /** Oracle fixture of [[noveltyCurve]] (batches of 100 doc_ids). */
+  private val q146 = GQuery(
+    "q146_novelty_curve",
+    (s, dir) => noveltyCurve(t(s, dir, "documents"), batchSize = 100L)
+      .orderBy(col("batch")),
+    Some("""WITH d AS (SELECT doc_id, doc_id // 100 AS batch,
+          CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+               THEN 1 ELSE 0 END AS novel
+        FROM documents),
+      b AS (SELECT batch, COUNT(*) AS n_docs,
+              CAST(SUM(novel) AS BIGINT) AS n_novel
+            FROM d GROUP BY batch)
+      SELECT batch, n_docs, n_novel,
+        (1000000 * n_novel) // n_docs AS novelty_ppm,
+        CAST(SUM(n_novel) OVER (ORDER BY batch
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_unique
+      FROM b
+      ORDER BY batch"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128, q129, q134)
+      q110, q111, q118, q120, q126, q128, q129, q134, q146)
 }

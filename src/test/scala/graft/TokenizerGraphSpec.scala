@@ -124,6 +124,22 @@ class TokenizerGraphSpec extends SparkSpec {
     assert(got.groupBy(_._2).forall { case (_, ms) => ms.count(_._3) == 1 })
   }
 
+  test("novelty curve counts first occurrences per batch, cumulative uniques") {
+    import graft.queries.TextQ
+    // batch 0: ids 0,1,2 (1 and 2 duplicate content); batch 1: ids 10
+    // (dup of 0 — NOT novel), 11 (new)
+    val docs = Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "beta"),
+      (10L, "alpha"), (11L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = TextQ.noveltyCurve(docs, batchSize = 10L)
+      .orderBy(col("batch"))
+      .select("batch", "n_docs", "n_novel", "novelty_ppm", "cum_unique")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L, 666666L, 2L), (1L, 2L, 1L, 500000L, 3L)),
+      got.toString)
+  }
+
   test("domain affinity ranks target-characteristic docs above generic ones") {
     import graft.queries.CurationQ
     val docs = Seq(
