@@ -590,6 +590,132 @@ object AnalyticsQ {
       FROM win WHERE abs(z) > 2.0
       ORDER BY event_type, day"""))
 
+  /** Inter-signal agreement (Cohen's κ) between two boolean document
+    * signals — the "do my two quality raters actually agree beyond
+    * chance?" eval every weak-supervision pipeline runs before trusting
+    * a label source. Exact-integer: observed agreement and the chance
+    * agreement of the marginals in ppm, κ quantized as
+    * `((po − pe)·10⁶) DIV (10⁶ − pe)` (κ = 1 exactly when po = 10⁶).
+    * One corpus scan aggregating the four contingency cells; everything
+    * after is scalar arithmetic. Returns one row: the 2×2 cells, po/pe,
+    * and kappa_ppm. */
+  def signalKappa(docs: DataFrame,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): DataFrame = {
+    val cells = docs.agg(
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    // pe = (r1·c1 + r0·c0)/n²; each term pre-scales its row marginal to
+    // ppm FIRST — `(10⁶·r DIV n)·c DIV n` — which caps intermediates at
+    // 10⁶·n (Long-safe to n ≈ 9·10¹²) with ≤1 ppm truncation, where the
+    // naive 10⁶·r·c DIV n² overflows past n ≈ 3·10⁶
+    cells
+      .withColumn("n", expr("n11 + n10 + n01 + n00"))
+      .withColumn("po_ppm", expr("(1000000 * (n11 + n00)) DIV n"))
+      .withColumn("pe_ppm", expr(
+        "((1000000 * (n11 + n10) DIV n) * (n11 + n01) DIV n) + " +
+          "((1000000 * (n01 + n00) DIV n) * (n10 + n00) DIV n)"))
+      // κ can be NEGATIVE (systematic disagreement), and Spark's DIV
+      // truncates toward zero where DuckDB's // floors — identical on
+      // positives, off by one on negatives. Floor explicitly via pmod
+      // ((x − pmod(x, d)) is an exact multiple of d) so both engines
+      // agree at every sign.
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm >= 1000000 THEN 1000000 ELSE " +
+          "(((po_ppm - pe_ppm) * 1000000) - " +
+          "pmod((po_ppm - pe_ppm) * 1000000, 1000000 - pe_ppm)) " +
+          "DIV (1000000 - pe_ppm) END"))
+  }
+
+  /** Oracle fixture of [[signalKappa]]: two correlated-but-different
+    * quality raters — a character-length gate vs a token-count gate —
+    * so the fixture exercises a non-degenerate κ strictly between
+    * chance and perfect. */
+  private val q147 = GQuery(
+    "q147_signal_kappa",
+    (s, dir) => signalKappa(t(s, dir, "documents"),
+      col("n_chars") >= 200, size(split(col("text"), " ")) >= 40)
+      .orderBy(col("n11")),
+    Some("""WITH c AS (SELECT
+        CAST(SUM(CASE WHEN n_chars >= 200 AND len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN n_chars >= 200 AND len(string_split(text, ' ')) < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN n_chars < 200 AND len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN n_chars < 200 AND len(string_split(text, ' ')) < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM documents),
+      m AS (SELECT *, n11 + n10 + n01 + n00 AS n FROM c),
+      p AS (SELECT *,
+          (1000000 * (n11 + n00)) // n AS po_ppm,
+          ((1000000 * (n11 + n10) // n) * (n11 + n01) // n)
+            + ((1000000 * (n01 + n00) // n) * (n10 + n00) // n) AS pe_ppm
+        FROM m)
+      SELECT n11, n10, n01, n00, n, po_ppm, pe_ppm,
+        CASE WHEN pe_ppm >= 1000000 THEN 1000000
+             ELSE ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) END
+          AS kappa_ppm
+      FROM p
+      ORDER BY n11"""))
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two sources'
+    * distributions of an integer metric (doc length here) — the
+    * whole-shape drift test that catches what mean/variance drift (q83)
+    * misses: a bimodal split, a truncation, a shifted tail. KS = max
+    * |CDF_a − CDF_b| over observed values; with integer counts both CDFs
+    * are exact ppm, so the statistic and its argmax location are
+    * engine-portable integers (argmax tiebreak: smallest value).
+    *
+    * Scale shape: one conditional-count aggregation on the metric value
+    * (the only data-sized shuffle), then a cumulative window + top-1 over
+    * the DISTINCT VALUE DOMAIN — bounded (lengths, scores), not
+    * corpus-sized, so the unpartitioned window is safe by construction
+    * (same argument as q124's bucket table). */
+  def ksDrift(docs: DataFrame, metric: org.apache.spark.sql.Column,
+      sourceA: String, sourceB: String): DataFrame = {
+    require(sourceA != sourceB, "sources must differ")
+    val g = docs.filter(col("source").isin(sourceA, sourceB))
+      .select(metric.cast(LongType).as("v"), col("source"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("cb"))
+    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff_ppm",
+        abs(expr("(1000000 * cum_a) DIV na - (1000000 * cum_b) DIV nb")))
+      .orderBy(col("diff_ppm").desc, col("v"))
+      .limit(1)
+      .select(col("na"), col("nb"), col("v").as("at_value"),
+        col("diff_ppm").as("ks_ppm"))
+  }
+
+  /** Oracle fixture of [[ksDrift]]: doc-length distributions of src0 vs
+    * src1. */
+  private val q148 = GQuery(
+    "q148_ks_drift",
+    (s, dir) => ksDrift(t(s, dir, "documents"), col("n_chars"),
+      "src0", "src1"),
+    Some("""WITH g AS (SELECT n_chars AS v,
+          CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM documents WHERE source IN ('src0', 'src1')
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+      c AS (SELECT v,
+          CAST(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        FROM g)
+      SELECT na, nb, v AS at_value,
+        abs((1000000 * cum_a) // na - (1000000 * cum_b) // nb) AS ks_ppm
+      FROM c, tot
+      ORDER BY ks_ppm DESC, v
+      LIMIT 1"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103, q104)
+    q96, q101, q102, q103, q104, q147, q148)
 }

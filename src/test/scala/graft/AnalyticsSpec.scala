@@ -173,4 +173,33 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 1L)))
   }
+
+  test("signal kappa: perfect, independent, and inverted raters") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, i % 2 == 0, i % 4 < 2))
+      .toDF("doc_id", "a", "b")
+    def kappa(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      AnalyticsQ.signalKappa(docs, a, b)
+        .select("kappa_ppm").as[Long].head()
+    assert(kappa(col("a"), col("a")) == 1000000L, "self-agreement is 1")
+    // a (period 2) vs b (period 4) are exactly independent on 100 rows
+    assert(kappa(col("a"), col("b")) == 0L, "independent raters score 0")
+    assert(kappa(col("a"), !col("a")) < -900000L, "inversion is strongly negative")
+  }
+
+  test("KS drift: identical distributions 0, disjoint distributions 1e6") {
+    import spark.implicits._
+    val same = ((0L until 50L).map(i => (i, i % 10, "src0")) ++
+      (0L until 50L).map(i => (i + 100, i % 10, "src1")))
+      .toDF("doc_id", "n_chars", "source")
+    val s0 = AnalyticsQ.ksDrift(same, col("n_chars"), "src0", "src1")
+      .select("ks_ppm").as[Long].head()
+    assert(s0 == 0L, s"identical dists must give 0, got $s0")
+    val disjoint = ((0L until 20L).map(i => (i, i % 5, "src0")) ++
+      (0L until 20L).map(i => (i + 100, 50 + i % 5, "src1")))
+      .toDF("doc_id", "n_chars", "source")
+    val s1 = AnalyticsQ.ksDrift(disjoint, col("n_chars"), "src0", "src1")
+      .select("ks_ppm").as[Long].head()
+    assert(s1 == 1000000L, s"disjoint dists must give 1e6, got $s1")
+  }
 }
