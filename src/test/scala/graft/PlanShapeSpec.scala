@@ -161,6 +161,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q146 novelty curve is one window pass, no joins") {
+    val plan = planOf("q146_novelty_curve")
+    assert(!plan.contains("Join"), s"hash-window construction needs no join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q148 KS drift aggregates values before the domain-sized window") {
+    val plan = planOf("q148_ks_drift")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-1 must be TakeOrdered, not global sort:\n$plan")
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
