@@ -1875,8 +1875,65 @@ object TextQ {
       FROM b
       ORDER BY batch"""))
 
+  /** Self-retrieval evaluation of the lexical stack — every sampled
+    * document's leading tokens become a query whose one relevant answer
+    * is the document itself; [[bm25TopK]] then either re-finds the
+    * origin or it doesn't. Reported as exact-integer hit@1 / hit@k and
+    * MRR ppm (reciprocal ranks are `10⁶ DIV rn` — integer-exact, the
+    * q136 RRF quantization). This is the standard index-quality
+    * smoke-eval needing no human labels; on an UNDEDUPLICATED corpus an
+    * exact mirror with a smaller doc_id legitimately outranks the origin
+    * under the deterministic (score, doc_id) tiebreak — run it after
+    * dedup, or read hit@k rather than hit@1, exactly as in production.
+    *
+    * Scale shape: inherits [[bm25TopK]]'s (query-vocabulary-bounded
+    * corpus join, per-query top-k); the eval adds one |queries|-sized
+    * left join and a scalar aggregation. */
+  def selfRetrievalEval(docs: DataFrame, sampleMod: Long = 25L,
+      snippetToks: Int = 8, topK: Int = 5): DataFrame = {
+    require(sampleMod >= 1 && snippetToks >= 1,
+      s"sampleMod/snippetToks must be >= 1, got $sampleMod/$snippetToks")
+    val q = docs.filter(col("doc_id") % sampleMod === 0L)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " "), 1, snippetToks), " ")
+          .as("qtext"))
+    val origin = bm25TopK(docs, q, topK)
+      .filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rn"))
+    q.select(col("query_id")).join(origin, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rn") === 1L, 1L).otherwise(0L)).as("hit_at_1"),
+        sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hit_at_k"),
+        sum(coalesce(expr("1000000 DIV rn"), lit(0L))).as("rr_sum"))
+      .withColumn("mrr_ppm", expr("rr_sum DIV n_queries"))
+  }
+
+  /** Oracle fixture of [[selfRetrievalEval]] (every 125th doc, 8-token
+    * snippets, k = 5). The thin 1/125 sample is deliberate: the fixture
+    * corpus has a 31-token vocabulary, so EVERY query matches EVERY doc
+    * and scoring cost is |queries|·|corpus| — the degenerate worst case a
+    * real vocabulary's per-token query fan-out never approaches. The
+    * planted-vocabulary spec covers the semantics densely. */
+  private val q149 = GQuery(
+    "q149_self_retrieval",
+    (s, dir) => selfRetrievalEval(t(s, dir, "documents"), sampleMod = 125L)
+      .orderBy(col("n_queries")),
+    Some(s"""WITH q(query_id, qtext) AS (
+        SELECT doc_id,
+          array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        FROM documents WHERE doc_id % 125 = 0),
+      $bm25RankedSql,
+      origin AS (SELECT query_id, rn FROM ranked
+                 WHERE doc_id = query_id AND rn <= 5)
+      SELECT COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit_at_1,
+        CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_at_k,
+        CAST(SUM(COALESCE(1000000 // rn, 0)) AS BIGINT) AS rr_sum,
+        CAST(SUM(COALESCE(1000000 // rn, 0)) // COUNT(*) AS BIGINT) AS mrr_ppm
+      FROM q LEFT JOIN origin USING (query_id)"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128, q129, q134, q146)
+      q110, q111, q118, q120, q126, q128, q129, q134, q146, q149)
 }

@@ -140,6 +140,22 @@ class TokenizerGraphSpec extends SparkSpec {
       got.toString)
   }
 
+  test("self-retrieval finds distinctive origins at rank 1, MRR exact") {
+    import graft.queries.TextQ
+    // distinct vocabularies → each snippet-query re-finds its origin
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta"),
+      (25L, "epsilon zeta eta theta epsilon zeta"),
+      (50L, "iota kappa lam mu iota kappa"),
+      (7L, "noise words here only"))
+      .toDF("doc_id", "text")
+    val got = TextQ.selfRetrievalEval(docs, sampleMod = 25L,
+      snippetToks = 4, topK = 3)
+      .select("n_queries", "hit_at_1", "hit_at_k", "mrr_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 3L, 3L, 1000000L)), got.toString)
+  }
+
   test("domain affinity ranks target-characteristic docs above generic ones") {
     import graft.queries.CurationQ
     val docs = Seq(
