@@ -1674,8 +1674,80 @@ object CurationQ {
       GROUP BY 1, 2
       ORDER BY true_label, pred_label"""))
 
+  /** Per-class DEFINING tokens by smoothed odds ratio (one-vs-rest) —
+    * the "fightin' words" analysis: for every class, the top-k tokens
+    * whose occurrence odds inside the class most exceed their odds
+    * outside it. Complements q126 (two-source rate deltas, head-biased)
+    * with a proper association measure across ALL classes at once, and
+    * feeds vocabulary audits of [[nbConfusion]]-style classifiers.
+    *
+    * Exactness across engines needs 128-bit intermediates: the smoothed
+    * OR `((a+1)·(r0−b+1)) / ((b+1)·(r1−a+1))` multiplies token counts,
+    * so both sides compute in wide integers — Spark DECIMAL(38,0) `div`,
+    * DuckDB HUGEINT `//` — which agree digit-for-digit (verified). The
+    * ppm value is saturated at 10⁹ (OR 1000×, "exclusive to the class")
+    * BEFORE the division — `least(num, cap·den) DIV den` — so the
+    * quotient always fits BIGINT and near-exclusive tokens can't
+    * overflow; valid to ~10¹² tokens per class side. */
+  def classTokens(docs: DataFrame, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ct = docs
+      .select(col(labelCol).as("cls"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"), col("cls")).agg(count(lit(1)).as("a"))
+    val wt = Window.partitionBy(col("tok"))
+    val tot = ct.agg(sum(col("a")).as("t_all"))
+    val cls = ct.groupBy(col("cls")).agg(sum(col("a")).as("r1"))
+    val or = ct
+      .withColumn("at", sum(col("a")).over(wt))
+      .join(broadcast(cls), Seq("cls"))
+      .crossJoin(broadcast(tot))
+      .withColumn("b", col("at") - col("a"))
+      .withColumn("r0", col("t_all") - col("r1"))
+      .withColumn("or_ppm", expr(
+        """least(
+             CAST(1000000 AS DECIMAL(38,0)) * (a + 1) * (r0 - b + 1),
+             CAST(1000000000 AS DECIMAL(38,0)) * ((b + 1) * (r1 - a + 1)))
+           div (CAST(b + 1 AS DECIMAL(38,0)) * (r1 - a + 1))""").cast(LongType))
+    val wc = Window.partitionBy(col("cls"))
+      .orderBy(col("or_ppm").desc, col("tok"))
+    or.withColumn("rn", row_number().over(wc).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("cls"), col("rn"), col("tok"), col("a"), col("b"),
+        col("or_ppm"))
+  }
+
+  /** Oracle fixture of [[classTokens]]: top-5 defining tokens per
+    * language. */
+  private val q150 = GQuery(
+    "q150_class_tokens",
+    (s, dir) => classTokens(t(s, dir, "documents"), "lang", k = 5)
+      .orderBy(col("cls"), col("rn")),
+    Some("""WITH e AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      ct AS (SELECT tok, cls, COUNT(*) AS a
+             FROM e WHERE len(tok) > 0 GROUP BY 1, 2),
+      tt AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS at FROM ct GROUP BY 1),
+      cl AS (SELECT cls, CAST(SUM(a) AS BIGINT) AS r1 FROM ct GROUP BY 1),
+      tot AS (SELECT CAST(SUM(a) AS BIGINT) AS t_all FROM ct),
+      o AS (SELECT ct.cls, ct.tok, ct.a, tt.at - ct.a AS b,
+          CAST(least(
+              CAST(1000000 AS HUGEINT) * (ct.a + 1) * (tot.t_all - cl.r1 - (tt.at - ct.a) + 1),
+              CAST(1000000000 AS HUGEINT) * (((tt.at - ct.a) + 1) * (cl.r1 - ct.a + 1)))
+            // (CAST((tt.at - ct.a) + 1 AS HUGEINT) * (cl.r1 - ct.a + 1))
+            AS BIGINT) AS or_ppm
+        FROM ct JOIN tt USING (tok) JOIN cl USING (cls), tot)
+      SELECT cls, rn, tok, a, b, or_ppm FROM (
+        SELECT cls, tok, a, b, or_ppm,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cls
+            ORDER BY or_ppm DESC, tok) AS BIGINT) AS rn
+        FROM o)
+      WHERE rn <= 5
+      ORDER BY cls, rn"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142, q143)
+      q133, q135, q141, q142, q143, q150)
 }

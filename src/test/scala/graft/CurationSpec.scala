@@ -728,6 +728,35 @@ class CurationSpec extends SparkSpec {
     assert(asMap(("x", "x")) == 2L && asMap(("y", "y")) == 2L)
   }
 
+  test("class tokens: exclusive token tops its class, shared token stays near 1x") {
+    val d = Seq(
+      (1L, "shared shared unique_x shared", "x"),
+      (2L, "shared unique_x shared shared", "x"),
+      (3L, "shared shared shared shared", "y"),
+      (4L, "shared shared shared shared", "y"))
+      .toDF("doc_id", "text", "lang")
+    val got = CurationQ.classTokens(d, "lang", k = 2)
+      .select("cls", "rn", "tok", "or_ppm")
+      .as[(String, Long, String, Long)].collect()
+    // hand-computed smoothed ORs: unique_x@x (a=2,b=0,r1=8,r0=8) =
+    // (3·9)/(1·7) = 3857142 ppm; shared@x (a=6,b=8) = (7·1)/(9·3) =
+    // 259259; shared@y (a=8,b=6) = (9·3)/(7·1) = 3857142
+    val byKey = got.map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    assert(byKey(("x", "unique_x")) == ((1L, 3857142L)), got.toSeq.toString)
+    assert(byKey(("x", "shared")) == ((2L, 259259L)), got.toSeq.toString)
+    assert(byKey(("y", "shared")) == ((1L, 3857142L)), got.toSeq.toString)
+    assert(got.length == 3, "unique_x has no y row (zero count)")
+  }
+
+  test("class tokens: fully exclusive common token saturates at the 1e9 cap") {
+    val xs = (1L to 30L).map(i => (i, "only_x only_x only_x", "x"))
+    val ys = (100L to 130L).map(i => (i, "only_y only_y only_y", "y"))
+    val got = CurationQ.classTokens((xs ++ ys).toDF("doc_id", "text", "lang"),
+      "lang", k = 1)
+      .select("cls", "tok", "or_ppm").as[(String, String, Long)].collect()
+    assert(got.forall(_._3 == 1000000000L), got.toSeq.toString)
+  }
+
   test("NB confusion on the fixture is well-formed and deterministic") {
     // the fixture's langs share ONE 31-token vocabulary (no lexical
     // signal by construction — see q143's doc), so assert structure, not
