@@ -50,10 +50,15 @@ object GraphQ {
       s"dampPpm must be in [0, 1e6], got $dampPpm")
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // materialize the INPUT first: `pairs` is typically the whole LSH
+    // candidate pipeline, and it is referenced three times below (both
+    // union branches + the degree build) — without the cut those
+    // branches can each re-execute it
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
     // candidate pairs are distinct with doc_a < doc_b, so the two-way
     // union needs no dedup
-    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val sym = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val edges = snap(sym.join(deg, Seq("u")))
     var ranks = edges.select(col("u")).distinct()

@@ -415,25 +415,29 @@ object WindowQ {
     * percent_rank and cume_dist are ratios of small integers computed as
     * the same IEEE division in both engines, so the 6dp round is
     * engine-stable. The (price desc, orderkey) order is total, making
-    * every bucket boundary deterministic. */
+    * every bucket boundary deterministic. Partitioned by CUSTOMER —
+    * high-cardinality, so reducers scale with the data; a
+    * low-cardinality partition key (priority, region) would funnel the
+    * corpus through a handful of reducers, and a GLOBAL ntile at scale
+    * is the q124 two-pass bucket construction, not a bare window. */
   private val q144 = GQuery(
     "q144_ntile_ranks",
     (s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
+      val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          ntile(10).over(w).cast(LongType).as("decile"),
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy(col("o_orderkey"))
     },
-    Some("""SELECT o_orderkey, o_orderpriority,
-        CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+    Some("""SELECT o_orderkey, o_custkey,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
         ROUND(CUME_DIST() OVER w, 6) AS cume
       FROM orders
-      WINDOW w AS (PARTITION BY o_orderpriority
+      WINDOW w AS (PARTITION BY o_custkey
         ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey"""))
 
