@@ -260,7 +260,14 @@ object Relational {
     * Rank arithmetic is `(49·n) DIV 100` / `(51·n + 99) DIV 100` on
     * BIGINTs — positive operands only, where Spark's truncating DIV and
     * DuckDB's flooring `//` agree. The bracket values are data values
-    * (identical parquet doubles), so they hash cleanly. */
+    * (identical parquet doubles), so they hash cleanly.
+    *
+    * Scale note: the exact-rank bracket needs a per-group total order, so
+    * the window funnels each returnflag group through one reducer. That
+    * is inherent to a discrete order statistic — at 100 TB run the
+    * CONTRACT CHECK on a deterministic hash sample per group (the q56
+    * coordinate), which bounds the sorted partition while the
+    * `approx_percentile` under test still sees the full data. */
   private val q14c = GQuery(
     "q109_percentile_contract",
     (s, dir) => {
