@@ -30,7 +30,8 @@ object ScaleProbe {
     "q120_token_encode", "q124_curriculum_rank", "q125_cluster_purity",
     "q126_distinctive_tokens", "q127_seq_assembly", "q129_doc_repetition",
     "q130_shard_plan", "q138_bpe_encode", "q139_dup_pagerank",
-    "q141_domain_affinity", "q143_nb_confusion", "q146_novelty_curve")
+    "q141_domain_affinity", "q143_nb_confusion", "q146_novelty_curve",
+    "q148_ks_drift", "q150_class_tokens")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
