@@ -1,0 +1,79 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQ, GraphQ, TextQ}
+
+/** The curation stages composed END-TO-END — the path a corpus actually
+  * takes from raw crawl to training-ready rows, wired from the operators
+  * the oracle gate pins individually:
+  *
+  *   1. quality gate   — [[CurationQ.curationVerdict]] (PII redaction,
+  *      token/stopword/repetition thresholds, reason bitmask)
+  *   2. near-dup dedup — [[GraphQ.canonicalByCentrality]] over the
+  *      MinHash-LSH candidate graph: each mirror family keeps its
+  *      highest-centrality member
+  *   3. mixture        — [[CurationQ.temperatureRebalance]] (α = 1/2
+  *      smoothing over a stratum column)
+  *   4. split          — [[TextQ.leakageSafeSplit]] (cluster-atomic, so
+  *      near-dups never straddle train/eval)
+  *
+  * Each stage consumes only the previous stage's SURVIVORS, which is the
+  * order that matters at 100 TB: the quality gate is a codegen'd scan
+  * that cheaply shrinks the corpus before the (more expensive) candidate
+  * join, and dedup runs before mixture weights so duplicate families
+  * can't inflate a stratum's measured share. Stage costs and scale
+  * shapes are each documented at the operator.
+  *
+  * Returns (doc_id, stratum, split, keep_reason_bitmask) for every INPUT
+  * doc: survivors carry their split assignment, rejected docs carry the
+  * stage that cut them — the per-doc lineage a data card needs.
+  */
+object CurationPipeline {
+
+  /** Rejection stages, as a small integer (0 = survived). */
+  val KeptCode = 0L
+  val CutByQuality = 1L
+  val CutAsDuplicate = 2L
+  val CutByMixture = 3L
+
+  def run(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    // 1. quality verdict over the full input
+    val verdict = CurationQ.curationVerdict(docs)
+      .select(col("doc_id"), col("keep"))
+    val afterQuality = docs.join(verdict, Seq("doc_id"))
+      .filter(col("keep") === 1L).drop("keep")
+
+    // 2. canonical selection over the quality survivors' candidate graph
+    val canon = GraphQ.canonicalByCentrality(
+      TextQ.lshCandidates(TextQ.minhashBands(afterQuality))
+        .filter(col("est_jaccard") >= 0.25))
+      .select(col("doc_id"), col("is_canonical"))
+    // docs with no candidate edge are their own canonical
+    val afterDedup = afterQuality.join(canon, Seq("doc_id"), "left")
+      .filter(coalesce(col("is_canonical"), lit(true)))
+      .drop("is_canonical")
+
+    // 3. temperature mixture over the deduplicated corpus
+    val afterMix = CurationQ.temperatureRebalance(afterDedup, strataCol)
+
+    // 4. cluster-atomic split over the final survivors
+    val split = TextQ.leakageSafeSplit(afterMix)
+      .select(col("doc_id"), col("split"))
+
+    // lineage: LEFT joins back onto the input, first cut wins
+    docs.select(col("doc_id"), col(strataCol).as("stratum"))
+      .join(verdict.withColumnRenamed("keep", "q_keep"), Seq("doc_id"), "left")
+      .join(afterDedup.select(col("doc_id"), lit(1L).as("d_keep")),
+        Seq("doc_id"), "left")
+      .join(afterMix.select(col("doc_id"), lit(1L).as("m_keep")),
+        Seq("doc_id"), "left")
+      .join(split, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stratum"), col("split"),
+        when(col("q_keep") =!= 1L, lit(CutByQuality))
+          .when(col("d_keep").isNull, lit(CutAsDuplicate))
+          .when(col("m_keep").isNull, lit(CutByMixture))
+          .otherwise(lit(KeptCode)).as("cut_stage"))
+  }
+}
