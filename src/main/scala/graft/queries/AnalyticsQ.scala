@@ -677,18 +677,32 @@ object AnalyticsQ {
       .groupBy(col("v"))
       .agg(sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("cb"))
+    // Loud empty-source guard: a misspelled or absent source would make
+    // na/nb zero (or null when BOTH are empty) and the ppm CDF division
+    // an opaque ANSI divide-by-zero. The guarded totals row DRIVES the
+    // output (the argmax row left-joins onto it), so the guard evaluates
+    // even when the grouped table is empty and AQE empty-propagation
+    // would otherwise skip every other subtree.
     val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .select(
+        expr(s"CASE WHEN na IS NULL OR na = 0 THEN raise_error(" +
+          s"'graft.ksDrift: source \\'$sourceA\\' has no rows under the " +
+          s"metric — check the source name') ELSE na END").as("na"),
+        expr(s"CASE WHEN nb IS NULL OR nb = 0 THEN raise_error(" +
+          s"'graft.ksDrift: source \\'$sourceB\\' has no rows under the " +
+          s"metric — check the source name') ELSE nb END").as("nb"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.withColumn("cum_a", sum(col("ca")).over(w))
+    val best = g.withColumn("cum_a", sum(col("ca")).over(w))
       .withColumn("cum_b", sum(col("cb")).over(w))
       .crossJoin(broadcast(tot))
       .withColumn("diff_ppm",
         abs(expr("(1000000 * cum_a) DIV na - (1000000 * cum_b) DIV nb")))
       .orderBy(col("diff_ppm").desc, col("v"))
       .limit(1)
-      .select(col("na"), col("nb"), col("v").as("at_value"),
-        col("diff_ppm").as("ks_ppm"))
+      .select(col("v").as("at_value"), col("diff_ppm").as("ks_ppm"))
+    tot.join(best, lit(true), "left")
+      .select(col("na"), col("nb"), col("at_value"), col("ks_ppm"))
   }
 
   /** Oracle fixture of [[ksDrift]]: doc-length distributions of src0 vs

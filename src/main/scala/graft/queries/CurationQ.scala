@@ -1496,10 +1496,16 @@ object CurationQ {
     * the target domain.
     *
     * Exactness: token rates are Laplace-smoothed ppm integers
-    * (`(10⁶·(c+1)) DIV (T+V)` — q65's probability quantization), a doc's
-    * affinity is `(10⁶·Σ tf·rate_target) DIV Σ tf·rate_corpus` — BIGINT
-    * throughout, order-independent, engine-portable. Long bound:
-    * Σ tf·rate ≤ n_toks·10⁶, so docs up to ~10¹² tokens fit.
+    * (`greatest(1, (10⁶·(c+1)) DIV (T+V))` — q65's probability
+    * quantization, floored at 1 ppm so a corpus past 10⁶·(c+1) tokens
+    * can't quantize a rate to zero: without the floor a doc whose tokens
+    * all underflow would zero the affinity denominator and fail the
+    * division under ANSI mode), a doc's affinity is
+    * `(10⁶·Σ tf·rate_target) DIV Σ tf·rate_corpus` — BIGINT throughout,
+    * order-independent, engine-portable. Valid bounds: overflow at
+    * Σ tf·rate ≤ n_toks·10⁶ (docs up to ~10¹² tokens fit); underflow
+    * handled by the 1-ppm floor (rates saturate at the floor once
+    * corpus tokens exceed ~10⁶·(c+1)).
     *
     * Scale shape: one corpus explode → (doc, tok) tf aggregation (the
     * only corpus-sized shuffle — q53 TF-IDF's shape); token rates are a
@@ -1522,8 +1528,8 @@ object CurationQ {
       count(lit(1)).as("v"))
     val rated = rates.crossJoin(broadcast(totals))
       .select(col("tok"),
-        expr("(1000000 * (ct + 1)) DIV (tt + v)").as("rt_ppm"),
-        expr("(1000000 * (cc + 1)) DIV (tc + v)").as("rc_ppm"))
+        expr("greatest(1L, (1000000 * (ct + 1)) DIV (tt + v))").as("rt_ppm"),
+        expr("greatest(1L, (1000000 * (cc + 1)) DIV (tc + v))").as("rc_ppm"))
     tf.join(rated, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_types"),
@@ -1550,8 +1556,8 @@ object CurationQ {
       totals AS (SELECT SUM(ct) AS tt, SUM(cc) AS tc, COUNT(*) AS v
                  FROM rates),
       rated AS (SELECT tok,
-          (1000000 * (ct + 1)) // (tt + v) AS rt_ppm,
-          (1000000 * (cc + 1)) // (tc + v) AS rc_ppm
+          GREATEST(1, (1000000 * (ct + 1)) // (tt + v)) AS rt_ppm,
+          GREATEST(1, (1000000 * (cc + 1)) // (tc + v)) AS rc_ppm
         FROM rates, totals)
       SELECT doc_id, COUNT(*) AS n_types, CAST(SUM(tf) AS BIGINT) AS n_toks,
         CAST((1000000 * SUM(tf * rt_ppm)) // SUM(tf * rc_ppm) AS BIGINT)
@@ -1566,7 +1572,9 @@ object CurationQ {
     * shape (fastText-class) a curation pipeline trains on weak labels.
     *
     * Scoring is POSTERIOR VOTING, kept exact-integer: per (token, class)
-    * a Laplace-smoothed ppm rate `(10⁶·(ct+1)) DIV (T_c+V)` over the
+    * a Laplace-smoothed ppm rate `greatest(1, (10⁶·(ct+1)) DIV (T_c+V))`
+    * (floored at 1 ppm so huge class corpora can't quantize a token's
+    * whole rate row to zero and void its posterior denominator) over the
     * FULL token×class grid (absent pairs get the smoothed-zero rate, so
     * every class competes on every token), normalized per token into a
     * posterior `(10⁶·rate_c) DIV Σ_c' rate_c'`, and a document's class
@@ -1614,7 +1622,11 @@ object CurationQ {
       .crossJoin(broadcast(cls))
       .join(counts, Seq("tok", "cls"), "left")
       .select(col("tok"), col("cls"),
-        expr("(1000000 * (coalesce(ct, 0) + 1)) DIV (tc + v)").as("rate_ppm"))
+        // floored at 1 ppm like [[domainAffinity]]'s rates: past
+        // ~10⁶·(ct+1) class tokens the smoothed rate quantizes to zero,
+        // and an all-zero token row would zero the posterior window total
+        expr("greatest(1L, (1000000 * (coalesce(ct, 0) + 1)) DIV (tc + v))")
+          .as("rate_ppm"))
     val wt = Window.partitionBy(col("tok"))
     val posts = grid
       .withColumn("tot", sum(col("rate_ppm")).over(wt))
@@ -1654,7 +1666,8 @@ object CurationQ {
                     FROM counts GROUP BY 1), v),
       toks AS (SELECT DISTINCT tok FROM counts),
       grid AS (SELECT t.tok, c.cls,
-          (1000000 * (COALESCE(ct, 0) + 1)) // (c.tc + c.v) AS rate_ppm
+          GREATEST(1, (1000000 * (COALESCE(ct, 0) + 1)) // (c.tc + c.v))
+            AS rate_ppm
         FROM toks t CROSS JOIN cls c
         LEFT JOIN counts ON counts.tok = t.tok AND counts.cls = c.cls),
       posts AS (SELECT tok, cls,

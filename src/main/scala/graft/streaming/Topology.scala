@@ -85,6 +85,42 @@ object Topology {
     confs
   }
 
+  /** Literal-safe identifier rewrite: replace word-boundary occurrences
+    * of `from` with `to` everywhere EXCEPT inside single-quoted SQL
+    * string literals, which pass through byte-identical. Honors both
+    * Spark literal escapes (`''` doubling and backslash), so a quoted
+    * `'__input'` — or `'it''s __input'` — survives the rewrite while the
+    * table reference `FROM __input` is substituted. An identifier like
+    * `x__input2` is untouched by the word boundary, as before. */
+  private[graft] def rewriteOutsideLiterals(sql: String, from: String,
+      to: String): String = {
+    val pat = s"\\b$from\\b"
+    val sb = new StringBuilder
+    var i = 0
+    var segStart = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        sb.append(sql.substring(segStart, i).replaceAll(pat, to))
+        val litStart = i
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          sql.charAt(i) match {
+            case '\\' => i += (if (i + 1 < sql.length) 2 else 1)
+            case '\'' =>
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            case _ => i += 1
+          }
+        }
+        sb.append(sql.substring(litStart, i))
+        segStart = i
+      } else i += 1
+    }
+    sb.append(sql.substring(segStart).replaceAll(pat, to))
+    sb.toString
+  }
+
   /** Build the [[StageSpec]] a config row describes: streaming source on
     * `input_dir`, the config SQL as the transform, streaming sink on
     * `output_dir` with a per-stage checkpoint under `checkpointRoot`. */
@@ -97,10 +133,7 @@ object Topology {
         .load(c.inputDir),
       transform = df => {
         df.createOrReplaceTempView(view)
-        // word-boundary rewrite: an identifier like `x__input2` survives;
-        // `__input` inside a string literal would still rewrite — config
-        // SQL wanting that literal should spell it differently
-        spark.sql(c.transformSql.replaceAll(s"\\b$InputView\\b", view))
+        spark.sql(rewriteOutsideLiterals(c.transformSql, InputView, view))
       },
       sink = df => df.writeStream.format(c.format)
         .option("path", c.outputDir)

@@ -202,4 +202,24 @@ class AnalyticsSpec extends SparkSpec {
       .select("ks_ppm").as[Long].head()
     assert(s1 == 1000000L, s"disjoint dists must give 1e6, got $s1")
   }
+
+  test("KS drift: an empty or misspelled source fails loudly, not div/0") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, i % 10, "src0"))
+      .toDF("doc_id", "n_chars", "source")
+    // one side present, the other absent
+    val e1 = intercept[Exception] {
+      AnalyticsQ.ksDrift(docs, col("n_chars"), "src0", "srcTYPO").collect()
+    }
+    assert(e1.getMessage.contains("srcTYPO") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("srcTYPO"),
+      s"error must name the empty source, got: ${e1.getMessage}")
+    // both sides absent (filter leaves zero rows)
+    val e2 = intercept[Exception] {
+      AnalyticsQ.ksDrift(docs, col("n_chars"), "nopeA", "nopeB").collect()
+    }
+    val msg2 = Option(e2.getCause).map(_.getMessage).getOrElse("") + e2.getMessage
+    assert(msg2.contains("nope"),
+      s"both-empty case must still fail with a named source, got: ${e2.getMessage}")
+  }
 }

@@ -772,4 +772,31 @@ class CurationSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     assert(conf.toSet == again.toSet, "deterministic confusion")
   }
+
+  test("domain affinity survives ppm-rate underflow on a mega corpus") {
+    // ~3e6 corpus tokens push a once-seen token's smoothed corpus rate
+    // (1e6*(cc+1)) DIV (tc+v) to 0; the 1-ppm floor keeps the affinity
+    // denominator nonzero where unguarded arithmetic is an ANSI div/0
+    val bulk = spark.range(30)
+      .selectExpr("id AS doc_id", "trim(repeat('filler ', 100000)) AS text",
+        "'en' AS lang")
+    val rare = Seq((999L, "rareword", "de")).toDF("doc_id", "text", "lang")
+    val got = CurationQ.domainAffinity(bulk.unionByName(rare),
+        col("lang") === "en")
+      .filter(col("doc_id") === 999L)
+      .select("affinity_ppm").as[Long].collect()
+    assert(got.length == 1, "the rare doc must score without a div/0")
+    assert(got.head >= 0L, got.toSeq.toString)
+  }
+
+  test("NB confusion survives ppm-rate underflow on a mega corpus") {
+    val bulk = spark.range(30)
+      .selectExpr("id AS doc_id", "trim(repeat('filler ', 100000)) AS text",
+        "'en' AS lang")
+    val rare = Seq((999L, "rareword", "de")).toDF("doc_id", "text", "lang")
+    val conf = CurationQ.nbConfusion(bulk.unionByName(rare), "lang")
+      .select("true_label", "pred_label", "n_docs")
+      .as[(String, String, Long)].collect()
+    assert(conf.map(_._3).sum == 31L, "every doc classified once")
+  }
 }

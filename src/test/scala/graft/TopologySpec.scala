@@ -135,4 +135,23 @@ class TopologySpec extends SparkSpec {
       Topology.parse(configDf(("", a, "parquet", sql, b, "")))
     }
   }
+
+  test("__input inside a string literal passes through unrewritten") {
+    def rw(sql: String) =
+      Topology.rewriteOutsideLiterals(sql, "__input", "stageA__input")
+    // the table reference rewrites; the quoted literal does not
+    assert(rw("SELECT '__input' AS tag, id FROM __input") ==
+      "SELECT '__input' AS tag, id FROM stageA__input")
+    // '' doubling escape: literal stays intact, reference still rewrites
+    assert(rw("SELECT 'it''s __input here' AS t FROM __input") ==
+      "SELECT 'it''s __input here' AS t FROM stageA__input")
+    // backslash escape inside the literal does not end it early
+    assert(rw("SELECT 'a\\'__input' AS t FROM __input") ==
+      "SELECT 'a\\'__input' AS t FROM stageA__input")
+    // word boundary still respected outside literals
+    assert(rw("SELECT x__input2 FROM __input") ==
+      "SELECT x__input2 FROM stageA__input")
+    // unterminated literal (malformed SQL): no rewrite inside it, no crash
+    assert(rw("SELECT '__input FROM __input") == "SELECT '__input FROM __input")
+  }
 }
