@@ -782,22 +782,44 @@ object CurationQ {
     * of its tokens land there. Every chunk except each group's LAST sums
     * to exactly `seqLen` — pack efficiency is structural, not luck.
     *
-    * Packing is order-defined, so it is computed per `groupCol` with one
-    * window cumsum: a single hash exchange on the group key, then an
-    * in-partition sort by doc_id. The chunk fan-out (`sequence` over the
-    * doc's chunk range) is map-side. At 100 TB with few distinct groups
-    * the per-group sort is the honest bottleneck — shard the group column
-    * first (e.g. `concat(source, '_', doc_id div 1000000)`): determinism
-    * is kept, parallelism is restored, and the waste is bounded by one
-    * short chunk per shard. */
+    * Packing is order-defined per `groupCol`, but the engine does NOT
+    * serialize a group onto one reducer: the per-group running token sum
+    * is computed with the [[globalRankBy]] two-pass bucket construction
+    * applied WITHIN each group. Docs bucket by `floor(doc_id /
+    * bucketDocs)` — monotone in doc_id, so ordering by (bucket, doc_id)
+    * IS the doc_id order — per-(group, bucket) token subtotals aggregate
+    * to a tiny broadcast offset table, and a doc's running total is its
+    * bucket's offset plus the in-bucket cumsum. Result-identical to the
+    * naive one-window-per-group cumsum (q112/q151 hash-prove it against
+    * that oracle); parallelism is groups × buckets, so one dominant
+    * source at 100 TB spreads over |corpus| / bucketDocs reducers
+    * instead of one. The chunk fan-out (`sequence` over the doc's chunk
+    * range) stays map-side. Dial: the offset table is |corpus| /
+    * bucketDocs rows — at 10¹⁰ docs raise `bucketDocs` (10⁶ → a 10⁴-row
+    * broadcast) to keep it broadcast-sized. */
   def packedChunkSpans(docs: DataFrame, seqLen: Int,
-      groupCol: String = "source"): DataFrame = {
+      groupCol: String = "source", bucketDocs: Long = 8192L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
-    docs.select(col(groupCol), col("doc_id"),
+    require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
+    // floor-div via pmod so negative doc_ids stay monotone (DIV truncates)
+    val bkt = expr(s"(doc_id - pmod(doc_id, ${bucketDocs}L)) DIV ${bucketDocs}L")
+    val base = docs.select(col(groupCol), col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_toks"))
       .filter(col("n_toks") > 0)
-      .withColumn("tok_end", sum(col("n_toks")).over(w))
+      .withColumn("bkt", bkt)
+    val offsets = base.groupBy(col(groupCol), col("bkt"))
+      .agg(sum(col("n_toks")).as("bn"))
+      .withColumn("boff", coalesce(
+        sum(col("bn")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("bkt"), col("boff"))
+    val w = Window.partitionBy(col(groupCol), col("bkt")).orderBy(col("doc_id"))
+    base
+      .withColumn("tok_end",
+        sum(col("n_toks")).over(w))
+      .join(broadcast(offsets), Seq(groupCol, "bkt"))
+      .withColumn("tok_end", col("boff") + col("tok_end"))
       .withColumn("tok_start", col("tok_end") - col("n_toks"))
       .withColumn("chunk_id", explode(sequence(
         expr(s"tok_start div ${seqLen}L"),
@@ -1068,28 +1090,43 @@ object CurationQ {
     * except each group's last is exactly `seqLen` ids).
     *
     * Scale shape: the dense re-rank and the per-doc token counts share
-    * one hash exchange on doc_id; the per-group cumulative start is a
-    * window over the DOC-count-sized count table (not the token table);
-    * the token→id lookup is a broadcast of the vocabSize-row vocab; the
-    * chunk/position arithmetic is map-side. Like [[packedChunkSpans]],
-    * packing is order-defined per `groupCol` — shard a huge group first
-    * to restore parallelism at 100 TB. */
+    * one hash exchange on doc_id; the per-group cumulative start runs
+    * over the DOC-count-sized count table (not the token table) with the
+    * same within-group bucket-offset construction as
+    * [[packedChunkSpans]] — per-(group, bucket) windows plus a broadcast
+    * cumulative-offset table, result-identical to the single
+    * window-per-group cumsum (q127/q152 hash-prove it) — so a dominant
+    * source spreads over |group docs| / bucketDocs reducers instead of
+    * serializing; the token→id lookup is a broadcast of the
+    * vocabSize-row vocab; the chunk/position arithmetic is map-side. */
   def assembleSequences(docs: DataFrame, vocab: DataFrame, seqLen: Int,
-      groupCol: String = "source"): DataFrame = {
+      groupCol: String = "source", bucketDocs: Long = 8192L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
     val toks = docs.select(col(groupCol), col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
     val dense = toks.withColumn("dpos",
       (row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("pos"))) - 1).cast(LongType))
-    val starts = dense.groupBy(col(groupCol), col("doc_id"))
+    val counts = dense.groupBy(col(groupCol), col("doc_id"))
       .agg(count(lit(1)).as("n_toks"))
-      .withColumn("tok_start", coalesce(
-        sum(col("n_toks")).over(Window.partitionBy(col(groupCol))
+      .withColumn("bkt",
+        expr(s"(doc_id - pmod(doc_id, ${bucketDocs}L)) DIV ${bucketDocs}L"))
+    val offsets = counts.groupBy(col(groupCol), col("bkt"))
+      .agg(sum(col("n_toks")).as("bn"))
+      .withColumn("boff", coalesce(
+        sum(col("bn")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("bkt"), col("boff"))
+    val starts = counts
+      .withColumn("local_start", coalesce(
+        sum(col("n_toks")).over(Window.partitionBy(col(groupCol), col("bkt"))
           .orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("doc_id"), col("tok_start"))
+      .join(broadcast(offsets), Seq(groupCol, "bkt"))
+      .select(col("doc_id"), (col("boff") + col("local_start")).as("tok_start"))
     dense.join(starts, Seq("doc_id"))
       .join(broadcast(vocab.select(col("tok"), col("tok_id"))),
         Seq("tok"), "left")
@@ -1139,6 +1176,89 @@ object CurationQ {
         COALESCE(tok_id, 0) AS tok_id
       FROM dn JOIN st USING (doc_id) LEFT JOIN top USING (tok)
       ORDER BY source, chunk_id, pos_in_chunk"""))
+
+  /** Dominant-group packing proof — [[packedChunkSpans]] with a PLANTED
+    * mega source (90% of docs, hence ≥80% of tokens, remapped to one
+    * group) and a small `bucketDocs`, hash-matched against the NAIVE
+    * single-window-per-group oracle: the within-group bucket-offset
+    * cumsum is result-identical to the serialized window even when one
+    * group dominates — the exact regime where the old one-window-per-
+    * group plan collapsed to a single reducer. */
+  private val q151 = GQuery(
+    "q151_mega_pack",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("src_mega",
+        when(expr("doc_id % 10 < 9"), lit("mega")).otherwise(col("source")))
+      packedChunkSpans(d, seqLen = 64, groupCol = "src_mega", bucketDocs = 16L)
+        .orderBy(col("src_mega"), col("chunk_id"), col("doc_id"))
+    },
+    Some("""WITH dd AS (SELECT
+          CASE WHEN doc_id % 10 < 9 THEN 'mega' ELSE source END AS src_mega,
+          doc_id, text
+        FROM documents),
+      d AS (SELECT src_mega, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM dd WHERE len(string_split(text, ' ')) > 0),
+      c AS (SELECT src_mega, doc_id, n_toks,
+          CAST(SUM(n_toks) OVER (PARTITION BY src_mega ORDER BY doc_id)
+            AS BIGINT) AS tok_end
+        FROM d),
+      s AS (SELECT src_mega, doc_id, tok_end, tok_end - n_toks AS tok_start,
+          CAST((tok_end - n_toks) // 64 AS BIGINT) AS c0,
+          CAST((tok_end - 1) // 64 AS BIGINT) AS c1
+        FROM c)
+      SELECT src_mega, chunk_id, doc_id,
+        GREATEST(tok_start, chunk_id * 64) - chunk_id * 64 AS offset_in_chunk,
+        LEAST(tok_end, (chunk_id + 1) * 64)
+          - GREATEST(tok_start, chunk_id * 64) AS n_chunk_toks
+      FROM s, UNNEST(generate_series(c0, c1)) AS u(chunk_id)
+      ORDER BY src_mega, chunk_id, doc_id"""))
+
+  /** Dominant-group sequence-assembly proof — [[assembleSequences]] under
+    * the same planted mega source and small `bucketDocs` as [[q151]],
+    * hash-matched against the naive single-window oracle. */
+  private val q152 = GQuery(
+    "q152_mega_assembly",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("src_mega",
+        when(expr("doc_id % 10 < 9"), lit("mega")).otherwise(col("source")))
+      assembleSequences(d, TextQ.buildVocab(d, vocabSize = 100), seqLen = 64,
+          groupCol = "src_mega", bucketDocs = 16L)
+        .orderBy(col("src_mega"), col("chunk_id"), col("pos_in_chunk"))
+    },
+    Some("""WITH dd AS (SELECT
+          CASE WHEN doc_id % 10 < 9 THEN 'mega' ELSE source END AS src_mega,
+          doc_id, text
+        FROM documents),
+      e AS (SELECT src_mega, doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          ts[i] AS tok
+        FROM (SELECT src_mega, doc_id, string_split(text, ' ') AS ts
+              FROM dd),
+          UNNEST(generate_series(1, len(ts))) AS u(i)
+        WHERE len(ts[i]) > 0),
+      dn AS (SELECT src_mega, doc_id, tok,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS BIGINT) AS dpos
+        FROM e),
+      cnt AS (SELECT src_mega, doc_id, COUNT(*) AS n_toks
+        FROM dn GROUP BY src_mega, doc_id),
+      st AS (SELECT doc_id, CAST(COALESCE(SUM(n_toks) OVER (
+            PARTITION BY src_mega ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS tok_start
+        FROM cnt),
+      tf AS (SELECT tok, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY tok),
+      top AS (SELECT tok, tok_id FROM (
+          SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+            AS BIGINT) AS tok_id
+          FROM tf) WHERE tok_id <= 100)
+      SELECT src_mega, (tok_start + dpos) // 64 AS chunk_id,
+        (tok_start + dpos) % 64 AS pos_in_chunk,
+        COALESCE(tok_id, 0) AS tok_id
+      FROM dn JOIN st USING (doc_id) LEFT JOIN top USING (tok)
+      ORDER BY src_mega, chunk_id, pos_in_chunk"""))
 
   /** Output shard planning — assign every document to a fixed-token-budget
     * output shard (the files a pre-training dataloader reads), in a
@@ -1762,5 +1882,5 @@ object CurationQ {
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142, q143, q150)
+      q133, q135, q141, q142, q143, q150, q151, q152)
 }

@@ -773,6 +773,36 @@ class CurationSpec extends SparkSpec {
     assert(conf.toSet == again.toSet, "deterministic confusion")
   }
 
+  test("packing bucket-offset cumsum is invariant to bucketDocs") {
+    // one dominant group (18 of 20 docs), deliberately non-contiguous
+    // doc_ids; the within-group sub-shard construction must agree with
+    // the serialized single-window result at EVERY bucket width,
+    // including bucketDocs=1 (every doc its own bucket) and a width
+    // larger than the corpus (degenerates to the single window)
+    val docs = (0L until 20L).map { i =>
+      val src = if (i % 10 == 9) "minor" else "mega"
+      (i * 7 + 3, src, (1 to (i % 5 + 1).toInt).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run(bd: Long) =
+      CurationQ.packedChunkSpans(docs, seqLen = 4, bucketDocs = bd)
+        .select($"source", $"chunk_id", $"doc_id", $"offset_in_chunk",
+          $"n_chunk_toks")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val wide = run(1000000L) // single bucket = the naive serialized window
+    Seq(1L, 2L, 8L).foreach { bd =>
+      assert(run(bd) == wide, s"bucketDocs=$bd diverges from single-window")
+    }
+    val vocab = TextQ.buildVocab(docs, vocabSize = 50)
+    def runAsm(bd: Long) =
+      CurationQ.assembleSequences(docs, vocab, seqLen = 4, "source", bd)
+        .select($"source", $"chunk_id", $"pos_in_chunk", $"tok_id")
+        .as[(String, Long, Long, Long)].collect().toSet
+    val wideAsm = runAsm(1000000L)
+    Seq(1L, 2L, 8L).foreach { bd =>
+      assert(runAsm(bd) == wideAsm, s"assembly bucketDocs=$bd diverges")
+    }
+  }
+
   test("domain affinity survives ppm-rate underflow on a mega corpus") {
     // ~3e6 corpus tokens push a once-seen token's smoothed corpus rate
     // (1e6*(cc+1)) DIV (tc+v) to 0; the 1-ppm floor keeps the affinity
