@@ -56,4 +56,29 @@ class BpePropertySpec extends SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("batched fold == sequential naive merges, in any order, for disjoint pairs") {
+    // symbol-disjoint pair pool (left, right, AND merged products all
+    // distinct across pairs — the invariant learn()'s selection enforces)
+    val pool = List(("a", "b"), ("c", "d"), ("e", "e"), ("f", "g"))
+    val wordGen = Gen.choose(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "ab", "cd")))
+    val batchGen = Gen.choose(1, pool.size)
+      .flatMap(k => Gen.pick(k, pool).map(_.toList))
+    val prop = Prop.forAll(Gen.listOfN(15, wordGen), batchGen) { (seqs, pairs) =>
+      val docs = seqs.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.mkString(" ")) }
+        .toDF("doc_id", "sym")
+      val got = docs
+        .withColumn("merged", TokenizerQ.testBatchMergeFold(col("sym"), pairs))
+        .select("doc_id", "merged").as[(Long, String)].collect().toMap
+      seqs.zipWithIndex.forall { case (s, i) =>
+        val fwd = pairs.foldLeft(s) { case (acc, (l, r)) => naiveMerge(acc, l, r) }
+        val rev = pairs.reverse.foldLeft(s) { case (acc, (l, r)) => naiveMerge(acc, l, r) }
+        fwd == rev && got(i.toLong) == fwd.mkString(" ")
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

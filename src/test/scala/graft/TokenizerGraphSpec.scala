@@ -54,6 +54,50 @@ class TokenizerGraphSpec extends SparkSpec {
       TokenizerQ.bpeMerges(docs, rounds = 5).collect())
   }
 
+  test("BPE batch=m equals sequential m=1 when top pairs are disjoint") {
+    // distinct-frequency disjoint pairs: (a,b)x5, (c,d)x3, (e,f)x2 —
+    // merging one changes no other's count, so one batched round of 3
+    // must reproduce three sequential rounds merge-for-merge
+    val docs = docsOf("ab ab ab ab ab cd cd cd ef ef")
+    val seq1 = TokenizerQ.bpeMerges(docs, rounds = 3, batch = 1)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val bat3 = TokenizerQ.bpeMerges(docs, rounds = 3, batch = 3)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(seq1 == bat3, s"batched diverged:\n$seq1\n$bat3")
+    // the apply path must agree too
+    val c1 = TokenizerQ.bpeTokenCounts(docs, rounds = 3, batch = 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val c3 = TokenizerQ.bpeTokenCounts(docs, rounds = 3, batch = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(c1 == c3)
+  }
+
+  test("BPE batch skips conflicting pairs and picks the next disjoint one") {
+    // (a,b)x5 and (b,c)x3 share 'b'; (d,e)x2 is disjoint. A batch of 2
+    // must keep (a,b) then skip (b,c) and take (d,e); the skipped pair
+    // remains available to the NEXT round
+    val docs = docsOf("ab ab ab ab ab bc bc bc de de")
+    val m = TokenizerQ.bpeMerges(docs, rounds = 3, batch = 2)
+      .orderBy("round").collect()
+    assert(m(0).getAs[String]("merged") == "ab", m.mkString(","))
+    assert(m(1).getAs[String]("merged") == "de", m.mkString(","))
+    assert(m(2).getAs[String]("merged") == "bc", m.mkString(","))
+  }
+
+  test("BPE follow-up merge onto a fresh product lands the next batch round") {
+    // batch round 1 merges (a,b); the (ab,c) pair only EXISTS once 'ab'
+    // does, so it must surface in round 2's candidates and merge second —
+    // same two merges sequential BPE learns, across one batch boundary
+    val docs = docsOf("abc abc abc ab ab")
+    val m = TokenizerQ.bpeMerges(docs, rounds = 2, batch = 2)
+      .orderBy("round").collect()
+    assert(m(0).getAs[String]("merged") == "ab")
+    assert(m(1).getAs[String]("left_sym") == "ab")
+    assert(m(1).getAs[String]("right_sym") == "c")
+    // round numbering stays the merge index even across batch rounds
+    assert(m.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L))
+  }
+
   test("BPE token counts shrink monotonically with more merges") {
     val docs = graft.core.Tables.load(spark, sfDir, "documents")
     val t1 = TokenizerQ.bpeTokenCounts(docs, rounds = 1)
