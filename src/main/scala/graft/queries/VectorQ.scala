@@ -60,25 +60,16 @@ object VectorQ {
 
   /** LSH-bucketed ANN top-k (the scale path): `bits` sign bits form a
     * coarse bucket; candidates are only same-bucket, so the pairwise work
-    * is an equi-join that hash-partitions cleanly. Queries are the vectors
-    * with `vec_id % queryMod == 0` (broadcast — at 100 TB cap the query
-    * sample or shuffle-join on bucket instead).
+    * is an equi-join that hash-partitions cleanly. FIXTURE/EVAL-SAMPLE
+    * ENTRY POINT: queries are the `vec_id % queryMod == 0` corpus sample
+    * (corpus-coupled size) — production callers use the explicit-query
+    * overload. Routed through the same impl (round 6): the bucket
+    * equi-join carries no hint, so AQE broadcasts the sample only while
+    * it is actually small.
     */
   def annBucketed(raw: DataFrame, bits: Int = 3, k: Int = 3, queryMod: Int = 20): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = v.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+    annBucketedImpl(raw, sampleQueries(raw, queryMod), bits, k, excludeSelf = true)
   }
 
   /** Multi-probe LSH ANN: each query searches its own sign bucket AND
@@ -88,29 +79,14 @@ object VectorQ {
     * to Σ C(bits, h) rows per query BEFORE the broadcast, so the
     * candidate join stays a plain bucket-equi-join; cost multiplies by
     * the probe count, recall climbs toward exact. `probeHamming = bits`
-    * probes every bucket and recovers exact search. */
+    * probes every bucket and recovers exact search. FIXTURE/EVAL-SAMPLE
+    * ENTRY POINT (corpus-sample queries, no forced broadcast since
+    * round 6) — production callers use the explicit-query overload. */
   def annBucketedMultiProbe(raw: DataFrame, bits: Int = 3, k: Int = 3,
       queryMod: Int = 20, probeHamming: Int = 1): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    require(probeHamming >= 0 && probeHamming <= bits,
-      s"probeHamming must be in [0,$bits], got $probeHamming")
-    val masks: Seq[Long] = (0 to probeHamming)
-      .flatMap(h => (0 until bits).combinations(h).map(_.map(1L << _).sum))
-    val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
-    val q = v.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket").as("home"))
-      .withColumn("qbucket",
-        explode(array(masks.map(m => col("home").bitwiseXOR(lit(m))): _*)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+    annMultiProbeImpl(raw, sampleQueries(raw, queryMod), bits, k,
+      probeHamming, excludeSelf = true)
   }
 
   /** Embedding-cosine near-duplicate survivors: a vector is kept unless a
@@ -187,28 +163,18 @@ object VectorQ {
     val v = withNorm(raw)
     // seeds = the `cells` lowest vec_ids (a top-k, not `vec_id < cells`:
     // ids need not start at 0 — a filtered corpus would otherwise yield
-    // zero seeds and a silently empty result). Assignment rides the
-    // [[graft.functions.VecNearestCell]] map expression — same
-    // arithmetic/tie contract as the crossJoin + per-vector rank it
-    // replaces (the seed's |c|² and the dot accumulate in the identical
-    // order), with zero shuffle and no n·cells row explosion.
+    // zero seeds and a silently empty result). Corpus assignment rides
+    // the [[graft.functions.VecNearestCell]] map expression — same
+    // arithmetic/tie contract as the crossJoin + per-vector rank the
+    // shared impl uses for the query probes, so both sides of the cell
+    // equi-join agree bit-for-bit. FIXTURE/EVAL-SAMPLE ENTRY POINT
+    // (corpus-sample queries, routed through the explicit-query impl
+    // since round 6 — no forced query broadcast).
     val seeds = v.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
-    val assigned = assignToCentroids(v, seeds)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
-    val q = assigned.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cluster").as("qcluster"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(q),
-        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      .withColumn("rank", row_number().over(wRank).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cluster"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+    annIvfImpl(raw, seeds, sampleQueries(raw, queryMod), k, nprobe = 1,
+      excludeSelf = true, emitCluster = true)
   }
 
   /** Symmetric per-vector int8 quantization: each component maps to
@@ -237,21 +203,10 @@ object VectorQ {
     * vectors move as 1/4 the bytes. */
   def annQuantized(raw: DataFrame, bits: Int = 3, k: Int = 3, queryMod: Int = 20): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val v = quantizeInt8(raw)
-      .withColumn("bucket", signBucket(col("embedding"), bits))
-      .select(col("vec_id"), col("qv"), col("bucket"))
-    val q = v.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-        col("bucket").as("qbucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot_q").desc, col("vec_id"))
-    v.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("dot_q", vec_dot_long(col("qqv"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
-        col("dot_q"), col("rank"))
+    // FIXTURE/EVAL-SAMPLE ENTRY POINT — corpus-sample queries routed
+    // through the explicit-query impl (round 6), no forced broadcast
+    annQuantizedImpl(raw, sampleQueries(raw, queryMod), bits, k,
+      excludeSelf = true)
   }
 
   /** Left-associated per-component dot product of two array columns —
@@ -339,52 +294,30 @@ object VectorQ {
     * recall/cost dial: a true neighbor just across a cell boundary is
     * found by probing the adjacent cell. Candidate work scales with
     * nprobe/cells of the corpus per query; the probe-set join stays a
-    * (cluster)-equi-join, so it hash-partitions exactly like nprobe=1. */
+    * (cluster)-equi-join, so it hash-partitions exactly like nprobe=1.
+    * FIXTURE/EVAL-SAMPLE ENTRY POINT (corpus-sample queries, routed
+    * through the explicit-query impl since round 6 — no forced query
+    * broadcast) — production callers use the query-table overload. */
   def annIvfTrained(raw: DataFrame, centroids: DataFrame, k: Int = 3,
       queryMod: Int = 20, nprobe: Int = 1): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val assigned = assignToCentroids(withNorm(raw), centroids)
-    // probe sets: rank ALL cells per query vector and keep the nearest
-    // nprobe — one row per (query, probed cell)
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist_sq"), col("cluster"))
-    val probes = withNorm(raw).filter(col("vec_id") % queryMod === 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist_sq",
-        col("nrm") + dotCols(col("centroid"), col("centroid"))
-          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cluster").as("qcluster"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probes),
-        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      .withColumn("rank", row_number().over(wRank).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+    annIvfImpl(raw, centroids, sampleQueries(raw, queryMod), k, nprobe,
+      excludeSelf = true, emitCluster = false)
   }
 
   /** Exact brute-force top-k cosine neighbors for the `vec_id % queryMod`
     * query sample — the ground truth every ANN variant is judged against.
-    * O(n·q) pairwise, so q must stay a bounded sample at scale.
+    * FIXTURE/EVAL-SAMPLE ENTRY POINT: the query set is a corpus sample,
+    * so its size is corpus-coupled — production searches must call the
+    * explicit-query overload with their own bounded (query_id,
+    * embedding) table. Routed through the identical impl as that
+    * overload (round 6), so no forced query-side broadcast survives
+    * here either: AQE broadcasts the sample while it is small and falls
+    * back to a shuffled join when it is not. O(n·q) pairwise either way.
     */
   def cosineTopK(raw: DataFrame, k: Int = 5, queryMod: Int = 20): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val v = withNorm(raw)
-    val q = v.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+    cosineTopKImpl(raw, sampleQueries(raw, queryMod), k, excludeSelf = true)
   }
 
   // ===== Explicit-query ANN API ======================================
@@ -404,15 +337,24 @@ object VectorQ {
     queryTable.select(col("query_id"), col("embedding").as("qe"))
       .withColumn("qn", vec_norm2(col("qe")))
 
-  /** Exact brute-force top-k cosine neighbors of each query-table row.
-    * O(n·q) pairwise — the eval-set ground-truth path; for a large live
-    * query stream use the IVF/PQ variants below. */
-  def cosineTopK(raw: DataFrame, queryTable: DataFrame, k: Int): DataFrame = {
+  /** The fixture entry points' query table: the `vec_id % queryMod`
+    * corpus sample, reshaped to the explicit-query contract. */
+  private def sampleQueries(raw: DataFrame, queryMod: Int): DataFrame =
+    raw.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** Shared impl of both [[cosineTopK]] overloads. `excludeSelf` drops
+    * the query's own corpus row (the sample entry points' semantics —
+    * query ids ARE vec_ids there; an explicit query table lives in its
+    * own id space and keeps every candidate). */
+  private def cosineTopKImpl(raw: DataFrame, queryTable: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = withNorm(raw)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    v.crossJoin(queryNorm(queryTable))
+    val pairs = v.crossJoin(queryNorm(queryTable))
+    (if (excludeSelf) pairs.filter(col("vec_id") =!= col("query_id")) else pairs)
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -420,15 +362,23 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
-  /** [[annBucketed]] over an explicit query table: queries hash into the
-    * same sign buckets; the bucket equi-join carries no hint. */
-  def annBucketed(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame = {
+  /** Exact brute-force top-k cosine neighbors of each query-table row.
+    * O(n·q) pairwise — the eval-set ground-truth path; for a large live
+    * query stream use the IVF/PQ variants below. */
+  def cosineTopK(raw: DataFrame, queryTable: DataFrame, k: Int): DataFrame =
+    cosineTopKImpl(raw, queryTable, k, excludeSelf = false)
+
+  /** Shared impl of both [[annBucketed]] overloads. */
+  private def annBucketedImpl(raw: DataFrame, queryTable: DataFrame,
+      bits: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = withNorm(raw).withColumn("bucket", signBucket(col("embedding"), bits))
     val q = queryNorm(queryTable).withColumn("qbucket", signBucket(col("qe"), bits))
+    val base = col("bucket") === col("qbucket")
+    val cond = if (excludeSelf) base && col("vec_id") =!= col("query_id") else base
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(q, col("bucket") === col("qbucket"))
+    v.join(q, cond)
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -436,11 +386,14 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
-  /** [[annBucketedMultiProbe]] over an explicit query table — probe-set
-    * explode on the query side, bucket equi-join without a hint;
-    * `probeHamming = bits` recovers exact search over the query table. */
-  def annBucketedMultiProbe(raw: DataFrame, queryTable: DataFrame, bits: Int,
-      k: Int, probeHamming: Int): DataFrame = {
+  /** [[annBucketed]] over an explicit query table: queries hash into the
+    * same sign buckets; the bucket equi-join carries no hint. */
+  def annBucketed(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame =
+    annBucketedImpl(raw, queryTable, bits, k, excludeSelf = false)
+
+  /** Shared impl of both [[annBucketedMultiProbe]] overloads. */
+  private def annMultiProbeImpl(raw: DataFrame, queryTable: DataFrame,
+      bits: Int, k: Int, probeHamming: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(probeHamming >= 0 && probeHamming <= bits,
       s"probeHamming must be in [0,$bits], got $probeHamming")
@@ -450,9 +403,11 @@ object VectorQ {
     val q = queryNorm(queryTable).withColumn("home", signBucket(col("qe"), bits))
       .withColumn("qbucket",
         explode(array(masks.map(m => col("home").bitwiseXOR(lit(m))): _*)))
+    val base = col("bucket") === col("qbucket")
+    val cond = if (excludeSelf) base && col("vec_id") =!= col("query_id") else base
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(q, col("bucket") === col("qbucket"))
+    v.join(q, cond)
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -460,10 +415,16 @@ object VectorQ {
         col("cosine"), col("rank"))
   }
 
-  /** [[annQuantized]] over an explicit query table: queries quantize with
-    * their own per-vector scale (symmetric int8), candidates move as
-    * 1-byte components, and the bucket equi-join carries no hint. */
-  def annQuantized(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame = {
+  /** [[annBucketedMultiProbe]] over an explicit query table — probe-set
+    * explode on the query side, bucket equi-join without a hint;
+    * `probeHamming = bits` recovers exact search over the query table. */
+  def annBucketedMultiProbe(raw: DataFrame, queryTable: DataFrame, bits: Int,
+      k: Int, probeHamming: Int): DataFrame =
+    annMultiProbeImpl(raw, queryTable, bits, k, probeHamming, excludeSelf = false)
+
+  /** Shared impl of both [[annQuantized]] overloads. */
+  private def annQuantizedImpl(raw: DataFrame, queryTable: DataFrame,
+      bits: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = quantizeInt8(raw)
       .withColumn("bucket", signBucket(col("embedding"), bits))
@@ -471,9 +432,11 @@ object VectorQ {
     val q = quantizeInt8(queryTable.select(col("query_id").as("vec_id"), col("embedding")))
       .withColumn("qbucket", signBucket(col("embedding"), bits))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("qbucket"))
+    val base = col("bucket") === col("qbucket")
+    val cond = if (excludeSelf) base && col("vec_id") =!= col("query_id") else base
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot_q").desc, col("vec_id"))
-    v.join(q, col("bucket") === col("qbucket"))
+    v.join(q, cond)
       .withColumn("dot_q", vec_dot_long(col("qqv"), col("qv")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -481,11 +444,19 @@ object VectorQ {
         col("dot_q"), col("rank"))
   }
 
-  /** [[annIvfTrained]] over an explicit query table: centroids (tiny)
-    * still broadcast for the probe ranking, but the probe-set ->
-    * candidate join is a plain (cluster) equi-join AQE sizes at runtime. */
-  def annIvfTrained(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+  /** [[annQuantized]] over an explicit query table: queries quantize with
+    * their own per-vector scale (symmetric int8), candidates move as
+    * 1-byte components, and the bucket equi-join carries no hint. */
+  def annQuantized(raw: DataFrame, queryTable: DataFrame, bits: Int, k: Int): DataFrame =
+    annQuantizedImpl(raw, queryTable, bits, k, excludeSelf = false)
+
+  /** Shared impl of the IVF search family: probe ranking over broadcast
+    * centroids (tiny, legit), candidate retrieval as a hint-free
+    * (cluster) equi-join. `emitCluster` preserves the seed-IVF fixture's
+    * output shape (it reports the query's cell). */
+  private def annIvfImpl(raw: DataFrame, centroids: DataFrame,
+      queryTable: DataFrame, k: Int, nprobe: Int, excludeSelf: Boolean,
+      emitCluster: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = assignToCentroids(withNorm(raw), centroids)
@@ -499,24 +470,37 @@ object VectorQ {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn"), col("cluster").as("qcluster"))
+    val base = col("cluster") === col("qcluster")
+    val cond = if (excludeSelf) base && col("vec_id") =!= col("query_id") else base
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(probes, col("cluster") === col("qcluster"))
+    val ranked = assigned.join(probes, cond)
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
       .withColumn("rank", row_number().over(wRank).cast(LongType))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    if (emitCluster)
+      ranked.select(col("query_id"), col("cluster"),
+        col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+    else
+      ranked.select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
 
-  /** [[annPq]] over an explicit query table: the per-query ADC lookup
-    * table joins the encoded corpus on (sub, code) without a hint — at
-    * eval-batch size AQE broadcasts it, at request-log size it shuffles. */
-  def annPq(raw: DataFrame, queryTable: DataFrame, subs: Int, codes: Int,
-      k: Int, trained: Boolean): DataFrame = {
+  /** [[annIvfTrained]] over an explicit query table: centroids (tiny)
+    * still broadcast for the probe ranking, but the probe-set ->
+    * candidate join is a plain (cluster) equi-join AQE sizes at runtime. */
+  def annIvfTrained(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    annIvfImpl(raw, centroids, queryTable, k, nprobe,
+      excludeSelf = false, emitCluster = false)
+
+  /** Shared impl of both [[annPq]] overloads. */
+  private def annPqImpl(raw: DataFrame, queryTable: DataFrame, subs: Int,
+      codes: Int, k: Int, trained: Boolean, trainIters: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val subDim = dim / subs
-    val cb = if (trained) pqCodebookTrained(raw, subs, codes)
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
              else pqCodebook(raw, subs, codes)
     val enc = pqEncode(raw, cb, subs)
     val lut = subSliced(
@@ -533,8 +517,13 @@ object VectorQ {
     // query plan the optimizer's corpus-sized estimate picked exactly
     // that degenerate shuffle, measured 7× slower at the 10× probe.
     // ADC's contract is the standard FAISS one: the per-query LUT fits
-    // in memory; chunk a huge query log upstream.
-    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
+    // in memory; chunk a huge query log upstream. (The fixture entry
+    // point inherits this contract — its corpus-sample LUT is why it is
+    // fixture-only.)
+    val joined = enc.join(broadcast(lut), Seq("sub", "code"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+       else joined)
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd")).as("adc_d"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
@@ -544,18 +533,24 @@ object VectorQ {
         col("adc_d").cast(DoubleType).as("adc"), col("rank"))
   }
 
-  /** [[annIvfPq]] over an explicit query table and a caller-supplied
-    * (trained) centroid table — the full production layout: IVF prunes,
-    * PQ compresses, and neither the corpus nor a corpus-coupled query
-    * sample ever sits behind a forced broadcast. */
-  def annIvfPq(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
-      subs: Int, codes: Int, k: Int, nprobe: Int, trained: Boolean): DataFrame = {
+  /** [[annPq]] over an explicit query table: the per-query ADC lookup
+    * table joins the encoded corpus on (sub, code) — broadcast by
+    * contract (see impl note); sized by the query batch alone. */
+  def annPq(raw: DataFrame, queryTable: DataFrame, subs: Int, codes: Int,
+      k: Int, trained: Boolean): DataFrame =
+    annPqImpl(raw, queryTable, subs, codes, k, trained, trainIters = 2,
+      excludeSelf = false)
+
+  /** Shared impl of both [[annIvfPq]] overloads. */
+  private def annIvfPqImpl(raw: DataFrame, centroids: DataFrame,
+      queryTable: DataFrame, subs: Int, codes: Int, k: Int, nprobe: Int,
+      trained: Boolean, trainIters: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val subDim = dim / subs
     val v = withNorm(raw)
     val assigned = assignToCentroids(v, centroids)
-    val cb = if (trained) pqCodebookTrained(raw, subs, codes)
+    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
              else pqCodebook(raw, subs, codes)
     val enc = pqEncode(raw, cb, subs)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
@@ -581,9 +576,12 @@ object VectorQ {
     // broadcast for the same reason as the explicit-query [[annPq]]: the
     // LUT is query-batch-sized and the (sub, code, cluster) key space is
     // subs·codes·cells values — too few for a useful shuffled join.
-    val scored = e.join(broadcast(l),
-        col("e.sub") === col("l.sub") && col("e.code") === col("l.code") &&
-          col("e.cluster") === col("l.qcluster"))
+    val base = col("e.sub") === col("l.sub") &&
+      col("e.code") === col("l.code") &&
+      col("e.cluster") === col("l.qcluster")
+    val cond = if (excludeSelf) base && col("e.vec_id") =!= col("l.query_id")
+               else base
+    val scored = e.join(broadcast(l), cond)
       .groupBy(col("l.query_id").as("query_id"), col("e.vec_id").as("vec_id"))
       .agg(sum(col("l.pd")).as("adc_d"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
@@ -592,6 +590,15 @@ object VectorQ {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_d").cast(DoubleType).as("adc"), col("rank"))
   }
+
+  /** [[annIvfPq]] over an explicit query table and a caller-supplied
+    * (trained) centroid table — the full production layout: IVF prunes,
+    * PQ compresses, and neither the corpus nor a corpus-coupled query
+    * sample ever sits behind a forced broadcast. */
+  def annIvfPq(raw: DataFrame, centroids: DataFrame, queryTable: DataFrame,
+      subs: Int, codes: Int, k: Int, nprobe: Int, trained: Boolean): DataFrame =
+    annIvfPqImpl(raw, centroids, queryTable, subs, codes, k, nprobe,
+      trained, trainIters = 2, excludeSelf = false)
 
   /** Recall of an ANN result against exact ground truth: per query, how
     * many of the true top-k neighbors the approximate search returned.
@@ -992,26 +999,12 @@ object VectorQ {
   def annPq(raw: DataFrame, subs: Int = 4, codes: Int = 4, k: Int = 3,
       queryMod: Int = 20, trained: Boolean = false, trainIters: Int = 2): DataFrame = {
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    val subDim = dim / subs
-    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
-             else pqCodebook(raw, subs, codes)
-    val enc = pqEncode(raw, cb, subs)
-    val lut = subSliced(
-        raw.filter(col("vec_id") % queryMod === 0)
-          .select(col("vec_id"), col("embedding")), subs)
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("pd",
-        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
-    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adc_d"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+    // FIXTURE/EVAL-SAMPLE ENTRY POINT — corpus-sample queries routed
+    // through the explicit-query impl (round 6); note the ADC LUT it
+    // builds is corpus-sample-sized, which is exactly why production
+    // callers must bring a bounded query table instead
+    annPqImpl(raw, sampleQueries(raw, queryMod), subs, codes, k,
+      trained, trainIters, excludeSelf = true)
   }
 
   /** Oracle fixture of [[semDedup]] (cells=4, threshold=0.2), reduced to
@@ -1065,48 +1058,13 @@ object VectorQ {
       trained: Boolean = false, trainIters: Int = 2): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val subDim = dim / subs
-    val v = withNorm(raw)
-    val seeds = v.orderBy(col("vec_id")).limit(cells)
+    // FIXTURE/EVAL-SAMPLE ENTRY POINT — seed centroids + corpus-sample
+    // queries routed through the explicit-query impl (round 6)
+    val seeds = withNorm(raw).orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
-    val assigned = assignToCentroids(v, seeds)
-    val cb = if (trained) pqCodebookTrained(raw, subs, codes, trainIters)
-             else pqCodebook(raw, subs, codes)
-    val enc = pqEncode(raw, cb, subs)
-      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist_sq"), col("cluster"))
-    val probes = v.filter(col("vec_id") % queryMod === 0)
-      .crossJoin(broadcast(seeds))
-      .withColumn("dist_sq",
-        col("nrm") + dotCols(col("centroid"), col("centroid"))
-          - lit(2.0) * dotCols(col("embedding"), col("centroid")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cluster").as("qcluster"))
-    val lut = subSliced(
-        raw.filter(col("vec_id") % queryMod === 0)
-          .select(col("vec_id"), col("embedding")), subs)
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("pd",
-        round(subDist(col("sv"), col("cw"), subDim), 6).cast(DecimalType(38, 8)))
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("pd"))
-      .join(probes, Seq("query_id"))
-    val e = enc.as("e")
-    val l = lut.as("l")
-    val scored = e.join(broadcast(l),
-        col("e.sub") === col("l.sub") && col("e.code") === col("l.code") &&
-          col("e.cluster") === col("l.qcluster") &&
-          col("e.vec_id") =!= col("l.query_id"))
-      .groupBy(col("l.query_id").as("query_id"), col("e.vec_id").as("vec_id"))
-      .agg(sum(col("l.pd")).as("adc_d"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_d").cast(DoubleType).as("adc"), col("rank"))
+    annIvfPqImpl(raw, seeds, sampleQueries(raw, queryMod), subs, codes, k,
+      nprobe, trained, trainIters, excludeSelf = true)
   }
 
   /** Oracle fixture of [[annPq]] (4 subspaces × 16 dims, 4 codewords,
@@ -1576,7 +1534,9 @@ object VectorQ {
     * `vec_id % queryMod` sample, [[cosineTopK]]-style: this is the
     * mining BASELINE; at corpus scale compose the same label-split rank
     * with any ANN candidate generator (IVF cells / LSH buckets) so
-    * candidates, not the corpus, get ranked. */
+    * candidates, not the corpus, get ranked. FIXTURE/EVAL-SAMPLE ENTRY
+    * POINT — the query sample is corpus-coupled, so the pair join
+    * carries no hint (round 6): AQE broadcasts it only while small. */
   def contrastivePairs(raw: DataFrame, k: Int = 3,
       queryMod: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -1589,7 +1549,7 @@ object VectorQ {
         col("nrm").as("qn"), col("label").as("qlabel"))
     val w = Window.partitionBy(col("query_id"), col("kind"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    v.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qe"), col("qn"),
         col("embedding"), col("nrm")))
       .withColumn("kind",
