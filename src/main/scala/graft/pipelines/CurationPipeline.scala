@@ -38,12 +38,24 @@ object CurationPipeline {
   val CutAsDuplicate = 2L
   val CutByMixture = 3L
 
-  def run(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+  def run(docs: DataFrame, strataCol: String = "lang",
+      reliable: Boolean = false): DataFrame = {
+    // Every stage output below has TWO consumers — the next stage and
+    // the final lineage join — so each is materialized once (lineage
+    // cut: `localCheckpoint`, or durable `checkpoint` with `reliable`,
+    // the operator convention). Without the cuts the lineage join
+    // re-executed the whole upstream chain per consumer — including
+    // curationVerdict's corpus-sized shingle explode, ~4-5 extra corpus
+    // scans in one action (the q143 nbConfusion lesson: its probe
+    // measured 5 scans / 5.6x wall before its checkpoint, ~2x after).
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
     // 1. quality verdict over the full input
-    val verdict = CurationQ.curationVerdict(docs)
-      .select(col("doc_id"), col("keep"))
-    val afterQuality = docs.join(verdict, Seq("doc_id"))
-      .filter(col("keep") === 1L).drop("keep")
+    val verdict = snap(CurationQ.curationVerdict(docs)
+      .select(col("doc_id"), col("keep")))
+    val afterQuality = snap(docs.join(verdict, Seq("doc_id"))
+      .filter(col("keep") === 1L).drop("keep"))
 
     // 2. canonical selection over the quality survivors' candidate graph
     val canon = GraphQ.canonicalByCentrality(
@@ -51,12 +63,12 @@ object CurationPipeline {
         .filter(col("est_jaccard") >= 0.25))
       .select(col("doc_id"), col("is_canonical"))
     // docs with no candidate edge are their own canonical
-    val afterDedup = afterQuality.join(canon, Seq("doc_id"), "left")
+    val afterDedup = snap(afterQuality.join(canon, Seq("doc_id"), "left")
       .filter(coalesce(col("is_canonical"), lit(true)))
-      .drop("is_canonical")
+      .drop("is_canonical"))
 
     // 3. temperature mixture over the deduplicated corpus
-    val afterMix = CurationQ.temperatureRebalance(afterDedup, strataCol)
+    val afterMix = snap(CurationQ.temperatureRebalance(afterDedup, strataCol))
 
     // 4. cluster-atomic split over the final survivors
     val split = TextQ.leakageSafeSplit(afterMix)
