@@ -63,4 +63,61 @@ object QualityMonitor {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(cardPath)
   }
+
+  /** [[sink]] + per-batch NOVELTY against the corpus's incremental-dedup
+    * signature store — the streaming form of the q146 novelty curve: a
+    * re-crawl push that is 90% already-seen content has a perfect
+    * quality profile, so reject-rate drift alone never alarms on it.
+    * Per batch, the batch's docs near-dup-join the store
+    * ([[graft.etl.IncrementalDedup.dedupDelta]] — work ∝ bucket
+    * collisions, never corpus size), `novel_ppm = 10⁶ ·
+    * (n_docs − n_dup) DIV n_docs`, and the alarm fires on reject drift
+    * OR `novel_ppm < minNovelPpm`. The batch's signatures then append to
+    * the store, so later batches measure novelty against this one too.
+    *
+    * Retry-safe like [[graft.etl.IncrementalDedup.sink]]: the store read
+    * excludes the current batch's own (possibly half-written) partition,
+    * and both the card and the signatures land under dynamic partition
+    * overwrite in `batch_id=<id>` partitions. The only driver traffic is
+    * the one duplicate-count scalar. */
+  def sinkWithNovelty(spark: SparkSession, refRejectPpm: Long,
+      cardPath: String, storePath: String, maxDriftPpm: Long = 100000L,
+      minNovelPpm: Long = 500000L, minJaccard: Double = 0.25,
+      maxBandSize: Int = 1000): (DataFrame, Long) => Unit = {
+    require(refRejectPpm >= 0 && refRejectPpm <= 1000000L,
+      s"refRejectPpm must be a ppm, got $refRejectPpm")
+    require(maxDriftPpm > 0, s"maxDriftPpm must be > 0, got $maxDriftPpm")
+    require(minNovelPpm >= 0 && minNovelPpm <= 1000000L,
+      s"minNovelPpm must be a ppm, got $minNovelPpm")
+    (batch, batchId) => {
+      val b = batch.localCheckpoint() // three consumers: card, dedup, store
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nDup =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+          graft.etl.IncrementalDedup.dedupDelta(b,
+              spark.read.parquet(storePath)
+                .filter(col("batch_id") =!= batchId),
+              minJaccard, maxBandSize)
+            .select(col("new_id")).distinct().count()
+        else 0L
+      card(b)
+        .withColumn("n_dup", lit(nDup))
+        .withColumn("novel_ppm", expr(
+          "CASE WHEN n_docs = 0 THEN 1000000 " +
+            "ELSE (1000000 * (n_docs - n_dup)) DIV n_docs END"))
+        .withColumn("ref_ppm", lit(refRejectPpm))
+        .withColumn("drift_ppm", abs(col("reject_ppm") - lit(refRejectPpm)))
+        .withColumn("alarm", col("drift_ppm") > maxDriftPpm ||
+          col("novel_ppm") < minNovelPpm)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(cardPath)
+      graft.queries.TextQ.minhashBands(b).withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(storePath)
+    }
+  }
 }

@@ -78,5 +78,56 @@ class QualityMonitorSpec extends SparkSpec {
       QualityMonitor.sink(spark, refRejectPpm = 2000000L, "/tmp/x"))
     intercept[IllegalArgumentException](
       QualityMonitor.sink(spark, refRejectPpm = 0L, "/tmp/x", maxDriftPpm = 0L))
+    intercept[IllegalArgumentException](
+      QualityMonitor.sinkWithNovelty(spark, 0L, "/tmp/x", "/tmp/y",
+        minNovelPpm = 2000000L))
+  }
+
+  // quality-passing text that is shingle-DISTINCT per seed (every
+  // shingle carries a seed token, so different seeds share ~nothing)
+  private def distinctDoc(id: Long, seed: Long) = (id,
+    s"the alpha$seed beta$seed gamma$seed delta$seed and a epsilon$seed " +
+      s"zeta$seed eta$seed theta$seed of the iota$seed kappa$seed " +
+      s"lambda$seed mu$seed with some nu$seed xi$seed omicron$seed pi$seed")
+
+  test("novelty sink: a 90%-duplicate re-push alarms, fresh batches stay quiet") {
+    val base = Files.createTempDirectory("graft_qm_novel").toString
+    val cards = base + "/cards"; val store = base + "/store"
+    val sink = QualityMonitor.sinkWithNovelty(spark, refRejectPpm = 0L,
+      cards, store, maxDriftPpm = 300000L, minNovelPpm = 500000L)
+
+    // batch 0: ten fresh docs against an empty store — fully novel
+    sink((1L to 10L).map(i => distinctDoc(i, i)).toDF("doc_id", "text"), 0L)
+    // batch 1: re-push — 9 of 10 docs repeat batch 0's CONTENT under new
+    // doc_ids (the re-crawl shape), 1 genuinely new. Quality is perfect,
+    // so only the novelty signal can catch it.
+    sink(((101L to 109L).map(i => distinctDoc(i, i - 100L)) :+
+      distinctDoc(110L, 900L)).toDF("doc_id", "text"), 1L)
+    // batch 2: ten fresh docs — novel again (measured against batches 0+1)
+    sink((21L to 30L).map(i => distinctDoc(i, i + 500L)).toDF("doc_id", "text"), 2L)
+
+    val got = spark.read.parquet(cards)
+      .select("batch_id", "n_docs", "n_dup", "novel_ppm", "alarm")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 3, got.toSeq.toString)
+    assert(got(0) == ((0L, 10L, 0L, 1000000L, false)), got.toSeq.toString)
+    assert(got(1) == ((1L, 10L, 9L, 100000L, true)), got.toSeq.toString)
+    assert(got(2) == ((2L, 10L, 0L, 1000000L, false)), got.toSeq.toString)
+  }
+
+  test("novelty sink retry: a replayed batch never self-matches") {
+    val base = Files.createTempDirectory("graft_qm_novel_retry").toString
+    val cards = base + "/cards"; val store = base + "/store"
+    val sink = QualityMonitor.sinkWithNovelty(spark, refRejectPpm = 0L,
+      cards, store)
+    val batch = (1L to 5L).map(i => distinctDoc(i, i)).toDF("doc_id", "text")
+    sink(batch, 3L)
+    sink(batch, 3L) // retry: store already holds batch 3's signatures
+    val got = spark.read.parquet(cards)
+      .select("batch_id", "n_dup", "novel_ppm", "alarm")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == 1, "retried batch must replace its card")
+    assert(got.head == ((3L, 0L, 1000000L, false)),
+      s"retry must not count its own half-written signatures: ${got.head}")
   }
 }
