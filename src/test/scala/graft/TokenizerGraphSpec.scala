@@ -200,6 +200,34 @@ class TokenizerGraphSpec extends SparkSpec {
     assert(got == ((3L, 3L, 3L, 1000000L)), got.toString)
   }
 
+  test("self-retrieval on a realistic planted vocabulary: group-shared + " +
+      "per-doc tokens, every origin re-found") {
+    import graft.queries.TextQ
+    // the q149 fixture's 31-token corpus vocabulary makes every query
+    // match every doc (documented degenerate case); this corpus has the
+    // REAL shape — tokens shared within ~25-doc groups plus per-doc
+    // distinctive tokens — so the candidate join is query-vocab-bounded
+    val docs = spark.range(500).selectExpr("id AS doc_id",
+      """concat(
+         'grp', CAST(id DIV 25 AS STRING), 'a ',
+         'grp', CAST(id DIV 25 AS STRING), 'b ',
+         'grp', CAST(id DIV 25 AS STRING), 'c ',
+         'grp', CAST(id DIV 25 AS STRING), 'd ',
+         'doc', CAST(id AS STRING), 'a ',
+         'doc', CAST(id AS STRING), 'b ',
+         'doc', CAST(id AS STRING), 'c ',
+         'doc', CAST(id AS STRING), 'd ',
+         'fil', CAST(id AS STRING), 'e ',
+         'fil', CAST(id AS STRING), 'f ') AS text""")
+    val got = TextQ.selfRetrievalEval(docs, sampleMod = 5L,
+      snippetToks = 8, topK = 3)
+      .select("n_queries", "hit_at_1", "hit_at_k", "mrr_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    // 100 queries; the 4 per-doc snippet tokens are unique to the
+    // origin, so BM25 must rank it first for every query
+    assert(got == ((100L, 100L, 100L, 1000000L)), got.toString)
+  }
+
   test("domain affinity ranks target-characteristic docs above generic ones") {
     import graft.queries.CurationQ
     val docs = Seq(
