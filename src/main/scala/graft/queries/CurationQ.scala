@@ -1879,8 +1879,134 @@ object CurationQ {
       WHERE rn <= 5
       ORDER BY cls, rn"""))
 
+  /** Length-bucketed dynamic batching — the dataloader layout that CUTS
+    * the padding waste [[q133]] measures: docs of similar token length
+    * land in the same batch, so the per-batch `max_len` padding target
+    * is tight. Docs bucket by `n_toks DIV bucketWidth`; within a length
+    * bucket, batches are consecutive `batchSize` runs in (n_toks,
+    * doc_id) order; each batch row reports its size, max length, token
+    * sum, and exact padding waste ppm.
+    *
+    * The within-bucket rank does NOT serialize per bucket (a corpus of
+    * mostly-median-length docs would put everything in one length
+    * bucket): the order key is (n_toks, doc_id), and n_toks is constant
+    * within a (bucket, n_toks) sub-group — so the rank is computed as
+    * per-(bucket, n_toks) windows plus a broadcast cumulative-offset
+    * table over the DISTINCT-LENGTH histogram (bounded by max doc
+    * length, tiny), the round-6 packing construction. The oracle is the
+    * NAIVE per-bucket ROW_NUMBER, so the hash-match proves equivalence. */
+  def lengthBucketedBatches(docs: DataFrame, bucketWidth: Long = 64L,
+      batchSize: Long = 32L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val d = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("bucket", expr(s"n_toks DIV ${bucketWidth}L"))
+    val offsets = d.groupBy(col("bucket"), col("n_toks"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("n_toks"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("n_toks"), col("off"))
+    val w = Window.partitionBy(col("bucket"), col("n_toks"))
+      .orderBy(col("doc_id"))
+    d.withColumn("rib", row_number().over(w).cast(LongType))
+      .join(broadcast(offsets), Seq("bucket", "n_toks"))
+      .withColumn("batch", expr(s"(off + rib - 1) DIV ${batchSize}L"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_toks")).as("max_toks"),
+        sum(col("n_toks")).as("sum_toks"))
+      .withColumn("pad_ppm", expr(
+        "(1000000 * (n_docs * max_toks - sum_toks)) DIV (n_docs * max_toks)"))
+  }
+
+  /** Oracle fixture of [[lengthBucketedBatches]] (width 16, batches of
+    * 8) — the oracle ranks with the naive per-bucket window, so the
+    * hash-match proves the offset construction ≡ the serialized rank. */
+  private val q154 = GQuery(
+    "q154_bucketed_batches",
+    (s, dir) => lengthBucketedBatches(t(s, dir, "documents"),
+        bucketWidth = 16L, batchSize = 8L)
+      .orderBy(col("bucket"), col("batch")),
+    Some("""WITH d AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      b AS (SELECT doc_id, n_toks, n_toks // 16 AS bucket FROM d),
+      r AS (SELECT bucket, n_toks,
+          (CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+             ORDER BY n_toks, doc_id) AS BIGINT) - 1) // 8 AS batch
+        FROM b)
+      SELECT bucket, batch, COUNT(*) AS n_docs,
+        MAX(n_toks) AS max_toks, CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        CAST((1000000 * (COUNT(*) * MAX(n_toks) - SUM(n_toks)))
+          // (COUNT(*) * MAX(n_toks)) AS BIGINT) AS pad_ppm
+      FROM r GROUP BY 1, 2
+      ORDER BY bucket, batch"""))
+
+  /** Classifier calibration curve (reliability diagram) — the eval card
+    * that tells a curation pipeline whether a quality/domain score's
+    * NUMBERS mean what they claim: ppm scores bucket into `buckets`
+    * equal bands, and each band reports how often its docs are actually
+    * positive next to the band's mean claimed score. A calibrated score
+    * tracks the diagonal; the gap per band is the actionable output
+    * (which score region to recalibrate or threshold around). Pairs
+    * with [[nbConfusion]] (argmax quality) and [[q150]] (vocabulary
+    * audit) as the third standard classifier card.
+    *
+    * Exact-integer: scores are ppm, bands are `score DIV (10⁶/buckets)`
+    * clamped to the top band, observed rates and mean scores are ppm
+    * via BIGINT DIV — engine-portable like every eval card here. One
+    * hash aggregation on the band id; |buckets| output rows. */
+  def calibrationCurve(docs: DataFrame, scorePpm: org.apache.spark.sql.Column,
+      isPositive: org.apache.spark.sql.Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && 1000000 % buckets == 0,
+      s"buckets must divide 1e6, got $buckets")
+    val width = 1000000L / buckets
+    docs.select(scorePpm.cast(LongType).as("score_ppm"),
+        isPositive.cast(LongType).as("pos"))
+      .withColumn("band",
+        least(lit(buckets - 1L), expr(s"greatest(0L, score_ppm) DIV ${width}L")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        sum(col("score_ppm")).as("score_sum"))
+      .select(col("band"), col("n_docs"), col("n_pos"),
+        expr("(1000000 * n_pos) DIV n_docs").as("observed_ppm"),
+        expr("score_sum DIV n_docs").as("mean_score_ppm"))
+  }
+
+  /** Oracle fixture of [[calibrationCurve]]: score = stopword-ratio ppm
+    * (the gibberish signal), truth = the doc is English — "does a high
+    * stopword ratio actually mean English here, and how linearly". */
+  private val q155 = {
+    val stop = stopWords.map(w => s"'$w'").mkString(", ")
+    GQuery(
+      "q155_calibration_curve",
+      (s, dir) => calibrationCurve(
+        t(s, dir, "documents").filter(size(split(col("text"), " ")) > 0),
+        expr(s"(1000000 * CAST(size(filter(split(text, ' '), x -> x IN ($stop))) AS BIGINT))" +
+          " DIV size(split(text, ' '))"),
+        col("lang") === "en")
+        .orderBy(col("band")),
+      Some(s"""WITH d AS (SELECT
+            (1000000 * CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ($stop))) AS BIGINT))
+              // len(string_split(text, ' ')) AS score_ppm,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents WHERE len(string_split(text, ' ')) > 0),
+        b AS (SELECT LEAST(9, GREATEST(0, score_ppm) // 100000) AS band,
+            score_ppm, pos
+          FROM d)
+        SELECT band, COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos,
+          CAST((1000000 * SUM(pos)) // COUNT(*) AS BIGINT) AS observed_ppm,
+          CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+        FROM b GROUP BY band
+        ORDER BY band"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142, q143, q150, q151, q152)
+      q133, q135, q141, q142, q143, q150, q151, q152, q154, q155)
 }

@@ -282,5 +282,65 @@ object TokenizerQ {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(q137, q138)
+  /** DuckDB twin of [[learn]] at `batch = 2`: per batch-round r, `a$r`
+    * is the argmax pair, `b$r` the best pair SYMBOL-DISJOINT from it
+    * (left, right, and merged product all unshared — exactly the
+    * greedy selection for m = 2), and the rewrite applies a then b
+    * sequentially, which equals the engine's one-pass batch fold for
+    * disjoint pairs (the BpePropertySpec equivalence). */
+  private[queries] def bpeBatch2Sql(rounds: Int): String = {
+    val init =
+      """w AS (SELECT word, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE len(word) > 0 GROUP BY word),
+         s0 AS (SELECT word, freq,
+             trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM w)"""
+    def fold(src: String, pick: String) =
+      s"""CASE WHEN len(string_split(sym, ' ')) < 2 THEN sym ELSE
+           list_reduce(string_split(sym, ' '), (acc, x) ->
+             CASE WHEN x = $pick.r
+                 AND string_split(acc, ' ')[-1] = $pick.l
+               THEN array_to_string(list_append(
+                 list_slice(string_split(acc, ' '), 1,
+                   len(string_split(acc, ' ')) - 1), $pick.l || $pick.r), ' ')
+               ELSE acc || ' ' || x END) END"""
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT ts[i] AS l, ts[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (SELECT freq, string_split(sym, ' ') AS ts FROM s${r - 1}),
+              UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+            WHERE len(ts) >= 2
+            GROUP BY 1, 2),
+          a$r AS (SELECT l, r, pf FROM p$r ORDER BY pf DESC, l, r LIMIT 1),
+          b$r AS (SELECT p.l, p.r, p.pf FROM p$r p, a$r a
+            WHERE p.l NOT IN (a.l, a.r, a.l || a.r)
+              AND p.r NOT IN (a.l, a.r, a.l || a.r)
+              AND (p.l || p.r) NOT IN (a.l, a.r, a.l || a.r)
+            ORDER BY p.pf DESC, p.l, p.r LIMIT 1),
+          t$r AS (SELECT word, freq, ${fold(s"s${r - 1}", s"a$r")} AS sym
+            FROM s${r - 1}, a$r),
+          s$r AS (SELECT word, freq, ${fold(s"t$r", s"b$r")} AS sym
+            FROM t$r, b$r)"""
+    }.mkString(",\n")
+    s"$init,\n$perRound"
+  }
+
+  /** Oracle fixture of the BATCHED learner: 4 merges at batch = 2 (two
+    * batch-rounds of an argmax + its best disjoint runner-up). Pins the
+    * round-6 batching against an exactly-replayed DuckDB construction —
+    * the m = 1 semantics stay pinned by [[q137]]/[[q138]]. */
+  private val q153 = {
+    val rows = (1 to 2).flatMap(r => Seq(
+      s"SELECT CAST(${2 * r - 1} AS BIGINT) AS round, l AS left_sym, r AS right_sym, l || r AS merged, pf AS pair_freq FROM a$r",
+      s"SELECT CAST(${2 * r} AS BIGINT), l, r, l || r, pf FROM b$r"))
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q153_bpe_batched",
+      (s, dir) => bpeMerges(t(s, dir, "documents"), rounds = 4, batch = 2)
+        .orderBy(col("round")),
+      Some(s"""WITH ${bpeBatch2Sql(2)}
+        $rows
+        ORDER BY round"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q137, q138, q153)
 }

@@ -803,6 +803,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("length-bucketed batches: tight padding, batch runs, rank equivalence") {
+    // lengths 4,5,6,7 land in bucket 0 (width 16); 20,21 in bucket 1.
+    // batchSize 2 in (n_toks, doc_id) order: batches pair similar lengths
+    def doc(i: Long, n: Int) = (i, (1 to n).map(j => s"w${i}_$j").mkString(" "))
+    val docs = Seq(doc(1, 4), doc(2, 4), doc(3, 5), doc(4, 7),
+      doc(5, 20), doc(6, 21), doc(7, 21)).toDF("doc_id", "text")
+    val got = CurationQ.lengthBucketedBatches(docs, bucketWidth = 16L,
+        batchSize = 2L)
+      .select($"bucket", $"batch", $"n_docs", $"max_toks", $"sum_toks",
+        $"pad_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 4L, 8L, 0L),        // the two 4-token docs: zero pad
+      (0L, 1L, 2L, 7L, 12L, 142857L),  // 5+7 padded to 7: 2/14
+      (1L, 0L, 2L, 21L, 41L, 23809L),  // 20+21: 1/42
+      (1L, 1L, 1L, 21L, 21L, 0L)),     // trailing singleton
+      got.toString)
+    // offset construction ≡ naive: identical under a degenerate single
+    // length bucket (all docs same bucket, many distinct lengths)
+    val many = (1L to 40L).map(i => doc(i, 3 + (i % 13).toInt)).toDF("doc_id", "text")
+    val a = CurationQ.lengthBucketedBatches(many, 1000L, 8L)
+      .collect().map(_.toSeq).toSet
+    val b = CurationQ.lengthBucketedBatches(many, 1000L, 8L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("calibration curve: bands, clamping, exact observed rates") {
+    val rows = Seq(
+      (1L, 50000L, 1L), (2L, 99999L, 0L),     // band 0: 1/2 positive
+      (3L, 450000L, 1L), (4L, 450000L, 1L),   // band 4: 2/2
+      (5L, 1000000L, 0L), (6L, 999999L, 1L),  // top scores clamp to band 9
+      (7L, -5L, 0L))                          // negative clamps to band 0
+      .toDF("doc_id", "score_ppm", "pos")
+    val got = CurationQ.calibrationCurve(rows, col("score_ppm"),
+        col("pos") === 1L, buckets = 10)
+      .select($"band", $"n_docs", $"n_pos", $"observed_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 3L, 1L, 333333L),
+      (4L, 2L, 2L, 1000000L),
+      (9L, 2L, 1L, 500000L)), got.toString)
+    intercept[IllegalArgumentException](
+      CurationQ.calibrationCurve(rows, col("score_ppm"), col("pos") === 1L,
+        buckets = 7))
+  }
+
   test("domain affinity survives ppm-rate underflow on a mega corpus") {
     // ~3e6 corpus tokens push a once-seen token's smoothed corpus rate
     // (1e6*(cc+1)) DIV (tc+v) to 0; the 1-ppm floor keeps the affinity
