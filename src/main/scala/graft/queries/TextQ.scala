@@ -175,6 +175,51 @@ object TextQ {
       SELECT doc_a, doc_b, est_jaccard FROM cand
       ORDER BY doc_a, doc_b"""))
 
+  /** Source×source near-duplicate matrix — WHERE the duplication lives:
+    * each LSH candidate pair (est Jaccard ≥ `minJaccard`) is charged to
+    * its unordered (source, source) cell, so a crawl that mirrors
+    * another crawl, or a source that mostly duplicates ITSELF, is one
+    * `ORDER BY n_pairs DESC` away. This is the data-card diagnostic
+    * that directs dedup effort (drop a mirror wholesale vs dedup within
+    * a source) before any per-doc work runs; the diagonal cells are
+    * intra-source duplication, off-diagonal are cross-source mirrors.
+    *
+    * Scale shape: everything downstream of [[lshCandidates]] is
+    * candidate-pair-sized — two (doc_id → source) lookup joins and one
+    * |sources|²-bounded aggregation. The lookup table is two columns of
+    * the corpus; the join is a plain equi-join AQE sizes (no hint). */
+  def crossSourceDupMatrix(docs: DataFrame, minJaccard: Double = 0.25): DataFrame = {
+    val cand = lshCandidates(minhashBands(docs))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    cand
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("src_x"),
+        greatest(col("src_a"), col("src_b")).as("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Oracle fixture of [[crossSourceDupMatrix]] (threshold 0.25). */
+  private val q156 = GQuery(
+    "q156_cross_source_dup",
+    (s, dir) => crossSourceDupMatrix(t(s, dir, "documents"))
+      .orderBy(col("src_x"), col("src_y")),
+    Some(s"""$minhashCandSql,
+      s AS (SELECT doc_id, source FROM documents)
+      SELECT LEAST(a.source, b.source) AS src_x,
+        GREATEST(a.source, b.source) AS src_y,
+        COUNT(*) AS n_pairs
+      FROM cand
+      JOIN s a ON doc_a = a.doc_id
+      JOIN s b ON doc_b = b.doc_id
+      GROUP BY 1, 2
+      ORDER BY src_x, src_y"""))
+
   /** Near-dup CLUSTERS: connected components over q26's candidate pairs
     * (component id = min doc_id in the component — the survivor a dedup
     * pass would keep). The DuckDB twin computes the same components with
@@ -1935,5 +1980,5 @@ object TextQ {
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128, q129, q134, q146, q149)
+      q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156)
 }

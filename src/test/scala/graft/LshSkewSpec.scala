@@ -130,4 +130,23 @@ class LshSkewSpec extends SparkSpec {
       assert(err == (est - ex).abs, s"pair $p err: $err")
     }
   }
+
+  test("cross-source dup matrix: mirrors charge the right (source, source) cell") {
+    import org.apache.spark.sql.functions.col
+    val mirror = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the fence falls over entirely tonight"
+    def fresh(i: Long) = s"totally distinct content number $i with words " +
+      s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i w${i}j"
+    val docs = Seq(
+      (1L, mirror, "crawlA"), (2L, mirror, "crawlB"), // cross-source mirror
+      (3L, mirror, "crawlA"),                         // intra-A dup of 1
+      (4L, fresh(4), "crawlA"), (5L, fresh(5), "crawlB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextQ.crossSourceDupMatrix(docs)
+      .select("src_x", "src_y", "n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    // pairs: (1,2) A-B, (1,3) A-A, (2,3) A-B → diagonal 1, off-diagonal 2
+    assert(got == Set(("crawlA", "crawlA", 1L), ("crawlA", "crawlB", 2L)),
+      got.toString)
+  }
 }
