@@ -175,6 +175,118 @@ object TextQ {
       SELECT doc_a, doc_b, est_jaccard FROM cand
       ORDER BY doc_a, doc_b"""))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting algorithm): slide a `window`-wide
+    * frame over each document's shingle-hash sequence and keep the
+    * RIGHTMOST MINIMUM hash of every frame. The guarantee that makes
+    * this the right span-dedup accelerator at 100 TB: any shared
+    * substring of at least `window + shingle − 1` tokens is caught by a
+    * shared fingerprint (no gaps, unlike sampling), while expected
+    * density is only 2/(window+1) of the shingles — the corpus-wide
+    * match join runs on ~¼ of the span rows [[spanDuplication]] keys.
+    *
+    * Exactness: hashes are md5 hex STRINGS (lexicographic min —
+    * engine-portable, the [[minhashBands]] discipline); the
+    * rightmost-min tie rule is `min(struct(h, −pos))`, which the oracle
+    * replays as `ROW_NUMBER() OVER (… ORDER BY h, pos DESC) = 1`. Docs
+    * with fewer shingles than `window` yield one truncated frame.
+    *
+    * Scale shape: shingle explode is map-side; both windows (the doc
+    * count and the sliding min) share ONE hash exchange on doc_id, and
+    * the frame min is O(window) state per row — no self-join, nothing
+    * corpus-pairwise. Returns (doc_id, pos, h, n_sh). */
+  def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        md5(col("sh")).as("h"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    sh.withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("pick",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(wFrame))
+      .filter(col("pos") <= greatest(col("n_sh") - (window - 1), lit(1L)))
+      .select(col("doc_id"), (-col("pick.np")).as("pos"),
+        col("pick.h").as("h"), col("n_sh"))
+      .distinct()
+  }
+
+  /** Winnowing candidate pairs — fingerprints joined across documents:
+    * two docs sharing at least `minShared` fingerprints are a near-dup/
+    * shared-passage candidate (the MOSS report join). Fingerprint
+    * values shared by more than `maxFpDocs` docs are excluded first —
+    * the boilerplate guard, same shape as [[lshCandidates]]'
+    * band cap (aggregate + broadcast anti-join, so the fingerprint
+    * table never shuffles for the guard). Join work is fingerprint-
+    * collision-sized, never corpus-pairwise. */
+  def winnowCandidates(docs: DataFrame, window: Int = 8,
+      minShared: Long = 2L, maxFpDocs: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFpDocs >= 1, s"maxFpDocs must be >= 1, got $maxFpDocs")
+    val fp = winnowFingerprints(docs, window)
+      .select(col("doc_id"), col("h")).distinct()
+    val hot = fp.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxFpDocs).select(col("h"))
+    val safe = fp.join(broadcast(hot), Seq("h"), "left_anti")
+    safe.as("x").join(safe.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Shared oracle CTE: winnowing fingerprints `fp(doc_id, p, h, n_sh)`
+    * at window `w` — the q157/q158 prefix. */
+  private def winnowSql(w: Int): String =
+    s"""$shinglesSql,
+      sh AS (SELECT doc_id, i AS pos, md5(sh) AS h FROM shingles),
+      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      starts AS (SELECT doc_id, n_sh, s
+        FROM n, UNNEST(generate_series(1, GREATEST(n_sh - ${w - 1}, 1))) AS u(s)),
+      fp AS (SELECT DISTINCT doc_id, p, h, n_sh FROM (
+          SELECT st.doc_id, sh.pos AS p, sh.h, st.n_sh,
+            ROW_NUMBER() OVER (PARTITION BY st.doc_id, st.s
+              ORDER BY sh.h, sh.pos DESC) AS rn
+          FROM starts st JOIN sh ON sh.doc_id = st.doc_id
+            AND sh.pos BETWEEN st.s AND st.s + ${w - 1})
+        WHERE rn = 1)"""
+
+  /** Oracle fixture of [[winnowFingerprints]] (window 8): the per-doc
+    * fingerprint card — count and density vs the 2/(w+1) theoretical. */
+  private val q157 = GQuery(
+    "q157_winnow_fingerprints",
+    (s, dir) => winnowFingerprints(t(s, dir, "documents"), window = 8)
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_fp"))
+      .select(col("doc_id"), col("n_sh"), col("n_fp"),
+        expr("(1000000 * n_fp) DIV n_sh").as("density_ppm"))
+      .orderBy(col("doc_id")),
+    Some(s"""${winnowSql(8)}
+      SELECT doc_id, n_sh, COUNT(*) AS n_fp,
+        CAST((1000000 * COUNT(*)) // n_sh AS BIGINT) AS density_ppm
+      FROM fp
+      GROUP BY doc_id, n_sh
+      ORDER BY doc_id"""))
+
+  /** Oracle fixture of [[winnowCandidates]] (window 8, ≥2 shared): the
+    * fixture's fingerprint-doc cap never triggers, so the oracle omits
+    * the guard (the q26 convention). */
+  private val q158 = GQuery(
+    "q158_winnow_candidates",
+    (s, dir) => winnowCandidates(t(s, dir, "documents"), window = 8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""${winnowSql(8)},
+      f AS (SELECT DISTINCT doc_id, h FROM fp)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+      ORDER BY doc_a, doc_b"""))
+
   /** Source×source near-duplicate matrix — WHERE the duplication lives:
     * each LSH candidate pair (est Jaccard ≥ `minJaccard`) is charged to
     * its unordered (source, source) cell, so a crawl that mirrors
@@ -1980,5 +2092,6 @@ object TextQ {
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
-      q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156)
+      q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
+      q157, q158)
 }

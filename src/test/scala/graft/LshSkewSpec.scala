@@ -131,6 +131,47 @@ class LshSkewSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared-substring guarantee, density bound, determinism") {
+    import org.apache.spark.sql.functions.col
+    // two docs sharing a 12-token passage (>= window+shingle-1 = 10
+    // tokens at w=8,k=3) surrounded by distinct context: the guarantee
+    // says at least one fingerprint of the shared region must match
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    def ctx(p: String, n: Int) = (1 to n).map(j => s"$p$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"${ctx("x", 15)} $passage ${ctx("y", 15)}"),
+      (2L, s"${ctx("p", 15)} $passage ${ctx("q", 15)}"),
+      (3L, ctx("z", 40))) // fully distinct doc
+      .toDF("doc_id", "text")
+    val cands = TextQ.winnowCandidates(docs, window = 8, minShared = 1L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)),
+      s"shared 12-token passage must produce a fingerprint match: $cands")
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the distinct doc must not pair: $cands")
+    // density: n_fp/n_sh stays near 2/(w+1) and never exceeds n_sh
+    val card = TextQ.winnowFingerprints(docs, window = 8)
+      .groupBy(col("doc_id")).count().as[(Long, Long)].collect().toMap
+    val nsh = TextQ.winnowFingerprints(docs, window = 8)
+      .select("doc_id", "n_sh").distinct().as[(Long, Long)].collect().toMap
+    card.foreach { case (d, nfp) =>
+      assert(nfp <= nsh(d) && nfp >= nsh(d) / 8,
+        s"doc $d: $nfp fingerprints of ${nsh(d)} shingles")
+    }
+    // deterministic across runs (rightmost-min tie rule is total)
+    val a = TextQ.winnowFingerprints(docs, 8).collect().map(_.toSeq).toSet
+    val b = TextQ.winnowFingerprints(docs, 8).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("winnowing: short doc yields one truncated frame, one fingerprint") {
+    val tiny = Seq((1L, "only three tokens here")).toDF("doc_id", "text")
+    // 4 tokens -> 2 shingles < window=8 -> single frame over all shingles
+    val fp = TextQ.winnowFingerprints(tiny, window = 8).collect()
+    assert(fp.length == 1, fp.mkString(","))
+  }
+
   test("cross-source dup matrix: mirrors charge the right (source, source) cell") {
     import org.apache.spark.sql.functions.col
     val mirror = "the quick brown fox jumps over the lazy dog again and " +
