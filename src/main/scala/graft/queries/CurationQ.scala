@@ -2005,8 +2005,112 @@ object CurationQ {
         ORDER BY band"""))
   }
 
+  /** Budget waterfilling — the mixture PLANNER that answers "I want mix
+    * w but source s only has c_s tokens": allocate a total token
+    * `budget` across strata proportionally to `weight_ppm`, capping each
+    * stratum at its `capacity` and re-flowing the excess into the
+    * unsaturated strata (max-min fair / water-filling). This is the
+    * step BEFORE [[temperatureRebalance]]-style sampling: the sampler
+    * needs feasible per-stratum targets, and naive `w·B` targets
+    * overdraw any stratum that ran out.
+    *
+    * Exact-integer closed form: strata sort by saturation level
+    * `floor(c·10⁶ / w)` (stratum tiebreak — the canonical order both
+    * engines replay); a stratum is saturated iff its proportional share
+    * of the budget REMAINING after all earlier (lower-level) strata
+    * saturate covers its capacity — evaluated by exact cross-
+    * multiplication `c · W_after ≤ R_before · w` (no division, no FP;
+    * fits BIGINT for capacities ≤ ~10¹² tokens since Σw ≤ 10⁶).
+    * Unsaturated strata get `(budget − Σ sat capacity) · w DIV Σ unsat
+    * w` (floor); the ≤|strata|−1 remainder tokens stay unallocated —
+    * reported, never silently re-spread. All windows run over the
+    * |strata|-row table; nothing is corpus-sized. */
+  def budgetWaterfill(strata: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val s = strata.select(col("stratum"),
+        col("capacity").cast(LongType).as("capacity"),
+        col("weight_ppm").cast(LongType).as("weight_ppm"))
+      .withColumn("lvl", expr("(capacity * 1000000) DIV weight_ppm"))
+    val ord = Window.orderBy(col("lvl"), col("stratum"))
+    val all = Window.partitionBy()
+    s
+      .withColumn("cum_c", coalesce(sum(col("capacity")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_w", coalesce(sum(col("weight_ppm")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot_w", sum(col("weight_ppm")).over(all))
+      .withColumn("saturated",
+        col("capacity") * (col("tot_w") - col("cum_w")) <=
+          (lit(budget) - col("cum_c")) * col("weight_ppm"))
+      .withColumn("sat_c", sum(when(col("saturated"), col("capacity"))
+        .otherwise(0L)).over(all))
+      .withColumn("unsat_w", sum(when(col("saturated"), 0L)
+        .otherwise(col("weight_ppm"))).over(all))
+      .withColumn("allocated", when(col("saturated"), col("capacity"))
+        .otherwise(expr(
+          s"greatest(0L, (($budget - sat_c) * weight_ppm) DIV unsat_w)")))
+      .select(col("stratum"), col("capacity"), col("weight_ppm"),
+        col("saturated"), col("allocated"))
+  }
+
+  /** Oracle fixture of [[budgetWaterfill]]: capacities = per-language
+    * token counts of the corpus, a deliberately skewed target mix, and
+    * a budget of half the corpus — small languages saturate, the bulk
+    * re-flows into the big ones. */
+  private val q160 = GQuery(
+    "q160_budget_waterfill",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val caps = docs.groupBy(col("lang").as("stratum"))
+        .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("capacity"))
+      val weights = Seq(("en", 400000L), ("de", 250000L), ("fr", 150000L),
+        ("es", 120000L), ("zh", 80000L)).toDF("stratum", "weight_ppm")
+      // one scalar collect (the budget) — bounded driver traffic, the
+      // kmeans-centroid convention
+      val total = docs.agg(
+        sum(size(split(col("text"), " ")).cast(LongType))).head().getLong(0)
+      budgetWaterfill(caps.join(weights, Seq("stratum")), total / 2)
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH caps AS (SELECT lang AS stratum,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS capacity
+        FROM documents GROUP BY lang),
+      wts(stratum, weight_ppm) AS (VALUES ('en', 400000), ('de', 250000),
+        ('fr', 150000), ('es', 120000), ('zh', 80000)),
+      b AS (SELECT CAST(SUM(len(string_split(text, ' '))) // 2 AS BIGINT)
+              AS budget FROM documents),
+      s AS (SELECT stratum, capacity, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+          (capacity * 1000000) // CAST(weight_ppm AS BIGINT) AS lvl
+        FROM caps JOIN wts USING (stratum)),
+      pre AS (SELECT s.*, b.budget,
+          CAST(COALESCE(SUM(capacity) OVER (ORDER BY lvl, stratum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_c,
+          CAST(COALESCE(SUM(weight_ppm) OVER (ORDER BY lvl, stratum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_w,
+          CAST(SUM(weight_ppm) OVER () AS BIGINT) AS tot_w
+        FROM s, b),
+      sat AS (SELECT *,
+          capacity * (tot_w - cum_w) <= (budget - cum_c) * weight_ppm
+            AS saturated
+        FROM pre),
+      tot AS (SELECT *,
+          CAST(SUM(CASE WHEN saturated THEN capacity ELSE 0 END) OVER ()
+            AS BIGINT) AS sat_c,
+          CAST(SUM(CASE WHEN saturated THEN 0 ELSE weight_ppm END) OVER ()
+            AS BIGINT) AS unsat_w
+        FROM sat)
+      SELECT stratum, capacity, weight_ppm, saturated,
+        CASE WHEN saturated THEN capacity
+             ELSE GREATEST(0, ((budget - sat_c) * weight_ppm) // unsat_w)
+        END AS allocated
+      FROM tot
+      ORDER BY stratum"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142, q143, q150, q151, q152, q154, q155)
+      q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160)
 }

@@ -287,6 +287,63 @@ object TextQ {
       HAVING COUNT(*) >= 2
       ORDER BY doc_a, doc_b"""))
 
+  /** Exact shingle-set containment on the LSH candidate pairs — the
+    * "which side is the SUPERSET" signal a dedup keep-policy needs:
+    * symmetric Jaccard calls a quote-plus-commentary page and the page
+    * it quotes equally similar, but containment is asymmetric —
+    * `cont_a_ppm ≈ 10⁶` with low `cont_b_ppm` means A is (nearly)
+    * wholly inside B, so the policy keeps B (the superset) rather than
+    * the longer/lower-id side. Confirm work is candidates-only (the
+    * q77 edit-distance pattern): each pair intersects DISTINCT shingle
+    * sets via two pair-sized joins, exact BIGINT ppm both directions.
+    */
+  def containmentConfirm(docs: DataFrame, minJaccard: Double = 0.25): DataFrame = {
+    val cand = lshCandidates(minhashBands(docs))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(1000000 * n_common) DIV n_a").as("cont_a_ppm"),
+        expr("(1000000 * n_common) DIV n_b").as("cont_b_ppm"))
+  }
+
+  /** Oracle fixture of [[containmentConfirm]] (threshold 0.25). */
+  private val q159 = GQuery(
+    "q159_containment",
+    (s, dir) => containmentConfirm(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""$minhashCandSql,
+      dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+      com AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN dsh a ON a.doc_id = c.doc_a
+        JOIN dsh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, ca.n AS n_a, cb.n AS n_b,
+        COALESCE(n_common, 0) AS n_common,
+        CAST((1000000 * COALESCE(n_common, 0)) // ca.n AS BIGINT) AS cont_a_ppm,
+        CAST((1000000 * COALESCE(n_common, 0)) // cb.n AS BIGINT) AS cont_b_ppm
+      FROM cand c
+      LEFT JOIN com USING (doc_a, doc_b)
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b"""))
+
   /** Source×source near-duplicate matrix — WHERE the duplication lives:
     * each LSH candidate pair (est Jaccard ≥ `minJaccard`) is charged to
     * its unordered (source, source) cell, so a crawl that mirrors
@@ -2093,5 +2150,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158)
+      q157, q158, q159)
 }

@@ -830,6 +830,27 @@ class CurationSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("budget waterfill: saturation, re-flow, floors, degenerate budgets") {
+    val strata = Seq(("a", 100L, 500000L), ("b", 1000L, 300000L),
+      ("c", 1000L, 200000L)).toDF("stratum", "capacity", "weight_ppm")
+    def run(budget: Long) =
+      CurationQ.budgetWaterfill(strata, budget)
+        .select($"stratum", $"saturated", $"allocated")
+        .as[(String, Boolean, Long)].collect().sortBy(_._1)
+    // a (cap 100, wants 300) saturates; its unmet 200 re-flows to b/c
+    // proportionally to 3:2 -> b 300, c 200
+    assert(run(600L).toSeq == Seq(("a", true, 100L), ("b", false, 300L),
+      ("c", false, 200L)))
+    // floor remainder stays unallocated: 601 allocates the same 600
+    val r601 = run(601L)
+    assert(r601.map(_._3).sum == 600L, r601.toSeq.toString)
+    // budget >= total capacity: everything saturates at capacity
+    assert(run(5000L).toSeq == Seq(("a", true, 100L), ("b", true, 1000L),
+      ("c", true, 1000L)))
+    // zero budget: nothing saturates, nothing allocates
+    assert(run(0L).forall(r => !r._2 && r._3 == 0L))
+  }
+
   test("calibration curve: bands, clamping, exact observed rates") {
     val rows = Seq(
       (1L, 50000L, 1L), (2L, 99999L, 0L),     // band 0: 1/2 positive

@@ -172,6 +172,26 @@ class LshSkewSpec extends SparkSpec {
     assert(fp.length == 1, fp.mkString(","))
   }
 
+  test("containment confirm: subset doc reads ~1e6 one way, low the other") {
+    import org.apache.spark.sql.functions.col
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val docs = Seq(
+      (1L, passage),                                  // A: the quote
+      (2L, s"$passage mike november oscar"))          // B: superset
+      .toDF("doc_id", "text")
+    val got = TextQ.containmentConfirm(docs, minJaccard = 0.25)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common",
+        "cont_a_ppm", "cont_b_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1, s"A-B must be an LSH candidate: ${got.toSeq}")
+    val (a, b, na, nb, nc, ca, cb) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(na == 10L && nb == 13L && nc == 10L, got.head.toString)
+    assert(ca == 1000000L, s"A wholly contained: $ca")
+    assert(cb == (1000000L * 10 / 13), s"B only partially: $cb")
+  }
+
   test("cross-source dup matrix: mirrors charge the right (source, source) cell") {
     import org.apache.spark.sql.functions.col
     val mirror = "the quick brown fox jumps over the lazy dog again and " +
