@@ -2109,8 +2109,63 @@ object CurationQ {
       FROM tot
       ORDER BY stratum"""))
 
+  /** Exact quota apportionment (Hamilton's largest-remainder method) —
+    * "build a 10,000-doc eval set that mirrors the corpus strata
+    * EXACTLY": each stratum gets `⌊seats·n/total⌋` seats, and the
+    * leftover seats (< |strata|) go to the largest fractional
+    * remainders, remainder computed exactly as `(seats·n) mod total`
+    * (tie → stratum name). Guarantees Σ allocated = seats and every
+    * stratum within 1 of its exact quota — what naive per-stratum
+    * rounding violates (can over/undershoot the total by |strata|/2).
+    * Complements [[budgetWaterfill]]: that op caps by capacity,
+    * this one hits an exact total. |strata|-row windows only;
+    * `seats·n` needs BIGINT — safe to seats·corpus ≤ ~9·10¹⁸. */
+  def apportion(strata: DataFrame, seats: Long): DataFrame = {
+    require(seats >= 0, s"seats must be >= 0, got $seats")
+    val all = Window.partitionBy()
+    strata.select(col("stratum"), col("n").cast(LongType).as("n"))
+      .withColumn("tot", sum(col("n")).over(all))
+      .withColumn("base", expr(s"(${seats}L * n) DIV tot"))
+      .withColumn("rem", expr(s"(${seats}L * n) % tot"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))).cast(LongType))
+      .withColumn("extra", lit(seats) - sum(col("base")).over(all))
+      .select(col("stratum"), col("n"),
+        (col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+          .as("allocated"))
+  }
+
+  /** Oracle fixture of [[apportion]]: a 997-seat eval plan over the
+    * language strata (997 is coprime to everything in sight, so the
+    * remainder ranking actually decides seats). */
+  private val q161 = GQuery(
+    "q161_apportion",
+    (s, dir) => apportion(
+        t(s, dir, "documents").groupBy(col("lang").as("stratum"))
+          .agg(count(lit(1)).as("n")),
+        seats = 997L)
+      .orderBy(col("stratum")),
+    Some("""WITH s AS (SELECT lang AS stratum, COUNT(*) AS n
+          FROM documents GROUP BY lang),
+      p AS (SELECT stratum, n,
+          CAST(SUM(n) OVER () AS BIGINT) AS tot FROM s),
+      q AS (SELECT stratum, n,
+          (997 * n) // tot AS base, (997 * n) % tot AS rem,
+          tot FROM p),
+      r AS (SELECT *,
+          CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS BIGINT)
+            AS rn,
+          997 - CAST(SUM(base) OVER () AS BIGINT) AS extra
+        FROM q)
+      SELECT stratum, n,
+        CAST(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+          AS allocated
+      FROM r
+      ORDER BY stratum"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
-      q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160)
+      q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
+      q161)
 }

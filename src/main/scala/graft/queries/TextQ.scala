@@ -437,6 +437,68 @@ object TextQ {
       .agg(expr(s"CAST(${simhashTerms("instr", "div", bits)} AS BIGINT)").as("simhash"))
   }
 
+  // Weighted simhash bit terms: same md5 bit extraction as
+  // [[simhashTerms]], but each occurrence votes with weight `w` instead
+  // of 1 — SUM(w·(2·bit−1)) > 0.
+  private def simhashIdfTerms(strpos: String, idiv: String, bits: Int): String =
+    (0 until bits).map { j =>
+      val k = j / 4 + 1
+      val d = 1 << (3 - (j % 4))
+      val bit = s"((($strpos('0123456789abcdef', substr(md5(tok), $k, 1)) - 1) $idiv $d) % 2)"
+      s"(CASE WHEN SUM(w * (2 * $bit - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** IDF-weighted SimHash — the anti-boilerplate fingerprint: each token
+    * occurrence votes with weight `floor(log₂(n_docs / df)) + 1` (the
+    * bit length of `n_docs DIV df` — exact-integer log-idf, computable
+    * identically in both engines as `length(bin(x))`), so a token every
+    * document carries votes with weight 1 while a rare discriminative
+    * token votes with ~log₂ N. Two docs sharing only boilerplate stop
+    * colliding; two docs sharing their RARE content hash together even
+    * when the boilerplate differs — the failure mode of the unweighted
+    * majority vote ([[simhash]]) on template-heavy crawls.
+    *
+    * Scale shape: one (doc, tok) explode; df is a vocabulary-sized
+    * re-aggregation joined back on the token key (the q53 TF-IDF
+    * shape); the weighted vote is the same single grouped aggregation
+    * as the unweighted hash. Weights ≤ 64, so sums can't overflow. */
+  def simhashIdf(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 62,
+      s"simhash bits must be in [1, 62] (long-backed fingerprint), got $bits")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfTab = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    toks.join(dfTab, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", expr("CAST(length(bin(n_docs DIV df)) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(expr(s"CAST(${simhashIdfTerms("instr", "div", bits)} AS BIGINT)")
+        .as("simhash"))
+  }
+
+  /** Oracle fixture of [[simhashIdf]] (16 bits). */
+  private val q162 = GQuery(
+    "q162_simhash_idf",
+    (s, dir) => simhashIdf(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      e2 AS (SELECT doc_id, tok FROM e WHERE len(tok) > 0),
+      dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM e2 GROUP BY tok),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      w AS (SELECT doc_id, tok,
+          CAST(len(bin(n_docs // df)) AS BIGINT) AS w
+        FROM e2 JOIN dft USING (tok), nd)
+      SELECT doc_id,
+        CAST(${simhashIdfTerms("strpos", "//", 16)} AS BIGINT) AS simhash
+      FROM w
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   /** SimHash near-duplicate pairs (hamming distance ≤ `maxHamming`) via
     * multi-index blocking: the 32-bit hash splits into 4 chunks of 8
     * bits; by pigeonhole, any pair within hamming ≤ 3 agrees on at least
@@ -2150,5 +2212,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159)
+      q157, q158, q159, q162)
 }

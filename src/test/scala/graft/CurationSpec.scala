@@ -851,6 +851,32 @@ class CurationSpec extends SparkSpec {
     assert(run(0L).forall(r => !r._2 && r._3 == 0L))
   }
 
+  test("apportionment: exact total, within-1 quotas, remainder ranking") {
+    val strata = Seq(("a", 334L), ("b", 333L), ("c", 333L))
+      .toDF("stratum", "n")
+    // 10 seats over 1000: quotas 3.34/3.33/3.33 -> bases 3/3/3, the one
+    // leftover seat goes to the largest remainder (a)
+    val got = CurationQ.apportion(strata, seats = 10L)
+      .select($"stratum", $"allocated").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 4L, "b" -> 3L, "c" -> 3L), got.toString)
+    // invariants on a skewed split: total exact, every stratum within 1
+    // of its exact quota
+    val skew = Seq(("x", 1L), ("y", 7L), ("z", 992L)).toDF("stratum", "n")
+    val alloc = CurationQ.apportion(skew, seats = 97L)
+      .select($"stratum", $"n", $"allocated")
+      .as[(String, Long, Long)].collect()
+    assert(alloc.map(_._3).sum == 97L, alloc.toSeq.toString)
+    alloc.foreach { case (s0, n, a) =>
+      val quota = 97.0 * n / 1000.0
+      assert(math.abs(a - quota) < 1.0, s"$s0: $a vs quota $quota")
+    }
+    // remainder tie broken by stratum name: equal strata, one seat
+    val tie = Seq(("p", 500L), ("q", 500L)).toDF("stratum", "n")
+    val t = CurationQ.apportion(tie, seats = 3L)
+      .select($"stratum", $"allocated").as[(String, Long)].collect().toMap
+    assert(t == Map("p" -> 2L, "q" -> 1L), t.toString)
+  }
+
   test("calibration curve: bands, clamping, exact observed rates") {
     val rows = Seq(
       (1L, 50000L, 1L), (2L, 99999L, 0L),     // band 0: 1/2 positive

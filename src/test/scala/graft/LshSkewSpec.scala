@@ -172,6 +172,37 @@ class LshSkewSpec extends SparkSpec {
     assert(fp.length == 1, fp.mkString(","))
   }
 
+  test("idf simhash: boilerplate-only overlap separates, rare-content overlap collides") {
+    import org.apache.spark.sql.functions.col
+    // 6 docs share a 40-token template; each pair (1,2) (3,4) (5,6)
+    // shares rare distinctive tokens. Unweighted simhash is dominated by
+    // the template (df = n_docs, weight collapses to 1 under idf).
+    val boiler = (1 to 40).map(j => s"tmpl$j").mkString(" ")
+    def doc(id: Long, rare: String) =
+      (id, s"$boiler $rare $rare $rare $rare $rare $rare $rare $rare")
+    val docs = Seq(
+      doc(1L, "uniqalpha"), doc(2L, "uniqalpha"),
+      doc(3L, "uniqbeta"), doc(4L, "uniqbeta"),
+      doc(5L, "uniqgamma"), doc(6L, "uniqgamma"))
+      .toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val plain = hashes(TextQ.simhash(docs, bits = 32))
+    val idf = hashes(TextQ.simhashIdf(docs, bits = 32))
+    def ham(m: Map[Long, Long], a: Long, b: Long) =
+      java.lang.Long.bitCount(m(a) ^ m(b))
+    // same-rare pairs collide under BOTH schemes (identical text)
+    assert(ham(idf, 1L, 2L) == 0 && ham(idf, 3L, 4L) == 0)
+    // template-only pairs: unweighted is boilerplate-dominated (40 of 48
+    // votes identical -> small hamming); idf weighting (template weight
+    // collapses to 1, rare weight ~log2 n_docs) pushes them further apart
+    Seq((1L, 3L), (1L, 5L), (3L, 5L)).foreach { case (a, b) =>
+      val p = ham(plain, a, b); val i = ham(idf, a, b)
+      assert(i > p,
+        s"idf must separate template-only pair ($a,$b): plain=$p idf=$i")
+    }
+  }
+
   test("containment confirm: subset doc reads ~1e6 one way, low the other") {
     import org.apache.spark.sql.functions.col
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel " +
