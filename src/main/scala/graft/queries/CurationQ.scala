@@ -2030,7 +2030,16 @@ object CurationQ {
     val s = strata.select(col("stratum"),
         col("capacity").cast(LongType).as("capacity"),
         col("weight_ppm").cast(LongType).as("weight_ppm"))
-      .withColumn("lvl", expr("(capacity * 1000000) DIV weight_ppm"))
+      // loud guard: a zero/negative weight or capacity is a caller bug
+      // (and the saturation-level division would be an opaque div/0)
+      .withColumn("lvl", expr(
+        "CASE WHEN weight_ppm <= 0 THEN raise_error(concat(" +
+          "'graft.budgetWaterfill: stratum ', stratum, " +
+          "' has weight_ppm <= 0')) " +
+          "WHEN capacity < 0 THEN raise_error(concat(" +
+          "'graft.budgetWaterfill: stratum ', stratum, " +
+          "' has negative capacity')) " +
+          "ELSE (capacity * 1000000) DIV weight_ppm END"))
     val ord = Window.orderBy(col("lvl"), col("stratum"))
     val all = Window.partitionBy()
     s
@@ -2125,7 +2134,14 @@ object CurationQ {
     val all = Window.partitionBy()
     strata.select(col("stratum"), col("n").cast(LongType).as("n"))
       .withColumn("tot", sum(col("n")).over(all))
-      .withColumn("base", expr(s"(${seats}L * n) DIV tot"))
+      // loud guard: negative counts are a caller bug; an all-zero count
+      // table would otherwise be an opaque div/0
+      .withColumn("base", expr(
+        s"CASE WHEN n < 0 THEN raise_error(concat(" +
+          s"'graft.apportion: stratum ', stratum, ' has negative n')) " +
+          s"WHEN tot = 0 THEN raise_error(" +
+          s"'graft.apportion: all strata have n = 0 — nothing to apportion')" +
+          s" ELSE (${seats}L * n) DIV tot END"))
       .withColumn("rem", expr(s"(${seats}L * n) % tot"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("rem").desc, col("stratum"))).cast(LongType))

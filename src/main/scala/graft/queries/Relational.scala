@@ -742,8 +742,9 @@ object Relational {
     * Cost: one scan per snapshot into a ≤`bins`-row table, then all
     * comparison arithmetic on the tiny joined result with the totals
     * broadcast back — at 100 TB the drift report costs two aggregated
-    * scans and nothing else. Snapshots must be non-empty (a zero total
-    * makes the ppm shares NULL, not a crash). */
+    * scans and nothing else. An EMPTY snapshot side fails loudly with
+    * the side named (the ksDrift guard pattern) rather than dividing by
+    * its zero total; both sides empty yields an empty report. */
   def drift(oldDf: DataFrame, newDf: DataFrame, c: Column, lo: Double,
       hi: Double, bins: Int): DataFrame = {
     val j = histogram(oldDf, c, lo, hi, bins).withColumnRenamed("n", "n_old")
@@ -752,6 +753,13 @@ object Relational {
       .withColumn("n_old", coalesce(col("n_old"), lit(0L)))
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
     val tot = j.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+      .select(
+        expr("CASE WHEN t_old IS NULL OR t_old = 0 THEN raise_error(" +
+          "'graft.drift: the OLD snapshot has no rows in range — nothing " +
+          "to compare against') ELSE t_old END").as("t_old"),
+        expr("CASE WHEN t_new IS NULL OR t_new = 0 THEN raise_error(" +
+          "'graft.drift: the NEW snapshot has no rows in range — nothing " +
+          "to compare') ELSE t_new END").as("t_new"))
     j.crossJoin(broadcast(tot))
       .withColumn("p_old_ppm",
         expr("CAST((n_old * CAST(1000000 AS BIGINT)) DIV t_old AS BIGINT)"))

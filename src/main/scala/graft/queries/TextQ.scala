@@ -1867,8 +1867,17 @@ object TextQ {
       .groupBy(col("tok")).agg(
         sum(when(col("source") === sourceA, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("source") === sourceB, 1L).otherwise(0L)).as("n_b"))
+    // loud guard (the ksDrift pattern): a misspelled/empty source zeroes
+    // its total and the ppm rates become an opaque ANSI div/0 otherwise
     val totals = counts.agg(
-      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+        sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+      .select(
+        expr(s"CASE WHEN tot_a IS NULL OR tot_a = 0 THEN raise_error(" +
+          s"'graft.distinctiveTokens: source \\'$sourceA\\' has no tokens " +
+          s"— check the source name') ELSE tot_a END").as("tot_a"),
+        expr(s"CASE WHEN tot_b IS NULL OR tot_b = 0 THEN raise_error(" +
+          s"'graft.distinctiveTokens: source \\'$sourceB\\' has no tokens " +
+          s"— check the source name') ELSE tot_b END").as("tot_b"))
     counts.crossJoin(broadcast(totals))
       .withColumn("rate_a_ppm", expr("(1000000 * n_a) DIV tot_a"))
       .withColumn("rate_b_ppm", expr("(1000000 * n_b) DIV tot_b"))
@@ -2181,7 +2190,12 @@ object TextQ {
         sum(when(col("rn") === 1L, 1L).otherwise(0L)).as("hit_at_1"),
         sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hit_at_k"),
         sum(coalesce(expr("1000000 DIV rn"), lit(0L))).as("rr_sum"))
-      .withColumn("mrr_ppm", expr("rr_sum DIV n_queries"))
+      // loud zero-query guard: sampleMod too thin for the corpus would
+      // otherwise surface as an opaque null DIV 0
+      .withColumn("mrr_ppm", expr(
+        s"CASE WHEN n_queries = 0 THEN raise_error('graft.selfRetrievalEval:" +
+          s" sampleMod = $sampleMod sampled no query docs — lower it') " +
+          "ELSE rr_sum DIV n_queries END"))
   }
 
   /** Oracle fixture of [[selfRetrievalEval]] (every 125th doc, 8-token

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CurationQ, TextQ, VectorQ}
+import graft.queries.{CurationQ, Relational, TextQ, VectorQ}
 
 /** Curation operators (SURVEY §2C additions round 3): deterministic
   * sampling, PII redaction, TF-IDF, Bloom-prefiltered decontamination and
@@ -875,6 +875,45 @@ class CurationSpec extends SparkSpec {
     val t = CurationQ.apportion(tie, seats = 3L)
       .select($"stratum", $"allocated").as[(String, Long)].collect().toMap
     assert(t == Map("p" -> 2L, "q" -> 1L), t.toString)
+  }
+
+  test("degenerate inputs fail loudly across the div-guarded operators") {
+    def msgOf(e: Exception): String =
+      Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    // waterfill: zero weight names the stratum
+    val e1 = intercept[Exception] {
+      CurationQ.budgetWaterfill(
+        Seq(("bad", 10L, 0L)).toDF("stratum", "capacity", "weight_ppm"),
+        100L).collect()
+    }
+    assert(msgOf(e1).contains("bad"), msgOf(e1))
+    // apportion: all-zero counts
+    val e2 = intercept[Exception] {
+      CurationQ.apportion(
+        Seq(("a", 0L), ("b", 0L)).toDF("stratum", "n"), 10L).collect()
+    }
+    assert(msgOf(e2).contains("nothing to apportion"), msgOf(e2))
+    // distinctive tokens: misspelled source names the source
+    val docs = Seq((1L, "alpha beta", "src0")).toDF("doc_id", "text", "source")
+    val e3 = intercept[Exception] {
+      TextQ.distinctiveTokens(docs, "src0", "srcTYPO", k = 3).collect()
+    }
+    assert(msgOf(e3).contains("srcTYPO"), msgOf(e3))
+    // self-retrieval: a sampleMod that selects no queries
+    val e4 = intercept[Exception] {
+      TextQ.selfRetrievalEval(
+        Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+        sampleMod = 1000L).collect()
+    }
+    assert(msgOf(e4).contains("sampled no query docs"), msgOf(e4))
+    // drift: an empty old snapshot names the side
+    val e5 = intercept[Exception] {
+      Relational.drift(
+        Seq((1L, 5.0)).toDF("id", "v").filter($"id" < 0),
+        Seq((1L, 5.0)).toDF("id", "v"),
+        col("v"), 0.0, 10.0, 4).collect()
+    }
+    assert(msgOf(e5).contains("OLD snapshot"), msgOf(e5))
   }
 
   test("calibration curve: bands, clamping, exact observed rates") {
