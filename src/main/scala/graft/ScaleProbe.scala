@@ -33,7 +33,8 @@ object ScaleProbe {
     "q141_domain_affinity", "q143_nb_confusion", "q146_novelty_curve",
     "q148_ks_drift", "q150_class_tokens", "q151_mega_pack",
     "q152_mega_assembly", "q154_bucketed_batches",
-    "q157_winnow_fingerprints", "q158_winnow_candidates")
+    "q157_winnow_fingerprints", "q158_winnow_candidates",
+    "q159_containment", "q162_simhash_idf")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
