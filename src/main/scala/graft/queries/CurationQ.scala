@@ -2179,9 +2179,72 @@ object CurationQ {
       FROM r
       ORDER BY stratum"""))
 
+  /** Per-source quantile normalization — make a quality score COMPARABLE
+    * across sources before a global threshold: each doc's score maps to
+    * its exact within-source quantile rank `10⁶·(rank−1) DIV (n−1)`
+    * (rank by (score, doc_id) — a total order, so ties are
+    * deterministic; singleton sources read 0). "Keep qrank ≥ 700000"
+    * then means "the top 30% of EVERY source", where a raw-score
+    * threshold silently keeps whole easy sources and drops whole hard
+    * ones (per-source score scales differ — the classifier-calibration
+    * problem [[calibrationCurve]] measures, fixed structurally).
+    *
+    * The within-source rank uses the [[globalRankBy]] bucket-offset
+    * construction PER SOURCE (score floor-div buckets, per-(source,
+    * bucket) windows + broadcast offset/count table), so a dominant
+    * source never serializes one reducer — same proof obligation as
+    * q151/q124: the oracle is the naive per-source ROW_NUMBER, and the
+    * hash-match proves equivalence. */
+  def quantileNormalize(docs: DataFrame, scoreCol: String,
+      groupCol: String = "source", bucketWidth: Long = 64L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val scored = docs.select(col("doc_id"), col(groupCol),
+        col(scoreCol).cast(LongType).as("score"))
+      // pmod floor-div so negative scores keep monotone buckets
+      .withColumn("b",
+        expr(s"(score - pmod(score, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+    val offsets = scored.groupBy(col(groupCol), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_grp",
+        sum(col("bn")).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("b"), col("off"), col("n_grp"))
+    val wB = Window.partitionBy(col(groupCol), col("b"))
+      .orderBy(col("score"), col("doc_id"))
+    scored.withColumn("rib", row_number().over(wB).cast(LongType))
+      .join(broadcast(offsets), Seq(groupCol, "b"))
+      .select(col("doc_id"), col(groupCol), col("score"),
+        expr("CASE WHEN n_grp <= 1 THEN 0L " +
+          "ELSE (1000000 * (off + rib - 1)) DIV (n_grp - 1) END")
+          .as("qrank_ppm"))
+  }
+
+  /** Oracle fixture of [[quantileNormalize]] (score = n_chars, per
+    * source, bucket width 16): the naive per-source ROW_NUMBER. */
+  private val q163 = GQuery(
+    "q163_quantile_normalize",
+    (s, dir) => quantileNormalize(t(s, dir, "documents"), "n_chars",
+        bucketWidth = 16L)
+      .orderBy(col("source"), col("qrank_ppm"), col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source,
+          CAST(n_chars AS BIGINT) AS score FROM documents),
+      r AS (SELECT doc_id, source, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY score, doc_id) AS BIGINT) AS rnk,
+          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_grp
+        FROM d)
+      SELECT doc_id, source, score,
+        CASE WHEN n_grp <= 1 THEN 0
+             ELSE (1000000 * (rnk - 1)) // (n_grp - 1) END AS qrank_ppm
+      FROM r
+      ORDER BY source, qrank_ppm, doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161)
+      q161, q163)
 }

@@ -877,6 +877,31 @@ class CurationSpec extends SparkSpec {
     assert(t == Map("p" -> 2L, "q" -> 1L), t.toString)
   }
 
+  test("quantile normalize: per-source endpoints, comparability, bucket invariance") {
+    // source A: scores 10,20,30,40 — source B: scores 1000,2000 (scales
+    // differ 100x; quantile ranks make them comparable)
+    val docs = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "A", 40L), (5L, "B", 1000L), (6L, "B", 2000L),
+      (7L, "C", 777L)) // singleton source
+      .toDF("doc_id", "source", "score")
+    def run(bw: Long) = CurationQ.quantileNormalize(docs, "score",
+        "source", bw)
+      .select($"doc_id", $"qrank_ppm").as[(Long, Long)].collect().toMap
+    val got = run(16L)
+    assert(got(1L) == 0L && got(4L) == 1000000L, got.toString)
+    assert(got(2L) == 333333L && got(3L) == 666666L, got.toString)
+    assert(got(5L) == 0L && got(6L) == 1000000L, "B spans [0, 1e6] too")
+    assert(got(7L) == 0L, "singleton source reads 0")
+    // bucket width never changes the result (offset construction ≡ naive)
+    Seq(1L, 3L, 1000000L).foreach(bw => assert(run(bw) == got, s"bw=$bw"))
+    // negative scores keep monotone buckets (pmod floor-div)
+    val neg = Seq((1L, "A", -30L), (2L, "A", -10L), (3L, "A", 10L))
+      .toDF("doc_id", "source", "score")
+    val g2 = CurationQ.quantileNormalize(neg, "score", "source", 7L)
+      .select($"doc_id", $"qrank_ppm").as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L), g2.toString)
+  }
+
   test("degenerate inputs fail loudly across the div-guarded operators") {
     def msgOf(e: Exception): String =
       Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
