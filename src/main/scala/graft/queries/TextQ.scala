@@ -686,6 +686,72 @@ object TextQ {
     WHERE lev <= 64
     ORDER BY doc_a, doc_b"""))
 
+  /** Blocked fuzzy entity linkage over a name DICTIONARY — the catalog
+    * dedupe a crawl's metadata pass needs ("cold widget" vs "old widget"
+    * are one product; Levenshtein over-penalizes the swap family
+    * Jaro-Winkler was built for). Architecture is the scalable one:
+    * resolve at the distinct-name level first (the dictionary is orders
+    * of magnitude smaller than the records — 64 names vs 2,000 rows in
+    * the fixture, and the same ratio holds for product/author/domain
+    * catalogs at 100 TB), then records inherit their name's verdict by an
+    * equi-join. Pairing is blocked on the name's last token (the head
+    * noun), a hash-partitioned self-equi-join — work is Σ|block|² over
+    * the dictionary, never dictionary², and a `maxBlockSize` cap bounds a
+    * degenerate block (every name sharing one noun) exactly like q158's
+    * hot-fingerprint cap. The [[graft.functions.JaroWinkler]] kernel is a
+    * codegen'd Catalyst expression locked bitwise against DuckDB's
+    * `jaro_winkler_similarity`, so the threshold filter and the 6dp
+    * output agree exactly with the oracle.
+    */
+  def fuzzyNameLinkage(records: DataFrame, nameCol: String, keyCol: String,
+      minJw: Double = 0.9, maxBlockSize: Int = 10000): DataFrame = {
+    require(minJw > 0 && minJw <= 1, s"minJw must be in (0,1], got $minJw")
+    val names = records
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col(keyCol)).as("canon_key"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+      .withColumn("block_n",
+        count(lit(1)).over(Window.partitionBy(col("block"))))
+      .filter(col("block_n") <= maxBlockSize)
+      .select(col("name"), col("n_rows"), col("canon_key"), col("block"))
+    val a = names.select(col("name").as("name_a"), col("n_rows").as("rows_a"),
+      col("canon_key").as("key_a"), col("block"))
+    val b = names.select(col("name").as("name_b"), col("n_rows").as("rows_b"),
+      col("canon_key").as("key_b"), col("block"))
+    val jw = graft.functions.StringFunctions
+      .jaro_winkler(col("name_a"), col("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_raw", jw)
+      .filter(col("jw_raw") >= minJw)
+      .select(col("name_a"), col("name_b"), round(col("jw_raw"), 6).as("jw"),
+        col("rows_a"), col("rows_b"),
+        least(col("key_a"), col("key_b")).as("canon_key"))
+  }
+
+  /** Oracle fixture of [[fuzzyNameLinkage]] on the part catalog: the
+    * cold/old adjective family links at ≥ 0.95, cross-adjective pairs
+    * stay below the 0.9 gate. */
+  private val q164 = GQuery(
+    "q164_jaro_linkage",
+    (s, dir) => fuzzyNameLinkage(t(s, dir, "part"), "p_name", "p_partkey")
+      .orderBy(col("name_a"), col("name_b")),
+    Some("""WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows,
+          MIN(p_partkey) AS canon_key
+        FROM part GROUP BY 1),
+      blk AS (SELECT *, list_extract(string_split(name, ' '), -1) AS block
+        FROM names
+        QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000),
+      pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+          jaro_winkler_similarity(a.name, b.name) AS jw_raw,
+          a.n_rows AS rows_a, b.n_rows AS rows_b,
+          least(a.canon_key, b.canon_key) AS canon_key
+        FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name)
+    SELECT name_a, name_b, ROUND(jw_raw, 6) AS jw, rows_a, rows_b, canon_key
+    FROM pairs WHERE jw_raw >= 0.9
+    ORDER BY name_a, name_b"""))
+
   /** Collocation mining: bigram association strength as an exact-integer
     * PMI analogue, lift_ppm = 10⁶·P(w1,w2)/(P(w1)·P(w2)) computed as
     * c12·N·10⁶ div (c1·c2) in BIGINT — no float logs, so the ranking is
@@ -2231,5 +2297,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162)
+      q157, q158, q159, q162, q164)
 }
