@@ -324,6 +324,84 @@ object AnalyticsQ {
       FROM win WHERE abs(z) > 2.5
       ORDER BY event_id"""))
 
+  /** Exact per-group lower median via the value-HISTOGRAM construction:
+    * count per (group, value), cumulative over the distinct-value table,
+    * min value whose cumulative count reaches ⌈n/2⌉. The window runs over
+    * the (group, value)-sized table — |distinct cents| rows per group,
+    * never the row count — so a billion-row group costs one hash
+    * aggregation plus a tiny per-group scan, where a row-level
+    * median window would sort the full group on one reducer (the q98
+    * RANGE-frame cost note, solved the globalRankBy way). */
+  private def histogramMedian(rows: DataFrame, groupCol: String,
+      valCol: String, medName: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    val wg = Window.partitionBy(col(groupCol))
+    rows.groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .filter(col("cum") >= expr("(n + 1) div 2")) // div, not `/`: Column `/` is DOUBLE division — at even n the .5 rank would silently pick the UPPER median and diverge from the oracle's `//`
+      .groupBy(col(groupCol)).agg(min(col(valCol)).as(medName))
+  }
+
+  /** Robust outliers by median absolute deviation — the detector q89's
+    * z-score can't be: one genuine 100× spike inflates the group stddev
+    * enough to MASK its siblings (and a fat-tailed metric never had a
+    * meaningful σ at all), while the median and MAD ignore any minority
+    * of wild rows entirely. Flag = |x−med| > k·MAD with k = 4.4478
+    * (3σ-equivalent under normality: 3×1.4826), compared as exact
+    * integers (`dev·10⁴ > 44478·MAD` on cent-scaled longs — no FP, no
+    * ANSI-division hazard when MAD = 0: a constant-valued group flags
+    * exactly the rows that differ from the constant).
+    *
+    * Plan: two [[histogramMedian]] passes (values, then deviations),
+    * each a hash aggregation + distinct-value-sized window; medians come
+    * back by a broadcast |groups|-row join; the flag filter is map-side.
+    * Contrast with q89's sufficient-statistics z-score: same broadcast
+    * shape, robust statistic, still no row-level group sort anywhere.
+    */
+  def madOutliers(events: DataFrame, groupCol: String = "event_type",
+      idCol: String = "event_id", valCol: String = "value",
+      kTenThousandths: Long = 44478L): DataFrame = {
+    require(kTenThousandths > 0,
+      s"kTenThousandths must be positive, got $kTenThousandths")
+    val rows = events.select(col(idCol), col(groupCol),
+      round(col(valCol) * 100).cast(LongType).as("ly"))
+    val med = histogramMedian(rows, groupCol, "ly", "med")
+    val withDev = rows.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col("ly") - col("med")))
+    val mad = histogramMedian(withDev, groupCol, "dev", "mad")
+    withDev.join(broadcast(mad), groupCol)
+      .filter(col("dev") * 10000L > lit(kTenThousandths) * col("mad"))
+      .select(col(idCol), col(groupCol), (col("ly") / lit(100d)).as(valCol),
+        (col("med") / lit(100d)).as("med"), col("dev"), col("mad"))
+  }
+
+  private val q165 = GQuery(
+    "q165_mad_outliers",
+    (s, dir) => madOutliers(t(s, dir, "events")).orderBy(col("event_id")),
+    Some("""WITH r AS (
+        SELECT event_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events),
+      c AS (SELECT event_type, ly, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      cc AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY ly) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n FROM c),
+      med AS (SELECT event_type, MIN(ly) AS med FROM cc
+              WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      a AS (SELECT r.event_id, r.event_type, r.ly, m.med,
+              abs(r.ly - m.med) AS dev
+            FROM r JOIN med m USING (event_type)),
+      c2 AS (SELECT event_type, dev, COUNT(*) AS cnt FROM a GROUP BY 1, 2),
+      cc2 AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+                SUM(cnt) OVER (PARTITION BY event_type) AS n FROM c2),
+      mad AS (SELECT event_type, MIN(dev) AS mad FROM cc2
+              WHERE cum >= (n + 1) // 2 GROUP BY 1)
+    SELECT a.event_id, a.event_type, a.ly / 100.0 AS value,
+      a.med / 100.0 AS med, a.dev, m.mad
+    FROM a JOIN mad m USING (event_type)
+    WHERE a.dev * 10000 > 44478 * m.mad
+    ORDER BY a.event_id"""))
+
   /** Pearson correlation between the money value and the JSON `k` payload
     * per group — both re-expressed as exact integers, same sufficient-
     * statistics discipline as [[trendSlope]]. One hash aggregation.
@@ -731,5 +809,5 @@ object AnalyticsQ {
       LIMIT 1"""))
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103, q104, q147, q148)
+    q96, q101, q102, q103, q104, q147, q148, q165)
 }

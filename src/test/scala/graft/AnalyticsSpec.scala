@@ -91,6 +91,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.head._2 > 4.0) // lone spike in 21 rows is > 4 sigma
   }
 
+  test("madOutliers catches the spike family z-score masking hides") {
+    // Six co-located spikes inflate the stddev enough that each sits
+    // ~2.2σ (z ≈ √(n/k) = √(30/6), below the 2.5 z gate) — but MAD
+    // ignores the minority entirely.
+    val base = (1 to 30).map(i => (i.toLong, 1L, "g", "2024-01-01 00:00:01",
+      10.0 + (i % 3) * 0.02))
+    val spikeIds = (94L to 99L)
+    val spikes = spikeIds.map(i => (i, 1L, "g", "2024-01-01 00:00:01", 200.0))
+    val ev = events(base ++ spikes: _*)
+    val z = AnalyticsQ.zscoreOutliers(ev).collect().map(_.getLong(0)).toSet
+    val m = AnalyticsQ.madOutliers(ev).collect().map(_.getLong(0)).toSet
+    assert(z === Set.empty) // masked: 6/36 spikes drag sigma up
+    assert(m === spikeIds.toSet)
+  }
+
+  test("madOutliers: MAD=0 constant group flags exactly the differing rows") {
+    val ev = events(
+      (1, 1, "c", "2024-01-01 00:00:01", 5.0),
+      (2, 1, "c", "2024-01-01 00:00:01", 5.0),
+      (3, 1, "c", "2024-01-01 00:00:01", 5.0),
+      (4, 1, "c", "2024-01-01 00:00:01", 5.01))
+    val out = AnalyticsQ.madOutliers(ev).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L))
+    assert(out.head.getLong(5) === 0L) // mad
+    assert(out.head.getLong(4) === 1L) // dev = 1 cent
+  }
+
+  test("madOutliers: even-n group uses the LOWER median (rank (n+1) div 2)") {
+    // values 1,2,3,4 → lower median 2 (not 2.5): dev of the max is 2.00
+    val ev = events(
+      (1, 1, "e", "2024-01-01 00:00:01", 1.0),
+      (2, 1, "e", "2024-01-01 00:00:01", 2.0),
+      (3, 1, "e", "2024-01-01 00:00:01", 3.0),
+      (4, 1, "e", "2024-01-01 00:00:01", 4.0))
+    val meds = AnalyticsQ.madOutliers(ev, kTenThousandths = 1L)
+      .select(col("med")).distinct().collect().map(_.getDouble(0))
+    assert(meds.toSeq === Seq(2.0))
+  }
+
   test("pearsonCorr is 1 for a perfectly linear relation") {
     import spark.implicits._
     val ev = (1 to 10).map(i => (i.toLong, "g", i * 2.0, s"""{"k": $i}"""))
