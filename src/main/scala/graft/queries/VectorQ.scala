@@ -1861,7 +1861,93 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** Top principal direction of the embedding corpus by two power-
+    * iteration steps in EXACT integer arithmetic — the whitening /
+    * drift-direction primitive (dominant-PC removal is the standard
+    * post-processing for anisotropic embedding spaces, and "which way is
+    * the corpus drifting" is this direction between two snapshots).
+    *
+    * Distributed shape: power iteration against the un-centered Gram
+    * matrix A = Σ x·xᵀ never materializes A — each step is
+    * `v' = Σᵢ xᵢ·(xᵢ·v)`, i.e. one map-side dot product per vector plus a
+    * 64-group aggregation. Pass 1 uses v₀ = 1 (the row SUM, computed
+    * inline per row); the 64-row result collects to the driver (the
+    * bounded-collect class: centroids, codebooks), normalizes in BigInt
+    * to ±10⁶ ppm of its max component, and returns as a LITERAL array so
+    * pass 2 is a codegen'd [[vec_dot_long]] per row — no join, no second
+    * structure. Everything is exact: inputs quantize to thousandths via
+    * the engine-portable `floor(x·1000 + 0.5)`, per-row products stay in
+    * long (|x|≤~580 ⟹ |t| ≤ 64·580·10⁶ ≈ 4e10), cross-row sums accumulate
+    * in DECIMAL(38,0) (DuckDB: HUGEINT — SUM(BIGINT) widens itself), and
+    * ppm division runs on non-negative operands with the sign carried
+    * separately, where truncating BigInt `/`, Spark `DIV` and DuckDB `//`
+    * all agree.
+    *
+    * Output: one row per dimension (1-based) with the ppm loading after
+    * each iteration — l1 vs l2 shows convergence; the sign convention is
+    * fixed by v₀ = 1, so results are deterministic with no eigenvector
+    * sign ambiguity. Two corpus scans total, each emitting 64 rows.
+    */
+  def topComponentPpm(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+      .as("q"))
+    def normalizePpm(rows: Array[org.apache.spark.sql.Row]): Map[Int, BigInt] = {
+      val v = rows.map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+      val mx = v.values.map(_.abs).max
+      require(mx > 0, "topComponentPpm: zero iteration vector — corpus is empty or all-zero")
+      v.map { case (p, x) => p -> (x.signum * ((BigInt(1000000) * x.abs) / mx)) }
+    }
+    val v1 = normalizePpm(q
+      .withColumn("s", expr("aggregate(q, 0L, (a, e) -> a + e)"))
+      .select(posexplode(col("q")).as(Seq("pos", "xi")), col("s"))
+      .groupBy(col("pos"))
+      .agg(sum((col("xi") * col("s")).cast(DecimalType(38, 0))).as("v1"))
+      .collect())
+    val dims = (0 until v1.keys.max + 1)
+    val v1Lit = array(dims.map(p => lit(v1.getOrElse(p, BigInt(0)).toLong)): _*)
+    val v2 = normalizePpm(q
+      .withColumn("t", vec_dot_long(col("q"), v1Lit))
+      .select(posexplode(col("q")).as(Seq("pos", "xi")), col("t"))
+      .groupBy(col("pos"))
+      .agg(sum((col("xi") * col("t")).cast(DecimalType(38, 0))).as("v2"))
+      .collect())
+    dims.map(p => ((p + 1).toLong, v1(p).toLong, v2(p).toLong))
+      .toDF("dim", "l1_ppm", "l2_ppm")
+  }
+
+  private val q166 = GQuery(
+    "q166_power_pca",
+    (s, dir) => topComponentPpm(t(s, dir, "embeddings")).orderBy(col("dim")),
+    Some("""WITH xq AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      s AS (SELECT vec_id, q, list_aggregate(q, 'sum') AS s FROM xq),
+      dims AS (SELECT CAST(r.range + 1 AS INT) AS j FROM range(64) r),
+      v1 AS (SELECT j, SUM(CAST(q[j] AS HUGEINT) * s) AS v1
+             FROM s, dims GROUP BY j),
+      m1 AS (SELECT MAX(abs(v1)) AS mx FROM v1),
+      v1n AS (SELECT j,
+          (CASE WHEN v1 < 0 THEN -1 ELSE 1 END)
+            * ((1000000::HUGEINT * abs(v1)) // mx) AS w
+        FROM v1, m1),
+      tt AS (SELECT vec_id, SUM(s.q[v1n.j] * v1n.w) AS t
+             FROM s, v1n GROUP BY vec_id),
+      v2 AS (SELECT j, SUM(CAST(xq.q[j] AS HUGEINT) * tt.t) AS v2
+             FROM xq JOIN tt USING (vec_id), dims GROUP BY j),
+      m2 AS (SELECT MAX(abs(v2)) AS mx FROM v2)
+    SELECT CAST(j AS BIGINT) AS dim,
+      CAST((CASE WHEN v1 < 0 THEN -1 ELSE 1 END)
+        * ((1000000::HUGEINT * abs(v1)) // m1.mx) AS BIGINT) AS l1_ppm,
+      CAST((CASE WHEN v2 < 0 THEN -1 ELSE 1 END)
+        * ((1000000::HUGEINT * abs(v2)) // m2.mx) AS BIGINT) AS l2_ppm
+    FROM v1 JOIN v2 USING (j), m1, m2
+    ORDER BY dim"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122, q125, q132, q136)
+      q108, q113, q114, q115, q121, q122, q125, q132, q136, q166)
 }

@@ -174,4 +174,32 @@ class VectorOpsSpec extends SparkSpec {
       s"got ${r.get(1L)}")
     assert(!r.contains(2L), "single-half label must be absent")
   }
+
+  test("power PCA: planted dominant axis recovered at exactly ±1e6 ppm") {
+    // Dim 7 carries ±2.0 (alternating sign), every other dim tiny fixed
+    // noise — the top principal direction of Σxxᵀ is e₇.
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(8)(0.001f * ((i % 3).toInt + 1))
+      v(7) = if (i % 2 == 0) 2.0f else -2.0f
+      (i, v)
+    }
+    val out = VectorQ.topComponentPpm(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val l2 = out.map(_._3)
+    assert(math.abs(l2(7)) === 1000000L, s"dominant dim must peg the scale: ${l2.toSeq}")
+    assert(l2.zipWithIndex.filter(_._2 != 7).forall(x => math.abs(x._1) < 10000),
+      s"off-axis loadings must be noise-sized: ${l2.toSeq}")
+    // convergence: iteration 2 concentrates at least as hard as iteration 1
+    val off1 = out.map(_._2).zipWithIndex.filter(_._2 != 7).map(x => math.abs(x._1)).max
+    val off2 = l2.zipWithIndex.filter(_._2 != 7).map(x => math.abs(x._1)).max
+    assert(off2 <= off1, s"iteration must not de-concentrate: $off1 -> $off2")
+  }
+
+  test("power PCA: all-zero corpus fails loudly, not div/0") {
+    val rows = (0L until 4L).map(i => (i, Array.fill(4)(0.0f)))
+    val e = intercept[IllegalArgumentException] {
+      VectorQ.topComponentPpm(rows.toDF("vec_id", "embedding")).collect()
+    }
+    assert(e.getMessage.contains("zero iteration vector"))
+  }
 }
