@@ -34,7 +34,8 @@ object ScaleProbe {
     "q148_ks_drift", "q150_class_tokens", "q151_mega_pack",
     "q152_mega_assembly", "q154_bucketed_batches",
     "q157_winnow_fingerprints", "q158_winnow_candidates",
-    "q159_containment", "q162_simhash_idf")
+    "q159_containment", "q162_simhash_idf", "q164_jaro_linkage",
+    "q165_mad_outliers", "q166_power_pca", "q167_anisotropy")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

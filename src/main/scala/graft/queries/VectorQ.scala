@@ -1918,6 +1918,86 @@ object VectorQ {
       .toDF("dim", "l1_ppm", "l2_ppm")
   }
 
+  /** Anisotropy card: how much of the corpus' energy the dominant
+    * principal direction captures — the trust gate that decides whether
+    * cosine search needs dominant-PC removal at all. For an isotropic
+    * corpus mean cos²(x, v₁) ≈ 1/d (15,625 ppm at d = 64); real encoder
+    * outputs routinely concentrate 10-50× that, which squeezes all
+    * pairwise cosines toward 1 and flattens top-k margins — this card
+    * says by exactly how much, BEFORE an index gets built on skewed
+    * geometry.
+    *
+    * Exact arithmetic end-to-end: the direction is [[topComponentPpm]]'s
+    * integer ppm vector w; per row cos²_ppm = (10⁶·(x·w)²) DIV (|x|²·|w|²)
+    * with the squared dot in DECIMAL(38,0) (it can reach ~10²¹ — past
+    * long, nowhere near decimal's 10³⁸; HUGEINT on the oracle side), and
+    * zero vectors contribute 0 by definition rather than tripping ANSI
+    * division. Cost on top of the two topComponentPpm scans: ONE more
+    * corpus scan, all map-side (codegen vec_dot_long against the literal
+    * direction + an inline |x|² fold), into a single-row aggregate.
+    */
+  def anisotropyCard(emb: DataFrame): DataFrame = {
+    val w = topComponentPpm(emb).collect().sortBy(_.getLong(0)).map(_.getLong(2))
+    val w2 = w.map(x => BigInt(x) * BigInt(x)).sum
+    require(w2 > 0 && w2 <= BigInt(Long.MaxValue),
+      s"anisotropyCard: |w|^2 out of range: $w2")
+    val wLit = array(w.toIndexedSeq.map(lit): _*)
+    emb.select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("q"))
+      .withColumn("dot", vec_dot_long(col("q"), wLit))
+      .withColumn("xx", expr("aggregate(q, 0L, (a, e) -> a + e * e)"))
+      .withColumn("cos2_ppm", expr(
+        s"""CASE WHEN xx = 0 THEN 0L ELSE
+            CAST((1000000L * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0)))
+              DIV (CAST(xx AS DECIMAL(38,0)) * ${w2}L) AS BIGINT) END"""))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos2_ppm")).as("sum_cos2"))
+      .select(col("n_vecs"),
+        expr("CAST(sum_cos2 DIV n_vecs AS BIGINT)").as("mean_cos2_ppm"),
+        expr(s"CAST(1000000 DIV ${w.length} AS BIGINT)").as("iso_baseline_ppm"))
+  }
+
+  private val q167 = GQuery(
+    "q167_anisotropy",
+    (s, dir) => anisotropyCard(t(s, dir, "embeddings")),
+    Some("""WITH xq AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      s AS (SELECT vec_id, q, list_aggregate(q, 'sum') AS s FROM xq),
+      dims AS (SELECT CAST(r.range + 1 AS INT) AS j FROM range(64) r),
+      v1 AS (SELECT j, SUM(CAST(q[j] AS HUGEINT) * s) AS v1
+             FROM s, dims GROUP BY j),
+      m1 AS (SELECT MAX(abs(v1)) AS mx FROM v1),
+      v1n AS (SELECT j,
+          (CASE WHEN v1 < 0 THEN -1 ELSE 1 END)
+            * ((1000000::HUGEINT * abs(v1)) // mx) AS w
+        FROM v1, m1),
+      tt AS (SELECT vec_id, SUM(s.q[v1n.j] * v1n.w) AS t
+             FROM s, v1n GROUP BY vec_id),
+      v2 AS (SELECT j, SUM(CAST(xq.q[j] AS HUGEINT) * tt.t) AS v2
+             FROM xq JOIN tt USING (vec_id), dims GROUP BY j),
+      m2 AS (SELECT MAX(abs(v2)) AS mx FROM v2),
+      w AS (SELECT j,
+          (CASE WHEN v2 < 0 THEN -1 ELSE 1 END)
+            * ((1000000::HUGEINT * abs(v2)) // mx) AS w
+        FROM v2, m2),
+      w2 AS (SELECT SUM(w * w) AS w2 FROM w),
+      dots AS (SELECT vec_id, SUM(xq.q[w.j] * w.w) AS dot
+               FROM xq, w GROUP BY vec_id),
+      xx AS (SELECT vec_id,
+          list_aggregate(list_transform(q, e -> e * e), 'sum') AS xx
+        FROM xq),
+      per AS (SELECT d.vec_id,
+          CASE WHEN x.xx = 0 THEN 0::HUGEINT
+            ELSE (1000000::HUGEINT * d.dot * d.dot)
+              // (CAST(x.xx AS HUGEINT) * (SELECT w2 FROM w2)) END AS cos2
+        FROM dots d JOIN xx x USING (vec_id))
+    SELECT COUNT(*) AS n_vecs,
+      CAST(SUM(cos2) // COUNT(*) AS BIGINT) AS mean_cos2_ppm,
+      CAST(1000000 // 64 AS BIGINT) AS iso_baseline_ppm
+    FROM per"""))
+
   private val q166 = GQuery(
     "q166_power_pca",
     (s, dir) => topComponentPpm(t(s, dir, "embeddings")).orderBy(col("dim")),
@@ -1949,5 +2029,5 @@ object VectorQ {
 
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122, q125, q132, q136, q166)
+      q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167)
 }

@@ -195,6 +195,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(off2 <= off1, s"iteration must not de-concentrate: $off1 -> $off2")
   }
 
+  test("anisotropy card: collapsed corpus ~1e6, spread corpus ~1/d") {
+    // Collapsed: every vector on the same axis (±) → mean cos² pegs ~1e6.
+    val collapsed = (0L until 20L).map { i =>
+      val v = Array.fill(8)(0.0f); v(3) = if (i % 2 == 0) 1.0f else -2.0f; (i, v)
+    }
+    val c = VectorQ.anisotropyCard(collapsed.toDF("vec_id", "embedding")).head
+    assert(c.getLong(0) === 20L)
+    assert(c.getLong(1) > 990000L, s"collapsed corpus must read ~1e6: $c")
+    assert(c.getLong(2) === 125000L) // 1e6 / 8 dims
+    // Spread: equal mass on every axis → mean cos²(x, v₁) ≈ 1/d.
+    val spread = (0L until 32L).map { i =>
+      val v = Array.fill(8)(0.0f); v((i % 8).toInt) = 1.0f; (i, v)
+    }
+    val s = VectorQ.anisotropyCard(spread.toDF("vec_id", "embedding")).head
+    assert(s.getLong(1) < 200000L, s"spread corpus must sit near 1/d: $s")
+  }
+
   test("power PCA: all-zero corpus fails loudly, not div/0") {
     val rows = (0L until 4L).map(i => (i, Array.fill(4)(0.0f)))
     val e = intercept[IllegalArgumentException] {
