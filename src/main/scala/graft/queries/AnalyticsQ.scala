@@ -402,6 +402,66 @@ object AnalyticsQ {
     WHERE a.dev * 10000 > 44478 * m.mad
     ORDER BY a.event_id"""))
 
+  /** Exponentially-decayed engagement per group — the freshness-weighted
+    * feature a ranking / data-valuation pipeline keeps per key ("how
+    * active is this source NOW", with last week counting double vs the
+    * week before). Classic e^{-λΔt} is irrational, so engines disagree in
+    * the last ulp and a 100 TB re-aggregation is nondeterministic; this
+    * uses the STAIRCASE half-life instead: age buckets of `halfLifeDays`,
+    * weight_ppm(w) = 10⁶ DIV 2^w (exactly representable, 0 beyond w ≥ 20
+    * where the true weight is < 1 ppm anyway). Every quantity is an exact
+    * integer: reference time = the corpus max timestamp (deterministic,
+    * no wall clock), ages in floor seconds, per-row products in long,
+    * cross-row sums in DECIMAL(38,0)/HUGEINT.
+    *
+    * One shuffle of |groups| rows: the weight is a map-side expression,
+    * the aggregate has map-side partials. Output units are event- and
+    * cent-MILLIONTHS (ppm-scaled); at ≫10⁹-row groups emit per-mille
+    * instead to keep the BIGINT cast in range. */
+  def decayedEngagement(events: DataFrame, groupCol: String = "event_type",
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val ref = events.agg(max(col("ts").cast(LongType)).as("ref_sec"))
+    val bucketSec = halfLifeDays * 86400L
+    events
+      .select(col(groupCol), col("ts").cast(LongType).as("sec"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("w", expr(s"(ref_sec - sec) div $bucketSec"))
+      .withColumn("wppm", expr(
+        "CASE WHEN w >= 20 THEN 0L ELSE 1000000L div (CAST(1 AS BIGINT) << CAST(w AS INT)) END"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wppm").cast(DecimalType(38, 0))).as("de"),
+        sum((col("cents") * col("wppm")).cast(DecimalType(38, 0))).as("dc"))
+      .select(col(groupCol), col("n_events"),
+        col("de").cast(LongType).as("decayed_events"),
+        col("dc").cast(LongType).as("decayed_cents"))
+  }
+
+  private val q168 = GQuery(
+    "q168_decayed_engagement",
+    (s, dir) => decayedEngagement(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some("""WITH ref AS (
+        SELECT MAX(epoch_us(ts) // 1000000) AS ref_sec FROM events),
+      r AS (SELECT event_type,
+          epoch_us(ts) // 1000000 AS sec,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      ww AS (SELECT event_type, cents,
+          (ref_sec - sec) // (7 * 86400) AS w
+        FROM r, ref),
+      wp AS (SELECT event_type, cents,
+          CASE WHEN w >= 20 THEN 0
+               ELSE 1000000 // (1::BIGINT << CAST(w AS INT)) END AS wppm
+        FROM ww)
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(wppm) AS BIGINT) AS decayed_events,
+      CAST(SUM(cents * wppm) AS BIGINT) AS decayed_cents
+    FROM wp GROUP BY event_type
+    ORDER BY event_type"""))
+
   /** Pearson correlation between the money value and the JSON `k` payload
     * per group — both re-expressed as exact integers, same sufficient-
     * statistics discipline as [[trendSlope]]. One hash aggregation.
@@ -809,5 +869,5 @@ object AnalyticsQ {
       LIMIT 1"""))
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103, q104, q147, q148, q165)
+    q96, q101, q102, q103, q104, q147, q148, q165, q168)
 }

@@ -325,5 +325,82 @@ object EventQ {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84, q97)
+  /** Leakage-safe temporal train/eval split: assign whole SESSIONS, not
+    * events, to each side of the time boundary. A plain `ts < T` split
+    * leaks — the tail of a session that straddles T carries answers
+    * about its head across the boundary (same user, same intent,
+    * minutes apart), which inflates eval exactly like the q81/q134
+    * near-dup leakage this engine guards document splits against. Rule:
+    * a session goes to train only if it ENDS before the boundary, to
+    * eval only if it STARTS at/after it; straddlers are dropped and
+    * REPORTED (silently folding them into either side is the leak).
+    *
+    * The boundary is data-derived and exact — min + (span·permille) DIV
+    * 1000 in floor epoch seconds — so re-running on the same corpus
+    * reproduces the same split with no wall clock involved. Plan:
+    * Spark's native `session_window` aggregation (one shuffle on
+    * user_id), a broadcast 1-row bounds join, map-side labeling, and a
+    * 3-row summary — sessionization cost, nothing more.
+    */
+  def temporalSessionSplit(events: org.apache.spark.sql.DataFrame,
+      gap: String = "30 minutes",
+      trainPermille: Int = 800): org.apache.spark.sql.DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      s"trainPermille must be in (0,1000), got $trainPermille")
+    val sec = col("ts").cast(LongType)
+    val bounds = events.agg(min(sec).as("mn"), max(sec).as("mx"))
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), min(sec).as("first_sec"),
+        max(sec).as("last_sec"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bd", expr(s"mn + ((mx - mn) * $trainPermille) div 1000"))
+      .withColumn("split", expr(
+        """CASE WHEN last_sec < bd THEN 'train'
+                WHEN first_sec >= bd THEN 'eval'
+                ELSE 'dropped' END"""))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val q169 = GQuery(
+    "q169_temporal_split",
+    (s, dir) => temporalSessionSplit(t(s, dir, "events"))
+      .orderBy(col("split")),
+    Some("""WITH b AS (
+        SELECT MIN(epoch_us(ts) // 1000000) AS mn,
+               MAX(epoch_us(ts) // 1000000) AS mx
+        FROM events),
+      marked AS (
+        SELECT user_id, ts,
+          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          + INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_ev,
+          MIN(epoch_us(ts) // 1000000) AS first_sec,
+          MAX(epoch_us(ts) // 1000000) AS last_sec
+        FROM sessions GROUP BY 1, 2),
+      lab AS (
+        SELECT user_id, n_ev,
+          CASE WHEN last_sec < mn + ((mx - mn) * 800) // 1000 THEN 'train'
+               WHEN first_sec >= mn + ((mx - mn) * 800) // 1000 THEN 'eval'
+               ELSE 'dropped' END AS split
+        FROM sess, b)
+    SELECT split, COUNT(*) AS n_sessions,
+      CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM lab GROUP BY split
+    ORDER BY split"""))
+
+  val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
+    q97, q169)
 }

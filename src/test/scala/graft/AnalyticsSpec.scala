@@ -130,6 +130,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(meds.toSeq === Seq(2.0))
   }
 
+  test("decayedEngagement: staircase half-life weights, hand-computed") {
+    // ref = max ts; ages 0d/7d/14d/140d+ → weights 1e6/5e5/2.5e5/0
+    val ev = events(
+      (1, 1, "g", "2024-06-01 00:00:00", 1.00), // w=0
+      (2, 1, "g", "2024-05-25 00:00:00", 1.00), // exactly 7d → w=1
+      (3, 1, "g", "2024-05-18 00:00:01", 1.00), // 13d23h59m59s → w=1
+      (4, 1, "g", "2024-05-18 00:00:00", 1.00), // exactly 14d → w=2
+      (5, 1, "g", "2023-06-01 00:00:00", 1.00)) // 366d → w=52 → weight 0
+    val r = AnalyticsQ.decayedEngagement(ev).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 5L)
+    assert(r.head.getLong(2) === (1000000L + 500000L + 500000L + 250000L))
+    assert(r.head.getLong(3) === 100L * (1000000L + 500000L + 500000L + 250000L))
+  }
+
+  test("temporalSessionSplit: straddling session dropped and reported") {
+    // span 00:00-10:00 → boundary at 08:00 (80%); user 3's single session
+    // crosses it, user 2's two eval sessions start after it.
+    val ev = events(
+      (1, 1, "g", "2024-01-01 00:00:00", 0.0),
+      (2, 1, "g", "2024-01-01 00:10:00", 0.0),
+      (3, 2, "g", "2024-01-01 09:00:00", 0.0),
+      (4, 2, "g", "2024-01-01 09:10:00", 0.0),
+      (5, 2, "g", "2024-01-01 10:00:00", 0.0), // 50m gap → own session
+      (6, 3, "g", "2024-01-01 07:59:00", 0.0),
+      (7, 3, "g", "2024-01-01 08:10:00", 0.0))
+    val r = graft.queries.EventQ.temporalSessionSplit(ev)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("train") === ((1L, 2L, 1L)))
+    assert(r("eval") === ((2L, 3L, 1L)))
+    assert(r("dropped") === ((1L, 2L, 1L)))
+  }
+
   test("pearsonCorr is 1 for a perfectly linear relation") {
     import spark.implicits._
     val ev = (1 to 10).map(i => (i.toLong, "g", i * 2.0, s"""{"k": $i}"""))
