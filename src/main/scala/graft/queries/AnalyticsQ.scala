@@ -402,6 +402,99 @@ object AnalyticsQ {
     WHERE a.dev * 10000 > 44478 * m.mad
     ORDER BY a.event_id"""))
 
+  /** Exact per-group quantile BANDS (P50/P95/P99) via the same histogram
+    * construction as [[madOutliers]] — the latency/size/score monitoring
+    * card, exact where `approx_percentile` answers within a rank bound
+    * (q109 gates that contract; this is the no-sketch sibling for when
+    * the value domain is small enough to histogram, which 2-decimal
+    * money, token counts, and latency-ms all are). The q-th band is the
+    * ⌈q·n⌉-th order statistic — rank `(n·q + 999) div 1000` — picked per
+    * group with a conditional MIN over the cumulative histogram: ONE
+    * hash aggregation to (group, cent) counts, distinct-value-sized
+    * windows, one |groups|-row output. No row-level sort anywhere. */
+  def quantileBands(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value",
+      permilles: Seq[Int] = Seq(500, 950, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0,1000], got $permilles")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("ly"))
+    val wg = Window.partitionBy(col(groupCol))
+    val hist = events
+      .select(col(groupCol), round(col(valCol) * 100).cast(LongType).as("ly"))
+      .groupBy(col(groupCol), col("ly")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    val bands = permilles.map { p =>
+      (min(when(col("cum") >= expr(s"(n * $p + 999) div 1000"), col("ly")))
+        / lit(100d)).as(s"p$p")
+    }
+    hist.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), bands: _*)
+  }
+
+  private val q170 = GQuery(
+    "q170_quantile_bands",
+    (s, dir) => quantileBands(t(s, dir, "events")).orderBy(col("event_type")),
+    Some("""WITH r AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS ly
+        FROM events),
+      c AS (SELECT event_type, ly, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+      cc AS (SELECT *,
+          SUM(cnt) OVER (PARTITION BY event_type ORDER BY ly) AS cum,
+          SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM c)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN ly END) / 100.0 AS p500,
+      MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN ly END) / 100.0 AS p950,
+      MIN(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN ly END) / 100.0 AS p990
+    FROM cc GROUP BY event_type
+    ORDER BY event_type"""))
+
+  /** Rolling distinct-user reach: daily actives (DAU), trailing-N-day
+    * actives (WAU at N=7), and the DAU/WAU stickiness ratio — the
+    * engagement card every event pipeline reports. Exact rolling
+    * DISTINCT doesn't decompose into window sums, so the construction is
+    * the contribution-explode: each distinct (day, user) row feeds the N
+    * trailing windows it belongs to (`sequence(day, day+N-1)`), and each
+    * target day counts distinct users — work is N·|day×user| rows, never
+    * N·|events|, because the per-day dedup happens FIRST. Days are floor
+    * epoch days (integer); output keeps only days observed in the data.
+    * Stickiness is exact ppm (wau ≥ dau > 0 by construction — no
+    * division guard needed). */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val du = events
+      .select(expr("CAST(ts AS LONG) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val daily = du.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val rolled = du
+      .withColumn("day2", explode(expr(s"sequence(day, day + ${windowDays - 1})")))
+      .groupBy(col("day2"))
+      .agg(countDistinct(col("user_id")).as(s"wau"))
+    daily.join(rolled, col("day") === col("day2"))
+      .select(
+        date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+  }
+
+  private val q171 = GQuery(
+    "q171_rolling_dau",
+    (s, dir) => rollingActiveUsers(t(s, dir, "events")).orderBy(col("day")),
+    Some("""WITH du AS (
+        SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS day, user_id
+        FROM events),
+      daily AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+                FROM du GROUP BY 1),
+      ex AS (SELECT du.day + r.range AS day2, user_id FROM du, range(7) r),
+      rolled AS (SELECT day2, COUNT(DISTINCT user_id) AS wau
+                 FROM ex GROUP BY 1)
+    SELECT strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS day, dau, wau,
+      (1000000 * dau) // wau AS stickiness_ppm
+    FROM daily JOIN rolled ON day = day2
+    ORDER BY day"""))
+
   /** Exponentially-decayed engagement per group — the freshness-weighted
     * feature a ranking / data-valuation pipeline keeps per key ("how
     * active is this source NOW", with last week counting double vs the
@@ -869,5 +962,5 @@ object AnalyticsQ {
       LIMIT 1"""))
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103, q104, q147, q148, q165, q168)
+    q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171)
 }

@@ -130,6 +130,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(meds.toSeq === Seq(2.0))
   }
 
+  test("quantileBands: exact order statistics at ceil(q*n) ranks") {
+    // values 1..100 cents 0.01..1.00 → p500 = 50th = 0.50, p950 = 0.95,
+    // p990 = 0.99 (rank = ceil(q·n) order statistic, 1-based)
+    val ev = events((1 to 100).map(i =>
+      (i.toLong, 1L, "g", "2024-01-01 00:00:01", i / 100.0)): _*)
+    val r = AnalyticsQ.quantileBands(ev).head
+    assert(r.getLong(1) === 100L)
+    assert(r.getDouble(2) === 0.50)
+    assert(r.getDouble(3) === 0.95)
+    assert(r.getDouble(4) === 0.99)
+    // n=1: every band is the single value
+    val one = events((1L, 1L, "h", "2024-01-01 00:00:01", 7.77))
+    val r1 = AnalyticsQ.quantileBands(one).head
+    assert(r1.getDouble(2) === 7.77 && r1.getDouble(4) === 7.77)
+  }
+
+  test("rollingActiveUsers: wau unions trailing window, stickiness exact") {
+    // day 0: users 1,2; day 1: user 2; day 8: user 3 (outside day 1's
+    // window start but inside nothing else)
+    val ev = events(
+      (1, 1, "g", "2024-01-01 01:00:00", 0.0),
+      (2, 2, "g", "2024-01-01 02:00:00", 0.0),
+      (3, 2, "g", "2024-01-02 01:00:00", 0.0),
+      (4, 3, "g", "2024-01-09 01:00:00", 0.0))
+    val r = AnalyticsQ.rollingActiveUsers(ev)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("2024-01-01") === ((2L, 2L, 1000000L)))
+    assert(r("2024-01-02") === ((1L, 2L, 500000L))) // trailing window holds both users
+    assert(r("2024-01-09") === ((1L, 1L, 1000000L))) // day-0/1 users aged out
+    assert(r.size === 3) // only observed days reported
+  }
+
   test("decayedEngagement: staircase half-life weights, hand-computed") {
     // ref = max ts; ages 0d/7d/14d/140d+ → weights 1e6/5e5/2.5e5/0
     val ev = events(
