@@ -36,7 +36,8 @@ object ScaleProbe {
     "q157_winnow_fingerprints", "q158_winnow_candidates",
     "q159_containment", "q162_simhash_idf", "q164_jaro_linkage",
     "q165_mad_outliers", "q166_power_pca", "q167_anisotropy",
-    "q168_decayed_engagement", "q169_temporal_split")
+    "q168_decayed_engagement", "q169_temporal_split",
+    "q170_quantile_bands", "q171_rolling_dau")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
