@@ -752,6 +752,71 @@ object TextQ {
     FROM pairs WHERE jw_raw >= 0.9
     ORDER BY name_a, name_b"""))
 
+  /** Full entity resolution over a name dictionary: [[fuzzyNameLinkage]]
+    * proposes pairs, [[connectedComponents]] closes them transitively
+    * (pairwise linkage alone splits "acme" ~ "acmee" ~ "acme e" into
+    * overlapping pairs; the ENTITY is the component), and the canonical
+    * spelling per entity is the one with the most records (ties to the
+    * lexicographically first name — a total order). The component label
+    * (min name) is the stable entity id: insensitive to which pairs the
+    * blocking proposed, reproducible across runs.
+    *
+    * Same scale shape as the linkage: everything past the records
+    * `groupBy` runs on the distinct-name dictionary; component rounds
+    * shuffle pair-sized edge lists (near-dup name clusters are shallow,
+    * a handful of min-label rounds). Singleton names skip the graph
+    * entirely via a left join — they are their own entity.
+    */
+  def resolveEntities(records: DataFrame, nameCol: String, keyCol: String,
+      minJw: Double = 0.9, maxBlockSize: Int = 10000): DataFrame = {
+    val pairs = fuzzyNameLinkage(records, nameCol, keyCol, minJw, maxBlockSize)
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val comps = connectedComponents(pairs)
+    val names = records.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col(keyCol)).as("min_key"))
+    val labeled = names.join(comps, names("name") === comps("doc_id"), "left")
+      .select(col("name"), col("n_rows"), col("min_key"),
+        coalesce(col("component"), col("name")).as("entity"))
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("n_rows").desc, col("name"))
+    labeled.withColumn("rn", row_number().over(w))
+      .select(col("entity"), col("name"), col("n_rows"), col("min_key"),
+        (col("rn") === 1).as("is_canonical"))
+  }
+
+  /** Oracle fixture of [[resolveEntities]] on the part catalog: the
+    * cold/old families merge into one entity per noun; the canonical
+    * spelling is the higher-count one. */
+  private val q172 = GQuery(
+    "q172_entity_resolution",
+    (s, dir) => resolveEntities(t(s, dir, "part"), "p_name", "p_partkey")
+      .orderBy(col("entity"), col("name")),
+    Some("""WITH RECURSIVE names AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows,
+          MIN(p_partkey) AS min_key
+        FROM part GROUP BY 1),
+      blk AS (SELECT *, list_extract(string_split(name, ' '), -1) AS block
+        FROM names
+        QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000),
+      pairs AS (SELECT a.name AS na, b.name AS nb
+        FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+      sym AS (SELECT na AS u, nb AS v FROM pairs
+              UNION ALL SELECT nb, na FROM pairs),
+      reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+      comp AS (SELECT u AS name, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      lab AS (SELECT n.name, n.n_rows, n.min_key,
+          COALESCE(c.component, n.name) AS entity
+        FROM names n LEFT JOIN comp c USING (name))
+    SELECT entity, name, n_rows, min_key,
+      ROW_NUMBER() OVER (PARTITION BY entity
+        ORDER BY n_rows DESC, name) = 1 AS is_canonical
+    FROM lab ORDER BY entity, name"""))
+
   /** Collocation mining: bigram association strength as an exact-integer
     * PMI analogue, lift_ppm = 10⁶·P(w1,w2)/(P(w1)·P(w2)) computed as
     * c12·N·10⁶ div (c1·c2) in BIGINT — no float logs, so the ranking is
@@ -2297,5 +2362,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164)
+      q157, q158, q159, q162, q164, q172)
 }

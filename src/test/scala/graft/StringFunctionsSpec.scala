@@ -113,6 +113,28 @@ class StringFunctionsSpec extends SparkSpec {
     assert(r.getLong(5) === 1L) // canonical key = least
   }
 
+  test("resolveEntities: transitive chain merges, dominant spelling wins") {
+    // "acmee widget" links to both "acme widget" and "acmeee widget",
+    // which do NOT link directly (jw < 0.9 gap too wide? they do via
+    // chain regardless) — the entity is the transitive closure.
+    val recs = Seq(
+      (1L, "acme widget"), (2L, "acme widget"), (3L, "acme widget"),
+      (4L, "acmee widget"), (5L, "acmeee widget"), (6L, "acmeee widget"),
+      (7L, "zenith gizmo")
+    ).toDF("key", "name")
+    val out = TextQ.resolveEntities(recs, "name", "key")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(4)))
+    val byEntity = out.groupBy(_._1)
+    assert(byEntity.size === 2, s"expected 2 entities: ${out.toSeq}")
+    val acme = byEntity("acme widget").sortBy(_._2)
+    assert(acme.map(_._2).toSeq ===
+      Seq("acme widget", "acmee widget", "acmeee widget"))
+    // canonical = most records ("acme widget", 3 rows)
+    assert(acme.filter(_._4).map(_._2).toSeq === Seq("acme widget"))
+    // singleton is its own canonical entity
+    assert(byEntity("zenith gizmo").head._4)
+  }
+
   test("fuzzyNameLinkage: maxBlockSize cap drops a degenerate block") {
     val recs = (1L to 20L).map(i => (i, s"name$i common")).toDF("key", "name")
     assert(TextQ.fuzzyNameLinkage(recs, "name", "key", minJw = 0.1,
