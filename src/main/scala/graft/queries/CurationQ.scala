@@ -410,6 +410,45 @@ object CurationQ {
         ORDER BY doc_id"""))
   }
 
+  /** Oracle fixture of [[graft.functions.HilbertIndex2]]: Hilbert indices
+    * for the same 128×128 grid as q60, proving the quadrant-rotation walk
+    * bit-for-bit cross-engine (the oracle replays the per-level state
+    * machine as a recursive CTE). Hilbert vs Morton is the layout
+    * writer's locality upgrade: consecutive indices are ALWAYS adjacent
+    * cells, so each range-clustered file covers one compact rectangle —
+    * LayoutSpec measures the worst consecutive-cell jump (1 vs 129). */
+  private val q173 = GQuery(
+    "q173_hilbert_curve",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 128).as("x"),
+        ((col("doc_id") / 128).cast(LongType) % 128).as("y"))
+      .withColumn("h",
+        graft.functions.LayoutFunctions.hilbert2(col("x"), col("y"), bits = 7))
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE pts AS (
+        SELECT doc_id, doc_id % 128 AS x, (doc_id // 128) % 128 AS y
+        FROM documents),
+      walk(doc_id, x0, y0, x, y, s, d) AS (
+        SELECT doc_id, x, y, x, y, 64::BIGINT, 0::BIGINT FROM pts
+        UNION ALL
+        SELECT doc_id, x0, y0,
+          CASE WHEN (y & s) = 0
+               THEN (CASE WHEN (x & s) > 0 THEN 127 - y ELSE y END)
+               ELSE x END,
+          CASE WHEN (y & s) = 0
+               THEN (CASE WHEN (x & s) > 0 THEN 127 - x ELSE x END)
+               ELSE y END,
+          s // 2,
+          d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                            WHEN (x & s) > 0 THEN 3
+                            WHEN (y & s) > 0 THEN 1
+                            ELSE 0 END)
+        FROM walk WHERE s > 0)
+    SELECT doc_id, x0 AS x, y0 AS y, d AS h
+    FROM walk WHERE s = 0
+    ORDER BY doc_id"""))
+
   /** Data-driven mixture rebalancing — the "data mixing" step that turns a
     * raw crawl into a target pretraining mix. Given target corpus shares
     * per stratum (in ppm), compute per-stratum sampling rates that hit the
@@ -2246,5 +2285,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163)
+      q161, q163, q173)
 }

@@ -67,4 +67,42 @@ class LayoutSpec extends SparkSpec {
     assert(dxs.max <= 64, s"x-extent not localized: ${dxs.toSeq}")
     assert(dys.max <= 64, s"y-extent not localized: ${dys.toSeq}")
   }
+
+  test("hilbert2: order-1 quadrant walk is the canonical U") {
+    val got = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .withColumn("h", graft.functions.LayoutFunctions.hilbert2(col("x"), col("y"), bits = 1))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("hilbert2: bijective on the full grid, consecutive cells ALWAYS adjacent") {
+    // 16x16 grid (bits=4): every index 0..255 hit exactly once, and the
+    // walk never jumps — |Δx|+|Δy| = 1 between consecutive indices. The
+    // same sweep for the Morton curve jumps up to 2·(2^b − 1) − 1 cells;
+    // this is the locality upgrade the expression buys.
+    val cells = (0L until 256L).map(i => (i % 16, i / 16))
+    val df = cells.toDF("x", "y")
+      .withColumn("h", graft.functions.LayoutFunctions.hilbert2(col("x"), col("y"), bits = 4))
+      .withColumn("z", Layout.zorder2(col("x"), col("y"), bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(df.map(_._3).sorted.toSeq === (0L until 256L).toSeq, "not a bijection")
+    val byH = df.sortBy(_._3)
+    val hJumps = byH.sliding(2).map { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) }.toSeq
+    assert(hJumps.forall(_ === 1L), s"hilbert jumped: max=${hJumps.max}")
+    val byZ = df.sortBy(_._4)
+    val zMax = byZ.sliding(2).map { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) }.max
+    assert(zMax > 1L, "control: the Morton walk does jump")
+  }
+
+  test("hilbert2: inputs reduce mod 2^bits, like zorder2") {
+    val a = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.hilbert2(col("x"), col("y"), bits = 3))
+      .head.getLong(0)
+    val b = Seq((3L + 8L, 5L + 16L)).toDF("x", "y")
+      .select(graft.functions.LayoutFunctions.hilbert2(col("x"), col("y"), bits = 3))
+      .head.getLong(0)
+    assert(a === b)
+  }
 }
