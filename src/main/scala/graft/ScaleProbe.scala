@@ -37,7 +37,8 @@ object ScaleProbe {
     "q159_containment", "q162_simhash_idf", "q164_jaro_linkage",
     "q165_mad_outliers", "q166_power_pca", "q167_anisotropy",
     "q168_decayed_engagement", "q169_temporal_split",
-    "q170_quantile_bands", "q171_rolling_dau")
+    "q170_quantile_bands", "q171_rolling_dau", "q172_entity_resolution",
+    "q173_hilbert_curve")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
