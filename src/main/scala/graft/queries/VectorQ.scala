@@ -1861,6 +1861,78 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** Semantic decontamination — the FOURTH decontamination modality next
+    * to exact n-grams (q50), Bloom-prefiltered exact (q54), and MinHash
+    * fuzzy (q94): an eval example whose EMBEDDING nearly coincides with a
+    * training vector leaks even when a paraphrase defeats every lexical
+    * check. Per eval vector: best train match by cosine over the
+    * multi-probe sign buckets; rows where that best match clears
+    * `threshold` are the contamination verdicts (eval_id, train_id,
+    * cosine), directly anti-joinable against the eval set.
+    *
+    * Plan is the explicit-query multiprobe ANN ([[annBucketedMultiProbe]]
+    * at k = 1): eval is the query side (eval sets are small — AQE
+    * broadcasts it), the corpus never shuffles, candidate work is
+    * bucket-equi-join-sized. The threshold filters AFTER the rank-1 pick,
+    * so "not contaminated" is an absent row, never a null. Choose
+    * `threshold` from the corpus background (q29's cosine distribution
+    * card): the fixture's clean eval/train pairs top out at ~0.49, so the
+    * 0.9 gate separates planted leaks (cosine 1.0) by a wide margin. */
+  def semanticDecontamination(train: DataFrame, evalQueries: DataFrame,
+      bits: Int = 3, probeHamming: Int = 1,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    annBucketedMultiProbe(train, evalQueries, bits, k = 1, probeHamming)
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id").as("eval_id"),
+        col("neighbor_id").as("train_id"), col("cosine"))
+  }
+
+  /** Oracle fixture of [[semanticDecontamination]]: eval = 50 PLANTED
+    * leaks (train vectors re-issued under new ids) + the clean %10 held
+    * out sample; exactly the planted rows come back, at cosine 1.0. */
+  private val q174 = {
+    val bucketSql =
+      """CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+              (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+              (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)"""
+    GQuery(
+      "q174_semantic_decontamination",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val train = emb.filter(col("vec_id") % 10 =!= 0)
+        val evalT = emb.filter(col("vec_id") % 40 === 7)
+          .select((col("vec_id") + 300000).as("query_id"), col("embedding"))
+          .unionAll(emb.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 400000).as("query_id"), col("embedding")))
+        semanticDecontamination(train, evalT).orderBy(col("eval_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+            $bucketSql AS bucket
+          FROM embeddings WHERE vec_id % 10 <> 0),
+        qsrc AS (SELECT vec_id + 300000 AS query_id, embedding
+                 FROM embeddings WHERE vec_id % 40 = 7
+                 UNION ALL
+                 SELECT vec_id + 400000, embedding
+                 FROM embeddings WHERE vec_id % 10 = 0),
+        q AS (SELECT query_id, embedding AS qe, ${normSql("embedding")} AS qn,
+                     $bucketSql AS home
+              FROM qsrc),
+        probes AS (SELECT query_id, qe, qn, xor(home, m) AS qbucket
+                   FROM q, (VALUES (0), (1), (2), (4)) AS masks(m)),
+        pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+            ROUND((${dotSql("p.qe", "c.embedding")}) / (sqrt(p.qn) * sqrt(c.nrm)), 6) AS cosine
+          FROM v c JOIN probes p ON c.bucket = p.qbucket),
+        ranked AS (SELECT query_id, neighbor_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM pairs)
+      SELECT query_id AS eval_id, neighbor_id AS train_id, cosine
+      FROM ranked WHERE rank = 1 AND cosine >= 0.9
+      ORDER BY eval_id"""))
+  }
+
   /** Top principal direction of the embedding corpus by two power-
     * iteration steps in EXACT integer arithmetic — the whitening /
     * drift-direction primitive (dominant-PC removal is the standard
@@ -2029,5 +2101,6 @@ object VectorQ {
 
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
-      q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167)
+      q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
+      q174)
 }

@@ -212,6 +212,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(s.getLong(1) < 200000L, s"spread corpus must sit near 1/d: $s")
   }
 
+  test("semantic decontamination: exact and scaled leaks flagged, clean eval absent") {
+    val train = Seq(
+      (1L, vec(1f, 0f, 0f, 0f)),
+      (2L, vec(0f, 1f, 0f, 0f)),
+      (3L, vec(0.7f, 0.7f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val evalQ = Seq(
+      (101L, vec(1f, 0f, 0f, 0f)),   // verbatim leak
+      (102L, vec(0f, 2f, 0f, 0f)),   // scaled leak — cosine is norm-blind
+      (103L, vec(0f, 0f, 1f, 0f))    // clean: orthogonal to everything
+    ).toDF("query_id", "embedding")
+    val out = VectorQ.semanticDecontamination(train, evalQ, bits = 2,
+      probeHamming = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSet === Set((101L, 1L, 1.0), (102L, 2L, 1.0)))
+  }
+
   test("power PCA: all-zero corpus fails loudly, not div/0") {
     val rows = (0L until 4L).map(i => (i, Array.fill(4)(0.0f)))
     val e = intercept[IllegalArgumentException] {
