@@ -38,7 +38,7 @@ object ScaleProbe {
     "q165_mad_outliers", "q166_power_pca", "q167_anisotropy",
     "q168_decayed_engagement", "q169_temporal_split",
     "q170_quantile_bands", "q171_rolling_dau", "q172_entity_resolution",
-    "q173_hilbert_curve")
+    "q173_hilbert_curve", "q174_semantic_decontamination")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
