@@ -78,4 +78,50 @@ class RankConstructionPropertySpec extends SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("quantileBands == naive sorted order statistics on random multisets") {
+    import graft.queries.AnalyticsQ
+    val rowGen = Gen.listOfN(50,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-200, 200)))
+    val prop = Prop.forAll(rowGen) { rows =>
+      val ev = rows.zipWithIndex
+        .map { case ((g, cents), i) => (i.toLong, g, cents / 100.0) }
+        .toDF("event_id", "event_type", "value")
+      val fast = AnalyticsQ.quantileBands(ev)
+        .select($"event_type", $"p500", $"p950", $"p990")
+        .as[(String, Double, Double, Double)].collect()
+        .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+      val naive = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def pick(p: Int) = sorted(((sorted.size * p + 999) / 1000) - 1) / 100.0
+        g -> ((pick(500), pick(950), pick(990)))
+      }
+      fast == naive
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("madOutliers flag set == naive median/MAD computation") {
+    import graft.queries.AnalyticsQ
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-50, 50)))
+    val prop = Prop.forAll(rowGen) { rows =>
+      val ev = rows.zipWithIndex
+        .map { case ((g, cents), i) => (i.toLong, g, cents / 100.0) }
+        .toDF("event_id", "event_type", "value")
+      val fast = AnalyticsQ.madOutliers(ev)
+        .select($"event_id").as[Long].collect().toSet
+      def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+      val naive = rows.zipWithIndex.groupBy(_._1._1).flatMap { case (_, vs) =>
+        val ly = vs.map(_._1._2.toLong)
+        val med = lowerMedian(ly)
+        val mad = lowerMedian(ly.map(v => math.abs(v - med)))
+        vs.collect { case ((_, v), i) if math.abs(v - med) * 10000L > 44478L * mad =>
+          i.toLong }
+      }.toSet
+      fast == naive
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
