@@ -230,6 +230,106 @@ object EventQ {
       GROUP BY l.event_id
       ORDER BY l.event_id"""))
 
+  /** General interval-overlap join — the two-sided lift of
+    * [[concurrentCounts]]'s point band join: pair every left interval
+    * `[lStart, lEnd]` with every right interval `[rStart, rEnd]` that
+    * overlaps it (closed-interval semantics: touching endpoints match).
+    * The workhorse behind session-vs-incident attribution, ad-exposure ×
+    * visit windows, and maintenance-window exclusion — queries usually
+    * written as the naive `l.s <= r.e AND r.s <= l.e` theta join, which
+    * Spark can only plan as a nested loop (O(|L|·|R|) comparisons).
+    *
+    * Plan: bucketize. Each side explodes into the `cellWidth`-wide cells
+    * its interval covers, the join is an equi hash join on the cell, and
+    * two residuals restore exactness: the overlap predicate itself, and
+    * the de-dup anchor `cell = floor(greatest(lStart, rStart) /
+    * cellWidth)` — the overlap's left edge lies in both intervals, so
+    * every qualifying pair meets in exactly that one cell and in no
+    * other. Cost is O(pairs-in-same-cell), and replication is
+    * `len/cellWidth + 1` rows per interval, so pick `cellWidth` near the
+    * typical interval length (≈1–2 cells per row). The oracle for q175
+    * is the NAIVE theta join, so the hash-match proves the bucketized
+    * plan result-identical (the q96 salting / q68 band pattern).
+    *
+    * Floor division via the pmod subtraction (the [[gapFill]] rule) keeps
+    * pre-1970 timestamps in the right cell in both engines. A row whose
+    * interval is inverted (`end < start`) or covers more than
+    * `maxCellsPerRow` cells fails loudly with a named error instead of
+    * silently exploding the replication (the repo-wide guard
+    * convention) — a runaway open-ended interval at 100 TB should abort,
+    * not OOM a reducer. NULL bounds drop (no cell), matching the naive
+    * join which never passes a NULL comparison.
+    *
+    * Scale shape: one Generate + one hash exchange per side on the cell
+    * key; a hot cell (burst of concurrent intervals) is an AQE-skew /
+    * salting case like any hot join key. Returns left.* ++ right.*
+    * (names must be disjoint — enforced). */
+  def overlapJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      cellWidth: Long, maxCellsPerRow: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    require(cellWidth >= 1, s"cellWidth must be >= 1, got $cellWidth")
+    require(maxCellsPerRow >= 1,
+      s"maxCellsPerRow must be >= 1, got $maxCellsPerRow")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left/right column names must be disjoint; shared: ${shared.mkString(", ")}")
+    def fdSql(x: String) = s"(($x - pmod($x, $cellWidth)) DIV $cellWidth)"
+    // the guard rides inside the sequence bound so column pruning can
+    // never drop it: an invalid row errors the moment its cells build
+    def cells(df: org.apache.spark.sql.DataFrame, s: String, e: String,
+        side: String) =
+      df.withColumn("__cell", explode(expr(
+        s"""sequence(${fdSql(s)},
+          CASE WHEN $e < $s THEN raise_error(concat(
+              'graft.overlapJoin: $side interval inverted: [',
+              CAST($s AS STRING), ',', CAST($e AS STRING), ']'))
+            WHEN ${fdSql(e)} - ${fdSql(s)} >= $maxCellsPerRow THEN raise_error(concat(
+              'graft.overlapJoin: $side interval spans >= $maxCellsPerRow cells of width $cellWidth: [',
+              CAST($s AS STRING), ',', CAST($e AS STRING), ']'))
+            ELSE ${fdSql(e)} END)""")))
+    val lc = cells(left, lStart, lEnd, "left")
+    val rc = cells(right, rStart, rEnd, "right")
+    lc.join(rc, lc("__cell") === rc("__cell") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        lc("__cell") === expr(
+          s"((greatest($lStart, $rStart) - pmod(greatest($lStart, $rStart), $cellWidth)) DIV $cellWidth)"))
+      .drop("__cell")
+  }
+
+  /** Oracle fixture of [[overlapJoin]]: click exposure windows (30 min)
+    * × error incident windows (15 min), checked against the naive
+    * inequality join the bucketized plan optimizes. */
+  private val q175 = GQuery(
+    "q175_overlap_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast(LongType).as("sec"), col("event_type"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("sec").as("l_start"),
+          (col("sec") + 1800L).as("l_end"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("r_id"), col("sec").as("r_start"),
+          (col("sec") + 900L).as("r_end"))
+      overlapJoin(l, r, "l_start", "l_end", "r_start", "r_end",
+          cellWidth = 1800L)
+        .select(col("l_id"), col("r_id"),
+          (least(col("l_end"), col("r_end")) -
+            greatest(col("l_start"), col("r_start"))).as("overlap_sec"))
+        .orderBy(col("l_id"), col("r_id"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, ${epochSecSql("ts")} AS sec,
+          event_type FROM events),
+      l AS (SELECT event_id AS l_id, sec AS l_start, sec + 1800 AS l_end
+            FROM e WHERE event_type = 'click'),
+      r AS (SELECT event_id AS r_id, sec AS r_start, sec + 900 AS r_end
+            FROM e WHERE event_type = 'error')
+      SELECT l_id, r_id,
+        LEAST(l_end, r_end) - GREATEST(l_start, r_start) AS overlap_sec
+      FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+      ORDER BY l_id, r_id"""))
+
   /** Regular-grid resampling with forward fill — the feature-engineering
     * step that turns an irregular event stream into the fixed-step series
     * a model consumes: time buckets of `stepSec`, one row per (key, cell)
@@ -402,5 +502,5 @@ object EventQ {
     ORDER BY split"""))
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169)
+    q97, q169, q175)
 }
