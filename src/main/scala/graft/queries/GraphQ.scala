@@ -167,5 +167,103 @@ object GraphQ {
         ORDER BY c.doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q139, q140)
+  /** Per-node triangle count and local clustering coefficient over the
+    * candidate graph — the structural trust gate for a dedup family:
+    * a true mirror family is near-clique (clustering → 1e6 ppm), while
+    * a hub-and-spoke star (clustering → 0 at high degree) means one
+    * boilerplate template chained unrelated docs together and a
+    * transitive-closure dedup ([[TextQ.connectedComponents]]) would
+    * over-merge. Reading this card BEFORE trusting components is the
+    * graph twin of the cluster-purity / recall gates (q125/q58).
+    *
+    * Scale shape — the classic wedge blow-up is handled by DEGREE
+    * orientation, not id orientation: each undirected edge points from
+    * its (degree, id)-smaller endpoint to the larger, so per-node
+    * out-degree is O(√m) on any graph and wedge enumeration is the
+    * optimal O(m^1.5) node-iterator bound instead of Σdeg² — a
+    * million-edge hub explodes id-oriented wedges but stays flat here.
+    * The orientation is a total order, so its 3-node tournament is
+    * acyclic and exactly ONE vertex of each triangle holds both
+    * out-edges: every triangle is enumerated once, no /3 correction,
+    * and the id-oriented oracle enumeration finds the identical set.
+    * Three joins total (2 orientation + 1 closure), all
+    * candidate-edge-sized; the input is materialized once (lineage cut,
+    * the [[pagerankPpm]] pattern).
+    *
+    * clustering_ppm = 2·tri·10⁶ DIV (deg·(deg−1)) in exact integer
+    * arithmetic; degree-1 nodes report 0 (no possible wedge) instead of
+    * tripping ANSI division. */
+  def triangleStats(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // normalize defensively: canonical u<v, self-loops dropped, distinct
+    val e = snap(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    val o1 = oriented.select(col("src"), col("dst").as("d1"))
+    val o2 = oriented.select(col("src"), col("dst").as("d2"))
+    val wedges = o1.join(o2, Seq("src")).filter(col("d1") < col("d2"))
+    val tris = wedges.join(e,
+      least(col("d1"), col("d2")) === col("u") &&
+        greatest(col("d1"), col("d2")) === col("v"))
+      .select(col("src"), col("d1"), col("d2"))
+    val perNode = tris.select(explode(array(col("src"), col("d1"),
+        col("d2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("doc_id"), col("deg").cast(LongType).as("degree"),
+        coalesce(col("tri"), lit(0L)).cast(LongType).as("triangles"),
+        expr("""CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+          ELSE (2 * coalesce(tri, 0) * 1000000) DIV (deg * (deg - 1))
+          END""").as("clustering_ppm"))
+  }
+
+  /** Oracle fixture of [[triangleStats]]: q26's candidate graph (the
+    * q139 input); the oracle enumerates triangles by id orientation —
+    * same set, different discovery route — proving the degree-oriented
+    * plan exact. */
+  private val q176 = GQuery(
+    "q176_triangle_stats",
+    (s, dir) => triangleStats(
+      TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+        .filter(col("est_jaccard") >= 0.25))
+      .orderBy(col("doc_id")),
+    Some(s"""${TextQ.minhashCandSql},
+      e AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS u,
+              GREATEST(doc_a, doc_b) AS v
+            FROM cand WHERE doc_a <> doc_b),
+      deg AS (SELECT n, COUNT(*) AS deg FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY n),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pn AS (SELECT n, COUNT(*) AS tri FROM (
+               SELECT x AS n FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+             GROUP BY n)
+      SELECT deg.n AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+        CAST(COALESCE(pn.tri, 0) AS BIGINT) AS triangles,
+        CASE WHEN deg.deg < 2 THEN CAST(0 AS BIGINT)
+          ELSE (2 * COALESCE(pn.tri, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+          END AS clustering_ppm
+      FROM deg LEFT JOIN pn ON deg.n = pn.n
+      ORDER BY doc_id"""))
+
+  val queries: Seq[GQuery] = Seq(q139, q140, q176)
 }

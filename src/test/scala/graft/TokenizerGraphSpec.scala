@@ -245,4 +245,70 @@ class TokenizerGraphSpec extends SparkSpec {
     // disjoint-vocab docs sit below the neutral 1e6 line, target docs above
     assert(got(4L) < 1000000L && got(1L) > 1000000L, got.toString)
   }
+
+  private def graphOf(edges: (Long, Long)*) =
+    edges.toDF("doc_a", "doc_b")
+
+  test("triangleStats: a 4-clique is fully clustered, a path is not") {
+    // K4 on 1..4 plus the path 4-5-6: node 4 bridges both
+    val g = graphOf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = GraphQ.triangleStats(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // clique members: deg 3, all 3 of their triangles, cc = 1e6
+    assert(got(1L) == ((3L, 3L, 1000000L)), got.toString)
+    assert(got(2L) == ((3L, 3L, 1000000L)), got.toString)
+    assert(got(3L) == ((3L, 3L, 1000000L)), got.toString)
+    // bridge: deg 4 (+edge to 5), still only the 3 clique triangles:
+    // cc = 2*3*1e6/(4*3) = 500000
+    assert(got(4L) == ((4L, 3L, 500000L)), got.toString)
+    // path interior and leaf: no triangles; deg-1 leaf reports 0 ppm
+    assert(got(5L) == ((2L, 0L, 0L)), got.toString)
+    assert(got(6L) == ((1L, 0L, 0L)), got.toString)
+  }
+
+  test("triangleStats: hub-and-spoke star has zero clustering at high degree") {
+    // the over-merge signature: one template doc 'linked' to 6 unrelated
+    // docs — high degree, zero triangles
+    val g = graphOf((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (1L, 7L))
+    val got = GraphQ.triangleStats(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((6L, 0L, 0L)), got.toString)
+    assert(got(2L) == ((1L, 0L, 0L)), got.toString)
+  }
+
+  test("triangleStats normalizes unordered/duplicate/self edges") {
+    // same triangle given with flipped orientation, a dup edge and a
+    // self loop: counts must not inflate
+    val g = graphOf((2L, 1L), (2L, 3L), (1L, 3L), (3L, 2L), (3L, 3L))
+    val got = GraphQ.triangleStats(g).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L))), got.toString)
+  }
+
+  test("triangleStats degree orientation matches a naive reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 240).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val adj: Map[Long, Set[Long]] = {
+      val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    }
+    val expected = adj.map { case (n, ns) =>
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      n -> ((ns.size.toLong, tri.toLong,
+        if (ns.size < 2) 0L
+        else 2L * tri * 1000000L / (ns.size.toLong * (ns.size - 1L))))
+    }
+    val got = GraphQ.triangleStats(graphOf(edges: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
 }
