@@ -2281,9 +2281,82 @@ object CurationQ {
       FROM r
       ORDER BY source, qrank_ppm, doc_id"""))
 
+  /** Dataset-version diff — the audit step between two snapshots of a
+    * managed corpus (yesterday's curated set vs today's): per key,
+    * classify `added` / `removed` / `changed` / `unchanged` by comparing
+    * an md5 content signature over `hashCols`. This is what a training
+    * run reads BEFORE deciding whether a re-train is warranted and what
+    * a rollback diffs against — the content-hash twin of
+    * [[graft.etl.MergeWrite]]'s write-side idempotence.
+    *
+    * Scale shape: one hash agg per snapshot (which also detects
+    * duplicate keys — a key appearing twice makes "the" row's diff
+    * ill-defined, so it fails loudly with a named error rather than
+    * fanning out the join) and one full-outer hash join on the key.
+    * Signatures travel as 32-byte hashes, never the content itself, so
+    * the shuffle is key+hash-sized at any document width. NULL columns
+    * hash via a chr(0) sentinel, distinct from the empty string (a
+    * column going NULL→'' is a real change and must classify as one). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "hashCols must be non-empty")
+    def sig(df: DataFrame, side: String): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c"),
+          min(md5(concat_ws("\u0001", hashCols.map(c =>
+            coalesce(col(c).cast(StringType), lit("\u0000"))): _*))).as("h"))
+        .select(col(keyCol), expr(
+          s"""CASE WHEN c > 1 THEN raise_error(concat(
+               'graft.snapshotDiff: duplicate key in $side snapshot: ',
+               CAST($keyCol AS STRING)))
+             ELSE h END""").as(s"${side}_hash"))
+    sig(oldDf, "old").join(sig(newDf, "new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change"))
+  }
+
+  /** Oracle fixture of [[snapshotDiff]]: two synthetic snapshots of the
+    * documents table — "old" drops doc_id%10=3, "new" drops doc_id%7=2
+    * and revises the text of doc_id%5=0 — so all four classes occur. */
+  private val q177 = GQuery(
+    "q177_snapshot_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"))
+      snapshotDiff(oldSnap, newSnap, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH os AS (SELECT doc_id,
+          md5(concat_ws(chr(1), coalesce(text, chr(0)),
+            coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS old_hash
+        FROM documents WHERE doc_id % 10 <> 3),
+      ns AS (SELECT doc_id,
+          md5(concat_ws(chr(1),
+            coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+              ELSE text END, chr(0)),
+            coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS new_hash
+        FROM documents WHERE doc_id % 7 <> 2)
+      SELECT COALESCE(os.doc_id, ns.doc_id) AS doc_id, old_hash, new_hash,
+        CASE WHEN old_hash IS NULL THEN 'added'
+          WHEN new_hash IS NULL THEN 'removed'
+          WHEN old_hash = new_hash THEN 'unchanged'
+          ELSE 'changed' END AS change
+      FROM os FULL OUTER JOIN ns ON os.doc_id = ns.doc_id
+      ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173)
+      q161, q163, q173, q177)
 }
