@@ -77,6 +77,81 @@ object CurationQ {
           .withColumn("redacted", regexp_replace(col("redacted"), pat, token))
     }
 
+  /** Payment-card detection — the PII class regex alone cannot decide:
+    * a 13–19-digit run is only a card number if its Luhn checksum holds
+    * (ISO/IEC 7812), and treating every long digit run as PII would
+    * shred order ids, timestamps and hashes across a web corpus.
+    * Candidates are the MAXIMAL digit runs of `textCol` (regex greed
+    * makes `[0-9]+` maximal in both engines, so a 20-digit run is one
+    * too-long candidate, never a 19-digit sub-match), length-gated to
+    * 13–19, then checksum-verified in exact integer arithmetic via the
+    * `aggregate` HOF — fully codegen'd, single-pass, no shuffle, no UDF.
+    *
+    * Adds `card_candidates`/`card_valid` (the runs, for a downstream
+    * redactor), `n_candidates`/`n_valid`, and `valid_hash` (md5 over the
+    * sorted valid runs — the compact equality witness the q52 red_hash
+    * convention uses). The oracle recomputes the checksum through
+    * DuckDB's independent list-lambda machinery, so the hash-match
+    * cross-checks the Luhn arithmetic itself, not just the plumbing. */
+  def cardScan(df: DataFrame, textCol: String): DataFrame = {
+    val luhnSum = """aggregate(sequence(1, length(r)), 0, (acc, i) ->
+        acc + (CASE WHEN i % 2 = 0
+          THEN CASE WHEN 2 * CAST(substr(r, length(r) - i + 1, 1) AS INT) > 9
+            THEN 2 * CAST(substr(r, length(r) - i + 1, 1) AS INT) - 9
+            ELSE 2 * CAST(substr(r, length(r) - i + 1, 1) AS INT) END
+          ELSE CAST(substr(r, length(r) - i + 1, 1) AS INT) END))"""
+    df.withColumn("card_candidates", expr(
+        s"""filter(regexp_extract_all($textCol, '[0-9]+', 0),
+             r -> length(r) >= 13 AND length(r) <= 19)"""))
+      .withColumn("card_valid", expr(
+        s"filter(card_candidates, r -> $luhnSum % 10 = 0)"))
+      .withColumn("n_candidates", size(col("card_candidates")).cast(LongType))
+      .withColumn("n_valid", size(col("card_valid")).cast(LongType))
+      .withColumn("valid_hash",
+        md5(concat_ws(",", array_sort(col("card_valid")))))
+  }
+
+  /** Oracle fixture of [[cardScan]]: the corpus carries no card numbers,
+    * so the query plants (q52-style, identically in both engines) a
+    * known-valid card on every third doc, a doc_id-varying 16-digit
+    * number whose Luhn validity varies naturally, and two decoys that
+    * must never match (12-digit too short, 20-digit too long). */
+  private val q178 = {
+    def planted(cast: String) =
+      s"""text || CASE WHEN doc_id % 3 = 0 THEN ' pay 4532015112830366'
+            ELSE '' END ||
+          ' ref ' || CAST(4000000000000000 + (doc_id * 137) % 1000000 AS $cast) ||
+          ' id 123456789012 long 12345678901234567890'"""
+    GQuery(
+      "q178_luhn_cards",
+      (s, dir) => cardScan(
+          t(s, dir, "documents").withColumn("raw", expr(planted("STRING"))),
+          "raw")
+        .select(col("doc_id"), col("n_candidates"), col("n_valid"),
+          col("valid_hash"))
+        .orderBy(col("doc_id")),
+      Some("""WITH raw AS (SELECT doc_id, """ + planted("VARCHAR") + """ AS raw
+          FROM documents),
+        runs AS (SELECT doc_id,
+            list_filter(regexp_extract_all(raw, '[0-9]+'),
+              r -> length(r) >= 13 AND length(r) <= 19) AS cands
+          FROM raw),
+        v AS (SELECT doc_id, cands,
+            list_filter(cands, r -> list_sum(list_transform(
+              range(1, length(r) + 1), i ->
+                CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * CAST(substring(r, length(r) - i + 1, 1) AS INT) > 9
+                    THEN 2 * CAST(substring(r, length(r) - i + 1, 1) AS INT) - 9
+                    ELSE 2 * CAST(substring(r, length(r) - i + 1, 1) AS INT) END
+                  ELSE CAST(substring(r, length(r) - i + 1, 1) AS INT) END))
+              % 10 = 0) AS valid
+          FROM runs)
+        SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+          CAST(len(valid) AS BIGINT) AS n_valid,
+          md5(coalesce(array_to_string(list_sort(valid), ','), '')) AS valid_hash
+        FROM v ORDER BY doc_id"""))
+  }
+
   /** TF-IDF term scores, integer-scaled so both engines rank identically:
     * `score = tf * ((1000000 * n_docs) div df)` — exact BIGINT arithmetic,
     * no cross-engine log/double drift. Two hash-partitioned aggregations
@@ -2358,5 +2433,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177)
+      q161, q163, q173, q177, q178)
 }

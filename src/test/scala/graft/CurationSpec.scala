@@ -64,6 +64,32 @@ class CurationSpec extends SparkSpec {
     assert(r(2) == ((3L, 2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
 
+  test("cardScan validates Luhn checksums and enforces length bounds") {
+    val df = Seq(
+      // canonical valid test number
+      (1L, "pay 4532015112830366 now"),
+      // same digits, last one bumped: checksum must fail
+      (2L, "pay 4532015112830367 now"),
+      // 12 digits (too short) and 20 digits (too long): not candidates
+      (3L, "id 123456789012 and 12345678901234567890"),
+      // two valid runs in one doc; hash covers both, sorted
+      (4L, "a 4532015112830366 b 6011000990139424"),
+      (5L, "no digits at all")).toDF("doc_id", "raw")
+    val r = CurationQ.cardScan(df, "raw")
+      .select("doc_id", "n_candidates", "n_valid")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 1L)), r(0).toString)
+    assert(r(1) == ((2L, 1L, 0L)), r(1).toString)
+    assert(r(2) == ((3L, 0L, 0L)), r(2).toString)
+    assert(r(3) == ((4L, 2L, 2L)), r(3).toString)
+    assert(r(4) == ((5L, 0L, 0L)), r(4).toString)
+    // a 20-digit run never leaks a 19-digit sub-candidate
+    val runs = CurationQ.cardScan(df, "raw")
+      .filter(col("doc_id") === 3L)
+      .select("card_candidates").as[Seq[String]].collect().head
+    assert(runs.isEmpty, runs.toString)
+  }
+
   test("tfidf ranks rare terms above corpus-wide ones") {
     val corpus = Seq(
       (1L, "common common rare1"),
