@@ -2358,9 +2358,115 @@ object TextQ {
         CAST(SUM(COALESCE(1000000 // rn, 0)) // COUNT(*) AS BIGINT) AS mrr_ppm
       FROM q LEFT JOIN origin USING (query_id)"""))
 
+  /** Zipf rank–frequency slope card — the one-row corpus-health check
+    * that natural text obeys Zipf's law (log-frequency falls ~linearly
+    * in log-rank, slope near −1): template spam flattens the curve,
+    * tokenizer bugs and boilerplate floods steepen or kink it, so a
+    * drifting slope between ingestion batches flags a corpus problem
+    * before any downstream model sees it.
+    *
+    * Exactness discipline: both axes are STAIRCASE logs — x =
+    * ⌊log₂ rank⌋, y = ⌊log₂ freq⌋ via binary-string length, exact
+    * integers in both engines (the q168 staircase rule: never cross-
+    * engine ln/exp) — and the least-squares slope comes from exact
+    * sufficient statistics in DECIMAL(38,0)/HUGEINT with the sign
+    * carried separately so truncating DIV and flooring // agree (the
+    * q166 rule).
+    *
+    * Scale shape — no global sort: a token's ⌊log₂ rank⌋ only needs its
+    * freq-GROUP's rank range [c0+1, c0+n] (ties share a y, and the
+    * x-sums depend on the range as a set, not on any tie order), so the
+    * corpus-sized work is one (tok) hash agg + one (freq) hash agg, and
+    * the rank cumsum runs on the distinct-FREQUENCY table (≤ a few
+    * thousand rows at any corpus size — the q165/q170 histogram bound).
+    * Σ⌊log₂ r⌋ and Σ⌊log₂ r⌋² over a rank range come from closed forms
+    * (S(m) = (m+1)B − 2^{B+1} + 2 and its square analogue, B = ⌊log₂ m⌋),
+    * verified against the naive per-rank oracle by the q179 hash-match.
+    * A single-type corpus has no rank spread (den = 0) and fails loudly. */
+  def zipfCard(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val hist = tf.groupBy(col("freq")).agg(count(lit(1)).as("n_toks"))
+    val w = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // closed forms over BIGINT; m ranges over rank bounds (≥ 0)
+    def bS(m: String) =
+      s"""(CASE WHEN $m < 1 THEN CAST(0 AS BIGINT)
+        ELSE ($m + 1) * (length(bin($m)) - 1)
+          - shiftleft(CAST(1 AS BIGINT), length(bin($m))) + 2 END)"""
+    def bT(m: String) =
+      s"""(CASE WHEN $m < 1 THEN CAST(0 AS BIGINT)
+        ELSE shiftleft(CAST(1 AS BIGINT), length(bin($m)) - 1)
+            * ((length(bin($m)) - 1) * (length(bin($m)) - 1)
+              - 4 * (length(bin($m)) - 1) + 6) - 6
+          + (length(bin($m)) - 1) * (length(bin($m)) - 1)
+            * ($m - shiftleft(CAST(1 AS BIGINT), length(bin($m)) - 1) + 1)
+        END)"""
+    val groups = hist
+      .withColumn("c1", sum(col("n_toks")).over(w))
+      .withColumn("c0", col("c1") - col("n_toks"))
+      .withColumn("y", expr("length(bin(freq)) - 1"))
+      .select(
+        col("n_toks"), (col("n_toks") * col("freq")).as("occ"),
+        (col("n_toks") * col("y")).as("gy"),
+        expr(s"${bS("c1")} - ${bS("c0")}").as("gx"),
+        (col("y") * expr(s"${bS("c1")} - ${bS("c0")}")).as("gxy"),
+        expr(s"${bT("c1")} - ${bT("c0")}").as("gx2"))
+    groups.agg(
+        sum(col("n_toks")).cast(DecimalType(38, 0)).as("n"),
+        sum(col("occ")).as("occ"),
+        sum(col("gx")).cast(DecimalType(38, 0)).as("sx"),
+        sum(col("gy")).cast(DecimalType(38, 0)).as("sy"),
+        sum(col("gxy")).cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("gx2")).cast(DecimalType(38, 0)).as("sx2"))
+      .select(
+        col("n").cast(LongType).as("n_types"),
+        col("occ").cast(LongType).as("n_occurrences"),
+        expr("""CASE
+          WHEN n * sx2 - sx * sx = 0 THEN raise_error(
+            'graft.zipfCard: degenerate corpus (single distinct rank bucket)')
+          WHEN n * sxy - sx * sy < 0 THEN
+            -CAST((1000000 * -(n * sxy - sx * sy)) DIV (n * sx2 - sx * sx)
+              AS BIGINT)
+          ELSE
+            CAST((1000000 * (n * sxy - sx * sy)) DIV (n * sx2 - sx * sx)
+              AS BIGINT)
+          END""").as("slope_ppm"))
+  }
+
+  /** Oracle fixture of [[zipfCard]]: the naive construction — a global
+    * ROW_NUMBER rank per token and per-token staircase logs — whose
+    * hash-match proves the closed-form group decomposition exact. */
+  private val q179 = GQuery(
+    "q179_zipf_card",
+    (s, dir) => zipfCard(t(s, dir, "documents")),
+    Some("""WITH tf AS (SELECT tok, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0 GROUP BY tok),
+      r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC) AS rank
+            FROM tf),
+      pts AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+          CAST(length(bin(freq)) - 1 AS BIGINT) AS y, freq FROM r),
+      s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(freq) AS BIGINT) AS occ,
+          CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+          CAST(SUM(x * y) AS HUGEINT) AS sxy,
+          CAST(SUM(x * x) AS HUGEINT) AS sx2
+        FROM pts)
+      SELECT CAST(n AS BIGINT) AS n_types, occ AS n_occurrences,
+        CASE WHEN n * sxy - sx * sy < 0 THEN
+            -CAST((1000000 * -(n * sxy - sx * sy)) // (n * sx2 - sx * sx)
+              AS BIGINT)
+          ELSE
+            CAST((1000000 * (n * sxy - sx * sy)) // (n * sx2 - sx * sx)
+              AS BIGINT)
+          END AS slope_ppm
+      FROM s"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164, q172)
+      q157, q158, q159, q162, q164, q172, q179)
 }
