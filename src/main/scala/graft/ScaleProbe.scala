@@ -38,7 +38,9 @@ object ScaleProbe {
     "q165_mad_outliers", "q166_power_pca", "q167_anisotropy",
     "q168_decayed_engagement", "q169_temporal_split",
     "q170_quantile_bands", "q171_rolling_dau", "q172_entity_resolution",
-    "q173_hilbert_curve", "q174_semantic_decontamination")
+    "q173_hilbert_curve", "q174_semantic_decontamination",
+    "q175_overlap_join", "q176_triangle_stats", "q177_content_diff",
+    "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -2356,13 +2356,17 @@ object CurationQ {
       FROM r
       ORDER BY source, qrank_ppm, doc_id"""))
 
-  /** Dataset-version diff — the audit step between two snapshots of a
-    * managed corpus (yesterday's curated set vs today's): per key,
-    * classify `added` / `removed` / `changed` / `unchanged` by comparing
-    * an md5 content signature over `hashCols`. This is what a training
-    * run reads BEFORE deciding whether a re-train is warranted and what
-    * a rollback diffs against — the content-hash twin of
-    * [[graft.etl.MergeWrite]]'s write-side idempotence.
+  /** Content-signature dataset diff — the WIDE-ROW companion to
+    * [[WindowQ.snapshotDiff]] (q79): that operator carries the compared
+    * column VALUES through the full-outer join and reports a per-column
+    * changed bitmask, which is the right tool for narrow dimension
+    * state; for a document corpus, carrying megabyte text values through
+    * a corpus×2 shuffle just to discover most rows unchanged is the
+    * wrong cost model. Here each snapshot first collapses to (key,
+    * md5-signature over `hashCols`), so the join moves 32-byte hashes
+    * regardless of document width, and the verdict is `added` /
+    * `removed` / `changed` / `unchanged` per key — the audit a training
+    * run reads before deciding whether a re-train is warranted.
     *
     * Scale shape: one hash agg per snapshot (which also detects
     * duplicate keys — a key appearing twice makes "the" row's diff
@@ -2372,7 +2376,7 @@ object CurationQ {
     * the shuffle is key+hash-sized at any document width. NULL columns
     * hash via a chr(0) sentinel, distinct from the empty string (a
     * column going NULL→'' is a real change and must classify as one). */
-  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+  def contentDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "hashCols must be non-empty")
     def sig(df: DataFrame, side: String): DataFrame =
@@ -2382,7 +2386,7 @@ object CurationQ {
             coalesce(col(c).cast(StringType), lit("\u0000"))): _*))).as("h"))
         .select(col(keyCol), expr(
           s"""CASE WHEN c > 1 THEN raise_error(concat(
-               'graft.snapshotDiff: duplicate key in $side snapshot: ',
+               'graft.contentDiff: duplicate key in $side snapshot: ',
                CAST($keyCol AS STRING)))
              ELSE h END""").as(s"${side}_hash"))
     sig(oldDf, "old").join(sig(newDf, "new"), Seq(keyCol), "full_outer")
@@ -2393,11 +2397,11 @@ object CurationQ {
           .otherwise(lit("changed")).as("change"))
   }
 
-  /** Oracle fixture of [[snapshotDiff]]: two synthetic snapshots of the
+  /** Oracle fixture of [[contentDiff]]: two synthetic snapshots of the
     * documents table — "old" drops doc_id%10=3, "new" drops doc_id%7=2
     * and revises the text of doc_id%5=0 — so all four classes occur. */
   private val q177 = GQuery(
-    "q177_snapshot_diff",
+    "q177_content_diff",
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
@@ -2407,7 +2411,7 @@ object CurationQ {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"),
           col("lang"), col("source"))
-      snapshotDiff(oldSnap, newSnap, "doc_id",
+      contentDiff(oldSnap, newSnap, "doc_id",
           Seq("text", "lang", "source"))
         .orderBy(col("doc_id"))
     },

@@ -224,7 +224,7 @@ object TokenizerQ {
     * consume-the-left-operand greedy semantics as [[mergeFold]]. */
   private[queries] def bpeSql(rounds: Int): String = {
     val init =
-      """w AS (SELECT word, COUNT(*) AS freq FROM
+      """w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM
            (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE len(word) > 0 GROUP BY word),
          s0 AS (SELECT word, freq,
@@ -290,7 +290,7 @@ object TokenizerQ {
     * disjoint pairs (the BpePropertySpec equivalence). */
   private[queries] def bpeBatch2Sql(rounds: Int): String = {
     val init =
-      """w AS (SELECT word, COUNT(*) AS freq FROM
+      """w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM
            (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE len(word) > 0 GROUP BY word),
          s0 AS (SELECT word, freq,
@@ -342,5 +342,200 @@ object TokenizerQ {
         ORDER BY round"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q137, q138, q153)
+  // ------------------------------------------------------------------
+  // Unigram-LM segmentation — the SECOND tokenizer family (SentencePiece
+  // / Kudo 2018 style) next to BPE: instead of learning merges, score a
+  // substring VOCABULARY by corpus frequency and segment each word into
+  // the minimum-total-cost sequence of vocabulary pieces (Viterbi over
+  // the word's position DAG). Costs are STAIRCASE bits — cost(piece) =
+  // ⌊log₂ Σcnt⌋ − ⌊log₂ cnt⌋ via binary-string length, exact integers in
+  // both engines (the q168/q179 rule: never cross-engine ln), so the
+  // min-cost DP value is engine-portable and the DuckDB oracle replays
+  // the identical unrolled iteration (the q139 pattern).
+  //
+  // Scale shape: ONE corpus scan (the word count); everything after —
+  // n-gram counting, top-K selection, the edge DAG, and every DP round —
+  // runs on the distinct-word DICTIONARY (the q164 lesson), so a 100 TB
+  // corpus costs the same as its vocabulary after the first aggregation.
+  // The DP is maxWordLen sequential dictionary-sized rounds (lineage cut
+  // per round); words longer than maxWordLen fail loudly rather than
+  // silently vanishing from the output.
+  // ------------------------------------------------------------------
+
+  /** Distinct-word frequency table (whitespace tokens, empties dropped). */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Substring vocabulary with staircase-bit costs from a word table. */
+  private def vocabFromWords(w: DataFrame, maxPieceLen: Int,
+      topK: Int): DataFrame = {
+    val grams = w
+      .select(col("word"), col("freq"),
+        explode(expr("sequence(1, length(word))")).as("s"))
+      .select(col("word"), col("freq"), col("s"), explode(expr(
+        s"sequence(1, least($maxPieceLen, length(word) - s + 1))")).as("plen"))
+      .select(expr("substring(word, s, plen)").as("piece"), col("freq"))
+    val cnts = grams.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    // vocabulary-sized global rank; at an extreme vocabulary swap in the
+    // bucket-offset construction (CurationQ.globalRankBy)
+    val rn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece"))
+    cnts.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= topK || length(col("piece")) === 1)
+      .crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        expr("CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT)")
+          .as("cost_bits"))
+  }
+
+  /** Corpus-derived substring vocabulary: all char n-grams of length
+    * 1..maxPieceLen weighted by word frequency, keep the `topK` most
+    * frequent PLUS every single character (coverage: segmentation can
+    * never fail), cost = staircase bits of the piece's corpus share. */
+  def unigramVocab(docs: DataFrame, maxPieceLen: Int = 4,
+      topK: Int = 256): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8], got $maxPieceLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    vocabFromWords(wordFreq(docs), maxPieceLen, topK)
+  }
+
+  /** Per-distinct-word minimum segmentation cost under the corpus-derived
+    * unigram vocabulary: Viterbi over the position DAG (edge = a
+    * vocabulary piece occurring at a position), unrolled as `maxWordLen`
+    * dictionary-sized rounds. Returns (word, freq, word_len, cost_bits,
+    * bits_total = freq·cost) — the table a tokenizer-selection study
+    * reads, and the input to [[unigramCorpusCard]]. */
+  def unigramSegmentCosts(docs: DataFrame, maxPieceLen: Int = 4,
+      topK: Int = 256, maxWordLen: Int = 12,
+      reliable: Boolean = false): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8], got $maxPieceLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxWordLen >= 1 && maxWordLen <= 64,
+      s"maxWordLen must be in [1, 64], got $maxWordLen")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val w = snap(wordFreq(docs).withColumn("word", expr(
+      s"""CASE WHEN length(word) > $maxWordLen THEN raise_error(concat(
+        'graft.unigramSegmentCosts: word longer than $maxWordLen: ', word))
+      ELSE word END""")))
+    val vocab = snap(vocabFromWords(w, maxPieceLen, topK))
+    val edges = snap(w
+      .select(col("word"), explode(expr("sequence(1, length(word))")).as("s"))
+      .select(col("word"), col("s"), explode(expr(
+        s"sequence(1, least($maxPieceLen, length(word) - s + 1))")).as("plen"))
+      .select(col("word"), col("s"), (col("s") + col("plen") - 1).as("e"),
+        expr("substring(word, s, plen)").as("piece"))
+      .join(vocab.select(col("piece"), col("cost_bits").as("cost")),
+        Seq("piece"))
+      .select(col("word"), col("s"), col("e"), col("cost")))
+    var best = w.select(col("word"), lit(0).as("pos"), lit(0L).as("cost"))
+    for (j <- 1 to maxWordLen) {
+      val nxt = edges.filter(col("e") === j)
+        .select(col("word"), (col("s") - 1).as("ppos"), col("cost"))
+        .join(best.select(col("word"), col("pos").as("ppos"),
+          col("cost").as("pcost")), Seq("word", "ppos"))
+        .groupBy(col("word"))
+        .agg(min(col("pcost") + col("cost")).as("cost"))
+        .select(col("word"), lit(j).as("pos"), col("cost"))
+      best = snap(best.union(nxt))
+    }
+    w.join(best.filter(col("pos") === length(col("word"))), Seq("word"))
+      .select(col("word"), col("freq"),
+        length(col("word")).cast(LongType).as("word_len"),
+        col("cost").as("cost_bits"),
+        (col("freq") * col("cost")).as("bits_total"))
+  }
+
+  /** One-row corpus compression card under the unigram vocabulary:
+    * distinct words, corpus characters, total encoding cost, and
+    * milli-bits-per-character — the number two tokenizer candidates are
+    * compared by (the unigram twin of q138's BPE compression card). */
+  def unigramCorpusCard(docs: DataFrame, maxPieceLen: Int = 4,
+      topK: Int = 256, maxWordLen: Int = 12,
+      reliable: Boolean = false): DataFrame =
+    unigramSegmentCosts(docs, maxPieceLen, topK, maxWordLen, reliable)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq") * col("word_len")).as("total_chars"),
+        sum(col("bits_total")).as("total_bits"))
+      .select(col("n_words"), col("total_chars"), col("total_bits"),
+        expr("(1000 * total_bits) DIV total_chars").as("bpc_milli"))
+
+  /** Shared oracle CTE chain: vocabulary, edge DAG, and the DP unrolled
+    * to `maxWordLen` rounds (the q139 fixed-unrolling convention),
+    * ending in the per-word relation `seg`. */
+  private def unigramSql(maxPieceLen: Int, topK: Int,
+      maxWordLen: Int): String = {
+    // AS MATERIALIZED on every DP round: DuckDB inlines plain CTEs, and
+    // each b_j references b_{j-1} twice — un-materialized, the plan tree
+    // doubles per round (2^maxWordLen copies of the vocabulary pipeline)
+    val rounds = (1 to maxWordLen).map { j =>
+      s"""b$j AS MATERIALIZED (SELECT * FROM b${j - 1}
+          UNION ALL
+          SELECT e.word, $j AS pos, MIN(p.cost + e.cost) AS cost
+          FROM edges e JOIN b${j - 1} p
+            ON p.word = e.word AND p.pos = e.s - 1
+          WHERE e.e = $j
+          GROUP BY e.word)"""
+    }.mkString(",\n")
+    s"""WITH w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY word),
+      g AS (SELECT substring(word, s, plen) AS piece, freq
+            FROM (SELECT word, freq, s
+                  FROM w, UNNEST(range(1, length(word) + 1)) AS ts(s)),
+                 UNNEST(range(1, ${maxPieceLen + 1})) AS tp(plen)
+            WHERE s + plen - 1 <= length(word)),
+      cnts AS (SELECT piece, SUM(freq) AS cnt FROM g GROUP BY piece),
+      tot AS (SELECT SUM(cnt) AS total FROM cnts),
+      vr AS (SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+             FROM cnts),
+      vc AS MATERIALIZED (SELECT piece,
+               CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT) AS cost
+             FROM vr, tot WHERE rn <= $topK OR length(piece) = 1),
+      edges AS MATERIALIZED (SELECT x.word, x.s, x.s + length(x.piece) - 1 AS e, v.cost
+                FROM (SELECT word, s, substring(word, s, plen) AS piece
+                      FROM (SELECT word, s
+                            FROM w, UNNEST(range(1, length(word) + 1)) AS ts(s)),
+                           UNNEST(range(1, ${maxPieceLen + 1})) AS tp(plen)
+                      WHERE s + plen - 1 <= length(word)) x
+                JOIN vc v ON v.piece = x.piece),
+      b0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM w),
+      $rounds,
+      seg AS (SELECT w.word, w.freq,
+                CAST(length(w.word) AS BIGINT) AS word_len,
+                b.cost AS cost_bits, w.freq * b.cost AS bits_total
+              FROM w JOIN b$maxWordLen b
+                ON b.word = w.word AND b.pos = length(w.word))"""
+  }
+
+  /** Oracle fixture of [[unigramSegmentCosts]] (pieces ≤ 4 chars, top-256
+    * vocabulary, DP unrolled to 12 — the fixture's words are ≤ 8). */
+  private val q180 = GQuery(
+    "q180_unigram_segment",
+    (s, dir) => unigramSegmentCosts(t(s, dir, "documents"))
+      .orderBy(col("word")),
+    Some(s"""${unigramSql(4, 256, 12)}
+      SELECT word, freq, word_len, cost_bits, bits_total FROM seg
+      ORDER BY word"""))
+
+  /** Oracle fixture of [[unigramCorpusCard]]: the q180 chain aggregated
+    * to the one-row compression card. */
+  private val q181 = GQuery(
+    "q181_unigram_card",
+    (s, dir) => unigramCorpusCard(t(s, dir, "documents")),
+    Some(s"""${unigramSql(4, 256, 12)}
+      SELECT COUNT(*) AS n_words,
+        CAST(SUM(freq * word_len) AS BIGINT) AS total_chars,
+        CAST(SUM(bits_total) AS BIGINT) AS total_bits,
+        (1000 * CAST(SUM(bits_total) AS BIGINT))
+          // CAST(SUM(freq * word_len) AS BIGINT) AS bpc_milli
+      FROM seg"""))
+
+  val queries: Seq[GQuery] = Seq(q137, q138, q153, q180, q181)
 }
