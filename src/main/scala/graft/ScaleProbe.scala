@@ -40,7 +40,8 @@ object ScaleProbe {
     "q170_quantile_bands", "q171_rolling_dau", "q172_entity_resolution",
     "q173_hilbert_curve", "q174_semantic_decontamination",
     "q175_overlap_join", "q176_triangle_stats", "q177_content_diff",
-    "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment")
+    "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment",
+    "q182_attribution", "q183_join_blowup")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -961,6 +961,188 @@ object AnalyticsQ {
       ORDER BY ks_ppm DESC, v
       LIMIT 1"""))
 
+  /** Multi-touch conversion attribution — the marketing/product question
+    * [[funnelReach]] doesn't answer: given conversions and the touch
+    * events that preceded them within a lookback window, how much credit
+    * does each CHANNEL (touch event type) deserve? All three classic
+    * models in one pass, in exact ppm integers:
+    *   - `first_ppm`: 10⁶ to the earliest touch in the window,
+    *   - `last_ppm`: 10⁶ to the latest,
+    *   - `linear_ppm`: 10⁶ DIV n to each of the n touches, with the
+    *     remainder assigned to the LAST touch so every conversion's
+    *     credit sums to exactly 10⁶ under any n (no lost ppm, no
+    *     engine-divergent fractions).
+    * Touch order is (ts, event_id) — the repo's replay-stable tiebreak —
+    * and a touch at the conversion instant counts (`<=`, the q85 rule).
+    *
+    * Plan: conversions ⋈ touches on (user, windowSec-wide time CELL) —
+    * the q68 bucketization, not a bare user join: joining on user alone
+    * pays per-user history² (a 10× probe of that draft read 3.25×,
+    * because a long-lived user's every conversion meets their every
+    * historical touch before the range residual filters). Each
+    * conversion replicates into its two candidate cells, a touch sits in
+    * its own cell, so a qualifying pair meets in exactly the touch's
+    * cell and per-pair work scales with CONCURRENT activity, not
+    * lifetime history. Then one (conversion) window ranks touches and
+    * one channel-sized aggregation closes. Conversions with zero touches
+    * in window surface as the `(none)` channel via an anti join, so the
+    * output accounts for every conversion — Σ credit = 10⁶ · conversions. */
+  def attributionCredit(events: DataFrame, touchTypes: Seq[String],
+      convType: String, windowSec: Long,
+      reliable: Boolean = false): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType '$convType' must not be a touch type")
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val secs = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast(LongType).as("sec"))
+    val conv = secs.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("sec").as("conv_sec"))
+    val touch = secs.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), col("sec").as("touch_sec"))
+    val convCells = conv.select(col("conv_id"), col("user_id"),
+      col("conv_sec"), explode(expr(
+        s"array(conv_sec div $windowSec - 1, conv_sec div $windowSec)"))
+        .as("cell"))
+    val touchCells = touch
+      .withColumn("cell", expr(s"touch_sec div $windowSec"))
+    val joined = convCells.join(touchCells, Seq("user_id", "cell"))
+      .filter(col("touch_sec") <= col("conv_sec") &&
+        col("touch_sec") > col("conv_sec") - windowSec)
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_sec"), col("touch_id"))
+    val wN = Window.partitionBy(col("conv_id"))
+    // materialized once: `credited` feeds both the union branch and the
+    // untouched anti-join — without the cut the join+window pipeline
+    // executes twice (the q143/CurationPipeline lesson)
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val credited = snap(joined
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("channel"), col("conv_id"),
+        when(col("rn") === 1, lit(1000000L)).otherwise(lit(0L))
+          .as("first_ppm"),
+        when(col("rn") === col("n"), lit(1000000L)).otherwise(lit(0L))
+          .as("last_ppm"),
+        (expr("1000000 DIV n") +
+          when(col("rn") === col("n"), expr("1000000 - n * (1000000 DIV n)"))
+            .otherwise(lit(0L))).as("linear_ppm")))
+    val untouched = conv.join(
+        credited.select(col("conv_id")).distinct(), Seq("conv_id"),
+        "left_anti")
+      .select(lit("(none)").as("channel"), col("conv_id"),
+        lit(1000000L).as("first_ppm"), lit(1000000L).as("last_ppm"),
+        lit(1000000L).as("linear_ppm"))
+    credited.union(untouched)
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("conv_id")).as("n_conversions"),
+        count(lit(1)).as("n_touches"),
+        sum(col("first_ppm")).as("first_ppm"),
+        sum(col("last_ppm")).as("last_ppm"),
+        sum(col("linear_ppm")).as("linear_ppm"))
+  }
+
+  /** Join-cardinality blow-up card — the pre-join planning companion to
+    * [[keySkewReport]]: that one profiles ONE table's hot keys; this one
+    * predicts the OUTPUT of a join before running it. Exact per-key pair
+    * counts (cl·cr from the two sides' group counts — never the join
+    * itself), the exact total, and the top-K contributing keys with
+    * their ppm share of all pairs. A key carrying half the output is the
+    * signal to salt ([[graft.etl.Skew.saltedJoin]]), broadcast, or
+    * pre-aggregate BEFORE the shuffle is paid — the card costs two
+    * group-bys on key-sized data while the join it predicts could cost
+    * |Σ cl·cr| ≫ corpus.
+    *
+    * Plan: one hash agg per side, an equi join of the two (tiny)
+    * count tables, a broadcast scalar total, and a top-K window on the
+    * matched-key table. */
+  def joinCardinalityCard(left: DataFrame, right: DataFrame,
+      keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cl = left.groupBy(col(keyCol)).agg(count(lit(1)).as("l_rows"))
+    val cr = right.groupBy(col(keyCol)).agg(count(lit(1)).as("r_rows"))
+    val matched = cl.join(cr, Seq(keyCol))
+      .withColumn("pairs", col("l_rows") * col("r_rows"))
+    val tot = matched.agg(coalesce(sum(col("pairs")), lit(0L)).as("total"))
+    val w = Window.orderBy(col("pairs").desc, col(keyCol))
+    matched.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .crossJoin(broadcast(tot))
+      .select(col(keyCol), col("l_rows"), col("r_rows"), col("pairs"),
+        col("total").as("total_pairs"),
+        expr("(1000000 * pairs) DIV total").as("share_ppm"),
+        col("rn").cast(LongType).as("rn"))
+  }
+
+  /** Oracle fixture of [[joinCardinalityCard]]: the events self-join on
+    * user_id — the classic accidental-quadratic shape (pairs per user =
+    * activity²); top 10 contributing users. */
+  private val q183 = GQuery(
+    "q183_join_blowup",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      joinCardinalityCard(ev, ev, "user_id").orderBy(col("rn"))
+    },
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      m AS (SELECT l.user_id, l.n AS l_rows, r.n AS r_rows,
+              l.n * r.n AS pairs
+            FROM c l JOIN c r ON l.user_id = r.user_id),
+      tot AS (SELECT SUM(pairs) AS total FROM m),
+      ranked AS (SELECT user_id, l_rows, r_rows, pairs,
+          ROW_NUMBER() OVER (ORDER BY pairs DESC, user_id) AS rn
+        FROM m)
+      SELECT user_id, l_rows, r_rows, pairs,
+        CAST(tot.total AS BIGINT) AS total_pairs,
+        CAST((1000000 * pairs) // tot.total AS BIGINT) AS share_ppm,
+        CAST(rn AS BIGINT) AS rn
+      FROM ranked, tot WHERE rn <= 10
+      ORDER BY rn"""))
+
+  /** Oracle fixture of [[attributionCredit]]: view/click touches before
+    * purchase conversions in a 24 h lookback. */
+  private val q182 = GQuery(
+    "q182_attribution",
+    (s, dir) => attributionCredit(t(s, dir, "events"),
+        Seq("view", "click"), "purchase", windowSec = 86400L)
+      .orderBy(col("channel")),
+    Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          ${epochSecSql("ts")} AS sec FROM events),
+      conv AS (SELECT event_id AS conv_id, user_id, sec AS conv_sec
+               FROM e WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id, event_type AS channel,
+                  event_id AS touch_id, sec AS touch_sec
+                FROM e WHERE event_type IN ('view', 'click')),
+      j AS (SELECT c.conv_id, t.channel, t.touch_id, t.touch_sec
+            FROM conv c JOIN touch t ON c.user_id = t.user_id
+            WHERE t.touch_sec <= c.conv_sec
+              AND t.touch_sec > c.conv_sec - 86400),
+      ranked AS (SELECT channel, conv_id,
+          ROW_NUMBER() OVER (PARTITION BY conv_id
+            ORDER BY touch_sec, touch_id) AS rn,
+          COUNT(*) OVER (PARTITION BY conv_id) AS n
+        FROM j),
+      credited AS (SELECT channel, conv_id,
+          CASE WHEN rn = 1 THEN 1000000 ELSE 0 END AS first_ppm,
+          CASE WHEN rn = n THEN 1000000 ELSE 0 END AS last_ppm,
+          1000000 // n + CASE WHEN rn = n
+            THEN 1000000 - n * (1000000 // n) ELSE 0 END AS linear_ppm
+        FROM ranked),
+      untouched AS (SELECT '(none)' AS channel, conv_id,
+          1000000 AS first_ppm, 1000000 AS last_ppm, 1000000 AS linear_ppm
+        FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM credited)),
+      allc AS (SELECT * FROM credited UNION ALL SELECT * FROM untouched)
+      SELECT channel, COUNT(DISTINCT conv_id) AS n_conversions,
+        COUNT(*) AS n_touches,
+        CAST(SUM(first_ppm) AS BIGINT) AS first_ppm,
+        CAST(SUM(last_ppm) AS BIGINT) AS last_ppm,
+        CAST(SUM(linear_ppm) AS BIGINT) AS linear_ppm
+      FROM allc GROUP BY channel
+      ORDER BY channel"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
-    q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171)
+    q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
+    q182, q183)
 }

@@ -38,6 +38,60 @@ class AnalyticsSpec extends SparkSpec {
       (3L, "purchase", 1L)))
   }
 
+  test("attributionCredit: first/last/linear models, exact ppm per conversion") {
+    val ev = events(
+      // user 1: view@1, click@2 -> purchase@3 (both in window)
+      (1, 1, "view", "2024-01-01 00:00:01", 0.0),
+      (2, 1, "click", "2024-01-01 00:00:02", 0.0),
+      (3, 1, "purchase", "2024-01-01 00:00:03", 0.0),
+      // user 2: three views -> linear 333333+333333+333334 (remainder to last)
+      (4, 2, "view", "2024-01-01 00:00:01", 0.0),
+      (5, 2, "view", "2024-01-01 00:00:02", 0.0),
+      (6, 2, "view", "2024-01-01 00:00:03", 0.0),
+      (7, 2, "purchase", "2024-01-01 00:00:04", 0.0),
+      // user 3: conversion with NO touch in window -> (none)
+      (8, 3, "purchase", "2024-01-01 00:00:05", 0.0),
+      // user 4: touch AFTER conversion and touch OUTSIDE window: excluded
+      (9, 4, "purchase", "2024-01-01 12:00:00", 0.0),
+      (10, 4, "click", "2024-01-01 12:00:01", 0.0),
+      (11, 4, "view", "2023-12-30 00:00:00", 0.0))
+    val got = AnalyticsQ.attributionCredit(ev, Seq("view", "click"),
+        "purchase", windowSec = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // (none): users 3 and 4 (user 4's touches are out of window)
+    assert(got("(none)") == ((2L, 2L, 2000000L, 2000000L, 2000000L)),
+      got.toString)
+    // view: first of conv1 (1e6) + all of conv2's first (1e6);
+    //       last of conv2 (1e6); linear 500000 + 1000000
+    assert(got("view") == ((2L, 4L, 2000000L, 1000000L, 1500000L)),
+      got.toString)
+    // click: conv1's last touch
+    assert(got("click") == ((1L, 1L, 0L, 1000000L, 500000L)), got.toString)
+    // credit conservation: every model sums to 1e6 x 4 conversions
+    assert(Seq(3, 4, 5).forall(i =>
+      got.values.map(v => i match {
+        case 3 => v._3; case 4 => v._4; case 5 => v._5
+      }).sum == 4000000L))
+  }
+
+  test("attributionCredit counts a touch at the conversion instant") {
+    val ev = events(
+      (1, 1, "click", "2024-01-01 00:00:05", 0.0),
+      (2, 1, "purchase", "2024-01-01 00:00:05", 0.0))
+    val got = AnalyticsQ.attributionCredit(ev, Seq("click"), "purchase", 60L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("click" -> 1000000L), got.toString)
+  }
+
+  test("attributionCredit rejects a conversion type listed as a touch") {
+    intercept[IllegalArgumentException] {
+      AnalyticsQ.attributionCredit(events(), Seq("view", "purchase"),
+        "purchase", 60L)
+    }
+  }
+
   test("funnelReach rejects duplicate stages") {
     intercept[IllegalArgumentException] {
       AnalyticsQ.funnelReach(events(), Seq("view", "view"))
