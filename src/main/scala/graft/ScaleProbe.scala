@@ -41,7 +41,8 @@ object ScaleProbe {
     "q173_hilbert_curve", "q174_semantic_decontamination",
     "q175_overlap_join", "q176_triangle_stats", "q177_content_diff",
     "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment",
-    "q182_attribution", "q183_join_blowup")
+    "q182_attribution", "q183_join_blowup",
+    "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1142,7 +1142,205 @@ object AnalyticsQ {
       FROM allc GROUP BY channel
       ORDER BY channel"""))
 
+  /** Pearson χ² independence card for two categorical columns — the
+    * corpus-balance gate "is source independent of language?": a strong
+    * association means some sources carry one language, so a per-source
+    * cap silently skews the language mix (and vice versa) — read this
+    * BEFORE trusting univariate mixture targets (q64/q67/q142).
+    *
+    * Exact as defined: with d = o·N − r·c per cell, the statistic is
+    * `chi2_milli = Σ (1000·d²) DIV (N·r·c)` — every term an integer
+    * quotient of exact DECIMAL(38,0)/HUGEINT products, so the sum is
+    * order-independent and engine-portable (χ² itself is Σ d²/(N·r·c)).
+    * Validity bound: d² caps the construction at N ≲ 3·10⁹ rows; beyond
+    * that, uniformly downscale the cell counts first (χ² scales
+    * linearly in N, the judgment "associated or not" survives the
+    * scaling). Also emits dof = (|A|−1)(|B|−1) and phi2_micro =
+    * (10⁶·chi2_milli) DIV (1000·N) — the N-free effect size.
+    *
+    * Plan: one (a,b) hash agg, two marginal aggs of the CELL table
+    * (never the corpus again), broadcast scalar N, one |A|·|B|-sized
+    * combine — the grid is the CROSS of the marginals so UNOBSERVED
+    * cells contribute their full expected-count term (o = 0, d = −r·c);
+    * skipping them understates χ² exactly when association is
+    * strongest. */
+  def chiSquareCard(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    ra.crossJoin(broadcast(cb)).join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("n_a"), col("n_b"), expr(
+        """(1000 * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+             * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c))
+           DIV (CAST(n AS DECIMAL(38,0)) * r * c)""").as("contrib"))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(sum(col("contrib")).as("chi2_milli"))
+      .select(col("n").cast(LongType).as("n_rows"),
+        col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("chi2_milli").cast(LongType).as("chi2_milli"),
+        expr("(1000000 * chi2_milli) DIV (1000 * n)").cast(LongType)
+          .as("phi2_micro"))
+  }
+
+  /** Oracle fixture of [[chiSquareCard]]: documents' source × lang. */
+  private val q184 = GQuery(
+    "q184_chi2_card",
+    (s, dir) => chiSquareCard(t(s, dir, "documents"), "source", "lang"),
+    Some("""WITH cells AS (SELECT source AS a, lang AS b, COUNT(*) AS o
+              FROM documents GROUP BY 1, 2),
+      ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+      cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+               COUNT(DISTINCT a) AS n_a, COUNT(DISTINCT b) AS n_b
+             FROM cells),
+      grid AS (SELECT ra.a, ra.r, cb.b, cb.c,
+                 COALESCE(cells.o, 0) AS o
+               FROM ra CROSS JOIN cb
+               LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      per AS (SELECT nn.n, nn.n_a, nn.n_b,
+          (1000 * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c)
+                * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c))
+            // (nn.n * r * c) AS contrib
+        FROM grid, nn)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        (MAX(n_a) - 1) * (MAX(n_b) - 1) AS dof,
+        CAST(SUM(contrib) AS BIGINT) AS chi2_milli,
+        CAST((1000000 * SUM(contrib)) // (1000 * MAX(n)) AS BIGINT)
+          AS phi2_micro
+      FROM per"""))
+
+  /** Seasonality-adjusted volume anomalies — [[volumeAnomalies]] z-scores
+    * each day against the type's WHOLE history, so a weekly rhythm
+    * (quiet Sundays, busy Mondays) drowns real incidents and flags
+    * normal weekends. Here the peer group is (type, day-of-week): a day
+    * competes only with the same weekday, so "an unusually quiet
+    * MONDAY" surfaces even when Mondays are the busiest days. Weekday =
+    * days-since-epoch mod 7 — an integer both engines compute
+    * identically (named-weekday functions disagree on Sunday=0/1
+    * conventions across engines). Same exact-sufficient-statistics
+    * z-score discipline as q104; same plan shape, one more grouping
+    * column. */
+  def seasonalAnomalies(events: DataFrame, threshold: Double = 2.0,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("datediff(d, DATE '1970-01-01') % 7"))
+    val w = Window.partitionBy(col(typeCol), col("dow"))
+    // a zero-variance peer group (identical count every same weekday —
+    // common under real seasonality, unlike q104's all-history groups)
+    // has no z; it is perfect regularity, not an anomaly, so it filters
+    // out BEFORE the division (exact integer check, no ANSI hazard)
+    daily
+      .withColumn("ng", sum(lit(1)).over(w))
+      .withColumn("sn", sum(col("n")).over(w))
+      .withColumn("sn2", sum(col("n") * col("n")).over(w))
+      .filter(col("ng") * col("sn2") - col("sn") * col("sn") > 0)
+      .withColumn("z",
+        (col("ng").cast(DoubleType) * col("n") - col("sn").cast(DoubleType)) /
+          sqrt(col("ng").cast(DoubleType) * col("sn2").cast(DoubleType) -
+            col("sn").cast(DoubleType) * col("sn").cast(DoubleType)))
+      .filter(abs(col("z")) > threshold)
+      .select(col(typeCol), dateStr(col("d")).as("day"),
+        col("dow").cast(LongType).as("dow"), col("n"),
+        round(col("z"), 4).as("z"))
+  }
+
+  /** Oracle fixture of [[seasonalAnomalies]] (threshold 1.5 — the
+    * fixture's timeline is ~5 weeks, so each (type, dow) peer group has
+    * only a handful of samples and a 2.0 gate rarely fires). */
+  private val q185 = GQuery(
+    "q185_seasonal_anomaly",
+    (s, dir) => seasonalAnomalies(t(s, dir, "events"), threshold = 1.5)
+      .orderBy(col("event_type"), col("day")),
+    Some(s"""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      dd AS (SELECT *, (d - DATE '1970-01-01') % 7 AS dow FROM daily),
+      stats AS (
+        SELECT event_type, d, dow, n,
+          COUNT(*) OVER g AS ng, SUM(n) OVER g AS sn,
+          SUM(n * n) OVER g AS sn2
+        FROM dd
+        WINDOW g AS (PARTITION BY event_type, dow)),
+      win AS (
+        SELECT event_type, d, dow, n,
+          (CAST(ng AS DOUBLE) * n - CAST(sn AS DOUBLE))
+          / sqrt(CAST(ng AS DOUBLE) * CAST(sn2 AS DOUBLE)
+               - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) AS z
+        FROM stats WHERE ng * sn2 - sn * sn > 0)
+      SELECT event_type, ${dateStrSql("d")} AS day,
+        CAST(dow AS BIGINT) AS dow, n, round(z, 4) AS z
+      FROM win WHERE abs(z) > 1.5
+      ORDER BY event_type, day"""))
+
+  /** Time-to-convert distribution — the latency companion to
+    * [[funnelReach]]'s WHO-converts counts: per converting user, the lag
+    * from the first `fromType` to the first `toType` at-or-after it
+    * (the q85 `>=` rule), summarized as exact permille order statistics
+    * via the q165/q170 value-HISTOGRAM construction — one (lag) hash
+    * agg + distinct-lag-sized cumulative windows, no row-level sort, so
+    * a billion converting users never serialize onto one reducer.
+    * Returns one row: n_conversions + a `p<NNN>` second column per
+    * requested permille. */
+  def conversionLagBands(events: DataFrame, fromType: String,
+      toType: String,
+      permilles: Seq[Int] = Seq(500, 950)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0,1000], got $permilles")
+    require(fromType != toType, "fromType and toType must differ")
+    val secs = events.select(col("user_id"), col("event_type"),
+      col("ts").cast(LongType).as("sec"))
+    val first = secs.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("from_sec"))
+    val lags = secs.filter(col("event_type") === toType)
+      .join(first, Seq("user_id"))
+      .filter(col("sec") >= col("from_sec"))
+      .groupBy(col("user_id"), col("from_sec"))
+      .agg(min(col("sec")).as("to_sec"))
+      .select((col("to_sec") - col("from_sec")).as("lag"))
+    val w = Window.orderBy(col("lag"))
+    val hist = lags.groupBy(col("lag")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
+    val bands = permilles.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 999) div 1000"), col("lag")))
+        .as(s"p$p")
+    }
+    hist.agg(max(col("n")).as("n_conversions"), bands: _*)
+  }
+
+  /** Oracle fixture of [[conversionLagBands]]: first view → first
+    * purchase, P50/P95 lag in seconds. */
+  private val q186 = GQuery(
+    "q186_conversion_lag",
+    (s, dir) => conversionLagBands(t(s, dir, "events"), "view", "purchase"),
+    Some(s"""WITH e AS (SELECT user_id, event_type,
+          ${epochSecSql("ts")} AS sec FROM events),
+      f AS (SELECT user_id, MIN(sec) AS from_sec
+            FROM e WHERE event_type = 'view' GROUP BY user_id),
+      lag AS (SELECT t.user_id, MIN(t.sec) - f.from_sec AS lag
+              FROM e t JOIN f ON t.user_id = f.user_id
+              WHERE t.event_type = 'purchase' AND t.sec >= f.from_sec
+              GROUP BY t.user_id, f.from_sec),
+      hist AS (SELECT lag, COUNT(*) AS cnt FROM lag GROUP BY lag),
+      cc AS (SELECT lag, SUM(cnt) OVER (ORDER BY lag) AS cum,
+               (SELECT COUNT(*) FROM lag) AS n
+             FROM hist)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+        MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN lag END) AS p500,
+        MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN lag END) AS p950
+      FROM cc"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183)
+    q182, q183, q184, q185, q186)
 }

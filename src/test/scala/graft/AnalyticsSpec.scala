@@ -76,6 +76,64 @@ class AnalyticsSpec extends SparkSpec {
       }).sum == 4000000L))
   }
 
+  test("chiSquareCard: perfect association scores phi2 = 1, independence 0") {
+    import spark.implicits._
+    val assoc = Seq(("s1", "en"), ("s1", "en"), ("s1", "en"),
+      ("s2", "de"), ("s2", "de"), ("s2", "de")).toDF("source", "lang")
+    val a = AnalyticsQ.chiSquareCard(assoc, "source", "lang")
+      .select("n_rows", "dof", "chi2_milli", "phi2_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    // 2x2, N=6: every cell (incl. the two UNOBSERVED zero cells)
+    // contributes 1500 milli -> chi2 = 6.000 = N, phi2 = 1
+    assert(a == ((6L, 1L, 6000L, 1000000L)), a.toString)
+    val indep = Seq(("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de"))
+      .toDF("source", "lang")
+    val i = AnalyticsQ.chiSquareCard(indep, "source", "lang")
+      .select("chi2_milli", "phi2_micro").as[(Long, Long)].collect().head
+    assert(i == ((0L, 0L)), i.toString)
+  }
+
+  test("seasonalAnomalies: a quiet same-weekday day flags; steady weekdays don't") {
+    import spark.implicits._
+    // four Mondays with counts 5,5,5,1 and four steady Tuesdays (3 each)
+    def day(base: String, week: Int, cnt: Int, idBase: Int) =
+      (0 until cnt).map { k =>
+        (idBase + week * 100 + k.toLong, 1L, "error",
+          f"2024-01-${base.toInt + week * 7}%02d 10:00:${k}%02d", 0.0)
+      }
+    val rows = (0 to 3).flatMap(w => day("01", w, if (w == 3) 1 else 5, 1000)) ++
+      (0 to 3).flatMap(w => day("02", w, 3, 5000))
+    val ev = events(rows: _*)
+    val got = AnalyticsQ.seasonalAnomalies(ev, threshold = 1.5)
+      .select("day", "n").as[(String, Long)].collect().toSet
+    // z of the quiet Monday = (4*1-16)/sqrt(4*76-256) = -1.7321
+    assert(got == Set(("2024-01-22", 1L)), got.toString)
+  }
+
+  test("conversionLagBands: exact P50/P95 over first-view->first-purchase lags") {
+    val ev = events(
+      // lags 10, 20, 30, 40 across four users
+      (1, 1, "view", "2024-01-01 00:00:00", 0.0),
+      (2, 1, "purchase", "2024-01-01 00:00:10", 0.0),
+      (3, 2, "view", "2024-01-01 00:00:00", 0.0),
+      (4, 2, "purchase", "2024-01-01 00:00:20", 0.0),
+      (5, 2, "purchase", "2024-01-01 00:01:40", 0.0), // later one ignored
+      (6, 3, "view", "2024-01-01 00:00:00", 0.0),
+      (7, 3, "purchase", "2024-01-01 00:00:30", 0.0),
+      (8, 4, "view", "2024-01-01 00:00:00", 0.0),
+      (9, 4, "purchase", "2024-01-01 00:00:40", 0.0),
+      // purchase BEFORE any view: excluded
+      (10, 5, "purchase", "2024-01-01 00:00:01", 0.0),
+      (11, 5, "view", "2024-01-01 00:00:02", 0.0),
+      // view with no purchase: excluded
+      (12, 6, "view", "2024-01-01 00:00:00", 0.0))
+    import spark.implicits._
+    val got = AnalyticsQ.conversionLagBands(ev, "view", "purchase")
+      .select("n_conversions", "p500", "p950")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 20L, 40L)), got.toString)
+  }
+
   test("attributionCredit counts a touch at the conversion instant") {
     val ev = events(
       (1, 1, "click", "2024-01-01 00:00:05", 0.0),
