@@ -42,7 +42,7 @@ object ScaleProbe {
     "q175_overlap_join", "q176_triangle_stats", "q177_content_diff",
     "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment",
     "q182_attribution", "q183_join_blowup",
-    "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag")
+    "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag", "q187_sorted_neighbors")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -752,6 +752,78 @@ object TextQ {
     FROM pairs WHERE jw_raw >= 0.9
     ORDER BY name_a, name_b"""))
 
+  /** Sorted-neighborhood linkage — the SECOND blocking modality beside
+    * [[fuzzyNameLinkage]]'s head-noun blocks (real ER systems union
+    * several blockings; each has a blind spot): sort the distinct-name
+    * dictionary, then compare every name against its `windowSize`
+    * nearest neighbors in sort order. A typo in the BLOCKING token
+    * (head noun) makes head-noun blocking miss the pair; names sharing
+    * a prefix stay adjacent in sort order regardless of which later
+    * token broke — and vice versa, so the union covers both.
+    *
+    * Plan: rank the dictionary (single-partition window over distinct
+    * names — the q164 dictionary bound; swap in the bucket-offset
+    * construction for an extreme dictionary), then pair via the naive
+    * band predicate `abs(rank_a − rank_b) <= windowSize` — which
+    * [[graft.plans.RewriteAbsRangeJoin]] rewrites into a bucketized
+    * cell hash join automatically (the operator leans on the
+    * optimizer rule instead of hand-building cells; the rule's
+    * RangeJoinRuleSpec proves the rewrite). JW-confirm on the pairs,
+    * same output shape as [[fuzzyNameLinkage]] so callers can UNION
+    * the two candidate sets before [[connectedComponents]]. */
+  def sortedNeighborLinkage(records: DataFrame, nameCol: String,
+      keyCol: String, windowSize: Int = 4,
+      minJw: Double = 0.9): DataFrame = {
+    require(windowSize >= 1 && windowSize <= 1000,
+      s"windowSize must be in [1, 1000], got $windowSize")
+    require(minJw > 0 && minJw <= 1, s"minJw must be in (0,1], got $minJw")
+    graft.plans.RangeJoin.ensureRule(records.sparkSession)
+    val names = records
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col(keyCol)).as("canon_key"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("name"))).cast(LongType))
+    val a = names.select(col("name").as("name_a"), col("n_rows").as("rows_a"),
+      col("canon_key").as("key_a"), col("rank").as("rank_a"))
+    val b = names.select(col("name").as("name_b"), col("n_rows").as("rows_b"),
+      col("canon_key").as("key_b"), col("rank").as("rank_b"))
+    val jw = graft.functions.StringFunctions
+      .jaro_winkler(col("name_a"), col("name_b"))
+    a.join(b, abs(col("rank_a") - col("rank_b")) <= windowSize &&
+        col("rank_a") < col("rank_b"))
+      .withColumn("jw_raw", jw)
+      .filter(col("jw_raw") >= minJw)
+      .select(col("name_a"), col("name_b"), round(col("jw_raw"), 6).as("jw"),
+        col("rows_a"), col("rows_b"),
+        least(col("key_a"), col("key_b")).as("canon_key"))
+  }
+
+  /** Oracle fixture of [[sortedNeighborLinkage]] on the part catalog
+    * (window 4): rank replayed as a plain ROW_NUMBER, the band join as
+    * the naive inequality — proving the rule-rewritten plan
+    * result-identical. */
+  private val q187 = GQuery(
+    "q187_sorted_neighbors",
+    (s, dir) => sortedNeighborLinkage(t(s, dir, "part"), "p_name",
+        "p_partkey")
+      .orderBy(col("name_a"), col("name_b")),
+    Some("""WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows,
+          MIN(p_partkey) AS canon_key
+        FROM part GROUP BY 1),
+      ranked AS (SELECT *,
+          CAST(ROW_NUMBER() OVER (ORDER BY name) AS BIGINT) AS rank
+        FROM names),
+      pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+          jaro_winkler_similarity(a.name, b.name) AS jw_raw,
+          a.n_rows AS rows_a, b.n_rows AS rows_b,
+          least(a.canon_key, b.canon_key) AS canon_key
+        FROM ranked a JOIN ranked b
+          ON abs(a.rank - b.rank) <= 4 AND a.rank < b.rank)
+    SELECT name_a, name_b, ROUND(jw_raw, 6) AS jw, rows_a, rows_b, canon_key
+    FROM pairs WHERE jw_raw >= 0.9
+    ORDER BY name_a, name_b"""))
+
   /** Full entity resolution over a name dictionary: [[fuzzyNameLinkage]]
     * proposes pairs, [[connectedComponents]] closes them transitively
     * (pairwise linkage alone splits "acme" ~ "acmee" ~ "acme e" into
@@ -2468,5 +2540,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164, q172, q179)
+      q157, q158, q159, q162, q164, q172, q179, q187)
 }

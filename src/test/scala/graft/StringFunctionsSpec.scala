@@ -140,4 +140,37 @@ class StringFunctionsSpec extends SparkSpec {
     assert(TextQ.fuzzyNameLinkage(recs, "name", "key", minJw = 0.1,
       maxBlockSize = 10).count() === 0)
   }
+
+  test("sortedNeighborLinkage catches the head-noun blocking blind spot") {
+    // typo in the BLOCKING (last) token: head-noun blocks differ
+    // ('corp' vs 'corpp') so fuzzyNameLinkage misses the pair; in sort
+    // order the names are adjacent and the neighbor window catches it
+    val recs = Seq((1L, "acme corp"), (2L, "acme corpp"), (3L, "zeta ltd"))
+      .toDF("key", "name")
+    assert(TextQ.fuzzyNameLinkage(recs, "name", "key").count() === 0)
+    val got = TextQ.sortedNeighborLinkage(recs, "name", "key")
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("acme corp", "acme corpp")), got.toSeq)
+  }
+
+  test("sortedNeighborLinkage pairs only within the rank window") {
+    val recs = Seq((1L, "alpha one"), (2L, "alpha two"), (3L, "alpha zz"))
+      .toDF("key", "name")
+    def pairs(w: Int) =
+      TextQ.sortedNeighborLinkage(recs, "name", "key", windowSize = w,
+        minJw = 0.5)
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs(1).contains(("alpha one", "alpha zz")))
+    assert(pairs(2).contains(("alpha one", "alpha zz")))
+  }
+
+  test("sortedNeighborLinkage band join plans as a hash join via the rewrite rule") {
+    val recs = Seq((1L, "a x"), (2L, "b y")).toDF("key", "name")
+    val plan = TextQ.sortedNeighborLinkage(recs, "name", "key")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
