@@ -1340,7 +1340,75 @@ object AnalyticsQ {
         MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN lag END) AS p950
       FROM cc"""))
 
+  /** Churn life table — the survival-analysis card behind "how long do
+    * users stay": per age interval, the users still AT RISK, the users
+    * whose observed lifetime ENDED there (churn), the users whose
+    * observation was CENSORED there (still active at the corpus
+    * horizon — counting them as churned is the classic retention-curve
+    * mistake), and the exact hazard `10⁶·d DIV n` ppm. This is the
+    * Kaplan-Meier life table with the survival PRODUCT left to the
+    * caller — the per-interval table is exact integers; the cumulative
+    * product is where engines diverge, so the engine reports the
+    * exact ingredients instead (the q109/q12b accuracy-contract
+    * philosophy).
+    *
+    * Lifetime = last event − first event; censored iff the corpus
+    * horizon follows the last event by less than `churnGapSec` (the
+    * user may still be alive). At-risk per bucket is a REVERSE
+    * cumulative sum over the bucket histogram — bucket-table-sized,
+    * never user-sized. One (user) agg + broadcast horizon + tiny
+    * windows. */
+  def churnLifeTable(events: DataFrame, intervalDays: Int = 7,
+      churnGapSec: Long = 7L * 86400L): DataFrame = {
+    require(intervalDays >= 1, s"intervalDays must be >= 1, got $intervalDays")
+    require(churnGapSec >= 1, s"churnGapSec must be >= 1, got $churnGapSec")
+    val unit = intervalDays * 86400L
+    val users = events.groupBy(col("user_id"))
+      .agg(min(col("ts").cast(LongType)).as("first_sec"),
+        max(col("ts").cast(LongType)).as("last_sec"))
+    val h = events.agg(max(col("ts").cast(LongType)).as("horizon"))
+    val aged = users.crossJoin(broadcast(h))
+      .select(expr(s"(last_sec - first_sec) DIV $unit").as("bucket"),
+        (col("horizon") - col("last_sec") < churnGapSec).as("censored"))
+    val hist = aged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ended_here"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      .withColumn("n_churned", col("ended_here") - col("n_censored"))
+    val wRev = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_at_risk", sum(col("ended_here")).over(wRev))
+      .select(col("bucket"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        expr("(1000000 * n_churned) DIV n_at_risk").as("hazard_ppm"))
+  }
+
+  /** Oracle fixture of [[churnLifeTable]] (7-day buckets, 7-day gap). */
+  private val q188 = GQuery(
+    "q188_churn_lifetable",
+    (s, dir) => churnLifeTable(t(s, dir, "events")).orderBy(col("bucket")),
+    Some(s"""WITH u AS (SELECT user_id,
+          MIN(${epochSecSql("ts")}) AS first_sec,
+          MAX(${epochSecSql("ts")}) AS last_sec
+        FROM events GROUP BY user_id),
+      h AS (SELECT MAX(${epochSecSql("ts")}) AS horizon FROM events),
+      aged AS (SELECT (last_sec - first_sec) // 604800 AS bucket,
+          (horizon - last_sec < 604800) AS censored
+        FROM u, h),
+      hist AS (SELECT bucket, COUNT(*) AS ended_here,
+          SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        FROM aged GROUP BY bucket)
+      SELECT bucket,
+        CAST(SUM(ended_here) OVER (ORDER BY bucket DESC) AS BIGINT)
+          AS n_at_risk,
+        CAST(ended_here - n_censored AS BIGINT) AS n_churned,
+        CAST(n_censored AS BIGINT) AS n_censored,
+        CAST((1000000 * (ended_here - n_censored))
+          // SUM(ended_here) OVER (ORDER BY bucket DESC) AS BIGINT)
+          AS hazard_ppm
+      FROM hist
+      ORDER BY bucket"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186)
+    q182, q183, q184, q185, q186, q188)
 }

@@ -2433,9 +2433,95 @@ object CurationQ {
       FROM os FULL OUTER JOIN ns ON os.doc_id = ns.doc_id
       ORDER BY doc_id"""))
 
+  /** Post-stratification raking (Deming–Stephan iterative proportional
+    * fitting) — JOINT mixture balancing: univariate targets
+    * ([[mixtureWeights]], q64) fix one margin at a time, but when source
+    * and language are associated (the q184 χ² signal), fixing the
+    * language mix breaks the source mix and vice versa. Raking
+    * alternately scales each (a, b) cell's weight to the uniform target
+    * row mass then the uniform target column mass; the fixed point
+    * satisfies BOTH margins, and the resulting `weight_ppm` is the
+    * per-cell sampling/repeat factor a downstream
+    * [[softQualitySample]] / [[repeatByFactor]] consumes.
+    *
+    * Exact as defined: masses are `o·w` products accumulated in
+    * DECIMAL(38,0)/HUGEINT, scale steps are integer quotients
+    * `w' = greatest(1, (w·T) DIV M)` — the floor-at-1 keeps a
+    * crushed cell alive so no later step divides by a zero mass (the
+    * q141 underflow lesson), and every step is order-independent, so
+    * the oracle replays the identical unrolled iteration. Convergence
+    * is the standard IPF geometric contraction; `rounds` is the
+    * contract (like q139's iteration budget), not a tolerance.
+    *
+    * Plan: one corpus-sized (a,b) agg; each round is two windows over
+    * the CELL table (|A|·|B| rows at most) — corpus-size-independent
+    * after the first agg; lineage cut per round. */
+  def rakeWeights(df: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3, reliable: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    def snap(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint() else d.localCheckpoint()
+    val cells0 = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells0.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    var cells = snap(cells0.crossJoin(broadcast(tot))
+      .withColumn("w", lit(1000000L)))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    for (_ <- 1 to rounds) {
+      cells = cells
+        .withColumn("m", sum(expr("CAST(o AS DECIMAL(38,0)) * w")).over(wa))
+        .withColumn("w", expr(
+          """greatest(CAST(1 AS BIGINT), CAST((CAST(w AS DECIMAL(38,0))
+             * ((CAST(n AS DECIMAL(38,0)) * 1000000) DIV n_a)) DIV m
+             AS BIGINT))"""))
+      cells = snap(cells
+        .withColumn("m", sum(expr("CAST(o AS DECIMAL(38,0)) * w")).over(wb))
+        .withColumn("w", expr(
+          """greatest(CAST(1 AS BIGINT), CAST((CAST(w AS DECIMAL(38,0))
+             * ((CAST(n AS DECIMAL(38,0)) * 1000000) DIV n_b)) DIV m
+             AS BIGINT))"""))
+        .drop("m"))
+    }
+    cells.select(col("a"), col("b"), col("o"), col("w").as("weight_ppm"))
+  }
+
+  /** Oracle fixture of [[rakeWeights]]: source × lang, 3 rounds,
+    * unrolled AS MATERIALIZED (the q180 CTE-inlining lesson). */
+  private val q189 = {
+    val steps = (1 to 3).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT a, b, o,
+            GREATEST(CAST(1 AS HUGEINT), (w * ((nn.n * 1000000) // nn.n_a))
+              // (SUM(o * w) OVER (PARTITION BY a))) AS w
+          FROM c${r - 1}, nn),
+        c$r AS MATERIALIZED (SELECT a, b, o,
+            GREATEST(CAST(1 AS HUGEINT), (w * ((nn.n * 1000000) // nn.n_b))
+              // (SUM(o * w) OVER (PARTITION BY b))) AS w
+          FROM r$r, nn)"""
+    }.mkString(",\n")
+    GQuery(
+      "q189_rake_weights",
+      (s, dir) => rakeWeights(t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("a"), col("b")),
+      Some(s"""WITH cells AS MATERIALIZED (
+          SELECT source AS a, lang AS b, COUNT(*) AS o
+          FROM documents GROUP BY 1, 2),
+        nn AS MATERIALIZED (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+            CAST(COUNT(DISTINCT a) AS HUGEINT) AS n_a,
+            CAST(COUNT(DISTINCT b) AS HUGEINT) AS n_b
+          FROM cells),
+        c0 AS MATERIALIZED (SELECT a, b, o, CAST(1000000 AS HUGEINT) AS w
+          FROM cells),
+        $steps
+        SELECT a, b, o, CAST(w AS BIGINT) AS weight_ppm FROM c3
+        ORDER BY a, b"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178)
+      q161, q163, q173, q177, q178, q189)
 }

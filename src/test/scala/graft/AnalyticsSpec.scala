@@ -134,6 +134,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == ((4L, 20L, 40L)), got.toString)
   }
 
+  test("churnLifeTable: censoring, per-bucket hazard, reverse at-risk") {
+    val ev = events(
+      // u1: lifetime 2 days, last seen day 2 -> churned (gap 8d), bucket 2
+      (1, 1, "click", "2024-01-01 00:00:00", 0.0),
+      (2, 1, "click", "2024-01-03 00:00:00", 0.0),
+      // u2: last event AT the horizon -> censored, bucket 10
+      (3, 2, "click", "2024-01-01 00:00:00", 0.0),
+      (4, 2, "click", "2024-01-11 00:00:00", 0.0),
+      // u3: single event, gap exactly one day -> NOT censored (strict <)
+      (5, 3, "click", "2024-01-10 00:00:00", 0.0),
+      // u4: single event half a day before horizon -> censored
+      (6, 4, "click", "2024-01-10 12:00:00", 0.0))
+    import spark.implicits._
+    val got = AnalyticsQ.churnLifeTable(ev, intervalDays = 1,
+        churnGapSec = 86400L)
+      .select("bucket", "n_at_risk", "n_churned", "n_censored", "hazard_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1L, 1L, 250000L),
+      (2L, 2L, 1L, 0L, 500000L),
+      (10L, 1L, 0L, 1L, 0L)), got.toSeq.toString)
+  }
+
   test("attributionCredit counts a touch at the conversion instant") {
     val ev = events(
       (1, 1, "click", "2024-01-01 00:00:05", 0.0),

@@ -90,6 +90,51 @@ class CurationSpec extends SparkSpec {
     assert(runs.isEmpty, runs.toString)
   }
 
+  test("rakeWeights equals an independent IPF replication and balances margins") {
+    def naiveRake(cells: Seq[(String, String, Long)],
+        rounds: Int): Map[(String, String), Long] = {
+      val n = BigInt(cells.map(_._3).sum)
+      val ta = (n * 1000000) / cells.map(_._1).distinct.size
+      val tb = (n * 1000000) / cells.map(_._2).distinct.size
+      var w = cells.map(c => (c._1, c._2) -> BigInt(1000000)).toMap
+      for (_ <- 1 to rounds) {
+        val ma = cells.groupBy(_._1).map { case (a, g) =>
+          a -> g.map(c => BigInt(c._3) * w((c._1, c._2))).sum }
+        w = cells.map(c =>
+          (c._1, c._2) -> (w((c._1, c._2)) * ta / ma(c._1)).max(1)).toMap
+        val mb = cells.groupBy(_._2).map { case (b, g) =>
+          b -> g.map(c => BigInt(c._3) * w((c._1, c._2))).sum }
+        w = cells.map(c =>
+          (c._1, c._2) -> (w((c._1, c._2)) * tb / mb(c._2)).max(1)).toMap
+      }
+      w.map { case (k, v) => k -> v.toLong }
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val cells = (for (a <- 1 to 3; b <- 1 to 3
+        if rnd.nextDouble() > 0.2)
+        yield (s"s$a", s"l$b", 1L + rnd.nextInt(50))).toSeq
+      val rows = cells.flatMap { case (a, b, c) =>
+        Seq.fill(c.toInt)((a, b)) }
+      val df = rows.toDF("source", "lang")
+      val got = CurationQ.rakeWeights(df, "source", "lang")
+        .select("a", "b", "weight_ppm").as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == naiveRake(cells, 3), s"trial $trial diverged")
+    }
+    // margin balance: a 9x-skewed 2x2 ends with near-equal row masses
+    val skew = Seq.fill(90)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+      Seq.fill(10)(("s2", "en")) ++ Seq.fill(90)(("s2", "de"))
+    val w = CurationQ.rakeWeights(skew.toDF("source", "lang"),
+        "source", "lang", rounds = 6)
+      .select("a", "b", "o", "weight_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val rowMass = w.groupBy(_._1).map { case (a, g) =>
+      a -> g.map(c => c._3 * c._4).sum }
+    val Seq(m1, m2) = rowMass.values.toSeq.sorted
+    assert((m2 - m1).toDouble / m2 < 0.01, rowMass.toString)
+  }
+
   test("tfidf ranks rare terms above corpus-wide ones") {
     val corpus = Seq(
       (1L, "common common rare1"),
