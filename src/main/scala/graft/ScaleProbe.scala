@@ -43,7 +43,7 @@ object ScaleProbe {
     "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment",
     "q182_attribution", "q183_join_blowup",
     "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag", "q187_sorted_neighbors",
-    "q188_churn_lifetable", "q189_rake_weights")
+    "q188_churn_lifetable", "q189_rake_weights", "q190_burstiness")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

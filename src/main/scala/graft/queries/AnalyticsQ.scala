@@ -1408,7 +1408,55 @@ object AnalyticsQ {
       FROM hist
       ORDER BY bucket"""))
 
+  /** Burstiness card — the index of dispersion (Fano factor) of daily
+    * volume per event type: a Poisson-like steady stream scores ~1000
+    * milli, clumped/bursty arrivals score far above, metronome-regular
+    * below. This is the one-number prior the anomaly thresholds
+    * (q104/q185) should be read against: a z-score that looks extreme
+    * for a steady type is routine for a bursty one.
+    *
+    * Exact integers: with daily counts x over n observed days,
+    * `fano_milli = (1000·(n·Σx² − (Σx)²)) DIV (n·Σx)` — biased
+    * (population) variance over mean, all BIGINT sufficient statistics,
+    * no engine-divergent float path; mean_milli comes along for scale.
+    * One (type, day) agg + one type-sized agg. */
+  def burstinessCard(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        // x² in DECIMAL(38,0): a 100 TB type can see >3·10⁹ events/day,
+        // where the long square would overflow (house rule, q166/q184)
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .select(col(typeCol), col("n_days"),
+        expr("(1000 * CAST(sx AS DECIMAL(38,0))) DIV n_days")
+          .cast(LongType).as("mean_milli"),
+        expr("""(1000 * (n_days * sx2 - CAST(sx AS DECIMAL(38,0)) * sx))
+          DIV (CAST(n_days AS DECIMAL(38,0)) * sx)""").cast(LongType)
+          .as("fano_milli"))
+  }
+
+  /** Oracle fixture of [[burstinessCard]]. */
+  private val q190 = GQuery(
+    "q190_burstiness",
+    (s, dir) => burstinessCard(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, COUNT(*) AS n_days,
+              CAST(SUM(x) AS HUGEINT) AS sx,
+              SUM(CAST(x AS HUGEINT) * x) AS sx2
+            FROM daily GROUP BY event_type)
+      SELECT event_type, n_days,
+        CAST((1000 * sx) // n_days AS BIGINT) AS mean_milli,
+        CAST((1000 * (n_days * sx2 - sx * sx)) // (n_days * sx) AS BIGINT)
+          AS fano_milli
+      FROM s ORDER BY event_type"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188)
+    q182, q183, q184, q185, q186, q188, q190)
 }

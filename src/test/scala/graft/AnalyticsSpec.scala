@@ -134,6 +134,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == ((4L, 20L, 40L)), got.toString)
   }
 
+  test("burstinessCard: exact Fano factor per type, zero for a metronome") {
+    val ev = events(
+      // steady: 2 events on each of 3 days -> variance 0, fano 0
+      (1, 1, "view", "2024-01-01 01:00:00", 0.0),
+      (2, 1, "view", "2024-01-01 02:00:00", 0.0),
+      (3, 1, "view", "2024-01-02 01:00:00", 0.0),
+      (4, 1, "view", "2024-01-02 02:00:00", 0.0),
+      (5, 1, "view", "2024-01-03 01:00:00", 0.0),
+      (6, 1, "view", "2024-01-03 02:00:00", 0.0),
+      // bursty: 1 then 5 -> pop var 4, mean 3 -> fano 1333 milli
+      (7, 1, "error", "2024-01-01 01:00:00", 0.0),
+      (8, 1, "error", "2024-01-02 01:00:00", 0.0),
+      (9, 1, "error", "2024-01-02 02:00:00", 0.0),
+      (10, 1, "error", "2024-01-02 03:00:00", 0.0),
+      (11, 1, "error", "2024-01-02 04:00:00", 0.0),
+      (12, 1, "error", "2024-01-02 05:00:00", 0.0))
+    import spark.implicits._
+    val got = AnalyticsQ.burstinessCard(ev)
+      .select("event_type", "n_days", "mean_milli", "fano_milli")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("view") == ((3L, 2000L, 0L)), got.toString)
+    assert(got("error") == ((2L, 3000L, 1333L)), got.toString)
+  }
+
   test("churnLifeTable: censoring, per-bucket hazard, reverse at-risk") {
     val ev = events(
       // u1: lifetime 2 days, last seen day 2 -> churned (gap 8d), bucket 2
