@@ -63,6 +63,76 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Normalize one inequality conjunct to `x − y <= c` over integral
+    * operands. Covers the spellings users actually write — explicit
+    * differences, `x <= y + c` / `x − c <= y` offsets, and the bare
+    * `x <= y` / `x < y` (c = 0 / −1) that anchors the one-sided
+    * "r follows l within..." windows. */
+  private def normIneq(e: Expression): Option[(Expression, Expression, Long)] = {
+    def integral(t: DataType): Boolean =
+      t == LongType || t == IntegerType || t == ShortType || t == ByteType
+    def num(v: Any): Long = v.asInstanceOf[Number].longValue
+    def ok(x: Expression, y: Expression): Boolean =
+      integral(x.dataType) && integral(y.dataType)
+    e match {
+      case LessThanOrEqual(Subtract(a, b, _), Literal(c, t))
+          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+      case LessThan(Subtract(a, b, _), Literal(c, t))
+          if integral(t) && ok(a, b) => Some((a, b, num(c) - 1))
+      case LessThanOrEqual(a, Add(b, Literal(c, t), _))
+          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+      case LessThan(a, Add(b, Literal(c, t), _))
+          if integral(t) && ok(a, b) => Some((a, b, num(c) - 1))
+      case LessThanOrEqual(Subtract(a, Literal(c, t), _), b)
+          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+      case GreaterThanOrEqual(a, Subtract(b, Literal(c, t), _))
+          if integral(t) && ok(a, b) => Some((b, a, num(c)))
+      case GreaterThanOrEqual(Add(a, Literal(c, t), _), b)
+          if integral(t) && ok(a, b) => Some((b, a, num(c)))
+      case LessThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if ok(a, b) => Some((a, b, 0L))
+      case LessThan(a: AttributeReference, b: AttributeReference)
+          if ok(a, b) => Some((a, b, -1L))
+      case GreaterThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if ok(a, b) => Some((b, a, 0L))
+      case GreaterThan(a: AttributeReference, b: AttributeReference)
+          if ok(a, b) => Some((b, a, -1L))
+      case _ => None
+    }
+  }
+
+  /** Asymmetric band: TWO inequality conjuncts that bound the same
+    * cross-side difference from both directions — `x − y <= c1` and
+    * `y − x <= c2`, i.e. `x − y ∈ [−c2, c1]`. This is how band joins
+    * are usually WRITTEN (`r.ts <= l.ts + 3600 AND l.ts <= r.ts` — the
+    * "r follows l within an hour" funnel window); almost nobody writes
+    * the `abs()` form [[bandOf]] matches. Any qualifying pair differs
+    * by at most max(|c1|, |c2|), so the existing ±1-cell replication at
+    * width `max(|c1|, |c2|, 1)` is containment-correct and the original
+    * conjuncts stay as residuals — the rewrite is semantics-preserving
+    * for exactly the [[bandOf]] reasons. Unsatisfiable bands
+    * (c1 + c2 < 0) are left alone (the join is empty either way; no
+    * point replicating). */
+  private def asymBandOf(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Long)] = {
+    val normd = conjuncts.zipWithIndex
+      .flatMap { case (e, i) => normIneq(e).map(n => (n, i)) }
+    val pairs = for {
+      ((x1, y1, c1), i1) <- normd
+      ((x2, y2, c2), i2) <- normd
+      if i1 != i2 && x1.semanticEquals(y2) && y1.semanticEquals(x2) &&
+        c1 + c2 >= 0
+    } yield {
+      val w = math.max(math.max(math.abs(c1), math.abs(c2)), 1L)
+      if (x1.references.subsetOf(left.outputSet) &&
+          y1.references.subsetOf(right.outputSet)) Some((x1, y1, w))
+      else if (y1.references.subsetOf(left.outputSet) &&
+          x1.references.subsetOf(right.outputSet)) Some((y1, x1, w))
+      else None
+    }
+    pairs.flatten.headOption
+  }
+
   private def hasCrossEqui(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Boolean =
     conjuncts.exists {
@@ -77,7 +147,8 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         if j.resolved && cond.deterministic => {
       val conjuncts = splitConjunctivePredicates(cond)
       if (hasCrossEqui(conjuncts, left, right)) j
-      else bandOf(conjuncts, left, right) match {
+      else bandOf(conjuncts, left, right)
+        .orElse(asymBandOf(conjuncts, left, right)) match {
         case None => j
         case Some((probe, build, w)) =>
           val width = Literal(w, LongType)

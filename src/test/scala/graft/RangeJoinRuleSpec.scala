@@ -89,4 +89,56 @@ class RangeJoinRuleSpec extends SparkSpec {
       .select(col("lid"), col("rid")).as[(Long, Long)].collect().sorted
     assert(out.toSeq == Seq((1L, 5L)), out.toSeq.toString)
   }
+
+  private def asymNaive(l: DataFrame, r: DataFrame,
+      lo: Long, hi: Long): Array[(Long, Long)] =
+    (for {
+      lr <- l.as[(Long, Long)].collect()
+      rr <- r.as[(Long, Long)].collect()
+    } yield (lr, rr)).collect {
+      case ((lid, lv), (rid, rv))
+          if lv - rv >= lo && lv - rv <= hi => (lid, rid)
+    }.sorted
+
+  test("asymmetric band written as two offset inequalities rewrites and matches") {
+    val (l, r) = fixture(11L)
+    // lv <= rv + 30 AND rv <= lv + 70  <=>  lv - rv in [-70, 30]
+    val joined = l.join(r,
+        col("lv") <= col("rv") + 30L && col("rv") <= col("lv") + 70L)
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    val naive = asymNaive(l, r, -70L, 30L)
+    assert(naive.nonEmpty && joined.collect().sorted.sameElements(naive))
+  }
+
+  test("one-sided window with a bare <= anchor rewrites (the funnel shape)") {
+    val (l, r) = fixture(19L)
+    // lv <= rv AND rv <= lv + 100  <=>  lv - rv in [-100, 0]
+    val joined = l.join(r,
+        col("lv") <= col("rv") && col("rv") <= col("lv") + 100L)
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    val naive = asymNaive(l, r, -100L, 0L)
+    assert(naive.nonEmpty && joined.collect().sorted.sameElements(naive))
+    // strict < variant
+    val strict = l.join(r,
+        col("lv") < col("rv") && col("rv") < col("lv") + 100L)
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    assert(!strict.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    assert(strict.collect().sorted.sameElements(asymNaive(l, r, -99L, -1L)))
+  }
+
+  test("interval-overlap on four distinct columns is NOT rewritten (scope guard)") {
+    // l.s <= r.e AND r.s <= l.e pairs different columns: no shared
+    // difference to bucketize — must stay un-rewritten (use
+    // EventQ.overlapJoin for that shape)
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((5L, 5L, 15L)).toDF("rid", "rs", "re")
+    val j = l.join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__cell_"),
+      j.queryExecution.optimizedPlan.toString)
+    assert(j.count() == 1L)
+  }
 }
