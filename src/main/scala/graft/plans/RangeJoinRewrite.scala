@@ -37,6 +37,19 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   */
 object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Literal-magnitude guard: every band constant must sit well inside
+    * the Long range before the rule does ANY arithmetic with it. Without
+    * it, `c - 1` on a strict-inequality literal of Long.MinValue wraps,
+    * the `c1 + c2 >= 0` satisfiability check can itself overflow
+    * (c1 = c2 = Long.MinValue sums to 0 and would admit the rewrite),
+    * and the synthesized cell arithmetic could throw under ANSI for a
+    * query whose original condition contained no arithmetic at all.
+    * Bands wider than 2^60 are not real queries — skipping the rewrite
+    * (the join stays a nested loop, exactly as written) is the only
+    * safe disposition. */
+  private val SafeC = Long.MaxValue >> 3
+  private def safe(c: Long): Boolean = c > -SafeC && c < SafeC
+
   /** (probe-side expr, build-side expr, effective band width C). */
   private def bandOf(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Long)] = {
@@ -52,12 +65,12 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     conjuncts.collectFirst {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(c, t))
           if integral(t) && integral(x.dataType) && width(c) >= 1 &&
-            sides(x, y).isDefined =>
+            safe(width(c)) && sides(x, y).isDefined =>
         val (a, b) = sides(x, y).get
         (a, b, width(c))
       case LessThan(Abs(Subtract(x, y, _), _), Literal(c, t))
           if integral(t) && integral(x.dataType) && width(c) >= 2 &&
-            sides(x, y).isDefined =>
+            safe(width(c)) && sides(x, y).isDefined =>
         val (a, b) = sides(x, y).get
         (a, b, width(c) - 1) // abs < C  ⟺  abs <= C-1 over integers
     }
@@ -76,19 +89,19 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       integral(x.dataType) && integral(y.dataType)
     e match {
       case LessThanOrEqual(Subtract(a, b, _), Literal(c, t))
-          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((a, b, num(c)))
       case LessThan(Subtract(a, b, _), Literal(c, t))
-          if integral(t) && ok(a, b) => Some((a, b, num(c) - 1))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((a, b, num(c) - 1))
       case LessThanOrEqual(a, Add(b, Literal(c, t), _))
-          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((a, b, num(c)))
       case LessThan(a, Add(b, Literal(c, t), _))
-          if integral(t) && ok(a, b) => Some((a, b, num(c) - 1))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((a, b, num(c) - 1))
       case LessThanOrEqual(Subtract(a, Literal(c, t), _), b)
-          if integral(t) && ok(a, b) => Some((a, b, num(c)))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((a, b, num(c)))
       case GreaterThanOrEqual(a, Subtract(b, Literal(c, t), _))
-          if integral(t) && ok(a, b) => Some((b, a, num(c)))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((b, a, num(c)))
       case GreaterThanOrEqual(Add(a, Literal(c, t), _), b)
-          if integral(t) && ok(a, b) => Some((b, a, num(c)))
+          if integral(t) && ok(a, b) && safe(num(c)) => Some((b, a, num(c)))
       case LessThanOrEqual(a: AttributeReference, b: AttributeReference)
           if ok(a, b) => Some((a, b, 0L))
       case LessThan(a: AttributeReference, b: AttributeReference)
@@ -106,13 +119,26 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     * `y − x <= c2`, i.e. `x − y ∈ [−c2, c1]`. This is how band joins
     * are usually WRITTEN (`r.ts <= l.ts + 3600 AND l.ts <= r.ts` — the
     * "r follows l within an hour" funnel window); almost nobody writes
-    * the `abs()` form [[bandOf]] matches. Any qualifying pair differs
-    * by at most max(|c1|, |c2|), so the existing ±1-cell replication at
-    * width `max(|c1|, |c2|, 1)` is containment-correct and the original
-    * conjuncts stay as residuals — the rewrite is semantics-preserving
-    * for exactly the [[bandOf]] reasons. Unsatisfiable bands
-    * (c1 + c2 < 0) are left alone (the join is empty either way; no
-    * point replicating). */
+    * the `abs()` form [[bandOf]] matches. The original conjuncts stay
+    * as residuals, so the rewrite is semantics-preserving for exactly
+    * the [[bandOf]] reasons; only the CELL assignment varies:
+    *
+    *  - Cell width tracks the band's SPAN s = c1 + c2, not
+    *    max(|c1|, |c2|): a shifted band like `x − y ∈ [86300, 86400]`
+    *    (two offset inequalities, span 100) must NOT get day-wide cells
+    *    that retain the quadratic residual work the rewrite exists to
+    *    eliminate. x is re-centered by mid = ⌊(c1 − c2)/2⌋ so
+    *    `(x − mid) − y ∈ [−⌊s/2⌋, ⌈s/2⌉]`, and cells of width
+    *    max(⌈s/2⌉, 2) contain every qualifying pair within ±1 cell.
+    *  - The re-centering subtraction is only synthesized when mid ≠ 0
+    *    AND |mid| ≤ 2^31: bare `x <= y` spellings (mid = 0) introduce
+    *    no arithmetic at all, and a pathological literal beyond 2^31
+    *    falls back to un-shifted max(|c1|, |c2|) cells rather than risk
+    *    `x − mid` overflowing near the Long boundary under ANSI.
+    *
+    * Unsatisfiable bands (c1 + c2 < 0 — exact: normIneq's [[safe]]
+    * guard bounds |ci| < 2^60, so the sum cannot wrap) are left alone
+    * (the join is empty either way; no point replicating). */
   private def asymBandOf(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression, Long)] = {
     val normd = conjuncts.zipWithIndex
@@ -123,11 +149,18 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       if i1 != i2 && x1.semanticEquals(y2) && y1.semanticEquals(x2) &&
         c1 + c2 >= 0
     } yield {
-      val w = math.max(math.max(math.abs(c1), math.abs(c2)), 1L)
+      val span = c1 + c2
+      val mid = Math.floorDiv(c1 - c2, 2)
+      val (xEff, w) =
+        if (mid != 0 && math.abs(mid) <= Int.MaxValue.toLong)
+          (Subtract(Cast(x1, LongType), Literal(mid, LongType)),
+            math.max((span + 1) / 2, 2L))
+        else
+          (x1, math.max(math.max(math.abs(c1), math.abs(c2)), 2L))
       if (x1.references.subsetOf(left.outputSet) &&
-          y1.references.subsetOf(right.outputSet)) Some((x1, y1, w))
+          y1.references.subsetOf(right.outputSet)) Some((xEff, y1, w))
       else if (y1.references.subsetOf(left.outputSet) &&
-          x1.references.subsetOf(right.outputSet)) Some((y1, x1, w))
+          x1.references.subsetOf(right.outputSet)) Some((y1, xEff, w))
       else None
     }
     pairs.flatten.headOption
@@ -151,7 +184,13 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         .orElse(asymBandOf(conjuncts, left, right)) match {
         case None => j
         case Some((probe, build, w)) =>
-          val width = Literal(w, LongType)
+          // Width floor of 2: at w = 1 the cell id IS the value, and the
+          // synthesized cellBase ± 1 replication would wrap (non-ANSI) or
+          // throw (ANSI) on a Long.MinValue/MaxValue data value — for a
+          // query that may have contained no arithmetic at all. With
+          // w >= 2, |cellBase| <= 2^62 and the ±1 can never overflow;
+          // containment holds for any cell width >= the band bound.
+          val width = Literal(math.max(w, 2L), LongType)
           val cellL = Alias(
             IntegralDivide(Cast(probe, LongType), width), "__cell_probe")()
           val probeSide = Project(left.output :+ cellL, left)

@@ -896,12 +896,20 @@ object AnalyticsQ {
     * engine-portable integers (argmax tiebreak: smallest value).
     *
     * Scale shape: one conditional-count aggregation on the metric value
-    * (the only data-sized shuffle), then a cumulative window + top-1 over
-    * the DISTINCT VALUE DOMAIN — bounded (lengths, scores), not
-    * corpus-sized, so the unpartitioned window is safe by construction
-    * (same argument as q124's bucket table). */
+    * (the only data-sized shuffle); the two CDFs' prefix sums then use
+    * the q124 `globalRankBy` bucket-offset construction — values bucket
+    * by `bucketWidth`, per-bucket totals cumulate on the TINY bucket
+    * table (broadcast back), and the exact prefix sum is bucket offset +
+    * in-bucket cumsum under per-bucket parallel windows. A CONTINUOUS
+    * metric (distinct values ≈ rows) therefore never single-threads: the
+    * only un-partitioned window rides the |value range|/bucketWidth-row
+    * bucket table. The argmax is `orderBy(...).limit(1)` (distributed
+    * partial top-1). The oracle is the naive global cumulative window,
+    * so the hash-match proves the two-pass construction result-identical. */
   def ksDrift(docs: DataFrame, metric: org.apache.spark.sql.Column,
-      sourceA: String, sourceB: String): DataFrame = {
+      sourceA: String, sourceB: String,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     require(sourceA != sourceB, "sources must differ")
     val g = docs.filter(col("source").isin(sourceA, sourceB))
       .select(metric.cast(LongType).as("v"), col("source"))
@@ -922,10 +930,27 @@ object AnalyticsQ {
         expr(s"CASE WHEN nb IS NULL OR nb = 0 THEN raise_error(" +
           s"'graft.ksDrift: source \\'$sourceB\\' has no rows under the " +
           s"metric — check the source name') ELSE nb END").as("nb"))
-    val w = Window.orderBy(col("v"))
+    // Exact floor division for possibly-negative metrics: DIV truncates
+    // toward zero, (v - pmod(v, w)) DIV w floors (pmod is non-negative).
+    val bucketed = g.withColumn("bkt",
+      expr(s"(v - pmod(v, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+      .select(col("bkt"),
+        coalesce(sum(col("ba")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off_a"),
+        coalesce(sum(col("bb")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off_b"))
+    val wB = Window.partitionBy(col("bkt")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val best = g.withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
+    val best = bucketed
+      .withColumn("cib_a", sum(col("ca")).over(wB))
+      .withColumn("cib_b", sum(col("cb")).over(wB))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_a", col("off_a") + col("cib_a"))
+      .withColumn("cum_b", col("off_b") + col("cib_b"))
       .crossJoin(broadcast(tot))
       .withColumn("diff_ppm",
         abs(expr("(1000000 * cum_a) DIV na - (1000000 * cum_b) DIV nb")))
@@ -1057,23 +1082,40 @@ object AnalyticsQ {
     * |Σ cl·cr| ≫ corpus.
     *
     * Plan: one hash agg per side, an equi join of the two (tiny)
-    * count tables, a broadcast scalar total, and a top-K window on the
-    * matched-key table. */
+    * count tables, a broadcast scalar total, and a distributed partial
+    * top-K (`orderBy(...).limit` = TakeOrderedAndProject) over the
+    * matched-key table; the rank window runs only on the ≤topK-row
+    * result, never on the key table — which scales with DISTINCT KEYS
+    * (billions at 100 TB, precisely in the blow-up scenario this card
+    * diagnoses), so a global `row_number` there would single-partition-
+    * sort data-proportional state (the q92 lesson).
+    *
+    * Overflow discipline: `pairs`, `total` and the ppm numerator are
+    * DECIMAL(38,0) — the card exists for the case where pairs is huge,
+    * and `1000000 * pairs` in BIGINT overflows at just ~3M rows per side
+    * (ANSI throws, non-ANSI wraps — either way the card fails exactly
+    * when needed). Final columns cast back to BIGINT, which is exact for
+    * any join output a cluster could materialize (< 9.2e18 rows). */
   def joinCardinalityCard(left: DataFrame, right: DataFrame,
       keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val cl = left.groupBy(col(keyCol)).agg(count(lit(1)).as("l_rows"))
     val cr = right.groupBy(col(keyCol)).agg(count(lit(1)).as("r_rows"))
     val matched = cl.join(cr, Seq(keyCol))
-      .withColumn("pairs", col("l_rows") * col("r_rows"))
-    val tot = matched.agg(coalesce(sum(col("pairs")), lit(0L)).as("total"))
-    val w = Window.orderBy(col("pairs").desc, col(keyCol))
-    matched.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
+      .withColumn("pairs",
+        col("l_rows").cast(DecimalType(38, 0)) * col("r_rows"))
+    val tot = matched.agg(
+      coalesce(sum(col("pairs")), lit(0).cast(DecimalType(38, 0)))
+        .as("total"))
+    val top = matched.orderBy(col("pairs").desc, col(keyCol)).limit(topK)
+    val wTop = Window.orderBy(col("pairs").desc, col(keyCol))
+    top.withColumn("rn", row_number().over(wTop))
       .crossJoin(broadcast(tot))
-      .select(col(keyCol), col("l_rows"), col("r_rows"), col("pairs"),
-        col("total").as("total_pairs"),
-        expr("(1000000 * pairs) DIV total").as("share_ppm"),
+      .select(col(keyCol), col("l_rows"), col("r_rows"),
+        col("pairs").cast(LongType).as("pairs"),
+        col("total").cast(LongType).as("total_pairs"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * pairs) div total")
+          .as("share_ppm"),
         col("rn").cast(LongType).as("rn"))
   }
 
@@ -1165,7 +1207,15 @@ object AnalyticsQ {
     * skipping them understates χ² exactly when association is
     * strongest. */
   def chiSquareCard(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+    // NULL categories are excluded up front (documented contract): a NULL
+    // cell would never match the ra×cb grid's EqualTo left join, so its
+    // observed count would collapse to 0 while its r/c margins persisted —
+    // silently inflating chi2 — and countDistinct's NULL-dropping would
+    // leave dof inconsistent with the margins. Excluding them keeps o, the
+    // margins, n, and dof all over the same (non-NULL) population.
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o"))
     val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
     val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
@@ -1193,7 +1243,9 @@ object AnalyticsQ {
     "q184_chi2_card",
     (s, dir) => chiSquareCard(t(s, dir, "documents"), "source", "lang"),
     Some("""WITH cells AS (SELECT source AS a, lang AS b, COUNT(*) AS o
-              FROM documents GROUP BY 1, 2),
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1, 2),
       ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
       cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
       nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,

@@ -175,6 +175,42 @@ class PlanShapeSpec extends SparkSpec {
       s"top-1 must be TakeOrdered, not global sort:\n$plan")
   }
 
+  private def execPlanOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+    Registry.byName(name).build(spark, sfDir).queryExecution.executedPlan
+
+  /** Every un-partitioned WindowExec must ride a bounded table: either a
+    * doubly-aggregated one (the bucket-offset construction — ≥2
+    * HashAggregates below it) or a limit result (≤topK rows). */
+  private def assertGlobalWindowsBounded(name: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = execPlanOf(name)
+    val bad = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        val aggs = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.size
+        val limited = w.child.collectFirst {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }.isDefined
+        (w, aggs, limited)
+    }.filter { case (_, aggs, limited) => aggs < 2 && !limited }
+    assert(bad.isEmpty,
+      s"un-partitioned window over data-proportional input in $name:\n" +
+        bad.map(_._1.toString).mkString("\n"))
+  }
+
+  test("q183 top-K is TakeOrdered; rank window only over the limit result") {
+    val plan = planOf("q183_join_blowup")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered, not global sort:\n$plan")
+    assertGlobalWindowsBounded("q183_join_blowup")
+  }
+
+  test("q148 global windows ride the bucket table, never the value table") {
+    assertGlobalWindowsBounded("q148_ks_drift")
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

@@ -130,6 +130,58 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(strict.collect().sorted.sameElements(asymNaive(l, r, -99L, -1L)))
   }
 
+  test("shifted band gets span-width cells, rewrites, and matches naive") {
+    val rnd = new scala.util.Random(23L)
+    // values spread over ~3 "days" so day-wide cells would be a real loss
+    val l = Seq.tabulate(150)(i => (i.toLong, rnd.nextLong(260000L))).toDF("lid", "lv")
+    val r = Seq.tabulate(150)(i => (i.toLong, rnd.nextLong(260000L))).toDF("rid", "rv")
+    // lv - rv in [86300, 86400]: span 100, offsets ~1 day. The cell width
+    // must track the SPAN (~50 after re-centering), not the 86400 offset.
+    val joined = l.join(r,
+        col("lv") - col("rv") <= 86400L && col("rv") - col("lv") <= -86300L)
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__cell_"), opt)
+    // span 100 => re-centered width max(ceil(100/2), 2) = 50, never 86400
+    assert(opt.contains(" 50)") || opt.contains(", 50"), s"cell width not span-based:\n$opt")
+    val naive = (for {
+      lr <- l.as[(Long, Long)].collect(); rr <- r.as[(Long, Long)].collect()
+    } yield (lr, rr)).collect {
+      case ((lid, lv), (rid, rv))
+          if lv - rv >= 86300L && lv - rv <= 86400L => (lid, rid)
+    }.sorted
+    assert(naive.nonEmpty, "fixture must produce in-band pairs")
+    assert(joined.collect().sorted.sameElements(naive))
+  }
+
+  test("equality written as two bare inequalities rewrites without arithmetic hazards") {
+    // x <= y AND y <= x ⟺ x = y: c1 = c2 = 0, mid = 0 — no re-centering
+    // subtraction may be synthesized, and the width floor of 2 keeps the
+    // ±1 cell replication away from Long-boundary wrap.
+    val l = Seq((1L, 10L), (2L, Long.MaxValue), (3L, Long.MinValue)).toDF("lid", "lv")
+    val r = Seq((5L, 10L), (6L, Long.MaxValue), (7L, Long.MinValue), (8L, 11L)).toDF("rid", "rv")
+    val joined = l.join(r, col("lv") <= col("rv") && col("rv") <= col("lv"))
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__cell_"))
+    assert(joined.collect().sorted.toSeq == Seq((1L, 5L), (2L, 6L), (3L, 7L)))
+  }
+
+  test("literals near the Long boundary are left un-rewritten (overflow guard)") {
+    val (l, r) = fixture(31L)
+    // abs form with a near-MaxValue band: satisfiable but unsafe to bucketize
+    val wide = l.join(r, abs(col("lv") - col("rv")) <= Long.MaxValue - 2L)
+    assert(!wide.queryExecution.optimizedPlan.toString.contains("__cell_"),
+      wide.queryExecution.optimizedPlan.toString)
+    assert(wide.count() == 120L * 130L) // everything within the band
+    // strict-inequality Long.MinValue literal: c - 1 would wrap; skip
+    val minLit = l.join(r, col("lv") - col("rv") < Long.MinValue + 1L &&
+      col("rv") - col("lv") <= Long.MaxValue - 1L)
+    assert(!minLit.queryExecution.optimizedPlan.toString.contains("__cell_"))
+    assert(minLit.count() == 0L)
+  }
+
   test("interval-overlap on four distinct columns is NOT rewritten (scope guard)") {
     // l.s <= r.e AND r.s <= l.e pairs different columns: no shared
     // difference to bucketize — must stay un-rewritten (use
