@@ -127,8 +127,23 @@ object TokenizerQ {
     * pair CREATED by merge k (excluded from the batch by the product
     * rule and picked up next round) — the standard batched-BPE
     * trade-off, bounded by `batch`. */
+  /** Signed adjacent-pair explode of one symbol column: (l, r, ±freq)
+    * rows for every adjacency in `symName`. The building block of both
+    * the initial full pair count (+1 over all words) and the per-round
+    * DELTA (−1 over touched words' old symbols, +1 over their new). */
+  private def pairDelta(df: DataFrame, symName: String, sign: Int): DataFrame = {
+    val ts = split(col(symName), " ")
+    df.filter(size(ts) >= 2)
+      .select((col("freq") * sign).as("d"), explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("d"))
+  }
+
   private def learn(docs: DataFrame, rounds: Int, reliable: Boolean,
-      batch: Int = 1): (Seq[(Int, String, String, Long)], DataFrame) = {
+      batch: Int = 1)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 100000,
       s"rounds must be in [1, 100000], got $rounds")
     require(batch >= 1 && batch <= 256,
@@ -136,21 +151,23 @@ object TokenizerQ {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     var words = snap(wordTable(docs))
+    // Incremental pair counts: pc holds the EXACT adjacency counts of the
+    // current word table. Per round only words actually rewritten by the
+    // last batch contribute a ± delta — the untouched-word fraction
+    // (almost all words, once the vocabulary is past the first merges)
+    // is never re-exploded, unlike a full recount. pc after the merge
+    //   pc' = pc − pairs(old touched) + pairs(new touched)
+    // equals the full recount of the new table by construction
+    // (BpeDeltaSpec pins the equivalence after multiple rounds).
+    var pc = snap(pairDelta(words, "sym", 1)
+      .groupBy(col("l"), col("r")).agg(sum(col("d")).as("pf")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var done = 0
     while (done < rounds) {
       val want = math.min(batch, rounds - done)
-      val ts = split(col("sym"), " ")
       // collect enough candidates to skip over conflict chains; a
       // shorter list than the limit just means fewer pairs exist
-      val cand = words
-        .filter(size(ts) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(ts, lit(1), size(ts) - 1),
-          slice(ts, lit(2), size(ts) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("pf"))
+      val cand = pc.filter(col("pf") > 0)
         .orderBy(col("pf").desc, col("l"), col("r"))
         .limit(4 * want + 16).collect()
       if (cand.isEmpty) throw new IllegalStateException(
@@ -174,11 +191,28 @@ object TokenizerQ {
       sel.zipWithIndex.foreach { case ((l, r, pf), i) =>
         merges += ((done + i + 1, l, r, pf))
       }
-      words = snap(words.withColumn("sym",
+      val upd = snap(words.withColumn("new_sym",
         mergeFold(col("sym"), sel.map { case (l, r, _) => (l, r) })))
+      val touched = upd.filter(col("new_sym") =!= col("sym"))
+      pc = snap(pc.select(col("l"), col("r"), col("pf").as("d"))
+        .union(pairDelta(touched, "sym", -1))
+        .union(pairDelta(touched, "new_sym", 1))
+        .groupBy(col("l"), col("r")).agg(sum(col("d")).as("pf"))
+        .filter(col("pf") =!= 0L))
+      words = upd.select(col("word"), col("freq"),
+        col("new_sym").as("sym"))
       done += sel.size
     }
-    (merges.result(), words)
+    (merges.result(), words, pc)
+  }
+
+  /** Test seam: the learner's incremental pair-count table next to its
+    * word table after `rounds` merges, for the delta-vs-full-recount
+    * equivalence spec. */
+  private[graft] def testLearnState(docs: DataFrame, rounds: Int,
+      batch: Int): (DataFrame, DataFrame) = {
+    val (_, words, pc) = learn(docs, rounds, reliable = false, batch)
+    (words, pc)
   }
 
   /** The learned merge table: one row per merge with the winning pair,

@@ -81,4 +81,33 @@ class BpePropertySpec extends SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("incremental pair counts == full recount after several merge rounds") {
+    // the learner keeps a running pair-count table updated by ± deltas of
+    // touched words only; after any number of rounds it must equal the
+    // from-scratch recount of the current word table — for both batch=1
+    // (sequential BPE) and batch>1 (disjoint batches)
+    val wordGen = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val docGen = Gen.choose(3, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(12, docGen), Gen.oneOf(1, 2, 3)) {
+      (texts, batch) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val (words, pc) = TokenizerQ.testLearnState(docs, rounds = 5, batch)
+        val full = words.select(col("freq"),
+            explode(expr(
+              """zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),
+                          slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+                          (a, b) -> struct(a AS l, b AS r))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .as[(String, String, Long)].collect().toSet
+        val incr = pc.as[(String, String, Long)].collect().toSet
+        incr == full
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
