@@ -445,12 +445,14 @@ object TokenizerQ {
     * reads, and the input to [[unigramCorpusCard]]. */
   def unigramSegmentCosts(docs: DataFrame, maxPieceLen: Int = 4,
       topK: Int = 256, maxWordLen: Int = 12,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, dpBatch: Int = 4): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 8,
       s"maxPieceLen must be in [1, 8], got $maxPieceLen")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(maxWordLen >= 1 && maxWordLen <= 64,
       s"maxWordLen must be in [1, 64], got $maxWordLen")
+    require(dpBatch >= 1 && dpBatch <= 8,
+      s"dpBatch must be in [1, 8], got $dpBatch")
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val w = snap(wordFreq(docs).withColumn("word", expr(
@@ -467,16 +469,51 @@ object TokenizerQ {
       .join(vocab.select(col("piece"), col("cost_bits").as("cost")),
         Seq("piece"))
       .select(col("word"), col("s"), col("e"), col("cost")))
+    // Batched relaxation (the BPE batch-fold lever applied to the DP's
+    // scheduling floor): instead of one dictionary-sized job per
+    // position, fold `dpBatch` Viterbi steps into one job. Precompute
+    // min-cost multi-edge PATHS of 1..dpBatch pieces (min-plus compose
+    // of the edge DAG with itself, grouped to min per (word, s, e) each
+    // step — associativity makes intermediate mins exact); then one
+    // batch round relaxes positions [a, a+dpBatch−1] at once, joining
+    // paths ending in the batch against the already-final best values
+    // (pos < a). Coverage: the optimal route to j ∈ batch decomposes at
+    // its last node p < a into best(p) + a path with all intermediates
+    // in [a, j) — at most dpBatch edges, so it is in the path table.
+    // In-batch predecessors are simply absent from `best` at join time;
+    // their contribution arrives via the longer composed paths. The
+    // per-position oracle unrolling hash-proves batch ≡ sequential.
+    val paths = {
+      var cur = edges
+      var acc = edges
+      for (_ <- 2 to dpBatch) {
+        cur = cur.as("p").join(edges.as("n"),
+            col("p.word") === col("n.word") &&
+              col("n.s") === col("p.e") + 1)
+          .select(col("p.word").as("word"), col("p.s").as("s"),
+            col("n.e").as("e"), (col("p.cost") + col("n.cost")).as("cost"))
+          .groupBy(col("word"), col("s"), col("e"))
+          .agg(min(col("cost")).as("cost"))
+        acc = acc.union(cur)
+      }
+      if (dpBatch == 1) edges
+      else snap(acc.groupBy(col("word"), col("s"), col("e"))
+        .agg(min(col("cost")).as("cost")))
+    }
     var best = w.select(col("word"), lit(0).as("pos"), lit(0L).as("cost"))
-    for (j <- 1 to maxWordLen) {
-      val nxt = edges.filter(col("e") === j)
-        .select(col("word"), (col("s") - 1).as("ppos"), col("cost"))
+    var a = 1
+    while (a <= maxWordLen) {
+      val hi = math.min(a + dpBatch - 1, maxWordLen)
+      val nxt = paths.filter(col("e") >= a && col("e") <= hi)
+        .select(col("word"), (col("s") - 1).as("ppos"), col("e"),
+          col("cost"))
         .join(best.select(col("word"), col("pos").as("ppos"),
           col("cost").as("pcost")), Seq("word", "ppos"))
-        .groupBy(col("word"))
+        .groupBy(col("word"), col("e"))
         .agg(min(col("pcost") + col("cost")).as("cost"))
-        .select(col("word"), lit(j).as("pos"), col("cost"))
+        .select(col("word"), col("e").as("pos"), col("cost"))
       best = snap(best.union(nxt))
+      a = hi + 1
     }
     w.join(best.filter(col("pos") === length(col("word"))), Seq("word"))
       .select(col("word"), col("freq"),
@@ -491,8 +528,9 @@ object TokenizerQ {
     * compared by (the unigram twin of q138's BPE compression card). */
   def unigramCorpusCard(docs: DataFrame, maxPieceLen: Int = 4,
       topK: Int = 256, maxWordLen: Int = 12,
-      reliable: Boolean = false): DataFrame =
-    unigramSegmentCosts(docs, maxPieceLen, topK, maxWordLen, reliable)
+      reliable: Boolean = false, dpBatch: Int = 4): DataFrame =
+    unigramSegmentCosts(docs, maxPieceLen, topK, maxWordLen, reliable,
+      dpBatch)
       .agg(count(lit(1)).as("n_words"),
         sum(col("freq") * col("word_len")).as("total_chars"),
         sum(col("bits_total")).as("total_bits"))

@@ -79,6 +79,24 @@ class UnigramSpec extends SparkSpec {
     assert(got.contains("xyz"))
   }
 
+  test("batched DP (dpBatch>1) equals per-position DP (dpBatch=1)") {
+    val rnd = new scala.util.Random(91)
+    val alphabet = "abcd"
+    val words = (1 to 40).map { _ =>
+      val len = 1 + rnd.nextInt(11)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val docs = docsOf(rnd.shuffle(words.flatMap(w =>
+      Seq.fill(1 + rnd.nextInt(4))(w))).mkString(" "))
+    val seq1 = TokenizerQ.unigramSegmentCosts(docs, dpBatch = 1)
+      .select("word", "cost_bits").as[(String, Long)].collect().toMap
+    for (k <- Seq(2, 4, 7)) {
+      val bat = TokenizerQ.unigramSegmentCosts(docs, dpBatch = k)
+        .select("word", "cost_bits").as[(String, Long)].collect().toMap
+      assert(bat == seq1, s"dpBatch=$k diverged from sequential DP")
+    }
+  }
+
   test("unigramSegmentCosts rejects words longer than maxWordLen loudly") {
     val docs = docsOf("short toolongword")
     val e = intercept[Exception] {
