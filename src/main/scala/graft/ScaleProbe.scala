@@ -151,9 +151,33 @@ object ScaleProbe {
             val cents = VectorQ.kmeansCentroids(emb(dir), cells = cellsFor(dir), iters = 0)
             VectorQ.annIvfPq(emb(dir), cents, queriesFor(dir), 4, 16, 3, 2, trained = false)
           },
-          dir => s"cells=${cellsFor(dir)};nprobe=2;codes=16;queries=100"))
+          dir => s"cells=${cellsFor(dir)};nprobe=2;codes=16;queries=100"),
+        // q174 with the PRODUCTION eval-set shape: a FIXED eval table
+        // (always the 1× corpus's first 100 vectors) while the train
+        // corpus scales K×. The oracle fixture's %40 eval sample grows
+        // WITH the corpus — correct for a hash-match, but its K× probe
+        // then measures eval·corpus coupling (3.43 in round 6), not the
+        // plan. A real benchmark suite does not grow because training
+        // data did; with eval pinned, candidate work scales only with
+        // per-bucket corpus density.
+        ("q174_decon_scaled",
+          dir => VectorQ.semanticDecontamination(emb(dir), queriesFor(srcDir)),
+          _ => "eval=100(fixed);bits=3;probeH=1;thr=0.9"),
+        // q148 with a CONTINUOUS planted metric: the fixture's n_chars
+        // has a few hundred distinct values, so the round-6 probe never
+        // exercised the case the bucket-offset rewrite exists for —
+        // distinct values ≈ rows. The planted metric (a Knuth-hash of
+        // doc_id, ~unique per doc) makes the per-value table data-sized;
+        // the prefix sums must still spread over per-bucket windows.
+        ("q148_continuous_scaled",
+          dir => queries.AnalyticsQ.ksDrift(
+            core.Tables.load(spark, dir, "documents"),
+            expr("CAST(doc_id * 2654435761 AS BIGINT) % 1000000007"),
+            "src0", "src1", bucketWidth = 1000000L),
+          _ => "metric=hash(doc_id);distinct~rows;bw=1e6"))
       println(s"simprobe,knobs_1x,knobs_${k}x,t1x_sec,t${k}x_sec,ratio")
-      sim.foreach { case (name, build, knob) =>
+      sim.filter { case (name, _, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, build, knob) =>
         noop(build(srcDir))
         val t1 = Seq.fill(3)(time(noop(build(srcDir)))).min
         noop(build(outDir))

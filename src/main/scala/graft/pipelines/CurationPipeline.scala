@@ -37,9 +37,23 @@ object CurationPipeline {
   val CutByQuality = 1L
   val CutAsDuplicate = 2L
   val CutByMixture = 3L
+  val CutByBalance = 4L
 
+  /** @param jointBalanceCol optional SECOND stratum column: when set, a
+    *   joint-balance stage runs after the mixture — IPF raking
+    *   ([[CurationQ.rakeWeights]]) over (strataCol, jointBalanceCol)
+    *   computes per-cell ppm weights whose BOTH margins approach uniform,
+    *   and [[CurationQ.repeatByCellWeights]] resamples each cell by its
+    *   weight (⌊w⌋ copies + hash-chosen remainder). Down-weighted cells
+    *   can drop docs (cut_stage = [[CutByBalance]]); survivors carry
+    *   `n_copies` (1 when the stage is off). The split then runs on the
+    *   balanced survivors so eval mixtures match train mixtures.
+    * @param rakeRounds IPF rounds for the balance stage (each round is
+    *   two cell-table-sized window passes — corpus-size-independent). */
   def run(docs: DataFrame, strataCol: String = "lang",
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      jointBalanceCol: Option[String] = None,
+      rakeRounds: Int = 6): DataFrame = {
     // Every stage output below has TWO consumers — the next stage and
     // the final lineage join — so each is materialized once (lineage
     // cut: `localCheckpoint`, or durable `checkpoint` with `reliable`,
@@ -70,8 +84,24 @@ object CurationPipeline {
     // 3. temperature mixture over the deduplicated corpus
     val afterMix = snap(CurationQ.temperatureRebalance(afterDedup, strataCol))
 
+    // 3b. optional joint balance: rake (strataCol × jointBalanceCol) to
+    // uniform margins, then per-cell repetition. n_copies is recorded per
+    // doc (max copy index = exact emitted count); cells raked below 1
+    // can cut docs entirely. Both rake and the copy collapse are snapped:
+    // each feeds the next stage AND the lineage join.
+    val afterBalance = jointBalanceCol match {
+      case None => afterMix.withColumn("n_copies", lit(1L))
+      case Some(bCol) =>
+        val weights = CurationQ.rakeWeights(afterMix, strataCol, bCol,
+          rounds = rakeRounds, reliable = reliable)
+        val copies = snap(CurationQ.repeatByCellWeights(afterMix,
+            strataCol, bCol, weights)
+          .groupBy(col("doc_id")).agg(max(col("copy")).as("n_copies")))
+        snap(afterMix.join(copies, Seq("doc_id")))
+    }
+
     // 4. cluster-atomic split over the final survivors
-    val split = TextQ.leakageSafeSplit(afterMix)
+    val split = TextQ.leakageSafeSplit(afterBalance)
       .select(col("doc_id"), col("split"))
 
     // lineage: LEFT joins back onto the input, first cut wins
@@ -81,11 +111,15 @@ object CurationPipeline {
         Seq("doc_id"), "left")
       .join(afterMix.select(col("doc_id"), lit(1L).as("m_keep")),
         Seq("doc_id"), "left")
+      .join(afterBalance.select(col("doc_id"), col("n_copies")),
+        Seq("doc_id"), "left")
       .join(split, Seq("doc_id"), "left")
       .select(col("doc_id"), col("stratum"), col("split"),
         when(col("q_keep") =!= 1L, lit(CutByQuality))
           .when(col("d_keep").isNull, lit(CutAsDuplicate))
           .when(col("m_keep").isNull, lit(CutByMixture))
-          .otherwise(lit(KeptCode)).as("cut_stage"))
+          .when(col("n_copies").isNull, lit(CutByBalance))
+          .otherwise(lit(KeptCode)).as("cut_stage"),
+        col("n_copies"))
   }
 }

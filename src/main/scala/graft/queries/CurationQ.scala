@@ -1071,6 +1071,81 @@ object CurationQ {
       ORDER BY doc_id, copy"""))
   }
 
+  /** Cell-level repetition resampling — [[repeatByFactor]] generalized
+    * from a per-stratum factor Map to a per-(a, b) CELL weight TABLE, the
+    * consumer side of [[rakeWeights]]: a raked weight of `weight_ppm`
+    * means every doc in that cell emits ⌊w/10⁶⌋ copies plus one more for
+    * the hash-chosen w%10⁶ ppm of docs, so the emitted corpus hits the
+    * raked joint mixture exactly in expectation (ppm granularity, cell-
+    * deterministic). Cells absent from the weight table pass through ×1.
+    * The hash rides its own offset (21) so the copy decision is
+    * independent of the split/sample/mixture/per-stratum-repeat buckets.
+    *
+    * Scale shape: identical to [[repeatByFactor]] — one broadcast join
+    * against the cell-count-sized weight table, a ⌈w⌉-bounded explode,
+    * no shuffle. */
+  def repeatByCellWeights(docs: DataFrame, aCol: String, bCol: String,
+      weights: DataFrame): DataFrame = {
+    val w = broadcast(weights.select(col("a"), col("b"),
+      col("weight_ppm")))
+    val ppm = TextQ.ppmBucketExpr("instr", "doc_id", "STRING", offset = 21)
+    docs.join(w, docs(aCol) === w("a") && docs(bCol) === w("b"), "left")
+      .withColumn("wp", coalesce(col("weight_ppm"), lit(1000000L)))
+      .withColumn("n_copies",
+        expr("wp DIV 1000000") +
+          when(expr(ppm) < expr("wp % 1000000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .select(col("doc_id"), docs(aCol).as(aCol), docs(bCol).as(bCol),
+        col("copy"))
+  }
+
+  /** Oracle fixture of [[repeatByCellWeights]]: the q189 rake chain's
+    * weights applied back to the documents table — the full
+    * rake-then-resample composition, hash-pinned end to end. */
+  private val q191 = {
+    val steps = (1 to 3).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT a, b, o,
+            GREATEST(CAST(1 AS HUGEINT), (w * ((nn.n * 1000000) // nn.n_a))
+              // (SUM(o * w) OVER (PARTITION BY a))) AS w
+          FROM c${r - 1}, nn),
+        c$r AS MATERIALIZED (SELECT a, b, o,
+            GREATEST(CAST(1 AS HUGEINT), (w * ((nn.n * 1000000) // nn.n_b))
+              // (SUM(o * w) OVER (PARTITION BY b))) AS w
+          FROM r$r, nn)"""
+    }.mkString(",\n")
+    val ppmSql = TextQ.ppmBucketExpr("strpos", "doc_id", "VARCHAR",
+      offset = 21)
+    GQuery(
+      "q191_cell_repeat",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        repeatByCellWeights(docs, "source", "lang",
+          rakeWeights(docs, "source", "lang"))
+          .orderBy(col("doc_id"), col("copy"))
+      },
+      Some(s"""WITH cells AS MATERIALIZED (
+          SELECT source AS a, lang AS b, COUNT(*) AS o
+          FROM documents GROUP BY 1, 2),
+        nn AS MATERIALIZED (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+            CAST(COUNT(DISTINCT a) AS HUGEINT) AS n_a,
+            CAST(COUNT(DISTINCT b) AS HUGEINT) AS n_b
+          FROM cells),
+        c0 AS MATERIALIZED (SELECT a, b, o, CAST(1000000 AS HUGEINT) AS w
+          FROM cells),
+        $steps,
+        d AS (SELECT doc_id, d.source, d.lang,
+            (CAST(w AS BIGINT) // 1000000) +
+              CASE WHEN $ppmSql < (CAST(w AS BIGINT) % 1000000)
+                   THEN 1 ELSE 0 END AS n_copies
+          FROM documents d LEFT JOIN c3
+            ON d.source = c3.a AND d.lang = c3.b)
+      SELECT doc_id, source, lang, CAST(c AS BIGINT) AS copy
+      FROM d, UNNEST(generate_series(1, n_copies)) AS u(c)
+      WHERE n_copies > 0
+      ORDER BY doc_id, copy"""))
+  }
+
   /** Score-ranked per-stratum cap — "keep the BEST n per domain", the
     * quality-aware sibling of [[capPerStratum]] (which keeps a hash-
     * random n): rank within each stratum by `scoreCol` descending
@@ -2523,5 +2598,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189)
+      q161, q163, q173, q177, q178, q189, q191)
 }

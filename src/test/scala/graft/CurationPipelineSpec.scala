@@ -56,6 +56,55 @@ class CurationPipelineSpec extends SparkSpec {
     assert(counts.contains(CurationPipeline.KeptCode), counts.toString)
   }
 
+  test("joint-balance weights hit BOTH margins within 1 ppm of uniform") {
+    // the stage's weight table: IPF raking over (source, lang) — after
+    // enough rounds each margin's weighted share must be 1/n_margin
+    val w = graft.queries.CurationQ.rakeWeights(docs, "source", "lang",
+      rounds = 8)
+    val tot = w.agg(sum(expr("CAST(o AS DECIMAL(38,0)) * weight_ppm"))
+      .as("t")).as[java.math.BigDecimal].collect().head
+    def marginsOk(mCol: String): Unit = {
+      val m = w.groupBy(col(mCol))
+        .agg(sum(expr("CAST(o AS DECIMAL(38,0)) * weight_ppm")).as("mw"))
+        .as[(String, java.math.BigDecimal)].collect()
+      val share = m.map { case (k, mw) =>
+        k -> mw.multiply(new java.math.BigDecimal(1000000))
+          .divide(tot, java.math.MathContext.DECIMAL64).doubleValue }
+      val want = 1000000.0 / m.length
+      share.foreach { case (k, s) =>
+        assert(math.abs(s - want) <= 1.0,
+          s"$mCol margin '$k': ${s}ppm vs uniform ${want}ppm")
+      }
+    }
+    marginsOk("a")
+    marginsOk("b")
+  }
+
+  test("joint-balance stage composes: per-doc copies, cuts, determinism") {
+    val out = CurationPipeline.run(docs, jointBalanceCol = Some("source"))
+    assert(out.count() == docs.count(), "still one lineage row per doc")
+    val kept = out.filter(col("cut_stage") === CurationPipeline.KeptCode)
+    assert(kept.filter(col("n_copies") < 1L).count() == 0,
+      "every survivor emits at least one copy")
+    // raking a skewed fixture must actually resample: some cell ≠ ×1
+    assert(kept.filter(col("n_copies") =!= 1L).count() > 0,
+      "balance stage changed no cell — fixture should be skewed")
+    // disabled stage: n_copies is constant 1 and no CutByBalance appears
+    val off = CurationPipeline.run(docs)
+    assert(off.filter(col("cut_stage") === CurationPipeline.KeptCode)
+      .filter(col("n_copies") =!= 1L).count() == 0)
+    assert(off.filter(col("cut_stage") === CurationPipeline.CutByBalance)
+      .count() == 0)
+    // deterministic including the copy counts
+    val a = CurationPipeline.run(docs, jointBalanceCol = Some("source"))
+      .select("doc_id", "cut_stage", "n_copies")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    val b = CurationPipeline.run(docs, jointBalanceCol = Some("source"))
+      .select("doc_id", "cut_stage", "n_copies")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
   test("pipeline is deterministic end-to-end") {
     val a = CurationPipeline.run(docs)
       .select("doc_id", "split", "cut_stage")
