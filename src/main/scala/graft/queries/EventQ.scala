@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
@@ -501,6 +502,81 @@ object EventQ {
     FROM lab GROUP BY split
     ORDER BY split"""))
 
+  /** Tiered (progressive) rating — the charge calculation the
+    * reference's rating plugins imply beyond a flat rate
+    * (`gsmrating.sh:14` launches the GSM rating stage; real tariffs are
+    * banded: the first N units at one rate, the next at another, like
+    * progressive tax brackets). Given a usage column in integer units
+    * and a tier list `(fromUnit, toUnit, rateCentiPerUnit)` (half-open
+    * [from, to), last tier unbounded via Long.MaxValue), each record's
+    * charge is Σ over tiers of rate · overlap(units, tier) — exact
+    * centi-money longs, no floats.
+    *
+    * Plan: the tier table is a LITERAL broadcast (tariffs are dozens of
+    * rows); the per-record decomposition is one inner join on
+    * `units > from` (each record matches only its covered tiers, ≤
+    * |tiers| rows) plus a map-side overlap expression, then one hash agg
+    * back to per-record, one to the report — all shuffles on the
+    * grouping key, nothing data²-sized. At 100 TB this is a scan with a
+    * fanout bounded by the tier count. */
+  def tieredCharges(events: DataFrame, units: org.apache.spark.sql.Column,
+      tiers: Seq[(Long, Long, Long)],
+      keyCol: String = "event_type"): DataFrame = {
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    require(tiers.sliding(2).forall {
+      case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+      case _ => true
+    }, s"tiers must be contiguous, got $tiers")
+    require(tiers.head._1 == 0L, "first tier must start at 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttab = tiers.toDF("t_from", "t_to", "t_rate")
+    val perTier = events
+      .select(col("event_id"), col(keyCol), units.cast(LongType).as("u"))
+      .join(broadcast(ttab), col("u") > col("t_from"))
+      .select(col("event_id"), col(keyCol),
+        col("u"),
+        (col("t_rate") * (least(col("u"), col("t_to")) - col("t_from")))
+          .as("tier_charge"))
+    perTier.groupBy(col("event_id"), col(keyCol))
+      .agg(max(col("u")).as("units"),
+        sum(col("tier_charge")).as("charge_centi"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rated"),
+        sum(col("units")).as("total_units"),
+        sum(col("charge_centi")).as("total_charge_centi"),
+        max(col("charge_centi")).as("max_charge_centi"))
+  }
+
+  /** Oracle fixture of [[tieredCharges]]: three-band tariff over the
+    * events' centi-value usage, reported per event type. */
+  private val q195 = {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    val tiersSql = tiers.map { case (f, to, r) =>
+      s"(${f}::BIGINT, ${to}::BIGINT, ${r}::BIGINT)" }.mkString(", ")
+    GQuery(
+      "q195_tiered_rating",
+      (s, dir) => tieredCharges(t(s, dir, "events"),
+          expr("CAST(round(value * 100) AS BIGINT)"), tiers)
+        .orderBy(col("event_type")),
+      Some(s"""WITH tiers(t_from, t_to, t_rate) AS (VALUES $tiersSql),
+        ev AS (SELECT event_id, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS u FROM events),
+        pt AS (SELECT event_id, event_type, u,
+                 t_rate * (least(u, t_to) - t_from) AS tier_charge
+               FROM ev JOIN tiers ON u > t_from),
+        pe AS (SELECT event_id, event_type, MAX(u) AS units,
+                 CAST(SUM(tier_charge) AS BIGINT) AS charge_centi
+               FROM pt GROUP BY 1, 2)
+      SELECT event_type, COUNT(*) AS n_rated,
+        CAST(SUM(units) AS BIGINT) AS total_units,
+        CAST(SUM(charge_centi) AS BIGINT) AS total_charge_centi,
+        CAST(MAX(charge_centi) AS BIGINT) AS max_charge_centi
+      FROM pe GROUP BY event_type
+      ORDER BY event_type"""))
+  }
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175)
+    q97, q169, q175, q195)
 }

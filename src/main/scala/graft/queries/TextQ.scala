@@ -2536,9 +2536,182 @@ object TextQ {
           END AS slope_ppm
       FROM s"""))
 
+  /** Multi-modality contamination report — the capstone over the
+    * decontamination family: one row per train doc flagged by ANY
+    * text modality, with a bitmask of WHICH modalities fired
+    * (1 = exact `width`-gram overlap, [[decontaminationHits]];
+    * 2 = MinHash fuzzy near-dup, [[fuzzyDecontamination]];
+    * 4 = shared winnowing fingerprints, [[winnowFingerprints]] — the
+    * MOSS guarantee catches long shared substrings that survive a
+    * paraphrase's n-gram dilution) and the per-modality hit counts.
+    * Modality DISAGREEMENT is the report's point: mask 2-only rows are
+    * paraphrases lexical checks miss, 1-only rows are short-phrase
+    * collisions fuzzy matching correctly ignores, and an empty report
+    * on a leaked benchmark means the thresholds are wrong. The
+    * embedding modality (q174) rides the separate vector table and
+    * anti-joins downstream. Eval sets are small by construction, so
+    * each modality's eval side broadcasts; the three verdict tables are
+    * doc-keyed and FULL-OUTER-join into the mask — all shuffles on
+    * doc_id. */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+      width: Int = 5, minEstJaccard: Double = 0.5,
+      window: Int = 8): DataFrame = {
+    val exact = decontaminationHits(train, eval, width)
+      .select(col("doc_id"), col("n_hits").as("n_exact"))
+    val fuzzy = fuzzyDecontamination(train, eval, minEstJaccard)
+      .select(col("train_doc").as("doc_id"),
+        col("n_eval_hits").as("n_fuzzy"))
+    val evFp = winnowFingerprints(eval, window).select(col("h")).distinct()
+    val winnow = winnowFingerprints(train, window)
+      .join(evFp, "h")
+      .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_fp"))
+    exact.join(fuzzy, Seq("doc_id"), "full_outer")
+      .join(winnow, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (when(col("n_exact").isNotNull, 1L).otherwise(0L)
+          + when(col("n_fuzzy").isNotNull, 2L).otherwise(0L)
+          + when(col("n_fp").isNotNull, 4L).otherwise(0L))
+          .as("modality_mask"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+  }
+
+  /** Oracle fixture of [[contaminationReport]]: eval = doc_id % 11 = 5
+    * (a fresh modulus so all three modalities see the SAME split). */
+  private val q194 = {
+    val idx5 = (0 until 5).map(k => s"ts[i + $k]").mkString(" || ' ' || ")
+    val estSql = (0 until 8).map(i => s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ") / 8.0")
+    GQuery(
+      "q194_contamination_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        contaminationReport(
+            docs.filter(col("doc_id") % 11 =!= 5),
+            docs.filter(col("doc_id") % 11 === 5))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""${winnowSql(8)},
+        e_toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        e_sh AS (SELECT DISTINCT doc_id, $idx5 AS s
+            FROM e_toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+        e_ev AS (SELECT DISTINCT s FROM e_sh WHERE doc_id % 11 = 5),
+        exact AS (SELECT e_sh.doc_id, COUNT(DISTINCT e_sh.s) AS n_exact
+            FROM e_sh JOIN e_ev USING (s)
+            WHERE e_sh.doc_id % 11 <> 5 GROUP BY e_sh.doc_id),
+        ${sigSqlFor("tr", "doc_id % 11 <> 5")},
+        ${sigSqlFor("ev", "doc_id % 11 = 5")},
+        ev_capped AS (SELECT * FROM ev_bands
+          QUALIFY COUNT(*) OVER (PARTITION BY band, bkey) <= 1000),
+        fpairs AS (SELECT DISTINCT x.doc_id AS doc_id,
+              y.doc_id AS eval_doc, $estSql AS est_jaccard
+            FROM tr_bands x JOIN ev_capped y
+              ON x.band = y.band AND x.bkey = y.bkey),
+        fuzzy AS (SELECT doc_id, COUNT(*) AS n_fuzzy
+            FROM fpairs WHERE est_jaccard >= 0.5 GROUP BY doc_id),
+        w_ev AS (SELECT DISTINCT h FROM fp WHERE doc_id % 11 = 5),
+        winnow AS (SELECT fp.doc_id, COUNT(DISTINCT fp.h) AS n_fp
+            FROM fp JOIN w_ev USING (h)
+            WHERE fp.doc_id % 11 <> 5 GROUP BY fp.doc_id),
+        ids AS (SELECT doc_id FROM exact
+          UNION SELECT doc_id FROM fuzzy
+          UNION SELECT doc_id FROM winnow)
+      SELECT i.doc_id,
+        CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN f.doc_id IS NOT NULL THEN 2 ELSE 0 END
+           + CASE WHEN w.doc_id IS NOT NULL THEN 4 ELSE 0 END AS BIGINT)
+          AS modality_mask,
+        CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+        CAST(COALESCE(f.n_fuzzy, 0) AS BIGINT) AS n_fuzzy,
+        CAST(COALESCE(w.n_fp, 0) AS BIGINT) AS n_fp
+      FROM ids i
+      LEFT JOIN exact e USING (doc_id)
+      LEFT JOIN fuzzy f USING (doc_id)
+      LEFT JOIN winnow w USING (doc_id)
+      ORDER BY i.doc_id"""))
+  }
+
+  /** Cross-source code-table drift — the compression-transfer matrix:
+    * for every ordered source pair (a, b), the milli-bits-per-token cost
+    * of encoding A's tokens with B's staircase-bit code table
+    * (cost_b(t) = ⌊log₂ total_b⌋ − ⌊log₂ cnt_b(t)⌋ via binary-string
+    * length — the [[TokenizerQ]] unigram cost, exact in both engines;
+    * tokens unseen in B pay the escape cost ⌊log₂ total_b⌋ + 1, one bit
+    * above a singleton). The diagonal is each source's own compression
+    * baseline; `excess = xfer(a,b) − xfer(a,a)` is a cross-entropy-style
+    * distribution distance that, unlike KS (q148, one scalar metric) or
+    * χ² (q184, categorical association), measures WHOLE-VOCABULARY
+    * drift and directly answers the curation question "can these two
+    * sources share one tokenizer/mixture bucket".
+    *
+    * Scale shape: ONE corpus scan (the per-(source, token) count —
+    * map-side combined); everything after is vocabulary-sized: the cost
+    * table is counts × a broadcast per-source total, the transfer join
+    * fans each a-token row out to |sources| rows (sources are dozens,
+    * the row count stays vocab·|sources|), and the matrix aggregation
+    * is |sources|² rows. No data²-sized step anywhere. */
+  def codeTableDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = toks.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("total"))
+      .select(col("source").as("src_b"),
+        col("total"),
+        expr("CAST(length(bin(total)) AS BIGINT)").as("tot_bits"))
+    val costs = toks.select(col("source").as("src_b"), col("tok"),
+        col("cnt").as("cnt_b"))
+      .join(tot.select(col("src_b"), col("tot_bits")), Seq("src_b"))
+      .select(col("src_b"), col("tok"),
+        (col("tot_bits") - expr("CAST(length(bin(cnt_b)) AS BIGINT)"))
+          .as("cost_bits"))
+    toks.select(col("source").as("src_a"), col("tok"), col("cnt"))
+      .crossJoin(broadcast(tot.select(col("src_b"), col("tot_bits"))))
+      .join(costs, Seq("src_b", "tok"), "left")
+      .withColumn("cost",
+        coalesce(col("cost_bits"), col("tot_bits") + 1))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("cost")).as("total_bits"))
+      .select(col("src_a"), col("src_b"), col("n_tokens"),
+        col("total_bits"),
+        expr("(1000 * total_bits) DIV n_tokens").as("mbpt"))
+  }
+
+  /** Oracle fixture of [[codeTableDrift]] over the full source matrix. */
+  private val q192 = GQuery(
+    "q192_codetable_drift",
+    (s, dir) => codeTableDrift(t(s, dir, "documents"))
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH toks AS (SELECT source, tok, COUNT(*) AS cnt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) WHERE len(tok) > 0
+        GROUP BY source, tok),
+      tot AS (SELECT source AS src_b, SUM(cnt) AS total,
+          CAST(length(bin(CAST(SUM(cnt) AS BIGINT))) AS BIGINT) AS tot_bits
+        FROM toks GROUP BY source),
+      costs AS (SELECT t.source AS src_b, t.tok,
+          o.tot_bits - CAST(length(bin(t.cnt)) AS BIGINT) AS cost_bits
+        FROM toks t JOIN tot o ON o.src_b = t.source),
+      x AS (SELECT a.source AS src_a, o.src_b, a.tok, a.cnt,
+          COALESCE(c.cost_bits, o.tot_bits + 1) AS cost
+        FROM toks a
+        CROSS JOIN tot o
+        LEFT JOIN costs c ON c.src_b = o.src_b AND c.tok = a.tok)
+      SELECT src_a, src_b,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(cnt * cost) AS BIGINT) AS total_bits,
+        (1000 * CAST(SUM(cnt * cost) AS BIGINT))
+          // CAST(SUM(cnt) AS BIGINT) AS mbpt
+      FROM x GROUP BY src_a, src_b
+      ORDER BY src_a, src_b"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164, q172, q179, q187)
+      q157, q158, q159, q162, q164, q172, q179, q187, q192, q194)
 }

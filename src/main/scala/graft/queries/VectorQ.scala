@@ -2099,8 +2099,108 @@ object VectorQ {
     FROM v1 JOIN v2 USING (j), m1, m2
     ORDER BY dim"""))
 
+  private val qvExpr =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  /** Greedy k-center coreset — DIVERSITY selection over the embedding
+    * corpus (Gonzalez 1985 farthest-point traversal, the standard 2-approx
+    * for k-center): start from the max-norm vector (deterministic anchor),
+    * then k−1 times pick the vector FARTHEST from the chosen set (max of
+    * min-distance²). Curation use: a training subset or eval panel that
+    * COVERS the embedding space instead of oversampling its dense modes —
+    * the complement of [[clusterPrototypes]] (which picks centers of
+    * mass) and of dedup (which removes near-dups but never balances).
+    *
+    * Exactness: coordinates quantize once via the engine-portable
+    * `floor(x·1000 + 0.5)` (the [[powerIterationPca]] rule); distances²
+    * are BIGINT sums (|q| ≤ ~10⁶, dim 64 ⟹ ≤ ~3·10¹⁴, no overflow); the
+    * (score desc, vec_id asc) argmax is a total order, so the DuckDB
+    * oracle replays the identical unrolled traversal.
+    *
+    * Scale shape: k−1 rounds, each ONE corpus scan with the chosen
+    * centers as LITERAL arrays (codegen'd `least` of per-center
+    * zip_with/aggregate sums — the bounded-collect class: k·dim longs on
+    * the driver, like centroids/codebooks) and a `TakeOrdered` top-1; no
+    * joins, no shuffles beyond the top-1 reduction. Returns
+    * (sel_round, vec_id, score): score = norm² for round 1 (the anchor
+    * rule), min-dist² to the prior set otherwise — monotone
+    * non-increasing from round 2 on, the coverage-radius curve. */
+  def kCenterCoreset(raw: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 32, s"k must be in [2, 32], got $k")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val q = raw.select(col("vec_id"), expr(qvExpr).as("qv"))
+    val n2 = expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+    def dist2(center: Seq[Long]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("qv"), array(center.map(lit(_)): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = q.select(col("vec_id"), col("qv"), n2.as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(1)
+      .collect().head
+    var chosen = Vector((first.getLong(0), first.getSeq[Long](1).toSeq,
+      first.getLong(2)))
+    for (_ <- 2 to k) {
+      val dists = chosen.map(c => dist2(c._2))
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = q.filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .select(col("vec_id"), col("qv"), mind.as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect().head
+      chosen :+= ((next.getLong(0), next.getSeq[Long](1).toSeq,
+        next.getLong(2)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1L, id, s) }
+      .toDF("sel_round", "vec_id", "score")
+  }
+
+  /** DuckDB twin of [[kCenterCoreset]]: the traversal unrolled, one
+    * argmax CTE per round (the q137/q180 fixed-unrolling convention). */
+  private[queries] def kCenterSql(k: Int): String = {
+    def d2(v: String, c: String) =
+      (1 to dim).map(i => s"(($v.qv[$i] - $c.qv[$i]) * ($v.qv[$i] - $c.qv[$i]))")
+        .mkString(" + ")
+    val rounds = (2 to k).map { r =>
+      val priors = (1 to r - 1).map(j => s"c$j").mkString(", ")
+      val notIn = (1 to r - 1).map(j => s"c$j.vec_id").mkString(", ")
+      val mind =
+        if (r == 2) d2("v", "c1")
+        else s"LEAST(${(1 to r - 1).map(j => d2("v", s"c$j")).mkString(", ")})"
+      s"""c$r AS MATERIALIZED (SELECT v.vec_id, v.qv,
+            CAST($mind AS BIGINT) AS score
+          FROM q v, $priors
+          WHERE v.vec_id NOT IN ($notIn)
+          ORDER BY score DESC, v.vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      c1 AS MATERIALIZED (SELECT vec_id, qv,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS score
+        FROM q ORDER BY score DESC, vec_id LIMIT 1),
+      $rounds"""
+  }
+
+  /** Oracle fixture of [[kCenterCoreset]] (k = 4). */
+  private val q193 = {
+    val k = 4
+    val rows = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_round, vec_id, score FROM c$r")
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q193_kcenter_coreset",
+      (s, dir) => kCenterCoreset(t(s, dir, "embeddings"), k)
+        .orderBy(col("sel_round")),
+      Some(s"""${kCenterSql(k)}
+        $rows
+        ORDER BY sel_round"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174)
+      q174, q193)
 }
