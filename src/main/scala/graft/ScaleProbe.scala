@@ -43,7 +43,9 @@ object ScaleProbe {
     "q178_luhn_cards", "q179_zipf_card", "q180_unigram_segment",
     "q182_attribution", "q183_join_blowup",
     "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag", "q187_sorted_neighbors",
-    "q188_churn_lifetable", "q189_rake_weights", "q190_burstiness")
+    "q188_churn_lifetable", "q189_rake_weights", "q190_burstiness",
+    "q191_cell_repeat", "q192_codetable_drift", "q193_kcenter_coreset",
+    "q194_contamination_report", "q195_tiered_rating")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -174,7 +176,20 @@ object ScaleProbe {
             core.Tables.load(spark, dir, "documents"),
             expr("CAST(doc_id * 2654435761 AS BIGINT) % 1000000007"),
             "src0", "src1", bucketWidth = 1000000L),
-          _ => "metric=hash(doc_id);distinct~rows;bw=1e6"))
+          _ => "metric=hash(doc_id);distinct~rows;bw=1e6"),
+        // q194 with a FIXED eval set (always the 1× corpus's benchmark
+        // sample) while train scales K× — the q174 scaled-knob
+        // principle; the headline q194 probe couples eval size AND
+        // duplicate density to K (its %11 eval grows with the corpus
+        // and every replica duplicates it)
+        ("q194_fixed_eval_scaled",
+          dir => {
+            val evalDocs = core.Tables.load(spark, srcDir, "documents")
+              .filter(col("doc_id") % 11 === 5).limit(100)
+            queries.TextQ.contaminationReport(
+              core.Tables.load(spark, dir, "documents"), evalDocs)
+          },
+          _ => "eval=100(fixed);width=5;jac=0.5;win=8"))
       println(s"simprobe,knobs_1x,knobs_${k}x,t1x_sec,t${k}x_sec,ratio")
       sim.filter { case (name, _, _) => only.forall(_.contains(name)) }
         .foreach { case (name, build, knob) =>
