@@ -45,7 +45,9 @@ object ScaleProbe {
     "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag", "q187_sorted_neighbors",
     "q188_churn_lifetable", "q189_rake_weights", "q190_burstiness",
     "q191_cell_repeat", "q192_codetable_drift", "q193_kcenter_coreset",
-    "q194_contamination_report", "q195_tiered_rating")
+    "q194_contamination_report", "q195_tiered_rating",
+    "q196_market_basket", "q197_hamming_radius", "q198_autocorrelation",
+    "q199_kfold_split")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

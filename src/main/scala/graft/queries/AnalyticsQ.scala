@@ -1508,7 +1508,157 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Lag-autocorrelation periodicity card — MEASURES the period that
+    * [[seasonalAnomalies]] (q185) ASSUMES: per event type, the Pearson
+    * autocorrelation of the daily-count series at lags 1..maxLag. A
+    * spike at lag 7 is weekly rhythm, at lag 1 momentum, a flat curve
+    * means peer-grouping by weekday (q185) adds nothing — the card a
+    * monitoring deployment runs BEFORE choosing its seasonal baseline.
+    *
+    * Exactness discipline (the q90 rule): days index as integer
+    * `epochSec DIV 86400` (no engine date functions), the lagged pairs
+    * join on (type, day + lag), all sufficient statistics accumulate in
+    * DECIMAL(38,0), and the final correlation combines them in doubles
+    * with operation order IDENTICAL in both engines, rounded once.
+    *
+    * Scale shape: one daily aggregation (data-sized, map-side combined),
+    * then everything rides the DAYS-sized table: the lag explode is
+    * |days|·maxLag rows, the self-join keys on (type, day), the stats
+    * agg is (type, lag)-sized. Zero-variance series (constant counts —
+    * undefined correlation) filter out exactly like q185's
+    * zero-variance peer groups. */
+  def autocorrCard(events: DataFrame, maxLag: Int = 10,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60,
+      s"maxLag must be in [1, 60], got $maxLag")
+    val daily = events
+      .select(col(typeCol),
+        expr(s"CAST($tsCol AS BIGINT) DIV 86400").as("d"))
+      .groupBy(col(typeCol), col("d")).agg(count(lit(1)).as("n"))
+    val lagged = daily
+      .withColumn("lag", explode(expr(s"sequence(1, $maxLag)")))
+      .select(col(typeCol), col("lag"), (col("d") + col("lag")).as("d2"),
+        col("n").as("x"))
+      .join(daily.select(col(typeCol), col("d").as("d2"),
+        col("n").as("y")), Seq(typeCol, "d2"))
+    lagged.groupBy(col(typeCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      .filter(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n_pairs") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col(typeCol), col("lag").cast(LongType).as("lag"),
+        col("n_pairs"),
+        round(
+          (col("n_pairs").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (sqrt(col("n_pairs").cast(DoubleType) * col("sxx").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+              * sqrt(col("n_pairs").cast(DoubleType) * col("syy").cast(DoubleType)
+                - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+          6).as("acf"))
+  }
+
+  /** Oracle fixture of [[autocorrCard]] at lags 1..10. */
+  private val q198 = GQuery(
+    "q198_autocorrelation",
+    (s, dir) => autocorrCard(t(s, dir, "events"))
+      .orderBy(col("event_type"), col("lag")),
+    Some(s"""WITH daily AS (SELECT event_type,
+          (${epochSecSql("ts")}) // 86400 AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      lagged AS (SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        FROM daily a,
+          UNNEST(generate_series(1, 10)) AS l(lag)
+        JOIN daily b ON b.event_type = a.event_type
+          AND b.d = a.d + l.lag),
+      agg AS (SELECT event_type, lag, COUNT(*) AS n_pairs,
+          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM lagged GROUP BY 1, 2)
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+        round(
+          (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+      FROM agg
+      WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+      ORDER BY event_type, lag"""))
+
+  /** Market-basket association — co-occurrence lift over a grouping key
+    * (orders × parts here; user × content-bucket in a curation
+    * deployment): for the top-K part pairs by co-order count, the
+    * exact support and LIFT = P(a,b) / (P(a)·P(b)) in ppm. Lift > 10⁶
+    * means the pair co-occurs above independence — the association
+    * signal behind "ordered together" features and the mixture-planning
+    * question "which sources travel together in user baskets". PMI
+    * (q126) scores token pairs inside documents; this is its
+    * transaction-level sibling with an explicit independence baseline.
+    *
+    * Scale shape: the pair explode is a self-join on the BASKET key, so
+    * pair work is Σ (basket size)² — basket sizes are bounded (~7 items
+    * per order; a pathological mega-basket is exactly what
+    * [[joinCardinalityCard]] flags first), never corpus². Per-item
+    * counts join back by item key; lift arithmetic runs in
+    * DECIMAL(38,0) (co·N and ca·cb overflow BIGINT at ~3·10⁹ baskets —
+    * the q183 rule); top-K is TakeOrdered. */
+  def marketBasket(items: DataFrame, basketCol: String, itemCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val b = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val cnt = b.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+    pairs
+      .join(cnt.select(col("it").as("item_a"), col("c").as("ca")), Seq("item_a"))
+      .join(cnt.select(col("it").as("item_b"), col("c").as("cb")), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .orderBy(col("co").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .select(col("item_a"), col("item_b"), col("co"), col("ca"), col("cb"),
+        col("n_baskets"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * co * n_baskets)
+                div (CAST(ca AS DECIMAL(38,0)) * cb)""").as("lift_ppm"))
+  }
+
+  /** Oracle fixture of [[marketBasket]]: parts co-ordered in the same
+    * order, top 20 pairs. */
+  private val q196 = GQuery(
+    "q196_market_basket",
+    (s, dir) => marketBasket(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey")
+      .orderBy(col("co").desc, col("item_a"), col("item_b")),
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+              FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+      cnt AS (SELECT it, COUNT(*) AS c FROM b GROUP BY it),
+      pairs AS (SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS co
+                FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+                GROUP BY 1, 2)
+      SELECT item_a, item_b, co, ca.c AS ca, cb.c AS cb, n.n_baskets,
+        CAST((CAST(1000000 AS HUGEINT) * co * n.n_baskets)
+          // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+      FROM pairs
+      JOIN cnt ca ON ca.it = item_a
+      JOIN cnt cb ON cb.it = item_b
+      CROSS JOIN n
+      ORDER BY co DESC, item_a, item_b
+      LIMIT 20"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198)
 }

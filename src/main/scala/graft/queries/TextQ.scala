@@ -1543,6 +1543,53 @@ object TextQ {
     FROM lab
     ORDER BY doc_id"""))
 
+  /** Cluster-atomic k-fold assignment — the cross-validation sibling of
+    * [[leakageSafeSplit]]: every doc gets a fold in [0, k), and all
+    * near-duplicates (one LSH component) share a fold, so no fold's
+    * held-out set ever contains a copy of another fold's training data.
+    * The fold is a ppm hash of the CLUSTER id (own offset 13, so fold
+    * assignment is independent of the split/sample/repeat buckets);
+    * singleton docs are their own cluster, exactly as in the split.
+    * Same cost shape as [[leakageSafeSplit]]: the near-dup pipeline +
+    * one left join; the fold itself is a scan-side expression. */
+  def kFoldSplit(docs: DataFrame, k: Int = 5,
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+    require(k >= 2 && k <= 100, s"k must be in [2, 100], got $k")
+    val comp = connectedComponents(
+      lshCandidates(minhashBands(docs), maxBandSize)
+        .filter(col("est_jaccard") >= minEstJaccard))
+    val b = ppmBucketExpr("instr", "cluster", "STRING", offset = 13)
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("fold", expr(s"CAST($b % $k AS BIGINT)"))
+      .select(col("doc_id"), col("cluster"), col("fold"))
+  }
+
+  /** Oracle fixture of [[kFoldSplit]] (k = 5): the q81 component replay
+    * with the fold hash on the cluster id. */
+  private val q199 = {
+    val b = ppmBucketExpr("strpos", "cluster", "VARCHAR", offset = 13)
+    GQuery(
+      "q199_kfold_split",
+      (s, dir) => kFoldSplit(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                  UNION SELECT doc_b, doc_a FROM cand),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT doc_id, cluster, CAST($b % 5 AS BIGINT) AS fold
+      FROM lab
+      ORDER BY doc_id"""))
+  }
+
   /** Inverted index (token → document-frequency + head of the posting
     * list): the retrieval-side structure a corpus search / dedup-debug
     * tool builds over a text corpus. The posting list is CAPPED before
@@ -2713,5 +2760,5 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164, q172, q179, q187, q192, q194)
+      q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199)
 }

@@ -2199,8 +2199,103 @@ object VectorQ {
         ORDER BY sel_round"""))
   }
 
+  /** 16-bit sign-sketch chunk i (1-based) of a 64-dim embedding:
+    * dims 16(i−1)+1 .. 16i, MSB-first. Four chunks pack the full
+    * sign sketch without ever touching a BIGINT's sign bit (the
+    * engine-portability reason for 4×16 over 1×64: a `1L << 63`
+    * literal reads differently across engines; 16-bit chunks stay in
+    * [0, 65535]). */
+  private def signChunk(emb: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column =
+    (1 to 16).map { j =>
+      when(element_at(emb, 16 * (i - 1) + j) > 0f,
+        lit(1L << (16 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def signChunkSql(emb: String, i: Int): String =
+    (1 to 16).map { j =>
+      s"(CASE WHEN $emb[${16 * (i - 1) + j}] > 0 THEN ${1L << (16 - j)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Multi-index Hamming radius search — EXACT bounded-radius neighbor
+    * retrieval over 64-bit sign sketches, by equi-joins only: each
+    * vector's sketch splits into four 16-bit chunks, a (query, corpus)
+    * pair is a CANDIDATE iff some chunk matches exactly, and candidates
+    * re-rank by the true Hamming distance (bit_count of per-chunk XORs).
+    * The pigeonhole guarantee makes this exact, not approximate: ≤
+    * `radius` ≤ 3 differing bits cannot touch all 4 chunks, so every
+    * within-radius pair shares an untouched chunk and IS found — the
+    * standard multi-index Hamming construction (Norouzi et al. 2012),
+    * here as four hash-partitionable equi-joins + a codegen'd bit_count
+    * re-rank. The sign sketch is the 64× compression tier below int8
+    * ([[quantizeInt8]]) and PQ: 8 bytes per vector, distance = XOR.
+    *
+    * Scale shape: corpus sketches once (map-side); 4 equi-joins against
+    * the (small, broadcast) query sketches; candidate volume = chunk
+    * bucket collisions (2¹⁶ buckets per index); no full-corpus distance
+    * pass, no shuffle of the corpus beyond the candidate rows. */
+  def hammingRadiusSearch(raw: DataFrame, queryTable: DataFrame,
+      radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      s"radius must be in [0, 3] (4-chunk pigeonhole bound), got $radius")
+    def sketch(df: DataFrame, idCol: String, prefix: String): DataFrame =
+      df.select(col(idCol) +:
+        (1 to 4).map(i => signChunk(col("embedding"), i).as(s"$prefix$i")): _*)
+    val c = sketch(raw, "vec_id", "c")
+    val q = broadcast(sketch(queryTable, "query_id", "qc"))
+    val cand = (1 to 4).map(i =>
+        c.join(q, col(s"c$i") === col(s"qc$i"))
+          .select(col("query_id"), col("vec_id"),
+            col("c1"), col("c2"), col("c3"), col("c4"),
+            col("qc1"), col("qc2"), col("qc3"), col("qc4")))
+      .reduce(_ unionAll _)
+      .distinct()
+    val dist = (1 to 4).map(i =>
+        expr(s"bit_count(c$i ^ qc$i)")).reduce(_ + _)
+    cand.withColumn("hamming", dist.cast(LongType))
+      .filter(col("hamming") <= radius)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("vec_id"))).cast(LongType))
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
+  }
+
+  /** Oracle fixture of [[hammingRadiusSearch]]: corpus-sample queries
+    * (vec_id % 25 = 0, re-issued under shifted ids), radius 3. The
+    * oracle is the NAIVE full cross distance — the hash-match proves the
+    * multi-index equi-join construction finds every within-radius pair. */
+  private val q197 = {
+    def chunksSql(emb: String, pre: String) =
+      (1 to 4).map(i => s"${signChunkSql(emb, i)} AS $pre$i").mkString(", ")
+    val distSql = (1 to 4)
+      .map(i => s"bit_count(xor(c.c$i, q.qc$i))").mkString(" + ")
+    GQuery(
+      "q197_hamming_radius",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        hammingRadiusSearch(emb,
+            emb.filter(col("vec_id") % 25 === 0)
+              .select((col("vec_id") + 700000).as("query_id"),
+                col("embedding")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, ${chunksSql("embedding", "c")}
+            FROM embeddings),
+        q AS (SELECT vec_id + 700000 AS query_id,
+                ${chunksSql("embedding", "qc")}
+              FROM embeddings WHERE vec_id % 25 = 0),
+        d AS (SELECT q.query_id, c.vec_id,
+                CAST($distSql AS BIGINT) AS hamming
+              FROM c, q)
+      SELECT query_id, vec_id, hamming,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY hamming, vec_id) AS BIGINT) AS rank
+      FROM d WHERE hamming <= 3
+      ORDER BY query_id, rank"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193)
+      q174, q193, q197)
 }
