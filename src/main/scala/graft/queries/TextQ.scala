@@ -752,6 +752,66 @@ object TextQ {
     FROM pairs WHERE jw_raw >= 0.9
     ORDER BY name_a, name_b"""))
 
+  /** Reciprocal-best-match gate — the HIGH-PRECISION subset of the
+    * linkage graph: keep a candidate pair only when each name is the
+    * other's single best match (max jw, tiebreak lexicographic). ER
+    * systems run transitive closure over reciprocal pairs when
+    * over-merging is costlier than under-merging: a hub name that
+    * weakly resembles many others keeps at most ONE reciprocal edge, so
+    * the chains that turn distinct entities into one mega-cluster never
+    * form. Cost on top of [[fuzzyNameLinkage]]: symmetrize the pair
+    * table, one per-name argmax window (dictionary-pair-sized), one
+    * self-join of the two best-match tables. */
+  def reciprocalBestMatches(records: DataFrame, nameCol: String,
+      keyCol: String, minJw: Double = 0.9,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val pairs = fuzzyNameLinkage(records, nameCol, keyCol, minJw,
+      maxBlockSize)
+    val sym = pairs.select(col("name_a").as("me"), col("name_b").as("other"),
+        col("jw"))
+      .unionAll(pairs.select(col("name_b").as("me"),
+        col("name_a").as("other"), col("jw")))
+    val w = Window.partitionBy(col("me"))
+      .orderBy(col("jw").desc, col("other"))
+    val best = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("me"), col("other"), col("jw"))
+    best.as("x").join(best.as("y"),
+        col("x.me") === col("y.other") && col("x.other") === col("y.me") &&
+          col("x.me") < col("y.me"))
+      .select(col("x.me").as("name_a"), col("x.other").as("name_b"),
+        col("x.jw").as("jw"))
+  }
+
+  /** Oracle fixture of [[reciprocalBestMatches]] on the part catalog. */
+  private val q201 = GQuery(
+    "q201_reciprocal_match",
+    (s, dir) => reciprocalBestMatches(t(s, dir, "part"), "p_name",
+        "p_partkey")
+      .orderBy(col("name_a"), col("name_b")),
+    Some("""WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n_rows,
+          MIN(p_partkey) AS canon_key
+        FROM part GROUP BY 1),
+      blk AS (SELECT *, list_extract(string_split(name, ' '), -1) AS block
+        FROM names
+        QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000),
+      pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+          ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+      sym AS (SELECT name_a AS me, name_b AS other, jw FROM pairs
+        UNION ALL SELECT name_b, name_a, jw FROM pairs),
+      best AS (SELECT me, other, jw FROM (
+          SELECT me, other, jw,
+            ROW_NUMBER() OVER (PARTITION BY me
+              ORDER BY jw DESC, other) AS rn
+          FROM sym) WHERE rn = 1)
+      SELECT x.me AS name_a, x.other AS name_b, x.jw AS jw
+      FROM best x JOIN best y
+        ON x.me = y.other AND x.other = y.me AND x.me < y.me
+      ORDER BY name_a, name_b"""))
+
   /** Sorted-neighborhood linkage — the SECOND blocking modality beside
     * [[fuzzyNameLinkage]]'s head-noun blocks (real ER systems union
     * several blockings; each has a blind spot): sort the distinct-name
@@ -2760,5 +2820,6 @@ object TextQ {
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
-      q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199)
+      q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
+      q201)
 }

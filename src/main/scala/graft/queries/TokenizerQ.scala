@@ -376,6 +376,125 @@ object TokenizerQ {
         ORDER BY round"""))
   }
 
+  /** WordPiece merge learning — the THIRD tokenizer family next to BPE
+    * (q137, raw pair frequency) and unigram-LM (q180, global
+    * segmentation cost): the BERT-style scorer picks the pair maximizing
+    * `freq(lr) / (freq(l)·freq(r))` — a LIKELIHOOD ratio, so a
+    * moderately-frequent pair of RARE symbols beats a frequent pair of
+    * ubiquitous ones (BPE's known failure: gluing the two most common
+    * letters first). Same greedy leftmost rewrite ([[mergeFold]]), same
+    * vocabulary-sized rounds; only the argmax changes. The score is the
+    * exact scaled integer `pf·10¹² DIV (fl·fr)` in DECIMAL(38,0) with
+    * (score desc, l, r) as the total order, so the DuckDB oracle
+    * replays the identical selection.
+    *
+    * Scale shape: per round one adjacency count AND one symbol count —
+    * both vocabulary-sized aggregations (the symbol table is the
+    * smaller one); the denominator join keys on the symbol. The
+    * incremental-delta and batch levers of [[learn]] apply identically
+    * if a production budget needs them; the reference construction here
+    * is the sequential scorer the oracle pins. */
+  def wordpieceMerges(docs: DataFrame, rounds: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 10000,
+      s"rounds must be in [1, 10000], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var words = snap(wordTable(docs))
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (round <- 1 to rounds) {
+      val ts = split(col("sym"), " ")
+      val pairs = words.filter(size(ts) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+      val syms = words
+        .select(col("freq"), explode(ts).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val cand = pairs
+        .join(syms.select(col("s").as("l"), col("c").as("fl")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("c").as("fr")), Seq("r"))
+        .select(col("l"), col("r"), col("pf"), expr(
+          """(CAST(pf AS DECIMAL(38,0)) * 1000000000000)
+             div (CAST(fl AS DECIMAL(38,0)) * fr)""").as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (cand.isEmpty) throw new IllegalStateException(
+        s"WordPiece vocabulary has no adjacent pairs left after " +
+          s"${round - 1} merges; asked for $rounds")
+      val row = cand.head
+      val (l, r) = (row.getString(0), row.getString(1))
+      merges += ((round, l, r, row.getLong(2), row.getLong(3)))
+      words = snap(words.withColumn("sym",
+        mergeFold(col("sym"), Seq((l, r)))))
+    }
+    merges.result()
+      .toDF("round", "left_sym", "right_sym", "pair_freq", "score_scaled")
+      .select(col("round").cast(LongType).as("round"),
+        col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_freq"), col("score_scaled"))
+  }
+
+  /** DuckDB twin of [[wordpieceMerges]]: the bpeSql chain with a
+    * symbol-frequency CTE and the likelihood-ratio argmax per round. */
+  private[queries] def wordpieceSql(rounds: Int): String = {
+    val init =
+      """w AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE len(word) > 0 GROUP BY word),
+         s0 AS (SELECT word, freq,
+             trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym FROM w)"""
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT ts[i] AS l, ts[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS pf
+            FROM (SELECT freq, string_split(sym, ' ') AS ts FROM s${r - 1}),
+              UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+            WHERE len(ts) >= 2
+            GROUP BY 1, 2),
+          y$r AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS c
+            FROM (SELECT freq, unnest(string_split(sym, ' ')) AS s
+                  FROM s${r - 1})
+            GROUP BY s),
+          b$r AS (SELECT l, r, pf,
+              CAST((CAST(pf AS HUGEINT) * 1000000000000)
+                // (CAST(fl.c AS HUGEINT) * fr.c) AS BIGINT) AS score
+            FROM p$r
+            JOIN y$r fl ON fl.s = p$r.l
+            JOIN y$r fr ON fr.s = p$r.r
+            ORDER BY score DESC, l, r LIMIT 1),
+          s$r AS (SELECT word, freq,
+              CASE WHEN len(string_split(sym, ' ')) < 2 THEN sym ELSE
+                list_reduce(string_split(sym, ' '), (acc, x) ->
+                  CASE WHEN x = b$r.r
+                      AND string_split(acc, ' ')[-1] = b$r.l
+                    THEN array_to_string(list_append(
+                      list_slice(string_split(acc, ' '), 1,
+                        len(string_split(acc, ' ')) - 1), b$r.l || b$r.r), ' ')
+                    ELSE acc || ' ' || x END) END AS sym
+            FROM s${r - 1}, b$r)"""
+    }.mkString(",\n")
+    s"$init,\n$perRound"
+  }
+
+  /** Oracle fixture of [[wordpieceMerges]]: 3 likelihood-scored rounds. */
+  private val q200 = {
+    val rows = (1 to 3).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l AS left_sym, r AS right_sym, l || r AS merged, pf AS pair_freq, score AS score_scaled FROM b$r")
+      .mkString(" UNION ALL ")
+    GQuery(
+      "q200_wordpiece_merges",
+      (s, dir) => wordpieceMerges(t(s, dir, "documents"), rounds = 3)
+        .orderBy(col("round")),
+      Some(s"""WITH ${wordpieceSql(3)}
+        $rows
+        ORDER BY round"""))
+  }
+
   // ------------------------------------------------------------------
   // Unigram-LM segmentation — the SECOND tokenizer family (SentencePiece
   // / Kudo 2018 style) next to BPE: instead of learning merges, score a
@@ -609,5 +728,5 @@ object TokenizerQ {
           // CAST(SUM(freq * word_len) AS BIGINT) AS bpc_milli
       FROM seg"""))
 
-  val queries: Seq[GQuery] = Seq(q137, q138, q153, q180, q181)
+  val queries: Seq[GQuery] = Seq(q137, q138, q153, q180, q181, q200)
 }
