@@ -47,7 +47,8 @@ object ScaleProbe {
     "q191_cell_repeat", "q192_codetable_drift", "q193_kcenter_coreset",
     "q194_contamination_report", "q195_tiered_rating",
     "q196_market_basket", "q197_hamming_radius", "q198_autocorrelation",
-    "q199_kfold_split", "q200_wordpiece_merges", "q201_reciprocal_match")
+    "q199_kfold_split", "q200_wordpiece_merges", "q201_reciprocal_match",
+    "q202_top_paths", "q203_lpa_communities")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1508,6 +1508,56 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Top user-journey paths — the Sankey/flow card over per-user event
+    * prefixes: each user's first `pathLen` events (ordered by ts with
+    * event_id as the total-order tiebreak) concatenate into a path
+    * string, and the card reports the `topK` most common paths with
+    * user counts. [[eventTransitions]]-class cards (q101) report EDGE
+    * frequencies; this reports whole PREFIX frequencies — the
+    * onboarding-flow question "what do users actually do first".
+    *
+    * Plan: one user-partitioned rank window (the per-user prefix),
+    * one user-keyed path aggregation (sort_array over ≤pathLen structs,
+    * map-side combined), one path-keyed count, TakeOrdered top-K. All
+    * shuffles on user then path; nothing pairs-sized. */
+  def topPaths(events: DataFrame, pathLen: Int = 5, topK: Int = 20,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(pathLen >= 1 && pathLen <= 32,
+      s"pathLen must be in [1, 32], got $pathLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col(typeCol).as("et")))),
+        x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Oracle fixture of [[topPaths]]: first 5 events per user, top 20. */
+  private val q202 = GQuery(
+    "q202_top_paths",
+    (s, dir) => topPaths(t(s, dir, "events"))
+      .orderBy(col("n_users").desc, col("path")),
+    Some("""WITH r AS (SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (SELECT user_id,
+          string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, COUNT(*) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n_users DESC, path
+      LIMIT 20"""))
+
   /** Lag-autocorrelation periodicity card — MEASURES the period that
     * [[seasonalAnomalies]] (q185) ASSUMES: per event type, the Pearson
     * autocorrelation of the daily-count series at lags 1..maxLag. A
@@ -1660,5 +1710,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202)
 }

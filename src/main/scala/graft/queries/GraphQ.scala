@@ -265,5 +265,80 @@ object GraphQ {
       FROM deg LEFT JOIN pn ON deg.n = pn.n
       ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(q139, q140, q176)
+  /** Synchronous label propagation (LPA) — COMMUNITY detection over the
+    * candidate graph, the mid-resolution structure between
+    * [[TextQ.connectedComponents]] (everything reachable is one family —
+    * over-merges when a template bridge links two real families) and
+    * [[triangleStats]] (per-node density only): after `rounds`
+    * synchronous votes each node carries the label held by the plurality
+    * of its neighbors-plus-self, so a thin template bridge between two
+    * dense mirror families keeps two labels where components force one.
+    * Deterministic: labels start as node ids, a round's vote is argmax
+    * by (count desc, label asc) — a total order — and the round budget
+    * is the contract (the q139 fixed-iteration convention, no
+    * convergence check, no driver traffic).
+    *
+    * Scale shape: per round one hash shuffle of neighbor labels and one
+    * (node, label)-sized vote aggregation — candidate-edge-sized, never
+    * corpus-sized; lineage cut per round. */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3,
+      reliable: Boolean = false): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
+    val sym = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val edges = snap(sym)
+    var labels = snap(edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("label")))
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
+        .select(col("u"), col("label"))
+        .unionAll(labels.select(col("u"), col("label")))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
+      labels = snap(votes
+        .groupBy(col("u"))
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("top"))
+        .select(col("u"), (-col("top.nl")).as("label")))
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("community"))
+  }
+
+  /** Oracle fixture of [[labelPropagation]]: 3 rounds over the q26
+    * candidate graph. */
+  private val q203 = {
+    val iters = (1 to 3).map { i =>
+      s"""v$i AS (SELECT u, label, COUNT(*) AS n FROM (
+            SELECT e.u, l.label
+            FROM edges e JOIN l${i - 1} l ON l.u = e.v
+            UNION ALL
+            SELECT u, label FROM l${i - 1})
+          GROUP BY u, label),
+        l$i AS (SELECT u, label FROM (
+            SELECT u, label,
+              ROW_NUMBER() OVER (PARTITION BY u
+                ORDER BY n DESC, label) AS rn
+            FROM v$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    GQuery(
+      "q203_lpa_communities",
+      (s, dir) => labelPropagation(
+        TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25),
+        rounds = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""${TextQ.minhashCandSql},
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        l0 AS (SELECT DISTINCT u, u AS label FROM edges),
+        $iters
+        SELECT u AS doc_id, label AS community
+        FROM l3
+        ORDER BY doc_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203)
 }
