@@ -211,6 +211,27 @@ class PlanShapeSpec extends SparkSpec {
     assertGlobalWindowsBounded("q148_ks_drift")
   }
 
+  test("q197 Hamming candidates are equi-joins, never a distance cross product") {
+    val plan = planOf("q197_hamming_radius")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan)
+  }
+
+  test("q196 market basket self-join stays an equi-join with partial aggs") {
+    val plan = planOf("q196_market_basket")
+    // the only nested-loop allowed is the 1-row scalar-total broadcast
+    // cross join (the keySkewReport pattern); the basket self-join must
+    // be a hash equi-join on the basket key
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin [bk") ||
+      plan.contains("SortMergeJoin [bk"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered:\n$plan")
+  }
+
   test("concurrentCounts finds every pair exactly once, across cell borders") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
