@@ -441,6 +441,91 @@ object WindowQ {
         ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderkey"""))
 
+  /** SCD2 validity-window audit — the data-quality gate run on a
+    * versioned dimension BEFORE the as-of join trusts it: per key, sort
+    * versions by (valid_from, valid_to) and flag OVERLAPS (a fact row in
+    * the overlap region matches two versions — the as-of pick silently
+    * resolves it, hiding a data bug), GAPS (facts in the gap match the
+    * older version — usually wrong), and MULTIPLE OPEN versions
+    * (valid_to NULL more than once ⇒ "current" is ambiguous). One
+    * summary row: key/version counts, per-defect counts, and the number
+    * of fully clean keys. [[scd2]]'s own lead() construction is
+    * contiguous by construction; this audits dims built ELSEWHERE (the
+    * reference's Oracle-maintained config tables are exactly such
+    * hand-maintained versioned dims).
+    *
+    * Plan: one key-partitioned lag window + one per-key agg + one global
+    * agg — a single hash exchange on the key. Times compare as integer
+    * epoch seconds (engine-portable). */
+  def scd2Audit(dim: org.apache.spark.sql.DataFrame, keyCol: String,
+      fromCol: String, toCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("f"), col("t").asc_nulls_last)
+    val marked = dim.select(col(keyCol).as("k"),
+        col(fromCol).cast(org.apache.spark.sql.types.LongType).as("f"),
+        col(toCol).cast(org.apache.spark.sql.types.LongType).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .select(col("k"),
+        when(col("prev_t").isNotNull && col("f") < col("prev_t"), 1L)
+          .otherwise(0L).as("ovl"),
+        when(col("prev_t").isNotNull && col("f") > col("prev_t"), 1L)
+          .otherwise(0L).as("gap"),
+        when(col("t").isNull, 1L).otherwise(0L).as("open"))
+    marked.groupBy(col("k"))
+      .agg(count(lit(1)).as("nv"), sum(col("ovl")).as("no"),
+        sum(col("gap")).as("ng"), sum(col("open")).as("nopen"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("nv")).as("n_versions"),
+        sum(col("no")).as("n_overlaps"),
+        sum(col("ng")).as("n_gaps"),
+        sum(when(col("nopen") > 1, 1L).otherwise(0L))
+          .as("n_keys_multi_open"),
+        sum(when(col("no") === 0 && col("ng") === 0 && col("nopen") <= 1, 1L)
+          .otherwise(0L)).as("n_keys_clean"))
+  }
+
+  /** Oracle fixture of [[scd2Audit]]: a deliberately imperfect versioned
+    * dim synthesized from events — valid_to = ts + value-scaled duration,
+    * so overlaps AND gaps both occur naturally per user. */
+  private val q204 = GQuery(
+    "q204_scd2_audit",
+    (s, dir) => {
+      val dim = t(s, dir, "events").select(col("user_id"),
+        col("ts").cast(org.apache.spark.sql.types.LongType).as("vf"),
+        when(col("event_type") === "signup", lit(null)
+            .cast(org.apache.spark.sql.types.LongType))
+          .otherwise(col("ts").cast(org.apache.spark.sql.types.LongType) +
+            expr("CAST(round(value * 100) AS BIGINT)")).as("vt"))
+      scd2Audit(dim, "user_id", "vf", "vt")
+    },
+    Some(s"""WITH dim AS (SELECT user_id,
+          ${epochSecSql("ts")} AS f,
+          CASE WHEN event_type = 'signup' THEN NULL
+               ELSE ${epochSecSql("ts")} + CAST(round(value * 100) AS BIGINT)
+          END AS t
+        FROM events),
+      m AS (SELECT user_id AS k, f, t,
+          LAG(t) OVER (PARTITION BY user_id
+            ORDER BY f, t ASC NULLS LAST) AS prev_t
+        FROM dim),
+      fl AS (SELECT k,
+          CASE WHEN prev_t IS NOT NULL AND f < prev_t THEN 1 ELSE 0 END AS ovl,
+          CASE WHEN prev_t IS NOT NULL AND f > prev_t THEN 1 ELSE 0 END AS gap,
+          CASE WHEN t IS NULL THEN 1 ELSE 0 END AS opn
+        FROM m),
+      pk AS (SELECT k, COUNT(*) AS nv, SUM(ovl) AS no, SUM(gap) AS ng,
+               SUM(opn) AS nopen
+             FROM fl GROUP BY k)
+      SELECT COUNT(*) AS n_keys,
+        CAST(SUM(nv) AS BIGINT) AS n_versions,
+        CAST(SUM(no) AS BIGINT) AS n_overlaps,
+        CAST(SUM(ng) AS BIGINT) AS n_gaps,
+        CAST(SUM(CASE WHEN nopen > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keys_multi_open,
+        CAST(SUM(CASE WHEN no = 0 AND ng = 0 AND nopen <= 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_keys_clean
+      FROM pk"""))
+
   val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75,
-    q79, q95, q98, q144)
+    q79, q95, q98, q144, q204)
 }
