@@ -532,13 +532,16 @@ object TokenizerQ {
       .select(expr("substring(word, s, plen)").as("piece"), col("freq"))
     val cnts = grams.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"))
-    // vocabulary-sized global rank; at an extreme vocabulary swap in the
-    // bucket-offset construction (CurationQ.globalRankBy)
-    val rn = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("piece"))
-    cnts.withColumn("rn", row_number().over(rn))
-      .filter(col("rn") <= topK || length(col("piece")) === 1)
-      .crossJoin(broadcast(tot))
+    // top-K as TakeOrderedAndProject (distributed partial top-K), UNION
+    // the single-char coverage floor, distinct to collapse the overlap —
+    // exactly the rows `rn <= topK OR len = 1` selects, without ranking
+    // the SUBSTRING table (≈ |word vocab| · maxPieceLen rows — the one
+    // table in this family that is NOT small) through an un-partitioned
+    // window (the q183 lesson applied here)
+    val kept = cnts.orderBy(col("cnt").desc, col("piece")).limit(topK)
+      .unionAll(cnts.filter(length(col("piece")) === 1))
+      .distinct()
+    kept.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
         expr("CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT)")
           .as("cost_bits"))
