@@ -120,4 +120,47 @@ object RatingPipeline {
     writeSummary(summarize(rated), outPath)
     (rated, dead)
   }
+
+  /** Whole pipeline, CONTINUOUS form — the reference's actual operating
+    * mode: `gsmrating` runs as a long-lived session fed files by the
+    * queue plane (`MFramework.cpp:1261-1302` hands file names to the
+    * session loop); here the file streaming source provides the
+    * new-file-arrival trigger and exactly-once file accounting, and
+    * each micro-batch runs the SAME normalize → split → assemble → rate
+    * operators as [[run]]. Outputs land per batch under
+    * `batch_id=<id>` partitions with dynamic partition overwrite, so a
+    * RETRIED micro-batch replaces its own output instead of
+    * double-billing — the [[graft.etl.IncrementalDedup.sink]] ledger
+    * pattern, which is what "exactly once" means for a rating stage.
+    *
+    * Leg-assembly scope: per micro-batch, which reproduces the
+    * reference's file-at-a-time semantics when the source is configured
+    * `maxFilesPerTrigger = 1` (legs of one call arrive in one file).
+    * Cross-file straggler legs are the stateful case —
+    * [[graft.streaming.LegAssembler]] is that operator; compose it
+    * upstream when the CDR feed splits calls across files. */
+  def runStreaming(spark: SparkSession, cdrDir: String,
+      tariffs: DataFrame, ratedPath: String, deadPath: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(cdrSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(cdrDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (valid, dead) = split(normalize(batch))
+        rate(assembleLegs(valid), tariffs)
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(ratedPath)
+        dead.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(deadPath)
+      }
+      .start()
+  }
 }

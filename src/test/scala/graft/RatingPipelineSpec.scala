@@ -101,6 +101,35 @@ class RatingPipelineSpec extends SparkSpec {
     assert(dead.count() == 2, "permissive-parsed garbage must fail validation")
   }
 
+  test("continuous rating: per-batch rated + dead outputs, batch_id partitions") {
+    val dir = Files.createTempDirectory("graft_cdr_stream").toString
+    val rated = Files.createTempDirectory("graft_rated_s").toString
+    val dead = Files.createTempDirectory("graft_dead_s").toString
+    val ckpt = Files.createTempDirectory("graft_rate_ckpt").toString
+    Files.writeString(java.nio.file.Path.of(dir, "f1.csv"), cdrCsv)
+    val q = RatingPipeline.runStreaming(spark, dir, tariffs, rated, dead,
+      ckpt, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      // a second file arriving later lands under its own batch partition
+      Files.writeString(java.nio.file.Path.of(dir, "f2.csv"),
+        """record_type,imsi,msisdn,other_party,call_start_ts,duration_sec,cell_id,call_type,partial_seq
+          |MOC,404551234567895,9812345690,919876543210,2026-08-12 10:00:00,90,c7,VOICE,1
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.read.parquet(rated)
+    val d = spark.read.parquet(dead)
+    // file 1: 4 valid records assembling to 3 rated calls; file 2: 1 more
+    assert(r.count() == 4, r.collect().mkString("\n"))
+    assert(r.select("batch_id").distinct().count() == 2)
+    assert(d.count() == 3, "the three dead-letter records persist")
+    // the later file rated under the post-05:00 tariff version
+    val charge = r.filter(col("imsi") === "404551234567895")
+      .select(col("charge").cast("double")).as[Double].head()
+    assert(charge == 0.25 + 2 * 2.00, charge.toString)
+  }
+
   test("calls before any tariff version rate as null charge, not dropped") {
     import spark.implicits._
     val early = Seq(("MOC", "404550000000001", "919800000001", "x",
