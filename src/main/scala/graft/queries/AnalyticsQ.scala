@@ -1662,13 +1662,25 @@ object AnalyticsQ {
     * DECIMAL(38,0) (co·N and ca·cb overflow BIGINT at ~3·10⁹ baskets —
     * the q183 rule); top-K is TakeOrdered. */
   def marketBasket(items: DataFrame, basketCol: String, itemCol: String,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, maxBasketSize: Int = 10000): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val b = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val b0 = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+    // mega-basket guard (the lshCandidates maxBandSize convention): one
+    // pathological basket with 10⁶ items is 10¹² pairs on one reducer —
+    // exclude over-cap baskets from PAIRING (an aggregate + broadcast
+    // anti-join, never a window). They still count toward n_baskets and
+    // item counts, so support/lift denominators stay corpus-true; a
+    // basket that big is a crawler artifact, not co-purchase signal.
+    val big = b0.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBasketSize).select(col("bk"))
+    val b = b0
+    val paired = b0.join(broadcast(big), Seq("bk"), "left_anti")
     val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
     val cnt = b.groupBy(col("it")).agg(count(lit(1)).as("c"))
-    val pairs = b.as("x").join(b.as("y"),
+    val pairs = paired.as("x").join(paired.as("y"),
         col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
       .agg(count(lit(1)).as("co"))

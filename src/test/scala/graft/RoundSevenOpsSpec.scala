@@ -72,6 +72,21 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(byPair(("x", "z"))._1 == 1L)
   }
 
+  test("marketBasket excludes mega-baskets from pairing, keeps denominators") {
+    // basket 9 has 5 items (> cap 4): contributes NO pairs, but its
+    // items and the basket itself still count toward c and N
+    val items = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y")) ++
+      (1 to 5).map(i => (9L, s"m$i"))
+    val df = items.toDF("bk", "it")
+    val got = AnalyticsQ.marketBasket(df, "bk", "it", topK = 10,
+        maxBasketSize = 4)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => !r._1.startsWith("m")), got.toSeq.toString)
+    // N = 3 baskets (mega included); lift(x,y) = 1e6*2*3/(2*2) = 1500000
+    assert(got.exists(r => (r._1, r._2, r._3, r._6, r._7) ==
+      (("x", "y", 2L, 3L, 1500000L))), got.toSeq.toString)
+  }
+
   // --- q197 multi-index Hamming ----------------------------------------
 
   test("hammingRadiusSearch finds distance-3 pairs spread over 3 chunks") {
