@@ -1676,10 +1676,9 @@ object AnalyticsQ {
     // basket that big is a crawler artifact, not co-purchase signal.
     val big = b0.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxBasketSize).select(col("bk"))
-    val b = b0
     val paired = b0.join(broadcast(big), Seq("bk"), "left_anti")
-    val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
-    val cnt = b.groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val n = b0.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val cnt = b0.groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = paired.as("x").join(paired.as("y"),
         col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
