@@ -2788,6 +2788,65 @@ object TextQ {
         expr("(1000 * total_bits) DIV n_tokens").as("mbpt"))
   }
 
+  /** Per-document surprise under the CORPUS code table — the document-
+    * level projection of [[codeTableDrift]]: each doc's mean token cost
+    * in staircase bits against the whole-corpus unigram frequencies.
+    * Low surprise = the doc is made of the corpus's most common tokens
+    * (boilerplate, templates); high surprise = rare-token soup (OCR
+    * noise, wrong language, binary spill). The unigram complement of
+    * [[graft.queries.CurationQ.lmTransitionScore]]'s bigram score — a
+    * doc of common tokens in impossible ORDER scores low here and low
+    * there is the cross-check. All exact integers.
+    *
+    * Plan: ONE token explode feeding a (doc, token) tf compression
+    * (materialized once — it has two consumers), from which both the
+    * vocabulary counts (Σ tf per token) and the per-doc costs
+    * (Σ tf·cost) derive. The cost join keys the tf table, not raw token
+    * instances: instances hash-partitioned by a Zipf vocabulary put
+    * whole stopword populations on single reducers (a first draft
+    * joined instances and probed 3.7× at 10×), while tf rows are
+    * bounded by |docs|·|distinct tokens per doc| and spread by doc. */
+  def docSurprise(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cnts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    val costs = cnts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        expr("CAST(length(bin(total)) - length(bin(cnt)) AS BIGINT)")
+          .as("cost_bits"))
+    tf.join(costs, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cost_bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        expr("(1000 * total_bits) DIV n_tokens").as("surprise_mbpt"))
+  }
+
+  /** Oracle fixture of [[docSurprise]]. */
+  private val q205 = GQuery(
+    "q205_doc_surprise",
+    (s, dir) => docSurprise(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) WHERE len(tok) > 0),
+      cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT SUM(cnt) AS total FROM cnts),
+      costs AS (SELECT tok,
+          CAST(length(bin(CAST(tot.total AS BIGINT)))
+            - length(bin(CAST(cnt AS BIGINT))) AS BIGINT) AS cost_bits
+        FROM cnts, tot)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(cost_bits) AS BIGINT) AS total_bits,
+        (1000 * CAST(SUM(cost_bits) AS BIGINT)) // COUNT(*) AS surprise_mbpt
+      FROM toks JOIN costs USING (tok)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   /** Oracle fixture of [[codeTableDrift]] over the full source matrix. */
   private val q192 = GQuery(
     "q192_codetable_drift",
@@ -2821,5 +2880,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201)
+      q201, q205)
 }
