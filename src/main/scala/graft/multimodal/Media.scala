@@ -196,4 +196,58 @@ object Media {
     val parts = math.max(1, (totalBytes / math.max(targetBytesPerPartition, 1L)).toInt)
     media.repartition(parts)
   }
+
+  /** Fixed-stride frame signatures, expression-level (codegen, no UDF):
+    * the payload splits into `frameBytes`-sized frames (the last partial
+    * frame kept), each hashed — the per-frame fingerprint table behind
+    * frame-level video/image-sequence dedup. Works on any string/binary
+    * payload column via substring. */
+  def frameSignatures(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    df.select(col(idCol).as("media_id"), col(payloadCol).as("p"))
+      .filter(length(col("p")) > 0)
+      .select(col("media_id"), explode(expr(
+        s"sequence(0, CAST((length(p) - 1) DIV $frameBytes AS INT))"))
+        .as("frame_idx"), col("p"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(p, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("h"))
+  }
+
+  /** Frame-overlap near-dup pairs — the multimodal dedup verdict: for
+    * every media pair sharing at least `minShared` DISTINCT frame
+    * signatures, the shared count and the containment ppm against the
+    * smaller side (a clip cut from a longer video reaches ~10⁶ even
+    * though Jaccard is low — the q159 containment rule, frame-aligned).
+    * Frames shared by more than `maxFrameDocs` media (intros, color
+    * bars, black frames) are excluded from pairing by an aggregate +
+    * broadcast anti-join — the LSH band-cap convention; one hot frame
+    * would otherwise pair every video against every other.
+    *
+    * Scale shape: signatures are one map-side explode; pairing is a
+    * self-join on the frame HASH (hash-partitionable, collision-sized);
+    * the per-pair count and the two distinct-frame-count lookups shuffle
+    * pair/media-sized tables only. */
+  def frameOverlap(sigs: DataFrame, minShared: Int = 2,
+      maxFrameDocs: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFrameDocs >= 2, s"maxFrameDocs must be >= 2, got $maxFrameDocs")
+    val dist = sigs.select(col("media_id"), col("h")).distinct()
+    val hot = dist.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxFrameDocs).select(col("h"))
+    val cold = dist.join(broadcast(hot), Seq("h"), "left_anti")
+    val nf = dist.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    cold.as("a").join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+      .join(nf.select(col("media_id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(nf.select(col("media_id").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_frames"),
+        col("nf_a"), col("nf_b"),
+        expr("(1000000 * shared_frames) DIV least(nf_a, nf_b)")
+          .as("containment_ppm"))
+  }
 }

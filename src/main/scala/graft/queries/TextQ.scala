@@ -1278,6 +1278,42 @@ object TextQ {
     FROM documents
     ORDER BY doc_id"""))
 
+  /** Oracle fixture of [[graft.multimodal.Media.frameSignatures]] +
+    * [[graft.multimodal.Media.frameOverlap]]: payloads = document text
+    * bytes (the q35 convention — no codecs in the sandbox; the plumbing
+    * is the tested part), 24-byte frames, pairs sharing ≥ 2 distinct
+    * frames. The corpus's planted exact-duplicate texts surface as
+    * full-containment pairs. */
+  private val q206 = GQuery(
+    "q206_frame_dedup",
+    (s, dir) => {
+      val sigs = graft.multimodal.Media.frameSignatures(
+        t(s, dir, "documents"), "doc_id", "text", frameBytes = 24)
+      graft.multimodal.Media.frameOverlap(sigs, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH sigs AS (SELECT doc_id AS media_id, i AS frame_idx,
+          md5(substring(text, CAST(i * 24 + 1 AS INT), 24)) AS h
+        FROM documents,
+          UNNEST(generate_series(0, (len(text) - 1) // 24)) AS u(i)
+        WHERE len(text) > 0),
+      dist AS (SELECT DISTINCT media_id, h FROM sigs),
+      hot AS (SELECT h FROM dist GROUP BY h HAVING COUNT(*) > 1000),
+      cold AS (SELECT * FROM dist WHERE h NOT IN (SELECT h FROM hot)),
+      nf AS (SELECT media_id, COUNT(*) AS nf FROM dist GROUP BY media_id),
+      pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+          COUNT(*) AS shared_frames
+        FROM cold a JOIN cold b
+          ON a.h = b.h AND a.media_id < b.media_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, shared_frames, na.nf AS nf_a, nb.nf AS nf_b,
+        (1000000 * shared_frames) // least(na.nf, nb.nf) AS containment_ppm
+      FROM pairs
+      JOIN nf na ON na.media_id = id_a
+      JOIN nf nb ON nb.media_id = id_b
+      WHERE shared_frames >= 2
+      ORDER BY id_a, id_b"""))
+
   /** Corpus n-gram statistics: top-20 bigrams by frequency with doc
     * frequency — the vocabulary-analysis pass of a pretraining pipeline
     * (one explode + one aggregation; top-k via rank, not a global sort). */
@@ -2880,5 +2916,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205)
+      q201, q205, q206)
 }
