@@ -98,4 +98,35 @@ class MediaSpec extends SparkSpec {
     val empty = mediaSet().filter(col("media_id") < 0)
     assert(Media.repartitionByBytes(empty, 1024).rdd.getNumPartitions == 1)
   }
+
+  test("frameOverlap: a clip cut from a longer video reads full containment") {
+    import spark.implicits._
+    val long = ("abcd" * 8) + ("efgh" * 8) + ("ijkl" * 8) // 3 16-byte x2 frames
+    val clip = "abcd" * 8                                  // the first segment
+    val other = "zzzz" * 24
+    val df = Seq((1L, long), (2L, clip), (3L, other)).toDF("media_id", "payload")
+    val sigs = Media.frameSignatures(df, "media_id", "payload", frameBytes = 16)
+    val got = Media.frameOverlap(sigs, minShared = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1, got.toSeq.toString)
+    val (a, b, shared, nfA, nfB, cont) = got.head
+    assert((a, b) == ((1L, 2L)))
+    // clip frames are all inside the long video: containment = 1e6
+    assert(shared == nfB && cont == 1000000L, got.head.toString)
+    assert(nfA > nfB)
+  }
+
+  test("frameOverlap: hot frames are excluded from pairing") {
+    import spark.implicits._
+    // every media shares one 'intro' frame; cap 2 excludes it, so no pairs
+    val intro = "i" * 16
+    val df = (1L to 4L).map(i => (i, intro + (i.toString * 16)))
+      .toDF("media_id", "payload")
+    val sigs = Media.frameSignatures(df, "media_id", "payload", frameBytes = 16)
+    assert(Media.frameOverlap(sigs, minShared = 1, maxFrameDocs = 2)
+      .count() == 0)
+    // with the cap relaxed the intro frame pairs everyone
+    assert(Media.frameOverlap(sigs, minShared = 1, maxFrameDocs = 1000)
+      .count() == 6)
+  }
 }
