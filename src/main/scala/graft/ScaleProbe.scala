@@ -49,7 +49,7 @@ object ScaleProbe {
     "q196_market_basket", "q197_hamming_radius", "q198_autocorrelation",
     "q199_kfold_split", "q200_wordpiece_merges", "q201_reciprocal_match",
     "q202_top_paths", "q203_lpa_communities", "q204_scd2_audit",
-    "q205_doc_surprise", "q206_frame_dedup")
+    "q205_doc_surprise", "q206_frame_dedup", "q208_cluster_histogram")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -186,6 +186,13 @@ object ScaleProbe {
         // principle; the headline q194 probe couples eval size AND
         // duplicate density to K (its %11 eval grows with the corpus
         // and every replica duplicates it)
+        // q207's brute-force eval card with a FIXED query batch: the
+        // headline fixture's %20 query sample grows with the corpus and
+        // the pair volume with their product — an eval workload doesn't.
+        ("q207_fixed_eval_scaled",
+          dir => queries.VectorQ.truncationAgreement(emb(dir),
+            queriesFor(srcDir)),
+          _ => "queries=100(fixed);prefix=16"),
         ("q194_fixed_eval_scaled",
           dir => {
             val evalDocs = core.Tables.load(spark, srcDir, "documents")

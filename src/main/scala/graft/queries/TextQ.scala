@@ -752,6 +752,51 @@ object TextQ {
     FROM pairs WHERE jw_raw >= 0.9
     ORDER BY name_a, name_b"""))
 
+  /** Duplicate-cluster size histogram — the dedup diagnostic read BEFORE
+    * choosing a keep policy: (cluster size, number of clusters, docs in
+    * them), singletons included as size 1. A long tail of huge clusters
+    * means template families (use [[GraphQ.triangleStats]] before
+    * trusting closure); mass concentrated at size 2 means true mirrors
+    * (min-id keep is fine); the histogram also prices the dedup —
+    * Σ (size−1) over clusters = docs a full dedup removes. Cost: the
+    * candidate pipeline + component label counts; the histogram rides
+    * the (cluster-count)-sized table. */
+  def clusterSizeHistogram(docs: DataFrame,
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+    val comp = connectedComponents(
+      lshCandidates(minhashBands(docs), maxBandSize)
+        .filter(col("est_jaccard") >= minEstJaccard))
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("cluster"))
+    labeled.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+  }
+
+  /** Oracle fixture of [[clusterSizeHistogram]]. */
+  private val q208 = GQuery(
+    "q208_cluster_histogram",
+    (s, dir) => clusterSizeHistogram(t(s, dir, "documents"))
+      .orderBy(col("size")),
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+               FROM reach GROUP BY u),
+      lab AS (SELECT COALESCE(c.component, d.doc_id) AS cluster
+              FROM documents d LEFT JOIN comp c USING (doc_id)),
+      sizes AS (SELECT cluster, COUNT(*) AS size FROM lab GROUP BY cluster)
+      SELECT size, COUNT(*) AS n_clusters,
+        CAST(size * COUNT(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY size
+      ORDER BY size"""))
+
   /** Reciprocal-best-match gate — the HIGH-PRECISION subset of the
     * linkage graph: keep a candidate pair only when each name is the
     * other's single best match (max jw, tiebreak lexicographic). ER
@@ -2916,5 +2961,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206)
+      q201, q205, q206, q208)
 }

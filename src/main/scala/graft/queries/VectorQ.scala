@@ -2099,6 +2099,110 @@ object VectorQ {
     FROM v1 JOIN v2 USING (j), m1, m2
     ORDER BY dim"""))
 
+  /** Matryoshka truncation eval — before shipping prefix-truncated
+    * embeddings (the MRL deployment trick: serve dims 1..p of a 64-dim
+    * vector at 1/4 the memory), measure what retrieval loses: for each
+    * query, does the top-1 neighbor under PREFIX cosine agree with the
+    * top-1 under FULL cosine, and how much full-cosine quality does the
+    * truncated pick give up. One row: n_queries, n_agree, agree_ppm,
+    * and the summed loss in micro-cosine units (exact: per-query loss
+    * rounds to an integer before summing, so the total is
+    * order-independent and engine-portable).
+    *
+    * Brute-force eval shape like [[cosineTopK]]'s ground-truth path
+    * (query set is a small eval sample, broadcast); both argmaxes ride
+    * one pair pass via max(struct(cos, −id)) — (cos desc, id asc), the
+    * standard tiebreak. */
+  def truncationAgreement(raw: DataFrame, queryTable: DataFrame,
+      prefixDims: Int = 16): DataFrame = {
+    require(prefixDims >= 1 && prefixDims < dim,
+      s"prefixDims must be in [1, $dim), got $prefixDims")
+    val p = prefixDims
+    def prefDot(a: String, b: String) = expr(
+      s"""aggregate(zip_with(slice($a, 1, $p), slice($b, 1, $p),
+            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""")
+    val v = withNorm(raw)
+      .withColumn("pn", prefDot("embedding", "embedding"))
+    val q = broadcast(queryTable
+      .select(col("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", vec_norm2(col("qe")))
+      .withColumn("qpn", prefDot("qe", "qe")))
+    val pairs = v.crossJoin(q)
+      .withColumn("cos_full",
+        round(vec_dot(col("qe"), col("embedding")) /
+          (sqrt(col("qn")) * sqrt(col("nrm"))), 6))
+      .withColumn("cos_tr",
+        round(prefDot("qe", "embedding") /
+          (sqrt(col("qpn")) * sqrt(col("pn"))), 6))
+    val picks = pairs.groupBy(col("query_id"))
+      .agg(
+        max(struct(col("cos_full"), (-col("vec_id")).as("nid"))).as("f"),
+        max(struct(col("cos_tr"), (-col("vec_id")).as("nid"))).as("t"))
+      .select(col("query_id"), (-col("f.nid")).as("full_id"),
+        col("f.cos_full").as("best_full"), (-col("t.nid")).as("trunc_id"))
+    val loss = picks.join(pairs.select(col("query_id"),
+        col("vec_id").as("trunc_id"), col("cos_full").as("pick_full")),
+        Seq("query_id", "trunc_id"))
+      .select(col("query_id"),
+        when(col("full_id") === col("trunc_id"), 1L).otherwise(0L)
+          .as("agree"),
+        expr("CAST(round((best_full - pick_full) * 1000000) AS BIGINT)")
+          .as("loss_micro"))
+    loss.agg(count(lit(1)).as("n_queries"), sum(col("agree")).as("n_agree"),
+        sum(col("loss_micro")).as("total_loss_micro"))
+      .select(col("n_queries"), col("n_agree"),
+        expr("(1000000 * n_agree) DIV n_queries").as("agree_ppm"),
+        col("total_loss_micro"))
+  }
+
+  /** Oracle fixture of [[truncationAgreement]]: corpus-sample queries,
+    * prefix = 16 of 64 dims. */
+  private val q207 = {
+    val p = 16
+    def prefDotSql(a: String, b: String): String =
+      (1 to p).map(k => s"(CAST($a[$k] AS DOUBLE) * CAST($b[$k] AS DOUBLE))")
+        .mkString(" + ")
+    GQuery(
+      "q207_matryoshka_eval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        truncationAgreement(emb,
+          emb.filter(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 800000).as("query_id"),
+              col("embedding")))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+            ${normSql("embedding")} AS nrm,
+            ${prefDotSql("embedding", "embedding")} AS pn
+          FROM embeddings),
+        q AS (SELECT vec_id + 800000 AS query_id, embedding AS qe,
+            ${normSql("embedding")} AS qn,
+            ${prefDotSql("embedding", "embedding")} AS qpn
+          FROM embeddings WHERE vec_id % 20 = 0),
+        pairs AS (SELECT query_id, c.vec_id,
+            ROUND((${dotSql("qe", "c.embedding")})
+              / (sqrt(qn) * sqrt(c.nrm)), 6) AS cos_full,
+            ROUND((${prefDotSql("qe", "c.embedding")})
+              / (sqrt(qpn) * sqrt(c.pn)), 6) AS cos_tr
+          FROM v c, q),
+        picks AS (SELECT query_id,
+            MAX(struct_pack(c := cos_full, n := -vec_id)) AS f,
+            MAX(struct_pack(c := cos_tr, n := -vec_id)) AS t
+          FROM pairs GROUP BY query_id),
+        l AS (SELECT p.query_id,
+            CASE WHEN (-(p.f).n) = (-(p.t).n) THEN 1 ELSE 0 END AS agree,
+            CAST(round(((p.f).c - pr.cos_full) * 1000000) AS BIGINT)
+              AS loss_micro
+          FROM picks p JOIN pairs pr
+            ON pr.query_id = p.query_id AND pr.vec_id = (-(p.t).n))
+      SELECT COUNT(*) AS n_queries,
+        CAST(SUM(agree) AS BIGINT) AS n_agree,
+        (1000000 * CAST(SUM(agree) AS BIGINT)) // COUNT(*) AS agree_ppm,
+        CAST(SUM(loss_micro) AS BIGINT) AS total_loss_micro
+      FROM l"""))
+  }
+
   private val qvExpr =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
@@ -2297,5 +2401,5 @@ object VectorQ {
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197)
+      q174, q193, q197, q207)
 }
