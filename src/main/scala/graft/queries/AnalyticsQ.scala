@@ -1508,6 +1508,53 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Per-user behavioral entropy — the bot/diversity card: each user's
+    * event-TYPE distribution scored in staircase bits
+    * (cost(t) = ⌊log₂ N_u⌋ − ⌊log₂ n_t⌋, the corpus-surprise
+    * construction applied per user), summarized as milli-bits per
+    * event. A single-type user (scraper, health-check) reads exactly 0;
+    * a user spread evenly over many types reads high. Engine-exact like
+    * every staircase card; the true Shannon value needs fractional
+    * logs, which cross-engine floats forbid — the staircase preserves
+    * the ORDERING the card is used for (flag the bottom percentile).
+    *
+    * Plan: one (user, type) count aggregation, a user-keyed total join
+    * back (both user-sized), one per-user rollup — all shuffles on
+    * user_id. */
+  def userEntropy(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val ut = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("n_t"))
+    val tot = ut.groupBy(col(userCol)).agg(sum(col("n_t")).as("n_u"))
+    ut.join(tot, Seq(userCol))
+      .select(col(userCol), col("n_t"), col("n_u"),
+        expr("CAST(length(bin(n_u)) - length(bin(n_t)) AS BIGINT)")
+          .as("cost"))
+      .groupBy(col(userCol))
+      .agg(max(col("n_u")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        expr("(1000 * SUM(n_t * cost)) DIV MAX(n_u)").as("entropy_mbpe"))
+  }
+
+  /** Oracle fixture of [[userEntropy]]. */
+  private val q210 = GQuery(
+    "q210_user_entropy",
+    (s, dir) => userEntropy(t(s, dir, "events"))
+      .orderBy(col("user_id")),
+    Some("""WITH ut AS (SELECT user_id, event_type, COUNT(*) AS n_t
+          FROM events GROUP BY 1, 2),
+      tot AS (SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n_u
+              FROM ut GROUP BY 1),
+      c AS (SELECT ut.user_id, n_t, n_u,
+          CAST(length(bin(n_u)) - length(bin(CAST(n_t AS BIGINT)))
+            AS BIGINT) AS cost
+        FROM ut JOIN tot USING (user_id))
+      SELECT user_id, MAX(n_u) AS n_events, COUNT(*) AS n_types,
+        (1000 * CAST(SUM(n_t * cost) AS BIGINT)) // MAX(n_u)
+          AS entropy_mbpe
+      FROM c GROUP BY user_id
+      ORDER BY user_id"""))
+
   /** Top user-journey paths — the Sankey/flow card over per-user event
     * prefixes: each user's first `pathLen` events (ordered by ts with
     * event_id as the total-order tiebreak) concatenate into a path
@@ -1721,5 +1768,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210)
 }

@@ -867,8 +867,60 @@ object Relational {
       GROUP BY metric
       ORDER BY metric"""))
 
+  /** Referential-integrity audit — the foreign-key trust gate run before
+    * joins are believed: one row with child/parent volumes, NULL child
+    * keys (they silently vanish from inner joins), ORPHAN child keys (no
+    * parent — an inner join drops the rows, a left join fabricates
+    * nulls; either way revenue goes missing quietly), and CHILDLESS
+    * parents. The mediation classic: CDR user ids that never resolve to
+    * a customer are exactly how a billing pipeline leaks money.
+    *
+    * Plan: null counts are map-side; the two orphan directions are
+    * distinct-key anti-joins (key-table-sized, hash-partitioned); no
+    * row-level joins anywhere. */
+  def referentialAudit(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame = {
+    val ck = child.select(col(childKey).as("k"))
+    val pk = parent.select(col(parentKey).as("k"))
+    val childStats = ck.agg(count(lit(1)).as("n_child"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_child_null_key"))
+    val nParent = pk.agg(count(lit(1)).as("n_parent"))
+    val ckd = ck.filter(col("k").isNotNull).distinct()
+    val pkd = pk.filter(col("k").isNotNull).distinct()
+    val orphans = ckd.join(pkd, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_child_keys"))
+    val childless = pkd.join(ckd, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_childless_parent_keys"))
+    childStats.crossJoin(broadcast(nParent))
+      .crossJoin(broadcast(orphans))
+      .crossJoin(broadcast(childless))
+      .select(col("n_child"), col("n_parent"), col("n_child_null_key"),
+        col("n_orphan_child_keys"), col("n_childless_parent_keys"))
+  }
+
+  /** Oracle fixture of [[referentialAudit]]: events.user_id against
+    * customer.c_custkey — the fixture's user population only partially
+    * overlaps the customer table, so both defect directions are
+    * non-zero. */
+  private val q209 = GQuery(
+    "q209_referential_audit",
+    (s, dir) => referentialAudit(t(s, dir, "events"),
+      t(s, dir, "customer"), "user_id", "c_custkey"),
+    Some("""WITH ck AS (SELECT user_id AS k FROM events),
+      pk AS (SELECT c_custkey AS k FROM customer),
+      ckd AS (SELECT DISTINCT k FROM ck WHERE k IS NOT NULL),
+      pkd AS (SELECT DISTINCT k FROM pk WHERE k IS NOT NULL)
+      SELECT (SELECT COUNT(*) FROM ck) AS n_child,
+        (SELECT COUNT(*) FROM pk) AS n_parent,
+        (SELECT CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM ck) AS n_child_null_key,
+        (SELECT COUNT(*) FROM ckd WHERE k NOT IN (SELECT k FROM pkd))
+          AS n_orphan_child_keys,
+        (SELECT COUNT(*) FROM pkd WHERE k NOT IN (SELECT k FROM ckd))
+          AS n_childless_parent_keys"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
       q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
-      q83, q107, q145)
+      q83, q107, q145, q209)
 }
