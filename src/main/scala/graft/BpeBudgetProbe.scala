@@ -39,14 +39,22 @@ object BpeBudgetProbe {
       .repartition(cpus.toInt).localCheckpoint()
     println(s"corpus: ${docs.count()} docs, $nWords distinct words")
 
+    // configs: "budget:batch" (frequency BPE) or "budget:batch:wp"
+    // (WordPiece likelihood scoring — same incremental/batched learner)
     val configs = sys.env.getOrElse("SPARK_GRAFT_BPE_BUDGETS", "256:32,256:64")
-      .split(",").map(_.trim.split(":")).map(a => (a(0).toInt, a(1).toInt))
-    configs.foreach { case (budget, batch) =>
+      .split(",").map(_.trim.split(":"))
+    configs.foreach { a =>
+      val (budget, batch) = (a(0).toInt, a(1).toInt)
+      val wp = a.length > 2 && a(2) == "wp"
       val t0 = System.nanoTime()
-      val n = graft.queries.TokenizerQ
-        .bpeMerges(docs, rounds = budget, batch = batch).count()
+      val n =
+        if (wp) graft.queries.TokenizerQ
+          .wordpieceMerges(docs, rounds = budget, batch = batch).count()
+        else graft.queries.TokenizerQ
+          .bpeMerges(docs, rounds = budget, batch = batch).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"bpe budget=$budget batch=$batch merges=$n wall=$dt%.1fs")
+      val mode = if (wp) "wordpiece" else "bpe"
+      println(f"$mode budget=$budget batch=$batch merges=$n wall=$dt%.1fs")
     }
     spark.stop()
   }

@@ -141,9 +141,17 @@ object TokenizerQ {
       .select(col("p.l").as("l"), col("p.r").as("r"), col("d"))
   }
 
+  /** Signed symbol explode of one symbol column: (s, ±freq) rows — the
+    * [[pairDelta]] analogue for the symbol-frequency table the WordPiece
+    * scorer divides by. */
+  private def symDelta(df: DataFrame, symName: String, sign: Int): DataFrame =
+    df.select((col("freq") * sign).as("d"),
+      explode(split(col(symName), " ")).as("s"))
+      .select(col("s"), col("d"))
+
   private def learn(docs: DataFrame, rounds: Int, reliable: Boolean,
-      batch: Int = 1)
-      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+      batch: Int = 1, likelihood: Boolean = false)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 100000,
       s"rounds must be in [1, 100000], got $rounds")
     require(batch >= 1 && batch <= 256,
@@ -158,23 +166,43 @@ object TokenizerQ {
     // is never re-exploded, unlike a full recount. pc after the merge
     //   pc' = pc − pairs(old touched) + pairs(new touched)
     // equals the full recount of the new table by construction
-    // (BpeDeltaSpec pins the equivalence after multiple rounds).
+    // (BpePropertySpec pins the equivalence after multiple rounds).
     var pc = snap(pairDelta(words, "sym", 1)
       .groupBy(col("l"), col("r")).agg(sum(col("d")).as("pf")))
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // Likelihood (WordPiece) mode additionally maintains the symbol
+    // frequency table sc the same incremental way; the argmax then ranks
+    // by score = pf·10¹² DIV (fl·fr) computed over the (pair-table-sized)
+    // pc ⋈ sc join. batch > 1 scores the whole batch against PRE-batch
+    // counts — the same bounded approximation as batched frequency BPE.
+    var sc =
+      if (likelihood) snap(symDelta(words, "sym", 1)
+        .groupBy(col("s")).agg(sum(col("d")).as("c")))
+      else null: DataFrame
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     var done = 0
     while (done < rounds) {
       val want = math.min(batch, rounds - done)
       // collect enough candidates to skip over conflict chains; a
       // shorter list than the limit just means fewer pairs exist
-      val cand = pc.filter(col("pf") > 0)
-        .orderBy(col("pf").desc, col("l"), col("r"))
-        .limit(4 * want + 16).collect()
+      val ranked =
+        if (likelihood)
+          pc.filter(col("pf") > 0)
+            .join(sc.select(col("s").as("l"), col("c").as("fl")), Seq("l"))
+            .join(sc.select(col("s").as("r"), col("c").as("fr")), Seq("r"))
+            .select(col("l"), col("r"), col("pf"), expr(
+              """(CAST(pf AS DECIMAL(38,0)) * 1000000000000)
+                 div (CAST(fl AS DECIMAL(38,0)) * fr)""").as("score"))
+            .orderBy(col("score").desc, col("l"), col("r"))
+        else
+          pc.filter(col("pf") > 0)
+            .select(col("l"), col("r"), col("pf"), col("pf").as("score"))
+            .orderBy(col("pf").desc, col("l"), col("r"))
+      val cand = ranked.limit(4 * want + 16).collect()
       if (cand.isEmpty) throw new IllegalStateException(
-        s"BPE vocabulary has no adjacent pairs left after $done merges; " +
+        s"vocabulary has no adjacent pairs left after $done merges; " +
           s"asked for $rounds — lower rounds or grow the corpus")
       val used = scala.collection.mutable.Set.empty[String]
-      val kept = Seq.newBuilder[(String, String, Long)]
+      val kept = Seq.newBuilder[(String, String, Long, Long)]
       var n = 0
       val it = cand.iterator
       while (n < want && it.hasNext) {
@@ -183,22 +211,28 @@ object TokenizerQ {
         val syms = Seq(l, r, l + r)
         if (!syms.exists(used.contains)) {
           used ++= syms
-          kept += ((l, r, row.getLong(2)))
+          kept += ((l, r, row.getLong(2), row.getLong(3)))
           n += 1
         }
       }
       val sel = kept.result()
-      sel.zipWithIndex.foreach { case ((l, r, pf), i) =>
-        merges += ((done + i + 1, l, r, pf))
+      sel.zipWithIndex.foreach { case ((l, r, pf, sc0), i) =>
+        merges += ((done + i + 1, l, r, pf, sc0))
       }
       val upd = snap(words.withColumn("new_sym",
-        mergeFold(col("sym"), sel.map { case (l, r, _) => (l, r) })))
+        mergeFold(col("sym"), sel.map { case (l, r, _, _) => (l, r) })))
       val touched = upd.filter(col("new_sym") =!= col("sym"))
       pc = snap(pc.select(col("l"), col("r"), col("pf").as("d"))
         .union(pairDelta(touched, "sym", -1))
         .union(pairDelta(touched, "new_sym", 1))
         .groupBy(col("l"), col("r")).agg(sum(col("d")).as("pf"))
         .filter(col("pf") =!= 0L))
+      if (likelihood)
+        sc = snap(sc.select(col("s"), col("c").as("d"))
+          .union(symDelta(touched, "sym", -1))
+          .union(symDelta(touched, "new_sym", 1))
+          .groupBy(col("s")).agg(sum(col("d")).as("c"))
+          .filter(col("c") =!= 0L))
       words = upd.select(col("word"), col("freq"),
         col("new_sym").as("sym"))
       done += sel.size
@@ -223,6 +257,7 @@ object TokenizerQ {
     val spark = docs.sparkSession
     import spark.implicits._
     learn(docs, rounds, reliable, batch)._1
+      .map { case (rd, l, r, pf, _) => (rd, l, r, pf) }
       .toDF("round", "left_sym", "right_sym", "pair_freq")
       .select(col("round").cast(LongType).as("round"),
         col("left_sym"), col("right_sym"),
@@ -388,52 +423,17 @@ object TokenizerQ {
     * (score desc, l, r) as the total order, so the DuckDB oracle
     * replays the identical selection.
     *
-    * Scale shape: per round one adjacency count AND one symbol count —
-    * both vocabulary-sized aggregations (the symbol table is the
-    * smaller one); the denominator join keys on the symbol. The
-    * incremental-delta and batch levers of [[learn]] apply identically
-    * if a production budget needs them; the reference construction here
-    * is the sequential scorer the oracle pins. */
+    * Scale shape: shares [[learn]]'s machinery — incremental pair AND
+    * symbol counts (± deltas from touched words only), batched
+    * symbol-disjoint merges, lineage cut per round — so the same
+    * production merge budgets are practical; `batch = 1` is the exact
+    * sequential scorer the oracle pins, `batch > 1` scores the batch
+    * against pre-batch counts (the documented batched-BPE trade-off). */
   def wordpieceMerges(docs: DataFrame, rounds: Int,
-      reliable: Boolean = false): DataFrame = {
-    require(rounds >= 1 && rounds <= 10000,
-      s"rounds must be in [1, 10000], got $rounds")
+      reliable: Boolean = false, batch: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    var words = snap(wordTable(docs))
-    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (round <- 1 to rounds) {
-      val ts = split(col("sym"), " ")
-      val pairs = words.filter(size(ts) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(ts, lit(1), size(ts) - 1),
-          slice(ts, lit(2), size(ts) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("pf"))
-      val syms = words
-        .select(col("freq"), explode(ts).as("s"))
-        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
-      val cand = pairs
-        .join(syms.select(col("s").as("l"), col("c").as("fl")), Seq("l"))
-        .join(syms.select(col("s").as("r"), col("c").as("fr")), Seq("r"))
-        .select(col("l"), col("r"), col("pf"), expr(
-          """(CAST(pf AS DECIMAL(38,0)) * 1000000000000)
-             div (CAST(fl AS DECIMAL(38,0)) * fr)""").as("score"))
-        .orderBy(col("score").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (cand.isEmpty) throw new IllegalStateException(
-        s"WordPiece vocabulary has no adjacent pairs left after " +
-          s"${round - 1} merges; asked for $rounds")
-      val row = cand.head
-      val (l, r) = (row.getString(0), row.getString(1))
-      merges += ((round, l, r, row.getLong(2), row.getLong(3)))
-      words = snap(words.withColumn("sym",
-        mergeFold(col("sym"), Seq((l, r)))))
-    }
-    merges.result()
+    learn(docs, rounds, reliable, batch, likelihood = true)._1
       .toDF("round", "left_sym", "right_sym", "pair_freq", "score_scaled")
       .select(col("round").cast(LongType).as("round"),
         col("left_sym"), col("right_sym"),
