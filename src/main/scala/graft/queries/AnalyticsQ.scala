@@ -1508,6 +1508,61 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** WEIGHTED exact quantile bands — [[quantileBands]] where each row
+    * counts with a weight instead of 1: the curation statistic "the
+    * median document BY TOKEN MASS" (a corpus can be 90% short docs by
+    * count while long docs carry most tokens — the unweighted median
+    * answers the wrong planning question for sequence packing and
+    * batch sizing). Weighted P(p‰) = smallest value v whose cumulative
+    * weight reaches ⌈p·W/1000⌉ — exact integers, the same histogram
+    * construction with cnt → Σweight; distinct-VALUE-sized windows, no
+    * row-level sort. */
+  def weightedQuantileBands(df: DataFrame, groupCol: String,
+      valCol: org.apache.spark.sql.Column,
+      weightCol: org.apache.spark.sql.Column,
+      permilles: Seq[Int] = Seq(500, 950, 990)): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p > 0 && p <= 1000),
+      s"permilles must be in (0,1000], got $permilles")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val wg = Window.partitionBy(col(groupCol))
+    val hist = df
+      .select(col(groupCol), valCol.cast(LongType).as("v"),
+        weightCol.cast(LongType).as("wt"))
+      .groupBy(col(groupCol), col("v")).agg(sum(col("wt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("tw", sum(col("cnt")).over(wg))
+    val bands = permilles.map { p =>
+      min(when(col("cum") >= expr(s"(tw * $p + 999) div 1000"), col("v")))
+        .as(s"wp$p")
+    }
+    hist.groupBy(col(groupCol))
+      .agg(max(col("tw")).as("total_weight"), bands: _*)
+  }
+
+  /** Oracle fixture of [[weightedQuantileBands]]: per source, document
+    * length (n_chars) weighted by TOKEN COUNT — the packing-planner view
+    * of the length distribution. */
+  private val q211 = GQuery(
+    "q211_weighted_quantiles",
+    (s, dir) => weightedQuantileBands(t(s, dir, "documents"), "source",
+        col("n_chars"), size(split(col("text"), " ")))
+      .orderBy(col("source")),
+    Some("""WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        FROM documents),
+      c AS (SELECT source, v, CAST(SUM(wt) AS BIGINT) AS cnt
+            FROM r GROUP BY 1, 2),
+      cc AS (SELECT *,
+          SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+          SUM(cnt) OVER (PARTITION BY source) AS tw
+        FROM c)
+    SELECT source, CAST(MAX(tw) AS BIGINT) AS total_weight,
+      MIN(CASE WHEN cum >= (tw * 500 + 999) // 1000 THEN v END) AS wp500,
+      MIN(CASE WHEN cum >= (tw * 950 + 999) // 1000 THEN v END) AS wp950,
+      MIN(CASE WHEN cum >= (tw * 990 + 999) // 1000 THEN v END) AS wp990
+    FROM cc GROUP BY source
+    ORDER BY source"""))
+
   /** Per-user behavioral entropy — the bot/diversity card: each user's
     * event-TYPE distribution scored in staircase bits
     * (cost(t) = ⌊log₂ N_u⌋ − ⌊log₂ n_t⌋, the corpus-surprise
@@ -1768,5 +1823,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211)
 }
