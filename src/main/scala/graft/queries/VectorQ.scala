@@ -2135,19 +2135,18 @@ object VectorQ {
       .withColumn("cos_tr",
         round(prefDot("qe", "embedding") /
           (sqrt(col("qpn")) * sqrt(col("pn"))), 6))
-    val picks = pairs.groupBy(col("query_id"))
+    // ONE pair pass: the truncated argmax struct CARRIES the pick's full
+    // cosine as a trailing field — (cos_tr, −id) is already unique per
+    // row, so the extra field never participates in the comparison and
+    // the second pairs join (a full second brute-force pass) disappears.
+    val loss = pairs.groupBy(col("query_id"))
       .agg(
         max(struct(col("cos_full"), (-col("vec_id")).as("nid"))).as("f"),
-        max(struct(col("cos_tr"), (-col("vec_id")).as("nid"))).as("t"))
-      .select(col("query_id"), (-col("f.nid")).as("full_id"),
-        col("f.cos_full").as("best_full"), (-col("t.nid")).as("trunc_id"))
-    val loss = picks.join(pairs.select(col("query_id"),
-        col("vec_id").as("trunc_id"), col("cos_full").as("pick_full")),
-        Seq("query_id", "trunc_id"))
+        max(struct(col("cos_tr"), (-col("vec_id")).as("nid"),
+          col("cos_full").as("pf"))).as("t"))
       .select(col("query_id"),
-        when(col("full_id") === col("trunc_id"), 1L).otherwise(0L)
-          .as("agree"),
-        expr("CAST(round((best_full - pick_full) * 1000000) AS BIGINT)")
+        when(col("f.nid") === col("t.nid"), 1L).otherwise(0L).as("agree"),
+        expr("CAST(round((f.cos_full - t.pf) * 1000000) AS BIGINT)")
           .as("loss_micro"))
     loss.agg(count(lit(1)).as("n_queries"), sum(col("agree")).as("n_agree"),
         sum(col("loss_micro")).as("total_loss_micro"))
@@ -2186,16 +2185,13 @@ object VectorQ {
             ROUND((${prefDotSql("qe", "c.embedding")})
               / (sqrt(qpn) * sqrt(c.pn)), 6) AS cos_tr
           FROM v c, q),
-        picks AS (SELECT query_id,
-            MAX(struct_pack(c := cos_full, n := -vec_id)) AS f,
-            MAX(struct_pack(c := cos_tr, n := -vec_id)) AS t
-          FROM pairs GROUP BY query_id),
-        l AS (SELECT p.query_id,
-            CASE WHEN (-(p.f).n) = (-(p.t).n) THEN 1 ELSE 0 END AS agree,
-            CAST(round(((p.f).c - pr.cos_full) * 1000000) AS BIGINT)
-              AS loss_micro
-          FROM picks p JOIN pairs pr
-            ON pr.query_id = p.query_id AND pr.vec_id = (-(p.t).n))
+        l AS (SELECT query_id,
+            CASE WHEN (f).n = (t).n THEN 1 ELSE 0 END AS agree,
+            CAST(round(((f).c - (t).pf) * 1000000) AS BIGINT) AS loss_micro
+          FROM (SELECT query_id,
+              MAX(struct_pack(c := cos_full, n := -vec_id)) AS f,
+              MAX(struct_pack(c := cos_tr, n := -vec_id, pf := cos_full)) AS t
+            FROM pairs GROUP BY query_id))
       SELECT COUNT(*) AS n_queries,
         CAST(SUM(agree) AS BIGINT) AS n_agree,
         (1000000 * CAST(SUM(agree) AS BIGINT)) // COUNT(*) AS agree_ppm,
