@@ -51,7 +51,8 @@ object ScaleProbe {
     "q202_top_paths", "q203_lpa_communities", "q204_scd2_audit",
     "q205_doc_surprise", "q206_frame_dedup", "q208_cluster_histogram",
     "q209_referential_audit", "q210_user_entropy",
-    "q211_weighted_quantiles")
+    "q211_weighted_quantiles", "q212_duplicate_suppression",
+    "q213_pareto_card")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1071,6 +1071,61 @@ object CurationQ {
       ORDER BY doc_id, copy"""))
   }
 
+  /** Pareto coverage card — "how few sources carry most of the corpus":
+    * sources ranked by token mass with exact cumulative ppm shares and a
+    * needed-for-80% flag. A corpus where 2 of 20 sources carry 80% of
+    * tokens has a diversity problem no per-source count table makes
+    * obvious; this is the one-look concentration view (the q92 key-skew
+    * idea at the SOURCE grain, with cumulative coverage instead of
+    * per-key share). One corpus aggregation; everything after rides the
+    * |sources|-row table, where the rank window is bounded by
+    * construction. */
+  def paretoCoverage(docs: DataFrame, strataCol: String = "source",
+      targetPpm: Long = 800000L): DataFrame = {
+    require(targetPpm >= 1 && targetPpm <= 1000000L,
+      s"targetPpm must be a ppm, got $targetPpm")
+    val mass = docs.select(col(strataCol).as("stratum"),
+        size(split(col("text"), " ")).cast(LongType).as("tk"))
+      .groupBy(col("stratum")).agg(sum(col("tk")).as("tokens"))
+    val tot = mass.agg(sum(col("tokens")).as("total"))
+    val w = Window.orderBy(col("tokens").desc, col("stratum"))
+    mass.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum(col("tokens")).over(w
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("stratum"), col("tokens"),
+        expr("(1000000 * tokens) DIV total").as("share_ppm"),
+        expr("(1000000 * cum) DIV total").as("cum_ppm"),
+        // needed = this source is part of the minimal top set reaching
+        // the target: everything BEFORE it left coverage short
+        when(expr(s"(1000000 * (cum - tokens)) DIV total") < targetPpm, 1L)
+          .otherwise(0L).as("needed_for_target"))
+  }
+
+  /** Oracle fixture of [[paretoCoverage]] (target 80%). */
+  private val q213 = GQuery(
+    "q213_pareto_card",
+    (s, dir) => paretoCoverage(t(s, dir, "documents"))
+      .orderBy(col("rank")),
+    Some("""WITH mass AS (SELECT source AS stratum,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM mass),
+      r AS (SELECT stratum, tokens,
+          CAST(ROW_NUMBER() OVER (ORDER BY tokens DESC, stratum) AS BIGINT)
+            AS rank,
+          CAST(SUM(tokens) OVER (ORDER BY tokens DESC, stratum
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM mass)
+      SELECT rank, stratum, tokens,
+        (1000000 * tokens) // tot.total AS share_ppm,
+        (1000000 * cum) // tot.total AS cum_ppm,
+        CAST(CASE WHEN (1000000 * (cum - tokens)) // tot.total < 800000
+             THEN 1 ELSE 0 END AS BIGINT) AS needed_for_target
+      FROM r, tot
+      ORDER BY rank"""))
+
   /** Cell-level repetition resampling — [[repeatByFactor]] generalized
     * from a per-stratum factor Map to a per-(a, b) CELL weight TABLE, the
     * consumer side of [[rakeWeights]]: a raked weight of `weight_ppm`
@@ -2598,5 +2653,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191)
+      q161, q163, q173, q177, q178, q189, q191, q213)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
@@ -502,6 +503,61 @@ object EventQ {
     FROM lab GROUP BY split
     ORDER BY split"""))
 
+  /** Duplicate-event suppression — the mediation "duplicate CDR" rule:
+    * an event is a DUPLICATE when an identical record (same user, type,
+    * and centi-value) was already seen within `windowSec` seconds —
+    * retransmits, double-polls, at-least-once ingestion. Emits every
+    * event with its verdict and the gap to the previous identical
+    * record, so the suppression is auditable (the dead-letter
+    * philosophy: never silently drop). First-of-chain semantics: each
+    * event compares to its immediate identical PREDECESSOR, so a burst
+    * of retransmits spaced just inside the window all suppress against
+    * the chain even when the first and last are further apart.
+    *
+    * One lag window per identity key — single hash exchange; the
+    * streaming twin is dropDuplicatesWithinWatermark (StreamingSpec's
+    * dedup-in-watermark case) with this batch form as its oracle-checked
+    * semantics. */
+  def suppressDuplicates(events: DataFrame, windowSec: Long = 300L)
+      : DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), col("cv"))
+      .orderBy(col("sec"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cv"),
+        col("ts").cast(LongType).as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("cv"), (col("sec") - col("prev_sec")).as("gap_sec"),
+        when(col("prev_sec").isNotNull &&
+          col("sec") - col("prev_sec") <= windowSec, 1L).otherwise(0L)
+          .as("is_duplicate"))
+  }
+
+  /** Oracle fixture of [[suppressDuplicates]] at a 1-hour window — wide
+    * enough that the fixture's repeated (user, type, value) triples
+    * produce both verdicts. */
+  private val q212 = GQuery(
+    "q212_duplicate_suppression",
+    (s, dir) => suppressDuplicates(t(s, dir, "events"), windowSec = 3600L)
+      .orderBy(col("event_id")),
+    Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cv,
+          ${epochSecSql("ts")} AS sec
+        FROM events),
+      m AS (SELECT *,
+          LAG(sec) OVER (PARTITION BY user_id, event_type, cv
+            ORDER BY sec, event_id) AS prev_sec
+        FROM e)
+      SELECT event_id, user_id, event_type, cv,
+        sec - prev_sec AS gap_sec,
+        CAST(CASE WHEN prev_sec IS NOT NULL AND sec - prev_sec <= 3600
+             THEN 1 ELSE 0 END AS BIGINT) AS is_duplicate
+      FROM m
+      ORDER BY event_id"""))
+
   /** Tiered (progressive) rating — the charge calculation the
     * reference's rating plugins imply beyond a flat rate
     * (`gsmrating.sh:14` launches the GSM rating stage; real tariffs are
@@ -578,5 +634,5 @@ object EventQ {
   }
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195)
+    q97, q169, q175, q195, q212)
 }
