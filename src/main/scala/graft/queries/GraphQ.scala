@@ -340,5 +340,67 @@ object GraphQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203)
+  /** k-core peeling — the third graph trust gate beside [[triangleStats]]
+    * (local density) and [[labelPropagation]] (communities): iteratively
+    * delete nodes with degree < k; what survives `rounds` peels is the
+    * k-core, the subgraph where EVERY member has ≥ k within-core
+    * neighbors. Dedup use: 2-core members sit in genuinely
+    * inter-connected mirror families, while tree-shaped chains (pure
+    * template bridging — exactly what over-merges under closure) peel
+    * away entirely. The round budget is the contract (the q139/q203
+    * convention — peeling converges once no node drops, and a fixed
+    * unrolling is what the oracle can replay); each round is one degree
+    * aggregation + one semi-join over the surviving edge set, lineage
+    * cut per round. */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 5,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
+    var edges = snap(p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      edges = snap(edges
+        .join(keep, Seq("u"))
+        .join(keep.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v")))
+    }
+    edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("doc_id"), col("core_degree"))
+  }
+
+  /** Oracle fixture of [[kCore]]: the 2-core of the q26 candidate graph
+    * after 5 unrolled peels. */
+  private val q214 = {
+    // AS MATERIALIZED on every peel: k$i and e$i each reference e${i-1},
+    // and DuckDB inlines plain CTEs — un-materialized the candidate
+    // pipeline would replicate 2^5 times (the q180 CTE-doubling lesson)
+    val peels = (1 to 5).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1}
+          GROUP BY u HAVING COUNT(*) >= 2),
+        e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+          JOIN k$i a ON a.u = e.u
+          JOIN k$i b ON b.u = e.v)"""
+    }.mkString(",\n")
+    GQuery(
+      "q214_kcore",
+      (s, dir) => kCore(
+        TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25))
+        .orderBy(col("doc_id")),
+      Some(s"""${TextQ.minhashCandSql},
+        e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand
+               UNION ALL SELECT doc_b, doc_a FROM cand),
+        $peels
+        SELECT u AS doc_id, COUNT(*) AS core_degree
+        FROM e5 GROUP BY u
+        ORDER BY doc_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203, q214)
 }

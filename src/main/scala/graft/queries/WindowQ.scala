@@ -526,6 +526,62 @@ object WindowQ {
           AS BIGINT) AS n_keys_clean
       FROM pk"""))
 
+  /** Time-weighted average (TWAP) — irregular samples weighted by
+    * HOLDING TIME, not sample count: each observation holds from its
+    * timestamp until the key's next one, and the average weights values
+    * by that duration. The metering/rating classic (a gauge sampled
+    * bursty-then-idle is wildly mis-averaged by a plain mean — ten
+    * samples in one minute and one covering an hour), and the exact
+    * form of what streaming "last value carried forward" aggregations
+    * approximate. Exact integers: centi-values × second durations
+    * accumulate in DECIMAL(38,0); the final milli-average divides once.
+    * The last observation of each key has no successor and carries no
+    * weight (the oracle-portable convention — extending it to a global
+    * horizon is one greatest() away). One lag/lead window per key. */
+  def timeWeightedAverage(events: org.apache.spark.sql.DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("sec"), col("event_id"))
+    events
+      .select(col(keyCol), col("event_id"),
+        col(tsCol).cast(org.apache.spark.sql.types.LongType).as("sec"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .withColumn("next_sec", lead(col("sec"), 1).over(w))
+      .filter(col("next_sec").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_sec") - col("sec")).as("span_sec"),
+        sum(expr("CAST(cv AS DECIMAL(38,0)) * (next_sec - sec)"))
+          .as("wsum"))
+      .filter(col("span_sec") > 0)
+      .select(col(keyCol), col("n_intervals"), col("span_sec"),
+        expr("CAST((10 * wsum) DIV span_sec AS BIGINT)").as("twap_milli"))
+  }
+
+  /** Oracle fixture of [[timeWeightedAverage]] per user. */
+  private val q215 = GQuery(
+    "q215_time_weighted_avg",
+    (s, dir) => timeWeightedAverage(t(s, dir, "events"))
+      .orderBy(col("user_id")),
+    Some(s"""WITH e AS (SELECT user_id, event_id,
+          ${epochSecSql("ts")} AS sec,
+          CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events),
+      m AS (SELECT *,
+          LEAD(sec) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id) AS next_sec
+        FROM e),
+      agg AS (SELECT user_id, COUNT(*) AS n_intervals,
+          CAST(SUM(next_sec - sec) AS BIGINT) AS span_sec,
+          SUM(CAST(cv AS HUGEINT) * (next_sec - sec)) AS wsum
+        FROM m WHERE next_sec IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_intervals, span_sec,
+        CAST((10 * wsum) // span_sec AS BIGINT) AS twap_milli
+      FROM agg WHERE span_sec > 0
+      ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(q07, q07b, q08, q09, q20, q20b, q70, q75,
-    q79, q95, q98, q144, q204)
+    q79, q95, q98, q144, q204, q215)
 }
