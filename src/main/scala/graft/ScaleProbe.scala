@@ -52,7 +52,8 @@ object ScaleProbe {
     "q205_doc_surprise", "q206_frame_dedup", "q208_cluster_histogram",
     "q209_referential_audit", "q210_user_entropy",
     "q211_weighted_quantiles", "q212_duplicate_suppression",
-    "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg")
+    "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg",
+    "q216_changepoint")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

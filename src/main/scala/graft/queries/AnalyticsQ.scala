@@ -1508,6 +1508,81 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Change-point (level-shift) card — WHERE did the series change, not
+    * just that a day is anomalous ([[volumeAnomalies]]) or rhythmic
+    * ([[autocorrCard]]): per event type, the day boundary that maximizes
+    * the absolute difference between the mean daily volume BEFORE and
+    * AFTER it — the two-segment level-shift estimator, the monitoring
+    * answer to "when did the feed change". Exact integers throughout:
+    * the argmax compares |L_sum·R_cnt − R_sum·L_cnt| cross-products in
+    * DECIMAL(38,0) (denominators only divide once, for the reported
+    * milli shift), tiebreak earliest day — a total order the oracle
+    * replays.
+    *
+    * Scale shape: one daily aggregation (the only data-sized step);
+    * cumulative sums and the per-split scoring ride the DAYS-sized
+    * table under per-type windows; the argmax is a max(struct) agg. */
+  def changePointCard(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(typeCol),
+        expr(s"CAST($tsCol AS BIGINT) DIV 86400").as("d"))
+      .groupBy(col(typeCol), col("d")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(typeCol))
+    val scored = daily
+      .withColumn("lc", count(lit(1)).over(w))
+      .withColumn("ls", sum(col("n")).over(w))
+      .withColumn("tc", count(lit(1)).over(wg))
+      .withColumn("ts_", sum(col("n")).over(wg))
+      .filter(col("lc") < col("tc")) // a split needs a non-empty right side
+      .withColumn("num", expr(
+        """abs(CAST(ls AS DECIMAL(38,0)) * (tc - lc)
+           - (CAST(ts_ AS DECIMAL(38,0)) - ls) * lc)"""))
+      .withColumn("shift_milli", expr(
+        "CAST((1000 * num) div (CAST(lc AS DECIMAL(38,0)) * (tc - lc)) AS BIGINT)"))
+    scored.groupBy(col(typeCol))
+      .agg(max(struct(col("shift_milli"), (-col("d")).as("nd"),
+        col("lc"), col("tc"))).as("b"))
+      .select(col(typeCol), (-col("b.nd")).as("split_after_day"),
+        col("b.lc").as("days_before"),
+        (col("b.tc") - col("b.lc")).as("days_after"),
+        col("b.shift_milli"))
+  }
+
+  /** Oracle fixture of [[changePointCard]]. */
+  private val q216 = GQuery(
+    "q216_changepoint",
+    (s, dir) => changePointCard(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some(s"""WITH daily AS (SELECT event_type,
+          (${epochSecSql("ts")}) // 86400 AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      c AS (SELECT event_type, d, n,
+          COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+          SUM(n) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+          COUNT(*) OVER (PARTITION BY event_type) AS tc,
+          SUM(n) OVER (PARTITION BY event_type) AS ts_
+        FROM daily),
+      sc AS (SELECT event_type, d, lc, tc,
+          CAST((1000 * abs(CAST(ls AS HUGEINT) * (tc - lc)
+              - (CAST(ts_ AS HUGEINT) - ls) * lc))
+            // (CAST(lc AS HUGEINT) * (tc - lc)) AS BIGINT) AS shift_milli
+        FROM c WHERE lc < tc),
+      b AS (SELECT event_type,
+          MAX(struct_pack(s := shift_milli, nd := -d, lc := lc, tc := tc))
+            AS b
+        FROM sc GROUP BY event_type)
+      SELECT event_type, -(b).nd AS split_after_day,
+        CAST((b).lc AS BIGINT) AS days_before,
+        CAST((b).tc - (b).lc AS BIGINT) AS days_after,
+        (b).s AS shift_milli
+      FROM b
+      ORDER BY event_type"""))
+
   /** WEIGHTED exact quantile bands — [[quantileBands]] where each row
     * counts with a weight instead of 1: the curation statistic "the
     * median document BY TOKEN MASS" (a corpus can be 90% short docs by
@@ -1823,5 +1898,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216)
 }
