@@ -1508,6 +1508,66 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Exact Gini concentration card — the record-level inequality measure
+    * next to [[keySkewReport]]'s top-K and the source-level Pareto card:
+    * per group, the Gini coefficient of the value distribution in exact
+    * milli units. G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    * ascending sort — computed WITHOUT a row-level sort via the value
+    * histogram: a value v with count c occupying ranks after k
+    * contributes v·c·(2k + c + 1) to 2·Σ i·x (tie order is irrelevant —
+    * tied values swap ranks but not products). All products in
+    * DECIMAL(38,0); one division at the end. Distinct-value-sized
+    * windows (the q165/q170 construction). */
+  def giniCard(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("cv"))
+    val wg = Window.partitionBy(col(groupCol))
+    events
+      .select(col(groupCol),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .groupBy(col(groupCol), col("cv")).agg(count(lit(1)).as("c"))
+      .withColumn("k", coalesce(sum(col("c")).over(w
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t2",
+        expr("CAST(cv AS DECIMAL(38,0)) * c * (2 * k + c + 1)"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("CAST(cv AS DECIMAL(38,0)) * c")).as("s"),
+        sum(col("t2")).as("t2s"))
+      .filter(col("s") > 0)
+      .select(col(groupCol), col("n"),
+        col("s").cast(LongType).as("total_centi"),
+        expr("""CAST((1000 * (t2s - (CAST(n AS DECIMAL(38,0)) + 1) * s))
+                div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)""")
+          .as("gini_milli"))
+  }
+
+  /** Oracle fixture of [[giniCard]]. */
+  private val q217 = GQuery(
+    "q217_gini_card",
+    (s, dir) => giniCard(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some("""WITH r AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events),
+      h AS (SELECT event_type, cv, COUNT(*) AS c
+            FROM r GROUP BY 1, 2),
+      ck AS (SELECT *,
+          COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY cv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+        FROM h),
+      agg AS (SELECT event_type,
+          CAST(SUM(c) AS HUGEINT) AS n,
+          SUM(CAST(cv AS HUGEINT) * c) AS s,
+          SUM(CAST(cv AS HUGEINT) * c * (2 * k + c + 1)) AS t2s
+        FROM ck GROUP BY event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CAST(s AS BIGINT) AS total_centi,
+        CAST((1000 * (t2s - (n + 1) * s)) // (n * s) AS BIGINT)
+          AS gini_milli
+      FROM agg WHERE s > 0
+      ORDER BY event_type"""))
+
   /** Change-point (level-shift) card — WHERE did the series change, not
     * just that a day is anomalous ([[volumeAnomalies]]) or rhythmic
     * ([[autocorrCard]]): per event type, the day boundary that maximizes
@@ -1898,5 +1958,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217)
 }

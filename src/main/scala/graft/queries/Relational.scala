@@ -919,8 +919,81 @@ object Relational {
         (SELECT COUNT(*) FROM pkd WHERE k NOT IN (SELECT k FROM ckd))
           AS n_childless_parent_keys"""))
 
+  /** Revenue reconciliation — the billing-assurance sibling of
+    * [[referentialAudit]]: recompute each order's total from its line
+    * items (Σ extendedprice·(1+tax)·(1−discount), the TPC-H charge
+    * formula) and compare against the RECORDED header total. Headers and
+    * detail drift apart through partial loads, late line items, and
+    * rounding bugs — the exact failure class a mediation/billing
+    * pipeline reconciles nightly. Per order status: orders checked,
+    * matched within 1 centi (header rounding tolerance), mismatched,
+    * the worst absolute gap, and both grand totals in centi.
+    *
+    * Determinism: the per-line charge multiplies DOUBLES in identical
+    * op order in both engines (bit-equal from equal inputs), per-order
+    * sums accumulate in DECIMAL(38,8) and compare in centi longs — the
+    * moneySum discipline. One join keyed on the order, all aggs
+    * partial. */
+  def revenueReconciliation(orders: DataFrame, lineitem: DataFrame)
+      : DataFrame = {
+    val recomputed = lineitem
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("""CAST(l_extendedprice AS DOUBLE)
+                * (1.0 + CAST(l_tax AS DOUBLE))
+                * (1.0 - CAST(l_discount AS DOUBLE))""").as("chg"))
+      .groupBy(col("o_orderkey"))
+      .agg(expr("CAST(round(SUM(CAST(chg AS DECIMAL(38,8))) * 100) AS BIGINT)")
+        .as("recomputed_centi"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)")
+          .as("recorded_centi"))
+      .join(recomputed, Seq("o_orderkey"), "left")
+      .withColumn("diff",
+        abs(coalesce(col("recomputed_centi"), lit(0L)) - col("recorded_centi")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff") <= 1L, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("diff") > 1L, 1L).otherwise(0L)).as("n_mismatched"),
+        max(col("diff")).as("max_diff_centi"),
+        sum(col("recorded_centi")).as("recorded_total_centi"),
+        sum(coalesce(col("recomputed_centi"), lit(0L)))
+          .as("recomputed_total_centi"))
+  }
+
+  /** Oracle fixture of [[revenueReconciliation]]. */
+  private val q218 = GQuery(
+    "q218_revenue_reconciliation",
+    (s, dir) => revenueReconciliation(t(s, dir, "orders"),
+        t(s, dir, "lineitem"))
+      .orderBy(col("o_orderstatus")),
+    Some("""WITH rc AS (SELECT l_orderkey AS o_orderkey,
+          CAST(round(SUM(CAST(
+              CAST(l_extendedprice AS DOUBLE)
+              * (1.0 + CAST(l_tax AS DOUBLE))
+              * (1.0 - CAST(l_discount AS DOUBLE)) AS DECIMAL(38,8))) * 100)
+            AS BIGINT) AS recomputed_centi
+        FROM lineitem GROUP BY 1),
+      j AS (SELECT o.o_orderstatus,
+          CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+            AS recorded_centi,
+          COALESCE(rc.recomputed_centi, 0) AS recomputed_centi,
+          abs(COALESCE(rc.recomputed_centi, 0)
+            - CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS diff
+        FROM orders o LEFT JOIN rc USING (o_orderkey))
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN diff <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_matched,
+        CAST(SUM(CASE WHEN diff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mismatched,
+        CAST(MAX(diff) AS BIGINT) AS max_diff_centi,
+        CAST(SUM(recorded_centi) AS BIGINT) AS recorded_total_centi,
+        CAST(SUM(recomputed_centi) AS BIGINT) AS recomputed_total_centi
+      FROM j GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
       q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
-      q83, q107, q145, q209)
+      q83, q107, q145, q209, q218)
 }
