@@ -53,7 +53,8 @@ object ScaleProbe {
     "q209_referential_audit", "q210_user_entropy",
     "q211_weighted_quantiles", "q212_duplicate_suppression",
     "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg",
-    "q216_changepoint", "q217_gini_card", "q218_revenue_reconciliation")
+    "q216_changepoint", "q217_gini_card", "q218_revenue_reconciliation",
+    "q219_prepaid_balance")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -503,6 +503,82 @@ object EventQ {
     FROM lab GROUP BY split
     ORDER BY split"""))
 
+  /** Prepaid balance replay — the stateful scan a prepaid rating engine
+    * runs per account: top-ups credit, charges debit, and the balance
+    * CLAMPS at zero (an overdraw attempt charges what's left, never goes
+    * negative). The clamp makes this NON-ASSOCIATIVE — no window sum
+    * expresses it — so each account's flow list folds in event order
+    * through one codegen'd `aggregate` lambda (the [[TokenizerQ]]
+    * mergeFold pattern applied to numeric state): both the running
+    * balance and the overdraw count ride ONE packed BIGINT accumulator
+    * (`zeros·10¹² + balance`; balances are bounded far below 10¹² centi,
+    * and the fold is identical arithmetic in both engines, DuckDB
+    * seeding list_reduce with a prepended 0).
+    *
+    * Scale shape: one per-account sort-free aggregation (sort_array of
+    * the collected flow structs — per-account history, the
+    * groupBy-collect bound every per-key scan shares; a pathological
+    * account is a [[graft.etl.Skew]] case), then map-side folds. */
+  def prepaidBalances(events: DataFrame, creditType: String = "signup",
+      debitType: String = "purchase"): DataFrame = {
+    require(creditType != debitType, "credit and debit types must differ")
+    val packedFold =
+      """aggregate(ds, CAST(0 AS BIGINT), (p, x) ->
+           (p DIV 1000000000000 +
+             CASE WHEN pmod(p, 1000000000000) + x < 0 THEN 1 ELSE 0 END)
+           * 1000000000000
+           + greatest(CAST(0 AS BIGINT), pmod(p, 1000000000000) + x))"""
+    events
+      .filter(col("event_type").isin(creditType, debitType))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast(LongType).as("sec"),
+        when(col("event_type") === creditType,
+          expr("CAST(round(value * 100) AS BIGINT)"))
+          .otherwise(expr("-CAST(round(value * 100) AS BIGINT)"))
+          .as("delta"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_flows"),
+        sort_array(collect_list(struct(col("sec"), col("event_id"),
+          col("delta")))).as("flows"))
+      .withColumn("ds", expr("transform(flows, f -> f.delta)"))
+      .withColumn("packed", expr(packedFold))
+      .select(col("user_id"), col("n_flows"),
+        expr("pmod(packed, 1000000000000)").as("final_balance_centi"),
+        expr("packed DIV 1000000000000").as("n_overdraw_attempts"))
+  }
+
+  /** Oracle fixture of [[prepaidBalances]]: signup tops up, purchase
+    * charges; DuckDB replays the identical packed fold via list_reduce
+    * seeded with a prepended zero accumulator. */
+  private val q219 = GQuery(
+    "q219_prepaid_balance",
+    (s, dir) => prepaidBalances(t(s, dir, "events"))
+      .orderBy(col("user_id")),
+    Some(s"""WITH f AS (SELECT user_id, event_id,
+          ${epochSecSql("ts")} AS sec,
+          CASE WHEN event_type = 'signup'
+               THEN CAST(round(value * 100) AS BIGINT)
+               ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+      g AS (SELECT user_id, COUNT(*) AS n_flows,
+          list_transform(
+            list_sort(list(struct_pack(sec := sec, event_id := event_id,
+              delta := delta))),
+            x -> x.delta) AS ds
+        FROM f GROUP BY user_id),
+      r AS (SELECT user_id, n_flows,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), ds), (p, x) ->
+            (p // 1000000000000 +
+              CASE WHEN p % 1000000000000 + x < 0 THEN 1 ELSE 0 END)
+            * 1000000000000
+            + greatest(CAST(0 AS BIGINT), p % 1000000000000 + x)) AS packed
+        FROM g)
+      SELECT user_id, n_flows,
+        packed % 1000000000000 AS final_balance_centi,
+        packed // 1000000000000 AS n_overdraw_attempts
+      FROM r
+      ORDER BY user_id"""))
+
   /** Duplicate-event suppression — the mediation "duplicate CDR" rule:
     * an event is a DUPLICATE when an identical record (same user, type,
     * and centi-value) was already seen within `windowSec` seconds —
@@ -634,5 +710,5 @@ object EventQ {
   }
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212)
+    q97, q169, q175, q195, q212, q219)
 }
