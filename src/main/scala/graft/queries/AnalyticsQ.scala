@@ -1508,6 +1508,51 @@ object AnalyticsQ {
           AS fano_milli
       FROM s ORDER BY event_type"""))
 
+  /** Oracle fixture composing [[ksDrift]] temporally: the whole-shape
+    * drift between the timeline's EARLY and LATE halves (split at the
+    * integer midpoint of the observed second range) over the events'
+    * centi-value distribution — "has the value distribution changed over
+    * time", the temporal twin of q148's source-vs-source question.
+    * Demonstrates the operator's contract: any DataFrame with a `source`
+    * label works, so the caller labels halves and reuses the exact-KS
+    * machinery (bucket-offset prefix sums and all). */
+  private val q221 = GQuery(
+    "q221_temporal_drift",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("ts").cast(LongType).as("sec"), col("value"))
+      val mid = broadcast(ev.agg(
+        expr("(MIN(sec) + MAX(sec)) DIV 2").as("mid")))
+      val labeled = ev.crossJoin(mid)
+        .select(
+          when(col("sec") < col("mid"), "early").otherwise("late")
+            .as("source"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      ksDrift(labeled, col("cv"), "early", "late")
+    },
+    Some(s"""WITH e AS (SELECT ${epochSecSql("ts")} AS sec,
+          CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+      mid AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+      l AS (SELECT CASE WHEN sec < mid THEN 'early' ELSE 'late' END AS src,
+              cv FROM e, mid),
+      g AS (SELECT cv AS v,
+          CAST(SUM(CASE WHEN src = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN src = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM l GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+      c AS (SELECT v,
+          CAST(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+          CAST(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        FROM g)
+      SELECT na, nb, v AS at_value,
+        abs((1000000 * cum_a) // na - (1000000 * cum_b) // nb) AS ks_ppm
+      FROM c, tot
+      ORDER BY ks_ppm DESC, v
+      LIMIT 1"""))
+
   /** Exact Gini concentration card — the record-level inequality measure
     * next to [[keySkewReport]]'s top-K and the source-level Pareto card:
     * per group, the Gini coefficient of the value distribution in exact
@@ -1958,5 +2003,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221)
 }

@@ -503,6 +503,113 @@ object EventQ {
     FROM lab GROUP BY split
     ORDER BY split"""))
 
+  /** Out-of-order arrival card — how badly does INGESTION order disagree
+    * with EVENT TIME: per type, the share of adjacent event-time-ordered
+    * pairs whose ingestion sequence (event_id here — monotone with
+    * arrival in the fixture's generator, as in most log pipelines) runs
+    * BACKWARD, plus the worst timestamp regression a sequential reader
+    * would observe. The number that sizes streaming watermarks: a
+    * 50 000 ppm inversion rate with 10-minute regressions needs a
+    * 10-minute watermark, not a 10-second one ([[graft.streaming]]'s
+    * delayThreshold inputs come from exactly this card).
+    *
+    * Scale shape: the naive form is one window per TYPE — and unlike
+    * per-user windows, the type count does NOT grow with the data, so a
+    * per-type sort single-threads at scale (a first draft probed 3.06×
+    * at 10×). Both passes therefore bucket their SORT-KEY PREFIX
+    * (event-time buckets for the adjacency pass, sequence buckets for
+    * the running max) so windows run per (type, bucket) in parallel,
+    * and the cross-bucket seams stitch through TINY bucket tables: the
+    * adjacency pass compares each bucket's first row against the
+    * previous bucket's last (buckets partition the sort order, so
+    * within-bucket lags + boundary pairs are EXACTLY all adjacent
+    * pairs), and the running-max pass adds a broadcast exclusive
+    * prefix-max over per-bucket maxima (the q148/q124 bucket-offset
+    * construction, with max as the prefix monoid). */
+  def outOfOrderCard(events: DataFrame, typeCol: String = "event_type",
+      seqCol: String = "event_id", tsCol: String = "ts",
+      bucketSec: Long = 86400L, bucketSeq: Long = 100000L): DataFrame = {
+    require(bucketSec >= 1 && bucketSeq >= 1,
+      s"bucket widths must be >= 1, got $bucketSec/$bucketSeq")
+    val base = events.select(col(typeCol).as("ty"), col(seqCol).as("seq"),
+      col(tsCol).cast(LongType).as("sec"))
+    // --- adjacency pass: (sec, seq) order, bucketed by sec ------------
+    val bk = base.withColumn("b",
+      expr(s"(sec - pmod(sec, ${bucketSec}L)) DIV ${bucketSec}L"))
+    val wIn = Window.partitionBy(col("ty"), col("b"))
+      .orderBy(col("sec"), col("seq"))
+    val inner = bk.withColumn("prev_seq", lag(col("seq"), 1).over(wIn))
+      .filter(col("prev_seq").isNotNull)
+      .select(col("ty"),
+        when(col("seq") < col("prev_seq"), 1L).otherwise(0L).as("inv"))
+    val ends = bk.groupBy(col("ty"), col("b"))
+      .agg(min(struct(col("sec"), col("seq"))).as("first"),
+        max(struct(col("sec"), col("seq"))).as("last"))
+    val wB = Window.partitionBy(col("ty")).orderBy(col("b"))
+    val seams = ends
+      .withColumn("prev_last", lag(col("last"), 1).over(wB))
+      .filter(col("prev_last").isNotNull)
+      .select(col("ty"),
+        when(col("first.seq") < col("prev_last.seq"), 1L).otherwise(0L)
+          .as("inv"))
+    val invAgg = inner.unionAll(seams).groupBy(col("ty"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inv")).as("n_inversions"))
+    // --- running-max pass: seq order, bucketed by seq -----------------
+    val sk = base.withColumn("sb",
+      expr(s"(seq - pmod(seq, ${bucketSeq}L)) DIV ${bucketSeq}L"))
+    val offsets = sk.groupBy(col("ty"), col("sb"))
+      .agg(max(col("sec")).as("bmax"))
+      .withColumn("pre_max", max(col("bmax")).over(
+        Window.partitionBy(col("ty")).orderBy(col("sb"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("ty"), col("sb"), col("pre_max"))
+    val wS = Window.partitionBy(col("ty"), col("sb")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val regress = sk
+      .withColumn("in_max", max(col("sec")).over(wS))
+      .join(offsets, Seq("ty", "sb"))
+      .withColumn("max_seen", greatest(
+        coalesce(col("in_max"), lit(Long.MinValue)),
+        coalesce(col("pre_max"), lit(Long.MinValue))))
+      .filter(col("max_seen") =!= Long.MinValue)
+      .groupBy(col("ty"))
+      .agg(max(greatest(col("max_seen") - col("sec"), lit(0L)))
+        .as("max_regression_sec"))
+    invAgg.join(regress, Seq("ty"))
+      .select(col("ty").as(typeCol), col("n_pairs"), col("n_inversions"),
+        expr("(1000000 * n_inversions) DIV n_pairs").as("inversion_ppm"),
+        col("max_regression_sec"))
+  }
+
+  /** Oracle fixture of [[outOfOrderCard]]. */
+  private val q220 = GQuery(
+    "q220_out_of_order",
+    (s, dir) => outOfOrderCard(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some(s"""WITH e AS (SELECT event_type, event_id AS seq,
+          ${epochSecSql("ts")} AS sec FROM events),
+      m AS (SELECT event_type,
+          CASE WHEN seq < LAG(seq) OVER (PARTITION BY event_type
+            ORDER BY sec, seq) THEN 1 ELSE 0 END AS inv,
+          LAG(seq) OVER (PARTITION BY event_type ORDER BY sec, seq)
+            AS prev_seq
+        FROM e),
+      inv AS (SELECT event_type, COUNT(*) AS n_pairs,
+          CAST(SUM(inv) AS BIGINT) AS n_inversions
+        FROM m WHERE prev_seq IS NOT NULL GROUP BY event_type),
+      r AS (SELECT event_type,
+          CAST(MAX(greatest(mx - sec, 0)) AS BIGINT) AS max_regression_sec
+        FROM (SELECT event_type, sec,
+            MAX(sec) OVER (PARTITION BY event_type ORDER BY seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+          FROM e)
+        WHERE mx IS NOT NULL GROUP BY event_type)
+      SELECT inv.event_type, n_pairs, n_inversions,
+        (1000000 * n_inversions) // n_pairs AS inversion_ppm,
+        max_regression_sec
+      FROM inv JOIN r USING (event_type)
+      ORDER BY event_type"""))
+
   /** Prepaid balance replay — the stateful scan a prepaid rating engine
     * runs per account: top-ups credit, charges debit, and the balance
     * CLAMPS at zero (an overdraw attempt charges what's left, never goes
@@ -710,5 +817,5 @@ object EventQ {
   }
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212, q219)
+    q97, q169, q175, q195, q212, q219, q220)
 }
