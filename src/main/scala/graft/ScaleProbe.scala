@@ -54,7 +54,8 @@ object ScaleProbe {
     "q211_weighted_quantiles", "q212_duplicate_suppression",
     "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg",
     "q216_changepoint", "q217_gini_card", "q218_revenue_reconciliation",
-    "q219_prepaid_balance", "q220_out_of_order", "q221_temporal_drift")
+    "q219_prepaid_balance", "q220_out_of_order", "q221_temporal_drift",
+    "q222_benford_card")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1553,6 +1553,80 @@ object AnalyticsQ {
       ORDER BY ks_ppm DESC, v
       LIMIT 1"""))
 
+  /** Benford first-digit card — the fabrication detector billing
+    * assurance runs on amounts: naturally-occurring multiplicative
+    * values follow Benford's law (P(d) = log₁₀(1 + 1/d) — 30.1% of
+    * amounts lead with 1), while invented or clipped numbers don't. Per
+    * group: the observed first-significant-digit shares vs the Benford
+    * expectation in exact ppm, the total-variation distance, and the
+    * most over-represented digit. The Benford ppm values are FIXED
+    * LITERALS in both engines (log₁₀ is irrational; baking the rounded
+    * constants in keeps the card engine-exact). First digit extracts
+    * arithmetically: v DIV 10^(digits−1) via string length — exact for
+    * positive longs. One aggregation; everything after rides the
+    * groups×9 table. */
+  def benfordCard(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value"): DataFrame = {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCol = benford.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (p, i)) =>
+        when(col("d") === (i + 1), lit(p)).otherwise(acc) }
+    val digits = events
+      .select(col(groupCol),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .filter(col("cv") > 0)
+      .withColumn("d",
+        expr("cv DIV CAST(pow(10, length(CAST(cv AS STRING)) - 1) AS BIGINT)"))
+      .groupBy(col(groupCol), col("d")).agg(count(lit(1)).as("c"))
+    val tot = digits.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    digits.join(tot, Seq(groupCol))
+      .withColumn("obs_ppm", expr("(1000000 * c) DIV n"))
+      .withColumn("exp_ppm", expCol)
+      .withColumn("dev", col("obs_ppm") - col("exp_ppm"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum(abs(col("dev"))).as("tv_ppm"),
+        max(struct(col("dev"), col("d"))).as("worst"))
+      .select(col(groupCol), col("n"), col("tv_ppm"),
+        col("worst.d").as("most_over_digit"),
+        col("worst.dev").as("over_by_ppm"))
+  }
+
+  /** Oracle fixture of [[benfordCard]]. */
+  private val q222 = {
+    val benfordSql = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L).zipWithIndex
+      .map { case (p, i) => s"WHEN d = ${i + 1} THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    GQuery(
+      "q222_benford_card",
+      (s, dir) => benfordCard(t(s, dir, "events"))
+        .orderBy(col("event_type")),
+      Some(s"""WITH v AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS cv
+          FROM events),
+        dg AS (SELECT event_type,
+            cv // CAST(pow(10, length(CAST(cv AS VARCHAR)) - 1) AS BIGINT)
+              AS d
+          FROM v WHERE cv > 0),
+        c AS (SELECT event_type, d, COUNT(*) AS c
+              FROM dg GROUP BY 1, 2),
+        tn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+               FROM c GROUP BY 1),
+        x AS (SELECT c.event_type, d, tn.n,
+            (1000000 * c.c) // tn.n AS obs_ppm,
+            $benfordSql AS exp_ppm
+          FROM c JOIN tn USING (event_type)),
+        y AS (SELECT event_type, n, obs_ppm - exp_ppm AS dev, d FROM x)
+        SELECT event_type, MAX(n) AS n,
+          CAST(SUM(abs(dev)) AS BIGINT) AS tv_ppm,
+          (MAX(struct_pack(dev := dev, d := d))).d AS most_over_digit,
+          (MAX(struct_pack(dev := dev, d := d))).dev AS over_by_ppm
+        FROM y GROUP BY event_type
+        ORDER BY event_type"""))
+  }
+
   /** Exact Gini concentration card — the record-level inequality measure
     * next to [[keySkewReport]]'s top-K and the source-level Pareto card:
     * per group, the Gini coefficient of the value distribution in exact
@@ -2003,5 +2077,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222)
 }
