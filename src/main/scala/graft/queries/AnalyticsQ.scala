@@ -1553,6 +1553,71 @@ object AnalyticsQ {
       ORDER BY ks_ppm DESC, v
       LIMIT 1"""))
 
+  /** Cohort LTV curve — [[retentionCohorts]]' revenue twin: users cohort
+    * by their FIRST-event week, and each cohort's purchase revenue
+    * accumulates over cohort AGE (weeks since joining) — the
+    * lifetime-value curve whose flattening point prices acquisition.
+    * Exact centi money; the cumulative runs per cohort over the
+    * AGE-week axis (weeks-sized windows — a timeline never has enough
+    * weeks to serialize anything). Week = days-since-epoch DIV 7, the
+    * engine-portable integer week.
+    *
+    * Plan: one min-agg for cohorts (user-keyed), one join back, one
+    * (cohort, age) aggregation, a weeks-sized cumulative window. */
+  def cohortLtv(events: DataFrame, revenueType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val weeks = events.select(col(userCol),
+      expr(s"CAST($tsCol AS BIGINT) DIV 604800").as("wk"),
+      col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+    val cohorts = weeks.groupBy(col(userCol))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val rev = weeks.filter(col("event_type") === revenueType)
+      .join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(sum(col("cv")).as("rev_centi"),
+        countDistinct(col(userCol)).as("n_buyers"))
+    val sizes = cohorts.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(sizes, Seq("cohort_wk"))
+      .withColumn("cum_rev_centi", sum(col("rev_centi")).over(w))
+      .select(col("cohort_wk"), col("age_wk"), col("cohort_size"),
+        col("n_buyers"), col("rev_centi"), col("cum_rev_centi"),
+        expr("(10 * cum_rev_centi) DIV cohort_size").as("ltv_milli"))
+  }
+
+  /** Oracle fixture of [[cohortLtv]]. */
+  private val q223 = GQuery(
+    "q223_cohort_ltv",
+    (s, dir) => cohortLtv(t(s, dir, "events"))
+      .orderBy(col("cohort_wk"), col("age_wk")),
+    Some(s"""WITH e AS (SELECT user_id,
+          (${epochSecSql("ts")}) // 604800 AS wk, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events),
+      cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk
+                  FROM e GROUP BY user_id),
+      sizes AS (SELECT cohort_wk, COUNT(*) AS cohort_size
+                FROM cohorts GROUP BY 1),
+      rev AS (SELECT cohort_wk, e.wk - cohort_wk AS age_wk,
+          CAST(SUM(cv) AS BIGINT) AS rev_centi,
+          COUNT(DISTINCT e.user_id) AS n_buyers
+        FROM e JOIN cohorts USING (user_id)
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      c AS (SELECT rev.*, sizes.cohort_size,
+          CAST(SUM(rev_centi) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_rev_centi
+        FROM rev JOIN sizes USING (cohort_wk))
+      SELECT cohort_wk, age_wk, cohort_size, n_buyers, rev_centi,
+        cum_rev_centi,
+        (10 * cum_rev_centi) // cohort_size AS ltv_milli
+      FROM c
+      ORDER BY cohort_wk, age_wk"""))
+
   /** Benford first-digit card — the fabrication detector billing
     * assurance runs on amounts: naturally-occurring multiplicative
     * values follow Benford's law (P(d) = log₁₀(1 + 1/d) — 30.1% of
@@ -2077,5 +2142,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223)
 }
