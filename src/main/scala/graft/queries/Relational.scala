@@ -992,8 +992,74 @@ object Relational {
       FROM j GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
+  /** Fulfillment-lag SLA card — order-to-ship latency per priority
+    * class: exact day-lag quantiles (P50/P95 via the q165/q170 histogram
+    * construction — distinct-lag-sized windows, no row-level sort), the
+    * share beyond an SLA threshold in ppm, and the worst lag. The
+    * operational question priority classes exist to answer ("do URGENT
+    * orders actually ship faster?"), and the SLA breach share is what a
+    * fulfillment contract bills against. Day lag = integer day
+    * difference of the two timestamps (epoch-second DIV 86400, engine
+    * portable). One join keyed on the order, one histogram agg. */
+  def fulfillmentLagCard(orders: DataFrame, lineitem: DataFrame,
+      slaDays: Long = 60L): DataFrame = {
+    require(slaDays >= 1, s"slaDays must be >= 1, got $slaDays")
+    val lags = lineitem
+      .select(col("l_orderkey").as("o_orderkey"),
+        expr("CAST(l_shipdate AS BIGINT) DIV 86400").as("ship_d"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(o_orderdate AS BIGINT) DIV 86400").as("order_d")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_d") - col("order_d")).as("lag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("lag"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    lags.groupBy(col("o_orderpriority"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wg))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("cum") >= expr("(n * 500 + 999) div 1000"), col("lag")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 950 + 999) div 1000"), col("lag")))
+          .as("p95_days"),
+        max(col("lag")).as("max_days"),
+        sum(when(col("lag") > slaDays, col("c")).otherwise(0L))
+          .as("n_breach"))
+      .select(col("o_orderpriority"), col("n_lines"), col("p50_days"),
+        col("p95_days"), col("max_days"),
+        expr("(1000000 * n_breach) DIV n_lines").as("breach_ppm"))
+  }
+
+  /** Oracle fixture of [[fulfillmentLagCard]] (SLA 60 days). */
+  private val q224 = GQuery(
+    "q224_fulfillment_lag",
+    (s, dir) => fulfillmentLagCard(t(s, dir, "orders"),
+        t(s, dir, "lineitem"))
+      .orderBy(col("o_orderpriority")),
+    Some("""WITH lags AS (SELECT o_orderpriority,
+          (epoch_us(l_shipdate) // 1000000) // 86400
+            - (epoch_us(o_orderdate) // 1000000) // 86400 AS lag
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h AS (SELECT o_orderpriority, lag, COUNT(*) AS c
+            FROM lags GROUP BY 1, 2),
+      cc AS (SELECT *,
+          SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag) AS cum,
+          SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+        FROM h)
+      SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines,
+        MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN lag END) AS p50_days,
+        MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN lag END) AS p95_days,
+        MAX(lag) AS max_days,
+        (1000000 * CAST(SUM(CASE WHEN lag > 60 THEN c ELSE 0 END) AS BIGINT))
+          // CAST(MAX(n) AS BIGINT) AS breach_ppm
+      FROM cc GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
       q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
-      q83, q107, q145, q209, q218)
+      q83, q107, q145, q209, q218, q224)
 }
