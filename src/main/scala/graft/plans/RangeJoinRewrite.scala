@@ -131,10 +131,15 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     *    `(x − mid) − y ∈ [−⌊s/2⌋, ⌈s/2⌉]`, and cells of width
     *    max(⌈s/2⌉, 2) contain every qualifying pair within ±1 cell.
     *  - The re-centering subtraction is only synthesized when mid ≠ 0
-    *    AND |mid| ≤ 2^31: bare `x <= y` spellings (mid = 0) introduce
-    *    no arithmetic at all, and a pathological literal beyond 2^31
-    *    falls back to un-shifted max(|c1|, |c2|) cells rather than risk
-    *    `x − mid` overflowing near the Long boundary under ANSI.
+    *    AND |mid| ≤ 2^31 AND the probe operand's type is strictly
+    *    narrower than Long (int/short/byte): only then is the cast
+    *    value bounded by ±2^31, so `x − mid` provably cannot overflow.
+    *    Bounding |mid| alone is NOT enough — a LongType x within |mid|
+    *    of Long.MinValue/MaxValue would still overflow (ANSI throws on
+    *    a query that had no arithmetic; non-ANSI wraps the cell id and
+    *    silently drops a qualifying pair), so LongType operands fall
+    *    back to un-shifted max(|c1|, |c2|) cells, same as bare
+    *    `x <= y` spellings (mid = 0) which introduce no arithmetic.
     *
     * Unsatisfiable bands (c1 + c2 < 0 — exact: normIneq's [[safe]]
     * guard bounds |ci| < 2^60, so the sum cannot wrap) are left alone
@@ -151,8 +156,17 @@ object RewriteAbsRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     } yield {
       val span = c1 + c2
       val mid = Math.floorDiv(c1 - c2, 2)
+      // Overflow-provable shift precondition: the probe's NATIVE range
+      // must be sub-Long so |cast(x, Long)| ≤ 2^31 and the subtraction
+      // stays within Long for any data value. LongType (and anything
+      // physically 64-bit, e.g. timestamps arriving as long casts)
+      // cannot make that promise, so they take the un-shifted path.
+      val narrowProbe = x1.dataType match {
+        case IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
       val (xEff, w) =
-        if (mid != 0 && math.abs(mid) <= Int.MaxValue.toLong)
+        if (mid != 0 && math.abs(mid) <= Int.MaxValue.toLong && narrowProbe)
           (Subtract(Cast(x1, LongType), Literal(mid, LongType)),
             math.max((span + 1) / 2, 2L))
         else

@@ -1628,15 +1628,21 @@ object AnalyticsQ {
     * LITERALS in both engines (log₁₀ is irrational; baking the rounded
     * constants in keeps the card engine-exact). First digit extracts
     * arithmetically: v DIV 10^(digits−1) via string length — exact for
-    * positive longs. One aggregation; everything after rides the
-    * groups×9 table. */
+    * positive longs. Every group is cross-joined with the full 1..9
+    * digit table (9 literal rows, broadcast) so a digit with ZERO
+    * observations still contributes its full expected share to tv_ppm —
+    * the strongest-fabrication case is precisely a leading digit that
+    * never occurs, and a card that only sums over observed digits
+    * understates exactly there. One aggregation; everything after rides
+    * the groups×9 table. */
   def benfordCard(events: DataFrame, groupCol: String = "event_type",
       valCol: String = "value"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
-    val expCol = benford.zipWithIndex
-      .foldLeft(lit(0L)) { case (acc, (p, i)) =>
-        when(col("d") === (i + 1), lit(p)).otherwise(acc) }
+    val dtab = benford.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }.toDF("d", "exp_ppm")
     val digits = events
       .select(col(groupCol),
         expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
@@ -1645,9 +1651,10 @@ object AnalyticsQ {
         expr("cv DIV CAST(pow(10, length(CAST(cv AS STRING)) - 1) AS BIGINT)"))
       .groupBy(col(groupCol), col("d")).agg(count(lit(1)).as("c"))
     val tot = digits.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
-    digits.join(tot, Seq(groupCol))
-      .withColumn("obs_ppm", expr("(1000000 * c) DIV n"))
-      .withColumn("exp_ppm", expCol)
+    tot.crossJoin(broadcast(dtab))
+      .join(digits, Seq(groupCol, "d"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("obs_ppm", expr("(1000000 * c0) DIV n"))
       .withColumn("dev", col("obs_ppm") - col("exp_ppm"))
       .groupBy(col(groupCol))
       .agg(max(col("n")).as("n"),
@@ -1660,10 +1667,10 @@ object AnalyticsQ {
 
   /** Oracle fixture of [[benfordCard]]. */
   private val q222 = {
-    val benfordSql = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+    val dtabSql = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L).zipWithIndex
-      .map { case (p, i) => s"WHEN d = ${i + 1} THEN $p" }
-      .mkString("CASE ", " ", " ELSE 0 END")
+      .map { case (p, i) => s"(${i + 1}::BIGINT, ${p}::BIGINT)" }
+      .mkString(", ")
     GQuery(
       "q222_benford_card",
       (s, dir) => benfordCard(t(s, dir, "events"))
@@ -1679,10 +1686,12 @@ object AnalyticsQ {
               FROM dg GROUP BY 1, 2),
         tn AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
                FROM c GROUP BY 1),
-        x AS (SELECT c.event_type, d, tn.n,
-            (1000000 * c.c) // tn.n AS obs_ppm,
-            $benfordSql AS exp_ppm
-          FROM c JOIN tn USING (event_type)),
+        dt(d, exp_ppm) AS (VALUES $dtabSql),
+        x AS (SELECT tn.event_type, dt.d, tn.n,
+            (1000000 * COALESCE(c.c, 0)) // tn.n AS obs_ppm,
+            dt.exp_ppm
+          FROM tn CROSS JOIN dt
+          LEFT JOIN c ON c.event_type = tn.event_type AND c.d = dt.d),
         y AS (SELECT event_type, n, obs_ppm - exp_ppm AS dev, d FROM x)
         SELECT event_type, MAX(n) AS n,
           CAST(SUM(abs(dev)) AS BIGINT) AS tv_ppm,

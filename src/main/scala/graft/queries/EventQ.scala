@@ -749,7 +749,11 @@ object EventQ {
     * and a tier list `(fromUnit, toUnit, rateCentiPerUnit)` (half-open
     * [from, to), last tier unbounded via Long.MaxValue), each record's
     * charge is Σ over tiers of rate · overlap(units, tier) — exact
-    * centi-money longs, no floats.
+    * centi-money longs, no floats. Zero/negative-usage records cover no
+    * tier but are NEVER dropped (a zero-duration call is a normal CDR
+    * and this module's dead-letter philosophy forbids silent loss): the
+    * tier join is a LEFT join, so they rate at charge_centi = 0 and
+    * still count in n_rated / total_units.
     *
     * Plan: the tier table is a LITERAL broadcast (tariffs are dozens of
     * rows); the per-record decomposition is one inner join on
@@ -772,14 +776,14 @@ object EventQ {
     val ttab = tiers.toDF("t_from", "t_to", "t_rate")
     val perTier = events
       .select(col("event_id"), col(keyCol), units.cast(LongType).as("u"))
-      .join(broadcast(ttab), col("u") > col("t_from"))
+      .join(broadcast(ttab), col("u") > col("t_from"), "left")
       .select(col("event_id"), col(keyCol),
         col("u"),
         (col("t_rate") * (least(col("u"), col("t_to")) - col("t_from")))
           .as("tier_charge"))
     perTier.groupBy(col("event_id"), col(keyCol))
       .agg(max(col("u")).as("units"),
-        sum(col("tier_charge")).as("charge_centi"))
+        coalesce(sum(col("tier_charge")), lit(0L)).as("charge_centi"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rated"),
         sum(col("units")).as("total_units"),
@@ -804,9 +808,9 @@ object EventQ {
                  CAST(round(value * 100) AS BIGINT) AS u FROM events),
         pt AS (SELECT event_id, event_type, u,
                  t_rate * (least(u, t_to) - t_from) AS tier_charge
-               FROM ev JOIN tiers ON u > t_from),
+               FROM ev LEFT JOIN tiers ON u > t_from),
         pe AS (SELECT event_id, event_type, MAX(u) AS units,
-                 CAST(SUM(tier_charge) AS BIGINT) AS charge_centi
+                 CAST(COALESCE(SUM(tier_charge), 0) AS BIGINT) AS charge_centi
                FROM pt GROUP BY 1, 2)
       SELECT event_type, COUNT(*) AS n_rated,
         CAST(SUM(units) AS BIGINT) AS total_units,

@@ -454,21 +454,35 @@ object WindowQ {
     * reference's Oracle-maintained config tables are exactly such
     * hand-maintained versioned dims).
     *
-    * Plan: one key-partitioned lag window + one per-key agg + one global
-    * agg — a single hash exchange on the key. Times compare as integer
-    * epoch seconds (engine-portable). */
+    * Each version compares against the RUNNING MAX of all predecessors'
+    * coverage, coalescing an open (NULL) valid_to to +infinity — not
+    * against the immediate predecessor alone. Lag-of-valid_to audits
+    * miss two real defect shapes: an open version followed by later
+    * versions reads clean (NULL compares as neither overlap nor gap,
+    * when it in fact overlaps EVERYTHING after it), and a short version
+    * nested inside an earlier long one makes the NEXT row flag a false
+    * gap (its lag sees the short version's early valid_to, not the long
+    * version still covering the region) while the true overlap goes
+    * uncounted.
+    *
+    * Plan: one key-partitioned running-max window + one per-key agg +
+    * one global agg — a single hash exchange on the key. Times compare
+    * as integer epoch seconds (engine-portable); +infinity is
+    * Long.MaxValue, unreachable by any epoch cast. */
   def scd2Audit(dim: org.apache.spark.sql.DataFrame, keyCol: String,
       fromCol: String, toCol: String): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col("k"))
+    val wPrev = Window.partitionBy(col("k"))
       .orderBy(col("f"), col("t").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val marked = dim.select(col(keyCol).as("k"),
         col(fromCol).cast(org.apache.spark.sql.types.LongType).as("f"),
         col(toCol).cast(org.apache.spark.sql.types.LongType).as("t"))
-      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("prev_cov",
+        max(coalesce(col("t"), lit(Long.MaxValue))).over(wPrev))
       .select(col("k"),
-        when(col("prev_t").isNotNull && col("f") < col("prev_t"), 1L)
+        when(col("prev_cov").isNotNull && col("f") < col("prev_cov"), 1L)
           .otherwise(0L).as("ovl"),
-        when(col("prev_t").isNotNull && col("f") > col("prev_t"), 1L)
+        when(col("prev_cov").isNotNull && col("f") > col("prev_cov"), 1L)
           .otherwise(0L).as("gap"),
         when(col("t").isNull, 1L).otherwise(0L).as("open"))
     marked.groupBy(col("k"))
@@ -505,12 +519,13 @@ object WindowQ {
           END AS t
         FROM events),
       m AS (SELECT user_id AS k, f, t,
-          LAG(t) OVER (PARTITION BY user_id
-            ORDER BY f, t ASC NULLS LAST) AS prev_t
+          MAX(COALESCE(t, 9223372036854775807)) OVER (PARTITION BY user_id
+            ORDER BY f, t ASC NULLS LAST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cov
         FROM dim),
       fl AS (SELECT k,
-          CASE WHEN prev_t IS NOT NULL AND f < prev_t THEN 1 ELSE 0 END AS ovl,
-          CASE WHEN prev_t IS NOT NULL AND f > prev_t THEN 1 ELSE 0 END AS gap,
+          CASE WHEN prev_cov IS NOT NULL AND f < prev_cov THEN 1 ELSE 0 END AS ovl,
+          CASE WHEN prev_cov IS NOT NULL AND f > prev_cov THEN 1 ELSE 0 END AS gap,
           CASE WHEN t IS NULL THEN 1 ELSE 0 END AS opn
         FROM m),
       pk AS (SELECT k, COUNT(*) AS nv, SUM(ovl) AS no, SUM(gap) AS ng,

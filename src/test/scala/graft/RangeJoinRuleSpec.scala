@@ -130,16 +130,18 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(strict.collect().sorted.sameElements(asymNaive(l, r, -99L, -1L)))
   }
 
-  test("shifted band gets span-width cells, rewrites, and matches naive") {
+  test("shifted band on int operands gets span-width cells, rewrites, matches naive") {
     val rnd = new scala.util.Random(23L)
-    // values spread over ~3 "days" so day-wide cells would be a real loss
-    val l = Seq.tabulate(150)(i => (i.toLong, rnd.nextLong(260000L))).toDF("lid", "lv")
-    val r = Seq.tabulate(150)(i => (i.toLong, rnd.nextLong(260000L))).toDF("rid", "rv")
+    // Int operands: the re-centering shift is overflow-provable (cast to
+    // Long is bounded by ±2^31), so span-width cells apply. Values spread
+    // over ~3 "days" so day-wide cells would be a real loss.
+    val l = Seq.tabulate(150)(i => (i, rnd.nextInt(260000))).toDF("lid", "lv")
+    val r = Seq.tabulate(150)(i => (i, rnd.nextInt(260000))).toDF("rid", "rv")
     // lv - rv in [86300, 86400]: span 100, offsets ~1 day. The cell width
     // must track the SPAN (~50 after re-centering), not the 86400 offset.
     val joined = l.join(r,
-        col("lv") - col("rv") <= 86400L && col("rv") - col("lv") <= -86300L)
-      .select(col("lid"), col("rid")).as[(Long, Long)]
+        col("lv") - col("rv") <= 86400 && col("rv") - col("lv") <= -86300)
+      .select(col("lid"), col("rid")).as[(Int, Int)]
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
     val opt = joined.queryExecution.optimizedPlan.toString
@@ -147,13 +149,33 @@ class RangeJoinRuleSpec extends SparkSpec {
     // span 100 => re-centered width max(ceil(100/2), 2) = 50, never 86400
     assert(opt.contains(" 50)") || opt.contains(", 50"), s"cell width not span-based:\n$opt")
     val naive = (for {
-      lr <- l.as[(Long, Long)].collect(); rr <- r.as[(Long, Long)].collect()
+      lr <- l.as[(Int, Int)].collect(); rr <- r.as[(Int, Int)].collect()
     } yield (lr, rr)).collect {
       case ((lid, lv), (rid, rv))
-          if lv - rv >= 86300L && lv - rv <= 86400L => (lid, rid)
+          if lv - rv >= 86300 && lv - rv <= 86400 => (lid, rid)
     }.sorted
     assert(naive.nonEmpty, "fixture must produce in-band pairs")
     assert(joined.collect().sorted.sameElements(naive))
+  }
+
+  test("shifted band on Long operands keeps Long-boundary pairs (no re-centering)") {
+    // The ADVICE scenario: x - y in [-4, 0] (mid = -2) with data AT the
+    // Long boundary. A synthesized `x - (-2)` would overflow for
+    // x = Long.MaxValue - 1 — ANSI throws, non-ANSI wraps the cell id and
+    // silently drops the qualifying (MaxValue-1, MaxValue) pair. LongType
+    // operands therefore take the un-shifted max(|c1|,|c2|) cell path.
+    val l = Seq((1L, Long.MaxValue - 1L), (2L, Long.MinValue + 1L), (3L, 100L))
+      .toDF("lid", "lv")
+    val r = Seq((5L, Long.MaxValue), (6L, Long.MinValue + 2L), (7L, 103L))
+      .toDF("rid", "rv")
+    // lv - rv in [-4, 0]: written as two offset inequalities
+    val joined = l.join(r,
+        col("lv") - col("rv") <= 0L && col("rv") - col("lv") <= 4L)
+      .select(col("lid"), col("rid")).as[(Long, Long)]
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__cell_"), opt)
+    assert(joined.collect().sorted.toSeq == Seq((1L, 5L), (2L, 6L), (3L, 7L)),
+      "Long-boundary qualifying pairs must survive the rewrite")
   }
 
   test("equality written as two bare inequalities rewrites without arithmetic hazards") {
