@@ -137,7 +137,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val noise = s"""{"sentinel":"$SentinelName","floor_sec":${fmt(floor)},""" +
       s""""reruns":$reruns,"sentinel_ratios":$ratios}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","noise":$noise}""")
+    // Truncation-proof trailer: the driver keeps only the LAST ~2,000
+    // chars of this line, and for three rounds that tail landed inside
+    // the per-query noise maps — the large sentinel ratios there read as
+    // fake regressions. The adjudicated verdict (total, error count,
+    // over-2x count, worst-5 vs baseline) therefore goes LAST, so any
+    // tail suffix is self-adjudicating. Worst-5 ranks by baseline ratio
+    // where a baseline row exists, by absolute seconds otherwise
+    // (ratio -1 marks "no baseline").
+    val withBase = adjudicated.map { case (k, v, _, _) =>
+      (k, v, base.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0))
+    }
+    val over2x = withBase.count { case (_, v, r) => v >= 0 && r > 2.0 }
+    val worst = withBase.filter(_._2 >= 0)
+      .sortBy { case (_, v, r) => -(if (r > 0) r else v) }.take(5)
+      .map { case (k, v, r) =>
+        s"""{"name":"$k","sec":${fmt(v)},"ratio":${fmt(r)}}"""
+      }.mkString("[", ",", "]")
+    val nerr = adjudicated.count(_._2 < 0)
+    val summary = s"""{"total":${fmt(total)},"n":${adjudicated.size},""" +
+      s""""errors":$nerr,"floor_sec":${fmt(floor)},"over2x":$over2x,""" +
+      s""""worst":$worst}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","noise":$noise,"queries":$qs,"sf":"$sfDir","summary":$summary}""")
     spark.stop()
   }
 }
