@@ -1,0 +1,116 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraphQ, TextQ}
+
+/** Every dedup-graph trust gate behind ONE materialized candidate
+  * structure — the composed form of the all-gates-then-decide sequence a
+  * real curation run executes.
+  *
+  * Standalone, each gate query (components, best-keeper, edit-confirm,
+  * agreement audit, leakage split, k-fold, cluster histogram, split
+  * audit, pagerank, canonical pick, triangles, communities, k-core)
+  * rebuilds the same [[TextQ.minhashBands]] → [[TextQ.lshCandidates]]
+  * pipeline — the corpus-sized shingle explode plus the band self-join —
+  * and most also rebuild [[TextQ.connectedComponents]] on top. That is
+  * correct per query, but a run that reads SEVERAL gates before deciding
+  * its keep policy pays the candidate pipeline once per gate: ~12 of the
+  * bench suite's 15 most expensive queries are exactly these rebuilds.
+  *
+  * This pipeline applies the [[CurationPipeline]] lineage-cut
+  * convention: [[DedupGraphPipeline.build]] materializes the filtered
+  * candidate pair set ONCE (`localCheckpoint`, or durable `checkpoint`
+  * with `reliable` — the executor-loss trade documented there), the
+  * `components` closure is materialized lazily on first use, and every
+  * gate is the SAME operator the oracle gate pins individually, called
+  * through its `*From` entry point on the shared cut — so each gate's
+  * output is hash-identical to its standalone query by construction
+  * (DedupGraphPipelineSpec proves it by value).
+  *
+  * Scale shape at 100 TB: the candidate build is the one corpus-sized
+  * pass (shingle explode + band join, skew-capped); everything after is
+  * candidate-edge-sized or component-sized. Composing k gates costs
+  * 1 × build + Σ(candidate-sized gate work) instead of k × build — the
+  * SCALING.md row for this pipeline measures exactly that gap.
+  */
+final class DedupGraph private[pipelines] (
+    docs: DataFrame, val candidates: DataFrame, reliable: Boolean) {
+
+  private def snap(df: DataFrame): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  /** Near-dup connected components over the materialized candidates
+    * (doc_id, component) — built once on first use, shared by every
+    * component-consuming gate. */
+  lazy val components: DataFrame =
+    snap(TextQ.connectedComponents(candidates, reliable = reliable))
+
+  /** q69's gate: best replica per cluster by an integer quality column. */
+  def bestKeeper(quality: DataFrame, qualityCol: String): DataFrame =
+    TextQ.keepBestPerCluster(components, quality, qualityCol)
+
+  /** q77's gate: candidates confirmed by banded edit distance. */
+  def editConfirmed(maxDist: Int = 64): DataFrame =
+    TextQ.editConfirmedFrom(docs, candidates, maxDist)
+
+  /** q128's gate: signature-estimate vs exact-Jaccard agreement. */
+  def minhashAgreement: DataFrame =
+    TextQ.minhashAgreementFrom(docs, candidates)
+
+  /** q81's gate: cluster-atomic train/val/test split. */
+  def leakageSplit(trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    TextQ.leakageSafeSplitFrom(docs, components, trainPct, valPct)
+
+  /** q199's gate: cluster-atomic k-fold assignment. */
+  def kFold(k: Int = 5): DataFrame =
+    TextQ.kFoldSplitFrom(docs, components, k)
+
+  /** q208's gate: duplicate-cluster size histogram. */
+  def clusterHistogram: DataFrame =
+    TextQ.clusterSizeHistogramFrom(docs, components)
+
+  /** q134's gate: per-policy split-leakage audit. */
+  def splitLeakage: DataFrame =
+    TextQ.splitLeakageAuditFrom(docs, candidates, components)
+
+  /** q139's gate: degree-normalized pagerank in exact ppm. */
+  def pagerank(iterations: Int = 3): DataFrame =
+    GraphQ.pagerankPpm(candidates, iterations, reliable = reliable)
+
+  /** q140's gate: highest-centrality canonical pick per component. */
+  def canonical(iterations: Int = 3): DataFrame =
+    GraphQ.canonicalFrom(candidates, components, iterations, reliable)
+
+  /** q176's gate: per-node triangle count + clustering coefficient. */
+  def triangles: DataFrame =
+    GraphQ.triangleStats(candidates, reliable = reliable)
+
+  /** q203's gate: label-propagation communities. */
+  def communities(rounds: Int = 3): DataFrame =
+    GraphQ.labelPropagation(candidates, rounds, reliable = reliable)
+
+  /** q214's gate: k-core membership after bounded peeling. */
+  def kCore(k: Int = 2, rounds: Int = 5): DataFrame =
+    GraphQ.kCore(candidates, k, rounds, reliable = reliable)
+}
+
+object DedupGraphPipeline {
+
+  /** Materialize the LSH candidate pair set for `docs` once and wrap it
+    * in a [[DedupGraph]] whose gates all read from the cut.
+    *
+    * @param minEstJaccard the candidate threshold every gate shares
+    *   (0.25 — the q26 convention the standalone gates use)
+    * @param maxBandSize   the band-skew cap ([[TextQ.lshCandidates]])
+    * @param reliable      durable `checkpoint` instead of
+    *   `localCheckpoint` for the cuts (survives executor loss) */
+  def build(docs: DataFrame, minEstJaccard: Double = 0.25,
+      maxBandSize: Int = 1000, reliable: Boolean = false): DedupGraph = {
+    val cand = TextQ.lshCandidates(TextQ.minhashBands(docs), maxBandSize)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val cut = if (reliable) cand.checkpoint() else cand.localCheckpoint()
+    new DedupGraph(docs, cut, reliable)
+  }
+}

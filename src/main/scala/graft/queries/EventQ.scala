@@ -820,6 +820,94 @@ object EventQ {
       ORDER BY event_type"""))
   }
 
+  /** Batch multi-leg (partial CDR) assembly — the oracle-checkable twin
+    * of the streaming [[graft.streaming.LegAssembler]] (the reference's
+    * prerating core job: partial records of one call arrive out of
+    * order, duplicated, sometimes malformed; emit one assembled row per
+    * call). Semantics mirror the stateful processor EXACTLY, with
+    * end-of-data playing the timeout (every open call flushes
+    * `complete = false`):
+    *
+    *  - legs with `seq` outside [1, 64] or `total < 1` are DROPPED
+    *    (the dead-letter philosophy: counted upstream, never thrown on);
+    *    a call whose every leg is invalid emits nothing (no state);
+    *  - duplicate `seq` redeliveries keep the FIRST arrival's duration
+    *    (min `arrival` — the processor's processing-order rule, made
+    *    deterministic by the arrival column);
+    *  - `declared` = max(total) over ALL valid legs, duplicates
+    *    included (the processor updates declared outside the dup check);
+    *  - complete ⇔ the distinct seq set is EXACTLY {1..declared}: with
+    *    distinct seqs ≥ 1, `n_legs = declared AND max_seq = declared`
+    *    is equivalent by pigeonhole — a stray seq > declared or a
+    *    missing middle leg both fail it, exactly like the processor's
+    *    `mask == want`.
+    *
+    * Exact integers: durations in centi-units, BIGINT sums. Plan: two
+    * hash aggregations — (call_id, seq) first-arrival pick via
+    * `min(struct(arrival, …))`, then the per-call roll-up — both with
+    * map-side partial aggregation, nothing corpus-pairwise; at 100 TB
+    * this is the canonical two-level agg over the CDR scan. */
+  def assembleLegsBatch(legs: DataFrame): DataFrame = {
+    val valid = legs.filter(
+      col("seq") >= 1L && col("seq") <= 64L && col("total") >= 1L)
+    val perSeq = valid.groupBy(col("call_id"), col("seq"))
+      .agg(min(struct(col("arrival"), col("duration_centi"))).as("f"),
+        max(col("total")).as("t"))
+    perSeq.groupBy(col("call_id"))
+      .agg(max(col("t")).as("declared"),
+        count(lit(1)).as("n_legs"),
+        sum(col("f.duration_centi")).as("total_duration_centi"),
+        max(col("seq")).as("max_seq"))
+      .select(col("call_id"), col("declared"), col("n_legs"),
+        col("total_duration_centi"),
+        (col("declared") <= 64L && col("n_legs") === col("declared") &&
+          col("max_seq") === col("declared")).as("complete"))
+  }
+
+  /** Oracle fixture of [[assembleLegsBatch]]: legs synthesized from
+    * events — call = (user, day), seq cycles 1..6 with signups mapped to
+    * the invalid seq 0 (the dropped-garbage path), declared totals cycle
+    * 1..4 per leg (so declared = max(total) varies within a call), and
+    * event_id is the deterministic arrival order. The cycling seq vs
+    * smaller declared produces all three verdicts: complete calls,
+    * missing-leg incompletes, and stray-high-seq incompletes. */
+  private val q225 = GQuery(
+    "q225_leg_assembly",
+    (s, dir) => {
+      val legs = t(s, dir, "events").select(
+        concat(col("user_id").cast(StringType), lit("#"),
+          expr("CAST(CAST(ts AS BIGINT) DIV 86400 AS STRING)")).as("call_id"),
+        when(col("event_type") === "signup", lit(0L))
+          .otherwise(lit(1L) + col("event_id") % 6L).as("seq"),
+        (lit(1L) + col("event_id") % 4L).as("total"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("duration_centi"),
+        col("event_id").as("arrival"))
+      assembleLegsBatch(legs).orderBy(col("call_id"))
+    },
+    Some(s"""WITH legs AS (SELECT
+          CAST(user_id AS VARCHAR) || '#' ||
+            CAST((${epochSecSql("ts")}) // 86400 AS VARCHAR) AS call_id,
+          CASE WHEN event_type = 'signup' THEN 0
+               ELSE 1 + event_id % 6 END AS seq,
+          1 + event_id % 4 AS total,
+          CAST(round(value * 100) AS BIGINT) AS duration_centi,
+          event_id AS arrival
+        FROM events),
+      v AS (SELECT * FROM legs WHERE seq BETWEEN 1 AND 64 AND total >= 1),
+      ps AS (SELECT call_id, seq,
+          arg_min(duration_centi, arrival) AS dur, MAX(total) AS t
+        FROM v GROUP BY 1, 2),
+      calls AS (SELECT call_id, CAST(MAX(t) AS BIGINT) AS declared,
+          COUNT(*) AS n_legs,
+          CAST(SUM(dur) AS BIGINT) AS total_duration_centi,
+          MAX(seq) AS max_seq
+        FROM ps GROUP BY 1)
+      SELECT call_id, declared, n_legs, total_duration_centi,
+        (declared <= 64 AND n_legs = declared AND max_seq = declared)
+          AS complete
+      FROM calls
+      ORDER BY call_id"""))
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212, q219, q220)
+    q97, q169, q175, q195, q212, q219, q220, q225)
 }

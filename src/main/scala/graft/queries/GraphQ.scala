@@ -119,8 +119,18 @@ object GraphQ {
   def canonicalByCentrality(pairs: DataFrame, iterations: Int = 3,
       reliable: Boolean = false): DataFrame = {
     val p = if (reliable) pairs.checkpoint() else pairs.localCheckpoint()
-    val comps = TextQ.connectedComponents(p, reliable = reliable)
-    val ranks = pagerankPpm(p, iterations, reliable = reliable)
+    canonicalFrom(p, TextQ.connectedComponents(p, reliable = reliable),
+      iterations, reliable)
+  }
+
+  /** [[canonicalByCentrality]] over PRE-BUILT (materialized) candidate
+    * pairs AND components — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point, where both
+    * structures are shared across every gate instead of being rebuilt
+    * here. */
+  def canonicalFrom(pairs: DataFrame, comps: DataFrame,
+      iterations: Int = 3, reliable: Boolean = false): DataFrame = {
+    val ranks = pagerankPpm(pairs, iterations, reliable = reliable)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("rank_ppm").desc, col("doc_id"))

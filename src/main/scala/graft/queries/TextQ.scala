@@ -650,10 +650,17 @@ object TextQ {
     * the distance and a length-normalized similarity in exact ppm.
     */
   def editConfirmedPairs(docs: DataFrame, maxDist: Int = 64,
-      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame =
+    editConfirmedFrom(docs,
+      lshCandidates(minhashBands(docs), maxBandSize)
+        .filter(col("est_jaccard") >= minEstJaccard), maxDist)
+
+  /** [[editConfirmedPairs]] over a PRE-BUILT candidate pair set — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point, where the LSH
+    * candidates are materialized once and feed every gate. */
+  def editConfirmedFrom(docs: DataFrame, cand: DataFrame,
+      maxDist: Int = 64): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val cand = lshCandidates(minhashBands(docs), maxBandSize)
-      .filter(col("est_jaccard") >= minEstJaccard)
     val txt = docs.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
@@ -762,10 +769,16 @@ object TextQ {
     * candidate pipeline + component label counts; the histogram rides
     * the (cluster-count)-sized table. */
   def clusterSizeHistogram(docs: DataFrame,
-      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
-    val comp = connectedComponents(
-      lshCandidates(minhashBands(docs), maxBandSize)
-        .filter(col("est_jaccard") >= minEstJaccard))
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame =
+    clusterSizeHistogramFrom(docs,
+      connectedComponents(
+        lshCandidates(minhashBands(docs), maxBandSize)
+          .filter(col("est_jaccard") >= minEstJaccard)))
+
+  /** [[clusterSizeHistogram]] over PRE-BUILT near-dup components — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point. */
+  def clusterSizeHistogramFrom(docs: DataFrame, comp: DataFrame)
+      : DataFrame = {
     val labeled = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(coalesce(col("component"), col("doc_id")).as("cluster"))
@@ -1474,12 +1487,19 @@ object TextQ {
     * cluster labels back onto the corpus — the split itself stays a
     * scan-side expression. Returns (doc_id, cluster, split). */
   def leakageSafeSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
-      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame =
+    leakageSafeSplitFrom(docs,
+      connectedComponents(
+        lshCandidates(minhashBands(docs), maxBandSize)
+          .filter(col("est_jaccard") >= minEstJaccard)),
+      trainPct, valPct)
+
+  /** [[leakageSafeSplit]] over PRE-BUILT near-dup components — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point. */
+  def leakageSafeSplitFrom(docs: DataFrame, comp: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val comp = connectedComponents(
-      lshCandidates(minhashBands(docs), maxBandSize)
-        .filter(col("est_jaccard") >= minEstJaccard))
     val b = hashBucketExpr("instr", "cluster", "STRING")
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -1694,11 +1714,17 @@ object TextQ {
     * Same cost shape as [[leakageSafeSplit]]: the near-dup pipeline +
     * one left join; the fold itself is a scan-side expression. */
   def kFoldSplit(docs: DataFrame, k: Int = 5,
-      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame = {
+      minEstJaccard: Double = 0.25, maxBandSize: Int = 1000): DataFrame =
+    kFoldSplitFrom(docs,
+      connectedComponents(
+        lshCandidates(minhashBands(docs), maxBandSize)
+          .filter(col("est_jaccard") >= minEstJaccard)), k)
+
+  /** [[kFoldSplit]] over PRE-BUILT near-dup components — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point. */
+  def kFoldSplitFrom(docs: DataFrame, comp: DataFrame, k: Int = 5)
+      : DataFrame = {
     require(k >= 2 && k <= 100, s"k must be in [2, 100], got $k")
-    val comp = connectedComponents(
-      lshCandidates(minhashBands(docs), maxBandSize)
-        .filter(col("est_jaccard") >= minEstJaccard))
     val b = ppmBucketExpr("instr", "cluster", "STRING", offset = 13)
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -2326,9 +2352,17 @@ object TextQ {
     * per-doc distinct-shingle table twice, so the cost is
     * candidates × shingles-per-doc; sizes and intersections are exact
     * integer counts and the ppm arithmetic is engine-portable. */
-  def minhashAgreement(docs: DataFrame, maxBandSize: Int = 1000): DataFrame = {
-    val cand = lshCandidates(minhashBands(docs), maxBandSize)
-      .filter(col("est_jaccard") >= 0.25)
+  def minhashAgreement(docs: DataFrame, maxBandSize: Int = 1000): DataFrame =
+    minhashAgreementFrom(docs,
+      lshCandidates(minhashBands(docs), maxBandSize)
+        .filter(col("est_jaccard") >= 0.25))
+
+  /** [[minhashAgreement]] over a PRE-BUILT candidate pair set (with its
+    * `est_jaccard` column) — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point. */
+  def minhashAgreementFrom(docs: DataFrame, candidates: DataFrame)
+      : DataFrame = {
+    val cand = candidates
       .withColumn("est_ppm",
         (col("est_jaccard") * 8).cast(LongType) * 125000L)
     val dsh = docs.withColumn("toks", split(col("text"), " "))
@@ -2441,7 +2475,13 @@ object TextQ {
       maxBandSize: Int = 1000): DataFrame = {
     val cand = lshCandidates(minhashBands(docs), maxBandSize)
       .filter(col("est_jaccard") >= minEstJaccard)
-    val comp = connectedComponents(cand)
+    splitLeakageAuditFrom(docs, cand, connectedComponents(cand))
+  }
+
+  /** [[splitLeakageAudit]] over PRE-BUILT candidates + components — the
+    * [[graft.pipelines.DedupGraphPipeline]] entry point. */
+  def splitLeakageAuditFrom(docs: DataFrame, cand: DataFrame,
+      comp: DataFrame): DataFrame = {
     val b = hashBucketExpr("instr", "cluster", "STRING")
     val safe = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
