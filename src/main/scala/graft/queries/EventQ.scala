@@ -629,12 +629,23 @@ object EventQ {
   def prepaidBalances(events: DataFrame, creditType: String = "signup",
       debitType: String = "purchase"): DataFrame = {
     require(creditType != debitType, "credit and debit types must differ")
+    // Packing-bound guard (the raise_error convention): the packed
+    // accumulator carries zeros·10¹² + balance, sound ONLY while the
+    // balance stays below 10¹² centi. The clamp keeps the balance ≥ 0,
+    // so only a CREDIT can breach the bound — and a 10¹⁰-currency-unit
+    // top-up is a data error that must fail loudly, not silently leak
+    // into the overdraw count.
     val packedFold =
       """aggregate(ds, CAST(0 AS BIGINT), (p, x) ->
            (p DIV 1000000000000 +
              CASE WHEN pmod(p, 1000000000000) + x < 0 THEN 1 ELSE 0 END)
            * 1000000000000
-           + greatest(CAST(0 AS BIGINT), pmod(p, 1000000000000) + x))"""
+           + CASE WHEN pmod(p, 1000000000000) + x >= 1000000000000
+               THEN raise_error(concat('graft.prepaidBalances: balance ',
+                 'exceeds the 10^12-centi packing bound — a top-up this ',
+                 'large is a data error, not a balance'))
+             ELSE greatest(CAST(0 AS BIGINT), pmod(p, 1000000000000) + x)
+             END)"""
     events
       .filter(col("event_type").isin(creditType, debitType))
       .select(col("user_id"), col("event_id"),
@@ -908,6 +919,144 @@ object EventQ {
       FROM calls
       ORDER BY call_id"""))
 
+  /** Time-band tariff rating — the full gsmrating composition
+    * (`gsmrating.sh:14` launches the GSM rating stage; a real tariff
+    * applies ALL of): the tariff VERSION in force as-of the call start
+    * (q20b's as-of operator), a TIME-OF-DAY band per started minute
+    * (peak/off-peak — bands cross call boundaries, so a call starting
+    * 19:58 for 5 minutes bills 2 peak + 3 off-peak minutes), and a
+    * per-minute usage TIER (q195's progressive family, indexed by the
+    * minute's position in the call).
+    *
+    * `cdrs`: (call_id, call_type, start_sec, dur_min); `tariffs`:
+    * (call_type, valid_from, base_centi) — the versioned per-minute
+    * base rate. Minute m (0-based) bills
+    * base_centi · band_ppm(hour-of-day of start_sec + 60m) ·
+    * tier_ppm(m); per-minute products stay in BIGINT (base ≤ ~10⁶ centi
+    * × two ppm factors < 10¹⁸), the per-call sum accumulates in
+    * DECIMAL(38,0), and ONE DIV 10¹² converts back to exact centi (the
+    * q183 rule). Calls predating every tariff version (the as-of is
+    * LEFT) or with zero/negative duration are NEVER dropped: they rate
+    * at charge_centi 0 with a NULL version (the q195 contract).
+    *
+    * Plan: ONE broadcast as-of lookup per call (BroadcastAsOfJoin —
+    * tariffs are types × versions), then the per-minute split runs as a
+    * map-side `aggregate(sequence(...))` higher-order expression — no
+    * explode, NO shuffle at all after the lookup; band and tier dims
+    * compile to literal CASE chains. At 100 TB this is scan →
+    * broadcast-as-of → projection: the cheapest shape a per-minute
+    * rating can have. */
+  def timeBandCharges(cdrs: DataFrame, tariffs: DataFrame,
+      peakFromHour: Int = 8, peakToHour: Int = 20,
+      peakMultPpm: Long = 1500000L,
+      tiers: Seq[(Long, Long, Long)] = Seq((0L, 3L, 1000000L),
+        (3L, 6L, 800000L), (6L, Long.MaxValue, 600000L))): DataFrame = {
+    require(peakFromHour >= 0 && peakToHour <= 24 &&
+      peakFromHour < peakToHour,
+      s"invalid peak band [$peakFromHour, $peakToHour)")
+    require(peakMultPpm >= 0, s"peakMultPpm must be >= 0, got $peakMultPpm")
+    require(tiers.nonEmpty && tiers.head._1 == 0L &&
+      tiers.last._2 == Long.MaxValue &&
+      tiers.sliding(2).forall {
+        case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+        case _ => true
+      }, s"tiers must be contiguous from 0 to unbounded, got $tiers")
+    val t = tariffs.select(col("call_type").as("t_call_type"),
+      col("valid_from"), col("base_centi"))
+    val asof = graft.plans.AsOf.join(cdrs, t,
+        Seq("call_type"), Seq("t_call_type"), "start_sec", "valid_from")
+      .drop("t_call_type")
+      .withColumnRenamed("valid_from", "version")
+    val hod = s"(((start_sec + 60 * m) % 86400) DIV 3600)"
+    val isPeak = s"($hod >= $peakFromHour AND $hod < $peakToHour)"
+    val bandPpm = s"(CASE WHEN $isPeak THEN CAST($peakMultPpm AS BIGINT) " +
+      "ELSE CAST(1000000 AS BIGINT) END)"
+    val tierPpm = "(CASE " + tiers.init.map { case (_, to, p) =>
+      s"WHEN m < $to THEN CAST($p AS BIGINT)" }.mkString(" ") +
+      s" ELSE CAST(${tiers.last._3} AS BIGINT) END)"
+    asof
+      .withColumn("charge_centi",
+        when(col("dur_min") >= 1L && col("base_centi").isNotNull,
+          expr(s"""CAST(aggregate(
+              sequence(CAST(0 AS BIGINT), dur_min - 1),
+              CAST(0 AS DECIMAL(38, 0)),
+              (acc, m) -> acc +
+                CAST(base_centi * $bandPpm * $tierPpm AS DECIMAL(38, 0)))
+            DIV CAST(1000000000000 AS DECIMAL(38, 0)) AS BIGINT)"""))
+          .otherwise(lit(0L)))
+      .withColumn("peak_min",
+        when(col("dur_min") >= 1L,
+          expr(s"""aggregate(sequence(CAST(0 AS BIGINT), dur_min - 1),
+            CAST(0 AS BIGINT),
+            (acc, m) -> acc + (CASE WHEN $isPeak THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END))"""))
+          .otherwise(lit(0L)))
+      .select(col("call_id"), col("call_type"), col("version"),
+        col("base_centi"), col("dur_min"), col("peak_min"),
+        col("charge_centi"))
+  }
+
+  /** Oracle fixture of [[timeBandCharges]]: CDRs from events (duration
+    * 1..10 minutes from the value column — long enough that band
+    * crossings and all three tiers occur), a three-version tariff per
+    * event type with length-derived base rates, peak 08–20. */
+  private val q226 = GQuery(
+    "q226_timeband_rating",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val cdrs = ev.select(col("event_id").as("call_id"),
+        col("event_type").as("call_type"),
+        col("ts").cast(LongType).as("start_sec"),
+        (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L)
+          .as("dur_min"))
+      val tariffs = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(Seq((0L, 7L), (1706659200L, 9L),
+          (1709251200L, 11L)).toDF("valid_from", "b0")))
+        .select(col("event_type").as("call_type"), col("valid_from"),
+          (col("b0") + length(col("event_type")).cast(LongType))
+            .as("base_centi"))
+      timeBandCharges(cdrs, tariffs).orderBy(col("call_id"))
+    },
+    Some(s"""WITH cdrs AS (SELECT event_id AS call_id,
+          event_type AS call_type,
+          ${epochSecSql("ts")} AS start_sec,
+          1 + abs(CAST(round(value) AS BIGINT)) % 10 AS dur_min
+        FROM events),
+      tv(valid_from, b0) AS (VALUES (0::BIGINT, 7::BIGINT),
+        (1706659200::BIGINT, 9::BIGINT), (1709251200::BIGINT, 11::BIGINT)),
+      tariffs AS (SELECT t.event_type AS t_call_type, v.valid_from,
+          v.b0 + length(t.event_type) AS base_centi
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN tv v),
+      av AS (SELECT * FROM (
+          SELECT c.*, tf.valid_from AS version, tf.base_centi,
+            ROW_NUMBER() OVER (PARTITION BY c.call_id
+              ORDER BY tf.valid_from DESC) AS rn
+          FROM cdrs c LEFT JOIN tariffs tf
+            ON tf.t_call_type = c.call_type
+              AND tf.valid_from <= c.start_sec)
+        WHERE rn = 1),
+      mins AS (SELECT call_id, u.m, base_centi,
+          ((start_sec + 60 * u.m) % 86400) // 3600 AS hod
+        FROM av, UNNEST(generate_series(0, dur_min - 1)) AS u(m)
+        WHERE dur_min >= 1 AND base_centi IS NOT NULL),
+      terms AS (SELECT call_id,
+          CAST(base_centi AS HUGEINT) *
+            (CASE WHEN hod >= 8 AND hod < 20 THEN 1500000
+                  ELSE 1000000 END) *
+            (CASE WHEN m < 3 THEN 1000000 WHEN m < 6 THEN 800000
+                  ELSE 600000 END) AS term,
+          CASE WHEN hod >= 8 AND hod < 20 THEN 1 ELSE 0 END AS pk
+        FROM mins),
+      agg AS (SELECT call_id, SUM(term) AS sm,
+          CAST(SUM(pk) AS BIGINT) AS peak_min
+        FROM terms GROUP BY 1)
+      SELECT a.call_id, a.call_type, a.version, a.base_centi, a.dur_min,
+        COALESCE(g.peak_min, 0) AS peak_min,
+        CAST(COALESCE(g.sm, 0) // 1000000000000 AS BIGINT) AS charge_centi
+      FROM av a LEFT JOIN agg g USING (call_id)
+      ORDER BY a.call_id"""))
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212, q219, q220, q225)
+    q97, q169, q175, q195, q212, q219, q220, q225, q226)
 }
