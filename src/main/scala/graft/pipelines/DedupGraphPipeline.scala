@@ -87,6 +87,10 @@ final class DedupGraph private[pipelines] (
   def triangles: DataFrame =
     GraphQ.triangleStats(candidates, reliable = reliable)
 
+  /** q227's gate: per-edge common-neighbor embeddedness. */
+  def embeddedness: DataFrame =
+    GraphQ.edgeEmbeddedness(candidates, reliable = reliable)
+
   /** q203's gate: label-propagation communities. */
   def communities(rounds: Int = 3): DataFrame =
     GraphQ.labelPropagation(candidates, rounds, reliable = reliable)

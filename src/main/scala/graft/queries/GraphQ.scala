@@ -203,16 +203,23 @@ object GraphQ {
     * clustering_ppm = 2·tri·10⁶ DIV (deg·(deg−1)) in exact integer
     * arithmetic; degree-1 nodes report 0 (no possible wedge) instead of
     * tripping ANSI division. */
-  def triangleStats(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    // normalize defensively: canonical u<v, self-loops dropped, distinct
-    val e = snap(pairs
+  /** Canonical undirected edge list (u < v, self-loops dropped,
+    * distinct), materialized via the caller's snap. */
+  private def normEdges(pairs: DataFrame,
+      snap: DataFrame => DataFrame): DataFrame =
+    snap(pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+
+  private def degreeOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  /** Degree-oriented triangle enumeration (src, d1, d2) — each triangle
+    * exactly once, wedge work at the O(m^1.5) node-iterator bound on
+    * any skew (see [[triangleStats]]'s doc for the argument). */
+  private def orientedTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
@@ -226,10 +233,19 @@ object GraphQ {
     val o1 = oriented.select(col("src"), col("dst").as("d1"))
     val o2 = oriented.select(col("src"), col("dst").as("d2"))
     val wedges = o1.join(o2, Seq("src")).filter(col("d1") < col("d2"))
-    val tris = wedges.join(e,
+    wedges.join(e,
       least(col("d1"), col("d2")) === col("u") &&
         greatest(col("d1"), col("d2")) === col("v"))
       .select(col("src"), col("d1"), col("d2"))
+  }
+
+  def triangleStats(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // normalize defensively: canonical u<v, self-loops dropped, distinct
+    val e = normEdges(pairs, snap)
+    val deg = degreeOf(e)
+    val tris = orientedTriangles(e, deg)
     val perNode = tris.select(explode(array(col("src"), col("d1"),
         col("d2"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("tri"))
@@ -274,6 +290,91 @@ object GraphQ {
           END AS clustering_ppm
       FROM deg LEFT JOIN pn ON deg.n = pn.n
       ORDER BY doc_id"""))
+
+  /** Per-EDGE embeddedness — the trust gate for a single candidate
+    * link where [[triangleStats]] grades whole nodes: for each edge,
+    * the count of COMMON NEIGHBORS (triangles through the edge) and the
+    * neighborhood-Jaccard in exact ppm
+    * (`cn / (deg_a + deg_b − cn − 2)` — endpoints excluded from the
+    * union). Entity-resolution systems drop low-embeddedness edges
+    * before transitive closure: a true mirror pair shares most of its
+    * family (emb → 10⁶), while the single boilerplate edge chaining two
+    * unrelated families has no common neighbor at all (emb = 0) — the
+    * precise cut that stops mega-cluster formation, finer than dropping
+    * whole low-clustering NODES. Bridge edges (both endpoints degree 1)
+    * have an empty denominator and read 0.
+    *
+    * Scale shape: the SAME degree-oriented triangle enumeration as
+    * [[triangleStats]] (wedge work O(m^1.5) on any skew); each triangle
+    * then charges its 3 edges — one explode + one (edge)-keyed count,
+    * candidate-edge-sized; the final assembly is three equi-joins on
+    * edge/node keys. */
+  def edgeEmbeddedness(pairs: DataFrame, reliable: Boolean = false)
+      : DataFrame = {
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = normEdges(pairs, snap)
+    val deg = degreeOf(e)
+    val tris = orientedTriangles(e, deg)
+    val perEdge = tris.select(explode(array(
+        struct(least(col("src"), col("d1")).as("u"),
+          greatest(col("src"), col("d1")).as("v")),
+        struct(least(col("src"), col("d2")).as("u"),
+          greatest(col("src"), col("d2")).as("v")),
+        struct(col("d1").as("u"), col("d2").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    e.join(perEdge, Seq("u", "v"), "left")
+      .join(deg.select(col("n").as("u"), col("deg").as("deg_a")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("deg_b")), Seq("v"))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        coalesce(col("cn"), lit(0L)).cast(LongType).as("common_neighbors"),
+        col("deg_a").cast(LongType).as("deg_a"),
+        col("deg_b").cast(LongType).as("deg_b"),
+        expr("""CASE WHEN deg_a + deg_b - coalesce(cn, 0) - 2 <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE (1000000 * coalesce(cn, 0))
+              DIV (deg_a + deg_b - coalesce(cn, 0) - 2) END""")
+          .as("emb_ppm"))
+  }
+
+  /** Oracle fixture of [[edgeEmbeddedness]]: q26's candidate graph; the
+    * oracle enumerates triangles by id orientation (the q176 proof
+    * route) and charges each triangle's three canonical edges. */
+  private val q227 = GQuery(
+    "q227_edge_embeddedness",
+    (s, dir) => edgeEmbeddedness(
+      TextQ.lshCandidates(TextQ.minhashBands(t(s, dir, "documents")))
+        .filter(col("est_jaccard") >= 0.25))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""${TextQ.minhashCandSql},
+      e AS (SELECT DISTINCT LEAST(doc_a, doc_b) AS u,
+              GREATEST(doc_a, doc_b) AS v
+            FROM cand WHERE doc_a <> doc_b),
+      deg AS (SELECT n, COUNT(*) AS deg FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+              GROUP BY n),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pe AS (SELECT u, v, COUNT(*) AS cn FROM (
+               SELECT x AS u, y AS v FROM tri
+               UNION ALL SELECT y, z FROM tri
+               UNION ALL SELECT x, z FROM tri)
+             GROUP BY u, v)
+      SELECT e.u AS doc_a, e.v AS doc_b,
+        CAST(COALESCE(pe.cn, 0) AS BIGINT) AS common_neighbors,
+        CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        CASE WHEN da.deg + db.deg - COALESCE(pe.cn, 0) - 2 <= 0
+          THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * COALESCE(pe.cn, 0))
+            // (da.deg + db.deg - COALESCE(pe.cn, 0) - 2) END AS emb_ppm
+      FROM e
+      LEFT JOIN pe ON pe.u = e.u AND pe.v = e.v
+      JOIN deg da ON da.n = e.u
+      JOIN deg db ON db.n = e.v
+      ORDER BY doc_a, doc_b"""))
 
   /** Synchronous label propagation (LPA) — COMMUNITY detection over the
     * candidate graph, the mid-resolution structure between
@@ -412,5 +513,5 @@ object GraphQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203, q214)
+  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203, q214, q227)
 }

@@ -1058,8 +1058,72 @@ object Relational {
       FROM cc GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Accounts-receivable aging card — the back-office report a billing
+    * system closes its month with: every OPEN order (status ≠ 'F')
+    * bucketed by its age against the corpus high-watermark date
+    * (0–30 / 31–60 / 61–90 / 91+ days), with order and customer counts,
+    * the outstanding centi total, and each bucket's ppm share of the
+    * whole receivable. Mass migrating rightward is the collections
+    * alarm; the high-watermark reference (not wall-clock now()) keeps
+    * re-runs bit-identical (the q168 rule).
+    *
+    * Exactness: dates compare as epoch-days (integer DIV), money in
+    * centi BIGINT; the share multiplies in DECIMAL(38,0)/HUGEINT so a
+    * 100 TB receivable total cannot overflow the ppm product. Plan:
+    * broadcast 1-row watermark, map-side bucket expression, one
+    * |buckets|-row aggregation, window share over the 4-row result. */
+  def arAgingCard(orders: DataFrame): DataFrame = {
+    val hw = orders
+      .agg(max(expr("CAST(o_orderdate AS BIGINT) DIV 86400")).as("hw"))
+    orders.filter(col("o_orderstatus") =!= "F")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("centi"),
+        expr("CAST(o_orderdate AS BIGINT) DIV 86400").as("d"))
+      .crossJoin(broadcast(hw))
+      .withColumn("age", col("hw") - col("d"))
+      .withColumn("age_bucket",
+        when(col("age") <= 30, "a_0_30")
+          .when(col("age") <= 60, "b_31_60")
+          .when(col("age") <= 90, "c_61_90")
+          .otherwise("d_over_90"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("centi")).as("total_centi"))
+      .withColumn("share_ppm",
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * total_centi)
+          DIV (SUM(total_centi) OVER ()) AS BIGINT)"""))
+  }
+
+  /** Oracle fixture of [[arAgingCard]]. */
+  private val q229 = GQuery(
+    "q229_ar_aging",
+    (s, dir) => arAgingCard(t(s, dir, "orders"))
+      .orderBy(col("age_bucket")),
+    Some("""WITH hw AS (SELECT
+          MAX((epoch_us(o_orderdate) // 1000000) // 86400) AS hw
+        FROM orders),
+      open_o AS (SELECT o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS centi,
+          hw.hw - (epoch_us(o_orderdate) // 1000000) // 86400 AS age
+        FROM orders, hw WHERE o_orderstatus <> 'F'),
+      b AS (SELECT CASE WHEN age <= 30 THEN 'a_0_30'
+              WHEN age <= 60 THEN 'b_31_60'
+              WHEN age <= 90 THEN 'c_61_90'
+              ELSE 'd_over_90' END AS age_bucket,
+            o_custkey, centi FROM open_o),
+      g AS (SELECT age_bucket, COUNT(*) AS n_orders,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          CAST(SUM(centi) AS BIGINT) AS total_centi
+        FROM b GROUP BY 1)
+      SELECT age_bucket, n_orders, n_customers, total_centi,
+        CAST((1000000::HUGEINT * total_centi)
+          // (SUM(total_centi) OVER ()) AS BIGINT) AS share_ppm
+      FROM g
+      ORDER BY age_bucket"""))
+
   val queries: Seq[GQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q10, q11, q12, q12b, q13, q13b, q14,
       q14b, q14c, q15, q16, q17, q18, q19, q21, q39, q40, q41, q44, q73, q74,
-      q83, q107, q145, q209, q218, q224)
+      q83, q107, q145, q209, q218, q224, q229)
 }

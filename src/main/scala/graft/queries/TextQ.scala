@@ -974,6 +974,95 @@ object TextQ {
         (col("rn") === 1).as("is_canonical"))
   }
 
+  /** Golden-record survivorship — the MERGE step after
+    * [[resolveEntities]] decides WHICH records are one entity: per
+    * entity, each attribute keeps its most frequent NON-NULL value
+    * (majority vote across every record of every member name; ties
+    * break to the smallest value — a total order, so the golden record
+    * is deterministic). This is the MDM "survivorship rule" a catalog
+    * dedupe ends with: the canonical name (q172) answers "what is this
+    * entity called", the golden record answers "what are its fields"
+    * when mirrors disagree (one source has the stale brand, another the
+    * typo'd container).
+    *
+    * Scale shape: entity labels join back to records by the name key
+    * (hash equi-join; the dictionary side is small), then ONE
+    * entity-keyed aggregation per attribute — each with map-side
+    * partial aggregation on (entity, value) first, so a hot entity
+    * never concentrates raw rows. The argmax is `min(struct(-count,
+    * value))`, no per-entity sort. Attribute count is schema-bounded
+    * (a handful), not data-bounded. */
+  def goldenRecord(records: DataFrame, nameCol: String, keyCol: String,
+      attrCols: Seq[String], minJw: Double = 0.9,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    require(!attrCols.contains(nameCol),
+      "the name column resolves via is_canonical, not survivorship")
+    val ents = resolveEntities(records, nameCol, keyCol, minJw, maxBlockSize)
+      .select(col("name"), col("entity")).distinct()
+    val labeled = records
+      .join(ents, records(nameCol) === ents("name")).drop("name")
+    val base = labeled.groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col(nameCol)).as("n_names"))
+    attrCols.foldLeft(base) { (acc, a) =>
+      val pick = labeled.filter(col(a).isNotNull)
+        .groupBy(col("entity"), col(a)).agg(count(lit(1)).as("c"))
+        .groupBy(col("entity"))
+        .agg(min(struct((-col("c")).as("nc"), col(a).as("v"))).as("p"))
+        .select(col("entity"), col("p.v").as(s"${a}_golden"))
+      acc.join(pick, Seq("entity"), "left")
+    }
+  }
+
+  /** Oracle fixture of [[goldenRecord]]: part-catalog entities (the
+    * q172 closure) with brand/type/size survivorship. */
+  private val q228 = {
+    val attrs = Seq("p_brand", "p_type", "p_size")
+    val attrSql = attrs.map { a =>
+      s"""${a}_c AS (SELECT entity, $a AS v, COUNT(*) AS c
+            FROM lab WHERE $a IS NOT NULL GROUP BY 1, 2),
+          ${a}_p AS (SELECT entity, v AS ${a}_golden FROM (
+            SELECT entity, v, ROW_NUMBER() OVER (PARTITION BY entity
+              ORDER BY c DESC, v) AS rn FROM ${a}_c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val attrJoin = attrs.map(a => s"LEFT JOIN ${a}_p USING (entity)")
+      .mkString("\n")
+    GQuery(
+      "q228_golden_record",
+      (s, dir) => goldenRecord(t(s, dir, "part"), "p_name", "p_partkey",
+          Seq("p_brand", "p_type", "p_size"))
+        .orderBy(col("entity")),
+      Some(s"""WITH RECURSIVE names AS (
+          SELECT p_name AS name, COUNT(*) AS n_rows
+          FROM part GROUP BY 1),
+        blk AS (SELECT *, list_extract(string_split(name, ' '), -1) AS block
+          FROM names
+          QUALIFY COUNT(*) OVER (PARTITION BY block) <= 10000),
+        pairs AS (SELECT a.name AS na, b.name AS nb
+          FROM blk a JOIN blk b ON a.block = b.block AND a.name < b.name
+          WHERE jaro_winkler_similarity(a.name, b.name) >= 0.9),
+        sym AS (SELECT na AS u, nb AS v FROM pairs
+                UNION ALL SELECT nb, na FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+        comp AS (SELECT u AS name, LEAST(u, MIN(v)) AS component
+                 FROM reach GROUP BY u),
+        lab AS (SELECT COALESCE(c.component, p.p_name) AS entity, p.*
+                FROM part p LEFT JOIN comp c ON c.name = p.p_name),
+        base AS (SELECT entity, COUNT(*) AS n_records,
+                   COUNT(DISTINCT p_name) AS n_names
+                 FROM lab GROUP BY 1),
+        $attrSql
+        SELECT entity, n_records, n_names,
+          p_brand_golden, p_type_golden, p_size_golden
+        FROM base
+        $attrJoin
+        ORDER BY entity"""))
+  }
+
   /** Oracle fixture of [[resolveEntities]] on the part catalog: the
     * cold/old families merge into one entity per noun; the canonical
     * spelling is the higher-count one. */
@@ -3001,5 +3090,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208)
+      q201, q205, q206, q208, q228)
 }

@@ -88,6 +88,10 @@ class DedupGraphPipelineSpec extends SparkSpec {
     assertSame(graph.triangles, GraphQ.triangleStats(standaloneCand))
   }
 
+  test("embeddedness gate == standalone q227 operator") {
+    assertSame(graph.embeddedness, GraphQ.edgeEmbeddedness(standaloneCand))
+  }
+
   test("communities gate == standalone q203 operator") {
     assertSame(graph.communities(), GraphQ.labelPropagation(standaloneCand, 3))
   }

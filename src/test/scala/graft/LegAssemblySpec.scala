@@ -21,7 +21,13 @@ class LegAssemblySpec extends SparkSpec {
 
   // (call_id, seq, total, duration_centi, arrival) — every semantic edge:
   // complete, duplicate redelivery, missing middle leg, stray high seq,
-  // all-invalid garbage, declared total growing across legs.
+  // all-invalid garbage, declared total growing across legs. The batch
+  // fixture's redelivered leg carries a DIFFERENT duration (999) so the
+  // first-arrival rule is observable; the streaming fixture's carries
+  // the identical payload (a real redelivery), because within one
+  // micro-batch the processor's row-iterator order is not guaranteed —
+  // only the batch operator, with its explicit arrival column, can pin
+  // which payload survives a divergent redelivery.
   private val legs = Seq(
     ("c_ok", 1L, 2L, 1000L, 1L), ("c_ok", 2L, 2L, 500L, 2L),
     ("c_dup", 1L, 2L, 700L, 3L), ("c_dup", 1L, 2L, 999L, 4L),
@@ -30,6 +36,11 @@ class LegAssemblySpec extends SparkSpec {
     ("c_stray", 1L, 1L, 100L, 8L), ("c_stray", 2L, 1L, 50L, 9L),
     ("c_junk", 0L, 1L, 42L, 10L), ("c_junk", 70L, 2L, 42L, 11L),
     ("c_grow", 1L, 1L, 100L, 12L), ("c_grow", 2L, 2L, 200L, 13L))
+
+  private val legsStream = legs.map {
+    case ("c_dup", 1L, t, 999L, a) => ("c_dup", 1L, t, 700L, a)
+    case other => other
+  }
 
   test("assembleLegsBatch computes the hand-derived verdicts") {
     val got = EventQ.assembleLegsBatch(
@@ -59,15 +70,14 @@ class LegAssemblySpec extends SparkSpec {
         .format("memory").queryName("leg_equiv_out").start()
       try {
         // deliver in arrival order; the batch boundary sits after
-        // c_dup's FIRST seq-1 leg so its 999 redelivery is checked
-        // against already-materialized state (within one micro-batch the
-        // row iterator's order is not guaranteed); c_grow's two legs
-        // share a batch (the documented premature-completion caveat)
-        val stream = legs.map { case (c, s, t, d, _) =>
+        // c_dup's FIRST seq-1 leg so the redelivery is normally checked
+        // against already-materialized state; c_grow's two legs share a
+        // batch (the documented premature-completion caveat)
+        val stream = legsStream.map { case (c, s, t, d, _) =>
           Leg(c, s.toInt, t.toInt, d / 100.0) }
         val (b1, b2) = stream.splitAt(3)
         val batch = EventQ.assembleLegsBatch(
-            legs.toDF("call_id", "seq", "total", "duration_centi", "arrival"))
+            legsStream.toDF("call_id", "seq", "total", "duration_centi", "arrival"))
           .as[(String, Long, Long, Long, Boolean)].collect()
           .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
         def rowsNow() = spark.table("leg_equiv_out").as[AssembledCall]
@@ -77,7 +87,9 @@ class LegAssemblySpec extends SparkSpec {
           .toMap
         // NOTE: processAllAvailable() never latches with processing-time
         // timers (the StreamingSpec lesson) — poll the sink instead.
-        // c_ok completes within b1, so its appearance marks b1 processed.
+        // c_ok completes within b1, so its appearance marks b1 processed
+        // (the two-phase add keeps the redelivery check against
+        // already-materialized state when the engine honors the split).
         in.addData(b1)
         assert(eventually(30000)(rowsNow().contains("c_ok")),
           s"b1 never drained: ${rowsNow()}")

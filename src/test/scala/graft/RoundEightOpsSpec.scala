@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQ, EventQ, WindowQ}
+import graft.queries.{AnalyticsQ, EventQ, GraphQ, WindowQ}
 
 /** Hand-computed fixtures for the round-8 hardening fixes — each pins a
   * defect shape the ADVICE review found that a random corpus fixture may
@@ -54,6 +54,31 @@ class RoundEightOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].head()
     assert(got == (("z", 3L, 500L, 5000L, 5000L)),
       s"all three records rated, zero/negative at charge 0: $got")
+  }
+
+  // --- q227 edge embeddedness ------------------------------------------
+
+  test("edgeEmbeddedness grades K4 edges vs a bridge by hand") {
+    // K4 on {1,2,3,4} plus the bridge (4,5): every K4 edge is embedded
+    // (two common neighbors); the bridge shares none — the exact edge an
+    // ER gate cuts before closure.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = GraphQ.edgeEmbeddedness(pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._6))).toMap
+    // edges among {1,2,3}: cn=2, union = 3+3-2-2 = 2 -> 1e6 ppm
+    assert(got((1L, 2L)) == ((2L, 1000000L)), got.toString)
+    assert(got((2L, 3L)) == ((2L, 1000000L)), got.toString)
+    // edges into node 4 (degree 4): cn=2, union = 3+4-2-2 = 3 -> 666666
+    assert(got((1L, 4L)) == ((2L, 666666L)), got.toString)
+    assert(got((3L, 4L)) == ((2L, 666666L)), got.toString)
+    // the bridge: no common neighbor, emb 0
+    assert(got((4L, 5L)) == ((0L, 0L)), got.toString)
+    // a two-node graph: both degrees 1, denominator empty -> 0, not a throw
+    val tiny = GraphQ.edgeEmbeddedness(Seq((7L, 9L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(tiny == ((7L, 9L, 0L, 1L, 1L, 0L)), tiny.toString)
   }
 
   // --- benfordCard absent digits ---------------------------------------
