@@ -55,7 +55,9 @@ object ScaleProbe {
     "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg",
     "q216_changepoint", "q217_gini_card", "q218_revenue_reconciliation",
     "q219_prepaid_balance", "q220_out_of_order", "q221_temporal_drift",
-    "q222_benford_card", "q223_cohort_ltv", "q224_fulfillment_lag")
+    "q222_benford_card", "q223_cohort_ltv", "q224_fulfillment_lag",
+    "q225_leg_assembly", "q226_timeband_rating", "q227_edge_embeddedness",
+    "q228_golden_record", "q229_ar_aging")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
