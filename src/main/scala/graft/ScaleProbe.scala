@@ -57,7 +57,9 @@ object ScaleProbe {
     "q219_prepaid_balance", "q220_out_of_order", "q221_temporal_drift",
     "q222_benford_card", "q223_cohort_ltv", "q224_fulfillment_lag",
     "q225_leg_assembly", "q226_timeband_rating", "q227_edge_embeddedness",
-    "q228_golden_record", "q229_ar_aging")
+    "q228_golden_record", "q229_ar_aging", "q230_hard_negatives",
+    "q231_interconnect_netting", "q232_tax_cascade",
+    "q233_marginal_rating")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1057,6 +1057,202 @@ object EventQ {
       FROM av a LEFT JOIN agg g USING (call_id)
       ORDER BY a.call_id"""))
 
+  /** Interconnect settlement netting — the month-end job between
+    * carriers: traffic from operator A terminating on operator B incurs
+    * a charge A owes B; settlement NETS the two directions so one
+    * payment moves per operator pair. Per unordered pair (op_x < op_y):
+    * both directed owed totals, CDR count, and the net (positive ⇒ x
+    * pays y). On-net traffic (src = dst) is excluded — it settles
+    * nowhere.
+    *
+    * Plan: one conditional-sum aggregation on the canonicalized pair
+    * key — a single hash shuffle with map-side partials, |operators|²-
+    * bounded output; centi BIGINT money (Σ bounded by total traffic,
+    * far under Long at any scale a carrier bills). */
+  def interconnectNetting(cdrs: DataFrame): DataFrame =
+    cdrs.filter(col("src_op") =!= col("dst_op"))
+      .select(least(col("src_op"), col("dst_op")).as("op_x"),
+        greatest(col("src_op"), col("dst_op")).as("op_y"),
+        when(col("src_op") < col("dst_op"), col("charge_centi"))
+          .otherwise(0L).as("xy"),
+        when(col("src_op") > col("dst_op"), col("charge_centi"))
+          .otherwise(0L).as("yx"))
+      .groupBy(col("op_x"), col("op_y"))
+      .agg(count(lit(1)).as("n_cdrs"),
+        sum(col("xy")).as("owed_xy_centi"),
+        sum(col("yx")).as("owed_yx_centi"))
+      .withColumn("net_centi",
+        col("owed_xy_centi") - col("owed_yx_centi"))
+
+  /** Oracle fixture of [[interconnectNetting]]: a 7-operator mesh
+    * synthesized from events (src from the user, dst shifted by the
+    * event id — deterministic, covers every ordered pair). */
+  private val q231 = GQuery(
+    "q231_interconnect_netting",
+    (s, dir) => {
+      val cdrs = t(s, dir, "events").select(
+        concat(lit("OP"), (col("user_id") % 7L).cast(StringType))
+          .as("src_op"),
+        concat(lit("OP"), ((col("user_id") + col("event_id")) % 7L)
+          .cast(StringType)).as("dst_op"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("charge_centi"))
+      interconnectNetting(cdrs).orderBy(col("op_x"), col("op_y"))
+    },
+    Some("""WITH cdrs AS (SELECT
+          'OP' || CAST(user_id % 7 AS VARCHAR) AS src_op,
+          'OP' || CAST((user_id + event_id) % 7 AS VARCHAR) AS dst_op,
+          CAST(round(value * 100) AS BIGINT) AS charge_centi
+        FROM events),
+      x AS (SELECT LEAST(src_op, dst_op) AS op_x,
+          GREATEST(src_op, dst_op) AS op_y,
+          CASE WHEN src_op < dst_op THEN charge_centi ELSE 0 END AS xy,
+          CASE WHEN src_op > dst_op THEN charge_centi ELSE 0 END AS yx
+        FROM cdrs WHERE src_op <> dst_op)
+      SELECT op_x, op_y, COUNT(*) AS n_cdrs,
+        CAST(SUM(xy) AS BIGINT) AS owed_xy_centi,
+        CAST(SUM(yx) AS BIGINT) AS owed_yx_centi,
+        CAST(SUM(xy) - SUM(yx) AS BIGINT) AS net_centi
+      FROM x GROUP BY op_x, op_y
+      ORDER BY op_x, op_y"""))
+
+  /** Cascading tax computation — the charge-to-invoice step of a rating
+    * engine: each configured tax applies IN ORDER, either to the bare
+    * charge or (cascading) to the charge plus every tax already levied
+    * — the compound-on-compound arithmetic real telecom invoices carry
+    * (a regulatory fee on top of a municipal tax on top of the federal
+    * one). Amounts floor per step (`(taxable · rate_ppm) DIV 10⁶`), so
+    * the computation is order-DEPENDENT by design and exact in both
+    * engines; `taxes` is (name, rate_ppm, cascading).
+    *
+    * Plan: pure map-side expression chain over the literal config —
+    * zero joins, zero shuffles; the cheapest shape invoicing can have. */
+  def cascadedTaxes(charges: DataFrame,
+      taxes: Seq[(String, Long, Boolean)]): DataFrame = {
+    require(taxes.nonEmpty, "taxes must be non-empty")
+    require(taxes.map(_._1).distinct.length == taxes.length,
+      s"tax names must be unique, got ${taxes.map(_._1)}")
+    require(taxes.forall(t => t._2 >= 0 && t._2 <= 1000000L),
+      s"tax rates must be in [0, 1e6] ppm, got $taxes")
+    var df = charges
+    val levied = scala.collection.mutable.ListBuffer.empty[String]
+    taxes.foreach { case (name, ppm, cascading) =>
+      // DIV truncates while DuckDB's // floors — identical only for
+      // non-negative taxables, which the contract requires (credit
+      // notes/adjustments rate on their own path, never through the
+      // invoice tax chain)
+      val taxable =
+        if (cascading) ("charge_centi" +: levied.toList).mkString(" + ")
+        else "charge_centi"
+      df = df.withColumn(s"tax_${name}_centi",
+        expr(s"(($taxable) * $ppm) DIV 1000000"))
+      levied += s"tax_${name}_centi"
+    }
+    df.withColumn("total_centi",
+      expr(("charge_centi" +: levied.toList).mkString(" + ")))
+  }
+
+  /** Oracle fixture of [[cascadedTaxes]]: a federal 10% on the base,
+    * then a cascading 5% municipal and a cascading 1.5% regulatory fee
+    * — the three-layer compound invoices actually carry. */
+  private val q232 = GQuery(
+    "q232_tax_cascade",
+    (s, dir) => cascadedTaxes(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          expr("abs(CAST(round(value * 100) AS BIGINT))").as("charge_centi")),
+        Seq(("fed", 100000L, false), ("muni", 50000L, true),
+          ("reg", 15000L, true)))
+      .orderBy(col("event_id")),
+    Some("""WITH c AS (SELECT event_id, event_type,
+          abs(CAST(round(value * 100) AS BIGINT)) AS charge_centi
+        FROM events),
+      t1 AS (SELECT *, (charge_centi * 100000) // 1000000
+               AS tax_fed_centi FROM c),
+      t2 AS (SELECT *, ((charge_centi + tax_fed_centi) * 50000) // 1000000
+               AS tax_muni_centi FROM t1),
+      t3 AS (SELECT *,
+          ((charge_centi + tax_fed_centi + tax_muni_centi) * 15000)
+            // 1000000 AS tax_reg_centi
+        FROM t2)
+      SELECT event_id, event_type, charge_centi, tax_fed_centi,
+        tax_muni_centi, tax_reg_centi,
+        charge_centi + tax_fed_centi + tax_muni_centi + tax_reg_centi
+          AS total_centi
+      FROM t3
+      ORDER BY event_id"""))
+
+  /** Marginal (cumulative-tier) rating — the retro-rating shape
+    * [[tieredCharges]] cannot express: tiers apply to the account's
+    * RUNNING usage across the billing cycle, so each record is charged
+    * the marginal cost of moving the accumulator from cum−u to cum —
+    * the record that crosses a tier boundary is priced partly at each
+    * rate, and every record after the account enters the cheap tier
+    * rates there. Implemented via the closed form
+    * T(u) = Σ_t rate_t · clamp(u − from_t, 0, to_t − from_t):
+    * charge = T(cum) − T(cum − u) — exact telescoping, so Σ charges per
+    * account ≡ T(account total) with no drift (spec-pinned).
+    * Zero/negative-usage records contribute 0 to the accumulator and
+    * rate at 0, never dropped (the q195 contract).
+    *
+    * Plan: ONE per-account window (running sum in event order, tiebreak
+    * event_id) — a single hash exchange; T() is a map-side literal
+    * expression evaluated twice per row. */
+  def marginalTieredCharges(events: DataFrame,
+      usage: org.apache.spark.sql.Column, tiers: Seq[(Long, Long, Long)],
+      keyCol: String = "user_id"): DataFrame = {
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    require(tiers.head._1 == 0L, "first tier must start at 0")
+    require(tiers.last._2 == Long.MaxValue, "last tier must be unbounded")
+    require(tiers.sliding(2).forall {
+      case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+      case _ => true
+    }, s"tiers must be contiguous, got $tiers")
+    def tExpr(u: String): String = tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("sec"), col("event_id"))
+    events.select(col("event_id"), col(keyCol).as("k"),
+        col("ts").cast(LongType).as("sec"), usage.cast(LongType).as("u"))
+      .withColumn("ue", greatest(col("u"), lit(0L)))
+      .withColumn("cum", sum(col("ue")).over(w))
+      .select(col("event_id"), col("k"), col("u"), col("cum"),
+        expr(s"${tExpr("cum")} - ${tExpr("cum - ue")}").as("charge_centi"))
+  }
+
+  /** Oracle fixture of [[marginalTieredCharges]]: the q195 tariff
+    * applied to running per-user usage. */
+  private val q233 = {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    def tSql(u: String): String = tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+    GQuery(
+      "q233_marginal_rating",
+      (s, dir) => marginalTieredCharges(t(s, dir, "events"),
+          expr("CAST(round(value * 100) AS BIGINT)"), tiers)
+        .orderBy(col("event_id")),
+      Some(s"""WITH e AS (SELECT event_id, user_id AS k,
+            ${epochSecSql("ts")} AS sec,
+            CAST(round(value * 100) AS BIGINT) AS u
+          FROM events),
+        c AS (SELECT *, greatest(u, CAST(0 AS BIGINT)) AS ue FROM e),
+        m AS (SELECT *, CAST(SUM(ue) OVER (PARTITION BY k
+            ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c)
+        SELECT event_id, k, u, cum,
+          ${tSql("cum")} - ${tSql("cum - ue")} AS charge_centi
+        FROM m
+        ORDER BY event_id"""))
+  }
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212, q219, q220, q225, q226)
+    q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233)
 }

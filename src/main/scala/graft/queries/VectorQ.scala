@@ -2394,8 +2394,84 @@ object VectorQ {
       ORDER BY query_id, rank"""))
   }
 
+  /** Hard-negative mining — the contrastive-training data operator: for
+    * each query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label, capped below `maxCos` (a candidate nearly
+    * identical to the query is almost always a mislabeled POSITIVE, the
+    * classic false-negative trap — the cap implements the "semi-hard"
+    * band). Easy negatives (random different-label rows) teach a
+    * contrastive model nothing; the highest-similarity different-label
+    * rows are where the margin is earned.
+    *
+    * Scale shape: candidates come from the [[signBucket]] equi-join
+    * (the q30 path — same-bucket only, never corpus²), the label
+    * inequality and similarity cap ride the join condition/filter
+    * map-side, and the per-query top-k is the standard rank window.
+    * The cosine compares AFTER the 6-dp round, so the cap is
+    * engine-exact. Fixture entry point samples queries vec_id %
+    * `queryMod` (corpus-coupled — production passes an explicit query
+    * table, the q106 convention). */
+  def hardNegatives(raw: DataFrame, bits: Int = 3, k: Int = 3,
+      queryMod: Int = 20, maxCos: Double = 0.99): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod")
+    require(maxCos > -1.0 && maxCos <= 1.0,
+      s"maxCos must be in (-1, 1], got $maxCos")
+    val v = raw.select(col("vec_id"), col("embedding"), col("label"))
+      .withColumn("nrm", vec_norm2(col("embedding")))
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val q = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"), col("nrm").as("qn"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(q, col("bucket") === col("qbucket") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("cosine",
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")))
+      .filter(col("cosine") < maxCos)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").cast(LongType).as("qlabel"),
+        col("vec_id").as("negative_id"),
+        col("label").cast(LongType).as("neg_label"), col("cosine"),
+        col("rank"))
+  }
+
+  /** Oracle fixture of [[hardNegatives]] (3-bit buckets, k = 3,
+    * ceiling 0.99). */
+  private val q230 = GQuery(
+    "q230_hard_negatives",
+    (s, dir) => hardNegatives(t(s, dir, "embeddings"))
+      .orderBy(col("query_id"), col("rank")),
+    Some(s"""WITH v AS (SELECT vec_id, embedding, label,
+          ${normSql("embedding")} AS nrm,
+          CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel,
+                   nrm AS qn, bucket AS qbucket
+            FROM v WHERE vec_id % 20 = 0),
+      pairs AS (SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel,
+          c.vec_id AS negative_id, CAST(c.label AS BIGINT) AS neg_label,
+          ROUND((${dotSql("qe", "c.embedding")})
+            / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+        FROM v c, q
+        WHERE c.bucket = qbucket AND c.label <> qlabel),
+      ranked AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, negative_id) AS rank
+        FROM pairs WHERE cosine < 0.99)
+    SELECT query_id, qlabel, negative_id, neg_label, cosine,
+      CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207)
+      q174, q193, q197, q207, q230)
 }

@@ -81,6 +81,70 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(tiny == ((7L, 9L, 0L, 1L, 1L, 0L)), tiny.toString)
   }
 
+  // --- q232 cascading taxes --------------------------------------------
+
+  test("cascadedTaxes compounds in order and floors per step") {
+    val ch = Seq((1L, 10000L)).toDF("event_id", "charge_centi")
+    val got = EventQ.cascadedTaxes(ch,
+        Seq(("fed", 100000L, false), ("muni", 50000L, true),
+          ("reg", 15000L, true)))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // fed = 10% of 10000 = 1000 (non-cascading);
+    // muni = 5% of (10000+1000) = 550 (cascading);
+    // reg = 1.5% of (10000+1000+550) = 173 (floor of 173.25)
+    assert(got == ((1L, 10000L, 1000L, 550L, 173L, 11723L)), got.toString)
+    // the same rates NON-cascading yield a different (smaller) invoice —
+    // order/cascade semantics are load-bearing, not cosmetic
+    val flat = EventQ.cascadedTaxes(ch,
+        Seq(("fed", 100000L, false), ("muni", 50000L, false),
+          ("reg", 15000L, false)))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(flat == ((1L, 10000L, 1000L, 500L, 150L, 11650L)), flat.toString)
+  }
+
+  // --- q233 marginal cumulative-tier rating ----------------------------
+
+  test("marginalTieredCharges telescopes: per-record marginals sum to T(total)") {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    // one account crossing both boundaries mid-record, plus a
+    // zero-usage record that must appear with charge 0
+    val ev = Seq(
+      (1L, 7L, 100L, 30.0),   // u=3000, cum 3000: all tier1 -> 15000
+      (2L, 7L, 200L, 40.0),   // u=4000, cum 7000: 2000@5 + 2000@3 = 16000
+      (3L, 7L, 300L, 0.0),    // u=0: charge 0, accumulator unchanged
+      (4L, 7L, 400L, 180.0)   // u=18000, cum 25000: 13000@3 + 5000@1 = 44000
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = EventQ.marginalTieredCharges(ev,
+        expr("CAST(round(value * 100) AS BIGINT)"), tiers)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got == Map(1L -> ((3000L, 15000L)), 2L -> ((7000L, 16000L)),
+      3L -> ((7000L, 0L)), 4L -> ((25000L, 44000L))), got.toString)
+    // telescoping: sum of marginals == the closed-form total at cum=25000
+    // T(25000) = 5000*5 + 15000*3 + 5000*1 = 75000
+    assert(got.values.map(_._2).sum == 75000L)
+  }
+
+  // --- q230 hard negatives ---------------------------------------------
+
+  test("hardNegatives keeps only different-label candidates under the cap") {
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1.0, 1.0, 1.0), 1),        // query (vec_id % 20 == 0)
+      (1L, vec(1.0, 1.0, 1.0), 1),        // same label: excluded
+      (2L, vec(1.0, 1.0, 1.0), 2),        // identical, diff label: cos 1.0 >= cap
+      (3L, vec(1.0, 1.0, 0.5), 2),        // hard negative (high cos, under cap)
+      (4L, vec(0.9, 0.1, 0.1), 3)         // same bucket, lower cos
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.queries.VectorQ.hardNegatives(emb, bits = 3, k = 2)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .filter(_._1 == 0L).map(r => (r._3, r._6)).toSet
+    assert(got == Set((3L, 1L), (4L, 2L)),
+      s"expected the under-cap different-label candidates ranked: $got")
+  }
+
   // --- benfordCard absent digits ---------------------------------------
 
   test("benfordCard charges absent digits their full expected share") {
