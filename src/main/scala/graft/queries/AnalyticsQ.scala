@@ -1460,6 +1460,89 @@ object AnalyticsQ {
       FROM hist
       ORDER BY bucket"""))
 
+  /** Kaplan-Meier survival curve — the cumulative product
+    * [[churnLifeTable]] deliberately left to the caller, now computed
+    * EXACTLY: S(b) = Π over buckets ≤ b of (n_at_risk − n_churned) /
+    * n_at_risk, as a sequential flooring ppm fold
+    * `s ← (s · (n − d)) DIV n` starting at 10⁶ — integer arithmetic
+    * both engines replay identically (a float product is where engines
+    * diverge, the reason q188 ships ingredients only). Censored
+    * subjects leave the at-risk set without depressing S — the
+    * difference between survival and a naive retention curve.
+    *
+    * Scale shape: everything rides [[churnLifeTable]]'s plan (one user
+    * agg + broadcast horizon + bucket-table windows); the fold collects
+    * the BUCKET table to one row (bounded by timeline-days DIV
+    * interval — the q219 bounded-collect class, never user-sized) and
+    * runs as one `aggregate` HOF emitting the running product. */
+  def kmSurvival(events: DataFrame, intervalDays: Int = 7,
+      churnGapSec: Long = 7L * 86400L): DataFrame = {
+    val lt = churnLifeTable(events, intervalDays, churnGapSec)
+    lt.agg(sort_array(collect_list(struct(col("bucket"),
+        col("n_at_risk"), col("n_churned"), col("n_censored"))))
+        .as("rows"))
+      .select(explode(expr("""aggregate(rows,
+          CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, n_at_risk: BIGINT,
+            n_churned: BIGINT, n_censored: BIGINT, s_ppm: BIGINT>>),
+          (acc, x) -> concat(acc, array(named_struct(
+            'bucket', x.bucket, 'n_at_risk', x.n_at_risk,
+            'n_churned', x.n_churned, 'n_censored', x.n_censored,
+            's_ppm', ((CASE WHEN size(acc) = 0
+                  THEN CAST(1000000 AS BIGINT)
+                  ELSE element_at(acc, size(acc)).s_ppm END)
+                * (x.n_at_risk - x.n_churned)) DIV x.n_at_risk))))"""))
+        .as("r"))
+      .select(col("r.bucket").as("bucket"),
+        col("r.n_at_risk").as("n_at_risk"),
+        col("r.n_churned").as("n_churned"),
+        col("r.n_censored").as("n_censored"),
+        col("r.s_ppm").as("s_ppm"))
+  }
+
+  /** Oracle fixture of [[kmSurvival]] over PURCHASE lifetimes (1-day
+    * buckets, 1-day gap — purchases are sparse enough that real churn
+    * occurs and the product decays through many steps): the
+    * q188 life table with the survival product replayed by a recursive
+    * CTE over the bucket rank — the identical flooring ppm fold. */
+  private val q234 = GQuery(
+    "q234_km_survival",
+    (s, dir) => kmSurvival(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        intervalDays = 1, churnGapSec = 86400L)
+      .orderBy(col("bucket")),
+    Some(s"""WITH RECURSIVE p AS (SELECT * FROM events
+        WHERE event_type = 'purchase'),
+      u AS (SELECT user_id,
+          MIN(${epochSecSql("ts")}) AS first_sec,
+          MAX(${epochSecSql("ts")}) AS last_sec
+        FROM p GROUP BY user_id),
+      h AS (SELECT MAX(${epochSecSql("ts")}) AS horizon FROM p),
+      aged AS (SELECT (last_sec - first_sec) // 86400 AS bucket,
+          (horizon - last_sec < 86400) AS censored
+        FROM u, h),
+      hist AS (SELECT bucket, COUNT(*) AS ended_here,
+          SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        FROM aged GROUP BY bucket),
+      lt AS (SELECT bucket,
+          CAST(SUM(ended_here) OVER (ORDER BY bucket DESC) AS BIGINT)
+            AS n_at_risk,
+          CAST(ended_here - n_censored AS BIGINT) AS n_churned,
+          CAST(n_censored AS BIGINT) AS n_censored,
+          ROW_NUMBER() OVER (ORDER BY bucket) AS r
+        FROM hist),
+      km(r, bucket, n_at_risk, n_churned, n_censored, s_ppm) AS (
+        SELECT r, bucket, n_at_risk, n_churned, n_censored,
+          (1000000 * (n_at_risk - n_churned)) // n_at_risk
+        FROM lt WHERE r = 1
+        UNION ALL
+        SELECT lt.r, lt.bucket, lt.n_at_risk, lt.n_churned,
+          lt.n_censored,
+          (km.s_ppm * (lt.n_at_risk - lt.n_churned)) // lt.n_at_risk
+        FROM km JOIN lt ON lt.r = km.r + 1)
+      SELECT bucket, n_at_risk, n_churned, n_censored, s_ppm
+      FROM km
+      ORDER BY bucket"""))
+
   /** Burstiness card — the index of dispersion (Fano factor) of daily
     * volume per event type: a Poisson-like steady stream scores ~1000
     * milli, clumped/bursty arrivals score far above, metronome-regular
@@ -2151,5 +2234,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234)
 }

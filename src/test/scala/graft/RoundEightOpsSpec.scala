@@ -126,6 +126,30 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 75000L)
   }
 
+  // --- q234 Kaplan-Meier survival --------------------------------------
+
+  test("kmSurvival: censored subjects leave at-risk without depressing S") {
+    def d(day: Long, off: Long = 0L) = day * 86400L + off
+    // horizon = day 10; gap 1 day. u1/u3 churn at lifetime-bucket 2,
+    // u4 churns at 5, u2 censored at 10, u5 censored at 2.
+    val ev = Seq(
+      (1L, d(0)), (1L, d(2)),
+      (2L, d(0)), (2L, d(10)),
+      (3L, d(1)), (3L, d(3)),
+      (4L, d(0)), (4L, d(5)),
+      (5L, d(8)), (5L, d(10))
+    ).toDF("user_id", "ts")
+    val got = AnalyticsQ.kmSurvival(ev, intervalDays = 1,
+        churnGapSec = 86400L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      2L -> ((5L, 2L, 1L, 600000L)),  // (5-2)/5
+      5L -> ((2L, 1L, 0L, 300000L)),  // 600000 * (2-1) DIV 2
+      10L -> ((1L, 0L, 1L, 300000L))  // pure censoring: S unchanged
+    ), got.toString)
+  }
+
   // --- q230 hard negatives ---------------------------------------------
 
   test("hardNegatives keeps only different-label candidates under the cap") {
