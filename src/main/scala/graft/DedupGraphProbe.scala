@@ -8,7 +8,7 @@ import graft.queries.{GraphQ, TextQ}
 
 /** Dev probe for the composed [[DedupGraphPipeline]]: at 1× (sf0.1) and
   * 10× (the ScaleProbe replica), measure the COMPOSED wall — one
-  * candidate build + components, then all 13 gates materialized — next
+  * candidate build + components, then all 14 gates materialized — next
   * to the SUM of the standalone operators (each rebuilding its own
   * candidate pipeline, which is exactly what the bench suite measures
   * per query). Both sides call the same operator functions WITHOUT the
@@ -43,6 +43,7 @@ object DedupGraphProbe {
       noop(g.pagerank())
       noop(g.canonical())
       noop(g.triangles)
+      noop(g.embeddedness)
       noop(g.communities())
       noop(g.kCore())
     }
@@ -64,6 +65,7 @@ object DedupGraphProbe {
         "q139" -> (() => GraphQ.pagerankPpm(cand(), 3)),
         "q140" -> (() => GraphQ.canonicalByCentrality(cand())),
         "q176" -> (() => GraphQ.triangleStats(cand())),
+        "q227" -> (() => GraphQ.edgeEmbeddedness(cand())),
         "q203" -> (() => GraphQ.labelPropagation(cand(), 3)),
         "q214" -> (() => GraphQ.kCore(cand())))
       gates.map { case (_, g) => time(noop(g())) }.sum
