@@ -2470,8 +2470,75 @@ object VectorQ {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""))
 
+  /** Sign-bucket occupancy card — the index-health read that SIZES the
+    * `bits` knob ([[signBucket]]'s contract, and the rebuild trigger
+    * for [[graft.etl.IncrementalAnn]]): how full is the bucket space,
+    * and how skewed are the buckets? Low occupancy with a fat max
+    * bucket means the leading dimensions don't split this corpus (raise
+    * bits or rotate); P95 ≈ max ≈ corpus/used means healthy spread.
+    * One row: vector/bucket counts, occupancy ppm of the 2^bits space,
+    * exact P50/P95/max bucket sizes (ceil-rank order statistics over
+    * the ≤ 2^bits-row size table), and the hottest bucket's corpus
+    * share in ppm.
+    *
+    * Scale shape: one map-side bucket projection + one bucket-keyed
+    * count (the only corpus-sized step), then windows over the
+    * bucket-size table — bounded by 2^bits, corpus-size-independent. */
+  def bucketOccupancy(raw: DataFrame, bits: Int = 3): DataFrame = {
+    val sizes = raw
+      .select(signBucket(col("embedding"), bits).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n"), col("bucket"))
+    val wAll = Window.partitionBy()
+    sizes
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("used", count(lit(1)).over(wAll).cast(LongType))
+      .agg(sum(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("n")).as("max_bucket"),
+        min(when(col("rn") >= expr("(used * 500 + 999) div 1000"),
+          col("n"))).as("p50_bucket"),
+        min(when(col("rn") >= expr("(used * 950 + 999) div 1000"),
+          col("n"))).as("p95_bucket"))
+      .select(col("n_vectors"), col("n_buckets_used"),
+        lit(1L << bits).as("n_buckets_possible"),
+        expr(s"(1000000 * n_buckets_used) DIV ${1L << bits}")
+          .as("occupancy_ppm"),
+        col("p50_bucket"), col("p95_bucket"), col("max_bucket"),
+        expr("(1000000 * max_bucket) DIV n_vectors")
+          .as("top_bucket_share_ppm"))
+  }
+
+  /** Oracle fixture of [[bucketOccupancy]] (3-bit buckets). */
+  private val q235 = GQuery(
+    "q235_bucket_occupancy",
+    (s, dir) => bucketOccupancy(t(s, dir, "embeddings")),
+    Some("""WITH v AS (SELECT
+          CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS bucket
+        FROM embeddings),
+      sizes AS (SELECT bucket, COUNT(*) AS n FROM v GROUP BY bucket),
+      r AS (SELECT n,
+          ROW_NUMBER() OVER (ORDER BY n, bucket) AS rn,
+          COUNT(*) OVER () AS used
+        FROM sizes)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_vectors,
+        COUNT(*) AS n_buckets_used,
+        CAST(8 AS BIGINT) AS n_buckets_possible,
+        (1000000 * COUNT(*)) // 8 AS occupancy_ppm,
+        MIN(CASE WHEN rn >= (used * 500 + 999) // 1000 THEN n END)
+          AS p50_bucket,
+        MIN(CASE WHEN rn >= (used * 950 + 999) // 1000 THEN n END)
+          AS p95_bucket,
+        MAX(n) AS max_bucket,
+        (1000000 * MAX(n)) // CAST(SUM(n) AS BIGINT)
+          AS top_bucket_share_ppm
+      FROM r"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207, q230)
+      q174, q193, q197, q207, q230, q235)
 }
