@@ -59,7 +59,8 @@ object ScaleProbe {
     "q225_leg_assembly", "q226_timeband_rating", "q227_edge_embeddedness",
     "q228_golden_record", "q229_ar_aging", "q230_hard_negatives",
     "q231_interconnect_netting", "q232_tax_cascade",
-    "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy")
+    "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy",
+    "q236_transition_entropy")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

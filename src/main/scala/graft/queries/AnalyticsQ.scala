@@ -2021,6 +2021,76 @@ object AnalyticsQ {
       FROM c GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Transition-predictability card — conditional next-event entropy
+    * per CURRENT state: [[transitionMatrix]] reports edge frequencies,
+    * [[userEntropy]] reports per-user unigram diversity; this card
+    * answers "given the user just did X, how predictable is what
+    * happens next" — per from-type, the staircase-bit entropy of the
+    * next-event distribution (the q210 convention: cost(b|a) =
+    * ⌊log₂ n_a⌋ − ⌊log₂ c_ab⌋ via binary-string lengths — exact
+    * integers, no engine-divergent ln), the modal next type and its
+    * exact ppm share. A near-zero entropy state is a funnel edge worth
+    * hard-coding; a high-entropy one is where journeys actually branch.
+    *
+    * Plan: one per-user lead window (the q87 construction, event_id
+    * tiebreak) → (from, to)-sized counts → type-sized re-agg; the
+    * argmax is `min(struct(−c, b))`, no per-state sort. */
+  def transitionPredictability(events: DataFrame,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col("event_id"))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("a"), col(tsCol),
+        col("event_id"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = pairs.groupBy(col("a")).agg(sum(col("c")).as("n"))
+    pairs.join(tot, Seq("a"))
+      .withColumn("cost",
+        expr("CAST(length(bin(n)) - length(bin(c)) AS BIGINT)"))
+      .groupBy(col("a"))
+      .agg(max(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        expr("(1000 * SUM(c * cost)) DIV MAX(n)").as("entropy_mbpt"),
+        min(struct((-col("c")).as("nc"), col("b").as("v"))).as("m"))
+      .select(col("a").as("event_type"), col("n_transitions"),
+        col("n_next_types"), col("entropy_mbpt"),
+        col("m.v").as("modal_next"),
+        expr("(1000000 * -m.nc) DIV n_transitions").as("modal_ppm"))
+  }
+
+  /** Oracle fixture of [[transitionPredictability]]. */
+  private val q236 = GQuery(
+    "q236_transition_entropy",
+    (s, dir) => transitionPredictability(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some("""WITH nx AS (SELECT event_type AS a,
+          LEAD(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS b
+        FROM events),
+      pairs AS (SELECT a, b, COUNT(*) AS c FROM nx
+                WHERE b IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n
+              FROM pairs GROUP BY 1),
+      x AS (SELECT pairs.a, b, c, n,
+          CAST(length(bin(n)) - length(bin(CAST(c AS BIGINT)))
+            AS BIGINT) AS cost
+        FROM pairs JOIN tot USING (a)),
+      md AS (SELECT a, b AS modal_next, c AS mc FROM (
+          SELECT a, b, c,
+            ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+          FROM x) WHERE rn = 1)
+      SELECT x.a AS event_type, MAX(n) AS n_transitions,
+        COUNT(*) AS n_next_types,
+        (1000 * CAST(SUM(c * cost) AS BIGINT)) // MAX(n) AS entropy_mbpt,
+        MAX(md.modal_next) AS modal_next,
+        (1000000 * CAST(MAX(md.mc) AS BIGINT)) // MAX(n) AS modal_ppm
+      FROM x JOIN md USING (a)
+      GROUP BY x.a
+      ORDER BY event_type"""))
+
   /** Top user-journey paths — the Sankey/flow card over per-user event
     * prefixes: each user's first `pathLen` events (ordered by ts with
     * event_id as the total-order tiebreak) concatenate into a path
@@ -2234,5 +2304,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236)
 }
