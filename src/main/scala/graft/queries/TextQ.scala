@@ -2476,6 +2476,58 @@ object TextQ {
         abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
   }
 
+  /** LSH-threshold calibration card — where to SET the q26 threshold:
+    * for each signature-agreement level (8 lanes ⇒ est levels k/8), the
+    * candidate count and the fraction CONFIRMED by banded edit distance
+    * (the [[editConfirmedPairs]] ground truth, maxDist budget). The
+    * confirm-rate curve is the empirical precision of the signature at
+    * each level — a level whose confirm ppm is noise-floor says the
+    * threshold sits below the corpus's true-dup similarity and the
+    * candidate budget is being spent on false positives; a real
+    * calibration reads this BEFORE trusting any est_jaccard cut
+    * ([[minhashAgreement]] grades pairs; this grades LEVELS).
+    *
+    * Scale shape: candidates computed once, the edit confirm only ever
+    * touches candidate rows (the q77 bound), then one ≤9-row
+    * aggregation on the agreement level. */
+  def lshCalibration(docs: DataFrame, maxDist: Int = 64,
+      maxBandSize: Int = 1000): DataFrame = {
+    val cand = lshCandidates(minhashBands(docs), maxBandSize)
+      .filter(col("est_jaccard") >= 0.25)
+      .withColumn("est_ppm",
+        (col("est_jaccard") * 8).cast(LongType) * 125000L)
+    val confirmed = editConfirmedFrom(docs, cand, maxDist)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("ok"))
+    cand.join(confirmed, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("est_ppm"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("ok"), lit(0L))).as("n_confirmed"))
+      .withColumn("confirm_ppm",
+        expr("(1000000 * n_confirmed) DIV n_candidates"))
+  }
+
+  /** Oracle fixture of [[lshCalibration]] (maxDist 64). */
+  private val q237 = GQuery(
+    "q237_lsh_calibration",
+    (s, dir) => lshCalibration(t(s, dir, "documents"))
+      .orderBy(col("est_ppm")),
+    Some(s"""$minhashCandSql,
+      lev AS (SELECT doc_a, doc_b,
+          CAST(CAST(est_jaccard * 8 AS BIGINT) * 125000 AS BIGINT)
+            AS est_ppm,
+          levenshtein(a.text, b.text) AS lv
+        FROM cand
+        JOIN documents a ON doc_a = a.doc_id
+        JOIN documents b ON doc_b = b.doc_id)
+      SELECT est_ppm, COUNT(*) AS n_candidates,
+        CAST(SUM(CASE WHEN lv <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_confirmed,
+        (1000000 * CAST(SUM(CASE WHEN lv <= 64 THEN 1 ELSE 0 END)
+          AS BIGINT)) // COUNT(*) AS confirm_ppm
+      FROM lev
+      GROUP BY est_ppm
+      ORDER BY est_ppm"""))
+
   /** Oracle fixture of [[minhashAgreement]] (the q26 candidate set). */
   private val q128 = GQuery(
     "q128_minhash_agreement",
@@ -3090,5 +3142,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228)
+      q201, q205, q206, q208, q228, q237)
 }
