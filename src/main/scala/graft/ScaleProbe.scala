@@ -60,7 +60,8 @@ object ScaleProbe {
     "q228_golden_record", "q229_ar_aging", "q230_hard_negatives",
     "q231_interconnect_netting", "q232_tax_cascade",
     "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy",
-    "q236_transition_entropy", "q237_lsh_calibration")
+    "q236_transition_entropy", "q237_lsh_calibration",
+    "q238_dwell_time")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -2091,6 +2091,69 @@ object AnalyticsQ {
       GROUP BY x.a
       ORDER BY event_type"""))
 
+  /** State dwell-time card — the TIME companion to
+    * [[transitionPredictability]]: per event type, exact P50/P95/max
+    * seconds a user lingers in that state before their next event (any
+    * type). The pair {what follows, how long until it} is the full
+    * journey model; dwell times also size streaming state TTLs and
+    * session-gap thresholds with data instead of folklore. Exact
+    * order statistics via the value-histogram construction (the
+    * q165/q170 discipline: (type, dwell)-sized windows, no row-level
+    * sort); a user's LAST event has no successor and contributes no
+    * dwell (the q215 convention). */
+  def dwellTimeCard(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("sec"), col("event_id"))
+    val dwell = events
+      .select(col(userCol), col(typeCol).as("t"),
+        col(tsCol).cast(LongType).as("sec"), col("event_id"))
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("t"), (col("nxt") - col("sec")).as("d"))
+    val wc = Window.partitionBy(col("t")).orderBy(col("d"))
+    val wg = Window.partitionBy(col("t"))
+    dwell.groupBy(col("t"), col("d")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wg))
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n_dwells"),
+        min(when(col("cum") >= expr("(n * 500 + 999) div 1000"), col("d")))
+          .as("p50_sec"),
+        min(when(col("cum") >= expr("(n * 950 + 999) div 1000"), col("d")))
+          .as("p95_sec"),
+        max(col("d")).as("max_sec"))
+      .select(col("t").as("event_type"), col("n_dwells"), col("p50_sec"),
+        col("p95_sec"), col("max_sec"))
+  }
+
+  /** Oracle fixture of [[dwellTimeCard]]. */
+  private val q238 = GQuery(
+    "q238_dwell_time",
+    (s, dir) => dwellTimeCard(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some(s"""WITH e AS (SELECT user_id, event_type AS t,
+          ${epochSecSql("ts")} AS sec, event_id
+        FROM events),
+      dw AS (SELECT t,
+          LEAD(sec) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id) - sec AS d
+        FROM e),
+      h AS (SELECT t, d, COUNT(*) AS c FROM dw
+            WHERE d IS NOT NULL GROUP BY 1, 2),
+      cc AS (SELECT *,
+          SUM(c) OVER (PARTITION BY t ORDER BY d) AS cum,
+          SUM(c) OVER (PARTITION BY t) AS n
+        FROM h)
+      SELECT t AS event_type, CAST(MAX(n) AS BIGINT) AS n_dwells,
+        MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN d END)
+          AS p50_sec,
+        MIN(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN d END)
+          AS p95_sec,
+        MAX(d) AS max_sec
+      FROM cc GROUP BY t
+      ORDER BY event_type"""))
+
   /** Top user-journey paths — the Sankey/flow card over per-user event
     * prefixes: each user's first `pathLen` events (ordered by ts with
     * event_id as the total-order tiebreak) concatenate into a path
@@ -2304,5 +2367,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238)
 }
