@@ -967,7 +967,9 @@ object EventQ {
         Seq("call_type"), Seq("t_call_type"), "start_sec", "valid_from")
       .drop("t_call_type")
       .withColumnRenamed("valid_from", "version")
-    val hod = s"(((start_sec + 60 * m) % 86400) DIV 3600)"
+    // floor-mod, not %: the sign-of-dividend remainder would make any
+    // pre-1970 timestamp's hour-of-day negative and silently off-peak
+    val hod = s"((pmod(start_sec + 60 * m, 86400)) DIV 3600)"
     val isPeak = s"($hod >= $peakFromHour AND $hod < $peakToHour)"
     val bandPpm = s"(CASE WHEN $isPeak THEN CAST($peakMultPpm AS BIGINT) " +
       "ELSE CAST(1000000 AS BIGINT) END)"
@@ -1037,7 +1039,8 @@ object EventQ {
               AND tf.valid_from <= c.start_sec)
         WHERE rn = 1),
       mins AS (SELECT call_id, u.m, base_centi,
-          ((start_sec + 60 * u.m) % 86400) // 3600 AS hod
+          ((((start_sec + 60 * u.m) % 86400) + 86400) % 86400) // 3600
+            AS hod
         FROM av, UNNEST(generate_series(0, dur_min - 1)) AS u(m)
         WHERE dur_min >= 1 AND base_centi IS NOT NULL),
       terms AS (SELECT call_id,

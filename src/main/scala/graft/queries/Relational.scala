@@ -1067,6 +1067,10 @@ object Relational {
     * alarm; the high-watermark reference (not wall-clock now()) keeps
     * re-runs bit-identical (the q168 rule).
     *
+    * Orders with a NULL order date classify as the oldest bucket
+    * (unknown age reads as the collections worst case — the CASE
+    * chain's else branch, identical in both engines).
+    *
     * Exactness: dates compare as epoch-days (integer DIV), money in
     * centi BIGINT; the share multiplies in DECIMAL(38,0)/HUGEINT so a
     * 100 TB receivable total cannot overflow the ppm product. Plan:

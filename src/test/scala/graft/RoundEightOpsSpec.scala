@@ -102,6 +102,21 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(flat == ((1L, 10000L, 1000L, 500L, 150L, 11650L)), flat.toString)
   }
 
+  // --- q226 time-band rating: pre-1970 hour-of-day ----------------------
+
+  test("timeBandCharges bands pre-1970 timestamps by true hour-of-day") {
+    // 10:00 the day before epoch: sign-of-dividend % would read hod -14
+    // (silently off-peak); floor-mod reads hod 10 — peak.
+    val cdrs = Seq(("c1", "x", -86400L + 36000L, 2L))
+      .toDF("call_id", "call_type", "start_sec", "dur_min")
+    val tariffs = Seq(("x", -100000L, 10L))
+      .toDF("call_type", "valid_from", "base_centi")
+    val got = EventQ.timeBandCharges(cdrs, tariffs)
+      .as[(String, String, Long, Long, Long, Long, Long)].head()
+    // 2 peak minutes at tier-1: 2 * (10 * 1.5e6 * 1e6) DIV 1e12 = 30
+    assert(got == (("c1", "x", -100000L, 10L, 2L, 2L, 30L)), got.toString)
+  }
+
   // --- q233 marginal cumulative-tier rating ----------------------------
 
   test("marginalTieredCharges telescopes: per-record marginals sum to T(total)") {
