@@ -1256,6 +1256,75 @@ object EventQ {
         ORDER BY event_id"""))
   }
 
+  /** Invoice run — the rating family composed end-to-end, the
+    * gsmrating → billing handoff: every usage record rates at its
+    * MARGINAL cumulative-tier cost ([[marginalTieredCharges]]), rolls
+    * up per account (telescoping makes the roll-up exactly
+    * T(cycle total) — no per-record rounding drift to reconcile), and
+    * the account subtotal runs through the ordered
+    * [[cascadedTaxes]] chain to the invoice total. One row per
+    * account: usage, subtotal, each tax, total.
+    *
+    * Plan: the per-account window from the rating + one account
+    * roll-up + the pure map-side tax chain — shuffles only on the
+    * account key, end to end. */
+  def invoiceRun(events: DataFrame, usage: org.apache.spark.sql.Column,
+      tiers: Seq[(Long, Long, Long)],
+      taxes: Seq[(String, Long, Boolean)],
+      keyCol: String = "user_id"): DataFrame = {
+    val rated = marginalTieredCharges(events, usage, tiers, keyCol)
+    val subtotal = rated.groupBy(col("k").as("account_id"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(greatest(col("u"), lit(0L))).as("total_units"),
+        sum(col("charge_centi")).as("charge_centi"))
+    cascadedTaxes(subtotal, taxes)
+  }
+
+  /** Oracle fixture of [[invoiceRun]]: the q233 tariff + the q232 tax
+    * chain, per user. */
+  private val q239 = {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    def tSql(u: String): String = tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+    GQuery(
+      "q239_invoice_run",
+      (s, dir) => invoiceRun(t(s, dir, "events"),
+          expr("CAST(round(value * 100) AS BIGINT)"), tiers,
+          Seq(("fed", 100000L, false), ("muni", 50000L, true),
+            ("reg", 15000L, true)))
+        .orderBy(col("account_id")),
+      Some(s"""WITH e AS (SELECT user_id AS k,
+            greatest(CAST(round(value * 100) AS BIGINT),
+              CAST(0 AS BIGINT)) AS ue
+          FROM events),
+        sub AS (SELECT k AS account_id, COUNT(*) AS n_records,
+            CAST(SUM(ue) AS BIGINT) AS total_units,
+            -- telescoping: Σ marginal charges == T(cycle total)
+            ${tSql("CAST(SUM(ue) AS BIGINT)")} AS charge_centi
+          FROM e GROUP BY 1),
+        t1 AS (SELECT *, (charge_centi * 100000) // 1000000
+                 AS tax_fed_centi FROM sub),
+        t2 AS (SELECT *,
+            ((charge_centi + tax_fed_centi) * 50000) // 1000000
+              AS tax_muni_centi FROM t1),
+        t3 AS (SELECT *,
+            ((charge_centi + tax_fed_centi + tax_muni_centi) * 15000)
+              // 1000000 AS tax_reg_centi
+          FROM t2)
+        SELECT account_id, n_records, total_units, charge_centi,
+          tax_fed_centi, tax_muni_centi, tax_reg_centi,
+          charge_centi + tax_fed_centi + tax_muni_centi + tax_reg_centi
+            AS total_centi
+        FROM t3
+        ORDER BY account_id"""))
+  }
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
-    q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233)
+    q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233,
+    q239)
 }
