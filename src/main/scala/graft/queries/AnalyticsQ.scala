@@ -2091,6 +2091,73 @@ object AnalyticsQ {
       GROUP BY x.a
       ORDER BY event_type"""))
 
+  /** Exact Mann-Whitney / rank-AUC card — the LOCATION companion to the
+    * KS drift card (q148 tests whole-distribution shape; this tests
+    * "does group A tend to exceed group B", robust to outliers where a
+    * mean comparison is not). Exact integers via the DOUBLE-RANK trick:
+    * with values histogrammed, a distinct value occupying ranks
+    * [k+1, k+c] has 2·avg-rank = 2k + c + 1 (always an integer — the
+    * q217 Gini construction), so the tied-rank sum, U statistic, and
+    * the common-language effect size AUC = U/(n_a·n_b) = P(a > b) +
+    * ½P(a = b) all compute in DECIMAL(38,0) with one DIV to milli at
+    * the end — no engine-divergent float ranking anywhere.
+    *
+    * Scale shape: one (group, value) histogram aggregation, then
+    * distinct-value-sized cumulative windows (the q165/q170/q217
+    * discipline) and a 1-row roll-up. */
+  def rankAucCard(events: DataFrame, typeA: String, typeB: String,
+      typeCol: String = "event_type", valCol: String = "value")
+      : DataFrame = {
+    require(typeA != typeB, "the two groups must differ")
+    val h = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select((col(typeCol) === typeA).as("isa"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .groupBy(col("cv"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("cv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("k", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(expr(
+          "CAST(ca AS DECIMAL(38,0)) * (2 * k + ca + cb + 1)")).as("r2a"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DECIMAL(38,0))")
+          .as("u2_a"),
+        expr("""CAST((CAST(1000 AS DECIMAL(38,0)) *
+            (r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)))
+          DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)""")
+          .as("auc_milli"))
+      .select(col("n_a"), col("n_b"),
+        col("u2_a").cast(LongType).as("u2_a"), col("auc_milli"))
+  }
+
+  /** Oracle fixture of [[rankAucCard]]: does purchase value tend to
+    * exceed click value. */
+  private val q240 = GQuery(
+    "q240_rank_auc",
+    (s, dir) => rankAucCard(t(s, dir, "events"), "purchase", "click"),
+    Some("""WITH v AS (SELECT event_type = 'purchase' AS isa,
+          CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events WHERE event_type IN ('purchase', 'click')),
+      h AS (SELECT cv,
+          CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM v GROUP BY cv),
+      r AS (SELECT *, COALESCE(SUM(ca + cb) OVER (ORDER BY cv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+        FROM h),
+      agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+          CAST(SUM(cb) AS BIGINT) AS n_b,
+          SUM(CAST(ca AS HUGEINT) * (2 * k + ca + cb + 1)) AS r2a
+        FROM r)
+      SELECT n_a, n_b,
+        CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+        CAST((1000::HUGEINT * (r2a - CAST(n_a AS HUGEINT) * (n_a + 1)))
+          // (2::HUGEINT * n_a * n_b) AS BIGINT) AS auc_milli
+      FROM agg"""))
+
   /** State dwell-time card — the TIME companion to
     * [[transitionPredictability]]: per event type, exact P50/P95/max
     * seconds a user lingers in that state before their next event (any
@@ -2367,5 +2434,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238, q240)
 }

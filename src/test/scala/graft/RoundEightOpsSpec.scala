@@ -184,6 +184,29 @@ class RoundEightOpsSpec extends SparkSpec {
       s"expected the under-cap different-label candidates ranked: $got")
   }
 
+  // --- q240 rank AUC ----------------------------------------------------
+
+  test("rankAucCard: separation, exchangeability, and tie midpoint by hand") {
+    def df(rows: (String, Double)*) = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    // complete separation: every a > every b -> AUC 1000
+    val sep = AnalyticsQ.rankAucCard(
+        df(("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0)), "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(sep == ((2L, 2L, 8L, 1000L)), sep.toString)
+    // identical distributions -> AUC exactly 500 (all ties at midpoint)
+    val tie = AnalyticsQ.rankAucCard(
+        df(("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0)), "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(tie == ((2L, 2L, 4L, 500L)), tie.toString)
+    // one a between the two b's: U = 1 win + 0 ties -> 2U=2, AUC 500
+    val mid = AnalyticsQ.rankAucCard(
+        df(("a", 5.0), ("b", 1.0), ("b", 9.0)), "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(mid == ((1L, 2L, 2L, 500L)), mid.toString)
+  }
+
   // --- benfordCard absent digits ---------------------------------------
 
   test("benfordCard charges absent digits their full expected share") {
