@@ -61,7 +61,7 @@ object ScaleProbe {
     "q231_interconnect_netting", "q232_tax_cascade",
     "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy",
     "q236_transition_entropy", "q237_lsh_calibration",
-    "q238_dwell_time", "q239_invoice_run", "q240_rank_auc")
+    "q238_dwell_time", "q239_invoice_run", "q240_rank_auc", "q241_spearman")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -2091,6 +2091,106 @@ object AnalyticsQ {
       GROUP BY x.a
       ORDER BY event_type"""))
 
+  /** Spearman rank correlation — the MONOTONE-association companion to
+    * [[pearsonCorr]] (q90 measures linear association and one outlier
+    * owns it; Spearman is Pearson over RANKS, so any monotone relation
+    * scores ±1 and heavy tails lose their leverage). Ranks are exact
+    * integers via the DOUBLE-RANK trick (a tied value at ranks
+    * [k+1, k+c] has 2·avg-rank = 2k + c + 1 — the q240 construction,
+    * assigned by joining each row back to its group's value histogram),
+    * the sufficient statistics accumulate in DECIMAL(38,0), and the
+    * final correlation divides once in DOUBLE with the identical
+    * operation order in both engines (the q88/q90 discipline).
+    *
+    * Scale shape: two (group, value)-histogram aggregations + two
+    * distinct-value-sized cumulative windows + two equi-joins back on
+    * (group, value) — never a row-level sort; the rank join is
+    * value-histogram-sized on the build side. */
+  def spearmanCorr(events: DataFrame, groupCol: String = "event_type",
+      valCol: String = "value", propsCol: String = "props",
+      propKey: String = "k"): DataFrame = {
+    val ly = round(col(valCol) * 100).cast(LongType)
+    val rx = regexp_extract(col(propsCol),
+      "\"" + propKey + "\"\\s*:\\s*(-?\\d+)", 1)
+    val k = when(length(rx) > 0, rx.cast(LongType))
+    val rows = events
+      .select(col(groupCol).as("g"), ly.as("y"), k.as("x"))
+      .filter(col("x").isNotNull)
+    def ranks(c: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.select(col("g"), col(c).as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("k0", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("g"), col("v"),
+          (lit(2L) * col("k0") + col("c") + 1L).as(s"r_$c"))
+    }
+    rows
+      .join(ranks("x").withColumnRenamed("v", "x"), Seq("g", "x"))
+      .join(ranks("y").withColumnRenamed("v", "y"), Seq("g", "y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("r_y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("r_x") * col("r_y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("r_x") * col("r_x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("r_y") * col("r_y")).cast(DecimalType(38, 0))).as("syy"))
+      .select(col("g").as(groupCol), col("n"),
+        round(
+          (col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+              * sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType)
+                - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+          6).as("rho_vk"))
+  }
+
+  /** Oracle fixture of [[spearmanCorr]] (value vs the JSON k payload,
+    * the q90 pairing re-tested rank-robustly). */
+  private val q241 = GQuery(
+    "q241_spearman",
+    (s, dir) => spearmanCorr(t(s, dir, "events"))
+      .orderBy(col("event_type")),
+    Some("""WITH o AS (
+        SELECT event_type AS g,
+          CAST(round(value * 100) AS BIGINT) AS y,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      hx AS (SELECT g, x AS v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+      rxt AS (SELECT g, v,
+          2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + c + 1 AS r_x
+        FROM hx),
+      hy AS (SELECT g, y AS v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+      ryt AS (SELECT g, v,
+          2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + c + 1 AS r_y
+        FROM hy),
+      j AS (SELECT o.g, rxt.r_x, ryt.r_y
+        FROM o
+        JOIN rxt ON rxt.g = o.g AND rxt.v = o.x
+        JOIN ryt ON ryt.g = o.g AND ryt.v = o.y),
+      agg AS (SELECT g, COUNT(*) AS n,
+          SUM(CAST(r_x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(r_y AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(r_x * r_y AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(r_x * r_x AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(r_y * r_y AS DECIMAL(38,0))) AS syy
+        FROM j GROUP BY g)
+      SELECT g AS event_type, n,
+        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho_vk
+      FROM agg
+      ORDER BY event_type"""))
+
   /** Exact Mann-Whitney / rank-AUC card — the LOCATION companion to the
     * KS drift card (q148 tests whole-distribution shape; this tests
     * "does group A tend to exceed group B", robust to outliers where a
@@ -2434,5 +2534,5 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238, q240)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241)
 }

@@ -207,6 +207,30 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(mid == ((1L, 2L, 2L, 500L)), mid.toString)
   }
 
+  // --- q241 Spearman ----------------------------------------------------
+
+  test("spearmanCorr scores any monotone relation exactly 1.0") {
+    // y = 10^x: perfectly monotone but wildly nonlinear — Pearson is
+    // dominated by the 10000 outlier, Spearman reads exactly 1
+    val ev = Seq.tabulate(5)(i =>
+        (i.toLong, "m", math.pow(10.0, i), s"""{"k": ${i + 1}}"""))
+      .toDF("event_id", "event_type", "value", "props")
+    val rho = AnalyticsQ.spearmanCorr(ev)
+      .as[(String, Long, Double)].head()
+    assert(rho == (("m", 5L, 1.0)), rho.toString)
+    val pearson = AnalyticsQ.pearsonCorr(ev)
+      .as[(String, Long, Double)].head()._3
+    assert(pearson < 0.9, s"Pearson should be outlier-dominated: $pearson")
+    // one swapped pair breaks perfection but stays high
+    val swapped = Seq((0L, "m", 10.0, """{"k": 1}"""),
+        (1L, "m", 1.0, """{"k": 2}"""), (2L, "m", 100.0, """{"k": 3}"""),
+        (3L, "m", 1000.0, """{"k": 4}"""))
+      .toDF("event_id", "event_type", "value", "props")
+    val rho2 = AnalyticsQ.spearmanCorr(swapped)
+      .as[(String, Long, Double)].head()._3
+    assert(rho2 > 0.5 && rho2 < 1.0, rho2.toString)
+  }
+
   // --- benfordCard absent digits ---------------------------------------
 
   test("benfordCard charges absent digits their full expected share") {
