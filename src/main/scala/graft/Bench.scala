@@ -142,22 +142,27 @@ object Bench {
     // the per-query noise maps — the large sentinel ratios there read as
     // fake regressions. The adjudicated verdict (total, error count,
     // over-2x count, worst-5 vs baseline) therefore goes LAST, so any
-    // tail suffix is self-adjudicating. Worst-5 ranks by baseline ratio
-    // where a baseline row exists, by absolute seconds otherwise
-    // (ratio -1 marks "no baseline").
+    // tail suffix is self-adjudicating. Regressions (have a baseline;
+    // ranked by ratio) and no-baseline queries (ranked by raw seconds)
+    // are SEPARATE lists — mixing ratios (~1-3) with seconds in one sort
+    // key would let any new >3s query displace a genuine 2-3x regression
+    // from the summary the trailer exists to protect.
     val withBase = adjudicated.map { case (k, v, _, _) =>
       (k, v, base.get(k).filter(_ > 0).map(b => v / b).getOrElse(-1.0))
     }
     val over2x = withBase.count { case (_, v, r) => v >= 0 && r > 2.0 }
-    val worst = withBase.filter(_._2 >= 0)
-      .sortBy { case (_, v, r) => -(if (r > 0) r else v) }.take(5)
-      .map { case (k, v, r) =>
-        s"""{"name":"$k","sec":${fmt(v)},"ratio":${fmt(r)}}"""
-      }.mkString("[", ",", "]")
+    def row(k: String, v: Double, r: Double) =
+      s"""{"name":"$k","sec":${fmt(v)},"ratio":${fmt(r)}}"""
+    val worst = withBase.filter { case (_, v, r) => v >= 0 && r > 0 }
+      .sortBy(-_._3).take(5)
+      .map { case (k, v, r) => row(k, v, r) }.mkString("[", ",", "]")
+    val worstNoBase = withBase.filter { case (_, v, r) => v >= 0 && r <= 0 }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v, r) => row(k, v, r) }.mkString("[", ",", "]")
     val nerr = adjudicated.count(_._2 < 0)
     val summary = s"""{"total":${fmt(total)},"n":${adjudicated.size},""" +
       s""""errors":$nerr,"floor_sec":${fmt(floor)},"over2x":$over2x,""" +
-      s""""worst":$worst}"""
+      s""""worst":$worst,"worst_no_baseline":$worstNoBase}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","noise":$noise,"queries":$qs,"sf":"$sfDir","summary":$summary}""")
     spark.stop()
   }

@@ -37,6 +37,35 @@ object IncrementalAnn {
     vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", vec_norm2(col("embedding")))
       .withColumn("bucket", VectorQ.signBucket(col("embedding"), bits))
+      // the store records the bits it was built with (a constant column
+      // — RLE-encodes to nothing in parquet) so every later reader can
+      // verify it queries with the SAME bucketing; a silent mismatch
+      // would miss neighbors across all of history with no error
+      .withColumn("bits", lit(bits))
+
+  /** The `bits` the store was built with, validated single-valued.
+    * Stores written before the bits column existed return None (the
+    * caller's `bits` argument is trusted, pre-round-9 behavior). The
+    * distinct aggregate scans one RLE'd int column — metadata-cheap. */
+  def storedBits(store: DataFrame): Option[Int] = {
+    if (!store.columns.contains("bits")) None
+    else {
+      val vs = store.select(col("bits").cast(IntegerType))
+        .distinct().limit(3).collect().map(_.getInt(0)).sorted
+      require(vs.length <= 1,
+        s"IncrementalAnn: store holds MIXED bits values ${vs.mkString(",")}" +
+          " — appends used inconsistent bucketing; rebuild(newBits) it")
+      vs.headOption
+    }
+  }
+
+  private def requireBits(store: DataFrame, bits: Int): Unit =
+    storedBits(store).foreach { b =>
+      require(b == bits,
+        s"IncrementalAnn: store was built with bits=$b but the call " +
+          s"passed bits=$bits — buckets would silently mismatch and " +
+          "miss neighbors; pass bits=" + b + " or rebuild(newBits)")
+    }
 
   /** Build (or rebuild) the bucket-indexed store from a corpus slice. */
   def initStore(vecs: DataFrame, storePath: String, bits: Int = 3): Unit =
@@ -44,11 +73,54 @@ object IncrementalAnn {
       .write.partitionBy("batch_id").mode("overwrite").parquet(storePath)
 
   /** Add a new batch's index rows to the store (call AFTER
-    * [[deltaNeighbors]] so the batch does not match itself). */
+    * [[deltaNeighbors]] so the batch does not match itself). Fails
+    * loudly if `bits` disagrees with what the store was built with. */
   def append(newVecs: DataFrame, storePath: String, batchId: Long = -1L,
-      bits: Int = 3): Unit =
+      bits: Int = 3): Unit = {
+    val spark = newVecs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+      requireBits(spark.read.parquet(storePath), bits)
     indexRows(newVecs, bits).withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id").mode("append").parquet(storePath)
+  }
+
+  /** Re-bucket the whole store at `newBits` — the documented upgrade
+    * path when the corpus outgrows its bucket width (`bits ≈
+    * log2(corpus/targetBucketSize)`). One scan of the store (vectors and
+    * norms are reused; only `bucket`/`bits` are recomputed), written to
+    * a sibling temp dir and atomically swapped in. IDEMPOTENT across
+    * crashes: re-running after ANY failure point completes the rebuild —
+    * the temp dir is only trusted once its `_SUCCESS` marker exists, and
+    * the final swap (rename) is re-entered if a previous run deleted the
+    * old store but died before the rename landed. */
+  def rebuild(spark: SparkSession, storePath: String, newBits: Int): Unit = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".rebuild.tmp")
+    val fs = dst.getFileSystem(hadoop)
+    val tmpComplete = fs.exists(tmp) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!tmpComplete) {
+      require(fs.exists(dst),
+        s"IncrementalAnn.rebuild: no store at $storePath and no completed " +
+          "rebuild temp — nothing to rebuild from")
+      spark.read.parquet(storePath)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("batch_id"))
+        .withColumn("bucket", VectorQ.signBucket(col("embedding"), newBits))
+        .withColumn("bits", lit(newBits))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .parquet(tmp.toString)
+    }
+    // swap: from here on the temp is complete (this run's write or a
+    // prior crashed run's) — delete-then-rename, each step re-entrant
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"IncrementalAnn.rebuild: rename $tmp -> $dst failed; re-run " +
+        "rebuild to complete the swap (the completed temp is kept)")
+  }
 
   /** Top-k cosine neighbors of `newVecs` against everything in the
     * store: (new_id, corpus_id, cosine, rank), cosine ≥ `minCos`,
@@ -64,6 +136,7 @@ object IncrementalAnn {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxBucketSize >= 1,
       s"maxBucketSize must be >= 1, got $maxBucketSize")
+    requireBits(store, bits)
     val hot = store.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("bucket"))

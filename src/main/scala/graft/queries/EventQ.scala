@@ -937,7 +937,8 @@ object EventQ {
     * DECIMAL(38,0), and ONE DIV 10¹² converts back to exact centi (the
     * q183 rule). Calls predating every tariff version (the as-of is
     * LEFT) or with zero/negative duration are NEVER dropped: they rate
-    * at charge_centi 0 with a NULL version (the q195 contract).
+    * at charge_centi 0 with a NULL version (the q195 contract), and
+    * report peak_min 0 — an unrated call contributes no peak usage.
     *
     * Plan: ONE broadcast as-of lookup per call (BroadcastAsOfJoin —
     * tariffs are types × versions), then the per-minute split runs as a
@@ -987,7 +988,10 @@ object EventQ {
             DIV CAST(1000000000000 AS DECIMAL(38, 0)) AS BIGINT)"""))
           .otherwise(lit(0L)))
       .withColumn("peak_min",
-        when(col("dur_min") >= 1L,
+        // gated on base_centi like charge_centi: a call predating every
+        // tariff version rates at 0 AND reports peak_min 0 — both
+        // engines agree that an unrated call contributes no peak usage
+        when(col("dur_min") >= 1L && col("base_centi").isNotNull,
           expr(s"""aggregate(sequence(CAST(0 AS BIGINT), dur_min - 1),
             CAST(0 AS BIGINT),
             (acc, m) -> acc + (CASE WHEN $isPeak THEN CAST(1 AS BIGINT)

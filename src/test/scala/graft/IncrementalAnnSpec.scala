@@ -56,8 +56,89 @@ class IncrementalAnnSpec extends SparkSpec {
     val guarded = IncrementalAnn.deltaNeighbors(delta,
       spark.read.parquet(store), bits = 3, k = 100, maxBucketSize = 10)
     assert(guarded.count() == 0)
-    val plan = guarded.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window") || guarded.count() == 0, plan)
+    // the guard itself (hot-bucket detection) is an aggregate + a
+    // BROADCAST anti-join — never a window over store rows. Verify the
+    // plan shape on an unguarded-but-nonempty run, where the one
+    // legitimate window appears partitioned by the DELTA's new_id (k
+    // ranking), and the anti-join side is a broadcast:
+    val open = IncrementalAnn.deltaNeighbors(delta,
+      spark.read.parquet(store), bits = 3, k = 100)
+    assert(open.count() == 30)
+    val openPlan = open.queryExecution.executedPlan.toString
+    assert(openPlan.contains("Window"), openPlan)
+    assert(openPlan.contains("partitionspec=[new_id") ||
+      openPlan.contains("windowspecdefinition(new_id"), openPlan)
+    assert(openPlan.contains("BroadcastHashJoin") &&
+      openPlan.contains("LeftAnti"), openPlan)
+  }
+
+  test("store records its bits; a mismatched query fails loudly") {
+    val store = Files.createTempDirectory("graft_vbits").toString + "/vecs"
+    IncrementalAnn.initStore(
+      Seq((1L, aAxis)).toDF("vec_id", "embedding"), store, bits = 3)
+    assert(IncrementalAnn.storedBits(spark.read.parquet(store))
+      .contains(3))
+    // querying with different bits would silently bucket-mismatch and
+    // miss every neighbor in history — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAnn.deltaNeighbors(spark,
+        Seq((9L, aNear)).toDF("vec_id", "embedding"), store,
+        bits = 4, k = 3).count()
+    }
+    assert(e.getMessage.contains("bits=3"), e.getMessage)
+    // and so must an append that would mix bucketings in one store
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAnn.append(
+        Seq((9L, aNear)).toDF("vec_id", "embedding"), store,
+        batchId = 1L, bits = 4)
+    }
+    assert(e2.getMessage.contains("bits=3"), e2.getMessage)
+  }
+
+  test("rebuild re-buckets history at newBits and swaps atomically") {
+    val store = Files.createTempDirectory("graft_vrebuild").toString + "/vecs"
+    IncrementalAnn.initStore(
+      Seq((1L, aAxis), (2L, bAxis)).toDF("vec_id", "embedding"),
+      store, bits = 1)
+    IncrementalAnn.append(Seq((3L, aNear)).toDF("vec_id", "embedding"),
+      store, batchId = 1L, bits = 1)
+    // at bits=1 vectors 1/3 (+x) and 2 (-x... actually bAxis starts -1)
+    // share fewer sign bits; query results before the rebuild:
+    val before = IncrementalAnn.deltaNeighbors(spark,
+        Seq((20L, aAxis)).toDF("vec_id", "embedding"), store,
+        bits = 1, k = 10)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._2, r._3)).toSet
+    IncrementalAnn.rebuild(spark, store, newBits = 3)
+    val after = spark.read.parquet(store)
+    assert(IncrementalAnn.storedBits(after).contains(3))
+    // history is intact: same rows, same batch partitions, same norms
+    assert(after.count() == 3)
+    assert(after.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-1L, 1L))
+    // deltaNeighbors at the new bits returns the same neighbor set for
+    // a query whose bucket membership is unchanged by widening (all
+    // candidates share sign on the first 3 dims)
+    val got = IncrementalAnn.deltaNeighbors(spark,
+        Seq((20L, aAxis)).toDF("vec_id", "embedding"), store,
+        bits = 3, k = 10)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(got == before.filter { case (id, _) => id != 2L } || got == before,
+      s"before=$before after=$got")
+    assert(got.map(_._1).contains(1L) && got.map(_._1).contains(3L))
+    // old bits now rejected
+    intercept[IllegalArgumentException] {
+      IncrementalAnn.deltaNeighbors(spark,
+        Seq((21L, aAxis)).toDF("vec_id", "embedding"), store,
+        bits = 1, k = 10).count()
+    }
+    // idempotence: a COMPLETED temp left by a crashed run (store already
+    // deleted) is finished by a re-run — simulate the crash window
+    val fsPath = new org.apache.hadoop.fs.Path(store)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(fsPath, new org.apache.hadoop.fs.Path(store + ".rebuild.tmp"))
+    IncrementalAnn.rebuild(spark, store, newBits = 3)
+    assert(spark.read.parquet(store).count() == 3)
+    assert(IncrementalAnn.storedBits(spark.read.parquet(store)).contains(3))
   }
 
   test("streaming sink searches history per batch; retries are idempotent") {

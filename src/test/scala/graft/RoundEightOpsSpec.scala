@@ -117,6 +117,21 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(got == (("c1", "x", -100000L, 10L, 2L, 2L, 30L)), got.toString)
   }
 
+  test("timeBandCharges rates a call older than every tariff at 0/0") {
+    // the call starts BEFORE the earliest valid_from: the LEFT as-of
+    // yields a NULL version and the call must report charge 0 AND
+    // peak_min 0 (an unrated call contributes no peak usage), matching
+    // the oracle's base_centi IS NOT NULL minute generation
+    val cdrs = Seq(("c0", "x", 36000L, 5L))  // 10:00 epoch day — peak hours
+      .toDF("call_id", "call_type", "start_sec", "dur_min")
+    val tariffs = Seq(("x", 100000L, 10L))   // first version is later
+      .toDF("call_type", "valid_from", "base_centi")
+    val got = EventQ.timeBandCharges(cdrs, tariffs)
+      .select("call_id", "dur_min", "peak_min", "charge_centi")
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("c0", 5L, 0L, 0L)), got.toString)
+  }
+
   // --- q233 marginal cumulative-tier rating ----------------------------
 
   test("marginalTieredCharges telescopes: per-record marginals sum to T(total)") {
