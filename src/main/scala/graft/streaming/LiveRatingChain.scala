@@ -1,0 +1,198 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.apache.spark.sql.types._
+
+import graft.queries.EventQ
+
+/** The reference's live mediation pipeline composed END-TO-END as one
+  * [[PipelineRunner]] topology — its linked-session chain
+  * (`M_LINKED_SESSIONS`, MFramework.cpp:981-1011) where `prerating.sh`
+  * feeds `gsmrating.sh` through the queue plane, with RATING inside the
+  * running chain rather than as separate demos:
+  *
+  *   cdr_ingest    file-source CSV leg files → validated legs store
+  *                 (dead letters kept as a `valid=false` partition —
+  *                  one sink, nothing silently dropped)
+  *   leg_assembly  legs store → [[LegAssembler]] (transformWithState:
+  *                 duplicate/out-of-order legs, state survives restart)
+  *                 → assembled-calls store
+  *   rating        assembled calls → [[MarginalRater]] (online
+  *                 cumulative-tier OCS rating, exact telescoping)
+  *                 → invoice-line store partitioned by account
+  *
+  * Stage handoff is by parquet directories: each stage's streaming file
+  * sink commits atomically through its `_spark_metadata` log and the
+  * downstream file source reads THAT log, so a record crosses a stage
+  * boundary exactly once even across kill-and-restart — the Structured
+  * Streaming replacement for the reference's Dir1/Dir2 marker protocol
+  * (`MFramework.cpp:821-903`). Every stage checkpoints independently;
+  * killing the whole app and restarting resumes all three from their
+  * checkpoints with no loss and no double-billing (spec-pinned, and
+  * streamed per-account totals are proven ≡ the q239 batch invoice run
+  * on the same input — the telescoping T(total) contract).
+  *
+  * Scale: ingest is an embarrassingly parallel scan→filter; assembly
+  * and rating shuffle once each on their state key (call_id / account)
+  * into RocksDB-backed state (requires
+  * `spark.sql.streaming.stateStore.providerClass` = RocksDB, which
+  * transformWithState mandates); the invoice sink partitions by a
+  * BOUNDED account bucket (`account_id % invoiceBuckets`) — one
+  * directory per bucket, never one per account: partitioning by raw
+  * account id creates |accounts| directories PER MICRO-BATCH, which is
+  * the probe-measured scale killer (50k accounts pushed a 2M-leg run
+  * past 10 minutes on the file-creation path alone). A billing cycle
+  * key would join the partition spec in production. Incomplete calls
+  * flushed by the assembly
+  * timeout (`complete=false`) are NOT rated: they stay in the calls
+  * store as the late-leg reconciliation input.
+  */
+object LiveRatingChain {
+
+  /** Inbound CDR-leg file layout (CSV with header). `call_id` is
+    * `<account_id>:<event_id>` — the account key rides inside the call
+    * key the way an MSISDN rides inside a real CDR's session id, and
+    * the rating stage splits it back out.
+    *
+    * DROP CONTRACT: producers must land files in the inbox ATOMICALLY
+    * (write elsewhere, then rename in) — a file written in place is
+    * listed by the live source mid-write and marked processed at its
+    * then-current length, silently truncating the tail (probe-measured:
+    * 44% loss on a 2M-leg in-place write). This is the reference's own
+    * marker-file drop discipline (`MFramework.cpp:821-903`). */
+  val legSchema: StructType = StructType(Seq(
+    StructField("call_id", StringType),
+    StructField("seq", IntegerType),
+    StructField("total", IntegerType),
+    StructField("duration_sec", DoubleType)))
+
+  /** Output schema of the legs store (ingest adds the `valid` flag the
+    * store is partitioned by). */
+  private def legsStoreSchema: StructType =
+    StructType(legSchema.fields :+ StructField("valid", BooleanType))
+
+  private val callIdShape = "^[0-9]+:[0-9]+$"
+
+  /** The three composed stages. Register them in the returned order
+    * (upstream first, the [[Topology.load]] convention). */
+  def stages(spark: SparkSession, inboxDir: String, legsDir: String,
+      callsDir: String, ratedDir: String, checkpointRoot: String,
+      tiers: Seq[(Long, Long, Long)], legTimeoutMs: Long = -1L,
+      maxFilesPerTrigger: Int = 8, invoiceBuckets: Int = 64): Seq[StageSpec] = {
+    require(invoiceBuckets >= 1,
+      s"invoiceBuckets must be >= 1, got $invoiceBuckets")
+    import spark.implicits._
+
+    val ingest = StageSpec(
+      "cdr_ingest",
+      source = s => s.readStream.schema(legSchema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .csv(inboxDir),
+      // validation verdict rides as a column and the sink PARTITIONS on
+      // it: invalid legs land under valid=false — the dead-letter path
+      // as a partition of the same exactly-once sink, never a drop
+      transform = df => df.withColumn("valid",
+        col("call_id").rlike(callIdShape) &&
+          col("seq").isNotNull && col("total").isNotNull &&
+          col("duration_sec").isNotNull && col("duration_sec") >= 0.0),
+      sink = df => df.writeStream.format("parquet")
+        .partitionBy("valid")
+        .option("path", legsDir)
+        .option("checkpointLocation", s"$checkpointRoot/cdr_ingest")
+        .outputMode("append"))
+
+    val timeMode =
+      if (legTimeoutMs >= 0) TimeMode.ProcessingTime() else TimeMode.None()
+    val assembly = StageSpec(
+      "leg_assembly",
+      source = s => s.readStream.schema(legsStoreSchema).parquet(legsDir),
+      transform = df => df.filter(col("valid"))
+        .select(col("call_id"), col("seq"), col("total"),
+          col("duration_sec"))
+        .as[Leg]
+        .groupByKey(_.call_id)
+        .transformWithState(new LegAssembler(legTimeoutMs), timeMode,
+          OutputMode.Append())
+        .toDF(),
+      sink = df => df.writeStream.format("parquet")
+        .option("path", callsDir)
+        .option("checkpointLocation", s"$checkpointRoot/leg_assembly")
+        .outputMode("append"))
+
+    val rating = StageSpec(
+      "rating",
+      source = s => s.readStream.schema(StructType(Seq(
+          StructField("call_id", StringType),
+          StructField("n_legs", IntegerType),
+          StructField("total_duration", DoubleType),
+          StructField("complete", BooleanType))))
+        .parquet(callsDir),
+      // only COMPLETE calls rate; the timeout's complete=false flushes
+      // stay in the calls store for late-leg reconciliation. Units =
+      // rounded total duration (the fixture carries integral seconds;
+      // a production feed carries centi-units end to end, the q225
+      // discipline).
+      transform = df => df.filter(col("complete"))
+        .select(
+          split(col("call_id"), ":").getItem(0).cast(LongType)
+            .as("account_id"),
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .as("event_id"),
+          expr("CAST(round(total_duration) AS BIGINT)").as("units"))
+        .as[UsageRec]
+        .groupByKey(_.account_id)
+        .transformWithState(new MarginalRater(tiers), TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .withColumn("invoice_bucket",
+          pmod(col("account_id"), lit(invoiceBuckets.toLong))),
+      sink = df => df.writeStream.format("parquet")
+        .partitionBy("invoice_bucket")
+        .option("path", ratedDir)
+        .option("checkpointLocation", s"$checkpointRoot/rating")
+        .outputMode("append"))
+
+    Seq(ingest, assembly, rating)
+  }
+
+  /** Register the chain into a runner; returns stage names in start
+    * order. */
+  def register(runner: PipelineRunner, spark: SparkSession,
+      inboxDir: String, legsDir: String, callsDir: String,
+      ratedDir: String, checkpointRoot: String,
+      tiers: Seq[(Long, Long, Long)], legTimeoutMs: Long = -1L)
+      : Seq[String] = {
+    // pre-create the handoff dirs so every stage can start before its
+    // upstream has committed a first batch (the reference pre-creates
+    // its queue directories the same way)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(inboxDir, legsDir, callsDir, ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val ss = stages(spark, inboxDir, legsDir, callsDir, ratedDir,
+      checkpointRoot, tiers, legTimeoutMs)
+    ss.foreach(runner.register)
+    ss.map(_.name)
+  }
+
+  /** The billing handoff: roll the streamed invoice lines up per
+    * account and run the ordered tax chain — the q239
+    * [[EventQ.invoiceRun]] shape (same columns), reading the rated
+    * store the chain maintains. Because the online rater telescopes
+    * exactly (Σ marginal charges ≡ T(cycle total)), this equals the
+    * batch invoice run on the same usage — no streamed-vs-batch drift
+    * to reconcile. */
+  def invoice(spark: SparkSession, ratedDir: String,
+      taxes: Seq[(String, Long, Boolean)]): DataFrame =
+    EventQ.cascadedTaxes(
+      spark.read.parquet(ratedDir)
+        .groupBy(col("account_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(greatest(col("units"), lit(0L))).as("total_units"),
+          sum(col("charge_centi")).as("charge_centi")),
+      taxes)
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.EventQ
+import graft.streaming.{LiveRatingChain, PipelineRunner}
+
+/** The composed live mediation chain: file-source CDR ingest →
+  * LegAssembler → MarginalRater → partitioned invoice store, run as ONE
+  * PipelineRunner topology, killed mid-stream and restarted — state and
+  * sources all recover, nothing is lost or double-billed, and the
+  * streamed invoice equals the q239 batch invoice run on the same legs.
+  */
+class LiveRatingChainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val tiers = Seq((0L, 100L, 5L), (100L, 300L, 3L),
+    (300L, Long.MaxValue, 1L))
+  private val taxes = Seq(("fed", 100000L, false), ("muni", 50000L, true))
+
+  private def writeCsv(path: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path),
+      ("call_id,seq,total,duration_sec" +: rows).mkString("\n")
+        .getBytes("UTF-8"))
+  }
+
+  test("chain survives kill-and-restart with exact batch parity") {
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_livechain").toString
+    val (inbox, legs, calls, rated, ckpt) =
+      (s"$base/inbox", s"$base/legs", s"$base/calls", s"$base/rated",
+        s"$base/ckpt")
+    try {
+      // ---- wave 1 ----------------------------------------------------
+      // acct 1 call 101: both legs (complete, 100 units)
+      // acct 1 call 102: first leg only (stays IN STATE across restart)
+      // acct 2 call 201: single-leg call (complete, 250 units)
+      // two dead letters: malformed call_id, negative duration
+      writeCsv(s"$inbox/wave1a.csv", Seq(
+        "1:101,1,2,60.0",
+        "1:102,1,2,30.0",
+        "xyz,1,1,10.0"))
+      writeCsv(s"$inbox/wave1b.csv", Seq(
+        "1:101,2,2,40.0",
+        "2:201,1,1,250.0",
+        "2:999,1,1,-5.0"))
+
+      val runner = new PipelineRunner(spark)
+      val names = LiveRatingChain.register(runner, spark, inbox, legs,
+        calls, rated, ckpt, tiers)
+      val qs = names.map(runner.start)
+      qs.foreach(_.processAllAvailable())
+
+      // mid-stream state: two complete calls rated, dead letters kept
+      val mid = spark.read.parquet(rated)
+        .select(col("account_id").cast(LongType), col("event_id"),
+          col("charge_centi"))
+        .as[(Long, Long, Long)].collect().toSet
+      // T(100)-T(0) = 500; T(250)-T(0) = 100*5 + 150*3 = 950
+      assert(mid == Set((1L, 101L, 500L), (2L, 201L, 950L)), mid.toString)
+      assert(spark.read.parquet(legs).filter(!col("valid")).count() == 2)
+
+      // ---- KILL the whole topology mid-stream ------------------------
+      runner.stopAll()
+      assert(names.forall(!runner.isRunning(_)))
+
+      // ---- wave 2 lands while the app is down ------------------------
+      // completes call 102 (50 total units -> marginal from cum 100),
+      // redelivers call 101's first leg (must NOT re-bill), adds
+      // acct 2 call 202 (100 units -> marginal from cum 250)
+      writeCsv(s"$inbox/wave2.csv", Seq(
+        "1:102,2,2,20.0",
+        "1:101,1,2,60.0",
+        "2:202,1,1,100.0"))
+
+      // ---- RESTART: fresh runner, same checkpoints --------------------
+      val runner2 = new PipelineRunner(spark)
+      LiveRatingChain.register(runner2, spark, inbox, legs, calls,
+        rated, ckpt, tiers)
+      val qs2 = names.map(runner2.start)
+      qs2.foreach(_.processAllAvailable())
+      runner2.stopAll()
+
+      // ---- no loss, no duplication across the restart ----------------
+      val out = spark.read.parquet(rated)
+        .select(col("account_id").cast(LongType), col("event_id"),
+          col("units"), col("cum_units"), col("charge_centi"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.length == 4, out.mkString(";"))
+      assert(out.map(r => (r._1, r._2)).distinct.length == 4,
+        "duplicate billing rows: " + out.mkString(";"))
+      val byEvent = out.map(r => r._2 -> ((r._4, r._5))).toMap
+      // acct 1: cum 100 -> 150 across the restart: T(150)-T(100) = 150
+      assert(byEvent(102L) == ((150L, 150L)), byEvent.toString)
+      // acct 2: cum 250 -> 350: T(350)-T(250) = 50*3 + 50*1 = 200
+      assert(byEvent(202L) == ((350L, 200L)), byEvent.toString)
+      // the redelivered 101 leg re-opened call state but never completed
+      // and never re-billed
+      assert(!byEvent.contains(101L) || byEvent(101L) == ((100L, 500L)))
+
+      // ---- batch-twin parity: streamed invoice == q239 on same legs --
+      val streamed = LiveRatingChain.invoice(spark, rated, taxes)
+        .orderBy(col("account_id")).collect().map(_.toSeq)
+      // batch side: assemble the SAME raw legs (valid, first arrival per
+      // (call,seq), complete calls only) into usage events and run the
+      // q239 invoice operator over them
+      val raw = spark.read.schema(LiveRatingChain.legSchema)
+        .option("header", "true").csv(inbox)
+      val usage = raw
+        .filter(col("call_id").rlike("^[0-9]+:[0-9]+$") &&
+          col("duration_sec") >= 0.0)
+        .dropDuplicates("call_id", "seq")
+        .groupBy(col("call_id"))
+        .agg(sum(col("duration_sec")).as("dur"), max(col("total")).as("t"),
+          count(lit(1)).as("n"))
+        .filter(col("n") === col("t"))
+        .select(
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .as("event_id"),
+          split(col("call_id"), ":").getItem(0).cast(LongType)
+            .as("user_id"),
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .cast(TimestampType).as("ts"),
+          expr("CAST(round(dur) AS BIGINT)").as("units"))
+      val batch = EventQ.invoiceRun(usage, col("units"), tiers, taxes)
+        .orderBy(col("account_id")).collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq,
+        s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+    } finally {
+      spark.streams.active.foreach(_.stop())
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
