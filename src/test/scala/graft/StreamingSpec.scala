@@ -604,6 +604,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cycle rollover: event-time cycles close by straddle AND by timer, per-cycle parity with q233") {
+    import graft.streaming.{CycleMarginalRater, CycleRatedRec, CycleUsageRec}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // tiers: first 100 units at 5, beyond at 3; cycles of 100 seconds
+      val tiers = Seq((0L, 100L, 5L), (100L, Long.MaxValue, 3L))
+      def rec(acct: Long, e: Long, sec: Long, u: Long) =
+        CycleUsageRec(acct, e, new Timestamp(sec * 1000L), u)
+      val in = MemoryStream[CycleUsageRec]
+      val out = in.toDS().withWatermark("ts", "0 seconds")
+        .groupByKey(_.account_id)
+        .transformWithState(new CycleMarginalRater(tiers, cycleSec = 100L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("cycle_out").start()
+      def rows() = spark.table("cycle_out").as[CycleRatedRec].collect()
+      try {
+        // cycle 0 of account 7: u=30 then u=80 (crosses the tier boundary)
+        in.addData(rec(7L, 1L, 10L, 30L), rec(7L, 2L, 50L, 80L))
+        q.processAllAvailable()
+        assert(rows().count(_.cycle_total) == 0, "no cycle closed yet")
+        val m1 = rows().map(r => r.event_id -> r.charge_centi).toMap
+        // T(30)=150; T(110)-T(30) = (500+30)-150 = 380
+        assert(m1 == Map(1L -> 150L, 2L -> 380L), m1.toString)
+
+        // the STRADDLING record: event time in cycle 1 arrives while
+        // cycle 0 is open — the arrival must close cycle 0 (total row)
+        // and rate the record against a FRESH accumulator (tier-1 rate),
+        // not against last cycle's 110 units
+        in.addData(rec(7L, 3L, 120L, 40L))
+        q.processAllAvailable()
+        val totals1 = rows().filter(_.cycle_total)
+        assert(totals1.map(t => (t.cycle, t.units, t.charge_centi)).toSeq
+          == Seq((0L, 110L, 530L)), totals1.mkString(";"))
+        assert(rows().find(_.event_id == 3L).get.charge_centi == 200L,
+          "straddling record must bill from a reset accumulator")
+
+        // advance the watermark past cycle 1's end (ts 200) via another
+        // account; the TIMER then closes account 7's cycle 1 even though
+        // account 7 never sends again
+        in.addData(rec(8L, 9L, 250L, 10L))
+        q.processAllAvailable()
+        in.addData(rec(8L, 10L, 260L, 5L)) // one more batch to fire timers
+        q.processAllAvailable()
+        assert(eventually(30000)(rows().exists(t =>
+          t.cycle_total && t.account_id == 7L && t.cycle == 1L)),
+          s"cycle-1 timer never fired: ${rows().mkString(";")}")
+        val t1 = rows().find(t => t.cycle_total && t.account_id == 7L &&
+          t.cycle == 1L).get
+        assert((t1.units, t1.charge_centi) == ((40L, 200L)), t1.toString)
+
+        // per-cycle parity with the q233 batch operator: charges per
+        // (account, cycle) telescoped through marginalTieredCharges with
+        // the composite key must equal the streamed per-record sums AND
+        // the cycle-total rows
+        val batchIn = Seq((1L, "7:0", 10L, 30L), (2L, "7:0", 50L, 80L),
+            (3L, "7:1", 120L, 40L), (9L, "8:2", 250L, 10L),
+            (10L, "8:2", 260L, 5L))
+          .toDF("event_id", "acct_cycle", "sec", "u")
+          .withColumn("ts", col("sec").cast(TimestampType))
+        val batch = graft.queries.EventQ.marginalTieredCharges(
+            batchIn, col("u"), tiers, keyCol = "acct_cycle")
+          .groupBy(col("k")).agg(sum(col("charge_centi")).as("c"))
+          .as[(String, Long)].collect().toMap
+        val streamedPerCycle = rows().filterNot(_.cycle_total)
+          .groupBy(r => s"${r.account_id}:${r.cycle}")
+          .view.mapValues(_.map(_.charge_centi).sum).toMap
+        assert(batch.view.filterKeys(streamedPerCycle.contains).toMap
+          == streamedPerCycle.filter { case (k, _) => batch.contains(k) },
+          s"batch=$batch streamed=$streamedPerCycle")
+        // every closed cycle's total row equals its per-record sum
+        rows().filter(_.cycle_total).foreach { t =>
+          val k = s"${t.account_id}:${t.cycle}"
+          assert(streamedPerCycle(k) == t.charge_centi, s"$k: $t")
+        }
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("SupervisorListener auto-restarts a crashing stage up to its budget") {
     val src = Files.createTempDirectory("graft_sup_src").toString
     spark.range(5).toDF("id").write.mode("append").parquet(src)
