@@ -38,7 +38,7 @@ class ConnectorsSpec extends SparkSpec {
 
   /** Local-FS fake transport: a directory tree stands in for the remote
     * host; fetch() counts calls so staging incrementality is observable. */
-  private final class LocalFsTransport(remoteRoot: String) extends FileTransport {
+  private class LocalFsTransport(remoteRoot: String) extends FileTransport {
     var fetches = 0
     private def p(host: String, rest: String) =
       java.nio.file.Paths.get(remoteRoot, host, rest)
@@ -46,9 +46,12 @@ class ConnectorsSpec extends SparkSpec {
       val dir = p(host, remotePath)
       if (!Files.isDirectory(dir)) Seq.empty
       else {
-        val s = Files.list(dir)
+        // recursive with RELATIVE names — the FileTransport contract
+        // ("names may be nested (y/m/f.csv)")
+        val s = Files.walk(dir)
         try s.iterator().asScala
-          .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+          .filter(Files.isRegularFile(_))
+          .map(f => dir.relativize(f).toString).toSeq
         finally s.close()
       }
     }
@@ -60,6 +63,23 @@ class ConnectorsSpec extends SparkSpec {
       Files.copy(p(host, remoteFile), localDest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // upload leg (push preserves the source mtime, the transport contract)
+    var pushes = 0
+    override def push(host: String, localSrc: java.nio.file.Path,
+        remoteFile: String): Unit = {
+      pushes += 1
+      val dest = p(host, remoteFile)
+      Files.createDirectories(dest.getParent)
+      Files.copy(localSrc, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    override def rename(host: String, from: String, to: String): Unit =
+      Files.move(p(host, from), p(host, to),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    override def delete(host: String, remoteFile: String): Unit =
+      Files.deleteIfExists(p(host, remoteFile))
   }
 
   test("sftp connector stages remote files through the transport and reads them") {
@@ -156,6 +176,97 @@ class ConnectorsSpec extends SparkSpec {
     assert(ConnectorRegistry.registered.contains("ftp"))
     assert(ConnectorRegistry.read(spark, "ftp://medhost/pub/data", "csv",
       Map("header" -> "true")).count() == 2)
+  }
+
+  test("upload delivers atomically, skips Spark bookkeeping, and retries idempotently") {
+    val remote = Files.createTempDirectory("graft_up_remote").toString
+    val local = Files.createTempDirectory("graft_up_local")
+    // a rated-output-shaped local dir: data files (one nested), plus the
+    // Spark bookkeeping the delivery must skip
+    Files.writeString(local.resolve("rated_a.csv"), "id,v\n1,10\n")
+    Files.createDirectories(local.resolve("day=2026-01-01"))
+    Files.writeString(local.resolve("day=2026-01-01/rated_b.csv"), "id,v\n2,20\n")
+    Files.writeString(local.resolve("_SUCCESS"), "")
+    Files.writeString(local.resolve(".rated_a.csv.crc"), "x")
+    val transport = new LocalFsTransport(remote)
+    val c = new SftpConnector(transport, Files.createTempDirectory("graft_up_stage").toString,
+      scheme = "sftpu")
+
+    val delivered = c.upload(local, "sftpu://billing1/incoming")
+    assert(delivered.toSet == Set("rated_a.csv", "day=2026-01-01/rated_b.csv"),
+      delivered.toString)
+    assert(transport.pushes == 2)
+    val in = java.nio.file.Paths.get(remote, "billing1", "incoming")
+    assert(Files.readString(in.resolve("rated_a.csv")).contains("1,10"))
+    assert(Files.readString(in.resolve("day=2026-01-01/rated_b.csv")).contains("2,20"))
+    // no .part debris, no bookkeeping files delivered
+    val leftovers = Files.walk(in).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSet
+    assert(leftovers == Set("rated_a.csv", "rated_b.csv"), leftovers.toString)
+
+    // redelivery is a no-op: the remote's own state is the ledger
+    assert(c.upload(local, "sftpu://billing1/incoming").isEmpty)
+    assert(transport.pushes == 2, "unchanged files must not re-push")
+
+    // a changed file (same size, newer mtime) re-delivers — the reverse
+    // of the staging re-fetch rule
+    Files.writeString(local.resolve("rated_a.csv"), "id,v\n1,99\n")
+    Files.setLastModifiedTime(local.resolve("rated_a.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(local.resolve("rated_a.csv")).toMillis + 5000))
+    val redelivered = c.upload(local, "sftpu://billing1/incoming")
+    assert(redelivered == Seq("rated_a.csv"), redelivered.toString)
+    assert(Files.readString(in.resolve("rated_a.csv")).contains("1,99"))
+
+    // traversal URIs die before any byte moves
+    intercept[IllegalArgumentException](
+      c.upload(local, "sftpu://billing1/../../etc"))
+
+    // registry dispatch: sftpu routes to the upload leg; the local
+    // connector is download-only and says so
+    ConnectorRegistry.register(c)
+    assert(ConnectorRegistry.upload(local, "sftpu://billing1/incoming").isEmpty)
+    intercept[UnsupportedOperationException](
+      ConnectorRegistry.upload(local, s"$sfDir"))
+  }
+
+  test("upload cleans up its partial file on failure; the retry completes delivery") {
+    val remote = Files.createTempDirectory("graft_upfail_remote").toString
+    val local = Files.createTempDirectory("graft_upfail_local")
+    Files.writeString(local.resolve("a.csv"), "id\n1\n")
+    Files.writeString(local.resolve("b.csv"), "id\n2\n")
+    // rename fails ONCE for b.csv — the crash window between push and
+    // commit; the .part file must be cleaned and the retry must finish
+    val transport = new LocalFsTransport(remote) {
+      var failed = false
+      override def rename(host: String, from: String, to: String): Unit = {
+        if (to.endsWith("b.csv") && !failed) {
+          failed = true
+          throw new java.io.IOException("connection reset")
+        }
+        super.rename(host, from, to)
+      }
+    }
+    val c = new SftpConnector(transport, Files.createTempDirectory("graft_upfail_stage").toString,
+      scheme = "sftpf")
+    val e = intercept[java.io.IOException](c.upload(local, "sftpf://bill/in"))
+    assert(e.getMessage.contains("connection reset"))
+    val in = java.nio.file.Paths.get(remote, "bill", "in")
+    val afterFail = Files.list(in).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!afterFail.exists(_.endsWith(".part")),
+      s"partial upload left debris: $afterFail")
+    // retry: only what failed re-pushes (anything delivered before the
+    // failure is skipped by the ledger; walk order is unspecified, so
+    // assert set-wise)
+    val before = transport.pushes
+    val retried = c.upload(local, "sftpf://bill/in")
+    assert(retried.contains("b.csv"), retried.toString)
+    assert(transport.pushes == before + retried.size)
+    assert(Files.readString(in.resolve("b.csv")).contains("2"))
+    assert(Files.readString(in.resolve("a.csv")).contains("1"))
+    // and a second retry is a clean no-op
+    assert(c.upload(local, "sftpf://bill/in").isEmpty)
   }
 
   test("sftp connector rejects traversal from remote names and URIs") {
