@@ -4,81 +4,21 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Regenerates PLANS.md: formatted physical plans for the headline
-  * queries, as evidence the plan *shapes* are the intended ones
-  * (broadcasts, pushdown, top-k, custom operators). Run:
-  * `sbt "runMain graft.DumpPlans"`.
+/** Regenerates PLANS.md: formatted physical plans for EVERY declared
+  * registry query (one section per query — the coverage contract), plus
+  * the composed pipeline/streaming-chain sections, as evidence the plan
+  * *shapes* are the intended ones (broadcasts, pushdown, top-k, custom
+  * operators). Run: `sbt "runMain graft.DumpPlans"`.
   */
 object DumpPlans {
 
-  private val headline = Seq(
-    "q01_pricing_summary", "q02_revenue_by_region", "q03_top_orders",
-    "q20b_asof_custom", "q26_minhash_lsh", "q27b_simhash_neardup",
-    "q29_cosine_topk", "q30_ann_bucketed", "q50_decontamination",
-    "q51_stratified_sample", "q53_tfidf_topk", "q54_bloom_decontamination",
-    "q55_quantized_ann", "q56_uniform_sample", "q57_boilerplate_chunks",
-    "q58_ann_recall", "q59_kmeans_iter", "q61_sequence_packing",
-    "q62_heavy_hitters", "q63_curation_verdict", "q64_mixture_weights",
-    "q64b_rebalanced", "q65_lm_score", "q66_chunk_overlap",
-    "q67_domain_cap", "q68_range_join", "q69_dedup_best",
-    "q70_scd2_versions", "q71_weighted_sample", "q76_semdedup",
-    "q77_edit_confirm", "q79_snapshot_diff", "q80_pq_ann",
-    "q81_leakage_split", "q82_ivf_pq", "q84_gap_fill", "q85_funnel",
-    "q89_outliers", "q91_inverted_index", "q92_key_skew",
-    "q94_fuzzy_decontamination", "q95_moving_window", "q96_salted_join",
-    "q97_cms_counts", "q106_ann_query_table", "q107_topk_agg",
-    "q108_ann_multiprobe_query", "q109_percentile_contract",
-    "q110_span_dedup", "q111_bm25_topk", "q112_packed_spans",
-    "q113_cluster_prototypes", "q115_class_mean_eval",
-    "q116_epoch_shuffle", "q117_repeat_factor", "q118_vocab_overlap",
-    "q120_token_encode", "q121_contrastive_pairs",
-    "q122_random_projection", "q124_curriculum_rank",
-    "q128_minhash_agreement", "q129_doc_repetition", "q130_shard_plan",
-    "q131_soft_quality_sample", "q133_padding_waste", "q134_split_leakage",
-    "q135_source_interleave", "q136_hybrid_rrf", "q138_bpe_encode",
-    "q139_dup_pagerank", "q141_domain_affinity", "q142_temperature_mix",
-    "q143_nb_confusion", "q146_novelty_curve", "q148_ks_drift",
-    "q151_mega_pack", "q152_mega_assembly", "q154_bucketed_batches",
-    "q157_winnow_fingerprints", "q158_winnow_candidates",
-    "q159_containment", "q160_budget_waterfill", "q162_simhash_idf",
-    "q164_jaro_linkage", "q165_mad_outliers", "q166_power_pca",
-    "q167_anisotropy", "q168_decayed_engagement", "q169_temporal_split",
-    "q170_quantile_bands", "q171_rolling_dau", "q172_entity_resolution",
-    "q173_hilbert_curve", "q174_semantic_decontamination",
-    "q175_overlap_join", "q176_triangle_stats", "q177_content_diff",
-    "q178_luhn_cards", "q179_zipf_card",
-    "q182_attribution", "q183_join_blowup",
-    "q184_chi2_card", "q185_seasonal_anomaly", "q186_conversion_lag", "q187_sorted_neighbors",
-    "q188_churn_lifetable", "q189_rake_weights", "q190_burstiness",
-    "q191_cell_repeat", "q192_codetable_drift", "q193_kcenter_coreset",
-    "q194_contamination_report", "q195_tiered_rating",
-    "q196_market_basket", "q197_hamming_radius", "q198_autocorrelation",
-    "q199_kfold_split", "q200_wordpiece_merges", "q201_reciprocal_match",
-    "q202_top_paths", "q203_lpa_communities", "q204_scd2_audit",
-    "q205_doc_surprise", "q206_frame_dedup", "q207_matryoshka_eval",
-    "q208_cluster_histogram", "q209_referential_audit", "q210_user_entropy",
-    "q211_weighted_quantiles", "q212_duplicate_suppression",
-    "q213_pareto_card", "q214_kcore", "q215_time_weighted_avg",
-    "q216_changepoint", "q217_gini_card", "q218_revenue_reconciliation",
-    "q219_prepaid_balance", "q220_out_of_order", "q221_temporal_drift",
-    "q222_benford_card", "q223_cohort_ltv", "q224_fulfillment_lag",
-    "q225_leg_assembly", "q226_timeband_rating", "q227_edge_embeddedness",
-    "q228_golden_record", "q229_ar_aging", "q230_hard_negatives",
-    "q231_interconnect_netting", "q232_tax_cascade",
-    "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy",
-    "q236_transition_entropy", "q237_lsh_calibration",
-    "q238_dwell_time", "q239_invoice_run", "q240_rank_auc", "q241_spearman")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.getOrCreate("local[8]")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val sb = new StringBuilder
-    sb.append("# PLANS — headline physical plans (generated by graft.DumpPlans, sf0.01)\n\n")
-    sb.append("Shapes to look for: BroadcastHashJoin on dims, PushedFilters/\n")
-    sb.append("ReadSchema at the scans, TakeOrderedAndProject for top-k,\n")
-    sb.append("BroadcastAsOfJoin for the custom operator, ReusedExchange on\n")
-    sb.append("self-joins, `*(n)` whole-stage-codegen spans.\n")
-    headline.foreach { name =>
+    val names = queries.Registry.all.map(_.name)
+    names.foreach { name =>
       val df = queries.Registry.byName(name).build(spark, dir)
       df.collect() // finalize AQE
       sb.append(s"\n## $name\n\n```\n")
@@ -146,8 +86,52 @@ object DumpPlans {
       sb.append(audit.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
       sb.append("\n```\n")
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${headline.size + 5} plans)")
+    // the live rating chain (ingest → LegAssembler → MarginalRater as
+    // ONE PipelineRunner topology): per-stage LAST-micro-batch plans.
+    // Shapes to verify: ingest is scan→project with ZERO shuffle;
+    // assembly reads ONLY the valid=true partition (PartitionFilters)
+    // and pays ONE exchange (REQUIRED_BY_STATEFUL_OPERATOR on call_id)
+    // into TransformWithState; rating scans 3 of 5 columns with the
+    // `complete` filter PUSHED to parquet and pays ONE exchange on
+    // account_id; the invoice bucket is a map-side pmod after the rater.
+    locally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val base = Files.createTempDirectory("graft_plans_chain").toString
+      val inbox = s"$base/inbox"
+      val runner = new streaming.PipelineRunner(spark)
+      val stageNames = streaming.LiveRatingChain.register(runner, spark,
+        inbox, s"$base/legs", s"$base/calls", s"$base/rated",
+        s"$base/ckpt", Seq((0L, 100L, 5L), (100L, Long.MaxValue, 3L)))
+      val tmp = Paths.get(base, "w.csv")
+      Files.writeString(tmp, "call_id,seq,total,duration_sec\n" +
+        "1:1,1,2,60.0\n1:1,2,2,40.0\n2:2,1,1,30.0\nbad,0,0,-1.0\n")
+      Files.move(tmp, Paths.get(inbox, "w.csv"))
+      val qs = stageNames.map(runner.start)
+      qs.foreach(_.processAllAvailable())
+      stageNames.zip(qs).foreach { case (n, q) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        sb.append(s"\n## LiveRatingChain stage: $n (last micro-batch)\n\n```\n")
+        sb.append(bos.toString("UTF-8").trim)
+        sb.append("\n```\n")
+      }
+      runner.stopAll()
+    }
+    val body = sb.toString
+    val nExtra = "(?m)^## ".r.findAllIn(body).length - names.size
+    val header =
+      s"# PLANS — physical plans (generated by graft.DumpPlans, sf0.01): " +
+      s"${names.size} query sections (every declared registry query) + " +
+      s"$nExtra pipeline/chain sections\n\n" +
+      "Shapes to look for: BroadcastHashJoin on dims, PushedFilters/\n" +
+      "ReadSchema at the scans, TakeOrderedAndProject for top-k,\n" +
+      "BroadcastAsOfJoin for the custom operator, ReusedExchange on\n" +
+      "self-joins, `*(n)` whole-stage-codegen spans.\n"
+    Files.writeString(Paths.get("PLANS.md"), header + body)
+    println(s"wrote PLANS.md (${names.size} query + $nExtra pipeline/chain sections)")
     spark.stop()
   }
 }
