@@ -156,8 +156,17 @@ object TokenizerQ {
       s"rounds must be in [1, 100000], got $rounds")
     require(batch >= 1 && batch <= 256,
       s"batch must be in [1, 256], got $batch")
+    // Lineage policy (round-9): the per-round tables are tiny, but an
+    // EAGER localCheckpoint is one whole Spark job each — at 2-3 per
+    // round the ~0.1s job-scheduling floor, not the data, dominated the
+    // learner's wall (q153 ran 1.6× its baseline on checkpoint jobs
+    // alone). LAZY localCheckpoints keep the same lineage cut and the
+    // same once-only materialization (the RDD caches on first use), but
+    // the materialization rides the next argmax collect — a round is ONE
+    // job instead of three. `reliable` keeps the every-round durable
+    // checkpoint contract unchanged.
     def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
     var words = snap(wordTable(docs))
     // Incremental pair counts: pc holds the EXACT adjacency counts of the
     // current word table. Per round only words actually rewritten by the
