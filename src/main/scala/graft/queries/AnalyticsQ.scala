@@ -1359,9 +1359,14 @@ object AnalyticsQ {
       .groupBy(col("user_id"), col("from_sec"))
       .agg(min(col("sec")).as("to_sec"))
       .select((col("to_sec") - col("from_sec")).as("lag"))
-    val w = Window.orderBy(col("lag"))
-    val hist = lags.groupBy(col("lag")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(w))
+    // inclusive lag-CDF prefix via the bucket-offset construction: lag
+    // is a genuinely continuous metric (seconds between two events), so
+    // the distinct-lag table is NOT histogram-bounded at scale — never
+    // a global single-partition window here
+    val hist = PrefixSum.exclusive(
+        lags.groupBy(col("lag")).agg(count(lit(1)).as("cnt")),
+        "lag", Seq("cnt"))
+      .withColumn("cum", col("cnt_cum") + col("cnt")).drop("cnt_cum")
       .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
     val bands = permilles.map { p =>
       min(when(col("cum") >= expr(s"(n * $p + 999) div 1000"), col("lag")))
@@ -2202,9 +2207,11 @@ object AnalyticsQ {
     * ½P(a = b) all compute in DECIMAL(38,0) with one DIV to milli at
     * the end — no engine-divergent float ranking anywhere.
     *
-    * Scale shape: one (group, value) histogram aggregation, then
-    * distinct-value-sized cumulative windows (the q165/q170/q217
-    * discipline) and a 1-row roll-up. */
+    * Scale shape: one (group, value) histogram aggregation, then the
+    * rank prefix via [[PrefixSum.exclusive]] — bucket-offset cumsum,
+    * NOT a global single-partition window, so a genuinely continuous
+    * metric (every value distinct) costs the same as a narrow histogram
+    * — and a 1-row roll-up. */
   def rankAucCard(events: DataFrame, typeA: String, typeB: String,
       typeCol: String = "event_type", valCol: String = "value")
       : DataFrame = {
@@ -2216,9 +2223,9 @@ object AnalyticsQ {
       .groupBy(col("cv"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("cv"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    h.withColumn("k", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("cab", col("ca") + col("cb"))
+    PrefixSum.exclusive(h, "cv", Seq("cab"))
+      .withColumnRenamed("cab_cum", "k")
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(expr(
           "CAST(ca AS DECIMAL(38,0)) * (2 * k + ca + cb + 1)")).as("r2a"))

@@ -1087,12 +1087,18 @@ object CurationQ {
     val mass = docs.select(col(strataCol).as("stratum"),
         size(split(col("text"), " ")).cast(LongType).as("tk"))
       .groupBy(col("stratum")).agg(sum(col("tk")).as("tokens"))
+      .withColumn("one", lit(1L))
     val tot = mass.agg(sum(col("tokens")).as("total"))
-    val w = Window.orderBy(col("tokens").desc, col("stratum"))
-    mass.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .withColumn("cum", sum(col("tokens")).over(w
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // rank + coverage prefix via the bucket-offset construction: at a
+    // web-corpus grain the strata are DOMAINS (millions), so the
+    // (tokens desc, stratum) order must never serialize onto one
+    // reducer; rank = exclusive row-count prefix + 1, cum = exclusive
+    // token prefix + own tokens
+    PrefixSum.exclusive(mass.crossJoin(broadcast(tot)),
+        "tokens", Seq("one", "tokens"), tieCols = Seq("stratum"),
+        descending = true)
+      .withColumn("rank", col("one_cum") + 1L)
+      .withColumn("cum", col("tokens_cum") + col("tokens"))
       .select(col("rank"), col("stratum"), col("tokens"),
         expr("(1000000 * tokens) DIV total").as("share_ppm"),
         expr("(1000000 * cum) DIV total").as("cum_ppm"),

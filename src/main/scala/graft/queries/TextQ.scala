@@ -2829,8 +2829,6 @@ object TextQ {
       .filter(length(col("tok")) > 0)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     val hist = tf.groupBy(col("freq")).agg(count(lit(1)).as("n_toks"))
-    val w = Window.orderBy(col("freq").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // closed forms over BIGINT; m ranges over rank bounds (≥ 0)
     def bS(m: String) =
       s"""(CASE WHEN $m < 1 THEN CAST(0 AS BIGINT)
@@ -2844,9 +2842,15 @@ object TextQ {
           + (length(bin($m)) - 1) * (length(bin($m)) - 1)
             * ($m - shiftleft(CAST(1 AS BIGINT), length(bin($m)) - 1) + 1)
         END)"""
-    val groups = hist
-      .withColumn("c1", sum(col("n_toks")).over(w))
-      .withColumn("c0", col("c1") - col("n_toks"))
+    // rank-range prefix via the bucket-offset construction: at corpus
+    // scale the distinct-FREQUENCY table is usually small, but nothing
+    // bounds it for heavy-tailed token counts — never a global
+    // single-partition window here (c0 = exclusive rank prefix over
+    // freq desc, c1 = inclusive)
+    val groups = PrefixSum.exclusive(hist, "freq", Seq("n_toks"),
+        descending = true)
+      .withColumn("c0", col("n_toks_cum"))
+      .withColumn("c1", col("c0") + col("n_toks"))
       .withColumn("y", expr("length(bin(freq)) - 1"))
       .select(
         col("n_toks"), (col("n_toks") * col("freq")).as("occ"),
