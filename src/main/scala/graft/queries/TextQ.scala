@@ -411,6 +411,28 @@ object TextQ {
     GROUP BY u
     ORDER BY doc_id"""))
 
+  /** The star-rewrite components over the SAME q26 candidate graph and
+    * the SAME transitive-closure oracle as [[q26b]]: the hash-match is a
+    * cross-engine proof that [[connectedComponentsStar]] lands exactly
+    * min-label components — the O(log d) path to the identical answer. */
+  private val q242 = GQuery(
+    "q242_components_star",
+    (s, dir) => connectedComponentsStar(
+        lshCandidates(minhashBands(t(s, dir, "documents")))
+          .filter(col("est_jaccard") >= 0.25))
+      .orderBy(col("doc_id")),
+    Some(s"""${minhashCandSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+    FROM reach
+    GROUP BY u
+    ORDER BY doc_id"""))
+
   // One term per SimHash bit, parametrized by engine syntax (instr vs
   // strpos, `div` vs `//`) so both engines evaluate the identical formula.
   // Bit j comes from hex char j/4 of the token's md5; the `1L << j` weight
@@ -589,6 +611,85 @@ object TextQ {
       s"connectedComponents did not converge in $maxIter rounds — a component's " +
         "diameter exceeds the budget; raise maxIter (rounds needed ≈ diameter)")
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the opt-in alternative to [[connectedComponents]] for
+    * graphs with LONG CHAINS: min-label propagation needs O(diameter)
+    * rounds (a 1000-link chain needs 1000 shuffles), this converges in
+    * O(log d) star rounds to the same per-component min label
+    * (StarComponentsSpec pins equality property-style; the planted-chain
+    * probe measures the round gap). Near-dup mirror families are
+    * shallow, so propagation stays the default; entity graphs, citation
+    * chains, or any transitively-linked record graph want this one.
+    *
+    *  - large-star(u): every neighbor LARGER than u links to
+    *    min(N(u) ∪ {u}) — long tails collapse toward minima in parallel;
+    *  - small-star(u): u and its smaller parents all link to their
+    *    min — stars flatten so the next large-star sees depth ≤ 2.
+    *
+    * Edges stay canonically (larger, smaller) and dedup each round, so a
+    * round is two groupBy-join passes over the CURRENT edge set (which
+    * only shrinks toward the star forest), never node-times-degree
+    * blowup. At the fixed point every non-min node points at its
+    * component min directly; isolated endpoints label themselves. Same
+    * output contract as [[connectedComponents]]: (doc_id, component =
+    * min doc_id of the component), same loud non-convergence throw,
+    * same lineage cut per round, same `reliable` knob. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30,
+      reliable: Boolean = false): DataFrame =
+    starComponentsWithRounds(pairs, maxIter, reliable)._1
+
+  /** Test/probe seam: labels plus the star rounds actually used. */
+  private[graft] def starComponentsWithRounds(pairs: DataFrame,
+      maxIter: Int, reliable: Boolean = false): (DataFrame, Int) = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val nodes = snap(pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b"))).distinct())
+    // canonical (larger, smaller) edge set, self-loops out
+    var edges = snap(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetric view: for each u, every larger
+      // neighbor v links to m = min(N(u) ∪ {u})
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // SMALL-STAR over the (larger → smaller) edges: u and all its
+      // parents link to min(P(u) ∪ {u})
+      val minPar = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = snap(ls.join(minPar, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(minPar.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct())
+      // fixed point: the edge SET is unchanged (counts + one-sided
+      // except — both sides are distinct canonical pairs)
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).isEmpty
+      edges = ss
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter star rounds " +
+        "— pathological for O(log d) convergence; raise maxIter and report")
+    // star forest: every child points at its component min; roots and
+    // isolated endpoints label themselves
+    val labels = nodes
+      .join(edges.select(col("a").as("doc_id"), col("b").as("c")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
+    (labels, iter)
   }
 
   /** Canonical selection per duplicate cluster — the merge POLICY of a
@@ -3146,5 +3247,5 @@ object TextQ {
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237)
+      q201, q205, q206, q208, q228, q237, q242)
 }
