@@ -2240,6 +2240,95 @@ object AnalyticsQ {
         col("u2_a").cast(LongType).as("u2_a"), col("auc_milli"))
   }
 
+  /** Kruskal–Wallis rank test — the k-GROUP extension of [[rankAucCard]]
+    * (Mann–Whitney is its k=2 special case): "does ANY of the k groups'
+    * value distributions sit higher than the others", the
+    * robust-to-outliers ANOVA a quality dashboard runs across sources /
+    * event types before trusting a mean comparison. Same double-rank
+    * histogram machinery: with values histogrammed, a distinct value
+    * spanning ranks [k0+1, k0+ct] contributes 2·avg-rank = 2k0 + ct + 1
+    * per member (always an integer), so each group's DOUBLED rank sum
+    * R2_g is exact; H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with R_g²/n_g =
+    * R2_g²/(4n_g) evaluated by the exact integer staircase
+    * q·R2 + (rem·R2) DIV d (d = 4n_g, q = R2 DIV d, rem = R2 mod d) —
+    * both engines replay the identical truncations, so the milli-scaled
+    * H and the tie-corrected H/C (C = 1 − Σ(t³−t)/(N³−N), ppm) are
+    * hash-exact. All-tied input (C = 0) yields NULL h_adj_milli rather
+    * than a division blow-up. The per-DIV BIGINT results bound one card
+    * invocation at N ≤ ~2·10⁹ rows — the per-group-card class bound.
+    *
+    * Scale shape: one (group, value) histogram agg, the rank prefix via
+    * [[PrefixSum.exclusive]] (bucket-offset, never a single-partition
+    * window), a |groups|-row roll-up, one result row. */
+  def kruskalWallisCard(events: DataFrame, typeCol: String = "event_type",
+      valCol: String = "value"): DataFrame = {
+    val h = events.select(col(typeCol).as("g"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .groupBy(col("g"), col("cv")).agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("cv")).agg(sum(col("c")).as("ct"))
+    val pref = PrefixSum.exclusive(tot, "cv", Seq("ct"))
+      .withColumnRenamed("ct_cum", "k0")
+    val perG = h.join(pref, Seq("cv"))
+      .groupBy(col("g"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * k0 + ct + 1)"))
+          .as("r2"),
+        sum(col("c")).as("n_g"))
+      .select(expr("""(r2 DIV (4 * n_g)) * r2
+          + ((r2 % (4 * n_g)) * r2) DIV (4 * n_g)""").as("term"),
+        col("n_g"))
+    val ties = tot.agg(
+      sum(expr("CAST(ct AS DECIMAL(38,0)) * ct * ct - ct")).as("t3"))
+    perG.agg(count(lit(1)).as("k_groups"), sum(col("n_g")).as("n"),
+        sum(col("term")).as("s"))
+      .crossJoin(ties)
+      .select(col("k_groups"), col("n"),
+        expr("""CAST((12000 * s) DIV (CAST(n AS DECIMAL(38,0)) * (n + 1))
+            - 3000 * (n + 1) AS BIGINT)""").as("h_milli"),
+        expr("""CAST(1000000 - (1000000 * t3)
+            DIV (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)""")
+          .as("c_ppm"))
+      .withColumn("h_adj_milli",
+        when(col("c_ppm") > 0L,
+          // greatest(…, 0): H ≥ 0 mathematically; the staircase can dip
+          // epsilon-negative and truncating DIV vs flooring // diverge
+          // on negatives (the q166 sign rule)
+          expr("(greatest(h_milli, 0L) * 1000000) DIV c_ppm"))
+          .otherwise(lit(null).cast(LongType)))
+  }
+
+  /** Oracle fixture of [[kruskalWallisCard]]: do the event types' value
+    * distributions differ in location. */
+  private val q243 = GQuery(
+    "q243_kruskal_wallis",
+    (s, dir) => kruskalWallisCard(t(s, dir, "events")),
+    Some("""WITH h AS (SELECT event_type AS g,
+          CAST(round(value * 100) AS BIGINT) AS cv, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT cv, CAST(SUM(c) AS HUGEINT) AS ct FROM h GROUP BY 1),
+      pref AS (SELECT cv, ct, COALESCE(SUM(ct) OVER (ORDER BY cv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k0
+        FROM tot),
+      pg AS (SELECT g,
+          SUM(CAST(c AS HUGEINT) * (2 * k0 + ct + 1)) AS r2,
+          CAST(SUM(c) AS HUGEINT) AS n_g
+        FROM h JOIN pref USING (cv) GROUP BY 1),
+      terms AS (SELECT (r2 // (4 * n_g)) * r2
+          + ((r2 % (4 * n_g)) * r2) // (4 * n_g) AS term, n_g FROM pg),
+      agg AS (SELECT COUNT(*) AS k_groups, CAST(SUM(n_g) AS HUGEINT) AS n,
+          CAST(SUM(term) AS HUGEINT) AS s FROM terms),
+      tie AS (SELECT CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct)
+          AS HUGEINT) AS t3 FROM tot),
+      fin AS (SELECT k_groups, n,
+          (12000 * s) // (n * (n + 1)) - 3000 * (n + 1) AS h_milli,
+          1000000 - (1000000 * t3) // (n * n * n - n) AS c_ppm
+        FROM agg, tie)
+      SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+        CAST(h_milli AS BIGINT) AS h_milli, CAST(c_ppm AS BIGINT) AS c_ppm,
+        CAST(CASE WHEN c_ppm > 0
+          THEN (GREATEST(h_milli, 0) * 1000000) // c_ppm
+          ELSE NULL END AS BIGINT) AS h_adj_milli
+      FROM fin"""))
+
   /** Oracle fixture of [[rankAucCard]]: does purchase value tend to
     * exceed click value. */
   private val q240 = GQuery(
@@ -2541,5 +2630,7 @@ object AnalyticsQ {
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
-    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210, q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241)
+    q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
+    q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
+    q243)
 }

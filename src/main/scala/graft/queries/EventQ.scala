@@ -947,11 +947,39 @@ object EventQ {
     * compile to literal CASE chains. At 100 TB this is scan →
     * broadcast-as-of → projection: the cheapest shape a per-minute
     * rating can have. */
-  def timeBandCharges(cdrs: DataFrame, tariffs: DataFrame,
-      peakFromHour: Int = 8, peakToHour: Int = 20,
-      peakMultPpm: Long = 1500000L,
-      tiers: Seq[(Long, Long, Long)] = Seq((0L, 3L, 1000000L),
-        (3L, 6L, 800000L), (6L, Long.MaxValue, 600000L))): DataFrame = {
+  /** Band/tier SQL fragments shared by [[timeBandCharges]] and
+    * [[rerateDiff]]: (isPeak, bandPpm, tierPpm), over the lambda minute
+    * variable `m` and the row's `start_sec`. Floor-mod, not `%`: the
+    * sign-of-dividend remainder would make any pre-1970 timestamp's
+    * hour-of-day negative and silently off-peak. */
+  private def bandTierSql(peakFromHour: Int, peakToHour: Int,
+      peakMultPpm: Long, tiers: Seq[(Long, Long, Long)])
+      : (String, String, String) = {
+    val hod = s"((pmod(start_sec + 60 * m, 86400)) DIV 3600)"
+    val isPeak = s"($hod >= $peakFromHour AND $hod < $peakToHour)"
+    val bandPpm = s"(CASE WHEN $isPeak THEN CAST($peakMultPpm AS BIGINT) " +
+      "ELSE CAST(1000000 AS BIGINT) END)"
+    val tierPpm = "(CASE " + tiers.init.map { case (_, to, p) =>
+      s"WHEN m < $to THEN CAST($p AS BIGINT)" }.mkString(" ") +
+      s" ELSE CAST(${tiers.last._3} AS BIGINT) END)"
+    (isPeak, bandPpm, tierPpm)
+  }
+
+  /** The per-minute charge fold over `baseCol` (NULL base ⇒ 0, the q195
+    * never-drop contract) — map-side, no explode, no shuffle. */
+  private def minuteCharge(baseCol: String, bandPpm: String,
+      tierPpm: String): org.apache.spark.sql.Column =
+    when(col("dur_min") >= 1L && col(baseCol).isNotNull,
+      expr(s"""CAST(aggregate(
+          sequence(CAST(0 AS BIGINT), dur_min - 1),
+          CAST(0 AS DECIMAL(38, 0)),
+          (acc, m) -> acc +
+            CAST($baseCol * $bandPpm * $tierPpm AS DECIMAL(38, 0)))
+        DIV CAST(1000000000000 AS DECIMAL(38, 0)) AS BIGINT)"""))
+      .otherwise(lit(0L))
+
+  private def requireBandTier(peakFromHour: Int, peakToHour: Int,
+      peakMultPpm: Long, tiers: Seq[(Long, Long, Long)]): Unit = {
     require(peakFromHour >= 0 && peakToHour <= 24 &&
       peakFromHour < peakToHour,
       s"invalid peak band [$peakFromHour, $peakToHour)")
@@ -962,31 +990,24 @@ object EventQ {
         case Seq((_, e1, _), (s2, _, _)) => e1 == s2
         case _ => true
       }, s"tiers must be contiguous from 0 to unbounded, got $tiers")
+  }
+
+  def timeBandCharges(cdrs: DataFrame, tariffs: DataFrame,
+      peakFromHour: Int = 8, peakToHour: Int = 20,
+      peakMultPpm: Long = 1500000L,
+      tiers: Seq[(Long, Long, Long)] = Seq((0L, 3L, 1000000L),
+        (3L, 6L, 800000L), (6L, Long.MaxValue, 600000L))): DataFrame = {
+    requireBandTier(peakFromHour, peakToHour, peakMultPpm, tiers)
     val t = tariffs.select(col("call_type").as("t_call_type"),
       col("valid_from"), col("base_centi"))
     val asof = graft.plans.AsOf.join(cdrs, t,
         Seq("call_type"), Seq("t_call_type"), "start_sec", "valid_from")
       .drop("t_call_type")
       .withColumnRenamed("valid_from", "version")
-    // floor-mod, not %: the sign-of-dividend remainder would make any
-    // pre-1970 timestamp's hour-of-day negative and silently off-peak
-    val hod = s"((pmod(start_sec + 60 * m, 86400)) DIV 3600)"
-    val isPeak = s"($hod >= $peakFromHour AND $hod < $peakToHour)"
-    val bandPpm = s"(CASE WHEN $isPeak THEN CAST($peakMultPpm AS BIGINT) " +
-      "ELSE CAST(1000000 AS BIGINT) END)"
-    val tierPpm = "(CASE " + tiers.init.map { case (_, to, p) =>
-      s"WHEN m < $to THEN CAST($p AS BIGINT)" }.mkString(" ") +
-      s" ELSE CAST(${tiers.last._3} AS BIGINT) END)"
+    val (isPeak, bandPpm, tierPpm) =
+      bandTierSql(peakFromHour, peakToHour, peakMultPpm, tiers)
     asof
-      .withColumn("charge_centi",
-        when(col("dur_min") >= 1L && col("base_centi").isNotNull,
-          expr(s"""CAST(aggregate(
-              sequence(CAST(0 AS BIGINT), dur_min - 1),
-              CAST(0 AS DECIMAL(38, 0)),
-              (acc, m) -> acc +
-                CAST(base_centi * $bandPpm * $tierPpm AS DECIMAL(38, 0)))
-            DIV CAST(1000000000000 AS DECIMAL(38, 0)) AS BIGINT)"""))
-          .otherwise(lit(0L)))
+      .withColumn("charge_centi", minuteCharge("base_centi", bandPpm, tierPpm))
       .withColumn("peak_min",
         // gated on base_centi like charge_centi: a call predating every
         // tariff version rates at 0 AND reports peak_min 0 — both
@@ -1063,6 +1084,139 @@ object EventQ {
         CAST(COALESCE(g.sm, 0) // 1000000000000 AS BIGINT) AS charge_centi
       FROM av a LEFT JOIN agg g USING (call_id)
       ORDER BY a.call_id"""))
+
+  /** Re-rating diff — the mediation back-office job after a tariff
+    * correction: every CDR rates under BOTH the originally-applied
+    * tariff table and the corrected one, and the output is the
+    * adjustment record per CHANGED call (delta ≠ 0) — what a billing
+    * system books as credit/debit memos instead of re-issuing invoices.
+    * Calls whose as-of version or base rate is identical under both
+    * tables produce no adjustment and are filtered; calls predating
+    * every version of a table rate at 0 on that side (the q195
+    * never-drop contract), so a tariff EXTENSION into older history
+    * shows up as pure debits rather than vanishing.
+    *
+    * Plan: ONE cdr scan → broadcast-as-of (old) → broadcast-as-of (new)
+    * → two map-side per-minute folds → filter. Zero shuffles — the
+    * re-rating job costs one pass over the CDR store regardless of how
+    * many calls changed, never a self-join of two rated outputs. */
+  def rerateDiff(cdrs: DataFrame, tariffsOld: DataFrame,
+      tariffsNew: DataFrame,
+      peakFromHour: Int = 8, peakToHour: Int = 20,
+      peakMultPpm: Long = 1500000L,
+      tiers: Seq[(Long, Long, Long)] = Seq((0L, 3L, 1000000L),
+        (3L, 6L, 800000L), (6L, Long.MaxValue, 600000L))): DataFrame = {
+    requireBandTier(peakFromHour, peakToHour, peakMultPpm, tiers)
+    val tOld = tariffsOld.select(col("call_type").as("tc_old"),
+      col("valid_from").as("vf_old"), col("base_centi").as("base_old"))
+    val tNew = tariffsNew.select(col("call_type").as("tc_new"),
+      col("valid_from").as("vf_new"), col("base_centi").as("base_new"))
+    val both = graft.plans.AsOf.join(
+        graft.plans.AsOf.join(cdrs, tOld,
+            Seq("call_type"), Seq("tc_old"), "start_sec", "vf_old")
+          .drop("tc_old").withColumnRenamed("vf_old", "version_old"),
+        tNew, Seq("call_type"), Seq("tc_new"), "start_sec", "vf_new")
+      .drop("tc_new").withColumnRenamed("vf_new", "version_new")
+    val (_, bandPpm, tierPpm) =
+      bandTierSql(peakFromHour, peakToHour, peakMultPpm, tiers)
+    both
+      .withColumn("charge_old_centi",
+        minuteCharge("base_old", bandPpm, tierPpm))
+      .withColumn("charge_new_centi",
+        minuteCharge("base_new", bandPpm, tierPpm))
+      .withColumn("delta_centi",
+        col("charge_new_centi") - col("charge_old_centi"))
+      .filter(col("delta_centi") =!= 0L)
+      .select(col("call_id"), col("call_type"), col("version_old"),
+        col("version_new"), col("dur_min"), col("charge_old_centi"),
+        col("charge_new_centi"), col("delta_centi"))
+  }
+
+  /** Oracle fixture of [[rerateDiff]]: the q226 CDRs and tariff table as
+    * the ORIGINAL rating; the corrected table adds a mid-timeline
+    * version (mid-January, base jumps to 14+len) — calls starting in the new version's window
+    * re-rate and emit adjustments, everything else stays silent. The
+    * oracle replays both per-minute ratings with the q226 CTE block
+    * instantiated twice. */
+  private val q244 = {
+    def passSql(sfx: String, tariffCte: String): String =
+      s"""av$sfx AS (SELECT * FROM (
+          SELECT c.*, tf.valid_from AS version$sfx,
+            tf.base_centi AS base$sfx,
+            ROW_NUMBER() OVER (PARTITION BY c.call_id
+              ORDER BY tf.valid_from DESC) AS rn
+          FROM cdrs c LEFT JOIN $tariffCte tf
+            ON tf.t_call_type = c.call_type
+              AND tf.valid_from <= c.start_sec)
+        WHERE rn = 1),
+      mins$sfx AS (SELECT call_id, base$sfx,
+          ((((start_sec + 60 * u.m) % 86400) + 86400) % 86400) // 3600
+            AS hod, u.m
+        FROM av$sfx, UNNEST(generate_series(0, dur_min - 1)) AS u(m)
+        WHERE dur_min >= 1 AND base$sfx IS NOT NULL),
+      agg$sfx AS (SELECT call_id, SUM(
+          CAST(base$sfx AS HUGEINT) *
+            (CASE WHEN hod >= 8 AND hod < 20 THEN 1500000
+                  ELSE 1000000 END) *
+            (CASE WHEN m < 3 THEN 1000000 WHEN m < 6 THEN 800000
+                  ELSE 600000 END)) AS sm
+        FROM mins$sfx GROUP BY 1)"""
+    GQuery(
+      "q244_rerate_diff",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val cdrs = ev.select(col("event_id").as("call_id"),
+          col("event_type").as("call_type"),
+          col("ts").cast(LongType).as("start_sec"),
+          (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L)
+            .as("dur_min"))
+        val types = ev.select(col("event_type")).distinct()
+        def tariffs(rows: Seq[(Long, Long)]) = types
+          .crossJoin(broadcast(rows.toDF("valid_from", "b0")))
+          .select(col("event_type").as("call_type"), col("valid_from"),
+            (col("b0") + length(col("event_type")).cast(LongType))
+              .as("base_centi"))
+        val vOld = Seq((0L, 7L), (1706659200L, 9L), (1709251200L, 11L))
+        val vNew = vOld :+ (1705276800L, 14L)
+        rerateDiff(cdrs, tariffs(vOld), tariffs(vNew))
+          .orderBy(col("call_id"))
+      },
+      Some(s"""WITH cdrs AS (SELECT event_id AS call_id,
+            event_type AS call_type,
+            ${epochSecSql("ts")} AS start_sec,
+            1 + abs(CAST(round(value) AS BIGINT)) % 10 AS dur_min
+          FROM events),
+        tvo(valid_from, b0) AS (VALUES (0::BIGINT, 7::BIGINT),
+          (1706659200::BIGINT, 9::BIGINT), (1709251200::BIGINT, 11::BIGINT)),
+        tvn(valid_from, b0) AS (VALUES (0::BIGINT, 7::BIGINT),
+          (1706659200::BIGINT, 9::BIGINT), (1709251200::BIGINT, 11::BIGINT),
+          (1705276800::BIGINT, 14::BIGINT)),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        tro AS (SELECT ty.event_type AS t_call_type, v.valid_from,
+            v.b0 + length(ty.event_type) AS base_centi
+          FROM ty CROSS JOIN tvo v),
+        trn AS (SELECT ty.event_type AS t_call_type, v.valid_from,
+            v.b0 + length(ty.event_type) AS base_centi
+          FROM ty CROSS JOIN tvn v),
+        ${passSql("_o", "tro")},
+        ${passSql("_n", "trn")}
+        SELECT o.call_id, o.call_type, o.version_o AS version_old,
+          n.version_n AS version_new, o.dur_min,
+          CAST(COALESCE(go.sm, 0) // 1000000000000 AS BIGINT)
+            AS charge_old_centi,
+          CAST(COALESCE(gn.sm, 0) // 1000000000000 AS BIGINT)
+            AS charge_new_centi,
+          CAST(COALESCE(gn.sm, 0) // 1000000000000
+            - COALESCE(go.sm, 0) // 1000000000000 AS BIGINT) AS delta_centi
+        FROM av_o o
+        JOIN av_n n USING (call_id)
+        LEFT JOIN agg_o go ON go.call_id = o.call_id
+        LEFT JOIN agg_n gn ON gn.call_id = o.call_id
+        WHERE COALESCE(gn.sm, 0) // 1000000000000
+          <> COALESCE(go.sm, 0) // 1000000000000
+        ORDER BY o.call_id"""))
+  }
 
   /** Interconnect settlement netting — the month-end job between
     * carriers: traffic from operator A terminating on operator B incurs
@@ -1330,5 +1484,5 @@ object EventQ {
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
     q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233,
-    q239)
+    q239, q244)
 }
