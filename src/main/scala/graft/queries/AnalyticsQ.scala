@@ -2240,6 +2240,147 @@ object AnalyticsQ {
         col("u2_a").cast(LongType).as("u2_a"), col("auc_milli"))
   }
 
+  /** Velocity flags — the fraud-detection primitive of a mediation
+    * stack (SIM-box / account-takeover patterns announce themselves as
+    * bursts): every event whose user produced ≥ `threshold` events in
+    * the trailing `windowSec` seconds (inclusive of itself and of
+    * same-second peers — RANGE frame semantics, identical in both
+    * engines) is flagged with the exact in-window count. The streaming
+    * twin is [[graft.streaming.VelocityMonitor]] (batch-parity pinned
+    * in StreamingSpec).
+    *
+    * Scale shape: one per-USER RANGE window — partitioned by the
+    * natural key, never global; cost is one hash exchange + per-user
+    * time sort, the cheapest exact form of "N events per sliding
+    * window" there is. */
+  def velocityFlags(events: DataFrame, windowSec: Long = 3600L,
+      threshold: Long = 3L): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1), 0)
+    events.select(col("event_id"), col("user_id"),
+        col("ts").cast(LongType).as("sec"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .filter(col("n_window") >= threshold)
+  }
+
+  /** Oracle fixture of [[velocityFlags]]: ≥ 3 events per trailing hour. */
+  private val q246 = GQuery(
+    "q246_velocity_flags",
+    (s, dir) => velocityFlags(t(s, dir, "events"))
+      .orderBy(col("event_id")),
+    Some(s"""WITH e AS (SELECT event_id, user_id,
+          ${epochSecSql("ts")} AS sec FROM events),
+      c AS (SELECT event_id, user_id, sec,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_window
+        FROM e)
+      SELECT event_id, user_id, sec, n_window
+      FROM c WHERE n_window >= 3
+      ORDER BY event_id"""))
+
+  /** Cross-correlation lag scan between two event types' DAILY volume
+    * series — "does type B's volume follow type A's, and by how many
+    * days": for each lag ℓ ∈ [−L, L], Pearson correlation of
+    * (x_d, y_{d+ℓ}) over the days present in BOTH series at that lag.
+    * The marketing/capacity question ("purchases trail views by N
+    * days") q198's AUTOcorrelation can't answer. Per lag the exact
+    * integer sufficient statistics aggregate in DECIMAL(38,0) and ONE
+    * final row does double math in the identical operation order (the
+    * q88/q90 discipline); degenerate lags (a constant series in the
+    * overlap) report NULL corr instead of NaN, detected by EXACT integer
+    * variance comparisons. `is_best` marks the top lag by
+    * (corr desc NULLS LAST, lag asc) — a window over the 2L+1-row
+    * result, bounded by the parameter, not the data.
+    *
+    * Scale shape: ONE corpus aggregation to (type, day) counts;
+    * everything after rides the |days|·(2L+1) table. */
+  def crossCorrLags(events: DataFrame, typeA: String, typeB: String,
+      maxLagDays: Int = 7): DataFrame = {
+    require(typeA != typeB, "the two series must differ")
+    require(maxLagDays >= 0 && maxLagDays <= 60,
+      s"maxLagDays must be in [0, 60], got $maxLagDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr("CAST(ts AS BIGINT) DIV 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("cnt").as("x"))
+    val b = daily.filter(col("event_type") === typeB)
+      .select(col("day").as("dayb"), col("cnt").as("y"))
+    val lagTable = broadcast(
+      (-maxLagDays to maxLagDays).map(_.toLong).toDF("lag"))
+    val st = a.crossJoin(lagTable)
+      .join(b, col("dayb") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+    val w = Window.orderBy(col("corr").desc_nulls_last, col("lag"))
+    st.select(col("lag"), col("n_days"),
+        when(expr("n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0"),
+          round(
+            (col("n_days").cast(DoubleType) * col("sxy").cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+              / (sqrt(col("n_days").cast(DoubleType) * col("sxx").cast(DoubleType)
+                  - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+                * sqrt(col("n_days").cast(DoubleType) * col("syy").cast(DoubleType)
+                  - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+            6)).as("corr"))
+      // 2L+1 rows: the unpartitioned window is parameter-bounded
+      .withColumn("is_best",
+        (row_number().over(w) === 1).cast(LongType))
+  }
+
+  /** Oracle fixture of [[crossCorrLags]]: does purchase volume trail
+    * view volume day-over-day. */
+  private val q245 = GQuery(
+    "q245_crosscorr_lags",
+    (s, dir) => crossCorrLags(t(s, dir, "events"), "view", "purchase")
+      .orderBy(col("lag")),
+    Some(s"""WITH daily AS (SELECT event_type,
+          (${epochSecSql("ts")}) // 86400 AS day, COUNT(*) AS cnt
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1, 2),
+      a AS (SELECT day, cnt AS x FROM daily WHERE event_type = 'view'),
+      b AS (SELECT day AS dayb, cnt AS y FROM daily
+        WHERE event_type = 'purchase'),
+      lags AS (SELECT CAST(u AS BIGINT) AS lag
+        FROM UNNEST(generate_series(-7, 7)) t(u)),
+      st AS (SELECT lag, COUNT(*) AS n_days,
+          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM a CROSS JOIN lags JOIN b ON dayb = day + lag
+        GROUP BY 1),
+      fin AS (SELECT lag, n_days,
+          CASE WHEN n_days * sxx - sx * sx > 0
+              AND n_days * syy - sy * sy > 0
+            THEN round(
+              (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS corr
+        FROM st)
+      SELECT lag, n_days, corr,
+        CAST(CASE WHEN ROW_NUMBER() OVER
+            (ORDER BY corr DESC NULLS LAST, lag) = 1
+          THEN 1 ELSE 0 END AS BIGINT) AS is_best
+      FROM fin
+      ORDER BY lag"""))
+
   /** Kruskal–Wallis rank test — the k-GROUP extension of [[rankAucCard]]
     * (Mann–Whitney is its k=2 special case): "does ANY of the k groups'
     * value distributions sit higher than the others", the
@@ -2632,5 +2773,5 @@ object AnalyticsQ {
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243)
+    q243, q245, q246)
 }

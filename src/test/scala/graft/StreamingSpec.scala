@@ -604,6 +604,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("VelocityMonitor flags bursts live with batch-twin parity") {
+    import graft.streaming.{VAlarm, VelocityMonitor, VEvent}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[VEvent]
+      val out = in.toDS().groupByKey(_.user_id)
+        .transformWithState(
+          new VelocityMonitor(windowSec = 60L, threshold = 3L),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("velocity_out").start()
+      def alarms() = spark.table("velocity_out").as[VAlarm].collect()
+        .map(a => a.event_id -> a.n_window).toMap
+      try {
+        // user 1: events at 0, 30 — below threshold; the third at 59
+        // (inside the window of both) trips it; the same-second pair at 61
+        // counts 4 (30, 59, 61, 61); by 125 the window has drained
+        in.addData(VEvent(1L, 1L, 0L), VEvent(1L, 2L, 30L))
+        q.processAllAvailable()
+        assert(alarms().isEmpty, alarms().toString)
+        // cross-batch state: the burst completes in a LATER batch;
+        // same-second peers (events 5, 6 at sec 61) count each other
+        in.addData(VEvent(1L, 3L, 59L), VEvent(1L, 5L, 61L),
+          VEvent(1L, 6L, 61L), VEvent(1L, 9L, 125L), VEvent(2L, 7L, 59L))
+        q.processAllAvailable()
+        val got = alarms()
+        // batch-twin parity: the SAME events through the oracle-checked
+        // batch operator (windowSec 60, threshold 3)
+        val batch = graft.queries.AnalyticsQ.velocityFlags(
+            Seq((1L, 1L, 0L), (2L, 1L, 30L), (3L, 1L, 59L),
+              (5L, 1L, 61L), (6L, 1L, 61L), (9L, 1L, 125L), (7L, 2L, 59L))
+              .toDF("event_id", "user_id", "sec")
+              .withColumn("ts", col("sec").cast(TimestampType)),
+            windowSec = 60L, threshold = 3L)
+          .select("event_id", "n_window")
+          .as[(Long, Long)].collect().toMap
+        assert(got == batch, s"streamed=$got batch=$batch")
+        assert(got.keySet == Set(3L, 5L, 6L), got.toString)
+        assert(got(5L) == 4L && got(6L) == 4L,
+          "same-second peers must count each other: " + got)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("cycle rollover: event-time cycles close by straddle AND by timer, per-cycle parity with q233") {
     import graft.streaming.{CycleMarginalRater, CycleRatedRec, CycleUsageRec}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
