@@ -2240,6 +2240,109 @@ object AnalyticsQ {
         col("u2_a").cast(LongType).as("u2_a"), col("auc_milli"))
   }
 
+  /** Wilcoxon signed-rank card — the PAIRED member completing the
+    * exact-rank trio (q240 Mann–Whitney: two independent groups; q243
+    * Kruskal–Wallis: k groups; this: matched pairs): per user the
+    * paired difference d = Σ centi(`typeA`) − Σ centi(`typeB`), zeros
+    * dropped (the standard treatment), |d| ranked with the double-rank
+    * histogram trick, and the DOUBLED rank sums W2± = Σ count±·(2k0 +
+    * ct + 1) computed exactly (W2+ + W2− ≡ n(n+1), spec-pinned). The
+    * z statistic under the normal approximation with tie-corrected
+    * variance (σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48) evaluates as ONE
+    * final double row in identical operation order (the q90
+    * discipline); n = 0 or zero variance yields NULL z.
+    *
+    * Scale shape: one per-user aggregation (corpus-sized, the only big
+    * shuffle), one |d|-histogram agg, the rank prefix via
+    * [[PrefixSum.exclusive]], a 1-row roll-up. */
+  def signedRankCard(events: DataFrame, typeA: String, typeB: String,
+      typeCol: String = "event_type", valCol: String = "value")
+      : DataFrame = {
+    require(typeA != typeB, "the two paired measures must differ")
+    val diffs = events.filter(col(typeCol).isin(typeA, typeB))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col(typeCol) === typeA,
+          expr(s"CAST(round($valCol * 100) AS BIGINT)")).otherwise(0L))
+          .as("sa"),
+        sum(when(col(typeCol) === typeB,
+          expr(s"CAST(round($valCol * 100) AS BIGINT)")).otherwise(0L))
+          .as("sb"))
+      .select((col("sa") - col("sb")).as("d"))
+    val nz = diffs.filter(col("d") === 0L).agg(count(lit(1)).as("n_zero"))
+    val h = diffs.filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("a"), (col("d") > 0L).as("pos"))
+      .groupBy(col("a"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+      .withColumn("ct", col("cp") + col("cn"))
+    val pref = PrefixSum.exclusive(h, "a", Seq("ct"))
+      .withColumnRenamed("ct_cum", "k0")
+    pref.agg(sum(col("ct")).as("n"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * (2 * k0 + ct + 1)"))
+          .as("w2p"),
+        sum(expr("CAST(cn AS DECIMAL(38,0)) * (2 * k0 + ct + 1)"))
+          .as("w2n"),
+        sum(expr("CAST(ct AS DECIMAL(38,0)) * ct * ct - ct")).as("t3"))
+      .crossJoin(nz)
+      .select(col("n"), col("n_zero"),
+        col("w2p").cast(LongType).as("w_plus2"),
+        col("w2n").cast(LongType).as("w_minus2"),
+        when(col("n") > 0L &&
+            expr("""CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) * 2
+              - CAST(t3 AS DECIMAL(38,0))""") > 0L,
+          round(
+            ((col("w2p").cast(DoubleType)
+                - col("n").cast(DoubleType) * (col("n") + 1L).cast(DoubleType) / 2.0)
+              / 2.0)
+              / sqrt(col("n").cast(DoubleType) * (col("n") + 1L).cast(DoubleType)
+                  * (lit(2.0) * col("n").cast(DoubleType) + 1.0) / 24.0
+                - col("t3").cast(DoubleType) / 48.0),
+            6)).as("z"))
+  }
+
+  /** Oracle fixture of [[signedRankCard]]: per user, purchase spend vs
+    * view intensity (paired by user). */
+  private val q247 = GQuery(
+    "q247_signed_rank",
+    (s, dir) => signedRankCard(t(s, dir, "events"), "purchase", "view"),
+    Some("""WITH df AS (SELECT user_id,
+          SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          - SUM(CASE WHEN event_type = 'view'
+            THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS d
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1),
+      nz AS (SELECT COUNT(*) AS n_zero FROM df WHERE d = 0),
+      h AS (SELECT abs(d) AS a,
+          SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp,
+          SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS cn,
+          COUNT(*) AS ct
+        FROM df WHERE d <> 0 GROUP BY 1),
+      pref AS (SELECT a, cp, cn, ct,
+          COALESCE(SUM(ct) OVER (ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k0
+        FROM h),
+      agg AS (SELECT CAST(SUM(ct) AS BIGINT) AS n,
+          CAST(SUM(CAST(cp AS HUGEINT) * (2 * k0 + ct + 1)) AS HUGEINT)
+            AS w2p,
+          CAST(SUM(CAST(cn AS HUGEINT) * (2 * k0 + ct + 1)) AS HUGEINT)
+            AS w2n,
+          CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS t3
+        FROM pref)
+      SELECT n, n_zero,
+        CAST(w2p AS BIGINT) AS w_plus2, CAST(w2n AS BIGINT) AS w_minus2,
+        CASE WHEN n > 0 AND
+            CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 2 - t3 > 0
+          THEN round(
+            ((CAST(w2p AS DOUBLE)
+                - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 2.0)
+              / 2.0)
+            / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+              - CAST(t3 AS DOUBLE) / 48.0), 6)
+          END AS z
+      FROM agg, nz"""))
+
   /** Velocity flags — the fraud-detection primitive of a mediation
     * stack (SIM-box / account-takeover patterns announce themselves as
     * bursts): every event whose user produced ≥ `threshold` events in
@@ -2773,5 +2876,5 @@ object AnalyticsQ {
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246)
+    q243, q245, q246, q247)
 }

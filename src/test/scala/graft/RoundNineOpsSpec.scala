@@ -44,6 +44,38 @@ class RoundNineOpsSpec extends SparkSpec {
     assert(r.isNullAt(4), r.toString)          // h_adj_milli
   }
 
+  // --- q247 Wilcoxon signed-rank ---------------------------------------
+
+  test("signedRankCard: tied ranks, zero drop, and W+ + W- = n(n+1) by hand") {
+    // per-user diffs (purchase − view, centi): +5, −3, +3, +10, and one
+    // exact zero (user 5: equal sums) that must drop into n_zero.
+    // |d| ranks: {3,3} share 2·avg-rank 3 each; 5 -> 6; 10 -> 8.
+    // W2+ = 3+6+8 = 17, W2− = 3 (sum 20 = n(n+1)); t3 = 6;
+    // z = (8.5−5)/sqrt(7.375) = 1.288804
+    val ev = Seq(
+      (1L, "purchase", 0.05), (1L, "view", 0.00),
+      (2L, "purchase", 0.00), (2L, "view", 0.03),
+      (3L, "purchase", 0.03), (3L, "view", 0.00),
+      (4L, "purchase", 0.10), (4L, "view", 0.00),
+      (5L, "purchase", 0.07), (5L, "view", 0.07)
+    ).toDF("user_id", "event_type", "value")
+    val got = AnalyticsQ.signedRankCard(ev, "purchase", "view")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 1L, 17L, 3L, 1.288804)), got.toString)
+  }
+
+  test("signedRankCard: all-tied magnitudes with symmetric signs -> z = 0") {
+    val ev = Seq(
+      (1L, "purchase", 0.02), (1L, "view", 0.00),   // +2
+      (2L, "purchase", 0.00), (2L, "view", 0.02)    // −2
+    ).toDF("user_id", "event_type", "value")
+    val got = AnalyticsQ.signedRankCard(ev, "purchase", "view")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // both |d| = 2: 2·avg-rank = 3 each; W2+ = W2− = 3; t3 = 6;
+    // σ² = 2·3·5/24 − 6/48 = 1.125 > 0 → z = (1.5−1.5)/σ = 0
+    assert(got == ((2L, 0L, 3L, 3L, 0.0)), got.toString)
+  }
+
   // --- q244 re-rating diff ---------------------------------------------
 
   test("rerateDiff emits adjustments only for calls whose charge changed") {
