@@ -61,7 +61,9 @@ object ScaleProbe {
     "q231_interconnect_netting", "q232_tax_cascade",
     "q233_marginal_rating", "q234_km_survival", "q235_bucket_occupancy",
     "q236_transition_entropy", "q237_lsh_calibration",
-    "q238_dwell_time", "q239_invoice_run", "q240_rank_auc", "q241_spearman")
+    "q238_dwell_time", "q239_invoice_run", "q240_rank_auc", "q241_spearman",
+    "q242_components_star", "q243_kruskal_wallis", "q244_rerate_diff",
+    "q245_crosscorr_lags", "q246_velocity_flags", "q247_signed_rank")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
