@@ -29,6 +29,65 @@ class LiveRatingChainSpec extends SparkSpec {
         .getBytes("UTF-8"))
   }
 
+  test("an operator stops and restarts the rating stage through the control file channel") {
+    // the reference's operational model: a control packet stops ONE
+    // session while the rest of the linked chain keeps flowing; a later
+    // start catches the stopped stage up from its checkpoint with no
+    // loss (MFramework.cpp:1774-1925 start/stop dispatch)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_chainctl").toString
+    val runner = new PipelineRunner(spark)
+    var ctl: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      writeCsv(s"$base/inbox/w1.csv", Seq("1:1,1,1,100.0"))
+      val names = LiveRatingChain.register(runner, spark, s"$base/inbox",
+        s"$base/legs", s"$base/calls", s"$base/rated", s"$base/ckpt", tiers)
+      val qs = names.map(runner.start)
+      Files.createDirectories(Paths.get(s"$base/ctl"))
+      ctl = runner.controlIngress(s"$base/ctl", s"$base/ctlckpt")
+      qs.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(s"$base/rated").count() == 1)
+
+      // stop ONLY the rating stage by dropping a control packet file
+      Files.write(Paths.get(s"$base/ctl/stop_rating.txt"),
+        "s=rating\na=stopsession".getBytes("UTF-8"))
+      assert(eventually(30000)(!runner.isRunning("rating")),
+        "control packet never stopped the rating stage")
+      assert(runner.isRunning("cdr_ingest") && runner.isRunning("leg_assembly"))
+
+      // upstream keeps flowing while rating is down
+      writeCsv(s"$base/inbox/w2.csv", Seq("1:2,1,1,50.0"))
+      runner.start("cdr_ingest") // no-op (idempotent), then drain upstream
+      Seq("cdr_ingest", "leg_assembly").foreach(n =>
+        spark.streams.active.find(_.name == n).foreach(_.processAllAvailable()))
+      assert(spark.read.parquet(s"$base/calls").count() == 2)
+      assert(spark.read.parquet(s"$base/rated").count() == 1,
+        "stopped stage must not produce")
+
+      // start it back via the channel: it catches up from its checkpoint
+      Files.write(Paths.get(s"$base/ctl/start_rating.txt"),
+        "s=rating\na=startsession".getBytes("UTF-8"))
+      assert(eventually(30000)(runner.isRunning("rating")))
+      spark.streams.active.find(_.name == "rating").foreach(_.processAllAvailable())
+      val out = spark.read.parquet(s"$base/rated")
+        .select(col("event_id"), col("cum_units"))
+        .as[(Long, Long)].collect().toMap
+      // marginal state survived the stop: call 2 accumulates on call 1
+      assert(out == Map(1L -> 100L, 2L -> 150L), out.toString)
+    } finally {
+      if (ctl != null) ctl.stop()
+      runner.stopAll()
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("chain survives kill-and-restart with exact batch parity") {
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -133,6 +192,62 @@ class LiveRatingChainSpec extends SparkSpec {
         .orderBy(col("account_id")).collect().map(_.toSeq)
       assert(streamed.toSeq == batch.toSeq,
         s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+
+      // ---- the LAST hop: invoice files deliver to downstream billing
+      // through the connector upload leg (rate -> deliver, the
+      // reference's full prerating -> gsmrating -> outbound story) ----
+      val invoiceOut = s"$base/invoice_files"
+      LiveRatingChain.invoice(spark, rated, taxes)
+        .coalesce(1).write.mode("overwrite").parquet(invoiceOut)
+      val remoteRoot = Files.createTempDirectory("graft_billing_remote")
+      val transport = new graft.etl.FileTransport {
+        private def p(h: String, r: String) = remoteRoot.resolve(h).resolve(r)
+        def list(h: String, d: String): Seq[String] = {
+          val dir = p(h, d)
+          if (!Files.isDirectory(dir)) Seq.empty
+          else {
+            val s = Files.walk(dir)
+            try {
+              val it = s.iterator()
+              val buf = Seq.newBuilder[String]
+              while (it.hasNext) {
+                val f = it.next()
+                if (Files.isRegularFile(f)) buf += dir.relativize(f).toString
+              }
+              buf.result()
+            } finally s.close()
+          }
+        }
+        def size(h: String, f: String): Long = Files.size(p(h, f))
+        override def mtime(h: String, f: String): Long =
+          Files.getLastModifiedTime(p(h, f)).toMillis
+        def fetch(h: String, f: String, d: java.nio.file.Path): Unit =
+          Files.copy(p(h, f), d)
+        override def push(h: String, src: java.nio.file.Path,
+            f: String): Unit = {
+          Files.createDirectories(p(h, f).getParent)
+          Files.copy(src, p(h, f),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+        }
+        override def rename(h: String, from: String, to: String): Unit =
+          Files.move(p(h, from), p(h, to),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        override def delete(h: String, f: String): Unit =
+          Files.deleteIfExists(p(h, f))
+      }
+      val conn = new graft.etl.SftpConnector(transport,
+        Files.createTempDirectory("graft_billing_stage").toString,
+        scheme = "sftpb")
+      val delivered = conn.upload(Paths.get(invoiceOut), "sftpb://billing/in")
+      assert(delivered.nonEmpty && delivered.forall(_.endsWith(".parquet")),
+        delivered.toString)
+      // delivered bytes are the invoice, re-readable on the "remote"
+      val back = spark.read.parquet(
+        remoteRoot.resolve("billing").resolve("in").toString)
+      assert(back.count() == streamed.length)
+      // redelivery is a no-op: the remote's state is the ledger
+      assert(conn.upload(Paths.get(invoiceOut), "sftpb://billing/in").isEmpty)
     } finally {
       spark.streams.active.foreach(_.stop())
       prior match {
