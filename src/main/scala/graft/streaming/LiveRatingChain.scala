@@ -158,6 +158,44 @@ object LiveRatingChain {
     Seq(ingest, assembly, rating)
   }
 
+  /** Optional FOURTH stage: a fraud tap — a SECOND consumer of the legs
+    * store (the reference's multi-consumer queue fan-out,
+    * `MFramework.cpp:1537-1571`) running [[VelocityMonitor]] over leg
+    * arrivals per account and appending alarms to `alarmsDir`. Reading
+    * the same store as `leg_assembly` through the same `_spark_metadata`
+    * log with its OWN checkpoint demonstrates the one-producer/
+    * many-consumer property: each consumer tracks its own offsets, and
+    * killing/restarting either never perturbs the other. The tap is
+    * side-channel — registering it changes nothing about the billing
+    * path. */
+  def fraudStage(spark: SparkSession, legsDir: String, alarmsDir: String,
+      checkpointRoot: String, windowSec: Long = 3600L,
+      threshold: Long = 3L): StageSpec = {
+    import spark.implicits._
+    StageSpec(
+      "fraud_tap",
+      source = s => s.readStream.schema(legsStoreSchema).parquet(legsDir),
+      transform = df => df.filter(col("valid"))
+        .select(
+          split(col("call_id"), ":").getItem(0).cast(LongType)
+            .as("user_id"),
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .as("event_id"),
+          // leg arrival "time": the event id doubles as arrival seconds
+          // in the fixture wire; a production feed carries a leg ts
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .as("sec"))
+        .as[VEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new VelocityMonitor(windowSec, threshold),
+          TimeMode.None(), OutputMode.Append())
+        .toDF(),
+      sink = df => df.writeStream.format("parquet")
+        .option("path", alarmsDir)
+        .option("checkpointLocation", s"$checkpointRoot/fraud_tap")
+        .outputMode("append"))
+  }
+
   /** Register the chain into a runner; returns stage names in start
     * order. */
   def register(runner: PipelineRunner, spark: SparkSession,

@@ -88,6 +88,64 @@ class LiveRatingChainSpec extends SparkSpec {
     }
   }
 
+  test("the fraud tap is an isolated second consumer of the legs store") {
+    // one producer (ingest), two consumers (assembly, fraud tap) each
+    // with their own checkpoint over the same _spark_metadata log —
+    // killing one consumer never perturbs the other (the reference's
+    // queue fan-out, MFramework.cpp:1537-1571)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_fraudtap").toString
+    val runner = new PipelineRunner(spark)
+    try {
+      // account 9 bursts: 3 single-leg calls with event ids 100,101,102
+      // (the fixture's event-time surrogate) inside one 60s window;
+      // account 1 is a normal caller
+      writeCsv(s"$base/inbox/w1.csv", Seq(
+        "1:10,1,1,30.0",
+        "9:100,1,1,10.0", "9:101,1,1,10.0", "9:102,1,1,10.0"))
+      val names = LiveRatingChain.register(runner, spark, s"$base/inbox",
+        s"$base/legs", s"$base/calls", s"$base/rated", s"$base/ckpt", tiers)
+      runner.register(LiveRatingChain.fraudStage(spark, s"$base/legs",
+        s"$base/alarms", s"$base/ckpt", windowSec = 60L, threshold = 3L))
+      val qs = (names :+ "fraud_tap").map(runner.start)
+      qs.foreach(_.processAllAvailable())
+      val alarms1 = spark.read.parquet(s"$base/alarms")
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(alarms1 == Set((9L, 102L)), alarms1.toString)
+      assert(spark.read.parquet(s"$base/rated").count() == 4,
+        "the tap must not perturb billing")
+
+      // kill ONLY the tap; billing keeps flowing
+      runner.stop("fraud_tap")
+      writeCsv(s"$base/inbox/w2.csv", Seq("9:103,1,1,10.0"))
+      names.foreach(n =>
+        spark.streams.active.find(_.name == n).foreach(_.processAllAvailable()))
+      assert(spark.read.parquet(s"$base/rated").count() == 5)
+      assert(spark.read.parquet(s"$base/alarms").count() == 1,
+        "stopped tap must not produce")
+
+      // restart the tap: it catches up from ITS OWN checkpoint — the
+      // new call extends the burst (window holds 101,102,103)
+      val tq = runner.start("fraud_tap")
+      tq.processAllAvailable()
+      val alarms2 = spark.read.parquet(s"$base/alarms")
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(alarms2 == Set((9L, 102L), (9L, 103L)), alarms2.toString)
+    } finally {
+      runner.stopAll()
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("chain survives kill-and-restart with exact batch parity") {
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
