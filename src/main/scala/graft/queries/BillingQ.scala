@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Subscription-billing back-office jobs — the monthly batch the reference's
+  * rated output feeds (rating produces charges; these produce the bill).
+  * Mirrors the mediation→billing hand-off of the reference pipeline
+  * (gsmrating output → billing ingest): mid-cycle proration, deferred
+  * revenue recognition, and receivables dunning. All money is exact centi
+  * BIGINT; calendar math is DATE-typed in both engines (the one domain
+  * where epoch-day arithmetic is NOT enough — months have shapes).
+  */
+object BillingQ {
+
+  /** Mid-cycle plan-change proration — the subscription biller's core job:
+    * an account's plan history is a list of (change_date, monthly
+    * price_centi) rows; each calendar month bills every plan segment that
+    * overlaps it at `price * overlap_days DIV days_in_month` (floor — the
+    * customer-favorable rounding billers use; the dropped sub-centi
+    * remainder is bounded by n_segments per month).
+    *
+    * Input contract: one row per (account_id, change_date) — same-day
+    * re-changes must be pre-collapsed to the effective one (the fixture
+    * keeps the max-key order). A segment runs [change_date, next change)
+    * and the last segment runs to the corpus high-watermark + 1 day
+    * (exclusive), so every account bills through the same as-of month.
+    *
+    * Plan: one window (lead per account — hash-partitioned by account, no
+    * global sort) → month explode (bounded by timeline months per segment,
+    * linear in output rows) → one hash aggregation on (account, month).
+    * The watermark is a broadcast 1-row aggregate (q229 idiom). At 100 TB
+    * the explode is the dominant term and it is proportional to the
+    * BILLED month-segments — exactly the output a biller must produce;
+    * nothing is quadratic and no shuffle carries more than the billing
+    * grain. */
+  def prorationCharges(changes: DataFrame): DataFrame = {
+    val wm = changes.agg(date_add(max(col("change_date")), 1).as("wm_end"))
+    val w = Window.partitionBy(col("account_id")).orderBy(col("change_date"))
+    changes
+      .withColumn("seg_next", lead(col("change_date"), 1).over(w))
+      .crossJoin(broadcast(wm))
+      .withColumn("seg_end", coalesce(col("seg_next"), col("wm_end")))
+      .withColumn("m", explode(expr(
+        "sequence(trunc(change_date, 'MM'), trunc(date_sub(seg_end, 1), 'MM'), interval 1 month)")))
+      .withColumn("ov", datediff(
+        least(col("seg_end"), add_months(col("m"), 1)),
+        greatest(col("change_date"), col("m"))))
+      .withColumn("dim", datediff(add_months(col("m"), 1), col("m")))
+      .withColumn("charge",
+        expr("(price_centi * CAST(ov AS BIGINT)) DIV CAST(dim AS BIGINT)"))
+      .groupBy(col("account_id"), col("m"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("charge")).as("charge_centi"))
+      .select(col("account_id"), dateStr(col("m")).as("month"),
+        col("n_segments"), col("charge_centi"))
+  }
+
+  /** Oracle fixture of [[prorationCharges]]: each order is a plan change at
+    * its order date (same-day collisions collapse to the max order key),
+    * price derived deterministically from the key. */
+  private val q248 = GQuery(
+    "q248_proration",
+    (s, dir) => {
+      val ch = t(s, dir, "orders")
+        .select(col("o_custkey").as("account_id"),
+          to_date(col("o_orderdate")).as("change_date"), col("o_orderkey"))
+        .groupBy(col("account_id"), col("change_date"))
+        .agg(max(col("o_orderkey")).as("k"))
+        .withColumn("price_centi", lit(500L) + (col("k") % 50L) * 10L)
+        .drop("k")
+      prorationCharges(ch).orderBy(col("account_id"), col("month"))
+    },
+    Some("""WITH ch AS (SELECT o_custkey AS account_id,
+          CAST(o_orderdate AS DATE) AS change_date,
+          500 + (MAX(o_orderkey) % 50) * 10 AS price_centi
+        FROM orders GROUP BY 1, 2),
+      wm AS (SELECT MAX(change_date) + 1 AS wm_end FROM ch),
+      seg AS (SELECT account_id, change_date, price_centi,
+          COALESCE(LEAD(change_date) OVER (PARTITION BY account_id
+            ORDER BY change_date), (SELECT wm_end FROM wm)) AS seg_end
+        FROM ch),
+      mon AS (SELECT account_id, change_date, price_centi, seg_end,
+          CAST(u.m AS DATE) AS m
+        FROM seg, UNNEST(generate_series(date_trunc('month', change_date),
+          date_trunc('month', seg_end - 1), INTERVAL 1 MONTH)) AS u(m)),
+      pro AS (SELECT account_id, m,
+          (price_centi * CAST(LEAST(seg_end, CAST(m + INTERVAL 1 MONTH AS DATE))
+             - GREATEST(change_date, m) AS BIGINT))
+            // CAST(CAST(m + INTERVAL 1 MONTH AS DATE) - m AS BIGINT) AS charge
+        FROM mon)
+      SELECT account_id, strftime(m, '%Y-%m-%d') AS month,
+        COUNT(*) AS n_segments, CAST(SUM(charge) AS BIGINT) AS charge_centi
+      FROM pro GROUP BY 1, 2 ORDER BY account_id, month"""))
+
+  /** Deferred revenue recognition — finance's view of a prepaid contract:
+    * the amount bills up front but RECOGNIZES ratably over the service
+    * term. Each contract (amount_centi, n months, start month) emits one
+    * recognition row per month: `amount DIV n`, with the integer remainder
+    * recognized in the final month (the standard last-period true-up so
+    * the schedule sums exactly to the contract). `backlog_centi` is the
+    * still-deferred balance after each month — the liability line.
+    *
+    * Plan: one scan → bounded explode (≤ term months per contract) → one
+    * hash aggregation by calendar month. Map-side partial aggregation
+    * collapses the explode before the shuffle, so the exchange carries
+    * |months| rows per task regardless of contract count — the cheapest
+    * shape a recognition schedule can have at 100 TB. */
+  def revenueRecognition(contracts: DataFrame): DataFrame =
+    contracts
+      .withColumn("i", explode(expr("sequence(0L, n_months - 1L)")))
+      .withColumn("m", add_months(col("start_month"), col("i").cast(IntegerType)))
+      .withColumn("rec", expr("""amount_centi DIV n_months +
+        CASE WHEN i = n_months - 1 THEN amount_centi % n_months ELSE 0L END"""))
+      .withColumn("rem", expr("""amount_centi - ((i + 1L) * (amount_centi DIV n_months)
+        + CASE WHEN i = n_months - 1 THEN amount_centi % n_months ELSE 0L END)"""))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_active"), sum(col("rec")).as("recognized_centi"),
+        sum(col("rem")).as("backlog_centi"))
+      .select(dateStr(col("m")).as("month"), col("n_active"),
+        col("recognized_centi"), col("backlog_centi"))
+
+  /** Oracle fixture of [[revenueRecognition]]: each order is a contract —
+    * amount from the total price, a 1–12 month term from the key, service
+    * starting the order month. */
+  private val q249 = GQuery(
+    "q249_rev_recognition",
+    (s, dir) => revenueRecognition(
+      t(s, dir, "orders").select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amount_centi"),
+        (col("o_orderkey") % 12L + 1L).as("n_months"),
+        trunc(to_date(col("o_orderdate")), "MM").as("start_month")))
+      .orderBy(col("month")),
+    Some("""WITH c AS (SELECT
+          CAST(round(o_totalprice * 100) AS BIGINT) AS amt,
+          o_orderkey % 12 + 1 AS n,
+          date_trunc('month', CAST(o_orderdate AS DATE)) AS start_m
+        FROM orders),
+      e AS (SELECT amt, n, u.i AS i,
+          CAST(start_m + TO_MONTHS(CAST(u.i AS INTEGER)) AS DATE) AS m
+        FROM c, UNNEST(generate_series(0, n - 1)) AS u(i)),
+      r AS (SELECT m,
+          amt // n + CASE WHEN i = n - 1 THEN amt % n ELSE 0 END AS rec,
+          amt - ((i + 1) * (amt // n)
+            + CASE WHEN i = n - 1 THEN amt % n ELSE 0 END) AS rem
+        FROM e)
+      SELECT strftime(m, '%Y-%m-%d') AS month, COUNT(*) AS n_active,
+        CAST(SUM(rec) AS BIGINT) AS recognized_centi,
+        CAST(SUM(rem) AS BIGINT) AS backlog_centi
+      FROM r GROUP BY 1 ORDER BY month"""))
+
+  /** Dunning card with FIFO payment application — collections' month-end
+    * state: a customer's payments are a single pool applied to their
+    * invoices OLDEST-FIRST (the legal default application order), without
+    * ever joining payments to invoices row-by-row: per invoice,
+    * `applied = clamp(total_paid − older_invoices_cum, 0, amount)`. Open
+    * balance then grades into dunning levels by days past due (due =
+    * invoice + 30d; >7 reminder, >30 demand, >60 suspend) against the
+    * corpus high-watermark date.
+    *
+    * The card aggregates per level — n_invoices / n_customers / open
+    * balance / worst overdue age — the collections work-queue summary.
+    *
+    * Plan: payments pre-aggregate per customer (map-side combine), one
+    * hash join invoice⋈paid on customer, one window (cumulative older-
+    * invoice sum, partitioned by customer — no global sort), then a
+    * 4-row aggregation. The FIFO application is O(invoices) — the naive
+    * formulation is a payments×invoices interval join that explodes at
+    * scale; the clamp-of-prefix-sums identity is the MPP-standard
+    * replacement. */
+  def dunningCard(invoices: DataFrame, payments: DataFrame,
+      asOfDay: DataFrame): DataFrame = {
+    val paid = payments.groupBy(col("cust"))
+      .agg(sum(col("pay_centi")).as("paid_centi"))
+    val w = Window.partitionBy(col("cust")).orderBy(col("d"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    invoices
+      .join(paid, Seq("cust"), "left")
+      .withColumn("paid_centi", coalesce(col("paid_centi"), lit(0L)))
+      .withColumn("cum_prev", coalesce(sum(col("amt")).over(w), lit(0L)))
+      .withColumn("bal", col("amt") -
+        least(col("amt"), greatest(lit(0L), col("paid_centi") - col("cum_prev"))))
+      .crossJoin(broadcast(asOfDay))
+      .withColumn("days_over",
+        datediff(col("asof"), date_add(col("d"), 30)).cast(LongType))
+      .withColumn("level",
+        when(col("bal") > 0L,
+          when(col("days_over") > 60, 3).when(col("days_over") > 30, 2)
+            .when(col("days_over") > 7, 1).otherwise(0))
+          .otherwise(0))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_invoices"),
+        countDistinct(col("cust")).as("n_customers"),
+        sum(col("bal")).as("balance_centi"),
+        max(when(col("bal") > 0L, col("days_over"))).as("max_days_overdue"))
+  }
+
+  /** Oracle fixture of [[dunningCard]]: finalized orders are the invoice
+    * ledger; the rest are the payment pool (no per-invoice remittance
+    * advice — exactly the FIFO-application case). */
+  private val q250 = GQuery(
+    "q250_dunning_fifo",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val inv = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+          to_date(col("o_orderdate")).as("d"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amt"))
+      val pay = o.filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey").as("cust"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pay_centi"))
+      val asof = o.agg(max(to_date(col("o_orderdate"))).as("asof"))
+      dunningCard(inv, pay, asof).orderBy(col("level"))
+    },
+    Some("""WITH inv AS (SELECT o_custkey AS cust, o_orderkey AS k,
+          CAST(o_orderdate AS DATE) AS d,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+        FROM orders WHERE o_orderstatus = 'F'),
+      pay AS (SELECT o_custkey AS cust,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS paid
+        FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1),
+      wm AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders),
+      f AS (SELECT i.cust, i.k, i.d, i.amt,
+          COALESCE(SUM(i.amt) OVER (PARTITION BY i.cust ORDER BY i.d, i.k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+          COALESCE(p.paid, 0) AS paid
+        FROM inv i LEFT JOIN pay p USING (cust)),
+      g AS (SELECT cust, k, amt,
+          amt - LEAST(amt, GREATEST(0, paid - cum_prev)) AS bal,
+          wm.asof - (d + 30) AS days_over
+        FROM f, wm),
+      h AS (SELECT cust, bal, days_over,
+          CASE WHEN bal > 0 THEN
+            (CASE WHEN days_over > 60 THEN 3 WHEN days_over > 30 THEN 2
+                  WHEN days_over > 7 THEN 1 ELSE 0 END)
+          ELSE 0 END AS level
+        FROM g)
+      SELECT level, COUNT(*) AS n_invoices, COUNT(DISTINCT cust) AS n_customers,
+        CAST(SUM(bal) AS BIGINT) AS balance_centi,
+        MAX(CASE WHEN bal > 0 THEN days_over END) AS max_days_overdue
+      FROM h GROUP BY 1 ORDER BY level"""))
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250)
+}
