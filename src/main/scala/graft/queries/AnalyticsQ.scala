@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2872,9 +2872,179 @@ object AnalyticsQ {
       ORDER BY co DESC, item_a, item_b
       LIMIT 20"""))
 
+  /** Friedman rank test — the BLOCKED companion to [[kruskalWallisCard]]:
+    * do the k treatments differ when each block (here: each day) supplies
+    * one observation per treatment, removing the block effect that would
+    * drown a Kruskal–Wallis on the pooled values. Ranks are WITHIN each
+    * complete block (incomplete blocks — a day missing a treatment — are
+    * excluded, the standard complete-block design), average-ranked on
+    * ties via doubled ranks r2 = 2·minrank + t − 1 (exact integers, the
+    * q240/q243 discipline). χ²_F = 3·Σ_j R2_j² / (n·k·(k+1)) − 3·n·(k+1)
+    * in exact milli units; the tie correction C = 1 − Σ(t³−t)/(n·k·(k²−1))
+    * ships as ppm with the C-adjusted statistic (NULL when C = 0 — an
+    * all-tied design carries no information, and NULL when k < 2 — no
+    * contrast exists).
+    *
+    * Plan: one hash aggregation to (block, treatment) cells, two
+    * block-partitioned windows (rank + tie size — each block holds k ≤
+    * |treatments| rows, so partitions are tiny and uniformly sized; no
+    * global sort anywhere), then treatment-count-bounded aggregates.
+    * At 100 TB the cell aggregation is the only data-sized shuffle. */
+  def friedmanCard(events: DataFrame, blockCol: Column,
+      typeCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    val cells = events
+      .select(blockCol.as("b"), col(typeCol).as("g"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("v"))
+      .groupBy(col("b"), col("g")).agg(sum(col("v")).as("cv"))
+    val kdf = cells.agg(countDistinct(col("g")).as("k_treat"))
+    val full = cells.crossJoin(broadcast(kdf))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .filter(col("nb") === col("k_treat"))
+    val ranked = full
+      .withColumn("r2",
+        lit(2L) * rank().over(Window.partitionBy(col("b")).orderBy(col("cv")))
+          + count(lit(1)).over(Window.partitionBy(col("b"), col("cv"))) - 1L)
+    val perG = ranked.groupBy(col("g"))
+      .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("n_g"))
+    val ties = full.groupBy(col("b"), col("cv"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("t3"))
+    perG.agg(count(lit(1)).as("k_treat"), max(col("n_g")).as("n_blocks"),
+        sum(expr("CAST(r2j AS DECIMAL(38,0)) * r2j")).as("s"))
+      .crossJoin(ties)
+      .select(col("k_treat"), col("n_blocks"),
+        expr("""CAST((3000 * s) DIV (CAST(n_blocks AS DECIMAL(38,0))
+            * k_treat * (k_treat + 1))
+          - 3000 * n_blocks * (k_treat + 1) AS BIGINT)""").as("chi2_milli"),
+        when(col("k_treat") >= 2L,
+          expr("""CAST(1000000 - (1000000 * t3)
+              DIV (CAST(n_blocks AS DECIMAL(38,0)) * k_treat
+                * (k_treat * k_treat - 1)) AS BIGINT)"""))
+          .otherwise(lit(null).cast(LongType)).as("c_ppm"))
+      .withColumn("chi2_adj_milli",
+        when(col("c_ppm") > 0L,
+          expr("(greatest(chi2_milli, 0L) * 1000000) DIV c_ppm"))
+          .otherwise(lit(null).cast(LongType)))
+  }
+
+  /** Oracle fixture of [[friedmanCard]]: blocks are event days, treatments
+    * the event types, each cell the day×type exact centi value total. */
+  private val q251 = GQuery(
+    "q251_friedman",
+    (s, dir) => friedmanCard(t(s, dir, "events"), to_date(col("ts"))),
+    Some("""WITH cells AS (SELECT CAST(ts AS DATE) AS b, event_type AS g,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cv
+        FROM events GROUP BY 1, 2),
+      kd AS (SELECT COUNT(DISTINCT g) AS k_treat FROM cells),
+      full_b AS (SELECT c.*, kd.k_treat FROM cells c, kd
+        QUALIFY COUNT(*) OVER (PARTITION BY b) = kd.k_treat),
+      ranked AS (SELECT g,
+          2 * RANK() OVER (PARTITION BY b ORDER BY cv)
+            + COUNT(*) OVER (PARTITION BY b, cv) - 1 AS r2
+        FROM full_b),
+      pg AS (SELECT g, CAST(SUM(r2) AS HUGEINT) AS r2j, COUNT(*) AS n_g
+        FROM ranked GROUP BY 1),
+      tie AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+          AS t3
+        FROM (SELECT COUNT(*) AS t FROM full_b GROUP BY b, cv)),
+      agg AS (SELECT COUNT(*) AS k_treat, MAX(n_g) AS n_blocks,
+          SUM(r2j * r2j) AS s
+        FROM pg),
+      fin AS (SELECT k_treat, n_blocks,
+          (3000 * s) // (CAST(n_blocks AS HUGEINT) * k_treat * (k_treat + 1))
+            - 3000 * n_blocks * (k_treat + 1) AS chi2_milli,
+          CASE WHEN k_treat >= 2 THEN 1000000 - (1000000 * t3)
+            // (CAST(n_blocks AS HUGEINT) * k_treat
+               * (k_treat * k_treat - 1))
+          ELSE NULL END AS c_ppm
+        FROM agg, tie)
+      SELECT CAST(k_treat AS BIGINT) AS k_treat,
+        CAST(n_blocks AS BIGINT) AS n_blocks,
+        CAST(chi2_milli AS BIGINT) AS chi2_milli,
+        CAST(c_ppm AS BIGINT) AS c_ppm,
+        CAST(CASE WHEN c_ppm > 0
+          THEN (GREATEST(chi2_milli, 0) * 1000000) // c_ppm
+          ELSE NULL END AS BIGINT) AS chi2_adj_milli
+      FROM fin"""))
+
+  /** Deterministic Poisson-bootstrap CI — the resampling scheme that
+    * actually works at 100 TB: a classical bootstrap draws n-out-of-n
+    * WITH replacement (impossible to materialize distributed), the
+    * Poisson approximation gives every row an independent Poisson(1)
+    * replica weight instead, so all B replicas ride ONE scan. Weights
+    * are derived from md5(id:replica) against the truncated-Poisson(1)
+    * CDF in hex (P(w≥3) mass collapses into w=3 — 1.9% of rows carry a
+    * 3 instead of their exact tail draw; the CI effect is far below the
+    * resampling noise at any real n), so both engines replay the exact
+    * same draw — no RNG, no seed plumbing, retry-stable.
+    *
+    * Output: the full-sample mean plus the [2nd smallest, 2nd largest]
+    * replica means — the ~97% percentile-bootstrap interval at B = 64.
+    *
+    * Plan: project (id, x) → explode B lanes (cheap fixed-width hashing,
+    * no text columns carried) → hash aggregate to B groups with map-side
+    * combine, so the exchange moves B partial rows per task regardless
+    * of corpus size; the CI assembles from a B-element sorted array. */
+  def bootstrapMeanCi(rows: DataFrame, idCol: String = "doc_id",
+      valCol: String = "n_chars", b: Int = 64): DataFrame = {
+    require(b >= 4, s"bootstrapMeanCi: B=$b gives no interval")
+    val reps = rows
+      .select(col(idCol).cast(StringType).as("id"),
+        col(valCol).cast(LongType).as("x"))
+      .withColumn("r", explode(expr(s"sequence(0, ${b - 1})")))
+      .withColumn("u", substring(
+        md5(concat(col("id"), lit(":"), col("r").cast(StringType))), 1, 6))
+      .withColumn("w",
+        when(col("u") < "5e2d58", 0L).when(col("u") < "bc5ab1", 1L)
+          .when(col("u") < "eb715e", 2L).otherwise(3L))
+      .groupBy(col("r"))
+      .agg(sum(col("w") * col("x")).as("sw"), sum(col("w")).as("wn"))
+      .withColumn("mean_r",
+        when(col("wn") === 0L, expr(
+          "CAST(raise_error('q252: empty bootstrap replica — corpus too small for B lanes') AS DOUBLE)"))
+          .otherwise(round(col("sw").cast(DoubleType) / col("wn"), 6)))
+    val full = rows.agg(count(lit(1)).as("n_docs"),
+      round(sum(col(valCol).cast(LongType)).cast(DoubleType)
+        / count(lit(1)), 6).as("mean_full"))
+    reps.agg(count(lit(1)).as("b_reps"),
+        sort_array(collect_list(col("mean_r"))).as("ms"))
+      .crossJoin(broadcast(full))
+      .select(col("n_docs"), col("b_reps"), col("mean_full"),
+        element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), b - 1).as("ci_hi"))
+  }
+
+  /** Oracle fixture of [[bootstrapMeanCi]]: a CI for the corpus mean
+    * document length. */
+  private val q252 = GQuery(
+    "q252_bootstrap_ci",
+    (s, dir) => bootstrapMeanCi(t(s, dir, "documents")),
+    Some("""WITH reps AS (SELECT u.r AS r
+          FROM UNNEST(generate_series(0, 63)) AS u(r)),
+      lanes AS (SELECT r,
+          substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+            1, 6) AS u,
+          n_chars AS x
+        FROM documents, reps),
+      w AS (SELECT r, x,
+          CASE WHEN u < '5e2d58' THEN 0 WHEN u < 'bc5ab1' THEN 1
+               WHEN u < 'eb715e' THEN 2 ELSE 3 END AS w
+        FROM lanes),
+      m AS (SELECT r, ROUND(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6)
+          AS mean_r
+        FROM w GROUP BY r),
+      f AS (SELECT COUNT(*) AS n_docs,
+          ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_full
+        FROM documents),
+      c AS (SELECT COUNT(*) AS b_reps,
+          (list(mean_r ORDER BY mean_r))[2] AS ci_lo,
+          (list(mean_r ORDER BY mean_r))[63] AS ci_hi
+        FROM m)
+      SELECT n_docs, b_reps, mean_full, ci_lo, ci_hi FROM f, c"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247)
+    q243, q245, q246, q247, q251, q252)
 }

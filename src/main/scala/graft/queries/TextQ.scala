@@ -3242,10 +3242,60 @@ object TextQ {
       FROM x GROUP BY src_a, src_b
       ORDER BY src_a, src_b"""))
 
+  /** Source-overlap sketch card — the one-scan complement to q156's exact
+    * cross-source duplication matrix: per source, a k-lane MinHash sketch
+    * over the DISTINCT document texts (lane j keeps the min of a j-salted
+    * rehash of each doc's content digest — one full-text md5 per doc, k
+    * cheap fixed-width rehashes of the 32-char digest); the pairwise
+    * fraction of matching lanes estimates content-identity Jaccard
+    * between every source pair. This is the data-card number a curator
+    * reads BEFORE paying for the LSH candidate build: sketches are
+    * mergeable (min is associative), so at 100 TB the card costs one
+    * corpus scan + a |sources|·k-row exchange — no join touches documents
+    * pairwise. Identity-level overlap only (near-dups need q26/q156);
+    * estimator std-err ≈ √(J(1−J)/k).
+    */
+  def sourceOverlapSketch(docs: DataFrame, k: Int = 12): DataFrame = {
+    require(k >= 1, s"sourceOverlapSketch: k=$k lanes")
+    val lanes = docs
+      .select(col("source"), md5(col("text")).as("d"))
+      .withColumn("j", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(col("source"), col("j"),
+        md5(concat(col("j").cast(StringType), lit(":"), col("d"))).as("h"))
+      .groupBy(col("source"), col("j")).agg(min(col("h")).as("m"))
+    lanes.select(col("source").as("src_x"), col("j"), col("m").as("mx"))
+      .join(lanes.select(col("source").as("src_y"), col("j"),
+        col("m").as("my")), Seq("j"))
+      .filter(col("src_x") < col("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("k_lanes"),
+        sum(when(col("mx") === col("my"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("jaccard_est_ppm",
+        expr("(1000000 * n_match) DIV k_lanes"))
+  }
+
+  /** Oracle fixture of [[sourceOverlapSketch]]. */
+  private val q253 = GQuery(
+    "q253_source_overlap",
+    (s, dir) => sourceOverlapSketch(t(s, dir, "documents"))
+      .orderBy(col("src_x"), col("src_y")),
+    Some("""WITH lanes AS (SELECT source, u.j AS j,
+          MIN(md5(CAST(u.j AS VARCHAR) || ':' || md5(text))) AS m
+        FROM documents, UNNEST(generate_series(0, 11)) AS u(j)
+        GROUP BY 1, 2)
+      SELECT a.source AS src_x, b.source AS src_y,
+        COUNT(*) AS k_lanes,
+        CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_match,
+        (1000000 * CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+          AS BIGINT)) // COUNT(*) AS jaccard_est_ppm
+      FROM lanes a JOIN lanes b ON a.j = b.j AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY src_x, src_y"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237, q242)
+      q201, q205, q206, q208, q228, q237, q242, q253)
 }
