@@ -63,7 +63,10 @@ object ScaleProbe {
     "q236_transition_entropy", "q237_lsh_calibration",
     "q238_dwell_time", "q239_invoice_run", "q240_rank_auc", "q241_spearman",
     "q242_components_star", "q243_kruskal_wallis", "q244_rerate_diff",
-    "q245_crosscorr_lags", "q246_velocity_flags", "q247_signed_rank")
+    "q245_crosscorr_lags", "q246_velocity_flags", "q247_signed_rank",
+    "q248_proration", "q249_rev_recognition", "q250_dunning_fifo",
+    "q251_friedman", "q252_bootstrap_ci", "q253_source_overlap",
+    "q254_commitment_trueup", "q255_reliability_card")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

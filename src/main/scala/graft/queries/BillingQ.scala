@@ -242,5 +242,68 @@ object BillingQ {
         MAX(CASE WHEN bal > 0 THEN days_over END) AS max_days_overdue
       FROM h GROUP BY 1 ORDER BY level"""))
 
-  val queries: Seq[GQuery] = Seq(q248, q249, q250)
+  /** Minimum-spend true-up — the enterprise-contract month-end charge: an
+    * account committed to `commit_centi` per month; months where actual
+    * usage falls short bill the difference (`trueup = max(0, commit −
+    * usage))`. The card aggregates per month: how many active accounts,
+    * how many fell short, the usage billed and the true-up recovered —
+    * the revenue-assurance view of commit contracts.
+    *
+    * Only months where the account shows ANY activity participate (a
+    * dormant account is a contract-lifecycle question, not a usage one —
+    * and at 100 TB it keeps the operator one aggregation over actuals
+    * instead of an account×months densification).
+    *
+    * Plan: one (account, month) hash aggregation over the usage fact →
+    * key join against the commit dimension (broadcast when it fits, plain
+    * shuffle join otherwise — Spark decides by size) → month-grain
+    * roll-up. Two shuffles total, both at billing grain. */
+  def commitmentTrueup(usage: DataFrame, commits: DataFrame): DataFrame =
+    usage
+      .groupBy(col("account_id"), col("m"))
+      .agg(sum(col("amount_centi")).as("usage_centi"))
+      .join(commits, Seq("account_id"))
+      .withColumn("trueup_centi",
+        greatest(lit(0L), col("commit_centi") - col("usage_centi")))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(when(col("trueup_centi") > 0L, 1L).otherwise(0L)).as("n_short"),
+        sum(col("usage_centi")).as("usage_centi"),
+        sum(col("trueup_centi")).as("trueup_centi"))
+      .select(dateStr(col("m")).as("month"), col("n_accounts"),
+        col("n_short"), col("usage_centi"), col("trueup_centi"))
+
+  /** Oracle fixture of [[commitmentTrueup]]: orders are the usage fact
+    * (order month × customer), the customer's balance sets a nonnegative
+    * monthly commit. */
+  private val q254 = GQuery(
+    "q254_commitment_trueup",
+    (s, dir) => commitmentTrueup(
+      t(s, dir, "orders").select(col("o_custkey").as("account_id"),
+        trunc(to_date(col("o_orderdate")), "MM").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amount_centi")),
+      t(s, dir, "customer").select(col("c_custkey").as("account_id"),
+        expr("greatest(0L, CAST(round(c_acctbal * 100) AS BIGINT) * 20)")
+          .as("commit_centi")))
+      .orderBy(col("month")),
+    Some("""WITH u AS (SELECT o_custkey AS account_id,
+          date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS usage_centi
+        FROM orders GROUP BY 1, 2),
+      cm AS (SELECT c_custkey AS account_id,
+          GREATEST(0, CAST(round(c_acctbal * 100) AS BIGINT) * 20)
+            AS commit_centi
+        FROM customer),
+      j AS (SELECT u.m, u.usage_centi,
+          GREATEST(0, cm.commit_centi - u.usage_centi) AS trueup_centi
+        FROM u JOIN cm USING (account_id))
+      SELECT strftime(m, '%Y-%m-%d') AS month, COUNT(*) AS n_accounts,
+        CAST(SUM(CASE WHEN trueup_centi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_short,
+        CAST(SUM(usage_centi) AS BIGINT) AS usage_centi,
+        CAST(SUM(trueup_centi) AS BIGINT) AS trueup_centi
+      FROM j GROUP BY 1 ORDER BY month"""))
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254)
 }

@@ -2655,9 +2655,78 @@ object CurationQ {
         ORDER BY a, b"""))
   }
 
+  /** Classifier reliability card (calibration curve + ECE) — the gate a
+    * quality/language classifier must pass BEFORE its scores drive corpus
+    * filtering: scores bucket into `bins` equal-width confidence bins;
+    * per bin the card reports volume, mean claimed confidence, and the
+    * observed positive rate; the gap between the two, volume-weighted, is
+    * the expected calibration error. A filter thresholded on an
+    * uncalibrated score silently shifts the corpus mixture — this card
+    * quantifies by how much, in exact ppm integers (n·|acc−conf| sums are
+    * exact, so a changed card means changed data, not float jitter).
+    *
+    * Plan: one scan → one hash aggregation to ≤ bins rows (map-side
+    * combine carries bins partials per task) → a bins-row window for the
+    * ECE roll-up (the q229 SUM OVER () histogram-size discipline). The
+    * scan is the only data-sized stage at any corpus size. */
+  def reliabilityCard(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"reliabilityCard: bins=$bins")
+    val width = 1000000L / bins
+    scored
+      .withColumn("bin", least(expr(s"score_ppm DIV ${width}L"),
+        lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_ppm")).as("s"))
+      .withColumn("conf_ppm", expr("s DIV n"))
+      .withColumn("acc_ppm", expr("(1000000 * n_pos) DIV n"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+      .withColumn("ece_ppm", expr(
+        "SUM(n * gap_ppm) OVER () DIV SUM(n) OVER ()"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
+  /** Oracle fixture of [[reliabilityCard]]: a (deliberately naive)
+    * stopword-ratio "is English" confidence score — scaled ×5 into the
+    * ppm range and clamped — graded against the lang label. The fixture
+    * corpus draws every language from one shared vocabulary, so this
+    * score is genuinely OVERCONFIDENT about English: the card's nonzero
+    * ECE is the real diagnosis, not an artifact. */
+  private val q255 = GQuery(
+    "q255_reliability_card",
+    (s, dir) => reliabilityCard(
+      t(s, dir, "documents").select(
+        expr("""least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT)))""").as("score_ppm"),
+        (col("lang") === "en").as("label")))
+      .orderBy(col("bin")),
+    Some("""WITH sc AS (SELECT
+          LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      b AS (SELECT LEAST(score_ppm // 100000, 9) AS bin, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          CAST(SUM(score_ppm) AS BIGINT) AS s
+        FROM sc GROUP BY 1),
+      g AS (SELECT bin, n, n_pos, s // n AS conf_ppm,
+          (1000000 * n_pos) // n AS acc_ppm
+        FROM b)
+      SELECT bin, n, n_pos, conf_ppm, acc_ppm,
+        ABS(acc_ppm - conf_ppm) AS gap_ppm,
+        CAST((SUM(n * ABS(acc_ppm - conf_ppm)) OVER ())
+          // (SUM(n) OVER ()) AS BIGINT) AS ece_ppm
+      FROM g ORDER BY bin"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191, q213)
+      q161, q163, q173, q177, q178, q189, q191, q213, q255)
 }

@@ -80,6 +80,55 @@ class SecondWaveSpec extends SparkSpec {
       s"full mean ${a._3} outside [${a._4}, ${a._5}]")
   }
 
+  // --- q254 commitment true-up ---------------------------------------------
+
+  test("commitmentTrueup: shortfall bills the gap, surplus bills nothing") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    val usage = Seq(
+      (1L, d1, 60L), (1L, d2, 150L), // commit 100: short 40, then over
+      (2L, d1, 5L))                  // commit 0: never short
+      .toDF("account_id", "m", "amount_centi")
+    val commits = Seq((1L, 100L), (2L, 0L)).toDF("account_id", "commit_centi")
+    val got = graft.queries.BillingQ.commitmentTrueup(usage, commits)
+      .orderBy("month").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 1L, 65L, 40L),
+      ("2024-02-01", 1L, 0L, 150L, 0L)), got.toString)
+  }
+
+  // --- q255 reliability card -------------------------------------------------
+
+  test("reliabilityCard: per-bin gaps and volume-weighted ECE by hand") {
+    // bin 0: scores 50000/50000, labels F/T -> conf 50000, acc 500000,
+    //   gap 450000; bin 9: score 950000, label T -> gap 50000.
+    // ECE = (2*450000 + 1*50000) DIV 3 = 316666.
+    val sc = Seq((50000L, false), (50000L, true), (950000L, true))
+      .toDF("score_ppm", "label")
+    val got = graft.queries.CurationQ.reliabilityCard(sc)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 50000L, 500000L, 450000L, 316666L),
+      (9L, 1L, 1L, 950000L, 1000000L, 50000L, 316666L)), got.toString)
+  }
+
+  test("reliabilityCard: a perfectly calibrated score has ECE 0") {
+    // Every score 500000, half the labels positive.
+    val sc = (1 to 100).map(i => (500000L, i % 2 == 0))
+      .toDF("score_ppm", "label")
+    val got = graft.queries.CurationQ.reliabilityCard(sc)
+      .select("ece_ppm").as[Long].head()
+    assert(got == 0L, s"ece $got")
+  }
+
+  test("reliabilityCard: the top bin absorbs the exact-1e6 boundary") {
+    val sc = Seq((1000000L, true)).toDF("score_ppm", "label")
+    val got = graft.queries.CurationQ.reliabilityCard(sc)
+      .select("bin").as[Long].head()
+    assert(got == 9L, s"bin $got")
+  }
+
   // --- q253 source-overlap sketch -----------------------------------------
 
   test("sourceOverlapSketch: identical sources match all lanes, disjoint none") {
