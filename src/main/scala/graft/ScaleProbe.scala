@@ -66,7 +66,9 @@ object ScaleProbe {
     "q245_crosscorr_lags", "q246_velocity_flags", "q247_signed_rank",
     "q248_proration", "q249_rev_recognition", "q250_dunning_fifo",
     "q251_friedman", "q252_bootstrap_ci", "q253_source_overlap",
-    "q254_commitment_trueup", "q255_reliability_card")
+    "q254_commitment_trueup", "q255_reliability_card",
+    "q256_prefix_routing", "q257_trunk_peak", "q258_asr_card",
+    "q259_priority_sample")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -276,6 +276,89 @@ object CurationQ {
         ORDER BY doc_id"""))
   }
 
+  /** Weighted sampling without replacement — PRIORITY SAMPLING (Duffield,
+    * Lund & Thorup, JACM 2007): per stratum, each row draws priority
+    * `q = w / u` with u uniform in (0, 1] and the k largest priorities
+    * are the sample; the (k+1)-th priority τ is the threshold, and
+    * `ŵ = max(w, τ)` is the Horvitz–Thompson-style adjusted weight whose
+    * subset sums are unbiased with near-optimal variance — THE way to
+    * take a weighted corpus slice (sample long docs proportionally, keep
+    * estimates of total tokens exact in expectation) that a plain
+    * weighted-Bernoulli pass can't match at fixed k.
+    *
+    * Determinism discipline: u derives from md5(id) (first 8 hex chars →
+    * a 32-bit integer + 1), priorities are pure BIGINT arithmetic
+    * `(w << 32) DIV u` — both engines replay the identical draw, no RNG,
+    * no seed plumbing, retry-stable (the q252 scheme). Weights must be
+    * in [1, 10⁹] — wider would overflow the shifted product — and fail
+    * LOUDLY, never silently clamp.
+    *
+    * Scale shape: top-k per stratum is NOT one rank window per stratum
+    * (a mega-stratum serializes onto one reducer — the q220 lesson).
+    * Stage 1 ranks within (stratum, u mod B) salted groups — B spreads
+    * any stratum over B reducers — keeping k+1 per group: every overall
+    * top-(k+1) row is within its group's top-(k+1), so the cut is EXACT.
+    * Stage 2 re-ranks the ≤ B·(k+1) survivors per stratum — bounded
+    * rows, trivially sized partitions. The oracle replays the NAIVE
+    * single-window rank, so the hash-match proves the salted tournament
+    * result-identical. Strata with ≤ k rows return whole with NULL τ
+    * (the sample IS the stratum; ŵ = w exactly). */
+  def prioritySample(rows: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int, buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"prioritySample: k=$k")
+    require(buckets >= 1, s"prioritySample: buckets=$buckets")
+    val scored = rows.select(
+        col(stratumCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast(LongType).as("w"))
+      .withColumn("w",
+        when(col("w") < 1L || col("w") > 1000000000L, expr(
+          "CAST(raise_error('prioritySample: weight out of [1, 1e9]') AS BIGINT)"))
+          .otherwise(col("w")))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1L"))
+      .withColumn("priority", expr("(w * 4294967296L) DIV u"))
+    val w1 = Window.partitionBy(col("stratum"), pmod(col("u"), lit(buckets)))
+      .orderBy(col("priority").desc, col("id"))
+    val w2 = Window.partitionBy(col("stratum"))
+      .orderBy(col("priority").desc, col("id"))
+    val survivors = scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k + 1)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k + 1)
+    val tau = survivors.filter(col("rn") === k + 1)
+      .select(col("stratum"), col("priority").as("tau"))
+    survivors.filter(col("rn") <= k)
+      .join(tau, Seq("stratum"), "left")
+      .select(col("stratum"), col("rn").cast(LongType).as("rn"),
+        col("id"), col("w"),
+        col("priority"), col("tau"),
+        greatest(col("w"), coalesce(col("tau"), lit(0L))).as("w_hat"))
+  }
+
+  /** Oracle fixture of [[prioritySample]]: 20 docs per lang, weighted by
+    * n_chars, B = 8 salt buckets; the oracle ranks with ONE window per
+    * stratum (the naive form the salted tournament must equal). */
+  private val q259 = GQuery(
+    "q259_priority_sample",
+    (s, dir) => prioritySample(t(s, dir, "documents"),
+      "lang", "doc_id", "n_chars", k = 20, buckets = 8)
+      .orderBy(col("stratum"), col("rn")),
+    Some("""WITH sc AS (SELECT lang AS stratum, doc_id AS id,
+          n_chars AS w,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 1 AS u
+        FROM documents),
+      pr AS (SELECT stratum, id, w, u,
+          (w * 4294967296) // u AS priority
+        FROM sc),
+      rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum
+          ORDER BY priority DESC, id) AS rn FROM pr),
+      tau AS (SELECT stratum, priority AS tau FROM rk WHERE rn = 21)
+      SELECT r.stratum, r.rn, r.id, r.w, r.priority, t.tau,
+        GREATEST(r.w, COALESCE(t.tau, 0)) AS w_hat
+      FROM rk r LEFT JOIN tau t ON t.stratum = r.stratum
+      WHERE r.rn <= 20
+      ORDER BY r.stratum, r.rn"""))
+
   /** Oracle fixture of [[uniformSampleN]] (N=100). */
   private val q56 = GQuery(
     "q56_uniform_sample",
@@ -2728,5 +2811,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191, q213, q255)
+      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259)
 }

@@ -32,26 +32,42 @@ object PrefixSum {
     * with `descending = true`), tie-broken by `tieCols` when key values
     * repeat across rows (a pure histogram needs none). `keyCol` must be
     * BIGINT-castable. Inclusive prefixes are `<w>_cum + w` at the call
-    * site; a global rank is an exclusive count prefix + 1. */
+    * site; a global rank is an exclusive count prefix + 1.
+    *
+    * `partitionCols` (round-9 second wave) makes the prefix PER KEYED
+    * GROUP — the keyed sweep-line case (one cumsum per trunk/account/
+    * series). The offset window then partitions by the group, so its
+    * per-partition row count is the group's BUCKET count (bounded by
+    * key-range/width — e.g. calendar days for a time key — never by
+    * data), and the offset table is joined back instead of broadcast
+    * (it is group-grain, which can be large even though each group's
+    * slice is tiny). `partitionCols = Nil` keeps the original global
+    * construction with its broadcast offset table. */
   def exclusive(h: DataFrame, keyCol: String, weightCols: Seq[String],
       bucketWidth: Long = 1L << 20, tieCols: Seq[String] = Nil,
-      descending: Boolean = false): DataFrame = {
+      descending: Boolean = false,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(weightCols.nonEmpty, "need at least one weight column")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val sign = if (descending) "-" else ""
     val withB = h.withColumn("__psb",
       expr(s"($sign CAST($keyCol AS BIGINT)) DIV ${bucketWidth}L"))
+    val pcols = partitionCols.map(col)
+    val gkeys = partitionCols :+ "__psb"
     val aggs = weightCols.map(w => sum(col(w)).as(s"__t_$w"))
-    val totals = withB.groupBy(col("__psb")).agg(aggs.head, aggs.tail: _*)
-    val wOff = Window.orderBy(col("__psb"))
+    val totals = withB.groupBy(gkeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val wOff = (if (pcols.isEmpty) Window.orderBy(col("__psb"))
+      else Window.partitionBy(pcols: _*).orderBy(col("__psb")))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals.select(col("__psb") +: weightCols.map(w =>
+    val offsets = totals.select(gkeys.map(col) ++ weightCols.map(w =>
       coalesce(sum(col(s"__t_$w")).over(wOff), lit(0L)).as(s"__o_$w")): _*)
     val ord = (if (descending) col(keyCol).desc else col(keyCol).asc) +:
       tieCols.map(col)
-    val wIn = Window.partitionBy(col("__psb")).orderBy(ord: _*)
+    val wIn = Window.partitionBy(gkeys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val joined = withB.join(broadcast(offsets), Seq("__psb"))
+    val joined =
+      if (pcols.isEmpty) withB.join(broadcast(offsets), gkeys)
+      else withB.join(offsets, gkeys)
     weightCols.foldLeft(joined) { (d, w) =>
       d.withColumn(s"${w}_cum",
         col(s"__o_$w") + coalesce(sum(col(w)).over(wIn), lit(0L)))

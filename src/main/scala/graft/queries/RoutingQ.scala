@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Call-routing and route-quality operators — the network-facing side of
+  * the mediation stack the reference feeds (`gsmrating.sh` rates what the
+  * switches already ROUTED; these operators answer how the routing itself
+  * is priced and how routes behave): longest-prefix-match destination
+  * rating (the E.164 tariff lookup every interconnect biller runs),
+  * trunk-group concurrency sweep lines (capacity planning), and the
+  * ASR/ACD route-quality card (the interconnect KPI watched for dead
+  * routes and fraud).
+  */
+object RoutingQ {
+
+  /** Longest-prefix-match routing join — the E.164 rating primitive: a
+    * dialed digit string matches the LONGEST prefix present in the
+    * routing/tariff dimension (destination tariffs key on number
+    * prefixes: '49' Germany, '4915' German mobile, '491520' a specific
+    * carrier — the most specific entry wins). Calls matching no prefix
+    * are NEVER dropped: they keep NULL route/prefix and rate 0 (the q195
+    * never-drop contract — unroutable traffic is a revenue-assurance
+    * finding, not a row to lose).
+    *
+    * Plan: NOT the naive theta join (`prefix = substr(dialed, 1,
+    * len(prefix))` explodes into calls × dim under a nested loop) and
+    * NOT an explode of per-call prefixes (explode + re-aggregate pays a
+    * call-grain shuffle). Instead: one BROADCAST left join PER PREFIX
+    * LENGTH present in the dimension (the dim splits by length on the
+    * driver — bounded-collect class: |lengths| ≤ 15 for E.164), each
+    * keyed on the call-side `substring(dialed, 1, L)` projection, then
+    * one `coalesce` down descending lengths. All lookups ride the SAME
+    * scan in one map-side stage: scan → L broadcast hash joins →
+    * projection, ZERO shuffles at any corpus size. The oracle replays
+    * the naive theta-join + max-length window formulation, so the
+    * hash-match proves the L-join cascade result-identical to textbook
+    * LPM semantics.
+    *
+    * The dimension must be prefix-unique (a duplicate prefix would bill
+    * one call twice under ANY formulation); duplicates fail loudly via a
+    * dim-sized pre-check rather than silently multiplying rows.
+    *
+    * `calls`: (call_id, dialed, dur_min); `prefixes`: (prefix, route,
+    * rate_centi). Returns per call: matched prefix/route/rate and
+    * `charge_centi = dur_min · rate_centi` (0 when unmatched or
+    * non-positive duration). */
+  def prefixRoute(calls: DataFrame, prefixes: DataFrame,
+      numCol: String = "dialed"): DataFrame = {
+    val wDup = Window.partitionBy(col("prefix"))
+    val dim = prefixes
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("prefix",
+        when(col("__dup") > 1L, expr(
+          "CAST(raise_error('prefixRoute: duplicate prefix in routing dim') AS STRING)"))
+          .otherwise(col("prefix")))
+      .drop("__dup")
+    // Bounded collect (|lengths| ≤ max prefix length, 15 for E.164):
+    // the driver needs the length set to emit one join per length.
+    val lengths = dim.select(length(col("prefix")).as("l")).distinct()
+      .collect().map(_.getInt(0)).sorted.reverse
+    require(lengths.nonEmpty, "prefixRoute: empty routing dimension")
+    val joined = lengths.foldLeft(calls) { (d, l) =>
+      val p = dim.filter(length(col("prefix")) === l).select(
+        col("prefix").as(s"__p$l"), col("route").as(s"__r$l"),
+        col("rate_centi").as(s"__c$l"))
+      d.join(broadcast(p),
+        substring(col(numCol), 1, l) === col(s"__p$l"), "left")
+    }
+    def firstOf(pre: String): Column =
+      coalesce(lengths.map(l => col(s"$pre$l")): _*)
+    joined
+      .withColumn("prefix", firstOf("__p"))
+      .withColumn("route", firstOf("__r"))
+      .withColumn("rate_centi", firstOf("__c"))
+      .withColumn("charge_centi",
+        when(col("rate_centi").isNotNull && col("dur_min") > 0L,
+          col("dur_min") * col("rate_centi")).otherwise(lit(0L)))
+      .drop(lengths.flatMap(l => Seq(s"__p$l", s"__r$l", s"__c$l")): _*)
+  }
+
+  /** Shared CDR derivation for the routing fixtures: 9-digit dialed
+    * numbers and 1..10-minute durations from events, by pure integer
+    * arithmetic both engines replay (no hash functions involved). */
+  private def fixtureCalls(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id").as("call_id"),
+      expr("CAST(100000000 + (event_id * 7919) % 900000000 AS STRING)")
+        .as("dialed"),
+      (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L)
+        .as("dur_min"))
+
+  private val fixtureCallsSql =
+    """SELECT event_id AS call_id,
+        CAST(100000000 + (event_id * 7919) % 900000000 AS VARCHAR) AS dialed,
+        1 + abs(CAST(round(value) AS BIGINT)) % 10 AS dur_min
+      FROM events"""
+
+  /** Oracle fixture of [[prefixRoute]]: a sparse 1–3-digit prefix plan —
+    * every 1-digit prefix except '9' (so ~1/9 of calls exercise the
+    * unmatched contract), every 4th 2-digit prefix, 3-digit prefixes
+    * ending in 1/3/7 — rates and routes derived from the prefix value.
+    * The oracle computes LPM the NAIVE way (theta join on the substring
+    * predicate + max-length window), pinning the broadcast cascade to
+    * textbook semantics. */
+  private val q256 = GQuery(
+    "q256_prefix_routing",
+    (s, dir) => {
+      val pfx = s.range(1L, 1000L).toDF("p")
+        .filter((col("p") <= 8L) ||
+          (col("p").between(10L, 99L) && col("p") % 4L === 1L) ||
+          (col("p") >= 100L && (col("p") % 10L).isin(1L, 3L, 7L)))
+        .select(col("p").cast(StringType).as("prefix"),
+          concat(lit("R"), (col("p") % 7L).cast(StringType)).as("route"),
+          (lit(50L) + col("p") % 97L).as("rate_centi"))
+      prefixRoute(fixtureCalls(s, dir), pfx)
+        .select(col("call_id"), col("dialed"), col("prefix"), col("route"),
+          col("rate_centi"), col("dur_min"), col("charge_centi"))
+        .orderBy(col("call_id"))
+    },
+    Some(s"""WITH calls AS ($fixtureCallsSql),
+      pfx AS (SELECT CAST(p AS VARCHAR) AS prefix,
+          'R' || CAST(p % 7 AS VARCHAR) AS route,
+          50 + p % 97 AS rate_centi
+        FROM UNNEST(generate_series(1, 999)) AS u(p)
+        WHERE p <= 8 OR (p BETWEEN 10 AND 99 AND p % 4 = 1)
+           OR (p >= 100 AND p % 10 IN (1, 3, 7))),
+      m AS (SELECT c.call_id, p.prefix, p.route, p.rate_centi,
+          ROW_NUMBER() OVER (PARTITION BY c.call_id
+            ORDER BY length(p.prefix) DESC) AS rn
+        FROM calls c JOIN pfx p
+          ON p.prefix = substr(c.dialed, 1, length(p.prefix))),
+      best AS (SELECT * FROM m WHERE rn = 1)
+      SELECT c.call_id, c.dialed, b.prefix, b.route, b.rate_centi,
+        c.dur_min,
+        CASE WHEN b.rate_centi IS NOT NULL AND c.dur_min > 0
+          THEN c.dur_min * b.rate_centi ELSE 0 END AS charge_centi
+      FROM calls c LEFT JOIN best b ON b.call_id = c.call_id
+      ORDER BY c.call_id"""))
+
+  /** Trunk-group concurrency sweep line — capacity planning's first
+    * number: per trunk, the PEAK simultaneous calls and when it was
+    * reached, plus offered load in erlang-milli (Σ call-seconds /
+    * observed span). Intervals are [start_sec, end_sec): a call ending
+    * at second t frees its circuit to one starting at t — the convention
+    * falls out of the delta encoding (net delta per second applies at
+    * that second) rather than being a tie-break rule.
+    *
+    * Plan: calls → ±1 deltas → one hash aggregation to (trunk, sec)
+    * NET-delta cells (map-side combine collapses same-second traffic),
+    * then the running concurrency via [[PrefixSum.exclusive]] with
+    * `partitionCols = trunk` and DAY-wide buckets: the per-(trunk, day)
+    * windows spread a hot trunk's sort over its active days, and the
+    * offset table is (trunk, day)-grain — calendar-bounded per trunk, so
+    * NO single reducer ever owns a whole data-sized trunk (the q220
+    * lesson, now served by the shared helper). Peak/busy-second reduce
+    * at trunk grain. The oracle replays the naive per-trunk global
+    * cumsum window, pinning the bucketed construction exact.
+    *
+    * Zero/negative-length calls contribute no circuit time but still
+    * count as attempts in `n_calls` (never-drop). */
+  def trunkPeaks(calls: DataFrame): DataFrame = {
+    val starts = calls.filter(col("end_sec") > col("start_sec"))
+      .select(col("trunk"), col("start_sec").as("sec"), lit(1L).as("d"))
+    val ends = calls.filter(col("end_sec") > col("start_sec"))
+      .select(col("trunk"), col("end_sec").as("sec"), lit(-1L).as("d"))
+    val cells = starts.unionAll(ends)
+      .groupBy(col("trunk"), col("sec")).agg(sum(col("d")).as("delta"))
+    val cum = PrefixSum.exclusive(cells, "sec", Seq("delta"),
+        bucketWidth = 86400L, partitionCols = Seq("trunk"))
+      .withColumn("conc", col("delta_cum") + col("delta"))
+    val peaks = cum
+      .withColumn("__pk",
+        max(col("conc")).over(Window.partitionBy(col("trunk"))))
+      .groupBy(col("trunk"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        min(when(col("conc") === col("__pk"), col("sec")))
+          .as("peak_at_sec"))
+    val span = calls.agg(
+      (max(col("end_sec")) - min(col("start_sec"))).as("span_sec"))
+    val totals = calls.groupBy(col("trunk"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(greatest(col("end_sec") - col("start_sec"), lit(0L)))
+          .as("call_sec"))
+    totals.join(peaks, Seq("trunk"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("trunk"), col("n_calls"),
+        coalesce(col("peak_concurrent"), lit(0L)).as("peak_concurrent"),
+        col("peak_at_sec"),
+        when(col("span_sec") > 0L,
+          expr("(1000 * call_sec) DIV span_sec")).otherwise(lit(0L))
+          .as("erlang_milli"))
+  }
+
+  /** Oracle fixture of [[trunkPeaks]]: trunks are (event_type ×
+    * user_id%50) groups — ~350 trunks so the sweep exercises real
+    * parallelism; call windows from the q226 CDR derivation. */
+  private val q257 = GQuery(
+    "q257_trunk_peak",
+    (s, dir) => trunkPeaks(
+      t(s, dir, "events").select(
+        concat(col("event_type"), lit("-"),
+          (col("user_id") % 50L).cast(StringType)).as("trunk"),
+        col("ts").cast(LongType).as("start_sec"),
+        (col("ts").cast(LongType) + lit(60L) *
+          (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L))
+          .as("end_sec")))
+      .orderBy(col("trunk")),
+    Some(s"""WITH calls AS (SELECT
+          event_type || '-' || CAST(user_id % 50 AS VARCHAR) AS trunk,
+          ${epochSecSql("ts")} AS start_sec,
+          ${epochSecSql("ts")}
+            + 60 * (1 + abs(CAST(round(value) AS BIGINT)) % 10) AS end_sec
+        FROM events),
+      deltas AS (
+        SELECT trunk, start_sec AS sec, 1 AS d FROM calls
+          WHERE end_sec > start_sec
+        UNION ALL
+        SELECT trunk, end_sec AS sec, -1 AS d FROM calls
+          WHERE end_sec > start_sec),
+      cells AS (SELECT trunk, sec, SUM(d) AS delta
+        FROM deltas GROUP BY 1, 2),
+      cum AS (SELECT trunk, sec,
+          SUM(delta) OVER (PARTITION BY trunk ORDER BY sec) AS conc
+        FROM cells),
+      pk AS (SELECT trunk, MAX(conc) AS peak_concurrent FROM cum GROUP BY 1),
+      at AS (SELECT c.trunk, MIN(c.sec) AS peak_at_sec
+        FROM cum c JOIN pk ON pk.trunk = c.trunk
+          AND c.conc = pk.peak_concurrent
+        GROUP BY 1),
+      span AS (SELECT MAX(end_sec) - MIN(start_sec) AS span_sec FROM calls),
+      tot AS (SELECT trunk, COUNT(*) AS n_calls,
+          SUM(GREATEST(end_sec - start_sec, 0)) AS call_sec
+        FROM calls GROUP BY 1)
+      SELECT t.trunk, t.n_calls,
+        CAST(COALESCE(pk.peak_concurrent, 0) AS BIGINT) AS peak_concurrent,
+        at.peak_at_sec,
+        CAST(CASE WHEN span.span_sec > 0
+          THEN (1000 * t.call_sec) // span.span_sec
+          ELSE 0 END AS BIGINT) AS erlang_milli
+      FROM tot t
+      LEFT JOIN pk ON pk.trunk = t.trunk
+      LEFT JOIN at ON at.trunk = t.trunk
+      CROSS JOIN span
+      ORDER BY t.trunk"""))
+
+  /** ASR/ACD route-quality card — the interconnect KPI watched hourly on
+    * every route: per (route, day), attempts, answered calls (positive
+    * duration), answer-seizure ratio in ppm, average call duration of
+    * ANSWERED calls in exact centi-seconds, and the short-call (≤ 5 s)
+    * share of answered — the signature of both dying routes and
+    * false-answer-supervision fraud. One hash aggregation at (route,
+    * day) grain; every ratio an exact integer DIV. */
+  def asrCard(calls: DataFrame): DataFrame =
+    calls
+      .groupBy(col("route"), col("day"))
+      .agg(count(lit(1)).as("attempts"),
+        sum(when(col("dur_centi") > 0L, 1L).otherwise(0L)).as("answered"),
+        sum(when(col("dur_centi") > 0L, col("dur_centi")).otherwise(0L))
+          .as("dur_sum"),
+        sum(when(col("dur_centi") > 0L && col("dur_centi") <= 500L, 1L)
+          .otherwise(0L)).as("short_calls"))
+      .select(col("route"), col("day"), col("attempts"), col("answered"),
+        expr("(1000000 * answered) DIV attempts").as("asr_ppm"),
+        when(col("answered") > 0L, expr("dur_sum DIV answered"))
+          .as("acd_centisec"),
+        when(col("answered") > 0L,
+          expr("(1000000 * short_calls) DIV answered")).as("short_ppm"))
+
+  /** Oracle fixture of [[asrCard]]: routes are event types, duration
+    * from the value column — negative values are unanswered attempts
+    * (the fixture's value distribution crosses zero, so the ASR is
+    * genuinely fractional). */
+  private val q258 = GQuery(
+    "q258_asr_card",
+    (s, dir) => asrCard(
+      t(s, dir, "events").select(
+        col("event_type").as("route"),
+        dateStr(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("dur_centi")))
+      .orderBy(col("route"), col("day")),
+    Some("""WITH calls AS (SELECT event_type AS route,
+          strftime(ts, '%Y-%m-%d') AS day,
+          CAST(round(value * 100) AS BIGINT) AS dur_centi
+        FROM events),
+      g AS (SELECT route, day, COUNT(*) AS attempts,
+          CAST(SUM(CASE WHEN dur_centi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS answered,
+          CAST(SUM(CASE WHEN dur_centi > 0 THEN dur_centi ELSE 0 END)
+            AS BIGINT) AS dur_sum,
+          CAST(SUM(CASE WHEN dur_centi > 0 AND dur_centi <= 500
+            THEN 1 ELSE 0 END) AS BIGINT) AS short_calls
+        FROM calls GROUP BY 1, 2)
+      SELECT route, day, attempts, answered,
+        (1000000 * answered) // attempts AS asr_ppm,
+        CASE WHEN answered > 0 THEN dur_sum // answered END AS acd_centisec,
+        CASE WHEN answered > 0 THEN (1000000 * short_calls) // answered END
+          AS short_ppm
+      FROM g ORDER BY route, day"""))
+
+  val queries: Seq[GQuery] = Seq(q256, q257, q258)
+}
