@@ -771,4 +771,63 @@ class StreamingSpec extends SparkSpec {
       runner.stopAll()
     }
   }
+
+  test("TrunkGauge tracks live concurrency with batch-twin parity") {
+    import graft.streaming.{TCall, TGauge, TrunkGauge}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TCall]
+      val out = in.toDS().groupByKey(_.trunk)
+        .transformWithState(new TrunkGauge(horizonSec = 1000L),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("trunk_gauge").start()
+      def last() = spark.table("trunk_gauge").as[TGauge].collect()
+        .groupBy(_.trunk).map { case (t, gs) => t -> gs.last }
+      try {
+        // batch 1: two overlapping calls -> peak 2 at 50, current 2 at
+        // hw = 50; plus a zero-length attempt on t2
+        in.addData(TCall("t1", 0L, 100L), TCall("t1", 50L, 150L),
+          TCall("t2", 10L, 10L))
+        q.processAllAvailable()
+        val g1 = last()
+        assert(g1("t1") == TGauge("t1", 2L, 2L, 2L, Some(50L)), g1.toString)
+        assert(g1("t2") == TGauge("t2", 1L, 0L, 0L, None), g1.toString)
+        // batch 2, cross-batch state: a call starting exactly at the
+        // first one's end (150) must NOT raise the peak (end frees the
+        // circuit); a later burst raises it to 3
+        in.addData(TCall("t1", 150L, 200L))
+        q.processAllAvailable()
+        in.addData(TCall("t1", 160L, 210L), TCall("t1", 170L, 220L))
+        q.processAllAvailable()
+        val g2 = last()("t1")
+        assert(g2.peak_concurrent == 3L && g2.peak_at_sec == Some(170L), g2)
+        assert(g2.n_calls == 5L && g2.current == 3L, g2)
+        // batch-twin parity: the SAME calls through the oracle-checked
+        // batch operator
+        val batch = graft.queries.RoutingQ.trunkPeaks(
+          Seq(("t1", 0L, 100L), ("t1", 50L, 150L), ("t2", 10L, 10L),
+            ("t1", 150L, 200L), ("t1", 160L, 210L), ("t1", 170L, 220L))
+            .toDF("trunk", "start_sec", "end_sec"))
+          .select("trunk", "n_calls", "peak_concurrent", "peak_at_sec")
+          .as[(String, Long, Long, Option[Long])].collect()
+          .map(r => r._1 -> r).toMap
+        val live = last()
+        batch.foreach { case (t, (_, n, p, at)) =>
+          val g = live(t)
+          assert((g.n_calls, g.peak_concurrent, g.peak_at_sec) == ((n, p, at)),
+            s"trunk $t: live=$g batch=${batch(t)}")
+        }
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
