@@ -1471,20 +1471,29 @@ object TextQ {
     ORDER BY lang"""))
 
   /** Winnowing-style document fingerprints: min md5 within each window of
-    * 4 consecutive shingles; distinct mins are the fingerprint set. */
+    * 4 consecutive shingles; distinct mins are the fingerprint set.
+    *
+    * Entirely MAP-SIDE (round-9 rewrite): the fingerprint set is a
+    * per-document computation, so exploding shingles to rows and paying
+    * a doc_id shuffle + sort for a windowed min (the first-draft shape —
+    * ~50× row blow-up, two exchanges) is pure overhead. The sliding min
+    * runs as array higher-order functions on the shingle-hash array
+    * (`slice` truncates at the array end, reproducing the window's
+    * short tails), distinct-count and min collapse per row: scan →
+    * projection, ZERO shuffles. The unchanged oracle replays the
+    * windowed form, pinning the HOF rewrite result-identical. */
   private val q34 = GQuery(
     "q34_fingerprint",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
+      t(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("pos", "sh")))
-        .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 3)
-      sh.withColumn("f", min(col("h")).over(w))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("f")).as("n_fp"), min(col("f")).as("min_fp"))
+        .withColumn("hs", expr(s"transform($shinglesExpr, x -> md5(x))"))
+        .withColumn("fs", expr(
+          "transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4)))"))
+        .select(col("doc_id"),
+          size(array_distinct(col("fs"))).cast(LongType).as("n_fp"),
+          array_min(col("fs")).as("min_fp"))
         .orderBy(col("doc_id"))
     },
     Some(s"""$shinglesSql,
