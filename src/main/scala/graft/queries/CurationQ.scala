@@ -1474,11 +1474,15 @@ object CurationQ {
     * seqLen 64, packed per source). */
   private val q127 = GQuery(
     "q127_seq_assembly",
+    // deliberately NOT globally sorted (the q248 rule): the output is
+    // TOKEN grain — the largest result any fixture dumps — and a
+    // dataloader consumes chunks shard-wise, never as one total order;
+    // the driver's compare canon-sorts, the oracle keeps its ORDER BY
+    // for readability only
     (s, dir) => {
       val docs = t(s, dir, "documents")
       assembleSequences(docs, TextQ.buildVocab(docs, vocabSize = 100),
           seqLen = 64)
-        .orderBy(col("source"), col("chunk_id"), col("pos_in_chunk"))
     },
     Some("""WITH e AS (SELECT source, doc_id, CAST(i - 1 AS BIGINT) AS pos,
           ts[i] AS tok
@@ -1557,7 +1561,7 @@ object CurationQ {
         when(expr("doc_id % 10 < 9"), lit("mega")).otherwise(col("source")))
       assembleSequences(d, TextQ.buildVocab(d, vocabSize = 100), seqLen = 64,
           groupCol = "src_mega", bucketDocs = 16L)
-        .orderBy(col("src_mega"), col("chunk_id"), col("pos_in_chunk"))
+      // token-grain output: no global sort (q127's rule)
     },
     Some("""WITH dd AS (SELECT
           CASE WHEN doc_id % 10 < 9 THEN 'mega' ELSE source END AS src_mega,
