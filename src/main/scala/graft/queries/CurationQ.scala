@@ -359,6 +359,120 @@ object CurationQ {
       WHERE r.rn <= 20
       ORDER BY r.stratum, r.rn"""))
 
+  /** Column-profile drift card — the schema-stability gate a 100 TB
+    * ingest runs on every batch BEFORE appending it: per column, row and
+    * null counts, exact distinct cardinality and min/max for the
+    * reference slice vs the candidate slice, plus the null-rate drift in
+    * ppm. A column whose null rate jumps or whose cardinality collapses
+    * is an upstream schema/extraction break that every downstream
+    * operator would silently absorb — this card is where it gets loud.
+    *
+    * Plan: ONE corpus scan into a single aggregation row (every metric a
+    * conditional agg on the `is_ref` flag), then the 1-row result
+    * explodes into |cols| card rows — no per-column scans, no joins.
+    * The exact per-column distinct counts make Spark plan an Expand of
+    * ×(2·|cols|) before the partial aggregation — the documented cost of
+    * exactness on a BOUNDED column list; a wide-table variant would swap
+    * `countDistinct` for the q12b HLL sketch and keep the same shape.
+    * Min/max stringify AFTER aggregating on the native type; callers
+    * should avoid raw doubles here (float-to-string formatting is
+    * engine-specific — the q90 rule). */
+  def profileDrift(df: DataFrame, cols: Seq[String],
+      refCol: String = "is_ref"): DataFrame = {
+    require(cols.nonEmpty, "profileDrift: empty column list")
+    val sides = Seq("ref" -> col(refCol), "cur" -> !col(refCol))
+    val aggs = cols.flatMap { c =>
+      sides.flatMap { case (tag, pred) =>
+        Seq(
+          sum(when(pred, 1L).otherwise(0L)).as(s"__n_${tag}_$c"),
+          sum(when(pred && col(c).isNull, 1L).otherwise(0L))
+            .as(s"__z_${tag}_$c"),
+          countDistinct(when(pred, col(c))).as(s"__d_${tag}_$c"),
+          min(when(pred, col(c))).cast(StringType).as(s"__lo_${tag}_$c"),
+          max(when(pred, col(c))).cast(StringType).as(s"__hi_${tag}_$c"))
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_ref_$c").as("n_ref"), col(s"__n_cur_$c").as("n_cur"),
+        expr(s"(1000000 * __z_ref_$c) DIV greatest(__n_ref_$c, 1L)")
+          .as("null_ppm_ref"),
+        expr(s"(1000000 * __z_cur_$c) DIV greatest(__n_cur_$c, 1L)")
+          .as("null_ppm_cur"),
+        col(s"__d_ref_$c").as("distinct_ref"),
+        col(s"__d_cur_$c").as("distinct_cur"),
+        col(s"__lo_ref_$c").as("min_ref"), col(s"__hi_ref_$c").as("max_ref"),
+        col(s"__lo_cur_$c").as("min_cur"), col(s"__hi_cur_$c").as("max_cur"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .withColumn("null_drift_ppm",
+        abs(col("null_ppm_ref") - col("null_ppm_cur")))
+  }
+
+  /** Oracle fixture of [[profileDrift]]: events split into reference
+    * (even event_id) vs candidate (odd) halves over three stringly/
+    * integral columns — same-distribution halves, so the card reads
+    * near-zero drift and any nonzero rows are real sampling variance. */
+  private val q261 = GQuery(
+    "q261_profile_drift",
+    (s, dir) => profileDrift(
+      t(s, dir, "events").withColumn("is_ref", expr("event_id % 2 = 0")),
+      Seq("event_type", "user_id", "props"))
+      .orderBy(col("column")),
+    Some("""WITH e AS (SELECT *, event_id % 2 = 0 AS is_ref FROM events),
+      m AS (
+        SELECT 'event_type' AS "column",
+          SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+          SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur,
+          SUM(CASE WHEN is_ref AND event_type IS NULL THEN 1 ELSE 0 END) AS z_ref,
+          SUM(CASE WHEN NOT is_ref AND event_type IS NULL THEN 1 ELSE 0 END) AS z_cur,
+          COUNT(DISTINCT CASE WHEN is_ref THEN event_type END) AS distinct_ref,
+          COUNT(DISTINCT CASE WHEN NOT is_ref THEN event_type END) AS distinct_cur,
+          CAST(MIN(CASE WHEN is_ref THEN event_type END) AS VARCHAR) AS min_ref,
+          CAST(MAX(CASE WHEN is_ref THEN event_type END) AS VARCHAR) AS max_ref,
+          CAST(MIN(CASE WHEN NOT is_ref THEN event_type END) AS VARCHAR) AS min_cur,
+          CAST(MAX(CASE WHEN NOT is_ref THEN event_type END) AS VARCHAR) AS max_cur
+        FROM e
+        UNION ALL
+        SELECT 'user_id',
+          SUM(CASE WHEN is_ref THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END),
+          SUM(CASE WHEN is_ref AND user_id IS NULL THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT is_ref AND user_id IS NULL THEN 1 ELSE 0 END),
+          COUNT(DISTINCT CASE WHEN is_ref THEN user_id END),
+          COUNT(DISTINCT CASE WHEN NOT is_ref THEN user_id END),
+          CAST(MIN(CASE WHEN is_ref THEN user_id END) AS VARCHAR),
+          CAST(MAX(CASE WHEN is_ref THEN user_id END) AS VARCHAR),
+          CAST(MIN(CASE WHEN NOT is_ref THEN user_id END) AS VARCHAR),
+          CAST(MAX(CASE WHEN NOT is_ref THEN user_id END) AS VARCHAR)
+        FROM e
+        UNION ALL
+        SELECT 'props',
+          SUM(CASE WHEN is_ref THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END),
+          SUM(CASE WHEN is_ref AND props IS NULL THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT is_ref AND props IS NULL THEN 1 ELSE 0 END),
+          COUNT(DISTINCT CASE WHEN is_ref THEN props END),
+          COUNT(DISTINCT CASE WHEN NOT is_ref THEN props END),
+          CAST(MIN(CASE WHEN is_ref THEN props END) AS VARCHAR),
+          CAST(MAX(CASE WHEN is_ref THEN props END) AS VARCHAR),
+          CAST(MIN(CASE WHEN NOT is_ref THEN props END) AS VARCHAR),
+          CAST(MAX(CASE WHEN NOT is_ref THEN props END) AS VARCHAR)
+        FROM e)
+      SELECT "column", CAST(n_ref AS BIGINT) AS n_ref,
+        CAST(n_cur AS BIGINT) AS n_cur,
+        CAST((1000000 * z_ref) // GREATEST(n_ref, 1) AS BIGINT) AS null_ppm_ref,
+        CAST((1000000 * z_cur) // GREATEST(n_cur, 1) AS BIGINT) AS null_ppm_cur,
+        CAST(distinct_ref AS BIGINT) AS distinct_ref,
+        CAST(distinct_cur AS BIGINT) AS distinct_cur,
+        min_ref, max_ref, min_cur, max_cur,
+        CAST(ABS((1000000 * z_ref) // GREATEST(n_ref, 1)
+          - (1000000 * z_cur) // GREATEST(n_cur, 1)) AS BIGINT)
+          AS null_drift_ppm
+      FROM m ORDER BY "column""""))
+
   /** Oracle fixture of [[uniformSampleN]] (N=100). */
   private val q56 = GQuery(
     "q56_uniform_sample",
@@ -2815,5 +2929,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259)
+      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261)
 }

@@ -302,5 +302,109 @@ object RoutingQ {
           AS short_ppm
       FROM g ORDER BY route, day"""))
 
-  val queries: Seq[GQuery] = Seq(q256, q257, q258)
+  /** Erlang-B circuit dimensioning — the capacity answer the sweep line's
+    * load number exists for: given each trunk's offered load E (erlangs,
+    * milli-precision), the REQUIRED circuit count is the smallest C with
+    * blocking probability B(E, C) at or under `targetBlockPpm`. B follows
+    * the standard Erlang-B recursion B(E,0) = 1, B(E,k) = E·B(E,k−1) /
+    * (k + E·B(E,k−1)) — evaluated ENTIRELY in integer ppm arithmetic
+    * (numerators lifted to DECIMAL(38,0)/HUGEINT, one truncating DIV per
+    * step), so both engines replay the identical staircase bit-for-bit;
+    * no floats, no library gamma calls.
+    *
+    * Plan: the recursion is a bounded fold (`aggregate(sequence(1,
+    * maxCircuits))`) over each trunk's 1-row load — pure map-side
+    * compute after whatever produced the loads; the oracle replays it as
+    * a recursive CTE. Zero-load trunks need 0 circuits; trunks whose
+    * load cannot meet the target within `maxCircuits` report NULL
+    * circuits with their residual blocking — loudly visible, never
+    * silently clamped.
+    *
+    * `loads`: (trunk, erlang_milli). Returns (trunk, erlang_milli,
+    * circuits_required, block_ppm) where block_ppm is the blocking at
+    * the chosen size (or at maxCircuits when NULL). */
+  def erlangCapacity(loads: DataFrame, targetBlockPpm: Long = 10000L,
+      maxCircuits: Int = 128): DataFrame = {
+    require(targetBlockPpm >= 1L && targetBlockPpm < 1000000L,
+      s"targetBlockPpm must be in [1, 1e6), got $targetBlockPpm")
+    require(maxCircuits >= 1, s"maxCircuits must be >= 1, got $maxCircuits")
+    loads.select(col("trunk"), col("erlang_milli"),
+        expr(s"""aggregate(
+          sequence(1, $maxCircuits),
+          named_struct('bp', CAST(1000000 AS BIGINT),
+                       'c', CAST(NULL AS BIGINT)),
+          (acc, k) -> IF(acc.c IS NOT NULL OR erlang_milli <= 0, acc,
+            named_struct(
+              'bp', CAST((CAST(1000000 AS DECIMAL(38,0)) * erlang_milli
+                  * acc.bp)
+                DIV (CAST(k AS DECIMAL(38,0)) * 1000000000
+                  + CAST(erlang_milli AS DECIMAL(38,0)) * acc.bp)
+                AS BIGINT),
+              'c', IF(CAST((CAST(1000000 AS DECIMAL(38,0)) * erlang_milli
+                    * acc.bp)
+                  DIV (CAST(k AS DECIMAL(38,0)) * 1000000000
+                    + CAST(erlang_milli AS DECIMAL(38,0)) * acc.bp)
+                  AS BIGINT) <= $targetBlockPpm,
+                CAST(k AS BIGINT), CAST(NULL AS BIGINT)))))
+          AS st"""))
+      .select(col("trunk"), col("erlang_milli"),
+        when(col("erlang_milli") <= 0L, lit(0L))
+          .otherwise(col("st.c")).as("circuits_required"),
+        when(col("erlang_milli") <= 0L, lit(0L))
+          .otherwise(col("st.bp")).as("block_ppm"))
+  }
+
+  /** Oracle fixture of [[erlangCapacity]] (1% blocking, ≤ 128 circuits):
+    * loads per event-type trunk from total call seconds over the corpus
+    * span; the oracle replays the integer recursion as a recursive CTE. */
+  private val q260 = GQuery(
+    "q260_erlang_capacity",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("trunk"),
+        (lit(60L) * (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)"))
+          % 10L)).as("dur_sec"),
+        col("ts").cast(LongType).as("sec"))
+      val span = ev.agg((max(col("sec")) - min(col("sec"))).as("span_sec"))
+      val loads = ev.groupBy(col("trunk"))
+        .agg(sum(col("dur_sec")).as("call_sec"))
+        .crossJoin(broadcast(span))
+        .select(col("trunk"),
+          expr("(1000 * call_sec) DIV span_sec").as("erlang_milli"))
+      erlangCapacity(loads).orderBy(col("trunk"))
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT event_type AS trunk,
+          60 * (1 + abs(CAST(round(value) AS BIGINT)) % 10) AS dur_sec,
+          ${epochSecSql("ts")} AS sec
+        FROM events),
+      span AS (SELECT MAX(sec) - MIN(sec) AS span_sec FROM ev),
+      loads AS (SELECT trunk,
+          (1000 * SUM(dur_sec)) // span.span_sec AS erlang_milli
+        FROM ev, span GROUP BY trunk, span.span_sec),
+      rec AS (
+        SELECT trunk, erlang_milli, 0 AS k,
+          CAST(1000000 AS HUGEINT) AS bp
+        FROM loads WHERE erlang_milli > 0
+        UNION ALL
+        SELECT trunk, erlang_milli, k + 1,
+          (CAST(1000000 AS HUGEINT) * erlang_milli * bp)
+            // (CAST(k + 1 AS HUGEINT) * 1000000000
+               + CAST(erlang_milli AS HUGEINT) * bp)
+        FROM rec WHERE k < 128),
+      hit AS (SELECT trunk, MIN(k) AS c FROM rec
+        WHERE k >= 1 AND bp <= 10000 GROUP BY trunk),
+      at AS (SELECT r.trunk, h.c, r.bp FROM rec r JOIN hit h
+          ON h.trunk = r.trunk AND r.k = h.c),
+      last AS (SELECT trunk, bp FROM rec WHERE k = 128)
+      SELECT l.trunk, CAST(l.erlang_milli AS BIGINT) AS erlang_milli,
+        CAST(CASE WHEN l.erlang_milli <= 0 THEN 0 ELSE a.c END
+          AS BIGINT) AS circuits_required,
+        CAST(CASE WHEN l.erlang_milli <= 0 THEN 0
+          ELSE COALESCE(a.bp, la.bp) END AS BIGINT) AS block_ppm
+      FROM loads l
+      LEFT JOIN at a ON a.trunk = l.trunk
+      LEFT JOIN last la ON la.trunk = l.trunk
+      ORDER BY l.trunk"""))
+
+  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260)
 }

@@ -178,6 +178,65 @@ class RoutingSpec extends SparkSpec {
     assert(got.forall(r => r._7 == math.max(r._4, tau)))
   }
 
+  // --- q260 Erlang-B capacity ----------------------------------------------
+
+  test("erlangCapacity: textbook values, zero load, unreachable target") {
+    val loads = Seq(
+      ("a", 250L), // 0.25 erlangs: B(2)≈2.4% > 1%, B(3)≈0.2% -> 3 circuits
+      ("z", 0L), // no load -> 0 circuits
+      ("big", 1000000L)) // 1000 erlangs cannot reach 1% within 128 -> NULL
+      .toDF("trunk", "erlang_milli")
+    val got = RoutingQ.erlangCapacity(loads,
+        targetBlockPpm = 10000L, maxCircuits = 128)
+      .as[(String, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._3 == Some(3L), got("a").toString)
+    assert(got("a")._4 > 0L && got("a")._4 <= 10000L, got("a").toString)
+    assert(got("z") == (("z", 0L, Some(0L), 0L)), got("z").toString)
+    assert(got("big")._3.isEmpty && got("big")._4 > 10000L,
+      got("big").toString)
+  }
+
+  test("erlangCapacity: blocking decreases and more circuits for more load") {
+    val loads = Seq(("lo", 1000L), ("hi", 10000L))
+      .toDF("trunk", "erlang_milli")
+    val got = RoutingQ.erlangCapacity(loads)
+      .as[(String, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(got("hi") > got("lo"), got.toString)
+  }
+
+  // --- q261 profile drift ----------------------------------------------------
+
+  test("profileDrift: null rates, cardinality and extremes by hand") {
+    val df = Seq(
+      (true, Some("a"), 1L), (true, Some("b"), 2L),
+      (true, None, 3L), (true, Some("a"), 4L),
+      (false, Some("a"), 5L), (false, None, 6L))
+      .toDF("is_ref", "s", "k")
+    val got = graft.queries.CurationQ.profileDrift(df, Seq("s", "k"))
+      .as[(String, Long, Long, Long, Long, Long, Long,
+        Option[String], Option[String], Option[String], Option[String], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val s = got("s")
+    // ref: 4 rows, 1 null -> 250000 ppm, 2 distinct, min a max b;
+    // cur: 2 rows, 1 null -> 500000 ppm, 1 distinct
+    assert(s == (("s", 4L, 2L, 250000L, 500000L, 2L, 1L,
+      Some("a"), Some("b"), Some("a"), Some("a"), 250000L)), s.toString)
+    val k = got("k")
+    assert(k._6 == 4L && k._7 == 2L && k._8 == Some("1") &&
+      k._9 == Some("4") && k._12 == 0L, k.toString)
+  }
+
+  test("profileDrift: an empty side reports zero rows without dividing") {
+    val df = Seq((true, Some("x"))).toDF("is_ref", "s")
+    val got = graft.queries.CurationQ.profileDrift(df, Seq("s"))
+      .as[(String, Long, Long, Long, Long, Long, Long,
+        Option[String], Option[String], Option[String], Option[String], Long)]
+      .head()
+    assert(got._3 == 0L && got._5 == 0L && got._10.isEmpty, got.toString)
+  }
+
   // --- PrefixSum partitionCols --------------------------------------------
 
   test("PrefixSum.exclusive with partitionCols equals per-group windows") {
