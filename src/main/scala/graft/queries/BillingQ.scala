@@ -40,7 +40,19 @@ object BillingQ {
   def prorationCharges(changes: DataFrame): DataFrame = {
     val wm = changes.agg(date_add(max(col("change_date")), 1).as("wm_end"))
     val w = Window.partitionBy(col("account_id")).orderBy(col("change_date"))
+    // LOUD guard on the input contract: a duplicate (account, change_date)
+    // would make the lead window's tie order nondeterministic AND produce
+    // an empty segment whose month `sequence(...)` silently RUNS BACKWARD
+    // (Spark's sequence auto-negates its step when start > stop) — a
+    // wrong bill, not an error, so it must never get that far.
+    val wDup = Window.partitionBy(col("account_id"), col("change_date"))
     changes
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("change_date",
+        when(col("__dup") > 1L, expr(
+          "CAST(raise_error('prorationCharges: duplicate (account, change_date) — pre-collapse same-day re-changes') AS DATE)"))
+          .otherwise(col("change_date")))
+      .drop("__dup")
       .withColumn("seg_next", lead(col("change_date"), 1).over(w))
       .crossJoin(broadcast(wm))
       .withColumn("seg_end", coalesce(col("seg_next"), col("wm_end")))
@@ -115,6 +127,12 @@ object BillingQ {
     * shape a recognition schedule can have at 100 TB. */
   def revenueRecognition(contracts: DataFrame): DataFrame =
     contracts
+      // a non-positive term would make sequence() run backward (silent
+      // negative schedule) — fail loudly instead
+      .withColumn("n_months",
+        when(col("n_months") < 1L, expr(
+          "CAST(raise_error('revenueRecognition: n_months must be >= 1') AS BIGINT)"))
+          .otherwise(col("n_months")))
       .withColumn("i", explode(expr("sequence(0L, n_months - 1L)")))
       .withColumn("m", add_months(col("start_month"), col("i").cast(IntegerType)))
       .withColumn("rec", expr("""amount_centi DIV n_months +
@@ -265,6 +283,10 @@ object BillingQ {
     * roll-up. Two shuffles total, both at billing grain. */
   def commitmentTrueup(usage: DataFrame, commits: DataFrame): DataFrame =
     usage
+      // commits are MONTHLY: month-truncate the usage grain here so a
+      // caller passing day-grain rows can't silently compare each DAY
+      // against the monthly commit (idempotent for month-grain input)
+      .withColumn("m", trunc(col("m"), "MM"))
       .groupBy(col("account_id"), col("m"))
       .agg(sum(col("amount_centi")).as("usage_centi"))
       .join(commits, Seq("account_id"))

@@ -42,7 +42,10 @@ object RoutingQ {
     *
     * The dimension must be prefix-unique (a duplicate prefix would bill
     * one call twice under ANY formulation); duplicates fail loudly via a
-    * dim-sized pre-check rather than silently multiplying rows.
+    * dim-sized pre-check rather than silently multiplying rows. An
+    * EMPTY-string prefix is valid and matches every number — the
+    * standard way a routing table expresses its default route (it loses
+    * to any longer match, exactly like a real LCR table).
     *
     * `calls`: (call_id, dialed, dur_min); `prefixes`: (prefix, route,
     * rate_centi). Returns per call: matched prefix/route/rate and

@@ -82,6 +82,45 @@ class BillingSpec extends SparkSpec {
       (3, 1L, 1L, 200L, Some(91L))), got.toString)
   }
 
+  test("prorationCharges: a duplicate (account, change_date) fails loudly") {
+    import java.sql.Date
+    val ch = Seq(
+      (1L, Date.valueOf("2026-01-01"), 100L),
+      (1L, Date.valueOf("2026-01-01"), 200L))
+      .toDF("account_id", "change_date", "price_centi")
+    val e = intercept[Exception] {
+      BillingQ.prorationCharges(ch).collect()
+    }
+    assert(e.getMessage.contains("duplicate (account, change_date)"),
+      e.getMessage)
+  }
+
+  test("revenueRecognition: a non-positive term fails loudly") {
+    import java.sql.Date
+    val c = Seq((1200L, 0L, Date.valueOf("2026-01-01")))
+      .toDF("amount_centi", "n_months", "start_month")
+    val e = intercept[Exception] {
+      BillingQ.revenueRecognition(c).collect()
+    }
+    assert(e.getMessage.contains("n_months must be >= 1"), e.getMessage)
+  }
+
+  test("commitmentTrueup: day-grain usage aggregates to the month") {
+    import java.sql.Date
+    // two days of the same month must compare ONCE against the monthly
+    // commit, not once per day
+    val usage = Seq(
+      (1L, Date.valueOf("2026-03-05"), 600L),
+      (1L, Date.valueOf("2026-03-20"), 500L))
+      .toDF("account_id", "m", "amount_centi")
+    val commits = Seq((1L, 1000L)).toDF("account_id", "commit_centi")
+    val got = BillingQ.commitmentTrueup(usage, commits)
+      .as[(String, Long, Long, Long, Long)].head()
+    // usage 1100 >= commit 1000 -> no shortfall; day-grain comparison
+    // would have billed 400 + 500 of bogus true-up
+    assert(got == (("2026-03-01", 1L, 0L, 1100L, 0L)), got.toString)
+  }
+
   test("dunningCard: same-day invoices apply in key order") {
     // Two same-day invoices: the key breaks the FIFO tie deterministically
     // (k=1 first). 60 of payment covers k=1 (50) then 10 of k=2.
