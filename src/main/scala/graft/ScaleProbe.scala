@@ -68,7 +68,8 @@ object ScaleProbe {
     "q251_friedman", "q252_bootstrap_ci", "q253_source_overlap",
     "q254_commitment_trueup", "q255_reliability_card",
     "q256_prefix_routing", "q257_trunk_peak", "q258_asr_card",
-    "q259_priority_sample", "q260_erlang_capacity", "q261_profile_drift")
+    "q259_priority_sample", "q260_erlang_capacity", "q261_profile_drift",
+    "q262_waterfill_mix")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

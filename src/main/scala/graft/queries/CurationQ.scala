@@ -473,6 +473,154 @@ object CurationQ {
           AS null_drift_ppm
       FROM m ORDER BY "column""""))
 
+  /** Waterfilling mixture allocation — the sizing computation behind a
+    * training-data recipe: each domain should contribute `share_ppm` of
+    * a `budget`-token mix, but a domain holds only `avail` tokens; when
+    * one runs dry its shortfall redistributes over the others IN
+    * PROPORTION to their shares (the waterfilling solution — raise one
+    * water level λ, each domain gives min(avail, share·λ)). The answer a
+    * recipe owner needs BEFORE sampling: who caps, what the achievable
+    * level is, and each domain's exact allocation.
+    *
+    * Exact integer construction both engines replay: breakpoint levels
+    * `λ_d = avail·10¹² DIV share_ppm` sort ascending; the mix total AT
+    * each breakpoint is an inclusive avail prefix + λ_d·(remaining
+    * share) DIV 10¹² (tie-safe: rows sharing a breakpoint share the
+    * same total via a per-λ max); a domain caps iff its breakpoint
+    * total still falls short of the budget. The final level solves the
+    * budget on the uncapped share mass; truncation leaves at most
+    * |domains| tokens unallocated (reported, never hidden). A budget at
+    * or above Σ avail caps everyone and surfaces the shortfall.
+    *
+    * Plan: everything after the caller's avail aggregation rides the
+    * |domains|-row table — two window passes over it (histogram-sized,
+    * the sanctioned class) and one broadcast of the capped-mass scalar.
+    * Requires Σ share_ppm = 10⁶ exactly and positive shares — LOUDLY. */
+  def waterfillAllocation(domains: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0L, s"waterfillAllocation: budget=$budget")
+    val checked = domains
+      .withColumn("__tot", sum(col("share_ppm")).over(Window.partitionBy()))
+      .withColumn("share_ppm",
+        when(col("__tot") =!= 1000000L || col("share_ppm") <= 0L, expr(
+          "CAST(raise_error('waterfillAllocation: share_ppm must be positive and sum to 1e6') AS BIGINT)"))
+          .otherwise(col("share_ppm")))
+      .drop("__tot")
+      .withColumn("lam",
+        expr("(CAST(avail AS DECIMAL(38,0)) * 1000000000000) DIV share_ppm"))
+    val wOrd = Window.orderBy(col("lam"), col("domain"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLam = Window.partitionBy(col("lam"))
+    val flagged = checked
+      .withColumn("__ai", sum(col("avail")).over(wOrd))
+      .withColumn("__si", sum(col("share_ppm")).over(wOrd))
+      .withColumn("__a_at", max(col("__ai")).over(wLam))
+      .withColumn("__s_at", max(col("__si")).over(wLam))
+      .withColumn("__total_at", expr(
+        """__a_at + (CAST(lam AS DECIMAL(38,0)) * (1000000 - __s_at))
+           DIV 1000000000000"""))
+      .withColumn("capped", col("__total_at") < budget)
+    val capMass = flagged.filter(col("capped"))
+      .agg(coalesce(sum(col("avail")), lit(0L)).as("__a_cap"),
+        coalesce(sum(col("share_ppm")), lit(0L)).as("__s_cap"))
+    flagged.crossJoin(broadcast(capMass))
+      .withColumn("level",
+        when(col("__s_cap") < 1000000L, expr(
+          s"""(CAST($budget - __a_cap AS DECIMAL(38,0)) * 1000000000000)
+             DIV (1000000 - __s_cap)"""))
+          .otherwise(lit(null).cast(LongType)))
+      .withColumn("allocated",
+        when(col("capped"), col("avail")).otherwise(expr(
+          "CAST((CAST(share_ppm AS DECIMAL(38,0)) * level) DIV 1000000000000 AS BIGINT)")))
+      .withColumn("achieved_total",
+        sum(col("allocated")).over(Window.partitionBy()))
+      .withColumn("shortfall", greatest(lit(budget) -
+        col("achieved_total"), lit(0L)))
+      .select(col("domain"), col("avail"), col("share_ppm"), col("capped"),
+        col("allocated"), col("achieved_total"), col("shortfall"))
+  }
+
+  /** Oracle fixture of [[waterfillAllocation]]: domains are document
+    * sources, avail their exact token counts, target shares RANKED by
+    * name (share ∝ rank over the triangle sum, exact-10⁶ remainder to
+    * the first — both engines replay it), budget 60% of the corpus —
+    * the near-uniform avails mean the HIGH-share tail genuinely caps
+    * and its slack redistributes down the rank order. */
+  private val q262 = GQuery(
+    "q262_waterfill_mix",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .groupBy(col("source").as("domain"))
+        .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("avail"))
+      val n = Window.partitionBy()
+      val dims = toks
+        .withColumn("__n", count(lit(1)).over(n))
+        .withColumn("__rk", row_number()
+          .over(Window.orderBy(col("domain"))).cast(LongType))
+        .withColumn("__k",
+          expr("1000000 DIV ((__n * (__n + 1)) DIV 2)"))
+        .withColumn("share_ppm",
+          col("__rk") * col("__k") +
+            when(col("__rk") === 1L,
+              expr("1000000 - __k * ((__n * (__n + 1)) DIV 2)"))
+              .otherwise(lit(0L)))
+        .withColumn("__budget",
+          expr("(60 * sum(avail) OVER ()) DIV 100"))
+      val budget = dims.select(col("__budget")).head.getLong(0)
+      waterfillAllocation(
+        dims.select(col("domain"), col("avail"), col("share_ppm")), budget)
+        .orderBy(col("domain"))
+    },
+    Some("""WITH toks AS (SELECT source AS domain,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+        FROM documents GROUP BY 1),
+      dims AS (SELECT domain, avail,
+          ROW_NUMBER() OVER (ORDER BY domain)
+              * (1000000 // ((COUNT(*) OVER () * (COUNT(*) OVER () + 1)) // 2))
+            + CASE WHEN ROW_NUMBER() OVER (ORDER BY domain) = 1
+                THEN 1000000
+                  - (1000000 // ((COUNT(*) OVER () * (COUNT(*) OVER () + 1)) // 2))
+                    * ((COUNT(*) OVER () * (COUNT(*) OVER () + 1)) // 2)
+                ELSE 0 END AS share_ppm,
+          (60 * SUM(avail) OVER ()) // 100 AS budget
+        FROM toks),
+      lamd AS (SELECT *,
+          (CAST(avail AS HUGEINT) * 1000000000000) // share_ppm AS lam
+        FROM dims),
+      pre AS (SELECT *,
+          SUM(avail) OVER (ORDER BY lam, domain
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ai,
+          SUM(share_ppm) OVER (ORDER BY lam, domain
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+        FROM lamd),
+      at AS (SELECT *,
+          MAX(ai) OVER (PARTITION BY lam) AS a_at,
+          MAX(si) OVER (PARTITION BY lam) AS s_at
+        FROM pre),
+      fl AS (SELECT *,
+          (a_at + (CAST(lam AS HUGEINT) * (1000000 - s_at))
+            // 1000000000000) < budget AS capped
+        FROM at),
+      cm AS (SELECT COALESCE(SUM(CASE WHEN capped THEN avail END), 0) AS a_cap,
+          COALESCE(SUM(CASE WHEN capped THEN share_ppm END), 0) AS s_cap
+        FROM fl),
+      lv AS (SELECT f.*, cm.a_cap, cm.s_cap,
+          CASE WHEN cm.s_cap < 1000000 THEN
+            (CAST(f.budget - cm.a_cap AS HUGEINT) * 1000000000000)
+              // (1000000 - cm.s_cap)
+          END AS level
+        FROM fl f CROSS JOIN cm),
+      al AS (SELECT *,
+          CASE WHEN capped THEN avail
+            ELSE CAST((CAST(share_ppm AS HUGEINT) * level)
+              // 1000000000000 AS BIGINT) END AS allocated
+        FROM lv)
+      SELECT domain, avail, CAST(share_ppm AS BIGINT) AS share_ppm,
+        capped, CAST(allocated AS BIGINT) AS allocated,
+        CAST(SUM(allocated) OVER () AS BIGINT) AS achieved_total,
+        CAST(GREATEST(budget - SUM(allocated) OVER (), 0) AS BIGINT)
+          AS shortfall
+      FROM al ORDER BY domain"""))
+
   /** Oracle fixture of [[uniformSampleN]] (N=100). */
   private val q56 = GQuery(
     "q56_uniform_sample",
@@ -2929,5 +3077,5 @@ object CurationQ {
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261)
+      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261, q262)
 }

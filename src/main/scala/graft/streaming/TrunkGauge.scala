@@ -95,9 +95,17 @@ final class TrunkGauge(horizonSec: Long = 86400L, maxDeltas: Int = 8192)
       !old && d != 0L
     }
     if (kept.length > maxDeltas) {
-      val drop = kept.length - maxDeltas
-      kept.take(drop).foreach { case (_, d) => baseline += d }
-      kept = kept.drop(drop)
+      // the cap may only collapse already-SWEPT deltas (sec ≤ hw):
+      // collapsing them into the baseline is exact for every future
+      // sweep. A pending end (sec > hw) is an OPEN call — collapsing it
+      // would end the call early and silently UNDER-count concurrency,
+      // the one direction a capacity gauge must never err; open-call
+      // deltas are physically bounded by the trunk's circuit count, so
+      // they stay even when the swept window overflows the cap.
+      val (past, future) = kept.partition(_._1 <= hw)
+      val drop = math.max(0, kept.length - math.max(maxDeltas, future.length))
+      past.take(drop).foreach { case (_, d) => baseline += d }
+      kept = past.drop(drop) ++ future
     }
     val nCalls = prev.nCalls + calls.length
     st.update(TState(baseline, kept.map(_._1), kept.map(_._2), nCalls,

@@ -237,6 +237,50 @@ class RoutingSpec extends SparkSpec {
     assert(got._3 == 0L && got._5 == 0L && got._10.isEmpty, got.toString)
   }
 
+  // --- q262 waterfilling -----------------------------------------------------
+
+  test("waterfillAllocation: capped slack redistributes by share, by hand") {
+    // a=100 tokens at 50% share, b=10_000 at 30%, c=10_000 at 20%;
+    // budget 1000: a demands 500 but holds 100 -> caps; level solves
+    // (1000-100)/(0.5) = 1800 -> b gets 540, c gets 360
+    val d = Seq(("a", 100L, 500000L), ("b", 10000L, 300000L),
+      ("c", 10000L, 200000L)).toDF("domain", "avail", "share_ppm")
+    val got = graft.queries.CurationQ.waterfillAllocation(d, budget = 1000L)
+      .as[(String, Long, Long, Boolean, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 100L, 500000L, true, 100L, 1000L, 0L)),
+      got("a").toString)
+    assert(got("b")._4 == false && got("b")._5 == 540L, got("b").toString)
+    assert(got("c")._5 == 360L, got("c").toString)
+  }
+
+  test("waterfillAllocation: a budget beyond the corpus caps everyone") {
+    val d = Seq(("a", 50L, 600000L), ("b", 30L, 400000L))
+      .toDF("domain", "avail", "share_ppm")
+    val got = graft.queries.CurationQ.waterfillAllocation(d, budget = 500L)
+      .as[(String, Long, Long, Boolean, Long, Long, Long)].collect()
+    assert(got.forall(_._4), got.mkString(","))
+    assert(got.head._6 == 80L && got.head._7 == 420L, got.mkString(","))
+  }
+
+  test("waterfillAllocation: shares that do not sum to 1e6 fail loudly") {
+    val d = Seq(("a", 50L, 600000L), ("b", 30L, 500000L))
+      .toDF("domain", "avail", "share_ppm")
+    val e = intercept[Exception] {
+      graft.queries.CurationQ.waterfillAllocation(d, 100L).collect()
+    }
+    assert(e.getMessage.contains("sum to 1e6"), e.getMessage)
+  }
+
+  test("waterfillAllocation: truncation loss is bounded by |domains|") {
+    val d = Seq(("a", 1000L, 333333L), ("b", 1000L, 333333L),
+      ("c", 1000L, 333334L)).toDF("domain", "avail", "share_ppm")
+    val got = graft.queries.CurationQ.waterfillAllocation(d, budget = 1000L)
+      .as[(String, Long, Long, Boolean, Long, Long, Long)].collect()
+    val shortfall = got.head._7
+    assert(shortfall >= 0L && shortfall <= 3L, got.mkString(","))
+  }
+
   // --- PrefixSum partitionCols --------------------------------------------
 
   test("PrefixSum.exclusive with partitionCols equals per-group windows") {

@@ -772,6 +772,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TrunkGauge cap collapses only swept deltas — open calls stay exact") {
+    import graft.streaming.{TCall, TGauge, TrunkGauge}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TCall]
+      val out = in.toDS().groupByKey(_.trunk)
+        .transformWithState(
+          new TrunkGauge(horizonSec = 100000L, maxDeltas = 2),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("trunk_gauge_cap").start()
+      try {
+        // three OPEN calls overflow maxDeltas = 2: the cap must collapse
+        // the swept starts into the baseline, never the pending ends
+        in.addData(TCall("t", 0L, 1000L), TCall("t", 10L, 1000L),
+          TCall("t", 20L, 1000L))
+        q.processAllAvailable()
+        in.addData(TCall("t", 30L, 900L))
+        q.processAllAvailable()
+        val g = spark.table("trunk_gauge_cap").as[TGauge].collect().last
+        // all four calls still open at hw = 30 — exact despite the cap
+        assert(g.current == 4L && g.peak_concurrent == 4L &&
+          g.peak_at_sec == Some(30L), g.toString)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TrunkGauge tracks live concurrency with batch-twin parity") {
     import graft.streaming.{TCall, TGauge, TrunkGauge}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
