@@ -95,6 +95,20 @@ class RoutingSpec extends SparkSpec {
     assert(got._3 == 2L && got._4 == Some(5L), got.toString)
   }
 
+  test("trunkPeaks: the cumsum windows partition by (trunk, day bucket)") {
+    // the scale claim: no window partition is a whole trunk — the
+    // PrefixSum partitionCols path must key every sort by the day
+    // bucket as well, so a hot trunk spreads over its active days
+    val calls = (0 until 300).map(i =>
+      ("hot", i * 7000L, i * 7000L + 600L))
+      .toDF("trunk", "start_sec", "end_sec")
+    val df = RoutingQ.trunkPeaks(calls)
+    df.collect()
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("windowspecdefinition(trunk"), analyzed)
+    assert(analyzed.contains("__psb"), analyzed)
+  }
+
   // --- q258 ASR/ACD card ---------------------------------------------------
 
   test("asrCard: ASR, ACD and short-call share by hand") {
