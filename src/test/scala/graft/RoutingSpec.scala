@@ -175,6 +175,17 @@ class RoutingSpec extends SparkSpec {
     assert(got.map(r => (r._4, r._7)).forall { case (w, wh) => w == wh })
   }
 
+  test("prioritySample: partition-layout independent (distributed-exact)") {
+    val rows = (1 to 300).map(i =>
+      (s"s${i % 2}", i.toLong, 1L + (i * 53L) % 500L))
+      .toDF("stratum", "id", "w")
+    val a = CurationQ.prioritySample(rows.repartition(1), "stratum", "id",
+      "w", k = 9, buckets = 4).collect().map(_.toSeq).toSet
+    val b = CurationQ.prioritySample(rows.repartition(13, col("id")),
+      "stratum", "id", "w", k = 9, buckets = 4).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("prioritySample: out-of-range weights fail loudly") {
     val rows = Seq(("s", 1L, 0L)).toDF("stratum", "id", "w")
     val e = intercept[Exception] {
