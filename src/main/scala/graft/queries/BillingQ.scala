@@ -332,5 +332,100 @@ object BillingQ {
         CAST(SUM(trueup_centi) AS BIGINT) AS trueup_centi
       FROM j GROUP BY 1 ORDER BY month"""))
 
-  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254)
+  /** Closed-form cumulative-tier total T(u) as a SQL expression — the
+    * q233/q239 tariff shape, shared with the reconciliation operator. */
+  private[graft] def tierTotalSql(tiers: Seq[(Long, Long, Long)],
+      u: String): String = {
+    require(tiers.nonEmpty && tiers.head._1 == 0L &&
+      tiers.last._2 == Long.MaxValue &&
+      tiers.sliding(2).forall {
+        case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+        case _ => true
+      }, s"tiers must be contiguous from 0 to unbounded, got $tiers")
+    tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Late-CDR correction lines — the reconciliation run that consumes
+    * what the live chain deliberately leaves behind (timeout-flushed
+    * incomplete calls and legs arriving after their call was flushed):
+    * given the FINAL per-call usage recomputed from the complete leg set
+    * and the invoice lines the stream already billed, emit one
+    * correction line per CHANGED account (the q244 changed-only
+    * discipline) so that Σ(original + corrections) ≡ the batch invoice
+    * over the full usage — exact by tier telescoping, since the correct
+    * cycle charge is T(final total) and the stream billed Σ marginal =
+    * T(streamed total).
+    *
+    * `finalUsage`: (account_id, units) at call grain over ALL complete
+    * calls; `original`: (account_id, charge_centi) — the streamed
+    * invoice lines. Negative corrections (usage revoked by a re-rate)
+    * emit too; zero-delta accounts are suppressed.
+    *
+    * Plan: two account-grain hash aggregations + one full-outer join on
+    * the account key — shuffles only on account, no window, no sort. */
+  def correctionLines(finalUsage: DataFrame, original: DataFrame,
+      tiers: Seq[(Long, Long, Long)]): DataFrame = {
+    val fin = finalUsage.groupBy(col("account_id"))
+      .agg(sum(greatest(col("units"), lit(0L))).as("total_units"))
+      .withColumn("corrected_centi",
+        expr(tierTotalSql(tiers, "total_units")))
+    val orig = original.groupBy(col("account_id"))
+      .agg(sum(col("charge_centi")).as("original_centi"))
+    fin.join(orig, Seq("account_id"), "full")
+      .select(col("account_id"),
+        coalesce(col("total_units"), lit(0L)).as("total_units"),
+        coalesce(col("original_centi"), lit(0L)).as("original_centi"),
+        coalesce(col("corrected_centi"), lit(0L)).as("corrected_centi"))
+      .withColumn("correction_centi",
+        col("corrected_centi") - col("original_centi"))
+      .filter(col("correction_centi") =!= 0L)
+  }
+
+  /** Oracle fixture of [[correctionLines]]: every 7th event is a LATE
+    * CDR the stream missed at cycle close (billed the on-time subset
+    * only, via the q233 marginal rater whose per-account sum telescopes
+    * to T(on-time total)); the reconciliation recomputes T(full total)
+    * and emits the changed-only deltas. The oracle replays both sides
+    * closed-form. */
+  private val q265 = {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    GQuery(
+      "q265_late_corrections",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val usage = expr("CAST(round(value * 100) AS BIGINT)")
+        val finalUsage = ev.select(col("user_id").as("account_id"),
+          usage.as("units"))
+        val original = EventQ.marginalTieredCharges(
+            ev.filter(col("event_id") % 7 =!= 0L), usage, tiers)
+          .select(col("k").as("account_id"), col("charge_centi"))
+        correctionLines(finalUsage, original, tiers)
+          .orderBy(col("account_id"))
+      },
+      Some(s"""WITH e AS (SELECT user_id AS account_id, event_id,
+            greatest(CAST(round(value * 100) AS BIGINT),
+              CAST(0 AS BIGINT)) AS ue
+          FROM events),
+        fin AS (SELECT account_id, CAST(SUM(ue) AS BIGINT) AS total_units
+          FROM e GROUP BY 1),
+        -- telescoping: the stream's Σ marginal == T(on-time total)
+        ontime AS (SELECT account_id, CAST(SUM(ue) AS BIGINT) AS u
+          FROM e WHERE event_id % 7 <> 0 GROUP BY 1),
+        j AS (SELECT f.account_id, f.total_units,
+            ${tierTotalSql(Seq((0L, 5000L, 5L), (5000L, 20000L, 3L), (20000L, Long.MaxValue, 1L)), "f.total_units")} AS corrected_centi,
+            COALESCE(${tierTotalSql(Seq((0L, 5000L, 5L), (5000L, 20000L, 3L), (20000L, Long.MaxValue, 1L)), "o.u")}, 0) AS original_centi
+          FROM fin f LEFT JOIN ontime o ON o.account_id = f.account_id)
+        SELECT account_id, total_units, original_centi, corrected_centi,
+          corrected_centi - original_centi AS correction_centi
+        FROM j WHERE corrected_centi - original_centi <> 0
+        ORDER BY account_id"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265)
 }

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** The PRERATING stage's core semantics — the reference's other named
+  * pipeline (`prerating.sh:14`; SURVEY.md:34-36 "CDR normalization/
+  * guiding before rating"): every CDR's dialed/served number is first
+  * CANONICALIZED to one E.164 form (international `+CC…`, `00CC…`,
+  * national `0…` and bare forms all collapse to the same digit string),
+  * then GUIDED — resolved to the owning subscriber/account through the
+  * number-plan dimension, a table of allocated number RANGES
+  * (`range_start ≤ number ≤ range_end`). Only after guiding does a CDR
+  * know whose invoice it belongs on; rating (`gsmrating.sh:14`) consumes
+  * the guided stream.
+  *
+  * Both operators honor the never-drop contract (q195): a number that
+  * cannot normalize, or normalizes but matches no range, KEEPS its row
+  * with a NULL canonical/account and a machine-readable `reason` code —
+  * unguided traffic is a revenue-assurance finding, not a row to lose.
+  */
+object PreratingQ {
+
+  /** Separators tolerated inside a dialed string (spaces, dots, dashes,
+    * parens, slashes — what switches and humans actually emit). */
+  private val Separators = "[ .\\-()/]"
+
+  /** MSISDN canonicalization — collapse the four wire forms of one
+    * number into a single international digit string:
+    *
+    *   `+CCnnn…`   → `CCnnn…`   (explicit international)
+    *   `00CCnnn…`  → `CCnnn…`   (international dial prefix)
+    *   `0nnn…`     → `<defaultCc>nnn…` (national form with trunk zero)
+    *   `nnn…`      → `<defaultCc>nnn…` when `bareIsNational` (the
+    *                 per-feed nature-of-address default; a feed whose
+    *                 bare numbers are already international sets false)
+    *
+    * Non-normalizable numbers keep their row with `canonical = NULL`
+    * and a reason code, checked in this order: `empty` (nothing left
+    * after separator stripping), `bad_chars` (a non-digit beyond an
+    * optional leading `+`), `too_short` / `too_long` (canonical form
+    * outside [8, 15] digits — 15 is the E.164 ceiling).
+    *
+    * Plan: pure map-side column work (regex strip + CASE) — appends
+    * `canonical` and `reason` to the input and touches nothing else, so
+    * it fuses into whatever scan precedes it under whole-stage codegen.
+    */
+  def normalizeMsisdn(df: DataFrame, numCol: String = "raw_number",
+      defaultCc: String = "49", bareIsNational: Boolean = true): DataFrame = {
+    require(defaultCc.matches("[1-9][0-9]{0,2}"),
+      s"defaultCc must be a 1-3 digit country code, got '$defaultCc'")
+    val clean = regexp_replace(col(numCol), Separators, "")
+    val withClean = df.withColumn("__clean", clean)
+    val c = col("__clean")
+    val bare = if (bareIsNational) concat(lit(defaultCc), c) else c
+    val cand =
+      when(c.startsWith("+"), substring(c, 2, 1000))
+        .when(c.startsWith("00"), substring(c, 3, 1000))
+        .when(c.startsWith("0"), concat(lit(defaultCc), substring(c, 2, 1000)))
+        .otherwise(bare)
+    withClean
+      .withColumn("__cand", cand)
+      .withColumn("reason",
+        when(c.isNull || c === "", "empty")
+          .when(!c.rlike("^\\+?[0-9]+$"), "bad_chars")
+          .when(length(col("__cand")) < 8, "too_short")
+          .when(length(col("__cand")) > 15, "too_long"))
+      .withColumn("canonical",
+        when(col("reason").isNull, col("__cand")))
+      .drop("__clean", "__cand")
+  }
+
+  /** SQL twin of [[normalizeMsisdn]] (DuckDB): given an expression `raw`
+    * yielding the raw number, emits a pair of SELECT-able expressions
+    * for (canonical, reason) via a `clean` binding the caller CTEs in. */
+  private[graft] def normalizeSql(clean: String, defaultCc: String)
+      : (String, String) = {
+    val cand = s"""CASE
+        WHEN starts_with($clean, '+') THEN substr($clean, 2)
+        WHEN starts_with($clean, '00') THEN substr($clean, 3)
+        WHEN starts_with($clean, '0') THEN '$defaultCc' || substr($clean, 2)
+        ELSE '$defaultCc' || $clean END"""
+    val reason = s"""CASE
+        WHEN $clean IS NULL OR $clean = '' THEN 'empty'
+        WHEN NOT regexp_matches($clean, '^\\+?[0-9]+$$') THEN 'bad_chars'
+        WHEN length($cand) < 8 THEN 'too_short'
+        WHEN length($cand) > 15 THEN 'too_long' END"""
+    (cand, reason)
+  }
+
+  /** Guiding — resolve each canonical number to its subscriber/account
+    * through the number-plan dimension `ranges` (`range_start`,
+    * `range_end` as inclusive numeric bounds, plus the payload columns
+    * to attach — account_id, operator, …). Unmatched numbers keep NULL
+    * payload and reason `unguided`; rows that already failed
+    * normalization keep their earlier reason.
+    *
+    * Plan: NOT the naive `BETWEEN` theta join (calls × ranges under a
+    * nested loop) — the dimension is bucketized instead: the probe side
+    * keys on `number div W` where W = the widest range in the dim (ONE
+    * bounded-collect aggregate row), and each range replicates into the
+    * ≤ 2 buckets it can overlap, so the lookup is a BROADCAST HASH join
+    * on bucket equality with the original between-predicate as residual
+    * — zero shuffles on the CDR side at any corpus size (the
+    * RangeJoinRewrite bucketization, specialized to variable-width
+    * dimension intervals). The oracle replays the naive BETWEEN join,
+    * pinning the bucketed construction to textbook interval semantics.
+    *
+    * A real number plan is an ALLOCATION — ranges never overlap (a
+    * number has one owner). Overlapping or inverted ranges would
+    * double-guide (and double-bill) every number they cover, so the dim
+    * fails loudly on them: a dim-grain sorted sweep (lag over
+    * range_start order — the dimension is bounded, the global sort
+    * never sees fact data) raises before any join happens.
+    */
+  def guideRanges(cdrs: DataFrame, ranges: DataFrame,
+      numCol: String = "canonical"): DataFrame = {
+    val dimW = Window.orderBy(col("range_start"))
+    val guarded = ranges
+      .withColumn("__prev_end", lag(col("range_end"), 1).over(dimW))
+      .withColumn("range_start",
+        when(col("range_end") < col("range_start") ||
+            col("__prev_end") >= col("range_start"),
+          expr("CAST(raise_error('guideRanges: overlapping or inverted " +
+            "number range in dim') AS BIGINT)"))
+          .otherwise(col("range_start")))
+      .drop("__prev_end")
+    // Bounded collect (ONE aggregate row): the bucket width is the
+    // widest allocation in the dim, so every range spans <= 2 buckets.
+    val width = math.max(1L, guarded
+      .agg(max(col("range_end") - col("range_start") + 1L)).collect()(0)
+      .getLong(0))
+    val dim = guarded
+      .withColumn("__b", explode(expr(
+        s"sequence(range_start DIV ${width}L, range_end DIV ${width}L)")))
+    val payload = ranges.columns.filterNot(
+      Set("range_start", "range_end").contains)
+    val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
+      .withColumn("__b", expr(s"__num DIV ${width}L"))
+    val hadReason = cdrs.columns.contains("reason")
+    val joined = probe.join(broadcast(dim), probe("__b") === dim("__b") &&
+        col("__num").between(col("range_start"), col("range_end")), "left")
+      .drop("__b", "__num", "range_start", "range_end")
+    val withReason =
+      if (hadReason) joined.withColumn("reason",
+        coalesce(col("reason"),
+          when(col(numCol).isNotNull && col(payload.head).isNull,
+            "unguided")))
+      else joined.withColumn("reason",
+        when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
+    withReason
+  }
+
+  /** Shared messy-number fixture: eight deterministic wire forms over the
+    * events table — four that normalize to the same `49`+9-digit
+    * canonical, and one each of too_short / bad_chars / empty /
+    * too_long. The 9-digit NSN reuses the q256 dialed-number derivation
+    * (pure integer arithmetic both engines replay). */
+  private def fixtureRaw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"),
+      expr("CAST(100000000 + (event_id * 7919) % 900000000 AS STRING)")
+        .as("__nsn"))
+      .withColumn("raw_number",
+        when(col("event_id") % 8 === 0, concat(lit("+49"), col("__nsn")))
+          .when(col("event_id") % 8 === 1,
+            concat(lit("0049-"), col("__nsn")))
+          .when(col("event_id") % 8 === 2, concat(lit("0"), col("__nsn")))
+          .when(col("event_id") % 8 === 3, col("__nsn"))
+          .when(col("event_id") % 8 === 4,
+            concat(lit("+49"), substring(col("__nsn"), 1, 4)))
+          .when(col("event_id") % 8 === 5,
+            concat(lit("+49"), col("__nsn"), lit("X")))
+          .when(col("event_id") % 8 === 6, lit(""))
+          .otherwise(concat(lit("+49"), col("__nsn"), col("__nsn"))))
+      .drop("__nsn")
+
+  private val fixtureRawSql =
+    """SELECT event_id,
+        CASE
+          WHEN event_id % 8 = 0 THEN '+49' || nsn
+          WHEN event_id % 8 = 1 THEN '0049-' || nsn
+          WHEN event_id % 8 = 2 THEN '0' || nsn
+          WHEN event_id % 8 = 3 THEN nsn
+          WHEN event_id % 8 = 4 THEN '+49' || substr(nsn, 1, 4)
+          WHEN event_id % 8 = 5 THEN '+49' || nsn || 'X'
+          WHEN event_id % 8 = 6 THEN ''
+          ELSE '+49' || nsn || nsn END AS raw_number
+      FROM (SELECT event_id,
+          CAST(100000000 + (event_id * 7919) % 900000000 AS VARCHAR) AS nsn
+        FROM events)"""
+
+  /** Oracle fixture of [[normalizeMsisdn]]: the eight-form fixture
+    * through the canonicalizer — every row survives, reasons land
+    * exactly on the four malformed forms. */
+  private val q263 = GQuery(
+    "q263_msisdn_normalize",
+    (s, dir) => normalizeMsisdn(fixtureRaw(s, dir))
+      .select(col("event_id"), col("raw_number"), col("canonical"),
+        col("reason"))
+      .orderBy(col("event_id")),
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, raw_number, $cand AS cand, $reason AS reason
+          FROM c)
+        SELECT event_id, raw_number,
+          CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+        FROM n ORDER BY event_id"""
+    })
+
+  /** Oracle fixture of [[guideRanges]] composed after the normalizer —
+    * the full prerating card: 225 two-million-number allocations cover
+    * half the canonical space (so ~half the normalizable traffic guides
+    * and the rest exercises `unguided`), payload carries the account and
+    * operator. The oracle replays guiding as the naive BETWEEN join. */
+  private val q264 = GQuery(
+    "q264_number_guiding",
+    (s, dir) => {
+      val ranges = s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+          .as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"),
+        concat(lit("OP"), (col("r") % 5L).cast(StringType)).as("operator"))
+      guideRanges(normalizeMsisdn(fixtureRaw(s, dir)), ranges)
+        .select(col("event_id"), col("raw_number"), col("canonical"),
+          col("account_id"), col("operator"), col("reason"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, raw_number, $cand AS cand, $reason AS reason
+          FROM c),
+        norm AS (SELECT event_id, raw_number,
+            CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+          FROM n),
+        ranges AS (SELECT
+            49100000000 + r * 4000000 AS range_start,
+            49100000000 + r * 4000000 + 1999999 AS range_end,
+            1000 + r AS account_id,
+            'OP' || CAST(r % 5 AS VARCHAR) AS operator
+          FROM UNNEST(generate_series(0, 224)) AS u(r))
+        SELECT m.event_id, m.raw_number, m.canonical,
+          CAST(g.account_id AS BIGINT) AS account_id, g.operator,
+          COALESCE(m.reason, CASE WHEN m.canonical IS NOT NULL
+            AND g.account_id IS NULL THEN 'unguided' END) AS reason
+        FROM norm m LEFT JOIN ranges g
+          ON CAST(m.canonical AS BIGINT) BETWEEN g.range_start AND g.range_end
+        ORDER BY m.event_id"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q263, q264)
+}

@@ -19,7 +19,8 @@ object Registry {
     Relational.queries ++ WindowQ.queries ++ EventQ.queries ++
       AnalyticsQ.queries ++ TextQ.queries ++ CurationQ.queries ++
       VectorQ.queries ++ PacketQ.queries ++ TokenizerQ.queries ++
-      GraphQ.queries ++ BillingQ.queries ++ RoutingQ.queries
+      GraphQ.queries ++ BillingQ.queries ++ RoutingQ.queries ++
+      PreratingQ.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -117,10 +117,23 @@ object LiveRatingChain {
         .transformWithState(new LegAssembler(legTimeoutMs), timeMode,
           OutputMode.Append())
         .toDF(),
-      sink = df => df.writeStream.format("parquet")
-        .option("path", callsDir)
-        .option("checkpointLocation", s"$checkpointRoot/leg_assembly")
-        .outputMode("append"))
+      sink = df => {
+        val w = df.writeStream.format("parquet")
+          .option("path", callsDir)
+          .option("checkpointLocation", s"$checkpointRoot/leg_assembly")
+          .outputMode("append")
+        // Processing-time timers make the engine schedule micro-batches
+        // CONTINUOUSLY (each batch checks for expired timers), and every
+        // batch commits a file-sink entry — unpaced, a quiet timeout-mode
+        // chain writes an empty parquet file per second per partition
+        // forever (measured: ~70k files in 20 min of idle). Pace timer
+        // polls at half the timeout: flush latency stays within ~1.5x
+        // the declared timeout and the empty-batch storm is gone.
+        if (legTimeoutMs >= 0)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+            math.max(legTimeoutMs / 2, 500L)))
+        else w
+      })
 
     val rating = StageSpec(
       "rating",
@@ -156,6 +169,94 @@ object LiveRatingChain {
         .outputMode("append"))
 
     Seq(ingest, assembly, rating)
+  }
+
+  /** Inbound RAW CDR layout for the prerated topology: the dialed/served
+    * number arrives as a messy wire-form MSISDN (not yet an account),
+    * exactly what `prerating.sh` exists to fix before rating ever sees
+    * the record. */
+  val rawCdrSchema: StructType = StructType(Seq(
+    StructField("msisdn", StringType),
+    StructField("event_id", LongType),
+    StructField("seq", IntegerType),
+    StructField("total", IntegerType),
+    StructField("duration_sec", DoubleType)))
+
+  /** The PRERATING stage (`prerating.sh:14` — the reference's first named
+    * pipeline): normalize each CDR's MSISDN to one E.164 canonical form,
+    * GUIDE it to the owning account through the number-range dimension
+    * ([[graft.queries.PreratingQ]] — oracle-pinned as q263/q264), and
+    * emit chain-shaped legs (`call_id = <account>:<event>`) into the
+    * prerated store, partitioned by the guiding verdict: `guided=false`
+    * rows keep their reason code (never-drop — unguided traffic is a
+    * revenue-assurance finding). The dimension is static and broadcast;
+    * the stage itself is stateless map-side work, so it scales as pure
+    * scan throughput.
+    */
+  def preratingStage(spark: SparkSession, rawInbox: String,
+      ranges: DataFrame, preratedDir: String, checkpointRoot: String,
+      defaultCc: String = "49", maxFilesPerTrigger: Int = 8): StageSpec =
+    StageSpec(
+      "prerating",
+      source = s => s.readStream.schema(rawCdrSchema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .csv(rawInbox),
+      transform = df => {
+        val guided = graft.queries.PreratingQ.guideRanges(
+          graft.queries.PreratingQ.normalizeMsisdn(df, "msisdn", defaultCc),
+          ranges)
+        guided.select(
+          when(col("account_id").isNotNull,
+            concat(col("account_id").cast(StringType), lit(":"),
+              col("event_id").cast(StringType))).as("call_id"),
+          col("seq"), col("total"), col("duration_sec"), col("reason"),
+          col("account_id").isNotNull.as("guided"))
+      },
+      sink = df => df.writeStream.format("parquet")
+        .partitionBy("guided")
+        .option("path", preratedDir)
+        .option("checkpointLocation", s"$checkpointRoot/prerating")
+        .outputMode("append"))
+
+  /** Prerated-store schema the downstream ingest reads (the partition
+    * column `guided` included so the filter prunes whole partitions). */
+  private def preratedSchema: StructType = StructType(Seq(
+    StructField("call_id", StringType),
+    StructField("seq", IntegerType),
+    StructField("total", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("reason", StringType),
+    StructField("guided", BooleanType)))
+
+  /** Register the FULL mediation chain with prerating ahead of leg
+    * assembly: prerating → ingest (validating, reading the prerated
+    * store's guided partition) → assembly → rating. The ingest stage is
+    * the standard one with only its SOURCE swapped to the prerated
+    * store — the [[StageSpec.source]] seam; transform and sink are
+    * untouched. */
+  def registerWithPrerating(runner: PipelineRunner, spark: SparkSession,
+      rawInbox: String, ranges: DataFrame, preratedDir: String,
+      legsDir: String, callsDir: String, ratedDir: String,
+      checkpointRoot: String, tiers: Seq[(Long, Long, Long)],
+      defaultCc: String = "49", legTimeoutMs: Long = -1L): Seq[String] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(rawInbox, preratedDir, legsDir, callsDir, ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val pre = preratingStage(spark, rawInbox, ranges, preratedDir,
+      checkpointRoot, defaultCc)
+    val base = stages(spark, "/nonexistent-inbox", legsDir, callsDir,
+      ratedDir, checkpointRoot, tiers, legTimeoutMs)
+    val ingest = base.head.copy(source = s => s.readStream
+      .schema(preratedSchema).parquet(preratedDir)
+      .filter(col("guided"))
+      .select(col("call_id"), col("seq"), col("total"),
+        col("duration_sec")))
+    val ss = pre +: ingest +: base.tail
+    ss.foreach(runner.register)
+    ss.map(_.name)
   }
 
   /** Optional FOURTH stage: a fraud tap — a SECOND consumer of the legs
@@ -215,6 +316,46 @@ object LiveRatingChain {
       checkpointRoot, tiers, legTimeoutMs)
     ss.foreach(runner.register)
     ss.map(_.name)
+  }
+
+  /** Late-leg reconciliation — the batch run that consumes what the
+    * chain deliberately leaves behind ([[stages]] keeps timeout-flushed
+    * `complete=false` calls unrated, and legs that arrive after their
+    * call's flush re-open state but never complete): recompute the
+    * per-call usage from the FULL leg store under exactly the
+    * assembler's semantics (valid legs, seq ∈ [1,64], first arrival per
+    * (call, seq), complete ⇔ seqs are exactly {1..declared}, declared ≤
+    * 64 — LegAssembler's bitmask contract), then emit changed-only
+    * correction invoice lines against the streamed rated store via
+    * [[graft.queries.BillingQ.correctionLines]] (oracle-pinned q265).
+    * By tier telescoping, Σ(streamed + corrections) ≡ the batch invoice
+    * over the complete leg set — spec-pinned.
+    *
+    * Redelivered legs must be byte-identical to their original (the
+    * mediation duplicate contract); the assembler keeps the first
+    * arrival and this recompute keeps an arbitrary one, which only
+    * coincide under that contract. */
+  def reconcile(spark: SparkSession, legsDir: String, ratedDir: String,
+      tiers: Seq[(Long, Long, Long)]): DataFrame = {
+    // explicit schema: partition-value inference would type the `valid`
+    // partition column STRING when only one verdict is present
+    val calls = spark.read.schema(legsStoreSchema).parquet(legsDir)
+      .filter(col("valid") && col("seq").between(1, 64) &&
+        col("total") >= 1)
+      .dropDuplicates("call_id", "seq")
+      .groupBy(col("call_id"))
+      .agg(count(lit(1)).as("n"), max(col("total")).as("t"),
+        max(col("seq")).as("mx"), sum(col("duration_sec")).as("dur"))
+      .filter(col("n") === col("t") && col("mx") <= col("t") &&
+        col("t") <= 64)
+    val finalUsage = calls.select(
+      split(col("call_id"), ":").getItem(0).cast(LongType)
+        .as("account_id"),
+      expr("CAST(round(dur) AS BIGINT)").as("units"))
+    val original = spark.read.parquet(ratedDir)
+      .select(col("account_id").cast(LongType).as("account_id"),
+        col("charge_centi"))
+    graft.queries.BillingQ.correctionLines(finalUsage, original, tiers)
   }
 
   /** The billing handoff: roll the streamed invoice lines up per

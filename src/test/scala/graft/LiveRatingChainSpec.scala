@@ -316,4 +316,168 @@ class LiveRatingChainSpec extends SparkSpec {
       }
     }
   }
+
+  test("prerating guides raw MSISDNs into the chain ahead of leg assembly") {
+    // the reference's FULL named topology: prerating.sh (normalize +
+    // guide) feeding gsmrating.sh (assemble + rate) — raw CDRs carry
+    // messy wire-form numbers, and two different spellings of the same
+    // number must land on the same account before rating sees them
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_prerating").toString
+    val runner = new PipelineRunner(spark)
+    try {
+      Files.createDirectories(Paths.get(s"$base/raw"))
+      Files.write(Paths.get(s"$base/raw/wave1.csv"),
+        ("msisdn,event_id,seq,total,duration_sec" +: Seq(
+          "+4915550001,11,1,1,100.0",
+          "0 1555-0002,12,1,2,30.0",   // national form with separators
+          "+49.1555(0002),12,2,2,20.0", // SAME number, international form
+          "+4915560001,13,1,1,40.0",
+          "+4999990001,14,1,1,10.0",   // no range owns it -> unguided
+          "12AB,15,1,1,10.0"           // -> bad_chars
+        )).mkString("\n").getBytes("UTF-8"))
+      val ranges = Seq(
+        (4915550000L, 4915559999L, 7L),
+        (4915560000L, 4915569999L, 8L))
+        .toDF("range_start", "range_end", "account_id")
+      val names = LiveRatingChain.registerWithPrerating(runner, spark,
+        s"$base/raw", ranges, s"$base/prerated", s"$base/legs",
+        s"$base/calls", s"$base/rated", s"$base/ckpt", tiers)
+      assert(names == Seq("prerating", "cdr_ingest", "leg_assembly",
+        "rating"))
+      val qs = names.map(runner.start)
+      qs.foreach(_.processAllAvailable())
+      // two runs: prerating commits its store, then downstream drains it
+      qs.foreach(_.processAllAvailable())
+
+      // both spellings of 4915550002 guided to account 7 and ASSEMBLED
+      // into one complete call 7:12 (the prerating value proposition)
+      val rated = spark.read.parquet(s"$base/rated")
+        .select(col("account_id").cast(LongType), col("event_id"),
+          col("charge_centi"))
+        .as[(Long, Long, Long)].collect().toSet
+      // acct 7: T(100)=500 then T(150)-T(100)=150; acct 8: T(40)=200
+      assert(rated == Set((7L, 11L, 500L), (7L, 12L, 150L),
+        (8L, 13L, 200L)), rated.toString)
+
+      // never-drop: the unguided and malformed CDRs are in the prerated
+      // store's guided=false partition with their reason codes
+      val dead = spark.read.parquet(s"$base/prerated")
+        .filter(!col("guided"))
+        .select(col("reason")).as[String].collect().sorted.toSeq
+      assert(dead == Seq("bad_chars", "unguided"), dead.toString)
+      assert(spark.read.parquet(s"$base/prerated").count() == 6,
+        "every raw CDR accounted for")
+    } finally {
+      runner.stopAll()
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("late legs reconcile into changed-only correction invoice lines") {
+    // the loop the calls store's complete=false rows exist for: a call's
+    // timeout flush leaves it unrated; its late leg lands after the
+    // flush; the batch reconciliation recomputes the full-leg truth and
+    // emits exactly one correction line, and streamed + corrections ==
+    // the batch invoice over the complete leg set (tier telescoping)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_latelegs").toString
+    val runner = new PipelineRunner(spark)
+    try {
+      // wave 1: acct 1 complete call 100 (40u), call 101 leg 1/2 (60.0,
+      // will timeout-flush), acct 2 complete call 201 (250u)
+      writeCsv(s"$base/inbox/w1.csv", Seq(
+        "1:100,1,1,40.0", "1:101,1,2,60.0", "2:201,1,1,250.0"))
+      val names = LiveRatingChain.register(runner, spark, s"$base/inbox",
+        s"$base/legs", s"$base/calls", s"$base/rated", s"$base/ckpt",
+        tiers, legTimeoutMs = 500L)
+      names.map(runner.start)
+      // NOTE: processAllAvailable never latches with processing-time
+      // timers (the LegAssemblySpec lesson) — poll the stores instead
+      def ratedCount() =
+        try spark.read.parquet(s"$base/rated").count() catch {
+          case _: Exception => -1L }
+      assert(eventually(60000)(ratedCount() == 2),
+        s"wave 1 never rated: ${ratedCount()}")
+
+      // let call 101's timer expire and flush complete=false; a second
+      // wave keeps the chain visibly alive meanwhile
+      writeCsv(s"$base/inbox/w2.csv", Seq("3:301,1,1,10.0"))
+      assert(eventually(60000) {
+        try spark.read.parquet(s"$base/calls").filter(!col("complete"))
+          .count() == 1 && ratedCount() == 3
+        catch { case _: Exception => false }
+      }, "timeout flush never surfaced in the calls store")
+
+      // the LATE leg arrives after its call was flushed: it re-opens
+      // state but never completes — the stream will never bill it
+      writeCsv(s"$base/inbox/w3.csv", Seq("1:101,2,2,40.0"))
+      assert(eventually(60000) {
+        try spark.read.parquet(s"$base/legs").count() == 5
+        catch { case _: Exception => false }
+      }, "late leg never reached the legs store")
+      // give assembly a timer cycle to absorb the late leg (it must NOT
+      // produce a new rated row)
+      Thread.sleep(1500)
+      val streamed = spark.read.parquet(s"$base/rated")
+        .select(col("account_id").cast(LongType), col("charge_centi"))
+        .as[(Long, Long)].collect()
+      assert(streamed.length == 3, streamed.mkString(";"))
+
+      // reconcile: the legs store now holds BOTH legs of call 101, so
+      // the full-leg recompute sees it complete (100u) — acct 1's true
+      // cycle is 140u: T(140) = 100*5 + 40*3 = 620, streamed T(40) = 200
+      val corr = LiveRatingChain.reconcile(spark, s"$base/legs",
+        s"$base/rated", tiers)
+        .select(col("account_id"), col("total_units"),
+          col("original_centi"), col("corrected_centi"),
+          col("correction_centi"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(corr == Seq((1L, 140L, 200L, 620L, 420L)), corr.toString)
+
+      // books balance: Σ(streamed + corrections) == batch invoice over
+      // the complete leg set, per account
+      val batch = EventQ.marginalTieredCharges(
+        spark.read.parquet(s"$base/legs")
+          .filter(col("valid").cast("boolean"))
+          .dropDuplicates("call_id", "seq")
+          .groupBy(col("call_id"))
+          .agg(sum(col("duration_sec")).as("dur"),
+            max(col("total")).as("t"), count(lit(1)).as("n"))
+          .filter(col("n") === col("t"))
+          .select(
+            split(col("call_id"), ":").getItem(1).cast(LongType)
+              .as("event_id"),
+            split(col("call_id"), ":").getItem(0).cast(LongType)
+              .as("user_id"),
+            split(col("call_id"), ":").getItem(1).cast(LongType)
+              .cast(TimestampType).as("ts"),
+            expr("CAST(round(dur) AS BIGINT)").as("units")),
+        col("units"), tiers)
+        .groupBy(col("k")).agg(sum(col("charge_centi")).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val reconciled = (streamed.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap.toSeq ++
+        corr.map(r => r._1 -> r._5))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(reconciled == batch, s"reconciled=$reconciled batch=$batch")
+    } finally {
+      runner.stopAll()
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
