@@ -1,0 +1,211 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The chain's ingest stage hardened against the two classic mediation
+  * ingest failures the plain file source cannot see:
+  *
+  *  1. '''Re-delivered batches under new names.''' The streaming file
+  *     source dedups by PATH, so the same CDR file landing again as
+  *     `retry_0712.csv` double-bills every call in it — exactly the
+  *     failure the reference's marker-file protocol guards
+  *     (`MFramework.cpp:1286-1302`). Here every inbox file gets a
+  *     CONTENT digest — (bit_xor of per-row xxhash64, row count): order
+  *     independent, so a re-sorted redelivery still matches — and a
+  *     file whose digest is already in the ingest ledger is dropped
+  *     whole. The ledger is itself written per-batch (partitioned by
+  *     batch id, dynamic overwrite), so a replayed micro-batch
+  *     reproduces its own writes instead of doubling them, and the
+  *     anti-join EXCLUDES the replaying batch's own ledger partition —
+  *     otherwise a crash between ledger write and checkpoint commit
+  *     would make the retry see its own digests and drop the data.
+  *
+  *  2. '''Schema/extraction drift.''' Before ANY write, each batch's
+  *     per-column profile card (rows, nulls, null-rate ppm — the live
+  *     core of the q261 drift card) is checked against the stored
+  *     reference profile; a column whose null rate drifts beyond the
+  *     threshold throws BEFORE the batch touches the legs store — the
+  *     gate a 100 TB append runs so one broken upstream extractor
+  *     cannot silently poison a cycle of invoices. The reference
+  *     profile bootstraps from the first accepted batch (or is
+  *     pre-seeded by the operator at `refProfileDir`).
+  *
+  * Write order inside the batch: gate → legs (dynamic partition
+  * overwrite into `valid=…/batch_id=N`) → ledger. Every write is keyed
+  * by batch id, so any crash point replays idempotently. The downstream
+  * file source lists the directory (no `_spark_metadata` — foreachBatch
+  * owns the layout) and dedups by path; the replay-overwrite window is
+  * only racy against a downstream that kept running through the crash,
+  * which the kill-the-topology model excludes.
+  */
+object HardenedIngest {
+
+  /** Per-column live profile card: one scan → one aggregate row →
+    * |cols| rows. The bounded-collect/explode shape of q261
+    * ([[graft.queries.CurationQ.profileDrift]]), reduced to the
+    * volume-independent metric a per-batch gate can threshold
+    * (null-rate ppm; distinct counts scale with batch size and belong
+    * to the batch-mode card). */
+  def profileCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileCard: empty column list")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__z_$c").as("n_null"),
+        expr(s"(1000000 * __z_$c) DIV greatest(__n_$c, 1L)")
+          .as("null_ppm"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Drift-gate configuration: `cols` profiled each batch, a batch
+    * fails when any column's null-rate moves more than
+    * `maxNullDriftPpm` from the stored reference. */
+  final case class DriftGate(refProfileDir: String, cols: Seq[String],
+      maxNullDriftPpm: Long = 100000L)
+
+  private def ledgerSchema = StructType(Seq(
+    StructField("digest", LongType), StructField("n_rows", LongType),
+    StructField("batch_id", LongType)))
+
+  /** The hardened ingest stage: same validation verdict and dead-letter
+    * partitioning as the plain `cdr_ingest`, plus the content-dedup
+    * ledger and the optional drift gate. Output layout:
+    * `legsDir/valid=…/batch_id=N/` (the batch id partition is the
+    * replay-idempotence key). */
+  def stage(spark: SparkSession, inboxDir: String, legsDir: String,
+      ledgerDir: String, checkpointRoot: String,
+      gate: Option[DriftGate] = None, maxFilesPerTrigger: Int = 8)
+      : StageSpec =
+    StageSpec(
+      "cdr_ingest",
+      source = s => s.readStream.schema(LiveRatingChain.legSchema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .csv(inboxDir)
+        .select(col("*"), col("_metadata.file_path").as("__src")),
+      transform = df => df.withColumn("valid",
+        col("call_id").rlike("^[0-9]+:[0-9]+$") &&
+          col("seq").isNotNull && col("total").isNotNull &&
+          col("duration_sec").isNotNull && col("duration_sec") >= 0.0),
+      sink = df => df.writeStream
+        .option("checkpointLocation", s"$checkpointRoot/cdr_ingest")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeBatch(spark, batch, batchId, legsDir, ledgerDir, gate)
+        })
+
+  /** One micro-batch of the hardened ingest — separated so specs can
+    * drive it directly. */
+  private[graft] def writeBatch(spark: SparkSession, batch0: DataFrame,
+      batchId: Long, legsDir: String, ledgerDir: String,
+      gate: Option[DriftGate]): Unit = {
+    val batch = batch0.cache()
+    try {
+      // ---- drift gate: throw before anything is written -------------
+      gate.foreach { g =>
+        val cur = profileCard(batch.drop("__src", "valid"), g.cols)
+        val refPath = new org.apache.hadoop.fs.Path(g.refProfileDir)
+        val fs = refPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(refPath)) {
+          // bootstrap: the first accepted batch defines the reference
+          cur.coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(g.refProfileDir)
+        } else {
+          val ref = spark.read.parquet(g.refProfileDir)
+            .select(col("column"), col("null_ppm").as("null_ppm_ref"))
+          val bad = cur.join(ref, Seq("column"))
+            .filter(abs(col("null_ppm") - col("null_ppm_ref")) >
+              g.maxNullDriftPpm)
+            .select(col("column"), col("null_ppm_ref"), col("null_ppm"))
+            .collect() // bounded: <= |cols| rows
+          if (bad.nonEmpty) throw new IllegalStateException(
+            "HardenedIngest drift gate tripped (batch " + batchId +
+              " NOT written): " + bad.mkString("; "))
+        }
+      }
+
+      // ---- content-dedup: digest per inbox file ----------------------
+      val rowHash = xxhash64(col("call_id"), col("seq"), col("total"),
+        col("duration_sec"))
+      val digested = batch.withColumn("__h", rowHash)
+        .groupBy(col("__src"))
+        .agg(expr("bit_xor(__h)").as("digest"), count(lit(1)).as("n_rows"))
+      // intra-batch duplicates: keep the first path per digest
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("digest"), col("n_rows")).orderBy(col("__src"))
+      val dedupInBatch = digested
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+      val ledger =
+        try spark.read.schema(ledgerSchema).parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId) // a replay must not see
+                                               // its own prior write
+        catch { case _: Exception =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            ledgerSchema)
+        }
+      val fresh = dedupInBatch.join(ledger.select("digest", "n_rows"),
+        Seq("digest", "n_rows"), "left_anti").cache()
+      try {
+        val keep = batch.join(broadcast(fresh.select("__src")),
+          Seq("__src"), "left_semi")
+
+        keep.drop("__src").withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("valid", "batch_id")
+          .parquet(legsDir)
+        fresh.select(col("digest"), col("n_rows"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(ledgerDir)
+      } finally fresh.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** Legs-store schema the downstream assembly declares when the chain
+    * runs on the hardened ingest (the batch_id partition column joins
+    * the layout). */
+  val hardenedLegsSchema: StructType = StructType(Seq(
+    StructField("call_id", StringType),
+    StructField("seq", IntegerType),
+    StructField("total", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("valid", BooleanType),
+    StructField("batch_id", LongType)))
+
+  /** The full chain on the hardened ingest: assembly's source declares
+    * the extended schema; everything downstream is the registered
+    * standard stage. */
+  def stages(spark: SparkSession, inboxDir: String, legsDir: String,
+      ledgerDir: String, callsDir: String, ratedDir: String,
+      checkpointRoot: String, tiers: Seq[(Long, Long, Long)],
+      gate: Option[DriftGate] = None, legTimeoutMs: Long = -1L)
+      : Seq[StageSpec] = {
+    // pre-create the handoff dirs so every stage can start before its
+    // upstream commits a first batch (the register() convention)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(inboxDir, legsDir, callsDir, ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val base = LiveRatingChain.stages(spark, "/nonexistent", legsDir,
+      callsDir, ratedDir, checkpointRoot, tiers, legTimeoutMs)
+    val assembly = base(1).copy(source = s => s.readStream
+      .schema(hardenedLegsSchema).parquet(legsDir)
+      .drop("batch_id"))
+    stage(spark, inboxDir, legsDir, ledgerDir, checkpointRoot, gate) +:
+      assembly +: base.drop(2)
+  }
+}
