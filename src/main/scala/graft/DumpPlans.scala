@@ -120,6 +120,39 @@ object DumpPlans {
       }
       runner.stopAll()
     }
+    // the prerating stage (round 10): normalize + guide ahead of leg
+    // assembly. Shape to verify: scan → map-side normalize projection →
+    // ONE BroadcastHashJoin against the bucket-exploded number-range dim
+    // (residual BETWEEN kept on the join) → project; ZERO exchanges on
+    // the CDR side — the stage is pure scan throughput at any size.
+    locally {
+      val base = Files.createTempDirectory("graft_plans_prerating").toString
+      val runner = new streaming.PipelineRunner(spark)
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val ranges = spark.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L).as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"),
+        concat(lit("OP"), (col("r") % 5L).cast("string")).as("operator"))
+      val names = streaming.LiveRatingChain.registerWithPrerating(runner,
+        spark, s"$base/raw", ranges, s"$base/prerated", s"$base/legs",
+        s"$base/calls", s"$base/rated", s"$base/ckpt",
+        Seq((0L, 100L, 5L), (100L, Long.MaxValue, 3L)))
+      val tmp = Paths.get(base, "w.csv")
+      Files.writeString(tmp, "msisdn,event_id,seq,total,duration_sec\n" +
+        "+4915550001,1,1,1,10.0\n0 1555-0002,2,1,1,20.0\nbadnum,3,1,1,5.0\n")
+      Files.move(tmp, Paths.get(s"$base/raw", "w.csv"))
+      val q = runner.start(names.head)
+      q.processAllAvailable()
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        q.explain()
+      }
+      sb.append("\n## LiveRatingChain stage: prerating (last micro-batch)\n\n```\n")
+      sb.append(bos.toString("UTF-8").trim)
+      sb.append("\n```\n")
+      runner.stopAll()
+    }
     val body = sb.toString
     val nExtra = "(?m)^## ".r.findAllIn(body).length - names.size
     val header =

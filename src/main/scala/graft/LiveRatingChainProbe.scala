@@ -86,9 +86,28 @@ object LiveRatingChainProbe {
       rows.size
     }
 
+    // SPARK_GRAFT_CHAIN_TAPS=1 registers the fraud tap (VelocityMonitor)
+    // and the live trunk gauge (TrunkGauge) as 4th/5th consumers — the
+    // multi-consumer fan-out cost and the gauge's batch parity are the
+    // claims under test. The probe's waves are arrival-SHUFFLED (built to
+    // stress assembly state), so the gauge runs with horizon/cap sized to
+    // the whole span: this validates sweep CORRECTNESS under maximal
+    // disorder; bounded-horizon is the production mode for time-ordered
+    // feeds (collapse semantics pinned in StreamingSpec).
+    val taps = sys.env.get("SPARK_GRAFT_CHAIN_TAPS").contains("1")
+    val nTrunks = 50
+
     def runWaves(from: Int, until: Int, runner: PipelineRunner): Unit = {
-      val names = LiveRatingChain.register(runner, spark, inbox, legs,
+      val names0 = LiveRatingChain.register(runner, spark, inbox, legs,
         calls, rated, ckpt, tiers)
+      val names = if (!taps) names0 else {
+        runner.register(LiveRatingChain.fraudStage(spark, legs,
+          s"$base/alarms", ckpt, windowSec = 3600L, threshold = 10L))
+        runner.register(LiveRatingChain.gaugeStage(spark, legs,
+          s"$base/gauge", ckpt, trunks = nTrunks,
+          horizonSec = Long.MaxValue / 4, maxDeltas = 1 << 22))
+        names0 ++ Seq("fraud_tap", "trunk_gauge")
+      }
       val qs = names.map(runner.start)
       (from until until).foreach { w =>
         val n = writeWave(w)
@@ -143,6 +162,31 @@ object LiveRatingChainProbe {
       s"batch_parity=${if (parity) "EXACT" else "MISMATCH"}")
     require(nDup == 0, "duplicate billing rows after restart")
     require(parity, "streamed invoice != q239 batch invoice run")
+
+    // ---- tap verdicts: gauge final peaks vs the batch q257 sweep ------
+    if (taps) {
+      val gauge = spark.read.parquet(s"$base/gauge")
+        .groupBy(col("trunk"))
+        .agg(max(col("peak_concurrent")).as("peak"))
+        .orderBy(col("trunk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val trunkCalls = raw.select(
+        concat(lit("T"), (split(col("call_id"), ":").getItem(0)
+          .cast(LongType) % nTrunks).cast(StringType)).as("trunk"),
+        split(col("call_id"), ":").getItem(1).cast(LongType)
+          .as("start_sec"),
+        (split(col("call_id"), ":").getItem(1).cast(LongType) +
+          expr("CAST(round(duration_sec) AS BIGINT)")).as("end_sec"))
+      val batchPeaks = graft.queries.RoutingQ.trunkPeaks(trunkCalls)
+        .select(col("trunk"), col("peak_concurrent"))
+        .orderBy(col("trunk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val gaugeParity = gauge == batchPeaks
+      val alarms = spark.read.parquet(s"$base/alarms").count()
+      println(s"taps: trunks=${gauge.size} gauge_parity=" +
+        s"${if (gaugeParity) "EXACT" else "MISMATCH"} fraud_alarms=$alarms")
+      require(gaugeParity, "live gauge peaks != batch q257 sweep")
+    }
     spark.stop()
   }
 }

@@ -297,6 +297,50 @@ object LiveRatingChain {
         .outputMode("append"))
   }
 
+  /** Optional FIFTH stage: the live trunk-concurrency gauge — a THIRD
+    * consumer of the legs store running [[TrunkGauge]] (the streaming
+    * twin of the oracle-checked q257 sweep line): each valid leg becomes
+    * a [start, end) circuit interval on its account-derived trunk, and
+    * every micro-batch appends the updated per-trunk gauge (calls, now,
+    * peak, peak second). Peak is monotone, so the store's
+    * `max(peak_concurrent)` per trunk IS the final answer — probe-pinned
+    * equal to the batch q257 on the same legs.
+    *
+    * `horizonSec`/`maxDeltas` bound state for time-ordered feeds (the
+    * production mode); a feed with unbounded arrival disorder (the
+    * chain probe's shuffled waves) must size them to the full span or
+    * accept the documented collapsed-past trade-off
+    * (`TrunkGauge.scala:26-31`). */
+  def gaugeStage(spark: SparkSession, legsDir: String, gaugeDir: String,
+      checkpointRoot: String, trunks: Int = 50,
+      horizonSec: Long = 86400L, maxDeltas: Int = 8192): StageSpec = {
+    import spark.implicits._
+    require(trunks >= 1, s"trunks must be >= 1, got $trunks")
+    StageSpec(
+      "trunk_gauge",
+      source = s => s.readStream.schema(legsStoreSchema).parquet(legsDir),
+      transform = df => df.filter(col("valid"))
+        .select(
+          concat(lit("T"), (split(col("call_id"), ":").getItem(0)
+            .cast(LongType) % trunks).cast(StringType)).as("trunk"),
+          // leg "time": the event id doubles as start seconds in the
+          // fixture wire (the fraudStage convention); a production feed
+          // carries a real start ts
+          split(col("call_id"), ":").getItem(1).cast(LongType)
+            .as("start_sec"),
+          (split(col("call_id"), ":").getItem(1).cast(LongType) +
+            expr("CAST(round(duration_sec) AS BIGINT)")).as("end_sec"))
+        .as[TCall]
+        .groupByKey(_.trunk)
+        .transformWithState(new TrunkGauge(horizonSec, maxDeltas),
+          TimeMode.None(), OutputMode.Append())
+        .toDF(),
+      sink = df => df.writeStream.format("parquet")
+        .option("path", gaugeDir)
+        .option("checkpointLocation", s"$checkpointRoot/trunk_gauge")
+        .outputMode("append"))
+  }
+
   /** Register the chain into a runner; returns stage names in start
     * order. */
   def register(runner: PipelineRunner, spark: SparkSession,
