@@ -69,7 +69,10 @@ object ScaleProbe {
     "q254_commitment_trueup", "q255_reliability_card",
     "q256_prefix_routing", "q257_trunk_peak", "q258_asr_card",
     "q259_priority_sample", "q260_erlang_capacity", "q261_profile_drift",
-    "q262_waterfill_mix")
+    "q262_waterfill_mix",
+    "q263_msisdn_normalize", "q264_number_guiding", "q265_late_corrections",
+    "q266_lcr_plan", "q267_route_margin", "q268_range_utilization",
+    "q269_volume_rating", "q270_kendall_tau", "q271_chunk_overlap")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

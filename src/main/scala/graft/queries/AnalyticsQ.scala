@@ -3042,9 +3042,118 @@ object AnalyticsQ {
         FROM m)
       SELECT n_docs, b_reps, mean_full, ci_lo, ci_hi FROM f, c"""))
 
+  /** Exact Kendall τ-b concordance — completing the correlation trio
+    * beside Spearman (q241) and the rank tests: the pair-orientation
+    * statistic robust to monotone transforms and, unlike Spearman,
+    * interpretable as P(concordant) − P(discordant). Computed EXACTLY
+    * with ties (τ-b) from the JOINT VALUE HISTOGRAM: rows collapse to
+    * (x, y, count) cells first, then concordant/discordant mass is one
+    * cell × cell comparison join — O(cells²) on a BOUNDED cell table,
+    * never O(rows²) on the corpus (the q165/q170 histogram discipline;
+    * a billion-row input with the same value grid pays the same join).
+    *
+    * Output is exact integers only: n, pair counts (concordant,
+    * discordant, x-ties n1, y-ties n2 — DECIMAL(38,0), they're
+    * O(n²)-scale), the sign of τ, and `tau2_ppm` = 10⁶·(C−D)² /
+    * ((n0−n1)(n0−n2)) — the square of τ-b in ppm with the sign carried
+    * separately (the q166 rule: cross-engine sqrt never hash-matches;
+    * sign·τ² is a monotone transform of τ carrying identical
+    * information). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("c"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"),
+      col("c").as("bc"))
+    val orient = cells.join(broadcast(b), col("x") < col("bx"))
+      .agg(
+        sum(when(col("y") < col("by"), col("c") * col("bc"))
+          .otherwise(lit(0))).as("concordant"),
+        sum(when(col("y") > col("by"), col("c") * col("bc"))
+          .otherwise(lit(0))).as("discordant"))
+    val txs = cells.groupBy(col("x"))
+      .agg(sum(col("c")).as("t"))
+      .agg(sum(expr("t * (t - 1) / 2")).as("n1"),
+        sum(col("t")).as("n"))
+    val tys = cells.groupBy(col("y"))
+      .agg(sum(col("c")).as("t"))
+      .agg(sum(expr("t * (t - 1) / 2")).as("n2"))
+    orient.crossJoin(broadcast(txs)).crossJoin(broadcast(tys))
+      // internal arithmetic is DECIMAL(38,0); the emitted CARD casts the
+      // pair counts to BIGINT (valid to n ~ 4e9 rows — beyond that keep
+      // the sign/ppm fields, which stay exact in decimal)
+      .select(
+        col("n").cast(LongType).as("n"),
+        expr("CAST(n * (n - 1) / 2 AS BIGINT)").as("n0"),
+        coalesce(col("concordant"), lit(0)).cast(LongType)
+          .as("concordant"),
+        coalesce(col("discordant"), lit(0)).cast(LongType)
+          .as("discordant"),
+        col("n1").cast(LongType).as("ties_x_pairs"),
+        col("n2").cast(LongType).as("ties_y_pairs"),
+        coalesce(col("concordant"), lit(0)).cast(DecimalType(38, 0))
+          .as("__cd"),
+        coalesce(col("discordant"), lit(0)).cast(DecimalType(38, 0))
+          .as("__dd"),
+        expr("CAST(n * (n - 1) / 2 AS DECIMAL(38,0))").as("__n0"),
+        col("n1").cast(DecimalType(38, 0)).as("__n1"),
+        col("n2").cast(DecimalType(38, 0)).as("__n2"))
+      .withColumn("tau_sign",
+        signum(col("concordant") - col("discordant")).cast(LongType))
+      .withColumn("tau2_ppm", expr(
+        """CAST((1000000 * (__cd - __dd) * (__cd - __dd))
+           DIV ((__n0 - __n1) * (__n0 - __n2)) AS BIGINT)"""))
+      .drop("__cd", "__dd", "__n0", "__n1", "__n2")
+  }
+
+  /** Oracle fixture of [[kendallTau]]: a positively-associated integer
+    * pair derived from the value column (y follows x's decile plus a
+    * user-keyed wobble — bounded cell grid, genuine ties on both
+    * margins). The oracle replays the identical tie-aware cell
+    * construction in HUGEINT. */
+  private val q270 = GQuery(
+    "q270_kendall_tau",
+    (s, dir) => kendallTau(
+      t(s, dir, "events").select(
+        (abs(expr("CAST(round(value) AS BIGINT)")) % 40L).as("x"),
+        ((abs(expr("CAST(round(value) AS BIGINT)")) % 40L) * 2L +
+          col("user_id") % 10L).as("y")),
+      "x", "y"),
+    Some("""WITH e AS (SELECT
+          abs(CAST(round(value) AS BIGINT)) % 40 AS x,
+          (abs(CAST(round(value) AS BIGINT)) % 40) * 2 + user_id % 10 AS y
+        FROM events),
+      cells AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM e WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+      orient AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+            AS HUGEINT) AS concordant,
+          CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+            AS HUGEINT) AS discordant
+        FROM cells a JOIN cells b ON a.x < b.x),
+      tx AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1,
+          CAST(SUM(t) AS HUGEINT) AS n
+        FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY 1)),
+      ty AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2
+        FROM (SELECT y, SUM(c) AS t FROM cells GROUP BY 1))
+      SELECT CAST(tx.n AS BIGINT) AS n,
+        CAST(tx.n * (tx.n - 1) // 2 AS BIGINT) AS n0,
+        CAST(orient.concordant AS BIGINT) AS concordant,
+        CAST(orient.discordant AS BIGINT) AS discordant,
+        CAST(tx.n1 AS BIGINT) AS ties_x_pairs,
+        CAST(ty.n2 AS BIGINT) AS ties_y_pairs,
+        CAST(CASE WHEN orient.concordant > orient.discordant THEN 1
+          WHEN orient.concordant < orient.discordant THEN -1 ELSE 0 END
+          AS BIGINT) AS tau_sign,
+        CAST((1000000 * (orient.concordant - orient.discordant)
+              * (orient.concordant - orient.discordant))
+          // ((tx.n * (tx.n - 1) // 2 - tx.n1)
+             * (tx.n * (tx.n - 1) // 2 - ty.n2)) AS BIGINT) AS tau2_ppm
+      FROM orient, tx, ty"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252)
+    q243, q245, q246, q247, q251, q252, q270)
 }

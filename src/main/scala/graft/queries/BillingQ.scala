@@ -427,5 +427,77 @@ object BillingQ {
         ORDER BY account_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265)
+  /** Data-usage block rating — the packet-switched sibling of the
+    * voice raters (q226/q233): every data session bills in WHOLE
+    * blocks (the industry round-up rule — a partially used block bills
+    * entirely), at a per-APN block rate. charged_blocks =
+    * ceil(bytes / blockBytes) as exact integer arithmetic
+    * `(bytes + block − 1) DIV block`; zero/negative byte counts bill 0
+    * blocks but stay counted (never-drop). Roll-up per (account, apn):
+    * sessions, bytes, blocks, exact centi charge, and the overage ppm —
+    * billed-but-unused capacity `(blocks·block − bytes) / bytes` — the
+    * number a customer-facing fairness review asks for.
+    *
+    * Plan: broadcast rate lookup + map-side block math + ONE hash
+    * aggregation at (account, apn) grain. */
+  def volumeRating(sessions: DataFrame, rates: DataFrame,
+      blockBytes: Long = 102400L): DataFrame = {
+    require(blockBytes >= 1L, s"blockBytes must be >= 1, got $blockBytes")
+    sessions
+      .join(broadcast(rates), Seq("apn"), "left")
+      .withColumn("__blocks",
+        when(col("bytes") > 0L,
+          expr(s"(bytes + ${blockBytes}L - 1) DIV ${blockBytes}L"))
+          .otherwise(lit(0L)))
+      .groupBy(col("account_id"), col("apn"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(greatest(col("bytes"), lit(0L))).as("bytes"),
+        sum(col("__blocks")).as("blocks"),
+        sum(col("__blocks") * coalesce(col("rate_centi"), lit(0L)))
+          .as("charge_centi"))
+      .withColumn("overage_ppm",
+        when(col("bytes") > 0L,
+          expr(s"(1000000 * (blocks * ${blockBytes}L - bytes)) DIV bytes")))
+  }
+
+  /** Oracle fixture of [[volumeRating]]: events as data sessions —
+    * bytes from the value column (negatives = failed sessions, billed
+    * 0), APN from the event type, per-APN block rates. */
+  private val q269 = GQuery(
+    "q269_volume_rating",
+    (s, dir) => {
+      val sessions = t(s, dir, "events").select(
+        col("user_id").as("account_id"),
+        col("event_type").as("apn"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("bytes"))
+      val rates = t(s, dir, "events").select(col("event_type").as("apn"))
+        .distinct()
+        .withColumn("rate_centi", (length(col("apn")) % 5L) + 2L)
+      volumeRating(sessions, rates)
+        .orderBy(col("account_id"), col("apn"))
+    },
+    Some("""WITH sess AS (SELECT user_id AS account_id,
+          event_type AS apn,
+          CAST(round(value * 10000) AS BIGINT) AS bytes
+        FROM events),
+      rates AS (SELECT DISTINCT event_type AS apn,
+          (length(event_type) % 5) + 2 AS rate_centi
+        FROM events),
+      b AS (SELECT s.account_id, s.apn, s.bytes, r.rate_centi,
+          CASE WHEN s.bytes > 0
+            THEN (s.bytes + 102400 - 1) // 102400 ELSE 0 END AS blocks
+        FROM sess s LEFT JOIN rates r ON r.apn = s.apn),
+      g AS (SELECT account_id, apn, COUNT(*) AS n_sessions,
+          CAST(SUM(GREATEST(bytes, 0)) AS BIGINT) AS bytes,
+          CAST(SUM(blocks) AS BIGINT) AS blocks,
+          CAST(SUM(blocks * COALESCE(rate_centi, 0)) AS BIGINT)
+            AS charge_centi
+        FROM b GROUP BY 1, 2)
+      SELECT account_id, apn, n_sessions, bytes, blocks, charge_centi,
+        CAST(CASE WHEN bytes > 0
+          THEN (1000000 * (blocks * 102400 - bytes)) // bytes END
+          AS BIGINT) AS overage_ppm
+      FROM g ORDER BY account_id, apn"""))
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269)
 }

@@ -117,7 +117,8 @@ object PreratingQ {
     * never sees fact data) raises before any join happens.
     */
   def guideRanges(cdrs: DataFrame, ranges: DataFrame,
-      numCol: String = "canonical"): DataFrame = {
+      numCol: String = "canonical", keepBounds: Boolean = false)
+      : DataFrame = {
     val dimW = Window.orderBy(col("range_start"))
     val guarded = ranges
       .withColumn("__prev_end", lag(col("range_end"), 1).over(dimW))
@@ -141,9 +142,11 @@ object PreratingQ {
     val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
       .withColumn("__b", expr(s"__num DIV ${width}L"))
     val hadReason = cdrs.columns.contains("reason")
-    val joined = probe.join(broadcast(dim), probe("__b") === dim("__b") &&
+    val joined0 = probe.join(broadcast(dim), probe("__b") === dim("__b") &&
         col("__num").between(col("range_start"), col("range_end")), "left")
-      .drop("__b", "__num", "range_start", "range_end")
+      .drop("__b", "__num")
+    val joined =
+      if (keepBounds) joined0 else joined0.drop("range_start", "range_end")
     val withReason =
       if (hadReason) joined.withColumn("reason",
         coalesce(col("reason"),
@@ -260,5 +263,79 @@ object PreratingQ {
         ORDER BY m.event_id"""
     })
 
-  val queries: Seq[GQuery] = Seq(q263, q264)
+  /** Number-plan utilization audit — the card the numbering authority
+    * (and every porting/capacity process) asks for: per allocated
+    * range, how much of it the observed traffic actually uses.
+    * Per range: owning account, allocation size, calls, DISTINCT
+    * numbers seen, utilization ppm (distinct/size), plus one
+    * `__unallocated__` row carrying the traffic that guided nowhere —
+    * dark traffic is a misallocation finding, never a dropped row.
+    *
+    * Plan: the [[guideRanges]] broadcast lookup (zero CDR-side
+    * shuffles) + ONE hash aggregation at range grain with a distinct
+    * count (two-phase partial agg — the only exchange is range-grain).
+    */
+  def rangeUtilization(cdrs: DataFrame, ranges: DataFrame,
+      numCol: String = "canonical"): DataFrame =
+    guideRanges(cdrs, ranges, numCol, keepBounds = true)
+      .groupBy(coalesce(col("range_start").cast(StringType),
+          lit("__unallocated__")).as("range_key"))
+      .agg(
+        max(col("account_id")).as("account_id"),
+        max(col("range_end") - col("range_start") + 1L).as("range_size"),
+        count(lit(1)).as("n_calls"),
+        countDistinct(col(numCol)).as("n_numbers"))
+      .withColumn("util_ppm",
+        when(col("range_size").isNotNull,
+          expr("(1000000 * n_numbers) DIV range_size")))
+
+  /** Oracle fixture of [[rangeUtilization]]: the q264 plan and fixture
+    * traffic; the oracle replays guiding as the naive BETWEEN join. */
+  private val q268 = GQuery(
+    "q268_range_utilization",
+    (s, dir) => {
+      val ranges = s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+          .as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"))
+      rangeUtilization(
+        normalizeMsisdn(fixtureRaw(s, dir)).filter(col("canonical").isNotNull),
+        ranges)
+        .orderBy(col("range_key"))
+    },
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, $cand AS cand, $reason AS reason FROM c),
+        norm AS (SELECT event_id,
+            CASE WHEN reason IS NULL THEN cand END AS canonical
+          FROM n),
+        traffic AS (SELECT * FROM norm WHERE canonical IS NOT NULL),
+        ranges AS (SELECT
+            49100000000 + r * 4000000 AS range_start,
+            49100000000 + r * 4000000 + 1999999 AS range_end,
+            1000 + r AS account_id
+          FROM UNNEST(generate_series(0, 224)) AS u(r)),
+        g AS (SELECT t.canonical, r.range_start, r.range_end, r.account_id
+          FROM traffic t LEFT JOIN ranges r
+            ON CAST(t.canonical AS BIGINT)
+               BETWEEN r.range_start AND r.range_end)
+        SELECT COALESCE(CAST(range_start AS VARCHAR), '__unallocated__')
+            AS range_key,
+          CAST(MAX(account_id) AS BIGINT) AS account_id,
+          CAST(MAX(range_end - range_start + 1) AS BIGINT) AS range_size,
+          COUNT(*) AS n_calls,
+          CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_numbers,
+          CAST(CASE WHEN MAX(range_end) IS NOT NULL
+            THEN (1000000 * COUNT(DISTINCT canonical))
+                 // MAX(range_end - range_start + 1) END AS BIGINT)
+            AS util_ppm
+        FROM g GROUP BY 1 ORDER BY range_key"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q263, q264, q268)
 }

@@ -409,5 +409,189 @@ object RoutingQ {
       LEFT JOIN last la ON la.trunk = l.trunk
       ORDER BY l.trunk"""))
 
-  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260)
+  /** Least-cost-routing plan build — the control-plane job every
+    * interconnect switch consumes: per destination prefix, carriers
+    * ranked by rate (carrier name breaking ties, so two same-priced
+    * carriers rank deterministically), emitted as a fixed failover
+    * order (primary / alt1 / alt2) plus the carrier count and the
+    * price spread that tells procurement where negotiation pays.
+    *
+    * Plan: one window + one hash aggregation, BOTH at tariff-dimension
+    * grain (a carrier price list is bounded — this is a control-plane
+    * build, the traffic-side cost of using the plan is q256/q267);
+    * partitioned by prefix, so no single reducer ever owns the dim.
+    *
+    * `tariffs`: (prefix, carrier, rate_centi), one row per offer;
+    * duplicate (prefix, carrier) offers fail loudly — a double quote is
+    * a dim defect, not a tie to break silently. */
+  def lcrPlan(tariffs: DataFrame): DataFrame = {
+    val wDup = Window.partitionBy(col("prefix"), col("carrier"))
+    val guarded = tariffs
+      .withColumn("__dup", count(lit(1)).over(wDup))
+      .withColumn("carrier",
+        when(col("__dup") > 1L, expr(
+          "CAST(raise_error('lcrPlan: duplicate (prefix, carrier) offer') AS STRING)"))
+          .otherwise(col("carrier")))
+      .drop("__dup")
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("rate_centi"), col("carrier"))
+    guarded
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("prefix"))
+      .agg(
+        count(lit(1)).as("n_carriers"),
+        max(when(col("__rk") === 1, col("carrier"))).as("primary_carrier"),
+        max(when(col("__rk") === 1, col("rate_centi"))).as("primary_centi"),
+        max(when(col("__rk") === 2, col("carrier"))).as("alt1_carrier"),
+        max(when(col("__rk") === 3, col("carrier"))).as("alt2_carrier"),
+        (max(col("rate_centi")) - min(col("rate_centi"))).as("spread_centi"))
+  }
+
+  /** Shared carrier-tariff fixture: each 1–3-digit prefix of the q256
+    * plan quoted by 2–5 of seven carriers, rates by pure integer
+    * arithmetic. */
+  private def fixtureTariffs(s: org.apache.spark.sql.SparkSession)
+      : DataFrame =
+    s.range(1L, 1000L).toDF("p")
+      .filter((col("p") <= 8L) ||
+        (col("p").between(10L, 99L) && col("p") % 4L === 1L) ||
+        (col("p") >= 100L && (col("p") % 10L).isin(1L, 3L, 7L)))
+      .withColumn("c", explode(expr("sequence(0, 1 + CAST(p % 4 AS INT))")))
+      .select(col("p").cast(StringType).as("prefix"),
+        concat(lit("C"), ((col("p") * 3L + col("c") * 5L) % 7L)
+          .cast(StringType)).as("carrier"),
+        (lit(40L) + (col("p") * 13L + col("c") * 29L) % 111L)
+          .as("rate_centi"))
+
+  private val fixtureTariffsSql =
+    """SELECT CAST(p AS VARCHAR) AS prefix,
+        'C' || CAST((p * 3 + c * 5) % 7 AS VARCHAR) AS carrier,
+        40 + (p * 13 + c * 29) % 111 AS rate_centi
+      FROM (SELECT p, UNNEST(generate_series(0, 1 + CAST(p % 4 AS INT))) AS c
+        FROM UNNEST(generate_series(1, 999)) AS u(p)
+        WHERE p <= 8 OR (p BETWEEN 10 AND 99 AND p % 4 = 1)
+           OR (p >= 100 AND p % 10 IN (1, 3, 7)))"""
+
+  /** Oracle fixture of [[lcrPlan]]. The carrier derivation `(p·3+c·5)%7`
+    * is injective over c∈[0,5] for fixed p (gcd(5,7)=1), so no duplicate
+    * (prefix, carrier) offers arise and the loud guard stays quiet. */
+  private val q266 = GQuery(
+    "q266_lcr_plan",
+    (s, dir) => lcrPlan(fixtureTariffs(s)).orderBy(col("prefix")),
+    Some(s"""WITH t AS ($fixtureTariffsSql),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix
+          ORDER BY rate_centi, carrier) AS rk FROM t)
+      SELECT prefix, COUNT(*) AS n_carriers,
+        MAX(CASE WHEN rk = 1 THEN carrier END) AS primary_carrier,
+        MAX(CASE WHEN rk = 1 THEN rate_centi END) AS primary_centi,
+        MAX(CASE WHEN rk = 2 THEN carrier END) AS alt1_carrier,
+        MAX(CASE WHEN rk = 3 THEN carrier END) AS alt2_carrier,
+        MAX(rate_centi) - MIN(rate_centi) AS spread_centi
+      FROM r GROUP BY prefix ORDER BY prefix"""))
+
+  /** Route margin assurance — the interconnect P&L check every carrier
+    * closes the day with: each call rates TWICE through the
+    * longest-prefix machinery — once against the customer (sell) tariff
+    * and once against the supplier (buy) cost deck, usually at
+    * different prefix granularities — and the per-sell-route roll-up
+    * shows revenue, cost, margin and the negative-margin flag that
+    * means a price-deck update is bleeding money on every call.
+    *
+    * Plan: ONE scan through TWO back-to-back broadcast LPM cascades
+    * ([[prefixRoute]] — zero shuffles on the call side at any corpus
+    * size) + one hash aggregation at (sell route) grain. Unrouted
+    * calls on either side rate 0 there (never dropped) and roll up
+    * under the NULL route — unsellable or unbuyable traffic is the
+    * first thing this report must surface. */
+  def routeMargin(calls: DataFrame, sellTariffs: DataFrame,
+      buyTariffs: DataFrame, numCol: String = "dialed"): DataFrame = {
+    val sold = prefixRoute(calls, sellTariffs, numCol)
+      .withColumnRenamed("prefix", "sell_prefix")
+      .withColumnRenamed("route", "sell_route")
+      .withColumnRenamed("rate_centi", "sell_rate_centi")
+      .withColumnRenamed("charge_centi", "revenue_centi")
+    val both = prefixRoute(sold, buyTariffs, numCol)
+      .withColumnRenamed("charge_centi", "cost_centi")
+    both
+      .groupBy(col("sell_route"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(col("dur_min")).as("minutes"),
+        sum(col("revenue_centi")).as("revenue_centi"),
+        sum(col("cost_centi")).as("cost_centi"))
+      .withColumn("margin_centi",
+        col("revenue_centi") - col("cost_centi"))
+      .withColumn("margin_ppm",
+        when(col("revenue_centi") > 0L,
+          expr("(1000000 * margin_centi) DIV revenue_centi")))
+      .withColumn("bleeding", col("margin_centi") < 0L)
+  }
+
+  /** Oracle fixture of [[routeMargin]]: the q256 sell plan vs a COARSER
+    * buy deck (1–2-digit prefixes only, rates shifted so some routes
+    * genuinely go negative); the oracle replays both LPMs the naive
+    * theta-join way. */
+  private val q267 = GQuery(
+    "q267_route_margin",
+    (s, dir) => {
+      val sell = s.range(1L, 1000L).toDF("p")
+        .filter((col("p") <= 8L) ||
+          (col("p").between(10L, 99L) && col("p") % 4L === 1L) ||
+          (col("p") >= 100L && (col("p") % 10L).isin(1L, 3L, 7L)))
+        .select(col("p").cast(StringType).as("prefix"),
+          concat(lit("R"), (col("p") % 7L).cast(StringType)).as("route"),
+          (lit(50L) + col("p") % 97L).as("rate_centi"))
+      val buy = s.range(1L, 100L).toDF("p")
+        .filter((col("p") <= 8L) || col("p") % 3L === 1L)
+        .select(col("p").cast(StringType).as("prefix"),
+          concat(lit("S"), (col("p") % 5L).cast(StringType)).as("route"),
+          (lit(45L) + col("p") * 7L % 113L).as("rate_centi"))
+      routeMargin(fixtureCalls(s, dir), sell, buy)
+        .orderBy(col("sell_route"))
+    },
+    Some(s"""WITH calls AS ($fixtureCallsSql),
+      sell AS (SELECT CAST(p AS VARCHAR) AS prefix,
+          'R' || CAST(p % 7 AS VARCHAR) AS route,
+          50 + p % 97 AS rate_centi
+        FROM UNNEST(generate_series(1, 999)) AS u(p)
+        WHERE p <= 8 OR (p BETWEEN 10 AND 99 AND p % 4 = 1)
+           OR (p >= 100 AND p % 10 IN (1, 3, 7))),
+      buy AS (SELECT CAST(p AS VARCHAR) AS prefix,
+          'S' || CAST(p % 5 AS VARCHAR) AS route,
+          45 + p * 7 % 113 AS rate_centi
+        FROM UNNEST(generate_series(1, 99)) AS u(p)
+        WHERE p <= 8 OR p % 3 = 1),
+      sm AS (SELECT c.call_id, p.route, p.rate_centi,
+          ROW_NUMBER() OVER (PARTITION BY c.call_id
+            ORDER BY length(p.prefix) DESC) AS rn
+        FROM calls c JOIN sell p
+          ON p.prefix = substr(c.dialed, 1, length(p.prefix))),
+      sb AS (SELECT * FROM sm WHERE rn = 1),
+      bm AS (SELECT c.call_id, p.rate_centi,
+          ROW_NUMBER() OVER (PARTITION BY c.call_id
+            ORDER BY length(p.prefix) DESC) AS rn
+        FROM calls c JOIN buy p
+          ON p.prefix = substr(c.dialed, 1, length(p.prefix))),
+      bb AS (SELECT * FROM bm WHERE rn = 1),
+      per AS (SELECT c.call_id, sb.route AS sell_route, c.dur_min,
+          CASE WHEN sb.rate_centi IS NOT NULL AND c.dur_min > 0
+            THEN c.dur_min * sb.rate_centi ELSE 0 END AS revenue_centi,
+          CASE WHEN bb.rate_centi IS NOT NULL AND c.dur_min > 0
+            THEN c.dur_min * bb.rate_centi ELSE 0 END AS cost_centi
+        FROM calls c
+        LEFT JOIN sb ON sb.call_id = c.call_id
+        LEFT JOIN bb ON bb.call_id = c.call_id),
+      g AS (SELECT sell_route, COUNT(*) AS n_calls,
+          CAST(SUM(dur_min) AS BIGINT) AS minutes,
+          CAST(SUM(revenue_centi) AS BIGINT) AS revenue_centi,
+          CAST(SUM(cost_centi) AS BIGINT) AS cost_centi
+        FROM per GROUP BY 1)
+      SELECT sell_route, n_calls, minutes, revenue_centi, cost_centi,
+        revenue_centi - cost_centi AS margin_centi,
+        CASE WHEN revenue_centi > 0
+          THEN (1000000 * (revenue_centi - cost_centi)) // revenue_centi
+          END AS margin_ppm,
+        revenue_centi - cost_centi < 0 AS bleeding
+      FROM g ORDER BY sell_route NULLS FIRST"""))
+
+  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267)
 }

@@ -3301,10 +3301,63 @@ object TextQ {
       FROM lanes a JOIN lanes b ON a.j = b.j AND a.source < b.source
       GROUP BY 1, 2 ORDER BY src_x, src_y"""))
 
+  /** Sliding-window document chunking with overlap — the op every
+    * context-bounded consumer (embedding index, RAG retriever,
+    * fixed-window trainer) runs between the corpus and the model:
+    * chunks of `window` chars start every `stride` chars
+    * (stride < window ⇒ overlap, so no boundary-straddling content is
+    * ever unseen by every chunk), the tail chunk is short rather than
+    * padded, and an empty document still yields its one empty chunk
+    * (never-drop — a vanished doc breaks chunk→doc lineage audits).
+    *
+    * Emits (doc_id, chunk_idx, start_char, chunk_chars, chunk_md5) —
+    * the hash, not the text, so downstream exact-dedup at CHUNK grain
+    * (boilerplate headers/footers collapse across docs) runs on
+    * 32-byte keys instead of hauling bodies (the q177 rule).
+    *
+    * Plan: pure map-side sequence-explode — one scan, output linear in
+    * chunks (exactly the work any chunker must emit), zero shuffles. */
+  def chunkWithOverlap(docs: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("__len"))
+      .withColumn("start_char", explode(expr(
+        s"sequence(0, greatest(CAST(__len AS INT) - 1, 0), $stride)")))
+      .select(col("doc_id"),
+        expr(s"CAST(start_char DIV $stride AS BIGINT)").as("chunk_idx"),
+        col("start_char").cast(LongType).as("start_char"),
+        expr(s"substring(text, start_char + 1, $window)").as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_char"),
+        length(col("__chunk")).cast(LongType).as("chunk_chars"),
+        md5(col("__chunk")).as("chunk_md5"))
+  }
+
+  /** Oracle fixture of [[chunkWithOverlap]] (window 200, stride 150 —
+    * 50-char overlap): chunk rows over the documents table, hash
+    * carried instead of text. */
+  private val q271 = GQuery(
+    "q271_chunk_overlap",
+    (s, dir) => chunkWithOverlap(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+        FROM documents),
+      st AS (SELECT doc_id, text,
+          UNNEST(generate_series(0, GREATEST(len - 1, 0), 150)) AS s
+        FROM d)
+      SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_idx,
+        CAST(s AS BIGINT) AS start_char,
+        CAST(length(substr(text, s + 1, 200)) AS BIGINT) AS chunk_chars,
+        md5(substr(text, s + 1, 200)) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_idx"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237, q242, q253)
+      q201, q205, q206, q208, q228, q237, q242, q253, q271)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQ, BillingQ, PreratingQ, RoutingQ, TextQ}
+
+/** Hand-value unit tests for the round-10 second wave: LCR plan build,
+  * route margin assurance, number-plan utilization, data-volume block
+  * rating, exact Kendall τ-b, and overlap chunking.
+  */
+class RoundTenOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("lcrPlan ranks carriers by rate with a deterministic tiebreak") {
+    val t = Seq(
+      ("49", "Cb", 100L), ("49", "Ca", 100L), ("49", "Cc", 90L),
+      ("1", "Cz", 50L))
+      .toDF("prefix", "carrier", "rate_centi")
+    val out = RoutingQ.lcrPlan(t).orderBy(col("prefix"))
+      .as[(String, Long, String, Long, String, String, Long)].collect()
+    // prefix 1: single quote, no alternates, zero spread
+    assert(out(0) == (("1", 1L, "Cz", 50L, null, null, 0L)), out(0))
+    // prefix 49: cheapest first, then the price tie breaks on carrier
+    assert(out(1) == (("49", 3L, "Cc", 90L, "Ca", "Cb", 10L)), out(1))
+  }
+
+  test("lcrPlan fails loudly on a duplicate (prefix, carrier) offer") {
+    val t = Seq(("49", "Ca", 100L), ("49", "Ca", 90L))
+      .toDF("prefix", "carrier", "rate_centi")
+    val e = intercept[Exception] { RoutingQ.lcrPlan(t).collect() }
+    assert(String.valueOf(e.getMessage).contains("duplicate") ||
+      String.valueOf(e.getCause).contains("duplicate"), e.toString)
+  }
+
+  test("routeMargin flags bleeding routes and keeps unsellable traffic") {
+    val calls = Seq(
+      (1L, "4915", 10L),  // sells at 100, buys at 150 -> bleeding
+      (2L, "4915", 5L),
+      (3L, "1999", 10L),  // sells at 200, buys at 50 -> healthy
+      (4L, "7777", 10L))  // matches NO sell prefix -> NULL route, rev 0
+      .toDF("call_id", "dialed", "dur_min")
+    val sell = Seq(("49", "RX", 100L), ("19", "RY", 200L))
+      .toDF("prefix", "route", "rate_centi")
+    val buy = Seq(("4", "S1", 150L), ("1", "S2", 50L))
+      .toDF("prefix", "route", "rate_centi")
+    val out = RoutingQ.routeMargin(calls, sell, buy)
+      .select(col("sell_route"), col("revenue_centi"), col("cost_centi"),
+        col("margin_centi"), col("bleeding"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(Some("RX")) == ((1500L, 2250L, -750L, true)), out.toString)
+    assert(out(Some("RY")) == ((2000L, 500L, 1500L, false)), out.toString)
+    // never-drop: the unsellable call rolls up under NULL at 0 revenue
+    assert(out(None) == ((0L, 0L, 0L, false)), out.toString)
+  }
+
+  test("rangeUtilization counts distinct numbers per range, dark traffic kept") {
+    val traffic = Seq("100", "101", "101", "105", "999")
+      .toDF("canonical")
+    val ranges = Seq((100L, 109L, 7L)).toDF(
+      "range_start", "range_end", "account_id")
+    val out = PreratingQ.rangeUtilization(traffic, ranges)
+      .orderBy(col("range_key"))
+      .as[(String, Option[Long], Option[Long], Long, Long, Option[Long])]
+      .collect()
+    // 3 distinct numbers of 10 allocated -> 300000 ppm, 4 calls
+    assert(out(0) == (("100", Some(7L), Some(10L), 4L, 3L, Some(300000L))),
+      out(0).toString)
+    assert(out(1) == (("__unallocated__", None, None, 1L, 1L, None)),
+      out(1).toString)
+  }
+
+  test("volumeRating rounds up to whole blocks, failed sessions bill zero") {
+    val block = 102400L
+    val sess = Seq(
+      (1L, "apn1", block),      // exactly one block
+      (1L, "apn1", block + 1L), // one byte over -> 2 blocks
+      (1L, "apn1", 1L),         // 1 byte -> 1 block (round-up rule)
+      (2L, "apn1", -5L),        // failed session -> 0 blocks, counted
+      (2L, "apn2", 0L))         // zero bytes -> 0 blocks
+      .toDF("account_id", "apn", "bytes")
+    val rates = Seq(("apn1", 3L), ("apn2", 10L))
+      .toDF("apn", "rate_centi")
+    val out = BillingQ.volumeRating(sess, rates)
+      .select(col("account_id"), col("apn"), col("n_sessions"),
+        col("blocks"), col("charge_centi"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "apn1", 3L, 4L, 12L),
+      (2L, "apn1", 1L, 0L, 0L),
+      (2L, "apn2", 1L, 0L, 0L)), out.toString)
+  }
+
+  test("kendallTau is exact at the poles and under ties") {
+    // perfect concordance: tau = +1 -> sign 1, tau^2 = 1e6 exactly
+    val up = (1 to 20).map(i => (i.toLong, i.toLong * 3L))
+      .toDF("x", "y")
+    val g1 = AnalyticsQ.kendallTau(up, "x", "y")
+      .select(col("tau_sign"), col("tau2_ppm")).as[(Long, Long)].head()
+    assert(g1 == ((1L, 1000000L)), g1.toString)
+    // perfect discordance
+    val down = (1 to 20).map(i => (i.toLong, -i.toLong)).toDF("x", "y")
+    val g2 = AnalyticsQ.kendallTau(down, "x", "y")
+      .select(col("tau_sign"), col("tau2_ppm")).as[(Long, Long)].head()
+    assert(g2 == ((-1L, 1000000L)), g2.toString)
+    // hand case with ties: pairs (1,1),(1,2),(2,1),(2,2) -> C=1, D=1,
+    // tau = 0
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val g3 = AnalyticsQ.kendallTau(tied, "x", "y")
+      .select(col("concordant"), col("discordant"), col("ties_x_pairs"),
+        col("ties_y_pairs"), col("tau_sign"), col("tau2_ppm"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(g3 == ((1L, 1L, 2L, 2L, 0L, 0L)), g3.toString)
+  }
+
+  test("chunkWithOverlap covers every char and keeps the short tail") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val out = TextQ.chunkWithOverlap(docs, window = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_char"),
+        col("chunk_chars"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // len 10, stride 3 -> starts 0,3,6,9; windows 4,4,4 and tail 1
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 0L)), out.toString) // empty doc -> its one empty chunk
+    // overlap contract: consecutive chunks share window - stride chars
+    val hashes = TextQ.chunkWithOverlap(docs.filter(col("doc_id") === 1L),
+      window = 4, stride = 3)
+      .select(col("chunk_md5")).as[String].collect()
+    assert(hashes.distinct.length == 4, "chunks must differ")
+  }
+}
