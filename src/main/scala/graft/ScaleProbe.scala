@@ -72,7 +72,9 @@ object ScaleProbe {
     "q262_waterfill_mix",
     "q263_msisdn_normalize", "q264_number_guiding", "q265_late_corrections",
     "q266_lcr_plan", "q267_route_margin", "q268_range_utilization",
-    "q269_volume_rating", "q270_kendall_tau", "q271_chunk_overlap")
+    "q269_volume_rating", "q270_kendall_tau", "q271_chunk_overlap",
+    "q272_ported_guiding", "q273_boilerplate_chunks",
+    "q274_increment_rating")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -499,5 +499,85 @@ object BillingQ {
           AS BIGINT) AS overage_ppm
       FROM g ORDER BY account_id, apn"""))
 
-  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269)
+  /** Billing-increment rating — the interconnect rounding rule that
+    * moves real money: a carrier bills a call's duration as a FIRST
+    * PERIOD of `first_sec` seconds minimum, then whole increments of
+    * `inc_sec` (the "60/6", "30/6", "1/1" notation on every rate
+    * sheet). billed_sec = first + ceil((d − first)/inc)·inc for
+    * d > first, = first for 0 < d ≤ first, = 0 for non-positive d
+    * (failed call — counted, never billed, never dropped). Charge is
+    * exact: billed_sec · rate_centi_per_min DIV 60 — the truncating
+    * per-CDR division every switch applies. The roll-up carries
+    * `padding_ppm` = billed-but-unspoken seconds / spoken seconds, the
+    * number a rate-sheet negotiation is actually about (a cheap 60/60
+    * rate can cost more than an expensive 1/1).
+    *
+    * Plan: broadcast increment-rule lookup + map-side integer math +
+    * ONE hash aggregation at carrier grain. */
+  def incrementRating(calls: DataFrame, rules: DataFrame): DataFrame =
+    calls
+      .join(broadcast(rules), Seq("carrier"), "left")
+      .withColumn("__billed",
+        when(col("dur_sec") <= 0L, lit(0L))
+          .when(col("dur_sec") <= col("first_sec"), col("first_sec"))
+          .otherwise(col("first_sec") +
+            expr("((dur_sec - first_sec + inc_sec - 1) DIV inc_sec)") *
+              col("inc_sec")))
+      .withColumn("__charge",
+        expr("(__billed * rate_centi_per_min) DIV 60"))
+      .groupBy(col("carrier"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(greatest(col("dur_sec"), lit(0L))).as("spoken_sec"),
+        sum(col("__billed")).as("billed_sec"),
+        sum(coalesce(col("__charge"), lit(0L))).as("charge_centi"))
+      .withColumn("padding_ppm",
+        when(col("spoken_sec") > 0L, expr(
+          "(1000000 * (billed_sec - spoken_sec)) DIV spoken_sec")))
+
+  /** Oracle fixture of [[incrementRating]]: events as calls (carrier =
+    * event type, durations 1–600 s with negatives as failed attempts),
+    * per-carrier 60/6-style rules derived from the carrier name. */
+  private val q274 = GQuery(
+    "q274_increment_rating",
+    (s, dir) => {
+      val calls = t(s, dir, "events").select(
+        col("event_type").as("carrier"),
+        expr("CAST(round(value) AS BIGINT)").as("dur_sec"))
+      val rules = t(s, dir, "events").select(col("event_type").as("carrier"))
+        .distinct()
+        .select(col("carrier"),
+          (lit(1L) + (length(col("carrier")) % 3L) * 29L).as("first_sec"),
+          (lit(1L) + (length(col("carrier")) % 4L) * 5L).as("inc_sec"),
+          (lit(80L) + length(col("carrier")) * 7L)
+            .as("rate_centi_per_min"))
+      incrementRating(calls, rules).orderBy(col("carrier"))
+    },
+    Some("""WITH calls AS (SELECT event_type AS carrier,
+          CAST(round(value) AS BIGINT) AS dur_sec
+        FROM events),
+      rules AS (SELECT DISTINCT event_type AS carrier,
+          1 + (length(event_type) % 3) * 29 AS first_sec,
+          1 + (length(event_type) % 4) * 5 AS inc_sec,
+          80 + length(event_type) * 7 AS rate_centi_per_min
+        FROM events),
+      b AS (SELECT c.carrier, c.dur_sec, r.rate_centi_per_min,
+          CASE WHEN c.dur_sec <= 0 THEN 0
+            WHEN c.dur_sec <= r.first_sec THEN r.first_sec
+            ELSE r.first_sec
+              + ((c.dur_sec - r.first_sec + r.inc_sec - 1) // r.inc_sec)
+                * r.inc_sec END AS billed
+        FROM calls c LEFT JOIN rules r ON r.carrier = c.carrier),
+      g AS (SELECT carrier, COUNT(*) AS n_calls,
+          CAST(SUM(GREATEST(dur_sec, 0)) AS BIGINT) AS spoken_sec,
+          CAST(SUM(billed) AS BIGINT) AS billed_sec,
+          CAST(SUM(COALESCE((billed * rate_centi_per_min) // 60, 0))
+            AS BIGINT) AS charge_centi
+        FROM b GROUP BY 1)
+      SELECT carrier, n_calls, spoken_sec, billed_sec, charge_centi,
+        CAST(CASE WHEN spoken_sec > 0
+          THEN (1000000 * (billed_sec - spoken_sec)) // spoken_sec END
+          AS BIGINT) AS padding_ppm
+      FROM g ORDER BY carrier"""))
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269, q274)
 }

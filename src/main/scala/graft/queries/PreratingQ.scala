@@ -337,5 +337,103 @@ object PreratingQ {
         FROM g GROUP BY 1 ORDER BY range_key"""
     })
 
-  val queries: Seq[GQuery] = Seq(q263, q264, q268)
+  /** Guiding with NUMBER PORTABILITY — the refinement every live
+    * number plan needs: a ported number belongs to its NEW operator,
+    * not to the range it was born in, so the ported-numbers dimension
+    * (exact number → account) OVERRIDES range guiding. Resolution
+    * order: ported exact match wins, then the native range, then
+    * `unguided` — and `guide_src` records which path resolved each CDR
+    * (the audit column a porting dispute reads first).
+    *
+    * Plan: one BROADCAST exact-match hash join (the ported dim) + the
+    * [[guideRanges]] bucketized broadcast lookup — still zero CDR-side
+    * shuffles; the range join only fills rows porting left unresolved
+    * (cheap coalesce, not a second pass). */
+  def guideWithPorting(cdrs: DataFrame, ranges: DataFrame,
+      ported: DataFrame, numCol: String = "canonical"): DataFrame = {
+    // a number ported twice in the dim would fan out (and double-bill)
+    // every CDR it matches — fail loudly, same contract as the range
+    // overlap guard (dim-grain window, never fact-sized)
+    val dupW = Window.partitionBy(col("number"))
+    val p = ported
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .withColumn("number",
+        when(col("__dup") > 1L, expr(
+          "CAST(raise_error('guideWithPorting: duplicate ported number " +
+            "in dim') AS STRING)"))
+          .otherwise(col("number")))
+      .select(col("number").as("__pnum"), col("account_id").as("__pacct"))
+    val ranged = guideRanges(cdrs, ranges, numCol)
+      .withColumnRenamed("account_id", "__racct")
+    ranged
+      .join(broadcast(p), col(numCol) === col("__pnum"), "left")
+      .withColumn("account_id", coalesce(col("__pacct"), col("__racct")))
+      .withColumn("guide_src",
+        when(col("__pacct").isNotNull, "ported")
+          .when(col("__racct").isNotNull, "range"))
+      .withColumn("reason",
+        when(col("account_id").isNotNull, lit(null).cast(StringType))
+          .otherwise(col("reason")))
+      .drop("__pnum", "__pacct", "__racct")
+  }
+
+  /** Oracle fixture of [[guideWithPorting]]: the q264 plan + a ported
+    * dim built from every 16th fixture number mapped to a porting
+    * account block (9000 + id%100) — so numbers that WOULD range-guide
+    * provably resolve to their ported owner instead, and some
+    * otherwise-unguided numbers become guided via porting. */
+  private val q272 = GQuery(
+    "q272_ported_guiding",
+    (s, dir) => {
+      val ranges = s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+          .as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"))
+      val ported = normalizeMsisdn(fixtureRaw(s, dir))
+        .filter(col("event_id") % 16L === 0L && col("canonical").isNotNull)
+        .select(col("canonical").as("number"),
+          (lit(9000L) + col("event_id") % 100L).as("account_id"))
+        .distinct()
+      guideWithPorting(normalizeMsisdn(fixtureRaw(s, dir)), ranges, ported)
+        .select(col("event_id"), col("canonical"), col("account_id"),
+          col("guide_src"), col("reason"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, $cand AS cand, $reason AS reason FROM c),
+        norm AS (SELECT event_id,
+            CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+          FROM n),
+        ranges AS (SELECT
+            49100000000 + r * 4000000 AS range_start,
+            49100000000 + r * 4000000 + 1999999 AS range_end,
+            1000 + r AS account_id
+          FROM UNNEST(generate_series(0, 224)) AS u(r)),
+        ported AS (SELECT DISTINCT canonical AS number,
+            9000 + event_id % 100 AS account_id
+          FROM norm WHERE event_id % 16 = 0 AND canonical IS NOT NULL)
+        SELECT m.event_id, m.canonical,
+          CAST(COALESCE(p.account_id, r.account_id) AS BIGINT)
+            AS account_id,
+          CASE WHEN p.account_id IS NOT NULL THEN 'ported'
+            WHEN r.account_id IS NOT NULL THEN 'range' END AS guide_src,
+          CASE WHEN COALESCE(p.account_id, r.account_id) IS NOT NULL
+            THEN NULL
+            ELSE COALESCE(m.reason, CASE WHEN m.canonical IS NOT NULL
+              THEN 'unguided' END) END AS reason
+        FROM norm m
+        LEFT JOIN ranges r
+          ON CAST(m.canonical AS BIGINT)
+             BETWEEN r.range_start AND r.range_end
+        LEFT JOIN ported p ON p.number = m.canonical
+        ORDER BY m.event_id"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272)
 }

@@ -3354,10 +3354,64 @@ object TextQ {
         md5(substr(text, s + 1, 200)) AS chunk_md5
       FROM st ORDER BY doc_id, chunk_idx"""))
 
+  /** Boilerplate share by CHUNK frequency — the deduplication signal at
+    * sub-document grain: headers, footers, navigation and license
+    * blocks repeat VERBATIM across documents that are otherwise unique,
+    * so whole-doc dedup never sees them. Chunks here are
+    * NON-overlapping (stride = window — an overlapping grid would count
+    * the same repeated text twice); a chunk appearing in ≥ `minDocs`
+    * distinct documents is boilerplate, and the per-doc card (chunks,
+    * boilerplate chunks, boilerplate ppm) is the filter input — a doc
+    * that is MOSTLY boilerplate is template spam regardless of its
+    * near-dup score.
+    *
+    * Plan: the [[chunkWithOverlap]] map-side explode → one hash agg at
+    * chunk-HASH grain (32-byte keys, never text — the q177 rule) → one
+    * hash join back on the hash → one doc-grain agg. Two shuffles,
+    * both on hash keys. */
+  def boilerplateChunks(docs: DataFrame, window: Int = 40,
+      minDocs: Int = 2): DataFrame = {
+    val chunks = chunkWithOverlap(docs, window, stride = window)
+      .select(col("doc_id"), col("chunk_md5"))
+    val freq = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("__ndocs"))
+    chunks.join(freq, Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__ndocs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("boiler_ppm",
+        expr("(1000000 * n_boiler) DIV n_chunks"))
+  }
+
+  /** Oracle fixture of [[boilerplateChunks]] (window 40, minDocs 2):
+    * the fixture corpus genuinely repeats 40-char aligned chunks
+    * (~170 repeats at sf0.01), so nonzero boilerplate rows are real. */
+  private val q273 = GQuery(
+    "q273_boilerplate_chunks",
+    (s, dir) => boilerplateChunks(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH ch AS (SELECT doc_id,
+          md5(substr(text, s + 1, 40)) AS h
+        FROM (SELECT doc_id, text,
+            UNNEST(generate_series(0, GREATEST(length(text) - 1, 0), 40))
+              AS s
+          FROM documents)),
+      freq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs
+        FROM ch GROUP BY 1),
+      j AS (SELECT ch.doc_id, freq.ndocs FROM ch JOIN freq USING (h)),
+      g AS (SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler
+        FROM j GROUP BY 1)
+      SELECT doc_id, n_chunks, n_boiler,
+        (1000000 * n_boiler) // n_chunks AS boiler_ppm
+      FROM g ORDER BY doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237, q242, q253, q271)
+      q201, q205, q206, q208, q228, q237, q242, q253, q271, q273)
 }

@@ -115,6 +115,60 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(g3 == ((1L, 1L, 2L, 2L, 0L, 0L)), g3.toString)
   }
 
+  test("ported numbers override their native range; dup porting is loud") {
+    val traffic = Seq(("100", 1L), ("105", 2L), ("999", 3L), ("998", 4L))
+      .toDF("canonical", "event_id")
+    val ranges = Seq((100L, 109L, 7L)).toDF(
+      "range_start", "range_end", "account_id")
+    val ported = Seq(("105", 9001L), ("999", 9002L)).toDF(
+      "number", "account_id")
+    val out = PreratingQ.guideWithPorting(traffic, ranges, ported)
+      .select(col("canonical"), col("account_id"), col("guide_src"),
+        col("reason"))
+      .as[(String, Option[Long], String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("100") == ((Some(7L), "range", null)))    // native range
+    assert(out("105") == ((Some(9001L), "ported", null))) // ported WINS
+    assert(out("999") == ((Some(9002L), "ported", null))) // ported-in
+    assert(out("998") == ((None, null, "unguided")))      // never-drop
+    val dup = Seq(("105", 1L), ("105", 2L)).toDF("number", "account_id")
+    val e = intercept[Exception] {
+      PreratingQ.guideWithPorting(traffic, ranges, dup).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("duplicate ported") ||
+      String.valueOf(e.getCause).contains("duplicate ported"), e.toString)
+  }
+
+  test("boilerplateChunks finds planted repeated blocks, unique text clean") {
+    val footer = "x" * 40 // one exact 40-char block shared by 3 docs
+    val docs = Seq(
+      (1L, "a" * 40 + footer),
+      (2L, "b" * 40 + footer),
+      (3L, "c" * 40 + footer),
+      (4L, "d" * 40 + "e" * 40))
+      .toDF("doc_id", "text")
+    val out = TextQ.boilerplateChunks(docs, window = 40, minDocs = 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (3L, 2L, 1L, 500000L), (4L, 2L, 0L, 0L)), out.toString)
+  }
+
+  test("incrementRating applies first-period + increment rounding exactly") {
+    // 60/6 rule at 120 centi/min: d=1 -> 60s billed; d=61 -> 66; d=60
+    // -> 60; d=0/neg -> 0 billed but counted
+    val calls = Seq(("X", 1L), ("X", 60L), ("X", 61L), ("X", 0L),
+      ("X", -9L)).toDF("carrier", "dur_sec")
+    val rules = Seq(("X", 60L, 6L, 120L))
+      .toDF("carrier", "first_sec", "inc_sec", "rate_centi_per_min")
+    val out = BillingQ.incrementRating(calls, rules)
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+    // spoken 1+60+61 = 122; billed 60+60+66 = 186; charge 186*120/60=372
+    assert(out == (("X", 5L, 122L, 186L, 372L,
+      Some(1000000L * 64L / 122L))), out.toString)
+  }
+
   test("chunkWithOverlap covers every char and keeps the short tail") {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val out = TextQ.chunkWithOverlap(docs, window = 4, stride = 3)
