@@ -3100,9 +3100,12 @@ object AnalyticsQ {
         col("n2").cast(DecimalType(38, 0)).as("__n2"))
       .withColumn("tau_sign",
         signum(col("concordant") - col("discordant")).cast(LongType))
+      // all-ties margins make the denominator zero (tau undefined):
+      // NULL, never an ANSI divide error mid-pipeline
       .withColumn("tau2_ppm", expr(
-        """CAST((1000000 * (__cd - __dd) * (__cd - __dd))
-           DIV ((__n0 - __n1) * (__n0 - __n2)) AS BIGINT)"""))
+        """CASE WHEN __n0 > __n1 AND __n0 > __n2 THEN
+           CAST((1000000 * (__cd - __dd) * (__cd - __dd))
+           DIV ((__n0 - __n1) * (__n0 - __n2)) AS BIGINT) END"""))
       .drop("__cd", "__dd", "__n0", "__n1", "__n2")
   }
 
@@ -3145,15 +3148,113 @@ object AnalyticsQ {
         CAST(CASE WHEN orient.concordant > orient.discordant THEN 1
           WHEN orient.concordant < orient.discordant THEN -1 ELSE 0 END
           AS BIGINT) AS tau_sign,
-        CAST((1000000 * (orient.concordant - orient.discordant)
+        CAST(CASE WHEN tx.n * (tx.n - 1) // 2 > tx.n1
+            AND tx.n * (tx.n - 1) // 2 > ty.n2 THEN
+          (1000000 * (orient.concordant - orient.discordant)
               * (orient.concordant - orient.discordant))
           // ((tx.n * (tx.n - 1) // 2 - tx.n1)
-             * (tx.n * (tx.n - 1) // 2 - ty.n2)) AS BIGINT) AS tau2_ppm
+             * (tx.n * (tx.n - 1) // 2 - ty.n2)) END AS BIGINT) AS tau2_ppm
       FROM orient, tx, ty"""))
+
+  /** Group-wise Mann–Kendall trend card — "is this metric actually
+    * trending, per group?": the S statistic (Σ sign(y_j − y_i) over
+    * time-ordered pairs) with tie-aware normalization, the
+    * distribution-free trend test that complements the changepoint
+    * (q216, WHERE it moved) and autocorrelation (q198, does it repeat)
+    * cards. Runs at SERIES grain — one (time, value) cell per group per
+    * time unit — so the pairwise orientation join is an EQUI join on
+    * the group key with the time inequality as residual: per-group
+    * work is |series|², corpus-size-independent once the series is
+    * aggregated, and groups spread across reducers.
+    *
+    * Exact-integer discipline throughout ([[kendallTau]]'s): S and the
+    * tie terms in DECIMAL(38,0), sign separate from the τ²-ppm
+    * magnitude. */
+  def mannKendallTrend(series: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val cells = series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("c"))
+    val b = cells.select(col("g").as("bg"), col("x").as("bx"),
+      col("y").as("by"), col("c").as("bc"))
+    val orient = cells.join(b, col("g") === col("bg") && col("x") < col("bx"))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("y") < col("by"), col("c") * col("bc"))
+          .otherwise(lit(0))).as("__c"),
+        sum(when(col("y") > col("by"), col("c") * col("bc"))
+          .otherwise(lit(0))).as("__d"))
+    val tx = cells.groupBy(col("g"), col("x"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) / 2")).cast(DecimalType(38, 0)).as("__n1"),
+        sum(col("t")).cast(DecimalType(38, 0)).as("__n"))
+    val ty = cells.groupBy(col("g"), col("y"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) / 2")).cast(DecimalType(38, 0)).as("__n2"))
+    orient.join(tx, Seq("g")).join(ty, Seq("g"))
+      .select(col("g").as(groupCol),
+        col("__n").cast(LongType).as("n"),
+        (col("__c") - col("__d")).cast(LongType).as("s_stat"),
+        signum(col("__c") - col("__d")).cast(LongType).as("trend_sign"),
+        expr("""CASE WHEN CAST(__n * (__n - 1) / 2 AS DECIMAL(38,0)) > __n1
+            AND CAST(__n * (__n - 1) / 2 AS DECIMAL(38,0)) > __n2 THEN
+          CAST((1000000 * (__c - __d) * (__c - __d))
+          DIV ((CAST(__n * (__n - 1) / 2 AS DECIMAL(38,0)) - __n1)
+             * (CAST(__n * (__n - 1) / 2 AS DECIMAL(38,0)) - __n2))
+          AS BIGINT) END""").as("tau2_ppm"))
+  }
+
+  /** Oracle fixture of [[mannKendallTrend]]: per event type, the DAILY
+    * exact revenue series (centi sums per epoch day) tested for trend —
+    * the "is this feed drifting up or down" card. The oracle replays
+    * the per-group cell construction in HUGEINT. */
+  private val q275 = GQuery(
+    "q275_trend_card",
+    (s, dir) => mannKendallTrend(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"CAST(${"ts"} AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH series AS (SELECT event_type AS g, CAST(ts AS DATE) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      cells AS (SELECT g, x, y, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM series GROUP BY 1, 2, 3),
+      orient AS (SELECT a.g,
+          CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+            AS HUGEINT) AS cc,
+          CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+            AS HUGEINT) AS dd
+        FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+        GROUP BY 1),
+      tx AS (SELECT g, CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1,
+          CAST(SUM(t) AS HUGEINT) AS n
+        FROM (SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        GROUP BY 1),
+      ty AS (SELECT g, CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2
+        FROM (SELECT g, y, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT o.g AS event_type, CAST(tx.n AS BIGINT) AS n,
+        CAST(o.cc - o.dd AS BIGINT) AS s_stat,
+        CAST(CASE WHEN o.cc > o.dd THEN 1 WHEN o.cc < o.dd THEN -1
+          ELSE 0 END AS BIGINT) AS trend_sign,
+        CAST(CASE WHEN tx.n * (tx.n - 1) // 2 > tx.n1
+            AND tx.n * (tx.n - 1) // 2 > ty.n2 THEN
+          (1000000 * (o.cc - o.dd) * (o.cc - o.dd))
+          // ((tx.n * (tx.n - 1) // 2 - tx.n1)
+             * (tx.n * (tx.n - 1) // 2 - ty.n2)) END AS BIGINT) AS tau2_ppm
+      FROM orient o JOIN tx ON tx.g = o.g JOIN ty ON ty.g = o.g
+      ORDER BY event_type"""))
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252, q270)
+    q243, q245, q246, q247, q251, q252, q270, q275)
 }

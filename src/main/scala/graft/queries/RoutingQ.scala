@@ -593,5 +593,75 @@ object RoutingQ {
         revenue_centi - cost_centi < 0 AS bleeding
       FROM g ORDER BY sell_route NULLS FIRST"""))
 
-  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267)
+  /** Wangiri (one-ring) caller screen — the outbound-side fraud card
+    * next to the velocity monitor (q246) and the route-side FAS signal
+    * (q258's short-call share): a wangiri generator dials MANY DISTINCT
+    * numbers with almost no completed talk time, harvesting callbacks
+    * to premium numbers. Per caller: attempts, distinct destinations,
+    * fan-out ppm (distinct/attempts), unanswered ppm, short-answer ppm
+    * (completed but ≤ `shortCentisec`), and the flag — high fan-out AND
+    * high unanswered+short share over a minimum attempt floor. Every
+    * ratio an exact integer DIV; thresholds are explicit knobs, not
+    * buried constants.
+    *
+    * Plan: ONE hash aggregation at caller grain (the distinct count is
+    * the only two-phase term). */
+  def wangiriCard(calls: DataFrame, minAttempts: Long = 20L,
+      minFanoutPpm: Long = 800000L, minBadPpm: Long = 900000L,
+      shortCentisec: Long = 500L): DataFrame =
+    calls
+      .groupBy(col("caller"))
+      .agg(count(lit(1)).as("attempts"),
+        countDistinct(col("callee")).as("n_destinations"),
+        sum(when(col("dur_centi") <= 0L, 1L).otherwise(0L))
+          .as("unanswered"),
+        sum(when(col("dur_centi") > 0L &&
+            col("dur_centi") <= shortCentisec, 1L).otherwise(0L))
+          .as("short_answers"))
+      .withColumn("fanout_ppm",
+        expr("(1000000 * n_destinations) DIV attempts"))
+      .withColumn("bad_ppm",
+        expr("(1000000 * (unanswered + short_answers)) DIV attempts"))
+      .withColumn("wangiri_flag",
+        col("attempts") >= minAttempts &&
+          col("fanout_ppm") >= minFanoutPpm &&
+          col("bad_ppm") >= minBadPpm)
+
+  /** Oracle fixture of [[wangiriCard]]: callers are users, callees from
+    * the q256 dialed derivation, durations from the value column
+    * (negatives = ring-outs) — the fixture's users are heavy dialers,
+    * so the flag exercises genuinely mixed verdicts at the default
+    * knobs only via the bad-share margin. */
+  private val q276 = GQuery(
+    "q276_wangiri_card",
+    (s, dir) => wangiriCard(
+      t(s, dir, "events").select(
+        col("user_id").as("caller"),
+        expr("CAST(100000000 + (event_id * 7919) % 900000000 AS STRING)")
+          .as("callee"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("dur_centi")),
+      minAttempts = 20L, minFanoutPpm = 800000L, minBadPpm = 400000L)
+      .orderBy(col("caller")),
+    Some("""WITH calls AS (SELECT user_id AS caller,
+          CAST(100000000 + (event_id * 7919) % 900000000 AS VARCHAR)
+            AS callee,
+          CAST(round(value * 100) AS BIGINT) AS dur_centi
+        FROM events),
+      g AS (SELECT caller, COUNT(*) AS attempts,
+          CAST(COUNT(DISTINCT callee) AS BIGINT) AS n_destinations,
+          CAST(SUM(CASE WHEN dur_centi <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS unanswered,
+          CAST(SUM(CASE WHEN dur_centi > 0 AND dur_centi <= 500
+            THEN 1 ELSE 0 END) AS BIGINT) AS short_answers
+        FROM calls GROUP BY 1)
+      SELECT caller, attempts, n_destinations, unanswered, short_answers,
+        (1000000 * n_destinations) // attempts AS fanout_ppm,
+        (1000000 * (unanswered + short_answers)) // attempts AS bad_ppm,
+        (attempts >= 20
+          AND (1000000 * n_destinations) // attempts >= 800000
+          AND (1000000 * (unanswered + short_answers)) // attempts
+              >= 400000) AS wangiri_flag
+      FROM g ORDER BY caller"""))
+
+  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q276)
 }

@@ -169,6 +169,40 @@ class RoundTenOpsSpec extends SparkSpec {
       Some(1000000L * 64L / 122L))), out.toString)
   }
 
+  test("mannKendallTrend detects direction per group, constant series null") {
+    val series =
+      (1 to 12).map(i => ("up", i.toLong, 10L + i)) ++
+      (1 to 12).map(i => ("down", i.toLong, 100L - 3L * i)) ++
+      (1 to 12).map(i => ("flat", i.toLong, 7L))
+    val out = AnalyticsQ.mannKendallTrend(
+        series.toDF("grp", "x", "y"), "grp", "x", "y")
+      .select(col("grp"), col("s_stat"), col("trend_sign"), col("tau2_ppm"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("up") == ((66L, 1L, Some(1000000L))), out.toString)
+    assert(out("down") == ((-66L, -1L, Some(1000000L))), out.toString)
+    // all-ties y: tau undefined -> NULL, sign 0, never a divide error
+    assert(out("flat") == ((0L, 0L, None)), out.toString)
+  }
+
+  test("wangiriCard flags high-fanout unanswered bursts only") {
+    val calls =
+      // fraudster: 25 attempts, 25 distinct callees, all ring-outs
+      (1 to 25).map(i => (666L, s"dest$i", 0L)) ++
+      // call-center: high fanout but every call answered long
+      (1 to 25).map(i => (42L, s"cust$i", 30000L)) ++
+      // chatty user: many calls to ONE number, all unanswered
+      (1 to 25).map(_ => (7L, "home", 0L)) ++
+      // below the attempt floor
+      (1 to 5).map(i => (8L, s"d$i", 0L))
+    val out = RoutingQ.wangiriCard(
+        calls.toDF("caller", "callee", "dur_centi"))
+      .select(col("caller"), col("wangiri_flag"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(666L -> true, 42L -> false, 7L -> false,
+      8L -> false), out.toString)
+  }
+
   test("chunkWithOverlap covers every char and keeps the short tail") {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val out = TextQ.chunkWithOverlap(docs, window = 4, stride = 3)
