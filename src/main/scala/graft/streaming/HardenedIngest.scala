@@ -174,6 +174,32 @@ object HardenedIngest {
     } finally batch.unpersist()
   }
 
+  /** The hardened ingest fed by the PRERATING store instead of a raw
+    * CSV inbox — the full production wiring: prerating normalizes and
+    * guides, this stage content-dedups and drift-gates what prerating
+    * admitted, and only then do legs reach assembly. Only the SOURCE
+    * differs from [[stage]] (the StageSpec seam): the prerated store's
+    * `guided=true` partition, with the file path carried for the
+    * content digest. */
+  def stageFromPrerated(spark: SparkSession, preratedDir: String,
+      legsDir: String, ledgerDir: String, checkpointRoot: String,
+      gate: Option[DriftGate] = None): StageSpec = {
+    val preratedSchema = StructType(Seq(
+      StructField("call_id", StringType),
+      StructField("seq", IntegerType),
+      StructField("total", IntegerType),
+      StructField("duration_sec", DoubleType),
+      StructField("reason", StringType),
+      StructField("guided", BooleanType)))
+    stage(spark, inboxDir = "/unused", legsDir, ledgerDir,
+      checkpointRoot, gate).copy(
+      source = s => s.readStream.schema(preratedSchema)
+        .parquet(preratedDir)
+        .filter(col("guided"))
+        .select(col("call_id"), col("seq"), col("total"),
+          col("duration_sec"), col("_metadata.file_path").as("__src")))
+  }
+
   /** Legs-store schema the downstream assembly declares when the chain
     * runs on the hardened ingest (the batch_id partition column joins
     * the layout). */
