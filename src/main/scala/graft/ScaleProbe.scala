@@ -74,7 +74,8 @@ object ScaleProbe {
     "q266_lcr_plan", "q267_route_margin", "q268_range_utilization",
     "q269_volume_rating", "q270_kendall_tau", "q271_chunk_overlap",
     "q272_ported_guiding", "q273_boilerplate_chunks",
-    "q274_increment_rating", "q275_trend_card", "q276_wangiri_card")
+    "q274_increment_rating", "q275_trend_card", "q276_wangiri_card",
+    "q277_community_card", "q278_feed_gaps")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -663,5 +663,176 @@ object RoutingQ {
               >= 400000) AS wangiri_flag
       FROM g ORDER BY caller"""))
 
-  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q276)
+  /** Community-of-interest card — the SIM-box/PBX classifier's first
+    * feature set: per caller, the top-`k` call partners by attempt
+    * count (callee string breaking count ties) and the partner
+    * CONCENTRATION as an exact Herfindahl index in ppm
+    * (Σ share² = Σ cnt² · 10⁶ DIV total²): a human's calling circle
+    * concentrates (high HHI, few partners), a SIM-box spraying
+    * terminations flattens (HHI → 1/partners), a PBX sits between —
+    * read together with the wangiri fan-out screen (q276).
+    *
+    * Plan: one hash agg at (caller, callee) grain, then BOTH the top-k
+    * window and the HHI roll-up ride that same exchange (partitioned by
+    * caller — a hot caller's partner list is its own partition, never a
+    * global sort). */
+  def communityCard(calls: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = calls.groupBy(col("caller"), col("callee"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("caller"))
+      .orderBy(col("cnt").desc, col("callee"))
+    val ranked = pairs.withColumn("__rk", row_number().over(w))
+    val tops = (1 to k).flatMap { i =>
+      Seq(max(when(col("__rk") === i, col("callee"))).as(s"partner_$i"),
+        max(when(col("__rk") === i, col("cnt"))).as(s"calls_$i"))
+    }
+    val aggs = Seq(sum(col("cnt")).as("attempts"),
+      count(lit(1)).as("n_partners")) ++ tops :+
+      sum(col("cnt") * col("cnt")).cast(DecimalType(38, 0)).as("__sq")
+    ranked.groupBy(col("caller"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("hhi_ppm", expr(
+        """CAST((1000000 * __sq)
+           DIV (CAST(attempts AS DECIMAL(38,0)) * attempts) AS BIGINT)"""))
+      .drop("__sq")
+  }
+
+  /** Oracle fixture of [[communityCard]] (k=3): callers are users,
+    * callees reuse the 9-digit derivation folded to 40 distinct
+    * partners per caller-space so counts genuinely tie and the
+    * deterministic tiebreak is exercised. */
+  private val q277 = GQuery(
+    "q277_community_card",
+    (s, dir) => communityCard(
+      t(s, dir, "events").select(
+        col("user_id").as("caller"),
+        concat(lit("N"), ((col("event_id") * 7919L) % 40L)
+          .cast(StringType)).as("callee")))
+      .orderBy(col("caller")),
+    Some("""WITH calls AS (SELECT user_id AS caller,
+          'N' || CAST((event_id * 7919) % 40 AS VARCHAR) AS callee
+        FROM events),
+      pairs AS (SELECT caller, callee, COUNT(*) AS cnt
+        FROM calls GROUP BY 1, 2),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY caller
+          ORDER BY cnt DESC, callee) AS rk FROM pairs)
+      SELECT caller, CAST(SUM(cnt) AS BIGINT) AS attempts,
+        COUNT(*) AS n_partners,
+        MAX(CASE WHEN rk = 1 THEN callee END) AS partner_1,
+        CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS calls_1,
+        MAX(CASE WHEN rk = 2 THEN callee END) AS partner_2,
+        CAST(MAX(CASE WHEN rk = 2 THEN cnt END) AS BIGINT) AS calls_2,
+        MAX(CASE WHEN rk = 3 THEN callee END) AS partner_3,
+        CAST(MAX(CASE WHEN rk = 3 THEN cnt END) AS BIGINT) AS calls_3,
+        CAST((1000000 * CAST(SUM(cnt * cnt) AS HUGEINT))
+          // (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS hhi_ppm
+      FROM r GROUP BY caller ORDER BY caller"""))
+
+  /** CDR feed-hole card — revenue assurance's first morning check: a
+    * mediation feed that silently skips an hour is lost revenue nobody
+    * bills, invisible to every per-record validation. Per carrier, over
+    * its OWN active span [first hour, last hour]: expected hours,
+    * observed hours, missing hours, the longest gap in hours and when
+    * it started — computed by exploding the bounded per-carrier hour
+    * calendar (span-sized, never corpus-sized) and anti-checking it
+    * against observed hour cells.
+    *
+    * Plan: one (carrier, hour) hash agg collapses the corpus, then the
+    * calendar explode + gap windows run at HOUR-CELL grain partitioned
+    * by carrier — per-carrier calendars are calendar-bounded (the
+    * PrefixSum offset-table argument), so no reducer ever sees fact
+    * data. */
+  def feedGapCard(cdrs: DataFrame): DataFrame = {
+    val cells = cdrs
+      .groupBy(col("carrier"), expr("sec DIV 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val span = cells.groupBy(col("carrier"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+        count(lit(1)).as("observed_hours"),
+        sum(col("n")).as("n_cdrs"))
+    val calendar = span.withColumn("hr",
+      explode(expr("sequence(h0, h1)")))
+    val joined = calendar.join(cells, Seq("carrier", "hr"), "left")
+      .withColumn("__miss", col("n").isNull)
+    // longest missing RUN per carrier: group consecutive missing hours
+    // by (hr - rank-among-missing) — the standard gaps-and-islands key,
+    // per-carrier windows only
+    val wAll = Window.partitionBy(col("carrier")).orderBy(col("hr"))
+    val runs = joined.filter(col("__miss"))
+      .withColumn("__rn", row_number().over(wAll))
+      .withColumn("__grp", col("hr") - col("__rn"))
+      .groupBy(col("carrier"), col("__grp"))
+      .agg(count(lit(1)).as("len"), min(col("hr")).as("from_hr"))
+    val worst = runs
+      .withColumn("__best", max(col("len"))
+        .over(Window.partitionBy(col("carrier"))))
+      .filter(col("len") === col("__best"))
+      .groupBy(col("carrier"))
+      .agg(max(col("len")).as("longest_gap_hours"),
+        min(col("from_hr")).as("gap_starts_hr"))
+    span
+      .withColumn("expected_hours", col("h1") - col("h0") + 1L)
+      .withColumn("missing_hours",
+        col("expected_hours") - col("observed_hours"))
+      .join(worst, Seq("carrier"), "left")
+      .select(col("carrier"), col("n_cdrs"), col("expected_hours"),
+        col("observed_hours"), col("missing_hours"),
+        coalesce(col("longest_gap_hours"), lit(0L))
+          .as("longest_gap_hours"),
+        col("gap_starts_hr"))
+  }
+
+  /** Oracle fixture of [[feedGapCard]]: carriers are event types; a
+    * PLANTED hole — every hour ≡ 5 (mod 24) of the 'error' feed is
+    * dropped before the card runs — so the card provably finds gaps the
+    * raw fixture doesn't have. */
+  private val q278 = GQuery(
+    "q278_feed_gaps",
+    (s, dir) => feedGapCard(
+      t(s, dir, "events")
+        .select(col("event_type").as("carrier"),
+          col("ts").cast(LongType).as("sec"))
+        .filter(!(col("carrier") === "error" &&
+          expr("(sec DIV 3600) % 24 = 5"))))
+      .orderBy(col("carrier")),
+    Some(s"""WITH cdrs AS (SELECT event_type AS carrier,
+          ${epochSecSql("ts")} AS sec
+        FROM events
+        WHERE NOT (event_type = 'error'
+          AND (${epochSecSql("ts")} // 3600) % 24 = 5)),
+      cells AS (SELECT carrier, sec // 3600 AS hr, COUNT(*) AS n
+        FROM cdrs GROUP BY 1, 2),
+      span AS (SELECT carrier, MIN(hr) AS h0, MAX(hr) AS h1,
+          COUNT(*) AS observed_hours, CAST(SUM(n) AS BIGINT) AS n_cdrs
+        FROM cells GROUP BY 1),
+      cal AS (SELECT s.carrier, s.h0, s.h1, s.observed_hours, s.n_cdrs,
+          UNNEST(generate_series(s.h0, s.h1)) AS hr
+        FROM span s),
+      miss AS (SELECT c.carrier, c.hr,
+          ROW_NUMBER() OVER (PARTITION BY c.carrier ORDER BY c.hr) AS rn
+        FROM cal c LEFT JOIN cells ON cells.carrier = c.carrier
+          AND cells.hr = c.hr
+        WHERE cells.n IS NULL),
+      runs AS (SELECT carrier, hr - rn AS grp, COUNT(*) AS len,
+          MIN(hr) AS from_hr
+        FROM miss GROUP BY 1, 2),
+      worst AS (SELECT r.carrier, MAX(r.len) AS longest_gap_hours,
+          MIN(r.from_hr) AS gap_starts_hr
+        FROM runs r JOIN (SELECT carrier, MAX(len) AS best FROM runs
+          GROUP BY 1) b ON b.carrier = r.carrier AND r.len = b.best
+        GROUP BY 1)
+      SELECT s.carrier, s.n_cdrs,
+        CAST(s.h1 - s.h0 + 1 AS BIGINT) AS expected_hours,
+        CAST(s.observed_hours AS BIGINT) AS observed_hours,
+        CAST(s.h1 - s.h0 + 1 - s.observed_hours AS BIGINT)
+          AS missing_hours,
+        CAST(COALESCE(w.longest_gap_hours, 0) AS BIGINT)
+          AS longest_gap_hours,
+        CAST(w.gap_starts_hr AS BIGINT) AS gap_starts_hr
+      FROM span s LEFT JOIN worst w ON w.carrier = s.carrier
+      ORDER BY s.carrier"""))
+
+  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267,
+    q276, q277, q278)
 }

@@ -203,6 +203,42 @@ class RoundTenOpsSpec extends SparkSpec {
       8L -> false), out.toString)
   }
 
+  test("communityCard: concentration poles and deterministic top-k") {
+    val calls =
+      (1 to 10).map(_ => (1L, "only")) ++           // loyal: HHI = 1e6
+      (1 to 4).flatMap(i => (1 to 5).map(_ => (2L, s"p$i"))) ++ // uniform 4
+      Seq((3L, "a"), (3L, "a"), (3L, "b"), (3L, "c")) // tie b/c on count
+    val out = RoutingQ.communityCard(calls.toDF("caller", "callee"))
+      .select(col("caller"), col("n_partners"), col("partner_1"),
+        col("partner_2"), col("hhi_ppm"))
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, "only", null, 1000000L)), out.toString)
+    assert(out(2L) == ((4L, "p1", "p2", 250000L)), out.toString)
+    // caller 3: counts a=2,b=1,c=1 -> HHI = (4+1+1)*1e6/16 = 375000;
+    // the b/c count tie breaks on callee
+    assert(out(3L) == ((3L, "a", "b", 375000L)), out.toString)
+  }
+
+  test("feedGapCard finds the longest hole inside each carrier's span") {
+    // hours 0,1,2,5,6,7,9 -> missing 3,4 (run of 2) and 8 (run of 1)
+    val cdrs = Seq(0L, 1L, 2L, 5L, 6L, 7L, 9L)
+      .map(h => ("X", h * 3600L + 17L)).toDF("carrier", "sec")
+    val out = RoutingQ.feedGapCard(cdrs)
+      .select(col("expected_hours"), col("observed_hours"),
+        col("missing_hours"), col("longest_gap_hours"),
+        col("gap_starts_hr"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(out == ((10L, 7L, 3L, 2L, Some(3L))), out.toString)
+    // a gapless feed reports zero missing and no gap start
+    val clean = RoutingQ.feedGapCard(
+      Seq(0L, 1L, 2L).map(h => ("Y", h * 3600L)).toDF("carrier", "sec"))
+      .select(col("missing_hours"), col("longest_gap_hours"),
+        col("gap_starts_hr"))
+      .as[(Long, Long, Option[Long])].head()
+    assert(clean == ((0L, 0L, None)), clean.toString)
+  }
+
   test("chunkWithOverlap covers every char and keeps the short tail") {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val out = TextQ.chunkWithOverlap(docs, window = 4, stride = 3)
