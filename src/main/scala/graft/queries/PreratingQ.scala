@@ -435,5 +435,142 @@ object PreratingQ {
         ORDER BY m.event_id"""
     })
 
-  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272)
+  /** VERSIONED guiding — the production form of [[guideRanges]]: number
+    * allocations change owners over time (ports, operator mergers,
+    * re-allocations), so a historical re-rating run must resolve each
+    * CDR against the number plan AS OF the call's own time. The
+    * dimension carries half-open validity windows
+    * `[valid_from_sec, valid_to_sec)` beside the number bounds; a CDR
+    * guides to the row whose NUMBER range contains its canonical AND
+    * whose validity contains its `secCol`.
+    *
+    * Plan: the same bucketized BROADCAST hash join as [[guideRanges]]
+    * (bucket on number, residual on BETWEEN + validity) — zero CDR-side
+    * shuffles. The no-double-guide guard generalizes: two dim rows may
+    * overlap in NUMBER space only if DISJOINT in time. Checked
+    * dim-grain before any fact is touched: exact duplicates via a
+    * grouped count, overlapping distinct pairs via a bucketized dim
+    * self-join (pairs ordered lexicographically so each conflict
+    * surfaces once) — both bounded by the dimension, never fact-sized.
+    */
+  def guideRangesVersioned(cdrs: DataFrame, ranges: DataFrame,
+      numCol: String = "canonical", secCol: String = "sec"): DataFrame = {
+    val dimCols = Seq("range_start", "range_end", "valid_from_sec",
+      "valid_to_sec")
+    // inverted windows fail loudly (lazy, rides every downstream read)
+    val checked = ranges.withColumn("range_start",
+      when(col("range_end") < col("range_start") ||
+          col("valid_to_sec") <= col("valid_from_sec"),
+        expr("CAST(raise_error('guideRangesVersioned: inverted number " +
+          "or validity range in dim') AS BIGINT)"))
+        .otherwise(col("range_start")))
+    // EAGER dim-grain conflict check: a number+time double-coverage
+    // would double-guide (and double-bill) every CDR it matches
+    val width = math.max(1L, checked
+      .agg(max(col("range_end") - col("range_start") + 1L)).collect()(0)
+      .getLong(0))
+    val keyed = checked.withColumn("__b", explode(expr(
+      s"sequence(range_start DIV ${width}L, range_end DIV ${width}L)")))
+    val a = keyed.select(col("__b") +: dimCols.map(c =>
+      col(c).as(s"a_$c")): _*)
+    val bSide = keyed.select(col("__b") +: dimCols.map(c =>
+      col(c).as(s"b_$c")): _*)
+    val dupes = checked.groupBy(dimCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
+    val conflicts = a.join(bSide, Seq("__b"))
+      .filter(struct(dimCols.map(c => col(s"a_$c")): _*) <
+          struct(dimCols.map(c => col(s"b_$c")): _*) &&
+        col("a_range_start") <= col("b_range_end") &&
+        col("b_range_start") <= col("a_range_end") &&
+        col("a_valid_from_sec") < col("b_valid_to_sec") &&
+        col("b_valid_from_sec") < col("a_valid_to_sec"))
+    require(dupes.isEmpty && conflicts.isEmpty,
+      "guideRangesVersioned: number+time double coverage in the dim")
+
+    val dim = keyed
+    val payload = ranges.columns.filterNot(
+      (dimCols.toSet ++ Set("__b")).contains)
+    val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
+      .withColumn("__b", expr(s"__num DIV ${width}L"))
+    val joined = probe.join(broadcast(dim),
+        probe("__b") === dim("__b") &&
+          col("__num").between(col("range_start"), col("range_end")) &&
+          col(secCol) >= col("valid_from_sec") &&
+          col(secCol) < col("valid_to_sec"), "left")
+      .drop("__b", "__num", "range_start", "range_end",
+        "valid_from_sec", "valid_to_sec")
+    val hadReason = cdrs.columns.contains("reason")
+    if (hadReason) joined.withColumn("reason",
+      coalesce(col("reason"),
+        when(col(numCol).isNotNull && col(payload.head).isNull,
+          "unguided")))
+    else joined.withColumn("reason",
+      when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
+  }
+
+  /** Oracle fixture of [[guideRangesVersioned]]: the q264 plan split
+    * into two validity ERAS at a fixed boundary (2024-02-01 UTC) — the
+    * same number guides to account 1000+r before the boundary and to
+    * 20000+r after (a bulk re-allocation), so the validity residual is
+    * provably load-bearing. The oracle replays the naive
+    * BETWEEN × validity join. */
+  private val q279 = GQuery(
+    "q279_versioned_guiding",
+    (s, dir) => {
+      val mid = 1706745600L // 2024-02-01T00:00:00Z
+      val eras = s.range(0L, 225L).toDF("r")
+        .withColumn("era", explode(expr("sequence(0, 1)")))
+        .select(
+          (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+          (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+            .as("range_end"),
+          when(col("era") === 0, lit(0L)).otherwise(lit(mid))
+            .as("valid_from_sec"),
+          when(col("era") === 0, lit(mid)).otherwise(lit(4102444800L))
+            .as("valid_to_sec"),
+          when(col("era") === 0, lit(1000L) + col("r"))
+            .otherwise(lit(20000L) + col("r")).as("account_id"))
+      val cdrs = normalizeMsisdn(fixtureRaw(s, dir))
+        .join(t(s, dir, "events").select(col("event_id"),
+          col("ts").cast(LongType).as("sec")), Seq("event_id"))
+      guideRangesVersioned(cdrs, eras)
+        .select(col("event_id"), col("canonical"), col("sec"),
+          col("account_id"), col("reason"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, $cand AS cand, $reason AS reason FROM c),
+        norm AS (SELECT event_id,
+            CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+          FROM n),
+        cdrs AS (SELECT m.event_id, m.canonical, m.reason,
+            ${epochSecSql("e.ts")} AS sec
+          FROM norm m JOIN events e ON e.event_id = m.event_id),
+        eras AS (SELECT
+            49100000000 + r * 4000000 AS range_start,
+            49100000000 + r * 4000000 + 1999999 AS range_end,
+            CASE WHEN era = 0 THEN 0 ELSE 1706745600 END AS valid_from_sec,
+            CASE WHEN era = 0 THEN 1706745600 ELSE 4102444800 END
+              AS valid_to_sec,
+            CASE WHEN era = 0 THEN 1000 + r ELSE 20000 + r END
+              AS account_id
+          FROM (SELECT r, UNNEST(generate_series(0, 1)) AS era
+            FROM UNNEST(generate_series(0, 224)) AS u(r)))
+        SELECT m.event_id, m.canonical, m.sec,
+          CAST(g.account_id AS BIGINT) AS account_id,
+          COALESCE(m.reason, CASE WHEN m.canonical IS NOT NULL
+            AND g.account_id IS NULL THEN 'unguided' END) AS reason
+        FROM cdrs m LEFT JOIN eras g
+          ON CAST(m.canonical AS BIGINT)
+             BETWEEN g.range_start AND g.range_end
+          AND m.sec >= g.valid_from_sec AND m.sec < g.valid_to_sec
+        ORDER BY m.event_id"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272, q279)
 }

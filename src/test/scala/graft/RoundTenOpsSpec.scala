@@ -239,6 +239,52 @@ class RoundTenOpsSpec extends SparkSpec {
     assert(clean == ((0L, 0L, None)), clean.toString)
   }
 
+  test("versioned guiding resolves by the CDR's own time, era boundary exact") {
+    // one number range, two owners: acct 1 until sec 100 (exclusive),
+    // acct 2 from 100 on — a call AT the boundary second is the new
+    // owner's (half-open validity)
+    val eras = Seq(
+      (500L, 599L, 0L, 100L, 1L),
+      (500L, 599L, 100L, 1000L, 2L))
+      .toDF("range_start", "range_end", "valid_from_sec", "valid_to_sec",
+        "account_id")
+    val cdrs = Seq(("550", 99L), ("550", 100L), ("550", 101L),
+      ("700", 50L)).toDF("canonical", "sec")
+    val out = PreratingQ.guideRangesVersioned(cdrs, eras)
+      .select(col("canonical"), col("sec"), col("account_id"),
+        col("reason"))
+      .as[(String, Long, Option[Long], String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("550", 99L)) == ((Some(1L), null)))
+    assert(out(("550", 100L)) == ((Some(2L), null))) // boundary -> new
+    assert(out(("550", 101L)) == ((Some(2L), null)))
+    assert(out(("700", 50L)) == ((None, "unguided")))
+  }
+
+  test("versioned guiding rejects number+time double coverage loudly") {
+    // overlapping numbers AND overlapping validity -> double-guide risk
+    val bad = Seq(
+      (500L, 599L, 0L, 200L, 1L),
+      (550L, 650L, 150L, 300L, 2L))
+      .toDF("range_start", "range_end", "valid_from_sec", "valid_to_sec",
+        "account_id")
+    val cdrs = Seq(("560", 160L)).toDF("canonical", "sec")
+    val e = intercept[IllegalArgumentException] {
+      PreratingQ.guideRangesVersioned(cdrs, bad)
+    }
+    assert(e.getMessage.contains("double coverage"), e.toString)
+    // the SAME number overlap is fine when the validity windows are
+    // disjoint (that is exactly what a port looks like)
+    val ok = Seq(
+      (500L, 599L, 0L, 150L, 1L),
+      (550L, 650L, 150L, 300L, 2L))
+      .toDF("range_start", "range_end", "valid_from_sec", "valid_to_sec",
+        "account_id")
+    val got = PreratingQ.guideRangesVersioned(cdrs, ok)
+      .select(col("account_id")).as[Long].head()
+    assert(got == 2L)
+  }
+
   test("chunkWithOverlap covers every char and keeps the short tail") {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val out = TextQ.chunkWithOverlap(docs, window = 4, stride = 3)
