@@ -3307,7 +3307,8 @@ object TextQ {
     * chunks of `window` chars start every `stride` chars
     * (stride < window ⇒ overlap, so no boundary-straddling content is
     * ever unseen by every chunk), the tail chunk is short rather than
-    * padded, and an empty document still yields its one empty chunk
+    * padded, and an empty document (NULL text included) still yields
+    * its one empty chunk
     * (never-drop — a vanished doc breaks chunk→doc lineage audits).
     *
     * Emits (doc_id, chunk_idx, start_char, chunk_chars, chunk_md5) —
@@ -3323,8 +3324,12 @@ object TextQ {
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
     docs
-      .select(col("doc_id"), col("text"),
-        length(col("text")).as("__len"))
+      // NULL text coalesces to '' FIRST: a NULL length would make the
+      // sequence() NULL and the explode silently drop the doc row,
+      // breaking the advertised chunk→doc lineage (a NULL-text doc is
+      // an empty doc, and an empty doc yields its one empty chunk)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .withColumn("__len", length(col("text")))
       .withColumn("start_char", explode(expr(
         s"sequence(0, greatest(CAST(__len AS INT) - 1, 0), $stride)")))
       .select(col("doc_id"),

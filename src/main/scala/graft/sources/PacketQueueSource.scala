@@ -113,14 +113,18 @@ private final class PacketQueueStream(schema: StructType,
 
   /** Packet files in arrival (natural-name) order. Sorting makes the
     * [start, end) offset slice deterministic across restarts — the
-    * producer contract is monotone packet names, so a re-listing never
-    * reorders the consumed prefix. */
+    * producer contract is monotone packet names, and NATURAL order
+    * (digit runs compared numerically, [[graft.core.NaturalOrder]])
+    * honors it even for unpadded names: lexicographic order would put
+    * `p10` before `p9`, silently SHIFTING the consumed prefix across a
+    * restart (packets skipped or replayed) with nothing for the
+    * beyond-listing guard to catch. */
   private def listPackets(): Seq[Path] = {
     val p = new Path(queueDir)
     val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      .sortBy(_.getName)
+      .sortBy(p => graft.core.NaturalOrder.key(p.getName))
   }
 
   override def initialOffset(): Offset = PacketQueueOffset(0L)

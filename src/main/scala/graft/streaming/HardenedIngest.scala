@@ -12,27 +12,36 @@ import org.apache.spark.sql.types._
   *     `retry_0712.csv` double-bills every call in it — exactly the
   *     failure the reference's marker-file protocol guards
   *     (`MFramework.cpp:1286-1302`). Here every inbox file gets a
-  *     CONTENT digest — (bit_xor of per-row xxhash64, row count): order
-  *     independent, so a re-sorted redelivery still matches — and a
-  *     file whose digest is already in the ingest ledger is dropped
-  *     whole. The ledger is itself written per-batch (partitioned by
+  *     CONTENT digest — (bit_xor of per-row xxhash64, exact SUM of the
+  *     same hashes, row count): order independent, so a re-sorted
+  *     redelivery still matches, and the sum component is load-bearing —
+  *     xor alone CANCELS rows repeated an even number of times, so two
+  *     distinct equal-count files like {A,B,B} and {A,C,C} would
+  *     collide on (xor, count) and the second would be dropped as a
+  *     "redelivery"; a sum never cancels duplicates (decimal
+  *     accumulation: exact and overflow-free under ANSI). A file whose
+  *     digest triple is already in the ingest ledger is dropped whole. The ledger is itself written per-batch (partitioned by
   *     batch id, dynamic overwrite), so a replayed micro-batch
   *     reproduces its own writes instead of doubling them, and the
   *     anti-join EXCLUDES the replaying batch's own ledger partition —
   *     otherwise a crash between ledger write and checkpoint commit
   *     would make the retry see its own digests and drop the data.
   *
-  *  2. '''Schema/extraction drift.''' Before ANY write, each batch's
-  *     per-column profile card (rows, nulls, null-rate ppm — the live
-  *     core of the q261 drift card) is checked against the stored
-  *     reference profile; a column whose null rate drifts beyond the
-  *     threshold throws BEFORE the batch touches the legs store — the
-  *     gate a 100 TB append runs so one broken upstream extractor
-  *     cannot silently poison a cycle of invoices. The reference
-  *     profile bootstraps from the first accepted batch (or is
-  *     pre-seeded by the operator at `refProfileDir`).
+  *  2. '''Schema/extraction drift.''' Before ANY write, the batch's
+  *     POST-DEDUP rows' per-column profile card (rows, nulls, null-rate
+  *     ppm — the live core of the q261 drift card) is checked against
+  *     the stored reference profile; a column whose null rate drifts
+  *     beyond the threshold throws BEFORE the batch touches the legs
+  *     store — the gate a 100 TB append runs so one broken upstream
+  *     extractor cannot silently poison a cycle of invoices. Profiling
+  *     AFTER the dedup anti-join matters twice: a redelivered drifted
+  *     file that the ledger would drop whole must not kill the query
+  *     (it contributes nothing), and a duplicate-only first batch must
+  *     not seed the reference profile. The reference profile bootstraps
+  *     from the first batch with accepted rows (or is pre-seeded by the
+  *     operator at `refProfileDir`).
   *
-  * Write order inside the batch: gate → legs (dynamic partition
+  * Write order inside the batch: dedup → gate → legs (dynamic partition
   * overwrite into `valid=…/batch_id=N`) → ledger. Every write is keyed
   * by batch id, so any crash point replays idempotently. The downstream
   * file source lists the directory (no `_spark_metadata` — foreachBatch
@@ -70,8 +79,13 @@ object HardenedIngest {
   final case class DriftGate(refProfileDir: String, cols: Seq[String],
       maxNullDriftPpm: Long = 100000L)
 
+  /** Ledger layout (v2 — the `hsum` column joined the digest triple in
+    * round 11; a pre-existing v1 ledger must be rebuilt or dropped, not
+    * silently read with NULL sums that would never match). */
   private def ledgerSchema = StructType(Seq(
-    StructField("digest", LongType), StructField("n_rows", LongType),
+    StructField("digest", LongType),
+    StructField("hsum", DecimalType(38, 0)),
+    StructField("n_rows", LongType),
     StructField("batch_id", LongType)))
 
   /** The hardened ingest stage: same validation verdict and dead-letter
@@ -107,69 +121,86 @@ object HardenedIngest {
       gate: Option[DriftGate]): Unit = {
     val batch = batch0.cache()
     try {
-      // ---- drift gate: throw before anything is written -------------
-      gate.foreach { g =>
-        val cur = profileCard(batch.drop("__src", "valid"), g.cols)
-        val refPath = new org.apache.hadoop.fs.Path(g.refProfileDir)
-        val fs = refPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(refPath)) {
-          // bootstrap: the first accepted batch defines the reference
-          cur.coalesce(1).write.mode(SaveMode.Overwrite)
-            .parquet(g.refProfileDir)
-        } else {
-          val ref = spark.read.parquet(g.refProfileDir)
-            .select(col("column"), col("null_ppm").as("null_ppm_ref"))
-          val bad = cur.join(ref, Seq("column"))
-            .filter(abs(col("null_ppm") - col("null_ppm_ref")) >
-              g.maxNullDriftPpm)
-            .select(col("column"), col("null_ppm_ref"), col("null_ppm"))
-            .collect() // bounded: <= |cols| rows
-          if (bad.nonEmpty) throw new IllegalStateException(
-            "HardenedIngest drift gate tripped (batch " + batchId +
-              " NOT written): " + bad.mkString("; "))
-        }
-      }
-
-      // ---- content-dedup: digest per inbox file ----------------------
+      // ---- content-dedup FIRST: digest per inbox file ----------------
       val rowHash = xxhash64(col("call_id"), col("seq"), col("total"),
         col("duration_sec"))
+      // digest triple: xor (cheap, order-free) + exact decimal sum
+      // (duplicates never cancel) + count. ANSI-safe: a bigint sum of
+      // full-range hashes overflows, the (38,0) decimal cannot.
       val digested = batch.withColumn("__h", rowHash)
         .groupBy(col("__src"))
-        .agg(expr("bit_xor(__h)").as("digest"), count(lit(1)).as("n_rows"))
+        .agg(expr("bit_xor(__h)").as("digest"),
+          sum(col("__h").cast(DecimalType(38, 0))).as("hsum"),
+          count(lit(1)).as("n_rows"))
       // intra-batch duplicates: keep the first path per digest
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("digest"), col("n_rows")).orderBy(col("__src"))
+        .partitionBy(col("digest"), col("hsum"), col("n_rows"))
+        .orderBy(col("__src"))
       val dedupInBatch = digested
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .drop("__rn")
+      // The ledger read fails LOUDLY on anything but a missing path: a
+      // corrupt or unreadable ledger must kill the batch, not silently
+      // disable the dedup guard exactly when redelivery is most likely
+      // (after a storage incident). Only first-run absence is "empty".
+      val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+      val ledgerFs = ledgerPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
       val ledger =
-        try spark.read.schema(ledgerSchema).parquet(ledgerDir)
-          .filter(col("batch_id") =!= batchId) // a replay must not see
-                                               // its own prior write
-        catch { case _: Exception =>
+        if (!ledgerFs.exists(ledgerPath))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             ledgerSchema)
-        }
-      val fresh = dedupInBatch.join(ledger.select("digest", "n_rows"),
-        Seq("digest", "n_rows"), "left_anti").cache()
+        else spark.read.schema(ledgerSchema).parquet(ledgerDir)
+          .filter(col("batch_id") =!= batchId) // a replay must not see
+                                               // its own prior write
+      val fresh = dedupInBatch
+        .join(ledger.select("digest", "hsum", "n_rows"),
+          Seq("digest", "hsum", "n_rows"), "left_anti").cache()
       try {
         val keep = batch.join(broadcast(fresh.select("__src")),
-          Seq("__src"), "left_semi")
+          Seq("__src"), "left_semi").cache()
+        try {
+          // ---- drift gate on the POST-DEDUP rows only ----------------
+          // (a redelivered drifted file is dropped, not fatal; a
+          // duplicate-only batch cannot seed the reference profile)
+          gate.filter(_ => !keep.isEmpty).foreach { g =>
+            val cur = profileCard(keep.drop("__src", "valid"), g.cols)
+            val refPath = new org.apache.hadoop.fs.Path(g.refProfileDir)
+            val fs = refPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(refPath)) {
+              // bootstrap: the first accepted batch defines the reference
+              cur.coalesce(1).write.mode(SaveMode.Overwrite)
+                .parquet(g.refProfileDir)
+            } else {
+              val ref = spark.read.parquet(g.refProfileDir)
+                .select(col("column"), col("null_ppm").as("null_ppm_ref"))
+              val bad = cur.join(ref, Seq("column"))
+                .filter(abs(col("null_ppm") - col("null_ppm_ref")) >
+                  g.maxNullDriftPpm)
+                .select(col("column"), col("null_ppm_ref"),
+                  col("null_ppm"))
+                .collect() // bounded: <= |cols| rows
+              if (bad.nonEmpty) throw new IllegalStateException(
+                "HardenedIngest drift gate tripped (batch " + batchId +
+                  " NOT written): " + bad.mkString("; "))
+            }
+          }
 
-        keep.drop("__src").withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("valid", "batch_id")
-          .parquet(legsDir)
-        fresh.select(col("digest"), col("n_rows"))
-          .withColumn("batch_id", lit(batchId))
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(ledgerDir)
+          keep.drop("__src").withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("valid", "batch_id")
+            .parquet(legsDir)
+          fresh.select(col("digest"), col("hsum"), col("n_rows"))
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ledgerDir)
+        } finally keep.unpersist()
       } finally fresh.unpersist()
     } finally batch.unpersist()
   }

@@ -25,10 +25,7 @@ final case class StageSpec(
   */
 final class PipelineRunner(spark: SparkSession) {
 
-  /** Sort key treating digit runs as numbers: cmd_9 < cmd_10 (each digit
-    * run is left-padded to a fixed width in the comparison key). */
-  private def naturalKey(s: String): String =
-    """\d+""".r.replaceAllIn(s, m => f"${BigInt(m.matched)}%040d")
+  private def naturalKey(s: String): String = graft.core.NaturalOrder.key(s)
 
   private val specs = TrieMap[String, StageSpec]()
   private val active = TrieMap[String, StreamingQuery]()

@@ -112,6 +112,78 @@ class HardenedIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/ledger").count() == 1)
   }
 
+  test("a corrupt ledger fails the batch loudly instead of disabling dedup") {
+    // storage trouble on the ledger is indistinguishable from "no history"
+    // only if the read silently swallows errors — and that window is when
+    // redelivery is most likely. The batch must DIE, not double-bill.
+    val base = Files.createTempDirectory("graft_ledgercorrupt").toString
+    Files.createDirectories(Paths.get(s"$base/ledger/batch_id=0"))
+    Files.write(Paths.get(s"$base/ledger/batch_id=0/part-00000.parquet"),
+      "this is not a parquet footer".getBytes("UTF-8"))
+    val batch = Seq(("9:901", 1, 1, 10.0, s"$base/inbox/w1.csv", true))
+      .toDF("call_id", "seq", "total", "duration_sec", "__src", "valid")
+    intercept[Exception] {
+      HardenedIngest.writeBatch(spark, batch, 1L, s"$base/legs",
+        s"$base/ledger", None)
+    }
+    // nothing was admitted past the broken guard
+    assert(!Files.exists(Paths.get(s"$base/legs")),
+      "legs written despite an unreadable ledger")
+  }
+
+  test("even-repeated rows do not cancel the digest (xor-collision guard)") {
+    // {A,B,B} and {A,C,C}: equal counts, and xor(B,B) = xor(C,C) = 0, so
+    // a (xor, count)-only ledger would digest both to (hash(A), 3) and
+    // drop the second file as a 'redelivery'. The hash-sum component
+    // keeps them distinct.
+    val base = Files.createTempDirectory("graft_xorcancel").toString
+    def batch(src: String, rows: Seq[(String, Int, Int, Double)]) =
+      rows.map { case (c, s, t, d) => (c, s, t, d, src, true) }
+        .toDF("call_id", "seq", "total", "duration_sec", "__src", "valid")
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/f1.csv",
+      Seq(("1:1", 1, 3, 10.0), ("1:1", 2, 3, 20.0), ("1:1", 2, 3, 20.0))),
+      0L, s"$base/legs", s"$base/ledger", None)
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/f2.csv",
+      Seq(("1:1", 1, 3, 10.0), ("1:1", 3, 3, 30.0), ("1:1", 3, 3, 30.0))),
+      1L, s"$base/legs", s"$base/ledger", None)
+    val n = spark.read.schema(HardenedIngest.hardenedLegsSchema)
+      .parquet(s"$base/legs").count()
+    assert(n == 6, s"distinct second file dropped as redelivery: $n rows")
+  }
+
+  test("a redelivered drifted file is dropped whole, not fatal; " +
+      "a duplicate-only batch cannot seed the reference profile") {
+    val base = Files.createTempDirectory("graft_driftdedup").toString
+    def batch(src: String, rows: Seq[(String, Int, Int, java.lang.Double)]) =
+      rows.map { case (c, s, t, d) => (c, s, t, d, src, true) }
+        .toDF("call_id", "seq", "total", "duration_sec", "__src", "valid")
+    val gate = Some(HardenedIngest.DriftGate(s"$base/refprofile",
+      Seq("call_id", "seq", "total", "duration_sec"),
+      maxNullDriftPpm = 200000L))
+    val drifted: Seq[(String, Int, Int, java.lang.Double)] =
+      Seq(("3:301", 1, 1, null), ("3:302", 1, 1, null))
+    // era 0, gate off: the drifted file was admitted once
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/d.csv", drifted),
+      0L, s"$base/legs", s"$base/ledger", None)
+    // a duplicate-only batch with the gate ON and no reference yet:
+    // must neither throw nor bootstrap the profile from duplicates
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/d2.csv", drifted),
+      1L, s"$base/legs", s"$base/ledger", gate)
+    assert(!Files.exists(Paths.get(s"$base/refprofile")),
+      "duplicate-only batch seeded the reference profile")
+    // a clean batch bootstraps the reference
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/n.csv",
+      Seq(("1:101", 1, 1, java.lang.Double.valueOf(10.0)))),
+      2L, s"$base/legs", s"$base/ledger", gate)
+    // the drifted file redelivered AGAIN under the strict reference:
+    // ledger-dropped whole, so the gate never sees it — not fatal
+    HardenedIngest.writeBatch(spark, batch(s"$base/inbox/d3.csv", drifted),
+      3L, s"$base/legs", s"$base/ledger", gate)
+    val n = spark.read.schema(HardenedIngest.hardenedLegsSchema)
+      .parquet(s"$base/legs").count()
+    assert(n == 3, s"expected 2 drifted + 1 clean rows, got $n")
+  }
+
   test("a schema-drifted wave trips the gate before polluting the store") {
     withRocks {
       val base = Files.createTempDirectory("graft_driftgate").toString

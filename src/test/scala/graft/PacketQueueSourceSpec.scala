@@ -68,6 +68,42 @@ class PacketQueueSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("unpadded monotone names keep arrival order (p9 before p10)") {
+    // lexicographic order would put p10 before p9 and SHIFT the consumed
+    // prefix across restarts; the natural sort honors the producer's
+    // monotone-name contract without zero padding
+    val base = Files.createTempDirectory("graft_pktorder").toString
+    (1 to 11).foreach { i =>
+      write(s"$base/data/f$i.csv", legsCsv(Seq(s"1:$i,1,1,$i.0")))
+    }
+    // land p9 first, consume it, then land p10 and p11
+    write(s"$base/queue/p9.pkt", s"s=1\nf=$base/data/f9.csv")
+    def start() = spark.readStream.format("packetqueue")
+      .schema(LiveRatingChain.legSchema)
+      .option("path", s"$base/queue").option("root", s"$base/data")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 1)
+    } finally q1.stop()
+    write(s"$base/queue/p10.pkt", s"s=1\nf=$base/data/f10.csv")
+    write(s"$base/queue/p11.pkt", s"s=1\nf=$base/data/f11.csv")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("call_id")).as[String].collect().sorted.toSeq
+      // under lexicographic order p10/p11 would precede the consumed p9
+      // and the restart would re-deliver f9 (or skip f11)
+      assert(out == Seq("1:10", "1:11", "1:9"), out.toString)
+    } finally q2.stop()
+  }
+
   test("the chain's ingest stage runs off the packet queue unchanged") {
     // swap ONLY StageSpec.source — transform (validation) and sink
     // (dead-letter partitioning) are the registered stage's own,
