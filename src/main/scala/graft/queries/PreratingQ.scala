@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -99,15 +99,24 @@ object PreratingQ {
     * normalization keep their earlier reason.
     *
     * Plan: NOT the naive `BETWEEN` theta join (calls × ranges under a
-    * nested loop) — the dimension is bucketized instead: the probe side
-    * keys on `number div W` where W = the widest range in the dim (ONE
-    * bounded-collect aggregate row), and each range replicates into the
-    * ≤ 2 buckets it can overlap, so the lookup is a BROADCAST HASH join
-    * on bucket equality with the original between-predicate as residual
-    * — zero shuffles on the CDR side at any corpus size (the
-    * RangeJoinRewrite bucketization, specialized to variable-width
-    * dimension intervals). The oracle replays the naive BETWEEN join,
-    * pinning the bucketed construction to textbook interval semantics.
+    * nested loop) — the dimension is bucketized PER WIDTH CLASS instead
+    * (the q256 per-prefix-length cascade discipline): ranges group by
+    * ceil-log2 of their width (exact integer arithmetic — `bin()`
+    * length, no float hazards), each class gets its own bucket width
+    * W = 2^class so every range spans ≤ 2 of ITS OWN buckets, and the
+    * probe side runs one BROADCAST HASH join per class present (ONE
+    * bounded dim-grain collect for the class set, ≤ 63 classes ever,
+    * one for a uniform plan) with the original between-predicate as
+    * residual, coalescing payloads across classes — allocation dims
+    * never overlap, so at most one class matches. Zero shuffles on the
+    * CDR side at any corpus size. A SINGLE global bucket width would be
+    * the widest range in the dim — a real plan mixing one nationwide
+    * allocation with millions of small ranges then collapses the dim
+    * into a handful of buckets and every CDR probe scans a huge
+    * residual candidate list; per-class widths keep each probe's
+    * candidate list O(1) for any width mix (GuidingSkewProbe-measured).
+    * The oracle replays the naive BETWEEN join, pinning the bucketed
+    * cascade to textbook interval semantics.
     *
     * A real number plan is an ALLOCATION — ranges never overlap (a
     * number has one owner). Overlapping or inverted ranges would
@@ -116,6 +125,41 @@ object PreratingQ {
     * range_start order — the dimension is bounded, the global sort
     * never sees fact data) raises before any join happens.
     */
+  /** Width class of a range: ceil(log2(width)) via the binary-digit
+    * count of (width - 1) — exact integer arithmetic (a float log2
+    * mis-rounds near power-of-two widths on wide longs), capped at 62
+    * so the bucket width 2^class never overflows (a capped range spans
+    * ≤ 3 buckets instead of ≤ 2 — the explode handles either). */
+  private def widthClass: Column =
+    least(length(expr("bin(range_end - range_start)")), lit(62)).cast(IntegerType)
+
+  /** Distinct width classes present in a guarded dim, each with ITS OWN
+    * bucket width = the widest range in the class (not the power of two
+    * — rounding up to 2^c would double the residual candidate lists on
+    * a uniform plan). ONE bounded dim-grain job (≤ 63 rows ever). */
+  private def collectClasses(guarded: DataFrame): Seq[(Int, Long)] =
+    guarded.groupBy(widthClass.as("c"))
+      .agg(max(col("range_end") - col("range_start") + 1L).as("w"))
+      .collect().map(r => (r.getInt(0), math.max(1L, r.getLong(1))))
+      .sortBy(_._1).toSeq
+
+  /** One per-class cascade step: the class-c dim slice keyed by the
+    * class's own `w`-wide buckets (every member spans ≤ 2 of them),
+    * broadcast-left-joined to the probe on bucket equality with BETWEEN
+    * (+ optional validity) residual; payload and bound columns land
+    * class-suffixed for the final coalesce. */
+  private def classJoin(probe: DataFrame, guarded: DataFrame, c: Int,
+      w: Long, carry: Seq[String],
+      residual: (DataFrame, Int) => Column): DataFrame = {
+    val slice = guarded.filter(widthClass === c)
+      .withColumn("__b", explode(expr(
+        s"sequence(range_start DIV ${w}L, range_end DIV ${w}L)")))
+      .select(col("__b") +: carry.map(p => col(p).as(s"__${p}_$c")): _*)
+    probe.join(broadcast(slice),
+      expr(s"__num DIV ${w}L") === col("__b") && residual(probe, c), "left")
+      .drop("__b")
+  }
+
   def guideRanges(cdrs: DataFrame, ranges: DataFrame,
       numCol: String = "canonical", keepBounds: Boolean = false)
       : DataFrame = {
@@ -129,32 +173,41 @@ object PreratingQ {
             "number range in dim') AS BIGINT)"))
           .otherwise(col("range_start")))
       .drop("__prev_end")
-    // Bounded collect (ONE aggregate row): the bucket width is the
-    // widest allocation in the dim, so every range spans <= 2 buckets.
-    val width = math.max(1L, guarded
-      .agg(max(col("range_end") - col("range_start") + 1L)).collect()(0)
-      .getLong(0))
-    val dim = guarded
-      .withColumn("__b", explode(expr(
-        s"sequence(range_start DIV ${width}L, range_end DIV ${width}L)")))
+    // Bounded dim-grain collect: the width classes present and their
+    // bucket widths (≤ 63 ever; 1 for a uniform plan). Rides the
+    // overlap guard.
+    val classes = collectClasses(guarded)
     val payload = ranges.columns.filterNot(
-      Set("range_start", "range_end").contains)
+      Set("range_start", "range_end").contains).toSeq
+    val carry = Seq("range_start", "range_end") ++ payload
+    val outCols = if (keepBounds) carry else payload
     val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
-      .withColumn("__b", expr(s"__num DIV ${width}L"))
-    val hadReason = cdrs.columns.contains("reason")
-    val joined0 = probe.join(broadcast(dim), probe("__b") === dim("__b") &&
-        col("__num").between(col("range_start"), col("range_end")), "left")
-      .drop("__b", "__num")
     val joined =
-      if (keepBounds) joined0 else joined0.drop("range_start", "range_end")
-    val withReason =
-      if (hadReason) joined.withColumn("reason",
-        coalesce(col("reason"),
-          when(col(numCol).isNotNull && col(payload.head).isNull,
-            "unguided")))
-      else joined.withColumn("reason",
-        when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
-    withReason
+      if (classes.isEmpty) // empty plan: everything is unguided, typed
+        outCols.foldLeft(probe) { (d, p) =>
+          d.withColumn(p,
+            lit(null).cast(ranges.schema(p).dataType))
+        }.drop("__num")
+      else {
+        val cascaded = classes.foldLeft(probe) { case (d, (c, w)) =>
+          classJoin(d, guarded, c, w, carry, (_, cc) =>
+            col("__num").between(col(s"__range_start_$cc"),
+              col(s"__range_end_$cc")))
+        }
+        outCols.foldLeft(cascaded) { (d, p) =>
+          d.withColumn(p,
+            coalesce(classes.map { case (c, _) => col(s"__${p}_$c") }: _*))
+        }.drop("__num")
+          .drop(classes.flatMap { case (c, _) =>
+            carry.map(p => s"__${p}_$c") }: _*)
+      }
+    val hadReason = cdrs.columns.contains("reason")
+    if (hadReason) joined.withColumn("reason",
+      coalesce(col("reason"),
+        when(col(numCol).isNotNull && col(payload.head).isNull,
+          "unguided")))
+    else joined.withColumn("reason",
+      when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
   }
 
   /** Shared messy-number fixture: eight deterministic wire forms over the
@@ -444,17 +497,79 @@ object PreratingQ {
     * guides to the row whose NUMBER range contains its canonical AND
     * whose validity contains its `secCol`.
     *
-    * Plan: the same bucketized BROADCAST hash join as [[guideRanges]]
-    * (bucket on number, residual on BETWEEN + validity) — zero CDR-side
-    * shuffles. The no-double-guide guard generalizes: two dim rows may
-    * overlap in NUMBER space only if DISJOINT in time. Checked
-    * dim-grain before any fact is touched: exact duplicates via a
-    * grouped count, overlapping distinct pairs via a bucketized dim
-    * self-join (pairs ordered lexicographically so each conflict
-    * surfaces once) — both bounded by the dimension, never fact-sized.
+    * Plan: the same per-width-class bucketized BROADCAST cascade as
+    * [[guideRanges]] (bucket on number per class, residual on BETWEEN +
+    * validity) — zero CDR-side shuffles at any width mix. The
+    * no-double-guide guard generalizes: two dim rows may overlap in
+    * NUMBER space only if DISJOINT in time. Checked dim-grain BEFORE
+    * any fact is touched by [[validateVersionedDim]]; a live caller
+    * resolving the dim per micro-batch validates ONCE PER DIM VERSION
+    * (the [[graft.streaming.VersionedDim]] store does exactly that) and
+    * passes `preValidated = true`, so the two guard jobs are never paid
+    * per trigger for a dim that didn't change.
     */
   def guideRangesVersioned(cdrs: DataFrame, ranges: DataFrame,
-      numCol: String = "canonical", secCol: String = "sec"): DataFrame = {
+      numCol: String = "canonical", secCol: String = "sec",
+      preValidated: Boolean = false): DataFrame = {
+    val dimCols = Seq("range_start", "range_end", "valid_from_sec",
+      "valid_to_sec")
+    val checked = if (preValidated) ranges else validateVersionedDim(ranges)
+    val classes = collectClasses(checked)
+    val payload = ranges.columns.filterNot(dimCols.toSet.contains).toSeq
+    val carry = dimCols ++ payload
+    val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
+    val joined =
+      if (classes.isEmpty)
+        payload.foldLeft(probe) { (d, p) =>
+          d.withColumn(p, lit(null).cast(ranges.schema(p).dataType))
+        }.drop("__num")
+      else {
+        val cascaded = classes.foldLeft(probe) { case (d, (c, w)) =>
+          classJoin(d, checked, c, w, carry, (_, cc) =>
+            col("__num").between(col(s"__range_start_$cc"),
+              col(s"__range_end_$cc")) &&
+              col(secCol) >= col(s"__valid_from_sec_$cc") &&
+              col(secCol) < col(s"__valid_to_sec_$cc"))
+        }
+        payload.foldLeft(cascaded) { (d, p) =>
+          d.withColumn(p,
+            coalesce(classes.map { case (c, _) => col(s"__${p}_$c") }: _*))
+        }.drop("__num")
+          .drop(classes.flatMap { case (c, _) =>
+            carry.map(p => s"__${p}_$c") }: _*)
+      }
+    val hadReason = cdrs.columns.contains("reason")
+    if (hadReason) joined.withColumn("reason",
+      coalesce(col("reason"),
+        when(col(numCol).isNotNull && col(payload.head).isNull,
+          "unguided")))
+    else joined.withColumn("reason",
+      when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
+  }
+
+  /** EAGER dim-grain integrity check for a versioned number plan — a
+    * number+time double coverage would double-guide (and double-bill)
+    * every CDR it matches, so it fails HERE, before any fact is
+    * touched. Returns the dim with the lazy inverted-window guard
+    * attached (rides every downstream read).
+    *
+    * Checks (both bounded by the dimension, never fact-sized):
+    *  - exact duplicates: a grouped count over the four interval
+    *    columns;
+    *  - overlapping distinct pairs: a PER-WIDTH-CLASS bucketized dim
+    *    self-join — for each class c present, every range explodes into
+    *    its 2^c-wide buckets and joins the class-c slice, so a pair of
+    *    SMALL ranges is only ever compared at a small bucket width
+    *    (under a single global width, one nationwide allocation would
+    *    collapse 50k small ranges into a handful of buckets and the
+    *    self-join would go quadratic). Every overlapping pair shares a
+    *    bucket at the wider member's class, so none escapes; duplicate
+    *    sightings across classes are harmless (the check is an
+    *    existence test).
+    *
+    * Cost: two Spark jobs. Pay it once per dim VERSION (cache the
+    * verdict), not per batch — [[graft.streaming.VersionedDim]] does. */
+  def validateVersionedDim(ranges: DataFrame): DataFrame = {
     val dimCols = Seq("range_start", "range_end", "valid_from_sec",
       "valid_to_sec")
     // inverted windows fail loudly (lazy, rides every downstream read)
@@ -464,48 +579,28 @@ object PreratingQ {
         expr("CAST(raise_error('guideRangesVersioned: inverted number " +
           "or validity range in dim') AS BIGINT)"))
         .otherwise(col("range_start")))
-    // EAGER dim-grain conflict check: a number+time double-coverage
-    // would double-guide (and double-bill) every CDR it matches
-    val width = math.max(1L, checked
-      .agg(max(col("range_end") - col("range_start") + 1L)).collect()(0)
-      .getLong(0))
-    val keyed = checked.withColumn("__b", explode(expr(
-      s"sequence(range_start DIV ${width}L, range_end DIV ${width}L)")))
-    val a = keyed.select(col("__b") +: dimCols.map(c =>
-      col(c).as(s"a_$c")): _*)
-    val bSide = keyed.select(col("__b") +: dimCols.map(c =>
-      col(c).as(s"b_$c")): _*)
+    val classes = collectClasses(checked)
     val dupes = checked.groupBy(dimCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1L)
-    val conflicts = a.join(bSide, Seq("__b"))
-      .filter(struct(dimCols.map(c => col(s"a_$c")): _*) <
-          struct(dimCols.map(c => col(s"b_$c")): _*) &&
-        col("a_range_start") <= col("b_range_end") &&
-        col("b_range_start") <= col("a_range_end") &&
-        col("a_valid_from_sec") < col("b_valid_to_sec") &&
-        col("b_valid_from_sec") < col("a_valid_to_sec"))
-    require(dupes.isEmpty && conflicts.isEmpty,
+    val conflictSlices = classes.map { case (c, w) =>
+      def keyed(pre: String, df: DataFrame) = df
+        .withColumn("__b", explode(expr(
+          s"sequence(range_start DIV ${w}L, range_end DIV ${w}L)")))
+        .select(col("__b") +: dimCols.map(x => col(x).as(s"$pre$x")): _*)
+      keyed("a_", checked)
+        .join(keyed("b_", checked.filter(widthClass === c)), Seq("__b"))
+        .filter(struct(dimCols.map(x => col(s"a_$x")): _*) =!=
+            struct(dimCols.map(x => col(s"b_$x")): _*) &&
+          col("a_range_start") <= col("b_range_end") &&
+          col("b_range_start") <= col("a_range_end") &&
+          col("a_valid_from_sec") < col("b_valid_to_sec") &&
+          col("b_valid_from_sec") < col("a_valid_to_sec"))
+    }
+    val noConflicts = conflictSlices.isEmpty ||
+      conflictSlices.reduce(_ union _).isEmpty
+    require(dupes.isEmpty && noConflicts,
       "guideRangesVersioned: number+time double coverage in the dim")
-
-    val dim = keyed
-    val payload = ranges.columns.filterNot(
-      (dimCols.toSet ++ Set("__b")).contains)
-    val probe = cdrs.withColumn("__num", col(numCol).cast(LongType))
-      .withColumn("__b", expr(s"__num DIV ${width}L"))
-    val joined = probe.join(broadcast(dim),
-        probe("__b") === dim("__b") &&
-          col("__num").between(col("range_start"), col("range_end")) &&
-          col(secCol) >= col("valid_from_sec") &&
-          col(secCol) < col("valid_to_sec"), "left")
-      .drop("__b", "__num", "range_start", "range_end",
-        "valid_from_sec", "valid_to_sec")
-    val hadReason = cdrs.columns.contains("reason")
-    if (hadReason) joined.withColumn("reason",
-      coalesce(col("reason"),
-        when(col(numCol).isNotNull && col(payload.head).isNull,
-          "unguided")))
-    else joined.withColumn("reason",
-      when(col(numCol).isNotNull && col(payload.head).isNull, "unguided"))
+    checked
   }
 
   /** Oracle fixture of [[guideRangesVersioned]]: the q264 plan split
@@ -572,5 +667,58 @@ object PreratingQ {
         ORDER BY m.event_id"""
     })
 
-  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272, q279)
+  /** Oracle fixture of [[guideRanges]] on a MIXED-WIDTH plan — the
+    * data shape that breaks single-global-width bucketization: one
+    * "nationwide" 5×10^8-wide allocation (width class 29) next to 2000
+    * small 10^5-wide ranges (class 17), disjoint, with gaps so all
+    * three verdicts (nationwide, small, unguided) carry traffic. Under
+    * a global bucket width the small ranges would collapse into a
+    * handful of nationwide-sized buckets; the per-class cascade keeps
+    * both classes O(1) per probe. The oracle replays the naive BETWEEN
+    * join — same textbook semantics either way. */
+  private val q280 = GQuery(
+    "q280_mixed_width_guiding",
+    (s, dir) => {
+      val small = s.range(0L, 2000L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 200000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 200000L + 99999L).as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"))
+      val nationwide = s.range(0L, 1L).toDF("r").select(
+        lit(49500000000L).as("range_start"),
+        lit(49999999999L).as("range_end"),
+        lit(1L).as("account_id"))
+      guideRanges(normalizeMsisdn(fixtureRaw(s, dir)),
+        small.union(nationwide))
+        .select(col("event_id"), col("canonical"), col("account_id"),
+          col("reason"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, $cand AS cand, $reason AS reason FROM c),
+        norm AS (SELECT event_id,
+            CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+          FROM n),
+        ranges AS (SELECT
+            49100000000 + r * 200000 AS range_start,
+            49100000000 + r * 200000 + 99999 AS range_end,
+            1000 + r AS account_id
+          FROM UNNEST(generate_series(0, 1999)) AS u(r)
+          UNION ALL
+          SELECT 49500000000, 49999999999, 1)
+        SELECT m.event_id, m.canonical,
+          CAST(g.account_id AS BIGINT) AS account_id,
+          COALESCE(m.reason, CASE WHEN m.canonical IS NOT NULL
+            AND g.account_id IS NULL THEN 'unguided' END) AS reason
+        FROM norm m LEFT JOIN ranges g
+          ON CAST(m.canonical AS BIGINT)
+             BETWEEN g.range_start AND g.range_end
+        ORDER BY m.event_id"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272, q279, q280)
 }
