@@ -219,6 +219,116 @@ object LiveRatingChain {
         .option("checkpointLocation", s"$checkpointRoot/prerating")
         .outputMode("append"))
 
+  /** The LIVE-DIM prerating stage — [[preratingStage]] with the static
+    * captured `ranges` replaced by a [[VersionedDim]] resolved PER
+    * MICRO-BATCH: a number port published to the store mid-run guides
+    * the NEXT batch to the new owner with no stage restart (where the
+    * reference reloads config from the DB only on a control restart,
+    * `MFramework.cpp:1802-1812`). Validation cost is paid once per dim
+    * VERSION inside the store, never per trigger.
+    *
+    * With `versionedGuiding = true` the dim carries SCD2 validity
+    * windows and each CDR guides against the plan AS OF ITS OWN
+    * event time ([[graft.queries.PreratingQ.guideRangesVersioned]],
+    * pre-validated by the store — construct the dim with
+    * [[VersionedDim]]`(spark, dir, PreratingQ.validateVersionedDim)`),
+    * so a redelivered HISTORICAL wave guides to its era's owner while
+    * live traffic guides to the current one. Event time = `event_id`
+    * as seconds (the fraud-tap/gauge fixture wire convention; a
+    * production feed carries a real timestamp column).
+    *
+    * Sink: `foreachBatch` into `preratedDir/batch_id=N/guided=…`. The
+    * batch partition is deleted before the append — NOT dynamic
+    * overwrite: the dim may ADVANCE between a crash and its replay,
+    * moving rows across verdict partitions, and overwrite-by-written-
+    * partition would strand the stale verdict's files. Each emitted row
+    * carries `guide_ver`, the dim version that guided it — the audit
+    * column a porting dispute reads. */
+  def preratingStageLive(spark: SparkSession, rawInbox: String,
+      dim: VersionedDim, preratedDir: String, checkpointRoot: String,
+      defaultCc: String = "49", versionedGuiding: Boolean = false,
+      maxFilesPerTrigger: Int = 8): StageSpec =
+    StageSpec(
+      "prerating",
+      source = s => s.readStream.schema(rawCdrSchema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .csv(rawInbox),
+      transform = identity,
+      sink = df => df.writeStream
+        .option("checkpointLocation", s"$checkpointRoot/prerating")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (ver, ranges) = dim.resolve()
+          val normalized = graft.queries.PreratingQ.normalizeMsisdn(
+            batch, "msisdn", defaultCc)
+          val guided =
+            if (versionedGuiding)
+              graft.queries.PreratingQ.guideRangesVersioned(
+                normalized.withColumn("sec", col("event_id")), ranges,
+                preValidated = true).drop("sec")
+            else
+              graft.queries.PreratingQ.guideRanges(normalized, ranges)
+          val out = guided.select(
+            when(col("account_id").isNotNull,
+              concat(col("account_id").cast(StringType), lit(":"),
+                col("event_id").cast(StringType))).as("call_id"),
+            col("seq"), col("total"), col("duration_sec"), col("reason"),
+            lit(ver).as("guide_ver"),
+            lit(batchId).as("batch_id"),
+            col("account_id").isNotNull.as("guided"))
+          val p = new org.apache.hadoop.fs.Path(
+            s"$preratedDir/batch_id=$batchId")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          out.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("batch_id", "guided").parquet(preratedDir)
+        })
+
+  /** Live-prerated-store schema (both partition columns declared
+    * explicitly — single-valued partition values would otherwise infer
+    * as STRING). */
+  private def preratedLiveSchema: StructType = StructType(Seq(
+    StructField("call_id", StringType),
+    StructField("seq", IntegerType),
+    StructField("total", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("reason", StringType),
+    StructField("guide_ver", LongType),
+    StructField("batch_id", LongType),
+    StructField("guided", BooleanType)))
+
+  /** Register the full chain on the LIVE-DIM prerating stage:
+    * prerating (per-batch dim resolve) → ingest → assembly → rating,
+    * plus the stage's `refreshsession` hook (`dim.refresh` — force a
+    * reload+revalidate at an unchanged version). Publish at least one
+    * dim version BEFORE starting: a consumer with no number plan fails
+    * loudly rather than guessing. */
+  def registerWithLiveDim(runner: PipelineRunner, spark: SparkSession,
+      rawInbox: String, dim: VersionedDim, preratedDir: String,
+      legsDir: String, callsDir: String, ratedDir: String,
+      checkpointRoot: String, tiers: Seq[(Long, Long, Long)],
+      defaultCc: String = "49", versionedGuiding: Boolean = false,
+      legTimeoutMs: Long = -1L): Seq[String] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(rawInbox, preratedDir, legsDir, callsDir, ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val pre = preratingStageLive(spark, rawInbox, dim, preratedDir,
+      checkpointRoot, defaultCc, versionedGuiding)
+    val base = stages(spark, "/nonexistent-inbox", legsDir, callsDir,
+      ratedDir, checkpointRoot, tiers, legTimeoutMs)
+    val ingest = base.head.copy(source = s => s.readStream
+      .schema(preratedLiveSchema).parquet(preratedDir)
+      .filter(col("guided"))
+      .select(col("call_id"), col("seq"), col("total"),
+        col("duration_sec")))
+    val ss = pre +: ingest +: base.tail
+    ss.foreach(runner.register)
+    runner.onRefresh(pre.name, () => dim.refresh())
+    ss.map(_.name)
+  }
+
   /** Prerated-store schema the downstream ingest reads (the partition
     * column `guided` included so the filter prunes whole partitions). */
   private def preratedSchema: StructType = StructType(Seq(

@@ -29,9 +29,23 @@ final class PipelineRunner(spark: SparkSession) {
 
   private val specs = TrieMap[String, StageSpec]()
   private val active = TrieMap[String, StreamingQuery]()
+  private val refreshHooks = TrieMap[String, () => Unit]()
   @volatile private var unknownStageResolver: String => Option[StageSpec] = _ => None
 
   def register(spec: StageSpec): Unit = specs.put(spec.name, spec)
+
+  /** Install a stage's refresh hook — what a `refreshsession` control
+    * packet (or [[refresh]]) invokes WITHOUT bouncing the query.
+    * Stages resolving dims through a [[VersionedDim]] register
+    * `dim.refresh` here, so an operator can force a reload+revalidate
+    * at an unchanged version (post-incident recovery) while per-batch
+    * re-resolution handles the normal version-advance path on its own. */
+  def onRefresh(name: String, hook: () => Unit): Unit =
+    refreshHooks.put(name, hook)
+
+  /** Invoke a stage's refresh hook (no-op for stages without one —
+    * their sources have no refreshable state). */
+  def refresh(name: String): Unit = refreshHooks.get(name).foreach(_.apply())
 
   /** Install the unknown-stage fallback [[start]] consults — the
     * reference's `m_HandleControlStart` reloads session details from the
@@ -85,6 +99,7 @@ final class PipelineRunner(spark: SparkSession) {
       case "startsession"   => names.foreach(start)
       case "stopsession"    => names.foreach(stop)
       case "restartsession" => names.foreach(restart)
+      case "refreshsession" => names.foreach(refresh)
       case _                => // unknown actions ignored, as in the reference
     }
   }
