@@ -42,7 +42,14 @@ import graft.etl.PacketCodec
   *    into the user-declared schema;
   *  - an optional `root` option confines `f=` targets: a packet pointing
   *    outside it fails LOUDLY (a traversal breach is an attack, not a
-  *    dead letter — the Connectors.scala confinement discipline).
+  *    dead letter — the Connectors.scala confinement discipline);
+  *  - optional `archive=true` retention: each commit moves the
+  *    durably-consumed packet prefix into `_consumed/` under a tiny
+  *    manifest, keeping the per-trigger listing O(backlog) instead of
+  *    O(all packets ever) at production cadence.
+  *
+  * The WRITE side of the protocol is [[PacketQueueSink]] — two chain
+  * stages can hand off with BOTH ends on the reference's contract.
   *
   * Producer drop contract (same as the reference's marker protocol and
   * the chain inbox): write the DATA file first, then the packet, both
@@ -106,10 +113,59 @@ private final class PacketQueueStream(schema: StructType,
   private val rootOpt = Option(options.get("root"))
   private val header = Option(options.get("header")).forall(_.toBoolean)
   private val delimiter = Option(options.get("delimiter")).getOrElse(",")
+  private val archive = Option(options.get("archive")).exists(_.toBoolean)
   private val raw = schema == PacketQueueProvider.RawSchema
 
   private def hadoopConf =
     SparkSession.active.sessionState.newHadoopConf()
+
+  // ---- consumed-prefix archival (option archive=true) ----------------
+  // Without it, consumed packets stay in place and latestOffset()
+  // re-lists the ENTIRE history every trigger — O(all packets ever) of
+  // driver work after a month at production cadence. With it, commit()
+  // moves the consumed prefix into `_consumed/` under a tiny manifest
+  // (`<count>\n<last archived name>`, written tmp-then-rename BEFORE
+  // the moves — a crash mid-move leaves stragglers that the listing
+  // excludes by name and the next commit re-moves), so the live listing
+  // stays O(unconsumed backlog). Offsets keep their meaning: global
+  // position = manifest count + live position, and restart offsets are
+  // exact because commit() only ever archives below the durably
+  // committed offset. A FRESH checkpoint cannot start against an
+  // already-archived queue (offset 0 is below the archived prefix —
+  // fails loudly; restore `_consumed/` or point at a fresh queue).
+
+  private def consumedDir = new Path(queueDir, "_consumed")
+  private def manifestPath = new Path(consumedDir, "_manifest")
+
+  /** (archived count, last archived packet name). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem)
+      : (Long, Option[String]) = {
+    if (!archive || !fs.exists(manifestPath)) (0L, None)
+    else {
+      val in = fs.open(manifestPath)
+      val body = try {
+        val len = fs.getFileStatus(manifestPath).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        new String(buf, StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = body.split("\n", -1)
+      (lines(0).toLong,
+        if (lines.length > 1 && lines(1).nonEmpty) Some(lines(1)) else None)
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      count: Long, last: String): Unit = {
+    fs.mkdirs(consumedDir)
+    val tmp = new Path(consumedDir, "._manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$count\n$last".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(manifestPath, false)
+    require(fs.rename(tmp, manifestPath),
+      s"packetqueue: manifest rename failed in $queueDir")
+  }
 
   /** Packet files in arrival (natural-name) order. Sorting makes the
     * [start, end) offset slice deterministic across restarts — the
@@ -119,38 +175,85 @@ private final class PacketQueueStream(schema: StructType,
     * `p10` before `p9`, silently SHIFTING the consumed prefix across a
     * restart (packets skipped or replayed) with nothing for the
     * beyond-listing guard to catch. */
-  private def listPackets(): Seq[Path] = {
+  /** (archived count, live packets beyond the archived prefix, in
+    * natural order). Stragglers of a crashed archive pass (already in
+    * the manifest, not yet moved) are excluded by name. */
+  private def listState(): (Long, Seq[Path]) = {
     val p = new Path(queueDir)
     val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      .sortBy(p => graft.core.NaturalOrder.key(p.getName))
+    if (!fs.exists(p)) return (0L, Seq.empty)
+    val (archN, lastName) = readManifest(fs)
+    val lastKey = lastName.map(graft.core.NaturalOrder.key)
+    val live = visiblePackets(fs, p)
+      .filter(q => lastKey.forall(lk =>
+        graft.core.NaturalOrder.key(q.getName) > lk))
+    (archN, live)
   }
 
+  /** Visible (committed) packets: dot/underscore-prefixed names are
+    * in-flight tmp files or metadata by the Hadoop convention — a
+    * producer's rename-in target is the only thing that may count
+    * toward the offset, or a listing racing a rename would shrink. */
+  private def visiblePackets(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[Path] =
+    fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      .filterNot(q => q.getName.startsWith(".") ||
+        q.getName.startsWith("_"))
+      .sortBy(q => graft.core.NaturalOrder.key(q.getName))
+
   override def initialOffset(): Offset = PacketQueueOffset(0L)
-  override def latestOffset(): Offset =
-    PacketQueueOffset(listPackets().size.toLong)
+  override def latestOffset(): Offset = {
+    val (archN, live) = listState()
+    PacketQueueOffset(archN + live.size)
+  }
   override def deserializeOffset(json: String): Offset =
     PacketQueueOffset(json.toLong)
 
-  /** Queue retention is the operator's: consumed packets stay in place
-    * (the offset log is the consumption record), mirroring the chain's
-    * file-source inbox discipline. */
-  override def commit(end: Offset): Unit = ()
+  /** Default retention is the operator's: consumed packets stay in
+    * place (the offset log is the consumption record), mirroring the
+    * chain's file-source inbox discipline. With `archive=true` the
+    * durably-committed prefix moves to `_consumed/` here — manifest
+    * first (the intent record), moves second, so a crash between the
+    * two leaves excluded-by-name stragglers the next commit re-moves. */
+  override def commit(end: Offset): Unit = if (archive) {
+    val n = end.asInstanceOf[PacketQueueOffset].n
+    val p = new Path(queueDir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return
+    val (archN, lastName) = readManifest(fs)
+    val lastKey = lastName.map(graft.core.NaturalOrder.key)
+    val all = visiblePackets(fs, p)
+    val (stragglers, rest) = all.partition(q =>
+      lastKey.exists(lk => graft.core.NaturalOrder.key(q.getName) <= lk))
+    val toArchive = rest.take(math.max(0L, n - archN).toInt)
+    if (toArchive.nonEmpty)
+      writeManifest(fs, archN + toArchive.size, toArchive.last.getName)
+    fs.mkdirs(consumedDir)
+    (stragglers ++ toArchive).foreach { q =>
+      require(fs.rename(q, new Path(consumedDir, q.getName)),
+        s"packetqueue: archive move failed for ${q.getName}")
+    }
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[PacketQueueOffset].n,
       end.asInstanceOf[PacketQueueOffset].n)
-    val packets = listPackets()
-    require(e <= packets.size,
-      s"packetqueue: offset $e beyond the ${packets.size} packets present " +
-        "— packets must be append-only with monotone names")
+    val (archN, live) = listState()
+    require(s >= archN,
+      s"packetqueue: offset $s is below the archived prefix ($archN) — " +
+        "a fresh checkpoint cannot start against an archived queue; " +
+        s"restore ${consumedDir} or point at a fresh queue")
+    require(e - archN <= live.size,
+      s"packetqueue: offset $e beyond the ${archN + live.size} packets " +
+        "present — packets must be append-only with monotone names")
     val fs = new Path(queueDir).getFileSystem(hadoopConf)
-    val rootResolved = rootOpt.map(r =>
+    // resolved lazily: the confinement root need not exist before the
+    // producer's first write (an empty plan resolves nothing)
+    lazy val rootResolved = rootOpt.map(r =>
       fs.resolvePath(new Path(r)).toUri.getPath)
-    packets.slice(s.toInt, e.toInt).flatMap { pkt =>
+    live.slice((s - archN).toInt, (e - archN).toInt).flatMap { pkt =>
       // packets are human-scale control records: read driver-side, the
       // controlIngress bounded class (size-guarded)
       val st = fs.getFileStatus(pkt)

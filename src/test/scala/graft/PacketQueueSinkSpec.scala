@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PacketQueueSink
+import graft.streaming.LiveRatingChain
+
+/** The packet-protocol WRITE side + consumed-prefix archival: two chain
+  * stages handing off with BOTH ends on the reference's `f=` pointer
+  * contract (data file first, packet rename-in second), exactly-once
+  * across kill-and-restart, replay-swept batches, and a queue whose
+  * consumed prefix archives so the listing stays O(backlog).
+  */
+class PacketQueueSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def write(path: String, body: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), body.getBytes("UTF-8"))
+  }
+
+  private def legsCsv(rows: Seq[String]): String =
+    ("call_id,seq,total,duration_sec" +: rows).mkString("\n")
+
+  private def listNames(dir: String): Seq[String] =
+    if (!Files.exists(Paths.get(dir))) Seq.empty
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+
+  implicit private class Let[A](private val a: A) {
+    def let[B](f: A => B): B = f(a)
+  }
+
+  test("two stages hand off with both ends on the packet protocol") {
+    val base = Files.createTempDirectory("graft_pktsink").toString
+
+    def startProducer() = spark.readStream
+      .schema(LiveRatingChain.legSchema)
+      .option("header", "true").csv(s"$base/inbox")
+      .let(df => PacketQueueSink.sink(spark, s"$base/data",
+        s"$base/queue", s"$base/ckpt/producer")(df).start())
+
+    def startConsumer() = spark.readStream.format("packetqueue")
+      .schema(LiveRatingChain.legSchema)
+      .option("path", s"$base/queue").option("root", s"$base/data")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt/consumer")
+      .outputMode("append").start()
+
+    Files.createDirectories(Paths.get(s"$base/inbox"))
+    Files.createDirectories(Paths.get(s"$base/queue"))
+    write(s"$base/inbox/w1.csv", legsCsv(Seq("1:1,1,1,10.0", "1:2,1,1,20.0")))
+    val p1 = startProducer(); val c1 = startConsumer()
+    try {
+      p1.processAllAvailable(); c1.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 2)
+      // a data file with NO packet is invisible to the consumer — the
+      // packet is the commit marker
+      write(s"$base/data/orphan.csv", legsCsv(Seq("9:9,1,1,99.0")))
+      c1.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 2)
+    } finally { p1.stop(); c1.stop() }
+
+    // kill-and-restart both ends; a wave that landed while down flows
+    // exactly once
+    write(s"$base/inbox/w2.csv", legsCsv(Seq("2:1,1,1,30.0")))
+    val p2 = startProducer(); val c2 = startConsumer()
+    try {
+      p2.processAllAvailable(); c2.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("call_id")).as[String].collect().sorted.toSeq
+      assert(out == Seq("1:1", "1:2", "2:1"),
+        s"lost or duplicated across restart: $out")
+    } finally { p2.stop(); c2.stop() }
+  }
+
+  test("a replayed batch sweeps its own prior attempt (repartition-safe)") {
+    val base = Files.createTempDirectory("graft_pktreplay").toString
+    val batch4 = Seq(("1:1", 1, 1, 10.0), ("1:2", 1, 1, 20.0),
+      ("1:3", 1, 1, 30.0), ("1:4", 1, 1, 40.0))
+      .toDF("call_id", "seq", "total", "duration_sec")
+    // attempt 1: several partitions -> one data file + packet per
+    // NON-EMPTY partition (the CSV writer skips empty ones)
+    PacketQueueSink.writeBatch(spark, batch4.repartition(4), 7L,
+      s"$base/data", s"$base/queue")
+    val n1 = listNames(s"$base/queue").count(_.endsWith(".pkt"))
+    assert(n1 >= 2, s"expected a multi-file first attempt, got $n1")
+    // the replay repartitioned differently: ONE file must replace all
+    // four, not sit beside them
+    PacketQueueSink.writeBatch(spark, batch4.repartition(1), 7L,
+      s"$base/data", s"$base/queue")
+    assert(listNames(s"$base/queue").count(_.endsWith(".pkt")) == 1,
+      listNames(s"$base/queue").toString)
+    assert(listNames(s"$base/data").count(_.endsWith(".csv")) == 1)
+    val rows = spark.readStream.format("packetqueue")
+      .schema(LiveRatingChain.legSchema)
+      .option("path", s"$base/queue").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      rows.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 4)
+    } finally rows.stop()
+  }
+
+  test("archive=true moves the consumed prefix; offsets stay exact") {
+    val base = Files.createTempDirectory("graft_pktarch").toString
+    (1 to 3).foreach { i =>
+      write(s"$base/data/f$i.csv", legsCsv(Seq(s"1:$i,1,1,$i.0")))
+      write(s"$base/queue/p$i.pkt", s"s=1\nf=$base/data/f$i.csv")
+    }
+    def start() = spark.readStream.format("packetqueue")
+      .schema(LiveRatingChain.legSchema)
+      .option("path", s"$base/queue").option("root", s"$base/data")
+      .option("archive", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 3)
+      // archival is commit-driven, and the engine commits a batch's
+      // offset when the NEXT batch runs — land a new packet and let it
+      // flow: the durably-committed [p1..p3) prefix must archive
+      write(s"$base/data/f4.csv", legsCsv(Seq("1:4,1,1,4.0")))
+      write(s"$base/queue/p4.pkt", s"s=1\nf=$base/data/f4.csv")
+      q1.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() == 4)
+      val archived = listNames(s"$base/queue/_consumed")
+        .filter(_.endsWith(".pkt"))
+      assert(archived.toSet.intersect(
+        Set("p1.pkt", "p2.pkt", "p3.pkt")).size == 3,
+        s"consumed prefix not archived: $archived")
+      val manifest = new String(Files.readAllBytes(
+        Paths.get(s"$base/queue/_consumed/_manifest")), "UTF-8")
+      assert(manifest.startsWith("3\n") || manifest.startsWith("4\n"),
+        manifest)
+    } finally q1.stop()
+
+    // restart on the same checkpoint: nothing re-processes, and packets
+    // landing after archival flow normally (offsets continue past the
+    // archived prefix)
+    write(s"$base/data/f5.csv", legsCsv(Seq("1:5,1,1,5.0")))
+    write(s"$base/queue/p5.pkt", s"s=1\nf=$base/data/f5.csv")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("call_id")).as[String].collect().sorted.toSeq
+      assert(out == Seq("1:1", "1:2", "1:3", "1:4", "1:5"), out.toString)
+    } finally q2.stop()
+
+    // a FRESH checkpoint cannot start below the archived prefix
+    val q3 = spark.readStream.format("packetqueue")
+      .schema(LiveRatingChain.legSchema)
+      .option("path", s"$base/queue").option("root", s"$base/data")
+      .option("archive", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out2")
+      .option("checkpointLocation", s"$base/ckpt_fresh")
+      .outputMode("append").start()
+    try {
+      val e = intercept[Exception] { q3.processAllAvailable() }
+      assert(String.valueOf(e.getMessage).contains("archived prefix") ||
+        String.valueOf(e.getCause).contains("archived prefix"), e.toString)
+    } finally q3.stop()
+  }
+}
