@@ -579,5 +579,112 @@ object BillingQ {
           AS BIGINT) AS padding_ppm
       FROM g ORDER BY carrier"""))
 
-  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269, q274)
+  /** Tariff-change simulation (re-rating delta) — the run every pricing
+    * decision requires before it ships: rate the SAME cycle usage under
+    * the current and the proposed tier plans and report the per-account
+    * delta. Both charges are the closed-form cumulative-tier total
+    * T(u) ([[tierTotalSql]] — exact integer arithmetic, the telescoping
+    * contract), so the simulation is two expressions over ONE
+    * account-grain aggregate: no second pass over the facts, no join.
+    * Every account reports (a pricing review wants the full
+    * distribution, not just movers); `delta_centi` signs the winner.
+    *
+    * Plan: one fact scan → one hash agg at account grain (two-phase) →
+    * map-side tier math. One shuffle, on the blocking key. */
+  def rerateDelta(events: DataFrame, current: Seq[(Long, Long, Long)],
+      proposed: Seq[(Long, Long, Long)]): DataFrame =
+    events
+      .select(col("user_id").as("account_id"),
+        greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
+          .as("__u"))
+      .groupBy(col("account_id"))
+      .agg(sum(col("__u")).as("total_units"))
+      .withColumn("current_centi",
+        expr(tierTotalSql(current, "total_units")))
+      .withColumn("proposed_centi",
+        expr(tierTotalSql(proposed, "total_units")))
+      .withColumn("delta_centi",
+        col("proposed_centi") - col("current_centi"))
+
+  /** Oracle fixture of [[rerateDelta]]: the q265 tariff as current, a
+    * flatter proposal (cheaper first tier, pricier tail) as proposed —
+    * so deltas genuinely change sign across the account distribution. */
+  private val q281 = {
+    val cur = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    val prop = Seq((0L, 5000L, 4L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 2L))
+    GQuery(
+      "q281_rerate_delta",
+      (s, dir) => rerateDelta(t(s, dir, "events"), cur, prop)
+        .orderBy(col("account_id")),
+      Some(s"""WITH u AS (SELECT user_id AS account_id,
+            CAST(SUM(greatest(CAST(round(value * 100) AS BIGINT),
+              CAST(0 AS BIGINT))) AS BIGINT) AS total_units
+          FROM events GROUP BY 1)
+        SELECT account_id, total_units,
+          ${tierTotalSql(cur, "total_units")} AS current_centi,
+          ${tierTotalSql(prop, "total_units")} AS proposed_centi,
+          ${tierTotalSql(prop, "total_units")} -
+            ${tierTotalSql(cur, "total_units")} AS delta_centi
+        FROM u ORDER BY account_id"""))
+  }
+
+  /** Receivables aging — the billing-close card finance reads first:
+    * open invoice amounts bucketed by age (0–7 / 8–14 / 15–21 / 21+
+    * days as of the cycle horizon — weekly buckets; a quarterly close
+    * widens them to 30/60/90 without touching the plan). Ages are exact integer day counts
+    * from the observed horizon (MAX event time — deterministic, no
+    * wall clock), amounts exact centi.
+    *
+    * Plan: ONE aggregate row for the horizon broadcast back over the
+    * scan (no window), then one hash agg at bucket grain — the same
+    * two-job shape as the q-series horizon cards. */
+  def receivablesAging(invoices: DataFrame): DataFrame = {
+    val horizon = invoices.agg(
+      max(col("ts").cast(LongType)).as("__h"))
+    invoices
+      .select(col("user_id").as("account_id"),
+        col("ts").cast(LongType).as("__sec"),
+        greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
+          .as("__amt"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("__age_days", expr("(__h - __sec) DIV 86400L"))
+      .withColumn("age_bucket",
+        when(col("__age_days") <= 7L, "00_07")
+          .when(col("__age_days") <= 14L, "08_14")
+          .when(col("__age_days") <= 21L, "15_21")
+          .otherwise("21_plus"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).as("n_invoices"),
+        countDistinct(col("account_id")).as("n_accounts"),
+        sum(col("__amt")).as("amount_centi"))
+  }
+
+  /** Oracle fixture of [[receivablesAging]]: purchase events as open
+    * invoices, aged against the stream horizon. */
+  private val q284 = GQuery(
+    "q284_receivables_aging",
+    (s, dir) => receivablesAging(
+      t(s, dir, "events").filter(col("event_type") === "purchase"))
+      .orderBy(col("age_bucket")),
+    Some(s"""WITH inv AS (SELECT user_id AS account_id,
+          ${epochSecSql("ts")} AS sec,
+          greatest(CAST(round(value * 100) AS BIGINT),
+            CAST(0 AS BIGINT)) AS amt
+        FROM events WHERE event_type = 'purchase'),
+      h AS (SELECT MAX(sec) AS h FROM inv),
+      aged AS (SELECT account_id, amt,
+          CASE WHEN (h.h - sec) // 86400 <= 7 THEN '00_07'
+            WHEN (h.h - sec) // 86400 <= 14 THEN '08_14'
+            WHEN (h.h - sec) // 86400 <= 21 THEN '15_21'
+            ELSE '21_plus' END AS age_bucket
+        FROM inv, h)
+      SELECT age_bucket, COUNT(*) AS n_invoices,
+        CAST(COUNT(DISTINCT account_id) AS BIGINT) AS n_accounts,
+        CAST(SUM(amt) AS BIGINT) AS amount_centi
+      FROM aged GROUP BY 1 ORDER BY age_bucket"""))
+
+  val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269, q274,
+    q281, q284)
 }

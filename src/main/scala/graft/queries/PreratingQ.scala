@@ -720,5 +720,79 @@ object PreratingQ {
         ORDER BY m.event_id"""
     })
 
-  val queries: Seq[GQuery] = Seq(q263, q264, q268, q272, q279, q280)
+  /** Number-plan version diff — the porting-day audit between two
+    * committed dim versions (what [[graft.streaming.VersionedDim]]
+    * stores): per allocation, who owned it before, who owns it now, and
+    * the verdict — `retained` (same owner), `ported` (owner changed),
+    * `allocated` (new in v2), `returned` (gone in v2). This is the
+    * report a regulator or a porting dispute asks for after a bulk
+    * re-allocation, and the sanity gate an operator runs BEFORE
+    * publishing a new version (an unexpectedly large `ported` count is
+    * a fat-fingered load).
+    *
+    * Plan: dim-grain only — one full-outer hash join on the range
+    * bounds. Fact data never enters. */
+  def guidingVersionDiff(oldPlan: DataFrame, newPlan: DataFrame)
+      : DataFrame = {
+    val a = oldPlan.select(col("range_start"), col("range_end"),
+      col("account_id").as("old_account"))
+    val b = newPlan.select(col("range_start"), col("range_end"),
+      col("account_id").as("new_account"))
+    a.join(b, Seq("range_start", "range_end"), "full")
+      .withColumn("verdict",
+        when(col("old_account").isNull, "allocated")
+          .when(col("new_account").isNull, "returned")
+          .when(col("old_account") === col("new_account"), "retained")
+          .otherwise("ported"))
+  }
+
+  /** Oracle fixture of [[guidingVersionDiff]]: v1 = the q264 plan;
+    * v2 drops every 10th range (returned), re-owns every 3rd (ported),
+    * and adds 25 fresh allocations above the old space (allocated) —
+    * all four verdicts carry rows. */
+  private val q282 = GQuery(
+    "q282_guiding_version_diff",
+    (s, dir) => {
+      val v1 = s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+          .as("range_end"),
+        (lit(1000L) + col("r")).as("account_id"))
+      val v2 = s.range(0L, 250L).toDF("r")
+        .filter(col("r") % 10L =!= 9L || col("r") >= 225L)
+        .select(
+          (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+          (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+            .as("range_end"),
+          when(col("r") % 3L === 0L && col("r") < 225L,
+            lit(30000L) + col("r"))
+            .otherwise(lit(1000L) + col("r")).as("account_id"))
+      guidingVersionDiff(v1, v2).orderBy(col("range_start"))
+    },
+    Some("""WITH v1 AS (SELECT
+          49100000000 + r * 4000000 AS range_start,
+          49100000000 + r * 4000000 + 1999999 AS range_end,
+          1000 + r AS account_id
+        FROM UNNEST(generate_series(0, 224)) AS u(r)),
+      v2 AS (SELECT
+          49100000000 + r * 4000000 AS range_start,
+          49100000000 + r * 4000000 + 1999999 AS range_end,
+          CASE WHEN r % 3 = 0 AND r < 225 THEN 30000 + r
+            ELSE 1000 + r END AS account_id
+        FROM UNNEST(generate_series(0, 249)) AS u(r)
+        WHERE r % 10 <> 9 OR r >= 225)
+      SELECT COALESCE(a.range_start, b.range_start) AS range_start,
+        COALESCE(a.range_end, b.range_end) AS range_end,
+        CAST(a.account_id AS BIGINT) AS old_account,
+        CAST(b.account_id AS BIGINT) AS new_account,
+        CASE WHEN a.account_id IS NULL THEN 'allocated'
+          WHEN b.account_id IS NULL THEN 'returned'
+          WHEN a.account_id = b.account_id THEN 'retained'
+          ELSE 'ported' END AS verdict
+      FROM v1 a FULL JOIN v2 b
+        ON a.range_start = b.range_start AND a.range_end = b.range_end
+      ORDER BY range_start"""))
+
+  val queries: Seq[GQuery] =
+    Seq(q263, q264, q268, q272, q279, q280, q282)
 }
