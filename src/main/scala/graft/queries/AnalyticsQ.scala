@@ -3252,9 +3252,109 @@ object AnalyticsQ {
       FROM orient o JOIN tx ON tx.g = o.g JOIN ty ON ty.g = o.g
       ORDER BY event_type"""))
 
+  /** CUPED variance-reduced experiment card — the adjustment every
+    * mature A/B platform applies before reading a metric: a unit's
+    * PRE-experiment covariate x (same metric, prior period) soaks up
+    * between-unit variance in the experiment metric y via
+    * `y' = y − θ·(x − x̄)`, θ = cov(x,y)/var(x) pooled across arms.
+    * Emits per variant: units, raw mean, CUPED-adjusted mean (the
+    * number to compare), and the pooled θ — all in exact milli-centi
+    * integers (θ in milli): the entire computation is integer/decimal
+    * arithmetic with truncating division, so any engine replays it
+    * bit-for-bit — no float covariance drift between platforms signing
+    * off the same experiment. Zero pooled variance degrades to θ = 0
+    * (raw means), never a division error.
+    *
+    * `units`: one row per experiment unit — (variant, x, y) with x/y
+    * exact centi BIGINTs. Plan: ONE pass over units into a 1-row pooled
+    * aggregate (broadcast back) and a |variants|-row aggregate — two
+    * tiny shuffles over a unit-grain table the caller already built
+    * (for events: one user-grain agg, the q-series cohort shape). */
+  def cupedAdjust(units: DataFrame): DataFrame = {
+    val d = "DECIMAL(38,0)"
+    val pooled = units.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+      sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+      sum(expr(s"CAST(x AS $d) * CAST(x AS $d)")).as("sxx"),
+      sum(expr(s"CAST(x AS $d) * CAST(y AS $d)")).as("sxy"))
+    val g = pooled.select(col("n"), col("sx"),
+      expr(s"""CASE WHEN CAST(n AS $d) * sxx - sx * sx = 0 THEN 0L
+        ELSE CAST((CAST(n AS $d) * sxy - sx * sy) * 1000
+          DIV (CAST(n AS $d) * sxx - sx * sx) AS BIGINT) END""")
+        .as("theta_milli"))
+    units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x").cast(DecimalType(38, 0))).as("vx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("vy"))
+      .crossJoin(broadcast(g))
+      .select(col("variant"), col("n_units"),
+        expr("CAST((vy * 1000) DIV n_units AS BIGINT)")
+          .as("mean_y_milli"),
+        expr("""CAST((vy * 1000) DIV n_units -
+          (theta_milli * (CAST((vx * 1000) DIV n_units AS BIGINT) -
+            CAST((sx * 1000) DIV n AS BIGINT))) DIV 1000 AS BIGINT)""")
+          .as("adj_mean_y_milli"),
+        col("theta_milli"))
+  }
+
+  /** Oracle fixture of [[cupedAdjust]]: users split into two arms by
+    * id parity; x = the user's exact centi value-sum over the first 15
+    * days (the pre-period), y = over the rest. Users with activity in
+    * only one period keep a 0 on the other side (they ARE units). */
+  private val q284 = GQuery(
+    "q284_cuped_experiment",
+    (s, dir) => {
+      val boundary = 1705363200L // 2024-01-16T00:00:00Z
+      val units = t(s, dir, "events")
+        .select(col("user_id"),
+          col("ts").cast(LongType).as("sec"),
+          greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
+            .as("c"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("sec") < boundary, col("c")).otherwise(0L))
+            .as("x"),
+          sum(when(col("sec") >= boundary, col("c")).otherwise(0L))
+            .as("y"))
+        .withColumn("variant",
+          when(col("user_id") % 2L === 0L, "A").otherwise("B"))
+      cupedAdjust(units).orderBy(col("variant"))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ${epochSecSql("ts")} AS sec,
+          greatest(CAST(round(value * 100) AS BIGINT),
+            CAST(0 AS BIGINT)) AS c
+        FROM events),
+      u AS (SELECT user_id,
+          CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+          CAST(SUM(CASE WHEN sec < 1705363200 THEN c ELSE 0 END)
+            AS HUGEINT) AS x,
+          CAST(SUM(CASE WHEN sec >= 1705363200 THEN c ELSE 0 END)
+            AS HUGEINT) AS y
+        FROM ev GROUP BY 1, 2),
+      p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+          SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM u),
+      g AS (SELECT n, sx,
+          CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE CAST((n * sxy - sx * sy) * 1000
+              // (n * sxx - sx * sx) AS BIGINT) END AS theta_milli
+        FROM p),
+      v AS (SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n_units,
+          SUM(x) AS vx, SUM(y) AS vy
+        FROM u GROUP BY 1)
+      SELECT v.variant, CAST(v.n_units AS BIGINT) AS n_units,
+        CAST((vy * 1000) // n_units AS BIGINT) AS mean_y_milli,
+        CAST((vy * 1000) // n_units -
+          (g.theta_milli * (CAST((vx * 1000) // n_units AS BIGINT) -
+            CAST((g.sx * 1000) // g.n AS BIGINT))) // 1000 AS BIGINT)
+          AS adj_mean_y_milli,
+        CAST(g.theta_milli AS BIGINT) AS theta_milli
+      FROM v, g ORDER BY variant"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252, q270, q275)
+    q243, q245, q246, q247, q251, q252, q270, q275, q284)
 }

@@ -582,7 +582,13 @@ object BillingQ {
   /** Tariff-change simulation (re-rating delta) — the run every pricing
     * decision requires before it ships: rate the SAME cycle usage under
     * the current and the proposed tier plans and report the per-account
-    * delta. Both charges are the closed-form cumulative-tier total
+    * delta. DISTINCT from q244's re-rating diff, which re-rates each
+    * CALL under a corrected flat tariff TABLE (as-of lookups, call
+    * grain, changed-only adjustments): a cumulative-TIER structure
+    * change is nonlinear in the cycle total — it cannot be computed per
+    * call at all, only from the account's aggregate usage, which is why
+    * this simulation exists as its own operator. Both charges are the
+    * closed-form cumulative-tier total
     * T(u) ([[tierTotalSql]] — exact integer arithmetic, the telescoping
     * contract), so the simulation is two expressions over ONE
     * account-grain aggregate: no second pass over the facts, no join.
@@ -630,61 +636,6 @@ object BillingQ {
         FROM u ORDER BY account_id"""))
   }
 
-  /** Receivables aging — the billing-close card finance reads first:
-    * open invoice amounts bucketed by age (0–7 / 8–14 / 15–21 / 21+
-    * days as of the cycle horizon — weekly buckets; a quarterly close
-    * widens them to 30/60/90 without touching the plan). Ages are exact integer day counts
-    * from the observed horizon (MAX event time — deterministic, no
-    * wall clock), amounts exact centi.
-    *
-    * Plan: ONE aggregate row for the horizon broadcast back over the
-    * scan (no window), then one hash agg at bucket grain — the same
-    * two-job shape as the q-series horizon cards. */
-  def receivablesAging(invoices: DataFrame): DataFrame = {
-    val horizon = invoices.agg(
-      max(col("ts").cast(LongType)).as("__h"))
-    invoices
-      .select(col("user_id").as("account_id"),
-        col("ts").cast(LongType).as("__sec"),
-        greatest(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
-          .as("__amt"))
-      .crossJoin(broadcast(horizon))
-      .withColumn("__age_days", expr("(__h - __sec) DIV 86400L"))
-      .withColumn("age_bucket",
-        when(col("__age_days") <= 7L, "00_07")
-          .when(col("__age_days") <= 14L, "08_14")
-          .when(col("__age_days") <= 21L, "15_21")
-          .otherwise("21_plus"))
-      .groupBy(col("age_bucket"))
-      .agg(count(lit(1)).as("n_invoices"),
-        countDistinct(col("account_id")).as("n_accounts"),
-        sum(col("__amt")).as("amount_centi"))
-  }
-
-  /** Oracle fixture of [[receivablesAging]]: purchase events as open
-    * invoices, aged against the stream horizon. */
-  private val q284 = GQuery(
-    "q284_receivables_aging",
-    (s, dir) => receivablesAging(
-      t(s, dir, "events").filter(col("event_type") === "purchase"))
-      .orderBy(col("age_bucket")),
-    Some(s"""WITH inv AS (SELECT user_id AS account_id,
-          ${epochSecSql("ts")} AS sec,
-          greatest(CAST(round(value * 100) AS BIGINT),
-            CAST(0 AS BIGINT)) AS amt
-        FROM events WHERE event_type = 'purchase'),
-      h AS (SELECT MAX(sec) AS h FROM inv),
-      aged AS (SELECT account_id, amt,
-          CASE WHEN (h.h - sec) // 86400 <= 7 THEN '00_07'
-            WHEN (h.h - sec) // 86400 <= 14 THEN '08_14'
-            WHEN (h.h - sec) // 86400 <= 21 THEN '15_21'
-            ELSE '21_plus' END AS age_bucket
-        FROM inv, h)
-      SELECT age_bucket, COUNT(*) AS n_invoices,
-        CAST(COUNT(DISTINCT account_id) AS BIGINT) AS n_accounts,
-        CAST(SUM(amt) AS BIGINT) AS amount_centi
-      FROM aged GROUP BY 1 ORDER BY age_bucket"""))
-
   val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269, q274,
-    q281, q284)
+    q281)
 }

@@ -793,6 +793,75 @@ object PreratingQ {
         ON a.range_start = b.range_start AND a.range_end = b.range_end
       ORDER BY range_start"""))
 
+  /** Prefix-preserving MSISDN pseudonymization — the privacy operator a
+    * CDR export runs before data leaves the billing domain (research,
+    * vendor tickets, LLM training corpora): every number maps to a
+    * same-length pseudonym, deterministically under an integer key, such
+    * that
+    *  - the first `keepDigits` digits pass through (CC+NDC stay real, so
+    *    route/destination analytics still work on the export),
+    *  - the map is PREFIX-PRESERVING: numbers sharing an original
+    *    prefix share the pseudonym prefix exactly that far (block-level
+    *    structure survives — range utilization, LPM and guiding studies
+    *    run unchanged on pseudonyms), and
+    *  - the map is injective: at the first differing original digit the
+    *    per-position shifts coincide and the digits differ, so
+    *    pseudonyms differ (no two subscribers collapse).
+    * Each position's shift is keyed on the ORIGINAL preceding prefix —
+    * `(prefix_value · key + i) mod 10` — pure integer arithmetic, no
+    * hash functions, replayable by any engine. NOT cryptography: it
+    * resists casual re-identification, not a keyed adversary with the
+    * code (a production export would swap the shift for an HMAC per
+    * prefix — same plan, one expression).
+    *
+    * NULL canonicals (unnormalizable rows) keep NULL pseudonyms and
+    * their reason codes — never-drop. Plan: one map-side higher-order
+    * expression (transform + array_join over ≤ 15 positions), zero
+    * shuffles, fuses into the surrounding scan under codegen. */
+  def pseudonymizeMsisdn(cdrs: DataFrame, numCol: String = "canonical",
+      keepDigits: Int = 4, key: Long = 7919L): DataFrame = {
+    require(keepDigits >= 1 && keepDigits <= 15,
+      s"keepDigits must be in [1, 15], got $keepDigits")
+    cdrs.withColumn("pseudonym", expr(
+      s"""array_join(transform(sequence(1, length($numCol)), i ->
+        CASE WHEN i <= $keepDigits THEN substr($numCol, i, 1)
+        ELSE CAST((CAST(substr($numCol, i, 1) AS INT) +
+          CAST((CAST(substr($numCol, 1, i - 1) AS BIGINT) * ${key}L + i)
+            % 10 AS INT)) % 10 AS STRING) END), '')"""))
+  }
+
+  /** Oracle fixture of [[pseudonymizeMsisdn]]: the eight-form messy
+    * fixture normalized then pseudonymized (keep 4, key 7919) — the
+    * four malformed forms keep NULL pseudonyms with their reasons. */
+  private val q283 = GQuery(
+    "q283_msisdn_pseudonymize",
+    (s, dir) => pseudonymizeMsisdn(normalizeMsisdn(fixtureRaw(s, dir)))
+      .select(col("event_id"), col("canonical"), col("pseudonym"),
+        col("reason"))
+      .orderBy(col("event_id")),
+    Some {
+      val (cand, reason) = normalizeSql("clean", "49")
+      s"""WITH raw AS ($fixtureRawSql),
+        c AS (SELECT event_id, raw_number,
+            regexp_replace(raw_number, '[ .\\-()/]', '', 'g') AS clean
+          FROM raw),
+        n AS (SELECT event_id, $cand AS cand, $reason AS reason FROM c),
+        norm AS (SELECT event_id,
+            CASE WHEN reason IS NULL THEN cand END AS canonical, reason
+          FROM n)
+        SELECT event_id, canonical,
+          CASE WHEN canonical IS NULL THEN NULL ELSE
+            list_aggregate(list_transform(
+              generate_series(1, length(canonical)), i ->
+              CASE WHEN i <= 4 THEN substr(canonical, i, 1)
+              ELSE CAST((CAST(substr(canonical, i, 1) AS INT) +
+                CAST((CAST(substr(canonical, 1, i - 1) AS BIGINT) * 7919
+                  + i) % 10 AS INT)) % 10 AS VARCHAR) END),
+              'string_agg', '') END AS pseudonym,
+          reason
+        FROM norm ORDER BY event_id"""
+    })
+
   val queries: Seq[GQuery] =
-    Seq(q263, q264, q268, q272, q279, q280, q282)
+    Seq(q263, q264, q268, q272, q279, q280, q282, q283)
 }

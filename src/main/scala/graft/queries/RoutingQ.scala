@@ -833,85 +833,6 @@ object RoutingQ {
       FROM span s LEFT JOIN worst w ON w.carrier = s.carrier
       ORDER BY s.carrier"""))
 
-  /** Bilateral interconnect settlement netting — the monthly statement
-    * two carriers reconcile: per UNORDERED operator pair, gross minutes
-    * and centi amounts in each direction and the NET position
-    * (`net_centi` > 0 ⇒ `op_a` invoices `op_b`). Netting per pair is
-    * what actually settles (one wire per pair, not two), and the
-    * directional grosses stay on the card because disputes are argued
-    * per direction.
-    *
-    * Plan: ONE hash aggregation at unordered-pair grain — the pair key
-    * is (least, greatest) and each direction lands via conditional
-    * sums, so there is no self-join and the single shuffle moves
-    * |pairs| ≤ |ops|² rows. */
-  def settlementNetting(calls: DataFrame): DataFrame =
-    calls
-      .withColumn("__a", least(col("src_op"), col("dst_op")))
-      .withColumn("__b", greatest(col("src_op"), col("dst_op")))
-      .withColumn("__fwd", col("src_op") === col("__a"))
-      .groupBy(col("__a").as("op_a"), col("__b").as("op_b"))
-      .agg(
-        sum(when(col("__fwd"), col("minutes")).otherwise(0L))
-          .as("a_to_b_min"),
-        sum(when(!col("__fwd"), col("minutes")).otherwise(0L))
-          .as("b_to_a_min"),
-        sum(when(col("__fwd"), col("minutes") * col("rate_centi"))
-          .otherwise(0L)).as("a_to_b_centi"),
-        sum(when(!col("__fwd"), col("minutes") * col("rate_centi"))
-          .otherwise(0L)).as("b_to_a_centi"))
-      .withColumn("net_centi",
-        col("a_to_b_centi") - col("b_to_a_centi"))
-
-  /** Oracle fixture of [[settlementNetting]]: events as interconnect
-    * calls among five operators — src from the account, dst shifted by
-    * a per-event offset that can never collide with src, per-minute
-    * rate keyed on the TERMINATING operator (how interconnect pricing
-    * works: the far end bills termination). */
-  private val q283 = GQuery(
-    "q283_settlement_netting",
-    (s, dir) => {
-      val calls = t(s, dir, "events").select(
-        concat(lit("OP"), (col("user_id") % 5L).cast(StringType))
-          .as("src_op"),
-        concat(lit("OP"),
-          ((col("user_id") + 1L + pmod(col("event_id"), lit(4L))) % 5L)
-            .cast(StringType)).as("dst_op"),
-        (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L)
-          .as("minutes"))
-        .withColumn("rate_centi",
-          lit(10L) + substring(col("dst_op"), 3, 1).cast(LongType) * 3L)
-      settlementNetting(calls).orderBy(col("op_a"), col("op_b"))
-    },
-    Some("""WITH calls AS (SELECT
-          'OP' || CAST(user_id % 5 AS VARCHAR) AS src_op,
-          'OP' || CAST((user_id + 1 + event_id % 4) % 5 AS VARCHAR)
-            AS dst_op,
-          1 + abs(CAST(round(value) AS BIGINT)) % 10 AS minutes
-        FROM events),
-      rated AS (SELECT src_op, dst_op, minutes,
-          10 + CAST(substr(dst_op, 3, 1) AS BIGINT) * 3 AS rate_centi
-        FROM calls),
-      keyed AS (SELECT
-          least(src_op, dst_op) AS op_a,
-          greatest(src_op, dst_op) AS op_b,
-          src_op = least(src_op, dst_op) AS fwd,
-          minutes, rate_centi
-        FROM rated)
-      SELECT op_a, op_b,
-        CAST(SUM(CASE WHEN fwd THEN minutes ELSE 0 END) AS BIGINT)
-          AS a_to_b_min,
-        CAST(SUM(CASE WHEN NOT fwd THEN minutes ELSE 0 END) AS BIGINT)
-          AS b_to_a_min,
-        CAST(SUM(CASE WHEN fwd THEN minutes * rate_centi ELSE 0 END)
-          AS BIGINT) AS a_to_b_centi,
-        CAST(SUM(CASE WHEN NOT fwd THEN minutes * rate_centi ELSE 0 END)
-          AS BIGINT) AS b_to_a_centi,
-        CAST(SUM(CASE WHEN fwd THEN minutes * rate_centi ELSE 0 END) -
-          SUM(CASE WHEN NOT fwd THEN minutes * rate_centi ELSE 0 END)
-          AS BIGINT) AS net_centi
-      FROM keyed GROUP BY 1, 2 ORDER BY op_a, op_b"""))
-
   val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267,
-    q276, q277, q278, q283)
+    q276, q277, q278)
 }
