@@ -75,7 +75,10 @@ object ScaleProbe {
     "q269_volume_rating", "q270_kendall_tau", "q271_chunk_overlap",
     "q272_ported_guiding", "q273_boilerplate_chunks",
     "q274_increment_rating", "q275_trend_card", "q276_wangiri_card",
-    "q277_community_card", "q278_feed_gaps", "q279_versioned_guiding")
+    "q277_community_card", "q278_feed_gaps", "q279_versioned_guiding",
+    "q280_mixed_width_guiding", "q281_rerate_delta",
+    "q282_guiding_version_diff", "q283_msisdn_pseudonymize",
+    "q284_cuped_experiment")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
