@@ -3352,9 +3352,75 @@ object AnalyticsQ {
         CAST(g.theta_milli AS BIGINT) AS theta_milli
       FROM v, g ORDER BY variant"""))
 
+  /** Theil–Sen robust slope — the trend ESTIMATOR beside the q275
+    * Mann–Kendall trend TEST and the q88 least-squares slope: the
+    * median of all pairwise slopes, with breakdown point ~29% — one
+    * corrupted day (a billing outage, a backfill spike) moves the
+    * least-squares line but barely moves this one, which is why
+    * capacity forecasts prefer it. Slopes are exact milli-units per
+    * x-step (`(1000·Δy) DIV Δx`, truncating division both engines);
+    * the median is the LOWER median (rank ⌈n/2⌉) — a deterministic
+    * order statistic, no cross-engine float averaging. Pairs sharing
+    * an x contribute no slope (standard Theil–Sen on distinct
+    * abscissae); groups with < 2 distinct x yield no row.
+    *
+    * Plan: the q275 discipline — series collapse to group×x points
+    * FIRST, the pairwise join is SERIES-grain (|days|² per group, never
+    * rows²), the median window partitions by group over those pairs.
+    * Everything after the first aggregation is corpus-size-independent. */
+  def theilSenSlope(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(xCol).as("x"))
+      .agg(max(col(yCol)).as("y")) // one y per x (series grain)
+    val b = pts.select(col("g").as("bg"), col("x").as("bx"),
+      col("y").as("by"))
+    val slopes = pts.join(b, col("g") === col("bg") && col("x") < col("bx"))
+      .select(col("g"),
+        expr("(1000 * (by - y)) DIV (bx - x)").as("slope_milli"))
+    val w = Window.partitionBy(col("g")).orderBy(col("slope_milli"))
+    val wn = Window.partitionBy(col("g"))
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__rn") === expr("(__n + 1) DIV 2"))
+      .select(col("g").as(groupCol), col("__n").as("n_slopes"),
+        col("slope_milli").as("ts_slope_milli"))
+  }
+
+  /** Oracle fixture of [[theilSenSlope]]: the q275 daily-revenue series
+    * per event type, x as exact epoch-day offsets. */
+  private val q285 = GQuery(
+    "q285_theil_sen",
+    (s, dir) => theilSenSlope(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH series AS (SELECT event_type AS g,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      pts AS (SELECT g, x, MAX(y) AS y FROM series GROUP BY 1, 2),
+      slopes AS (SELECT a.g,
+          (1000 * (b.y - a.y)) // (b.x - a.x) AS slope_milli
+        FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x),
+      ranked AS (SELECT g, slope_milli,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope_milli) AS rn,
+          COUNT(*) OVER (PARTITION BY g) AS n
+        FROM slopes)
+      SELECT g AS event_type, CAST(n AS BIGINT) AS n_slopes,
+        CAST(slope_milli AS BIGINT) AS ts_slope_milli
+      FROM ranked WHERE rn = (n + 1) // 2
+      ORDER BY event_type"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252, q270, q275, q284)
+    q243, q245, q246, q247, q251, q252, q270, q275, q284, q285)
 }

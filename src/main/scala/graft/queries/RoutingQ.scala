@@ -833,6 +833,101 @@ object RoutingQ {
       FROM span s LEFT JOIN worst w ON w.carrier = s.carrier
       ORDER BY s.carrier"""))
 
+  /** Redial / retry-chain card — the caller-behavior KPI between the
+    * route-level ASR (q258) and the fraud screens: when an attempt
+    * FAILS, how often does the caller redial within the retry window,
+    * and how often does the redial get through? A route whose failures
+    * are mostly recovered by redials is congested; one whose redials
+    * keep failing is broken — two different tickets, invisible in plain
+    * ASR (the industry's NER-vs-ASR distinction). An attempt is a RETRY
+    * when the SAME (caller, callee) pair's previous attempt failed no
+    * more than `retryWindowSec` earlier.
+    *
+    * Per route: attempts, failures, retries, recovered (retry that
+    * answered), `retry_after_fail_ppm` (failures that produced a
+    * redial) and `recovery_ppm` (redials that got through) — exact
+    * integer ppm, zero denominators yield NULL, never an error.
+    *
+    * Plan: ONE window over (caller, callee) ordered by (sec, attempt
+    * id — a deterministic total order) for the lag, then ONE hash agg
+    * at route grain. The only exchange is the pair-key window
+    * partition; per-pair history is the window frame, never a self-join. */
+  def redialCard(calls: DataFrame, retryWindowSec: Long = 60L): DataFrame = {
+    val w = Window.partitionBy(col("caller"), col("callee"))
+      .orderBy(col("sec"), col("attempt_id"))
+    calls
+      .withColumn("__psec", lag(col("sec"), 1).over(w))
+      .withColumn("__pans", lag(col("answered"), 1).over(w))
+      .withColumn("__retry", col("__pans") === false &&
+        col("sec") - col("__psec") <= retryWindowSec)
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(!col("answered"), 1L).otherwise(0L)).as("n_failed"),
+        sum(when(col("__retry"), 1L).otherwise(0L)).as("n_retries"),
+        sum(when(col("__retry") && col("answered"), 1L).otherwise(0L))
+          .as("n_recovered"))
+      .withColumn("retry_after_fail_ppm",
+        when(col("n_failed") > 0L,
+          expr("(1000000 * n_retries) DIV n_failed")))
+      .withColumn("recovery_ppm",
+        when(col("n_retries") > 0L,
+          expr("(1000000 * n_recovered) DIV n_retries")))
+  }
+
+  /** Oracle fixture of [[redialCard]]: events as call attempts on a
+    * compressed deterministic clock (`(event_id·37) mod 3600` — the
+    * fixture's real timestamps are too sparse per pair for sub-minute
+    * chains), pairs folded so each carries many attempts, answered
+    * derived from the value column (~2/3 up) — so retries AND
+    * recoveries genuinely occur at every route. */
+  private val q286 = GQuery(
+    "q286_redial_card",
+    (s, dir) => {
+      val calls = t(s, dir, "events").select(
+        (col("user_id") % 500L).as("caller"),
+        (col("user_id") % 7L).as("callee"),
+        ((col("event_id") * 37L) % 3600L).as("sec"),
+        col("event_id").as("attempt_id"),
+        (expr("CAST(round(value * 100) AS BIGINT)") % 3L =!= 0L)
+          .as("answered"))
+        .withColumn("route",
+          concat(lit("R"), (col("callee") % 5L).cast(StringType)))
+      redialCard(calls).orderBy(col("route"))
+    },
+    Some(s"""WITH calls AS (SELECT user_id % 500 AS caller,
+          user_id % 7 AS callee,
+          (event_id * 37) % 3600 AS sec, event_id AS attempt_id,
+          CAST(round(value * 100) AS BIGINT) % 3 <> 0 AS answered,
+          'R' || CAST(user_id % 7 % 5 AS VARCHAR) AS route
+        FROM events),
+      lagged AS (SELECT route, answered,
+          LAG(sec) OVER (PARTITION BY caller, callee
+            ORDER BY sec, attempt_id) AS psec,
+          LAG(answered) OVER (PARTITION BY caller, callee
+            ORDER BY sec, attempt_id) AS pans,
+          sec
+        FROM calls),
+      marked AS (SELECT route, answered,
+          COALESCE(pans = false AND sec - psec <= 60, false) AS retry
+        FROM lagged)
+      SELECT route, COUNT(*) AS n_attempts,
+        CAST(SUM(CASE WHEN NOT answered THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_failed,
+        CAST(SUM(CASE WHEN retry THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retries,
+        CAST(SUM(CASE WHEN retry AND answered THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_recovered,
+        CAST(CASE WHEN SUM(CASE WHEN NOT answered THEN 1 ELSE 0 END) > 0
+          THEN (1000000 * SUM(CASE WHEN retry THEN 1 ELSE 0 END))
+            // SUM(CASE WHEN NOT answered THEN 1 ELSE 0 END) END
+          AS BIGINT) AS retry_after_fail_ppm,
+        CAST(CASE WHEN SUM(CASE WHEN retry THEN 1 ELSE 0 END) > 0
+          THEN (1000000 * SUM(CASE WHEN retry AND answered
+              THEN 1 ELSE 0 END))
+            // SUM(CASE WHEN retry THEN 1 ELSE 0 END) END
+          AS BIGINT) AS recovery_ppm
+      FROM marked GROUP BY 1 ORDER BY route"""))
+
   val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267,
-    q276, q277, q278)
+    q276, q277, q278, q286)
 }
