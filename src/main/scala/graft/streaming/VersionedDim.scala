@@ -65,6 +65,12 @@ final class VersionedDim(spark: SparkSession, dimDir: String,
     * collision fails loudly on the marker rename. */
   def publish(dim: DataFrame): Long = {
     val v = latestVersion().getOrElse(0L) + 1L
+    // a publisher that crashed between data write and marker left an
+    // ORPHAN snapshot at this version number (invisible to readers —
+    // no marker). Reclaim it: the orphan is by definition abandoned,
+    // and failing forever on ErrorIfExists would wedge publishing.
+    if (fs.exists(dataPath(v)) && !fs.exists(commitPath(v)))
+      fs.delete(dataPath(v), true)
     dim.write.mode(SaveMode.ErrorIfExists).parquet(dataPath(v).toString)
     val tmp = new Path(s"$dimDir/commits/.tmp-$v")
     fs.mkdirs(new Path(s"$dimDir/commits"))

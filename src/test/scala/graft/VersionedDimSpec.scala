@@ -66,10 +66,16 @@ class VersionedDimSpec extends SparkSpec {
     assert(validations.get() == 3, "refresh must force re-validation")
 
     // an UNCOMMITTED snapshot (data written, marker missing — a crashed
-    // publisher) is invisible
+    // publisher) is invisible …
     Seq((100L, 199L, 9L)).toDF("range_start", "range_end", "account_id")
       .write.parquet(s"$dir/data/3")
     assert(dim.latestVersion().contains(2L))
+    // … and the next publish RECLAIMS the orphan version number instead
+    // of failing forever on the leftover directory
+    val v3 = dim.publish(Seq((100L, 199L, 3L))
+      .toDF("range_start", "range_end", "account_id"))
+    assert(v3 == 3L)
+    assert(dim.resolve()._2.select("account_id").as[Long].head() == 3L)
   }
 
   test("a port published mid-run guides the NEXT batch — no restart") {
