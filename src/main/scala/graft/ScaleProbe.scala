@@ -78,7 +78,8 @@ object ScaleProbe {
     "q277_community_card", "q278_feed_gaps", "q279_versioned_guiding",
     "q280_mixed_width_guiding", "q281_rerate_delta",
     "q282_guiding_version_diff", "q283_msisdn_pseudonymize",
-    "q284_cuped_experiment", "q285_theil_sen", "q286_redial_card")
+    "q284_cuped_experiment", "q285_theil_sen", "q286_redial_card",
+    "q287_ses_forecast")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

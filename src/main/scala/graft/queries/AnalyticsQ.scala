@@ -3418,9 +3418,72 @@ object AnalyticsQ {
       FROM ranked WHERE rn = (n + 1) // 2
       ORDER BY event_type"""))
 
+  /** Simple-exponential-smoothing forecast card — the first-line
+    * operational forecast (next period ≈ smoothed level) for the
+    * volume/revenue series every capacity or billing-close review
+    * tracks: `level ← level + α·(y − level)`, seeded at the first
+    * observation, folded over the day-ordered series in EXACT integer
+    * arithmetic (α in milli, truncating division — both engines replay
+    * the fold bit-for-bit; float EWMA would drift between platforms).
+    * The forecast for the next period IS the final level; the card
+    * carries the last actual beside it so the reader sees at a glance
+    * whether the series closed above or below its own smoothed state.
+    *
+    * Plan: the q275 series discipline — ONE (group, day) aggregation,
+    * then the fold runs over a per-group ARRAY bounded by the timeline
+    * (≤ |days| elements — a higher-order `aggregate`, not a window):
+    * everything after the first aggregation is corpus-size-independent. */
+  def sesForecast(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String, alphaMilli: Long = 300L): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
+        col(yCol).as("y")))).as("__s"))
+      .select(col("g").as(groupCol),
+        size(col("__s")).as("n_obs"),
+        expr("__s[size(__s) - 1].y").as("last_y"),
+        expr(s"""aggregate(slice(transform(__s, p -> p.y), 2,
+            size(__s) - 1), __s[0].y,
+          (acc, y) -> acc + ($alphaMilli * (y - acc)) DIV 1000)""")
+          .as("ses_level"))
+      .withColumn("closing_gap", col("last_y") - col("ses_level"))
+  }
+
+  /** Oracle fixture of [[sesForecast]]: the q275 daily-revenue series,
+    * α = 0.3 (DuckDB's `list_reduce` seeds at the first element —
+    * exactly the SES convention — and the Spark fold replays it). */
+  private val q287 = GQuery(
+    "q287_ses_forecast",
+    (s, dir) => sesForecast(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH series AS (SELECT event_type AS g, CAST(ts AS DATE) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      arr AS (SELECT g, array_agg(y ORDER BY x) AS ys
+        FROM series GROUP BY 1)
+      SELECT g AS event_type,
+        CAST(len(ys) AS INT) AS n_obs,
+        CAST(ys[len(ys)] AS BIGINT) AS last_y,
+        CAST(list_reduce(ys,
+          (acc, y) -> acc + (300 * (y - acc)) // 1000) AS BIGINT)
+          AS ses_level,
+        CAST(ys[len(ys)] - list_reduce(ys,
+          (acc, y) -> acc + (300 * (y - acc)) // 1000) AS BIGINT)
+          AS closing_gap
+      FROM arr ORDER BY event_type"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252, q270, q275, q284, q285)
+    q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287)
 }
