@@ -45,8 +45,22 @@ object PacketCodec {
       .map(l => l.substring(0, 1) -> l.substring(2))
       .toMap
 
-  def serializeLocal(m: Map[String, String]): String =
+  /** Serialization fails LOUDLY on entries the line-oriented wire cannot
+    * round-trip (the parse rule is split-on-\n with '=' at index 1):
+    * multi-char keys would parse as garbage lines, and a newline inside
+    * a value would silently truncate it and inject a phantom line — a
+    * caller passing a custom session string must find out at serialize
+    * time, not when a downstream queue misroutes. */
+  def serializeLocal(m: Map[String, String]): String = {
+    m.foreach { case (k, v) =>
+      require(k.length == 1 && k != "\n" && k != "\r",
+        s"PacketCodec: key must be one wire-safe char, got '$k'")
+      require(!v.contains("\n") && !v.contains("\r"),
+        s"PacketCodec: value for key '$k' contains a line break — the " +
+          "line-oriented wire cannot carry it (escape or strip it first)")
+    }
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+  }
 }
 
 /** Packet-stream operators: validation split and key routing — the

@@ -3367,13 +3367,39 @@ object AnalyticsQ {
     * Plan: the q275 discipline — series collapse to group×x points
     * FIRST, the pairwise join is SERIES-grain (|days|² per group, never
     * rows²), the median window partitions by group over those pairs.
-    * Everything after the first aggregation is corpus-size-independent. */
+    * Everything after the first aggregation is corpus-size-independent.
+    *
+    * PAIR BUDGET (the q264-overlap/q183-blowup named-guard discipline):
+    * |distinct x|² per group is fine for the daily series this card is
+    * built for, but a caller passing second-grain x over a year would
+    * silently launch a ~10⁹-row-per-group join. Any group whose distinct
+    * abscissae would exceed `maxSlopePairs` pairs fails LOUDLY (one
+    * bounded group-grain aggregate, paid before the pairwise join) with
+    * the offending groups named — coarsen x (bucket to days) or raise
+    * the budget deliberately. */
   def theilSenSlope(series: DataFrame, groupCol: String, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, maxSlopePairs: Long = 10000000L): DataFrame = {
+    require(maxSlopePairs >= 1L,
+      s"maxSlopePairs must be >= 1, got $maxSlopePairs")
     val pts = series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(xCol).as("x"))
       .agg(max(col(yCol)).as("y")) // one y per x (series grain)
+    // largest n with n·(n−1)/2 ≤ budget, computed driver-side (the
+    // per-group count comparison then never multiplies — no overflow)
+    val maxN = ((1.0 + math.sqrt(1.0 + 8.0 * maxSlopePairs.toDouble)) / 2.0)
+      .toLong
+    val over = pts.groupBy(col("g")).agg(count(lit(1)).as("nx"))
+      .filter(col("nx") > maxN)
+      .orderBy(col("nx").desc).limit(5)
+      .collect() // bounded: ≤ 5 group-grain rows
+    require(over.isEmpty,
+      "theilSenSlope: pair budget exceeded — group(s) " +
+        over.map(r => s"${r.get(0)} (${r.getLong(1)} distinct x)")
+          .mkString(", ") +
+        s" would each generate more than $maxSlopePairs pairwise slopes" +
+        " ; bucket the x column coarser (e.g. to days) or raise" +
+        " maxSlopePairs deliberately")
     val b = pts.select(col("g").as("bg"), col("x").as("bx"),
       col("y").as("by"))
     val slopes = pts.join(b, col("g") === col("bg") && col("x") < col("bx"))

@@ -557,9 +557,12 @@ object PreratingQ {
     *  - exact duplicates: a grouped count over the four interval
     *    columns;
     *  - overlapping distinct pairs: a PER-WIDTH-CLASS bucketized dim
-    *    self-join — for each class c present, every range explodes into
-    *    its 2^c-wide buckets and joins the class-c slice, so a pair of
-    *    SMALL ranges is only ever compared at a small bucket width
+    *    self-join — for each class c present, every range of class ≤ c
+    *    (width ≤ the class's bucket width, so the explode is ≤ 2 buckets
+    *    per range — a WIDER range exploded at a narrow class would
+    *    materialize a multi-GB bucket sequence) joins the class-c slice,
+    *    so a pair of SMALL ranges is only ever compared at a small bucket
+    *    width
     *    (under a single global width, one nationwide allocation would
     *    collapse 50k small ranges into a handful of buckets and the
     *    self-join would go quadratic). Every overlapping pair shares a
@@ -587,7 +590,15 @@ object PreratingQ {
         .withColumn("__b", explode(expr(
           s"sequence(range_start DIV ${w}L, range_end DIV ${w}L)")))
         .select(col("__b") +: dimCols.map(x => col(x).as(s"$pre$x")): _*)
-      keyed("a_", checked)
+      // a-side restricted to ranges NO WIDER than this class (width ≤ w,
+      // since a class-c' ≤ c range has width ≤ max width of class c ≤ w):
+      // every such range spans ≤ 2 of the class's buckets, so the explode
+      // stays bounded even when the dim mixes a nationwide allocation
+      // with single-number entries — exploding ALL ranges at a narrow
+      // class's width would materialize a multi-GB sequence for the wide
+      // range. Completeness holds: an overlapping pair shares a bucket
+      // at the WIDER member's class, where the narrower one is a-side.
+      keyed("a_", checked.filter(widthClass <= c))
         .join(keyed("b_", checked.filter(widthClass === c)), Seq("__b"))
         .filter(struct(dimCols.map(x => col(s"a_$x")): _*) =!=
             struct(dimCols.map(x => col(s"b_$x")): _*) &&

@@ -45,7 +45,9 @@ import graft.etl.PacketCodec
   * Round-trip constraint (same as the reference's line-oriented wire):
   * values must not contain the delimiter or newlines — the source's
   * reader splits lines, it does not un-quote. Numeric/id payloads (the
-  * chain's leg schema) are safe by construction.
+  * chain's leg schema) are safe by construction, and
+  * [[graft.etl.PacketCodec.serializeLocal]] fails LOUDLY on a custom
+  * session string a future caller passes with a line break in it.
   */
 object PacketQueueSink {
 

@@ -135,36 +135,74 @@ private final class PacketQueueStream(schema: StructType,
   // fails loudly; restore `_consumed/` or point at a fresh queue).
 
   private def consumedDir = new Path(queueDir, "_consumed")
-  private def manifestPath = new Path(consumedDir, "_manifest")
+  private def legacyManifestPath = new Path(consumedDir, "_manifest")
+
+  /** The manifest is VERSIONED by its own archived count
+    * (`_manifest.<count>`), written tmp-then-rename, and the reader
+    * resolves the HIGHEST count present: a crash at any point leaves
+    * either the previous manifest (the moves re-run next commit) or
+    * both (latest wins; older ones are swept on the next write). A
+    * delete-then-rename swap of one fixed name would have a window
+    * with NO manifest at all — a crash there reads archN as 0 while the
+    * checkpointed offsets still include the archived count, wedging
+    * every subsequent trigger on the below-archived-prefix guard.
+    * Pre-round-12 stores with the single legacy `_manifest` name are
+    * read as count-version 0-of-precedence (any versioned manifest
+    * supersedes it) and swept on the first write. */
+  private def manifestEntries(fs: org.apache.hadoop.fs.FileSystem)
+      : Seq[(Long, Path)] = {
+    if (!fs.exists(consumedDir)) return Seq.empty
+    fs.listStatus(consumedDir).toSeq.filter(_.isFile).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("_manifest."))
+          n.stripPrefix("_manifest.").toLongOption.map(_ -> p)
+        else None
+      }
+  }
 
   /** (archived count, last archived packet name). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem)
       : (Long, Option[String]) = {
-    if (!archive || !fs.exists(manifestPath)) (0L, None)
-    else {
-      val in = fs.open(manifestPath)
-      val body = try {
-        val len = fs.getFileStatus(manifestPath).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(buf)
-        new String(buf, StandardCharsets.UTF_8)
-      } finally in.close()
-      val lines = body.split("\n", -1)
-      (lines(0).toLong,
-        if (lines.length > 1 && lines(1).nonEmpty) Some(lines(1)) else None)
+    if (!archive) return (0L, None)
+    val versioned = manifestEntries(fs)
+    val chosen =
+      if (versioned.nonEmpty) Some(versioned.maxBy(_._1))
+      else if (fs.exists(legacyManifestPath)) Some((-1L, legacyManifestPath))
+      else None
+    chosen match {
+      case None => (0L, None)
+      case Some((_, path)) =>
+        val in = fs.open(path)
+        val body = try {
+          val len = fs.getFileStatus(path).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          new String(buf, StandardCharsets.UTF_8)
+        } finally in.close()
+        val lines = body.split("\n", -1)
+        (lines(0).toLong,
+          if (lines.length > 1 && lines(1).nonEmpty) Some(lines(1))
+          else None)
     }
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       count: Long, last: String): Unit = {
     fs.mkdirs(consumedDir)
-    val tmp = new Path(consumedDir, "._manifest.tmp")
+    val stale = manifestEntries(fs).map(_._2) ++
+      (if (fs.exists(legacyManifestPath)) Seq(legacyManifestPath)
+       else Seq.empty)
+    val target = new Path(consumedDir, s"_manifest.$count")
+    val tmp = new Path(consumedDir, s"._manifest.$count.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"$count\n$last".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(manifestPath, false)
-    require(fs.rename(tmp, manifestPath),
+    require(fs.rename(tmp, target),
       s"packetqueue: manifest rename failed in $queueDir")
+    // sweep superseded manifests LAST — only after the new one is
+    // durably in place is any older count safe to lose
+    stale.filterNot(_ == target).foreach(p => fs.delete(p, false))
   }
 
   /** Packet files in arrival (natural-name) order. Sorting makes the
@@ -230,7 +268,18 @@ private final class PacketQueueStream(schema: StructType,
       writeManifest(fs, archN + toArchive.size, toArchive.last.getName)
     fs.mkdirs(consumedDir)
     (stragglers ++ toArchive).foreach { q =>
-      require(fs.rename(q, new Path(consumedDir, q.getName)),
+      val dst = new Path(consumedDir, q.getName)
+      // A producer replay can rewrite an ALREADY-ARCHIVED packet into
+      // the queue (its foreachBatch checkpoint lagged the consumer's
+      // commit through a crash window); the rewrite lists as a
+      // straggler here, and renaming onto the existing archived copy
+      // would fail on HDFS (rename → false) and wedge every subsequent
+      // commit — or silently overwrite on a local FS. The archived copy
+      // IS the durably-consumed record: drop the queue-side duplicate.
+      if (fs.exists(dst))
+        require(fs.delete(q, false),
+          s"packetqueue: duplicate-archive delete failed for ${q.getName}")
+      else require(fs.rename(q, dst),
         s"packetqueue: archive move failed for ${q.getName}")
     }
   }

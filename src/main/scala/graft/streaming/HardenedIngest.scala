@@ -80,8 +80,10 @@ object HardenedIngest {
       maxNullDriftPpm: Long = 100000L)
 
   /** Ledger layout (v2 — the `hsum` column joined the digest triple in
-    * round 11; a pre-existing v1 ledger must be rebuilt or dropped, not
-    * silently read with NULL sums that would never match). */
+    * round 11; a pre-existing v1 ledger must be rebuilt or dropped —
+    * ENFORCED in [[writeBatch]]: any NULL `hsum` row kills the batch,
+    * because NULL sums would never match and redelivery protection
+    * would silently vanish). */
   private def ledgerSchema = StructType(Seq(
     StructField("digest", LongType),
     StructField("hsum", DecimalType(38, 0)),
@@ -151,9 +153,24 @@ object HardenedIngest {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             ledgerSchema)
-        else spark.read.schema(ledgerSchema).parquet(ledgerDir)
-          .filter(col("batch_id") =!= batchId) // a replay must not see
-                                               // its own prior write
+        else {
+          val read = spark.read.schema(ledgerSchema).parquet(ledgerDir)
+            .filter(col("batch_id") =!= batchId) // a replay must not see
+                                                 // its own prior write
+          // v1-ledger loud guard: a pre-round-11 (digest, n_rows) ledger
+          // read with the v2 schema yields NULL hsum rows the triple
+          // anti-join can never match — every previously-ingested file
+          // would silently look fresh on redelivery, the exact
+          // double-billing this module exists to prevent. One bounded
+          // scan of the (file-grain, human-scale) ledger per batch.
+          require(read.filter(col("hsum").isNull).isEmpty,
+            s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
+              "rows (a v1 ledger read with the v2 schema) — redelivery " +
+              "protection would be silently lost; rebuild the ledger " +
+              "from the legs store (re-digest each ingested file) or " +
+              "drop it and re-seed before restarting the stage")
+          read
+        }
       val fresh = dedupInBatch
         .join(ledger.select("digest", "hsum", "n_rows"),
           Seq("digest", "hsum", "n_rows"), "left_anti").cache()

@@ -223,8 +223,14 @@ class PacketQueueSinkSpec extends SparkSpec {
       assert(archived.toSet.intersect(
         Set("p1.pkt", "p2.pkt", "p3.pkt")).size == 3,
         s"consumed prefix not archived: $archived")
+      // the manifest is VERSIONED by its count (`_manifest.<n>`) so the
+      // swap is never a delete-then-rename window with no manifest at all
+      val manifests = listNames(s"$base/queue/_consumed")
+        .filter(_.startsWith("_manifest."))
+      assert(manifests.nonEmpty, "no versioned manifest written")
+      val latest = manifests.maxBy(_.stripPrefix("_manifest.").toLong)
       val manifest = new String(Files.readAllBytes(
-        Paths.get(s"$base/queue/_consumed/_manifest")), "UTF-8")
+        Paths.get(s"$base/queue/_consumed/$latest")), "UTF-8")
       assert(manifest.startsWith("3\n") || manifest.startsWith("4\n"),
         manifest)
     } finally q1.stop()
