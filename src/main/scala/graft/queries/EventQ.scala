@@ -1482,7 +1482,170 @@ object EventQ {
         ORDER BY account_id"""))
   }
 
+  /** EAGER dim-grain integrity check for an SCD2 tariff TIMELINE —
+    * the rating twin of [[graft.queries.PreratingQ.validateVersionedDim]]:
+    * the dim is one row per (validity window, tier), and a malformed
+    * timeline mis-bills every record it touches, so it fails HERE before
+    * any fact is scanned. Checks (all bounded by the dimension):
+    *
+    *  - each validity window's tiers are contiguous from 0 to unbounded
+    *    (the [[marginalTieredCharges]] literal-tier contract, now data);
+    *  - validity windows are non-inverted and non-overlapping (two plans
+    *    active at once would double-rate every straddling record); GAPS
+    *    are legal — usage in uncovered time rates NULL (never-drop, held
+    *    for a correction run), it is double coverage that is fatal.
+    *
+    * Used as the `validate` hook of a [[graft.streaming.VersionedDim]]
+    * tariff store, so a live chain pays these two jobs once per dim
+    * VERSION, never per micro-batch. */
+  def validateTariffTimeline(tariff: DataFrame): DataFrame = {
+    val byWin = tariff
+      .groupBy(col("valid_from_sec"), col("valid_to_sec"))
+      .agg(sort_array(collect_list(struct(
+        col("tier_from").as("f"), col("tier_to").as("t"),
+        col("rate_centi").as("r")))).as("ts"))
+    val badTiers = byWin.filter(!(
+        expr("ts[0].f = CAST(0 AS BIGINT)") &&
+        expr(s"ts[size(ts) - 1].t = ${Long.MaxValue}L") &&
+        expr("forall(ts, x -> x.t > x.f AND x.f >= 0)") &&
+        // adjacent-pair contiguity via slice+zip_with (an index-based
+        // walk would out-of-bounds under ANSI on a one-tier plan —
+        // slice of length 0 is just an empty array, forall-true)
+        expr("forall(zip_with(slice(ts, 1, size(ts) - 1)," +
+          " slice(ts, 2, size(ts) - 1), (a, b) -> b.f = a.t), x -> x)")))
+      .select(col("valid_from_sec"), col("valid_to_sec"))
+      .limit(3).collect() // bounded: ≤ 3 window-grain rows
+    require(badTiers.isEmpty,
+      "validateTariffTimeline: tier plan not contiguous from 0 to " +
+        "unbounded in window(s) " + badTiers.mkString(", "))
+    val winW = Window.orderBy(col("valid_from_sec"))
+    val badWins = byWin.select(col("valid_from_sec"), col("valid_to_sec"))
+      .withColumn("__prev_to", lag(col("valid_to_sec"), 1).over(winW))
+      .filter(col("valid_to_sec") <= col("valid_from_sec") ||
+        col("__prev_to") > col("valid_from_sec"))
+      .select(col("valid_from_sec"), col("valid_to_sec"))
+      .limit(3).collect() // bounded: ≤ 3 window-grain rows
+    require(badWins.isEmpty,
+      "validateTariffTimeline: inverted or overlapping validity " +
+        "window(s) " + badWins.mkString(", ") +
+        " — two tariff plans active at once would double-rate every " +
+        "straddling record")
+    tariff
+  }
+
+  /** Marginal cumulative-tier rating under an SCD2 tariff TIMELINE —
+    * the production form of [[marginalTieredCharges]], and the batch
+    * twin the LIVE chain's tariff stage is pinned against: tariff plans
+    * change mid-cycle (rate amendments are the most frequent dim change
+    * after number ports), and each record must rate AT THE PLAN AS OF
+    * ITS OWN EVENT TIME (the q279 versioned-guiding discipline) while
+    * the cycle accumulator runs on UNINTERRUPTED — the record that
+    * arrives after an amendment is charged T_v2(cum) − T_v2(cum − u):
+    * the new plan applied at the account's current tier position, which
+    * is what a rating amendment means operationally (and what the q281
+    * simulation card previews).
+    *
+    * Records in UNCOVERED time (a timeline gap) charge NULL and do NOT
+    * advance the accumulator — unratable usage is held for a correction
+    * run, never guessed at and never dropped (each row keeps its
+    * `tariff_from` NULL as the audit mark).
+    *
+    * Plan: ONE broadcast join against the window-grain plan dim (each
+    * plan carried as a sorted tiers ARRAY — validity windows never
+    * overlap, so the join is ≤ 1 match, no fanout) + the q233
+    * per-account running-sum window; the charge is a map-side
+    * higher-order `aggregate` over the ≤ |tiers| array. Shuffles only
+    * on the account key at any corpus size. */
+  def marginalTieredChargesVersioned(events: DataFrame,
+      usage: org.apache.spark.sql.Column, tariff: DataFrame,
+      keyCol: String = "user_id", preValidated: Boolean = false)
+      : DataFrame = {
+    val checked = if (preValidated) tariff else validateTariffTimeline(tariff)
+    val plans = checked
+      .groupBy(col("valid_from_sec").as("__vf"),
+        col("valid_to_sec").as("__vt"))
+      .agg(sort_array(collect_list(struct(
+        col("tier_from").as("f"), col("tier_to").as("t"),
+        col("rate_centi").as("r")))).as("__tiers"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("sec"), col("event_id"))
+    val clamp = (u: String) =>
+      s"least(greatest(($u) - x.f, CAST(0 AS BIGINT)), x.t - x.f)"
+    events.select(col("event_id"), col(keyCol).as("k"),
+        col("ts").cast(LongType).as("sec"), usage.cast(LongType).as("u"))
+      .join(broadcast(plans),
+        col("sec") >= col("__vf") && col("sec") < col("__vt"), "left")
+      .withColumn("ue",
+        when(col("__tiers").isNotNull, greatest(col("u"), lit(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("cum", sum(col("ue")).over(w))
+      .select(col("event_id"), col("k"), col("u"), col("cum"),
+        col("__vf").as("tariff_from"),
+        when(col("__tiers").isNotNull, expr(
+          s"""aggregate(__tiers, CAST(0 AS BIGINT),
+             (acc, x) -> acc + x.r * (${clamp("cum")} -
+               ${clamp("cum - ue")}))""")).as("charge_centi"))
+  }
+
+  /** Oracle fixture of [[marginalTieredChargesVersioned]]: the q233
+    * plan valid until 2024-01-15, an amended (steeper, re-banded) plan
+    * from 2024-01-18 — with a deliberate three-day GAP between them, so
+    * the as-of residual, the mid-cycle plan switch on a running
+    * accumulator, AND the uncovered-time NULL contract are all provably
+    * load-bearing on the 30-day events fixture. */
+  private val q288 = {
+    val mid = 1705276800L  // 2024-01-15T00:00:00Z
+    val mid2 = 1705536000L // 2024-01-18T00:00:00Z
+    val end = 4102444800L
+    val rows = Seq(
+      (0L, mid, 0L, 5000L, 5L),
+      (0L, mid, 5000L, 20000L, 3L),
+      (0L, mid, 20000L, Long.MaxValue, 1L),
+      (mid2, end, 0L, 3000L, 6L),
+      (mid2, end, 3000L, 15000L, 4L),
+      (mid2, end, 15000L, Long.MaxValue, 2L))
+    val valuesSql = rows.map { case (vf, vt, f, t, r) =>
+      s"($vf, $vt, $f, $t, $r)"
+    }.mkString(", ")
+    GQuery(
+      "q288_versioned_rating",
+      (s, dir) => {
+        import s.implicits._
+        val tariff = rows.toDF("valid_from_sec", "valid_to_sec",
+          "tier_from", "tier_to", "rate_centi")
+        marginalTieredChargesVersioned(t(s, dir, "events"),
+          expr("CAST(round(value * 100) AS BIGINT)"), tariff)
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH tariff(valid_from_sec, valid_to_sec, tier_from,
+            tier_to, rate_centi) AS (VALUES $valuesSql),
+        e AS (SELECT event_id, user_id AS k, ${epochSecSql("ts")} AS sec,
+            CAST(round(value * 100) AS BIGINT) AS u
+          FROM events),
+        j AS (SELECT e.*, w.valid_from_sec AS tariff_from
+          FROM e LEFT JOIN (SELECT DISTINCT valid_from_sec, valid_to_sec
+            FROM tariff) w
+          ON e.sec >= w.valid_from_sec AND e.sec < w.valid_to_sec),
+        c AS (SELECT *, CASE WHEN tariff_from IS NOT NULL
+            THEN greatest(u, CAST(0 AS BIGINT))
+            ELSE CAST(0 AS BIGINT) END AS ue FROM j),
+        m AS (SELECT *, CAST(SUM(ue) OVER (PARTITION BY k
+            ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c)
+        SELECT m.event_id, m.k, m.u, m.cum,
+          CAST(m.tariff_from AS BIGINT) AS tariff_from,
+          CAST(SUM(t.rate_centi *
+            (least(greatest(m.cum - t.tier_from, 0),
+               t.tier_to - t.tier_from) -
+             least(greatest(m.cum - m.ue - t.tier_from, 0),
+               t.tier_to - t.tier_from))) AS BIGINT) AS charge_centi
+        FROM m LEFT JOIN tariff t ON m.tariff_from = t.valid_from_sec
+        GROUP BY m.event_id, m.k, m.u, m.cum, m.tariff_from
+        ORDER BY m.event_id"""))
+  }
+
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
     q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233,
-    q239, q244)
+    q239, q244, q288)
 }

@@ -329,6 +329,158 @@ object LiveRatingChain {
     ss.map(_.name)
   }
 
+  /** The TARIFF-ATTACH stage — the rating-side twin of
+    * [[preratingStageLive]], removing the chain's LAST
+    * restart-to-refresh ceiling: [[stages]]' rating stage freezes
+    * `tiers` at construction, so a tariff amendment mid-cycle required
+    * a stage bounce (the reference's reload-on-control-restart,
+    * `MFramework.cpp:1802-1812`). Here the tier plan lives in a
+    * [[VersionedDim]] as an SCD2 TIMELINE (one row per validity window
+    * per tier, validated once per version by
+    * [[graft.queries.EventQ.validateTariffTimeline]]), the stage
+    * re-resolves it EVERY micro-batch, and each complete call is
+    * stamped with the plan AS OF ITS OWN event time (event time =
+    * `event_id` seconds, the chain's fixture wire convention) plus
+    * `tariff_ver`, the rating-side audit column — so an amendment
+    * published mid-run rates the NEXT batch with no restart, and a
+    * redelivered historical wave rates at its ERA's plan (the q279
+    * versioned-guiding discipline applied to money).
+    *
+    * Calls in UNCOVERED time (a timeline gap) land under
+    * `covered=false` with a NULL plan — held for a correction run,
+    * never guessed at, never dropped. Sink is the
+    * [[preratingStageLive]] replay discipline: the batch partition is
+    * DELETED before append (the timeline may advance between a crash
+    * and its replay, moving rows across `covered` partitions — dynamic
+    * overwrite would strand the stale verdict's files).
+    *
+    * Plan shape per batch: one bounded dim read + ONE broadcast join
+    * (validity windows never overlap, so ≤ 1 match per call, no
+    * fanout) — the call side never shuffles here. */
+  def tariffAttachStage(spark: SparkSession, callsDir: String,
+      enrichedDir: String, checkpointRoot: String, tariff: VersionedDim)
+      : StageSpec =
+    StageSpec(
+      "tariff_attach",
+      source = s => s.readStream.schema(StructType(Seq(
+          StructField("call_id", StringType),
+          StructField("n_legs", IntegerType),
+          StructField("total_duration", DoubleType),
+          StructField("complete", BooleanType))))
+        .parquet(callsDir),
+      transform = identity,
+      sink = df => df.writeStream
+        .option("checkpointLocation", s"$checkpointRoot/tariff_attach")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (ver, dim) = tariff.resolve()
+          val plans = dim
+            .groupBy(col("valid_from_sec").as("__vf"),
+              col("valid_to_sec").as("__vt"))
+            .agg(sort_array(collect_list(struct(
+              col("tier_from").as("f"), col("tier_to").as("t"),
+              col("rate_centi").as("r")))).as("tiers"))
+          val out = batch.filter(col("complete"))
+            .select(
+              split(col("call_id"), ":").getItem(0).cast(LongType)
+                .as("account_id"),
+              split(col("call_id"), ":").getItem(1).cast(LongType)
+                .as("event_id"),
+              expr("CAST(round(total_duration) AS BIGINT)").as("units"))
+            .join(broadcast(plans),
+              col("event_id") >= col("__vf") &&
+                col("event_id") < col("__vt"), "left")
+            .select(col("account_id"), col("event_id"), col("units"),
+              col("__vf").as("tariff_from"), lit(ver).as("tariff_ver"),
+              col("tiers"),
+              lit(batchId).as("batch_id"),
+              col("tiers").isNotNull.as("covered"))
+          val p = new org.apache.hadoop.fs.Path(
+            s"$enrichedDir/batch_id=$batchId")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          out.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("batch_id", "covered").parquet(enrichedDir)
+        })
+
+  /** Enriched-usage store schema (both partition columns declared — the
+    * [[preratedLiveSchema]] convention). */
+  private def enrichedTariffSchema: StructType = StructType(Seq(
+    StructField("account_id", LongType),
+    StructField("event_id", LongType),
+    StructField("units", LongType),
+    StructField("tariff_from", LongType),
+    StructField("tariff_ver", LongType),
+    StructField("tiers", ArrayType(StructType(Seq(
+      StructField("f", LongType), StructField("t", LongType),
+      StructField("r", LongType))))),
+    StructField("batch_id", LongType),
+    StructField("covered", BooleanType)))
+
+  /** The LIVE-TARIFF rating stage: reads the enriched store's
+    * `covered=true` partition (partition-pruned) and rates each record
+    * under the plan IT CARRIES through [[VersionedTierRater]] — the
+    * per-account accumulator runs uninterrupted across plan versions,
+    * pinned record-for-record against the oracle-checked batch q288. */
+  def ratingStageLiveTariff(spark: SparkSession, enrichedDir: String,
+      ratedDir: String, checkpointRoot: String, invoiceBuckets: Int = 64)
+      : StageSpec = {
+    import spark.implicits._
+    require(invoiceBuckets >= 1,
+      s"invoiceBuckets must be >= 1, got $invoiceBuckets")
+    StageSpec(
+      "rating",
+      source = s => s.readStream.schema(enrichedTariffSchema)
+        .parquet(enrichedDir)
+        .filter(col("covered")),
+      transform = df => df
+        .select(col("account_id"), col("event_id"), col("units"),
+          col("tariff_ver"), col("tiers"))
+        .as[TariffUsageRec]
+        .groupByKey(_.account_id)
+        .transformWithState(new VersionedTierRater, TimeMode.None(),
+          OutputMode.Append())
+        .toDF()
+        .withColumn("invoice_bucket",
+          pmod(col("account_id"), lit(invoiceBuckets.toLong))),
+      sink = df => df.writeStream.format("parquet")
+        .partitionBy("invoice_bucket")
+        .option("path", ratedDir)
+        .option("checkpointLocation", s"$checkpointRoot/rating")
+        .outputMode("append"))
+  }
+
+  /** Register the chain with the LIVE TARIFF path: ingest → assembly →
+    * tariff_attach (per-batch dim resolve) → rating (plan-on-record),
+    * plus the stage's `refreshsession` hook. Publish at least one
+    * timeline version BEFORE starting — a rater with no tariff fails
+    * loudly rather than guessing. Construct the dim with
+    * `new VersionedDim(spark, dir, EventQ.validateTariffTimeline)` so a
+    * malformed amendment is rejected AT PUBLISH-RESOLVE time, once per
+    * version. */
+  def registerWithLiveTariff(runner: PipelineRunner, spark: SparkSession,
+      inboxDir: String, legsDir: String, callsDir: String,
+      enrichedDir: String, ratedDir: String, checkpointRoot: String,
+      tariff: VersionedDim, legTimeoutMs: Long = -1L): Seq[String] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(inboxDir, legsDir, callsDir, enrichedDir, ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    // ingest + assembly from the standard chain; its constant-tier
+    // rating stage is DISCARDED (the placeholder tiers never rate)
+    val base = stages(spark, inboxDir, legsDir, callsDir,
+      "/nonexistent-rated", checkpointRoot,
+      Seq((0L, Long.MaxValue, 0L)), legTimeoutMs).take(2)
+    val attach = tariffAttachStage(spark, callsDir, enrichedDir,
+      checkpointRoot, tariff)
+    val rating = ratingStageLiveTariff(spark, enrichedDir, ratedDir,
+      checkpointRoot)
+    val ss = base :+ attach :+ rating
+    ss.foreach(runner.register)
+    runner.onRefresh(attach.name, () => tariff.refresh())
+    ss.map(_.name)
+  }
+
   /** Prerated-store schema the downstream ingest reads (the partition
     * column `guided` included so the filter prunes whole partitions). */
   private def preratedSchema: StructType = StructType(Seq(
