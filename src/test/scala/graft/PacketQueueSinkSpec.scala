@@ -192,6 +192,154 @@ class PacketQueueSinkSpec extends SparkSpec {
     }
   }
 
+  test("t=-routed demux routes each type to its queues and round-robins " +
+      "across them") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_demux").toString
+    val dests = Map(
+      "GSMRATING" -> Seq(
+        PacketQueueSink.Dest(s"$base/rate0/data", s"$base/rate0/q"),
+        PacketQueueSink.Dest(s"$base/rate1/data", s"$base/rate1/q")),
+      "INVOICE" -> Seq(
+        PacketQueueSink.Dest(s"$base/inv/data", s"$base/inv/q")),
+      "FRAUD" -> Seq(
+        PacketQueueSink.Dest(s"$base/fraud/data", s"$base/fraud/q")))
+    // 12 rows over 3 types, spread over 4 partitions -> up to 4 part
+    // files per type, so the 2-queue type provably round-robins
+    val batch = (1 to 12).map { i =>
+      val t = Seq("GSMRATING", "INVOICE", "FRAUD")(i % 3)
+      (s"1:$i", 1, 1, i * 10.0, t)
+    }.toDF("call_id", "seq", "total", "duration_sec", "dest")
+      .repartition(4)
+    PacketQueueSink.writeBatchDemux(spark, batch, 3L, "dest", dests)
+
+    // both GSMRATING queues got packets (round-robin balance)
+    val r0 = listNames(s"$base/rate0/q").filter(_.endsWith(".pkt"))
+    val r1 = listNames(s"$base/rate1/q").filter(_.endsWith(".pkt"))
+    assert(r0.nonEmpty && r1.nonEmpty, s"no round-robin: $r0 / $r1")
+    // packets carry the t= key and point inside their own data dir
+    val body = new String(Files.readAllBytes(
+      Paths.get(s"$base/rate0/q/${r0.head}")), "UTF-8")
+    assert(body.contains("t=GSMRATING") && body.contains(s"$base/rate0/data"),
+      body)
+    // each consumer reads ITS type's rows, with the route column
+    // consumed by the layout (not in the data files)
+    val schema = StructType(LiveRatingChain.legSchema.fields)
+    def consume(q: String, out: String): Seq[String] = {
+      val qq = spark.readStream.format("packetqueue").schema(schema)
+        .option("path", q).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out.ckpt")
+        .outputMode("append").start()
+      try { qq.processAllAvailable() } finally qq.stop()
+      spark.read.parquet(out).select(col("call_id")).as[String]
+        .collect().toSeq.sorted
+    }
+    val rated = (consume(s"$base/rate0/q", s"$base/out_r0") ++
+      consume(s"$base/rate1/q", s"$base/out_r1")).sorted
+    assert(rated == Seq("1:12", "1:3", "1:6", "1:9").sorted,
+      rated.toString)
+    assert(consume(s"$base/inv/q", s"$base/out_inv").size == 4)
+    assert(consume(s"$base/fraud/q", s"$base/out_fraud").size == 4)
+
+    // a route value with no registered destination fails loudly
+    val e = intercept[IllegalArgumentException] {
+      PacketQueueSink.writeBatchDemux(spark,
+        Seq(("9:9", 1, 1, 9.0, "UNKNOWN_TYPE"))
+          .toDF("call_id", "seq", "total", "duration_sec", "dest"),
+        4L, "dest", dests)
+    }
+    assert(e.getMessage.contains("UNKNOWN_TYPE"), e.getMessage)
+  }
+
+  test("a replayed demux batch sweeps its prior attempt from EVERY " +
+      "destination") {
+    val base = Files.createTempDirectory("graft_demuxreplay").toString
+    val dests = Map(
+      "A" -> Seq(PacketQueueSink.Dest(s"$base/a0/d", s"$base/a0/q"),
+        PacketQueueSink.Dest(s"$base/a1/d", s"$base/a1/q")),
+      "B" -> Seq(PacketQueueSink.Dest(s"$base/b/d", s"$base/b/q")))
+    val attempt1 = Seq(("1:1", 1, 1, 10.0, "A"), ("1:2", 1, 1, 20.0, "A"),
+      ("1:3", 1, 1, 30.0, "B"))
+      .toDF("call_id", "seq", "total", "duration_sec", "dest")
+    PacketQueueSink.writeBatchDemux(spark, attempt1.repartition(3), 7L,
+      "dest", dests)
+    // the replay ROUTES DIFFERENTLY (a dim advanced between crash and
+    // retry): row 1:3 now routes to A — the B-side orphan of attempt 1
+    // must vanish, not double-deliver
+    val attempt2 = Seq(("1:1", 1, 1, 10.0, "A"), ("1:2", 1, 1, 20.0, "A"),
+      ("1:3", 1, 1, 30.0, "A"))
+      .toDF("call_id", "seq", "total", "duration_sec", "dest")
+    PacketQueueSink.writeBatchDemux(spark, attempt2.repartition(1), 7L,
+      "dest", dests)
+    assert(listNames(s"$base/b/q").count(_.endsWith(".pkt")) == 0,
+      "stale B-side packet survived the replay")
+    assert(listNames(s"$base/b/d").count(_.endsWith(".csv")) == 0,
+      "stale B-side data survived the replay")
+    val aPkts = (listNames(s"$base/a0/q") ++ listNames(s"$base/a1/q"))
+      .count(_.endsWith(".pkt"))
+    assert(aPkts == 1, s"expected the single replayed file, got $aPkts")
+  }
+
+  test("the chain fans out rated traffic to invoice + fraud consumers " +
+      "over the packet plane, exactly-once across restart") {
+    val base = Files.createTempDirectory("graft_fanout").toString
+    val dests = Map(
+      "INVOICE" -> Seq(
+        PacketQueueSink.Dest(s"$base/inv0/d", s"$base/inv0/q"),
+        PacketQueueSink.Dest(s"$base/inv1/d", s"$base/inv1/q")),
+      "FRAUD" -> Seq(PacketQueueSink.Dest(s"$base/fraud/d", s"$base/fraud/q")))
+    // producer: rated-looking rows from a CSV inbox, routed by a
+    // fraud-threshold rule (duration >= 100 -> the fraud tap)
+    def startProducer() = spark.readStream
+      .schema(LiveRatingChain.legSchema)
+      .option("header", "true").csv(s"$base/inbox")
+      .withColumn("dest",
+        when(col("duration_sec") >= 100.0, "FRAUD").otherwise("INVOICE"))
+      .let(df => PacketQueueSink.demuxSink(spark, "dest", dests,
+        s"$base/ckpt/producer")(df).start())
+    def startConsumer(q: String, out: String) =
+      spark.readStream.format("packetqueue")
+        .schema(LiveRatingChain.legSchema)
+        .option("path", q).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$out.ckpt")
+        .outputMode("append").start()
+    def allOut(): Seq[String] =
+      Seq(s"$base/out_i0", s"$base/out_i1", s"$base/out_f")
+        .filter(d => Files.exists(Paths.get(d)))
+        .flatMap(d => spark.read.parquet(d).select(col("call_id"))
+          .as[String].collect())
+        .sorted
+
+    Files.createDirectories(Paths.get(s"$base/inbox"))
+    write(s"$base/inbox/w1.csv", legsCsv(Seq(
+      "1:1,1,1,10.0", "1:2,1,1,250.0", "1:3,1,1,20.0")))
+    var qs = Seq(startProducer(),
+      startConsumer(s"$base/inv0/q", s"$base/out_i0"),
+      startConsumer(s"$base/inv1/q", s"$base/out_i1"),
+      startConsumer(s"$base/fraud/q", s"$base/out_f"))
+    try {
+      (1 to 2).foreach(_ => qs.foreach(_.processAllAvailable()))
+      assert(allOut() == Seq("1:1", "1:2", "1:3"), allOut().toString)
+      assert(spark.read.parquet(s"$base/out_f").count() == 1)
+    } finally qs.foreach(_.stop())
+
+    // kill the whole fan-out; a wave lands while down; restart — every
+    // branch resumes exactly-once
+    write(s"$base/inbox/w2.csv", legsCsv(Seq("2:1,1,1,300.0")))
+    qs = Seq(startProducer(),
+      startConsumer(s"$base/inv0/q", s"$base/out_i0"),
+      startConsumer(s"$base/inv1/q", s"$base/out_i1"),
+      startConsumer(s"$base/fraud/q", s"$base/out_f"))
+    try {
+      (1 to 2).foreach(_ => qs.foreach(_.processAllAvailable()))
+      assert(allOut() == Seq("1:1", "1:2", "1:3", "2:1"),
+        s"fan-out lost or duplicated across restart: ${allOut()}")
+      assert(spark.read.parquet(s"$base/out_f").count() == 2)
+    } finally qs.foreach(_.stop())
+  }
+
   test("archive=true moves the consumed prefix; offsets stay exact") {
     val base = Files.createTempDirectory("graft_pktarch").toString
     (1 to 3).foreach { i =>
