@@ -1,0 +1,227 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions.{vec_dot, vec_norm2}
+import graft.queries.VectorQ
+
+/** Incremental SEMANTIC dedup for an append-only embedding corpus — the
+  * embedding sibling of [[IncrementalDedup]] (MinHash) and
+  * [[IncrementalSpanDedup]] (spans), closing the family: batch
+  * `semDedup` (q76) re-clusters the whole corpus per run, so a delta
+  * wave could not ask "is this embedding a near-dup of ANYTHING in
+  * history" without quadratic-over-time work. Here the corpus keeps a
+  * CELL-INDEXED member store under FIXED centroids, and a delta batch
+  * answers against all of history at cell-collision cost:
+  *
+  *  - `cells/` — the centroids, fixed at [[initStore]] (the semDedup
+  *    seed rule: the bootstrap's lowest `cells` vec_ids; swap in
+  *    [[VectorQ.kmeansCentroids]] for trained cells). Centroids are a
+  *    MODELING choice: all batches must assign under the same cells or
+  *    near-dups across batches land in different cells and are missed —
+  *    so a missing cells dir fails loudly, and re-clustering is an
+  *    explicit store rebuild (the [[IncrementalAnn]] `bits` contract);
+  *  - `members/batch_id=N/` — (vec_id, embedding, nrm, cluster,
+  *    dist_sq) per corpus vector, partitioned by the arrival batch (the
+  *    idempotence key: a retried micro-batch overwrites its own
+  *    partition and the delta read excludes it, so a retry never
+  *    self-matches).
+  *
+  * The delta emits PAIRS, not verdicts ([[IncrementalDedup]]'s
+  * contract): every same-cell pair at cosine ≥ τ between the delta and
+  * history PLUS within the delta, carrying both members' centroid
+  * distances. Verdicts are a pure fold over the accumulated pairs
+  * ([[verdicts]]): because the keep policy ("farthest from the centroid
+  * survives, ties to the lowest id") is decidable from a pair's two
+  * (dist_sq, id) tuples, the derived census is EXACTLY the batch
+  * `semDedup` census on the union whenever the store's centroids equal
+  * the union's — proven cross-engine by the q289 card and by
+  * IncrementalSemDedupSpec. History is never re-read beyond its cell
+  * collisions and never re-clustered.
+  *
+  * Scale: the only join is a cluster equi-join that hash-partitions
+  * cleanly; cells follow the √n rule, so per-cell pair work is bounded;
+  * cells held by more than `maxCellSize` HISTORY members are excluded
+  * by the [[IncrementalDedup.dedupDelta]] hot-bucket guard (aggregate +
+  * broadcast anti-join — the store itself never shuffles), trading
+  * completeness for boundedness exactly like the ANN store: raise
+  * `cells` (rebuild) rather than paying one hot reducer. At 100 TB the
+  * member store additionally carries the q55 int8 `qv` column as a
+  * cheap prefilter and drops the float embedding — the exact-cosine
+  * column family here keeps the oracle-exact contract the cards pin.
+  */
+object IncrementalSemDedup {
+
+  private def cellsPath(store: String) = s"$store/cells"
+  private def membersPath(store: String) = s"$store/members"
+
+  private def withNorm(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", vec_norm2(col("embedding")))
+
+  private def cosine(qe: org.apache.spark.sql.Column,
+      qn: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column) =
+    round(vec_dot(qe, e) / (sqrt(qn) * sqrt(n)), 6)
+
+  /** Member-store schema (what [[deltaPairs]] reads back). */
+  private[graft] val memberSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType),
+    StructField("cluster", LongType),
+    StructField("dist_sq", DoubleType),
+    StructField("batch_id", LongType)))
+
+  /** Build (or rebuild) the store from a bootstrap corpus slice: fix
+    * the centroids (semDedup's seed rule) and index every bootstrap
+    * vector under `batch_id=-1`. When `pairsPath` is given, the
+    * bootstrap's own intra pairs are seeded there under the same
+    * batch id — without them the derived census would silently treat
+    * the bootstrap as already-deduped (only give a pairs store when the
+    * bootstrap really is raw; a pre-deduped bootstrap seeds none). */
+  def initStore(vecs: DataFrame, storePath: String, cells: Int = 4,
+      pairsPath: Option[String] = None, threshold: Double = 0.2,
+      maxCellSize: Int = 100000): Unit = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val spark = vecs.sparkSession
+    val v = withNorm(vecs)
+    val seeds = v.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    seeds.coalesce(1).write.mode("overwrite").parquet(cellsPath(storePath))
+    VectorQ.assignToCentroids(v, seeds).withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(membersPath(storePath))
+    pairsPath.foreach { pp =>
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], memberSchema)
+      deltaPairs(vecs, seeds, empty, threshold, maxCellSize)
+        .withColumn("batch_id", lit(-1L))
+        .write.partitionBy("batch_id").mode("overwrite").parquet(pp)
+    }
+  }
+
+  /** Add a new batch's member rows (call AFTER [[deltaPairs]] so the
+    * batch does not match itself through the store). */
+  def append(newVecs: DataFrame, storePath: String, batchId: Long): Unit = {
+    val spark = newVecs.sparkSession
+    VectorQ.assignToCentroids(withNorm(newVecs), readCells(spark, storePath))
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("append")
+      .parquet(membersPath(storePath))
+  }
+
+  private def readCells(spark: SparkSession, storePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(cellsPath(storePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"IncrementalSemDedup: no centroids at ${cellsPath(storePath)} — " +
+        "run initStore first; assigning under ad-hoc cells would " +
+        "silently miss every cross-batch near-dup")
+    spark.read.parquet(cellsPath(storePath))
+  }
+
+  /** Semantic near-dup PAIRS of `newVecs` against the given member
+    * history AND within itself: one row per same-cell pair at cosine ≥
+    * `threshold`, as `(lo_id, hi_id, cluster, cosine, lo_dist, hi_dist)`
+    * with `lo_id < hi_id` canonical orientation — everything
+    * [[verdicts]] needs to replay the semDedup keep policy. */
+  def deltaPairs(newVecs: DataFrame, cells: DataFrame, members: DataFrame,
+      threshold: Double = 0.2, maxCellSize: Int = 100000): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    val assigned = VectorQ.assignToCentroids(withNorm(newVecs), cells)
+    val hot = members.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxCellSize)
+      .select(col("cluster"))
+    val hist = members.join(broadcast(hot), Seq("cluster"), "left_anti")
+      .select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+        col("dist_sq").as("b_dist"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
+      col("dist_sq").as("a_dist"))
+    val cross = a.join(hist, Seq("cluster"))
+    val intra = a.join(
+      a.select(col("cluster"), col("a_id").as("b_id"),
+        col("a_emb").as("b_emb"), col("a_nrm").as("b_nrm"),
+        col("a_dist").as("b_dist")), Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+    cross.union(intra)
+      .withColumn("cosine",
+        cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("a_id"), col("b_id")).as("lo_id"),
+        greatest(col("a_id"), col("b_id")).as("hi_id"),
+        col("cluster"), col("cosine"),
+        when(col("a_id") < col("b_id"), col("a_dist"))
+          .otherwise(col("b_dist")).as("lo_dist"),
+        when(col("a_id") < col("b_id"), col("b_dist"))
+          .otherwise(col("a_dist")).as("hi_dist"))
+  }
+
+  /** The keep census derived from members + accumulated pairs — one
+    * row per corpus vector `(vec_id, cluster, dist_sq, keep)`, EXACTLY
+    * the batch [[VectorQ.semDedup]] census on the union (same
+    * centroids): a vector is dropped iff some τ-neighbor in its cell
+    * beats it on the keep policy (farther from the centroid, ties to
+    * the lower id) — decidable per pair, so the fold is pair-grain. */
+  def verdicts(members: DataFrame, pairs: DataFrame): DataFrame = {
+    // drop rule per pair, lo_id < hi_id canonical: lo is dropped only
+    // when hi sits strictly farther out (a distance tie keeps the LOWER
+    // id, which lo is); hi is dropped when lo sits farther OR ties
+    val dropped = pairs.filter(col("hi_dist") > col("lo_dist"))
+      .select(col("lo_id").as("__d"))
+      .union(pairs.filter(col("lo_dist") >= col("hi_dist"))
+        .select(col("hi_id").as("__d")))
+      .distinct()
+    members.select(col("vec_id"), col("cluster"), col("dist_sq"))
+      .join(dropped.withColumn("__dup", lit(true)),
+        col("vec_id") === col("__d"), "left")
+      .withColumn("keep", col("__dup").isNull)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"), col("keep"))
+  }
+
+  private val pairSchema: StructType = StructType(Seq(
+    StructField("lo_id", LongType), StructField("hi_id", LongType),
+    StructField("cluster", LongType), StructField("cosine", DoubleType),
+    StructField("lo_dist", DoubleType), StructField("hi_dist", DoubleType)))
+
+  /** Streaming composition, the [[IncrementalDedup.sink]] pattern: per
+    * micro-batch of (vec_id, embedding) rows, (1) write the batch's
+    * near-dup pairs against ALL history (and within itself) into
+    * `pairsPath` and (2) append the batch's member rows — both under
+    * `batch_id=<id>` dynamic-overwrite partitions, and the member read
+    * excludes the retried batch's half-written partition, so a retry
+    * replaces its own output and can never self-match. The store must
+    * be [[initStore]]'d first (fixed centroids — fails loudly). */
+  def sink(spark: SparkSession, storePath: String, pairsPath: String,
+      threshold: Double = 0.2, maxCellSize: Int = 100000)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val cells = readCells(spark, storePath)
+      val mp = new org.apache.hadoop.fs.Path(membersPath(storePath))
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val members =
+        if (fs.exists(mp))
+          spark.read.parquet(membersPath(storePath))
+            .filter(col("batch_id") =!= batchId)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            memberSchema)
+      deltaPairs(batch, cells, members, threshold, maxCellSize)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(pairsPath)
+      VectorQ.assignToCentroids(withNorm(batch), cells)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(membersPath(storePath))
+    }
+}

@@ -2537,8 +2537,66 @@ object VectorQ {
           AS top_bucket_share_ppm
       FROM r"""))
 
+  /** Oracle fixture of the INCREMENTAL semantic-dedup path
+    * ([[graft.etl.IncrementalSemDedup]]): the corpus splits at the
+    * midpoint id into a bootstrap "history" and a "delta wave"; history
+    * indexes under the store's fixed centroids (the q76 seed rule — the
+    * bootstrap holds the union's lowest ids, so the centroids coincide),
+    * the delta emits its pairs against history + itself, and the
+    * derived keep census must equal the BATCH semDedup census on the
+    * union — the oracle replays exactly q76's one-shot batch CTEs at
+    * per-vector grain, so the hash match is a cross-engine proof that
+    * delta-against-store ≡ re-clustering the world. */
+  private val q289 = GQuery(
+    "q289_incremental_semdedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val midId = (mm.getLong(0) + mm.getLong(1)) / 2
+      def vn(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", vec_norm2(col("embedding")))
+      val hist = vn(emb.filter(col("vec_id") < midId))
+      val delta = vn(emb.filter(col("vec_id") >= midId))
+      val seeds = hist.orderBy(col("vec_id")).limit(4)
+        .select(col("vec_id").as("cluster"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            .as("centroid"))
+      val membersHist = assignToCentroids(hist, seeds)
+      val pairs1 = graft.etl.IncrementalSemDedup.deltaPairs(
+        hist, seeds, membersHist.filter(lit(false)))
+      val pairs2 = graft.etl.IncrementalSemDedup.deltaPairs(
+        delta, seeds, membersHist)
+      graft.etl.IncrementalSemDedup.verdicts(
+        membersHist.union(assignToCentroids(delta, seeds)),
+        pairs1.union(pairs2))
+        .select(col("vec_id"), col("cluster"),
+          round(col("dist_sq"), 6).as("dist_sq_r"), col("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                FROM embeddings),
+      seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+        WHERE vec_id < 4),
+      asg AS (SELECT vec_id, embedding, nrm, cluster, dist_sq FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, s.cluster,
+            v.nrm + (${normSql("s.cemb")}) - 2 * (${dotSql("v.embedding", "s.cemb")}) AS dist_sq,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + (${normSql("s.cemb")})
+                - 2 * (${dotSql("v.embedding", "s.cemb")}), s.cluster) AS arn
+          FROM v, seeds s) WHERE arn = 1),
+      dropped AS (SELECT DISTINCT a.vec_id AS a_id
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+        WHERE ROUND((${dotSql("a.embedding", "b.embedding")}) /
+                    (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= 0.2
+          AND (b.dist_sq > a.dist_sq
+               OR (b.dist_sq = a.dist_sq AND b.vec_id < a.vec_id)))
+    SELECT vec_id, cluster, ROUND(dist_sq, 6) AS dist_sq_r,
+      vec_id NOT IN (SELECT a_id FROM dropped) AS keep
+    FROM asg
+    ORDER BY vec_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207, q230, q235)
+      q174, q193, q197, q207, q230, q235, q289)
 }

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.IncrementalSemDedup
+import graft.queries.VectorQ
+
+/** Incremental SEMANTIC dedup: a delta wave answers "cosine ≥ τ vs
+  * ANYTHING in history" at cell-collision cost under the store's fixed
+  * centroids — cross-history hits, clean fresh docs, retry idempotence,
+  * and the derived census EXACTLY equal to batch semDedup on the union.
+  */
+class IncrementalSemDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val tau = 0.5
+
+  // bootstrap: ids 0/1 are the seeds (two near-orthogonal directions);
+  // id 2 is a near-dup of 0's direction, id 3 lives alone in cell 1
+  private def boot = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)),
+    (3L, Array(0f, 0.9f, 0.6f, 0f))).toDF("vec_id", "embedding")
+
+  // delta 1: id 10 is a cross-HISTORY near-dup (of 0 and 2); id 11 is
+  // fresh (orthogonal to everything in its cell at τ=0.5)
+  private def delta1 = Seq(
+    (10L, Array(0.95f, 0.05f, 0f, 0f)),
+    (11L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+
+  // delta 2: id 20 near-dups id 10 — history that itself arrived as a
+  // DELTA, proving the store accumulates
+  private def delta2 = Seq(
+    (20L, Array(0.97f, 0.03f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("delta waves hit history (including prior deltas), leave fresh " +
+      "docs clean, retry idempotently, and derive the exact batch census") {
+    val base = Files.createTempDirectory("graft_semstore").toString
+    val store = s"$base/store"
+    val pairs = s"$base/pairs"
+    // the bootstrap is RAW, so its own intra pairs seed the pairs store
+    // (0↔2 share a direction; 1↔3 are within τ in cell 1)
+    IncrementalSemDedup.initStore(boot, store, cells = 2,
+      pairsPath = Some(pairs), threshold = tau)
+    val sink = IncrementalSemDedup.sink(spark, store, pairs, tau)
+    val bootPairs = Set((0L, 2L), (1L, 3L))
+    def pairSet() = spark.read.parquet(pairs)
+      .select(col("lo_id"), col("hi_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(pairSet() == bootPairs, pairSet().toString)
+
+    sink(delta1, 0L)
+    // cross-history hits: 10 pairs with BOTH 0 and 2; fresh 11 nowhere
+    assert(pairSet() == bootPairs ++ Set((0L, 10L), (2L, 10L)),
+      pairSet().toString)
+
+    // idempotent retry: the same batch replays (repartitioned) — the
+    // store must hold ONE copy of its members and the pairs must not
+    // double (a self-match through the half-written partition would
+    // also show up here)
+    sink(delta1.repartition(3), 0L)
+    assert(pairSet() == bootPairs ++ Set((0L, 10L), (2L, 10L)),
+      pairSet().toString)
+    val members = spark.read.parquet(s"$store/members")
+    assert(members.filter(col("vec_id") === 10L).count() == 1L)
+
+    // a second delta near-dups a member that ARRIVED as a delta
+    sink(delta2, 1L)
+    assert(pairSet() == bootPairs ++ Set((0L, 10L), (2L, 10L), (0L, 20L),
+      (2L, 20L), (10L, 20L)), pairSet().toString)
+
+    // the derived census ≡ batch semDedup on the UNION (same centroids:
+    // the bootstrap holds the union's lowest ids)
+    val derived = IncrementalSemDedup.verdicts(
+        spark.read.parquet(s"$store/members"),
+        spark.read.parquet(pairs))
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = VectorQ.semDedup(boot.union(delta1).union(delta2),
+        cells = 2, threshold = tau)
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(derived == batch, s"derived $derived vs batch $batch")
+    // and the policy did its job: in the {0,2,10,20} near-dup group the
+    // FARTHEST-from-centroid member (2, dist² 0.02) survives; 3 beats 1
+    // the same way in cell 1; fresh 11 stands alone
+    val kept = derived.filter(_._3).map(_._1)
+    assert(kept == Set(2L, 3L, 11L), kept.toString)
+  }
+
+  test("a store without centroids fails loudly — ad-hoc cells would " +
+      "silently miss cross-batch near-dups") {
+    val base = Files.createTempDirectory("graft_semnocells").toString
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.sink(spark, s"$base/store", s"$base/pairs",
+        tau)(delta1, 0L)
+    }
+    assert(e.getMessage.contains("initStore"), e.getMessage)
+  }
+}
