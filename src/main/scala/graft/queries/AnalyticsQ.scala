@@ -3507,9 +3507,68 @@ object AnalyticsQ {
           AS closing_gap
       FROM arr ORDER BY event_type"""))
 
+  /** Activity-streak card — the engagement view the retention family
+    * (q101 cohorts, q222 life table, q221 DAU/WAU reach) does not
+    * answer: per user, how LONG the unbroken daily runs are. Classic
+    * gaps-and-islands: a user's distinct active days with consecutive
+    * values share one island key (`day − row_number` over day order —
+    * constant exactly while days step by 1), islands roll up to runs,
+    * runs to the card: active days, number of streaks, longest streak,
+    * and the CURRENT streak (the run touching the corpus's last day —
+    * 0 for everyone who lapsed; the "don't break the chain" metric).
+    *
+    * Plan: corpus collapses to distinct (user, day) FIRST, so the
+    * window and both aggregations run at user×days grain; the global
+    * last day is a one-row broadcast. Exact integer day arithmetic. */
+  def streakCard(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"),
+        datediff(expr(s"CAST($tsCol AS DATE)"), lit("2024-01-01")).as("d"))
+      .filter(col("d").isNotNull).distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("d"))
+    val runs = days
+      .withColumn("__i", col("d") - row_number().over(w))
+      .groupBy(col("u"), col("__i"))
+      .agg(count(lit(1)).as("len"), max(col("d")).as("last_d"))
+    val gmax = days.agg(max(col("d")).as("gmax"))
+    runs.crossJoin(broadcast(gmax))
+      .groupBy(col("u").as(userCol))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max(when(col("last_d") === col("gmax"), col("len"))
+          .otherwise(lit(0L))).as("current_streak"))
+  }
+
+  /** Oracle fixture of [[streakCard]]: per-user daily streaks over the
+    * 30-day events window. */
+  private val q291 = GQuery(
+    "q291_activity_streaks",
+    (s, dir) => streakCard(t(s, dir, "events"))
+      .orderBy(col("user_id")),
+    Some("""WITH days AS (SELECT DISTINCT user_id AS u,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS d FROM events),
+      i AS (SELECT u, d,
+          d - ROW_NUMBER() OVER (PARTITION BY u ORDER BY d) AS isl
+        FROM days),
+      s AS (SELECT u, isl, COUNT(*) AS len, MAX(d) AS last_d
+        FROM i GROUP BY 1, 2),
+      g AS (SELECT MAX(d) AS gmax FROM days)
+      SELECT u AS user_id,
+        CAST(SUM(len) AS BIGINT) AS n_active_days,
+        COUNT(*) AS n_streaks,
+        CAST(MAX(len) AS BIGINT) AS longest_streak,
+        CAST(MAX(CASE WHEN last_d = g.gmax THEN len ELSE 0 END)
+          AS BIGINT) AS current_streak
+      FROM s, g
+      GROUP BY u
+      ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
-    q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287)
+    q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
+    q291)
 }

@@ -636,6 +636,110 @@ object BillingQ {
         FROM u ORDER BY account_id"""))
   }
 
+  /** SLA downtime credits — the availability side of the billing close:
+    * outage reports arrive as (account, start_sec, end_sec) intervals
+    * that OVERLAP (monitors double-report, flaps re-open), so the
+    * credit basis is the measured downtime of their UNION per account
+    * per month, run through a credit tier table (ppm of the monthly fee
+    * per downtime band — every real SLA reads this way). An outage
+    * bills WHOLLY to the month it started in (the industry attribution
+    * rule — no mid-incident proration), so the month key is taken from
+    * the interval start. Emits one
+    * credit line per (account, month): incidents (union islands),
+    * downtime seconds, the tier's credit ppm, and the credit amount in
+    * centi-money (`fee · ppm DIV 10⁶`, exact integer).
+    *
+    * Plan: the interval-union sweep is ONE window per (account, month)
+    * (running max of interval end; an interval starting past it opens a
+    * new island — the q257/trunk-sweep discipline, union length =
+    * island max(end) − min(start) because islands are overlap-chained),
+    * then one hash aggregation; the tier lookup is a ≤ |tiers| CASE,
+    * map-side. Shuffles only on (account, month).
+    */
+  def slaCredits(outages: DataFrame, tiers: Seq[(Long, Long)],
+      monthlyFeeCenti: Long): DataFrame = {
+    require(tiers.nonEmpty && tiers.head._1 == 0L &&
+      tiers.sliding(2).forall {
+        case Seq((f1, _), (f2, _)) => f2 > f1
+        case _ => true
+      }, s"tiers must start at 0 with increasing thresholds, got $tiers")
+    // tier = the LAST band whose threshold the downtime reaches
+    // ascending fold leaves the HIGHEST reached threshold outermost
+    val tierCase = tiers.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (fromSec, ppm)) =>
+        when(col("downtime_sec") >= fromSec, lit(ppm)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("account_id"), col("month"))
+      .orderBy(col("s"), col("e"))
+    val iv = outages
+      .filter(col("e") > col("s"))
+      .withColumn("month", expr("CAST(s DIV 2592000L AS BIGINT)"))
+      .withColumn("__pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    iv.groupBy(col("account_id"), col("month"), col("__isl"))
+      .agg((max(col("e")) - min(col("s"))).as("island_sec"))
+      .groupBy(col("account_id"), col("month"))
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(col("island_sec")).as("downtime_sec"))
+      .withColumn("credit_ppm", tierCase)
+      .withColumn("credit_centi",
+        expr(s"($monthlyFeeCenti * credit_ppm) DIV 1000000L"))
+  }
+
+  /** Oracle fixture of [[slaCredits]]: outage intervals derived from
+    * every 7th event (start = the event's epoch second, length =
+    * |centi-value| seconds — long enough that some overlap and chain),
+    * a three-band SLA (≥ 30 min: 5%, ≥ 4 h: 15%, else 0) on a 29.99
+    * monthly fee. The 30-day window spans a month boundary in the
+    * 30-day-epoch month key, so per-month splitting is load-bearing. */
+  private val q293 = {
+    val tiers = Seq((0L, 0L), (1800L, 50000L), (14400L, 150000L))
+    GQuery(
+      "q293_sla_credits",
+      (s, dir) => slaCredits(
+        t(s, dir, "events").filter(col("event_id") % 7L === 0L)
+          .select(col("user_id").as("account_id"),
+            col("ts").cast(LongType).as("s"),
+            (col("ts").cast(LongType) +
+              expr("abs(CAST(round(value * 100) AS BIGINT))")).as("e")),
+        tiers, monthlyFeeCenti = 2999L)
+        .orderBy(col("account_id"), col("month")),
+      Some(s"""WITH o AS (SELECT user_id AS account_id,
+            ${epochSecSql("ts")} AS s,
+            ${epochSecSql("ts")} + abs(CAST(round(value * 100) AS BIGINT))
+              AS e
+          FROM events WHERE event_id % 7 = 0),
+        iv AS (SELECT *, s // 2592000 AS month FROM o WHERE e > s),
+        m AS (SELECT *, MAX(e) OVER (PARTITION BY account_id, month
+            ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS pmax
+          FROM iv),
+        isl AS (SELECT *, CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax
+            THEN 1 ELSE 0 END) OVER (PARTITION BY account_id, month
+            ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+          FROM m),
+        runs AS (SELECT account_id, month, isl,
+            MAX(e) - MIN(s) AS island_sec
+          FROM isl GROUP BY 1, 2, 3),
+        card AS (SELECT account_id, month,
+            COUNT(*) AS n_incidents,
+            CAST(SUM(island_sec) AS BIGINT) AS downtime_sec
+          FROM runs GROUP BY 1, 2)
+        SELECT account_id, month, n_incidents, downtime_sec,
+          CAST(CASE WHEN downtime_sec >= 14400 THEN 150000
+            WHEN downtime_sec >= 1800 THEN 50000
+            ELSE 0 END AS BIGINT) AS credit_ppm,
+          CAST((2999 * CASE WHEN downtime_sec >= 14400 THEN 150000
+            WHEN downtime_sec >= 1800 THEN 50000
+            ELSE 0 END) // 1000000 AS BIGINT) AS credit_centi
+        FROM card
+        ORDER BY account_id, month"""))
+  }
+
   val queries: Seq[GQuery] = Seq(q248, q249, q250, q254, q265, q269, q274,
-    q281)
+    q281, q293)
 }

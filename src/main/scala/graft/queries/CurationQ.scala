@@ -3073,9 +3073,65 @@ object CurationQ {
           // (SUM(n) OVER ()) AS BIGINT) AS ece_ppm
       FROM g ORDER BY bin"""))
 
+  /** k-anonymity audit — the privacy gate a training-data or CDR export
+    * runs AFTER pseudonymization (q283 hides identifiers; this card asks
+    * whether the remaining QUASI-identifiers still single people out):
+    * group the export by the quasi-identifier columns and flag every
+    * group smaller than `k` — each of its rows is re-identifiable by
+    * anyone who knows those attributes, so the export must suppress or
+    * generalize them before release. One row per QI combination with
+    * its size and verdict, plus the global `at_risk_ppm` (share of ROWS
+    * in failing groups — the suppression budget) carried on every row
+    * so the gate is a one-value read.
+    *
+    * Plan: ONE hash aggregation at QI grain, then the ppm roll-up as an
+    * unpartitioned window over the QI-GRAIN rows (bounded by distinct
+    * combinations, never by the corpus — the dim-window discipline).
+    */
+  def kAnonymityCard(df: DataFrame, qiCols: Seq[String], k: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityCard: empty quasi-identifier set")
+    require(k >= 2L, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("meets_k", col("n") >= k)
+      .withColumn("at_risk_ppm",
+        expr(s"(1000000 * sum(CASE WHEN n < ${k}L THEN n ELSE 0L END) " +
+          "OVER ()) DIV sum(n) OVER ()"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("meets_k"),
+        col("at_risk_ppm")): _*)
+  }
+
+  /** Oracle fixture of [[kAnonymityCard]]: the released quasi-identifier
+    * triple is (event_type, day, duration decile) at k = 5 — coarse
+    * enough that most cells pass, fine enough that rare cells fail, so
+    * both verdicts and the suppression budget carry signal. */
+  private val q290 = GQuery(
+    "q290_k_anonymity",
+    (s, dir) => kAnonymityCard(
+      t(s, dir, "events").select(
+        col("event_type"),
+        datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+          .cast(LongType).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("dur_band")),
+      Seq("event_type", "day", "dur_band"), k = 5L)
+      .orderBy(col("event_type"), col("day"), col("dur_band")),
+    Some("""WITH q AS (SELECT event_type,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          CAST(round(value * 100) AS BIGINT) // 1000 AS dur_band
+        FROM events),
+      g AS (SELECT event_type, day, dur_band, COUNT(*) AS n
+        FROM q GROUP BY 1, 2, 3)
+      SELECT event_type, day, dur_band, n, n >= 5 AS meets_k,
+        CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END) OVER ())
+          // SUM(n) OVER () AS BIGINT) AS at_risk_ppm
+      FROM g
+      ORDER BY event_type, day, dur_band"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
-      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261, q262)
+      q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
+      q262, q290)
 }

@@ -873,6 +873,85 @@ object PreratingQ {
         FROM norm ORDER BY event_id"""
     })
 
+  /** Porting FLOW MATRIX between two number-plan versions — the
+    * operator-grain roll-up of [[guidingVersionDiff]]'s range verdicts,
+    * and the table the regulator (and every carrier's churn desk)
+    * actually publishes on porting day: for each (donor → recipient)
+    * operator pair, how many ranges and how many NUMBERS moved.
+    * Fresh allocations flow from `(none)`, surrendered ranges flow to
+    * `(none)`, and an account move INSIDE one operator is not a flow
+    * (the matrix is operator-grain by construction). Net porting
+    * balance per operator is a free margin sum over the matrix.
+    *
+    * Plan: one dim-grain full-outer join on the range bounds + one hash
+    * aggregation at operator-pair grain — corpus-independent, bounded
+    * by the plan size. */
+  def portingFlowMatrix(oldPlan: DataFrame, newPlan: DataFrame,
+      opCol: String = "operator"): DataFrame = {
+    val a = oldPlan.select(col("range_start"), col("range_end"),
+      col(opCol).as("__old_op"))
+    val b = newPlan.select(col("range_start"), col("range_end"),
+      col(opCol).as("__new_op"))
+    a.join(b, Seq("range_start", "range_end"), "full")
+      .filter(col("__old_op").isNull || col("__new_op").isNull ||
+        col("__old_op") =!= col("__new_op"))
+      .groupBy(coalesce(col("__old_op"), lit("(none)")).as("donor_op"),
+        coalesce(col("__new_op"), lit("(none)")).as("recipient_op"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("range_end") - col("range_start") + 1L).as("n_numbers"))
+  }
+
+  /** Oracle fixture of [[portingFlowMatrix]]: the q282 two-version plan
+    * with operators derived from the range index — every 3rd range
+    * ports to the NEXT operator, every 10th is surrendered, 25 fresh
+    * allocations land above the old space, so donor→recipient,
+    * →(none), and (none)→ flows all carry rows. */
+  private val q292 = GQuery(
+    "q292_porting_flow_matrix",
+    (s, dir) => {
+      val v1 = s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+          .as("range_end"),
+        concat(lit("OP"), (col("r") % 5L).cast(StringType)).as("operator"))
+      val v2 = s.range(0L, 250L).toDF("r")
+        .filter(col("r") % 10L =!= 9L || col("r") >= 225L)
+        .select(
+          (lit(49100000000L) + col("r") * 4000000L).as("range_start"),
+          (lit(49100000000L) + col("r") * 4000000L + 1999999L)
+            .as("range_end"),
+          concat(lit("OP"),
+            when(col("r") % 3L === 0L && col("r") < 225L,
+              (col("r") + 1L) % 5L)
+              .otherwise(col("r") % 5L).cast(StringType)).as("operator"))
+      portingFlowMatrix(v1, v2)
+        .orderBy(col("donor_op"), col("recipient_op"))
+    },
+    Some("""WITH v1 AS (SELECT
+          49100000000 + r * 4000000 AS range_start,
+          49100000000 + r * 4000000 + 1999999 AS range_end,
+          'OP' || CAST(r % 5 AS VARCHAR) AS operator
+        FROM UNNEST(generate_series(0, 224)) AS u(r)),
+      v2 AS (SELECT
+          49100000000 + r * 4000000 AS range_start,
+          49100000000 + r * 4000000 + 1999999 AS range_end,
+          'OP' || CAST(CASE WHEN r % 3 = 0 AND r < 225 THEN (r + 1) % 5
+            ELSE r % 5 END AS VARCHAR) AS operator
+        FROM UNNEST(generate_series(0, 249)) AS u(r)
+        WHERE r % 10 <> 9 OR r >= 225),
+      j AS (SELECT COALESCE(a.operator, '(none)') AS donor_op,
+          COALESCE(b.operator, '(none)') AS recipient_op,
+          COALESCE(a.range_end, b.range_end)
+            - COALESCE(a.range_start, b.range_start) + 1 AS width
+        FROM v1 a FULL OUTER JOIN v2 b
+          ON a.range_start = b.range_start AND a.range_end = b.range_end
+        WHERE a.operator IS NULL OR b.operator IS NULL
+          OR a.operator <> b.operator)
+      SELECT donor_op, recipient_op, COUNT(*) AS n_ranges,
+        CAST(SUM(width) AS BIGINT) AS n_numbers
+      FROM j GROUP BY 1, 2
+      ORDER BY donor_op, recipient_op"""))
+
   val queries: Seq[GQuery] =
-    Seq(q263, q264, q268, q272, q279, q280, q282, q283)
+    Seq(q263, q264, q268, q272, q279, q280, q282, q283, q292)
 }
