@@ -79,7 +79,10 @@ object ScaleProbe {
     "q280_mixed_width_guiding", "q281_rerate_delta",
     "q282_guiding_version_diff", "q283_msisdn_pseudonymize",
     "q284_cuped_experiment", "q285_theil_sen", "q286_redial_card",
-    "q287_ses_forecast")
+    "q287_ses_forecast",
+    "q288_versioned_rating", "q289_incremental_semdedup",
+    "q290_k_anonymity", "q291_activity_streaks",
+    "q292_porting_flow_matrix", "q293_sla_credits")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
