@@ -3128,10 +3128,64 @@ object CurationQ {
       FROM g
       ORDER BY event_type, day, dur_band"""))
 
+  /** l-diversity audit — the companion gate [[kAnonymityCard]] needs:
+    * a group can be k-anonymous and still leak by HOMOGENEITY (if all
+    * 50 people sharing your quasi-identifiers have the same sensitive
+    * value, the attacker learns it without singling you out). Per QI
+    * group: size, DISTINCT sensitive values, and the l-verdict; the
+    * global `homogeneous_ppm` (share of rows in failing groups) rides
+    * every row — the release gate reads k-anonymity AND l-diversity
+    * together.
+    *
+    * Plan: ONE hash aggregation at QI grain (the distinct count is the
+    * standard two-phase expand — still QI-keyed), then the ppm roll-up
+    * as a window over QI-GRAIN rows only. */
+  def lDiversityCard(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityCard: empty quasi-identifier set")
+    require(l >= 2L, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("meets_l", col("n_sensitive") >= l)
+      .withColumn("homogeneous_ppm",
+        expr(s"(1000000 * sum(CASE WHEN n_sensitive < ${l}L THEN n " +
+          "ELSE 0L END) OVER ()) DIV sum(n) OVER ()"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        col("meets_l"), col("homogeneous_ppm")): _*)
+  }
+
+  /** Oracle fixture of [[lDiversityCard]]: the q290 quasi-identifier
+    * pair (event_type, day) with the duration decile as the SENSITIVE
+    * column at l = 3 — coarser QI than q290 so groups are big enough
+    * that the l-verdict (not mere size) is what fails. */
+  private val q295 = GQuery(
+    "q295_l_diversity",
+    (s, dir) => lDiversityCard(
+      t(s, dir, "events").select(
+        col("event_type"),
+        datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+          .cast(LongType).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("dur_band")),
+      Seq("event_type", "day"), "dur_band", l = 3L)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH q AS (SELECT event_type,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          CAST(round(value * 100) AS BIGINT) // 1000 AS dur_band
+        FROM events),
+      g AS (SELECT event_type, day, COUNT(*) AS n,
+          CAST(COUNT(DISTINCT dur_band) AS BIGINT) AS n_sensitive
+        FROM q GROUP BY 1, 2)
+      SELECT event_type, day, n, n_sensitive, n_sensitive >= 3 AS meets_l,
+        CAST((1000000 * SUM(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END)
+          OVER ()) // SUM(n) OVER () AS BIGINT) AS homogeneous_ppm
+      FROM g
+      ORDER BY event_type, day"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290)
+      q262, q290, q295)
 }

@@ -360,6 +360,121 @@ object RoutingQ {
   /** Oracle fixture of [[erlangCapacity]] (1% blocking, ≤ 128 circuits):
     * loads per event-type trunk from total call seconds over the corpus
     * span; the oracle replays the integer recursion as a recursive CTE. */
+  /** Erlang-C staffing — the QUEUED twin of [[erlangCapacity]]: blocked
+    * callers there are LOST (circuits), here they WAIT (agents /
+    * call-center trunks with queueing), so the dimensioning question
+    * changes from "blocking ≤ target" to "P(wait) ≤ target": the
+    * smallest agent count m with Erlang-C
+    * `C(E,m) = m·B/(m − E·(1−B))` at or under `targetWaitPpm`, where B
+    * is the same Erlang-B staircase q260 walks. A queue is only STABLE
+    * at m > E — below that the backlog grows without bound, so those m
+    * never qualify regardless of the formula's value.
+    *
+    * Arithmetic is ENTIRELY integer ppm (DECIMAL(38,0)/HUGEINT lifts,
+    * truncating DIV — both engines replay the staircase bit-for-bit;
+    * with milli-erlang loads: `C_ppm = (m·B_ppm·10⁹) DIV (m·10⁹ −
+    * E_milli·10⁶ + E_milli·B_ppm)`). Zero load → 0 agents; a target
+    * unreachable within `maxAgents` → NULL with the residual wait
+    * probability at maxAgents surfaced (never clamped) — the q260
+    * contract. One bounded fold per queue, pure map-side after the
+    * load aggregation. */
+  def erlangStaffing(loads: DataFrame, targetWaitPpm: Long = 200000L,
+      maxAgents: Int = 128): DataFrame = {
+    require(targetWaitPpm >= 1L && targetWaitPpm < 1000000L,
+      s"targetWaitPpm must be in [1, 1e6), got $targetWaitPpm")
+    require(maxAgents >= 1, s"maxAgents must be >= 1, got $maxAgents")
+    val newBp = """CAST((CAST(1000000 AS DECIMAL(38,0)) * erlang_milli
+        * acc.bp)
+      DIV (CAST(k AS DECIMAL(38,0)) * 1000000000
+        + CAST(erlang_milli AS DECIMAL(38,0)) * acc.bp) AS BIGINT)"""
+    def cPpm(bp: String) = s"""CAST((CAST(k AS DECIMAL(38,0)) * ($bp)
+        * 1000000000)
+      DIV (CAST(k AS DECIMAL(38,0)) * 1000000000
+        - CAST(erlang_milli AS DECIMAL(38,0)) * 1000000
+        + CAST(erlang_milli AS DECIMAL(38,0)) * ($bp)) AS BIGINT)"""
+    loads.select(col("trunk"), col("erlang_milli"),
+        expr(s"""aggregate(
+          sequence(1, $maxAgents),
+          named_struct('bp', CAST(1000000 AS BIGINT),
+                       'm', CAST(NULL AS BIGINT),
+                       'w', CAST(NULL AS BIGINT)),
+          (acc, k) -> IF(acc.m IS NOT NULL OR erlang_milli <= 0, acc,
+            named_struct(
+              'bp', $newBp,
+              'm', IF(CAST(k AS BIGINT) * 1000 > erlang_milli
+                  AND ${cPpm(newBp)} <= $targetWaitPpm,
+                CAST(k AS BIGINT), CAST(NULL AS BIGINT)),
+              'w', IF(CAST(k AS BIGINT) * 1000 > erlang_milli,
+                ${cPpm(newBp)}, CAST(NULL AS BIGINT)))))
+          AS st"""))
+      .select(col("trunk"), col("erlang_milli"),
+        when(col("erlang_milli") <= 0L, lit(0L))
+          .otherwise(col("st.m")).as("agents_required"),
+        when(col("erlang_milli") <= 0L, lit(0L))
+          .otherwise(col("st.w")).as("wait_ppm"))
+  }
+
+  /** Oracle fixture of [[erlangStaffing]]: the q260 load construction
+    * (per-type offered milli-erlangs over the corpus span) at a 5%
+    * wait-probability target — tight enough that every queue needs
+    * agents strictly above its load ceiling. */
+  private val q294 = GQuery(
+    "q294_erlang_staffing",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type").as("trunk"),
+        (lit(60L) * (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)"))
+          % 10L)).as("dur_sec"),
+        col("ts").cast(LongType).as("sec"))
+      val span = ev.agg((max(col("sec")) - min(col("sec"))).as("span_sec"))
+      val loads = ev.groupBy(col("trunk"))
+        .agg(sum(col("dur_sec")).as("call_sec"))
+        .crossJoin(broadcast(span))
+        .select(col("trunk"),
+          expr("(1000 * call_sec) DIV span_sec").as("erlang_milli"))
+      erlangStaffing(loads, targetWaitPpm = 50000L).orderBy(col("trunk"))
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT event_type AS trunk,
+          60 * (1 + abs(CAST(round(value) AS BIGINT)) % 10) AS dur_sec,
+          ${epochSecSql("ts")} AS sec
+        FROM events),
+      span AS (SELECT MAX(sec) - MIN(sec) AS span_sec FROM ev),
+      loads AS (SELECT trunk,
+          (1000 * SUM(dur_sec)) // span.span_sec AS erlang_milli
+        FROM ev, span GROUP BY trunk, span.span_sec),
+      rec AS (
+        SELECT trunk, erlang_milli, 0 AS k,
+          CAST(1000000 AS HUGEINT) AS bp
+        FROM loads WHERE erlang_milli > 0
+        UNION ALL
+        SELECT trunk, erlang_milli, k + 1,
+          (CAST(1000000 AS HUGEINT) * erlang_milli * bp)
+            // (CAST(k + 1 AS HUGEINT) * 1000000000
+               + CAST(erlang_milli AS HUGEINT) * bp)
+        FROM rec WHERE k < 128),
+      cw AS (SELECT trunk, erlang_milli, k, bp,
+          CASE WHEN k >= 1 AND CAST(k AS HUGEINT) * 1000 > erlang_milli
+            THEN (CAST(k AS HUGEINT) * bp * 1000000000)
+              // (CAST(k AS HUGEINT) * 1000000000
+                 - CAST(erlang_milli AS HUGEINT) * 1000000
+                 + CAST(erlang_milli AS HUGEINT) * bp)
+            END AS c_ppm
+        FROM rec),
+      hit AS (SELECT trunk, MIN(k) AS m FROM cw
+        WHERE c_ppm IS NOT NULL AND c_ppm <= 50000 GROUP BY trunk),
+      at AS (SELECT c.trunk, h.m, c.c_ppm FROM cw c JOIN hit h
+          ON h.trunk = c.trunk AND c.k = h.m),
+      last AS (SELECT trunk, c_ppm FROM cw WHERE k = 128)
+      SELECT l.trunk, CAST(l.erlang_milli AS BIGINT) AS erlang_milli,
+        CAST(CASE WHEN l.erlang_milli <= 0 THEN 0 ELSE a.m END
+          AS BIGINT) AS agents_required,
+        CAST(CASE WHEN l.erlang_milli <= 0 THEN 0
+          ELSE COALESCE(a.c_ppm, la.c_ppm) END AS BIGINT) AS wait_ppm
+      FROM loads l
+      LEFT JOIN at a ON a.trunk = l.trunk
+      LEFT JOIN last la ON la.trunk = l.trunk
+      ORDER BY l.trunk"""))
+
   private val q260 = GQuery(
     "q260_erlang_capacity",
     (s, dir) => {
@@ -928,6 +1043,6 @@ object RoutingQ {
           AS BIGINT) AS recovery_ppm
       FROM marked GROUP BY 1 ORDER BY route"""))
 
-  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267,
+  val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q294,
     q276, q277, q278, q286)
 }
