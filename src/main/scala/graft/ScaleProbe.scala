@@ -82,7 +82,8 @@ object ScaleProbe {
     "q287_ses_forecast",
     "q288_versioned_rating", "q289_incremental_semdedup",
     "q290_k_anonymity", "q291_activity_streaks",
-    "q292_porting_flow_matrix", "q293_sla_credits")
+    "q292_porting_flow_matrix", "q293_sla_credits",
+    "q294_erlang_staffing", "q295_l_diversity")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
