@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,6 +112,67 @@ object IncrementalSemDedup {
       .withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id").mode("append")
       .parquet(membersPath(storePath))
+  }
+
+  /** Re-cluster the WHOLE store at `newCells` centroids — the mechanical
+    * lever behind the √n contract (`cells ≈ √corpus`; the 10× probe
+    * shows why: at fixed cells, per-cell pair work grows with n²/cells).
+    * Centroids re-seed from the store's lowest `newCells` ids (pass
+    * `centroids` to use trained cells instead); one scan of the members
+    * (embeddings and norms reused, only cluster/dist reassigned),
+    * written to a sibling temp and atomically swapped — IDEMPOTENT
+    * across crashes, the [[IncrementalAnn.rebuild]] discipline: the
+    * temp is only trusted once its `_REBUILT` marker exists and the
+    * final swap re-enters.
+    *
+    * Accumulated PAIRS stay VALID after a rebuild (cosine does not
+    * depend on the cells) but are possibly INCOMPLETE w.r.t. the new
+    * cells: a pair the OLD cells separated was never emitted and stays
+    * missing — the same semantics as any LSH parameter change. Rebuild
+    * widens recall from here on; re-deriving history's missing pairs is
+    * a batch `semDedup` run, not a store operation. */
+  def rebuild(spark: SparkSession, storePath: String, newCells: Int,
+      centroids: Option[DataFrame] = None): Unit = {
+    require(newCells >= 1, s"newCells must be >= 1, got $newCells")
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".rebuild.tmp")
+    val fs = dst.getFileSystem(hadoop)
+    // the WHOLE store (cells + members) swaps as one unit under one
+    // completion marker — swapping the two dirs separately would have a
+    // crash window holding new cells beside old members (or a deleted
+    // members dir with its replacement stranded in the temp)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_REBUILT")
+    if (!fs.exists(marker)) {
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          membersPath(storePath))),
+        s"IncrementalSemDedup.rebuild: no member store at $storePath " +
+          "and no completed rebuild temp — nothing to rebuild from")
+      val members = spark.read.parquet(membersPath(storePath))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("batch_id"))
+      val seeds = centroids.getOrElse(
+        members.orderBy(col("vec_id")).limit(newCells)
+          .select(col("vec_id").as("cluster"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+              .as("centroid")))
+      seeds.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$tmp/cells")
+      VectorQ.assignToCentroids(members, seeds)
+        .join(members.select(col("vec_id"), col("batch_id")),
+          Seq("vec_id"))
+        .write.partitionBy("batch_id").mode(SaveMode.Overwrite)
+        .parquet(s"$tmp/members")
+      fs.create(marker, true).close()
+    }
+    // swap: from here on the temp is complete (this run's write or a
+    // prior crashed run's) — delete-then-rename, each step re-entrant
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"IncrementalSemDedup.rebuild: rename $tmp -> $dst failed; re-run " +
+        "rebuild to complete the swap (the completed temp is kept)")
+    // the marker is temp-state, not store-state
+    fs.delete(new org.apache.hadoop.fs.Path(dst, "_REBUILT"), false)
   }
 
   private def readCells(spark: SparkSession, storePath: String): DataFrame = {

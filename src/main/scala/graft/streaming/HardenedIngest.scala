@@ -166,9 +166,10 @@ object HardenedIngest {
           require(read.filter(col("hsum").isNull).isEmpty,
             s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
               "rows (a v1 ledger read with the v2 schema) — redelivery " +
-              "protection would be silently lost; rebuild the ledger " +
-              "from the legs store (re-digest each ingested file) or " +
-              "drop it and re-seed before restarting the stage")
+              "protection would be silently lost; drop the ledger and " +
+              "accept redelivery exposure for pre-upgrade files (their " +
+              "per-FILE grouping is not recoverable from the legs " +
+              "store), or restore a v2 backup, before restarting")
           read
         }
       val fresh = dedupInBatch

@@ -92,6 +92,51 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 11L), kept.toString)
   }
 
+  test("rebuild re-clusters the store (the √n lever) and recovers from " +
+      "a crash between delete and swap") {
+    val base = Files.createTempDirectory("graft_semrebuild").toString
+    val store = s"$base/store"
+    // two seed directions; v10/v11 are COSINE near-dups but land in
+    // DIFFERENT cells (each hugs its own centroid), so the 2-cell store
+    // can never pair them
+    val boot = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (10L, Array(0.75f, 0.70f, 0f)),
+      (11L, Array(0.70f, 0.75f, 0f))).toDF("vec_id", "embedding")
+    IncrementalSemDedup.initStore(boot, store, cells = 2)
+    val members0 = spark.read.parquet(s"$store/members")
+    assert(members0.select(col("cluster")).distinct().count() == 2L)
+
+    // rebuild to ONE cell: everything co-locates; batch partitions and
+    // member count survive the swap
+    IncrementalSemDedup.rebuild(spark, store, newCells = 1)
+    val members1 = spark.read.parquet(s"$store/members")
+    assert(members1.count() == 4L)
+    assert(members1.select(col("cluster")).distinct().count() == 1L)
+    assert(spark.read.parquet(s"$store/cells").count() == 1L)
+    // a fresh delta near the v10/v11 direction now pairs with BOTH —
+    // the old cells would have hidden one of them
+    val probe = Seq((20L, Array(0.72f, 0.72f, 0f)))
+      .toDF("vec_id", "embedding")
+    val hits = IncrementalSemDedup.deltaPairs(probe,
+        spark.read.parquet(s"$store/cells"), members1, threshold = 0.9)
+      .select(col("lo_id")).as[Long].collect().toSet
+    assert(Set(10L, 11L).subsetOf(hits), hits.toString)
+
+    // crash recovery: simulate "temp complete, store already deleted"
+    // (the window between delete(dst) and the rename) — re-running the
+    // rebuild must complete the swap, not wedge
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(store + ".rebuild.tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store), tmp))
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_REBUILT"), true).close()
+    IncrementalSemDedup.rebuild(spark, store, newCells = 1)
+    assert(spark.read.parquet(s"$store/members").count() == 4L)
+    assert(!fs.exists(tmp), "completed temp must be swapped in")
+  }
+
   test("a store without centroids fails loudly — ad-hoc cells would " +
       "silently miss cross-batch near-dups") {
     val base = Files.createTempDirectory("graft_semnocells").toString
