@@ -481,6 +481,60 @@ object LiveRatingChain {
     ss.map(_.name)
   }
 
+  /** Register the FULLY LIVE chain — every dimension a running query
+    * consults is now refreshable without a restart, closing the loop the
+    * two halves opened: prerating resolves the NUMBER PLAN from a
+    * [[VersionedDim]] per micro-batch with SCD2 era guiding
+    * (`versionedGuiding = true` — each CDR guides as of its own event
+    * time), and rating resolves the TARIFF timeline the same way
+    * (attach + plan-on-record). Both stages expose `refreshsession`
+    * hooks.
+    *
+    * The composed determinism statement this buys (spec- and
+    * probe-pinned): because BOTH dims are event-time-versioned, the
+    * streamed chain's output depends only on the FINAL dimension
+    * timelines, not on when publishes landed — provided each publish
+    * lands before the traffic its new era covers (the operational
+    * porting-day rule). So the whole streamed run, ports and
+    * amendments included, must equal ONE batch replay:
+    * `guideRangesVersioned(final plan)` →
+    * `marginalTieredChargesVersioned(final timeline)` — EXACT.
+    *
+    * Stage order: prerating(live plan) → ingest → assembly →
+    * tariff_attach(live tariff) → rating. Publish at least one version
+    * of EACH dim before starting. */
+  def registerFullyLive(runner: PipelineRunner, spark: SparkSession,
+      rawInbox: String, numberDim: VersionedDim, tariffDim: VersionedDim,
+      preratedDir: String, legsDir: String, callsDir: String,
+      enrichedDir: String, ratedDir: String, checkpointRoot: String,
+      defaultCc: String = "49", legTimeoutMs: Long = -1L): Seq[String] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(rawInbox, preratedDir, legsDir, callsDir, enrichedDir,
+        ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val pre = preratingStageLive(spark, rawInbox, numberDim, preratedDir,
+      checkpointRoot, defaultCc, versionedGuiding = true)
+    val base = stages(spark, "/nonexistent-inbox", legsDir, callsDir,
+      "/nonexistent-rated", checkpointRoot,
+      Seq((0L, Long.MaxValue, 0L)), legTimeoutMs).take(2)
+    val ingest = base.head.copy(source = s => s.readStream
+      .schema(preratedLiveSchema).parquet(preratedDir)
+      .filter(col("guided"))
+      .select(col("call_id"), col("seq"), col("total"),
+        col("duration_sec")))
+    val attach = tariffAttachStage(spark, callsDir, enrichedDir,
+      checkpointRoot, tariffDim)
+    val rating = ratingStageLiveTariff(spark, enrichedDir, ratedDir,
+      checkpointRoot)
+    val ss = Seq(pre, ingest, base(1), attach, rating)
+    ss.foreach(runner.register)
+    runner.onRefresh(pre.name, () => numberDim.refresh())
+    runner.onRefresh(attach.name, () => tariffDim.refresh())
+    ss.map(_.name)
+  }
+
   /** Prerated-store schema the downstream ingest reads (the partition
     * column `guided` included so the filter prunes whole partitions). */
   private def preratedSchema: StructType = StructType(Seq(
