@@ -191,8 +191,13 @@ object PacketQueueSink {
     }
 
     // 1. one executor-parallel partitioned write; the route column is
-    // consumed by the layout (not repeated inside the data files)
-    val work = new Path(destinations.head._2.head.dataDir,
+    // consumed by the layout (not repeated inside the data files).
+    // Work-dir host pinned to the lexicographically-smallest data dir:
+    // Map iteration order is not stable across JVMs, and a replay that
+    // picked a different host would strand the crashed attempt's
+    // (invisible, dot-prefixed) work dir instead of sweeping it.
+    val work = new Path(
+      destinations.values.flatten.map(_.dataDir).min,
       f".work-demux-b$batchId%020d")
     val workFs = fsOf(work)
     if (workFs.exists(work)) workFs.delete(work, true)
