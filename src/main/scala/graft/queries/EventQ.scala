@@ -1498,12 +1498,20 @@ object EventQ {
     * Used as the `validate` hook of a [[graft.streaming.VersionedDim]]
     * tariff store, so a live chain pays these two jobs once per dim
     * VERSION, never per micro-batch. */
-  def validateTariffTimeline(tariff: DataFrame): DataFrame = {
-    val byWin = tariff
-      .groupBy(col("valid_from_sec"), col("valid_to_sec"))
+  /** The tariff dim collapsed to ONE row per validity window with its
+    * sorted tiers array — the shared shape [[validateTariffTimeline]],
+    * [[marginalTieredChargesVersioned]], and the live attach stage all
+    * consume. The struct field names (f, t, r) are the
+    * [[graft.streaming.TierRow]] wire contract — every consumer reads
+    * them, so they live in exactly one place. */
+  def planWindows(tariff: DataFrame): DataFrame =
+    tariff.groupBy(col("valid_from_sec"), col("valid_to_sec"))
       .agg(sort_array(collect_list(struct(
         col("tier_from").as("f"), col("tier_to").as("t"),
-        col("rate_centi").as("r")))).as("ts"))
+        col("rate_centi").as("r")))).as("tiers"))
+
+  def validateTariffTimeline(tariff: DataFrame): DataFrame = {
+    val byWin = planWindows(tariff).withColumnRenamed("tiers", "ts")
     val badTiers = byWin.filter(!(
         expr("ts[0].f = CAST(0 AS BIGINT)") &&
         expr(s"ts[size(ts) - 1].t = ${Long.MaxValue}L") &&
@@ -1561,12 +1569,9 @@ object EventQ {
       keyCol: String = "user_id", preValidated: Boolean = false)
       : DataFrame = {
     val checked = if (preValidated) tariff else validateTariffTimeline(tariff)
-    val plans = checked
-      .groupBy(col("valid_from_sec").as("__vf"),
-        col("valid_to_sec").as("__vt"))
-      .agg(sort_array(collect_list(struct(
-        col("tier_from").as("f"), col("tier_to").as("t"),
-        col("rate_centi").as("r")))).as("__tiers"))
+    val plans = planWindows(checked)
+      .select(col("valid_from_sec").as("__vf"),
+        col("valid_to_sec").as("__vt"), col("tiers").as("__tiers"))
     val w = Window.partitionBy(col("k"))
       .orderBy(col("sec"), col("event_id"))
     val clamp = (u: String) =>

@@ -275,11 +275,27 @@ private final class PacketQueueStream(schema: StructType,
       // straggler here, and renaming onto the existing archived copy
       // would fail on HDFS (rename → false) and wedge every subsequent
       // commit — or silently overwrite on a local FS. The archived copy
-      // IS the durably-consumed record: drop the queue-side duplicate.
-      if (fs.exists(dst))
+      // IS the durably-consumed record, so the queue-side duplicate is
+      // dropped — but ONLY after proving it byte-identical: a
+      // same-named packet with DIFFERENT content is not a replay, it is
+      // a reset/misconfigured producer reusing archived batch ids, and
+      // silently deleting it would lose its wave unread. Packets are
+      // ≤ 64 KiB control records, so the compare is two tiny reads.
+      if (fs.exists(dst)) {
+        def bytes(p: Path): Array[Byte] = {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val in = fs.open(p)
+          try { val b = new Array[Byte](len); in.readFully(b); b }
+          finally in.close()
+        }
+        require(java.util.Arrays.equals(bytes(q), bytes(dst)),
+          s"packetqueue: packet ${q.getName} collides with an archived " +
+            "packet of DIFFERENT content — a producer is reusing " +
+            "consumed batch ids (reset checkpoint or second producer); " +
+            "refusing to drop unread data")
         require(fs.delete(q, false),
           s"packetqueue: duplicate-archive delete failed for ${q.getName}")
-      else require(fs.rename(q, dst),
+      } else require(fs.rename(q, dst),
         s"packetqueue: archive move failed for ${q.getName}")
     }
   }

@@ -51,6 +51,13 @@ import org.apache.spark.sql.types._
   */
 object HardenedIngest {
 
+  /** Ledgers whose v1-guard (NULL-hsum scan) already passed in this JVM
+    * — new appends always carry hsum, so once is enough per process;
+    * a restart re-checks once, which is exactly when a pre-upgrade
+    * ledger could have appeared. */
+  private val validatedLedgers =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
+
   /** Per-column live profile card: one scan → one aggregate row →
     * |cols| rows. The bounded-collect/explode shape of q261
     * ([[graft.queries.CurationQ.profileDrift]]), reduced to the
@@ -161,15 +168,21 @@ object HardenedIngest {
           // read with the v2 schema yields NULL hsum rows the triple
           // anti-join can never match — every previously-ingested file
           // would silently look fresh on redelivery, the exact
-          // double-billing this module exists to prevent. One bounded
-          // scan of the (file-grain, human-scale) ledger per batch.
-          require(read.filter(col("hsum").isNull).isEmpty,
-            s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
-              "rows (a v1 ledger read with the v2 schema) — redelivery " +
-              "protection would be silently lost; drop the ledger and " +
-              "accept redelivery exposure for pre-upgrade files (their " +
-              "per-FILE grouping is not recoverable from the legs " +
-              "store), or restore a v2 backup, before restarting")
+          // double-billing this module exists to prevent. The condition
+          // can only arise from PRE-EXISTING files (everything this code
+          // appends carries hsum), so the scan is paid ONCE per ledger
+          // per JVM — the VersionedDim validate-once discipline — not
+          // per trigger on the hot ingest path.
+          if (!validatedLedgers.contains(ledgerDir)) {
+            require(read.filter(col("hsum").isNull).isEmpty,
+              s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
+                "rows (a v1 ledger read with the v2 schema) — redelivery " +
+                "protection would be silently lost; drop the ledger and " +
+                "accept redelivery exposure for pre-upgrade files (their " +
+                "per-FILE grouping is not recoverable from the legs " +
+                "store), or restore a v2 backup, before restarting")
+            validatedLedgers.put(ledgerDir, true)
+          }
           read
         }
       val fresh = dedupInBatch

@@ -243,7 +243,14 @@ object LiveRatingChain {
     * moving rows across verdict partitions, and overwrite-by-written-
     * partition would strand the stale verdict's files. Each emitted row
     * carries `guide_ver`, the dim version that guided it — the audit
-    * column a porting dispute reads. */
+    * column a porting dispute reads.
+    *
+    * CRASH MODEL: the downstream ingest lists this directory and dedups
+    * by path, so the replay rewrite is exactly-once only under the
+    * kill-the-topology model (producer and consumer restart together —
+    * the [[HardenedIngest]] stance); per-stage auto-restart topologies
+    * must bounce the whole chain on a prerating failure or hand off
+    * over the packet plane instead. */
   def preratingStageLive(spark: SparkSession, rawInbox: String,
       dim: VersionedDim, preratedDir: String, checkpointRoot: String,
       defaultCc: String = "49", versionedGuiding: Boolean = false,
@@ -354,12 +361,48 @@ object LiveRatingChain {
     * and its replay, moving rows across `covered` partitions — dynamic
     * overwrite would strand the stale verdict's files).
     *
+    * CRASH MODEL (the [[HardenedIngest]] stance, stated here because
+    * this handoff carries money): the downstream rating stage lists the
+    * enriched DIRECTORY (foreachBatch owns the layout — no
+    * `_spark_metadata`) and dedups by path, so the delete-then-rewrite
+    * replay is only racy against a consumer that kept running through
+    * the producer's crash — attempt-1 files it already counted are
+    * replaced by differently-named attempt-2 files it would count
+    * AGAIN. The kill-the-topology model excludes that (producer and
+    * consumer restart together); operators who instead auto-restart
+    * individual stages (SupervisorListener) must either restart the
+    * whole chain on an attach failure or route this handoff over the
+    * packet plane, whose sweep makes a producer replay LOUD at the
+    * consumer rather than silent.
+    *
     * Plan shape per batch: one bounded dim read + ONE broadcast join
     * (validity windows never overlap, so ≤ 1 match per call, no
     * fanout) — the call side never shuffles here. */
   def tariffAttachStage(spark: SparkSession, callsDir: String,
       enrichedDir: String, checkpointRoot: String, tariff: VersionedDim)
-      : StageSpec =
+      : StageSpec = {
+    // the window-grain plan aggregation is cached PER DIM VERSION (the
+    // VersionedDim validate-once discipline): resolve() is cheap when
+    // the version is unchanged, but re-aggregating the plan every
+    // trigger would pay an identical dim-grain job between publishes
+    val cachedPlans = new java.util.concurrent.atomic.AtomicReference[
+      (Long, DataFrame)](null)
+    def plansFor(ver: Long, dim: DataFrame): DataFrame = {
+      val c = cachedPlans.get()
+      if (c != null && c._1 == ver) c._2
+      else {
+        val p = graft.queries.EventQ.planWindows(dim)
+          .select(col("valid_from_sec").as("__vf"),
+            col("valid_to_sec").as("__vt"), col("tiers"))
+          .cache()
+        p.count() // materialize the (bounded, window-grain) dim once
+        cachedPlans.getAndSet((ver, p)) match {
+          case null => ()
+          case (_, old) => old.unpersist()
+        }
+        p
+      }
+    }
     StageSpec(
       "tariff_attach",
       source = s => s.readStream.schema(StructType(Seq(
@@ -373,12 +416,7 @@ object LiveRatingChain {
         .option("checkpointLocation", s"$checkpointRoot/tariff_attach")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val (ver, dim) = tariff.resolve()
-          val plans = dim
-            .groupBy(col("valid_from_sec").as("__vf"),
-              col("valid_to_sec").as("__vt"))
-            .agg(sort_array(collect_list(struct(
-              col("tier_from").as("f"), col("tier_to").as("t"),
-              col("rate_centi").as("r")))).as("tiers"))
+          val plans = plansFor(ver, dim)
           val out = batch.filter(col("complete"))
             .select(
               split(col("call_id"), ":").getItem(0).cast(LongType)
@@ -401,6 +439,7 @@ object LiveRatingChain {
           out.write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("batch_id", "covered").parquet(enrichedDir)
         })
+  }
 
   /** Enriched-usage store schema (both partition columns declared — the
     * [[preratedLiveSchema]] convention). */
