@@ -574,6 +574,59 @@ object LiveRatingChain {
     ss.map(_.name)
   }
 
+  /** [[registerFullyLive]] with the HARDENED ingest between prerating
+    * and assembly — the full production wiring: live number-plan
+    * guiding, content-hash redelivery dedup + optional drift gate on
+    * what prerating admitted, stateful assembly, live tariff rating.
+    * A CDR wave redelivered under a new name anywhere upstream is
+    * dropped WHOLE by the digest ledger before it can double-bill,
+    * while ports and amendments still land with no restart — and the
+    * batch-replay determinism statement still holds on the deduped
+    * traffic. */
+  def registerFullyLiveHardened(runner: PipelineRunner,
+      spark: SparkSession, rawInbox: String, numberDim: VersionedDim,
+      tariffDim: VersionedDim, preratedDir: String, legsDir: String,
+      ledgerDir: String, callsDir: String, enrichedDir: String,
+      ratedDir: String, checkpointRoot: String,
+      gate: Option[HardenedIngest.DriftGate] = None,
+      defaultCc: String = "49", legTimeoutMs: Long = -1L): Seq[String] = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    Seq(rawInbox, preratedDir, legsDir, callsDir, enrichedDir,
+        ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val pre = preratingStageLive(spark, rawInbox, numberDim, preratedDir,
+      checkpointRoot, defaultCc, versionedGuiding = true)
+    // hardened ingest with its SOURCE swapped to the LIVE prerated
+    // store (batch_id/guide_ver partitions declared; the digest rides
+    // the prerated file path as __src)
+    val ingest = HardenedIngest.stage(spark, inboxDir = "/unused",
+      legsDir, ledgerDir, checkpointRoot, gate).copy(
+      source = s => s.readStream.schema(preratedLiveSchema)
+        .parquet(preratedDir)
+        .filter(col("guided"))
+        .select(col("call_id"), col("seq"), col("total"),
+          col("duration_sec"), col("_metadata.file_path").as("__src")))
+    // assembly reads the hardened legs store (extended schema with the
+    // batch_id partition column)
+    val base = stages(spark, "/nonexistent-inbox", legsDir, callsDir,
+      "/nonexistent-rated", checkpointRoot,
+      Seq((0L, Long.MaxValue, 0L)), legTimeoutMs)
+    val assembly = base(1).copy(source = s => s.readStream
+      .schema(HardenedIngest.hardenedLegsSchema).parquet(legsDir)
+      .drop("batch_id"))
+    val attach = tariffAttachStage(spark, callsDir, enrichedDir,
+      checkpointRoot, tariffDim)
+    val rating = ratingStageLiveTariff(spark, enrichedDir, ratedDir,
+      checkpointRoot)
+    val ss = Seq(pre, ingest, assembly, attach, rating)
+    ss.foreach(runner.register)
+    runner.onRefresh(pre.name, () => numberDim.refresh())
+    runner.onRefresh(attach.name, () => tariffDim.refresh())
+    ss.map(_.name)
+  }
+
   /** Prerated-store schema the downstream ingest reads (the partition
     * column `guided` included so the filter prunes whole partitions). */
   private def preratedSchema: StructType = StructType(Seq(

@@ -151,4 +151,55 @@ class FullyLiveChainSpec extends SparkSpec {
       } finally runner.stopAll()
     }
   }
+
+  test("the HARDENED fully-live chain drops a redelivered wave whole " +
+      "while ports and amendments land live — parity on deduped traffic") {
+    withRocks {
+      val base = Files.createTempDirectory("graft_fullylivehard").toString
+      val numberDim = new VersionedDim(spark, s"$base/numdim",
+        PreratingQ.validateVersionedDim)
+      val tariffDim = new VersionedDim(spark, s"$base/tardim",
+        EventQ.validateTariffTimeline)
+      numberDim.publish(planDf(planV1))
+      tariffDim.publish(tariffDf(planA(0L, END)))
+      val runner = new PipelineRunner(spark)
+      val names = LiveRatingChain.registerFullyLiveHardened(runner, spark,
+        s"$base/inbox", numberDim, tariffDim, s"$base/prerated",
+        s"$base/legs", s"$base/ledger", s"$base/calls", s"$base/enriched",
+        s"$base/rated", s"$base/ckpt")
+      val qs = names.map(runner.start)
+      def drain(): Unit =
+        (1 to 4).foreach(_ => qs.foreach(_.processAllAvailable()))
+      def rated() = spark.read.parquet(s"$base/rated")
+        .select(col("account_id"), col("event_id"), col("charge_centi"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._2 -> ((r._1, r._3))).toMap
+
+      val w1 = Seq("+49100000150,101,1,1,100.0",
+        "0049100000250,201,1,1,250.0")
+      try {
+        writeCsv(s"$base/inbox/w1.csv", w1)
+        drain()
+        assert(rated() == Map(101L -> ((1L, 500L)),
+          201L -> ((2L, 950L))), rated().toString)
+
+        // the classic mediation failure: the SAME raw wave lands again
+        // under a new name — the digest ledger must drop it WHOLE, even
+        // though it re-traverses the live prerating stage first
+        writeCsv(s"$base/inbox/retry_w1.csv", w1)
+        drain()
+        assert(rated() == Map(101L -> ((1L, 500L)),
+          201L -> ((2L, 950L))), s"redelivery double-billed: ${rated()}")
+
+        // a port and an amendment still land live through the hardened
+        // path
+        numberDim.publish(planDf(planV2))
+        tariffDim.publish(tariffDf(planA(0L, 1000L) ++ planB(1000L, END)))
+        writeCsv(s"$base/inbox/w2.csv",
+          Seq("+49100000260,1600,1,1,120.0"))
+        drain()
+        assert(rated()(1600L) == ((3L, 480L)), rated().toString)
+      } finally runner.stopAll()
+    }
+  }
 }
