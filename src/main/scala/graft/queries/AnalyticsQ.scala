@@ -3565,10 +3565,87 @@ object AnalyticsQ {
       GROUP BY u
       ORDER BY user_id"""))
 
+  /** Benjamini–Hochberg FDR gate — the multiple-testing correction the
+    * anomaly family (q104/q165/q185 flags, q275 trend tests) needs
+    * before anyone pages on it: run 150 daily anomaly tests at 5% each
+    * and ~8 fire by chance alone. BH step-up: order the m tests by
+    * p ascending, find the LARGEST k with `p_(k) ≤ k/m·α`, reject
+    * tests 1..k — controlling the expected false-discovery RATE rather
+    * than the per-test error. The comparison runs in exact integers
+    * (`p_milli·m ≤ i·α_milli` — no division), ties in p break on the
+    * id columns so the rank (and therefore the verdict set) is
+    * deterministic cross-engine. p-values arrive in milli on the input
+    * (the upstream test's contract); this card is the gate, not the
+    * test.
+    *
+    * Plan: the global order/rank windows run at TEST grain — bounded
+    * by |tests| (types × days), never by the corpus (the q290 ppm
+    * discipline); everything upstream already aggregated. */
+  def bhFdrGate(tests: DataFrame, idCols: Seq[String],
+      alphaMilli: Long = 50L): DataFrame = {
+    require(idCols.nonEmpty, "bhFdrGate: empty id column set")
+    require(alphaMilli >= 1L && alphaMilli < 1000L,
+      s"alphaMilli must be in [1, 1000), got $alphaMilli")
+    val w = Window.orderBy(col("p_milli") +: idCols.map(col): _*)
+    val ww = Window.partitionBy()
+    tests
+      .withColumn("__i", row_number().over(w).cast(LongType))
+      .withColumn("__m", count(lit(1)).over(ww))
+      .withColumn("__hit",
+        when(expr(s"p_milli * __m <= __i * $alphaMilli"), col("__i")))
+      .withColumn("__k", max(col("__hit")).over(ww))
+      .withColumn("rejected",
+        col("__k").isNotNull && col("__i") <= col("__k"))
+      .select(idCols.map(col) ++ Seq(col("p_milli"),
+        col("__i").as("bh_rank"), col("rejected")): _*)
+  }
+
+  /** Oracle fixture of [[bhFdrGate]]: one test per (type, day) with a
+    * deterministic milli-p — the first week carries PLANTED small
+    * p-values (1–3 milli) over a pseudo-uniform null tail, so at
+    * α = 20% the step-up provably rejects the plant (and whatever
+    * uniform tail BH legitimately sweeps in below the largest-k line)
+    * while the bulk survives — both verdicts carry rows. */
+  private val q297 = GQuery(
+    "q297_bh_fdr",
+    (s, dir) => bhFdrGate(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+            .cast(LongType).as("day"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev"))
+        .select(col("event_type"), col("day"),
+          when(col("day") < 7L, lit(1L) + pmod(col("rev"), lit(3L)))
+            .otherwise(lit(4L) + pmod(col("rev"), lit(996L)))
+            .as("p_milli")),
+      Seq("event_type", "day"), alphaMilli = 200L)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH tests AS (SELECT event_type,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          SUM(CAST(round(value * 100) AS BIGINT)) AS rev
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, day,
+          CASE WHEN day < 7
+            THEN 1 + ((rev % 3) + 3) % 3
+            ELSE 4 + ((rev % 996) + 996) % 996 END AS p_milli
+        FROM tests),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_milli, event_type,
+            day) AS i,
+          COUNT(*) OVER () AS m
+        FROM p),
+      k AS (SELECT MAX(CASE WHEN p_milli * m <= i * 200 THEN i END)
+          OVER () AS kk, * FROM r)
+      SELECT event_type, CAST(day AS BIGINT) AS day,
+        CAST(p_milli AS BIGINT) AS p_milli, i AS bh_rank,
+        kk IS NOT NULL AND i <= kk AS rejected
+      FROM k
+      ORDER BY event_type, day"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
-    q291)
+    q291, q297)
 }

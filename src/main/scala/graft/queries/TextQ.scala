@@ -3413,10 +3413,73 @@ object TextQ {
         (1000000 * n_boiler) // n_chunks AS boiler_ppm
       FROM g ORDER BY doc_id"""))
 
+  /** Readability card — the grade-level lens the quality family (q32
+    * length/punct ratios, q65 LM score, q205 surprise) lacks: classic
+    * Flesch–Kincaid grade per document, in EXACT integer milli so both
+    * engines (and any two cluster runs) agree bit-for-bit. Words are
+    * whitespace tokens; sentences are `[.!?]+` runs (min 1 — a fragment
+    * is one sentence); syllables are approximated by VOWEL RUNS per
+    * word (`[aeiouy]+`, min 1 per word — the standard cheap estimator;
+    * the card is a RANKING/gating signal, not a linguistics claim, and
+    * the estimator is documented so the gate is reproducible).
+    * `fk_grade_milli = 390·(words DIV-scaled by sentences) +
+    * 11800·(syllables scaled by words) − 15590`, truncating division;
+    * empty documents keep a row with NULL grade (never-drop).
+    *
+    * Plan: pure map-side — one higher-order fold over each doc's token
+    * array inside the scan projection; zero shuffles at any corpus
+    * size (the oracle replays it via unnest + group-by). */
+  def readabilityCard(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("""filter(split(lower(text), ' '), w -> length(w) > 0)""")
+          .as("__ws"),
+        greatest(expr(
+          "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"),
+          lit(1L)).as("n_sentences"))
+      .select(col("doc_id"),
+        expr("CAST(size(__ws) AS BIGINT)").as("n_words"),
+        col("n_sentences"),
+        expr("""aggregate(__ws, CAST(0 AS BIGINT), (acc, w) ->
+          acc + greatest(CAST(size(regexp_extract_all(w, '[aeiouy]+', 0))
+            AS BIGINT), 1L))""").as("n_syllables"))
+      .withColumn("fk_grade_milli",
+        when(col("n_words") > 0L,
+          expr("(390 * n_words) DIV n_sentences" +
+            " + (11800 * n_syllables) DIV n_words - 15590")))
+
+  /** Oracle fixture of [[readabilityCard]] over the documents table. */
+  private val q296 = GQuery(
+    "q296_readability",
+    (s, dir) => readabilityCard(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH e AS (SELECT doc_id,
+          unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      ws AS (SELECT doc_id, COUNT(*) AS n_words,
+          CAST(SUM(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))
+            AS BIGINT) AS n_syllables
+        FROM e WHERE len(w) > 0 GROUP BY 1),
+      se AS (SELECT doc_id,
+          greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+            AS BIGINT), 1) AS n_sentences
+        FROM documents)
+      SELECT d.doc_id,
+        CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+        se.n_sentences,
+        CAST(COALESCE(ws.n_syllables, 0) AS BIGINT) AS n_syllables,
+        CASE WHEN COALESCE(ws.n_words, 0) > 0 THEN
+          CAST((390 * ws.n_words) // se.n_sentences
+            + (11800 * ws.n_syllables) // ws.n_words - 15590 AS BIGINT)
+          END AS fk_grade_milli
+      FROM documents d
+      LEFT JOIN ws ON ws.doc_id = d.doc_id
+      JOIN se ON se.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237, q242, q253, q271, q273)
+      q201, q205, q206, q208, q228, q237, q242, q253, q271, q273, q296)
 }
