@@ -83,7 +83,8 @@ object ScaleProbe {
     "q288_versioned_rating", "q289_incremental_semdedup",
     "q290_k_anonymity", "q291_activity_streaks",
     "q292_porting_flow_matrix", "q293_sla_credits",
-    "q294_erlang_staffing", "q295_l_diversity")
+    "q294_erlang_staffing", "q295_l_diversity",
+    "q296_readability", "q297_bh_fdr")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
