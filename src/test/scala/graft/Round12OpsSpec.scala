@@ -225,6 +225,44 @@ class Round12OpsSpec extends SparkSpec {
       "f=a.dat\ns=1")
   }
 
+  // ---- readability hand cases -------------------------------------------
+
+  test("readabilityCard: hand-computed grade, fragment, and empty doc") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syll
+      (2L, "no terminal punctuation here"), // fragment: 1 sentence
+      (3L, "")) // empty: NULL grade, never dropped
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQ.readabilityCard(docs)
+      .orderBy(col("doc_id"))
+      .collect()
+    // doc 1: 390*6/2 + 11800*6/6 - 15590 = 1170 + 11800 - 15590 = -2620
+    assert(out(0).getLong(1) == 6L && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 6L && out(0).getLong(4) == -2620L,
+      out(0).toString)
+    // doc 2: 4 words / 1 sentence; syllables: no=1, ter-mi-nal≈vowel
+    // runs (e,i,a)=3, punc-tu-a-tion≈(u,ua,io)=3, here≈(e,e)=2 → 9
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == 9L,
+      out(1).toString)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(4), out(2).toString)
+  }
+
+  test("bhFdrGate: the step-up rejects through the largest qualifying " +
+      "rank, not just individually-passing tests") {
+    // m=5, α=40%: sorted p = 10,50,200,400,900 (milli)
+    // i=1: 10*5=50  <= 400*... -> p*m <= i*α: 50 <= 400 ✓
+    // i=2: 50*5=250 <= 800 ✓ ; i=3: 200*5=1000 <= 1200 ✓
+    // i=4: 400*5=2000 <= 1600 ✗ ; i=5: 900*5=4500 <= 2000 ✗ → k=3
+    val tests = Seq(("a", 400L), ("b", 10L), ("c", 200L), ("d", 900L),
+      ("e", 50L)).toDF("id", "p_milli")
+    val out = graft.queries.AnalyticsQ.bhFdrGate(tests, Seq("id"),
+      alphaMilli = 400L)
+      .select(col("id"), col("rejected")).as[(String, Boolean)]
+      .collect().toMap
+    assert(out == Map("b" -> true, "e" -> true, "c" -> true,
+      "a" -> false, "d" -> false), out.toString)
+  }
+
   // ---- Theil–Sen pair budget --------------------------------------------
 
   test("theilSenSlope fails loudly above the pair budget and names the " +
