@@ -3586,6 +3586,17 @@ object AnalyticsQ {
     require(idCols.nonEmpty, "bhFdrGate: empty id column set")
     require(alphaMilli >= 1L && alphaMilli < 1000L,
       s"alphaMilli must be in [1, 1000), got $alphaMilli")
+    // the p domain is validated as eagerly as α: a NULL p would take
+    // rank 1 under Spark's NULLS-FIRST ascending order (DuckDB orders
+    // NULLS LAST), silently shifting every real test's BH rank and
+    // diverging the verdict set cross-engine — fail loudly instead
+    val badP = tests
+      .filter(col("p_milli").isNull || col("p_milli") < 0L ||
+        col("p_milli") > 1000L)
+      .limit(3).collect() // bounded: ≤ 3 test-grain rows
+    require(badP.isEmpty,
+      "bhFdrGate: p_milli must be non-NULL in [0, 1000]; got " +
+        badP.mkString("; "))
     val w = Window.orderBy(col("p_milli") +: idCols.map(col): _*)
     val ww = Window.partitionBy()
     tests

@@ -1482,6 +1482,18 @@ object EventQ {
         ORDER BY account_id"""))
   }
 
+  /** The tariff dim collapsed to ONE row per validity window with its
+    * sorted tiers array — the shared shape [[validateTariffTimeline]],
+    * [[marginalTieredChargesVersioned]], and the live attach stage all
+    * consume. The struct field names (f, t, r) are the
+    * [[graft.streaming.TierRow]] wire contract — every consumer reads
+    * them, so they live in exactly one place. */
+  def planWindows(tariff: DataFrame): DataFrame =
+    tariff.groupBy(col("valid_from_sec"), col("valid_to_sec"))
+      .agg(sort_array(collect_list(struct(
+        col("tier_from").as("f"), col("tier_to").as("t"),
+        col("rate_centi").as("r")))).as("tiers"))
+
   /** EAGER dim-grain integrity check for an SCD2 tariff TIMELINE —
     * the rating twin of [[graft.queries.PreratingQ.validateVersionedDim]]:
     * the dim is one row per (validity window, tier), and a malformed
@@ -1498,18 +1510,6 @@ object EventQ {
     * Used as the `validate` hook of a [[graft.streaming.VersionedDim]]
     * tariff store, so a live chain pays these two jobs once per dim
     * VERSION, never per micro-batch. */
-  /** The tariff dim collapsed to ONE row per validity window with its
-    * sorted tiers array — the shared shape [[validateTariffTimeline]],
-    * [[marginalTieredChargesVersioned]], and the live attach stage all
-    * consume. The struct field names (f, t, r) are the
-    * [[graft.streaming.TierRow]] wire contract — every consumer reads
-    * them, so they live in exactly one place. */
-  def planWindows(tariff: DataFrame): DataFrame =
-    tariff.groupBy(col("valid_from_sec"), col("valid_to_sec"))
-      .agg(sort_array(collect_list(struct(
-        col("tier_from").as("f"), col("tier_to").as("t"),
-        col("rate_centi").as("r")))).as("tiers"))
-
   def validateTariffTimeline(tariff: DataFrame): DataFrame = {
     val byWin = planWindows(tariff).withColumnRenamed("tiers", "ts")
     val badTiers = byWin.filter(!(

@@ -288,13 +288,25 @@ private final class PacketQueueStream(schema: StructType,
           try { val b = new Array[Byte](len); in.readFully(b); b }
           finally in.close()
         }
-        require(java.util.Arrays.equals(bytes(q), bytes(dst)),
-          s"packetqueue: packet ${q.getName} collides with an archived " +
-            "packet of DIFFERENT content — a producer is reusing " +
-            "consumed batch ids (reset checkpoint or second producer); " +
-            "refusing to drop unread data")
-        require(fs.delete(q, false),
-          s"packetqueue: duplicate-archive delete failed for ${q.getName}")
+        if (java.util.Arrays.equals(bytes(q), bytes(dst)))
+          require(fs.delete(q, false),
+            s"packetqueue: duplicate-archive delete failed for ${q.getName}")
+        else {
+          // DIFFERENT content under a consumed name: a reset producer,
+          // a second producer, or a replay whose routing config moved a
+          // destination. Not a benign replay — but THROWING here would
+          // wedge commit() forever (the straggler re-lists every
+          // trigger). Quarantine it LOUDLY instead: moved aside intact
+          // for the operator, never silently dropped, never re-read
+          // (underscore prefix keeps it out of every listing).
+          val qdir = new Path(queueDir, "_conflict")
+          fs.mkdirs(qdir)
+          require(fs.rename(q, new Path(qdir, q.getName)),
+            s"packetqueue: conflict quarantine failed for ${q.getName}")
+          System.err.println(s"[packetqueue] QUARANTINED ${q.getName}: " +
+            "content differs from the archived copy of the same name — " +
+            s"a producer is reusing consumed batch ids; inspect $qdir")
+        }
       } else require(fs.rename(q, dst),
         s"packetqueue: archive move failed for ${q.getName}")
     }

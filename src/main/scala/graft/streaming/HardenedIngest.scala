@@ -51,13 +51,6 @@ import org.apache.spark.sql.types._
   */
 object HardenedIngest {
 
-  /** Ledgers whose v1-guard (NULL-hsum scan) already passed in this JVM
-    * — new appends always carry hsum, so once is enough per process;
-    * a restart re-checks once, which is exactly when a pre-upgrade
-    * ledger could have appeared. */
-  private val validatedLedgers =
-    scala.collection.concurrent.TrieMap[String, Boolean]()
-
   /** Per-column live profile card: one scan → one aggregate row →
     * |cols| rows. The bounded-collect/explode shape of q261
     * ([[graft.queries.CurationQ.profileDrift]]), reduced to the
@@ -168,21 +161,20 @@ object HardenedIngest {
           // read with the v2 schema yields NULL hsum rows the triple
           // anti-join can never match — every previously-ingested file
           // would silently look fresh on redelivery, the exact
-          // double-billing this module exists to prevent. The condition
-          // can only arise from PRE-EXISTING files (everything this code
-          // appends carries hsum), so the scan is paid ONCE per ledger
-          // per JVM — the VersionedDim validate-once discipline — not
-          // per trigger on the hot ingest path.
-          if (!validatedLedgers.contains(ledgerDir)) {
-            require(read.filter(col("hsum").isNull).isEmpty,
-              s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
-                "rows (a v1 ledger read with the v2 schema) — redelivery " +
-                "protection would be silently lost; drop the ledger and " +
-                "accept redelivery exposure for pre-upgrade files (their " +
-                "per-FILE grouping is not recoverable from the legs " +
-                "store), or restore a v2 backup, before restarting")
-            validatedLedgers.put(ledgerDir, true)
-          }
+          // double-billing this module exists to prevent. DELIBERATELY
+          // re-checked EVERY batch (round-12 deliberated a once-per-JVM
+          // cache and rejected it): the guard exists precisely for the
+          // post-incident window where an operator may restore an old
+          // backup UNDER a running stream, which a cached verdict would
+          // wave through; the scan is one bounded job over a file-grain
+          // table, and on the money path loud beats fast.
+          require(read.filter(col("hsum").isNull).isEmpty,
+            s"HardenedIngest: ledger at $ledgerDir contains NULL hsum " +
+              "rows (a v1 ledger read with the v2 schema) — redelivery " +
+              "protection would be silently lost; drop the ledger and " +
+              "accept redelivery exposure for pre-upgrade files (their " +
+              "per-FILE grouping is not recoverable from the legs " +
+              "store), or restore a v2 backup, before restarting")
           read
         }
       val fresh = dedupInBatch
@@ -252,14 +244,24 @@ object HardenedIngest {
       StructField("total", IntegerType),
       StructField("duration_sec", DoubleType),
       StructField("reason", StringType),
+      StructField("src_file", StringType),
       StructField("guided", BooleanType)))
     stage(spark, inboxDir = "/unused", legsDir, ledgerDir,
       checkpointRoot, gate).copy(
       source = s => s.readStream.schema(preratedSchema)
         .parquet(preratedDir)
         .filter(col("guided"))
+        // digest at the RAW-DELIVERY grain (src_file, carried through
+        // prerating since round 12): prerated output file boundaries
+        // are a bin-packing artifact — a retry sharing a trigger with
+        // fresh traffic shares output files, and a per-output-file
+        // digest would wave the redelivered rows through. Pre-round-12
+        // stores without the column fall back to the output-file grain
+        // (the old, same-trigger-vulnerable behavior).
         .select(col("call_id"), col("seq"), col("total"),
-          col("duration_sec"), col("_metadata.file_path").as("__src")))
+          col("duration_sec"),
+          coalesce(col("src_file"), col("_metadata.file_path"))
+            .as("__src")))
   }
 
   /** Legs-store schema the downstream assembly declares when the chain

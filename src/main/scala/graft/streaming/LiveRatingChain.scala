@@ -201,7 +201,12 @@ object LiveRatingChain {
       source = s => s.readStream.schema(rawCdrSchema)
         .option("header", "true")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .csv(rawInbox),
+        .csv(rawInbox)
+        // the RAW delivery file rides every row: downstream content
+        // dedup must digest at the DELIVERY grain — prerated output
+        // file boundaries are a bin-packing artifact (a retry landing
+        // in the same trigger as fresh traffic shares output files)
+        .select(col("*"), col("_metadata.file_path").as("src_file")),
       transform = df => {
         val guided = graft.queries.PreratingQ.guideRanges(
           graft.queries.PreratingQ.normalizeMsisdn(df, "msisdn", defaultCc),
@@ -211,6 +216,7 @@ object LiveRatingChain {
             concat(col("account_id").cast(StringType), lit(":"),
               col("event_id").cast(StringType))).as("call_id"),
           col("seq"), col("total"), col("duration_sec"), col("reason"),
+          col("src_file"),
           col("account_id").isNotNull.as("guided"))
       },
       sink = df => df.writeStream.format("parquet")
@@ -260,7 +266,9 @@ object LiveRatingChain {
       source = s => s.readStream.schema(rawCdrSchema)
         .option("header", "true")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .csv(rawInbox),
+        .csv(rawInbox)
+        // raw delivery file per row — the downstream dedup grain
+        .select(col("*"), col("_metadata.file_path").as("src_file")),
       transform = identity,
       sink = df => df.writeStream
         .option("checkpointLocation", s"$checkpointRoot/prerating")
@@ -280,6 +288,7 @@ object LiveRatingChain {
               concat(col("account_id").cast(StringType), lit(":"),
                 col("event_id").cast(StringType))).as("call_id"),
             col("seq"), col("total"), col("duration_sec"), col("reason"),
+            col("src_file"),
             lit(ver).as("guide_ver"),
             lit(batchId).as("batch_id"),
             col("account_id").isNotNull.as("guided"))
@@ -300,6 +309,7 @@ object LiveRatingChain {
     StructField("total", IntegerType),
     StructField("duration_sec", DoubleType),
     StructField("reason", StringType),
+    StructField("src_file", StringType),
     StructField("guide_ver", LongType),
     StructField("batch_id", LongType),
     StructField("guided", BooleanType)))
@@ -384,21 +394,26 @@ object LiveRatingChain {
     // the window-grain plan aggregation is cached PER DIM VERSION (the
     // VersionedDim validate-once discipline): resolve() is cheap when
     // the version is unchanged, but re-aggregating the plan every
-    // trigger would pay an identical dim-grain job between publishes
+    // trigger would pay an identical dim-grain job between publishes.
+    // The cache keys on the resolved snapshot's IDENTITY beside the
+    // version: `refreshsession` (dim.refresh) forces resolve() to hand
+    // back a NEW DataFrame at the SAME version — keying on the version
+    // alone would keep joining a plan materialized from the pre-repair
+    // read, silently defeating the recovery verb this stage registers.
     val cachedPlans = new java.util.concurrent.atomic.AtomicReference[
-      (Long, DataFrame)](null)
+      (Long, DataFrame, DataFrame)](null)
     def plansFor(ver: Long, dim: DataFrame): DataFrame = {
       val c = cachedPlans.get()
-      if (c != null && c._1 == ver) c._2
+      if (c != null && c._1 == ver && (c._2 eq dim)) c._3
       else {
         val p = graft.queries.EventQ.planWindows(dim)
           .select(col("valid_from_sec").as("__vf"),
             col("valid_to_sec").as("__vt"), col("tiers"))
           .cache()
         p.count() // materialize the (bounded, window-grain) dim once
-        cachedPlans.getAndSet((ver, p)) match {
+        cachedPlans.getAndSet((ver, dim, p)) match {
           case null => ()
-          case (_, old) => old.unpersist()
+          case (_, _, old) => old.unpersist()
         }
         p
       }
@@ -599,15 +614,19 @@ object LiveRatingChain {
     val pre = preratingStageLive(spark, rawInbox, numberDim, preratedDir,
       checkpointRoot, defaultCc, versionedGuiding = true)
     // hardened ingest with its SOURCE swapped to the LIVE prerated
-    // store (batch_id/guide_ver partitions declared; the digest rides
-    // the prerated file path as __src)
+    // store. The content digest keys on src_file — the RAW DELIVERY
+    // file carried through prerating — NOT on the prerated output file
+    // path: output file boundaries are a bin-packing artifact, and a
+    // retry landing in the same trigger as fresh traffic would share
+    // output files, so a per-output-file digest would never match the
+    // ledger and the redelivered wave would double-bill.
     val ingest = HardenedIngest.stage(spark, inboxDir = "/unused",
       legsDir, ledgerDir, checkpointRoot, gate).copy(
       source = s => s.readStream.schema(preratedLiveSchema)
         .parquet(preratedDir)
         .filter(col("guided"))
         .select(col("call_id"), col("seq"), col("total"),
-          col("duration_sec"), col("_metadata.file_path").as("__src")))
+          col("duration_sec"), col("src_file").as("__src")))
     // assembly reads the hardened legs store (extended schema with the
     // batch_id partition column)
     val base = stages(spark, "/nonexistent-inbox", legsDir, callsDir,
@@ -635,6 +654,7 @@ object LiveRatingChain {
     StructField("total", IntegerType),
     StructField("duration_sec", DoubleType),
     StructField("reason", StringType),
+    StructField("src_file", StringType),
     StructField("guided", BooleanType)))
 
   /** Register the FULL mediation chain with prerating ahead of leg

@@ -184,12 +184,20 @@ class FullyLiveChainSpec extends SparkSpec {
           201L -> ((2L, 950L))), rated().toString)
 
         // the classic mediation failure: the SAME raw wave lands again
-        // under a new name — the digest ledger must drop it WHOLE, even
-        // though it re-traverses the live prerating stage first
+        // under a new name — IN THE SAME TRIGGER as fresh traffic, so
+        // the prerating output bin-packs both into shared files. The
+        // digest keys on the CARRIED raw src_file (the delivery grain),
+        // so the retry still drops whole while the fresh file bills —
+        // a per-output-file digest would wave the whole batch through.
         writeCsv(s"$base/inbox/retry_w1.csv", w1)
+        writeCsv(s"$base/inbox/w15.csv",
+          Seq("+49100000170,700,1,1,80.0"))
         drain()
+        // acct1 cum 100→180 under plan A: T_A(180) − T_A(100) = 240;
+        // nothing from the retry re-bills
         assert(rated() == Map(101L -> ((1L, 500L)),
-          201L -> ((2L, 950L))), s"redelivery double-billed: ${rated()}")
+          201L -> ((2L, 950L)), 700L -> ((1L, 240L))),
+          s"redelivery double-billed: ${rated()}")
 
         // a port and an amendment still land live through the hardened
         // path

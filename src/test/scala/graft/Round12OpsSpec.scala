@@ -208,6 +208,25 @@ class Round12OpsSpec extends SparkSpec {
         s"replayed packet double-delivered or wedged: $out")
       assert(!listNames(s"$base/queue").contains("p1.pkt"),
         "queue-side duplicate not swept")
+
+      // a same-named packet with DIFFERENT content is NOT a benign
+      // replay (a reset producer reusing consumed batch ids): it must
+      // be QUARANTINED loudly — neither silently dropped (data loss)
+      // nor left in place (a straggler that would wedge every commit)
+      write(s"$base/queue/p2.pkt", s"s=1\nf=$base/data/DIFFERENT.csv")
+      write(s"$base/data/f6.csv", legsCsv(Seq("1:6,1,1,6.0")))
+      write(s"$base/queue/p6.pkt", s"s=1\nf=$base/data/f6.csv")
+      q1.processAllAvailable()
+      write(s"$base/data/f7.csv", legsCsv(Seq("1:7,1,1,7.0")))
+      write(s"$base/queue/p7.pkt", s"s=1\nf=$base/data/f7.csv")
+      q1.processAllAvailable()
+      assert(listNames(s"$base/queue/_conflict") == Seq("p2.pkt"),
+        s"conflicting packet not quarantined: " +
+          listNames(s"$base/queue/_conflict"))
+      val out2 = spark.read.parquet(s"$base/out")
+        .select(col("call_id")).as[String].collect().sorted.toSeq
+      assert(out2 == Seq("1:1", "1:2", "1:3", "1:4", "1:5", "1:6", "1:7"),
+        s"conflict wedged or corrupted the stream: $out2")
     } finally q1.stop()
   }
 
@@ -249,18 +268,26 @@ class Round12OpsSpec extends SparkSpec {
 
   test("bhFdrGate: the step-up rejects through the largest qualifying " +
       "rank, not just individually-passing tests") {
-    // m=5, α=40%: sorted p = 10,50,200,400,900 (milli)
-    // i=1: 10*5=50  <= 400*... -> p*m <= i*α: 50 <= 400 ✓
-    // i=2: 50*5=250 <= 800 ✓ ; i=3: 200*5=1000 <= 1200 ✓
-    // i=4: 400*5=2000 <= 1600 ✗ ; i=5: 900*5=4500 <= 2000 ✗ → k=3
-    val tests = Seq(("a", 400L), ("b", 10L), ("c", 200L), ("d", 900L),
-      ("e", 50L)).toDF("id", "p_milli")
+    // m=5, α=40%: sorted p = 300,350,360,395,400 (milli).
+    // Individually NO rank 1..4 qualifies (p·m > i·α: 1500>400,
+    // 1750>800, 1800>1200, 1975>1600) but i=5 does (2000 ≤ 2000) — the
+    // step-up must reject ALL FIVE. An implementation that only flags
+    // individually-passing rows (no largest-k sweep) rejects nothing.
+    val tests = Seq(("a", 300L), ("b", 350L), ("c", 360L), ("d", 395L),
+      ("e", 400L)).toDF("id", "p_milli")
     val out = graft.queries.AnalyticsQ.bhFdrGate(tests, Seq("id"),
       alphaMilli = 400L)
       .select(col("id"), col("rejected")).as[(String, Boolean)]
       .collect().toMap
-    assert(out == Map("b" -> true, "e" -> true, "c" -> true,
-      "a" -> false, "d" -> false), out.toString)
+    assert(out == Map("a" -> true, "b" -> true, "c" -> true,
+      "d" -> true, "e" -> true), out.toString)
+    // a NULL p fails loudly instead of silently shifting every rank
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.AnalyticsQ.bhFdrGate(
+        Seq(("a", Some(10L)), ("b", None))
+          .toDF("id", "p_milli"), Seq("id"))
+    }
+    assert(e.getMessage.contains("p_milli"), e.getMessage)
   }
 
   // ---- Theil–Sen pair budget --------------------------------------------
