@@ -3653,10 +3653,361 @@ object AnalyticsQ {
       FROM k
       ORDER BY event_type, day"""))
 
+  /** RFM segmentation — the customer-grain action view the lifecycle
+    * family reads AFTER the diagnostics (q223 cohort LTV says what a
+    * cohort is worth, q188 the hazard of leaving, q103 who already
+    * lapsed; RFM says who to TOUCH next): recency of last order,
+    * order frequency, exact monetary total, each ranked into quintiles
+    * (5 = best) and packed into the classic 3-digit segment code
+    * (555 = champions, 111 = lost). Quintiles come from explicit rank
+    * arithmetic — `score = 5 − ((rank−1)·5) DIV n` over a total order
+    * with the customer key breaking ties — NOT from NTILE, whose
+    * uneven-bucket fill order is engine-specific; this formula is
+    * deterministic cross-engine and cross-run.
+    *
+    * Plan: ONE customer-grain aggregation over orders, then three
+    * global ranks over the customer-grain table via the bucket-offset
+    * prefix construction ([[PrefixSum.exclusive]]) — at 100 TB the
+    * customer table is itself huge, and a single-partition
+    * ROW_NUMBER() would serialize it; the corpus max-date is a
+    * broadcast scalar. */
+  def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
+      dateCol: String = "o_orderdate",
+      amountCol: String = "o_totalprice"): DataFrame = {
+    val cm = orders.groupBy(col(custCol).as("custkey"))
+      .agg(max(expr(s"CAST($dateCol AS DATE)")).as("__lastd"),
+        count(lit(1)).as("frequency"),
+        sum(expr(s"CAST(round($amountCol * 100) AS BIGINT)"))
+          .as("monetary_centi"))
+    val mx = orders.agg(max(expr(s"CAST($dateCol AS DATE)")).as("__mx"))
+    val nDf = cm.agg(count(lit(1)).as("__n"))
+    val base = cm.crossJoin(broadcast(mx)).crossJoin(broadcast(nDf))
+      .withColumn("recency_days",
+        datediff(col("__mx"), col("__lastd")).cast(LongType))
+      .withColumn("__one", lit(1L))
+    def rank(df: DataFrame, key: String, desc: Boolean, as: String) =
+      PrefixSum.exclusive(df, key, Seq("__one"), tieCols = Seq("custkey"),
+        descending = desc)
+        .withColumn(as, col("__one_cum") + 1L).drop("__one_cum")
+    val ranked = rank(rank(rank(base, "recency_days", desc = false, "__rk_r"),
+      "frequency", desc = true, "__rk_f"),
+      "monetary_centi", desc = true, "__rk_m")
+    ranked
+      .withColumn("r_score", expr("5L - ((__rk_r - 1) * 5) DIV __n"))
+      .withColumn("f_score", expr("5L - ((__rk_f - 1) * 5) DIV __n"))
+      .withColumn("m_score", expr("5L - ((__rk_m - 1) * 5) DIV __n"))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_centi"), col("r_score"), col("f_score"),
+        col("m_score"),
+        expr("r_score * 100 + f_score * 10 + m_score").as("rfm_segment"))
+  }
+
+  /** Oracle fixture of [[rfmSegments]] over the orders table. */
+  private val q298 = GQuery(
+    "q298_rfm_segments",
+    (s, dir) => rfmSegments(t(s, dir, "orders"))
+      .orderBy(col("custkey")),
+    Some("""WITH cm AS (SELECT o_custkey AS custkey,
+          CAST(max(o_orderdate) AS DATE) AS lastd,
+          COUNT(*) AS frequency,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS monetary_centi
+        FROM orders GROUP BY 1),
+      mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS m FROM orders),
+      base AS (SELECT custkey, (m - lastd) AS recency_days, frequency,
+          monetary_centi FROM cm, mx),
+      r AS (SELECT *,
+          ROW_NUMBER() OVER (ORDER BY recency_days, custkey) AS rk_r,
+          ROW_NUMBER() OVER (ORDER BY frequency DESC, custkey) AS rk_f,
+          ROW_NUMBER() OVER (ORDER BY monetary_centi DESC, custkey) AS rk_m,
+          COUNT(*) OVER () AS n FROM base)
+      SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        frequency, monetary_centi,
+        CAST(5 - ((rk_r - 1) * 5) // n AS BIGINT) AS r_score,
+        CAST(5 - ((rk_f - 1) * 5) // n AS BIGINT) AS f_score,
+        CAST(5 - ((rk_m - 1) * 5) // n AS BIGINT) AS m_score,
+        CAST((5 - ((rk_r - 1) * 5) // n) * 100
+          + (5 - ((rk_f - 1) * 5) // n) * 10
+          + (5 - ((rk_m - 1) * 5) // n) AS BIGINT) AS rfm_segment
+      FROM r ORDER BY custkey"""))
+
+  /** Holt linear-trend forecast — the second rung of the exponential
+    * ladder (q287 SES tracks LEVEL only; a capacity series with steady
+    * growth makes SES lag forever behind): `level ← α·y + (1−α)·(level
+    * + trend)`, `trend ← β·(level − level_prev) + (1−β)·trend`, seeded
+    * at `level = y₁, trend = y₂ − y₁` with the recursion running from
+    * y₂ on (the textbook convention — it makes a perfectly linear
+    * series an exact fixed point: level tracks y, trend equals the
+    * slope, zero truncation error; spec-pinned), all in EXACT integer
+    * arithmetic (α, β in milli, truncating division — both engines
+    * replay the fold bit-for-bit). The `horizon`-step-ahead forecast
+    * is `level + horizon·trend`; single-observation series keep a row
+    * with trend 0 (never-drop).
+    *
+    * Plan: the q287 discipline — ONE (group, day) aggregation, then a
+    * |days|-bounded higher-order fold per group; everything after the
+    * first aggregation is corpus-size-independent. */
+  def holtForecast(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String, alphaMilli: Long = 300L, betaMilli: Long = 200L,
+      horizon: Int = 7): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    require(betaMilli >= 0L && betaMilli <= 1000L,
+      s"betaMilli must be in [0, 1000], got $betaMilli")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val a = alphaMilli; val b = betaMilli
+    series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
+        col(yCol).as("y")))).as("__s"))
+      .select(col("g").as(groupCol),
+        size(col("__s")).as("n_obs"),
+        expr("__s[size(__s) - 1].y").as("last_y"),
+        // `l'` appears inside `b'` — the fold recomputes it (pure
+        // integer ops, |days|-bounded) so the lambda stays a single
+        // expression both engines evaluate identically
+        expr(s"""CASE WHEN size(__s) >= 2 THEN aggregate(
+            transform(slice(__s, 2, size(__s) - 1), p -> p.y),
+            named_struct('l', __s[0].y, 'b', __s[1].y - __s[0].y),
+            (acc, y) -> named_struct(
+              'l', ($a * y + ${1000 - a} * (acc.l + acc.b)) DIV 1000,
+              'b', ($b * (($a * y + ${1000 - a} * (acc.l + acc.b))
+                  DIV 1000 - acc.l) + ${1000 - b} * acc.b) DIV 1000))
+          ELSE named_struct('l', __s[0].y, 'b', 0L) END""").as("__st"))
+      .withColumn("holt_level", col("__st.l"))
+      .withColumn("holt_trend", col("__st.b"))
+      .withColumn(s"forecast_$horizon",
+        expr(s"__st.l + $horizon * __st.b"))
+      .drop("__st")
+  }
+
+  /** Oracle fixture of [[holtForecast]]: the q287 daily-revenue series,
+    * α = 0.3, β = 0.2, 7-day horizon. The DuckDB replay steps the fold
+    * through a RECURSIVE CTE, not `list_reduce`: DuckDB 1.0's
+    * multi-step reduce over STRUCT accumulators returns wrong field
+    * values from the second iteration on (verified against a hand
+    * fold; single steps are correct), while the recursive join is
+    * plain integer arithmetic both engines agree on bit-for-bit. */
+  private val q299 = GQuery(
+    "q299_holt_forecast",
+    (s, dir) => holtForecast(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH RECURSIVE series AS (SELECT event_type AS g,
+          CAST(ts AS DATE) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      idx AS (SELECT g, y,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i FROM series),
+      n AS (SELECT g, MAX(i) AS n FROM idx GROUP BY g),
+      lst AS (SELECT idx.g, y AS last_y FROM idx JOIN n USING (g)
+        WHERE i = n.n),
+      rec AS (
+        SELECT a.g, CAST(1 AS BIGINT) AS i, a.y AS l, b.y - a.y AS b
+        FROM idx a JOIN idx b ON a.g = b.g AND a.i = 1 AND b.i = 2
+        UNION ALL
+        SELECT r.g, r.i + 1,
+          (300 * t.y + 700 * (r.l + r.b)) // 1000,
+          (200 * ((300 * t.y + 700 * (r.l + r.b)) // 1000 - r.l)
+            + 800 * r.b) // 1000
+        FROM rec r JOIN idx t ON t.g = r.g AND t.i = r.i + 1),
+      fin AS (
+        SELECT rec.g, l, b FROM rec JOIN n USING (g) WHERE rec.i = n.n
+        UNION ALL
+        SELECT idx.g, y AS l, CAST(0 AS BIGINT) AS b
+        FROM idx JOIN n USING (g) WHERE n.n = 1)
+      SELECT fin.g AS event_type, CAST(n.n AS INT) AS n_obs, last_y,
+        l AS holt_level, b AS holt_trend, l + 7 * b AS forecast_7
+      FROM fin JOIN n ON fin.g = n.g JOIN lst ON fin.g = lst.g
+      ORDER BY event_type"""))
+
+  /** CUSUM mean-shift detector — the SEQUENTIAL drift screen between
+    * the q216 changepoint card (one retrospective best split) and the
+    * q275 trend test (a monotone fit): CUSUM accumulates deviations
+    * from a reference mean and flags the FIRST day the cumulative
+    * excursion exceeds `h`, catching small persistent shifts a
+    * per-day outlier rule never sees. The reference mean μ comes from
+    * the first `refDays` observations (milli, exact DIV); monitoring
+    * starts after them. Both one-sided statistics run at once:
+    * `C⁺_t = max(0, C⁺_{t−1} + y_t − μ − k)` and the mirrored `C⁻`.
+    *
+    * Implemented WITHOUT a sequential fold: the classic recurrence
+    * `C_t = max(0, C_{t−1} + d_t)` equals `S_t − min(0, min_{j≤t} S_j)`
+    * for the prefix sums `S` of the deviations (the min INCLUDES the
+    * current row — that inclusion is what clamps the statistic at 0
+    * when `S_t` is itself the running minimum) — so the whole detector
+    * is two per-group prefix sums and a running min (windows
+    * partitioned by group, |days| bounded), exactly parallel. Groups
+    * with no observations past the reference window have nothing to
+    * monitor and drop out (doc'd).
+    *
+    * Plan: ONE (group, day) aggregation upstream; the windows run at
+    * series grain. μ joins back group-grain (broadcast under AQE). */
+  def cusumShift(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String, refDays: Int = 7, kMilli: Long = 500L,
+      hMilli: Long = 12000L): DataFrame = {
+    require(refDays >= 1, s"refDays must be >= 1, got $refDays")
+    require(kMilli >= 0L, s"kMilli must be >= 0, got $kMilli")
+    require(hMilli > 0L, s"hMilli must be > 0, got $hMilli")
+    val wi = Window.partitionBy(col("g")).orderBy(col("x"))
+    val idx = series
+      .select(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("__i", row_number().over(wi))
+    val mu = idx.filter(col("__i") <= refDays).groupBy(col("g"))
+      .agg(expr(s"(1000 * sum(y)) DIV $refDays").as("mu_milli"))
+    val wp = wi.rowsBetween(Window.unboundedPreceding, 0)
+    val cu = idx.filter(col("__i") > refDays).join(mu, Seq("g"))
+      .withColumn("__dh", expr(s"1000 * y - mu_milli - $kMilli"))
+      .withColumn("__dl", expr(s"mu_milli - 1000 * y - $kMilli"))
+      .withColumn("__sh", sum(col("__dh")).over(wi))
+      .withColumn("__sl", sum(col("__dl")).over(wi))
+      .withColumn("c_hi", col("__sh") -
+        least(min(col("__sh")).over(wp), lit(0L)))
+      .withColumn("c_lo", col("__sl") -
+        least(min(col("__sl")).over(wp), lit(0L)))
+    cu.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_monitored"),
+        max(col("mu_milli")).as("mu_milli"),
+        max(col("c_hi")).as("peak_hi"),
+        max(col("c_lo")).as("peak_lo"),
+        min(when(col("c_hi") > hMilli || col("c_lo") > hMilli,
+          col("x"))).as("alarm_x"))
+      .withColumn("shifted",
+        col("peak_hi") > hMilli || col("peak_lo") > hMilli)
+  }
+
+  /** Oracle fixture of [[cusumShift]]: daily event counts per type,
+    * 7-day reference window, k = 0.5 events, h = 12 events (milli) —
+    * the fixture's noisy dailies trip four of five types while `view`
+    * stays under the line, so both verdicts carry rows. */
+  private val q300 = GQuery(
+    "q300_cusum_shift",
+    (s, dir) => cusumShift(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "event_type", "day", "n")
+      .orderBy(col("event_type")),
+    Some("""WITH series AS (SELECT event_type AS g,
+          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+          COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+      idx AS (SELECT g, x, y,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i FROM series),
+      mu AS (SELECT g, CAST((1000 * SUM(y)) // 7 AS BIGINT) AS mu_milli
+        FROM idx WHERE i <= 7 GROUP BY g),
+      mon AS (SELECT idx.g, x, y, mu_milli,
+          1000 * y - mu_milli - 500 AS dh,
+          mu_milli - 1000 * y - 500 AS dl
+        FROM idx JOIN mu USING (g) WHERE i > 7),
+      ps AS (SELECT g, x, mu_milli,
+          SUM(dh) OVER (PARTITION BY g ORDER BY x) AS sh,
+          SUM(dl) OVER (PARTITION BY g ORDER BY x) AS sl FROM mon),
+      cu AS (SELECT g, x, mu_milli,
+          sh - LEAST(MIN(sh) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            AS c_hi,
+          sl - LEAST(MIN(sl) OVER (PARTITION BY g ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            AS c_lo
+        FROM ps)
+      SELECT g AS event_type, COUNT(*) AS n_monitored,
+        CAST(MAX(mu_milli) AS BIGINT) AS mu_milli,
+        CAST(MAX(c_hi) AS BIGINT) AS peak_hi,
+        CAST(MAX(c_lo) AS BIGINT) AS peak_lo,
+        MIN(CASE WHEN c_hi > 12000 OR c_lo > 12000 THEN x END) AS alarm_x,
+        (MAX(c_hi) > 12000 OR MAX(c_lo) > 12000) AS shifted
+      FROM cu GROUP BY g ORDER BY g"""))
+
+  /** nDCG@k ranking-quality card — the GRADED-relevance eval the
+    * binary family (q240 rank-AUC, q99 kNN hit rate, q149
+    * self-retrieval) cannot express: position-discounted gain over the
+    * top `k` of each query's ranking, normalized by that query's ideal
+    * ordering, so 1.0 = perfect and scores compare ACROSS queries with
+    * different relevance mixes. Discount weights are
+    * `round(10⁶ / log₂(pos+1))` — pinned integers, so the whole card
+    * is exact cross-engine (gain is LINEAR in relevance, the variant
+    * robust to large grades; doc'd). Queries whose top-k ideal gain is
+    * zero (no relevant items at all) get NULL nDCG, never a fake 0.
+    *
+    * Plan: ONE shuffle on the query key — both the actual and ideal
+    * rank windows share the same partitioning (one exchange, two
+    * sorts), then a single per-query aggregation. Per-query work is
+    * bounded by that query's candidate list, never the corpus. */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, scoreCol: String,
+      tieCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val wts = (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1) / math.log(2.0))))
+    val wArr = s"array(${wts.mkString("L, ")}L)"
+    val wr = Window.partitionBy(col("q")).orderBy(col("s").desc, col("t"))
+    val wi = Window.partitionBy(col("q")).orderBy(col("rel").desc, col("t"))
+    ranked
+      .select(col(queryCol).as("q"), col(scoreCol).as("s"),
+        col(tieCol).as("t"), col(relCol).cast(LongType).as("rel"))
+      .withColumn("__p", row_number().over(wr))
+      .withColumn("__ip", row_number().over(wi))
+      .groupBy(col("q"))
+      .agg(sum(when(col("__p") <= k,
+          expr(s"rel * element_at($wArr, __p)")).otherwise(0L))
+          .as("dcg_micro"),
+        sum(when(col("__ip") <= k,
+          expr(s"rel * element_at($wArr, __ip)")).otherwise(0L))
+          .as("idcg_micro"))
+      .select(col("q").as(queryCol), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0L,
+          expr("(1000000 * dcg_micro) DIV idcg_micro")).as("ndcg_ppm"))
+  }
+
+  /** Oracle fixture of [[ndcgAtK]]: each user's events are the ranked
+    * list (score = value, ties on event_id), graded relevance from the
+    * event type (purchase 3, signup 2, click 1, else 0), k = 10. */
+  private val q302 = GQuery(
+    "q302_ndcg_eval",
+    (s, dir) => ndcgAtK(
+      t(s, dir, "events").select(col("user_id"), col("value"),
+        col("event_id"),
+        expr("""CASE event_type WHEN 'purchase' THEN 3L
+          WHEN 'signup' THEN 2L WHEN 'click' THEN 1L ELSE 0L END""")
+          .as("rel")),
+      "user_id", "value", "event_id", "rel")
+      .orderBy(col("user_id")),
+    Some("""WITH ev AS (SELECT user_id, event_id, value,
+          CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+            WHEN 'click' THEN 1 ELSE 0 END AS rel FROM events),
+      rk AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS p,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY rel DESC, event_id) AS ip FROM ev),
+      g AS (SELECT user_id,
+          SUM(CASE WHEN p <= 10 THEN rel * ([1000000, 630930, 500000,
+            430677, 386853, 356207, 333333, 315465, 301030, 289065])[p]
+            ELSE 0 END) AS dcg_micro,
+          SUM(CASE WHEN ip <= 10 THEN rel * ([1000000, 630930, 500000,
+            430677, 386853, 356207, 333333, 315465, 301030, 289065])[ip]
+            ELSE 0 END) AS idcg_micro
+        FROM rk GROUP BY 1)
+      SELECT user_id, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+        CAST(idcg_micro AS BIGINT) AS idcg_micro,
+        CASE WHEN idcg_micro > 0
+          THEN CAST((1000000 * dcg_micro) // idcg_micro AS BIGINT) END
+          AS ndcg_ppm
+      FROM g ORDER BY user_id"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
-    q291, q297)
+    q291, q297, q298, q299, q300, q302)
 }

@@ -3476,10 +3476,72 @@ object TextQ {
       JOIN se ON se.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Vocabulary-growth (Heaps) curve — the TYPE-grain novelty view the
+    * doc-grain q146 curve cannot see: per ingestion batch, how many
+    * word types appear for the FIRST time, with cumulative tokens,
+    * cumulative types, and the running type/token ratio in exact ppm.
+    * A healthy crawl keeps minting types roughly as a power of tokens
+    * (Heaps' law); a curve that flatlines early means the corpus is
+    * recombining a closed vocabulary — more data is not more language.
+    * Read beside q179 (Zipf says how the vocabulary is USED, this says
+    * how it GROWS) and q146 (whole-document novelty).
+    *
+    * Plan: one token explode → a type-grain `min(batch)` hash
+    * aggregation (the only corpus-sized shuffle) + a batch-grain token
+    * count; the cumulative sums ride the bucket-offset prefix
+    * construction ([[PrefixSum.exclusive]]) because |batches| grows
+    * with the corpus — never a single-partition window. The fixture's
+    * synthetic vocabulary saturates in batch 0 (a real crawl would
+    * not); the spec pins a hand corpus with genuine growth. */
+  def vocabGrowth(docs: DataFrame, batchSize: Long = 100L): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val tk = docs.select(expr(s"doc_id DIV ${batchSize}L").as("batch"),
+      explode(expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
+        .as("w"))
+    val bt = tk.groupBy(col("batch")).agg(count(lit(1)).as("batch_tokens"))
+    val nb = tk.groupBy(col("w")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
+    val b = bt.join(nb, Seq("batch"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+    PrefixSum.exclusive(b, "batch", Seq("batch_tokens", "new_types"))
+      .withColumn("cum_tokens",
+        col("batch_tokens_cum") + col("batch_tokens"))
+      .withColumn("cum_types", col("new_types_cum") + col("new_types"))
+      .select(col("batch"), col("batch_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        when(col("cum_tokens") > 0L,
+          expr("(1000000 * cum_types) DIV cum_tokens")).as("ttr_ppm"))
+  }
+
+  /** Oracle fixture of [[vocabGrowth]] (batches of 100 doc_ids). */
+  private val q301 = GQuery(
+    "q301_vocab_growth",
+    (s, dir) => vocabGrowth(t(s, dir, "documents"), batchSize = 100L)
+      .orderBy(col("batch")),
+    Some("""WITH tk AS (SELECT doc_id // 100 AS batch,
+          unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      tk2 AS (SELECT batch, w FROM tk WHERE len(w) > 0),
+      bt AS (SELECT batch, COUNT(*) AS batch_tokens FROM tk2 GROUP BY 1),
+      fb AS (SELECT w, MIN(batch) AS batch FROM tk2 GROUP BY 1),
+      nb AS (SELECT batch, COUNT(*) AS new_types FROM fb GROUP BY 1),
+      b AS (SELECT bt.batch, batch_tokens,
+          COALESCE(new_types, 0) AS new_types
+        FROM bt LEFT JOIN nb USING (batch))
+      SELECT batch, batch_tokens, CAST(new_types AS BIGINT) AS new_types,
+        CAST(SUM(batch_tokens) OVER (ORDER BY batch) AS BIGINT)
+          AS cum_tokens,
+        CAST(SUM(new_types) OVER (ORDER BY batch) AS BIGINT) AS cum_types,
+        CASE WHEN SUM(batch_tokens) OVER (ORDER BY batch) > 0 THEN
+          CAST((1000000 * SUM(new_types) OVER (ORDER BY batch))
+            // SUM(batch_tokens) OVER (ORDER BY batch) AS BIGINT) END
+          AS ttr_ppm
+      FROM b ORDER BY batch"""))
+
   val queries: Seq[GQuery] =
     Seq(q25, q26, q26b, q27, q27b, q28, q31, q32, q33, q34, q35, q45, q47,
       q48, q49, q50, q54, q62, q69, q72, q77, q78, q81, q91, q94, q105,
       q110, q111, q118, q120, q126, q128, q129, q134, q146, q149, q156,
       q157, q158, q159, q162, q164, q172, q179, q187, q192, q194, q199,
-      q201, q205, q206, q208, q228, q237, q242, q253, q271, q273, q296)
+      q201, q205, q206, q208, q228, q237, q242, q253, q271, q273, q296,
+      q301)
 }

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQ, TextQ}
+
+/** Hand-computed pins for the round-12 third-wave cards (q298–q302):
+  * the oracle proves engine parity; these prove the MATH on cases small
+  * enough to work by hand. */
+class ThirdWaveSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- q298 RFM ----------------------------------------------------------
+
+  test("rfmSegments: five customers rank into the five pure segments") {
+    // n = 5 → score = 5 − (rank − 1): each rank gets its own quintile.
+    // c1 is best on all three axes, c5 worst; frequency ties (c3=c4=c5=1)
+    // break on custkey ascending.
+    val orders = Seq(
+      (1L, "2024-01-10", 100.0), (1L, "2024-01-09", 100.0),
+      (1L, "2024-01-08", 100.0),
+      (2L, "2024-01-09", 100.0), (2L, "2024-01-08", 100.0),
+      (3L, "2024-01-08", 100.0),
+      (4L, "2024-01-05", 50.0),
+      (5L, "2024-01-01", 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = AnalyticsQ.rfmSegments(orders).orderBy(col("custkey"))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary_centi"), col("rfm_segment"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 30000L, 555L),
+      (2L, 1L, 2L, 20000L, 444L),
+      (3L, 2L, 1L, 10000L, 333L),
+      (4L, 5L, 1L, 5000L, 222L),
+      (5L, 9L, 1L, 1000L, 111L)), got.toString)
+  }
+
+  test("rfmSegments: uneven quintile fill follows the explicit formula") {
+    // n = 7, recency ranks 1..7: score = 5 − ((rk−1)·5) DIV 7 →
+    // rk 1,2 → 5; rk 3 → 4; rk 4,5 → 3; rk 6 → 2; rk 7 → 1.
+    val orders = (1 to 7).map(i =>
+        (i.toLong, f"2024-01-${11 - i}%02d", 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = AnalyticsQ.rfmSegments(orders).orderBy(col("custkey"))
+      .select(col("custkey"), col("r_score"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 3L),
+      (6L, 2L), (7L, 1L)), got.toString)
+  }
+
+  // --- q299 Holt ---------------------------------------------------------
+
+  test("holtForecast: a perfectly linear series is the fold's fixed " +
+      "point — level tracks, trend equals the slope, forecast is exact") {
+    // y = 100 + 10·t: seed (l, b) = (100, 10); every step keeps
+    // l = y_t and b = 10 exactly (the smoothing terms cancel), so the
+    // 7-step forecast is last_y + 70 with zero truncation error.
+    val series = (0 to 9).map(t => ("g1", t.toLong, 100L + 10L * t))
+      .toDF("g", "x", "y")
+    val got = AnalyticsQ.holtForecast(series, "g", "x", "y")
+      .select(col("n_obs"), col("last_y"), col("holt_level"),
+        col("holt_trend"), col("forecast_7"))
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(got == ((10, 190L, 190L, 10L, 260L)), got.toString)
+  }
+
+  test("holtForecast: one- and two-observation series seed exactly") {
+    val series = Seq(("solo", 1L, 500L),
+      ("pair", 1L, 100L), ("pair", 2L, 130L)).toDF("g", "x", "y")
+    val got = AnalyticsQ.holtForecast(series, "g", "x", "y")
+      .orderBy(col("g"))
+      .select(col("g"), col("n_obs"), col("holt_level"),
+        col("holt_trend"), col("forecast_7"))
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    // pair: one step over y₂ = 130 from seed (100, 30) — the linear
+    // fixed point lands it exactly on (130, 30); solo: (500, 0).
+    assert(got == Seq(("pair", 2, 130L, 30L, 340L),
+      ("solo", 1, 500L, 0L, 500L)), got.toString)
+  }
+
+  test("holtForecast: one truncating step by hand") {
+    // seed (l, b) = (100, 20); the y₂ = 120 step is the fixed point
+    // (120, 20); then y₃ = 95, α = 0.3, β = 0.2:
+    // l' = (300·95 + 700·140) DIV 1000 = 126500 DIV 1000 = 126
+    // b' = (200·(126 − 120) + 800·20) DIV 1000 = 17200 DIV 1000 = 17
+    val series = Seq(("g", 1L, 100L), ("g", 2L, 120L), ("g", 3L, 95L))
+      .toDF("g", "x", "y")
+    val got = AnalyticsQ.holtForecast(series, "g", "x", "y")
+      .select(col("holt_level"), col("holt_trend"))
+      .as[(Long, Long)].head()
+    assert(got == ((126L, 17L)), got.toString)
+  }
+
+  // --- q300 CUSUM --------------------------------------------------------
+
+  test("cusumShift: a small persistent shift alarms when the excursion " +
+      "crosses h; flat and one-sided series stay clamped at zero") {
+    // Reference week at y = 10 → μ = 10000 milli, k = 500, h = 12000.
+    // up:   9 monitored days at 12 → C⁺ grows 1500/day, crosses 12000
+    //       on the 9th (13500) at x = 16; C⁻ clamps at 0 throughout.
+    // down: 5 monitored days at 7 → C⁻ grows 2500/day, crosses on the
+    //       5th (12500) at x = 12.
+    // flat: deviations are −500/day on BOTH sides → both clamp at 0.
+    def series(g: String, post: Seq[Long]) =
+      (1 to 7).map(i => (g, i.toLong, 10L)) ++
+        post.zipWithIndex.map { case (y, i) => (g, 8L + i, y) }
+    val df = (series("up", Seq.fill(9)(12L)) ++
+      series("down", Seq.fill(5)(7L)) ++
+      series("flat", Seq.fill(6)(10L))).toDF("g", "x", "y")
+    val got = AnalyticsQ.cusumShift(df, "g", "x", "y")
+      .orderBy(col("g"))
+      .select(col("g"), col("n_monitored"), col("mu_milli"),
+        col("peak_hi"), col("peak_lo"), col("alarm_x"), col("shifted"))
+      .as[(String, Long, Long, Long, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("down", 5L, 10000L, 0L, 12500L, Some(12L), true),
+      ("flat", 6L, 10000L, 0L, 0L, None, false),
+      ("up", 9L, 10000L, 13500L, 0L, Some(16L), true)), got.toString)
+  }
+
+  test("cusumShift: a transient spike decays instead of latching") {
+    // One +10 day inside an otherwise on-mean stream: C⁺ jumps to
+    // 9500, then bleeds 500/day (y = μ costs k) — never reaches h,
+    // so no alarm; the peak records the excursion.
+    val df = ((1 to 7).map(i => ("g", i.toLong, 10L)) ++
+      Seq(("g", 8L, 20L)) ++ (9 to 14).map(i => ("g", i.toLong, 10L)))
+      .toDF("g", "x", "y")
+    val got = AnalyticsQ.cusumShift(df, "g", "x", "y")
+      .select(col("peak_hi"), col("alarm_x"), col("shifted"))
+      .as[(Long, Option[Long], Boolean)].head()
+    assert(got == ((9500L, None, false)), got.toString)
+  }
+
+  // --- q301 vocabulary growth --------------------------------------------
+
+  test("vocabGrowth: hand corpus with genuine type growth") {
+    // batchSize = 1 → batches are the docs themselves.
+    // d0 "a b a": 3 tokens, types {a, b} → 2 new
+    // d1 "b c":   2 tokens, {c} new
+    // d2 "a d e": 3 tokens, {d, e} new
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a d e"))
+      .toDF("doc_id", "text")
+    val got = TextQ.vocabGrowth(docs, batchSize = 1L)
+      .orderBy(col("batch"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, 3L, 2L, 666666L),
+      (1L, 2L, 1L, 5L, 3L, 600000L),
+      (2L, 3L, 2L, 8L, 5L, 625000L)), got.toString)
+  }
+
+  test("vocabGrowth: case folding merges types; empty tokens drop; a " +
+      "batch of only empty docs keeps its row with zero tokens") {
+    val docs = Seq((0L, "The the  THE"), (1L, ""), (2L, "the")).toDF(
+      "doc_id", "text")
+    val got = TextQ.vocabGrowth(docs, batchSize = 1L)
+      .orderBy(col("batch"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // d0: double space yields an empty token that must not count.
+    // d1: no tokens at all — row survives with cum carried forward.
+    assert(got == Seq(
+      (0L, 3L, 1L, 3L, 1L, Some(333333L)),
+      (2L, 1L, 0L, 4L, 1L, Some(250000L))), got.toString)
+  }
+
+  // --- q302 nDCG ---------------------------------------------------------
+
+  test("ndcgAtK: a perfect ranking scores exactly 1e6 ppm") {
+    val df = Seq((1L, 9.0, 1L, 3L), (1L, 8.0, 2L, 2L), (1L, 7.0, 3L, 0L))
+      .toDF("q", "s", "t", "rel")
+    val got = AnalyticsQ.ndcgAtK(df, "q", "s", "t", "rel")
+      .select(col("ndcg_ppm")).as[Long].head()
+    assert(got == 1000000L, got.toString)
+  }
+
+  test("ndcgAtK: a reversed two-item ranking pays the rank-2 discount") {
+    // Actual: pos1 rel 0, pos2 rel 3 → DCG = 3·630930 = 1892790
+    // Ideal:  rel 3 first → IDCG = 3·10⁶ → nDCG = 630930 ppm
+    val df = Seq((1L, 9.0, 1L, 0L), (1L, 5.0, 2L, 3L)).toDF(
+      "q", "s", "t", "rel")
+    val got = AnalyticsQ.ndcgAtK(df, "q", "s", "t", "rel")
+      .select(col("dcg_micro"), col("idcg_micro"), col("ndcg_ppm"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1892790L, 3000000L, 630930L)), got.toString)
+  }
+
+  test("ndcgAtK: items beyond k never contribute, and an all-zero " +
+      "query reads NULL, not a fake zero") {
+    // k = 2: the rel-3 item sits at pos 3 in BOTH orders... except the
+    // ideal order promotes it to pos 1 — so DCG counts only the two
+    // rel-1s and IDCG counts (3, 1).
+    val df = Seq(
+      (1L, 9.0, 1L, 1L), (1L, 8.0, 2L, 1L), (1L, 7.0, 3L, 3L),
+      (2L, 9.0, 1L, 0L), (2L, 8.0, 2L, 0L)).toDF("q", "s", "t", "rel")
+    val got = AnalyticsQ.ndcgAtK(df, "q", "s", "t", "rel", k = 2)
+      .orderBy(col("q"))
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // q1: DCG = 1·10⁶ + 1·630930; IDCG = 3·10⁶ + 1·630930
+    assert(got == Seq(
+      (1L, 1630930L, 3630930L, Some((1630930L * 1000000L) / 3630930L)),
+      (2L, 0L, 0L, None)), got.toString)
+  }
+}
