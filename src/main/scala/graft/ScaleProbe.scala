@@ -84,7 +84,9 @@ object ScaleProbe {
     "q290_k_anonymity", "q291_activity_streaks",
     "q292_porting_flow_matrix", "q293_sla_credits",
     "q294_erlang_staffing", "q295_l_diversity",
-    "q296_readability", "q297_bh_fdr")
+    "q296_readability", "q297_bh_fdr",
+    "q298_rfm_segments", "q299_holt_forecast", "q300_cusum_shift",
+    "q301_vocab_growth", "q302_ndcg_eval")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

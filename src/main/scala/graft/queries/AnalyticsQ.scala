@@ -3665,12 +3665,18 @@ object AnalyticsQ {
     * uneven-bucket fill order is engine-specific; this formula is
     * deterministic cross-engine and cross-run.
     *
-    * Plan: ONE customer-grain aggregation over orders, then three
-    * global ranks over the customer-grain table via the bucket-offset
-    * prefix construction ([[PrefixSum.exclusive]]) — at 100 TB the
-    * customer table is itself huge, and a single-partition
-    * ROW_NUMBER() would serialize it; the corpus max-date is a
-    * broadcast scalar. */
+    * Plan: ONE customer-grain aggregation over orders (the corpus
+    * max-date and customer count both derive from it — orders is
+    * scanned once), then three global ranks over the customer-grain
+    * table via the bucket-offset prefix construction
+    * ([[PrefixSum.exclusive]]) — at 100 TB the customer table is
+    * itself huge, and a single-partition ROW_NUMBER() would serialize
+    * it. Bucket widths are chosen PER KEY: recency (≈3k distinct days)
+    * and frequency (≈100 distinct counts) bucket at width 1 so their
+    * in-bucket windows stay one-key-sized (the default 2²⁰ width would
+    * drop every row into ONE bucket — a single-partition window in
+    * disguise); monetary keeps the wide default because its domain is
+    * near-continuous and 2²⁰-centi buckets already bound both sides. */
   def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
       dateCol: String = "o_orderdate",
       amountCol: String = "o_totalprice"): DataFrame = {
@@ -3679,19 +3685,21 @@ object AnalyticsQ {
         count(lit(1)).as("frequency"),
         sum(expr(s"CAST(round($amountCol * 100) AS BIGINT)"))
           .as("monetary_centi"))
-    val mx = orders.agg(max(expr(s"CAST($dateCol AS DATE)")).as("__mx"))
-    val nDf = cm.agg(count(lit(1)).as("__n"))
-    val base = cm.crossJoin(broadcast(mx)).crossJoin(broadcast(nDf))
+    val mxN = cm.agg(max(col("__lastd")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val base = cm.crossJoin(broadcast(mxN))
       .withColumn("recency_days",
         datediff(col("__mx"), col("__lastd")).cast(LongType))
       .withColumn("__one", lit(1L))
-    def rank(df: DataFrame, key: String, desc: Boolean, as: String) =
-      PrefixSum.exclusive(df, key, Seq("__one"), tieCols = Seq("custkey"),
-        descending = desc)
+    def rank(df: DataFrame, key: String, desc: Boolean, width: Long,
+        as: String) =
+      PrefixSum.exclusive(df, key, Seq("__one"), bucketWidth = width,
+        tieCols = Seq("custkey"), descending = desc)
         .withColumn(as, col("__one_cum") + 1L).drop("__one_cum")
-    val ranked = rank(rank(rank(base, "recency_days", desc = false, "__rk_r"),
-      "frequency", desc = true, "__rk_f"),
-      "monetary_centi", desc = true, "__rk_m")
+    val ranked = rank(rank(rank(
+      base, "recency_days", desc = false, width = 1L, "__rk_r"),
+      "frequency", desc = true, width = 1L, "__rk_f"),
+      "monetary_centi", desc = true, width = 1L << 20, "__rk_m")
     ranked
       .withColumn("r_score", expr("5L - ((__rk_r - 1) * 5) DIV __n"))
       .withColumn("f_score", expr("5L - ((__rk_f - 1) * 5) DIV __n"))
