@@ -3750,7 +3750,9 @@ object AnalyticsQ {
     * arithmetic (α, β in milli, truncating division — both engines
     * replay the fold bit-for-bit). The `horizon`-step-ahead forecast
     * is `level + horizon·trend`; single-observation series keep a row
-    * with trend 0 (never-drop).
+    * with trend 0 (never-drop). Input contract: SERIES grain — one y
+    * per (group, x), the upstream aggregation's job (duplicate x would
+    * make the fold order engine-dependent); NULL x/y rows are dropped.
     *
     * Plan: the q287 discipline — ONE (group, day) aggregation, then a
     * |days|-bounded higher-order fold per group; everything after the
@@ -3855,6 +3857,14 @@ object AnalyticsQ {
     * with no observations past the reference window have nothing to
     * monitor and drop out (doc'd).
     *
+    * Input contract: SERIES grain — one y per (group, x), the upstream
+    * aggregation's job (duplicate x would make the day order
+    * engine-dependent); NULL x/y rows are dropped; a group with fewer
+    * than `refDays` observations divides its shorter sum by `refDays`
+    * (a deliberately deflated μ — a reference window that never filled
+    * should read as "no baseline", and the monitored set is empty
+    * anyway when nothing follows it).
+    *
     * Plan: ONE (group, day) aggregation upstream; the windows run at
     * series grain. μ joins back group-grain (broadcast under AQE). */
   def cusumShift(series: DataFrame, groupCol: String, xCol: String,
@@ -3954,6 +3964,18 @@ object AnalyticsQ {
   def ndcgAtK(ranked: DataFrame, queryCol: String, scoreCol: String,
       tieCol: String, relCol: String, k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    // rank-domain columns are validated as eagerly as k (the q297
+    // discipline): a NULL score/tie/relevance would sort differently
+    // under Spark (DESC = NULLS LAST) than DuckDB's default, silently
+    // shifting every position below it — and a negative relevance has
+    // no DCG meaning. Fail loudly instead.
+    val bad = ranked
+      .filter(col(scoreCol).isNull || col(tieCol).isNull ||
+        col(relCol).isNull || col(relCol) < 0L)
+      .limit(3).collect() // bounded: ≤ 3 rows
+    require(bad.isEmpty,
+      s"ndcgAtK: $scoreCol/$tieCol must be non-NULL and $relCol a " +
+        s"non-negative grade; got ${bad.mkString("; ")}")
     val wts = (1 to k).map(i =>
       math.round(1e6 / (math.log(i + 1) / math.log(2.0))))
     val wArr = s"array(${wts.mkString("L, ")}L)"

@@ -187,6 +187,21 @@ class ThirdWaveSpec extends SparkSpec {
     assert(got == ((1892790L, 3000000L, 630930L)), got.toString)
   }
 
+  test("ndcgAtK: NULL rank-domain columns and negative grades fail " +
+      "loudly instead of silently shifting positions") {
+    val nullScore = Seq((1L, Some(9.0), 1L, 1L), (1L, None, 2L, 1L))
+      .toDF("q", "s", "t", "rel")
+    val e1 = intercept[IllegalArgumentException] {
+      AnalyticsQ.ndcgAtK(nullScore, "q", "s", "t", "rel")
+    }
+    assert(e1.getMessage.contains("non-NULL"), e1.getMessage)
+    val negRel = Seq((1L, 9.0, 1L, -1L)).toDF("q", "s", "t", "rel")
+    val e2 = intercept[IllegalArgumentException] {
+      AnalyticsQ.ndcgAtK(negRel, "q", "s", "t", "rel")
+    }
+    assert(e2.getMessage.contains("non-negative"), e2.getMessage)
+  }
+
   test("ndcgAtK: items beyond k never contribute, and an all-zero " +
       "query reads NULL, not a fake zero") {
     // k = 2: the rel-3 item sits at pos 3 in BOTH orders... except the
