@@ -3182,10 +3182,149 @@ object CurationQ {
       FROM g
       ORDER BY event_type, day"""))
 
+  /** Gopher-rules quality gate — the published web-filtering rule set
+    * (word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, bullet/ellipsis line shares, alphabetic-word share,
+    * minimum stopword count) as one reason BITMASK per document, the
+    * q63 discipline (bits, not first-match CASE, so attrition reports
+    * are a single group-by on `reason`). q63 is the repo's own
+    * signal mix; this card is the standard published recipe a
+    * reviewer can cross-reference threshold by threshold — every
+    * threshold an explicit knob, every ratio an exact integer ppm.
+    * Bits: 1 = word count outside [minWords, maxWords]; 2 = mean word
+    * length outside [minWlen, maxWlen] milli; 4 = symbol ratio
+    * (`#`/`...` per word) above max; 8 = bullet-started lines above
+    * max; 16 = ellipsis-ended lines above max; 32 = alphabetic-word
+    * share below min; 64 = fewer than minStop stopwords. NULL text
+    * reads as empty (never-drop; fails 1/2/32/64 like any empty doc).
+    *
+    * Plan: pure map-side — every signal is an expression over the
+    * token/line arrays inside the scan projection; zero shuffles. */
+  def gopherGate(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L, minWlenMilli: Long = 3000L,
+      maxWlenMilli: Long = 10000L, maxSymbolPpm: Long = 100000L,
+      maxBulletPpm: Long = 900000L, maxEllipsisPpm: Long = 300000L,
+      minAlphaPpm: Long = 800000L, minStop: Long = 2L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val stop = stopWords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("__t", coalesce(col("text"), lit("")))
+      .withColumn("__ws",
+        expr("filter(split(__t, ' '), w -> length(w) > 0)"))
+      .withColumn("__ls", expr("split(__t, '\n')"))
+      .select(col("doc_id"),
+        expr("CAST(size(__ws) AS BIGINT)").as("n_words"),
+        expr("""aggregate(__ws, 0L, (acc, w) ->
+          acc + CAST(length(w) AS BIGINT))""").as("n_wchars"),
+        expr("""CAST(size(regexp_extract_all(__t, '#', 0))
+          + size(regexp_extract_all(__t, '\\.\\.\\.', 0)) AS BIGINT)""")
+          .as("n_sym"),
+        expr("""CAST(size(filter(__ws, w -> w RLIKE '[a-zA-Z]'))
+          AS BIGINT)""").as("n_alpha"),
+        expr(s"CAST(size(filter(__ws, w -> w IN ($stop))) AS BIGINT)")
+          .as("n_stop"),
+        expr("CAST(size(__ls) AS BIGINT)").as("n_lines"),
+        expr("""CAST(size(filter(__ls, l -> l LIKE '-%' OR
+          l LIKE '*%')) AS BIGINT)""").as("n_bullet"),
+        expr("CAST(size(filter(__ls, l -> l LIKE '%...')) AS BIGINT)")
+          .as("n_ell"))
+      .withColumn("mean_wlen_milli",
+        when(col("n_words") > 0L, expr("(1000 * n_wchars) DIV n_words")))
+      .withColumn("reason",
+        when(col("n_words") < minWords || col("n_words") > maxWords, 1L)
+          .otherwise(0L)
+          + when(col("n_words") === 0L ||
+            col("mean_wlen_milli") < minWlenMilli ||
+            col("mean_wlen_milli") > maxWlenMilli, 2L).otherwise(0L)
+          + when(col("n_words") > 0L &&
+            expr("(1000000 * n_sym) DIV n_words") > maxSymbolPpm, 4L)
+            .otherwise(0L)
+          + when(expr("(1000000 * n_bullet) DIV n_lines") > maxBulletPpm,
+            8L).otherwise(0L)
+          + when(expr("(1000000 * n_ell) DIV n_lines") > maxEllipsisPpm,
+            16L).otherwise(0L)
+          + when(col("n_words") === 0L ||
+            expr("(1000000 * n_alpha) DIV n_words") < minAlphaPpm, 32L)
+            .otherwise(0L)
+          + when(col("n_stop") < minStop, 64L).otherwise(0L))
+      .withColumn("keep", (col("reason") === 0L).cast(LongType))
+  }
+
+  /** Oracle fixture of [[gopherGate]] — mixed verdicts at the default
+    * knobs (≈183 of 500 sf0.001 docs fail the 50-word floor, a handful
+    * the stopword floor; the fixture has no symbol/bullet mass, which
+    * the spec plants by hand). */
+  private val q306 = {
+    val stop = stopWords.map(w => s"'$w'").mkString(", ")
+    GQuery(
+      "q306_gopher_gate",
+      (s, dir) => gopherGate(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH sig AS (SELECT doc_id,
+            list_filter(string_split(COALESCE(text, ''), ' '),
+              w -> len(w) > 0) AS ws,
+            string_split(COALESCE(text, ''), chr(10)) AS ls,
+            CAST(len(regexp_extract_all(COALESCE(text, ''), '#'))
+              + len(regexp_extract_all(COALESCE(text, ''), '\\.\\.\\.'))
+              AS BIGINT) AS n_sym
+          FROM documents),
+        m AS (SELECT doc_id, n_sym,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+              AS BIGINT) AS n_wchars,
+            CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(ws, w -> w IN ($stop))) AS BIGINT)
+              AS n_stop,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'))
+              AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+              AS n_ell
+          FROM sig),
+        v AS (SELECT *,
+            CASE WHEN n_words > 0 THEN (1000 * n_wchars) // n_words END
+              AS mean_wlen_milli
+          FROM m)
+        SELECT doc_id, n_words, n_wchars, n_sym, n_alpha, n_stop,
+          n_lines, n_bullet, n_ell, mean_wlen_milli,
+          (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+           + CASE WHEN n_words = 0 OR mean_wlen_milli < 3000
+               OR mean_wlen_milli > 10000 THEN 2 ELSE 0 END
+           + CASE WHEN n_words > 0
+               AND (1000000 * n_sym) // n_words > 100000 THEN 4 ELSE 0 END
+           + CASE WHEN (1000000 * n_bullet) // n_lines > 900000
+               THEN 8 ELSE 0 END
+           + CASE WHEN (1000000 * n_ell) // n_lines > 300000
+               THEN 16 ELSE 0 END
+           + CASE WHEN n_words = 0
+               OR (1000000 * n_alpha) // n_words < 800000
+               THEN 32 ELSE 0 END
+           + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END)::BIGINT AS reason,
+          (CASE WHEN (CASE WHEN n_words < 50 OR n_words > 100000
+               THEN 1 ELSE 0 END
+             + CASE WHEN n_words = 0 OR mean_wlen_milli < 3000
+                 OR mean_wlen_milli > 10000 THEN 2 ELSE 0 END
+             + CASE WHEN n_words > 0
+                 AND (1000000 * n_sym) // n_words > 100000
+                 THEN 4 ELSE 0 END
+             + CASE WHEN (1000000 * n_bullet) // n_lines > 900000
+                 THEN 8 ELSE 0 END
+             + CASE WHEN (1000000 * n_ell) // n_lines > 300000
+                 THEN 16 ELSE 0 END
+             + CASE WHEN n_words = 0
+                 OR (1000000 * n_alpha) // n_words < 800000
+                 THEN 32 ELSE 0 END
+             + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END)::BIGINT AS keep
+        FROM v ORDER BY doc_id"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290, q295)
+      q262, q290, q295, q306)
 }

@@ -513,5 +513,87 @@ object GraphQ {
         ORDER BY doc_id"""))
   }
 
-  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203, q214, q227)
+  /** HITS hubs/authorities — the DIRECTED centrality pair the
+    * undirected family (q139 PageRank, q214 k-core, q203 LPA) cannot
+    * express: on an edge u→v, a good HUB points at good authorities
+    * and a good AUTHORITY is pointed at by good hubs (`h = E·a`,
+    * `a = Eᵀ·h`). On a caller→callee graph that separates the two
+    * fraud-relevant roles a single undirected score conflates: a
+    * SIM-box is a pathological hub (sprays terminations), a premium
+    * trap a pathological authority (harvests them). Each half-step
+    * max-normalizes to ppm (`(10⁶·x) DIV max`) — the integer twin of
+    * the classic norm, deterministic cross-engine, no floats. Edge
+    * MULTIPLICITY is weight: pass distinct edges for the unweighted
+    * reading. Output: one row per (node, role) with the final score.
+    *
+    * Plan: the q139 discipline — per iteration two hash joins + two
+    * aggregations on the edge key, each side lineage-cut so iteration
+    * k never re-executes k−1; the max is a broadcast scalar. Work per
+    * round is O(|edges|), shuffled on src/dst — bucketable at 100 TB. */
+  def hitsPpm(edges0: DataFrame, iterations: Int = 2,
+      reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = snap(edges0.select(col("src"), col("dst")))
+    def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
+      val mx = raw.agg(max(col(v)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(key), expr(s"(1000000 * $v) DIV __mx").as(v))
+    }
+    var hubs = edges.select(col("src")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auths = edges.select(col("dst")).distinct()
+      .withColumn("a", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      auths = snap(normalized(edges.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a")), "dst", "a"))
+      hubs = snap(normalized(edges.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h")), "src", "h"))
+    }
+    hubs.select(col("src").as("node"), lit("hub").as("role"),
+        col("h").as("score_ppm"))
+      .unionByName(auths.select(col("dst").as("node"),
+        lit("authority").as("role"), col("a").as("score_ppm")))
+  }
+
+  /** Oracle fixture of [[hitsPpm]]: 2 rounds over the caller→callee
+    * graph (the q276/q277 derivation), distinct edges. */
+  private val q303 = {
+    val steps = (1 to 2).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS ar
+            FROM edges JOIN $prevH USING (src) GROUP BY dst),
+          a$i AS (SELECT dst, (1000000 * ar) //
+            (SELECT MAX(ar) FROM a${i}r) AS a FROM a${i}r),
+          h${i}r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS hr
+            FROM edges JOIN a$i USING (dst) GROUP BY src),
+          h$i AS (SELECT src, (1000000 * hr) //
+            (SELECT MAX(hr) FROM h${i}r) AS h FROM h${i}r)"""
+    }.mkString(",\n")
+    GQuery(
+      "q303_hits_roles",
+      (s, dir) => hitsPpm(
+        t(s, dir, "events").select(
+          expr("CAST(user_id AS STRING)").as("src"),
+          expr("CAST(100000000 + (event_id * 7919) % 900000000 AS STRING)")
+            .as("dst")).distinct(),
+        iterations = 2)
+        .orderBy(col("role"), col("node")),
+      Some(s"""WITH calls AS (SELECT CAST(user_id AS VARCHAR) AS src,
+            CAST(100000000 + (event_id * 7919) % 900000000 AS VARCHAR)
+              AS dst
+          FROM events),
+        edges AS (SELECT DISTINCT src, dst FROM calls),
+        h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS h
+          FROM edges),
+        $steps
+        SELECT node, role, score_ppm FROM (
+          SELECT src AS node, 'hub' AS role, h AS score_ppm FROM h2
+          UNION ALL SELECT dst, 'authority', a FROM a2)
+        ORDER BY role, node"""))
+  }
+
+  val queries: Seq[GQuery] = Seq(q139, q140, q176, q203, q214, q227, q303)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQ, TextQ}
+import graft.queries.{AnalyticsQ, CurationQ, GraphQ, TextQ}
 
 /** Hand-computed pins for the round-12 third-wave cards (q298–q302):
   * the oracle proves engine parity; these prove the MATH on cases small
@@ -167,6 +167,116 @@ class ThirdWaveSpec extends SparkSpec {
   }
 
   // --- q302 nDCG ---------------------------------------------------------
+
+  // --- q303 HITS ---------------------------------------------------------
+
+  test("hitsPpm: one iteration on a three-edge graph by hand") {
+    // h1→a1, h1→a2, h2→a1.
+    // a raw: a1 = 2e6, a2 = 1e6 → max-norm: a1 = 1e6, a2 = 500000
+    // h raw: h1 = a1+a2 = 1.5e6, h2 = a1 = 1e6
+    //        → max-norm: h1 = 1e6, h2 = (1e6·1e6) DIV 1.5e6 = 666666
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val got = GraphQ.hitsPpm(edges, iterations = 1)
+      .orderBy(col("role"), col("node"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a1", "authority", 1000000L), ("a2", "authority", 500000L),
+      ("h1", "hub", 1000000L), ("h2", "hub", 666666L)), got.toString)
+  }
+
+  test("hitsPpm: a second iteration separates hubs the first cannot") {
+    // Same graph, iteration 2: a1 = h1+h2 = 1666666 → 1e6;
+    // a2 = h1 = 1e6 → (1e6·1e6) DIV 1666666 = 600000;
+    // h1 = 1600000 → 1e6; h2 = 1e6 → 625000.
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val got = GraphQ.hitsPpm(edges, iterations = 2)
+      .orderBy(col("role"), col("node"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a1", "authority", 1000000L), ("a2", "authority", 600000L),
+      ("h1", "hub", 1000000L), ("h2", "hub", 625000L)), got.toString)
+  }
+
+  // --- q304 gains/lift ----------------------------------------------------
+
+  test("gainsDeciles: a perfect score captures all positives in the " +
+      "top buckets with the exact lift") {
+    // 10 rows, scores 10..1, the three positives hold the top scores.
+    val df = (1 to 10).map(i =>
+        (i.toLong, (11 - i).toLong, if (i <= 3) 1L else 0L))
+      .toDF("id", "score", "label")
+    val got = AnalyticsQ.gainsDeciles(df, "score", "label", "id")
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("cum_positives"), col("gain_ppm"),
+        col("lift_ppm"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.take(3) == Seq(
+      (1L, 1L, 333333L, 3333333L),
+      (2L, 2L, 666666L, 3333333L),
+      (3L, 3L, 1000000L, 3333333L)), got.toString)
+    assert(got.drop(3).forall(r => r._3 == 1000000L) &&
+      got.last == ((10L, 3L, 1000000L, 1000000L)), got.toString)
+  }
+
+  test("gainsDeciles: NULL scores and non-binary labels fail loudly") {
+    val nullScore = Seq((1L, Option.empty[Long], 0L), (2L, Some(5L), 1L))
+      .toDF("id", "score", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      AnalyticsQ.gainsDeciles(nullScore, "score", "label", "id")
+    }
+    assert(e1.getMessage.contains("non-NULL"), e1.getMessage)
+    val badLabel = Seq((1L, 5L, 2L)).toDF("id", "score", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      AnalyticsQ.gainsDeciles(badLabel, "score", "label", "id")
+    }
+    assert(e2.getMessage.contains("{0, 1}"), e2.getMessage)
+  }
+
+  // --- q305 purchase regularity -------------------------------------------
+
+  test("purchaseRegularity: gaps, lower median, and the single-day " +
+      "never-drop row by hand") {
+    // c1 orders on days 1, 4, 10 (gaps 3, 6; lower median 3;
+    // mean 4500 milli); a same-day duplicate must not mint a 0 gap.
+    // c2 has one order day → NULL gap stats, row kept.
+    val orders = Seq(
+      (1L, "2024-01-01", 1.0), (1L, "2024-01-04", 1.0),
+      (1L, "2024-01-04", 1.0), (1L, "2024-01-10", 1.0),
+      (2L, "2024-01-05", 1.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = AnalyticsQ.purchaseRegularity(orders).orderBy(col("custkey"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, Some(3L), Some(6L), Some(4500L), Some(3L)),
+      (2L, 1L, 0L, None, None, None, None)), got.toString)
+  }
+
+  // --- q306 Gopher gate ----------------------------------------------------
+
+  test("gopherGate: bullet lists, ellipsis spam, and a clean doc get " +
+      "the exact reason bits") {
+    val clean = Seq.fill(10)("the data table scan merge").mkString(" ")
+    val bullets = "- a b\n- c d\n- e f"
+    val ellipsis = "a b...\nc d...\nx y"
+    val docs = Seq((0L, clean), (1L, bullets), (2L, ellipsis),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CurationQ.gopherGate(docs).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("reason"), col("keep"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // clean: 50 words, mean 4200 milli, 20 stopwords → keep.
+    // bullets: 6 one-char words → bits 1+2+64; 3/3 bullet lines → 8.
+    // ellipsis: words split on SPACE only, so newlines ride inside
+    //   tokens → 4 words ('a','b...\nc','d...\nx','y', mean 3500 — no
+    //   bit 2); 2 '...' over 4 words (500000 ppm > 10%) → 4; 2/3
+    //   ellipsis-ended lines → 16; too short → 1; one stopword → 64.
+    //   1+4+16+64 = 85.
+    // NULL text: empty → 1 + 2 + 32 + 64 = 99.
+    assert(got == Seq((0L, 0L, 1L), (1L, 75L, 0L), (2L, 85L, 0L),
+      (3L, 99L, 0L)), got.toString)
+  }
 
   test("ndcgAtK: a perfect ranking scores exactly 1e6 ppm") {
     val df = Seq((1L, 9.0, 1L, 3L), (1L, 8.0, 2L, 2L), (1L, 7.0, 3L, 0L))
