@@ -86,7 +86,9 @@ object ScaleProbe {
     "q294_erlang_staffing", "q295_l_diversity",
     "q296_readability", "q297_bh_fdr",
     "q298_rfm_segments", "q299_holt_forecast", "q300_cusum_shift",
-    "q301_vocab_growth", "q302_ndcg_eval")
+    "q301_vocab_growth", "q302_ndcg_eval",
+    "q303_hits_roles", "q304_gains_deciles", "q305_purchase_regularity",
+    "q306_gopher_gate")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
