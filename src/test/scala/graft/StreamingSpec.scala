@@ -604,6 +604,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CusumMonitor tracks shifts live with batch-twin parity and " +
+      "surfaces late arrivals without folding them") {
+    import graft.streaming.{CMon, CObs, CusumMonitor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[CObs]
+    val out = in.toDS().groupByKey(_.key)
+      .transformWithState(
+        new CusumMonitor(refDays = 7, kMilli = 500L, hMilli = 12000L),
+        TimeMode.None(), OutputMode.Append())
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      // key 1: the ThirdWaveSpec "up" series — a reference week at 10,
+      // then a persistent shift to 12, split ACROSS batches so the
+      // running state carries μ and both statistics over the boundary
+      val ref = (1 to 7).map(i => CObs(1L, i.toLong, 10L))
+      in.addData(ref ++ (8 to 12).map(i => CObs(1L, i.toLong, 12L)): _*)
+      q.processAllAvailable()
+      in.addData((13 to 16).map(i => CObs(1L, i.toLong, 12L)): _*)
+      q.processAllAvailable()
+      val mon = spark.table("cusum_out").as[CMon].collect().toSeq
+      val live = mon.filter(!_.late)
+      // batch-twin parity: peaks, alarm day, monitored count vs q300's
+      // oracle-checked operator over the same in-order series
+      val batch = graft.queries.AnalyticsQ.cusumShift(
+          ((1 to 7).map(i => (1L, i.toLong, 10L)) ++
+            (8 to 16).map(i => (1L, i.toLong, 12L)))
+            .toDF("g", "x", "y"), "g", "x", "y")
+        .select(col("n_monitored"), col("peak_hi"), col("peak_lo"),
+          col("alarm_x"))
+        .as[(Long, Long, Long, Option[Long])].head()
+      assert(live.size.toLong == batch._1, s"$live vs $batch")
+      assert(live.map(_.c_hi).max == batch._2 &&
+        live.map(_.c_lo).max == batch._3, s"$live vs $batch")
+      assert(live.filter(_.alarm).map(_.x).min == batch._4.get,
+        s"$live vs $batch")
+      // a late replay of day 9 is SURFACED but must not corrupt state
+      in.addData(CObs(1L, 9L, 99L), CObs(1L, 17L, 12L))
+      q.processAllAvailable()
+      val mon2 = spark.table("cusum_out").as[CMon].collect().toSeq
+      assert(mon2.exists(m => m.x == 9L && m.late), mon2.toString)
+      val d17 = mon2.find(m => m.x == 17L && !m.late).get
+      // day 17 continues the clean recurrence: c_hi grows another 1500
+      assert(d17.c_hi == live.map(_.c_hi).max + 1500L, d17.toString)
+    } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("VelocityMonitor flags bursts live with batch-twin parity") {
     import graft.streaming.{VAlarm, VelocityMonitor, VEvent}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
