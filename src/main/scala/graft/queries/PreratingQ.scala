@@ -952,6 +952,81 @@ object PreratingQ {
       FROM j GROUP BY 1, 2
       ORDER BY donor_op, recipient_op"""))
 
+  /** Number-plan fragmentation card — the plan-HYGIENE view the
+    * utilization (q268) and version-diff (q282) cards don't give: when
+    * an owner's allocation accretes through years of ports and splits,
+    * it ends up as many small ranges that COULD be one — every extra
+    * range is guiding-dim weight and an operator error surface. Per
+    * owner: range count, total numbers, the count of ADJACENT
+    * same-owner pairs (`next.range_start = range_end + 1` — each one a
+    * merge opportunity), the resulting maximal-contiguous-fragment
+    * count (`n_ranges − n_merge_pairs` — exact for chains of any
+    * length), and the merge opportunity as ppm of ranges.
+    *
+    * Plan: adjacency via a SELF-EQUI-JOIN on `range_end + 1 =
+    * range_start` — never a global-order window, so a 10⁷-range
+    * national plan stays fully parallel (the join key is as selective
+    * as a primary key). Assumes a non-overlapping plan — the
+    * [[validateVersionedDim]] / guide-time checks own that invariant. */
+  def planFragmentation(ranges: DataFrame): DataFrame = {
+    val r = ranges.select(col("range_start"), col("range_end"),
+      col("account_id"))
+    val pairs = r.as("a").join(r.as("b"),
+        expr("b.range_start = a.range_end + 1 AND " +
+          "b.account_id = a.account_id"))
+      .select(col("a.account_id").as("account_id"))
+      .groupBy(col("account_id"))
+      .agg(count(lit(1)).as("n_merge_pairs"))
+    r.groupBy(col("account_id"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(expr("range_end - range_start + 1")).as("total_numbers"))
+      .join(pairs, Seq("account_id"), "left")
+      .withColumn("n_merge_pairs", coalesce(col("n_merge_pairs"), lit(0L)))
+      .withColumn("n_fragments", expr("n_ranges - n_merge_pairs"))
+      .withColumn("merge_ppm",
+        expr("(1000000 * n_merge_pairs) DIV n_ranges"))
+  }
+
+  /** Oracle fixture of [[planFragmentation]]: a contiguous 225-range
+    * plan allocated in same-owner TRIPLES whose owner comes from a
+    * multiplicative hash of the triple index — every owner holds
+    * contiguous chunks (2 merge pairs each), and because 75 triples
+    * hash onto 50 owners, half the owners hold TWO separate chunks:
+    * merge opportunities and genuine multi-fragment owners both carry
+    * rows. */
+  private val q307 = GQuery(
+    "q307_plan_fragmentation",
+    (s, dir) => planFragmentation(
+      s.range(0L, 225L).toDF("r").select(
+        (lit(49100000000L) + col("r") * 2000000L).as("range_start"),
+        (lit(49100000000L) + col("r") * 2000000L + 1999999L)
+          .as("range_end"),
+        (lit(1000L) + expr("((r DIV 3) * 2654435761) % 50"))
+          .as("account_id")))
+      .orderBy(col("account_id")),
+    Some("""WITH ranges AS (SELECT
+          49100000000 + r * 2000000 AS range_start,
+          49100000000 + r * 2000000 + 1999999 AS range_end,
+          1000 + ((r // 3) * 2654435761) % 50 AS account_id
+        FROM UNNEST(generate_series(0, 224)) AS u(r)),
+      pairs AS (SELECT a.account_id, COUNT(*) AS n_merge_pairs
+        FROM ranges a JOIN ranges b
+          ON b.range_start = a.range_end + 1
+          AND b.account_id = a.account_id
+        GROUP BY 1),
+      g AS (SELECT account_id, COUNT(*) AS n_ranges,
+          CAST(SUM(range_end - range_start + 1) AS BIGINT)
+            AS total_numbers
+        FROM ranges GROUP BY 1)
+      SELECT g.account_id, n_ranges, total_numbers,
+        CAST(COALESCE(n_merge_pairs, 0) AS BIGINT) AS n_merge_pairs,
+        CAST(n_ranges - COALESCE(n_merge_pairs, 0) AS BIGINT)
+          AS n_fragments,
+        CAST((1000000 * COALESCE(n_merge_pairs, 0)) // n_ranges
+          AS BIGINT) AS merge_ppm
+      FROM g LEFT JOIN pairs USING (account_id)
+      ORDER BY account_id"""))
+
   val queries: Seq[GQuery] =
-    Seq(q263, q264, q268, q272, q279, q280, q282, q283, q292)
+    Seq(q263, q264, q268, q272, q279, q280, q282, q283, q292, q307)
 }

@@ -1043,6 +1043,95 @@ object RoutingQ {
           AS BIGINT) AS recovery_ppm
       FROM marked GROUP BY 1 ORDER BY route"""))
 
+  /** Bot-cadence screen — the TIMING-regularity lens the rate screens
+    * miss (q246 velocity asks "how MANY in a window", q276 wangiri
+    * "how many DISTINCT targets"; this asks "how MACHINE-LIKE is the
+    * spacing"): a dialer fired by a cron or SIM-box emits at
+    * near-constant inter-event intervals, while human traffic is
+    * bursty. Per caller: the inter-event gaps' lower median, their
+    * median-absolute-deviation (both exact order statistics — the
+    * q285/q305 discipline), the RELATIVE MAD in milli (`(1000·mad)
+    * DIV median`), and the flag: enough events, a nonzero median
+    * (zero-median bursts are the velocity monitor's domain, doc'd),
+    * and relative MAD at or under the knob. Gap multisets are
+    * invariant under same-second reordering, so no tiebreak is needed
+    * for determinism.
+    *
+    * Plan: one (caller)-partitioned lag + two order-statistic window
+    * passes, all at per-caller grain — never corpus-sized. */
+  def botCadenceCard(calls: DataFrame, minEvents: Long = 10L,
+      maxRelMadMilli: Long = 700L): DataFrame = {
+    require(minEvents >= 2L, s"minEvents must be >= 2, got $minEvents")
+    require(maxRelMadMilli >= 0L,
+      s"maxRelMadMilli must be >= 0, got $maxRelMadMilli")
+    val wo = Window.partitionBy(col("caller")).orderBy(col("sec"))
+    val gaps = calls.select(col("caller"), col("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wo))
+      .filter(col("gap").isNotNull)
+    def lowerMedian(df: DataFrame, v: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col("caller")).orderBy(col(v))
+      val wc = Window.partitionBy(col("caller"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__ng", count(lit(1)).over(wc))
+        .filter(expr("__rn = (__ng + 1) DIV 2"))
+        .select(col("caller"), col(v).as(as))
+    }
+    val med = lowerMedian(gaps, "gap", "median_iet_sec")
+    val mad = lowerMedian(
+      gaps.join(med, Seq("caller"))
+        .withColumn("__dev", abs(col("gap") - col("median_iet_sec"))),
+      "__dev", "mad_iet_sec")
+    gaps.groupBy(col("caller")).agg(count(lit(1)).as("n_iet"))
+      .join(med, Seq("caller")).join(mad, Seq("caller"))
+      .withColumn("rel_mad_milli",
+        when(col("median_iet_sec") > 0L,
+          expr("(1000 * mad_iet_sec) DIV median_iet_sec")))
+      .withColumn("machine_flag",
+        col("n_iet") >= minEvents && col("median_iet_sec") > 0L &&
+          col("rel_mad_milli") <= maxRelMadMilli)
+  }
+
+  /** Oracle fixture of [[botCadenceCard]]: callers are users, seconds
+    * from the event timestamps; the fixture carries no planted bots,
+    * so the knob sits at the fixture population's relative-MAD median
+    * — both verdicts carry rows and the spec plants a true clockwork
+    * caller to prove the flag's semantics. */
+  private val q308 = GQuery(
+    "q308_bot_cadence",
+    (s, dir) => botCadenceCard(
+      t(s, dir, "events").select(col("user_id").as("caller"),
+        expr("CAST(ts AS BIGINT)").as("sec")))
+      .orderBy(col("caller")),
+    Some("""WITH calls AS (SELECT user_id AS caller,
+          (epoch_us(ts) // 1000000) AS sec FROM events),
+      gaps AS (SELECT caller,
+          sec - LAG(sec) OVER (PARTITION BY caller ORDER BY sec) AS gap
+        FROM calls),
+      gg AS (SELECT caller, CAST(gap AS BIGINT) AS gap FROM gaps
+        WHERE gap IS NOT NULL),
+      med AS (SELECT caller, gap AS median_iet_sec FROM (
+          SELECT caller, gap,
+            ROW_NUMBER() OVER (PARTITION BY caller ORDER BY gap) AS rn,
+            COUNT(*) OVER (PARTITION BY caller) AS ng FROM gg)
+        WHERE rn = (ng + 1) // 2),
+      dev AS (SELECT gg.caller, abs(gap - median_iet_sec) AS dv
+        FROM gg JOIN med USING (caller)),
+      mad AS (SELECT caller, dv AS mad_iet_sec FROM (
+          SELECT caller, dv,
+            ROW_NUMBER() OVER (PARTITION BY caller ORDER BY dv) AS rn,
+            COUNT(*) OVER (PARTITION BY caller) AS ng FROM dev)
+        WHERE rn = (ng + 1) // 2),
+      n AS (SELECT caller, COUNT(*) AS n_iet FROM gg GROUP BY 1)
+      SELECT n.caller, n_iet, median_iet_sec, mad_iet_sec,
+        CASE WHEN median_iet_sec > 0
+          THEN CAST((1000 * mad_iet_sec) // median_iet_sec AS BIGINT) END
+          AS rel_mad_milli,
+        (n_iet >= 10 AND median_iet_sec > 0
+          AND (1000 * mad_iet_sec) // median_iet_sec <= 700)
+          AS machine_flag
+      FROM n JOIN med USING (caller) JOIN mad USING (caller)
+      ORDER BY caller"""))
+
   val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q294,
-    q276, q277, q278, q286)
+    q276, q277, q278, q286, q308)
 }

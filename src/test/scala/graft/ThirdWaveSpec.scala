@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQ, CurationQ, GraphQ, TextQ}
+import graft.queries.{AnalyticsQ, CurationQ, GraphQ, PreratingQ, RoutingQ, TextQ}
 
 /** Hand-computed pins for the round-12 third-wave cards (q298–q302):
   * the oracle proves engine parity; these prove the MATH on cases small
@@ -164,6 +164,58 @@ class ThirdWaveSpec extends SparkSpec {
     assert(got == Seq(
       (0L, 3L, 1L, 3L, 1L, Some(333333L)),
       (2L, 1L, 0L, 4L, 1L, Some(250000L))), got.toString)
+  }
+
+  // --- q307 plan fragmentation ---------------------------------------------
+
+  test("planFragmentation: chains collapse to one fragment; islands " +
+      "stay separate") {
+    // owner 1: [0,9][10,19][30,39] — first two adjacent → 1 merge
+    // pair, 2 fragments. owner 2: a single range → 1 fragment, 0 ppm.
+    val ranges = Seq((0L, 9L, 1L), (10L, 19L, 1L), (30L, 39L, 1L),
+      (50L, 59L, 2L)).toDF("range_start", "range_end", "account_id")
+    val got = PreratingQ.planFragmentation(ranges)
+      .orderBy(col("account_id"))
+      .select(col("account_id"), col("n_ranges"), col("total_numbers"),
+        col("n_merge_pairs"), col("n_fragments"), col("merge_ppm"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 30L, 1L, 2L, 333333L),
+      (2L, 1L, 10L, 0L, 1L, 0L)), got.toString)
+  }
+
+  test("planFragmentation: a full chain of three is one fragment") {
+    val ranges = Seq((0L, 9L, 1L), (10L, 19L, 1L), (20L, 29L, 1L))
+      .toDF("range_start", "range_end", "account_id")
+    val got = PreratingQ.planFragmentation(ranges)
+      .select(col("n_merge_pairs"), col("n_fragments"))
+      .as[(Long, Long)].head()
+    assert(got == ((2L, 1L)), got.toString)
+  }
+
+  // --- q308 bot cadence -----------------------------------------------------
+
+  test("botCadenceCard: clockwork flags, human jitter survives, thin " +
+      "histories never flag") {
+    // bot: 11 events 60s apart → 10 gaps of 60, MAD 0, rel 0 → flag.
+    // human: gaps (10,100,20,200,30,300,40,400,50,500) → lower median
+    //   50, deviations' lower median 40 → rel (1000·40) DIV 50 = 800.
+    // thin: 3 perfectly regular events — below the 10-gap floor.
+    val bot = (0 to 10).map(i => (1L, 60L * i))
+    val humanGaps = Seq(10L, 100L, 20L, 200L, 30L, 300L, 40L, 400L,
+      50L, 500L)
+    val human = humanGaps.scanLeft(0L)(_ + _).map(s => (2L, s))
+    val thin = (0 to 2).map(i => (3L, 60L * i))
+    val calls = (bot ++ human ++ thin).toDF("caller", "sec")
+    val got = RoutingQ.botCadenceCard(calls).orderBy(col("caller"))
+      .select(col("caller"), col("n_iet"), col("median_iet_sec"),
+        col("mad_iet_sec"), col("rel_mad_milli"), col("machine_flag"))
+      .as[(Long, Long, Long, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 60L, 0L, Some(0L), true),
+      (2L, 10L, 50L, 40L, Some(800L), false),
+      (3L, 2L, 60L, 0L, Some(0L), false)), got.toString)
   }
 
   // --- q302 nDCG ---------------------------------------------------------
