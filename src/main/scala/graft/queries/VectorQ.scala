@@ -2595,8 +2595,139 @@ object VectorQ {
     FROM asg
     ORDER BY vec_id"""))
 
+  /** MMR (maximal-marginal-relevance) diversified re-ranking — the
+    * retrieval op between top-k (q29: the k MOST similar, often k
+    * near-copies of each other) and semantic dedup (q76: drop
+    * near-copies corpus-wide): greedily pick `k` of the top-`m`
+    * candidates, each step maximizing `λ·sim(query, c) − (1−λ)·max
+    * sim(c, already-picked)` — relevance traded against redundancy,
+    * the standard recipe for diverse few-shot example selection and
+    * search-result diversification. Scores are integer: the 6-dp
+    * cosine lifts to micro (`ROUND(cos·10⁶)` — no half-ties can arise
+    * from a 6-dp value), λ is milli, so the MMR objective is exact
+    * BIGINT nano and the argmax (ties on candidate id) is
+    * deterministic cross-engine.
+    *
+    * Plan: the candidate stage is q29's brute-force top-m (the eval
+    * path — production swaps in the IVF/PQ ladder); the pair-sim table
+    * is m² PER QUERY (a knob, never corpus²); each greedy step is an
+    * anti-join + a max-aggregation + a per-query argmax window, all at
+    * candidate grain, lineage-cut per step (the q139/q303 iterative
+    * discipline). */
+  def mmrRerank(raw: DataFrame, k: Int = 3, m: Int = 10,
+      lambdaMilli: Long = 700L, queryMod: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    require(m >= 2 && m <= 64, s"m must be in [2, 64], got $m")
+    require(k >= 1 && k <= m, s"k must be in [1, $m], got $k")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val lam = lambdaMilli
+    val cands = snap(cosineTopK(raw, k = m, queryMod = queryMod)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        expr("CAST(ROUND(cosine * 1000000) AS BIGINT)").as("cos_micro")))
+    val ce = cands.select(col("query_id"), col("cand_id"))
+      .join(withNorm(raw).select(col("vec_id").as("cand_id"),
+        col("embedding"), col("nrm")), Seq("cand_id"))
+    val pairs = snap(ce.as("a").join(ce.as("b"),
+        expr("a.query_id = b.query_id AND a.cand_id <> b.cand_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("a_id"), col("b.cand_id").as("b_id"),
+        round(lit(1000000) *
+            cosine(col("a.embedding"), col("a.nrm"),
+              col("b.embedding"), col("b.nrm")), 0)
+          .cast(LongType).as("sim_micro")))
+    var selected = snap(cands.limit(0)
+      .select(col("query_id"), col("cand_id"), lit(0L).as("rank"),
+        lit(0L).as("mmr_nano")))
+    for (step <- 1 to k) {
+      val rem = cands.join(selected.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val maxSel = pairs
+        .join(selected.select(col("query_id"),
+          col("cand_id").as("b_id")), Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("cand_id"))
+        .agg(max(col("sim_micro")).as("__ms"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_nano").desc, col("cand_id"))
+      val pick = rem.join(maxSel, Seq("query_id", "cand_id"), "left")
+        .withColumn("mmr_nano",
+          expr(s"$lam * cos_micro - ${1000 - lam} * coalesce(__ms, 0L)"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(step.toLong).as("rank"), col("mmr_nano"))
+      selected = snap(selected.unionByName(pick))
+    }
+    selected
+  }
+
+  /** Oracle fixture of [[mmrRerank]] (k = 3 of the top-10, λ = 0.7):
+    * the greedy steps unroll as CTE blocks — each one an anti-join on
+    * everything selected so far, a max-sim aggregation, and the
+    * per-query argmax. */
+  private val q309 = {
+    val steps = (1 to 3).map { i =>
+      val prev = s"selall${i - 1}"
+      s"""rem$i AS (SELECT c.* FROM cands c WHERE NOT EXISTS (
+            SELECT 1 FROM $prev s WHERE s.query_id = c.query_id
+              AND s.cand_id = c.cand_id)),
+        mx$i AS (SELECT p.query_id, p.a_id, MAX(p.sim_micro) AS ms
+          FROM cpairs p JOIN $prev s ON s.query_id = p.query_id
+            AND s.cand_id = p.b_id
+          GROUP BY 1, 2),
+        sc$i AS (SELECT r.query_id, r.cand_id,
+            700 * r.cos_micro - 300 * COALESCE(mx.ms, 0) AS mmr
+          FROM rem$i r LEFT JOIN mx$i mx ON mx.query_id = r.query_id
+            AND mx.a_id = r.cand_id),
+        sel$i AS (SELECT query_id, cand_id, CAST($i AS BIGINT) AS rank,
+            CAST(mmr AS BIGINT) AS mmr_nano
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, cand_id) AS rn FROM sc$i)
+          WHERE rn = 1),
+        selall$i AS (SELECT * FROM selall${i - 1} UNION ALL
+          SELECT query_id, cand_id FROM sel$i)"""
+    }.mkString(",\n")
+    GQuery(
+      "q309_mmr_rerank",
+      (s, dir) => mmrRerank(t(s, dir, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+            ${normSql("embedding")} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM v WHERE vec_id % 20 = 0),
+        cp AS (SELECT query_id, c.vec_id AS cand_id,
+            ROUND((${dotSql("qe", "c.embedding")})
+              / (sqrt(qn) * sqrt(c.nrm)), 6) AS cosine
+          FROM v c, q WHERE c.vec_id <> query_id),
+        cpr AS (SELECT query_id, cand_id, cosine,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS rn
+          FROM cp),
+        cands AS (SELECT query_id, cand_id,
+            CAST(ROUND(cosine * 1000000) AS BIGINT) AS cos_micro
+          FROM cpr WHERE rn <= 10),
+        ce AS (SELECT cands.query_id, cands.cand_id, v.embedding, v.nrm
+          FROM cands JOIN v ON v.vec_id = cands.cand_id),
+        cpairs AS (SELECT a.query_id, a.cand_id AS a_id,
+            b.cand_id AS b_id,
+            CAST(ROUND(1000000 * ROUND((${dotSql("a.embedding",
+              "b.embedding")}) / (sqrt(a.nrm) * sqrt(b.nrm)), 6))
+              AS BIGINT) AS sim_micro
+          FROM ce a JOIN ce b ON a.query_id = b.query_id
+            AND a.cand_id <> b.cand_id),
+        selall0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+            CAST(NULL AS BIGINT) AS cand_id WHERE false),
+        $steps
+        SELECT query_id, cand_id, rank, mmr_nano
+        FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          UNION ALL SELECT * FROM sel3)
+        ORDER BY query_id, rank"""))
+  }
+
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207, q230, q235, q289)
+      q174, q193, q197, q207, q230, q235, q289, q309)
 }

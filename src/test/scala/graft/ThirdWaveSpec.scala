@@ -218,6 +218,32 @@ class ThirdWaveSpec extends SparkSpec {
       (3L, 2L, 60L, 0L, Some(0L), false)), got.toString)
   }
 
+  // --- q309 MMR ------------------------------------------------------------
+
+  test("mmrRerank: the second pick trades relevance for diversity — a " +
+      "near-duplicate of the first pick loses to a fresh direction") {
+    // query (1,0,0); c1 = (4,3,0)/5 → cos 0.8; c2 ≈ c1 with a 0.01
+    // wiggle → cos 0.799998 but sim(c2,c1) = 0.999998; c3 = (4,-3,0)/5
+    // → cos 0.8 yet sim(c3,c1) = 7/25 = 0.28. Pure top-2 cosine picks
+    // (c1, c2); MMR at λ=0.7 scores step 2 as
+    //   c2: 700·799998 − 300·999998 = 259,999,200
+    //   c3: 700·800000 − 300·280000 = 476,000,000 → c3 wins.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.8f, 0.6f, 0f)),
+      (2L, Array(0.8f, 0.6f, 0.002f)),
+      (3L, Array(0.8f, -0.6f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.queries.VectorQ.mmrRerank(emb, k = 2, m = 3)
+      .orderBy(col("rank"))
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        col("mmr_nano"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((1L, 1L), (3L, 2L)),
+      got.toString)
+    assert(got.head._4 == 700L * 800000L, got.toString)
+    assert(got(1)._4 == 700L * 800000L - 300L * 280000L, got.toString)
+  }
+
   // --- q302 nDCG ---------------------------------------------------------
 
   // --- q303 HITS ---------------------------------------------------------
