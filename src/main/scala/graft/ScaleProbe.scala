@@ -88,7 +88,8 @@ object ScaleProbe {
     "q298_rfm_segments", "q299_holt_forecast", "q300_cusum_shift",
     "q301_vocab_growth", "q302_ndcg_eval",
     "q303_hits_roles", "q304_gains_deciles", "q305_purchase_regularity",
-    "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence")
+    "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence",
+    "q310_holt_winters")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

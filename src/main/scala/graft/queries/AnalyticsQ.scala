@@ -4034,6 +4034,153 @@ object AnalyticsQ {
           AS ndcg_ppm
       FROM g ORDER BY user_id"""))
 
+  /** Holt–Winters additive seasonal forecast — the third rung of the
+    * exponential ladder (q287 SES: level; q299 Holt: level+trend; this:
+    * level+trend+SEASONAL), the first of the three that can forecast a
+    * weekly-patterned ops series without lagging the weekend dip by
+    * design. Classic additive recursion with α/β/γ in milli over
+    * `period`-indexed seasonals, seeded the textbook way (level = first
+    * period's mean, trend = mean day-over-period delta, seasonals =
+    * first period's deviations), ALL in exact truncating integer
+    * arithmetic — both engines replay the fold bit-for-bit (the DuckDB
+    * oracle steps it through a recursive CTE with one column per
+    * seasonal slot). One-step forecast = level + trend + the next
+    * slot's seasonal. Series shorter than two periods keep a row with
+    * NULL model columns (never-drop; the seed needs both periods).
+    *
+    * Plan: the q287/q299 discipline — ONE (group, day) aggregation,
+    * then a |days|-bounded fold per group whose accumulator carries
+    * the `period`-length seasonal array. */
+  def holtWinters(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String, alphaMilli: Long = 300L, betaMilli: Long = 100L,
+      gammaMilli: Long = 300L, period: Int = 7): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    require(betaMilli >= 0L && betaMilli <= 1000L,
+      s"betaMilli must be in [0, 1000], got $betaMilli")
+    require(gammaMilli >= 0L && gammaMilli <= 1000L,
+      s"gammaMilli must be in [0, 1000], got $gammaMilli")
+    require(period >= 2 && period <= 366,
+      s"period must be in [2, 366], got $period")
+    val a = alphaMilli; val b = betaMilli; val g = gammaMilli
+    val p = period
+    // the new level appears inside both the trend and seasonal updates —
+    // inlined three times (pure integer ops, |days|-bounded fold) so the
+    // lambda stays one expression both engines evaluate identically
+    val lNew = s"(($a * (e.y - element_at(acc.s, CAST(e.i % $p AS INT)" +
+      s" + 1)) + ${1000 - a} * (acc.l + acc.b)) DIV 1000)"
+    series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
+        col(yCol).as("y")))).as("__sx"))
+      .withColumn("__ys", expr("transform(__sx, q -> q.y)"))
+      .withColumn("__n", size(col("__ys")))
+      .withColumn("__l0", expr(
+        s"aggregate(slice(__ys, 1, $p), 0L, (q, y) -> q + y) DIV $p"))
+      // guarded: under ANSI, element_at past a short series' end would
+      // error EAGERLY even though the fold below never runs for it
+      .withColumn("__b0", expr(
+        s"""CASE WHEN __n >= ${2 * p} THEN
+          aggregate(transform(sequence(1, $p),
+            i -> element_at(__ys, CAST(i + $p AS INT))
+              - element_at(__ys, CAST(i AS INT))),
+            0L, (q, v) -> q + v) DIV ${p * p} END"""))
+      .withColumn("__s0", expr(s"transform(slice(__ys, 1, $p), " +
+        "y -> y - __l0)"))
+      .withColumn("__st", expr(
+        s"""CASE WHEN __n >= ${2 * p} THEN aggregate(
+            transform(slice(__ys, ${p + 1}, __n - $p),
+              (y, i) -> named_struct('y', y, 'i', i)),
+            named_struct('l', __l0, 'b', __b0, 's', __s0),
+            (acc, e) -> named_struct(
+              'l', $lNew,
+              'b', ($b * ($lNew - acc.l) + ${1000 - b} * acc.b) DIV 1000,
+              's', transform(acc.s, (v, j) ->
+                IF(j = CAST(e.i % $p AS INT),
+                  ($g * (e.y - $lNew) + ${1000 - g} * v) DIV 1000,
+                  v))))
+          END"""))
+      .select(col("g").as(groupCol), col("__n").as("n_obs"),
+        col("__st.l").as("hw_level"), col("__st.b").as("hw_trend"),
+        expr(s"element_at(__st.s, CAST(__n % $p AS INT) + 1)")
+          .as("hw_seasonal_next"),
+        expr(s"__st.l + __st.b + element_at(__st.s, " +
+          s"CAST(__n % $p AS INT) + 1)").as("forecast_1"))
+  }
+
+  /** Oracle fixture of [[holtWinters]]: the daily-revenue series with
+    * α = 0.3, β = 0.1, γ = 0.3, weekly period — the DuckDB replay is a
+    * recursive CTE carrying one column per seasonal slot (the q299
+    * list_reduce workaround, extended to array state). */
+  private val q310 = {
+    def lNewSql(sCase: String) =
+      s"(300 * (i.y - $sCase) + 700 * (r.l + r.b)) // 1000"
+    val sCase = "CASE (r.t + 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1" +
+      " WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4" +
+      " WHEN 5 THEN r.s5 ELSE r.s6 END"
+    val sCols = (0 to 6).map { j =>
+      s"""CASE WHEN (r.t + 1) % 7 = $j THEN (300 * (i.y -
+          ((300 * (i.y - r.s$j) + 700 * (r.l + r.b)) // 1000))
+          + 700 * r.s$j) // 1000 ELSE r.s$j END"""
+    }.mkString(",\n         ")
+    GQuery(
+      "q310_holt_winters",
+      (s, dir) => holtWinters(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("CAST(ts AS DATE)").as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("rev_centi")),
+        "event_type", "d", "rev_centi")
+        .orderBy(col("event_type")),
+      Some(s"""WITH RECURSIVE series AS (SELECT event_type AS g,
+            CAST(ts AS DATE) AS x,
+            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        idx AS (SELECT g, y,
+            ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) - 1 AS t
+          FROM series),
+        n AS (SELECT g, COUNT(*) AS n FROM idx GROUP BY g),
+        l0 AS (SELECT g, CAST(SUM(y) // 7 AS BIGINT) AS l0 FROM idx
+          WHERE t < 7 GROUP BY g),
+        b0 AS (SELECT a.g, CAST(SUM(b.y - a.y) // 49 AS BIGINT) AS b0
+          FROM idx a JOIN idx b ON a.g = b.g AND b.t = a.t + 7
+          WHERE a.t < 7 GROUP BY a.g),
+        s0 AS (SELECT idx.g,
+            MAX(CASE WHEN t = 0 THEN y END) - MAX(l0) AS s0,
+            MAX(CASE WHEN t = 1 THEN y END) - MAX(l0) AS s1,
+            MAX(CASE WHEN t = 2 THEN y END) - MAX(l0) AS s2,
+            MAX(CASE WHEN t = 3 THEN y END) - MAX(l0) AS s3,
+            MAX(CASE WHEN t = 4 THEN y END) - MAX(l0) AS s4,
+            MAX(CASE WHEN t = 5 THEN y END) - MAX(l0) AS s5,
+            MAX(CASE WHEN t = 6 THEN y END) - MAX(l0) AS s6
+          FROM idx JOIN l0 USING (g) WHERE t < 7 GROUP BY idx.g),
+        rec AS (
+          SELECT l0.g, CAST(6 AS BIGINT) AS t, l0.l0 AS l, b0.b0 AS b,
+            s0.s0, s0.s1, s0.s2, s0.s3, s0.s4, s0.s5, s0.s6
+          FROM l0 JOIN b0 USING (g) JOIN s0 USING (g)
+            JOIN n USING (g) WHERE n.n >= 14
+          UNION ALL
+          SELECT r.g, r.t + 1,
+            ${lNewSql(sCase)} AS l,
+            (100 * (${lNewSql(sCase)} - r.l) + 900 * r.b) // 1000 AS b,
+            $sCols
+          FROM rec r JOIN idx i ON i.g = r.g AND i.t = r.t + 1),
+        fin AS (SELECT rec.* FROM rec JOIN n USING (g)
+          WHERE rec.t = n.n - 1),
+        model AS (SELECT f.g, l, b,
+            CASE n.n % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+              WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END
+              AS s_next
+          FROM fin f JOIN n ON f.g = n.g)
+        SELECT n.g AS event_type, CAST(n.n AS INT) AS n_obs,
+          l AS hw_level, b AS hw_trend, s_next AS hw_seasonal_next,
+          l + b + s_next AS forecast_1
+        FROM n LEFT JOIN model ON n.g = model.g
+        ORDER BY event_type"""))
+  }
+
   /** Cumulative-gains / lift table — the CAMPAIGN view of a score the
     * pointwise evals don't give (q240 AUC is one number, q155
     * calibration asks "is the probability right"; this asks "if I can
@@ -4215,5 +4362,5 @@ object AnalyticsQ {
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
-    q291, q297, q298, q299, q300, q302, q304, q305)
+    q291, q297, q298, q299, q300, q302, q304, q305, q310)
 }

@@ -93,6 +93,33 @@ class ThirdWaveSpec extends SparkSpec {
     assert(got == ((126L, 17L)), got.toString)
   }
 
+  test("holtWinters: a pure seasonal pattern is the fold's fixed " +
+      "point — level flat, trend zero, seasonals exact") {
+    // y = 1000 + s[t % 7] with the weekly deviations summing to 0:
+    // l0 = 1000 exactly, b0 = 0, seed seasonals = the pattern, and
+    // every fold step reproduces all three (the smoothing terms
+    // cancel) — so the 1-step forecast is the true next value.
+    val s = Seq(70L, -70L, 35L, -35L, 0L, 21L, -21L)
+    val series = (0 until 21).map(t =>
+      ("g", t.toLong, 1000L + s(t % 7))).toDF("g", "x", "y")
+    val got = AnalyticsQ.holtWinters(series, "g", "x", "y")
+      .select(col("n_obs"), col("hw_level"), col("hw_trend"),
+        col("hw_seasonal_next"), col("forecast_1"))
+      .as[(Int, Long, Long, Long, Long)].head()
+    // n = 21 → next slot is 21 % 7 = 0 → seasonal 70
+    assert(got == ((21, 1000L, 0L, 70L, 1070L)), got.toString)
+  }
+
+  test("holtWinters: series shorter than two periods keep a row with " +
+      "NULL model columns") {
+    val series = (0 until 10).map(t => ("g", t.toLong, 100L))
+      .toDF("g", "x", "y")
+    val got = AnalyticsQ.holtWinters(series, "g", "x", "y")
+      .select(col("n_obs"), col("hw_level"), col("forecast_1"))
+      .as[(Int, Option[Long], Option[Long])].head()
+    assert(got == ((10, None, None)), got.toString)
+  }
+
   // --- q300 CUSUM --------------------------------------------------------
 
   test("cusumShift: a small persistent shift alarms when the excursion " +
