@@ -3685,9 +3685,15 @@ object AnalyticsQ {
         count(lit(1)).as("frequency"),
         sum(expr(s"CAST(round($amountCol * 100) AS BIGINT)"))
           .as("monetary_centi"))
-    val mxN = cm.agg(max(col("__lastd")).as("__mx"),
+    // materialize the CUSTOMER-GRAIN table once: the three rank passes
+    // below each fan into bucket-total + offset + join branches, and
+    // without the cut every branch re-runs the orders aggregation (the
+    // plan showed ~20 scans of orders; exchange reuse only caught
+    // half) — the checkpoint is customer-grain, tiny next to the fact
+    val cmS = cm.localCheckpoint()
+    val mxN = cmS.agg(max(col("__lastd")).as("__mx"),
       count(lit(1)).as("__n"))
-    val base = cm.crossJoin(broadcast(mxN))
+    val base = cmS.crossJoin(broadcast(mxN))
       .withColumn("recency_days",
         datediff(col("__mx"), col("__lastd")).cast(LongType))
       .withColumn("__one", lit(1L))
@@ -4207,10 +4213,14 @@ object AnalyticsQ {
     require(bad.isEmpty,
       s"gainsDeciles: $scoreCol must be non-NULL and $labelCol in " +
         s"{0, 1}; got ${bad.mkString("; ")}")
-    val nDf = scored.agg(count(lit(1)).as("__n"))
-    val base = scored.select(col(scoreCol).as("__sc"),
-        col(labelCol).cast(LongType).as("__lb"), col(idCol).as("__id"))
-      .crossJoin(broadcast(nDf))
+    // population-grain cut: the count, the rank's bucket branches, and
+    // the bucket aggregation would otherwise each re-run the caller's
+    // upstream aggregation (the q298 lesson)
+    val s0 = scored.select(col(scoreCol).as("__sc"),
+      col(labelCol).cast(LongType).as("__lb"), col(idCol).as("__id"))
+      .localCheckpoint()
+    val nDf = s0.agg(count(lit(1)).as("__n"))
+    val base = s0.crossJoin(broadcast(nDf))
       .withColumn("__one", lit(1L))
     val ranked = PrefixSum.exclusive(base, "__sc", Seq("__one"),
       tieCols = Seq("__id"), descending = true)

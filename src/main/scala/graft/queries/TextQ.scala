@@ -3501,8 +3501,12 @@ object TextQ {
     val bt = tk.groupBy(col("batch")).agg(count(lit(1)).as("batch_tokens"))
     val nb = tk.groupBy(col("w")).agg(min(col("batch")).as("batch"))
       .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
+    // batch-grain cut: the prefix construction fans into bucket-total
+    // + offset + join branches, each of which would otherwise re-run
+    // the corpus-sized token explode feeding bt/nb (the q298 lesson)
     val b = bt.join(nb, Seq("batch"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .localCheckpoint()
     PrefixSum.exclusive(b, "batch", Seq("batch_tokens", "new_types"))
       .withColumn("cum_tokens",
         col("batch_tokens_cum") + col("batch_tokens"))
