@@ -2555,13 +2555,18 @@ object VectorQ {
       val midId = (mm.getLong(0) + mm.getLong(1)) / 2
       def vn(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
         .withColumn("nrm", vec_norm2(col("embedding")))
-      val hist = vn(emb.filter(col("vec_id") < midId))
-      val delta = vn(emb.filter(col("vec_id") >= midId))
+      // fixture intermediates are each consumed by several downstream
+      // branches (pairs × 2, verdicts, the union) — cut once so the
+      // card's plan reads the split corpus, not 50 re-scans of it; in
+      // production these ARE materialized (the store's parquet)
+      val hist = vn(emb.filter(col("vec_id") < midId)).localCheckpoint()
+      val delta = vn(emb.filter(col("vec_id") >= midId)).localCheckpoint()
       val seeds = hist.orderBy(col("vec_id")).limit(4)
         .select(col("vec_id").as("cluster"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))")
             .as("centroid"))
-      val membersHist = assignToCentroids(hist, seeds)
+        .localCheckpoint()
+      val membersHist = assignToCentroids(hist, seeds).localCheckpoint()
       val pairs1 = graft.etl.IncrementalSemDedup.deltaPairs(
         hist, seeds, membersHist.filter(lit(false)))
       val pairs2 = graft.etl.IncrementalSemDedup.deltaPairs(
