@@ -4207,18 +4207,20 @@ object AnalyticsQ {
       idCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000,
       s"buckets must be in [2, 1000], got $buckets")
-    val bad = scored.filter(col(scoreCol).isNull || col(labelCol).isNull ||
-        !col(labelCol).isin(0L, 1L))
+    // population-grain cut FIRST — the validation scan below, the
+    // count, the rank's bucket branches, and the bucket aggregation
+    // would otherwise each re-run the caller's upstream aggregation
+    // (the q298 lesson; validating pre-cut would itself add a full
+    // redundant pass)
+    val s0 = scored.select(col(scoreCol).as("__sc"),
+      col(labelCol).cast(LongType).as("__lb"), col(idCol).as("__id"))
+      .localCheckpoint()
+    val bad = s0.filter(col("__sc").isNull || col("__lb").isNull ||
+        !col("__lb").isin(0L, 1L))
       .limit(3).collect() // bounded: ≤ 3 rows
     require(bad.isEmpty,
       s"gainsDeciles: $scoreCol must be non-NULL and $labelCol in " +
         s"{0, 1}; got ${bad.mkString("; ")}")
-    // population-grain cut: the count, the rank's bucket branches, and
-    // the bucket aggregation would otherwise each re-run the caller's
-    // upstream aggregation (the q298 lesson)
-    val s0 = scored.select(col(scoreCol).as("__sc"),
-      col(labelCol).cast(LongType).as("__lb"), col(idCol).as("__id"))
-      .localCheckpoint()
     val nDf = s0.agg(count(lit(1)).as("__n"))
     val base = s0.crossJoin(broadcast(nDf))
       .withColumn("__one", lit(1L))
@@ -4242,9 +4244,16 @@ object AnalyticsQ {
         col("cum_rows"), col("cum_positives"),
         when(col("__tp") > 0L,
           expr("(1000000 * cum_positives) DIV __tp")).as("gain_ppm"),
+        // lift is DEFINED from the published gain (gain_ppm·tn DIV
+        // cum_rows — what a reader recomputes from the table), not
+        // from the raw triple product 1e6·cum_pos·tn, which overflows
+        // BIGINT once cum_pos·tn passes ~9.2e12 (a 100M-row population
+        // with 92k positives). Two truncation steps, both engines
+        // identical; gain_ppm ≤ 1e6 keeps the product safe to 9.2e12
+        // rows.
         when(col("__tp") > 0L && col("cum_rows") > 0L,
-          expr("(1000000 * cum_positives * __tn) DIV (__tp * cum_rows)"))
-          .as("lift_ppm"))
+          expr("(((1000000 * cum_positives) DIV __tp) * __tn) " +
+            "DIV cum_rows")).as("lift_ppm"))
   }
 
   /** Oracle fixture of [[gainsDeciles]]: score = pre-day-20 engagement
@@ -4295,9 +4304,25 @@ object AnalyticsQ {
           THEN CAST((1000000 * cum_positives) // tp AS BIGINT) END
           AS gain_ppm,
         CASE WHEN tp > 0 AND cum_rows > 0
-          THEN CAST((1000000 * cum_positives * tn) // (tp * cum_rows)
+          THEN CAST((((1000000 * cum_positives) // tp) * tn) // cum_rows
             AS BIGINT) END AS lift_ppm
       FROM c ORDER BY bucket"""))
+
+  /** Per-key LOWER-MEDIAN order statistic — the q285 discipline
+    * (`rank = (n+1) DIV 2` over the value order), shared by every
+    * median-of-gaps card (q305 purchase regularity, q308 bot cadence)
+    * so the tie/ordering semantics live in exactly one place. Returns
+    * one row per key: (keyCol, `as`). Windows partition by the key —
+    * per-key work is history-sized, never corpus-sized. */
+  def lowerMedianPerKey(df: DataFrame, keyCol: String, vCol: String,
+      as: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(vCol))
+    val wc = Window.partitionBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__ng", count(lit(1)).over(wc))
+      .filter(expr("__rn = (__ng + 1) DIV 2"))
+      .select(col(keyCol), col(vCol).as(as))
+  }
 
   /** Inter-purchase regularity — the CADENCE view RFM's frequency
     * count flattens (two customers with 10 orders each read identically
@@ -4321,13 +4346,7 @@ object AnalyticsQ {
       .withColumn("gap",
         datediff(col("__d"), lag(col("__d"), 1).over(wd)).cast(LongType))
       .filter(col("gap").isNotNull)
-    val wg = Window.partitionBy(col("custkey")).orderBy(col("gap"))
-    val med = gaps
-      .withColumn("__rn", row_number().over(wg))
-      .withColumn("__ng", count(lit(1)).over(
-        Window.partitionBy(col("custkey"))))
-      .filter(expr("__rn = (__ng + 1) DIV 2"))
-      .select(col("custkey"), col("gap").as("median_gap_days"))
+    val med = lowerMedianPerKey(gaps, "custkey", "gap", "median_gap_days")
     val agg = gaps.groupBy(col("custkey"))
       .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
         max(col("gap")).as("max_gap"),

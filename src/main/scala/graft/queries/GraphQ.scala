@@ -537,15 +537,26 @@ object GraphQ {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = snap(edges0.select(col("src"), col("dst")))
+    // `1000000 · v` would overflow BIGINT once the max raw score
+    // passes ~9.2e12 (raw ≈ 1e6 · degree, so a ~9.2M-degree node on a
+    // national-scale graph). The normalization is therefore defined as
+    // the TWO-STEP scale-down below: exact ppm whenever the max fits
+    // (s = 1 — every realistic fixture), and a deterministic
+    // ±s-quantized ppm above it — both engines implement the same
+    // formula, so parity holds at any scale and nothing ever throws.
     def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
       val mx = raw.agg(max(col(v)).as("__mx"))
       raw.crossJoin(broadcast(mx))
-        .select(col(key), expr(s"(1000000 * $v) DIV __mx").as(v))
+        .withColumn("__s",
+          expr("CASE WHEN __mx > 9000000000000L THEN __mx DIV 1000000L " +
+            "ELSE 1L END"))
+        .select(col(key),
+          expr(s"(($v DIV __s) * 1000000) DIV (__mx DIV __s)").as(v))
     }
     var hubs = edges.select(col("src")).distinct()
       .withColumn("h", lit(1000000L))
-    var auths = edges.select(col("dst")).distinct()
-      .withColumn("a", lit(1000000L))
+    // iterations >= 1, so `auths` is always assigned before first read
+    var auths: DataFrame = null
     for (_ <- 1 to iterations) {
       auths = snap(normalized(edges.join(hubs, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a")), "dst", "a"))
@@ -565,12 +576,18 @@ object GraphQ {
       val prevH = if (i == 1) "h0" else s"h${i - 1}"
       s"""a${i}r AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS ar
             FROM edges JOIN $prevH USING (src) GROUP BY dst),
-          a$i AS (SELECT dst, (1000000 * ar) //
-            (SELECT MAX(ar) FROM a${i}r) AS a FROM a${i}r),
+          a${i}m AS (SELECT MAX(ar) AS mx,
+            CASE WHEN MAX(ar) > 9000000000000 THEN MAX(ar) // 1000000
+              ELSE 1 END AS s FROM a${i}r),
+          a$i AS (SELECT dst, ((ar // s) * 1000000) // (mx // s) AS a
+            FROM a${i}r, a${i}m),
           h${i}r AS (SELECT src, CAST(SUM(a) AS BIGINT) AS hr
             FROM edges JOIN a$i USING (dst) GROUP BY src),
-          h$i AS (SELECT src, (1000000 * hr) //
-            (SELECT MAX(hr) FROM h${i}r) AS h FROM h${i}r)"""
+          h${i}m AS (SELECT MAX(hr) AS mx,
+            CASE WHEN MAX(hr) > 9000000000000 THEN MAX(hr) // 1000000
+              ELSE 1 END AS s FROM h${i}r),
+          h$i AS (SELECT src, ((hr // s) * 1000000) // (mx // s) AS h
+            FROM h${i}r, h${i}m)"""
     }.mkString(",\n")
     GQuery(
       "q303_hits_roles",

@@ -1068,19 +1068,14 @@ object RoutingQ {
     val gaps = calls.select(col("caller"), col("sec"))
       .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wo))
       .filter(col("gap").isNotNull)
-    def lowerMedian(df: DataFrame, v: String, as: String): DataFrame = {
-      val w = Window.partitionBy(col("caller")).orderBy(col(v))
-      val wc = Window.partitionBy(col("caller"))
-      df.withColumn("__rn", row_number().over(w))
-        .withColumn("__ng", count(lit(1)).over(wc))
-        .filter(expr("__rn = (__ng + 1) DIV 2"))
-        .select(col("caller"), col(v).as(as))
-    }
-    val med = lowerMedian(gaps, "gap", "median_iet_sec")
-    val mad = lowerMedian(
+    // the lower-median order statistic is shared repo-wide
+    // ([[AnalyticsQ.lowerMedianPerKey]]) so tie semantics can't drift
+    val med = AnalyticsQ.lowerMedianPerKey(gaps, "caller", "gap",
+      "median_iet_sec")
+    val mad = AnalyticsQ.lowerMedianPerKey(
       gaps.join(med, Seq("caller"))
         .withColumn("__dev", abs(col("gap") - col("median_iet_sec"))),
-      "__dev", "mad_iet_sec")
+      "caller", "__dev", "mad_iet_sec")
     gaps.groupBy(col("caller")).agg(count(lit(1)).as("n_iet"))
       .join(med, Seq("caller")).join(mad, Seq("caller"))
       .withColumn("rel_mad_milli",

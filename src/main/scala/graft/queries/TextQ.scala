@@ -3498,7 +3498,14 @@ object TextQ {
     val tk = docs.select(expr(s"doc_id DIV ${batchSize}L").as("batch"),
       explode(expr("filter(split(lower(text), ' '), w -> length(w) > 0)"))
         .as("w"))
-    val bt = tk.groupBy(col("batch")).agg(count(lit(1)).as("batch_tokens"))
+    // token counts come from the DOC grain, not the explode: a batch
+    // of only empty/NULL docs must keep its row with zero tokens
+    // (never-drop — an empty ingestion batch is a fact the curve
+    // reader needs), and the explode elides exactly those batches
+    val bt = docs.select(expr(s"doc_id DIV ${batchSize}L").as("batch"),
+        expr("""CAST(size(filter(split(lower(coalesce(text, '')), ' '),
+          w -> length(w) > 0)) AS BIGINT)""").as("__tk"))
+      .groupBy(col("batch")).agg(sum(col("__tk")).as("batch_tokens"))
     val nb = tk.groupBy(col("w")).agg(min(col("batch")).as("batch"))
       .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
     // batch-grain cut: the prefix construction fans into bucket-total
@@ -3525,7 +3532,10 @@ object TextQ {
     Some("""WITH tk AS (SELECT doc_id // 100 AS batch,
           unnest(string_split(lower(text), ' ')) AS w FROM documents),
       tk2 AS (SELECT batch, w FROM tk WHERE len(w) > 0),
-      bt AS (SELECT batch, COUNT(*) AS batch_tokens FROM tk2 GROUP BY 1),
+      bt AS (SELECT doc_id // 100 AS batch,
+          CAST(SUM(len(list_filter(string_split(lower(COALESCE(text,
+            '')), ' '), w -> len(w) > 0))) AS BIGINT) AS batch_tokens
+        FROM documents GROUP BY 1),
       fb AS (SELECT w, MIN(batch) AS batch FROM tk2 GROUP BY 1),
       nb AS (SELECT batch, COUNT(*) AS new_types FROM fb GROUP BY 1),
       b AS (SELECT bt.batch, batch_tokens,

@@ -187,9 +187,11 @@ class ThirdWaveSpec extends SparkSpec {
       .orderBy(col("batch"))
       .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
     // d0: double space yields an empty token that must not count.
-    // d1: no tokens at all — row survives with cum carried forward.
+    // d1: no tokens at all — the batch row SURVIVES with zero tokens
+    // and the cumulative curve carried forward (never-drop).
     assert(got == Seq(
       (0L, 3L, 1L, 3L, 1L, Some(333333L)),
+      (1L, 0L, 0L, 3L, 1L, Some(333333L)),
       (2L, 1L, 0L, 4L, 1L, Some(250000L))), got.toString)
   }
 
@@ -317,9 +319,12 @@ class ThirdWaveSpec extends SparkSpec {
       .select(col("bucket"), col("cum_positives"), col("gain_ppm"),
         col("lift_ppm"))
       .as[(Long, Long, Long, Long)].collect().toSeq
+    // lift derives from the PUBLISHED gain (gain_ppm·tn DIV cum_rows)
+    // so a reader can recompute it from the table: b1 333333·10 DIV 1,
+    // b3 1000000·10 DIV 3
     assert(got.take(3) == Seq(
-      (1L, 1L, 333333L, 3333333L),
-      (2L, 2L, 666666L, 3333333L),
+      (1L, 1L, 333333L, 3333330L),
+      (2L, 2L, 666666L, 3333330L),
       (3L, 3L, 1000000L, 3333333L)), got.toString)
     assert(got.drop(3).forall(r => r._3 == 1000000L) &&
       got.last == ((10L, 3L, 1000000L, 1000000L)), got.toString)
