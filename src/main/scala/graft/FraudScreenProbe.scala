@@ -124,9 +124,17 @@ object FraudScreenProbe {
 
     // --- cadence screen ---------------------------------------------------
     val (tc, cFlags) = time {
+      // minEvents DERIVED from perCaller (advice-r12): with the old
+      // fixed 100 > perCaller=50, normals failed the event floor alone
+      // and the probe never exercised the relative-MAD discrimination
+      // it claims (and raising SPARK_GRAFT_FRAUD_CDRS silently changed
+      // what it proves). At perCaller/2 every normal caller PASSES the
+      // floor (perCaller−1 gaps) and is separated only by the MAD knob
+      // (normals' rel-MAD ≈ 250–500‰ vs the 50‰ gate; bursters stay
+      // exempt via the median_iet_sec > 0 guard, median gap 0).
       callerSet(queries.RoutingQ.botCadenceCard(
         cdrs.select(col("caller"), col("sec")),
-        minEvents = 100L, maxRelMadMilli = 50L)
+        minEvents = math.max(perCaller / 2, 2L), maxRelMadMilli = 50L)
         .filter(col("machine_flag")))
     }
     println(f"[fraud] botCadenceCard: $tc%.1fs, flagged ${cFlags.size} " +

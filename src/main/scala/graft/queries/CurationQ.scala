@@ -1260,7 +1260,9 @@ object CurationQ {
       groupCol: String = "source", bucketDocs: Long = 8192L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
-    // floor-div via pmod so negative doc_ids stay monotone (DIV truncates)
+    // floor-div via pmod: uniform bucket widths across zero for negative
+    // doc_ids (internal bucket id only; Spark DIV and DuckDB // both
+    // truncate — no cross-engine concern, see COVERAGE.md)
     val bkt = expr(s"(doc_id - pmod(doc_id, ${bucketDocs}L)) DIV ${bucketDocs}L")
     val base = docs.select(col(groupCol), col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_toks"))
@@ -2799,7 +2801,8 @@ object CurationQ {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     val scored = docs.select(col("doc_id"), col(groupCol),
         col(scoreCol).cast(LongType).as("score"))
-      // pmod floor-div so negative scores keep monotone buckets
+      // pmod floor-div: uniform bucket widths across zero for negative
+      // scores (internal only; Spark DIV ≡ DuckDB // — both truncate)
       .withColumn("b",
         expr(s"(score - pmod(score, ${bucketWidth}L)) DIV ${bucketWidth}L"))
     val offsets = scored.groupBy(col(groupCol), col("b"))

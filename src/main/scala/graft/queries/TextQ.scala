@@ -3514,7 +3514,13 @@ object TextQ {
     val b = bt.join(nb, Seq("batch"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
       .localCheckpoint()
-    PrefixSum.exclusive(b, "batch", Seq("batch_tokens", "new_types"))
+    // bucketWidth 1024, NOT the 2^20 default: batch = doc_id DIV 100,
+    // so the batch-id domain is |corpus|/100 — at the default width any
+    // corpus under ~10^8 docs lands in ONE bucket and the in-bucket
+    // window degenerates to a single partition (the advice-r12 finding;
+    // same trap the rfmSegments comment documents for small-domain keys)
+    PrefixSum.exclusive(b, "batch", Seq("batch_tokens", "new_types"),
+      bucketWidth = 1024L)
       .withColumn("cum_tokens",
         col("batch_tokens_cum") + col("batch_tokens"))
       .withColumn("cum_types", col("new_types_cum") + col("new_types"))
