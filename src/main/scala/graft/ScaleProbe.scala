@@ -89,7 +89,7 @@ object ScaleProbe {
     "q301_vocab_growth", "q302_ndcg_eval",
     "q303_hits_roles", "q304_gains_deciles", "q305_purchase_regularity",
     "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence",
-    "q310_holt_winters")
+    "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -185,6 +185,27 @@ object ScaleProbe {
       // workload does not grow because the corpus did
       def queriesFor(dir: String) = emb(dir).orderBy(col("vec_id")).limit(100)
         .select((col("vec_id") + 100000000L).as("query_id"), col("embedding"))
+      // q312 regime contrast: the bulk wave's deltaPairs at a given cell
+      // count (centroids = lowest `cells` ids, the store seed rule),
+      // in-memory history — the pair-work term alone, no store I/O
+      def semDedupWave(dir: String, cells: Int): DataFrame = {
+        val v = emb(dir).select(col("vec_id"), col("embedding"))
+          .withColumn("nrm",
+            graft.functions.VectorFunctions.vec_norm2(col("embedding")))
+          .localCheckpoint()
+        val mm = v.agg(min(col("vec_id")), max(col("vec_id"))).head
+        val q4Id = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0) + 1) / 4
+        val seeds = v.orderBy(col("vec_id")).limit(cells)
+          .select(col("vec_id").as("cluster"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+              .as("centroid"))
+        val hist = VectorQ.assignToCentroids(
+          v.filter(col("vec_id") < q4Id), seeds)
+        graft.etl.IncrementalSemDedup.deltaPairs(
+          v.filter(col("vec_id") >= q4Id)
+            .select(col("vec_id"), col("embedding")),
+          seeds, hist)
+      }
       val sim: Seq[(String, String => DataFrame, String => String)] = Seq(
         ("q76_semdedup_scaled",
           dir => VectorQ.semDedup(emb(dir), cells = cellsFor(dir)),
@@ -240,7 +261,19 @@ object ScaleProbe {
             queries.TextQ.contaminationReport(
               core.Tables.load(spark, dir, "documents"), evalDocs)
           },
-          _ => "eval=100(fixed);width=5;jac=0.5;win=8"))
+          _ => "eval=100(fixed);width=5;jac=0.5;win=8"),
+        // q312's regime contrast, store I/O excluded: the BULK wave's
+        // deltaPairs (last 3/4 of the corpus against the first 1/4 as
+        // history + itself) under FIXED 4 cells vs under √n cells —
+        // the isolated pair-work term the rebuild contract is about
+        // (the headline q312 row times the whole lifecycle, ~10 parquet
+        // jobs of fixed I/O around it).
+        ("q312_bulkwave_fixed4",
+          dir => semDedupWave(dir, 4),
+          _ => "cells=4(fixed);wave=3n/4"),
+        ("q312_bulkwave_sqrtn",
+          dir => semDedupWave(dir, cellsFor(dir)),
+          dir => s"cells=${cellsFor(dir)};wave=3n/4"))
       println(s"simprobe,knobs_1x,knobs_${k}x,t1x_sec,t${k}x_sec,ratio")
       sim.filter { case (name, _, _) => only.forall(_.contains(name)) }
         .foreach { case (name, build, knob) =>

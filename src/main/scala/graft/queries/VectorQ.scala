@@ -2600,6 +2600,98 @@ object VectorQ {
     FROM asg
     ORDER BY vec_id"""))
 
+  /** Oracle fixture of the GROWING-CELLS rebuild — the one scaling
+    * contract q289 leaves unwitnessed (its 10× probe reads quadratic
+    * because the fixture pins 4 cells forever; the operator's real
+    * lever is `cells ≈ √corpus` via [[graft.etl.IncrementalSemDedup
+    * .rebuild]]). This card runs the REAL store lifecycle on a temp
+    * dir, with the rebuild at the point a production store would do it
+    * — EARLY, while the store is still small: bootstrap the first n/8
+    * at 4 cells, absorb a same-sized delta wave, `rebuild` to ⌊√n⌋
+    * cells (4 → 22 at the fixture; the atomic whole-store swap, members
+    * reassigned in one scan), RE-DERIVE the history pairs under the new
+    * cells (the documented post-rebuild batch step — old-cell pairs are
+    * retired, NOT unioned: a pair the old cells co-located may split
+    * under the new cells, and the batch census at the new cells would
+    * not drop it), then answer the BULK wave (the remaining 3n/4)
+    * incrementally against the rebuilt store. The derived
+    * census must hash-match the one-shot batch semDedup at the NEW
+    * cell count — rebuild + re-derivation + incremental delta ≡
+    * re-clustering the world at √n cells. Because the rebuild re-seeds
+    * from the store's lowest ids and the bootstrap holds the union's
+    * lowest ids, the oracle's seed rule (`vec_id < ⌊√n⌋`) coincides.
+    *
+    * Scale: every store step is the operator's own production path
+    * (cell equi-joins, partitioned parquet, broadcast hot-cell guard);
+    * the bulk wave rides √n cells, so its pair candidates grow n·√n
+    * (10× → ~32×) instead of q289's fixed-cell n²/4 (10× → 100×), and
+    * the fixed-4-cell quadratic term is confined to the (n/4)-sized
+    * pre-rebuild history — the 10× probe row documents the collapse. */
+  private val q312 = GQuery(
+    "q312_semdedup_rebuild",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mm = emb.agg(min(col("vec_id")), max(col("vec_id")),
+        count(lit(1))).head
+      val span = mm.getLong(1) - mm.getLong(0) + 1
+      val e8Id = mm.getLong(0) + span / 8
+      val q4Id = mm.getLong(0) + span / 4
+      val newCells = math.sqrt(mm.getLong(2).toDouble).toInt
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q312_" +
+        math.abs(dir.hashCode).toString
+      val store = s"$base/store"; val pairsDir = s"$base/pairs"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      def slice(lo: Long, hi: Long) = emb
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding"))
+      // lifecycle: bootstrap @4 cells → wave 1 → rebuild @√n → bulk wave
+      graft.etl.IncrementalSemDedup.initStore(
+        slice(Long.MinValue, e8Id), store, cells = 4,
+        pairsPath = Some(pairsDir))
+      graft.etl.IncrementalSemDedup.sink(s, store, pairsDir)(
+        slice(e8Id, q4Id), 1L)
+      graft.etl.IncrementalSemDedup.rebuild(s, store, newCells)
+      val cells = s.read.parquet(s"$store/cells")
+      val hist = s.read.parquet(s"$store/members")
+      val histPairs = graft.etl.IncrementalSemDedup.deltaPairs(
+        hist.select(col("vec_id"), col("embedding")), cells,
+        hist.filter(lit(false)))
+      val wave2 = slice(q4Id, Long.MaxValue)
+      val p2 = graft.etl.IncrementalSemDedup.deltaPairs(
+        wave2, cells, hist)
+      graft.etl.IncrementalSemDedup.append(wave2, store, 2L)
+      val all = s.read.parquet(s"$store/members")
+      graft.etl.IncrementalSemDedup.verdicts(all, histPairs.union(p2))
+        .select(col("vec_id"), col("cluster"),
+          round(col("dist_sq"), 6).as("dist_sq_r"), col("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH k AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS kc
+                FROM embeddings),
+      v AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                FROM embeddings),
+      seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+        WHERE vec_id < (SELECT kc FROM k)),
+      asg AS (SELECT vec_id, embedding, nrm, cluster, dist_sq FROM (
+          SELECT v.vec_id, v.embedding, v.nrm, s.cluster,
+            v.nrm + (${normSql("s.cemb")}) - 2 * (${dotSql("v.embedding", "s.cemb")}) AS dist_sq,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + (${normSql("s.cemb")})
+                - 2 * (${dotSql("v.embedding", "s.cemb")}), s.cluster) AS arn
+          FROM v, seeds s) WHERE arn = 1),
+      dropped AS (SELECT DISTINCT a.vec_id AS a_id
+        FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id <> a.vec_id
+        WHERE ROUND((${dotSql("a.embedding", "b.embedding")}) /
+                    (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= 0.2
+          AND (b.dist_sq > a.dist_sq
+               OR (b.dist_sq = a.dist_sq AND b.vec_id < a.vec_id)))
+    SELECT vec_id, cluster, ROUND(dist_sq, 6) AS dist_sq_r,
+      vec_id NOT IN (SELECT a_id FROM dropped) AS keep
+    FROM asg
+    ORDER BY vec_id"""))
+
   /** MMR (maximal-marginal-relevance) diversified re-ranking — the
     * retrieval op between top-k (q29: the k MOST similar, often k
     * near-copies of each other) and semantic dedup (q76: drop
@@ -2734,5 +2826,5 @@ object VectorQ {
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207, q230, q235, q289, q309)
+      q174, q193, q197, q207, q230, q235, q289, q309, q312)
 }
