@@ -769,6 +769,175 @@ object LiveRatingChain {
         .outputMode("append"))
   }
 
+  /** Rated-record wire layout of the packet-plane fan-out: the rating
+    * stage's [[RatedRec]] columns plus the `route_ver` audit stamp
+    * (which dim version fanned this record — the guiding/tariff audit
+    * discipline applied to routing). The demux layout consumes the
+    * `dest` routing column itself; it never rides in the data files. */
+  val fanoutWireSchema: StructType = StructType(Seq(
+    StructField("account_id", LongType),
+    StructField("event_id", LongType),
+    StructField("units", LongType),
+    StructField("cum_units", LongType),
+    StructField("charge_centi", LongType),
+    StructField("route_ver", LongType)))
+
+  private def ratedStoreSchema: StructType = StructType(Seq(
+    StructField("account_id", LongType),
+    StructField("event_id", LongType),
+    StructField("units", LongType),
+    StructField("cum_units", LongType),
+    StructField("charge_centi", LongType),
+    StructField("invoice_bucket", LongType)))
+
+  /** The fan-out ROUTING dimension as a [[VersionedDim]] with
+    * fail-at-resolve validation (the [[VersionedDim]] contract — the
+    * first consumer of a bad version fails its batch loudly, nothing
+    * half-routes): `(dest: String, enabled: Boolean)`, one row per
+    * consumer class, dest path-safe and unique, and AT LEAST ONE class
+    * enabled — a version that disables every consumer would make the
+    * fan-out stage commit batches that no consumer ever sees (the
+    * rated store keeps the records, but the delivery is
+    * checkpoint-committed and will not replay when a class re-enables;
+    * pausing a delivery is a consumer-side stop, not an empty dim). */
+  def routingDim(spark: SparkSession, dimDir: String): VersionedDim =
+    new VersionedDim(spark, dimDir, validate = dim => {
+      val rows = dim.select(col("dest").cast(StringType),
+        col("enabled").cast(BooleanType)).collect() // dim-grain: |classes|
+      require(rows.nonEmpty, "routing dim: no consumer classes")
+      val dests = rows.map(_.getString(0))
+      require(dests.forall(d => d != null && d.matches("[A-Za-z0-9_-]+")),
+        s"routing dim: dest values must be path-safe, got " +
+          dests.mkString(", "))
+      require(dests.distinct.length == dests.length,
+        s"routing dim: duplicate dest class in ${dests.mkString(", ")}")
+      require(rows.exists(_.getBoolean(1)),
+        "routing dim: every consumer class is disabled — rated records " +
+          "would be committed past delivery; stop the consumer instead")
+      dim
+    })
+
+  /** Optional fan-out stage — the reference dispatcher's `t=` demux
+    * COMPOSED into the running chain (`MFramework.cpp:1372-1385,
+    * 1537-1571`): every rated invoice line leaves the chain over the
+    * packet plane, fanned to EVERY enabled consumer class of the
+    * routing dim (invoice + fraud tap in the shipped topology), one
+    * [[PacketQueueSink.writeBatchDemux]] per micro-batch. The dim is
+    * re-resolved EVERY batch (the live-dim discipline — a re-route is a
+    * published dim version, `route_ver` stamps each record with the
+    * version that fanned it, and the NEXT batch lands on the new class
+    * set with no stage restart), and each consumer class reads its own
+    * archived packetqueue downstream — the archival-compatible fan-out
+    * the SCALING.md round-12 decision prescribes (archival is safe
+    * exactly because every consumer owns its queue).
+    *
+    * Scale: the fan-out multiplies rows by |enabled classes| (a config
+    * constant, broadcast join) and the demux write is one
+    * executor-parallel partitioned CSV job; the driver touches only
+    * part files × classes (never rows). Misroutes — a dim class with no
+    * registered queue — fail the batch loudly inside the demux. */
+  def demuxFanoutStage(spark: SparkSession, ratedDir: String,
+      routeDim: VersionedDim,
+      destinations: Map[String, Seq[graft.sources.PacketQueueSink.Dest]],
+      checkpointRoot: String, session: String = "1"): StageSpec =
+    StageSpec(
+      "rated_fanout",
+      source = s => s.readStream.schema(ratedStoreSchema)
+        .parquet(ratedDir),
+      // column order pinned to fanoutWireSchema minus route_ver (the
+      // wire is positional headered CSV); invoice_bucket is the rated
+      // store's sink-layout artifact, not a wire column
+      transform = df => df.select(col("account_id"), col("event_id"),
+        col("units"), col("cum_units"), col("charge_centi")),
+      sink = df => df.writeStream
+        .option("checkpointLocation", s"$checkpointRoot/rated_fanout")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (ver, route) = routeDim.resolve()
+          val enabled = route.filter(col("enabled")).select(col("dest"))
+          val fanned = batch.withColumn("route_ver", lit(ver))
+            .crossJoin(broadcast(enabled)) // |enabled| is config-grain
+          graft.sources.PacketQueueSink.writeBatchDemux(spark, fanned,
+            batchId, "dest", destinations, session)
+        })
+
+  /** Downstream INVOICE consumer of the fan-out: its own archived
+    * packetqueue → parquet invoice-export store. Exactly-once comes
+    * from the packetqueue source's offset log + its own checkpoint —
+    * killing/restarting producer or consumer never loses or duplicates
+    * a rated line (spec-pinned in DemuxChainSpec). */
+  def invoiceConsumerStage(spark: SparkSession, queueDir: String,
+      exportDir: String, checkpointRoot: String): StageSpec =
+    StageSpec(
+      "invoice_consumer",
+      source = s => s.readStream.format("packetqueue")
+        .schema(fanoutWireSchema)
+        .option("path", queueDir).option("archive", "true").load(),
+      transform = identity,
+      sink = df => df.writeStream.format("parquet")
+        .option("path", exportDir)
+        .option("checkpointLocation", s"$checkpointRoot/invoice_consumer")
+        .outputMode("append"))
+
+  /** Downstream FRAUD consumer of the fan-out: its own archived
+    * packetqueue feeding [[VelocityMonitor]] UNCHANGED (the q246
+    * streaming screen — user is the account, the event id doubles as
+    * arrival seconds, the [[fraudStage]] fixture convention). The same
+    * stateful operator that tapped the legs store now rides the packet
+    * plane: only the SOURCE seam moved. */
+  def fraudConsumerStage(spark: SparkSession, queueDir: String,
+      alarmsDir: String, checkpointRoot: String,
+      windowSec: Long = 3600L, threshold: Long = 3L): StageSpec = {
+    import spark.implicits._
+    StageSpec(
+      "fraud_consumer",
+      source = s => s.readStream.format("packetqueue")
+        .schema(fanoutWireSchema)
+        .option("path", queueDir).option("archive", "true").load(),
+      transform = df => df
+        .select(col("account_id").as("user_id"), col("event_id"),
+          col("event_id").as("sec"))
+        .as[VEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new VelocityMonitor(windowSec, threshold),
+          TimeMode.None(), OutputMode.Append())
+        .toDF(),
+      sink = df => df.writeStream.format("parquet")
+        .option("path", alarmsDir)
+        .option("checkpointLocation", s"$checkpointRoot/fraud_consumer")
+        .outputMode("append"))
+  }
+
+  /** Register the packet-plane fan-out behind an existing chain's rated
+    * store: fan-out stage + the two shipped consumers (invoice export,
+    * fraud tap), each consuming its own archived queue. Returns stage
+    * names in start order (fan-out first — the consumers' queues are
+    * pre-created so either side may start first, the [[register]]
+    * convention). */
+  def registerFanout(runner: PipelineRunner, spark: SparkSession,
+      ratedDir: String, routeDim: VersionedDim, fanBase: String,
+      exportDir: String, alarmsDir: String, checkpointRoot: String,
+      windowSec: Long = 3600L, threshold: Long = 3L): Seq[String] = {
+    val dests = Map(
+      "invoice" -> Seq(graft.sources.PacketQueueSink.Dest(
+        s"$fanBase/invoice/data", s"$fanBase/invoice/queue")),
+      "fraud" -> Seq(graft.sources.PacketQueueSink.Dest(
+        s"$fanBase/fraud/data", s"$fanBase/fraud/queue")))
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    (dests.values.flatten.flatMap(d => Seq(d.dataDir, d.queueDir)).toSeq
+        :+ ratedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hadoop).mkdirs(p)
+    }
+    val ss = Seq(
+      demuxFanoutStage(spark, ratedDir, routeDim, dests, checkpointRoot),
+      invoiceConsumerStage(spark, s"$fanBase/invoice/queue", exportDir,
+        checkpointRoot),
+      fraudConsumerStage(spark, s"$fanBase/fraud/queue", alarmsDir,
+        checkpointRoot, windowSec, threshold))
+    ss.foreach(runner.register)
+    ss.map(_.name)
+  }
+
   /** Register the chain into a runner; returns stage names in start
     * order. */
   def register(runner: PipelineRunner, spark: SparkSession,
