@@ -89,7 +89,8 @@ object ScaleProbe {
     "q301_vocab_growth", "q302_ndcg_eval",
     "q303_hits_roles", "q304_gains_deciles", "q305_purchase_regularity",
     "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence",
-    "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild")
+    "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild",
+    "q313_topology_lineage")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

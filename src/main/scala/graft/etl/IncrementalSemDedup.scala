@@ -47,10 +47,16 @@ import graft.queries.VectorQ
   * by the [[IncrementalDedup.dedupDelta]] hot-bucket guard (aggregate +
   * broadcast anti-join — the store itself never shuffles), trading
   * completeness for boundedness exactly like the ANN store: raise
-  * `cells` (rebuild) rather than paying one hot reducer. At 100 TB the
-  * member store additionally carries the q55 int8 `qv` column as a
-  * cheap prefilter and drops the float embedding — the exact-cosine
-  * column family here keeps the oracle-exact contract the cards pin.
+  * `cells` (rebuild) rather than paying one hot reducer. The 100 TB
+  * column plan is LANDED as an opt-in: `initStore(storeQv = true)`
+  * fixes the q55 int8 `qv` column family on the member store (append/
+  * sink/rebuild follow the store schema), and
+  * `deltaPairs(qvMargin = m)` gates each candidate pair on the cheap
+  * integer qv cosine before the exact float cosine — identical
+  * verdicts whenever the margin covers the quantization error
+  * (spec-pinned at 0.1 on the fixture). Dropping the float embedding
+  * entirely is the final step of that plan and stays out: the
+  * exact-cosine column keeps the oracle-exact contract the cards pin.
   */
 object IncrementalSemDedup {
 
@@ -60,6 +66,24 @@ object IncrementalSemDedup {
   private def withNorm(raw: DataFrame): DataFrame =
     raw.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", vec_norm2(col("embedding")))
+
+  /** Symmetric per-vector int8 quantization of `embCol` into `out`
+    * (the [[VectorQ.quantizeInt8]] recipe: round(x·127/max_abs),
+    * floor(x+0.5) rounding) — the optional member-store column behind
+    * the 100 TB plan named in the class doc: 1-byte components, integer
+    * dot products, 4× less store/shuffle footprint than the float
+    * embedding on the candidate path. */
+  private def withQv(df: DataFrame, embCol: String, out: String)
+      : DataFrame = df
+    .withColumn("__mx", expr(
+      s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
+    .withColumn(out, expr(
+      s"""CASE WHEN __mx = 0
+            THEN transform($embCol, x -> CAST(0 AS BIGINT))
+          ELSE transform($embCol, x ->
+            CAST(floor(CAST(x AS DOUBLE) * 127.0 / __mx + 0.5) AS BIGINT))
+          END"""))
+    .drop("__mx")
 
   private def cosine(qe: org.apache.spark.sql.Column,
       qn: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
@@ -84,7 +108,7 @@ object IncrementalSemDedup {
     * bootstrap really is raw; a pre-deduped bootstrap seeds none). */
   def initStore(vecs: DataFrame, storePath: String, cells: Int = 4,
       pairsPath: Option[String] = None, threshold: Double = 0.2,
-      maxCellSize: Int = 100000): Unit = {
+      maxCellSize: Int = 100000, storeQv: Boolean = false): Unit = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
     val spark = vecs.sparkSession
     val v = withNorm(vecs)
@@ -92,7 +116,12 @@ object IncrementalSemDedup {
       .select(col("vec_id").as("cluster"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
     seeds.coalesce(1).write.mode("overwrite").parquet(cellsPath(storePath))
-    VectorQ.assignToCentroids(v, seeds).withColumn("batch_id", lit(-1L))
+    // storeQv fixes the store's COLUMN FAMILY at init (append/sink/
+    // rebuild follow the store schema from here on — a per-call flag
+    // could silently mix partitions with and without the column)
+    val asg0 = VectorQ.assignToCentroids(v, seeds)
+    val asg = if (storeQv) withQv(asg0, "embedding", "qv") else asg0
+    asg.withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").mode("overwrite")
       .parquet(membersPath(storePath))
     pairsPath.foreach { pp =>
@@ -104,12 +133,26 @@ object IncrementalSemDedup {
     }
   }
 
+  /** Does the member store carry the int8 `qv` column family? */
+  private def storeHasQv(spark: SparkSession, storePath: String): Boolean = {
+    val mp = new org.apache.hadoop.fs.Path(membersPath(storePath))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(mp) &&
+      scala.util.Try(spark.read.parquet(membersPath(storePath))
+        .columns.contains("qv")).getOrElse(false)
+  }
+
   /** Add a new batch's member rows (call AFTER [[deltaPairs]] so the
-    * batch does not match itself through the store). */
+    * batch does not match itself through the store). The batch follows
+    * the store's column family — qv is written iff [[initStore]] fixed
+    * it (mixed partitions would silently drop the column on read). */
   def append(newVecs: DataFrame, storePath: String, batchId: Long): Unit = {
     val spark = newVecs.sparkSession
-    VectorQ.assignToCentroids(withNorm(newVecs), readCells(spark, storePath))
-      .withColumn("batch_id", lit(batchId))
+    val asg0 = VectorQ.assignToCentroids(withNorm(newVecs),
+      readCells(spark, storePath))
+    val asg = if (storeHasQv(spark, storePath))
+      withQv(asg0, "embedding", "qv") else asg0
+    asg.withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id").mode("append")
       .parquet(membersPath(storePath))
   }
@@ -148,9 +191,11 @@ object IncrementalSemDedup {
           membersPath(storePath))),
         s"IncrementalSemDedup.rebuild: no member store at $storePath " +
           "and no completed rebuild temp — nothing to rebuild from")
-      val members = spark.read.parquet(membersPath(storePath))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("batch_id"))
+      val raw = spark.read.parquet(membersPath(storePath))
+      val hasQv = raw.columns.contains("qv") // carry the column family
+      val members = raw.select(Seq(col("vec_id"), col("embedding"),
+        col("nrm"), col("batch_id")) ++
+        (if (hasQv) Seq(col("qv")) else Nil): _*)
       val seeds = centroids.getOrElse(
         members.orderBy(col("vec_id")).limit(newCells)
           .select(col("vec_id").as("cluster"),
@@ -159,8 +204,8 @@ object IncrementalSemDedup {
       seeds.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$tmp/cells")
       VectorQ.assignToCentroids(members, seeds)
-        .join(members.select(col("vec_id"), col("batch_id")),
-          Seq("vec_id"))
+        .join(members.select(Seq(col("vec_id"), col("batch_id")) ++
+          (if (hasQv) Seq(col("qv")) else Nil): _*), Seq("vec_id"))
         .write.partitionBy("batch_id").mode(SaveMode.Overwrite)
         .parquet(s"$tmp/members")
       fs.create(marker, true).close()
@@ -189,28 +234,75 @@ object IncrementalSemDedup {
     * history AND within itself: one row per same-cell pair at cosine ≥
     * `threshold`, as `(lo_id, hi_id, cluster, cosine, lo_dist, hi_dist)`
     * with `lo_id < hi_id` canonical orientation — everything
-    * [[verdicts]] needs to replay the semDedup keep policy. */
+    * [[verdicts]] needs to replay the semDedup keep policy.
+    *
+    * `qvMargin ≥ 0` turns on the int8 PREFILTER (the class doc's 100 TB
+    * column plan): each candidate pair first takes the cheap integer
+    * cosine over the quantized `qv` vectors and is discarded when it
+    * reads below `threshold − qvMargin`; only survivors pay the exact
+    * float cosine. The margin absorbs quantization error — measure it
+    * on the corpus geometry (the 64-dim fixture's max |cos₈ − cos| is
+    * 0.006, so the spec's 0.1 margin carries 16× headroom; the loose
+    * analytic bound ~2√d/127 overstates it) — and pairs whose qv is
+    * degenerate (a zero vector) always pass through to the exact check,
+    * so the filter can only drop pairs it can price. History members
+    * that already CARRY a `qv` column (a store written with
+    * `storeQv = true`) are used as-is; otherwise qv is derived on the
+    * fly from the float embedding. The emitted pairs are EXACT-cosine
+    * either way — the prefilter changes cost, never the contract,
+    * whenever the margin covers the true quantization error. */
   def deltaPairs(newVecs: DataFrame, cells: DataFrame, members: DataFrame,
-      threshold: Double = 0.2, maxCellSize: Int = 100000): DataFrame = {
+      threshold: Double = 0.2, maxCellSize: Int = 100000,
+      qvMargin: Double = -1.0): DataFrame = {
     require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
-    val assigned = VectorQ.assignToCentroids(withNorm(newVecs), cells)
+    val pre = qvMargin >= 0.0
+    val assigned0 = VectorQ.assignToCentroids(withNorm(newVecs), cells)
+    val assigned = if (pre) withQv(assigned0, "embedding", "qv")
+      else assigned0
     val hot = members.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxCellSize)
       .select(col("cluster"))
-    val hist = members.join(broadcast(hot), Seq("cluster"), "left_anti")
-      .select(col("cluster"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
-        col("dist_sq").as("b_dist"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+    val members1 =
+      if (!pre) members
+      else if (members.columns.contains("qv")) members
+      else withQv(members, "embedding", "qv")
+    val histCols = Seq(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+      col("dist_sq").as("b_dist")) ++
+      (if (pre) Seq(col("qv").as("b_qv")) else Nil)
+    val hist = members1.join(broadcast(hot), Seq("cluster"), "left_anti")
+      .select(histCols: _*)
+    val aCols = Seq(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
-      col("dist_sq").as("a_dist"))
+      col("dist_sq").as("a_dist")) ++
+      (if (pre) Seq(col("qv").as("a_qv")) else Nil)
+    val a = assigned.select(aCols: _*)
     val cross = a.join(hist, Seq("cluster"))
-    val intra = a.join(
-      a.select(col("cluster"), col("a_id").as("b_id"),
-        col("a_emb").as("b_emb"), col("a_nrm").as("b_nrm"),
-        col("a_dist").as("b_dist")), Seq("cluster"))
+    val intraCols = Seq(col("cluster"), col("a_id").as("b_id"),
+      col("a_emb").as("b_emb"), col("a_nrm").as("b_nrm"),
+      col("a_dist").as("b_dist")) ++
+      (if (pre) Seq(col("a_qv").as("b_qv")) else Nil)
+    val intra = a.join(a.select(intraCols: _*), Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-    cross.union(intra)
+    val cand0 = cross.union(intra)
+    val cand = if (!pre) cand0 else {
+      // the int8 gate: drop only pairs whose quantized cosine sits
+      // below threshold − margin AND whose qv norms are both nonzero
+      // (a zero qv prices nothing — pass it to the exact check)
+      val qn = (c: String) =>
+        expr(s"aggregate($c, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+      cand0
+        .withColumn("__d8", graft.functions.VectorFunctions
+          .vec_dot_long(col("a_qv"), col("b_qv")))
+        .withColumn("__na8", qn("a_qv"))
+        .withColumn("__nb8", qn("b_qv"))
+        .filter(col("__na8") === 0L || col("__nb8") === 0L ||
+          col("__d8").cast("double") >=
+            lit(threshold - qvMargin) *
+              sqrt(col("__na8").cast("double")) *
+              sqrt(col("__nb8").cast("double")))
+    }
+    cand
       .withColumn("cosine",
         cosine(col("a_emb"), col("a_nrm"), col("b_emb"), col("b_nrm")))
       .filter(col("cosine") >= threshold)
@@ -260,8 +352,8 @@ object IncrementalSemDedup {
     * replaces its own output and can never self-match. The store must
     * be [[initStore]]'d first (fixed centroids — fails loudly). */
   def sink(spark: SparkSession, storePath: String, pairsPath: String,
-      threshold: Double = 0.2, maxCellSize: Int = 100000)
-      : (DataFrame, Long) => Unit =
+      threshold: Double = 0.2, maxCellSize: Int = 100000,
+      qvMargin: Double = -1.0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val cells = readCells(spark, storePath)
       val mp = new org.apache.hadoop.fs.Path(membersPath(storePath))
@@ -274,13 +366,15 @@ object IncrementalSemDedup {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             memberSchema)
-      deltaPairs(batch, cells, members, threshold, maxCellSize)
+      deltaPairs(batch, cells, members, threshold, maxCellSize, qvMargin)
         .withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(pairsPath)
-      VectorQ.assignToCentroids(withNorm(batch), cells)
-        .withColumn("batch_id", lit(batchId))
+      val asg0 = VectorQ.assignToCentroids(withNorm(batch), cells)
+      val asg = if (storeHasQv(spark, storePath))
+        withQv(asg0, "embedding", "qv") else asg0
+      asg.withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(membersPath(storePath))

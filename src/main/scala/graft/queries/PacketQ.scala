@@ -95,5 +95,75 @@ object PacketQ {
     GROUP BY level
     ORDER BY level"""))
 
-  val queries: Seq[GQuery] = Seq(q24, q24b, q24c)
+  /** Oracle fixture of the Topology CONFIG PLANE
+    * ([[graft.streaming.Topology]] — the reference's M_COMPONENT /
+    * M_QUEUE / M_LINKED_SESSIONS tables, `MFramework.cpp:666-697,
+    * 981-1011`): a config relation derived from the nation table — one
+    * linked-session CHAIN per region (each nation a stage, wired to the
+    * next nation of its region by the handoff-dir contract) all
+    * fanning into one shared SINK collector — round-trips through
+    * `Topology.parse` (duplicate/dangling/handoff/cycle validation, the
+    * fail-at-deploy gate) and comes back as the per-stage LINEAGE view:
+    * wiring columns plus `n_upstream`, longest-path `depth`, reaching
+    * `root`, and `is_sink`. The DuckDB oracle replays the DAG walk as a
+    * recursive CTE — the hash match proves the validated graph the
+    * runner would START is exactly the graph the config describes.
+    * Config-grain throughout (|stages| rows, the parse contract). */
+  private val q313 = GQuery(
+    "q313_topology_lineage",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_regionkey")).orderBy(col("k"))
+      val chains = t(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_regionkey"))
+        .withColumn("nxt", lead(col("k"), 1).over(w))
+        .select(
+          concat(lit("N"), col("k")).as("stage"),
+          concat(lit("/n"), col("k")).as("input_dir"),
+          lit("parquet").as("format"),
+          lit("SELECT * FROM __input").as("transform_sql"),
+          when(col("nxt").isNull, lit("/sink"))
+            .otherwise(concat(lit("/n"), col("nxt"))).as("output_dir"),
+          when(col("nxt").isNull, lit("SINK"))
+            .otherwise(concat(lit("N"), col("nxt"))).as("downstream"))
+      val sink = Seq(("SINK", "/sink", "parquet",
+        "SELECT * FROM __input", "/final", null: String))
+        .toDF("stage", "input_dir", "format", "transform_sql",
+          "output_dir", "downstream")
+      graft.streaming.Topology.lineage(s, chains.unionByName(sink))
+    },
+    Some("""WITH RECURSIVE nx AS (SELECT n_nationkey AS k,
+          LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+            ORDER BY n_nationkey) AS nxt
+        FROM nation),
+      cfg AS (
+        SELECT 'N' || k AS stage, '/n' || k AS input_dir,
+          CASE WHEN nxt IS NULL THEN '/sink' ELSE '/n' || nxt END
+            AS output_dir,
+          CASE WHEN nxt IS NULL THEN 'SINK' ELSE 'N' || nxt END
+            AS downstream
+        FROM nx
+        UNION ALL
+        SELECT 'SINK', '/sink', '/final', NULL),
+      up AS (SELECT downstream AS stage,
+          CAST(COUNT(*) AS BIGINT) AS n_upstream
+        FROM cfg WHERE downstream IS NOT NULL GROUP BY 1),
+      walk(stage, depth, root) AS (
+        SELECT c.stage, CAST(0 AS BIGINT), c.stage FROM cfg c
+        WHERE c.stage NOT IN
+          (SELECT downstream FROM cfg WHERE downstream IS NOT NULL)
+        UNION ALL
+        SELECT c.downstream, w.depth + 1, w.root
+        FROM walk w JOIN cfg c
+          ON c.stage = w.stage AND c.downstream IS NOT NULL),
+      agg AS (SELECT stage, MAX(depth) AS depth, MIN(root) AS root
+        FROM walk GROUP BY 1)
+      SELECT c.stage, c.input_dir, c.output_dir, c.downstream,
+        COALESCE(u.n_upstream, 0) AS n_upstream, a.depth, a.root,
+        c.downstream IS NULL AS is_sink
+      FROM cfg c LEFT JOIN up u USING (stage) JOIN agg a USING (stage)
+      ORDER BY c.stage"""))
+
+  val queries: Seq[GQuery] = Seq(q24, q24b, q24c, q313)
 }

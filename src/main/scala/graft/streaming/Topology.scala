@@ -85,6 +85,51 @@ object Topology {
     confs
   }
 
+  /** The per-stage LINEAGE view of a validated topology — the
+    * auditable answer to "what runs, wired how?" that the reference's
+    * operators read straight off M_LINKED_SESSIONS joins. The config
+    * relation round-trips through [[parse]] (so every validation —
+    * duplicate names, dangling links, handoff mismatches, cycles —
+    * gates this view exactly as it gates a deploy), then each stage is
+    * annotated with the DAG facts the wiring implies:
+    *
+    *   - `n_upstream`: how many stages feed it (0 = a source stage);
+    *   - `depth`: the LONGEST hop distance from any source stage
+    *     (well-defined — parse proved acyclicity);
+    *   - `root`: the lexicographically-smallest source stage that
+    *     reaches it (the chain/fan-in head, the "which pipeline is
+    *     this" key);
+    *   - `is_sink`: no downstream (the pipeline's terminal store).
+    *
+    * All computation is config-grain (|stages| rows collected, the
+    * parse contract — the reference's M_* tables are likewise tiny),
+    * returned as a DataFrame ordered by stage so the card is
+    * oracle-comparable. */
+  def lineage(spark: SparkSession, config: DataFrame): DataFrame = {
+    val confs = parse(config)
+    val byName = confs.map(c => c.stage -> c).toMap
+    val upstreams = confs.flatMap(c => c.downstream.map(_ -> c.stage))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val memo = scala.collection.mutable.Map[String, (Long, String)]()
+    def depthRoot(n: String): (Long, String) = memo.getOrElseUpdate(n,
+      upstreams.get(n) match {
+        case None => (0L, n)
+        case Some(ups) =>
+          val parents = ups.map(depthRoot)
+          (parents.map(_._1).max + 1L, parents.map(_._2).min)
+      })
+    val rows = confs.map { c =>
+      val (d, r) = depthRoot(c.stage)
+      (c.stage, c.inputDir, c.outputDir, c.downstream.orNull,
+        upstreams.get(c.stage).map(_.size.toLong).getOrElse(0L), d, r,
+        c.downstream.isEmpty)
+    }
+    import spark.implicits._
+    rows.toDF("stage", "input_dir", "output_dir", "downstream",
+      "n_upstream", "depth", "root", "is_sink")
+      .orderBy("stage")
+  }
+
   /** Literal-safe identifier rewrite: replace word-boundary occurrences
     * of `from` with `to` everywhere EXCEPT inside single-quoted SQL
     * string literals, which pass through byte-identical. Honors both

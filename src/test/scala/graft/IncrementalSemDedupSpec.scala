@@ -146,4 +146,63 @@ class IncrementalSemDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("initStore"), e.getMessage)
   }
+
+  test("the int8 qv prefilter changes cost, not the contract: " +
+      "identical pairs and verdicts at margin 0.1 on the real fixture, " +
+      "and the store's qv column family survives append and rebuild") {
+    // the REAL 64-dim fixture geometry (measured max |cos8 - cos| =
+    // 0.006, so 0.1 carries 16x headroom), split into bootstrap + delta
+    val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val hist = emb.filter(col("vec_id") < 250L)
+    val delta = emb.filter(col("vec_id") >= 250L)
+    def run(storeQv: Boolean, margin: Double) = {
+      val base = Files.createTempDirectory("graft_semqv").toString
+      IncrementalSemDedup.initStore(hist, s"$base/store", cells = 4,
+        pairsPath = Some(s"$base/pairs"), threshold = 0.2,
+        storeQv = storeQv)
+      IncrementalSemDedup.sink(spark, s"$base/store", s"$base/pairs",
+        threshold = 0.2, qvMargin = margin)(delta, 0L)
+      val pairSet = spark.read.parquet(s"$base/pairs")
+        .select(col("lo_id"), col("hi_id"), col("cosine"))
+        .as[(Long, Long, Double)].collect().toSet
+      val census = IncrementalSemDedup.verdicts(
+        spark.read.parquet(s"$base/store/members"),
+        spark.read.parquet(s"$base/pairs"))
+        .select(col("vec_id"), col("keep")).as[(Long, Boolean)]
+        .collect().toSet
+      (base, pairSet, census)
+    }
+    val (_, pOff, vOff) = run(storeQv = false, margin = -1.0)
+    val (qvBase, pOn, vOn) = run(storeQv = true, margin = 0.1)
+    assert(pOn == pOff,
+      s"prefilter changed the pair set: missing ${pOff -- pOn}, " +
+        s"extra ${pOn -- pOff}")
+    assert(vOn == vOff, "prefilter changed the keep census")
+    assert(pOff.nonEmpty && vOff.exists(!_._2),
+      "degenerate fixture: no pairs or no drops — the test proves nothing")
+    // the column family is store-state: fixed at init, followed by the
+    // sink append, carried through a rebuild
+    def memberCols() =
+      spark.read.parquet(s"$qvBase/store/members").columns.toSet
+    assert(memberCols().contains("qv"), memberCols().toString)
+    IncrementalSemDedup.rebuild(spark, s"$qvBase/store", 16)
+    assert(memberCols().contains("qv"),
+      s"rebuild dropped the qv column family: ${memberCols()}")
+    // and deltaPairs REUSES the stored qv (no embedding-side recompute
+    // needed for history): a second wave over the qv store still
+    // matches the exact path
+    val wave2 = emb.filter(col("vec_id") >= 480L)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"))
+    val cells = spark.read.parquet(s"$qvBase/store/cells")
+    val members = spark.read.parquet(s"$qvBase/store/members")
+    val exact = IncrementalSemDedup.deltaPairs(wave2, cells, members,
+      threshold = 0.2)
+      .select(col("lo_id"), col("hi_id")).as[(Long, Long)].collect().toSet
+    val pre = IncrementalSemDedup.deltaPairs(wave2, cells, members,
+      threshold = 0.2, qvMargin = 0.1)
+      .select(col("lo_id"), col("hi_id")).as[(Long, Long)].collect().toSet
+    assert(pre == exact && exact.nonEmpty,
+      s"qv-store wave mismatch: missing ${exact -- pre}, extra ${pre -- exact}")
+  }
 }
