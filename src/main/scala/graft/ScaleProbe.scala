@@ -90,7 +90,8 @@ object ScaleProbe {
     "q303_hits_roles", "q304_gains_deciles", "q305_purchase_regularity",
     "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence",
     "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild",
-    "q313_topology_lineage")
+    "q313_topology_lineage", "q314_mcnemar", "q315_tv_drift",
+    "q316_t_closeness", "q317_simbox_card", "q318_fleiss_kappa")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -917,6 +917,194 @@ object AnalyticsQ {
       FROM p
       ORDER BY n11"""))
 
+  /** McNemar's marginal-homogeneity test over two PAIRED boolean
+    * signals — the decision [[signalKappa]] deliberately does not
+    * make: κ measures how much two raters AGREE; McNemar asks whether
+    * their disagreements are ASYMMETRIC (one rater systematically
+    * stricter), which is the "did swapping the quality gate change the
+    * pass rate" question a curation pipeline must answer before
+    * trusting attrition comparisons across label sources. Only the
+    * discordant cells carry information: χ² = (n10 − n01)² /
+    * (n10 + n01), emitted exact in milli beside the
+    * continuity-corrected variant ((max(|d|−1, 0))² / (n10+n01)) and
+    * flagged at the χ²₍₀.₀₅,df=1₎ = 3.841 line on the CORRECTED
+    * statistic (the conservative convention). Zero discordance keeps
+    * the row with NULL statistics and a false flag — perfect pairing
+    * is "no evidence of marginal difference", never an ANSI division.
+    * One corpus scan; everything after is scalar arithmetic. */
+  def mcnemarCard(docs: DataFrame,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : DataFrame =
+    docs.agg(
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"))
+      .withColumn("n_discordant", expr("n10 + n01"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN n_discordant > 0 THEN
+             ((n10 - n01) * (n10 - n01) * 1000) DIV n_discordant END"""))
+      .withColumn("chi2c_milli", expr(
+        """CASE WHEN n_discordant > 0 THEN
+             (greatest(abs(n10 - n01) - 1, 0L) *
+              greatest(abs(n10 - n01) - 1, 0L) * 1000) DIV n_discordant
+           END"""))
+      .withColumn("marginals_differ",
+        coalesce(col("chi2c_milli") > 3841L, lit(false)))
+
+  /** Oracle fixture of [[mcnemarCard]]: the q147 rater pair — is the
+    * character gate systematically stricter than the token gate? */
+  private val q314 = GQuery(
+    "q314_mcnemar",
+    (s, dir) => mcnemarCard(t(s, dir, "documents"),
+      col("n_chars") >= 200, size(split(col("text"), " ")) >= 40)
+      .orderBy(col("n10")),
+    Some("""WITH c AS (SELECT
+        CAST(SUM(CASE WHEN n_chars >= 200 AND len(string_split(text, ' ')) < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN n_chars < 200 AND len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n01
+      FROM documents),
+      m AS (SELECT *, n10 + n01 AS n_discordant FROM c),
+      p AS (SELECT *,
+          CASE WHEN n_discordant > 0 THEN
+            ((n10 - n01) * (n10 - n01) * 1000) // n_discordant END
+            AS chi2_milli,
+          CASE WHEN n_discordant > 0 THEN
+            (GREATEST(abs(n10 - n01) - 1, 0) *
+             GREATEST(abs(n10 - n01) - 1, 0) * 1000) // n_discordant END
+            AS chi2c_milli
+        FROM m)
+      SELECT n10, n01, n_discordant, chi2_milli, chi2c_milli,
+        COALESCE(chi2c_milli > 3841, FALSE) AS marginals_differ
+      FROM p ORDER BY n10"""))
+
+  /** Fleiss' κ — [[signalKappa]] generalized past two raters: the
+    * inter-annotator agreement of m ≥ 2 boolean signals per item, the
+    * gate a weak-supervision pipeline runs when it has a PANEL of
+    * label sources (three quality heuristics, N crowd annotators) and
+    * needs one number for "do they agree beyond chance". Exact-ppm
+    * throughout: per-item agreement Pᵢ = (n₁² + n₀² − m)/(m(m−1)) is
+    * folded as one integer sum (n₁ = raters voting true), chance
+    * agreement Pe = p₁² + p₀² from the pooled marginal, and κ =
+    * (P̄ − Pe)·10⁶ DIV (10⁶ − Pe) with the q147 plain-DIV
+    * sign-portability (both engines truncate) and the Pe ≥ 10⁶ → κ=10⁶
+    * degeneracy guard. One corpus scan, one row out. */
+  def fleissKappa(docs: DataFrame,
+      raters: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val m = raters.length
+    require(m >= 2, s"fleissKappa needs >= 2 raters, got $m")
+    val n1 = raters.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(n1.as("n1"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n1")).as("s1"),
+        sum(expr(s"n1 * n1 + ($m - n1) * ($m - n1)")).as("sp"))
+      .withColumn("m_raters", lit(m.toLong))
+      .withColumn("pbar_ppm", expr(
+        s"(1000000 * (sp - n_items * $m)) DIV (n_items * $m * ${m - 1})"))
+      .withColumn("p1_ppm", expr(s"(1000000 * s1) DIV (n_items * $m)"))
+      .withColumn("pe_ppm", expr(
+        "(p1_ppm * p1_ppm + (1000000 - p1_ppm) * (1000000 - p1_ppm)) " +
+          "DIV 1000000"))
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN pe_ppm >= 1000000 THEN 1000000
+           ELSE ((pbar_ppm - pe_ppm) * 1000000) DIV (1000000 - pe_ppm)
+           END"""))
+      .select(col("n_items"), col("m_raters"), col("pbar_ppm"),
+        col("p1_ppm"), col("pe_ppm"), col("kappa_ppm"))
+  }
+
+  /** Oracle fixture of [[fleissKappa]]: a three-heuristic quality
+    * panel (character gate, token gate, looser character gate) — the
+    * realistic "several correlated length-ish raters" shape whose
+    * panel agreement sits strictly between chance and perfect. */
+  private val q318 = GQuery(
+    "q318_fleiss_kappa",
+    (s, dir) => fleissKappa(t(s, dir, "documents"), Seq(
+      col("n_chars") >= 200, size(split(col("text"), " ")) >= 40,
+      col("n_chars") >= 150))
+      .orderBy(col("n_items")),
+    Some("""WITH v AS (SELECT
+          (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) +
+          (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS n1
+        FROM documents),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(n1) AS BIGINT) AS s1,
+          CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sp
+        FROM v),
+      p AS (SELECT n_items, CAST(3 AS BIGINT) AS m_raters,
+          (1000000 * (sp - n_items * 3)) // (n_items * 3 * 2) AS pbar_ppm,
+          (1000000 * s1) // (n_items * 3) AS p1_ppm
+        FROM a),
+      e AS (SELECT *,
+          (p1_ppm * p1_ppm + (1000000 - p1_ppm) * (1000000 - p1_ppm))
+            // 1000000 AS pe_ppm
+        FROM p)
+      SELECT n_items, m_raters, pbar_ppm, p1_ppm, pe_ppm,
+        CASE WHEN pe_ppm >= 1000000 THEN 1000000
+             ELSE ((pbar_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
+             END AS kappa_ppm
+      FROM e ORDER BY n_items"""))
+
+  /** Day-over-day TOTAL-VARIATION drift of a categorical distribution
+    * (the event-type mix here) — the categorical companion to q148's
+    * KS statistic (continuous shape) and q184's χ² (association
+    * strength): TV = ½·Σ|p_day − p_prev| is the distance with the
+    * direct operational reading "the largest probability mass any
+    * class set gained or lost overnight", exact in ppm because both
+    * days' mixes are integer-count distributions. Each observed day
+    * compares to the previous OBSERVED day; the first day keeps its
+    * row with NULL drift (never-drop — "no comparison" and "no drift"
+    * must not conflate).
+    *
+    * Scale shape: one (day, type) count aggregation is the only
+    * data-sized shuffle; the day×type GRID (so a class absent today
+    * still contributes its lost mass) is two broadcast-sized distinct
+    * lists crossed at |days|·|types| rows, and the day-over-day lag
+    * rides per-type windows over |days| rows. */
+  def tvDriftCard(events: DataFrame, typeCol: String = "event_type")
+      : DataFrame = {
+    val c = events.select(
+        datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+          .cast(LongType).as("day"),
+        col(typeCol).as("t"))
+      .groupBy(col("day"), col("t")).agg(count(lit(1)).as("c"))
+    val days = c.select(col("day")).distinct()
+    val types = c.select(col("t")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(c, Seq("day", "t"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wd = Window.partitionBy(col("day"))
+    val wt = Window.partitionBy(col("t")).orderBy(col("day"))
+    grid
+      .withColumn("n", sum(col("c")).over(wd))
+      .withColumn("p_ppm", expr("(1000000 * c) DIV n"))
+      .withColumn("prev_ppm", lag(col("p_ppm"), 1).over(wt))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_events"),
+        // first observed day: every prev is NULL, SUM over all-NULL is
+        // NULL in both engines — the never-drop NULL-drift row for free
+        sum(abs(col("p_ppm") - col("prev_ppm"))).as("__s"))
+      .withColumn("tv_ppm", expr("__s DIV 2"))
+      .select(col("day"), col("n_events"), col("tv_ppm"))
+  }
+
+  /** Oracle fixture of [[tvDriftCard]]: the daily event-type mix. */
+  private val q315 = GQuery(
+    "q315_tv_drift",
+    (s, dir) => tvDriftCard(t(s, dir, "events")).orderBy(col("day")),
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT d.day, ty.t, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM c) d
+        CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+      p AS (SELECT day, t, c, SUM(c) OVER (PARTITION BY day) AS n FROM grid),
+      q AS (SELECT day, t, n, (1000000 * c) // n AS p_ppm FROM p),
+      l AS (SELECT day, n, p_ppm,
+          LAG(p_ppm) OVER (PARTITION BY t ORDER BY day) AS prev_ppm
+        FROM q)
+      SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
+      FROM l GROUP BY day ORDER BY day"""))
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between two sources'
     * distributions of an integer metric (doc length here) — the
     * whole-shape drift test that catches what mean/variance drift (q83)
@@ -4430,5 +4618,6 @@ object AnalyticsQ {
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
-    q291, q297, q298, q299, q300, q302, q304, q305, q310, q311)
+    q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
+    q315, q318)
 }

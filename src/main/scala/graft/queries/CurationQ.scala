@@ -3185,6 +3185,91 @@ object CurationQ {
       FROM g
       ORDER BY event_type, day"""))
 
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * ([[kAnonymityCard]]: groups big enough; [[lDiversityCard]]:
+    * sensitive values diverse enough; THIS: the group's sensitive
+    * DISTRIBUTION close enough to the global one). A group can pass
+    * both earlier gates and still leak by SKEW — if 90% of the people
+    * sharing your quasi-identifiers have the rare sensitive value that
+    * is 2% globally, an attacker's posterior jumps 45× without ever
+    * singling you out. Per QI group: exact-ppm total-variation
+    * distance between the group's sensitive distribution and the
+    * global distribution (the standard EMD collapses to TV for
+    * categorical sensitive attributes under the discrete metric), the
+    * t-verdict, and the global `exposed_ppm` (share of rows in failing
+    * groups — the suppression budget, the q290/q295 convention).
+    *
+    * Scale shape: one (QI, sensitive) count agg is the only data-sized
+    * shuffle; the comparison rides a (QI groups × |sensitive values|)
+    * GRID — the card's inherent output grain (a value absent from a
+    * group still contributes its lost global mass), built by crossing
+    * group totals with the broadcast global distribution. */
+  def tClosenessCard(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessCard: empty quasi-identifier set")
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"tPpm must be in [0, 1000000], got $tPpm")
+    val qi = qiCols.map(col)
+    val g = df.groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = g.groupBy(qi: _*).agg(sum(col("__c")).as("n"))
+    val glob = g.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
+      .crossJoin(broadcast(g.agg(sum(col("__c")).as("__N"))))
+      .select(col("__s"), expr("(1000000 * __g) DIV __N").as("__q_ppm"))
+    val wAll = Window.partitionBy()
+    totals.crossJoin(broadcast(glob))
+      .join(g, qiCols :+ "__s", "left")
+      .withColumn("__p_ppm",
+        expr("(1000000 * coalesce(__c, 0L)) DIV n"))
+      .groupBy(qi :+ col("n"): _*)
+      .agg(sum(abs(col("__p_ppm") - col("__q_ppm"))).as("__tv2"))
+      .withColumn("tv_ppm", expr("__tv2 DIV 2"))
+      .withColumn("meets_t", col("tv_ppm") <= tPpm)
+      .withColumn("exposed_ppm",
+        expr(s"(1000000 * sum(CASE WHEN tv_ppm > ${tPpm}L THEN n " +
+          "ELSE 0L END) OVER ()) DIV sum(n) OVER ()"))
+      .select(qi ++ Seq(col("n"), col("tv_ppm"), col("meets_t"),
+        col("exposed_ppm")): _*)
+  }
+
+  /** Oracle fixture of [[tClosenessCard]]: the q295 release shape —
+    * QI (event_type, day), sensitive duration band — t = 0.23 sits
+    * at the fixture population's ~P80, so both verdicts carry rows. */
+  private val q316 = GQuery(
+    "q316_t_closeness",
+    (s, dir) => tClosenessCard(
+      t(s, dir, "events").select(
+        col("event_type"),
+        datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+          .cast(LongType).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("dur_band")),
+      Seq("event_type", "day"), "dur_band", tPpm = 230000L)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH q AS (SELECT event_type,
+          CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          CAST(round(value * 100) AS BIGINT) // 1000 AS dur_band
+        FROM events),
+      g AS (SELECT event_type, day, dur_band,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY 1, 2, 3),
+      tot AS (SELECT event_type, day, SUM(c) AS n FROM g GROUP BY 1, 2),
+      gd AS (SELECT dur_band,
+          (1000000 * SUM(c)) // (SELECT SUM(c) FROM g) AS q_ppm
+        FROM g GROUP BY 1),
+      grid AS (SELECT t.event_type, t.day, t.n, gl.dur_band, gl.q_ppm,
+          (1000000 * COALESCE(g.c, 0)) // t.n AS p_ppm
+        FROM tot t CROSS JOIN gd gl
+        LEFT JOIN g ON g.event_type = t.event_type AND g.day = t.day
+          AND g.dur_band = gl.dur_band),
+      tv AS (SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
+          CAST(SUM(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS tv_ppm
+        FROM grid GROUP BY 1, 2)
+      SELECT event_type, day, n, tv_ppm, tv_ppm <= 230000 AS meets_t,
+        CAST((1000000 * SUM(CASE WHEN tv_ppm > 230000 THEN n ELSE 0 END)
+          OVER ()) // SUM(n) OVER () AS BIGINT) AS exposed_ppm
+      FROM tv
+      ORDER BY event_type, day"""))
+
   /** Gopher-rules quality gate — the published web-filtering rule set
     * (word-count bounds, mean-word-length bounds, symbol-to-word
     * ratio, bullet/ellipsis line shares, alphabetic-word share,
@@ -3329,5 +3414,5 @@ object CurationQ {
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290, q295, q306)
+      q262, q290, q295, q306, q316)
 }

@@ -1127,6 +1127,102 @@ object RoutingQ {
       FROM n JOIN med USING (caller) JOIN mad USING (caller)
       ORDER BY caller"""))
 
+  /** SIM-box (interconnect-bypass) screen — the fraud species the
+    * wangiri ([[wangiriCard]]), cadence ([[botCadenceCard]]) and
+    * velocity (q246) lenses all MISS, because a SIM-box looks like a
+    * healthy subscriber on each of them: it terminates international
+    * traffic as local calls, so its calls CONNECT (wangiri needs
+    * ring-outs), pace like humans (a box mixes many origins), and
+    * spread volume across SIMs (velocity caps out). Its tell is
+    * DIRECTIONAL: a termination box ORIGINATES toward many distinct
+    * destinations and almost never RECEIVES — real subscribers sit
+    * near in/out balance. Per subscriber: outgoing attempts, distinct
+    * destinations, answered share, INCOMING count (the full-outer
+    * side — an inbound-only subscriber keeps a row, never-drop), the
+    * exact-ppm incoming share, and the composite verdict
+    * (out ≥ minOut ∧ in_share ≤ maxInShare ∧ fanout ≥ minFanout ∧
+    * answered ≥ minAnswered — each a knob).
+    *
+    * Scale shape: two caller/callee-grain hash aggs off the same scan
+    * + one subscriber-grain full outer join — no windows, no
+    * self-join; hash-partitions cleanly at any corpus size. */
+  def simboxCard(calls: DataFrame, minOut: Long = 20L,
+      maxInSharePpm: Long = 50000L, minFanoutPpm: Long = 600000L,
+      minAnsweredPpm: Long = 500000L): DataFrame = {
+    require(minOut >= 1L, s"minOut must be >= 1, got $minOut")
+    val out = calls.groupBy(col("caller").as("subscriber"))
+      .agg(count(lit(1)).as("out_calls"),
+        countDistinct(col("callee")).as("n_destinations"),
+        sum(when(col("dur_centi") > 0L, 1L).otherwise(0L)).as("answered"))
+    val in = calls.groupBy(col("callee").as("subscriber"))
+      .agg(count(lit(1)).as("in_calls"))
+    out.join(in, Seq("subscriber"), "full_outer")
+      .withColumn("out_calls", coalesce(col("out_calls"), lit(0L)))
+      .withColumn("n_destinations",
+        coalesce(col("n_destinations"), lit(0L)))
+      .withColumn("answered", coalesce(col("answered"), lit(0L)))
+      .withColumn("in_calls", coalesce(col("in_calls"), lit(0L)))
+      .withColumn("fanout_ppm", expr(
+        "CASE WHEN out_calls > 0 THEN " +
+          "(1000000 * n_destinations) DIV out_calls END"))
+      .withColumn("answered_ppm", expr(
+        "CASE WHEN out_calls > 0 THEN " +
+          "(1000000 * answered) DIV out_calls END"))
+      .withColumn("in_share_ppm", expr(
+        "(1000000 * in_calls) DIV (in_calls + out_calls)"))
+      .withColumn("simbox_flag",
+        col("out_calls") >= minOut &&
+          col("in_share_ppm") <= maxInSharePpm &&
+          col("fanout_ppm") >= minFanoutPpm &&
+          col("answered_ppm") >= minAnsweredPpm)
+  }
+
+  /** Oracle fixture of [[simboxCard]]: callers are users; callees hash
+    * into the LOW 120 ids only, so subscribers 120–149 receive nothing
+    * — the zero-inbound, high-fanout, answering population the screen
+    * exists to isolate (30/150 flag; everyone else sits near in/out
+    * balance and fails on in_share). */
+  private val q317 = GQuery(
+    "q317_simbox_card",
+    (s, dir) => simboxCard(
+      t(s, dir, "events").select(
+        col("user_id").as("caller"),
+        expr("(event_id * 104729) % 120").as("callee"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("dur_centi")))
+      .orderBy(col("subscriber")),
+    Some("""WITH calls AS (SELECT user_id AS caller,
+          (event_id * 104729) % 120 AS callee,
+          CAST(round(value * 100) AS BIGINT) AS dur_centi
+        FROM events),
+      o AS (SELECT caller AS subscriber, CAST(COUNT(*) AS BIGINT)
+            AS out_calls,
+          CAST(COUNT(DISTINCT callee) AS BIGINT) AS n_destinations,
+          CAST(SUM(CASE WHEN dur_centi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS answered
+        FROM calls GROUP BY 1),
+      i AS (SELECT callee AS subscriber, CAST(COUNT(*) AS BIGINT)
+            AS in_calls
+        FROM calls GROUP BY 1),
+      j AS (SELECT COALESCE(o.subscriber, i.subscriber) AS subscriber,
+          COALESCE(out_calls, 0) AS out_calls,
+          COALESCE(n_destinations, 0) AS n_destinations,
+          COALESCE(answered, 0) AS answered,
+          COALESCE(in_calls, 0) AS in_calls
+        FROM o FULL OUTER JOIN i ON o.subscriber = i.subscriber),
+      f AS (SELECT *,
+          CASE WHEN out_calls > 0
+            THEN (1000000 * n_destinations) // out_calls END AS fanout_ppm,
+          CASE WHEN out_calls > 0
+            THEN (1000000 * answered) // out_calls END AS answered_ppm,
+          (1000000 * in_calls) // (in_calls + out_calls) AS in_share_ppm
+        FROM j)
+      SELECT subscriber, out_calls, n_destinations, answered, in_calls,
+        fanout_ppm, answered_ppm, in_share_ppm,
+        (out_calls >= 20 AND in_share_ppm <= 50000
+          AND fanout_ppm >= 600000 AND answered_ppm >= 500000)
+          AS simbox_flag
+      FROM f ORDER BY subscriber"""))
+
   val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q294,
-    q276, q277, q278, q286, q308)
+    q276, q277, q278, q286, q308, q317)
 }
