@@ -1585,9 +1585,12 @@ object AnalyticsQ {
     // is a genuinely continuous metric (seconds between two events), so
     // the distinct-lag table is NOT histogram-bounded at scale — never
     // a global single-partition window here
+    // width 4096 (the dense-small-integer rule, see TextQ zipf): lag
+    // seconds concentrate far below 2^20, so the default width put the
+    // whole histogram in one bucket window
     val hist = PrefixSum.exclusive(
         lags.groupBy(col("lag")).agg(count(lit(1)).as("cnt")),
-        "lag", Seq("cnt"))
+        "lag", Seq("cnt"), bucketWidth = 4096L)
       .withColumn("cum", col("cnt_cum") + col("cnt")).drop("cnt_cum")
       .crossJoin(broadcast(lags.agg(count(lit(1)).as("n"))))
     val bands = permilles.map { p =>
@@ -2446,7 +2449,7 @@ object AnalyticsQ {
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
       .withColumn("cab", col("ca") + col("cb"))
-    PrefixSum.exclusive(h, "cv", Seq("cab"))
+    PrefixSum.exclusive(h, "cv", Seq("cab"), bucketWidth = 4096L)
       .withColumnRenamed("cab_cum", "k")
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(expr(
@@ -2497,7 +2500,8 @@ object AnalyticsQ {
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
       .withColumn("ct", col("cp") + col("cn"))
-    val pref = PrefixSum.exclusive(h, "a", Seq("ct"))
+    val pref = PrefixSum.exclusive(h, "a", Seq("ct"),
+        bucketWidth = 4096L)
       .withColumnRenamed("ct_cum", "k0")
     pref.agg(sum(col("ct")).as("n"),
         sum(expr("CAST(cp AS DECIMAL(38,0)) * (2 * k0 + ct + 1)"))
@@ -2732,7 +2736,8 @@ object AnalyticsQ {
         expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
       .groupBy(col("g"), col("cv")).agg(count(lit(1)).as("c"))
     val tot = h.groupBy(col("cv")).agg(sum(col("c")).as("ct"))
-    val pref = PrefixSum.exclusive(tot, "cv", Seq("ct"))
+    val pref = PrefixSum.exclusive(tot, "cv", Seq("ct"),
+        bucketWidth = 4096L)
       .withColumnRenamed("ct_cum", "k0")
     val perG = h.join(pref, Seq("cv"))
       .groupBy(col("g"))

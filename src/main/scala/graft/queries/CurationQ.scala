@@ -1440,7 +1440,12 @@ object CurationQ {
     // web-corpus grain the strata are DOMAINS (millions), so the
     // (tokens desc, stratum) order must never serialize onto one
     // reducer; rank = exclusive row-count prefix + 1, cum = exclusive
-    // token prefix + own tokens
+    // token prefix + own tokens. Width caveat: token-count keys are
+    // heavy-tailed (many strata share the low band), so no fixed width
+    // caps the densest bucket the way it does for dense-integer
+    // histograms (zipf/lag/cv sites) — the default width keeps the
+    // non-empty-bucket offset window small instead; a corpus where the
+    // low band dominates should pre-split it with a per-key salt
     PrefixSum.exclusive(mass.crossJoin(broadcast(tot)),
         "tokens", Seq("one", "tokens"), tieCols = Seq("stratum"),
         descending = true)

@@ -2957,8 +2957,12 @@ object TextQ {
     // bounds it for heavy-tailed token counts — never a global
     // single-partition window here (c0 = exclusive rank prefix over
     // freq desc, c1 = inclusive)
+    // width 4096, not the 2^20 default: frequencies are DENSE small
+    // integers (most distinct values sit under 2^20, i.e. in ONE
+    // default-width bucket), and an explicit width caps every in-bucket
+    // window at <= 4096 distinct values regardless of the domain
     val groups = PrefixSum.exclusive(hist, "freq", Seq("n_toks"),
-        descending = true)
+        bucketWidth = 4096L, descending = true)
       .withColumn("c0", col("n_toks_cum"))
       .withColumn("c1", col("c0") + col("n_toks"))
       .withColumn("y", expr("length(bin(freq)) - 1"))
