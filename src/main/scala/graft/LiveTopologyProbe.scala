@@ -94,6 +94,14 @@ object LiveTopologyProbe {
         val acct = 1L + (e * 7919L) % nAcct
         pw.println(s"${msisdn(acct, e.toLong)},$e,1,1,${e % 90 + 1}.0")
       }
+      // a planted velocity burst rides the LAST wave: 100 consecutive-
+      // second calls from account 1 (fresh event ids past every wave),
+      // so the packet-plane fraud consumer has something to alarm on
+      if (w == waves - 1)
+        (0 until 100).foreach { i =>
+          val e = nCdrs.toLong + i
+          pw.println(s"${msisdn(1L, e)},$e,1,1,5.0")
+        }
       pw.close()
       java.nio.file.Files.move(tmp, dir.resolve(s"wave_$w.csv"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -101,11 +109,20 @@ object LiveTopologyProbe {
     }
 
     // ---- run ------------------------------------------------------------
+    // the fully-live 5 stages PLUS the round-13 packet-plane fan-out:
+    // rated records demux to invoice + fraud consumers, each on its own
+    // archived packetqueue, routing rule itself a live VersionedDim
     val runner = new PipelineRunner(spark)
+    val routeDim = LiveRatingChain.routingDim(spark, s"$base/routedim")
+    routeDim.publish(Seq(("invoice", true), ("fraud", true))
+      .toDF("dest", "enabled"))
     val names = LiveRatingChain.registerFullyLive(runner, spark,
       s"$base/inbox", numberDim, tariffDim, s"$base/prerated",
       s"$base/legs", s"$base/calls", s"$base/enriched", s"$base/rated",
-      s"$base/ckpt")
+      s"$base/ckpt") ++
+      LiveRatingChain.registerFanout(runner, spark, s"$base/rated",
+        routeDim, s"$base/fan", s"$base/export", s"$base/alarms",
+        s"$base/ckpt", windowSec = 3600L, threshold = 3L)
     val qs = names.map(runner.start)
     var wall = 0.0
     (0 until waves).foreach { w =>
@@ -113,6 +130,10 @@ object LiveTopologyProbe {
         val t = System.nanoTime()
         numberDim.publish(planRows(v2 = true))
         tariffDim.publish(tariffDf(planA(0L, tp) ++ planB(tp, END)))
+        // the routing dim advances too (same class set — the hop is the
+        // point: route_ver must move 1 → 2 mid-run, no stage restart)
+        routeDim.publish(Seq(("invoice", true), ("fraud", true))
+          .toDF("dest", "enabled"))
         println(f"livetopo PORT+AMENDMENT published in ${(System.nanoTime() - t) / 1e9}%.2fs")
       }
       val n = writeWave(w)
@@ -161,6 +182,33 @@ object LiveTopologyProbe {
       "a post-amendment record rated under the old tariff version")
     require(diff == 0L,
       "streamed fully-live chain != batch replay under final timelines")
+
+    // ---- the packet-plane fan-out, verified at volume --------------------
+    val export = spark.read.parquet(s"$base/export")
+    val exportN = export.count()
+    val fanDiff = export.groupBy(col("account_id"))
+      .agg(sum(col("charge_centi")).as("ec"))
+      .join(rated.groupBy(col("account_id").cast(LongType)
+          .as("account_id"))
+        .agg(sum(col("charge_centi")).as("rc")),
+        Seq("account_id"), "full")
+      .filter(col("ec") =!= col("rc") ||
+        col("ec").isNull || col("rc").isNull)
+      .count()
+    val routeVers = export.select(col("route_ver")).distinct()
+      .as[Long].collect().toSet
+    val alarms = spark.read.parquet(s"$base/alarms")
+      .filter(col("user_id") === 1L).count()
+    println(f"livetopo fanout: export=$exportN " +
+      f"fan_mismatches=$fanDiff route_vers=$routeVers " +
+      f"burst_alarms=$alarms")
+    require(exportN == legs && fanDiff == 0L,
+      "invoice consumer over the packet plane lost or duplicated " +
+        "rated records")
+    require(routeVers == Set(1L, 2L),
+      s"route_ver never advanced mid-run: $routeVers")
+    require(alarms >= 90L,
+      s"packet-plane VelocityMonitor missed the planted burst: $alarms")
     spark.stop()
   }
 }

@@ -91,7 +91,8 @@ object ScaleProbe {
     "q306_gopher_gate", "q307_plan_fragmentation", "q308_bot_cadence",
     "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild",
     "q313_topology_lineage", "q314_mcnemar", "q315_tv_drift",
-    "q316_t_closeness", "q317_simbox_card", "q318_fleiss_kappa")
+    "q316_t_closeness", "q317_simbox_card", "q318_fleiss_kappa",
+    "q319_qv_error_card")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

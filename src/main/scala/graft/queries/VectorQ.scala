@@ -2692,6 +2692,162 @@ object VectorQ {
     FROM asg
     ORDER BY vec_id"""))
 
+  /** int8 quantization-error card — the measurement that SIZES
+    * [[graft.etl.IncrementalSemDedup]]'s `qvMargin` knob, with an
+    * oracle behind it: over the q76/q289 candidate structure
+    * (same-cell pairs under the seed cells), the exact distribution of
+    * |cos − cos₈| in micro — max, exact ceil-rank P99, and the count
+    * of pairs a given margin would MISPRICE (the number that must read
+    * 0 before the prefilter is trusted on a corpus). Degenerate pairs
+    * (a zero qv — exactly the rows the prefilter passes through
+    * unconditionally) are counted separately, never folded into the
+    * error statistics. Both cosines round by `floor(x·10⁶ + 0.5)` (the
+    * quantizeInt8 half-tie rule — `round()` half-ties do NOT match
+    * cross-engine).
+    *
+    * This is an EVAL card: run it on a corpus SAMPLE when adopting the
+    * prefilter (pair volume is the q76 candidate shape, cells² work at
+    * the fixture's pinned seeds); the measured max on the 64-dim
+    * fixture is 5850 micro, 17× under the 100000 default margin. */
+  def qvErrorCard(raw: DataFrame, cells: Int = 4,
+      marginMicro: Long = 100000L): DataFrame = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    require(marginMicro >= 0L,
+      s"marginMicro must be >= 0, got $marginMicro")
+    val v0 = raw.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", vec_norm2(col("embedding")))
+    // per-VECTOR work stays per-vector: the qv int norm is computed
+    // once here, never re-aggregated per candidate pair (a 500k-pair
+    // run re-folding two 64-element arrays per pair measured 4× the
+    // wall of the pair dots themselves)
+    val v = quantizeInt8(v0).drop("mx")
+      .withColumn("n8", expr(
+        "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val seeds = v0.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val base = v.join(
+      assignToCentroids(v0, seeds).select(col("vec_id"), col("cluster")),
+      Seq("vec_id"))
+    def side(p: String) = base.select(col("cluster"),
+      col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      col("nrm").as(s"${p}_nrm"), col("qv").as(s"${p}_qv"),
+      col("n8").as(s"${p}_n8"))
+    val pairs = side("a").join(side("b"), Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("__rc", vec_dot(col("a_emb"), col("b_emb")) /
+        (sqrt(col("a_nrm")) * sqrt(col("b_nrm"))))
+      .withColumn("cosm",
+        expr("CAST(floor(1000000 * __rc + 0.5) AS BIGINT)"))
+      .withColumn("__d8", vec_dot_long(col("a_qv"), col("b_qv")))
+      .withColumn("cos8m", expr(
+        """CASE WHEN a_n8 = 0 OR b_n8 = 0 THEN NULL
+           ELSE CAST(floor(1000000 * (__d8
+             / (sqrt(CAST(a_n8 AS DOUBLE)) * sqrt(CAST(b_n8 AS DOUBLE))))
+             + 0.5) AS BIGINT) END"""))
+      .withColumn("err", abs(col("cosm") - col("cos8m")))
+    val hist = pairs.filter(col("err").isNotNull)
+      .groupBy(col("err")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("err"))
+    val wAll = Window.partitionBy()
+    val stats = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .agg(sum(col("c")).as("n_pairs_priced"),
+        max(col("err")).as("max_err_micro"),
+        min(when(col("cum") >= expr("(n * 990 + 999) DIV 1000"),
+          col("err"))).as("p99_err_micro"),
+        sum(when(col("err") > marginMicro, col("c")).otherwise(0L))
+          .as("over_margin"))
+    val degen = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("cos8m").isNull, 1L).otherwise(0L))
+        .as("n_degenerate"))
+    degen.crossJoin(stats)
+      .select(col("n_pairs"), col("n_degenerate"), col("n_pairs_priced"),
+        col("max_err_micro"), col("p99_err_micro"), col("over_margin"))
+  }
+
+  /** Oracle fixture of [[qvErrorCard]] (⌊√n⌋ seed cells — the q312
+    * production shape, so the measured error distribution comes from
+    * the candidate structure the prefilter actually runs in — at the
+    * 0.1 default margin): `over_margin` must hash to ZERO — the
+    * cross-engine witness that the spec-pinned prefilter margin covers
+    * every candidate pair on the fixture geometry, not just the
+    * sampled maximum. */
+  private val q319 = GQuery(
+    "q319_qv_error_card",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.agg(count(lit(1))).head.getLong(0)
+      qvErrorCard(emb, cells = math.sqrt(n.toDouble).toInt)
+        .orderBy(col("n_pairs"))
+    },
+    Some(s"""WITH k AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)
+            AS kc FROM embeddings),
+      m AS (SELECT vec_id, embedding,
+          ${normSql("embedding")} AS nrm,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings),
+      v AS (SELECT vec_id, embedding, nrm,
+          CASE WHEN mx = 0
+            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+                AS BIGINT))
+          END AS qv
+        FROM m),
+      seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+        WHERE vec_id < (SELECT kc FROM k)),
+      asg AS (SELECT vec_id, cluster FROM (
+          SELECT v.vec_id, s.cluster,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id
+              ORDER BY v.nrm + (${normSql("s.cemb")})
+                - 2 * (${dotSql("v.embedding", "s.cemb")}), s.cluster)
+              AS arn
+          FROM v, seeds s) WHERE arn = 1),
+      b AS (SELECT v.vec_id, v.embedding, v.nrm, v.qv, a.cluster
+        FROM v JOIN asg a USING (vec_id)),
+      pairs AS (SELECT
+          CAST(floor(1000000 * ((${dotSql("x.embedding", "y.embedding")})
+            / (sqrt(x.nrm) * sqrt(y.nrm))) + 0.5) AS BIGINT) AS cosm,
+          ${(1 to 64).map(k => s"(x.qv[$k] * y.qv[$k])").mkString(" + ")}
+            AS d8,
+          ${(1 to 64).map(k => s"(x.qv[$k] * x.qv[$k])").mkString(" + ")}
+            AS na8,
+          ${(1 to 64).map(k => s"(y.qv[$k] * y.qv[$k])").mkString(" + ")}
+            AS nb8
+        FROM b x JOIN b y ON x.cluster = y.cluster
+          AND x.vec_id < y.vec_id),
+      e AS (SELECT cosm,
+          CASE WHEN na8 = 0 OR nb8 = 0 THEN NULL
+            ELSE CAST(floor(1000000 * (d8 / (sqrt(CAST(na8 AS DOUBLE))
+              * sqrt(CAST(nb8 AS DOUBLE)))) + 0.5) AS BIGINT) END
+            AS cos8m
+        FROM pairs),
+      er AS (SELECT cosm, cos8m, abs(cosm - cos8m) AS err FROM e),
+      hist AS (SELECT err, CAST(COUNT(*) AS BIGINT) AS c FROM er
+        WHERE err IS NOT NULL GROUP BY 1),
+      hc AS (SELECT err, c,
+          SUM(c) OVER (ORDER BY err) AS cum,
+          SUM(c) OVER () AS n
+        FROM hist),
+      st AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs_priced,
+          MAX(err) AS max_err_micro,
+          MIN(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN err END)
+            AS p99_err_micro,
+          CAST(SUM(CASE WHEN err > 100000 THEN c ELSE 0 END) AS BIGINT)
+            AS over_margin
+        FROM hc),
+      dg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CASE WHEN cos8m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_degenerate
+        FROM er)
+      SELECT n_pairs, n_degenerate, n_pairs_priced, max_err_micro,
+        p99_err_micro, over_margin
+      FROM dg, st
+      ORDER BY n_pairs"""))
+
   /** MMR (maximal-marginal-relevance) diversified re-ranking — the
     * retrieval op between top-k (q29: the k MOST similar, often k
     * near-copies of each other) and semantic dedup (q76: drop
@@ -2826,5 +2982,5 @@ object VectorQ {
   val queries: Seq[GQuery] =
     Seq(q29, q29b, q30, q42, q43, q55, q58, q59, q76, q80, q82, q99, q106,
       q108, q113, q114, q115, q121, q122, q125, q132, q136, q166, q167,
-      q174, q193, q197, q207, q230, q235, q289, q309, q312)
+      q174, q193, q197, q207, q230, q235, q289, q309, q312, q319)
 }
