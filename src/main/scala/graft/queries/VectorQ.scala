@@ -2735,8 +2735,12 @@ object VectorQ {
       col("n8").as(s"${p}_n8"))
     val pairs = side("a").join(side("b"), Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("__rc", vec_dot(col("a_emb"), col("b_emb")) /
-        (sqrt(col("a_nrm")) * sqrt(col("b_nrm"))))
+      // a zero-NORM vector cannot be priced by EITHER cosine: its
+      // pairs are degenerate outright (NULL, counted apart) — also the
+      // ANSI guard, 0/0 aborts the job under Spark 4 defaults
+      .withColumn("__rc", when(col("a_nrm") > 0.0 && col("b_nrm") > 0.0,
+        vec_dot(col("a_emb"), col("b_emb")) /
+          (sqrt(col("a_nrm")) * sqrt(col("b_nrm")))))
       .withColumn("cosm",
         expr("CAST(floor(1000000 * __rc + 0.5) AS BIGINT)"))
       .withColumn("__d8", vec_dot_long(col("a_qv"), col("b_qv")))
@@ -2760,8 +2764,8 @@ object VectorQ {
         sum(when(col("err") > marginMicro, col("c")).otherwise(0L))
           .as("over_margin"))
     val degen = pairs.agg(count(lit(1)).as("n_pairs"),
-      sum(when(col("cos8m").isNull, 1L).otherwise(0L))
-        .as("n_degenerate"))
+      sum(when(col("cos8m").isNull || col("cosm").isNull, 1L)
+        .otherwise(0L)).as("n_degenerate"))
     degen.crossJoin(stats)
       .select(col("n_pairs"), col("n_degenerate"), col("n_pairs_priced"),
         col("max_err_micro"), col("p99_err_micro"), col("over_margin"))
@@ -2809,8 +2813,9 @@ object VectorQ {
       b AS (SELECT v.vec_id, v.embedding, v.nrm, v.qv, a.cluster
         FROM v JOIN asg a USING (vec_id)),
       pairs AS (SELECT
-          CAST(floor(1000000 * ((${dotSql("x.embedding", "y.embedding")})
-            / (sqrt(x.nrm) * sqrt(y.nrm))) + 0.5) AS BIGINT) AS cosm,
+          CASE WHEN x.nrm > 0 AND y.nrm > 0 THEN
+            CAST(floor(1000000 * ((${dotSql("x.embedding", "y.embedding")})
+              / (sqrt(x.nrm) * sqrt(y.nrm))) + 0.5) AS BIGINT) END AS cosm,
           ${(1 to 64).map(k => s"(x.qv[$k] * y.qv[$k])").mkString(" + ")}
             AS d8,
           ${(1 to 64).map(k => s"(x.qv[$k] * x.qv[$k])").mkString(" + ")}
@@ -2840,8 +2845,8 @@ object VectorQ {
             AS over_margin
         FROM hc),
       dg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-          CAST(SUM(CASE WHEN cos8m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_degenerate
+          CAST(SUM(CASE WHEN cos8m IS NULL OR cosm IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
         FROM er)
       SELECT n_pairs, n_degenerate, n_pairs_priced, max_err_micro,
         p99_err_micro, over_margin

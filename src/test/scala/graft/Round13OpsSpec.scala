@@ -118,6 +118,27 @@ class Round13OpsSpec extends SparkSpec {
       ("g3", 4L, 500000L, false, 666666L)), out.toString)
   }
 
+  // ---- q319 qv error card ------------------------------------------------
+
+  test("qv error card: identical-direction pairs price at zero error, " +
+      "a zero vector's pairs count as degenerate (never priced), and " +
+      "over_margin counts only priceable pairs past the margin") {
+    // 4 vectors, 1 cell (cells=1): v0/v1 same direction (cos=1 exactly,
+    // qv identical -> err 0); v2 orthogonal-ish; v3 ZERO (qv all-zero,
+    // its 3 pairs degenerate). Priced pairs: (0,1), (0,2), (1,2).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = queries.VectorQ.qvErrorCard(vecs, cells = 1,
+        marginMicro = 100000L)
+      .select(col("n_pairs"), col("n_degenerate"), col("n_pairs_priced"),
+        col("max_err_micro"), col("over_margin"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((6L, 3L, 3L, 0L, 0L)), out.toString)
+  }
+
   // ---- q317 SIM-box ------------------------------------------------------
 
   test("simbox: the zero-inbound high-fanout answerer flags; a balanced " +
