@@ -1414,6 +1414,95 @@ object EventQ {
         ORDER BY event_id"""))
   }
 
+  /** Bundle (free-allowance) marginal rating — the OCS feature
+    * [[marginalTieredCharges]] cannot express: the account's first
+    * `allowance` units of the cycle are INCLUDED (the monthly
+    * minutes/GB bundle every consumer plan ships), and only the
+    * overflow rates at the marginal tiers. Same closed form shifted by
+    * the allowance: B(u) = T(max(u − A, 0)), charge = B(cum) −
+    * B(cum − u) — exact telescoping still holds (Σ charges ≡
+    * B(cycle total)), and the record that CROSSES the allowance
+    * boundary bills only its paid tail. `free_units` reports the
+    * record's consumption from the bundle (min(u, remaining allowance))
+    * — the "you have N minutes left" counter, derivable per record with
+    * no second pass. Zero/negative usage leaves the accumulator
+    * unchanged, rates 0, consumes 0 — never dropped (the q233
+    * contract).
+    *
+    * Plan: identical to q233 — ONE per-account window (running sum in
+    * event order, event_id tiebreak), B() evaluated twice map-side. */
+  def bundleTieredCharges(events: DataFrame,
+      usage: org.apache.spark.sql.Column, allowance: Long,
+      tiers: Seq[(Long, Long, Long)], keyCol: String = "user_id")
+      : DataFrame = {
+    require(allowance >= 0L, s"allowance must be >= 0, got $allowance")
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    require(tiers.head._1 == 0L, "first tier must start at 0")
+    require(tiers.last._2 == Long.MaxValue, "last tier must be unbounded")
+    require(tiers.sliding(2).forall {
+      case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+      case _ => true
+    }, s"tiers must be contiguous, got $tiers")
+    def tExpr(u: String): String = tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+    def bExpr(u: String): String =
+      tExpr(s"greatest(($u) - ${allowance}L, CAST(0 AS BIGINT))")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("sec"), col("event_id"))
+    events.select(col("event_id"), col(keyCol).as("k"),
+        col("ts").cast(LongType).as("sec"), usage.cast(LongType).as("u"))
+      .withColumn("ue", greatest(col("u"), lit(0L)))
+      .withColumn("cum", sum(col("ue")).over(w))
+      .select(col("event_id"), col("k"), col("u"), col("cum"),
+        expr(s"least(ue, greatest(${allowance}L - (cum - ue), " +
+          "CAST(0 AS BIGINT)))").as("free_units"),
+        expr(s"${bExpr("cum")} - ${bExpr("cum - ue")}")
+          .as("charge_centi"))
+  }
+
+  /** Oracle fixture of [[bundleTieredCharges]]: the q233 tariff behind
+    * a 200k-centiunit bundle — big enough that every account's early
+    * cycle is free, small enough that every account overflows, so the
+    * boundary-straddling row (partly free, partly tier-1) appears for
+    * every account. */
+  private val q320 = {
+    val tiers = Seq((0L, 5000L, 5L), (5000L, 20000L, 3L),
+      (20000L, Long.MaxValue, 1L))
+    val allow = 200000L
+    def tSql(u: String): String = tiers.map { case (f, to, r) =>
+      if (to == Long.MaxValue)
+        s"$r * greatest(CAST(0 AS BIGINT), ($u) - $f)"
+      else
+        s"$r * least(greatest(CAST(0 AS BIGINT), ($u) - $f), ${to - f})"
+    }.mkString("(", " + ", ")")
+    def bSql(u: String): String =
+      tSql(s"greatest(($u) - $allow, CAST(0 AS BIGINT))")
+    GQuery(
+      "q320_bundle_rating",
+      (s, dir) => bundleTieredCharges(t(s, dir, "events"),
+          expr("CAST(round(value * 100) AS BIGINT)"), allow, tiers)
+        .orderBy(col("event_id")),
+      Some(s"""WITH e AS (SELECT event_id, user_id AS k,
+            ${epochSecSql("ts")} AS sec,
+            CAST(round(value * 100) AS BIGINT) AS u
+          FROM events),
+        c AS (SELECT *, greatest(u, CAST(0 AS BIGINT)) AS ue FROM e),
+        m AS (SELECT *, CAST(SUM(ue) OVER (PARTITION BY k
+            ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM c)
+        SELECT event_id, k, u, cum,
+          least(ue, greatest($allow - (cum - ue), CAST(0 AS BIGINT)))
+            AS free_units,
+          ${bSql("cum")} - ${bSql("cum - ue")} AS charge_centi
+        FROM m
+        ORDER BY event_id"""))
+  }
+
   /** Invoice run — the rating family composed end-to-end, the
     * gsmrating → billing handoff: every usage record rates at its
     * MARGINAL cumulative-tier cost ([[marginalTieredCharges]]), rolls
@@ -1652,5 +1741,5 @@ object EventQ {
 
   val queries: Seq[GQuery] = Seq(q22, q23, q36, q37, q38, q46, q68, q84,
     q97, q169, q175, q195, q212, q219, q220, q225, q226, q231, q232, q233,
-    q239, q244, q288)
+    q239, q244, q288, q320)
 }

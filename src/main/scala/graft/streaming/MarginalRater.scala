@@ -67,6 +67,61 @@ final class MarginalRater(tiers: Seq[(Long, Long, Long)])
       expired: ExpiredTimerInfo): Iterator[RatedRec] = Iterator.empty
 }
 
+/** [[MarginalRater]] with a FREE-UNIT BUNDLE — the live twin of
+  * [[graft.queries.EventQ.bundleTieredCharges]] (its batch form is the
+  * oracle-checked q320): the account's first `allowance` units are
+  * included and only the overflow rates, via the shifted closed form
+  * B(u) = T(max(u − allowance, 0)); each emitted record carries
+  * `free_units` (its consumption from the bundle — the live "N minutes
+  * left" counter an OCS quotes mid-call). Telescoping holds exactly as
+  * in the base rater, so Σ streamed charges ≡ B(cycle total) ≡ the
+  * batch q320 on the same records (spec-pinned). State is the same ONE
+  * long per account; a cycle reset is the caller's `clear()`, the
+  * MarginalRater contract. */
+final case class BundleRatedRec(account_id: Long, event_id: Long,
+    units: Long, cum_units: Long, free_units: Long, charge_centi: Long)
+
+final class BundleRater(allowance: Long, tiers: Seq[(Long, Long, Long)])
+    extends StatefulProcessor[Long, UsageRec, BundleRatedRec] {
+  require(allowance >= 0L, s"allowance must be >= 0, got $allowance")
+  require(tiers.nonEmpty && tiers.head._1 == 0L &&
+    tiers.last._2 == Long.MaxValue &&
+    tiers.sliding(2).forall {
+      case Seq((_, e1, _), (s2, _, _)) => e1 == s2
+      case _ => true
+    }, s"tiers must be contiguous from 0 to unbounded, got $tiers")
+
+  @transient private var cum: ValueState[Long] = _
+
+  private def tTotal(u: Long): Long = tiers.map { case (f, to, r) =>
+    val over = math.max(u - f, 0L)
+    r * (if (to == Long.MaxValue) over else math.min(over, to - f))
+  }.sum
+  private def bTotal(u: Long): Long = tTotal(math.max(u - allowance, 0L))
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cum = getHandle.getValueState[Long]("cum", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UsageRec],
+      timers: TimerValues): Iterator[BundleRatedRec] = {
+    var c = if (cum.exists()) cum.get() else 0L
+    val out = rows.toSeq.sortBy(_.event_id).map { r =>
+      val ue = math.max(r.units, 0L)
+      val free = math.min(ue, math.max(allowance - c, 0L))
+      val next = c + ue
+      val charge = bTotal(next) - bTotal(c)
+      c = next
+      BundleRatedRec(key, r.event_id, r.units, c, free, charge)
+    }
+    cum.update(c)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[BundleRatedRec] = Iterator.empty
+}
+
 /** [[MarginalRater]] with BILLING-CYCLE boundaries — the round-8 form
   * left cycle reset to the caller; this one owns it in event time:
   * cycles are `[k·cycleSec, (k+1)·cycleSec)` and each account's

@@ -118,6 +118,74 @@ class Round13OpsSpec extends SparkSpec {
       ("g3", 4L, 500000L, false, 666666L)), out.toString)
   }
 
+  // ---- q320 bundle rating --------------------------------------------------
+
+  test("bundle rating: the allowance-straddling record bills only its " +
+      "paid tail, free_units is the live bundle counter, telescoping " +
+      "holds, zero usage never dropped") {
+    import java.sql.Timestamp
+    // allowance 100; tiers 5 centi/unit to 50, then 3
+    val tiers = Seq((0L, 50L, 5L), (50L, Long.MaxValue, 3L))
+    val ev = Seq(
+      (1L, 7L, 10L, 60L),   // all free (cum 60)
+      (2L, 7L, 20L, 60L),   // STRADDLE: 40 free + 20 paid @5 = 100
+      (3L, 7L, 30L, 40L),   // paid: 30 @5 + 10 @3 = 180
+      (4L, 7L, 40L, 0L),    // zero usage: kept, free 0, charge 0
+      (5L, 7L, 50L, -9L))   // negative: kept, accumulator unchanged
+      .map { case (e, k, s, u) => (e, k, new Timestamp(s * 1000L), u) }
+      .toDF("event_id", "user_id", "ts", "units")
+    val got = queries.EventQ.bundleTieredCharges(ev, col("units"),
+        allowance = 100L, tiers)
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("cum"), col("free_units"),
+        col("charge_centi"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 60L, 60L, 0L), (2L, 120L, 40L, 100L),
+      (3L, 160L, 0L, 180L), (4L, 160L, 0L, 0L), (5L, 160L, 0L, 0L)),
+      got.toString)
+    // telescoping: sum of charges = B(total) = T(60) = 50*5 + 10*3
+    assert(got.map(_._4).sum == 280L)
+  }
+
+  test("BundleRater streams the exact q320 batch answer across batches " +
+      "(free counter included)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{BundleRater, BundleRatedRec, UsageRec}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tiers = Seq((0L, 50L, 5L), (50L, Long.MaxValue, 3L))
+      val in = MemoryStream[UsageRec]
+      val q = in.toDS().groupByKey(_.account_id)
+        .transformWithState(new BundleRater(100L, tiers),
+          TimeMode.None(), OutputMode.Append())
+        .toDF().writeStream.outputMode("append")
+        .format("memory").queryName("bundle_out").start()
+      try {
+        in.addData(UsageRec(7L, 1L, 60L), UsageRec(7L, 2L, 60L))
+        q.processAllAvailable()
+        in.addData(UsageRec(7L, 3L, 40L), UsageRec(8L, 4L, 120L))
+        q.processAllAvailable()
+        val got = spark.table("bundle_out").as[BundleRatedRec]
+          .collect().toSeq.sortBy(_.event_id)
+        assert(got == Seq(
+          BundleRatedRec(7L, 1L, 60L, 60L, 60L, 0L),
+          BundleRatedRec(7L, 2L, 60L, 120L, 40L, 100L),
+          BundleRatedRec(7L, 3L, 40L, 160L, 0L, 180L),
+          BundleRatedRec(8L, 4L, 120L, 120L, 100L, 100L)), got.toString)
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // ---- q319 qv error card ------------------------------------------------
 
   test("qv error card: identical-direction pairs price at zero error, " +
