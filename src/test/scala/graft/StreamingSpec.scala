@@ -924,4 +924,44 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("MetricsLog appends one queryable JSON line per micro-batch and " +
+      "a terminated line on stop") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_metrics").toString
+    val ml = new graft.streaming.MetricsLog(s"$base/metrics.jsonl")
+    spark.streams.addListener(ml)
+    try {
+      Files.createDirectories(Paths.get(s"$base/in"))
+      Files.write(Paths.get(s"$base/in/w1.csv"),
+        "call_id,seq,total,duration_sec\n1:1,1,1,10.0\n2:1,1,1,20.0\n"
+          .getBytes("UTF-8"))
+      val q = spark.readStream
+        .schema(graft.streaming.LiveRatingChain.legSchema)
+        .option("header", "true").csv(s"$base/in")
+        .writeStream.queryName("metrics_probe")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the listener bus is async — poll for the terminated line
+      assert(eventually(10000L) {
+        val s = new String(Files.readAllBytes(
+          Paths.get(s"$base/metrics.jsonl")), "UTF-8")
+        s.contains("\"event\":\"terminated\"") &&
+          s.contains("\"stage\":\"metrics_probe\"")
+      }, "metrics lines never appeared")
+      val m = spark.read.json(s"$base/metrics.jsonl")
+      val batch = m.filter(col("batch_id").isNotNull &&
+        col("stage") === "metrics_probe")
+      assert(batch.count() >= 1, "no per-batch metrics row")
+      val rows = batch.agg(sum(col("input_rows"))).head.getLong(0)
+      assert(rows == 2L, s"input_rows should total the fed legs: $rows")
+      assert(m.filter(col("event") === "terminated").count() >= 1)
+    } finally {
+      spark.streams.removeListener(ml)
+      ml.close()
+    }
+  }
 }
