@@ -18,5 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.VecDot].getName, "vec_dot"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.VecDot(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_long"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.VecDotLong].getName, "vec_dot_long"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.VecDotLong(exprs(0), exprs(1))))
   }
 }

@@ -319,5 +319,7 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_long", exprs => VecDotLong(exprs(0), exprs(1)), "scala_udf")
   }
 }

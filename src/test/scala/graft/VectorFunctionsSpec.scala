@@ -36,6 +36,14 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("vec_dot_long registers as a SQL function (round 13 — the int8 " +
+      "path gets the same SQL surface as the float path)") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql("SELECT vec_dot_long(array(1L, 2L), array(3L, 4L)) AS d")
+      .as[Long].head()
+    assert(r == 11L)
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     val emb = graft.core.Tables.load(spark, sfDir, "embeddings")
     val df = emb.select(vec_norm2(col("embedding")).as("n")).filter(col("n") > 0)
