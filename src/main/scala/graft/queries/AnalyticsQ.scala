@@ -1060,11 +1060,15 @@ object AnalyticsQ {
     * rides per-type windows over |days| rows. */
   def tvDriftCard(events: DataFrame, typeCol: String = "event_type")
       : DataFrame = {
+    // (day, type)-grain cut: the count table feeds the day list, the
+    // type list, AND the grid join — uncut, each branch re-runs the
+    // corpus-sized aggregation (the q298 lesson)
     val c = events.select(
         datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
           .cast(LongType).as("day"),
         col(typeCol).as("t"))
       .groupBy(col("day"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val days = c.select(col("day")).distinct()
     val types = c.select(col("t")).distinct()
     val grid = days.crossJoin(broadcast(types))

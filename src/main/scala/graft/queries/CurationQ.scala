@@ -3215,8 +3215,12 @@ object CurationQ {
     require(tPpm >= 0L && tPpm <= 1000000L,
       s"tPpm must be in [0, 1000000], got $tPpm")
     val qi = qiCols.map(col)
+    // (QI, sensitive)-grain cut: the count table feeds group totals,
+    // the global distribution, AND the grid join — uncut, each branch
+    // re-runs the corpus-sized aggregation (the q298 lesson)
     val g = df.groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val totals = g.groupBy(qi: _*).agg(sum(col("__c")).as("n"))
     val glob = g.groupBy(col("__s")).agg(sum(col("__c")).as("__g"))
       .crossJoin(broadcast(g.agg(sum(col("__c")).as("__N"))))

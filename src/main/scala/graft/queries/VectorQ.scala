@@ -2754,23 +2754,28 @@ object VectorQ {
              / (sqrt(CAST(a_n8 AS DOUBLE)) * sqrt(CAST(b_n8 AS DOUBLE))))
              + 0.5) AS BIGINT) END"""))
       .withColumn("err", abs(col("cosm") - col("cos8m")))
-    val hist = pairs.filter(col("err").isNotNull)
-      .groupBy(col("err")).agg(count(lit(1)).as("c"))
+    // ONE pass over the pair table: the histogram's NULL-err group IS
+    // the degenerate count (groupBy keeps the NULL key), so the stats
+    // and the degeneracy tally never re-run the pair stage
+    val hist = pairs.groupBy(col("err")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("err"))
     val wAll = Window.partitionBy()
-    val stats = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(wAll))
-      .agg(sum(col("c")).as("n_pairs_priced"),
+    hist
+      .withColumn("dg", when(col("err").isNull, col("c")).otherwise(0L))
+      .withColumn("pc", when(col("err").isNotNull, col("c")).otherwise(0L))
+      // cum/n over PRICED rows only (NULLS FIRST in the ordered window,
+      // so the NULL group contributes 0 to every priced row's cum)
+      .withColumn("cum", sum(col("pc")).over(w))
+      .withColumn("n", sum(col("pc")).over(wAll))
+      .agg(coalesce(sum(col("pc") + col("dg")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("dg")), lit(0L)).as("n_degenerate"),
+        coalesce(sum(col("pc")), lit(0L)).as("n_pairs_priced"),
         max(col("err")).as("max_err_micro"),
-        min(when(col("cum") >= expr("(n * 990 + 999) DIV 1000"),
+        min(when(col("err").isNotNull &&
+            col("cum") >= expr("(n * 990 + 999) DIV 1000"),
           col("err"))).as("p99_err_micro"),
         sum(when(col("err") > marginMicro, col("c")).otherwise(0L))
           .as("over_margin"))
-    val degen = pairs.agg(count(lit(1)).as("n_pairs"),
-      sum(when(col("cos8m").isNull || col("cosm").isNull, 1L)
-        .otherwise(0L)).as("n_degenerate"))
-    degen.crossJoin(stats)
       .select(col("n_pairs"), col("n_degenerate"), col("n_pairs_priced"),
         col("max_err_micro"), col("p99_err_micro"), col("over_margin"))
   }
