@@ -38,7 +38,7 @@ final class MetricsLog(path: String) extends StreamingQueryListener {
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
 
   private def emit(line: String): Unit = synchronized {
     out.println(line)

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.IncrementalDrift
+import graft.queries.AnalyticsQ
+
+/** Incremental TV drift: the store's derived drift table is EXACTLY the
+  * batch q315 card on the union of all appended batches — across waves,
+  * retries, and late stragglers for old days. */
+class IncrementalDriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Int, String)]): DataFrame =
+    rows.map { case (d, t) => (f"2024-01-${d + 1}%02d 12:00:00", t) }
+      .toDF("ts0", "event_type")
+      .select(col("ts0").cast("timestamp").as("ts"), col("event_type"))
+
+  private def table(df: DataFrame): Seq[(Long, Long, Option[Long])] =
+    df.select(col("day"), col("n_events"), col("tv_ppm"))
+      .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+
+  test("store drift == batch q315 on the union across waves, a retry " +
+      "never double-counts, and a late straggler self-corrects with an " +
+      "audit row") {
+    val store = Files.createTempDirectory("graft_driftstore").toString
+    val log = s"$store/driftlog"
+    val sink = IncrementalDrift.sink(spark, store, log)
+
+    // wave 0: day0 2A+2B; wave 1: day1 4A (B vanishes)
+    val w0 = Seq((0, "A"), (0, "A"), (0, "B"), (0, "B"))
+    val w1 = Seq((1, "A"), (1, "A"), (1, "A"), (1, "A"))
+    sink(ev(w0), 0L)
+    sink(ev(w1), 1L)
+    val afterW1 = table(IncrementalDrift.drift(spark, store))
+    assert(afterW1 == table(AnalyticsQ.tvDriftCard(ev(w0 ++ w1))),
+      s"store drift diverged from the batch card: $afterW1")
+    assert(afterW1 == Seq((0L, 4L, None), (1L, 4L, Some(500000L))),
+      afterW1.toString)
+
+    // RETRY: wave 1 replays (same batch id) — the partition overwrite
+    // must leave counts and drift byte-identical, never doubled
+    sink(ev(w1), 1L)
+    assert(table(IncrementalDrift.drift(spark, store)) == afterW1,
+      "a replayed batch double-counted its day")
+
+    // LATE STRAGGLERS for day 0 land in batch 2: two more B rows shift
+    // day 0's mix to 2A/4B, which changes day 1's drift too
+    val late = Seq((0, "B"), (0, "B"))
+    sink(ev(late), 2L)
+    val afterLate = table(IncrementalDrift.drift(spark, store))
+    assert(afterLate == table(AnalyticsQ.tvDriftCard(ev(w0 ++ w1 ++ late))),
+      s"late rows broke batch parity: $afterLate")
+    // day0 mix 333333/666666; day1 |1e6-333333|+|0-666666| = 1333333/2
+    assert(afterLate == Seq((0L, 6L, None), (1L, 4L, Some(666666L))),
+      afterLate.toString)
+
+    // the batch-2 drift-log rows cover day 0 AND its next observed day
+    val logged = spark.read.parquet(log)
+      .filter(col("batch_id") === 2L)
+      .select(col("day"), col("tv_ppm"))
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(logged == Seq((0L, None), (1L, Some(666666L))),
+      s"affected-day audit rows: $logged")
+    // ...and the log keeps the PRE-correction verdict for day 1 too —
+    // the append-only audit trail (drift as of batch 1 vs as of batch 2)
+    val day1Trail = spark.read.parquet(log)
+      .filter(col("day") === 1L)
+      .select(col("batch_id"), col("tv_ppm"))
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(day1Trail == Seq((1L, Some(500000L)), (2L, Some(666666L))),
+      s"audit trail: $day1Trail")
+  }
+
+  test("deltaDrift touches only the batch's days plus their next " +
+      "observed days") {
+    val store = Files.createTempDirectory("graft_driftdelta").toString
+    // three observed days, then a batch touching only day 1
+    IncrementalDrift.append(ev(Seq((0, "A"), (1, "A"), (3, "A"))),
+      store, 0L)
+    IncrementalDrift.append(ev(Seq((1, "B"))), store, 1L)
+    val touched = IncrementalDrift.deltaDrift(spark, store, 1L)
+      .select(col("day")).as[Long].collect().toSeq.sorted
+    // day 1 (touched) and day 3 (its next observed day); day 0 untouched
+    assert(touched == Seq(1L, 3L), touched.toString)
+  }
+}
