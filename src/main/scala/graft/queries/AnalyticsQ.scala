@@ -3738,6 +3738,97 @@ object AnalyticsQ {
           AS closing_gap
       FROM arr ORDER BY event_type"""))
 
+  /** Walk-forward forecast BACKTEST (MASE) — the eval the forecast
+    * ladder (q287 SES, q299 Holt, q310 Holt–Winters) ships without:
+    * before an ops team trusts a forecaster it must beat the naive
+    * "tomorrow = today" baseline on held-out one-step errors, and MASE
+    * (mean absolute scaled error — SES one-step absolute errors over
+    * naive one-step absolute errors) is the standard scale-free
+    * scoreboard. One exact-integer fold per series: at each day the
+    * SES level smoothed through YESTERDAY forecasts today (the honest
+    * walk-forward — the forecast never sees the value it predicts),
+    * both absolute errors accumulate in the same accumulator the level
+    * advances in, and mase_milli = 1000·ΣSES/Σnaive at the end (NULL
+    * when the naive errors are zero — a constant series has nothing to
+    * beat). Single-observation series keep their row with NULL
+    * statistics (never-drop). `ses_beats_naive` is the verdict column
+    * a model-selection job filters on.
+    *
+    * Plan: the q287 shape — one (group, day) aggregation, then a
+    * |days|-bounded integer fold per group; corpus-size-independent
+    * after the first aggregation. Engine parity: the DuckDB oracle
+    * replays the identical fold through a recursive CTE (list_reduce
+    * cannot carry the 4-field accumulator), truncating DIV on both
+    * sides. */
+  def forecastBacktest(series: DataFrame, groupCol: String, xCol: String,
+      yCol: String, alphaMilli: Long = 300L): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
+        col(yCol).as("y")))).as("__s"))
+      .select(col("g").as(groupCol),
+        size(col("__s")).as("n_obs"),
+        expr(s"""aggregate(slice(transform(__s, p -> p.y), 2,
+            size(__s) - 1),
+          named_struct('lv', __s[0].y, 'pv', __s[0].y,
+            'ses', CAST(0 AS BIGINT), 'nv', CAST(0 AS BIGINT)),
+          (acc, y) -> named_struct(
+            'lv', acc.lv + ($alphaMilli * (y - acc.lv)) DIV 1000,
+            'pv', y,
+            'ses', acc.ses + abs(y - acc.lv),
+            'nv', acc.nv + abs(y - acc.pv)))""").as("__f"))
+      .select(col(groupCol), col("n_obs"),
+        when(col("n_obs") >= 2, col("__f.ses")).as("sae_ses"),
+        when(col("n_obs") >= 2, col("__f.nv")).as("sae_naive"),
+        when(col("n_obs") >= 2 && col("__f.nv") > 0L,
+          expr("(1000 * __f.ses) DIV __f.nv")).as("mase_milli"))
+      .withColumn("ses_beats_naive",
+        when(col("mase_milli").isNotNull, col("mase_milli") < 1000L))
+  }
+
+  /** Oracle fixture of [[forecastBacktest]]: the q287 daily-revenue
+    * series, α = 0.3 — does smoothing actually beat "tomorrow =
+    * today" on this feed, per event type? */
+  private val q321 = GQuery(
+    "q321_forecast_backtest",
+    (s, dir) => forecastBacktest(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH RECURSIVE series AS (SELECT event_type AS g,
+          CAST(ts AS DATE) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      arr AS (SELECT g, array_agg(y ORDER BY x) AS ys
+        FROM series GROUP BY 1),
+      step(g, i, n, lv, pv, ses, nv) AS (
+        SELECT g, 1, CAST(len(ys) AS BIGINT), ys[1], ys[1],
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM arr
+        UNION ALL
+        SELECT s.g, i + 1, n,
+          lv + (300 * (a.ys[i + 1] - lv)) // 1000,
+          a.ys[i + 1],
+          ses + abs(a.ys[i + 1] - lv),
+          nv + abs(a.ys[i + 1] - pv)
+        FROM step s JOIN arr a ON a.g = s.g WHERE i < n),
+      fin AS (SELECT g, n, ses, nv FROM step WHERE i = n)
+      SELECT g AS event_type, CAST(n AS INT) AS n_obs,
+        CASE WHEN n >= 2 THEN ses END AS sae_ses,
+        CASE WHEN n >= 2 THEN nv END AS sae_naive,
+        CASE WHEN n >= 2 AND nv > 0 THEN (1000 * ses) // nv END
+          AS mase_milli,
+        CASE WHEN n >= 2 AND nv > 0 THEN (1000 * ses) // nv < 1000 END
+          AS ses_beats_naive
+      FROM fin ORDER BY g"""))
+
   /** Activity-streak card — the engagement view the retention family
     * (q101 cohorts, q222 life table, q221 DAU/WAU reach) does not
     * answer: per user, how LONG the unbroken daily runs are. Classic
@@ -4628,5 +4719,5 @@ object AnalyticsQ {
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
-    q315, q318)
+    q315, q318, q321)
 }

@@ -186,6 +186,51 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q321 forecast backtest ----------------------------------------------
+
+  test("forecast backtest: a noisy-around-level series lets SES beat " +
+      "naive, a steady trend makes SES lag and LOSE, constants and " +
+      "singletons keep NULL rows") {
+    import java.sql.Date
+    def series(g: String, ys: Seq[Long]) = ys.zipWithIndex.map {
+      case (y, i) => (g, Date.valueOf(f"2024-01-${i + 1}%02d"), y)
+    }
+    // oscillating around 100 (naive alternates by 40; SES damps) vs a
+    // strict +10/day trend (naive's error is 10/day; SES always lags
+    // more) vs constant (naive error 0 -> NULL) vs a single point
+    val rows = series("osc", Seq(100L, 140L, 100L, 140L, 100L, 140L)) ++
+      series("trend", Seq(100L, 110L, 120L, 130L, 140L, 150L)) ++
+      series("const", Seq(50L, 50L, 50L)) ++
+      series("one", Seq(7L))
+    val df = rows.toDF("g", "d", "y")
+    val got = AnalyticsQ.forecastBacktest(df, "g", "d", "y")
+      .orderBy(col("g"))
+      .select(col("g"), col("n_obs"), col("mase_milli"),
+        col("ses_beats_naive"))
+      .as[(String, Int, Option[Long], Option[Boolean])].collect().toSeq
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("const") == (("const", 3, None, None)), m("const").toString)
+    assert(m("one") == (("one", 1, None, None)), m("one").toString)
+    assert(m("osc")._3.exists(_ < 1000L) && m("osc")._4.contains(true),
+      s"SES should beat naive on the oscillating series: ${m("osc")}")
+    assert(m("trend")._3.exists(_ > 1000L) &&
+        m("trend")._4.contains(false),
+      s"SES should LAG the strict trend and lose: ${m("trend")}")
+    // walk-forward honesty: replay the osc fold by hand
+    // seed lv=100; y=140: ses+=40, nv+=40, lv=112; y=100: ses+=12,
+    // nv+=40, lv=108 (112+(300*(100-112))DIV 1000 = 112-4); the fold
+    // is deterministic — pin the exact MASE
+    val exp = {
+      var lv = 100L; var pv = 100L; var ses = 0L; var nv = 0L
+      Seq(140L, 100L, 140L, 100L, 140L).foreach { y =>
+        ses += math.abs(y - lv); nv += math.abs(y - pv)
+        lv = lv + (300L * (y - lv)) / 1000L; pv = y
+      }
+      (1000L * ses) / nv
+    }
+    assert(m("osc")._3.contains(exp), s"${m("osc")} vs $exp")
+  }
+
   // ---- q319 qv error card ------------------------------------------------
 
   test("qv error card: identical-direction pairs price at zero error, " +
