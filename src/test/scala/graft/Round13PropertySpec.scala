@@ -184,6 +184,47 @@ class Round13PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- q320 bundle rating --------------------------------------------------
+
+  private val usageGen = for {
+    n <- Gen.chooseNum(1, 30)
+    allow <- Gen.chooseNum(0L, 300L)
+    rows <- Gen.listOfN(n, Gen.chooseNum(-20L, 120L))
+  } yield (allow, rows)
+
+  test("bundleTieredCharges equals the in-memory shifted fold; charges " +
+      "telescope to B(total) and free units sum to min(total, allowance)") {
+    import java.sql.Timestamp
+    val tiers = Seq((0L, 50L, 5L), (50L, 200L, 3L), (200L, Long.MaxValue, 1L))
+    def t(u: Long): Long = tiers.map { case (f, to, r) =>
+      val over = math.max(u - f, 0L)
+      r * (if (to == Long.MaxValue) over else math.min(over, to - f))
+    }.sum
+    check(Prop.forAll(usageGen) { case (allow, us) =>
+      def b(u: Long) = t(math.max(u - allow, 0L))
+      val df = us.zipWithIndex.map { case (u, i) =>
+        (i.toLong, 7L, new Timestamp(i * 1000L), u)
+      }.toDF("event_id", "user_id", "ts", "units")
+      val got = queries.EventQ.bundleTieredCharges(df, col("units"),
+          allow, tiers)
+        .orderBy(col("event_id"))
+        .select(col("cum"), col("free_units"), col("charge_centi"))
+        .as[(Long, Long, Long)].collect().toSeq
+      var c = 0L
+      val want = us.map { u =>
+        val ue = math.max(u, 0L)
+        val free = math.min(ue, math.max(allow - c, 0L))
+        val next = c + ue
+        val row = (next, free, b(next) - b(c))
+        c = next
+        row
+      }
+      got == want &&
+        got.map(_._3).sum == b(c) &&
+        got.map(_._2).sum == math.min(c, allow)
+    })
+  }
+
   // ---- q317 SIM-box ------------------------------------------------------
 
   private val cdrGen = for {
