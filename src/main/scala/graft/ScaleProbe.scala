@@ -92,7 +92,8 @@ object ScaleProbe {
     "q310_holt_winters", "q311_signal_kappa_neg", "q312_semdedup_rebuild",
     "q313_topology_lineage", "q314_mcnemar", "q315_tv_drift",
     "q316_t_closeness", "q317_simbox_card", "q318_fleiss_kappa",
-    "q319_qv_error_card", "q320_bundle_rating", "q321_forecast_backtest")
+    "q319_qv_error_card", "q320_bundle_rating", "q321_forecast_backtest",
+    "q322_incremental_tv_drift")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1109,6 +1109,58 @@ object AnalyticsQ {
         CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
       FROM l GROUP BY day ORDER BY day"""))
 
+  /** Oracle fixture of the INCREMENTAL drift path
+    * ([[graft.etl.IncrementalDrift]] — the q289/q312 precedent: every
+    * incremental store earns a declared card proving its derived view
+    * ≡ the one-shot batch operator, cross-engine): the event corpus
+    * splits into three arrival waves by event id (the third a
+    * one-sixth straggler wave whose rows revisit EARLIER days —
+    * late-data self-correction is load-bearing, not incidental), each
+    * wave appends its (day, class) deltas to a temp store through the
+    * real `append` path, and the store-derived drift table must
+    * hash-match the batch [[tvDriftCard]] on the WHOLE corpus — the
+    * oracle is q315's SQL verbatim, because the union of the waves IS
+    * the corpus. */
+  private val q322 = GQuery(
+    "q322_incremental_tv_drift",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head
+      val span = mm.getLong(1) - mm.getLong(0) + 1
+      val c1 = mm.getLong(0) + span / 2
+      val c2 = mm.getLong(0) + (5 * span) / 6
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_q322_" +
+        math.abs(dir.hashCode).toString + "_" +
+        java.lang.ProcessHandle.current().pid().toString
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      def wave(lo: Long, hi: Long) = ev
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("ts"), col("event_type"))
+      graft.etl.IncrementalDrift.append(
+        wave(Long.MinValue, c1), store, 0L)
+      graft.etl.IncrementalDrift.append(wave(c1, c2), store, 1L)
+      graft.etl.IncrementalDrift.append(
+        wave(c2, Long.MaxValue), store, 2L)
+      graft.etl.IncrementalDrift.drift(s, store).orderBy(col("day"))
+    },
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT d.day, ty.t, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM c) d
+        CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+      p AS (SELECT day, t, c, SUM(c) OVER (PARTITION BY day) AS n FROM grid),
+      q AS (SELECT day, t, n, (1000000 * c) // n AS p_ppm FROM p),
+      l AS (SELECT day, n, p_ppm,
+          LAG(p_ppm) OVER (PARTITION BY t ORDER BY day) AS prev_ppm
+        FROM q)
+      SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
+      FROM l GROUP BY day ORDER BY day"""))
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between two sources'
     * distributions of an integer metric (doc length here) — the
     * whole-shape drift test that catches what mean/variance drift (q83)
@@ -4719,5 +4771,5 @@ object AnalyticsQ {
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
-    q315, q318, q321)
+    q315, q318, q321, q322)
 }
