@@ -39,10 +39,12 @@ import org.apache.spark.sql.types._
   * Scale: the store is (day × class × batches)-grain — never
   * event-grain; the fold is one store read + |days|·|classes| grid
   * windows (the q315 plan on a tiny input). A years-long store with
-  * thousands of batches compacts by rewriting `counts/` at one
-  * partition per day (an offline rebuild, the family's standard
-  * lever); until then parquet min/max pruning on `day` keeps
-  * [[deltaDrift]] reads at touched-days cost. */
+  * thousands of batches compacts with [[compact]] — `counts/`
+  * rewritten at one partition per day under reserved negative ids
+  * (an offline rebuild, the family's standard lever, atomic via the
+  * tmp-then-marker-then-swap discipline); between compactions parquet
+  * min/max pruning on `day` keeps [[deltaDrift]] reads at
+  * touched-days cost. */
 object IncrementalDrift {
 
   private def countsPath(store: String) = s"$store/counts"
@@ -77,9 +79,72 @@ object IncrementalDrift {
       : DataFrame = {
     val p = new org.apache.hadoop.fs.Path(countsPath(storePath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(countsPath(storePath))
+    // DECLARED schema, never inferred: an EMPTY first micro-batch
+    // appends a data-file-less counts/ dir — fs.exists passes but
+    // schema inference throws, wedging every subsequent deltaDrift
+    // retry. The schema is already a contract ([[countSchema]]); use it.
+    if (fs.exists(p))
+      spark.read.schema(countSchema).parquet(countsPath(storePath))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countSchema)
+  }
+
+  /** Compact the store: fold every per-batch delta partition down to
+    * ONE partition PER DAY — the documented years-of-batches lever (a
+    * thousand-batch store otherwise pays a thousand-partition listing
+    * on every [[drift]]/[[deltaDrift]] read). Compacted rows live
+    * under RESERVED ids `batch_id = -(day + 1)` — real micro-batch ids
+    * are non-negative (foreachBatch), so a straggler landing AFTER
+    * compaction appends its own positive partition beside the
+    * compacted ones and the fold self-corrects exactly as before
+    * (spec-pinned: drift is hash-identical before/after compaction,
+    * including a post-compaction straggler); re-compaction folds the
+    * compacted partitions too (the sum is idempotent). A replayed
+    * batch can never collide with a compacted partition for the same
+    * reason the encoding works: the sign separates the namespaces.
+    *
+    * Atomicity is the family's tmp-then-marker-then-swap discipline
+    * ([[IncrementalSemDedup.rebuild]]): the folded store writes to a
+    * sibling temp, is trusted only once its `_COMPACTED` marker
+    * exists, and the delete-then-rename swap is re-entrant — a crash
+    * at any step re-runs to completion. Single-writer like every
+    * store in the family: run it in the maintenance window, not
+    * beside a live [[sink]]. */
+  def compact(spark: SparkSession, storePath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(countsPath(storePath))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      countsPath(storePath) + ".compact.tmp")
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_COMPACTED")
+    // no-op only when there is NEITHER a store NOR a completed temp —
+    // a missing store beside a marked temp is the crash window between
+    // delete and rename, which must complete, not return
+    if (!fs.exists(dst) && !fs.exists(marker)) return
+    if (!fs.exists(marker)) {
+      val folded = spark.read.schema(countSchema).parquet(dst.toString)
+        .groupBy(col("day"), col("t")).agg(sum(col("c")).as("c"))
+        .localCheckpoint() // tiny; cut before the min-day guard action
+      val minDay = folded.agg(min(col("day"))).head.get(0)
+      require(minDay == null ||
+          minDay.asInstanceOf[Long] >= 0L,
+        "IncrementalDrift.compact: negative day index (event before the " +
+          "epoch date) cannot use the reserved -(day+1) partition ids — " +
+          "rebase the epoch below the earliest event first")
+      folded
+        .withColumn("batch_id", expr("-(day + 1)"))
+        .select(col("day"), col("t"), col("c"), col("batch_id"))
+        .repartition(col("day")) // one task → one file per day partition
+        .write.partitionBy("batch_id")
+        .mode("overwrite").parquet(tmp.toString)
+      fs.create(marker, true).close()
+    }
+    // swap: the temp is complete (this run's write or a prior crashed
+    // run's) — delete-then-rename, each step re-entrant
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"IncrementalDrift.compact: rename $tmp -> $dst failed; re-run " +
+        "compact to complete the swap (the completed temp is kept)")
+    fs.delete(new org.apache.hadoop.fs.Path(dst, "_COMPACTED"), false)
   }
 
   /** The full drift table from the store — EXACTLY

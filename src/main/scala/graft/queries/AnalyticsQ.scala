@@ -927,8 +927,11 @@ object AnalyticsQ {
     * discordant cells carry information: χ² = (n10 − n01)² /
     * (n10 + n01), emitted exact in milli beside the
     * continuity-corrected variant ((max(|d|−1, 0))² / (n10+n01)) and
-    * flagged at the χ²₍₀.₀₅,df=1₎ = 3.841 line on the CORRECTED
-    * statistic (the conservative convention). Zero discordance keeps
+    * flagged on the CORRECTED statistic against χ²₍₀.₀₅,df=1₎ =
+    * 3.841458… at MICRO precision (the milli display columns cannot
+    * decide that boundary; a micro truncation landing exactly ON the
+    * 3841458 line stays unflagged — the conservative convention).
+    * Zero discordance keeps
     * the row with NULL statistics and a false flag — perfect pairing
     * is "no evidence of marginal difference", never an ANSI division.
     * One corpus scan; everything after is scalar arithmetic. */
@@ -948,7 +951,16 @@ object AnalyticsQ {
               greatest(abs(n10 - n01) - 1, 0L) * 1000) DIV n_discordant
            END"""))
       .withColumn("marginals_differ",
-        coalesce(col("chi2c_milli") > 3841L, lit(false)))
+        // the flag gates at MICRO precision (χ²₀.₀₅,₁ = 3.841458…, so
+        // the milli-truncated display column cannot decide the
+        // boundary): flag iff trunc(chi2c·10⁶) > 3841458 — a statistic
+        // whose micro truncation EQUALS 3841458 straddles the critical
+        // value at this precision and stays unflagged (conservative)
+        coalesce(expr(
+          """CASE WHEN n_discordant > 0 THEN
+               (greatest(abs(n10 - n01) - 1, 0L) *
+                greatest(abs(n10 - n01) - 1, 0L) * 1000000)
+                 DIV n_discordant > 3841458L END"""), lit(false)))
 
   /** Oracle fixture of [[mcnemarCard]]: the q147 rater pair — is the
     * character gate systematically stricter than the token gate? */
@@ -972,7 +984,10 @@ object AnalyticsQ {
             AS chi2c_milli
         FROM m)
       SELECT n10, n01, n_discordant, chi2_milli, chi2c_milli,
-        COALESCE(chi2c_milli > 3841, FALSE) AS marginals_differ
+        COALESCE(CASE WHEN n_discordant > 0 THEN
+          (GREATEST(abs(n10 - n01) - 1, 0) *
+           GREATEST(abs(n10 - n01) - 1, 0) * 1000000)
+            // n_discordant > 3841458 END, FALSE) AS marginals_differ
       FROM p ORDER BY n10"""))
 
   /** Fleiss' κ — [[signalKappa]] generalized past two raters: the
@@ -1144,6 +1159,78 @@ object AnalyticsQ {
       graft.etl.IncrementalDrift.append(
         wave(c2, Long.MaxValue), store, 2L)
       graft.etl.IncrementalDrift.drift(s, store).orderBy(col("day"))
+    },
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+          event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT d.day, ty.t, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM c) d
+        CROSS JOIN (SELECT DISTINCT t FROM c) ty
+        LEFT JOIN c ON c.day = d.day AND c.t = ty.t),
+      p AS (SELECT day, t, c, SUM(c) OVER (PARTITION BY day) AS n FROM grid),
+      q AS (SELECT day, t, n, (1000000 * c) // n AS p_ppm FROM p),
+      l AS (SELECT day, n, p_ppm,
+          LAG(p_ppm) OVER (PARTITION BY t ORDER BY day) AS prev_ppm
+        FROM q)
+      SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
+      FROM l GROUP BY day ORDER BY day"""))
+
+  /** Drift-log AUDIT-TRAIL card — the q322 lifecycle one rung further:
+    * q322 pins the STORE ([[graft.etl.IncrementalDrift.drift]] over
+    * appended waves == batch [[tvDriftCard]]); this pins the LOG the
+    * live monitor actually ships ([[graft.etl.IncrementalDrift.sink]]'s
+    * append-only "drift as of batch N" trail). The fold is the trail's
+    * reading rule made explicit: the LATEST row per day is the current
+    * verdict — so folding the log must reproduce the batch card
+    * exactly, proving (a) [[graft.etl.IncrementalDrift.deltaDrift]]'s
+    * affected-day selection re-emits EVERY row a batch's deltas can
+    * move (a missed day would surface as a stale folded row and break
+    * the hash), and (b) a late straggler's self-correction lands as a
+    * new visible row, never a silent rewrite. The lifecycle also runs
+    * [[graft.etl.IncrementalDrift.compact]] MID-STREAM — three waves,
+    * compaction to one-partition-per-day, THEN a straggler of held-back
+    * early rows — so the compaction lever is oracle-witnessed with a
+    * post-compaction late arrival riding the compacted store.
+    *
+    * Scale shape: waves are one (day, class) agg each (the store
+    * family's only event-grain work); the fold is a latest-per-day
+    * window on the day-grain log. Oracle = q315's SQL verbatim — the
+    * union of the waves IS the corpus. */
+  private val q323 = GQuery(
+    "q323_drift_log_audit",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head
+      val span = mm.getLong(1) - mm.getLong(0) + 1
+      val c1 = mm.getLong(0) + span / 2
+      val c2 = mm.getLong(0) + (5 * span) / 6
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q323_" +
+        math.abs(dir.hashCode).toString + "_" +
+        java.lang.ProcessHandle.current().pid().toString
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val store = s"$base/store"
+      val log = s"$base/driftlog"
+      val snk = graft.etl.IncrementalDrift.sink(s, store, log)
+      val hold = col("event_id") % 97 === 0 // the straggler slice
+      def sel(d: DataFrame) = d.select(col("ts"), col("event_type"))
+      snk(sel(ev.filter(col("event_id") < c1 && !hold)), 0L)
+      snk(sel(ev.filter(col("event_id") >= c1 && col("event_id") < c2)),
+        1L)
+      snk(sel(ev.filter(col("event_id") >= c2)), 2L)
+      graft.etl.IncrementalDrift.compact(s, store)
+      // held-back EARLY rows land after compaction: old days move,
+      // their next days' tv re-derives, all as fresh log rows
+      snk(sel(ev.filter(col("event_id") < c1 && hold)), 3L)
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(log)
+        .withColumn("__rn", row_number().over(wDay))
+        .filter(col("__rn") === 1)
+        .select(col("day"), col("n_events"), col("tv_ppm"))
+        .orderBy(col("day"))
     },
     Some("""WITH c AS (SELECT CAST(ts AS DATE) - DATE '2024-01-01' AS day,
           event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
@@ -4771,5 +4858,5 @@ object AnalyticsQ {
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
-    q315, q318, q321, q322)
+    q315, q318, q321, q322, q323)
 }

@@ -3226,8 +3226,20 @@ object CurationQ {
       .crossJoin(broadcast(g.agg(sum(col("__c")).as("__N"))))
       .select(col("__s"), expr("(1000000 * __g) DIV __N").as("__q_ppm"))
     val wAll = Window.partitionBy()
+    // NULL-SAFE grid join (<=>): a NULL sensitive value is a CLASS —
+    // it carries global mass through `glob` (groupBy keeps the NULL
+    // group), so an equi-join here would strand that mass: every
+    // group's null-class count would read 0 and tv_ppm would inflate
+    // corpus-wide, invisibly (the oracle grid join is IS NOT DISTINCT
+    // FROM for the same reason). QI keys are null-safe too — a NULL
+    // quasi-identifier is a group like any other.
+    val gk = g.select(
+      qiCols.map(k => col(k).as(s"__gk_$k")) ++
+        Seq(col("__s").as("__gk_s"), col("__c")): _*)
+    val gridCond = qiCols.map(k => col(k) <=> col(s"__gk_$k"))
+      .foldLeft(col("__s") <=> col("__gk_s"))(_ && _)
     totals.crossJoin(broadcast(glob))
-      .join(g, qiCols :+ "__s", "left")
+      .join(gk, gridCond, "left")
       .withColumn("__p_ppm",
         expr("(1000000 * coalesce(__c, 0L)) DIV n"))
       .groupBy(qi :+ col("n"): _*)
@@ -3268,8 +3280,9 @@ object CurationQ {
       grid AS (SELECT t.event_type, t.day, t.n, gl.dur_band, gl.q_ppm,
           (1000000 * COALESCE(g.c, 0)) // t.n AS p_ppm
         FROM tot t CROSS JOIN gd gl
-        LEFT JOIN g ON g.event_type = t.event_type AND g.day = t.day
-          AND g.dur_band = gl.dur_band),
+        LEFT JOIN g ON g.event_type IS NOT DISTINCT FROM t.event_type
+          AND g.day IS NOT DISTINCT FROM t.day
+          AND g.dur_band IS NOT DISTINCT FROM gl.dur_band),
       tv AS (SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
           CAST(SUM(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS tv_ppm
         FROM grid GROUP BY 1, 2)

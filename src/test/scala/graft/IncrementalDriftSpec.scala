@@ -88,4 +88,65 @@ class IncrementalDriftSpec extends SparkSpec {
     // day 1 (touched) and day 3 (its next observed day); day 0 untouched
     assert(touched == Seq(1L, 3L), touched.toString)
   }
+
+  test("compact folds the store to one partition per day, drift is " +
+      "hash-identical before/after, a post-compaction straggler still " +
+      "self-corrects, and the swap is crash-re-entrant") {
+    val store = Files.createTempDirectory("graft_driftcompact").toString
+    // many small batches across two days (the thousand-batch shape)
+    (0L until 8L).foreach { b =>
+      IncrementalDrift.append(
+        ev(Seq((0, if (b % 2 == 0) "A" else "B"), (1, "A"))), store, b)
+    }
+    val before = table(IncrementalDrift.drift(spark, store))
+    IncrementalDrift.compact(spark, store)
+    assert(table(IncrementalDrift.drift(spark, store)) == before,
+      "compaction changed the drift table")
+    // layout: only reserved negative per-day partitions remain
+    val parts = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts == Seq("batch_id=-1", "batch_id=-2"),
+      s"expected one reserved partition per day, got $parts")
+    // a straggler lands AFTER compaction: late day-0 rows beside the
+    // compacted partitions — the fold self-corrects exactly as before
+    IncrementalDrift.append(ev(Seq((0, "B"), (0, "B"))), store, 8L)
+    val all = (0 until 8).flatMap(b =>
+      Seq((0, if (b % 2 == 0) "A" else "B"), (1, "A"))) ++
+      Seq((0, "B"), (0, "B"))
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(all))),
+      "post-compaction straggler broke batch parity")
+    // re-compaction folds compacted + straggler partitions (idempotent)
+    IncrementalDrift.compact(spark, store)
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(all))),
+      "re-compaction changed the drift table")
+    // crash re-entrancy: a completed temp (marker present) with the
+    // store dir deleted — the crash window between delete and rename —
+    // must complete on re-run, not rebuild or fail
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cnt = new org.apache.hadoop.fs.Path(s"$store/counts")
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/counts.compact.tmp")
+    assert(fs.rename(cnt, tmp), "test setup: stage the crashed temp")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPACTED"), true)
+      .close()
+    IncrementalDrift.compact(spark, store)
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(all))),
+      "crash-window re-run did not complete the swap")
+  }
+
+  test("an empty micro-batch neither wedges the store nor emits drift") {
+    val store = Files.createTempDirectory("graft_driftempty").toString
+    val log = s"$store/driftlog"
+    val sink = IncrementalDrift.sink(spark, store, log)
+    // FIRST batch empty: append writes a data-file-less counts/ dir —
+    // the declared-schema read must survive it (schema inference throws)
+    sink(ev(Seq.empty), 0L)
+    assert(table(IncrementalDrift.drift(spark, store)).isEmpty)
+    sink(ev(Seq((0, "A"), (1, "B"))), 1L)
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(Seq((0, "A"), (1, "B"))))))
+  }
 }

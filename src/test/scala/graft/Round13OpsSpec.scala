@@ -118,6 +118,29 @@ class Round13OpsSpec extends SparkSpec {
       ("g3", 4L, 500000L, false, 666666L)), out.toString)
   }
 
+  test("t-closeness: a NULL sensitive value is a class — its global " +
+      "mass joins back through the null-safe grid, so a group matching " +
+      "the global NULL share reads zero drift") {
+    // global: 12 rows, s = NULL x6 and s = 1 x6 -> q = 500000 each
+    // (g2 all-NULL and g3 all-one skew in opposite directions, so the
+    // global stays balanced). g1 mirrors it exactly (2 NULL / 2 one)
+    // -> tv MUST be 0; before the null-safe join the NULL class never
+    // matched back and g1 read 250000 (its own NULL mass stranded).
+    val rows = Seq(
+      ("g1", Some(1L)), ("g1", Some(1L)), ("g1", None), ("g1", None),
+      ("g2", None), ("g2", None), ("g2", None), ("g2", None),
+      ("g3", Some(1L)), ("g3", Some(1L)), ("g3", Some(1L)),
+      ("g3", Some(1L)))
+      .toDF("qi", "s")
+    val out = CurationQ.tClosenessCard(rows, Seq("qi"), "s",
+        tPpm = 300000L)
+      .orderBy(col("qi"))
+      .select(col("qi"), col("n"), col("tv_ppm"), col("meets_t"))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("g1", 4L, 0L, true), ("g2", 4L, 500000L, false),
+      ("g3", 4L, 500000L, false)), out.toString)
+  }
+
   // ---- q320 bundle rating --------------------------------------------------
 
   test("bundle rating: the allowance-straddling record bills only its " +

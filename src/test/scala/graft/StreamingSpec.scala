@@ -929,7 +929,8 @@ class StreamingSpec extends SparkSpec {
       "a terminated line on stop") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_metrics").toString
-    val ml = new graft.streaming.MetricsLog(s"$base/metrics.jsonl")
+    val ml = new graft.streaming.MetricsLog(s"$base/metrics.jsonl",
+      queueDir = Some(s"$base/logq"))
     spark.streams.addListener(ml)
     try {
       Files.createDirectories(Paths.get(s"$base/in"))
@@ -958,6 +959,35 @@ class StreamingSpec extends SparkSpec {
       assert(batch.count() >= 1, "no per-batch metrics row")
       val rows = batch.agg(sum(col("input_rows"))).head.getLong(0)
       assert(rows == 2L, s"input_rows should total the fed legs: $rows")
+      // the terminated LINE ITSELF carries the stage (run_id→stage map;
+      // Spark's terminated event has no name) — the scaladoc contract
+      assert(m.filter(col("event") === "terminated" &&
+        col("stage") === "metrics_probe").count() >= 1,
+        "terminated line must be stamped with its stage")
+      // packet-plane publication leg (LoggerWriter.cpp:208-213): a
+      // downstream packetqueue consumer reads the SAME health feed as
+      // s/c/l/m wire packets — parse, level-filter, m= back through JSON
+      val pk = spark.read.option("wholetext", "true")
+        .text(s"$base/logq")
+        .select(graft.etl.PacketCodec.parse(col("value")).as("p"))
+        .select(element_at(col("p"), "s").as("s"),
+          element_at(col("p"), "c").as("c"),
+          element_at(col("p"), "l").as("l"),
+          element_at(col("p"), "m").as("m"))
+      assert(pk.filter(col("s") =!= "1").count() == 0, "all packets s=1")
+      val info = graft.etl.AuditLog.levelFilter(pk, col("l"),
+        graft.etl.AuditLog.Levels("I"))
+        .filter(col("c") === "metrics_probe")
+      val pkRows = info
+        .select(get_json_object(col("m"), "$.input_rows")
+          .cast("long").as("r"))
+        .agg(sum(col("r"))).head.getLong(0)
+      assert(pkRows == 2L,
+        s"packet-plane feed must carry the same batch rows: $pkRows")
+      // clean stop publishes at level N (E is reserved for errors)
+      assert(pk.filter(col("l") === "N" &&
+        col("m").contains("\"event\":\"terminated\"")).count() >= 1,
+        "clean termination must land as an N-level packet")
       assert(m.filter(col("event") === "terminated").count() >= 1)
     } finally {
       spark.streams.removeListener(ml)
