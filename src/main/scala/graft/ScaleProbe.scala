@@ -93,7 +93,12 @@ object ScaleProbe {
     "q313_topology_lineage", "q314_mcnemar", "q315_tv_drift",
     "q316_t_closeness", "q317_simbox_card", "q318_fleiss_kappa",
     "q319_qv_error_card", "q320_bundle_rating", "q321_forecast_backtest",
-    "q322_incremental_tv_drift")
+    "q322_incremental_tv_drift",
+    "q323_drift_log_audit", "q324_cochran_q", "q325_kendall_tau_series",
+    "q326_mann_kendall", "q327_seasonal_backtest",
+    "q328_average_precision", "q329_brier_decomposition",
+    "q330_nelson_aalen", "q331_cramers_v2", "q332_irsf_screen",
+    "q333_ewma_chart")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1248,6 +1248,581 @@ object AnalyticsQ {
         CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
       FROM l GROUP BY day ORDER BY day"""))
 
+  /** χ²(0.05) critical values at MICRO precision (truncated), df 1–6 —
+    * the one table the agreement/trend gates share. Micro truncation of
+    * the critical value makes every gate CONSERVATIVE under the
+    * `statistic_micro > crit_micro` convention (a statistic whose micro
+    * truncation ties the critical value straddles it and stays
+    * unflagged — the q314 rule). */
+  private[graft] val chi2Crit05Micro: Map[Int, Long] = Map(
+    1 -> 3841458L, 2 -> 5991464L, 3 -> 7814727L,
+    4 -> 9487729L, 5 -> 11070497L, 6 -> 12591587L)
+
+  /** Cochran's Q test — the k-treatment generalization completing the
+    * agreement family's TEST axis ([[mcnemarCard]] asks "are TWO paired
+    * raters' marginals equal"; [[fleissKappa]] measures how much a
+    * PANEL agrees; THIS asks whether the panel's k marginal pass-rates
+    * differ at all — the omnibus "did any of these k quality gates
+    * drift apart" question, run before pairwise McNemar hunting).
+    * Exact integers end-to-end: with per-item pass counts Lᵢ and
+    * per-rater totals Gⱼ, Q = (k−1)·(k·ΣGⱼ² − S²) / (k·S − ΣLᵢ²)
+    * (S = ΣL = ΣG) — emitted in milli, flagged against
+    * χ²₍₀.₀₅,df=k−1₎ at micro precision ([[chi2Crit05Micro]]). A
+    * degenerate panel (every item unanimous: denominator 0) keeps its
+    * row with NULL Q and a false flag — "no discordance" is no
+    * evidence, never a division error. One corpus scan, one row out. */
+  def cochranQ(docs: DataFrame,
+      raters: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val k = raters.length
+    require(k >= 2, s"cochranQ needs >= 2 raters, got $k")
+    require(chi2Crit05Micro.contains(k - 1),
+      s"cochranQ: no critical value tabled for df=${k - 1} (1..6)")
+    val crit = chi2Crit05Micro(k - 1)
+    val ind = raters.zipWithIndex.map { case (r, i) =>
+      when(r, 1L).otherwise(0L).as(s"__r$i") }
+    val li = (0 until k).map(i => col(s"__r$i")).reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(li).as("s_total"), sum(li * li).as("sl2")) ++
+      (0 until k).map(i => sum(col(s"__r$i")).as(s"__g$i"))
+    val sg2 = (0 until k).map(i => s"__g$i * __g$i").mkString(" + ")
+    docs.select(ind: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("m_raters", lit(k.toLong))
+      .withColumn("__num",
+        expr(s"${k - 1}L * (${k}L * ($sg2) - s_total * s_total)"))
+      .withColumn("__den", expr(s"${k}L * s_total - sl2"))
+      .withColumn("q_milli", expr(
+        "CASE WHEN __den > 0 THEN (1000 * __num) DIV __den END"))
+      .withColumn("treatments_differ", coalesce(expr(
+        s"CASE WHEN __den > 0 THEN (1000000 * __num) DIV __den > ${crit}L END"),
+        lit(false)))
+      .select(col("n_items"), col("m_raters"), col("s_total"),
+        col("q_milli"), col("treatments_differ"))
+  }
+
+  /** Oracle fixture of [[cochranQ]]: the q318 three-gate panel — do the
+    * char-200 / token-40 / char-150 gates pass at the same rate? */
+  private val q324 = GQuery(
+    "q324_cochran_q",
+    (s, dir) => cochranQ(t(s, dir, "documents"), Seq(
+      col("n_chars") >= 200, size(split(col("text"), " ")) >= 40,
+      col("n_chars") >= 150))
+      .orderBy(col("n_items")),
+    Some("""WITH v AS (SELECT
+          CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r0,
+          CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS r1,
+          CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS r2
+        FROM documents),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(r0 + r1 + r2) AS BIGINT) AS s_total,
+          CAST(SUM((r0 + r1 + r2) * (r0 + r1 + r2)) AS BIGINT) AS sl2,
+          CAST(SUM(r0) AS BIGINT) AS g0, CAST(SUM(r1) AS BIGINT) AS g1,
+          CAST(SUM(r2) AS BIGINT) AS g2
+        FROM v),
+      d AS (SELECT n_items, s_total,
+          2 * (3 * (g0 * g0 + g1 * g1 + g2 * g2) - s_total * s_total)
+            AS num,
+          3 * s_total - sl2 AS den
+        FROM a)
+      SELECT n_items, CAST(3 AS BIGINT) AS m_raters, s_total,
+        CASE WHEN den > 0 THEN (1000 * num) // den END AS q_milli,
+        COALESCE(CASE WHEN den > 0
+          THEN (1000000 * num) // den > 5991464 END, FALSE)
+          AS treatments_differ
+      FROM d ORDER BY n_items"""))
+
+  /** Kendall rank correlation (τ-a) over a per-group ordered SERIES —
+    * the per-group companion to the corpus-grain [[kendallTau]] card
+    * (q270 answers "how concordant are these two metrics over the
+    * whole corpus" through a tie-aware value-cell grid that scales to
+    * any row count; THIS answers it PER SERIES at the series' own
+    * grain, with the full C/D/tie pair partition exposed — the form a
+    * per-segment ranking comparison or the [[mannKendall]] trend family
+    * consumes). Every statistic is an exact integer: concordant /
+    * discordant / tie-partitioned pair counts (C + D + ties_x + ties_y
+    * + ties_xy ≡ n(n−1)/2, spec-pinned) and τ-a = (C − D)·10⁶ DIV
+    * n_pairs. τ-b's tie normalization needs a square root, so q270's
+    * exact squared form and these tie counts are the shipped
+    * ingredients (the q188 stance).
+    *
+    * Scale shape: the pair table is a self-join AT THE SERIES GRAIN
+    * (days × days within a group — bounded by the timeline, never by
+    * the corpus; the corpus-sized work is the one (group, ord)
+    * aggregation the caller does to BUILD the series). */
+  def kendallTauSeries(series: DataFrame, groupCol: String,
+      ordCol: String, xCol: String, yCol: String): DataFrame = {
+    val s1 = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
+      col(xCol).as("x"), col(yCol).as("y"))
+    val a = s1.toDF("g", "o1", "x1", "y1")
+    val b = s1.toDF("g", "o2", "x2", "y2")
+    val sgn = (p: String, q: String) =>
+      when(col(p) > col(q), 1).when(col(p) < col(q), -1).otherwise(0)
+    val pairs = a.join(b, Seq("g")).filter(col("o1") < col("o2"))
+      .select(col("g"), sgn("x2", "x1").as("sx"), sgn("y2", "y1").as("sy"))
+    val counts = pairs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L))
+          .as("ties_y"),
+        sum(when(col("sx") === 0 && col("sy") === 0, 1L).otherwise(0L))
+          .as("ties_xy"))
+    s1.groupBy(col("g")).agg(count(lit(1)).as("n_obs"))
+      .join(counts, Seq("g"), "left") // n_obs = 1: row kept, NULL stats
+      .select(col("g").as(groupCol), col("n_obs"), col("n_pairs"),
+        col("concordant"), col("discordant"), col("ties_x"),
+        col("ties_y"), col("ties_xy"),
+        expr("""CASE WHEN n_pairs > 0 THEN
+          (1000000 * (concordant - discordant)) DIV n_pairs END""")
+          .as("tau_a_ppm"))
+  }
+
+  /** Oracle fixture of [[kendallTauSeries]]: per event type, do busier
+    * days carry more revenue — daily (volume, revenue) over the
+    * timeline? */
+  private val q325 = GQuery(
+    "q325_kendall_tau_series",
+    (s, dir) => kendallTauSeries(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y")),
+      "event_type", "d", "x", "y")
+      .orderBy(col("event_type")),
+    Some("""WITH sr AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,
+          CAST(COUNT(*) AS BIGINT) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT a.g,
+          CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+            AS sx,
+          CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+            AS sy
+        FROM sr a JOIN sr b ON a.g = b.g AND a.o < b.o),
+      c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS concordant,
+          CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discordant,
+          CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_x,
+          CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_y,
+          CAST(SUM(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS ties_xy
+        FROM p GROUP BY 1),
+      nb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM sr GROUP BY 1)
+      SELECT nb.g AS event_type, n_obs, n_pairs, concordant, discordant,
+        ties_x, ties_y, ties_xy,
+        CASE WHEN n_pairs > 0 THEN
+          (1000000 * (concordant - discordant)) // n_pairs END
+          AS tau_a_ppm
+      FROM nb LEFT JOIN c USING (g)
+      ORDER BY event_type"""))
+
+  /** Mann–Kendall trend test — the nonparametric "is this series
+    * monotonically drifting" gate the monitoring family lacked
+    * ([[volumeAnomalies]]-class cards flag single days; the trend
+    * slopes card fits a line a few outliers can own; MK counts
+    * pairwise rises minus falls, so it detects a steady creep
+    * regardless of shape or outliers). S = Σ_{i<j} sgn(xⱼ − xᵢ) and
+    * the tie-corrected variance numerator VN = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) (Var = VN/18) are exact integers; the two-sided
+    * α = 0.05 flag evaluates the continuity-corrected inequality
+    * (|S|−1)²·18·10⁷ > 38414589·VN in DECIMAL(38,0) — the constant
+    * sits just ABOVE z²₀.₀₂₅·10⁷ = 38414588.2, so the gate only flags
+    * true exceedances (the conservative convention); direction is
+    * sgn(S). S = 0, n < 2, or VN = 0 (all values tied) keep the row
+    * unflagged with NULL direction — never an ANSI division.
+    *
+    * Scale shape: pair counting rides the [[kendallTau]] series-grain
+    * self-join (timeline-bounded); tie groups are one (group, value)
+    * histogram aggregation of the same tiny series. */
+  def mannKendall(series: DataFrame, groupCol: String, ordCol: String,
+      xCol: String): DataFrame = {
+    val s1 = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
+      col(xCol).as("x"))
+    val a = s1.toDF("g", "o1", "x1")
+    val b = s1.toDF("g", "o2", "x2")
+    val sPairs = a.join(b, Seq("g")).filter(col("o1") < col("o2"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("x2") > col("x1"), 1L)
+        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = s1.groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("__tc"),
+        sum(col("t")).as("n_obs"))
+    ties.join(sPairs, Seq("g"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var_num18", expr(
+        "n_obs * (n_obs - 1) * (2 * n_obs + 5) - __tc"))
+      .withColumn("trending", coalesce(expr(
+        """CASE WHEN var_num18 > 0 AND s_stat <> 0 THEN
+             CAST((abs(s_stat) - 1) AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+               * 18 * 10000000
+             > CAST(38414589 AS DECIMAL(38,0)) * var_num18 END"""),
+        lit(false)))
+      .withColumn("direction", expr(
+        """CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 END"""))
+      .select(col("g").as(groupCol), col("n_obs"), col("s_stat"),
+        col("var_num18"), col("trending"), col("direction"))
+  }
+
+  /** Oracle fixture of [[mannKendall]]: per event type, is daily
+    * volume steadily creeping across the timeline? */
+  private val q326 = GQuery(
+    "q326_mann_kendall",
+    (s, dir) => mannKendall(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .agg(count(lit(1)).as("x")),
+      "event_type", "d", "x")
+      .orderBy(col("event_type")),
+    Some("""WITH sr AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      sp AS (SELECT a.g, CAST(SUM(CASE WHEN b.x > a.x THEN 1
+            WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM sr a JOIN sr b ON a.g = b.g AND a.o < b.o GROUP BY 1),
+      tg AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM sr GROUP BY 1, 2),
+      ti AS (SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+            AS tc, CAST(SUM(t) AS BIGINT) AS n_obs
+        FROM tg GROUP BY 1),
+      j AS (SELECT ti.g, n_obs, COALESCE(s_stat, 0) AS s_stat,
+          n_obs * (n_obs - 1) * (2 * n_obs + 5) - tc AS var_num18
+        FROM ti LEFT JOIN sp USING (g))
+      SELECT g AS event_type, n_obs, s_stat, var_num18,
+        COALESCE(CASE WHEN var_num18 > 0 AND s_stat <> 0 THEN
+          CAST((abs(s_stat) - 1) AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+            * 18 * 10000000
+          > CAST(38414589 AS DECIMAL(38,0)) * var_num18 END, FALSE)
+          AS trending,
+        CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 END
+          AS direction
+      FROM j ORDER BY event_type"""))
+
+  /** Seasonal-naive backtest — the SEASONALITY rung of the forecast
+    * family's eval axis ([[forecastBacktest]] asks "does smoothing beat
+    * 'tomorrow = today'"; THIS asks "does 'next Monday = last Monday'
+    * beat it", the one-number test for whether a series is seasonal
+    * enough that any non-seasonal forecaster is leaving signal on the
+    * table). Per series, over the common evaluable window (rows with a
+    * full `period` of history): SAE of the seasonal-naive forecast
+    * ŷ_t = y_{t−period} vs SAE of naive ŷ_t = y_{t−1}; their exact
+    * milli ratio < 1000 means the seasonal lag wins. Series shorter
+    * than period+1 keep their row with NULL stats (never-drop). Lags
+    * are by OBSERVATION position in `ordCol` order — the q321
+    * convention (a gap-free daily series reads calendar-true; callers
+    * with holes gap-fill first, the q84 operator).
+    *
+    * Scale shape: the input is already series-grain; two lag windows
+    * per group and one roll-up — timeline-bounded, no recursion, no
+    * fold (unlike SES, the seasonal-naive forecast has no state). */
+  def seasonalBacktest(series: DataFrame, groupCol: String,
+      ordCol: String, yCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("g")).orderBy(col("o"))
+    series.select(col(groupCol).as("g"), col(ordCol).as("o"),
+        col(yCol).as("y"))
+      .withColumn("__l1", lag(col("y"), 1).over(w))
+      .withColumn("__lm", lag(col("y"), period).over(w))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__lm").isNotNull, 1L).otherwise(0L)).as("n_eval"),
+        sum(when(col("__lm").isNotNull, abs(col("y") - col("__lm"))))
+          .as("sae_seasonal"),
+        sum(when(col("__lm").isNotNull, abs(col("y") - col("__l1"))))
+          .as("sae_naive"))
+      .select(col("g").as(groupCol), col("n_obs"), col("n_eval"),
+        col("sae_seasonal"), col("sae_naive"),
+        expr("""CASE WHEN n_eval > 0 AND sae_naive > 0 THEN
+          (1000 * sae_seasonal) DIV sae_naive END""").as("smase_milli"))
+      .withColumn("seasonal_beats_naive",
+        when(col("smase_milli").isNotNull, col("smase_milli") < 1000L))
+  }
+
+  /** Oracle fixture of [[seasonalBacktest]]: weekly seasonality of the
+    * q321 daily-revenue series, period 7. */
+  private val q327 = GQuery(
+    "q327_seasonal_backtest",
+    (s, dir) => seasonalBacktest(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi", period = 7)
+      .orderBy(col("event_type")),
+    Some("""WITH sr AS (SELECT event_type AS g, CAST(ts AS DATE) AS o,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      lg AS (SELECT g, y,
+          LAG(y, 1) OVER (PARTITION BY g ORDER BY o) AS l1,
+          LAG(y, 7) OVER (PARTITION BY g ORDER BY o) AS lm
+        FROM sr),
+      agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_obs,
+          CAST(SUM(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_eval,
+          CAST(SUM(CASE WHEN lm IS NOT NULL THEN abs(y - lm) END)
+            AS BIGINT) AS sae_seasonal,
+          CAST(SUM(CASE WHEN lm IS NOT NULL THEN abs(y - l1) END)
+            AS BIGINT) AS sae_naive
+        FROM lg GROUP BY 1)
+      SELECT g AS event_type, n_obs, n_eval, sae_seasonal, sae_naive,
+        CASE WHEN n_eval > 0 AND sae_naive > 0 THEN
+          (1000 * sae_seasonal) // sae_naive END AS smase_milli,
+        CASE WHEN n_eval > 0 AND sae_naive > 0 THEN
+          (1000 * sae_seasonal) // sae_naive < 1000 END
+          AS seasonal_beats_naive
+      FROM agg ORDER BY event_type"""))
+
+  /** Nelson–Aalen cumulative hazard — the ADDITIVE companion to
+    * [[kmSurvival]] off the same life table: H(b) = Σ_{buckets ≤ b}
+    * d/n estimates cumulative hazard directly, and because it is a SUM
+    * of per-bucket terms (each exact: (10⁶·d) DIV n) it needs no
+    * sequential fold at all — a plain cumulative window replaces q234's
+    * recursive product, and hazard INCREMENTS between buckets read off
+    * adjacent rows (the quantity a hazard-shape diagnosis — "is churn
+    * risk front-loaded or constant" — actually consumes; S ≈ e^{−H}
+    * ties it back to KM). Censoring discipline is the life table's:
+    * censored subjects leave the risk set without adding hazard.
+    *
+    * Scale shape: [[churnLifeTable]]'s plan (one user agg + broadcast
+    * horizon), then one ordered window over the BUCKET table (bounded
+    * by timeline DIV interval — the q219 class, never user-sized). */
+  def nelsonAalen(events: DataFrame, intervalDays: Int = 7,
+      churnGapSec: Long = 7L * 86400L): DataFrame = {
+    val lt = churnLifeTable(events, intervalDays, churnGapSec)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("__h", expr("(1000000 * n_churned) DIV n_at_risk"))
+      .withColumn("h_ppm", sum(col("__h")).over(w))
+      .select(col("bucket"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"), col("h_ppm"))
+  }
+
+  /** Oracle fixture of [[nelsonAalen]]: the q234 purchase-lifetime
+    * fixture (1-day buckets) — same life table, additive estimator. */
+  private val q330 = GQuery(
+    "q330_nelson_aalen",
+    (s, dir) => nelsonAalen(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        intervalDays = 1, churnGapSec = 86400L)
+      .orderBy(col("bucket")),
+    Some(s"""WITH p AS (SELECT * FROM events
+        WHERE event_type = 'purchase'),
+      u AS (SELECT user_id,
+          MIN(${epochSecSql("ts")}) AS first_sec,
+          MAX(${epochSecSql("ts")}) AS last_sec
+        FROM p GROUP BY user_id),
+      h AS (SELECT MAX(${epochSecSql("ts")}) AS horizon FROM p),
+      aged AS (SELECT (last_sec - first_sec) // 86400 AS bucket,
+          (horizon - last_sec < 86400) AS censored
+        FROM u, h),
+      hist AS (SELECT bucket, COUNT(*) AS ended_here,
+          SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        FROM aged GROUP BY bucket),
+      lt AS (SELECT bucket,
+          CAST(SUM(ended_here) OVER (ORDER BY bucket DESC) AS BIGINT)
+            AS n_at_risk,
+          CAST(ended_here - n_censored AS BIGINT) AS n_churned,
+          CAST(n_censored AS BIGINT) AS n_censored
+        FROM hist)
+      SELECT bucket, n_at_risk, n_churned, n_censored,
+        CAST(SUM((1000000 * n_churned) // n_at_risk)
+          OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS h_ppm
+      FROM lt ORDER BY bucket"""))
+
+  /** Cramér's V² association card — the EFFECT-SIZE companion to the
+    * χ² family (a χ² statistic grows with N, so "significant" says
+    * nothing about STRENGTH at corpus scale; V² = χ²/(N·min(r−1,c−1))
+    * is the 0–1 association measure reviewers can compare across
+    * tables of any size). Exact integers throughout: over the FULL
+    * r×c grid (an empty observed cell still contributes its expected
+    * mass), each cell's χ² term is 1000·(N·O − R·C)² DIV (N·R·C) in
+    * DECIMAL(38,0) (the (O−E)²/E identity cleared of fractions), and
+    * V² lands in ppm as (1000·χ²_milli) DIV (N·min(r−1,c−1)). V²
+    * rather than V: the square root is where engines diverge, and V²
+    * orders identically (the τ-b / q188 ingredients stance). A 1×c or
+    * r×1 table keeps its row with NULL V² (no association is
+    * definable), never a division error. Oracle-portability note: the
+    * numerator exceeds 64 bits, and DuckDB's `//` over DECIMAL routes
+    * through a double (lossy past 2⁵³) — the oracle must use HUGEINT,
+    * where `//` is exact; Spark's DECIMAL(38,0) DIV is exact and the
+    * QUOTIENT is bounded by 1000·N (each cell's χ² contribution is at
+    * most N), so the LongType result never overflows.
+    *
+    * Scale shape: one (row, col) count aggregation (the only
+    * data-sized shuffle); margins and the grid live at category grain
+    * (r·c rows), built by crossing the two broadcast margin tables. */
+  def cramersV2(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds margins AND the grid — cut once (q298)
+    val rt = cells.groupBy(col("__r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("__c")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("__r")).as("n_rows"),
+      countDistinct(col("__c")).as("n_cols"))
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("__term", expr(
+        """(CAST(1000 AS DECIMAL(38,0))
+             * (CAST(n AS DECIMAL(38,0)) * o - CAST(rt AS DECIMAL(38,0)) * ct)
+             * (CAST(n AS DECIMAL(38,0)) * o - CAST(rt AS DECIMAL(38,0)) * ct))
+           DIV (CAST(n AS DECIMAL(38,0)) * rt * ct)"""))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("__term")).cast(LongType).as("chi2_milli"))
+      .withColumn("v2_ppm", expr(
+        """CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+             (1000 * chi2_milli) DIV (n * least(n_rows - 1, n_cols - 1))
+           END"""))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_milli"),
+        col("v2_ppm"))
+  }
+
+  /** Oracle fixture of [[cramersV2]]: event type × day-of-week — how
+    * much does the weekly cycle actually shape the event mix? The
+    * day-of-week index is (day − epoch) % 7, portable in both engines
+    * (Spark's dayofweek and DuckDB's disagree on numbering). */
+  private val q331 = GQuery(
+    "q331_cramers_v2",
+    (s, dir) => cramersV2(
+      t(s, dir, "events").select(col("event_type"),
+        datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+          .cast(LongType).mod(7L).as("dow")),
+      "event_type", "dow"),
+    Some("""WITH e AS (SELECT event_type AS r,
+          (CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS c
+        FROM events),
+      cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS o
+        FROM e GROUP BY 1, 2),
+      rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+      ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+      nn AS (SELECT SUM(o) AS n,
+          CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+          CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+        FROM cells),
+      grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, nn.n, nn.n_rows,
+          nn.n_cols, COALESCE(cells.o, 0) AS o
+        FROM rt CROSS JOIN ct CROSS JOIN nn
+        LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+      terms AS (SELECT n, n_rows, n_cols,
+          (CAST(1000 AS HUGEINT)
+             * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+             * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct))
+           // (CAST(n AS HUGEINT) * rt * ct) AS term
+        FROM grid),
+      agg AS (SELECT CAST(n AS BIGINT) AS n, n_rows, n_cols,
+          CAST(SUM(term) AS BIGINT) AS chi2_milli
+        FROM terms GROUP BY 1, 2, 3)
+      SELECT n, n_rows, n_cols, chi2_milli,
+        CASE WHEN LEAST(n_rows - 1, n_cols - 1) > 0 THEN
+          (1000 * chi2_milli) // (n * LEAST(n_rows - 1, n_cols - 1))
+        END AS v2_ppm
+      FROM agg"""))
+
+  /** EWMA control chart — the SMOOTHED-memory member completing the
+    * monitoring trio (q104/q185 flag single-day z outliers; q300's
+    * CUSUM accumulates one-sided shifts; EWMA weights recent history
+    * geometrically, the classic fast-detection chart for small
+    * persistent shifts). Per series, the one-step-ahead EWMA
+    * prediction in exact milli (e ← e + α·(1000·x − e) DIV 1000, the
+    * q321 flooring-fold discipline, seeded at the first observation),
+    * the residual against it, and the alarm
+    * |resid|·10⁶ > limitPpm·pred (DECIMAL compare — a relative band,
+    * so one chart knob serves series of any volume). The first
+    * observation keeps its row with NULL prediction (nothing to
+    * predict from), never dropped.
+    *
+    * Scale shape: one (group, day) aggregation builds the series; the
+    * fold is per-group over the day-grain array (timeline-bounded, the
+    * q234 bounded-collect class) and explodes back to day rows. */
+  def ewmaChart(series: DataFrame, groupCol: String, ordCol: String,
+      xCol: String, alphaMilli: Long = 200L, limitPpm: Long = 400000L)
+      : DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    require(limitPpm > 0L, s"limitPpm must be > 0, got $limitPpm")
+    series
+      .select(col(groupCol).as("g"), col(ordCol).as("o"),
+        col(xCol).as("x"))
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("o"), col("x"))))
+        .as("__s"))
+      .select(col("g"), explode(expr(s"""aggregate(slice(__s, 2,
+          size(__s) - 1),
+        array(named_struct('o', __s[0].o, 'x', __s[0].x,
+          'pred_milli', CAST(NULL AS BIGINT),
+          'e_milli', 1000 * __s[0].x)),
+        (acc, p) -> concat(acc, array(named_struct(
+          'o', p.o, 'x', p.x,
+          'pred_milli', element_at(acc, size(acc)).e_milli,
+          'e_milli', element_at(acc, size(acc)).e_milli
+            + ($alphaMilli * (1000 * p.x
+                - element_at(acc, size(acc)).e_milli)) DIV 1000))))"""))
+        .as("r"))
+      .select(col("g").as(groupCol), col("r.o").as(ordCol),
+        col("r.x").as("x"), col("r.pred_milli").as("pred_milli"),
+        (lit(1000L) * col("r.x") - col("r.pred_milli"))
+          .as("resid_milli"))
+      .withColumn("alarm", coalesce(expr(
+        s"""CASE WHEN pred_milli > 0 THEN
+          CAST(abs(resid_milli) AS DECIMAL(38,0)) * 1000000
+            > CAST($limitPpm AS DECIMAL(38,0)) * pred_milli END"""),
+        lit(false)))
+  }
+
+  /** Oracle fixture of [[ewmaChart]]: daily volume per event type,
+    * α = 0.2 — the q300 CUSUM feed re-monitored with geometric memory.
+    * The ±23% band sits at the fixture residuals' ~P95, so the chart
+    * actually fires (both verdicts carry rows). */
+  private val q333 = GQuery(
+    "q333_ewma_chart",
+    (s, dir) => ewmaChart(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(expr("CAST(ts AS DATE)"), lit("2024-01-01"))
+            .cast(LongType).as("d"))
+        .agg(count(lit(1)).as("x")),
+      "event_type", "d", "x", limitPpm = 230000L)
+      .orderBy(col("event_type"), col("d")),
+    Some("""WITH RECURSIVE sr AS (SELECT event_type AS g,
+          CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS o,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      arr AS (SELECT g, array_agg(o ORDER BY o) AS os,
+          array_agg(x ORDER BY o) AS xs
+        FROM sr GROUP BY 1),
+      step(g, i, n, o, x, pred_milli, e_milli) AS (
+        SELECT g, 1, CAST(len(xs) AS BIGINT), os[1], xs[1],
+          CAST(NULL AS BIGINT), 1000 * xs[1]
+        FROM arr
+        UNION ALL
+        SELECT s.g, i + 1, n, a.os[i + 1], a.xs[i + 1],
+          e_milli,
+          e_milli + (200 * (1000 * a.xs[i + 1] - e_milli)) // 1000
+        FROM step s JOIN arr a ON a.g = s.g WHERE i < n)
+      SELECT g AS event_type, o AS d, x, pred_milli,
+        1000 * x - pred_milli AS resid_milli,
+        COALESCE(CASE WHEN pred_milli > 0 THEN
+          CAST(abs(1000 * x - pred_milli) AS DECIMAL(38,0)) * 1000000
+            > CAST(230000 AS DECIMAL(38,0)) * pred_milli END, FALSE)
+          AS alarm
+      FROM step
+      ORDER BY event_type, d"""))
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between two sources'
     * distributions of an integer metric (doc length here) — the
     * whole-shape drift test that catches what mean/variance drift (q83)
@@ -4858,5 +5433,6 @@ object AnalyticsQ {
     q211, q216, q217, q221, q222, q223, q234, q236, q238, q240, q241,
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
-    q315, q318, q321, q322, q323)
+    q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
+    q333)
 }

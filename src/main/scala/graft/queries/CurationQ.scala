@@ -3431,10 +3431,199 @@ object CurationQ {
         FROM v ORDER BY doc_id"""))
   }
 
+  /** Average-precision (PR-AUC) card — the RANKING eval completing the
+    * classifier-eval axis (q240's rank-AUC answers "does a random
+    * positive outscore a random negative" — insensitive to WHERE in
+    * the ranking the wins happen; AP weights precision at every
+    * positive's rank, the metric that matches how a curation pipeline
+    * actually consumes a scorer: take the top of the list). Ranked by
+    * (score DESC, id) — the EXPLICIT unique tiebreak that makes the
+    * ranking, and therefore AP, engine-portable (tied scores under an
+    * unspecified order would make precision@k nondeterministic);
+    * AP_ppm = Σ_{positives} ((10⁶·cumpos) DIV rank) DIV n_pos with
+    * per-term truncation identical in both engines, beside
+    * precision@10/@100 (denominator least(k, n) so a short list never
+    * divides past its end). No positives → NULL AP, row kept.
+    *
+    * Scale shape: ONE global ordered window — deliberately: the card's
+    * input is a ranked EVAL list (labeled eval sets are
+    * sampled/bounded by construction, the q219 class), not a corpus;
+    * corpus-scale score audits belong to the histogram-grain cards
+    * ([[reliabilityCard]], [[calibrationCurve]]). */
+  def averagePrecisionCard(scored: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("score_ppm").desc, col("id"))
+    val cum = Window.orderBy(col("score_ppm").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__cumpos",
+        sum(when(col("label"), 1L).otherwise(0L)).over(cum))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label"),
+          expr("(1000000 * __cumpos) DIV __rank"))).as("__apsum"),
+        sum(when(col("__rank") <= 10L && col("label"), 1L)
+          .otherwise(0L)).as("__hits10"),
+        sum(when(col("__rank") <= 100L && col("label"), 1L)
+          .otherwise(0L)).as("__hits100"))
+      .select(col("n"), col("n_pos"),
+        expr("CASE WHEN n_pos > 0 THEN __apsum DIV n_pos END")
+          .as("ap_ppm"),
+        expr("(1000000 * __hits10) DIV least(10L, n)").as("p10_ppm"),
+        expr("(1000000 * __hits100) DIV least(100L, n)").as("p100_ppm"))
+  }
+
+  /** Oracle fixture of [[averagePrecisionCard]]: the q255 stopword
+    * "is English" scorer, now graded as a RANKER of the corpus. */
+  private val q328 = GQuery(
+    "q328_average_precision",
+    (s, dir) => averagePrecisionCard(
+      t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        expr("""least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT)))""").as("score_ppm"),
+        (col("lang") === "en").as("label"))),
+    Some("""WITH sc AS (SELECT doc_id AS id,
+          LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      r AS (SELECT label,
+          ROW_NUMBER() OVER (ORDER BY score_ppm DESC, id) AS rank,
+          SUM(CASE WHEN label THEN 1 ELSE 0 END)
+            OVER (ORDER BY score_ppm DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cumpos
+        FROM sc),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(SUM(CASE WHEN label
+            THEN (1000000 * cumpos) // rank END) AS BIGINT) AS apsum,
+          CAST(SUM(CASE WHEN rank <= 10 AND label THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits10,
+          CAST(SUM(CASE WHEN rank <= 100 AND label THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits100
+        FROM r)
+      SELECT n, n_pos,
+        CASE WHEN n_pos > 0 THEN apsum // n_pos END AS ap_ppm,
+        (1000000 * hits10) // LEAST(10, n) AS p10_ppm,
+        (1000000 * hits100) // LEAST(100, n) AS p100_ppm
+      FROM agg"""))
+
+  /** Brier-score decomposition — the SHARPNESS view [[reliabilityCard]]
+    * deliberately stops short of: ECE says how far claimed confidence
+    * sits from observed accuracy, but a scorer that always answers the
+    * base rate has PERFECT calibration and zero skill. Murphy's
+    * decomposition splits the binned Brier score into reliability
+    * (calibration error, lower better), resolution (how far the bins'
+    * observed rates spread from the base rate — the SKILL term, higher
+    * better), and uncertainty (the base rate's own variance, the
+    * scorer-independent floor) — so "calibrated but useless" and
+    * "sharp but miscalibrated" become different numbers. All four
+    * terms exact ppm: bin means are truncated integers (the q255
+    * convention), squared gaps accumulate in DECIMAL(38,0) (HUGEINT in
+    * the oracle — DuckDB's DECIMAL `//` routes through a double), one
+    * DIV by N·10⁶ each; the raw Brier score computes row-exactly, NOT
+    * via the identity (which holds only up to binning truncation).
+    *
+    * Plan: one scan → one ≤ bins-row hash agg (+ the raw-Brier sums in
+    * the same pass via the bin grain) → bins-row roll-up. */
+  def brierDecomposition(scored: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"brierDecomposition: bins=$bins")
+    val width = 1000000L / bins
+    scored
+      .withColumn("bin", least(expr(s"score_ppm DIV ${width}L"),
+        lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("p_k"),
+        sum(col("score_ppm")).as("s_k"),
+        sum(expr("""CAST((score_ppm - CASE WHEN label THEN 1000000
+          ELSE 0 END) AS DECIMAL(38,0))
+          * (score_ppm - CASE WHEN label THEN 1000000 ELSE 0 END)"""))
+          .as("sq_k"))
+      .withColumn("conf_ppm", expr("s_k DIV n_k"))
+      .withColumn("acc_ppm", expr("(1000000 * p_k) DIV n_k"))
+      .agg(sum(col("n_k")).as("n"), sum(col("p_k")).as("n_pos"),
+        sum(col("sq_k")).as("__sq"),
+        sum(expr("""CAST(n_k AS DECIMAL(38,0))
+          * (conf_ppm - acc_ppm) * (conf_ppm - acc_ppm)""")).as("__rel"),
+        sum(expr("CAST(n_k AS DECIMAL(38,0)) * acc_ppm")).as("__acc_n"),
+        collect_list(struct(col("n_k"), col("acc_ppm"))).as("__bins"))
+      .withColumn("__obar", expr("(1000000 * n_pos) DIV n"))
+      .select(col("n"), col("n_pos"),
+        expr("CAST(__sq DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_ppm"),
+        expr("CAST(__rel DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("reliability_ppm"),
+        expr("""CAST(aggregate(__bins, CAST(0 AS DECIMAL(38,0)),
+            (a, b) -> a + CAST(b.n_k AS DECIMAL(38,0))
+              * (b.acc_ppm - __obar) * (b.acc_ppm - __obar))
+          DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)""")
+          .as("resolution_ppm"),
+        expr("(__obar * (1000000 - __obar)) DIV 1000000")
+          .as("uncertainty_ppm"))
+  }
+
+  /** Oracle fixture of [[brierDecomposition]]: the q255 scorer again —
+    * its overconfidence shows up as reliability ≫ 0 with resolution
+    * well short of uncertainty. */
+  private val q329 = GQuery(
+    "q329_brier_decomposition",
+    (s, dir) => brierDecomposition(
+      t(s, dir, "documents").select(
+        expr("""least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT)))""").as("score_ppm"),
+        (col("lang") === "en").as("label"))),
+    Some("""WITH sc AS (SELECT
+          LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      b AS (SELECT LEAST(score_ppm // 100000, 9) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n_k,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p_k,
+          CAST(SUM(score_ppm) AS BIGINT) AS s_k,
+          SUM(CAST(score_ppm - CASE WHEN label THEN 1000000 ELSE 0 END
+            AS HUGEINT)
+            * (score_ppm - CASE WHEN label THEN 1000000 ELSE 0 END))
+            AS sq_k
+        FROM sc GROUP BY 1),
+      m AS (SELECT bin, n_k, p_k, sq_k, s_k // n_k AS conf_ppm,
+          (1000000 * p_k) // n_k AS acc_ppm
+        FROM b),
+      g AS (SELECT SUM(n_k) AS n, SUM(p_k) AS n_pos, SUM(sq_k) AS sq,
+          SUM(CAST(n_k AS HUGEINT) * (conf_ppm - acc_ppm)
+            * (conf_ppm - acc_ppm)) AS rel
+        FROM m),
+      ob AS (SELECT *, (1000000 * n_pos) // n AS obar FROM g),
+      res AS (SELECT SUM(CAST(m.n_k AS HUGEINT)
+            * (m.acc_ppm - ob.obar) * (m.acc_ppm - ob.obar)) AS ressum
+        FROM m, ob)
+      SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        CAST(sq // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+          AS brier_ppm,
+        CAST(rel // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+          AS reliability_ppm,
+        CAST(ressum // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+          AS resolution_ppm,
+        CAST((obar * (1000000 - obar)) // 1000000 AS BIGINT)
+          AS uncertainty_ppm
+      FROM ob, res"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290, q295, q306, q316)
+      q262, q290, q295, q306, q316, q328, q329)
 }

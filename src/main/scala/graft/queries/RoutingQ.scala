@@ -1223,6 +1223,105 @@ object RoutingQ {
           AS simbox_flag
       FROM f ORDER BY subscriber"""))
 
+  /** IRSF (international-revenue-share-fraud) screen — the
+    * DESTINATION-VALUE lens completing the fraud family
+    * ([[wangiriCard]]: ring-and-cut bait; [[botCadenceCard]]: machine
+    * pacing; q246 velocity: volume; [[simboxCard]]: directional
+    * imbalance). An IRSF runner looks healthy on all four — it places
+    * ordinary-looking answered calls — because its tell is WHERE the
+    * traffic goes: premium-rate destinations the fraudster collects
+    * revenue share from, pumped across several numbers to stay under
+    * per-number caps. Per caller, against a broadcast destination rate
+    * dim: call/duration totals, the premium slice, distinct premium
+    * destinations, the exact-ppm premium DURATION share (duration is
+    * what settles, so it is what the screen must weigh), and the
+    * composite verdict (calls ≥ minCalls ∧ share ≥ minShare ∧ distinct
+    * premium dests ≥ minDests — the spread across destinations is what
+    * separates a fraud runner from one legitimate premium-service
+    * fan). A destination missing from the dim reads non-premium
+    * (never-drop; an unknown rate cannot convict), and a caller with
+    * zero total duration keeps NULL share, unflagged.
+    *
+    * Scale shape: one broadcast join on the |destinations|-sized rate
+    * dim + ONE caller-grain hash agg — no windows, no self-join. */
+  def irsfCard(calls: DataFrame, rateDim: DataFrame,
+      minCalls: Long = 10L, minPremiumSharePpm: Long = 400000L,
+      minPremiumDests: Long = 3L): DataFrame = {
+    require(minCalls >= 1L, s"minCalls must be >= 1, got $minCalls")
+    calls
+      .join(broadcast(rateDim.select(col("dest"), col("premium"))),
+        Seq("dest"), "left")
+      .withColumn("premium", coalesce(col("premium"), lit(false)))
+      .groupBy(col("caller").as("subscriber"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(col("dur_centi")).as("dur_centi"),
+        sum(when(col("premium"), 1L).otherwise(0L)).as("premium_calls"),
+        sum(when(col("premium"), col("dur_centi")).otherwise(0L))
+          .as("premium_dur_centi"),
+        countDistinct(when(col("premium"), col("dest")))
+          .as("n_premium_dests"))
+      .withColumn("premium_share_ppm", expr(
+        """CASE WHEN dur_centi > 0 THEN
+             (1000000 * premium_dur_centi) DIV dur_centi END"""))
+      .withColumn("irsf_flag",
+        col("n_calls") >= minCalls &&
+          coalesce(col("premium_share_ppm") >= minPremiumSharePpm,
+            lit(false)) &&
+          col("n_premium_dests") >= minPremiumDests)
+  }
+
+  /** Oracle fixture of [[irsfCard]]: callers are users, destinations
+    * hash onto the 25 nations, and the rate dim marks region-4 nations
+    * premium (5 of 25) — so every caller spreads ~20% of calls across
+    * 5 premium destinations, and the screen separates on the DURATION
+    * share: only callers whose premium calls happen to run long clear
+    * the 247000-ppm bar (the threshold sits at the fixture's ~P80 so
+    * both verdicts carry rows). */
+  private val q332 = GQuery(
+    "q332_irsf_screen",
+    (s, dir) => irsfCard(
+      t(s, dir, "events").select(
+        col("user_id").as("caller"),
+        expr("(event_id * 104729) % 25").as("dest"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("dur_centi")),
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("dest"),
+        (col("n_regionkey") === 4).as("premium")),
+      minCalls = 10L, minPremiumSharePpm = 247000L,
+      minPremiumDests = 3L)
+      .orderBy(col("subscriber")),
+    Some("""WITH calls AS (SELECT user_id AS caller,
+          (event_id * 104729) % 25 AS dest,
+          CAST(round(value * 100) AS BIGINT) AS dur_centi
+        FROM events),
+      dim AS (SELECT CAST(n_nationkey AS BIGINT) AS dest,
+          n_regionkey = 4 AS premium
+        FROM nation),
+      j AS (SELECT caller, calls.dest, dur_centi,
+          COALESCE(premium, FALSE) AS premium
+        FROM calls LEFT JOIN dim ON dim.dest = calls.dest),
+      a AS (SELECT caller AS subscriber,
+          CAST(COUNT(*) AS BIGINT) AS n_calls,
+          CAST(SUM(dur_centi) AS BIGINT) AS dur_centi,
+          CAST(SUM(CASE WHEN premium THEN 1 ELSE 0 END) AS BIGINT)
+            AS premium_calls,
+          CAST(SUM(CASE WHEN premium THEN dur_centi ELSE 0 END)
+            AS BIGINT) AS premium_dur_centi,
+          CAST(COUNT(DISTINCT CASE WHEN premium THEN dest END)
+            AS BIGINT) AS n_premium_dests
+        FROM j GROUP BY 1),
+      f AS (SELECT *,
+          CASE WHEN dur_centi > 0 THEN
+            (1000000 * premium_dur_centi) // dur_centi END
+            AS premium_share_ppm
+        FROM a)
+      SELECT subscriber, n_calls, dur_centi, premium_calls,
+        premium_dur_centi, n_premium_dests, premium_share_ppm,
+        (n_calls >= 10
+          AND COALESCE(premium_share_ppm >= 247000, FALSE)
+          AND n_premium_dests >= 3) AS irsf_flag
+      FROM f ORDER BY subscriber"""))
+
   val queries: Seq[GQuery] = Seq(q256, q257, q258, q260, q266, q267, q294,
-    q276, q277, q278, q286, q308, q317)
+    q276, q277, q278, q286, q308, q317, q332)
 }
