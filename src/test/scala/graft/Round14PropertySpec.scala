@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+import graft.queries.{AnalyticsQ, CurationQ, RoutingQ}
+
+/** Randomized equivalence for the round-14 kernels: each distributed
+  * construction pinned against an independent in-memory replay of its
+  * contract on arbitrary inputs (the RoundEight..Thirteen PropertySpec
+  * convention). JVM `Long` division truncates toward zero exactly like
+  * Spark's `DIV` and DuckDB's `//`, so the replays fold with plain `/`. */
+class Round14PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 12): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- q324 Cochran's Q ---------------------------------------------------
+
+  private val panelGen = for {
+    n <- Gen.chooseNum(1, 50)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf(true, false),
+      Gen.oneOf(true, false), Gen.oneOf(true, false)))
+  } yield rows
+
+  test("cochranQ equals the in-memory fold and is invariant under " +
+      "rater permutation") {
+    check(Prop.forAll(panelGen) { rows =>
+      val df = rows.toDF("a", "b", "c")
+      def run(order: Seq[String]) =
+        AnalyticsQ.cochranQ(df, order.map(col))
+          .select(col("s_total"), col("q_milli"))
+          .as[(Long, Option[Long])].head()
+      val got = run(Seq("a", "b", "c"))
+      val l = rows.map(r =>
+        Seq(r._1, r._2, r._3).count(identity).toLong)
+      val g = Seq(rows.count(_._1), rows.count(_._2), rows.count(_._3))
+        .map(_.toLong)
+      val s = l.sum
+      val num = 2L * (3L * g.map(x => x * x).sum - s * s)
+      val den = 3L * s - l.map(x => x * x).sum
+      val expQ = if (den > 0) Some((1000L * num) / den) else None
+      got == ((s, expQ)) && run(Seq("c", "a", "b")) == got
+    })
+  }
+
+  // ---- q325 Kendall tau (series) -----------------------------------------
+
+  private val seriesGen = for {
+    n <- Gen.chooseNum(1, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(-20L, 20L),
+      Gen.chooseNum(-20L, 20L)))
+  } yield rows.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+
+  test("kendallTauSeries equals the in-memory pair count, and negating " +
+      "y swaps concordant/discordant with an exactly mirrored tau") {
+    check(Prop.forAll(seriesGen) { rows =>
+      def run(flip: Boolean) = AnalyticsQ.kendallTauSeries(
+          rows.map { case (o, x, y) => ("g", o, x, if (flip) -y else y) }
+            .toDF("g", "o", "x", "y"), "g", "o", "x", "y")
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          col("ties_x"), col("ties_y"), col("ties_xy"), col("tau_a_ppm"))
+        .as[(Option[Long], Option[Long], Option[Long], Option[Long],
+          Option[Long], Option[Long], Option[Long])].head()
+      val got = run(flip = false)
+      val pairs = for {
+        i <- rows.indices; j <- rows.indices if i < j
+      } yield (java.lang.Long.signum(rows(j)._2 - rows(i)._2),
+        java.lang.Long.signum(rows(j)._3 - rows(i)._3))
+      val np = pairs.size.toLong
+      if (np == 0) got._1.isEmpty
+      else {
+        val c = pairs.count(p => p._1 * p._2 > 0).toLong
+        val d = pairs.count(p => p._1 * p._2 < 0).toLong
+        val tx = pairs.count(p => p._1 == 0 && p._2 != 0).toLong
+        val ty = pairs.count(p => p._2 == 0 && p._1 != 0).toLong
+        val txy = pairs.count(p => p._1 == 0 && p._2 == 0).toLong
+        val tau = (1000000L * (c - d)) / np
+        val mirrored = run(flip = true)
+        got == ((Some(np), Some(c), Some(d), Some(tx), Some(ty),
+          Some(txy), Some(tau))) &&
+          mirrored._2 == Some(d) && mirrored._3 == Some(c) &&
+          mirrored._7 == Some(-tau)
+      }
+    })
+  }
+
+  // ---- q326 Mann-Kendall --------------------------------------------------
+
+  test("mannKendall equals the in-memory S and tie-corrected variance, " +
+      "and negating the series negates S with the same variance") {
+    check(Prop.forAll(seriesGen) { rows =>
+      def run(flip: Boolean) = AnalyticsQ.mannKendall(
+          rows.map { case (o, x, _) => ("g", o, if (flip) -x else x) }
+            .toDF("g", "o", "x"), "g", "o", "x")
+        .select(col("n_obs"), col("s_stat"), col("var_num18"))
+        .as[(Long, Long, Long)].head()
+      val got = run(flip = false)
+      val n = rows.size.toLong
+      val s = (for { i <- rows.indices; j <- rows.indices if i < j }
+        yield java.lang.Long.signum(rows(j)._2 - rows(i)._2).toLong).sum
+      val tc = rows.groupBy(_._2).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val vn = n * (n - 1) * (2 * n + 5) - tc
+      val m = run(flip = true)
+      got == ((n, s, vn)) && m._2 == -s && m._3 == vn
+    })
+  }
+
+  // ---- q327 seasonal backtest --------------------------------------------
+
+  test("seasonalBacktest equals the in-memory lag replay") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      ys <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+      m <- Gen.chooseNum(2, 9)
+    } yield (ys, m)
+    check(Prop.forAll(gen) { case (ys, m) =>
+      val rows = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      val got = AnalyticsQ.seasonalBacktest(rows.toDF("g", "o", "y"),
+          "g", "o", "y", period = m)
+        .select(col("n_obs"), col("n_eval"), col("sae_seasonal"),
+          col("sae_naive"), col("smase_milli"))
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+        .head()
+      val evalIdx = ys.indices.filter(_ >= m)
+      val saeS = evalIdx.map(i => math.abs(ys(i) - ys(i - m)).toLong).sum
+      val saeN = evalIdx.map(i => math.abs(ys(i) - ys(i - 1)).toLong).sum
+      val ne = evalIdx.size.toLong
+      val exp: (Long, Long, Option[Long], Option[Long], Option[Long]) =
+        if (ne == 0) ((ys.size.toLong, 0L, None, None, None))
+        else ((ys.size.toLong, ne, Some(saeS), Some(saeN),
+          if (saeN > 0) Some((1000L * saeS) / saeN) else None))
+      got == exp
+    })
+  }
+
+  // ---- q328 average precision --------------------------------------------
+
+  test("averagePrecisionCard equals the in-memory ranked replay") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 5L),
+        Gen.oneOf(true, false)))
+    } yield rows.zipWithIndex.map { case ((s, l), i) =>
+      (i.toLong, s * 200000L, l) }
+    check(Prop.forAll(gen) { rows =>
+      val got = CurationQ.averagePrecisionCard(
+          rows.toDF("id", "score_ppm", "label"))
+        .select(col("n"), col("n_pos"), col("ap_ppm"), col("p10_ppm"))
+        .as[(Long, Long, Option[Long], Long)].head()
+      val ranked = rows.sortBy { case (id, s, _) => (-s, id) }
+      var cum = 0L
+      val terms = ranked.zipWithIndex.map { case ((_, _, l), i) =>
+        if (l) { cum += 1; Some((1000000L * cum) / (i + 1)) } else None }
+      val npos = ranked.count(_._3).toLong
+      val ap = if (npos > 0) Some(terms.flatten.sum / npos) else None
+      val h10 = ranked.take(10).count(_._3).toLong
+      val p10 = (1000000L * h10) / math.min(10L, rows.size.toLong)
+      got == ((rows.size.toLong, npos, ap, p10))
+    })
+  }
+
+  // ---- q329 Brier decomposition ------------------------------------------
+
+  test("brierDecomposition equals the in-memory binned replay") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 1000000L),
+        Gen.oneOf(true, false)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val got = CurationQ.brierDecomposition(
+          rows.toDF("score_ppm", "label"))
+        .select(col("n"), col("n_pos"), col("brier_ppm"),
+          col("reliability_ppm"), col("resolution_ppm"),
+          col("uncertainty_ppm"))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      val n = rows.size.toLong
+      val npos = rows.count(_._2).toLong
+      val obar = (1000000L * npos) / n
+      val bins = rows.groupBy { case (s, _) => math.min(s / 100000L, 9L) }
+      val sq = rows.map { case (s, l) =>
+        val d = BigInt(s - (if (l) 1000000L else 0L)); d * d }.sum
+      val rel = bins.values.map { rs =>
+        val nk = rs.size.toLong
+        val conf = rs.map(_._1).sum / nk
+        val acc = (1000000L * rs.count(_._2)) / nk
+        BigInt(nk) * BigInt(conf - acc) * BigInt(conf - acc) }.sum
+      val res = bins.values.map { rs =>
+        val nk = rs.size.toLong
+        val acc = (1000000L * rs.count(_._2)) / nk
+        BigInt(nk) * BigInt(acc - obar) * BigInt(acc - obar) }.sum
+      val den = BigInt(n) * BigInt(1000000L)
+      got == ((n, npos, (sq / den).toLong, (rel / den).toLong,
+        (res / den).toLong, (obar * (1000000L - obar)) / 1000000L))
+    })
+  }
+
+  // ---- q331 Cramér's V² ---------------------------------------------------
+
+  test("cramersV2 equals the in-memory grid replay and is symmetric " +
+      "in its two columns") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(0L, 3L)))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("r", "c")
+      val got = AnalyticsQ.cramersV2(df, "r", "c")
+        .select(col("n"), col("n_rows"), col("n_cols"),
+          col("chi2_milli"), col("v2_ppm"))
+        .as[(Long, Long, Long, Long, Option[Long])].head()
+      val n = rows.size.toLong
+      val rks = rows.map(_._1).distinct
+      val cks = rows.map(_._2).distinct
+      val chi2 = (for { r <- rks; c <- cks } yield {
+        val o = rows.count(p => p._1 == r && p._2 == c).toLong
+        val rt = rows.count(_._1 == r).toLong
+        val ct = rows.count(_._2 == c).toLong
+        val d = BigInt(n) * o - BigInt(rt) * ct
+        (BigInt(1000) * d * d) / (BigInt(n) * rt * ct)
+      }).sum.toLong
+      val m = math.min(rks.size - 1L, cks.size - 1L)
+      val v2 = if (m > 0) Some((1000L * chi2) / (n * m)) else None
+      val sym = AnalyticsQ.cramersV2(
+          df.select(col("c").as("r"), col("r").as("c")), "r", "c")
+        .select(col("chi2_milli")).as[Long].head()
+      got == ((n, rks.size.toLong, cks.size.toLong, chi2, v2)) &&
+        sym == chi2
+    })
+  }
+
+  // ---- q332 IRSF ----------------------------------------------------------
+
+  test("irsfCard equals the in-memory replay on arbitrary calls and " +
+      "rate dims") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      calls <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 5L),
+        Gen.chooseNum(0L, 8L), Gen.chooseNum(0L, 500L)))
+      prem <- Gen.listOfN(6, Gen.oneOf(true, false))
+    } yield (calls, prem.zipWithIndex.map { case (p, d) => (d.toLong, p) })
+    check(Prop.forAll(gen) { case (calls, dim) =>
+      val got = RoutingQ.irsfCard(
+          calls.toDF("caller", "dest", "dur_centi"),
+          dim.toDF("dest", "premium"),
+          minCalls = 5L, minPremiumSharePpm = 300000L,
+          minPremiumDests = 2L)
+        .select(col("subscriber"), col("n_calls"),
+          col("premium_dur_centi"), col("n_premium_dests"),
+          col("premium_share_ppm"), col("irsf_flag"))
+        .as[(Long, Long, Long, Long, Option[Long], Boolean)]
+        .collect().toSeq.sortBy(_._1)
+      val pm = dim.toMap
+      val exp = calls.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (caller, cs) =>
+          val dur = cs.map(_._3).sum
+          val pcs = cs.filter(c => pm.getOrElse(c._2, false))
+          val pdur = pcs.map(_._3).sum
+          val pdst = pcs.map(_._2).distinct.size.toLong
+          val share = if (dur > 0) Some((1000000L * pdur) / dur) else None
+          (caller, cs.size.toLong, pdur, pdst, share,
+            cs.size >= 5 && share.exists(_ >= 300000L) && pdst >= 2)
+      }
+      got == exp
+    })
+  }
+
+  // ---- q333 EWMA chart ----------------------------------------------------
+
+  test("ewmaChart equals the in-memory flooring fold at any alpha") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+      a <- Gen.chooseNum(0L, 1000L)
+    } yield (xs, a)
+    check(Prop.forAll(gen) { case (xs, a) =>
+      val rows = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      val got = AnalyticsQ.ewmaChart(rows.toDF("g", "o", "x"), "g", "o",
+          "x", alphaMilli = a, limitPpm = 300000L)
+        .orderBy(col("o"))
+        .select(col("pred_milli"), col("resid_milli"))
+        .as[(Option[Long], Option[Long])].collect().toSeq
+      var e = 1000L * xs.head
+      val exp = xs.zipWithIndex.map { case (x, i) =>
+        if (i == 0) (None, None)
+        else {
+          val pred = e
+          val resid = 1000L * x - pred
+          e = pred + (a * resid) / 1000L
+          (Some(pred), Some(resid))
+        }
+      }
+      got == exp
+    })
+  }
+}
