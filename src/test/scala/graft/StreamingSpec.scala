@@ -662,6 +662,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EwmaMonitor tracks the chart live with row-exact batch-twin " +
+      "parity and surfaces late arrivals without folding them") {
+    import graft.streaming.{EMon, EObs, EwmaMonitor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EObs]
+      val out = in.toDS().groupByKey(_.key)
+        .transformWithState(
+          new EwmaMonitor(alphaMilli = 200L, limitPpm = 400000L),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("ewma_out").start()
+      try {
+        // the Round14OpsSpec series, split ACROSS batches so the level
+        // carries over the boundary: steady 100s then a 500 spike
+        val ys = Seq(100L, 110L, 100L, 500L, 100L)
+        in.addData(ys.take(2).zipWithIndex.map { case (y, i) =>
+          EObs(1L, i.toLong + 1L, y) }: _*)
+        q.processAllAvailable()
+        in.addData(ys.drop(2).zipWithIndex.map { case (y, i) =>
+          EObs(1L, i.toLong + 3L, y) }: _*)
+        q.processAllAvailable()
+        val live = spark.table("ewma_out").as[EMon].collect().toSeq
+          .filter(!_.late).sortBy(_.x)
+        // ROW-EXACT parity with the oracle-checked batch card
+        val batch = graft.queries.AnalyticsQ.ewmaChart(
+            ys.zipWithIndex.map { case (y, i) => (1L, i.toLong + 1L, y) }
+              .toDF("g", "o", "x"), "g", "o", "x",
+            alphaMilli = 200L, limitPpm = 400000L)
+          .orderBy(col("o"))
+          .select(col("o"), col("pred_milli"), col("resid_milli"),
+            col("alarm"))
+          .as[(Long, Option[Long], Option[Long], Boolean)]
+          .collect().toSeq
+        assert(live.map(m =>
+          (m.x, m.pred_milli, m.resid_milli, m.alarm)) == batch,
+          s"$live vs $batch")
+        assert(live.count(_.alarm) == 2, live.toString)
+        // a late replay of x=2 is SURFACED but must not move the level
+        in.addData(EObs(1L, 2L, 999L), EObs(1L, 6L, 100L))
+        q.processAllAvailable()
+        val mon2 = spark.table("ewma_out").as[EMon].collect().toSeq
+        assert(mon2.exists(m => m.x == 2L && m.late), mon2.toString)
+        // x=6 continues the clean recurrence from e5 = 165024
+        val d6 = mon2.find(m => m.x == 6L && !m.late).get
+        assert(d6.pred_milli == Some(165024L) &&
+          d6.resid_milli == Some(-65024L), d6.toString)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("VelocityMonitor flags bursts live with batch-twin parity") {
     import graft.streaming.{VAlarm, VelocityMonitor, VEvent}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
