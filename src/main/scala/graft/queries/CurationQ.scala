@@ -3620,10 +3620,121 @@ object CurationQ {
           AS uncertainty_ppm
       FROM ob, res"""))
 
+  /** Isotonic calibration map (pool-adjacent-violators) — the FIX for
+    * what [[reliabilityCard]] and [[brierDecomposition]] diagnose: a
+    * monotone recalibration of the scorer, the standard production
+    * answer when a quality/language classifier must gate a corpus but
+    * its raw confidences are over- or under-shot (Platt scaling needs a
+    * parametric fit; isotonic is the nonparametric one actually used at
+    * corpus scale). Per distinct score, the calibrated positive rate of
+    * its PAV block — the unique nondecreasing least-squares fit —
+    * emitted in exact ppm. All pooling decisions compare block rates by
+    * INTEGER cross-multiplication (p₁·n₂ vs p₂·n₁), so the fit is
+    * deterministic and engine-portable with no float anywhere.
+    *
+    * The oracle replays the fit through the minimax identity
+    * cal(i) = max_{j≤i} min_{k≥i} rate(j..k) (the closed form the PAV
+    * stack computes, per the classical isotonic-regression theorem) —
+    * an INDEPENDENT construction, so the hash match proves the
+    * algorithm, not the implementation. Extremal windows there order by
+    * a double only to pick the argmax/argmin: distinct rationals with
+    * denominators ≤ ~10⁸ cannot collide in a double, and equal
+    * rationals emit the same ppm either way.
+    *
+    * Scale shape: ONE corpus-sized aggregation to the distinct-score
+    * histogram (bounded by 10⁶+1 ppm values BY CONSTRUCTION, and by
+    * distinct scores in practice); the PAV stack folds that bounded
+    * histogram driver-side (the q219/q234 bounded-collect class — the
+    * config-plane discipline, never row-grain) and returns the
+    * score→rate map as a dimension a caller broadcast-joins back. */
+  def isotonicCalibration(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val h = scored.groupBy(col("score_ppm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("p"))
+      .orderBy(col("score_ppm"))
+      .select(col("score_ppm"), col("n"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV stack: (nBlock, pBlock, firstIdx); merge while the top block's
+    // rate is BELOW its predecessor's (nondecreasing fit), rates compared
+    // exactly by cross-multiplication
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    h.zipWithIndex.foreach { case ((_, n, p), i) =>
+      var (bn, bp, bi) = (n, p, i)
+      // BigInt cross-multiplication: p·n products exceed Long past
+      // ~3e9-row corpora, and this fold is driver-side pennies anyway
+      while (stack.nonEmpty &&
+          BigInt(stack.last._2) * bn >= BigInt(bp) * stack.last._1) {
+        val (pn, pp, pi) = stack.remove(stack.size - 1)
+        bn += pn; bp += pp; bi = pi
+      }
+      stack += ((bn, bp, bi))
+    }
+    // block extents are [firstIdx, next block's firstIdx)
+    val cal = Array.ofDim[Long](h.length)
+    val ends = stack.map(_._3).drop(1) :+ h.length
+    stack.zip(ends).foreach { case ((bn, bp, bi), end) =>
+      val v = (1000000L * bp) / bn
+      (bi until end).foreach(i => cal(i) = v)
+    }
+    import spark.implicits._
+    h.zipWithIndex.map { case ((s, n, p), i) => (s, n, p, cal(i)) }
+      .toSeq.toDF("score_ppm", "n", "n_pos", "cal_ppm")
+  }
+
+  /** Oracle fixture of [[isotonicCalibration]]: the q255 stopword
+    * scorer quantized to 20000-ppm steps (≤ 51 distinct scores — the
+    * minimax oracle is cubic in the histogram), recalibrated against
+    * the lang label. */
+  private val q334 = GQuery(
+    "q334_isotonic_calibration",
+    (s, dir) => isotonicCalibration(
+      t(s, dir, "documents").select(
+        expr("""(least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT))) DIV 20000L)
+          * 20000L""").as("score_ppm"),
+        (col("lang") === "en").as("label")))
+      .orderBy(col("score_ppm")),
+    Some("""WITH sc AS (SELECT
+          (LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) // 20000)
+            * 20000 AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      h AS (SELECT score_ppm AS s, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM sc GROUP BY 1),
+      o AS (SELECT s, n, p, ROW_NUMBER() OVER (ORDER BY s) AS i FROM h),
+      pre AS (SELECT i, s, n, p,
+          SUM(n) OVER (ORDER BY i) AS cn, SUM(p) OVER (ORDER BY i) AS cp
+        FROM o),
+      w AS (SELECT a.i AS j, b.i AS k,
+          b.cp - a.cp + a.p AS wp, b.cn - a.cn + a.n AS wn
+        FROM pre a JOIN pre b ON a.i <= b.i),
+      inner_min AS (SELECT t.i, w.j, w.wp, w.wn,
+          ROW_NUMBER() OVER (PARTITION BY t.i, w.j
+            ORDER BY CAST(w.wp AS DOUBLE) / w.wn ASC, w.wn, w.wp) AS rn
+        FROM o t JOIN w ON w.j <= t.i AND w.k >= t.i),
+      mn AS (SELECT i, j, wp, wn FROM inner_min WHERE rn = 1),
+      outer_max AS (SELECT i, wp, wn,
+          ROW_NUMBER() OVER (PARTITION BY i
+            ORDER BY CAST(wp AS DOUBLE) / wn DESC, wn, wp) AS rn
+        FROM mn),
+      fit AS (SELECT i, CAST((1000000 * wp) // wn AS BIGINT) AS cal_ppm
+        FROM outer_max WHERE rn = 1)
+      SELECT o.s AS score_ppm, o.n, o.p AS n_pos, fit.cal_ppm
+      FROM o JOIN fit USING (i)
+      ORDER BY score_ppm"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290, q295, q306, q316, q328, q329)
+      q262, q290, q295, q306, q316, q328, q329, q334)
 }

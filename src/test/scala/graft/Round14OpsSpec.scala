@@ -257,6 +257,35 @@ class Round14OpsSpec extends SparkSpec {
       (400L, 3L, None, false)), out.toString)
   }
 
+  // ---- q334 isotonic calibration -------------------------------------------
+
+  test("isotonic calibration: the textbook violator pools exactly, a " +
+      "monotone input is returned untouched, and the fit conserves " +
+      "the positive mass per block") {
+    // scores 1,2,3 with rates 0.2, 0.8, 0.5: the (2,3) pair violates
+    // and pools to (0.8*5 + 0.5*10)/15 = 9/15 = 0.6
+    def mk(spec: Seq[(Long, Int, Int)]) = spec.flatMap { case (s, n, p) =>
+      (0 until n).map(i => (s, i < p)) }.toDF("score_ppm", "label")
+    val pooled = CurationQ.isotonicCalibration(
+        mk(Seq((1L, 5, 1), (2L, 5, 4), (3L, 10, 5))))
+      .orderBy(col("score_ppm"))
+      .select(col("score_ppm"), col("cal_ppm"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pooled == Seq((1L, 200000L), (2L, 600000L), (3L, 600000L)),
+      pooled.toString)
+    // already-monotone input: identity
+    val id = CurationQ.isotonicCalibration(
+        mk(Seq((1L, 10, 1), (2L, 10, 5), (3L, 10, 9))))
+      .orderBy(col("score_ppm"))
+      .select(col("cal_ppm")).as[Long].collect().toSeq
+    assert(id == Seq(100000L, 500000L, 900000L), id.toString)
+    // a fully reversed scorer pools to ONE block at the base rate
+    val rev = CurationQ.isotonicCalibration(
+        mk(Seq((1L, 10, 9), (2L, 10, 5), (3L, 10, 1))))
+      .select(col("cal_ppm")).distinct().as[Long].collect().toSeq
+    assert(rev == Seq(500000L), rev.toString)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewma chart: the fold replays the exact flooring recurrence, " +

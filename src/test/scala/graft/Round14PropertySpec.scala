@@ -273,6 +273,43 @@ class Round14PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- q334 isotonic calibration -------------------------------------------
+
+  test("isotonicCalibration equals the minimax closed form (an " +
+      "independent construction) on arbitrary histograms, and is " +
+      "always nondecreasing") {
+    val gen = for {
+      m <- Gen.chooseNum(1, 10)
+      cells <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(1, 6),
+        Gen.chooseNum(0, 6)))
+    } yield cells.zipWithIndex.map { case ((n, p), s) =>
+      (s.toLong * 1000L, n, math.min(p, n)) }
+    check(Prop.forAll(gen) { cells =>
+      val rows = cells.flatMap { case (s, n, p) =>
+        (0 until n).map(i => (s, i < p)) }
+      val got = CurationQ.isotonicCalibration(
+          rows.toDF("score_ppm", "label"))
+        .orderBy(col("score_ppm"))
+        .select(col("score_ppm"), col("cal_ppm"))
+        .as[(Long, Long)].collect().toSeq
+      // minimax replay with exact BigInt rationals:
+      // cal(i) = max_{j<=i} min_{k>=i} (sum p[j..k]) / (sum n[j..k])
+      val ns = cells.map(_._2.toLong); val ps = cells.map(_._3.toLong)
+      def rate(j: Int, k: Int) =
+        (BigInt(ps.slice(j, k + 1).sum), BigInt(ns.slice(j, k + 1).sum))
+      def le(a: (BigInt, BigInt), b: (BigInt, BigInt)) =
+        a._1 * b._2 <= b._1 * a._2
+      val exp = cells.indices.map { i =>
+        val best = cells.indices.filter(_ <= i).map { j =>
+          cells.indices.filter(_ >= i).map(k => rate(j, k))
+            .reduce((a, b) => if (le(a, b)) a else b)
+        }.reduce((a, b) => if (le(a, b)) b else a)
+        (cells(i)._1, (BigInt(1000000) * best._1 / best._2).toLong)
+      }
+      got == exp && got.map(_._2) == got.map(_._2).sorted
+    }, n = 10)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewmaChart equals the in-memory flooring fold at any alpha") {
