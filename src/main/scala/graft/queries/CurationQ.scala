@@ -3731,10 +3731,280 @@ object CurationQ {
       FROM o JOIN fit USING (i)
       ORDER BY score_ppm"""))
 
+  /** Precision–recall curve (threshold-grain) — the OPERATING-POINT
+    * view between [[averagePrecisionCard]] (one number over the whole
+    * ranking) and [[reliabilityCard]] (probability quality): for every
+    * distinct score threshold t, the exact P/R/F1 of the gate
+    * "keep score ≥ t" — the table an operator actually reads to choose
+    * a corpus-filter threshold. All exact ppm: TP/FP come off one
+    * cumulative window over the score histogram, and F1 uses the
+    * integer identity F1 = 2·TP / (n_kept + n_pos) (2PR/(P+R) cleared
+    * of nested rationals), so no engine-divergent float appears at any
+    * point of the curve.
+    *
+    * Scale shape: one corpus-sized aggregation to the distinct-score
+    * histogram (≤ 10⁶+1 rows by construction); the curve is one
+    * ordered window over that bounded table (the q229 histogram-window
+    * discipline) — never a row-level sort. */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val h = scored.groupBy(col("score_ppm"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos_at"))
+    val w = Window.orderBy(col("score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    h.withColumn("n_kept", sum(col("n_at")).over(w))
+      .withColumn("tp", sum(col("pos_at")).over(w))
+      .withColumn("n_pos", sum(col("pos_at")).over(all))
+      .select(col("score_ppm").as("threshold_ppm"), col("n_kept"),
+        col("tp"),
+        expr("(1000000 * tp) DIV n_kept").as("precision_ppm"),
+        expr("CASE WHEN n_pos > 0 THEN (1000000 * tp) DIV n_pos END")
+          .as("recall_ppm"),
+        expr("(2000000 * tp) DIV (n_kept + n_pos)").as("f1_ppm"))
+  }
+
+  /** Oracle fixture of [[prCurve]]: the q255 stopword scorer's full
+    * operating curve against the lang label. */
+  private val q335 = GQuery(
+    "q335_pr_curve",
+    (s, dir) => prCurve(
+      t(s, dir, "documents").select(
+        expr("""least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT)))""").as("score_ppm"),
+        (col("lang") === "en").as("label")))
+      .orderBy(col("threshold_ppm")),
+    Some("""WITH sc AS (SELECT
+          LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      h AS (SELECT score_ppm AS s, CAST(COUNT(*) AS BIGINT) AS n_at,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS pos_at
+        FROM sc GROUP BY 1),
+      c AS (SELECT s, SUM(n_at) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+          SUM(pos_at) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          SUM(pos_at) OVER () AS n_pos
+        FROM h)
+      SELECT s AS threshold_ppm, CAST(n_kept AS BIGINT) AS n_kept,
+        CAST(tp AS BIGINT) AS tp,
+        CAST((1000000 * tp) // n_kept AS BIGINT) AS precision_ppm,
+        CAST(CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos END
+          AS BIGINT) AS recall_ppm,
+        CAST((2000000 * tp) // (n_kept + n_pos) AS BIGINT) AS f1_ppm
+      FROM c ORDER BY threshold_ppm"""))
+
+  /** Threshold picker — [[prCurve]] folded to the three operating
+    * points a gate deployment actually asks for: the F1-optimal
+    * threshold, the Youden-J-optimal threshold (TPR − FPR, the
+    * balanced-error point), and the COST-optimal threshold under
+    * explicit per-mistake prices (cost = cFN·FN + cFP·FP — the corpus
+    * curator's real objective: a missed good doc and a kept bad doc
+    * are rarely symmetric), beside the no-gate baseline cost (keep
+    * nothing: cFN·P) so "don't deploy this scorer" is a visible
+    * answer. Every criterion is exact-integer (J in ppm with per-term
+    * truncation; costs are plain integer sums) and every argmax breaks
+    * ties on the HIGHEST threshold — the conservative gate (keep
+    * less) — identically in both engines. Degenerate inputs (no
+    * positives / no negatives) keep the row with the affected
+    * criteria NULL.
+    *
+    * Scale shape: the [[prCurve]] histogram windows + one ≤-histogram
+    * argmax fold — nothing row-grain. */
+  def thresholdPick(scored: DataFrame, costFnMilli: Long = 1000L,
+      costFpMilli: Long = 1000L): DataFrame = {
+    require(costFnMilli >= 0L && costFpMilli >= 0L,
+      "mistake costs must be >= 0")
+    val h = scored.groupBy(col("score_ppm"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos_at"))
+    val w = Window.orderBy(col("score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val pts = h
+      .withColumn("n_kept", sum(col("n_at")).over(w))
+      .withColumn("tp", sum(col("pos_at")).over(w))
+      .withColumn("n_pos", sum(col("pos_at")).over(all))
+      .withColumn("n_all", sum(col("n_at")).over(all))
+      .withColumn("fp", col("n_kept") - col("tp"))
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("f1_ppm", expr("(2000000 * tp) DIV (n_kept + n_pos)"))
+      .withColumn("j_ppm", expr(
+        """CASE WHEN n_pos > 0 AND n_all > n_pos THEN
+             (1000000 * tp) DIV n_pos
+             - (1000000 * fp) DIV (n_all - n_pos) END"""))
+      .withColumn("cost", expr(
+        s"($costFnMilli * fn + $costFpMilli * fp) DIV 1000"))
+    // one pass over the bounded point table: argmax per criterion by
+    // (criterion, threshold desc) via struct ordering (NULL criteria
+    // sort lowest, so max() prefers any defined point)
+    pts.agg(
+      max(col("n_all")).as("n"), max(col("n_pos")).as("n_pos"),
+      max(struct(col("f1_ppm"), col("score_ppm"))).as("__f1"),
+      max(struct(col("j_ppm"), col("score_ppm"))).as("__j"),
+      min(struct(col("cost"), (col("score_ppm") * -1L).as("neg_s")))
+        .as("__c"))
+      .select(col("n"), col("n_pos"),
+        col("__f1.score_ppm").as("best_f1_threshold_ppm"),
+        col("__f1.f1_ppm").as("best_f1_ppm"),
+        expr("CASE WHEN __j.j_ppm IS NOT NULL THEN __j.score_ppm END")
+          .as("best_j_threshold_ppm"),
+        col("__j.j_ppm").as("best_j_ppm"),
+        (col("__c.neg_s") * -1L).as("best_cost_threshold_ppm"),
+        col("__c.cost").as("min_cost"),
+        expr(s"($costFnMilli * n_pos) DIV 1000").as("no_gate_cost"))
+  }
+
+  /** Oracle fixture of [[thresholdPick]]: the q255 scorer with a
+    * missed-English doc priced 3× a kept-non-English one. */
+  private val q336 = GQuery(
+    "q336_threshold_pick",
+    (s, dir) => thresholdPick(
+      t(s, dir, "documents").select(
+        expr("""least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT)))""").as("score_ppm"),
+        (col("lang") === "en").as("label")),
+      costFnMilli = 3000L, costFpMilli = 1000L),
+    Some("""WITH sc AS (SELECT
+          LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      h AS (SELECT score_ppm AS s, CAST(COUNT(*) AS BIGINT) AS n_at,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS pos_at
+        FROM sc GROUP BY 1),
+      c AS (SELECT s, SUM(n_at) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+          SUM(pos_at) OVER (ORDER BY s DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          SUM(pos_at) OVER () AS n_pos, SUM(n_at) OVER () AS n_all
+        FROM h),
+      pts AS (SELECT s, n_kept, tp, n_pos, n_all,
+          n_kept - tp AS fp, n_pos - tp AS fn,
+          (2000000 * tp) // (n_kept + n_pos) AS f1_ppm,
+          CASE WHEN n_pos > 0 AND n_all > n_pos THEN
+            (1000000 * tp) // n_pos
+            - (1000000 * (n_kept - tp)) // (n_all - n_pos) END AS j_ppm,
+          (3000 * (n_pos - tp) + 1000 * (n_kept - tp)) // 1000 AS cost
+        FROM c),
+      pick AS (SELECT CAST(MAX(n_all) AS BIGINT) AS n,
+          CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+          (SELECT s FROM pts ORDER BY f1_ppm DESC, s DESC LIMIT 1)
+            AS best_f1_threshold_ppm,
+          (SELECT f1_ppm FROM pts ORDER BY f1_ppm DESC, s DESC LIMIT 1)
+            AS best_f1_ppm,
+          (SELECT CASE WHEN j_ppm IS NOT NULL THEN s END FROM pts
+            ORDER BY j_ppm DESC NULLS LAST, s DESC LIMIT 1)
+            AS best_j_threshold_ppm,
+          (SELECT j_ppm FROM pts ORDER BY j_ppm DESC NULLS LAST, s DESC
+            LIMIT 1) AS best_j_ppm,
+          (SELECT s FROM pts ORDER BY cost ASC, s DESC LIMIT 1)
+            AS best_cost_threshold_ppm,
+          (SELECT cost FROM pts ORDER BY cost ASC, s DESC LIMIT 1)
+            AS min_cost,
+          (3000 * MAX(n_pos)) // 1000 AS no_gate_cost
+        FROM pts)
+      SELECT n, n_pos, best_f1_threshold_ppm,
+        CAST(best_f1_ppm AS BIGINT) AS best_f1_ppm,
+        best_j_threshold_ppm, CAST(best_j_ppm AS BIGINT) AS best_j_ppm,
+        best_cost_threshold_ppm, CAST(min_cost AS BIGINT) AS min_cost,
+        CAST(no_gate_cost AS BIGINT) AS no_gate_cost
+      FROM pick"""))
+
+  /** Calibrated re-diagnosis — the diagnose→fix→re-diagnose loop
+    * CLOSED as one composition: the q334 isotonic map, applied back to
+    * the corpus through a broadcast join, re-graded by the q255
+    * reliability card. The card's post-calibration ECE is the number
+    * that says whether the fitted map actually earned its place in the
+    * gate (on the fixture it collapses the raw scorer's 43203-ppm ECE
+    * to near the binning floor — calibrated scores ARE block rates, so
+    * residual gaps measure ppm truncation, not miscalibration). The
+    * oracle rebuilds the WHOLE chain — minimax fit, map join,
+    * reliability bins — from its verified pieces, so the composition,
+    * not just the parts, sits under the hash gate.
+    *
+    * Scale shape: q334's histogram fit (one corpus agg + driver PAV) +
+    * ONE broadcast map join + the q255 ≤bins-row aggregation. */
+  private val q337 = GQuery(
+    "q337_calibrated_reliability",
+    (s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        expr("""(least(1000000L, 5 * ((1000000 * CAST(size(filter(
+            split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+          DIV CAST(size(split(text, ' ')) AS BIGINT))) DIV 20000L)
+          * 20000L""").as("score_ppm"),
+        (col("lang") === "en").as("label"))
+      val fit = isotonicCalibration(scored)
+        .select(col("score_ppm"), col("cal_ppm"))
+      reliabilityCard(
+        scored.join(broadcast(fit), Seq("score_ppm"))
+          .select(col("cal_ppm").as("score_ppm"), col("label")))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH sc AS (SELECT
+          (LEAST(1000000, 5 * ((1000000 * CAST(len(list_filter(
+              string_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+            // CAST(len(string_split(text, ' ')) AS BIGINT))) // 20000)
+            * 20000 AS score_ppm,
+          lang = 'en' AS label
+        FROM documents),
+      h AS (SELECT score_ppm AS s, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM sc GROUP BY 1),
+      o AS (SELECT s, n, p, ROW_NUMBER() OVER (ORDER BY s) AS i FROM h),
+      pre AS (SELECT i, s, n, p,
+          SUM(n) OVER (ORDER BY i) AS cn, SUM(p) OVER (ORDER BY i) AS cp
+        FROM o),
+      w AS (SELECT a.i AS j, b.i AS k,
+          b.cp - a.cp + a.p AS wp, b.cn - a.cn + a.n AS wn
+        FROM pre a JOIN pre b ON a.i <= b.i),
+      inner_min AS (SELECT t.i, w.j, w.wp, w.wn,
+          ROW_NUMBER() OVER (PARTITION BY t.i, w.j
+            ORDER BY CAST(w.wp AS DOUBLE) / w.wn ASC, w.wn, w.wp) AS rn
+        FROM o t JOIN w ON w.j <= t.i AND w.k >= t.i),
+      mn AS (SELECT i, j, wp, wn FROM inner_min WHERE rn = 1),
+      outer_max AS (SELECT i, wp, wn,
+          ROW_NUMBER() OVER (PARTITION BY i
+            ORDER BY CAST(wp AS DOUBLE) / wn DESC, wn, wp) AS rn
+        FROM mn),
+      fit AS (SELECT o.s, CAST((1000000 * om.wp) // om.wn AS BIGINT)
+            AS cal_ppm
+        FROM o JOIN (SELECT i, wp, wn FROM outer_max WHERE rn = 1) om
+          USING (i)),
+      recal AS (SELECT fit.cal_ppm AS score_ppm, sc.label
+        FROM sc JOIN fit ON fit.s = sc.score_ppm),
+      b AS (SELECT LEAST(score_ppm // 100000, 9) AS bin, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(SUM(score_ppm) AS BIGINT) AS s
+        FROM recal GROUP BY 1),
+      g AS (SELECT bin, n, n_pos, s // n AS conf_ppm,
+          (1000000 * n_pos) // n AS acc_ppm
+        FROM b)
+      SELECT bin, n, n_pos, conf_ppm, acc_ppm,
+        ABS(acc_ppm - conf_ppm) AS gap_ppm,
+        CAST((SUM(n * ABS(acc_ppm - conf_ppm)) OVER ())
+          // (SUM(n) OVER ()) AS BIGINT) AS ece_ppm
+      FROM g ORDER BY bin"""))
+
   val queries: Seq[GQuery] =
     Seq(q51, q52, q53, q56, q57, q60, q61, q63, q64, q64b, q65, q66, q67,
       q71, q100, q112, q116, q117, q119, q123, q124, q127, q130, q131,
       q133, q135, q141, q142, q143, q150, q151, q152, q154, q155, q160,
       q161, q163, q173, q177, q178, q189, q191, q213, q255, q259, q261,
-      q262, q290, q295, q306, q316, q328, q329, q334)
+      q262, q290, q295, q306, q316, q328, q329, q334, q335, q336, q337)
 }

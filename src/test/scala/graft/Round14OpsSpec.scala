@@ -286,6 +286,85 @@ class Round14OpsSpec extends SparkSpec {
     assert(rev == Seq(500000L), rev.toString)
   }
 
+  // ---- q335 PR curve --------------------------------------------------------
+
+  test("pr curve: the textbook curve computes exactly with the integer " +
+      "F1 identity, recall is monotone down the thresholds") {
+    // scores 3,2,1 with (n, pos) = (2,2), (2,1), (2,0); P = 3
+    val rows = Seq((3L, true), (3L, true), (2L, true), (2L, false),
+      (1L, false), (1L, false)).toDF("score_ppm", "label")
+    val out = CurationQ.prCurve(rows)
+      .orderBy(col("threshold_ppm").desc)
+      .select(col("threshold_ppm"), col("n_kept"), col("tp"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect().toSeq
+    // t=3: P=1, R=2/3, F1=2*2/(2+3)=0.8; t=2: P=3/4, R=1, F1=6/7;
+    // t=1: P=1/2, R=1, F1=2*3/(6+3)
+    assert(out == Seq(
+      (3L, 2L, 2L, 1000000L, Some(666666L), 800000L),
+      (2L, 4L, 3L, 750000L, Some(1000000L), 857142L),
+      (1L, 6L, 3L, 500000L, Some(1000000L), 666666L)), out.toString)
+    assert(out.map(_._5.get) == out.map(_._5.get).sorted,
+      "recall must be monotone as the threshold loosens")
+  }
+
+  // ---- q336 threshold pick --------------------------------------------------
+
+  test("threshold pick: each criterion lands on its hand-computed " +
+      "optimum, criterion ties break to the HIGHEST threshold, and " +
+      "the no-gate cost prices missing every positive") {
+    val rows = Seq((3L, true), (3L, true), (2L, true), (2L, false),
+      (1L, false), (1L, false)).toDF("score_ppm", "label")
+    val out = CurationQ.thresholdPick(rows, costFnMilli = 2000L,
+        costFpMilli = 1000L)
+      .select(col("n"), col("n_pos"), col("best_f1_threshold_ppm"),
+        col("best_f1_ppm"), col("best_j_threshold_ppm"),
+        col("best_j_ppm"), col("best_cost_threshold_ppm"),
+        col("min_cost"), col("no_gate_cost"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    // F1: t=2 wins (857142). J: t=2 -> 10^6 - trunc(10^6/3) = 666667
+    //   beats t=3 -> trunc(2*10^6/3) - 0 = 666666 (the truncation
+    //   direction decides — exactly why the gate must be integer-exact
+    //   in both engines). cost: t=3 fn=1 -> 2; t=2 fp=1 -> 1;
+    //   t=1 fp=3 -> 3 -> t=2 wins.
+    assert(out == ((6L, 3L, 2L, 857142L, 2L, 666667L, 2L, 1L, 6L)),
+      out.toString)
+
+    // tie case: a perfect scorer — J = 10^6 at every pure threshold?
+    // scores 2 (all pos), 1 (all neg): J(t=2) = 10^6; J(t=1) = 0;
+    // F1(t=2) = 10^6, F1(t=1) = 2P/(n+P). Degenerate all-positive
+    // input: J undefined -> NULL threshold, row kept
+    val allPos = Seq((5L, true), (4L, true)).toDF("score_ppm", "label")
+    val deg = CurationQ.thresholdPick(allPos)
+      .select(col("best_j_threshold_ppm"), col("best_j_ppm"))
+      .as[(Option[Long], Option[Long])].head()
+    assert(deg == ((None, None)), deg.toString)
+  }
+
+  // ---- q337 calibrated re-diagnosis ----------------------------------------
+
+  test("calibrated reliability: after the isotonic map the card's " +
+      "per-bin gap sits at the ppm truncation floor and ECE collapses") {
+    // a deliberately OVERCONFIDENT scorer: claims 90% where rate is 50%
+    val raw = (Seq.fill(10)((900000L, true)) ++
+      Seq.fill(10)((900000L, false)) ++
+      Seq.fill(10)((100000L, true)) ++ Seq.fill(30)((100000L, false)))
+      .toDF("score_ppm", "label")
+    val pre = CurationQ.reliabilityCard(raw)
+      .select(col("ece_ppm")).as[Long].head()
+    val fit = CurationQ.isotonicCalibration(raw)
+      .select(col("score_ppm"), col("cal_ppm"))
+    val post = CurationQ.reliabilityCard(
+        raw.join(broadcast(fit), Seq("score_ppm"))
+          .select(col("cal_ppm").as("score_ppm"), col("label")))
+      .select(col("gap_ppm"), col("ece_ppm"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pre > 200000L, s"fixture must start miscalibrated: $pre")
+    assert(post.forall(r => r._1 <= 1L && r._2 <= 1L),
+      s"calibrated gaps must sit at the truncation floor: $post")
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewma chart: the fold replays the exact flooring recurrence, " +

@@ -310,6 +310,51 @@ class Round14PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  // ---- q335/q336 PR curve + threshold pick ---------------------------------
+
+  test("prCurve and thresholdPick equal the in-memory sweep on " +
+      "arbitrary scored sets") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 8L),
+        Gen.oneOf(true, false)))
+    } yield rows.map { case (s, l) => (s * 125000L, l) }
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("score_ppm", "label")
+      val curve = CurationQ.prCurve(df)
+        .orderBy(col("threshold_ppm").desc)
+        .select(col("threshold_ppm"), col("n_kept"), col("tp"),
+          col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+        .as[(Long, Long, Long, Long, Option[Long], Long)]
+        .collect().toSeq
+      val np = rows.count(_._2).toLong
+      val thr = rows.map(_._1).distinct.sorted.reverse
+      val exp = thr.map { t =>
+        val kept = rows.filter(_._1 >= t)
+        val nk = kept.size.toLong
+        val tp = kept.count(_._2).toLong
+        (t, nk, tp, (1000000L * tp) / nk,
+          if (np > 0) Some((1000000L * tp) / np) else None,
+          (2000000L * tp) / (nk + np))
+      }
+      val pick = CurationQ.thresholdPick(df, costFnMilli = 2500L,
+          costFpMilli = 500L)
+        .select(col("best_f1_threshold_ppm"), col("best_f1_ppm"),
+          col("best_cost_threshold_ppm"), col("min_cost"))
+        .as[(Long, Long, Long, Long)].head()
+      val bestF1 = exp.map(r => (r._6, r._1)).maxBy(identity)
+      val costs = thr.map { t =>
+        val kept = rows.filter(_._1 >= t)
+        val fp = kept.count(!_._2).toLong
+        val fn = np - kept.count(_._2).toLong
+        ((2500L * fn + 500L * fp) / 1000L, t)
+      }
+      val bestCost = costs.minBy(c => (c._1, -c._2))
+      curve == exp &&
+        pick == ((bestF1._2, bestF1._1, bestCost._2, bestCost._1))
+    })
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewmaChart equals the in-memory flooring fold at any alpha") {
