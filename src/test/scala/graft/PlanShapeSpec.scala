@@ -17,6 +17,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q02_revenue_by_region").contains("BroadcastHashJoin"))
   }
 
+  test("q316's null-safe grid join (<=>) still plans a " +
+      "BroadcastHashJoin, not a nested loop") {
+    // EqualNullSafe is a valid hash-join key; the round-14 NULL-class
+    // fix must not have degraded the grid join. The join sides are
+    // aggregates (sizes unknown statically), so the broadcast decision
+    // is AQE's — materialize first and read the FINAL plan. The only
+    // BroadcastNestedLoopJoins allowed are the two deliberate tiny
+    // crossJoins (broadcast global distribution + scalar total).
+    val df = Registry.byName("q316_t_closeness").build(spark, sfDir)
+    df.collect()
+    // AdaptiveSparkPlan prints final + initial sections; read the final
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      p.take(600))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$p")
+  }
+
+  test("q332 resolves the rate dim with a broadcast join and q331 " +
+      "builds its grid from broadcast margins") {
+    assert(planOf("q332_irsf_screen").contains("BroadcastHashJoin"))
+    assert(planOf("q331_cramers_v2").contains("BroadcastHashJoin"))
+  }
+
+  test("q337 applies the isotonic map with a broadcast join") {
+    assert(planOf("q337_calibrated_reliability")
+      .contains("BroadcastHashJoin"))
+  }
+
   test("q06 pushes predicates into the parquet scan") {
     val plan = planOf("q06_filtered_revenue")
     assert(plan.contains("PushedFilters: ["))
