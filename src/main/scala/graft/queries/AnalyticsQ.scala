@@ -1425,26 +1425,26 @@ object AnalyticsQ {
       FROM nb LEFT JOIN c USING (g)
       ORDER BY event_type"""))
 
-  /** Mann–Kendall trend test — the nonparametric "is this series
-    * monotonically drifting" gate the monitoring family lacked
-    * ([[volumeAnomalies]]-class cards flag single days; the trend
-    * slopes card fits a line a few outliers can own; MK counts
-    * pairwise rises minus falls, so it detects a steady creep
-    * regardless of shape or outliers). S = Σ_{i<j} sgn(xⱼ − xᵢ) and
-    * the tie-corrected variance numerator VN = n(n−1)(2n+5) −
-    * Σ_t t(t−1)(2t+5) (Var = VN/18) are exact integers; the two-sided
-    * α = 0.05 flag evaluates the continuity-corrected inequality
+  /** Mann–Kendall SIGNIFICANCE test — the decision [[mannKendallTrend]]
+    * (q275) deliberately stops short of: that card reports the S
+    * statistic and the τ² effect size but no verdict, so a dashboard
+    * still has to eyeball "is S = 41 on 30 days a trend or noise".
+    * This completes it with the tie-corrected variance and the
+    * two-sided α = 0.05 gate: the variance numerator VN = n(n−1)(2n+5)
+    * − Σ_t t(t−1)(2t+5) (Var = VN/18) is an exact integer, and the
+    * flag evaluates the continuity-corrected inequality
     * (|S|−1)²·18·10⁷ > 38414589·VN in DECIMAL(38,0) — the constant
     * sits just ABOVE z²₀.₀₂₅·10⁷ = 38414588.2, so the gate only flags
     * true exceedances (the conservative convention); direction is
     * sgn(S). S = 0, n < 2, or VN = 0 (all values tied) keep the row
     * unflagged with NULL direction — never an ANSI division.
     *
-    * Scale shape: pair counting rides the [[kendallTau]] series-grain
-    * self-join (timeline-bounded); tie groups are one (group, value)
-    * histogram aggregation of the same tiny series. */
-  def mannKendall(series: DataFrame, groupCol: String, ordCol: String,
-      xCol: String): DataFrame = {
+    * Scale shape: pair counting rides the [[kendallTauSeries]]
+    * series-grain self-join (timeline-bounded; q275's cell-grain
+    * equi-join form covers duplicate-x series); tie groups are one
+    * (group, value) histogram aggregation of the same tiny series. */
+  def mannKendallTest(series: DataFrame, groupCol: String,
+      ordCol: String, xCol: String): DataFrame = {
     val s1 = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
       col(xCol).as("x"))
     val a = s1.toDF("g", "o1", "x1")
@@ -1475,11 +1475,12 @@ object AnalyticsQ {
         col("var_num18"), col("trending"), col("direction"))
   }
 
-  /** Oracle fixture of [[mannKendall]]: per event type, is daily
-    * volume steadily creeping across the timeline? */
+  /** Oracle fixture of [[mannKendallTest]]: per event type, is daily
+    * volume steadily creeping across the timeline — with a VERDICT
+    * beside q275's effect size? */
   private val q326 = GQuery(
     "q326_mann_kendall",
-    (s, dir) => mannKendall(
+    (s, dir) => mannKendallTest(
       t(s, dir, "events")
         .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
         .agg(count(lit(1)).as("x")),

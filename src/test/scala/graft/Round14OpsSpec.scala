@@ -91,7 +91,7 @@ class Round14OpsSpec extends SparkSpec {
     val ramp = (1L to 12L).map(i => ("ramp", i, 100L + i))
     val const = (1L to 12L).map(i => ("const", i, 5L))
     val flat = (1L to 12L).map(i => ("flat", i, 10L + (i % 2)))
-    val out = AnalyticsQ.mannKendall(
+    val out = AnalyticsQ.mannKendallTest(
         (ramp ++ const ++ flat).toDF("g", "o", "x"), "g", "o", "x")
       .orderBy(col("g"))
       .select(col("g"), col("n_obs"), col("s_stat"), col("var_num18"),

@@ -92,10 +92,10 @@ class Round14PropertySpec extends SparkSpec {
 
   // ---- q326 Mann-Kendall --------------------------------------------------
 
-  test("mannKendall equals the in-memory S and tie-corrected variance, " +
+  test("mannKendallTest equals the in-memory S and tie-corrected variance, " +
       "and negating the series negates S with the same variance") {
     check(Prop.forAll(seriesGen) { rows =>
-      def run(flip: Boolean) = AnalyticsQ.mannKendall(
+      def run(flip: Boolean) = AnalyticsQ.mannKendallTest(
           rows.map { case (o, x, _) => ("g", o, if (flip) -x else x) }
             .toDF("g", "o", "x"), "g", "o", "x")
         .select(col("n_obs"), col("s_stat"), col("var_num18"))
