@@ -1927,6 +1927,70 @@ object AnalyticsQ {
       ORDER BY ks_ppm DESC, v
       LIMIT 1"""))
 
+  /** Two-sample KS SIGNIFICANCE gate — the verdict [[ksDrift]] (q148)
+    * stops short of, the q326-over-q275 pattern applied to the drift
+    * family: q148 reports the exact KS statistic and where it peaks,
+    * but "is 38000 ppm on these sample sizes drift or noise" still
+    * needed a human. The two-sided level-α rejection D >
+    * √(ln(2/α)·(n+m)/(2nm)) evaluates SQUARED as the exact integer
+    * inequality D_ppm²·2·n·m > ln(2/α)·10⁶·(n+m) in DECIMAL(38,0)
+    * (HUGEINT in the oracle) — `lnTwoOverAlphaMicro` defaults to
+    * 3688880, just ABOVE ln(40)·10⁶ = 3688879.45 for α = 0.05, so with
+    * the statistic's own ppm truncation the gate only flags true
+    * exceedances (the conservative convention shared by every
+    * significance gate in the engine). Same plan as q148: the flag is
+    * one scalar expression on its 1-row output.
+    */
+  def ksGate(docs: DataFrame, metric: org.apache.spark.sql.Column,
+      sourceA: String, sourceB: String, bucketWidth: Long = 1024L,
+      lnTwoOverAlphaMicro: Long = 3688880L): DataFrame = {
+    require(lnTwoOverAlphaMicro > 0L,
+      s"lnTwoOverAlphaMicro must be > 0, got $lnTwoOverAlphaMicro")
+    ksDrift(docs, metric, sourceA, sourceB, bucketWidth)
+      .withColumn("drifted", expr(
+        s"""CAST(ks_ppm AS DECIMAL(38,0)) * ks_ppm * 2 * na * nb
+           > CAST($lnTwoOverAlphaMicro AS DECIMAL(38,0)) * 1000000
+             * (na + nb)"""))
+  }
+
+  /** Oracle fixture of [[ksGate]]: purchase vs view event-value
+    * distributions — are the two types drawing from the same spend
+    * shape, with a VERDICT beside q148's statistic? */
+  private val q338 = GQuery(
+    "q338_ks_gate",
+    (s, dir) => ksGate(
+      t(s, dir, "events").select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("m"),
+        col("event_type").as("source")),
+      col("m"), "purchase", "view"),
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS cb
+        FROM events WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+      c AS (SELECT v,
+          CAST(SUM(ca) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_a,
+          CAST(SUM(cb) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_b
+        FROM g),
+      top1 AS (SELECT na, nb, v AS at_value,
+          abs((1000000 * cum_a) // na - (1000000 * cum_b) // nb)
+            AS ks_ppm
+        FROM c, tot
+        ORDER BY ks_ppm DESC, v
+        LIMIT 1)
+      SELECT na, nb, at_value, ks_ppm,
+        CAST(ks_ppm AS HUGEINT) * ks_ppm * 2 * na * nb
+          > CAST(3688880 AS HUGEINT) * 1000000 * (na + nb) AS drifted
+      FROM top1"""))
+
   /** Multi-touch conversion attribution — the marketing/product question
     * [[funnelReach]] doesn't answer: given conversions and the touch
     * events that preceded them within a lookback window, how much credit
@@ -5435,5 +5499,5 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333)
+    q333, q338)
 }

@@ -365,6 +365,31 @@ class Round14OpsSpec extends SparkSpec {
       s"calibrated gaps must sit at the truncation floor: $post")
   }
 
+  // ---- q338 KS gate ----------------------------------------------------------
+
+  test("ks gate: a planted location shift flags, identical samples do " +
+      "not, and the inequality matches the exact replay") {
+    def mk(a: Seq[Long], b: Seq[Long]) =
+      (a.map(v => (v, "A")) ++ b.map(v => (v, "B"))).toDF("m", "source")
+    // 40 vs 40, disjoint supports: D = 1e6 — flags at any sane n
+    val shifted = AnalyticsQ.ksGate(
+        mk((1L to 40L), (41L to 80L)), col("m"), "A", "B")
+      .select(col("ks_ppm"), col("drifted")).as[(Long, Boolean)].head()
+    assert(shifted == ((1000000L, true)), shifted.toString)
+    // identical samples: D = 0, never flags
+    val same = AnalyticsQ.ksGate(
+        mk((1L to 40L), (1L to 40L)), col("m"), "A", "B")
+      .select(col("ks_ppm"), col("drifted")).as[(Long, Boolean)].head()
+    assert(same == ((0L, false)), same.toString)
+    // exact boundary arithmetic: n = m = 8, one-value difference gives
+    // D = 125000 ppm; 125000^2*2*64 = 2e15 < 3688880e6*16 = 5.9e16 ->
+    // quiet (underpowered small samples never flag — the DKW floor)
+    val small = AnalyticsQ.ksGate(
+        mk((1L to 8L), (1L to 7L) :+ 99L), col("m"), "A", "B")
+      .select(col("ks_ppm"), col("drifted")).as[(Long, Boolean)].head()
+    assert(small == ((125000L, false)), small.toString)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewma chart: the fold replays the exact flooring recurrence, " +
