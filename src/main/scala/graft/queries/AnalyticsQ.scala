@@ -1249,14 +1249,54 @@ object AnalyticsQ {
       FROM l GROUP BY day ORDER BY day"""))
 
   /** χ²(0.05) critical values at MICRO precision (truncated), df 1–6 —
-    * the one table the agreement/trend gates share. Micro truncation of
+    * the one table every significance gate shares (df 1-120, generated
+  * by bisecting the regularized incomplete gamma to 1e-9 and verified
+  * against the published df 1-30 and df 100 values). Micro truncation of
     * the critical value makes every gate CONSERVATIVE under the
     * `statistic_micro > crit_micro` convention (a statistic whose micro
     * truncation ties the critical value straddles it and stays
     * unflagged — the q314 rule). */
   private[graft] val chi2Crit05Micro: Map[Int, Long] = Map(
     1 -> 3841458L, 2 -> 5991464L, 3 -> 7814727L,
-    4 -> 9487729L, 5 -> 11070497L, 6 -> 12591587L)
+    4 -> 9487729L, 5 -> 11070497L, 6 -> 12591587L,
+    7 -> 14067140L, 8 -> 15507313L, 9 -> 16918977L,
+    10 -> 18307038L, 11 -> 19675137L, 12 -> 21026069L,
+    13 -> 22362032L, 14 -> 23684791L, 15 -> 24995790L,
+    16 -> 26296227L, 17 -> 27587111L, 18 -> 28869299L,
+    19 -> 30143527L, 20 -> 31410432L, 21 -> 32670573L,
+    22 -> 33924438L, 23 -> 35172461L, 24 -> 36415028L,
+    25 -> 37652484L, 26 -> 38885138L, 27 -> 40113272L,
+    28 -> 41337138L, 29 -> 42556967L, 30 -> 43772971L,
+    31 -> 44985343L, 32 -> 46194259L, 33 -> 47399883L,
+    34 -> 48602367L, 35 -> 49801849L, 36 -> 50998460L,
+    37 -> 52192319L, 38 -> 53383540L, 39 -> 54572227L,
+    40 -> 55758479L, 41 -> 56942387L, 42 -> 58124037L,
+    43 -> 59303512L, 44 -> 60480886L, 45 -> 61656233L,
+    46 -> 62829620L, 47 -> 64001111L, 48 -> 65170768L,
+    49 -> 66338648L, 50 -> 67504806L, 51 -> 68669293L,
+    52 -> 69832160L, 53 -> 70993452L, 54 -> 72153216L,
+    55 -> 73311493L, 56 -> 74468324L, 57 -> 75623748L,
+    58 -> 76777803L, 59 -> 77930523L, 60 -> 79081944L,
+    61 -> 80232097L, 62 -> 81381015L, 63 -> 82528726L,
+    64 -> 83675260L, 65 -> 84820645L, 66 -> 85964907L,
+    67 -> 87108072L, 68 -> 88250164L, 69 -> 89391207L,
+    70 -> 90531225L, 71 -> 91670239L, 72 -> 92808270L,
+    73 -> 93945339L, 74 -> 95081466L, 75 -> 96216670L,
+    76 -> 97350970L, 77 -> 98484383L, 78 -> 99616927L,
+    79 -> 100748618L, 80 -> 101879473L, 81 -> 103009508L,
+    82 -> 104138738L, 83 -> 105267177L, 84 -> 106394840L,
+    85 -> 107521740L, 86 -> 108647892L, 87 -> 109773309L,
+    88 -> 110898002L, 89 -> 112021985L, 90 -> 113145270L,
+    91 -> 114267867L, 92 -> 115389789L, 93 -> 116511047L,
+    94 -> 117631651L, 95 -> 118751611L, 96 -> 119870939L,
+    97 -> 120989643L, 98 -> 122107734L, 99 -> 123225221L,
+    100 -> 124342113L, 101 -> 125458419L, 102 -> 126574148L,
+    103 -> 127689308L, 104 -> 128803907L, 105 -> 129917955L,
+    106 -> 131031458L, 107 -> 132144424L, 108 -> 133256861L,
+    109 -> 134368777L, 110 -> 135480177L, 111 -> 136591071L,
+    112 -> 137701463L, 113 -> 138811362L, 114 -> 139920773L,
+    115 -> 141029704L, 116 -> 142138160L, 117 -> 143246147L,
+    118 -> 144353672L, 119 -> 145460740L, 120 -> 146567357L)
 
   /** Cochran's Q test — the k-treatment generalization completing the
     * agreement family's TEST axis ([[mcnemarCard]] asks "are TWO paired
@@ -1990,6 +2030,103 @@ object AnalyticsQ {
         CAST(ks_ppm AS HUGEINT) * ks_ppm * 2 * na * nb
           > CAST(3688880 AS HUGEINT) * 1000000 * (na + nb) AS drifted
       FROM top1"""))
+
+  /** χ² independence SIGNIFICANCE gate — the last test family to gain
+    * its verdict (q314 McNemar, q324 Cochran, q326 Mann–Kendall, q338
+    * KS all flag; q184's χ² card reports the statistic, dof, and the
+    * per-row effect size but leaves "is this association real"
+    * unanswered): the card's exact-milli χ² gated against
+    * χ²₍₀.₀₅,dof₎ from the shared micro-precision table
+    * ([[chi2Crit05Micro]], dof 1–30) — the flag evaluates
+    * `chi2_milli·1000 > crit_micro(dof)` so the statistic's milli
+    * truncation keeps the gate conservative. dof outside the table (or
+    * a degenerate 1×c table, dof 0) keeps the row with a NULL verdict
+    * — "untested" must never read as "independent". Same plan as q184
+    * plus one CASE expression over the 1-row output. */
+  def chiSquareGate(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val crit = chi2Crit05Micro.toSeq.sortBy(_._1)
+      .map { case (d, c) => s"WHEN dof = $d THEN $c" }
+      .mkString(" ")
+    chiSquareCard(df, aCol, bCol)
+      .withColumn("independence_rejected", expr(
+        s"""CASE WHEN (CASE $crit END) IS NOT NULL
+           THEN chi2_milli * 1000 > (CASE $crit END) END"""))
+  }
+
+  /** Oracle fixture of [[chiSquareGate]]: the q184 source×lang table,
+    * now with the dof-12 verdict. */
+  private val q339 = GQuery(
+    "q339_chi2_gate",
+    (s, dir) => chiSquareGate(t(s, dir, "documents"), "source", "lang"),
+    Some("""WITH cells AS (SELECT source AS a, lang AS b, COUNT(*) AS o
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY 1, 2),
+      ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+      cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+               COUNT(DISTINCT a) AS n_a, COUNT(DISTINCT b) AS n_b
+             FROM cells),
+      grid AS (SELECT ra.a, ra.r, cb.b, cb.c,
+                 COALESCE(cells.o, 0) AS o
+               FROM ra CROSS JOIN cb
+               LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      per AS (SELECT nn.n, nn.n_a, nn.n_b,
+          (1000 * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c)
+                * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c))
+            // (nn.n * r * c) AS contrib
+        FROM grid, nn),
+      card AS (SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+          (MAX(n_a) - 1) * (MAX(n_b) - 1) AS dof,
+          CAST(SUM(contrib) AS BIGINT) AS chi2_milli,
+          CAST((1000000 * SUM(contrib)) // (1000 * MAX(n)) AS BIGINT)
+            AS phi2_micro
+        FROM per),
+      crit(dof, c) AS (VALUES (1, 3841458), (2, 5991464), (3, 7814727),
+        (4, 9487729), (5, 11070497), (6, 12591587), (7, 14067140),
+        (8, 15507313), (9, 16918977), (10, 18307038), (11, 19675137),
+        (12, 21026069), (13, 22362032), (14, 23684791), (15, 24995790),
+        (16, 26296227), (17, 27587111), (18, 28869299), (19, 30143527),
+        (20, 31410432), (21, 32670573), (22, 33924438), (23, 35172461),
+        (24, 36415028), (25, 37652484), (26, 38885138), (27, 40113272),
+        (28, 41337138), (29, 42556967), (30, 43772971),
+        (31, 44985343), (32, 46194259), (33, 47399883),
+        (34, 48602367), (35, 49801849), (36, 50998460),
+        (37, 52192319), (38, 53383540), (39, 54572227),
+        (40, 55758479), (41, 56942387), (42, 58124037),
+        (43, 59303512), (44, 60480886), (45, 61656233),
+        (46, 62829620), (47, 64001111), (48, 65170768),
+        (49, 66338648), (50, 67504806), (51, 68669293),
+        (52, 69832160), (53, 70993452), (54, 72153216),
+        (55, 73311493), (56, 74468324), (57, 75623748),
+        (58, 76777803), (59, 77930523), (60, 79081944),
+        (61, 80232097), (62, 81381015), (63, 82528726),
+        (64, 83675260), (65, 84820645), (66, 85964907),
+        (67, 87108072), (68, 88250164), (69, 89391207),
+        (70, 90531225), (71, 91670239), (72, 92808270),
+        (73, 93945339), (74, 95081466), (75, 96216670),
+        (76, 97350970), (77, 98484383), (78, 99616927),
+        (79, 100748618), (80, 101879473), (81, 103009508),
+        (82, 104138738), (83, 105267177), (84, 106394840),
+        (85, 107521740), (86, 108647892), (87, 109773309),
+        (88, 110898002), (89, 112021985), (90, 113145270),
+        (91, 114267867), (92, 115389789), (93, 116511047),
+        (94, 117631651), (95, 118751611), (96, 119870939),
+        (97, 120989643), (98, 122107734), (99, 123225221),
+        (100, 124342113), (101, 125458419), (102, 126574148),
+        (103, 127689308), (104, 128803907), (105, 129917955),
+        (106, 131031458), (107, 132144424), (108, 133256861),
+        (109, 134368777), (110, 135480177), (111, 136591071),
+        (112, 137701463), (113, 138811362), (114, 139920773),
+        (115, 141029704), (116, 142138160), (117, 143246147),
+        (118, 144353672), (119, 145460740), (120, 146567357))
+      SELECT card.*,
+        CASE WHEN crit.c IS NOT NULL
+          THEN card.chi2_milli * 1000 > crit.c END
+          AS independence_rejected
+      FROM card LEFT JOIN crit ON crit.dof = card.dof"""))
 
   /** Multi-touch conversion attribution — the marketing/product question
     * [[funnelReach]] doesn't answer: given conversions and the touch
@@ -5499,5 +5636,5 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333, q338)
+    q333, q338, q339)
 }

@@ -390,6 +390,33 @@ class Round14OpsSpec extends SparkSpec {
     assert(small == ((125000L, false)), small.toString)
   }
 
+  // ---- q339 chi-square gate --------------------------------------------------
+
+  test("chi2 gate: a deterministic association flags, independence " +
+      "stays quiet, and a single-category margin keeps a NULL verdict") {
+    // deterministic 2x2, n=40: chi2 = n = 40 -> 40000 milli*1000 =
+    // 4e7 micro > 3841458 -> flags
+    val assoc = (Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("b", "y")))
+      .toDF("u", "v")
+    val a = AnalyticsQ.chiSquareGate(assoc, "u", "v")
+      .select(col("dof"), col("chi2_milli"), col("independence_rejected"))
+      .as[(Long, Long, Option[Boolean])].head()
+    assert(a == ((1L, 40000L, Some(true))), a.toString)
+    // perfectly balanced 2x2: chi2 = 0 -> quiet
+    val indep = (for { u <- Seq("a", "b"); v <- Seq("x", "y");
+      _ <- 0 until 10 } yield (u, v)).toDF("u", "v")
+    val i = AnalyticsQ.chiSquareGate(indep, "u", "v")
+      .select(col("chi2_milli"), col("independence_rejected"))
+      .as[(Long, Option[Boolean])].head()
+    assert(i == ((0L, Some(false))), i.toString)
+    // 1xc margin: dof = 0, untested -> NULL (never "independent")
+    val one = Seq.fill(8)(("a", "x")).toDF("u", "v")
+    val o = AnalyticsQ.chiSquareGate(one, "u", "v")
+      .select(col("dof"), col("independence_rejected"))
+      .as[(Long, Option[Boolean])].head()
+    assert(o == ((0L, None)), o.toString)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewma chart: the fold replays the exact flooring recurrence, " +
