@@ -355,6 +355,50 @@ class Round14PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- q323 drift-log audit fold -------------------------------------------
+
+  test("the drift log folded to latest-row-per-day equals the batch " +
+      "card under ARBITRARY wave partitions with compaction between " +
+      "waves — deltaDrift re-emits every movable row") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(4, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 6),
+        Gen.oneOf("A", "B", "C"), Gen.chooseNum(0, 3)))
+      compactAfter <- Gen.chooseNum(0, 3)
+    } yield (rows, compactAfter)
+    check(Prop.forAll(gen) { case (rows, compactAfter) =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_p14drift").toString
+      val log = s"$store/driftlog"
+      val sink = graft.etl.IncrementalDrift.sink(spark, store, log)
+      def ev(rs: Seq[(Int, String, Int)]) =
+        rs.map { case (d, t, _) => (f"2024-01-${d + 1}%02d 12:00:00", t) }
+          .toDF("ts0", "event_type")
+          .select(col("ts0").cast("timestamp").as("ts"),
+            col("event_type"))
+      // the wave index is part of the GENERATED data — any partition
+      // of the corpus into arrival waves must fold to the same table
+      (0 to 3).foreach { w =>
+        sink(ev(rows.filter(_._3 == w)), w.toLong)
+        if (w == compactAfter)
+          graft.etl.IncrementalDrift.compact(spark, store)
+      }
+      val wDay = Window.partitionBy(col("day"))
+        .orderBy(col("batch_id").desc)
+      val folded = spark.read.parquet(log)
+        .withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(wDay))
+        .filter(col("__rn") === 1)
+        .select(col("day"), col("n_events"), col("tv_ppm"))
+        .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+      val batch = AnalyticsQ.tvDriftCard(ev(rows))
+        .select(col("day"), col("n_events"), col("tv_ppm"))
+        .as[(Long, Long, Option[Long])].collect().toSeq.sortBy(_._1)
+      folded == batch
+    }, n = 6)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewmaChart equals the in-memory flooring fold at any alpha") {
