@@ -71,7 +71,17 @@ final class MetricsLog(path: String, queueDir: Option[String] = None)
     * terminated line (whose Spark event has no name) carries its stage. */
   private val stageOf = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private var pktSeq = 0L
+  /** Seeded PAST the existing packets: a restarted listener starts a
+    * fresh instance with a zero counter, and rename-over-existing is a
+    * silent replace on POSIX — without the seed, a restart would
+    * overwrite the oldest health packets still sitting in the queue. */
+  private var pktSeq: Long = queueDir.map { d =>
+    Option(new File(d).list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("m") && n.endsWith(".pkt"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("m").stripSuffix(".pkt").toLong).toOption)
+      .foldLeft(-1L)(math.max) + 1L
+  }.getOrElse(0L)
 
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)

@@ -1049,6 +1049,35 @@ class StreamingSpec extends SparkSpec {
         col("m").contains("\"event\":\"terminated\"")).count() >= 1,
         "clean termination must land as an N-level packet")
       assert(m.filter(col("event") === "terminated").count() >= 1)
+      // RESTART: a fresh listener on the same queue dir must seed its
+      // packet counter PAST the existing packets — rename-over-existing
+      // is a silent replace on POSIX, so a zero-seeded restart would
+      // overwrite the oldest health packets still in the queue
+      val before = new java.io.File(s"$base/logq").list().toSet
+      spark.streams.removeListener(ml)
+      val ml2 = new graft.streaming.MetricsLog(s"$base/metrics.jsonl",
+        queueDir = Some(s"$base/logq"))
+      spark.streams.addListener(ml2)
+      try {
+        Files.write(Paths.get(s"$base/in/w2.csv"),
+          "call_id,seq,total,duration_sec\n3:1,1,1,30.0\n".getBytes("UTF-8"))
+        val q2 = spark.readStream
+          .schema(graft.streaming.LiveRatingChain.legSchema)
+          .option("header", "true").csv(s"$base/in")
+          .writeStream.queryName("metrics_probe2")
+          .option("checkpointLocation", s"$base/ckpt2")
+          .format("parquet").option("path", s"$base/out2")
+          .start()
+        q2.processAllAvailable()
+        q2.stop()
+        assert(eventually(10000L) {
+          val after = new java.io.File(s"$base/logq").list().toSet
+          before.subsetOf(after) && after.size > before.size
+        }, "restarted listener must append packets, never overwrite")
+      } finally {
+        spark.streams.removeListener(ml2)
+        ml2.close()
+      }
     } finally {
       spark.streams.removeListener(ml)
       ml.close()
