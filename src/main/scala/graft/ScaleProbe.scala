@@ -100,7 +100,7 @@ object ScaleProbe {
     "q330_nelson_aalen", "q331_cramers_v2", "q332_irsf_screen",
     "q333_ewma_chart", "q334_isotonic_calibration", "q335_pr_curve",
     "q336_threshold_pick", "q337_calibrated_reliability", "q338_ks_gate",
-    "q339_chi2_gate")
+    "q339_chi2_gate", "q340_forecast_interval")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

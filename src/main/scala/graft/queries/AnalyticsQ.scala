@@ -1176,6 +1176,101 @@ object AnalyticsQ {
         CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
       FROM l GROUP BY day ORDER BY day"""))
 
+  /** Empirical prediction-interval card — the UNCERTAINTY the forecast
+    * family ships its point estimates without (q287/q299/q310 produce
+    * ŷ; q321/q327 grade them; nothing says how WRONG tomorrow's number
+    * can plausibly be, which is what a capacity planner actually
+    * consumes): per series, the walk-forward one-step SES residuals
+    * (q321's exact fold, residual taken BEFORE each level update — the
+    * model never grades itself on data it has absorbed), their exact
+    * order-statistic band at loPct/hiPct (ceil(q·m) ranks, the q170
+    * convention), the final level, and the next-step forecast with the
+    * band attached (next = level + residual quantiles — the standard
+    * empirical PI, distribution-free). Series with fewer than 2
+    * observations keep their row with NULL band (never-drop).
+    *
+    * Scale shape: one (group, ord) aggregation builds the series; the
+    * fold and the residual sort are |days|-bounded per group (the q234
+    * bounded-collect class) — no row-grain window anywhere. */
+  def forecastIntervalCard(series: DataFrame, groupCol: String,
+      xCol: String, yCol: String, alphaMilli: Long = 300L,
+      loPct: Int = 10, hiPct: Int = 90): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000], got $alphaMilli")
+    require(loPct >= 1 && hiPct <= 99 && loPct < hiPct,
+      s"percentile band must satisfy 1 <= lo < hi <= 99: $loPct/$hiPct")
+    series
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
+        col(yCol).as("y")))).as("__s"))
+      .select(col("g").as(groupCol),
+        size(col("__s")).as("n_obs"),
+        expr(s"""aggregate(slice(transform(__s, p -> p.y), 2,
+            size(__s) - 1),
+          named_struct('lv', __s[0].y,
+            'rs', CAST(array() AS ARRAY<BIGINT>)),
+          (acc, y) -> named_struct(
+            'lv', acc.lv + ($alphaMilli * (y - acc.lv)) DIV 1000,
+            'rs', concat(acc.rs, array(y - acc.lv))))""").as("__f"))
+      .withColumn("__m", expr("size(__f.rs)"))
+      .withColumn("__sorted", expr("sort_array(__f.rs)"))
+      .select(col(groupCol), col("n_obs"),
+        when(col("n_obs") >= 2, col("__f.lv")).as("level"),
+        when(col("__m") >= 1, expr(
+          s"element_at(__sorted, CAST(greatest(1L, ($loPct * __m + 99) DIV 100) AS INT))"))
+          .as("lo_resid"),
+        when(col("__m") >= 1, expr(
+          s"element_at(__sorted, CAST(greatest(1L, ($hiPct * __m + 99) DIV 100) AS INT))"))
+          .as("hi_resid"))
+      .withColumn("next_lo", col("level") + col("lo_resid"))
+      .withColumn("next_hi", col("level") + col("hi_resid"))
+  }
+
+  /** Oracle fixture of [[forecastIntervalCard]]: the q321 daily-revenue
+    * series with an 80% empirical band on tomorrow's number. */
+  private val q340 = GQuery(
+    "q340_forecast_interval",
+    (s, dir) => forecastIntervalCard(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("CAST(ts AS DATE)").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("rev_centi")),
+      "event_type", "d", "rev_centi")
+      .orderBy(col("event_type")),
+    Some("""WITH RECURSIVE series AS (SELECT event_type AS g,
+          CAST(ts AS DATE) AS x,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      arr AS (SELECT g, array_agg(y ORDER BY x) AS ys
+        FROM series GROUP BY 1),
+      step(g, i, n, lv, resid) AS (
+        SELECT g, 1, CAST(len(ys) AS BIGINT), ys[1], CAST(NULL AS BIGINT)
+        FROM arr
+        UNION ALL
+        SELECT s.g, i + 1, n,
+          lv + (300 * (a.ys[i + 1] - lv)) // 1000,
+          a.ys[i + 1] - lv
+        FROM step s JOIN arr a ON a.g = s.g WHERE i < n),
+      fin AS (SELECT g, n AS n_obs, lv AS level FROM step WHERE i = n),
+      rs AS (SELECT g, resid,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY resid) AS rk,
+          COUNT(*) OVER (PARTITION BY g) AS m
+        FROM step WHERE resid IS NOT NULL),
+      band AS (SELECT g,
+          MAX(CASE WHEN rk = GREATEST(1, (10 * m + 99) // 100)
+            THEN resid END) AS lo_resid,
+          MAX(CASE WHEN rk = GREATEST(1, (90 * m + 99) // 100)
+            THEN resid END) AS hi_resid
+        FROM rs GROUP BY g)
+      SELECT fin.g AS event_type, CAST(n_obs AS INT) AS n_obs,
+        CASE WHEN n_obs >= 2 THEN level END AS level,
+        band.lo_resid, band.hi_resid,
+        CASE WHEN n_obs >= 2 THEN level END + band.lo_resid AS next_lo,
+        CASE WHEN n_obs >= 2 THEN level END + band.hi_resid AS next_hi
+      FROM fin LEFT JOIN band USING (g)
+      ORDER BY event_type"""))
+
   /** Drift-log AUDIT-TRAIL card — the q322 lifecycle one rung further:
     * q322 pins the STORE ([[graft.etl.IncrementalDrift.drift]] over
     * appended waves == batch [[tvDriftCard]]); this pins the LOG the
@@ -5636,5 +5731,5 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333, q338, q339)
+    q333, q338, q339, q340)
 }

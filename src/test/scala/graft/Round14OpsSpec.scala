@@ -417,6 +417,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(o == ((0L, None)), o.toString)
   }
 
+  // ---- q340 forecast interval ------------------------------------------------
+
+  test("forecast interval: the hand fold gives the exact level and " +
+      "residual band (including the toward-zero truncation of a " +
+      "negative update), singletons keep NULL bands") {
+    // alpha 0.3: lv 100 -> r=10, lv 103 -> r=-3, lv stays 103 (the
+    // -900 DIV 1000 = 0 truncation) -> r=17, lv 108
+    val rows = Seq(("a", 1L, 100L), ("a", 2L, 110L), ("a", 3L, 100L),
+      ("a", 4L, 120L), ("solo", 1L, 5L))
+    val out = AnalyticsQ.forecastIntervalCard(
+        rows.toDF("g", "o", "y"), "g", "o", "y", alphaMilli = 300L,
+        loPct = 10, hiPct = 90)
+      .orderBy(col("g"))
+      .select(col("g"), col("n_obs"), col("level"), col("lo_resid"),
+        col("hi_resid"), col("next_lo"), col("next_hi"))
+      .as[(String, Int, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("a", 4, Some(108L), Some(-3L), Some(17L), Some(105L),
+        Some(125L)),
+      ("solo", 1, None, None, None, None, None)), out.toString)
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewma chart: the fold replays the exact flooring recurrence, " +

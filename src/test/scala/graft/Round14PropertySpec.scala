@@ -399,6 +399,37 @@ class Round14PropertySpec extends SparkSpec {
     }, n = 6)
   }
 
+  // ---- q340 forecast interval ------------------------------------------------
+
+  test("forecastIntervalCard equals the in-memory fold + order " +
+      "statistics at any alpha") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      ys <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+      a <- Gen.chooseNum(0L, 1000L)
+    } yield (ys, a)
+    check(Prop.forAll(gen) { case (ys, a) =>
+      val rows = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      val got = AnalyticsQ.forecastIntervalCard(rows.toDF("g", "o", "y"),
+          "g", "o", "y", alphaMilli = a, loPct = 25, hiPct = 75)
+        .select(col("level"), col("lo_resid"), col("hi_resid"))
+        .as[(Option[Long], Option[Long], Option[Long])].head()
+      var lv = ys.head
+      val rs = ys.drop(1).map { y =>
+        val r = y - lv; lv += (a * r) / 1000L; r }
+      val exp: (Option[Long], Option[Long], Option[Long]) =
+        if (ys.size < 2) ((None, None, None))
+        else {
+          val srt = rs.sorted
+          val m = srt.size
+          def at(pct: Int) =
+            srt(math.max(1L, (pct * m + 99L) / 100L).toInt - 1)
+          ((Some(lv), Some(at(25)), Some(at(75))))
+        }
+      got == exp
+    })
+  }
+
   // ---- q333 EWMA chart ----------------------------------------------------
 
   test("ewmaChart equals the in-memory flooring fold at any alpha") {
