@@ -107,39 +107,95 @@ object IncrementalDrift {
     * ([[IncrementalSemDedup.rebuild]]): the folded store writes to a
     * sibling temp, is trusted only once its `_COMPACTED` marker
     * exists, and the delete-then-rename swap is re-entrant — a crash
-    * at any step re-runs to completion. Single-writer like every
-    * store in the family: run it in the maintenance window, not
-    * beside a live [[sink]]. */
+    * at any step re-runs to completion. The marker records WHICH
+    * `batch_id` partitions the fold consumed, so partitions the live
+    * [[sink]] appended AFTER a crashed run wrote its marker are
+    * RESCUED into the swap (renamed beside the compacted days), never
+    * silently discarded — a crash + append + re-run converges to the
+    * same store a clean sequence produces (spec-pinned). Still
+    * single-writer like every store in the family: the rescue makes a
+    * crashed maintenance window safe to recover from, not compaction
+    * safe to run concurrently with an in-flight append. */
   def compact(spark: SparkSession, storePath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(countsPath(storePath))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      countsPath(storePath) + ".compact.tmp")
+    foldPhase(spark, storePath)
+    swapPhase(fs, dst)
+  }
+
+  /** `batch_id=N` partition dir names under `p` (data partitions only). */
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+
+  private def tmpPath(storePath: String) =
+    new org.apache.hadoop.fs.Path(countsPath(storePath) + ".compact.tmp")
+
+  /** Fold phase of [[compact]]: write the one-partition-per-day rewrite
+    * to the sibling temp and mark it complete — the marker body lists
+    * the consumed `batch_id` partitions (the fold reads EXACTLY that
+    * set, partition-pruned, so marker and data can never disagree).
+    * Package-private so the spec can open the crash window between
+    * phases. */
+  private[graft] def foldPhase(spark: SparkSession, storePath: String)
+      : Unit = {
+    val dst = new org.apache.hadoop.fs.Path(countsPath(storePath))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(storePath)
     val marker = new org.apache.hadoop.fs.Path(tmp, "_COMPACTED")
-    // no-op only when there is NEITHER a store NOR a completed temp —
-    // a missing store beside a marked temp is the crash window between
-    // delete and rename, which must complete, not return
-    if (!fs.exists(dst) && !fs.exists(marker)) return
-    if (!fs.exists(marker)) {
-      val folded = spark.read.schema(countSchema).parquet(dst.toString)
-        .groupBy(col("day"), col("t")).agg(sum(col("c")).as("c"))
-        .localCheckpoint() // tiny; cut before the min-day guard action
-      val minDay = folded.agg(min(col("day"))).head.get(0)
-      require(minDay == null ||
-          minDay.asInstanceOf[Long] >= 0L,
-        "IncrementalDrift.compact: negative day index (event before the " +
-          "epoch date) cannot use the reserved -(day+1) partition ids — " +
-          "rebase the epoch below the earliest event first")
-      folded
-        .withColumn("batch_id", expr("-(day + 1)"))
-        .select(col("day"), col("t"), col("c"), col("batch_id"))
-        .repartition(col("day")) // one task → one file per day partition
-        .write.partitionBy("batch_id")
-        .mode("overwrite").parquet(tmp.toString)
-      fs.create(marker, true).close()
+    if (fs.exists(marker) || !fs.exists(dst)) return
+    val inDirs = batchDirs(fs, dst)
+    val inIds = inDirs.map(_.stripPrefix("batch_id=").toLong)
+    val folded = spark.read.schema(countSchema).parquet(dst.toString)
+      .filter(col("batch_id").isin(inIds: _*)) // pruned to the marker set
+      .groupBy(col("day"), col("t")).agg(sum(col("c")).as("c"))
+      .localCheckpoint() // tiny; cut before the min-day guard action
+    val minDay = folded.agg(min(col("day"))).head.get(0)
+    require(minDay == null ||
+        minDay.asInstanceOf[Long] >= 0L,
+      "IncrementalDrift.compact: negative day index (event before the " +
+        "epoch date) cannot use the reserved -(day+1) partition ids — " +
+        "rebase the epoch below the earliest event first")
+    folded
+      .withColumn("batch_id", expr("-(day + 1)"))
+      .select(col("day"), col("t"), col("c"), col("batch_id"))
+      .repartition(col("day")) // one task → one file per day partition
+      .write.partitionBy("batch_id")
+      .mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(marker, true)
+    out.write(inDirs.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Swap phase of [[compact]]: partitions in `dst` NOT listed in the
+    * marker are post-marker appends — rename them INTO the temp first
+    * (a retried batch that also re-landed in `dst` wins over a
+    * previously rescued copy: dynamic overwrite means the `dst` copy is
+    * the newer self-replacement), then delete-then-rename as before.
+    * Every step is idempotent, so a crash anywhere re-runs to
+    * completion with no appended batch lost. */
+  private[graft] def swapPhase(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dst.toString + ".compact.tmp")
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_COMPACTED")
+    if (!fs.exists(marker)) return // nothing folded (empty/no store)
+    val foldedSet = {
+      val in = fs.open(marker)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split('\n').filter(_.nonEmpty).toSet
     }
-    // swap: the temp is complete (this run's write or a prior crashed
-    // run's) — delete-then-rename, each step re-entrant
+    batchDirs(fs, dst).filterNot(foldedSet).foreach { d =>
+      val from = new org.apache.hadoop.fs.Path(dst, d)
+      val to = new org.apache.hadoop.fs.Path(tmp, d)
+      if (fs.exists(to)) fs.delete(to, true) // dst copy is the retry: newer
+      require(fs.rename(from, to),
+        s"IncrementalDrift.compact: rescue rename $from -> $to failed; " +
+          "re-run compact to complete the swap")
+    }
     if (fs.exists(dst)) fs.delete(dst, true)
     require(fs.rename(tmp, dst),
       s"IncrementalDrift.compact: rename $tmp -> $dst failed; re-run " +
@@ -199,9 +255,22 @@ object IncrementalDrift {
     * into `driftLogPath` (append-only audit: "the drift as of batch N";
     * the latest row per day is the current verdict, and a late
     * straggler's correction is VISIBLE as a new row rather than a
-    * silent rewrite). */
+    * silent rewrite).
+    *
+    * `compactEvery = Some(n)` runs [[compact]] inside the SAME
+    * foreachBatch epoch after every n-th batch — the unattended-stream
+    * lever (a year-long feed otherwise accumulates thousands of
+    * partitions until an operator remembers the manual call). Inside
+    * the epoch the sink IS the single writer, so the maintenance-window
+    * contract holds by construction; the fold is sum-idempotent, so the
+    * drift table and the audit trail are hash-identical to the
+    * manual-lifecycle run (spec-pinned) and the partition count stays
+    * bounded by |days| + n. */
   def sink(spark: SparkSession, storePath: String, driftLogPath: String,
-      typeCol: String = "event_type"): (DataFrame, Long) => Unit =
+      typeCol: String = "event_type",
+      compactEvery: Option[Int] = None): (DataFrame, Long) => Unit = {
+    compactEvery.foreach(n => require(n >= 1,
+      s"IncrementalDrift.sink: compactEvery must be >= 1, got $n"))
     (batch, batchId) => {
       append(batch, storePath, batchId, typeCol)
       deltaDrift(spark, storePath, batchId)
@@ -209,5 +278,8 @@ object IncrementalDrift {
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(driftLogPath)
+      if (compactEvery.exists(n => (batchId + 1) % n == 0))
+        compact(spark, storePath)
     }
+  }
 }

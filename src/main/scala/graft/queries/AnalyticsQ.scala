@@ -1411,7 +1411,7 @@ object AnalyticsQ {
     val k = raters.length
     require(k >= 2, s"cochranQ needs >= 2 raters, got $k")
     require(chi2Crit05Micro.contains(k - 1),
-      s"cochranQ: no critical value tabled for df=${k - 1} (1..6)")
+      s"cochranQ: no critical value tabled for df=${k - 1} (1..120)")
     val crit = chi2Crit05Micro(k - 1)
     val ind = raters.zipWithIndex.map { case (r, i) =>
       when(r, 1L).otherwise(0L).as(s"__r$i") }
@@ -1790,7 +1790,9 @@ object AnalyticsQ {
     * rather than V: the square root is where engines diverge, and V²
     * orders identically (the τ-b / q188 ingredients stance). A 1×c or
     * r×1 table keeps its row with NULL V² (no association is
-    * definable), never a division error. Oracle-portability note: the
+    * definable), never a division error. NULL categories are excluded
+    * up front (the [[chiSquareCard]] contract — callers wanting NULL
+    * as a class recode it to a sentinel first). Oracle-portability note: the
     * numerator exceeds 64 bits, and DuckDB's `//` over DECIMAL routes
     * through a double (lossy past 2⁵³) — the oracle must use HUGEINT,
     * where `//` is exact; Spark's DECIMAL(38,0) DIV is exact and the
@@ -1802,7 +1804,15 @@ object AnalyticsQ {
     * (r·c rows), built by crossing the two broadcast margin tables. */
   def cramersV2(df: DataFrame, rowCol: String, colCol: String)
       : DataFrame = {
-    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+    // NULL categories are excluded up front — the [[chiSquareCard]]
+    // contract: a NULL cell would never match the grid's EqualTo left
+    // join (its observed count reads 0 while its margin mass persists,
+    // silently inflating chi2), and countDistinct drops NULL so n_rows/
+    // n_cols would disagree with the margins feeding the dof term.
+    // Excluding keeps o, margins, n and min(r-1,c-1) over one population.
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(count(lit(1)).as("o"))
       .localCheckpoint() // feeds margins AND the grid — cut once (q298)
     val rt = cells.groupBy(col("__r")).agg(sum(col("o")).as("rt"))
@@ -2132,7 +2142,7 @@ object AnalyticsQ {
     * per-row effect size but leaves "is this association real"
     * unanswered): the card's exact-milli χ² gated against
     * χ²₍₀.₀₅,dof₎ from the shared micro-precision table
-    * ([[chi2Crit05Micro]], dof 1–30) — the flag evaluates
+    * ([[chi2Crit05Micro]], dof 1–120) — the flag evaluates
     * `chi2_milli·1000 > crit_micro(dof)` so the statistic's milli
     * truncation keeps the gate conservative. dof outside the table (or
     * a degenerate 1×c table, dof 0) keeps the row with a NULL verdict

@@ -105,7 +105,10 @@ final class MetricsLog(path: String, queueDir: Option[String] = None)
       out.println(line)
       out.flush()
       queueDir.foreach { d =>
-        val name = f"m$pktSeq%020d.pkt"
+        // Locale.ROOT like the JSON payload: a locale with non-ASCII
+        // digits would break lexicographic queue order AND the restart
+        // seed's toLong parse (seed falls back to 0 → rename-overwrite).
+        val name = String.format(Locale.ROOT, "m%020d.pkt", Long.box(pktSeq))
         pktSeq += 1
         val body = PacketCodec.serializeLocal(Map(
           PacketCodec.SessionKey -> "1",

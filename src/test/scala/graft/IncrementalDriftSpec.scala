@@ -137,6 +137,66 @@ class IncrementalDriftSpec extends SparkSpec {
       "crash-window re-run did not complete the swap")
   }
 
+  test("a crash AFTER the fold marker with live appends landing before " +
+      "the re-run rescues the appended partitions into the swap") {
+    val store = Files.createTempDirectory("graft_driftrescue").toString
+    IncrementalDrift.append(ev(Seq((0, "A"), (0, "A"), (0, "B"), (0, "B"))),
+      store, 0L)
+    IncrementalDrift.append(ev(Seq((1, "A"), (1, "A"), (1, "A"), (1, "A"))),
+      store, 1L)
+    // fold phase completes (temp + marker written), then the process
+    // dies BEFORE the swap — and the live sink keeps appending
+    IncrementalDrift.foldPhase(spark, store)
+    IncrementalDrift.append(ev(Seq((0, "B"), (0, "B"))), store, 2L)
+    // the maintenance re-run: marker exists, so the old code would skip
+    // the fold, DELETE counts/ (batch 2 included) and swap in the stale
+    // temp — batch 2 silently gone. The rescue must preserve it.
+    IncrementalDrift.compact(spark, store)
+    val all = Seq((0, "A"), (0, "A"), (0, "B"), (0, "B"),
+      (1, "A"), (1, "A"), (1, "A"), (1, "A"), (0, "B"), (0, "B"))
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(all))),
+      "the crashed-compact re-run discarded a post-marker append")
+    // layout: compacted day partitions PLUS the rescued batch 2
+    val parts = new java.io.File(s"$store/counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(parts == Seq("batch_id=-1", "batch_id=-2", "batch_id=2"),
+      s"expected compacted days beside the rescued append, got $parts")
+    // a second compact folds the rescue in — back to one dir per day
+    IncrementalDrift.compact(spark, store)
+    assert(table(IncrementalDrift.drift(spark, store)) ==
+      table(AnalyticsQ.tvDriftCard(ev(all))))
+  }
+
+  test("sink(compactEvery) keeps drift and the audit trail identical " +
+      "to the manual-lifecycle run with the partition count bounded") {
+    val manual = Files.createTempDirectory("graft_driftman").toString
+    val auto = Files.createTempDirectory("graft_driftauto").toString
+    val sinkM = IncrementalDrift.sink(spark, manual, s"$manual/driftlog")
+    val sinkA = IncrementalDrift.sink(spark, auto, s"$auto/driftlog",
+      compactEvery = Some(2))
+    val waves = Seq(
+      Seq((0, "A"), (0, "B")), Seq((1, "A"), (1, "A")),
+      Seq((2, "B")), Seq((0, "B"), (2, "A")), // straggler mid-stream
+      Seq((3, "A"), (3, "B")), Seq((4, "A")))
+    waves.zipWithIndex.foreach { case (w, b) =>
+      sinkM(ev(w), b.toLong); sinkA(ev(w), b.toLong)
+    }
+    assert(table(IncrementalDrift.drift(spark, auto)) ==
+      table(IncrementalDrift.drift(spark, manual)),
+      "auto-compaction changed the drift table")
+    def trail(log: String): Seq[(Long, Long, Option[Long])] =
+      spark.read.parquet(log)
+        .select(col("batch_id"), col("day"), col("tv_ppm"))
+        .as[(Long, Long, Option[Long])].collect().toSeq.sorted
+    assert(trail(s"$auto/driftlog") == trail(s"$manual/driftlog"),
+      "auto-compaction changed the audit trail")
+    // bounded layout: ≤ |days| compacted dirs + compactEvery-1 pending
+    val parts = new java.io.File(s"$auto/counts").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(parts.size <= 5 + 1, s"partition count unbounded: $parts")
+  }
+
   test("an empty micro-batch neither wedges the store nor emits drift") {
     val store = Files.createTempDirectory("graft_driftempty").toString
     val log = s"$store/driftlog"
