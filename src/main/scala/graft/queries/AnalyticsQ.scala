@@ -1202,8 +1202,9 @@ object AnalyticsQ {
     series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
-      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
-        col(yCol).as("y")))).as("__s"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col(xCol).as("x"),
+          col(yCol).as("y")))), "forecastIntervalCard").as("__s"))
       .select(col("g").as(groupCol),
         size(col("__s")).as("n_obs"),
         expr(s"""aggregate(slice(transform(__s, p -> p.y), 2,
@@ -1480,40 +1481,46 @@ object AnalyticsQ {
     * exact squared form and these tie counts are the shipped
     * ingredients (the q188 stance).
     *
-    * Scale shape: the pair table is a self-join AT THE SERIES GRAIN
-    * (days × days within a group — bounded by the timeline, never by
-    * the corpus; the corpus-sized work is the one (group, ord)
-    * aggregation the caller does to BUILD the series). */
+    * Scale shape (round-15 re-plan, closing the round-14 design
+    * watch): the d²/2 pair table never materializes. Three
+    * series-grain dense-rank windows (ranks preserve <, =, > exactly,
+    * so the pair partition over ranks IS the partition over values)
+    * feed [[graft.functions.Aggregators.KendallPairs]], which
+    * merge-counts inversions in O(d log d) per group, executor-local —
+    * C/D and the tie partition fall out of inversion + run-length
+    * identities over ONE buffered copy of the series. The oracle is
+    * unchanged (still the literal pair join — DuckDB can afford it at
+    * fixture scale), and the old plan's quadratic timeline cliff is
+    * gone (probe-pinned at 100× days). The grain contract is now LOUD
+    * ([[graft.core.GrainGuard]]): ord must be distinct per group and
+    * the series under the configured cap — event-grain misuse names
+    * the contract instead of OOMing an executor. */
   def kendallTauSeries(series: DataFrame, groupCol: String,
       ordCol: String, xCol: String, yCol: String): DataFrame = {
     val s1 = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
       col(xCol).as("x"), col(yCol).as("y"))
-    val a = s1.toDF("g", "o1", "x1", "y1")
-    val b = s1.toDF("g", "o2", "x2", "y2")
-    val sgn = (p: String, q: String) =>
-      when(col(p) > col(q), 1).when(col(p) < col(q), -1).otherwise(0)
-    val pairs = a.join(b, Seq("g")).filter(col("o1") < col("o2"))
-      .select(col("g"), sgn("x2", "x1").as("sx"), sgn("y2", "y1").as("sy"))
-    val counts = pairs.groupBy(col("g"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L))
-          .as("concordant"),
-        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
-          .as("discordant"),
-        sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L))
-          .as("ties_x"),
-        sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L))
-          .as("ties_y"),
-        sum(when(col("sx") === 0 && col("sy") === 0, 1L).otherwise(0L))
-          .as("ties_xy"))
-    s1.groupBy(col("g")).agg(count(lit(1)).as("n_obs"))
-      .join(counts, Seq("g"), "left") // n_obs = 1: row kept, NULL stats
-      .select(col("g").as(groupCol), col("n_obs"), col("n_pairs"),
-        col("concordant"), col("discordant"), col("ties_x"),
-        col("ties_y"), col("ties_xy"),
-        expr("""CASE WHEN n_pairs > 0 THEN
-          (1000000 * (concordant - discordant)) DIV n_pairs END""")
-          .as("tau_a_ppm"))
+    val wg = (c: String) => Window.partitionBy(col("g")).orderBy(col(c))
+    val pc = udaf(new graft.functions.Aggregators.KendallPairs(
+        graft.core.GrainGuard.maxSeriesLen, "kendallTauSeries"),
+      org.apache.spark.sql.Encoders
+        .product[graft.functions.Aggregators.SeriesPoint])
+    s1.select(col("g"),
+        dense_rank().over(wg("o")).cast(LongType).as("__ro"),
+        dense_rank().over(wg("x")).cast(LongType).as("__rx"),
+        dense_rank().over(wg("y")).cast(LongType).as("__ry"))
+      .groupBy(col("g"))
+      .agg(pc(col("__ro"), col("__rx"), col("__ry")).as("__pc"))
+      .select(col("g").as(groupCol), col("__pc.n").as("n_obs"),
+        // n_obs = 1: row kept, NULL stats (the old left-join contract)
+        when(col("__pc.n") >= 2, col("__pc.n_pairs")).as("n_pairs"),
+        when(col("__pc.n") >= 2, col("__pc.concordant")).as("concordant"),
+        when(col("__pc.n") >= 2, col("__pc.discordant")).as("discordant"),
+        when(col("__pc.n") >= 2, col("__pc.ties_x")).as("ties_x"),
+        when(col("__pc.n") >= 2, col("__pc.ties_y")).as("ties_y"),
+        when(col("__pc.n") >= 2, col("__pc.ties_xy")).as("ties_xy"),
+        when(col("__pc.n") >= 2, expr(
+          """(1000000 * (__pc.concordant - __pc.discordant))
+             DIV __pc.n_pairs""")).as("tau_a_ppm"))
   }
 
   /** Oracle fixture of [[kendallTauSeries]]: per event type, do busier
@@ -1574,20 +1581,30 @@ object AnalyticsQ {
     * sgn(S). S = 0, n < 2, or VN = 0 (all values tied) keep the row
     * unflagged with NULL direction — never an ANSI division.
     *
-    * Scale shape: pair counting rides the [[kendallTauSeries]]
-    * series-grain self-join (timeline-bounded; q275's cell-grain
-    * equi-join form covers duplicate-x series); tie groups are one
-    * (group, value) histogram aggregation of the same tiny series. */
+    * Scale shape (round-15 re-plan with [[kendallTauSeries]]): S comes
+    * from [[graft.functions.Aggregators.KendallPairs]] — O(d log d)
+    * inversion counting per group instead of the d²/2 pair join
+    * (s_ox = (n_pairs − Tx) − 2·inv(x in ord order); the ord is
+    * required distinct per group, loudly — the old plan's `o1 < o2`
+    * filter silently dropped duplicate-ord pairs, and q275's
+    * cell-grain equi-join form covers duplicate-ord inputs); tie
+    * groups are one (group, value) histogram aggregation of the same
+    * tiny series. */
   def mannKendallTest(series: DataFrame, groupCol: String,
       ordCol: String, xCol: String): DataFrame = {
     val s1 = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
       col(xCol).as("x"))
-    val a = s1.toDF("g", "o1", "x1")
-    val b = s1.toDF("g", "o2", "x2")
-    val sPairs = a.join(b, Seq("g")).filter(col("o1") < col("o2"))
+    val wg = (c: String) => Window.partitionBy(col("g")).orderBy(col(c))
+    val pc = udaf(new graft.functions.Aggregators.KendallPairs(
+        graft.core.GrainGuard.maxSeriesLen, "mannKendallTest"),
+      org.apache.spark.sql.Encoders
+        .product[graft.functions.Aggregators.SeriesPoint])
+    val sPairs = s1.select(col("g"),
+        dense_rank().over(wg("o")).cast(LongType).as("__ro"),
+        dense_rank().over(wg("x")).cast(LongType).as("__rx"))
       .groupBy(col("g"))
-      .agg(sum(when(col("x2") > col("x1"), 1L)
-        .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+      .agg(pc(col("__ro"), col("__rx"), col("__rx")).as("__pc"))
+      .select(col("g"), col("__pc.s_ox").as("s_stat"))
     val ties = s1.groupBy(col("g"), col("x"))
       .agg(count(lit(1)).as("t"))
       .groupBy(col("g"))
@@ -1905,8 +1922,9 @@ object AnalyticsQ {
       .select(col(groupCol).as("g"), col(ordCol).as("o"),
         col(xCol).as("x"))
       .groupBy(col("g"))
-      .agg(sort_array(collect_list(struct(col("o"), col("x"))))
-        .as("__s"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col("o"), col("x")))),
+        "ewmaChart").as("__s"))
       .select(col("g"), explode(expr(s"""aggregate(slice(__s, 2,
           size(__s) - 1),
         array(named_struct('o', __s[0].o, 'x', __s[0].x,
@@ -2733,9 +2751,10 @@ object AnalyticsQ {
   def kmSurvival(events: DataFrame, intervalDays: Int = 7,
       churnGapSec: Long = 7L * 86400L): DataFrame = {
     val lt = churnLifeTable(events, intervalDays, churnGapSec)
-    lt.agg(sort_array(collect_list(struct(col("bucket"),
-        col("n_at_risk"), col("n_churned"), col("n_censored"))))
-        .as("rows"))
+    lt.agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col("bucket"),
+          col("n_at_risk"), col("n_churned"), col("n_censored")))),
+        "kmSurvival").as("rows"))
       .select(explode(expr("""aggregate(rows,
           CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, n_at_risk: BIGINT,
             n_churned: BIGINT, n_censored: BIGINT, s_ppm: BIGINT>>),
@@ -4718,8 +4737,9 @@ object AnalyticsQ {
     series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
-      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
-        col(yCol).as("y")))).as("__s"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col(xCol).as("x"),
+          col(yCol).as("y")))), "sesForecast").as("__s"))
       .select(col("g").as(groupCol),
         size(col("__s")).as("n_obs"),
         expr("__s[size(__s) - 1].y").as("last_y"),
@@ -4788,8 +4808,9 @@ object AnalyticsQ {
     series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
-      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
-        col(yCol).as("y")))).as("__s"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col(xCol).as("x"),
+          col(yCol).as("y")))), "forecastBacktest").as("__s"))
       .select(col("g").as(groupCol),
         size(col("__s")).as("n_obs"),
         expr(s"""aggregate(slice(transform(__s, p -> p.y), 2,
@@ -5118,8 +5139,9 @@ object AnalyticsQ {
     series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
-      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
-        col(yCol).as("y")))).as("__s"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col(xCol).as("x"),
+          col(yCol).as("y")))), "holtForecast").as("__s"))
       .select(col("g").as(groupCol),
         size(col("__s")).as("n_obs"),
         expr("__s[size(__s) - 1].y").as("last_y"),
@@ -5426,8 +5448,9 @@ object AnalyticsQ {
     series
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
-      .agg(sort_array(collect_list(struct(col(xCol).as("x"),
-        col(yCol).as("y")))).as("__sx"))
+      .agg(graft.core.GrainGuard.checked(
+        sort_array(collect_list(struct(col(xCol).as("x"),
+          col(yCol).as("y")))), "holtWinters").as("__sx"))
       .withColumn("__ys", expr("transform(__sx, q -> q.y)"))
       .withColumn("__n", size(col("__ys")))
       .withColumn("__l0", expr(

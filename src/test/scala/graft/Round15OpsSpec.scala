@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GrainGuard
+import graft.functions.Aggregators
+import graft.queries.AnalyticsQ
+
+/** Round-15 kernels: the O(d log d) Kendall/Mann-Kendall re-plan (the
+  * round-14 design watch) and the loud grain guards for the
+  * bounded-collect class. Randomized equivalence of the re-planned
+  * operators against in-memory pair counts lives in Round14PropertySpec
+  * (unchanged contracts, new plan under them). */
+class Round15OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kendallTauSeries handles multiple groups with mixed tie shapes " +
+      "and keeps a single-observation group as a NULL-stats row") {
+    // g1: strictly concordant; g2: one obs; g3: all-tied x
+    val df = Seq(
+      ("g1", 1L, 1L, 10L), ("g1", 2L, 2L, 20L), ("g1", 3L, 3L, 30L),
+      ("g2", 1L, 5L, 5L),
+      ("g3", 1L, 7L, 1L), ("g3", 2L, 7L, 2L), ("g3", 3L, 7L, 2L))
+      .toDF("g", "o", "x", "y")
+    val got = AnalyticsQ.kendallTauSeries(df, "g", "o", "x", "y")
+      .orderBy(col("g"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g1", 3L, Some(3L), Some(3L), Some(0L), Some(0L), Some(0L),
+        Some(0L), Some(1000000L)),
+      ("g2", 1L, None, None, None, None, None, None, None),
+      // g3: pairs (1,2),(1,3) tie x only; (2,3) ties both
+      ("g3", 3L, Some(3L), Some(0L), Some(0L), Some(2L), Some(0L),
+        Some(1L), Some(0L))), got.toString)
+  }
+
+  test("the pair partition identity C + D + ties = n(n-1)/2 holds on a " +
+      "tie-heavy series and matches the brute-force count") {
+    val rows = Seq.tabulate(40)(i =>
+      ((i * 7) % 5).toLong -> ((i * 3) % 4).toLong)
+    val df = rows.zipWithIndex
+      .map { case ((x, y), i) => ("g", i.toLong, x, y) }
+      .toDF("g", "o", "x", "y")
+    val got = AnalyticsQ.kendallTauSeries(df, "g", "o", "x", "y")
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val pairs = for { i <- rows.indices; j <- rows.indices if i < j }
+      yield (java.lang.Long.signum(rows(j)._1 - rows(i)._1),
+        java.lang.Long.signum(rows(j)._2 - rows(i)._2))
+    val exp = (pairs.size.toLong,
+      pairs.count(p => p._1 * p._2 > 0).toLong,
+      pairs.count(p => p._1 * p._2 < 0).toLong,
+      pairs.count(p => p._1 == 0 && p._2 != 0).toLong,
+      pairs.count(p => p._2 == 0 && p._1 != 0).toLong,
+      pairs.count(p => p._1 == 0 && p._2 == 0).toLong)
+    assert(got == exp, s"got $got, expected $exp")
+    assert(got._2 + got._3 + got._4 + got._5 + got._6 == got._1)
+  }
+
+  test("duplicate ord values within a group fail loudly naming the " +
+      "series-grain contract (the old plan dropped those pairs silently)") {
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 1L, 2L, 2L), ("g", 2L, 3L, 3L))
+      .toDF("g", "o", "x", "y")
+    val e = intercept[Exception] {
+      AnalyticsQ.kendallTauSeries(df, "g", "o", "x", "y").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("SERIES grain")),
+      s"error did not name the grain contract: ${chain(e)}")
+  }
+
+  test("the KendallPairs cap fails loudly naming graft.grain.maxSeriesLen " +
+      "before the buffer can grow event-sized") {
+    val agg = new Aggregators.KendallPairs(3, "testOp")
+    var buf = agg.zero
+    buf = agg.reduce(buf, Aggregators.SeriesPoint(1, 1, 1))
+    buf = agg.reduce(buf, Aggregators.SeriesPoint(2, 2, 2))
+    buf = agg.reduce(buf, Aggregators.SeriesPoint(3, 3, 3))
+    val e = intercept[IllegalArgumentException] {
+      agg.reduce(buf, Aggregators.SeriesPoint(4, 4, 4))
+    }
+    assert(e.getMessage.contains("graft.grain.maxSeriesLen") &&
+      e.getMessage.contains("testOp"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] { agg.merge(buf, buf) }
+    assert(e2.getMessage.contains("graft.grain.maxSeriesLen"), e2.getMessage)
+  }
+
+  test("GrainGuard.checked raises the named grain error on an " +
+      "over-cap collected series and passes a compliant one through") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L))
+      .toDF("g", "x")
+    val ok = df.groupBy(col("g"))
+      .agg(GrainGuard.checked(sort_array(collect_list(col("x"))),
+        "specOp", cap = 10).as("s"))
+      .select(size(col("s"))).as[Int].head()
+    assert(ok == 4)
+    val e = intercept[Exception] {
+      df.groupBy(col("g"))
+        .agg(GrainGuard.checked(sort_array(collect_list(col("x"))),
+          "specOp", cap = 3).as("s"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null &&
+      m.contains("graft.grain.maxSeriesLen") && m.contains("specOp")),
+      s"guard error missing contract text: ${chain(e)}")
+  }
+
+  test("ewmaChart under the default cap is unaffected by the guard") {
+    val df = Seq(("g", 1L, 100L), ("g", 2L, 110L), ("g", 3L, 90L))
+      .toDF("g", "o", "x")
+    val out = AnalyticsQ.ewmaChart(df, "g", "o", "x")
+    assert(out.count() == 3L)
+  }
+
+  test("mannKendallTest matches a hand-computed S on a multi-group " +
+      "series with ties") {
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L), ("up", 4L, 4L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("g", "o", "x")
+    val got = AnalyticsQ.mannKendallTest(df, "g", "o", "x")
+      .orderBy(col("g"))
+      .select(col("g"), col("n_obs"), col("s_stat"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("flat", 3L, 0L), ("up", 4L, 6L)), got.toString)
+  }
+}
