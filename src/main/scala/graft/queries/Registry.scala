@@ -20,7 +20,7 @@ object Registry {
       AnalyticsQ.queries ++ TextQ.queries ++ CurationQ.queries ++
       VectorQ.queries ++ PacketQ.queries ++ TokenizerQ.queries ++
       GraphQ.queries ++ BillingQ.queries ++ RoutingQ.queries ++
-      PreratingQ.queries
+      PreratingQ.queries ++ CrawlQ.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -119,6 +119,62 @@ class Round15OpsSpec extends SparkSpec {
     assert(out.count() == 3L)
   }
 
+  test("URL canonicalization is idempotent, param-order-invariant, and " +
+      "its output honors every canonical invariant on arbitrary URLs") {
+    import org.scalacheck.Gen
+    val label = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+      .flatMap(s => Gen.oneOf(s.toLowerCase, s.toUpperCase, s))
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTTpS")
+      labs <- Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, label))
+      tld <- Gen.oneOf("com", "COM", "org", "co.uk", "CO.UK")
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":9")
+      path <- Gen.oneOf("", "/", "/a", "/a/b.html")
+      names <- Gen.someOf(Seq("a", "b", "z9", "utm_source",
+        "utm_campaign", "gclid", "ref"))
+      perm <- Gen.const(scala.util.Random.shuffle(names.toList))
+      frag <- Gen.oneOf("", "#x", "#sec/2")
+    } yield {
+      val q = if (names.isEmpty) ""
+        else "?" + names.map(n => s"$n=v$n").mkString("&")
+      val q2 = if (perm.isEmpty) ""
+        else "?" + perm.map(n => s"$n=v$n").mkString("&")
+      val host = (labs :+ tld).mkString(".")
+      (s"$scheme://$host$port$path$q$frag",
+        s"$scheme://$host$port$path$q2$frag")
+    }
+    val urls = Gen.listOfN(120, gen).sample.get
+    val rows = urls.toDF("u1", "u2")
+      .select(col("u1"),
+        graft.queries.CrawlQ.canonicalUrl("u1").as("c1"),
+        graft.queries.CrawlQ.canonicalUrl("u2").as("c2"))
+      .withColumn("cc", graft.queries.CrawlQ.canonicalUrl("c1"))
+      .withColumn("dom", graft.queries.CrawlQ.urlDomain("u1"))
+      .collect()
+    rows.foreach { r =>
+      val (u1, c1, c2, cc, dom) = (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))
+      assert(cc == c1, s"not idempotent: $u1 -> $c1 -> $cc")
+      assert(c2 == c1, s"param order leaked: $u1 -> $c1 vs $c2")
+      assert(!c1.contains("#"), s"fragment survived: $c1")
+      assert(!c1.contains("utm_") && !c1.contains("gclid"),
+        s"tracking param survived: $c1")
+      val scheme = c1.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase, s"scheme case: $c1")
+      assert(!(scheme == "http" && c1.contains(":80/")) &&
+        !(scheme == "https" && c1.contains(":443/")),
+        s"default port survived: $c1")
+      assert(dom == dom.toLowerCase && dom.split("[.]").length >= 2,
+        s"bad domain: $dom from $u1")
+    }
+    // multi-part suffix: the co.uk host keeps three labels
+    val d = Seq(("http://A.B.Example.CO.UK/x", 0))
+      .toDF("u", "i")
+      .select(graft.queries.CrawlQ.urlDomain("u")).as[String].head()
+    assert(d == "example.co.uk", d)
+  }
+
   test("mannKendallTest matches a hand-computed S on a multi-group " +
       "series with ties") {
     val df = Seq(
