@@ -1344,10 +1344,10 @@ object AnalyticsQ {
         CAST(SUM(abs(p_ppm - prev_ppm)) // 2 AS BIGINT) AS tv_ppm
       FROM l GROUP BY day ORDER BY day"""))
 
-  /** χ²(0.05) critical values at MICRO precision (truncated), df 1–6 —
-    * the one table every significance gate shares (df 1-120, generated
-  * by bisecting the regularized incomplete gamma to 1e-9 and verified
-  * against the published df 1-30 and df 100 values). Micro truncation of
+  /** χ²(0.05) critical values at MICRO precision (truncated), df 1–120 —
+    * the one table every significance gate shares (generated by
+    * bisecting the regularized incomplete gamma to 1e-9 and verified
+    * against the published df 1-30 and df 100 values). Micro truncation of
     * the critical value makes every gate CONSERVATIVE under the
     * `statistic_micro > crit_micro` convention (a statistic whose micro
     * truncation ties the critical value straddles it and stays

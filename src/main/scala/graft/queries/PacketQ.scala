@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
@@ -165,5 +166,135 @@ object PacketQ {
       FROM cfg c LEFT JOIN up u USING (stage) JOIN agg a USING (stage)
       ORDER BY c.stage"""))
 
-  val queries: Seq[GQuery] = Seq(q24, q24b, q24c, q313)
+  /** Monitor-plane oracle card — the health FEED under the hash gate
+    * (round-14 verdict "Next round #6": the [[graft.streaming.MetricsLog]]
+    * packet leg was spec-covered but the feed had no declared oracle
+    * form). Drives a REAL two-stage [[graft.streaming.PipelineRunner]]
+    * run (parity demux of the events table, one input file → one
+    * micro-batch per stage, AvailableNow) with MetricsLog publishing
+    * BOTH planes — the JSONL health log and the `s/c/l/m` wire packets
+    * (the reference monitor's LOGGER_DATA publish,
+    * `MFramework.cpp:1593-1655`; `LoggerWriter.cpp:88,208-213`) — then
+    * folds the PACKET plane's `m=` payloads to the per-stage card
+    * (batches, rows, terminations, exit cleanliness) and cross-checks
+    * it cell-for-cell against the SAME fold over the JSONL plane
+    * (`planes_agree`). The DuckDB oracle predicts the whole card from
+    * the events table alone: the run is deterministic by construction
+    * (one file, one batch, parity split, clean stop), so "the monitor
+    * saw what the data says it must have seen" is itself hash-checked —
+    * the q313 config-plane discipline applied to the monitor plane.
+    *
+    * The listener bus is async, so the fold waits (bounded) for both
+    * terminated lines and for the packet count to match the JSONL line
+    * count — every emit writes both planes in one synchronized step.
+    * Scale shape: health lines are (stage × batches)-grain — never fact
+    * data; the only corpus-sized work is the parity-split stream the
+    * card is ABOUT. */
+  private val q344 = GQuery(
+    "q344_monitor_card",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q344_" +
+        math.abs(dir.hashCode).toString + "_" +
+        java.lang.ProcessHandle.current().pid().toString
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // parity demux at setup: each stage ingests ITS slice, so the
+      // monitor's numInputRows (SOURCE rows — a transform-side filter
+      // would be invisible to it) is the per-stage prediction; one file
+      // per slice → exactly one micro-batch per stage
+      ev.filter(col("event_id") % 2 === 0)
+        .repartition(1).write.parquet(s"$base/in_mon_even")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .repartition(1).write.parquet(s"$base/in_mon_odd")
+      val ml = new graft.streaming.MetricsLog(s"$base/metrics.jsonl",
+        queueDir = Some(s"$base/logq"))
+      s.streams.addListener(ml)
+      try {
+        val runner = new graft.streaming.PipelineRunner(s)
+        val sch = ev.schema
+        def spec(name: String) = graft.streaming.StageSpec(
+          name,
+          sp => sp.readStream.schema(sch).parquet(s"$base/in_$name"),
+          df => df,
+          df => df.writeStream.format("parquet")
+            .option("path", s"$base/out_$name")
+            .option("checkpointLocation", s"$base/ck_$name")
+            .trigger(graft.streaming.Triggers.drainAvailable))
+        runner.register(spec("mon_even"))
+        runner.register(spec("mon_odd"))
+        runner.start("mon_even").awaitTermination()
+        runner.start("mon_odd").awaitTermination()
+        val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+        def ready(): Boolean = {
+          val p = java.nio.file.Paths.get(s"$base/metrics.jsonl")
+          java.nio.file.Files.exists(p) && {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(p), "UTF-8")
+            val lines = txt.split('\n').filter(_.nonEmpty)
+            val terms = lines.filter(_.contains("\"event\":\"terminated\""))
+            Seq("mon_even", "mon_odd").forall(n =>
+              terms.exists(_.contains(s""""stage":"$n""""))) &&
+              Option(new java.io.File(s"$base/logq").list())
+                .getOrElse(Array.empty[String])
+                .count(_.endsWith(".pkt")) == lines.length
+          }
+        }
+        while (!ready() && System.nanoTime() < deadline) Thread.sleep(100)
+        val mSchema = StructType.fromDDL(
+          "stage STRING, batch_id BIGINT, input_rows BIGINT, " +
+            "event STRING, error STRING")
+        def fold(msgs: DataFrame): DataFrame = msgs
+          .select(from_json(col("m"), mSchema).as("j"))
+          .select(col("j.*"))
+          .groupBy(col("stage"))
+          .agg(
+            sum(when(col("batch_id").isNotNull && col("input_rows") > 0,
+              1L).otherwise(0L)).as("n_batches"),
+            coalesce(sum(col("input_rows")), lit(0L)).as("total_rows"),
+            sum(when(col("event") === "terminated", 1L).otherwise(0L))
+              .as("n_terminated"),
+            min(when(col("event") === "terminated", col("error") === ""))
+              .as("clean_exit"))
+        val pkFold = fold(s.read.option("wholetext", "true")
+          .text(s"$base/logq")
+          .select(element_at(graft.etl.PacketCodec.parse(col("value")),
+            graft.etl.PacketCodec.MessageKey).as("m")))
+        val jsFold = fold(s.read.text(s"$base/metrics.jsonl")
+          .select(col("value").as("m")))
+        pkFold.alias("p").join(jsFold.alias("j"), Seq("stage"))
+          .select(col("stage"),
+            col("p.n_batches").as("n_batches"),
+            col("p.total_rows").as("total_rows"),
+            col("p.n_terminated").as("n_terminated"),
+            col("p.clean_exit").as("clean_exit"),
+            (col("p.n_batches") === col("j.n_batches") &&
+              col("p.total_rows") === col("j.total_rows") &&
+              col("p.n_terminated") === col("j.n_terminated") &&
+              col("p.clean_exit") === col("j.clean_exit"))
+              .as("planes_agree"))
+          .orderBy(col("stage"))
+          .localCheckpoint() // materialize before /tmp can be recycled
+      } finally {
+        s.streams.removeListener(ml)
+        ml.close()
+      }
+    },
+    Some("""WITH c AS (SELECT
+        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS ev_rows,
+        CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS od_rows
+      FROM events)
+    SELECT 'mon_even' AS stage, CAST(1 AS BIGINT) AS n_batches,
+      ev_rows AS total_rows, CAST(1 AS BIGINT) AS n_terminated,
+      TRUE AS clean_exit, TRUE AS planes_agree FROM c
+    UNION ALL
+    SELECT 'mon_odd', CAST(1 AS BIGINT), od_rows, CAST(1 AS BIGINT),
+      TRUE, TRUE FROM c
+    ORDER BY stage"""))
+
+  val queries: Seq[GQuery] = Seq(q24, q24b, q24c, q313, q344)
 }
