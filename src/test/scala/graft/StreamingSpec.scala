@@ -722,6 +722,124 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ForecastMonitor streams the q340 interval with batch-twin parity " +
+      "across batch boundaries, a bounded residual ring, and late " +
+      "arrivals surfaced never folded") {
+    import graft.streaming.{FMon, FObs, ForecastMonitor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FObs]
+      val out = in.toDS().groupByKey(_.key)
+        .transformWithState(
+          new ForecastMonitor(alphaMilli = 300L, loPct = 10, hiPct = 90,
+            ringSize = 64),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("forecast_out").start()
+      try {
+        val ys = Seq(100L, 120L, 90L, 130L, 80L, 140L, 110L)
+        in.addData(ys.take(3).zipWithIndex.map { case (y, i) =>
+          FObs(1L, i.toLong + 1L, y) }: _*)
+        q.processAllAvailable()
+        in.addData(ys.drop(3).zipWithIndex.map { case (y, i) =>
+          FObs(1L, i.toLong + 4L, y) }: _*)
+        q.processAllAvailable()
+        val live = spark.table("forecast_out").as[FMon].collect().toSeq
+          .filter(!_.late).sortBy(_.x)
+        // ROW-EXACT parity: each live row equals the oracle-checked
+        // batch card over the PREFIX it had seen at emission time —
+        // the level fold AND the band's order statistics
+        (2 to ys.length).foreach { k =>
+          def card = graft.queries.AnalyticsQ.forecastIntervalCard(
+            ys.take(k).zipWithIndex.map { case (y, i) =>
+              (1L, i.toLong + 1L, y) }.toDF("g", "o", "y"),
+            "g", "o", "y", alphaMilli = 300L, loPct = 10, hiPct = 90)
+          val b = card.select(col("level"), col("lo_resid"),
+              col("hi_resid"), col("next_lo"), col("next_hi"))
+            .as[(Option[Long], Option[Long], Option[Long], Option[Long],
+              Option[Long])].head()
+          val m = live.find(_.x == k.toLong).get
+          assert((m.level, m.lo_resid, m.hi_resid, m.next_lo, m.next_hi)
+            == b, s"prefix $k: live $m vs batch $b")
+        }
+        // a late replay of x=2 is SURFACED but moves neither the level
+        // nor the ring: the next in-order row continues as if it never
+        // happened (parity with the in-order batch card over ys :+ 105)
+        in.addData(FObs(1L, 2L, 999L), FObs(1L, 8L, 105L))
+        q.processAllAvailable()
+        val mon2 = spark.table("forecast_out").as[FMon].collect().toSeq
+        assert(mon2.exists(m => m.x == 2L && m.late), mon2.toString)
+        val b8 = graft.queries.AnalyticsQ.forecastIntervalCard(
+            (ys :+ 105L).zipWithIndex.map { case (y, i) =>
+              (1L, i.toLong + 1L, y) }.toDF("g", "o", "y"),
+            "g", "o", "y", alphaMilli = 300L, loPct = 10, hiPct = 90)
+          .select(col("level"), col("lo_resid"), col("hi_resid"))
+          .as[(Option[Long], Option[Long], Option[Long])].head()
+        val m8 = mon2.find(m => m.x == 8L && !m.late).get
+        assert((m8.level, m8.lo_resid, m8.hi_resid) == b8,
+          s"late arrival corrupted state: $m8 vs $b8")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ForecastMonitor's fixed ring bounds state: past ringSize the " +
+      "band is the batch band over the last ringSize residuals") {
+    import graft.streaming.{FMon, FObs, ForecastMonitor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FObs]
+      val out = in.toDS().groupByKey(_.key)
+        .transformWithState(
+          new ForecastMonitor(alphaMilli = 300L, loPct = 10, hiPct = 90,
+            ringSize = 4),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("forecast_ring_out").start()
+      try {
+        val ys = Seq(100L, 150L, 60L, 200L, 40L, 170L, 90L, 160L)
+        in.addData(ys.zipWithIndex.map { case (y, i) =>
+          FObs(1L, i.toLong + 1L, y) }: _*)
+        q.processAllAvailable()
+        // in-memory replay of the exact fold, keeping ALL residuals;
+        // the monitor's band must match the LAST-4 window of it
+        var lvl = ys.head
+        val resids = scala.collection.mutable.ArrayBuffer[Long]()
+        val expect = ys.drop(1).map { y =>
+          val r = y - lvl
+          resids += r
+          lvl = lvl + (300L * r) / 1000L
+          val win = resids.takeRight(4).sorted
+          def at(p: Int) =
+            win(math.max(1L, (p.toLong * win.size + 99L) / 100L).toInt - 1)
+          (lvl, at(10), at(90), win.size.toLong)
+        }
+        val live = spark.table("forecast_ring_out").as[FMon].collect()
+          .toSeq.filter(m => !m.late && m.x >= 2L).sortBy(_.x)
+        assert(live.map(m => (m.level.get, m.lo_resid.get,
+          m.hi_resid.get, m.n_resid)) == expect,
+          s"${live.toString} vs $expect")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("VelocityMonitor flags bursts live with batch-twin parity") {
     import graft.streaming.{VAlarm, VelocityMonitor, VEvent}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
