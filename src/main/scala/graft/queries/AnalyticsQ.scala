@@ -5757,6 +5757,287 @@ object AnalyticsQ {
       FROM base b LEFT JOIN agg USING (custkey) LEFT JOIN med USING (custkey)
       ORDER BY custkey"""))
 
+  /** The shared χ² critical table as a DuckDB VALUES clause — oracles
+    * of data-dependent-dof gates embed it so both engines gate against
+    * the same constants. */
+  private[graft] def chi2CritValuesSql: String =
+    chi2Crit05Micro.toSeq.sorted
+      .map { case (d, c) => s"($d, $c)" }.mkString(", ")
+
+  /** Mood's median test — the k-group MEDIAN significance gate
+    * completing the location-test axis beside the rank tests
+    * (q243 Kruskal–Wallis compares full rank distributions; q247's
+    * signed-rank is paired; THIS asks the blunt robust question "do
+    * these groups straddle the global median differently", the test of
+    * choice when outliers make means meaningless and full ranking is
+    * overkill). Construction: the exact global LOWER median (rank
+    * ⌈n/2⌉ = (n+1) DIV 2 — the q170 order-statistic convention) via the
+    * [[PrefixSum]] bucket-offset cumulative over the value histogram
+    * (no single-reducer window at any cardinality), then the 2×k
+    * (group × above-median) table through [[chiSquareGate]] verbatim —
+    * dof = k−1 against the shared [[chi2Crit05Micro]] table, the
+    * conservative `statistic_micro > crit_micro` convention. Degenerate
+    * shapes keep their row with a NULL verdict (all values equal → one
+    * side empty → dof 0; untabled dof stays untested — never "equal
+    * medians" by silence).
+    *
+    * Scale shape: one value-histogram aggregation (the only
+    * corpus-sized shuffle), the median from histogram-grain cumulative
+    * sums, one broadcast of the 1-row median, one (group, side) agg. */
+  def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast(LongType).as("__x"))
+    val h = v.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.exclusive(h, "__x", Seq("__c"))
+    val n1 = h.agg(sum(col("__c")).as("__n"))
+    val med = cum.crossJoin(broadcast(n1))
+      .filter(expr("__c_cum + __c >= (__n + 1) DIV 2"))
+      .agg(min(col("__x")).as("median"))
+    val gate = chiSquareGate(
+      v.crossJoin(broadcast(med)).withColumn("__above", col("__x") > col("median")),
+      "__g", "__above")
+    gate.crossJoin(broadcast(med))
+      .select(col("n_rows"), col("n_a").as("n_groups"), col("median"),
+        col("dof"), col("chi2_milli"), col("phi2_micro"),
+        col("independence_rejected").as("medians_differ"))
+  }
+
+  /** Oracle fixture of [[moodMedianTest]]: do the languages differ in
+    * median document length? */
+  private val q347 = GQuery(
+    "q347_mood_median",
+    (s, dir) => moodMedianTest(t(s, dir, "documents"), "lang", "n_chars"),
+    Some(s"""WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS x
+        FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x),
+      cw AS (SELECT x, c, SUM(c) OVER (ORDER BY x) AS cum FROM hist),
+      nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+      med AS (SELECT MIN(x) AS median FROM cw, nt
+        WHERE cum >= (nt.n + 1) // 2),
+      f AS (SELECT g AS a, (x > median) AS b FROM v, med),
+      cells AS (SELECT a, b, COUNT(*) AS o FROM f GROUP BY 1, 2),
+      ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+      cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+          COUNT(DISTINCT a) AS n_a, COUNT(DISTINCT b) AS n_b
+        FROM cells),
+      grid AS (SELECT ra.a, ra.r, cb.b, cb.c, COALESCE(cells.o, 0) AS o
+        FROM ra CROSS JOIN cb
+        LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      per AS (SELECT nn.n, nn.n_a, nn.n_b,
+          (1000 * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c)
+                * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c))
+            // (nn.n * r * c) AS contrib
+        FROM grid, nn),
+      card AS (SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+          MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+          (MAX(n_a) - 1) * (MAX(n_b) - 1) AS dof,
+          CAST(SUM(contrib) AS BIGINT) AS chi2_milli,
+          CAST((1000000 * SUM(contrib)) // (1000 * MAX(n)) AS BIGINT)
+            AS phi2_micro
+        FROM per),
+      crit(dof, c) AS (VALUES $chi2CritValuesSql)
+      SELECT card.n_rows, card.n_a AS n_groups, med.median, card.dof,
+        card.chi2_milli, card.phi2_micro,
+        CASE WHEN crit.c IS NOT NULL
+          THEN card.chi2_milli * 1000 > crit.c END AS medians_differ
+      FROM card CROSS JOIN med
+      LEFT JOIN crit ON crit.dof = card.dof"""))
+
+  /** Log-rank test — the SIGNIFICANCE gate completing the survival
+    * family's TEST axis (q188's life table describes the hazard, q234's
+    * Kaplan–Meier and q330's Nelson–Aalen integrate it; nothing said
+    * whether cohort A actually outlives cohort B): per event time
+    * (bucket), observed group-A deaths against the hypergeometric
+    * expectation E₁ⱼ = n₁ⱼdⱼ/nⱼ and variance
+    * Vⱼ = n₁ⱼn₂ⱼdⱼ(nⱼ−dⱼ)/(nⱼ²(nⱼ−1)), both folded as exact milli
+    * integer quotients (per-term truncating DIV — order-independent and
+    * engine-portable, the q184 discipline); the statistic
+    * (O₁−E₁)²/V gates against χ²₍₀.₀₅,df=1₎ at micro precision with the
+    * conservative truncation convention. At-risk counts come from the
+    * [[PrefixSum]] DESCENDING cumulative over the (bucket, ended) table
+    * (subjects at risk at j = everyone who ended at j or later — the
+    * q188 convention: censored subjects leave AFTER their bucket). Zero
+    * total variance (no deaths, or every death at a time one group owns
+    * entirely... degenerate) keeps the row with NULL statistic and a
+    * false flag — no discordance is no evidence.
+    *
+    * Input grain: one row per SUBJECT (group side, duration bucket,
+    * churned flag) — the aged-cohort table a q188-style derivation
+    * produces. Scale shape: one subject-grain histogram agg, then
+    * bucket-grain folds; nothing pairs-sized, nothing single-reducer. */
+  def logRankTest(subjects: DataFrame, isGroupA: Column,
+      bucketCol: String, churnedCol: String): DataFrame = {
+    val s0 = subjects.select(isGroupA.cast("boolean").as("__a"),
+        col(bucketCol).cast(LongType).as("__b"), col(churnedCol).as("__d"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__d").isNotNull)
+    val h = s0.groupBy(col("__b"))
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("e1"),
+        sum(when(col("__d"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__d") && col("__a"), 1L).otherwise(0L)).as("d1"))
+    val cum = PrefixSum.exclusive(h, "__b", Seq("e", "e1"),
+      descending = true)
+    cum.select((col("e_cum") + col("e")).as("nj"),
+        (col("e1_cum") + col("e1")).as("n1j"), col("d"), col("d1"))
+      .agg(count(lit(1)).as("n_times"),
+        max(col("nj")).cast(LongType).as("n_subjects"),
+        sum(col("d")).as("n_deaths"),
+        sum(col("d1")).as("o1"),
+        sum(expr("(1000 * n1j * d) DIV nj")).as("e1_milli"),
+        sum(expr("""CASE WHEN nj >= 2 THEN
+            (1000 * n1j * (nj - n1j) * d * (nj - d))
+              DIV (nj * nj * (nj - 1)) ELSE 0 END""")).as("v_milli"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN v_milli > 0 THEN CAST(
+             (CAST(1000 * o1 - e1_milli AS DECIMAL(38,0))
+                * (1000 * o1 - e1_milli)) DIV v_milli AS BIGINT) END"""))
+      .withColumn("survival_differs", coalesce(expr(
+        s"""CASE WHEN v_milli > 0 THEN
+             (CAST(1000 * o1 - e1_milli AS DECIMAL(38,0))
+                * (1000 * o1 - e1_milli) * 1000) DIV v_milli
+             > ${chi2Crit05Micro(1)}L END"""), lit(false)))
+      .select(col("n_subjects"), col("n_times"), col("n_deaths"),
+        col("o1"), col("e1_milli"), col("v_milli"), col("chi2_milli"),
+        col("survival_differs"))
+  }
+
+  /** Oracle fixture of [[logRankTest]]: the q188 aged-user cohort
+    * (7-day buckets, 7-day censor gap), split by user-id parity — do
+    * even-id users churn on a different clock than odd-id users? */
+  private val q348 = GQuery(
+    "q348_logrank_test",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("ts").cast(LongType)).as("first_sec"),
+          max(col("ts").cast(LongType)).as("last_sec"))
+      val h = ev.agg(max(col("ts").cast(LongType)).as("horizon"))
+      val aged = users.crossJoin(broadcast(h))
+        .select(col("user_id"),
+          expr("(last_sec - first_sec) DIV 604800").as("bucket"),
+          (col("horizon") - col("last_sec") >= 604800L).as("churned"))
+      logRankTest(aged, col("user_id") % 2 === 0, "bucket", "churned")
+    },
+    Some(s"""WITH u AS (SELECT user_id,
+          MIN(${epochSecSql("ts")}) AS first_sec,
+          MAX(${epochSecSql("ts")}) AS last_sec
+        FROM events GROUP BY user_id),
+      hz AS (SELECT MAX(${epochSecSql("ts")}) AS horizon FROM events),
+      aged AS (SELECT user_id % 2 = 0 AS a,
+          (last_sec - first_sec) // 604800 AS b,
+          (horizon - last_sec >= 604800) AS d
+        FROM u, hz),
+      h AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS e,
+          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+          CAST(SUM(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          CAST(SUM(CASE WHEN d AND a THEN 1 ELSE 0 END) AS BIGINT) AS d1
+        FROM aged GROUP BY b),
+      r AS (SELECT b, d, d1,
+          SUM(e) OVER (ORDER BY b DESC) AS nj,
+          SUM(e1) OVER (ORDER BY b DESC) AS n1j
+        FROM h),
+      agg AS (SELECT CAST(MAX(nj) AS BIGINT) AS n_subjects,
+          CAST(COUNT(*) AS BIGINT) AS n_times,
+          CAST(SUM(d) AS BIGINT) AS n_deaths,
+          CAST(SUM(d1) AS BIGINT) AS o1,
+          CAST(SUM((1000 * n1j * d) // nj) AS BIGINT) AS e1_milli,
+          CAST(SUM(CASE WHEN nj >= 2 THEN
+              (1000 * n1j * (nj - n1j) * d * (nj - d))
+                // (nj * nj * (nj - 1)) ELSE 0 END) AS BIGINT) AS v_milli
+        FROM r)
+      SELECT n_subjects, n_times, n_deaths, o1, e1_milli, v_milli,
+        CASE WHEN v_milli > 0 THEN CAST(
+          (CAST(1000 * o1 - e1_milli AS HUGEINT)
+             * (1000 * o1 - e1_milli)) // v_milli AS BIGINT) END
+          AS chi2_milli,
+        COALESCE(CASE WHEN v_milli > 0 THEN
+          (CAST(1000 * o1 - e1_milli AS HUGEINT)
+             * (1000 * o1 - e1_milli) * 1000) // v_milli
+          > ${chi2Crit05Micro(1)} END, FALSE) AS survival_differs
+      FROM agg"""))
+
+  /** Winsorized-mean card — the ROBUST location estimate beside the
+    * outlier FLAGS (q165's MAD flags points; q211/q170 give quantiles;
+    * a quality dashboard wants one mean that a handful of 10⁶-char
+    * pathological documents cannot move, without discarding the tail
+    * mass entirely the way a trimmed mean does): the k = ⌈α·n/100⌉
+    * smallest values clamp UP to the (k+1)-th order statistic, the k
+    * largest clamp DOWN to the (n−k)-th, and the mean folds in exact
+    * milli. Order statistics and tail/middle overlap arithmetic all
+    * derive from the [[PrefixSum]] cumulative over the value histogram
+    * (rank r lives in the histogram row with c_cum < r ≤ c_cum+c) — no
+    * sort of the corpus, no single-reducer window. n ≤ 2k (everything
+    * trimmed) keeps the row with NULL stats — never a division error.
+    *
+    * Scale shape: one value-histogram agg (the only corpus-sized
+    * shuffle), then histogram-grain folds; identical plan at any n. */
+  def winsorizedMeanCard(df: DataFrame, valueCol: String,
+      alphaPct: Int = 5): DataFrame = {
+    require(alphaPct >= 1 && alphaPct < 50,
+      s"alphaPct must be in [1, 50), got $alphaPct")
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(LongType).as("__x"))
+    val h = v.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.exclusive(h, "__x", Seq("__c"))
+    val n1 = h.agg(sum(col("__c")).as("__n"))
+    cum.crossJoin(broadcast(n1))
+      .withColumn("__k", expr(s"($alphaPct * __n + 99) DIV 100"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k"),
+        min(when(col("__c_cum") <= col("__k") &&
+            col("__c_cum") + col("__c") >= col("__k") + 1, col("__x")))
+          .as("lo_val"),
+        min(when(col("__c_cum") < col("__n") - col("__k") &&
+            col("__c_cum") + col("__c") >= col("__n") - col("__k"),
+            col("__x"))).as("hi_val"),
+        sum(col("__x") * greatest(lit(0L),
+          least(col("__c_cum") + col("__c"), col("__n") - col("__k"))
+            - greatest(col("__c_cum"), col("__k")))).as("__mid"))
+      .select(col("n"), col("k"),
+        when(col("n") > lit(2L) * col("k"), col("lo_val")).as("lo_val"),
+        when(col("n") > lit(2L) * col("k"), col("hi_val")).as("hi_val"),
+        when(col("n") > lit(2L) * col("k"),
+          col("__mid") + col("k") * (col("lo_val") + col("hi_val")))
+          .as("win_sum"))
+      .withColumn("win_mean_milli", expr(
+        "CASE WHEN win_sum IS NOT NULL THEN (1000 * win_sum) DIV n END"))
+  }
+
+  /** Oracle fixture of [[winsorizedMeanCard]]: document length with 5%
+    * winsorization per tail. */
+  private val q349 = GQuery(
+    "q349_winsorized_mean",
+    (s, dir) => winsorizedMeanCard(t(s, dir, "documents"), "n_chars"),
+    Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        WHERE n_chars IS NOT NULL),
+      hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x),
+      cw AS (SELECT x, c,
+          CAST(COALESCE(SUM(c) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS c0
+        FROM hist),
+      nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST((5 * SUM(c) + 99) // 100 AS BIGINT) AS k FROM hist),
+      agg AS (SELECT MAX(nt.n) AS n, MAX(nt.k) AS k,
+          MIN(CASE WHEN c0 <= k AND c0 + c >= k + 1 THEN x END) AS lo_val,
+          MIN(CASE WHEN c0 < n - k AND c0 + c >= n - k THEN x END)
+            AS hi_val,
+          CAST(SUM(x * GREATEST(0, LEAST(c0 + c, n - k)
+            - GREATEST(c0, k))) AS BIGINT) AS mid
+        FROM cw, nt),
+      fin AS (SELECT n, k,
+          CASE WHEN n > 2 * k THEN lo_val END AS lo_val,
+          CASE WHEN n > 2 * k THEN hi_val END AS hi_val,
+          CASE WHEN n > 2 * k THEN mid + k * (lo_val + hi_val) END
+            AS win_sum
+        FROM agg)
+      SELECT n, k, lo_val, hi_val, win_sum,
+        CASE WHEN win_sum IS NOT NULL THEN (1000 * win_sum) // n END
+          AS win_mean_milli
+      FROM fin"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
@@ -5764,5 +6045,5 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333, q338, q339, q340)
+    q333, q338, q339, q340, q347, q348, q349)
 }

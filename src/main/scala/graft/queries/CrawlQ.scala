@@ -269,5 +269,119 @@ object CrawlQ {
       WHERE rn <= 3
       ORDER BY doc_id"""))
 
-  val queries: Seq[GQuery] = Seq(q341, q342, q343)
+  /** Crawl first-mile funnel — the three stages COMPOSED under one
+    * oracle (the q337-composition discipline): raw fetches → canonical-
+    * URL dedup keepers ([[canonicalUrlDedup]]) → per-registrable-domain
+    * cap survivors ([[domainCap]], cap 3), counted per language. This
+    * is the number a corpus report actually opens with ("we fetched X,
+    * kept Y after URL dedup, Z after domain caps — here's the language
+    * mix at each stage"), and composing the stages is where bugs hide
+    * (capping before deduping double-counts a domain's duplicates
+    * against its cap). Funnel order is dedup THEN cap — each stage
+    * consumes the previous stage's survivors.
+    *
+    * Scale shape: one dedup hash agg + one domain-stratum window over
+    * the keeper set (already deduped — strictly smaller), then three
+    * language-grain counts joined at language grain. */
+  private val q345 = GQuery(
+    "q345_crawl_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", expr(fixtureUrlSpark))
+      val keepers = canonicalUrlDedup(docs, "url")
+        .select(col("keeper").as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val capped = domainCap(kept, "url", 3)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
+          Seq("lang"), "left")
+        .join(capped.groupBy(col("lang")).agg(count(lit(1)).as("n_capped")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, $fixtureUrlDuck AS url
+        FROM documents),
+      cn AS (SELECT doc_id, lang, url, ${canonDuck("url")} AS canon
+        FROM d),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canon),
+      kept AS (SELECT cn.* FROM cn JOIN keepers USING (doc_id)),
+      hosted AS (SELECT doc_id, lang, ${hostDuck("url")} AS host
+        FROM kept),
+      dom AS (SELECT doc_id, lang,
+          ${registeredDomainDuck("host")} AS domain
+        FROM hosted),
+      capped AS (SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM dom)
+        WHERE rn <= 3),
+      raw_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM d GROUP BY lang),
+      ded_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dedup
+        FROM kept GROUP BY lang),
+      cap_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_capped
+        FROM capped GROUP BY lang)
+      SELECT r.lang, r.n_raw, COALESCE(de.n_dedup, 0) AS n_dedup,
+        COALESCE(ca.n_capped, 0) AS n_capped
+      FROM raw_c r
+      LEFT JOIN ded_c de USING (lang)
+      LEFT JOIN cap_c ca USING (lang)
+      ORDER BY r.lang"""))
+
+  /** Domain×language independence card — [[graft.queries.AnalyticsQ
+    * .chiSquareCard]]'s corpus-balance gate composed over the CRAWL
+    * plane (its own scaladoc sends readers here: "a strong association
+    * means some sources carry one language, so a per-source cap
+    * silently skews the language mix" — with the registrable DOMAIN as
+    * the stratum, because that is what [[domainCap]] actually caps on).
+    * Emits the χ² card plus Cramér's V² (same exact chi2_milli, so
+    * V²_ppm = 1000·χ²_milli DIV (n·min(r−1,c−1)) attaches for free —
+    * the q331 effect size beside the q184 statistic, one row out). */
+  private val q346 = GQuery(
+    "q346_domain_mix_card",
+    (s, dir) => AnalyticsQ.chiSquareCard(
+      t(s, dir, "documents")
+        .withColumn("url", expr(fixtureUrlSpark))
+        .withColumn("domain", urlDomain("url")),
+      "domain", "lang")
+      .withColumn("v2_ppm", expr(
+        """CASE WHEN least(n_a - 1, n_b - 1) > 0 THEN
+             (1000 * chi2_milli) DIV (n_rows * least(n_a - 1, n_b - 1))
+           END""")),
+    Some(s"""WITH d0 AS (SELECT doc_id, lang, $fixtureUrlDuck AS url
+        FROM documents),
+      h0 AS (SELECT doc_id, lang, ${hostDuck("url")} AS host FROM d0),
+      dd AS (SELECT ${registeredDomainDuck("host")} AS a, lang AS b
+        FROM h0 WHERE lang IS NOT NULL),
+      cells AS (SELECT a, b, COUNT(*) AS o FROM dd GROUP BY 1, 2),
+      ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+      cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n,
+          COUNT(DISTINCT a) AS n_a, COUNT(DISTINCT b) AS n_b
+        FROM cells),
+      grid AS (SELECT ra.a, ra.r, cb.b, cb.c, COALESCE(cells.o, 0) AS o
+        FROM ra CROSS JOIN cb
+        LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+      per AS (SELECT nn.n, nn.n_a, nn.n_b,
+          (1000 * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c)
+                * (CAST(o AS HUGEINT) * nn.n - CAST(r AS HUGEINT) * c))
+            // (nn.n * r * c) AS contrib
+        FROM grid, nn)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        (MAX(n_a) - 1) * (MAX(n_b) - 1) AS dof,
+        CAST(SUM(contrib) AS BIGINT) AS chi2_milli,
+        CAST((1000000 * SUM(contrib)) // (1000 * MAX(n)) AS BIGINT)
+          AS phi2_micro,
+        CASE WHEN LEAST(MAX(n_a) - 1, MAX(n_b) - 1) > 0 THEN
+          CAST((1000 * CAST(SUM(contrib) AS BIGINT))
+            // (MAX(n) * LEAST(MAX(n_a) - 1, MAX(n_b) - 1)) AS BIGINT)
+        END AS v2_ppm
+      FROM per"""))
+
+  val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346)
 }
