@@ -100,7 +100,10 @@ object ScaleProbe {
     "q330_nelson_aalen", "q331_cramers_v2", "q332_irsf_screen",
     "q333_ewma_chart", "q334_isotonic_calibration", "q335_pr_curve",
     "q336_threshold_pick", "q337_calibrated_reliability", "q338_ks_gate",
-    "q339_chi2_gate", "q340_forecast_interval")
+    "q339_chi2_gate", "q340_forecast_interval",
+    "q341_url_canonical", "q342_url_dedup", "q343_domain_cap",
+    "q344_monitor_card", "q345_crawl_funnel", "q346_domain_mix_card",
+    "q347_mood_median", "q348_logrank_test", "q349_winsorized_mean")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
