@@ -103,7 +103,8 @@ object ScaleProbe {
     "q339_chi2_gate", "q340_forecast_interval",
     "q341_url_canonical", "q342_url_dedup", "q343_domain_cap",
     "q344_monitor_card", "q345_crawl_funnel", "q346_domain_mix_card",
-    "q347_mood_median", "q348_logrank_test", "q349_winsorized_mean")
+    "q347_mood_median", "q348_logrank_test", "q349_winsorized_mean",
+    "q350_url_shape_card", "q351_rmst", "q352_mannwhitney_gate")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -6038,6 +6038,180 @@ object AnalyticsQ {
           AS win_mean_milli
       FROM fin"""))
 
+  /** Restricted mean survival time — the ONE-NUMBER summary the
+    * survival family reads off the KM curve (q234 gives the whole
+    * curve; q330 the cumulative hazard; q348 the two-group verdict;
+    * a capacity/LTV planner wants "expected lifetime within the first
+    * H buckets", the area under KM up to the horizon — robust where a
+    * mean lifetime is undefined under censoring): RMST(H) =
+    * Σ_{b=0}^{H−1} S_entry(b), with S_entry(b) the exact q234 flooring
+    * KM product after every observed bucket < b (10⁶ entering bucket
+    * 0), carried forward across unobserved buckets. Emitted in
+    * ppm·buckets plus the day conversion.
+    *
+    * Scale shape: the q234 life-table plan plus one H-row grid fill —
+    * the single-partition window runs over H rows (horizon-bounded
+    * config grain, never data). */
+  def rmstCard(events: DataFrame, horizonBuckets: Int = 8,
+      intervalDays: Int = 7, churnGapSec: Long = 7L * 86400L)
+      : DataFrame = {
+    require(horizonBuckets >= 1,
+      s"horizonBuckets must be >= 1, got $horizonBuckets")
+    val km = kmSurvival(events, intervalDays, churnGapSec)
+    val grid = events.sparkSession.range(horizonBuckets.toLong)
+      .select(col("id").as("b"))
+    val obs = km.select((col("bucket") + 1).as("b"), col("s_ppm"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("b"), "left")
+      .withColumn("s_entry", coalesce(
+        last(col("s_ppm"), ignoreNulls = true).over(w), lit(1000000L)))
+      .agg(count(lit(1)).as("horizon_buckets"),
+        sum(col("s_entry")).as("rmst_ppm_buckets"))
+      .withColumn("rmst_milli_days", expr(
+        s"($intervalDays * rmst_ppm_buckets) DIV 1000"))
+  }
+
+  /** Oracle fixture of [[rmstCard]]: expected purchase-activity
+    * lifetime within the first 8 days (1-day buckets — the q234
+    * fixture's clock). */
+  private val q351 = GQuery(
+    "q351_rmst",
+    (s, dir) => rmstCard(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      horizonBuckets = 8, intervalDays = 1, churnGapSec = 86400L),
+    Some(s"""WITH RECURSIVE p AS (SELECT * FROM events
+        WHERE event_type = 'purchase'),
+      u AS (SELECT user_id,
+          MIN(${epochSecSql("ts")}) AS first_sec,
+          MAX(${epochSecSql("ts")}) AS last_sec
+        FROM p GROUP BY user_id),
+      h AS (SELECT MAX(${epochSecSql("ts")}) AS horizon FROM p),
+      aged AS (SELECT (last_sec - first_sec) // 86400 AS bucket,
+          (horizon - last_sec < 86400) AS censored
+        FROM u, h),
+      hist AS (SELECT bucket, COUNT(*) AS ended_here,
+          SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        FROM aged GROUP BY bucket),
+      lt AS (SELECT bucket,
+          CAST(SUM(ended_here) OVER (ORDER BY bucket DESC) AS BIGINT)
+            AS n_at_risk,
+          CAST(ended_here - n_censored AS BIGINT) AS n_churned,
+          ROW_NUMBER() OVER (ORDER BY bucket) AS r
+        FROM hist),
+      km(r, bucket, s_ppm) AS (
+        SELECT r, bucket,
+          (1000000 * (n_at_risk - n_churned)) // n_at_risk
+        FROM lt WHERE r = 1
+        UNION ALL
+        SELECT lt.r, lt.bucket,
+          (km.s_ppm * (lt.n_at_risk - lt.n_churned)) // lt.n_at_risk
+        FROM km JOIN lt ON lt.r = km.r + 1),
+      grid AS (SELECT CAST(gs.b AS BIGINT) AS b
+        FROM generate_series(0, 7) AS gs(b)),
+      filled AS (SELECT grid.b, COALESCE(
+          (SELECT km.s_ppm FROM km
+           WHERE km.bucket + 1 <= grid.b
+           ORDER BY km.bucket DESC LIMIT 1), 1000000) AS s_entry
+        FROM grid)
+      SELECT CAST(COUNT(*) AS BIGINT) AS horizon_buckets,
+        CAST(SUM(s_entry) AS BIGINT) AS rmst_ppm_buckets,
+        CAST((1 * SUM(s_entry)) // 1000 AS BIGINT) AS rmst_milli_days
+      FROM filled"""))
+
+  /** Mann–Whitney U SIGNIFICANCE gate — the verdict [[rankAucCard]]
+    * (q240) deliberately stops short of, the q326-over-q275 pattern
+    * applied to the two-sample rank family: q240 reports the exact AUC
+    * (effect direction and size); THIS flags whether the rank
+    * separation is real, via the tie-corrected normal approximation
+    * evaluated as one exact integer inequality. With Δ = 2U − n₁n₂ and
+    * W = (n+1)n(n−1) − Σ(t³−t), z² = 3n(n−1)Δ² / (n₁n₂W) — gated at
+    * micro precision against z²₀.₀₂₅ (= χ²₍₀.₀₅,1₎, the shared table's
+    * df-1 entry) under the conservative truncation convention. W = 0
+    * (every value tied) or an empty side keeps the row with NULL z²
+    * and a false flag — never a division error.
+    *
+    * Scale shape: the q240 value-histogram plan verbatim (one corpus
+    * agg + the bucket-offset prefix) plus one more histogram-grain sum
+    * for the tie term; identical at any row count. */
+  def mannWhitneyGate(events: DataFrame, typeA: String, typeB: String,
+      typeCol: String = "event_type", valCol: String = "value")
+      : DataFrame = {
+    require(typeA != typeB, "the two groups must differ")
+    val h = events
+      .filter(col(typeCol).isin(typeA, typeB))
+      .select((col(typeCol) === typeA).as("isa"),
+        expr(s"CAST(round($valCol * 100) AS BIGINT)").as("cv"))
+      .groupBy(col("cv"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("cab", col("ca") + col("cb"))
+    PrefixSum.exclusive(h, "cv", Seq("cab"), bucketWidth = 4096L)
+      .withColumnRenamed("cab_cum", "k")
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(expr(
+          "CAST(ca AS DECIMAL(38,0)) * (2 * k + ca + cb + 1)")).as("r2a"),
+        sum(expr(
+          "CAST(cab AS DECIMAL(38,0)) * cab * cab - cab")).as("__t3"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DECIMAL(38,0))")
+          .as("__u2"),
+        expr("""CAST((CAST(n_a AS DECIMAL(38,0)) + n_b + 1)
+             * (n_a + n_b) * (n_a + n_b - 1) - __t3 AS DECIMAL(38,0))""")
+          .as("__w"),
+        col("__t3"))
+      .select(col("n_a"), col("n_b"),
+        col("__u2").cast(LongType).as("u2_a"),
+        col("__w").cast(LongType).as("var_w"),
+        expr("""CASE WHEN __w > 0 AND n_a > 0 AND n_b > 0 THEN
+            CAST((CAST(3000 AS DECIMAL(38,0)) * (n_a + n_b)
+               * (n_a + n_b - 1)
+               * (__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b)
+               * (__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b))
+              DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * __w) AS BIGINT)
+          END""").as("z2_milli"))
+      .withColumn("groups_differ", coalesce(
+        expr(s"z2_milli * 1000 > ${chi2Crit05Micro(1)}L"), lit(false)))
+  }
+
+  /** Oracle fixture of [[mannWhitneyGate]]: do purchase values rank
+    * above click values — the q240 AUC with its verdict attached? */
+  private val q352 = GQuery(
+    "q352_mannwhitney_gate",
+    (s, dir) => mannWhitneyGate(t(s, dir, "events"), "purchase", "click"),
+    Some(s"""WITH e AS (SELECT event_type = 'purchase' AS isa,
+          CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events WHERE event_type IN ('purchase', 'click')),
+      hist AS (SELECT cv,
+          CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM e GROUP BY cv),
+      pre AS (SELECT ca, cb, ca + cb AS cab,
+          CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY cv
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS k
+        FROM hist),
+      agg AS (SELECT CAST(SUM(ca) AS HUGEINT) AS n_a,
+          CAST(SUM(cb) AS HUGEINT) AS n_b,
+          SUM(CAST(ca AS HUGEINT) * (2 * k + ca + cb + 1)) AS r2a,
+          SUM(CAST(cab AS HUGEINT) * cab * cab - cab) AS t3
+        FROM pre),
+      d AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2,
+          (n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - t3 AS w
+        FROM agg)
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(u2 AS BIGINT) AS u2_a, CAST(w AS BIGINT) AS var_w,
+        CASE WHEN w > 0 AND n_a > 0 AND n_b > 0 THEN
+          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1)
+             * (u2 - n_a * n_b) * (u2 - n_a * n_b))
+            // (n_a * n_b * w) AS BIGINT) END AS z2_milli,
+        COALESCE(CASE WHEN w > 0 AND n_a > 0 AND n_b > 0 THEN
+          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1)
+             * (u2 - n_a * n_b) * (u2 - n_a * n_b))
+            // (n_a * n_b * w) AS BIGINT) * 1000
+          > ${chi2Crit05Micro(1)} END, FALSE) AS groups_differ
+      FROM d"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
@@ -6045,5 +6219,5 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333, q338, q339, q340, q347, q348, q349)
+    q333, q338, q339, q340, q347, q348, q349, q351, q352)
 }

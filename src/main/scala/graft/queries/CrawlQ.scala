@@ -383,5 +383,66 @@ object CrawlQ {
         END AS v2_ppm
       FROM per"""))
 
-  val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346)
+  /** URL shape card — the crawl-observability numbers a first-mile
+    * operator reads before tuning the canonicalizer (how deep do this
+    * domain's paths go, how query-string-heavy is it, how much of its
+    * traffic carries tracking params the canonicalizer strips): per
+    * registrable domain — fetch count, mean path depth (non-empty `/`
+    * segments, exact milli), share of fetches with any query string,
+    * and share carrying at least one tracking param. Pure map-side
+    * string expressions + one domain-grain agg. */
+  def urlShapeCard(docs: DataFrame, urlCol: String): DataFrame = {
+    val nofrag = s"split_part($urlCol, '#', 1)"
+    val path0 = s"regexp_extract($nofrag, '^[^/]*://[^/?#]*([^?#]*)', 1)"
+    val query = s"regexp_extract($nofrag, '[?]([^#]*)$$', 1)"
+    val depth = s"size(filter(split($path0, '/'), s -> s <> ''))"
+    val hasQ = s"(size(filter(split($query, '&'), p -> p <> '')) > 0)"
+    val hasTrk = s"""(size(filter(split($query, '&'), p ->
+        startswith(split_part(p, '=', 1), 'utm_')
+        OR split_part(p, '=', 1) IN ${inList(trackingParams)})) > 0)"""
+    docs.select(urlDomain(urlCol).as("domain"),
+        expr(depth).cast(LongType).as("__d"),
+        expr(hasQ).as("__q"), expr(hasTrk).as("__t"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_fetches"),
+        expr("(1000 * sum(__d)) DIV count(1)").as("mean_depth_milli"),
+        expr("(1000000 * sum(CASE WHEN __q THEN 1L ELSE 0L END)) " +
+          "DIV count(1)").as("with_query_ppm"),
+        expr("(1000000 * sum(CASE WHEN __t THEN 1L ELSE 0L END)) " +
+          "DIV count(1)").as("tracking_ppm"))
+  }
+
+  /** Oracle fixture of [[urlShapeCard]] over the derived URL column. */
+  private val q350 = GQuery(
+    "q350_url_shape_card",
+    (s, dir) => urlShapeCard(
+      t(s, dir, "documents").withColumn("url", expr(fixtureUrlSpark)),
+      "url")
+      .orderBy(col("domain")),
+    Some {
+      val nofrag = "split_part(url, '#', 1)"
+      val path0 = s"coalesce(regexp_extract($nofrag, '^[^/]*://[^/?#]*([^?#]*)', 1), '')"
+      val query = s"coalesce(regexp_extract($nofrag, '[?]([^#]*)$$', 1), '')"
+      s"""WITH d0 AS (SELECT doc_id, $fixtureUrlDuck AS url FROM documents),
+      h0 AS (SELECT doc_id, url, ${hostDuck("url")} AS host FROM d0),
+      f AS (SELECT ${registeredDomainDuck("host")} AS domain,
+          CAST(len(list_filter(string_split($path0, '/'),
+            s -> s <> '')) AS BIGINT) AS d,
+          len(list_filter(string_split($query, '&'), p -> p <> '')) > 0
+            AS q,
+          len(list_filter(string_split($query, '&'), p ->
+            starts_with(split_part(p, '=', 1), 'utm_')
+            OR split_part(p, '=', 1) IN ${inList(trackingParams)})) > 0
+            AS t
+        FROM h0)
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        CAST((1000 * SUM(d)) // COUNT(*) AS BIGINT) AS mean_depth_milli,
+        CAST((1000000 * SUM(CASE WHEN q THEN 1 ELSE 0 END)) // COUNT(*)
+          AS BIGINT) AS with_query_ppm,
+        CAST((1000000 * SUM(CASE WHEN t THEN 1 ELSE 0 END)) // COUNT(*)
+          AS BIGINT) AS tracking_ppm
+      FROM f GROUP BY domain ORDER BY domain"""
+    })
+
+  val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346, q350)
 }

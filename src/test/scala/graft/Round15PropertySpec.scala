@@ -134,6 +134,94 @@ class Round15PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- q352 Mann-Whitney gate ----------------------------------------------
+
+  test("mannWhitneyGate equals the in-memory tie-corrected z-square on " +
+      "arbitrary two-group samples, including the all-tied degenerate") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 30)
+      nb <- Gen.chooseNum(1, 30)
+      tied <- Gen.oneOf(true, false)
+      as <- Gen.listOfN(na,
+        if (tied) Gen.const(5.0) else Gen.chooseNum(0L, 12L).map(_ * 0.25))
+      bs <- Gen.listOfN(nb,
+        if (tied) Gen.const(5.0) else Gen.chooseNum(0L, 12L).map(_ * 0.25))
+    } yield (as, bs)
+    check(Prop.forAll(gen) { case (as, bs) =>
+      val df = (as.map(("purchase", _)) ++ bs.map(("click", _)))
+        .toDF("event_type", "value")
+      val got = AnalyticsQ.mannWhitneyGate(df, "purchase", "click")
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("var_w"),
+          col("z2_milli"), col("groups_differ"))
+        .as[(Long, Long, Long, Long, Option[Long], Boolean)].head()
+      val av = as.map(v => math.round(v * 100))
+      val bv = bs.map(v => math.round(v * 100))
+      val u2 = 2L * av.map(a =>
+        bv.count(_ < a).toLong).sum + av.map(a => bv.count(_ == a).toLong).sum
+      val n = av.size + bv.size
+      val t3 = (av ++ bv).groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+      val w = (n + 1L) * n * (n - 1L) - t3
+      val delta = BigInt(u2) - BigInt(av.size.toLong) * bv.size
+      val z2 = if (w > 0 && av.nonEmpty && bv.nonEmpty)
+        Some((BigInt(3000) * n * (n - 1) * delta * delta /
+          (BigInt(av.size.toLong) * bv.size * w)).toLong)
+        else None
+      val flag = z2.exists(z => BigInt(z) * 1000 > BigInt(3841458L))
+      got == ((av.size.toLong, bv.size.toLong, u2, w, z2, flag))
+    })
+  }
+
+  // ---- q351 RMST -----------------------------------------------------------
+
+  test("rmstCard equals the in-memory KM grid fold on a hand cohort " +
+      "with censoring and an unobserved-bucket gap") {
+    // horizon = max ts; users: u1 span 0d (ends day0, censored? horizon
+    // - last >= gap -> churned), u2 span 1d churned, u3 span 3d
+    // straddles the gap at bucket 2, u4 alive at horizon (censored)
+    def ev(u: Long, d: Int) = (u, f"2024-01-${d + 1}%02d 12:00:00")
+    val rows = Seq(ev(1, 0), ev(2, 0), ev(2, 1), ev(3, 0), ev(3, 3),
+      ev(4, 6), ev(4, 9))
+    val df = rows.toDF("user_id", "ts0")
+      .select(col("user_id"), col("ts0").cast("timestamp").as("ts"))
+    val got = AnalyticsQ.rmstCard(df, horizonBuckets = 6,
+        intervalDays = 1, churnGapSec = 86400L)
+      .select(col("horizon_buckets"), col("rmst_ppm_buckets"),
+        col("rmst_milli_days"))
+      .as[(Long, Long, Long)].head()
+    // in-memory replay: spans 0,1,3,3(censored u4: horizon-last=0<1d)
+    val aged = Seq((0L, false), (1L, false), (3L, false), (3L, true))
+    val buckets = aged.map(_._1).distinct.sorted
+    var s = 1000000L
+    val sAfter = buckets.map { b =>
+      val nAtRisk = aged.count(_._1 >= b).toLong
+      val churned = aged.count(a => a._1 == b && !a._2).toLong
+      s = (s * (nAtRisk - churned)) / nAtRisk
+      b -> s
+    }.toMap
+    val rmst = (0L until 6L).map { b =>
+      buckets.filter(_ < b).lastOption.map(sAfter).getOrElse(1000000L)
+    }.sum
+    assert(got == ((6L, rmst, rmst / 1000L)), s"$got vs rmst=$rmst")
+  }
+
+  // ---- q350 URL shape card -------------------------------------------------
+
+  test("urlShapeCard counts depth, query and tracking shares exactly") {
+    val docs = Seq(
+      ("http://a.com/x/y?b=2", 1L), ("https://www.A.com/", 2L),
+      ("http://a.com/x?utm_source=rss&a=1", 3L),
+      ("http://b.co.uk/one/two/three", 4L))
+      .toDF("url", "doc_id")
+    val got = graft.queries.CrawlQ.urlShapeCard(docs, "url")
+      .orderBy(col("domain"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // a.com: depths 2,0,1 -> mean 1000; 2/3 with query; 1/3 tracking
+      ("a.com", 3L, 1000L, 666666L, 333333L),
+      ("b.co.uk", 1L, 3000L, 0L, 0L)), got.toString)
+  }
+
   // ---- q345 crawl funnel ---------------------------------------------------
 
   test("the crawl funnel is monotone per language and its dedup stage " +
