@@ -6123,13 +6123,23 @@ object AnalyticsQ {
     * (q240) deliberately stops short of, the q326-over-q275 pattern
     * applied to the two-sample rank family: q240 reports the exact AUC
     * (effect direction and size); THIS flags whether the rank
-    * separation is real, via the tie-corrected normal approximation
-    * evaluated as one exact integer inequality. With Δ = 2U − n₁n₂ and
-    * W = (n+1)n(n−1) − Σ(t³−t), z² = 3n(n−1)Δ² / (n₁n₂W) — gated at
-    * micro precision against z²₀.₀₂₅ (= χ²₍₀.₀₅,1₎, the shared table's
-    * df-1 entry) under the conservative truncation convention. W = 0
-    * (every value tied) or an empty side keeps the row with NULL z²
-    * and a false flag — never a division error.
+    * separation is real, via the tie-corrected normal approximation.
+    * With Δ = 2U − n₁n₂ and W = (n+1)n(n−1) − Σ(t³−t),
+    * z² = 3n(n−1)Δ² / (n₁n₂W) — evaluated as TWO truncating integer
+    * quotients, A = Δ² DIV n₁n₂ then z²_milli = 3000·n(n−1)·A DIV W
+    * (the single-quotient numerator is ~n⁶ and overflows DECIMAL(38)
+    * right where this gate matters — found by the 100× probe; the
+    * split's truncation deficit is < 3000/n milli, strictly DOWNWARD,
+    * so the gate stays conservative and both engines replay it
+    * identically). Gated at micro precision against z²₀.₀₂₅
+    * (= χ²₍₀.₀₅,1₎, the shared table's df-1 entry). W = 0 (every value
+    * tied) or an empty side keeps the row with NULL z² and a false
+    * flag — never a division error. W itself is ~n³ and is NOT emitted
+    * raw; the tie mass ships as the bounded `tie_ppm` =
+    * 10⁶·Σ(t³−t) DIV (n³−n). Validity bound: operands cap the
+    * construction at n ≲ 5·10⁸ per gate — beyond that, uniformly
+    * downscale the histogram counts first (z² scales linearly in n,
+    * the chiSquareCard remedy).
     *
     * Scale shape: the q240 value-histogram plan verbatim (one corpus
     * agg + the bucket-offset prefix) plus one more histogram-grain sum
@@ -6160,15 +6170,20 @@ object AnalyticsQ {
              * (n_a + n_b) * (n_a + n_b - 1) - __t3 AS DECIMAL(38,0))""")
           .as("__w"),
         col("__t3"))
+      .withColumn("__a", expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+          ((__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b)
+            * (__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b))
+          DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""))
       .select(col("n_a"), col("n_b"),
         col("__u2").cast(LongType).as("u2_a"),
-        col("__w").cast(LongType).as("var_w"),
-        expr("""CASE WHEN __w > 0 AND n_a > 0 AND n_b > 0 THEN
+        expr("""CASE WHEN n_a + n_b >= 2 THEN CAST(
+            (CAST(1000000 AS DECIMAL(38,0)) * __t3)
+            DIV (CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)
+               * (n_a + n_b) - (n_a + n_b)) AS BIGINT) END""")
+          .as("tie_ppm"),
+        expr("""CASE WHEN __w > 0 AND __a IS NOT NULL THEN
             CAST((CAST(3000 AS DECIMAL(38,0)) * (n_a + n_b)
-               * (n_a + n_b - 1)
-               * (__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b)
-               * (__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b))
-              DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * __w) AS BIGINT)
+               * (n_a + n_b - 1) * __a) DIV __w AS BIGINT)
           END""").as("z2_milli"))
       .withColumn("groups_differ", coalesce(
         expr(s"z2_milli * 1000 > ${chi2Crit05Micro(1)}L"), lit(false)))
@@ -6196,21 +6211,27 @@ object AnalyticsQ {
           SUM(CAST(ca AS HUGEINT) * (2 * k + ca + cb + 1)) AS r2a,
           SUM(CAST(cab AS HUGEINT) * cab * cab - cab) AS t3
         FROM pre),
-      d AS (SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2,
+      d AS (SELECT n_a, n_b, t3, r2a - n_a * (n_a + 1) AS u2,
           (n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) - t3 AS w
-        FROM agg)
+        FROM agg),
+      d2 AS (SELECT n_a, n_b, t3, u2, w,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            ((u2 - n_a * n_b) * (u2 - n_a * n_b)) // (n_a * n_b) END
+            AS a2
+        FROM d)
       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        CAST(u2 AS BIGINT) AS u2_a, CAST(w AS BIGINT) AS var_w,
-        CASE WHEN w > 0 AND n_a > 0 AND n_b > 0 THEN
-          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1)
-             * (u2 - n_a * n_b) * (u2 - n_a * n_b))
-            // (n_a * n_b * w) AS BIGINT) END AS z2_milli,
-        COALESCE(CASE WHEN w > 0 AND n_a > 0 AND n_b > 0 THEN
-          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1)
-             * (u2 - n_a * n_b) * (u2 - n_a * n_b))
-            // (n_a * n_b * w) AS BIGINT) * 1000
+        CAST(u2 AS BIGINT) AS u2_a,
+        CASE WHEN n_a + n_b >= 2 THEN
+          CAST((1000000 * t3) // ((n_a + n_b) * (n_a + n_b)
+            * (n_a + n_b) - (n_a + n_b)) AS BIGINT) END AS tie_ppm,
+        CASE WHEN w > 0 AND a2 IS NOT NULL THEN
+          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1) * a2) // w
+            AS BIGINT) END AS z2_milli,
+        COALESCE(CASE WHEN w > 0 AND a2 IS NOT NULL THEN
+          CAST((3000 * (n_a + n_b) * (n_a + n_b - 1) * a2) // w
+            AS BIGINT) * 1000
           > ${chi2Crit05Micro(1)} END, FALSE) AS groups_differ
-      FROM d"""))
+      FROM d2"""))
 
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,

@@ -151,9 +151,10 @@ class Round15PropertySpec extends SparkSpec {
       val df = (as.map(("purchase", _)) ++ bs.map(("click", _)))
         .toDF("event_type", "value")
       val got = AnalyticsQ.mannWhitneyGate(df, "purchase", "click")
-        .select(col("n_a"), col("n_b"), col("u2_a"), col("var_w"),
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_ppm"),
           col("z2_milli"), col("groups_differ"))
-        .as[(Long, Long, Long, Long, Option[Long], Boolean)].head()
+        .as[(Long, Long, Long, Option[Long], Option[Long], Boolean)]
+        .head()
       val av = as.map(v => math.round(v * 100))
       val bv = bs.map(v => math.round(v * 100))
       val u2 = 2L * av.map(a =>
@@ -162,13 +163,17 @@ class Round15PropertySpec extends SparkSpec {
       val t3 = (av ++ bv).groupBy(identity).values
         .map(g => { val t = g.size.toLong; t * t * t - t }).sum
       val w = (n + 1L) * n * (n - 1L) - t3
+      val tiePpm = if (n >= 2)
+        Some((BigInt(1000000) * t3 /
+          (BigInt(n.toLong) * n * n - n)).toLong) else None
       val delta = BigInt(u2) - BigInt(av.size.toLong) * bv.size
-      val z2 = if (w > 0 && av.nonEmpty && bv.nonEmpty)
-        Some((BigInt(3000) * n * (n - 1) * delta * delta /
-          (BigInt(av.size.toLong) * bv.size * w)).toLong)
-        else None
+      // the shipped two-quotient split, replayed verbatim
+      val z2 = if (w > 0 && av.nonEmpty && bv.nonEmpty) {
+        val a2 = delta * delta / (BigInt(av.size.toLong) * bv.size)
+        Some((BigInt(3000) * n * (n - 1) * a2 / w).toLong)
+      } else None
       val flag = z2.exists(z => BigInt(z) * 1000 > BigInt(3841458L))
-      got == ((av.size.toLong, bv.size.toLong, u2, w, z2, flag))
+      got == ((av.size.toLong, bv.size.toLong, u2, tiePpm, z2, flag))
     })
   }
 
