@@ -1394,6 +1394,40 @@ object AnalyticsQ {
     115 -> 141029704L, 116 -> 142138160L, 117 -> 143246147L,
     118 -> 144353672L, 119 -> 145460740L, 120 -> 146567357L)
 
+  /** χ²₍α/k, df=1₎ at micro precision for k = 1..64 — the Holm /
+    * Bonferroni divisor table ([[holmScreen]]): entry k is the df-1
+    * critical value at the CORRECTED level α = 0.05/k, generated by
+    * bisecting P(χ²₁ > x) = erfc(√(x/2)) in pure arithmetic and
+    * rounded UP to the next micro, so a gate that compares an exactly
+    * scaled statistic against it can only flag true exceedances (the
+    * conservative convention, same direction as the Mann–Kendall
+    * constant). k=1 is the uncorrected 3841458.82→3841459 (one micro
+    * above the shared [[chi2Crit05Micro]] df-1 entry, which rounds
+    * down for its milli-truncated-statistic pairing). */
+  private[graft] val chi2Crit05DivKMicroDf1: Map[Int, Long] = Map(
+    1 -> 3841459L, 2 -> 5023887L, 3 -> 5731140L,
+    4 -> 6238533L, 5 -> 6634897L, 6 -> 6960402L,
+    7 -> 7236690L, 8 -> 7476773L, 9 -> 7689093L,
+    10 -> 7879439L, 11 -> 8051957L, 12 -> 8209717L,
+    13 -> 8355058L, 14 -> 8489802L, 15 -> 8615396L,
+    16 -> 8733012L, 17 -> 8843605L, 18 -> 8947973L,
+    19 -> 9046780L, 20 -> 9140594L, 21 -> 9229896L,
+    22 -> 9315102L, 23 -> 9396574L, 24 -> 9474627L,
+    25 -> 9549536L, 26 -> 9621547L, 27 -> 9690877L,
+    28 -> 9757719L, 29 -> 9822245L, 30 -> 9884613L,
+    31 -> 9944961L, 32 -> 10003418L, 33 -> 10060099L,
+    34 -> 10115108L, 35 -> 10168543L, 36 -> 10220491L,
+    37 -> 10271033L, 38 -> 10320244L, 39 -> 10368191L,
+    40 -> 10414939L, 41 -> 10460547L, 42 -> 10505068L,
+    43 -> 10548554L, 44 -> 10591051L, 45 -> 10632605L,
+    46 -> 10673256L, 47 -> 10713042L, 48 -> 10752001L,
+    49 -> 10790165L, 50 -> 10827567L, 51 -> 10864236L,
+    52 -> 10900201L, 53 -> 10935489L, 54 -> 10970124L,
+    55 -> 11004131L, 56 -> 11037531L, 57 -> 11070347L,
+    58 -> 11102598L, 59 -> 11134304L, 60 -> 11165482L,
+    61 -> 11196151L, 62 -> 11226326L, 63 -> 11256023L,
+    64 -> 11285258L)
+
   /** Cochran's Q test — the k-treatment generalization completing the
     * agreement family's TEST axis ([[mcnemarCard]] asks "are TWO paired
     * raters' marginals equal"; [[fleissKappa]] measures how much a
@@ -6233,6 +6267,563 @@ object AnalyticsQ {
           > ${chi2Crit05Micro(1)} END, FALSE) AS groups_differ
       FROM d2"""))
 
+  /** Standardized-mean-difference card — the EFFECT-SIZE rung of the
+    * mean-comparison family the rank family already has in full
+    * ([[rankAuc]] effect / [[mannWhitneyGate]] verdict): Cohen's d² in
+    * exact ppm, d² = Δ²/s²_pooled with the usual
+    * s²_pooled = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2), computed
+    * entirely from the integer sufficient statistics (n, Σcv, Σcv² in
+    * cents) with fractions cleared: with diff = S_a·n_b − S_b·n_a and
+    * V_i = n_i·Q_i − S_i² (≥ 0), d²_ppm = 10⁶·A·(n_a+n_b−2) DIV
+    * (V_a·n_b + V_b·n_a) where A = diff² DIV (n_a·n_b) — the q352
+    * two-quotient split (the one-step numerator is ~n⁶ and overflows
+    * DECIMAL(38) right where a corpus-scale card matters); every
+    * truncation is toward zero (sign-portable, Spark DIV ≡ DuckDB //)
+    * and strictly shrinks d², so the card never overstates an effect.
+    * The SQUARED form deliberately (the V²/τ² convention): √ is where
+    * engines diverge. mean_diff_milli (milli-cents) carries magnitude
+    * and sign; direction is its exact sign. An empty side keeps the
+    * row with NULL stats; zero pooled variance (both sides constant)
+    * keeps NULL d² — never a division error. Validity bound:
+    * n_a·n_b·|Δ_cents| ≲ 10¹⁹ caps diff² inside DECIMAL(38).
+    *
+    * Scale shape: one conditional-aggregation corpus scan to six
+    * numbers, then scalar arithmetic — map-side partial aggregation
+    * does all the work; nothing shuffles but six partials/partition. */
+  def meanDiffCard(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame =
+    meanDiffInternal(events, typeA, typeB)
+      .withColumn("__a", expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+          (__diff * __diff) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""))
+      .select(col("n_a"), col("n_b"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CAST((1000 * __diff) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)
+              AS BIGINT) END""").as("mean_diff_milli"),
+        expr("""CASE WHEN __va * n_b + __vb * n_a > 0 AND __a IS NOT NULL
+            THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * __a
+                * (n_a + n_b - 2))
+              DIV (__va * n_b + __vb * n_a) AS BIGINT) END""")
+          .as("d2_ppm"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CASE WHEN __diff > 0 THEN 1 WHEN __diff < 0 THEN -1
+              ELSE 0 END END""").as("direction"))
+
+  /** Welch mean-difference SIGNIFICANCE gate — the VERDICT rung of the
+    * mean-comparison family ([[meanDiffCard]] reports how big; THIS
+    * flags whether the mean gap is real under UNEQUAL variances, the
+    * two-sample test that never pools): the large-sample normal form
+    * z² = Δ² / (s²_a/n_a + s²_b/n_b), gated two-sided at α = 0.05
+    * against the shared df-1 entry of [[chi2Crit05Micro]]. Every
+    * rounding is chosen so z² can only be UNDER-stated: the numerator
+    * 10⁹·Δ² lands via two downward truncations (B₁ = diff² DIV
+    * (n_a·n_b), then 10⁹·B₁ DIV (n_a·n_b) — the q352 split; one step
+    * is ~n⁶ and overflows DECIMAL(38)), while each denominator term
+    * 10⁶·V_i/(n_i²(n_i−1)) is CEIL-divided — so the flag only fires on
+    * true exceedances. A side with n < 2 has no variance estimate and
+    * an all-constant corpus has se² = 0: both keep the row with NULL
+    * z² and a false flag — never a division error, and "untestable"
+    * never reads as "the means agree". Validity bound: the q353 diff²
+    * bound plus 10⁶·V_i ≲ 10³⁸ (n_i ≲ 10⁹ at cents scale).
+    *
+    * Scale shape: identical to [[meanDiffCard]] — one map-side
+    * conditional aggregation to six numbers, scalar arithmetic after;
+    * the t-distribution refinement (Welch–Satterthwaite df) matters
+    * only at n ≲ 30 per side, where no 100 TB corpus lives — the
+    * normal gate is the scale-true form, documented. */
+  def welchGate(events: DataFrame, typeA: String, typeB: String)
+      : DataFrame =
+    meanDiffInternal(events, typeA, typeB)
+      .withColumn("__b1", expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+          (__diff * __diff) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""))
+      .withColumn("__b", expr("""CASE WHEN __b1 IS NOT NULL THEN
+          (CAST(1000000000 AS DECIMAL(38,0)) * __b1)
+            DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) END"""))
+      .withColumn("__se2k", expr(
+        """CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+            (CAST(1000000 AS DECIMAL(38,0)) * __va
+              + CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1) - 1)
+            DIV (CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1))
+          + (CAST(1000000 AS DECIMAL(38,0)) * __vb
+              + CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1) - 1)
+            DIV (CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1)) END"""))
+      .select(col("n_a"), col("n_b"),
+        expr("""CASE WHEN __se2k > 0 AND __b IS NOT NULL THEN
+            CAST(__b DIV __se2k AS BIGINT) END""").as("z2_milli"))
+      .withColumn("means_differ", coalesce(
+        expr(s"z2_milli * 1000 > ${chi2Crit05Micro(1)}L"), lit(false)))
+
+  /** Shared sufficient-statistics scan of [[meanDiffCard]] /
+    * [[welchGate]]: one row of (n_a, n_b, __sa, __sb, __qa, __qb,
+    * __diff, __va, __vb) in exact DECIMAL(38,0) cents. */
+  private def meanDiffInternal(events: DataFrame, typeA: String,
+      typeB: String): DataFrame =
+    events.filter(col("event_type").isin(typeA, typeB))
+      .select((col("event_type") === typeA).as("isa"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      .agg(
+        count(when(col("isa"), lit(1))).cast(LongType).as("n_a"),
+        count(when(!col("isa"), lit(1))).cast(LongType).as("n_b"),
+        coalesce(sum(when(col("isa"), col("cv")).otherwise(0L)
+            .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sa"),
+        coalesce(sum(when(!col("isa"), col("cv")).otherwise(0L)
+            .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0))).as("__sb"),
+        coalesce(sum(when(col("isa"),
+              col("cv").cast(DecimalType(19, 0)) * col("cv"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))),
+          lit(0).cast(DecimalType(38, 0))).as("__qa"),
+        coalesce(sum(when(!col("isa"),
+              col("cv").cast(DecimalType(19, 0)) * col("cv"))
+            .otherwise(lit(0).cast(DecimalType(38, 0)))),
+          lit(0).cast(DecimalType(38, 0))).as("__qb"))
+      .withColumn("__diff", expr(
+        "__sa * n_b - __sb * CAST(n_a AS DECIMAL(38,0))"))
+      .withColumn("__va", expr(
+        "CAST(n_a AS DECIMAL(38,0)) * __qa - __sa * __sa"))
+      .withColumn("__vb", expr(
+        "CAST(n_b AS DECIMAL(38,0)) * __qb - __sb * __sb"))
+
+  /** Oracle-side sufficient-statistics CTE chain shared by q353/q354:
+    * one arm of the (purchase vs click) contrast, `shift` cents added
+    * to the click side BEFORE rounding (the derived-fixture
+    * discipline — the raw corpus draws every type from one
+    * distribution, so only a planted shift can make the gate fire). */
+  private def meanDiffOracleArm(label: String, shift: Int,
+      select: String): String = s"""
+    WITH e AS (SELECT event_type = 'purchase' AS isa,
+        CAST(round((value + CASE WHEN event_type = 'click'
+          THEN $shift ELSE 0 END) * 100) AS BIGINT) AS cv
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    a AS (SELECT
+        CAST(COUNT(CASE WHEN isa THEN 1 END) AS BIGINT) AS n_a,
+        CAST(COUNT(CASE WHEN NOT isa THEN 1 END) AS BIGINT) AS n_b,
+        CAST(COALESCE(SUM(CASE WHEN isa THEN cv ELSE 0 END), 0)
+          AS HUGEINT) AS sa,
+        CAST(COALESCE(SUM(CASE WHEN NOT isa THEN cv ELSE 0 END), 0)
+          AS HUGEINT) AS sb,
+        COALESCE(SUM(CASE WHEN isa THEN CAST(cv AS HUGEINT) * cv
+          ELSE 0 END), 0) AS qa,
+        COALESCE(SUM(CASE WHEN NOT isa THEN CAST(cv AS HUGEINT) * cv
+          ELSE 0 END), 0) AS qb
+      FROM e),
+    d AS (SELECT n_a, n_b, sa * n_b - sb * n_a AS diff,
+        n_a * qa - sa * sa AS va, n_b * qb - sb * sb AS vb FROM a),
+    d2 AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+        (diff * diff) // (CAST(n_a AS HUGEINT) * n_b) END AS a2
+      FROM d)
+    SELECT '$label' AS contrast, $select FROM d2"""
+
+  /** Oracle fixture of [[meanDiffCard]]: purchase-vs-click spend in
+    * two contrasts — `raw` (same generator, no real gap) and `shifted`
+    * (click +$15, a planted negative gap) — so magnitude, sign, and
+    * the d² denominators all carry real work at every scale. */
+  private val q353 = GQuery(
+    "q353_smd_card",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      meanDiffCard(ev, "purchase", "click")
+        .withColumn("contrast", lit("raw"))
+        .unionByName(
+          meanDiffCard(ev.withColumn("value", expr(
+              "value + CASE WHEN event_type = 'click' THEN 15 ELSE 0 END")),
+            "purchase", "click")
+            .withColumn("contrast", lit("shifted")))
+        .select(col("contrast"), col("n_a"), col("n_b"),
+          col("mean_diff_milli"), col("d2_ppm"), col("direction"))
+        .orderBy(col("contrast"))
+    },
+    Some {
+      val sel = """n_a, n_b,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CAST((1000 * diff) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+          END AS mean_diff_milli,
+        CASE WHEN va * n_b + vb * n_a > 0 AND a2 IS NOT NULL THEN
+          CAST((1000000 * a2 * (n_a + n_b - 2))
+            // (va * n_b + vb * n_a) AS BIGINT) END AS d2_ppm,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END
+          END AS direction"""
+      s"""SELECT * FROM (${meanDiffOracleArm("raw", 0, sel)})
+        UNION ALL SELECT * FROM (${meanDiffOracleArm("shifted", 15, sel)})
+        ORDER BY contrast"""
+    })
+
+  /** Oracle fixture of [[welchGate]]: the same two contrasts as q353 —
+    * `raw` stays unflagged (z² ≈ 2.9 at sf0.1), `shifted` fires
+    * (both verdicts live under one oracle). */
+  private val q354 = GQuery(
+    "q354_welch_gate",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      welchGate(ev, "purchase", "click")
+        .withColumn("contrast", lit("raw"))
+        .unionByName(
+          welchGate(ev.withColumn("value", expr(
+              "value + CASE WHEN event_type = 'click' THEN 15 ELSE 0 END")),
+            "purchase", "click")
+            .withColumn("contrast", lit("shifted")))
+        .select(col("contrast"), col("n_a"), col("n_b"),
+          col("z2_milli"), col("means_differ"))
+        .orderBy(col("contrast"))
+    },
+    Some {
+      val sel = s"""n_a, n_b, z2_milli,
+        COALESCE(z2_milli * 1000 > ${chi2Crit05Micro(1)}, FALSE)
+          AS means_differ"""
+      def arm(label: String, shift: Int) = s"""
+        SELECT contrast, $sel FROM (
+          ${meanDiffOracleArm(label, shift, s"""n_a, n_b,
+          CASE WHEN (CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+              (1000000 * va + CAST(n_a AS HUGEINT) * n_a * (n_a - 1) - 1)
+                // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1))
+            + (1000000 * vb + CAST(n_b AS HUGEINT) * n_b * (n_b - 1) - 1)
+                // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) END) > 0
+            AND a2 IS NOT NULL THEN
+            CAST(((1000000000 * a2) // (CAST(n_a AS HUGEINT) * n_b))
+              // (CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+              (1000000 * va + CAST(n_a AS HUGEINT) * n_a * (n_a - 1) - 1)
+                // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1))
+            + (1000000 * vb + CAST(n_b AS HUGEINT) * n_b * (n_b - 1) - 1)
+                // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) END)
+              AS BIGINT) END AS z2_milli""")})"""
+      s"""SELECT * FROM (${arm("raw", 0)})
+        UNION ALL SELECT * FROM (${arm("shifted", 15)})
+        ORDER BY contrast"""
+    })
+
+  /** Ljung–Box whiteness GATE — the verdict [[autocorrCard]] (q198)
+    * stops short of (that card reports r₁..r₁₀ per series; a dashboard
+    * still has to eyeball "is r₁ = 0.18 on 400 days structure or
+    * noise"), and the omnibus pre-test of the whole forecast family:
+    * if Q accepts whiteness there is nothing for SES/Holt-Winters/
+    * seasonal-naive to model. Autocorrelations are recomputed here as
+    * EXACT integers (q198's doubles can't feed a gate): with S = Σx,
+    * Q₂ = Σx², head/tail/lag-product sums H_k, T_k, P_k over the
+    * n−k lag-k pairs, the fraction-cleared numerator is
+    * N_k = n²·P_k − n·S·(H_k+T_k) + (n−k)·S², the common denominator
+    * D = n·(n·Q₂ − S²), and r_k_ppm = 10⁶·N_k DIV D (truncation
+    * toward zero, sign-portable). Q_milli = (n(n+2)·Σ_k (r_k_ppm²
+    * DIV (n−k))) DIV 10⁹ — every truncation shrinks a SQUARED term,
+    * so Q is only ever under-stated and the χ²₍₀.₀₅,dof₎ gate
+    * ([[chi2Crit05Micro]], dof = min(maxLag, n−1)) stays conservative.
+    * A constant series (D = 0) or a 1-row series keeps its row with
+    * NULL Q and a false flag — "untestable" never reads as "white".
+    * Lags are by observation POSITION in `ordCol` order (the q321
+    * convention; ties broken by value — duplicate ord rows are the
+    * caller's modeling problem, the result is still deterministic).
+    * Validity bound: 10⁶·n²·P_k ≲ 10³⁸ caps x·n^1.5 ≲ 10¹⁶ — far
+    * above any daily-count series.
+    *
+    * Scale shape: the input is already series-grain (day × group);
+    * the lag join fans each row out ≤ maxLag times and folds straight
+    * back to (group, k) grain — one shuffle on the group key, no
+    * window over the corpus, no collect. At 100 TB the corpus scan
+    * that BUILDS the daily series dominates; this gate is free. */
+  def ljungBoxGate(series: DataFrame, groupCol: String, ordCol: String,
+      xCol: String, maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 120,
+      s"maxLag must be in 1..120 (the tabled dof range), got $maxLag")
+    val w = Window.partitionBy(col("g")).orderBy(col("o"), col("x"))
+    val sr = series.select(col(groupCol).as("g"), col(ordCol).as("o"),
+        col(xCol).cast(LongType).as("x"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+    val tot = sr.groupBy(col("g")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(col("x").cast(DecimalType(38, 0))).as("__sx"),
+      sum(col("x").cast(DecimalType(19, 0)) * col("x")).as("__qx"))
+    val pairs = sr.select(col("g"), col("pos"), col("x"))
+      .as("a")
+      .join(sr.select(col("g").as("bg"), col("pos").as("bpos"),
+        col("x").as("bx")),
+        col("a.g") === col("bg") && col("bpos") > col("pos") &&
+          col("bpos") <= col("pos") + maxLag)
+      .select(col("a.g").as("g"), (col("bpos") - col("pos")).as("k"),
+        col("a.x").as("xa"), col("bx").as("xb"))
+      .groupBy(col("g"), col("k")).agg(
+        sum(col("xa").cast(DecimalType(19, 0)) * col("xb")).as("__pk"),
+        sum(col("xa").cast(DecimalType(38, 0))).as("__hk"),
+        sum(col("xb").cast(DecimalType(38, 0))).as("__tk"))
+    val terms = pairs.join(tot, Seq("g"))
+      .withColumn("__nk", expr(
+        """CAST(n_obs AS DECIMAL(38,0)) * n_obs * __pk
+           - CAST(n_obs AS DECIMAL(38,0)) * __sx * (__hk + __tk)
+           + (n_obs - k) * __sx * __sx"""))
+      .withColumn("__dn", expr(
+        """CAST(n_obs AS DECIMAL(38,0))
+           * (n_obs * __qx - __sx * __sx)"""))
+      .withColumn("__r", expr("""CASE WHEN __dn <> 0 THEN
+          (CAST(1000000 AS DECIMAL(38,0)) * __nk) DIV __dn END"""))
+      .withColumn("__term", expr("""CASE WHEN __r IS NOT NULL THEN
+          (__r * __r) DIV (n_obs - k) END"""))
+    val perG = terms.groupBy(col("g")).agg(
+      count(lit(1)).cast(LongType).as("dof"),
+      sum(col("__term")).as("__qs"))
+    val crit = chi2Crit05Micro.toSeq.sortBy(_._1)
+      .map { case (d, c) => s"WHEN dof = $d THEN ${c}L" }
+      .mkString(" ")
+    tot.join(perG, Seq("g"), "left")
+      .withColumn("dof", coalesce(col("dof"), lit(0L)))
+      .withColumn("q_milli", expr("""CASE WHEN __qs IS NOT NULL THEN
+          CAST((CAST(n_obs AS DECIMAL(38,0)) * (n_obs + 2) * __qs)
+            DIV 1000000000 AS BIGINT) END"""))
+      .withColumn("nonwhite", coalesce(
+        expr(s"q_milli * 1000 > (CASE $crit END)"), lit(false)))
+      .select(col("g").as(groupCol), col("n_obs"), col("dof"),
+        col("q_milli"), col("nonwhite"))
+  }
+
+  /** Oracle fixture of [[ljungBoxGate]]: per event type, are daily
+    * volumes autocorrelated (the weekly cycle q185 ASSUMES — here
+    * finally TESTED; at fixture scale the Poisson day counts read
+    * white), beside two planted series over the same day axis:
+    * `__control`, the day index hashed (md5 → first two hex chars as
+    * an integer — white by construction, pinning the FALSE verdict
+    * against a pure-noise input), and `__seasonal`, a weekly square
+    * wave plus hash jitter (Q ≈ 52 on 30 days — pinning TRUE). */
+  private val q355 = GQuery(
+    "q355_ljung_box",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("event_type").as("g"),
+          expr("CAST(ts AS BIGINT) DIV 86400").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val days = ev.select(expr("CAST(ts AS BIGINT) DIV 86400")
+        .as("d")).distinct()
+      val control = days
+        .select(lit("__control").as("g"), col("d"),
+          expr("""CAST(ascii(substr(md5(CAST(d AS STRING)), 1, 1))
+              * 256 + ascii(substr(md5(CAST(d AS STRING)), 2, 1))
+            AS BIGINT)""").as("x"))
+      val seasonal = days
+        .select(lit("__seasonal").as("g"), col("d"),
+          expr("""CAST(CASE WHEN d % 7 <= 1 THEN 200 ELSE 800 END
+              + ascii(substr(md5(CAST(d AS STRING)), 3, 1))
+            AS BIGINT)""").as("x"))
+      ljungBoxGate(daily.unionByName(control).unionByName(seasonal),
+        "g", "d", "x")
+        .withColumnRenamed("g", "series")
+        .orderBy(col("series"))
+    },
+    Some(s"""WITH sr0 AS (
+        SELECT event_type AS g,
+          (epoch_us(ts) // 1000000) // 86400 AS d,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT '__control' AS g, d,
+          CAST(ascii(substr(md5(CAST(d AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(d AS VARCHAR)), 2, 1)) AS BIGINT)
+            AS x
+        FROM (SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS d
+          FROM events)
+        UNION ALL
+        SELECT '__seasonal' AS g, d,
+          CAST(CASE WHEN d % 7 <= 1 THEN 200 ELSE 800 END
+            + ascii(substr(md5(CAST(d AS VARCHAR)), 3, 1)) AS BIGINT)
+            AS x
+        FROM (SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS d
+          FROM events)),
+      sr AS (SELECT g, x, CAST(ROW_NUMBER() OVER (PARTITION BY g
+          ORDER BY d, x) AS BIGINT) AS pos
+        FROM sr0),
+      tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_obs,
+          CAST(SUM(x) AS HUGEINT) AS sx,
+          SUM(CAST(x AS HUGEINT) * x) AS qx
+        FROM sr GROUP BY 1),
+      pairs AS (SELECT a.g, b.pos - a.pos AS k,
+          SUM(CAST(a.x AS HUGEINT) * b.x) AS pk,
+          CAST(SUM(a.x) AS HUGEINT) AS hk,
+          CAST(SUM(b.x) AS HUGEINT) AS tk
+        FROM sr a JOIN sr b ON a.g = b.g AND b.pos > a.pos
+          AND b.pos <= a.pos + 10
+        GROUP BY 1, 2),
+      terms AS (SELECT p.g, p.k,
+          CASE WHEN t.n_obs * (t.n_obs * t.qx - t.sx * t.sx) <> 0 THEN
+            (1000000 * (CAST(t.n_obs AS HUGEINT) * t.n_obs * p.pk
+              - t.n_obs * t.sx * (p.hk + p.tk)
+              + (t.n_obs - p.k) * t.sx * t.sx))
+            // (t.n_obs * (t.n_obs * t.qx - t.sx * t.sx)) END AS r
+        FROM pairs p JOIN tot t USING (g)),
+      t2 AS (SELECT terms.g, terms.k, t.n_obs,
+          CASE WHEN r IS NOT NULL THEN (r * r) // (n_obs - k) END
+            AS term
+        FROM terms JOIN tot t USING (g)),
+      perg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS dof,
+          SUM(term) AS qs
+        FROM t2 GROUP BY 1),
+      f AS (SELECT t.g, t.n_obs, COALESCE(p.dof, 0) AS dof,
+          CASE WHEN p.qs IS NOT NULL THEN
+            CAST((CAST(t.n_obs AS HUGEINT) * (t.n_obs + 2) * p.qs)
+              // 1000000000 AS BIGINT) END AS q_milli
+        FROM tot t LEFT JOIN perg p USING (g)),
+      crit(dof, c) AS (VALUES ${chi2Crit05Micro.toSeq.sortBy(_._1)
+        .map { case (d, c) => s"($d, $c)" }.mkString(", ")})
+      SELECT f.g AS series, f.n_obs, f.dof, f.q_milli,
+        COALESCE(CAST(f.q_milli AS HUGEINT) * 1000 > crit.c, FALSE)
+          AS nonwhite
+      FROM f LEFT JOIN crit ON f.dof = crit.dof
+      ORDER BY series"""))
+
+  /** Holm step-down FWER screen over the Mann–Kendall battery — the
+    * MULTIPLE-TESTING rung the per-series gates ([[mannKendallTest]],
+    * q326) deliberately ignore: run the trend gate on m series at
+    * α = 0.05 each and ~1 in 20 null series "trends" by construction;
+    * a dashboard screening hundreds of metrics needs the family-wise
+    * verdict. Per series the continuity-corrected statistic is q326's,
+    * surfaced at micro as z2c_micro = (|S|−1)²·18·10⁶ DIV VN; series
+    * rank by it (desc, NULLS LAST, group-name tiebreak — a
+    * deterministic ordering both engines replay; Holm's FWER bound
+    * holds under ANY fixed ordering, since a true null at rank i
+    * always has ≥ |nulls|−1 rows below it, so its threshold
+    * α/(m−i+1) ≤ α/|nulls| — micro-truncation ties can only reorder
+    * rows whose true z² differ by < 1 micro). Step i is gated at the
+    * CORRECTED level α/(m−i+1) via [[chi2Crit05DivKMicroDf1]]
+    * (round-UP constants: only true exceedances fire), evaluated as
+    * the exact DECIMAL(38,0) cross-product inequality — no division
+    * at gate time; holm_reject is the running prefix-AND (step-down:
+    * the first failure blocks everything below), bonf_reject the
+    * single-threshold α/m companion (what Holm strictly dominates).
+    * Untestable series (S = 0 or VN = 0) rank last with NULL z² and
+    * never reject; a battery larger than the tabled m = 64 finds NULL
+    * critical values and rejects NOTHING (fails conservative, loudly
+    * visible as all-false — never a false rejection).
+    *
+    * Scale shape: per-series statistics ride [[mannKendallTest]]'s
+    * O(d log d) inversion plan; the screen itself is battery-grain —
+    * m rows through two single-partition windows (m ≤ 64 by the
+    * table bound, so the "single partition" is ≤ 64 rows — the q184
+    * card-grain convention, not a data window). */
+  def holmScreen(series: DataFrame, groupCol: String, ordCol: String,
+      xCol: String): DataFrame = {
+    val critLadder = chi2Crit05DivKMicroDf1.toSeq.sortBy(_._1)
+      .map { case (k, c) => s"WHEN __k = $k THEN ${c}L" }.mkString(" ")
+    val critLadderM = chi2Crit05DivKMicroDf1.toSeq.sortBy(_._1)
+      .map { case (k, c) => s"WHEN __m = $k THEN ${c}L" }.mkString(" ")
+    val wRank = Window.orderBy(col("z2c_micro").desc_nulls_last,
+      col(groupCol))
+    val wPrefix = Window.orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mannKendallTest(series, groupCol, ordCol, xCol)
+      .withColumn("z2c_micro", expr(
+        """CASE WHEN var_num18 > 0 AND s_stat <> 0 THEN
+          CAST((CAST(abs(s_stat) - 1 AS DECIMAL(38,0))
+            * (abs(s_stat) - 1) * 18 * 1000000) DIV var_num18
+            AS BIGINT) END"""))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rnk", row_number().over(wRank).cast(LongType))
+      .withColumn("__k", col("__m") - col("rnk") + 1)
+      .withColumn("__crit", expr(s"CASE $critLadder END"))
+      .withColumn("__critm", expr(s"CASE $critLadderM END"))
+      .withColumn("__pass", coalesce(expr(
+        """CASE WHEN var_num18 > 0 AND s_stat <> 0
+            AND __crit IS NOT NULL THEN
+          CAST(abs(s_stat) - 1 AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+            * 18 * 1000000
+          > CAST(__crit AS DECIMAL(38,0)) * var_num18 END"""),
+        lit(false)))
+      .withColumn("holm_reject",
+        min(col("__pass").cast(IntegerType)).over(wPrefix) === 1)
+      .withColumn("bonf_reject", coalesce(expr(
+        """CASE WHEN var_num18 > 0 AND s_stat <> 0
+            AND __critm IS NOT NULL THEN
+          CAST(abs(s_stat) - 1 AS DECIMAL(38,0)) * (abs(s_stat) - 1)
+            * 18 * 1000000
+          > CAST(__critm AS DECIMAL(38,0)) * var_num18 END"""),
+        lit(false)))
+      .select(col(groupCol), col("n_obs"), col("s_stat"),
+        col("var_num18"), col("z2c_micro"), col("rnk"),
+        col("holm_reject"), col("bonf_reject"))
+  }
+
+  /** Oracle fixture of [[holmScreen]]: the q326 battery (5 event
+    * types) plus a planted monotone `__trend` (x = day index — the
+    * rejected-under-any-correction anchor) and a hashed `__control`
+    * (white — never rejected): 7 series, every rung of the step-down
+    * exercised, and the battery's lone ambient near-trend (which
+    * passes the UNCORRECTED q326 gate at sf0.001) correctly dies
+    * under the family-wise thresholds. */
+  private val q356 = GQuery(
+    "q356_holm_screen",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("event_type").as("g"),
+          expr("CAST(ts AS BIGINT) DIV 86400").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val days = ev.select(expr("CAST(ts AS BIGINT) DIV 86400")
+        .as("d")).distinct()
+      val trend = days.select(lit("__trend").as("g"), col("d"),
+        col("d").as("x"))
+      val control = days.select(lit("__control").as("g"), col("d"),
+        expr("""CAST(ascii(substr(md5(CAST(d AS STRING)), 1, 1))
+            * 256 + ascii(substr(md5(CAST(d AS STRING)), 2, 1))
+          AS BIGINT)""").as("x"))
+      holmScreen(daily.unionByName(trend).unionByName(control),
+        "g", "d", "x")
+        .withColumnRenamed("g", "series")
+        .orderBy(col("rnk"))
+    },
+    Some(s"""WITH sr AS (
+        SELECT event_type AS g,
+          (epoch_us(ts) // 1000000) // 86400 AS o,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+        UNION ALL
+        SELECT '__trend' AS g, d AS o, d AS x
+        FROM (SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS d
+          FROM events)
+        UNION ALL
+        SELECT '__control' AS g, d AS o,
+          CAST(ascii(substr(md5(CAST(d AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(d AS VARCHAR)), 2, 1)) AS BIGINT)
+            AS x
+        FROM (SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS d
+          FROM events)),
+      sp AS (SELECT a.g, CAST(SUM(CASE WHEN b.x > a.x THEN 1
+            WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM sr a JOIN sr b ON a.g = b.g AND a.o < b.o GROUP BY 1),
+      tg AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM sr GROUP BY 1, 2),
+      ti AS (SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+            AS tc, CAST(SUM(t) AS BIGINT) AS n_obs
+        FROM tg GROUP BY 1),
+      j AS (SELECT ti.g, n_obs, COALESCE(s_stat, 0) AS s_stat,
+          n_obs * (n_obs - 1) * (2 * n_obs + 5) - tc AS var_num18
+        FROM ti LEFT JOIN sp USING (g)),
+      z AS (SELECT g, n_obs, s_stat, var_num18,
+          CASE WHEN var_num18 > 0 AND s_stat <> 0 THEN
+            CAST((CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+              * 18 * 1000000) // var_num18 AS BIGINT) END AS z2c_micro
+        FROM j),
+      r AS (SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS m,
+          CAST(ROW_NUMBER() OVER (ORDER BY z2c_micro DESC NULLS LAST,
+            g) AS BIGINT) AS rnk
+        FROM z),
+      crit(k, c) AS (VALUES ${chi2Crit05DivKMicroDf1.toSeq
+        .sortBy(_._1).map { case (k, c) => s"($k, $c)" }
+        .mkString(", ")}),
+      p AS (SELECT r.*,
+          COALESCE(CASE WHEN var_num18 > 0 AND s_stat <> 0
+              AND ck.c IS NOT NULL THEN
+            CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+              * 18 * 1000000 > CAST(ck.c AS HUGEINT) * var_num18 END,
+            FALSE) AS pass,
+          COALESCE(CASE WHEN var_num18 > 0 AND s_stat <> 0
+              AND cm.c IS NOT NULL THEN
+            CAST(abs(s_stat) - 1 AS HUGEINT) * (abs(s_stat) - 1)
+              * 18 * 1000000 > CAST(cm.c AS HUGEINT) * var_num18 END,
+            FALSE) AS bonf_reject
+        FROM r LEFT JOIN crit ck ON ck.k = r.m - r.rnk + 1
+          LEFT JOIN crit cm ON cm.k = r.m)
+      SELECT g AS series, n_obs, s_stat, var_num18, z2c_micro, rnk,
+        MIN(CASE WHEN pass THEN 1 ELSE 0 END) OVER (ORDER BY rnk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+          AS holm_reject,
+        bonf_reject
+      FROM p ORDER BY rnk"""))
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
@@ -6240,5 +6831,6 @@ object AnalyticsQ {
     q243, q245, q246, q247, q251, q252, q270, q275, q284, q285, q287,
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
-    q333, q338, q339, q340, q347, q348, q349, q351, q352)
+    q333, q338, q339, q340, q347, q348, q349, q351, q352, q353, q354,
+    q355, q356)
 }

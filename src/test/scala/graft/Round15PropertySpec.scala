@@ -258,4 +258,204 @@ class Round15PropertySpec extends SparkSpec {
       .agg(max(col("count"))).head.getLong(0)
     assert(perDomain <= 2, s"cap breached: $perDomain")
   }
+
+  // ---- q353/q354 mean-difference family -----------------------------------
+
+  test("meanDiffCard and welchGate equal the in-memory two-quotient / " +
+      "ceil-denominator replay on arbitrary samples, including empty " +
+      "and constant sides") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 40)
+      nb <- Gen.chooseNum(0, 40)
+      as <- Gen.listOfN(na, Gen.chooseNum(0L, 10000L))
+      bs <- Gen.listOfN(nb, Gen.chooseNum(0L, 10000L))
+      if na + nb > 0
+    } yield (as, bs)
+    check(Prop.forAll(gen) { case (as, bs) =>
+      val df = (as.map(("purchase", _)) ++ bs.map(("click", _)))
+        .map { case (t, cv) => (t, cv / 100.0) }
+        .toDF("event_type", "value")
+      val smd = AnalyticsQ.meanDiffCard(df, "purchase", "click")
+        .select(col("n_a"), col("n_b"), col("mean_diff_milli"),
+          col("d2_ppm"), col("direction"))
+        .as[(Long, Long, Option[Long], Option[Long], Option[Int])]
+        .head()
+      val wg = AnalyticsQ.welchGate(df, "purchase", "click")
+        .select(col("n_a"), col("n_b"), col("z2_milli"),
+          col("means_differ"))
+        .as[(Long, Long, Option[Long], Boolean)].head()
+      val (na, nb) = (BigInt(as.size), BigInt(bs.size))
+      val (sa, sb) = (BigInt(as.sum), BigInt(bs.sum))
+      val qa = as.map(v => BigInt(v) * v).sum
+      val qb = bs.map(v => BigInt(v) * v).sum
+      val diff = sa * nb - sb * na
+      val (va, vb) = (na * qa - sa * sa, nb * qb - sb * sb)
+      val md = if (na > 0 && nb > 0)
+        Some(((1000 * diff) / (na * nb)).toLong) else None
+      val a1 = if (na > 0 && nb > 0)
+        Some((diff * diff) / (na * nb)) else None
+      val d2 = a1.filter(_ => va * nb + vb * na > 0)
+        .map(a => ((BigInt(1000000) * a * (na + nb - 2))
+          / (va * nb + vb * na)).toLong)
+      val dir = if (na > 0 && nb > 0) Some(diff.signum) else None
+      // welch replay: numerator twice-truncated down, denominator ceil'd
+      val b = a1.map(x => (BigInt(1000000000) * x) / (na * nb))
+      def ceilDiv(x: BigInt, d: BigInt) = (x + d - 1) / d
+      val se2k = if (na >= 2 && nb >= 2)
+        Some(ceilDiv(BigInt(1000000) * va, na * na * (na - 1))
+          + ceilDiv(BigInt(1000000) * vb, nb * nb * (nb - 1)))
+        else None
+      val z2 = for { s <- se2k if s > 0; bb <- b } yield (bb / s).toLong
+      val flag = z2.exists(z => BigInt(z) * 1000 > BigInt(3841458L))
+      smd == ((na.toLong, nb.toLong, md, d2, dir)) &&
+        wg == ((na.toLong, nb.toLong, z2, flag))
+    })
+  }
+
+  test("welchGate z2 never exceeds the true z-squared (every rounding " +
+      "is conservative) and fires on a planted shift") {
+    val as = (1 to 60).map(i => ("purchase", 10.0 + (i % 7)))
+    val bs = (1 to 60).map(i => ("click", 25.0 + (i % 5)))
+    val df = (as ++ bs).toDF("event_type", "value")
+    val (z2, flag) = AnalyticsQ.welchGate(df, "purchase", "click")
+      .select(col("z2_milli"), col("means_differ"))
+      .as[(Option[Long], Boolean)].head()
+    // true z2 via doubles
+    def stats(xs: Seq[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (n1, m1, v1) = stats(as.map(_._2 * 100))
+    val (n2, m2, v2) = stats(bs.map(_._2 * 100))
+    val trueZ2 = (m1 - m2) * (m1 - m2) / (v1 / n1 + v2 / n2)
+    assert(flag && z2.isDefined)
+    assert(z2.get <= math.ceil(trueZ2 * 1000).toLong,
+      s"z2_milli ${z2.get} overstates true ${trueZ2 * 1000}")
+    assert(z2.get >= (trueZ2 * 1000 * 0.99).toLong - 2,
+      s"z2_milli ${z2.get} far below true ${trueZ2 * 1000}")
+  }
+
+  // ---- q355 Ljung-Box -----------------------------------------------------
+
+  test("ljungBoxGate equals the in-memory fraction-cleared replay on " +
+      "arbitrary series, including constant and single-row series") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+    } yield xs
+    check(Prop.forAll(gen) { xs =>
+      val rows = xs.zipWithIndex.map { case (x, i) =>
+        ("g", i.toLong, x) }
+      val got = AnalyticsQ.ljungBoxGate(rows.toDF("g", "o", "x"),
+          "g", "o", "x")
+        .select(col("n_obs"), col("dof"), col("q_milli"),
+          col("nonwhite"))
+        .as[(Long, Long, Option[Long], Boolean)].head()
+      val n = BigInt(xs.size)
+      val sx = BigInt(xs.sum)
+      val qx = xs.map(v => BigInt(v) * v).sum
+      val dn = n * (n * qx - sx * sx)
+      val dof = math.min(10L, xs.size - 1L)
+      val qm: Option[Long] = if (dof >= 1 && dn != 0) {
+        val terms = (1 to dof.toInt).map { k =>
+          val pk = (0 until xs.size - k)
+            .map(t => BigInt(xs(t)) * xs(t + k)).sum
+          val hk = BigInt(xs.dropRight(k).sum)
+          val tk = BigInt(xs.drop(k).sum)
+          val nk = n * n * pk - n * sx * (hk + tk) + (n - k) * sx * sx
+          val r = (BigInt(1000000) * nk) / dn
+          (r * r) / (n - k)
+        }
+        Some(((n * (n + 2) * terms.sum) / BigInt(1000000000)).toLong)
+      } else None
+      val crit = AnalyticsQ.chi2Crit05Micro.get(dof.toInt)
+      val flag = qm.exists(q => crit.exists(c => BigInt(q) * 1000 > c))
+      got == ((n.toLong, math.max(dof, 0L), qm, flag))
+    })
+  }
+
+  // ---- q356 Holm screen ---------------------------------------------------
+
+  test("holmScreen equals the full in-memory step-down replay on an " +
+      "arbitrary battery, and a failing upper rank blocks a lower rank " +
+      "that passes its own laxer threshold") {
+    val gen = for {
+      m <- Gen.chooseNum(2, 7)
+      series <- Gen.listOfN(m, for {
+        n <- Gen.chooseNum(2, 25)
+        xs <- Gen.listOfN(n, Gen.chooseNum(0L, 20L))
+      } yield xs)
+    } yield series
+    check(Prop.forAll(gen) { series =>
+      val named = series.zipWithIndex.map { case (xs, i) =>
+        (s"s$i", xs) }
+      val rows = named.flatMap { case (g, xs) =>
+        xs.zipWithIndex.map { case (x, o) => (g, o.toLong, x) } }
+      val got = AnalyticsQ.holmScreen(rows.toDF("g", "o", "x"),
+          "g", "o", "x")
+        .select(col("g"), col("z2c_micro"), col("rnk"),
+          col("holm_reject"), col("bonf_reject"))
+        .as[(String, Option[Long], Long, Boolean, Boolean)]
+        .collect().toSeq.sortBy(_._3)
+      // in-memory MK per series -> z2c_micro
+      val stats = named.map { case (g, xs) =>
+        val n = BigInt(xs.size)
+        val s = (for { i <- xs.indices; j <- xs.indices if i < j }
+          yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+        val tc = xs.groupBy(identity).values.map(_.size)
+          .map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum
+        val vn = n * (n - 1) * (2 * n + 5) - tc
+        val z = if (vn > 0 && s != 0)
+          Some(((BigInt(s.abs - 1) * (s.abs - 1) * 18 * 1000000) / vn)
+            .toLong)
+          else None
+        (g, s, vn, z)
+      }
+      val m = stats.size
+      val ordered = stats.sortBy { case (g, _, _, z) =>
+        (z.map(v => -v).getOrElse(Long.MaxValue), g) }
+      val crit = AnalyticsQ.chi2Crit05DivKMicroDf1
+      val passes = ordered.zipWithIndex.map { case ((_, s, vn, _), i) =>
+        val k = m - i
+        crit.get(k).exists(c =>
+          vn > 0 && s != 0 &&
+            BigInt(s.abs - 1) * (s.abs - 1) * 18 * 1000000 >
+              BigInt(c) * vn)
+      }
+      val holm = passes.scanLeft(true)(_ && _).tail
+      val bonf = ordered.map { case (_, s, vn, _) =>
+        crit.get(m).exists(c =>
+          vn > 0 && s != 0 &&
+            BigInt(s.abs - 1) * (s.abs - 1) * 18 * 1000000 >
+              BigInt(c) * vn)
+      }
+      val exp = ordered.zipWithIndex.map { case ((g, _, _, z), i) =>
+        (g, z, (i + 1).toLong, holm(i), bonf(i)) }
+      got == exp
+    })
+    // deterministic blocking pin: two tie-free 20-point series with
+    // S = 66 (z2 = 4.447) and S = 64 (z2 = 4.178) — BOTH above the
+    // uncorrected 3.841 threshold, but rank 1 fails its alpha/2 gate
+    // (crit 5.024), so the step-down blocks BOTH: exactly the
+    // 1-in-20-null false positive the family-wise screen exists to
+    // kill (and Bonferroni agrees here).
+    val s66 = Seq(10, 9, 8, 7, 11, 6, 5, 4, 3, 2, 1, 0, 12, 13, 14,
+      15, 16, 17, 18, 19)
+    val s64 = Seq(10, 9, 8, 11, 7, 6, 5, 4, 3, 2, 1, 0, 12, 13, 14,
+      15, 16, 17, 18, 19)
+    val rows = s66.zipWithIndex.map { case (x, o) =>
+        ("a66", o.toLong, x.toLong) } ++
+      s64.zipWithIndex.map { case (x, o) =>
+        ("b64", o.toLong, x.toLong) }
+    val scr = AnalyticsQ.holmScreen(rows.toDF("g", "o", "x"),
+        "g", "o", "x")
+      .select(col("g"), col("z2c_micro"), col("rnk"),
+        col("holm_reject"), col("bonf_reject"))
+      .as[(String, Option[Long], Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(scr("a66") == (("a66", Some(4447368L), 1L, false, false)))
+    assert(scr("b64") == (("b64", Some(4177894L), 2L, false, false)))
+    assert(scr.values.forall(_._2.exists(_ > 3841459L)),
+      "both series must individually exceed the uncorrected gate")
+  }
 }
