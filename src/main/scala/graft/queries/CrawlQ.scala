@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Dsl._
@@ -444,5 +445,186 @@ object CrawlQ {
       FROM f GROUP BY domain ORDER BY domain"""
     })
 
-  val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346, q350)
+  // ---- robots longest-prefix screen ---------------------------------------
+
+  /** Spark SQL expression: canonical PATH of the URL expression `u`
+    * (empty path reads `/` — the [[canonSpark]] rule, standalone). */
+  def pathSpark(u: String): String = {
+    val p = s"regexp_extract(split_part($u, '#', 1), " +
+      s"'^[^/]*://[^/?#]*([^?#]*)', 1)"
+    s"CASE WHEN $p = '' THEN '/' ELSE $p END"
+  }
+
+  /** DuckDB SQL: canonical path of `u` (coalesced — see [[canonDuck]]). */
+  def pathDuck(u: String): String = {
+    val p = s"coalesce(regexp_extract(split_part($u, '#', 1), " +
+      s"'^[^/]*://[^/?#]*([^?#]*)', 1), '')"
+    s"CASE WHEN $p = '' THEN '/' ELSE $p END"
+  }
+
+  /** Canonical path of a URL column. */
+  def urlPath(urlCol: String): Column = expr(pathSpark(urlCol))
+
+  /** Robots-rule screen — longest-prefix-match allow/deny per URL, the
+    * fetch-side twin of the crawl first-mile family (q341-q343 decide
+    * what a fetched URL IS; this decides whether the crawler may fetch
+    * it at all): `rules` is a per-registrable-domain table of
+    * (domain, prefix, allow) path rules, and each URL takes the verdict
+    * of the LONGEST matching prefix for its domain, allow winning
+    * length ties (the published robots convention) and no matching
+    * rule defaulting to allowed. The match folds through one sortable
+    * key — lpad(len(prefix), 4) ‖ allow-bit ‖ prefix — so "longest,
+    * then allow, then lexicographic" is a single MAX: deterministic in
+    * both engines with no window. Prefixes longer than 9999 chars
+    * would break the key's length field — far past any real rule, and
+    * loudly documented here.
+    *
+    * Scale shape: a rule table is config-grain (thousands of rows for
+    * the whole crawl) — broadcast; the screen is then one map-side
+    * fan-out (rules-per-domain, single digits) + one hash agg on
+    * doc_id. No shuffle of the corpus beyond the agg; at 100 TB the
+    * scan dominates and the verdict is free. */
+  def robotsScreen(docs: DataFrame, urlCol: String, rules: DataFrame)
+      : DataFrame = {
+    val d = docs.select(col("doc_id"), urlDomain(urlCol).as("domain"),
+      urlPath(urlCol).as("path"))
+    val matched = d
+      .join(broadcast(rules.select(col("domain"), col("prefix"),
+        col("allow"))), Seq("domain"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy(col("doc_id"))
+      .agg(max(concat(
+        lpad(length(col("prefix")).cast(StringType), 4, "0"),
+        when(col("allow"), lit("1")).otherwise(lit("0")),
+        col("prefix"))).as("__key"))
+    d.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("domain"), col("path"),
+        expr("substr(__key, 6)").as("matched_prefix"),
+        coalesce(expr("substr(__key, 5, 1) = '1'"), lit(true))
+          .as("allowed"))
+  }
+
+  /** Fixture rules: three per registrable domain, derived from the
+    * domain string itself (the nation-derived dim discipline) — a
+    * root allow, a contested `/art/` verdict flipping by domain-name
+    * parity, and a one-digit-deeper override flipping it BACK on the
+    * `/art/N…` paths it prefixes (so the longest-match rule does real
+    * work: `/art/1` overrides `/art/` for /art/1 AND /art/10../art/19
+    * under the mod-30 path derivation). */
+  private def fixtureRules(domains: DataFrame): DataFrame =
+    domains.selectExpr("domain", """stack(3,
+        '/', true,
+        '/art/', length(domain) % 2 = 0,
+        concat('/art/', CAST(length(domain) % 3 AS STRING)),
+          NOT (length(domain) % 2 = 0)) AS (prefix, allow)""")
+
+  /** Oracle fixture of [[robotsScreen]]: the derived URL corpus against
+    * the derived rule table — every doc matched (root rule), both
+    * verdicts live, and the deeper override exercised on ~1/3 of
+    * paths. */
+  private val q357 = GQuery(
+    "q357_robots_screen",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", expr(fixtureUrlSpark))
+      val rules = fixtureRules(
+        docs.select(urlDomain("url").as("domain")).distinct())
+      robotsScreen(docs, "url", rules).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d0 AS (SELECT doc_id, $fixtureUrlDuck AS url
+        FROM documents),
+      h AS (SELECT doc_id, ${hostDuck("url")} AS host, url FROM d0),
+      d AS (SELECT doc_id, ${registeredDomainDuck("host")} AS domain,
+          ${pathDuck("url")} AS path
+        FROM h),
+      doms AS (SELECT DISTINCT domain FROM d),
+      rules AS (
+        SELECT domain, '/' AS prefix, TRUE AS allow FROM doms
+        UNION ALL
+        SELECT domain, '/art/', length(domain) % 2 = 0 FROM doms
+        UNION ALL
+        SELECT domain,
+          concat('/art/', CAST(length(domain) % 3 AS VARCHAR)),
+          NOT (length(domain) % 2 = 0) FROM doms),
+      m AS (SELECT d.doc_id,
+          MAX(concat(lpad(CAST(length(r.prefix) AS VARCHAR), 4, '0'),
+            CASE WHEN r.allow THEN '1' ELSE '0' END, r.prefix))
+            AS key
+        FROM d JOIN rules r ON d.domain = r.domain
+          AND starts_with(d.path, r.prefix)
+        GROUP BY 1)
+      SELECT d.doc_id, d.domain, d.path,
+        substr(m.key, 6) AS matched_prefix,
+        COALESCE(substr(m.key, 5, 1) = '1', TRUE) AS allowed
+      FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id"""))
+
+  // ---- per-host politeness audit ------------------------------------------
+
+  /** Per-host politeness audit — the crawl-RATE side of the first-mile
+    * family (q341-q343/q357 govern WHAT to fetch; this audits HOW
+    * FAST it was fetched): per host, the maximum number of fetches
+    * landing in ANY trailing `windowSec` window, the count of fetches
+    * that arrived inside an over-cap window, and the compliance
+    * verdict. The burst at each fetch is a RANGE-frame window count
+    * over epoch seconds ([windowSec−1 preceding .. current], peers
+    * included — identical frame semantics both engines), and the
+    * per-host max of that trailing count IS the max over all windows
+    * (every maximal window ends at a fetch). Exact integers
+    * end-to-end; a host with one fetch reads burst 1.
+    *
+    * Scale shape: one shuffle on the host key, one sort per host for
+    * the range frame, one hash agg — the canonical time-window plan.
+    * A pathologically hot host serializes its own sort; the remedy at
+    * 100 TB is day-bucketing the host's timeline with a windowSec
+    * overlap before the frame (boundary windows recomputed in the
+    * overlap), which this plan composes with — the partition key is
+    * (host) today and (host, day) under the split. */
+  def politenessCard(fetches: DataFrame, hostCol: String,
+      tsCol: String, cap: Int, windowSec: Int = 60): DataFrame = {
+    require(cap >= 1 && windowSec >= 1,
+      s"cap and windowSec must be >= 1, got cap=$cap window=$windowSec")
+    val w = Window.partitionBy(col("host")).orderBy(col("sec"))
+      .rangeBetween(-(windowSec - 1).toLong, 0L)
+    fetches
+      .select(col(hostCol).as("host"),
+        col(tsCol).cast(LongType).as("sec"))
+      .withColumn("__burst", count(lit(1)).over(w))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_fetches"),
+        max(col("__burst")).as("max_burst"),
+        sum(when(col("__burst") > cap, 1L).otherwise(0L))
+          .as("over_events"))
+      .withColumn("compliant", col("max_burst") <= cap)
+  }
+
+  /** Oracle fixture of [[politenessCard]]: the event stream read as a
+    * fetch log over hosts derived from user_id (37 strata — the
+    * nation-derived discipline), cap 1 per 60 s: both verdicts live at
+    * every fixture scale (12/3 compliant/violating hosts at sf0.001,
+    * 10/27 at sf0.01). */
+  private val q358 = GQuery(
+    "q358_politeness_card",
+    (s, dir) => politenessCard(
+      t(s, dir, "events").withColumn("host",
+        expr("concat('h', CAST(user_id % 37 AS STRING), '.example.com')")),
+      "host", "ts", cap = 1)
+      .orderBy(col("host")),
+    Some("""WITH f AS (SELECT
+          concat('h', CAST(user_id % 37 AS VARCHAR), '.example.com')
+            AS host,
+          (epoch_us(ts) // 1000000) AS sec
+        FROM events),
+      b AS (SELECT host, COUNT(*) OVER (PARTITION BY host ORDER BY sec
+          RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst
+        FROM f)
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        CAST(MAX(burst) AS BIGINT) AS max_burst,
+        CAST(SUM(CASE WHEN burst > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS over_events,
+        MAX(burst) <= 1 AS compliant
+      FROM b GROUP BY host ORDER BY host"""))
+
+  val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346, q350,
+    q357, q358)
 }

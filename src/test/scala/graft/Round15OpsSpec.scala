@@ -187,4 +187,59 @@ class Round15OpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("flat", 3L, 0L), ("up", 4L, 6L)), got.toString)
   }
+
+  test("robotsScreen: longest prefix wins, allow wins a length tie, " +
+      "and a domain with no rules defaults to allowed with no match") {
+    import graft.queries.CrawlQ
+    val docs = Seq(
+      (1L, "http://a.com/art/15"),   // /art/1 (deny) overrides /art/ (allow)
+      (2L, "http://a.com/art/9"),    // only /art/ matches -> allow
+      (3L, "http://a.com/tie"),      // /tie deny vs /tie allow -> allow wins
+      (4L, "http://b.org/x"),        // no rules for b.org -> default allow
+      (5L, "http://a.com/zzz"))      // only root '/' matches -> allow
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/art/", true),
+      ("a.com", "/art/1", false),
+      ("a.com", "/tie", false),
+      ("a.com", "/tie", true))
+      .toDF("domain", "prefix", "allow")
+    val got = CrawlQ.robotsScreen(docs, "url", rules)
+      .select(col("doc_id"), col("matched_prefix"), col("allowed"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Option[String], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("/art/1"), false),
+      (2L, Some("/art/"), true),
+      (3L, Some("/tie"), true),
+      (4L, None, true),
+      (5L, Some("/"), true)), got.toString)
+  }
+
+  test("politenessCard: range-frame burst counts respect the window " +
+      "boundary, count same-second peers, and tally over-cap events") {
+    import graft.queries.CrawlQ
+    // h1: 0, 59 (inside one 60s window), 119 (its window [60,119]
+    //     excludes 59) -> bursts 1,2,1; h2: 0, 60 (outside) -> 1,1;
+    // h3: three at the same second -> RANGE peers all count: 3,3,3
+    val f = Seq(
+      ("h1", 0L), ("h1", 59L), ("h1", 119L),
+      ("h2", 0L), ("h2", 60L),
+      ("h3", 7L), ("h3", 7L), ("h3", 7L))
+      .toDF("host", "sec")
+    val got = CrawlQ.politenessCard(f, "host", "sec", cap = 1)
+      .orderBy(col("host"))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("h1", 3L, 2L, 1L, false),
+      ("h2", 2L, 1L, 0L, true),
+      ("h3", 3L, 3L, 3L, false)), got.toString)
+    // cap 3 flips h3 compliant
+    val got3 = CrawlQ.politenessCard(f, "host", "sec", cap = 3)
+      .orderBy(col("host"))
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got3.map(r => (r._1, r._5)) ==
+      Seq(("h1", true), ("h2", true), ("h3", true)), got3.toString)
+  }
 }
