@@ -104,7 +104,9 @@ object ScaleProbe {
     "q341_url_canonical", "q342_url_dedup", "q343_domain_cap",
     "q344_monitor_card", "q345_crawl_funnel", "q346_domain_mix_card",
     "q347_mood_median", "q348_logrank_test", "q349_winsorized_mean",
-    "q350_url_shape_card", "q351_rmst", "q352_mannwhitney_gate")
+    "q350_url_shape_card", "q351_rmst", "q352_mannwhitney_gate",
+    "q353_smd_card", "q354_welch_gate", "q355_ljung_box",
+    "q356_holm_screen", "q357_robots_screen", "q358_politeness_card")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
