@@ -722,6 +722,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("PolitenessMonitor streams q358 bursts with row-exact parity on " +
+      "in-order feeds (peer groups fold batch-style), folds same-second " +
+      "stragglers across boundaries, and surfaces strictly-late ones") {
+    import graft.streaming.{PFetch, PMon, PolitenessMonitor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[PFetch]
+      val out = in.toDS().groupByKey(_.host)
+        .transformWithState(
+          new PolitenessMonitor(cap = 2, windowSec = 60),
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("pol_out").start()
+      try {
+        // h1: a same-second peer pair at 10, then 40 (window [0,40]
+        // holds 3), then 120 (alone); h2: 0 and 60 (disjoint windows)
+        val feed = Seq(("h1", 10L), ("h1", 10L), ("h1", 40L),
+          ("h1", 120L), ("h2", 0L), ("h2", 60L))
+        in.addData(feed.take(3).map { case (h, s) => PFetch(h, s) }: _*)
+        q.processAllAvailable()
+        in.addData(feed.drop(3).map { case (h, s) => PFetch(h, s) }: _*)
+        q.processAllAvailable()
+        val live = spark.table("pol_out").as[PMon].collect().toSeq
+          .filter(!_.late)
+        // ROW-EXACT burst parity with the batch RANGE frame (peers
+        // inclusive): replay the frame over the settled feed
+        val batch = feed.toDF("host", "sec")
+          .withColumn("burst", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("host")).orderBy(col("sec"))
+              .rangeBetween(-59L, 0L)))
+          .as[(String, Long, Long)].collect().toSeq.sorted
+        assert(live.map(m => (m.host, m.sec, m.burst.get)).sorted ==
+          batch, s"$live vs $batch")
+        // folded card parity on the same feed
+        val card = graft.queries.CrawlQ.politenessCard(
+            feed.toDF("host", "sec"), "host", "sec", cap = 2)
+          .orderBy(col("host"))
+          .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+        val folded = live.groupBy(_.host).toSeq.map { case (h, ms) =>
+          (h, ms.size.toLong, ms.map(_.burst.get).max,
+            ms.count(_.over).toLong, ms.map(_.burst.get).max <= 2L)
+        }.sortBy(_._1)
+        assert(folded == card, s"$folded vs $card")
+        assert(live.count(_.over) == 1, live.toString)  // the 3-burst at 40
+        // same-second straggler ACROSS the boundary: h1@120 again ->
+        // folds as a peer (burst 2, as-of semantics), not late
+        in.addData(PFetch("h1", 120L))
+        q.processAllAvailable()
+        val straggler = spark.table("pol_out").as[PMon].collect().toSeq
+          .filter(m => m.host == "h1" && m.sec == 120L)
+        assert(straggler.map(_.burst).sorted ==
+          Seq(Some(1L), Some(2L)), straggler.toString)
+        assert(straggler.forall(!_.late), straggler.toString)
+        // strictly-late arrival: surfaced with NULL burst, state kept
+        in.addData(PFetch("h1", 30L), PFetch("h1", 121L))
+        q.processAllAvailable()
+        val tail = spark.table("pol_out").as[PMon].collect().toSeq
+        val lateRow = tail.find(m => m.host == "h1" && m.sec == 30L).get
+        assert(lateRow.late && lateRow.burst.isEmpty, lateRow.toString)
+        // 121 continues from the untouched ring {120, 120}: burst 3
+        val after = tail.find(m => m.host == "h1" && m.sec == 121L).get
+        assert(!after.late && after.burst == Some(3L) && after.over,
+          after.toString)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ForecastMonitor streams the q340 interval with batch-twin parity " +
       "across batch boundaries, a bounded residual ring, and late " +
       "arrivals surfaced never folded") {
