@@ -6824,6 +6824,297 @@ object AnalyticsQ {
         bonf_reject
       FROM p ORDER BY rnk"""))
 
+  /** Brown–Forsythe variance-equality gate — the SCALE axis the test
+    * family has never had (q243/q347/q352 compare locations, q184/q339
+    * independence, q338 whole distributions; nothing asks "do these
+    * groups have the same SPREAD" — the assumption q353's pooled d²
+    * quietly makes, here finally testable): the robust Levene form,
+    * a one-way ANOVA on zᵢⱼ = |xᵢⱼ − medᵢ| with PER-GROUP EXACT lower
+    * medians (outlier-immune where mean-centered Levene is not).
+    * Large-sample gate: (k−1)·W = (N−k)·A/B ~ χ²₍k−1₎ with
+    * A = Σnᵢ(z̄ᵢ−z̄)², B = ΣΣ(z−z̄ᵢ)². Every rounding shrinks the
+    * statistic: A via Eᵢ = (N·Sᵢ − nᵢ·S) DIV nᵢ (toward-zero
+    * truncation of N(z̄ᵢ−z̄), so Eᵢ² ≤ the true square) and
+    * A₃ = ΣnᵢEᵢ² ≤ A·N²; B via B₂ = ΣQᵢ − Σ(Sᵢ² DIV nᵢ) ≥ B; then
+    * chi2_milli = ((N−k)·((1000·A₃) DIV N²)) DIV B₂ — three downward
+    * steps against an over-stated denominator, so the
+    * [[chi2Crit05Micro]] dof = k−1 gate only fires on true
+    * exceedances. B₂ = 0 (every group internally constant), k < 2, or
+    * untabled dof keep the row with NULL statistic and a NULL/false
+    * verdict — never a division error, never "equal variances" by
+    * silence. Validity bound: N·z_max ≲ 10¹⁴ keeps nᵢEᵢ² inside
+    * DECIMAL(38) (N ≲ 10⁹ at cents scale).
+    *
+    * Scale shape: one (group, value) histogram aggregation, per-group
+    * medians off the [[PrefixSum]] per-group bucket-offset cumulative
+    * (histogram-grain — no per-group corpus sort), one broadcast-back
+    * of the k-row median table, one conditional agg to per-group
+    * sufficient stats, scalar arithmetic after. */
+  def brownForsytheGate(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(LongType).as("__x"))
+    val h = v.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = PrefixSum.exclusive(h, "__x", Seq("__c"),
+      partitionCols = Seq("__g"))
+    val ng = h.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val med = cum.join(ng, Seq("__g"))
+      .filter(expr("__c_cum + __c >= (__n + 1) DIV 2"))
+      .groupBy(col("__g")).agg(min(col("__x")).as("__med"))
+    val per = v.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__z").cast(DecimalType(38, 0))).as("__si"),
+        sum(col("__z").cast(DecimalType(19, 0)) * col("__z"))
+          .as("__qi"))
+    val g1 = per.agg(
+      sum(col("__ni")).cast(LongType).as("n_rows"),
+      count(lit(1)).cast(LongType).as("n_groups"),
+      sum(col("__si")).as("__ss"),
+      sum(col("__qi")).as("__qq"),
+      sum(expr("(__si * __si) DIV __ni")).as("__sb"))
+    val a3 = per.crossJoin(broadcast(g1))
+      .withColumn("__e", expr(
+        "(n_rows * __si - __ni * __ss) DIV CAST(__ni AS DECIMAL(38,0))"))
+      .agg(sum(expr("CAST(__ni AS DECIMAL(38,0)) * __e * __e"))
+        .as("__a3"))
+    val crit = chi2Crit05Micro.toSeq.sortBy(_._1)
+      .map { case (d, c) => s"WHEN dof = $d THEN ${c}L" }
+      .mkString(" ")
+    g1.crossJoin(a3)
+      .withColumn("dof", col("n_groups") - 1L)
+      .withColumn("__b2", expr("__qq - __sb"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN n_groups >= 2 AND __b2 > 0 THEN
+          CAST(((n_rows - n_groups)
+              * ((CAST(1000 AS DECIMAL(38,0)) * __a3)
+                DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows)))
+            DIV __b2 AS BIGINT) END"""))
+      .withColumn("variances_differ", expr(
+        s"""CASE WHEN chi2_milli IS NOT NULL
+            AND (CASE $crit END) IS NOT NULL
+          THEN chi2_milli * 1000 > (CASE $crit END) END"""))
+      .select(col("n_rows"), col("n_groups"), col("dof"),
+        col("chi2_milli"), col("variances_differ"))
+  }
+
+  /** Oracle fixture of [[brownForsytheGate]]: two contrasts under one
+    * hash (the q353 discipline) — `raw`, event values by type (one
+    * generator, equal spreads → the gate stays quiet), and `planted`,
+    * the same corpus with the click side's cents TRIPLED as an extra
+    * `__wide` group (variance ×9 → fires). */
+  private val q359 = GQuery(
+    "q359_brown_forsythe",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      val planted = ev.unionByName(
+        ev.filter(col("g") === "click")
+          .select(lit("__wide").as("g"), (col("cv") * 3L).as("cv")))
+      brownForsytheGate(ev, "g", "cv")
+        .withColumn("contrast", lit("raw"))
+        .unionByName(brownForsytheGate(planted, "g", "cv")
+          .withColumn("contrast", lit("planted")))
+        .select(col("contrast"), col("n_rows"), col("n_groups"),
+          col("dof"), col("chi2_milli"), col("variances_differ"))
+        .orderBy(col("contrast"))
+    },
+    Some {
+      def arm(label: String, extra: String) = s"""
+      SELECT '$label' AS contrast, n_rows, n_groups, dof, chi2_milli,
+        CASE WHEN chi2_milli IS NOT NULL AND crit.c IS NOT NULL
+          THEN chi2_milli * 1000 > crit.c END AS variances_differ
+      FROM (
+        WITH v AS (SELECT event_type AS g,
+            CAST(round(value * 100) AS BIGINT) AS x
+          FROM events WHERE event_type IS NOT NULL $extra),
+        medh AS (SELECT g, x,
+            SUM(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+            SUM(c) OVER (PARTITION BY g) AS n
+          FROM (SELECT g, x, COUNT(*) AS c FROM v GROUP BY 1, 2)),
+        med AS (SELECT g, MIN(x) AS med FROM medh
+          WHERE cum >= (n + 1) // 2 GROUP BY g),
+        z AS (SELECT v.g, abs(v.x - med.med) AS z
+          FROM v JOIN med ON v.g = med.g),
+        per AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ni,
+            CAST(SUM(z) AS HUGEINT) AS si,
+            SUM(CAST(z AS HUGEINT) * z) AS qi
+          FROM z GROUP BY 1),
+        g1 AS (SELECT CAST(SUM(ni) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(si) AS HUGEINT) AS ss,
+            CAST(SUM(qi) AS HUGEINT) AS qq,
+            CAST(SUM((si * si) // ni) AS HUGEINT) AS sb
+          FROM per),
+        a3 AS (SELECT SUM(ni * e * e) AS a3 FROM (
+            SELECT ni, (g1.n_rows * si - ni * g1.ss) // ni AS e
+            FROM per, g1)),
+        f AS (SELECT n_rows, n_groups, n_groups - 1 AS dof,
+            CASE WHEN n_groups >= 2 AND qq - sb > 0 THEN
+              CAST(((n_rows - n_groups)
+                  * ((1000 * a3.a3) // (CAST(n_rows AS HUGEINT) * n_rows)))
+                // (qq - sb) AS BIGINT) END AS chi2_milli
+          FROM g1, a3)
+        SELECT * FROM f) f2
+      LEFT JOIN (VALUES $chi2CritValuesSql) AS crit(dof2, c)
+        ON f2.dof = crit.dof2"""
+      s"""SELECT * FROM (${arm("planted", """
+          UNION ALL SELECT '__wide' AS g,
+            CAST(round(value * 100) AS BIGINT) * 3 AS x
+          FROM events WHERE event_type = 'click'""")})
+        UNION ALL SELECT * FROM (${arm("raw", "")})
+        ORDER BY contrast"""
+    })
+
+  /** Friedman test — the BLOCKED-design rung completing the
+    * nonparametric family ([[kruskalWallis]] q243 compares k
+    * independent groups; [[cochranQ]] q324 is the blocked test for
+    * BINARY outcomes; nothing handles the workhorse "k treatments
+    * measured on the same n blocks, ordinal outcome" — does any
+    * treatment systematically rank higher across blocks?). Ranks are
+    * within-block with average-rank ties via DOUBLE-ranks (the q241
+    * trick: d = 2·rank_min + t − 1 with t the block's tie count at the
+    * value, off two block-partitioned windows — every d an exact
+    * integer), and the tie-corrected statistic clears all fractions
+    * by ×4: with Dⱼ = Σᵢ dᵢⱼ,
+    * Q = (k−1)·Σⱼ(Dⱼ − n(k+1))² / (Σd² − n·k(k+1)²) — emitted in
+    * milli (one truncating DIV) and gated at χ²₍₀.₀₅,k−1₎. Only
+    * COMPLETE blocks (all k treatments present) enter — the standard
+    * Friedman requirement, enforced by filter and reported as
+    * n_blocks; a fully-tied design (denominator 0), k < 2, n = 0, or
+    * untabled dof keeps the row with NULL Q and a NULL verdict.
+    *
+    * Scale shape: the input is block×treatment grain (n·k rows);
+    * both rank windows partition BY BLOCK (k-row partitions — never a
+    * corpus sort), the roll-ups are treatment- then card-grain. At
+    * 100 TB the aggregation that BUILDS the block table dominates;
+    * the test is free. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+      yCol: String): DataFrame = {
+    val v = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+      col(yCol).cast(LongType).as("__y"))
+    val kAll = v.agg(countDistinct(col("__t")).as("__k"))
+    val wB = Window.partitionBy(col("__b"))
+    val complete = v.withColumn("__bn", count(lit(1)).over(wB))
+      .crossJoin(broadcast(kAll))
+      .filter(col("__bn") === col("__k"))
+    val d = complete
+      .withColumn("__rmin",
+        rank().over(wB.orderBy(col("__y"))).cast(LongType))
+      .withColumn("__t2",
+        count(lit(1)).over(Window.partitionBy(col("__b"), col("__y"))))
+      .withColumn("__d", lit(2L) * col("__rmin") + col("__t2") - 1L)
+    val perT = d.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__d").cast(DecimalType(38, 0))).as("__dj"),
+        sum(col("__d").cast(DecimalType(19, 0)) * col("__d"))
+          .as("__d2"))
+    val crit = chi2Crit05Micro.toSeq.sortBy(_._1)
+      .map { case (dd, c) => s"WHEN dof = $dd THEN ${c}L" }
+      .mkString(" ")
+    perT.agg(
+        max(col("__k")).as("k_treatments"),
+        max(col("__n")).cast(LongType).as("n_blocks"),
+        sum(expr("""(__dj - CAST(__n AS DECIMAL(38,0)) * (__k + 1))
+            * (__dj - CAST(__n AS DECIMAL(38,0)) * (__k + 1))"""))
+          .as("__num"),
+        sum(col("__d2")).as("__sd2"))
+      .withColumn("__den", expr(
+        """__sd2 - CAST(n_blocks AS DECIMAL(38,0)) * k_treatments
+           * (k_treatments + 1) * (k_treatments + 1)"""))
+      .withColumn("dof", (col("k_treatments") - 1L).cast(LongType))
+      .withColumn("q_milli", expr(
+        """CASE WHEN k_treatments >= 2 AND n_blocks >= 1 AND __den > 0
+          THEN CAST((CAST(1000 AS DECIMAL(38,0)) * (k_treatments - 1)
+            * __num) DIV __den AS BIGINT) END"""))
+      .withColumn("treatments_differ", expr(
+        s"""CASE WHEN q_milli IS NOT NULL
+            AND (CASE $crit END) IS NOT NULL
+          THEN q_milli * 1000 > (CASE $crit END) END"""))
+      .select(col("k_treatments").cast(LongType).as("k_treatments"),
+        col("n_blocks"), col("dof"), col("q_milli"),
+        col("treatments_differ"))
+  }
+
+  /** Oracle fixture of [[friedmanTest]]: days as blocks, event types
+    * as treatments, daily volume as the outcome — two contrasts under
+    * one hash: `raw` (one generator, no treatment effect) and
+    * `planted` (the same table plus a `__heavy` treatment carrying
+    * each day's TOTAL volume — top rank in every block → fires). */
+  private val q360 = GQuery(
+    "q360_friedman",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("CAST(ts AS BIGINT) DIV 86400").as("b"),
+          col("event_type").as("tr"))
+        .agg(count(lit(1)).as("y"))
+      val heavy = daily.groupBy(col("b"))
+        .agg(sum(col("y")).as("y"))
+        .select(col("b"), lit("__heavy").as("tr"), col("y"))
+      friedmanTest(daily, "b", "tr", "y")
+        .withColumn("contrast", lit("raw"))
+        .unionByName(
+          friedmanTest(daily.unionByName(heavy), "b", "tr", "y")
+            .withColumn("contrast", lit("planted")))
+        .select(col("contrast"), col("k_treatments"), col("n_blocks"),
+          col("dof"), col("q_milli"), col("treatments_differ"))
+        .orderBy(col("contrast"))
+    },
+    Some {
+      def arm(label: String, extra: String) = s"""
+      SELECT '$label' AS contrast, k_treatments, n_blocks, dof, q_milli,
+        CASE WHEN q_milli IS NOT NULL AND crit.c IS NOT NULL
+          THEN q_milli * 1000 > crit.c END AS treatments_differ
+      FROM (
+        WITH daily AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+            event_type AS tr, CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2 $extra),
+        ka AS (SELECT COUNT(DISTINCT tr) AS k FROM daily),
+        comp AS (SELECT b, tr, y FROM (
+            SELECT b, tr, y, COUNT(*) OVER (PARTITION BY b) AS bn
+            FROM daily), ka
+          WHERE bn = ka.k),
+        d AS (SELECT tr,
+            2 * CAST(RANK() OVER (PARTITION BY b ORDER BY y) AS BIGINT)
+              + CAST(COUNT(*) OVER (PARTITION BY b, y) AS BIGINT) - 1
+              AS d
+          FROM comp),
+        pert AS (SELECT tr, ka.k, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(d) AS HUGEINT) AS dj,
+            SUM(CAST(d AS HUGEINT) * d) AS d2
+          FROM d, ka GROUP BY 1, 2),
+        f AS (SELECT CAST(MAX(k) AS BIGINT) AS k_treatments,
+            CAST(MAX(n) AS BIGINT) AS n_blocks,
+            SUM((dj - CAST(n AS HUGEINT) * (k + 1))
+              * (dj - CAST(n AS HUGEINT) * (k + 1))) AS num,
+            CAST(SUM(d2) AS HUGEINT) AS sd2
+          FROM pert),
+        f2 AS (SELECT k_treatments, n_blocks,
+            k_treatments - 1 AS dof,
+            CASE WHEN k_treatments >= 2 AND n_blocks >= 1
+                AND sd2 - CAST(n_blocks AS HUGEINT) * k_treatments
+                  * (k_treatments + 1) * (k_treatments + 1) > 0 THEN
+              CAST((1000 * (k_treatments - 1) * num)
+                // (sd2 - CAST(n_blocks AS HUGEINT) * k_treatments
+                  * (k_treatments + 1) * (k_treatments + 1))
+                AS BIGINT) END AS q_milli
+          FROM f)
+        SELECT * FROM f2) ff
+      LEFT JOIN (VALUES $chi2CritValuesSql) AS crit(dof2, c)
+        ON ff.dof = crit.dof2"""
+      s"""SELECT * FROM (${arm("planted", """
+          UNION ALL SELECT b, '__heavy' AS tr, CAST(SUM(y) AS BIGINT)
+            AS y FROM (SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+              event_type AS tr, CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2) GROUP BY b""")})
+        UNION ALL SELECT * FROM (${arm("raw", "")})
+        ORDER BY contrast"""
+    })
+
   val queries: Seq[GQuery] = Seq(q85, q86, q87, q88, q89, q90, q92, q93,
     q96, q101, q102, q103, q104, q147, q148, q165, q168, q170, q171,
     q182, q183, q184, q185, q186, q188, q190, q196, q198, q202, q210,
@@ -6832,5 +7123,5 @@ object AnalyticsQ {
     q291, q297, q298, q299, q300, q302, q304, q305, q310, q311, q314,
     q315, q318, q321, q322, q323, q324, q325, q326, q327, q330, q331,
     q333, q338, q339, q340, q347, q348, q349, q351, q352, q353, q354,
-    q355, q356)
+    q355, q356, q359, q360)
 }

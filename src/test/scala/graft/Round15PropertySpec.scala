@@ -458,4 +458,87 @@ class Round15PropertySpec extends SparkSpec {
     assert(scr.values.forall(_._2.exists(_ > 3841459L)),
       "both series must individually exceed the uncorrected gate")
   }
+
+  // ---- q359 Brown-Forsythe ------------------------------------------------
+
+  test("brownForsytheGate equals the in-memory median-deviation ANOVA " +
+      "replay on arbitrary groups, including internally-constant ones") {
+    val gen = for {
+      k <- Gen.chooseNum(1, 5)
+      groups <- Gen.listOfN(k, for {
+        n <- Gen.chooseNum(1, 25)
+        xs <- Gen.listOfN(n, Gen.chooseNum(0L, 60L))
+      } yield xs)
+    } yield groups
+    check(Prop.forAll(gen) { groups =>
+      val rows = groups.zipWithIndex.flatMap { case (xs, i) =>
+        xs.map((s"g$i", _)) }
+      val got = AnalyticsQ.brownForsytheGate(rows.toDF("g", "x"),
+          "g", "x")
+        .select(col("n_rows"), col("n_groups"), col("dof"),
+          col("chi2_milli"), col("variances_differ"))
+        .as[(Long, Long, Long, Option[Long], Option[Boolean])].head()
+      def lowerMedian(xs: Seq[Long]): Long =
+        xs.sorted.apply(((xs.size + 1) / 2) - 1)
+      val zs = groups.map { xs =>
+        val m = lowerMedian(xs); xs.map(x => math.abs(x - m)) }
+      val nT = BigInt(zs.map(_.size).sum)
+      val k = zs.size
+      val ss = BigInt(zs.map(_.sum).sum)
+      val qq = zs.flatMap(_.map(z => BigInt(z) * z)).sum
+      val sb = zs.map { z =>
+        val si = BigInt(z.sum); (si * si) / z.size }.sum
+      val a3 = zs.map { z =>
+        val si = BigInt(z.sum); val ni = BigInt(z.size)
+        val e = (nT * si - ni * ss) / ni
+        ni * e * e }.sum
+      val b2 = qq - sb
+      val chi2 = if (k >= 2 && b2 > 0)
+        Some((((nT - k) * ((BigInt(1000) * a3) / (nT * nT))) / b2)
+          .toLong) else None
+      val crit = AnalyticsQ.chi2Crit05Micro.get(k - 1)
+      val flag: Option[Boolean] = chi2.flatMap(c =>
+        crit.map(cr => BigInt(c) * 1000 > cr))
+      got == ((nT.toLong, k.toLong, k - 1L, chi2, flag))
+    })
+  }
+
+  // ---- q360 Friedman ------------------------------------------------------
+
+  test("friedmanTest equals the in-memory double-rank replay on " +
+      "arbitrary complete-plus-ragged block designs") {
+    val gen = for {
+      k <- Gen.chooseNum(2, 5)
+      n <- Gen.chooseNum(1, 15)
+      blocks <- Gen.listOfN(n, Gen.listOfN(k, Gen.chooseNum(0L, 8L)))
+      ragged <- Gen.listOfN(3, Gen.chooseNum(1, k - 1))
+    } yield (k, blocks, ragged)
+    check(Prop.forAll(gen) { case (k, blocks, ragged) =>
+      // complete blocks 0..n-1, plus ragged blocks that must be DROPPED
+      val rows = blocks.zipWithIndex.flatMap { case (ys, b) =>
+        ys.zipWithIndex.map { case (y, t) =>
+          (b.toLong, s"t$t", y) } } ++
+        ragged.zipWithIndex.flatMap { case (nt, i) =>
+          (0 until nt).map(t => (1000L + i, s"t$t", 1L)) }
+      val got = AnalyticsQ.friedmanTest(rows.toDF("b", "tr", "y"),
+          "b", "tr", "y")
+        .select(col("k_treatments"), col("n_blocks"), col("dof"),
+          col("q_milli"), col("treatments_differ"))
+        .as[(Long, Long, Long, Option[Long], Option[Boolean])].head()
+      // in-memory: double ranks within each complete block
+      val ds = blocks.map { ys =>
+        ys.map(y => 2L * (ys.count(_ < y) + 1) + ys.count(_ == y) - 1L) }
+      val n = BigInt(blocks.size)
+      val djs = (0 until k).map(t => ds.map(row => BigInt(row(t))).sum)
+      val num = djs.map(dj => (dj - n * (k + 1)) * (dj - n * (k + 1))).sum
+      val sd2 = ds.flatten.map(d => BigInt(d) * d).sum
+      val den = sd2 - n * k * (k + 1) * (k + 1)
+      val q = if (k >= 2 && n >= 1 && den > 0)
+        Some(((BigInt(1000) * (k - 1) * num) / den).toLong) else None
+      val crit = AnalyticsQ.chi2Crit05Micro.get(k - 1)
+      val flag: Option[Boolean] = q.flatMap(v =>
+        crit.map(cr => BigInt(v) * 1000 > cr))
+      got == ((k.toLong, n.toLong, k - 1L, q, flag))
+    })
+  }
 }
