@@ -6843,7 +6843,11 @@ object AnalyticsQ {
     * untabled dof keep the row with NULL statistic and a NULL/false
     * verdict — never a division error, never "equal variances" by
     * silence. Validity bound: N·z_max ≲ 10¹⁴ keeps nᵢEᵢ² inside
-    * DECIMAL(38) (N ≲ 10⁹ at cents scale).
+    * DECIMAL(38) (N ≲ 10⁹ at cents scale). NOTE Spark's `DIV` emits
+    * BIGINT — the (N−k)·(1000·A₃ DIV N²) product is re-CAST to
+    * DECIMAL(38,0) before multiplying, or ANSI long-multiply overflows
+    * at N ≈ 10⁵ (caught by the 10× probe, the q352 lesson repeated:
+    * the probe runs BEFORE the card ships).
     *
     * Scale shape: one (group, value) histogram aggregation, per-group
     * medians off the [[PrefixSum]] per-group bucket-offset cumulative
@@ -6889,9 +6893,10 @@ object AnalyticsQ {
       .withColumn("__b2", expr("__qq - __sb"))
       .withColumn("chi2_milli", expr(
         """CASE WHEN n_groups >= 2 AND __b2 > 0 THEN
-          CAST(((n_rows - n_groups)
-              * ((CAST(1000 AS DECIMAL(38,0)) * __a3)
-                DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows)))
+          CAST((CAST(n_rows - n_groups AS DECIMAL(38,0))
+              * CAST((CAST(1000 AS DECIMAL(38,0)) * __a3)
+                DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows)
+                AS DECIMAL(38,0)))
             DIV __b2 AS BIGINT) END"""))
       .withColumn("variances_differ", expr(
         s"""CASE WHEN chi2_milli IS NOT NULL
