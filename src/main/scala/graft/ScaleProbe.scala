@@ -107,7 +107,7 @@ object ScaleProbe {
     "q350_url_shape_card", "q351_rmst", "q352_mannwhitney_gate",
     "q353_smd_card", "q354_welch_gate", "q355_ljung_box",
     "q356_holm_screen", "q357_robots_screen", "q358_politeness_card",
-    "q359_brown_forsythe", "q360_friedman")
+    "q359_brown_forsythe", "q360_friedman", "q361_fetch_funnel")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

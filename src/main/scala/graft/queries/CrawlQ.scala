@@ -625,6 +625,97 @@ object CrawlQ {
         MAX(burst) <= 1 AS compliant
       FROM b GROUP BY host ORDER BY host"""))
 
+  /** Oracle fixture of the FULL fetch-plan funnel — q345's composition
+    * with the [[robotsScreen]] stage inserted where a real crawler
+    * runs it (canonicalize → robots ALLOW → canonical dedup → domain
+    * cap): per language, the doc count surviving each stage. The
+    * rules stage uses the q357 derived table, so ~2/5 of paths die at
+    * robots before dedup ever sees them — the order matters (a
+    * blocked URL must not hold a canonical keeper slot) and this card
+    * pins it under one hash. Monotonicity per language is the funnel
+    * invariant (spec-pinned in q345's property; the same stages). */
+  private val q361 = GQuery(
+    "q361_fetch_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", expr(fixtureUrlSpark))
+      val rules = fixtureRules(
+        docs.select(urlDomain("url").as("domain")).distinct())
+      val allowedIds = robotsScreen(docs, "url", rules)
+        .filter(col("allowed")).select(col("doc_id"))
+      val allowed = docs.join(allowedIds, Seq("doc_id"), "left_semi")
+      val keepers = canonicalUrlDedup(allowed, "url")
+        .select(col("keeper").as("doc_id"))
+      val kept = allowed.join(keepers, Seq("doc_id"), "left_semi")
+      val capped = domainCap(kept, "url", 3)
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+        .join(allowed.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_allowed")), Seq("lang"), "left")
+        .join(kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_dedup")), Seq("lang"), "left")
+        .join(capped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_capped")), Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, $fixtureUrlDuck AS url
+        FROM documents),
+      hs AS (SELECT doc_id, lang, url, ${hostDuck("url")} AS host
+        FROM d),
+      dp AS (SELECT doc_id, lang, url,
+          ${registeredDomainDuck("host")} AS domain,
+          ${pathDuck("url")} AS path
+        FROM hs),
+      doms AS (SELECT DISTINCT domain FROM dp),
+      rules AS (
+        SELECT domain, '/' AS prefix, TRUE AS allow FROM doms
+        UNION ALL
+        SELECT domain, '/art/', length(domain) % 2 = 0 FROM doms
+        UNION ALL
+        SELECT domain,
+          concat('/art/', CAST(length(domain) % 3 AS VARCHAR)),
+          NOT (length(domain) % 2 = 0) FROM doms),
+      m AS (SELECT dp.doc_id,
+          MAX(concat(lpad(CAST(length(r.prefix) AS VARCHAR), 4, '0'),
+            CASE WHEN r.allow THEN '1' ELSE '0' END, r.prefix))
+            AS key
+        FROM dp JOIN rules r ON dp.domain = r.domain
+          AND starts_with(dp.path, r.prefix)
+        GROUP BY 1),
+      allowed AS (SELECT dp.doc_id, dp.lang, dp.url, dp.domain
+        FROM dp LEFT JOIN m ON dp.doc_id = m.doc_id
+        WHERE COALESCE(substr(m.key, 5, 1) = '1', TRUE)),
+      cn AS (SELECT doc_id, lang, domain, ${canonDuck("url")} AS canon
+        FROM allowed),
+      keepers AS (SELECT MIN(doc_id) AS doc_id FROM cn GROUP BY canon),
+      kept AS (SELECT cn.* FROM cn JOIN keepers USING (doc_id)),
+      capped AS (SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM kept)
+        WHERE rn <= 3),
+      raw_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM d GROUP BY lang),
+      alw_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_allowed
+        FROM allowed GROUP BY lang),
+      ded_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_dedup
+        FROM kept GROUP BY lang),
+      cap_c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_capped
+        FROM capped GROUP BY lang)
+      SELECT r.lang, r.n_raw,
+        COALESCE(aw.n_allowed, 0) AS n_allowed,
+        COALESCE(de.n_dedup, 0) AS n_dedup,
+        COALESCE(ca.n_capped, 0) AS n_capped
+      FROM raw_c r
+      LEFT JOIN alw_c aw USING (lang)
+      LEFT JOIN ded_c de USING (lang)
+      LEFT JOIN cap_c ca USING (lang)
+      ORDER BY r.lang"""))
+
   val queries: Seq[GQuery] = Seq(q341, q342, q343, q345, q346, q350,
-    q357, q358)
+    q357, q358, q361)
 }

@@ -242,4 +242,41 @@ class Round15OpsSpec extends SparkSpec {
     assert(got3.map(r => (r._1, r._5)) ==
       Seq(("h1", true), ("h2", true), ("h3", true)), got3.toString)
   }
+
+  test("fetch funnel ordering: robots runs before dedup, so a blocked " +
+      "lower-id doc never holds a canonical keeper slot") {
+    import graft.queries.CrawlQ
+    // doc 1 (lowest id — would win any dedup it enters) and doc 3
+    // share a canonical URL; doc 1 sits on a denied prefix. With
+    // robots FIRST, doc 3 keeps its resource; dedup-first would have
+    // crowned blocked doc 1 the keeper and then lost the resource
+    // entirely when robots killed it.
+    val docs = Seq(
+      (1L, "http://a.com/p/x?b=2&a=1"),          // denied by /p
+      (2L, "http://a.com/q?x=1"),                // allowed, distinct
+      (3L, "HTTP://A.COM:80/p/x?a=1&b=2"))       // same canon as 1...
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/p", false),
+      ("a.com", "/p/x", true))                    // ...but re-allowed deeper
+      .toDF("domain", "prefix", "allow")
+    // longest match: /p/x (allow) beats /p (deny) -> 1 and 3 allowed
+    // here; tighten to the deny-only case by dropping the override
+    val denyOnly = rules.filter(col("prefix") =!= "/p/x")
+    val allowedIds = CrawlQ.robotsScreen(docs, "url", denyOnly)
+      .filter(col("allowed")).select(col("doc_id"))
+    val allowed = docs.join(allowedIds, Seq("doc_id"), "left_semi")
+    val keepers = CrawlQ.canonicalUrlDedup(allowed, "url")
+      .select(col("keeper")).as[Long].collect().toSet
+    assert(keepers == Set(2L), keepers.toString)
+    // with the deeper re-allow in force, the blocked pair returns and
+    // the lower id takes the slot back
+    val allowedIds2 = CrawlQ.robotsScreen(docs, "url", rules)
+      .filter(col("allowed")).select(col("doc_id"))
+    val keepers2 = CrawlQ.canonicalUrlDedup(
+        docs.join(allowedIds2, Seq("doc_id"), "left_semi"), "url")
+      .select(col("keeper")).as[Long].collect().toSet
+    assert(keepers2 == Set(1L, 2L), keepers2.toString)
+  }
 }
