@@ -287,20 +287,37 @@ object CrawlQ {
   private val q345 = GQuery(
     "q345_crawl_funnel",
     (s, dir) => {
+      // Single-pass funnel (optimization guide §2.3/§2.4; round-15 opt):
+      // instead of materializing each stage and re-counting it per
+      // language (three aggregation passes + two semi-joins, each
+      // re-deriving the canonical URL), every doc carries its stage
+      // FLAGS and one conditional aggregation emits all three counts.
+      //   kept   ⟺ doc_id = min(doc_id) over its canonical-URL group
+      //            (exactly canonicalUrlDedup's keeper rule);
+      //   capped ⟺ kept AND rank ≤ 3 within the domain, where ordering
+      //            kept-rows-first preserves domainCap's (md5, doc_id)
+      //            rank over the kept subset (non-kept rows sort after
+      //            every kept row, so kept ranks are unchanged).
+      // Plan: one scan, one canon window, one domain window, one lang
+      // agg — vs the old 3 agg passes + 2 joins over re-derived stages.
       val docs = t(s, dir, "documents")
         .withColumn("url", expr(fixtureUrlSpark))
-      val keepers = canonicalUrlDedup(docs, "url")
-        .select(col("keeper").as("doc_id"))
-      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
-      val capped = domainCap(kept, "url", 3)
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
-        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup")),
-          Seq("lang"), "left")
-        .join(capped.groupBy(col("lang")).agg(count(lit(1)).as("n_capped")),
-          Seq("lang"), "left")
-        .select(col("lang"), col("n_raw"),
-          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
-          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        canonicalUrl("url").as("__canon"), urlDomain("url").as("__domain"))
+      val kept = base.withColumn("__kept",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("__canon"))))
+      val wCap = Window.partitionBy(col("__domain"))
+        .orderBy(col("__kept").desc,
+          expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+      kept
+        .withColumn("__capped",
+          col("__kept") && row_number().over(wCap) <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("__capped"), 1L).otherwise(0L)).as("n_capped"))
+        .select(col("lang"), col("n_raw"), col("n_dedup"), col("n_capped"))
         .orderBy(col("lang"))
     },
     Some(s"""WITH d AS (SELECT doc_id, lang, $fixtureUrlDuck AS url
@@ -637,28 +654,52 @@ object CrawlQ {
   private val q361 = GQuery(
     "q361_fetch_funnel",
     (s, dir) => {
+      // Single-pass funnel with the robots stage folded in as a flag
+      // (the q345 round-15 rewrite, one stage longer): each doc carries
+      // allowed/kept/capped flags and ONE language aggregation emits all
+      // four counts. Keeper slots are restricted to allowed docs via
+      // min(when(allowed, doc_id)) over the canonical-URL group — a
+      // blocked URL never holds a slot, exactly the staged semantics.
+      // Plan: scan → broadcast rules join + per-doc verdict agg → one
+      // doc_id join-back → canon window → domain window → lang agg, vs
+      // the old 4 aggregation passes + 3 semi-joins over re-derived
+      // stages (22 jobs → ~7 at sf0.1).
       val docs = t(s, dir, "documents")
         .withColumn("url", expr(fixtureUrlSpark))
       val rules = fixtureRules(
         docs.select(urlDomain("url").as("domain")).distinct())
-      val allowedIds = robotsScreen(docs, "url", rules)
-        .filter(col("allowed")).select(col("doc_id"))
-      val allowed = docs.join(allowedIds, Seq("doc_id"), "left_semi")
-      val keepers = canonicalUrlDedup(allowed, "url")
-        .select(col("keeper").as("doc_id"))
-      val kept = allowed.join(keepers, Seq("doc_id"), "left_semi")
-      val capped = domainCap(kept, "url", 3)
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
-        .join(allowed.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_allowed")), Seq("lang"), "left")
-        .join(kept.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_dedup")), Seq("lang"), "left")
-        .join(capped.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_capped")), Seq("lang"), "left")
-        .select(col("lang"), col("n_raw"),
-          coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
-          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
-          coalesce(col("n_capped"), lit(0L)).as("n_capped"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        canonicalUrl("url").as("__canon"),
+        urlDomain("url").as("__domain"), urlPath("url").as("__path"))
+      val matched = base
+        .join(broadcast(rules.select(col("domain").as("__domain"),
+          col("prefix"), col("allow"))), Seq("__domain"))
+        .filter(col("__path").startsWith(col("prefix")))
+        .groupBy(col("doc_id"))
+        .agg(max(concat(
+          lpad(length(col("prefix")).cast(StringType), 4, "0"),
+          when(col("allow"), lit("1")).otherwise(lit("0")),
+          col("prefix"))).as("__key"))
+      val flagged = base.join(matched, Seq("doc_id"), "left")
+        .withColumn("__allowed",
+          coalesce(expr("substr(__key, 5, 1) = '1'"), lit(true)))
+      val kept = flagged.withColumn("__kept",
+        col("__allowed") &&
+          col("doc_id") === min(when(col("__allowed"), col("doc_id")))
+            .over(Window.partitionBy(col("__canon"))))
+      val wCap = Window.partitionBy(col("__domain"))
+        .orderBy(col("__kept").desc,
+          expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+      kept
+        .withColumn("__capped",
+          col("__kept") && row_number().over(wCap) <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("__allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("__capped"), 1L).otherwise(0L)).as("n_capped"))
+        .select(col("lang"), col("n_raw"), col("n_allowed"),
+          col("n_dedup"), col("n_capped"))
         .orderBy(col("lang"))
     },
     Some(s"""WITH d AS (SELECT doc_id, lang, $fixtureUrlDuck AS url

@@ -582,27 +582,47 @@ object TextQ {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    // materialize the edge list ONCE — without this the (potentially
-    // expensive) upstream pipeline producing `pairs` re-executes on every
-    // propagation round and every convergence check
-    val edges = snap(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // materialize the INPUT once — `pairs` is typically the whole LSH
+    // candidate pipeline and both union legs below reference it; snapping
+    // the pairs (not the doubled edge list) runs that pipeline exactly
+    // once and halves the materialized footprint (the pagerankPpm
+    // pattern). The symmetric view is a map over the snapshot — free to
+    // rebuild per round.
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Round shape (optimization guide §2.3/§2.4 — aggregate instead of
+    // join-back): the neighbor contributions (label of v charged to u)
+    // UNION the self rows (label of u charged to u) fold through ONE
+    // aggregation — min(component) is the new label and the self row's
+    // label rides along as `prev` for the convergence scan. This replaces
+    // the old join → groupBy → join-back-to-labels round (3-4 exchanges)
+    // with join → union → groupBy (2-3), and round 1 skips the join
+    // entirely: under identity labels the neighbor contribution of edge
+    // (u, v) IS v, so the first round is one aggregation over the edge
+    // set and the old standalone `distinct()` node-list pass disappears.
+    var labels: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaNeighbors = edges
-        .join(labels, edges("v") === labels("doc_id"))
-        .groupBy(col("u").as("doc_id_n")).agg(min(col("component")).as("n_comp"))
-      // carry the previous label through the checkpoint: the convergence
-      // check is then a scan of the (already materialized) snapshot
-      // instead of a per-round join back against the old labels
+      val contrib =
+        if (labels == null)
+          edges.select(col("u"), col("v").as("component"),
+              lit(false).as("self"))
+            .union(edges.select(col("u"), col("u").as("component"),
+              lit(true).as("self")))
+        else
+          edges
+            .join(labels.select(col("doc_id").as("v"), col("component")),
+              Seq("v"))
+            .select(col("u"), col("component"), lit(false).as("self"))
+            .union(labels.select(col("doc_id").as("u"), col("component"),
+              lit(true).as("self")))
       val next = snap( // cut the lineage so plans don't grow per round
-        labels.join(viaNeighbors, col("doc_id") === col("doc_id_n"), "left")
-          .select(col("doc_id"),
-            least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
-            col("component").as("prev")))
+        contrib.groupBy(col("u"))
+          .agg(min(col("component")).as("component"),
+            min(when(col("self"), col("component"))).as("prev"))
+          .select(col("u").as("doc_id"), col("component"), col("prev")))
       converged = next.filter(col("component") =!= col("prev")).isEmpty
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
@@ -647,10 +667,17 @@ object TextQ {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val nodes = snap(pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b"))).distinct())
+    // materialize the INPUT once (guide §2.4 / the pagerankPpm pattern):
+    // `pairs` is typically the whole LSH candidate pipeline and is
+    // referenced by BOTH the node list and the edge set — snapping it
+    // first runs that pipeline exactly once instead of once per derived
+    // structure. The node list is consumed exactly once (the final
+    // labels join), so it stays lazy over the snapshot.
+    val p = snap(pairs.select(col("doc_a"), col("doc_b")))
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b"))).distinct()
     // canonical (larger, smaller) edge set, self-loops out
-    var edges = snap(pairs
+    var edges = snap(p
       .select(greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
@@ -663,9 +690,14 @@ object TextQ {
         .union(edges.select(col("b").as("u"), col("a").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no per-step dedup here: duplicate (a, b) rows cannot change the
+      // small-star mins below and the round's closing distinct collapses
+      // them — dropping the old `.distinct()` removes one exchange per
+      // round (guide §2.4: a distinct on data whose duplicates are
+      // harmless is an accidental shuffle)
       val ls = sym.join(mins, Seq("u")).filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       // SMALL-STAR over the (larger → smaller) edges: u and all its
       // parents link to min(P(u) ∪ {u})
       val minPar = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
@@ -673,10 +705,12 @@ object TextQ {
         .select(col("b").as("a"), col("m").as("b"))
         .union(minPar.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct())
-      // fixed point: the edge SET is unchanged (counts + one-sided
-      // except — both sides are distinct canonical pairs)
+      // fixed point: the edge SET is unchanged — counts, then a leftanti
+      // probe only when the counts agree (both sides are distinct
+      // canonical pairs, so leftanti-empty ⟺ the old `except`-empty,
+      // without except's extra aggregate)
       converged = ss.count() == edges.count() &&
-        ss.except(edges).isEmpty
+        ss.join(edges, Seq("a", "b"), "leftanti").isEmpty
       edges = ss
       iter += 1
     }
