@@ -69,8 +69,11 @@ object IncrementalDrift {
     * (dynamic overwrite — a retry replaces itself, never double-counts). */
   def append(batch: DataFrame, storePath: String, batchId: Long,
       typeCol: String = "event_type"): Unit =
-    deltas(batch, typeCol)
-      .withColumn("batch_id", lit(batchId))
+    writeDeltas(deltas(batch, typeCol), storePath, batchId)
+
+  private def writeDeltas(d: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    d.withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(countsPath(storePath))
@@ -151,7 +154,10 @@ object IncrementalDrift {
     val folded = spark.read.schema(countSchema).parquet(dst.toString)
       .filter(col("batch_id").isin(inIds: _*)) // pruned to the marker set
       .groupBy(col("day"), col("t")).agg(sum(col("c")).as("c"))
-      .localCheckpoint() // tiny; cut before the min-day guard action
+      // tiny; lazily cut — the min-day guard action below materializes
+      // it and the rewrite job re-reads the cached blocks (round-15:
+      // one fewer eager job per compaction)
+      .localCheckpoint(false)
     val minDay = folded.agg(min(col("day"))).head.get(0)
     require(minDay == null ||
         minDay.asInstanceOf[Long] >= 0L,
@@ -210,10 +216,13 @@ object IncrementalDrift {
     * lost mass through the day×class grid. */
   def drift(spark: SparkSession, storePath: String): DataFrame = {
     // compact the per-batch deltas to (day, class) — tiny — then the
-    // q315 grid construction verbatim
+    // q315 grid construction verbatim. LAZY checkpoint (round-15): the
+    // fold is referenced three times (day grid, class grid, the join);
+    // lazy materialization runs it once INSIDE the consumer's own job
+    // instead of paying a dedicated eager job per drift() call.
     val c = readCounts(spark, storePath)
       .groupBy(col("day"), col("t")).agg(sum(col("c")).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val grid = c.select(col("day")).distinct()
       .crossJoin(broadcast(c.select(col("t")).distinct()))
       .join(c, Seq("day", "t"), "left")
@@ -235,10 +244,21 @@ object IncrementalDrift {
     * plus each one's next observed day (its mix is the `prev` of that
     * pair). Derived from the store AFTER [[append]]; day-grain. */
   def deltaDrift(spark: SparkSession, storePath: String, batchId: Long)
-      : DataFrame = {
-    val touched = readCounts(spark, storePath)
-      .filter(col("batch_id") === batchId)
-      .select(col("day")).distinct()
+      : DataFrame =
+    deltaDriftTouched(spark, storePath,
+      readCounts(spark, storePath)
+        .filter(col("batch_id") === batchId)
+        .select(col("day")).distinct())
+
+  /** [[deltaDrift]] with the touched-day set supplied by the caller —
+    * the [[sink]] already HOLDS the batch's deltas when it needs the
+    * affected days, so it derives them from the same materialized
+    * delta table instead of re-listing and re-reading the store
+    * partition it just wrote (round-15: one store read per micro-batch
+    * saved; identical day set by the dynamic-overwrite contract — the
+    * partition contains exactly the batch's deltas). */
+  private def deltaDriftTouched(spark: SparkSession, storePath: String,
+      touched: DataFrame): DataFrame = {
     val full = drift(spark, storePath)
     val wAll = Window.orderBy(col("day"))
     val affected = full
@@ -272,8 +292,13 @@ object IncrementalDrift {
     compactEvery.foreach(n => require(n >= 1,
       s"IncrementalDrift.sink: compactEvery must be >= 1, got $n"))
     (batch, batchId) => {
-      append(batch, storePath, batchId, typeCol)
-      deltaDrift(spark, storePath, batchId)
+      // round-15: the batch's (day, class) deltas are computed ONCE —
+      // lazily checkpointed, materialized by the store append, then the
+      // touched-day set reads the cached blocks instead of re-scanning
+      // the batch or re-reading the store partition just written.
+      val d = deltas(batch, typeCol).localCheckpoint(false)
+      writeDeltas(d, storePath, batchId)
+      deltaDriftTouched(spark, storePath, d.select(col("day")).distinct())
         .withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")

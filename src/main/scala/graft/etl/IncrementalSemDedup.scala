@@ -119,7 +119,11 @@ object IncrementalSemDedup {
     // storeQv fixes the store's COLUMN FAMILY at init (append/sink/
     // rebuild follow the store schema from here on — a per-call flag
     // could silently mix partitions with and without the column)
-    val asg0 = VectorQ.assignToCentroids(v, seeds)
+    // round-15: ONE assignment pass feeds both the member write and the
+    // bootstrap pair seed (lazy checkpoint — the member write
+    // materializes it, the pair derivation re-reads the cached blocks
+    // instead of re-running nearest-cell over the bootstrap)
+    val asg0 = VectorQ.assignToCentroids(v, seeds).localCheckpoint(false)
     val asg = if (storeQv) withQv(asg0, "embedding", "qv") else asg0
     asg.withColumn("batch_id", lit(-1L))
       .write.partitionBy("batch_id").mode("overwrite")
@@ -127,7 +131,7 @@ object IncrementalSemDedup {
     pairsPath.foreach { pp =>
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], memberSchema)
-      deltaPairs(vecs, seeds, empty, threshold, maxCellSize)
+      deltaPairsAssigned(asg0, empty, threshold, maxCellSize)
         .withColumn("batch_id", lit(-1L))
         .write.partitionBy("batch_id").mode("overwrite").parquet(pp)
     }
@@ -255,8 +259,25 @@ object IncrementalSemDedup {
       threshold: Double = 0.2, maxCellSize: Int = 100000,
       qvMargin: Double = -1.0): DataFrame = {
     require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    deltaPairsAssigned(
+      VectorQ.assignToCentroids(withNorm(newVecs), cells)
+        .localCheckpoint(false),
+      members, threshold, maxCellSize, qvMargin)
+  }
+
+  /** [[deltaPairs]] over a PRE-ASSIGNED delta (vec_id, embedding, nrm,
+    * cluster, dist_sq) — the seam that lets [[initStore]]/[[sink]] share
+    * ONE nearest-cell assignment between the pair derivation and the
+    * member append instead of computing it twice per batch (round-15).
+    * The input is referenced by both sides of the intra-batch pair
+    * enumeration plus the history cross side, so callers pass it
+    * lazily checkpointed (one assignment pass, materialized inside the
+    * consumer's own job). */
+  private[etl] def deltaPairsAssigned(assigned0: DataFrame,
+      members: DataFrame, threshold: Double = 0.2,
+      maxCellSize: Int = 100000, qvMargin: Double = -1.0): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
     val pre = qvMargin >= 0.0
-    val assigned0 = VectorQ.assignToCentroids(withNorm(newVecs), cells)
     val assigned = if (pre) withQv(assigned0, "embedding", "qv")
       else assigned0
     val hot = members.groupBy(col("cluster"))
@@ -366,12 +387,15 @@ object IncrementalSemDedup {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             memberSchema)
-      deltaPairs(batch, cells, members, threshold, maxCellSize, qvMargin)
+      // round-15: ONE nearest-cell assignment per micro-batch, shared by
+      // the pair derivation and the member append (lazy checkpoint)
+      val asg0 = VectorQ.assignToCentroids(withNorm(batch), cells)
+        .localCheckpoint(false)
+      deltaPairsAssigned(asg0, members, threshold, maxCellSize, qvMargin)
         .withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(pairsPath)
-      val asg0 = VectorQ.assignToCentroids(withNorm(batch), cells)
       val asg = if (storeHasQv(spark, storePath))
         withQv(asg0, "embedding", "qv") else asg0
       asg.withColumn("batch_id", lit(batchId))

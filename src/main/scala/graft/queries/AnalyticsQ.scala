@@ -4124,18 +4124,29 @@ object AnalyticsQ {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2, got $maxBasketSize")
+    // round-15 (guide §2.3): the distinct (basket, item) table feeds FOUR
+    // consumers (size guard, basket count, item counts, the pair
+    // self-join) — Catalyst prunes each consumer's columns differently,
+    // so without a cut the corpus-wide distinct aggregation ran three
+    // separate times. A lazy local checkpoint materializes it once
+    // inside the query's own execution.
     val b0 = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+      .localCheckpoint(false)
     // mega-basket guard (the lshCandidates maxBandSize convention): one
     // pathological basket with 10⁶ items is 10¹² pairs on one reducer —
     // exclude over-cap baskets from PAIRING (an aggregate + broadcast
     // anti-join, never a window). They still count toward n_baskets and
     // item counts, so support/lift denominators stay corpus-true; a
     // basket that big is a crawler artifact, not co-purchase signal.
-    val big = b0.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") > maxBasketSize).select(col("bk"))
+    // n_baskets is one more fold of the SAME basket-size aggregate (a
+    // row count), so it shares the sizes pass instead of re-running a
+    // second distinct over the corpus.
+    val sizes = b0.groupBy(col("bk")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false)
+    val big = sizes.filter(col("sz") > maxBasketSize).select(col("bk"))
     val paired = b0.join(broadcast(big), Seq("bk"), "left_anti")
-    val n = b0.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val n = sizes.agg(count(lit(1)).as("n_baskets"))
     val cnt = b0.groupBy(col("it")).agg(count(lit(1)).as("c"))
     val pairs = paired.as("x").join(paired.as("y"),
         col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
@@ -6859,21 +6870,35 @@ object AnalyticsQ {
     val v = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
         col(valueCol).cast(LongType).as("__x"))
+    // round-15 (guide §2.3/§2.4): the (group, value) histogram is the
+    // gate's shared backbone — PrefixSum references it twice, ng once,
+    // and the per-group sufficient stats below once more. A LAZY local
+    // checkpoint materializes it exactly once inside the query's own
+    // execution (no extra eager job) instead of re-running the
+    // event-grain scan+aggregate per reference.
     val h = v.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
     val cum = PrefixSum.exclusive(h, "__x", Seq("__c"),
       partitionCols = Seq("__g"))
     val ng = h.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
     val med = cum.join(ng, Seq("__g"))
       .filter(expr("__c_cum + __c >= (__n + 1) DIV 2"))
       .groupBy(col("__g")).agg(min(col("__x")).as("__med"))
-    val per = v.join(med, Seq("__g"))
-      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    // per-group sufficient stats fold the HISTOGRAM (weight __c per
+    // distinct value), not the raw rows — Σ|x−med| over rows ≡
+    // Σ c·|x−med| over the histogram, exact integer arithmetic either
+    // way, and the second event-grain scan + broadcast join the old
+    // `v JOIN med` paid disappears (histogram-grain work instead).
+    val per = h.join(med, Seq("__g"))
+      .select(col("__g"), col("__c"),
+        abs(col("__x") - col("__med")).as("__z"))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("__ni"),
-        sum(col("__z").cast(DecimalType(38, 0))).as("__si"),
-        sum(col("__z").cast(DecimalType(19, 0)) * col("__z"))
+      .agg(sum(col("__c")).as("__ni"),
+        sum(col("__z").cast(DecimalType(38, 0)) * col("__c")).as("__si"),
+        sum(col("__z").cast(DecimalType(19, 0)) * col("__z") * col("__c"))
           .as("__qi"))
+      .localCheckpoint(false) // k-row table, read by g1 AND a3 below
     val g1 = per.agg(
       sum(col("__ni")).cast(LongType).as("n_rows"),
       count(lit(1)).cast(LongType).as("n_groups"),

@@ -947,34 +947,82 @@ object EventQ {
     * compile to literal CASE chains. At 100 TB this is scan →
     * broadcast-as-of → projection: the cheapest shape a per-minute
     * rating can have. */
-  /** Band/tier SQL fragments shared by [[timeBandCharges]] and
-    * [[rerateDiff]]: (isPeak, bandPpm, tierPpm), over the lambda minute
-    * variable `m` and the row's `start_sec`. Floor-mod, not `%`: the
-    * sign-of-dividend remainder would make any pre-1970 timestamp's
-    * hour-of-day negative and silently off-peak. */
-  private def bandTierSql(peakFromHour: Int, peakToHour: Int,
-      peakMultPpm: Long, tiers: Seq[(Long, Long, Long)])
-      : (String, String, String) = {
-    val hod = s"((pmod(start_sec + 60 * m, 86400)) DIV 3600)"
-    val isPeak = s"($hod >= $peakFromHour AND $hod < $peakToHour)"
-    val bandPpm = s"(CASE WHEN $isPeak THEN CAST($peakMultPpm AS BIGINT) " +
-      "ELSE CAST(1000000 AS BIGINT) END)"
-    val tierPpm = "(CASE " + tiers.init.map { case (_, to, p) =>
-      s"WHEN m < $to THEN CAST($p AS BIGINT)" }.mkString(" ") +
-      s" ELSE CAST(${tiers.last._3} AS BIGINT) END)"
-    (isPeak, bandPpm, tierPpm)
+  /** Closed-form peak/tier arithmetic shared by [[timeBandCharges]] and
+    * [[rerateDiff]] — round-15 replacement of the per-minute
+    * `aggregate(sequence(...))` fold (a higher-order function is
+    * interpreted per element with a boxed DECIMAL accumulator: O(dur)
+    * lambda evaluations per CDR; at 100 TB a multi-hour call paid
+    * thousands of them). The charge is instead computed in O(#tiers)
+    * whole-stage-codegen'd integer expressions per row:
+    *
+    *   Σₘ base·band(m)·tier(m)  =  base · Σᵢ tierᵢ · bandSumᵢ
+    *
+    * with bandSumᵢ = peakᵢ·peakPpm + (lenᵢ−peakᵢ)·10⁶ over tier segment
+    * i, and peakᵢ the count of minutes m in [sᵢ, eᵢ) whose minute-of-day
+    * lies in the peak window — a modular interval-overlap count:
+    * minute-of-day(m) = pmod(c₀ + m, 1440) with c₀ = floorDiv(start_sec,
+    * 60) (the peak bounds are whole hours, so the second-within-minute
+    * offset can never flip a minute across the boundary), so a segment
+    * of n minutes starting at phase a covers full ⌊n/1440⌋ days plus the
+    * wrapped partial window [a, a+r) — two max/min overlaps against
+    * [P₁, P₂). Pure integer algebra: the per-term products are grouped,
+    * never divided, and the single final `DIV 10¹²` applies to the
+    * identical total, so the result is bit-equal to the unrolled
+    * per-minute oracle by distributivity. Floor-div/floor-mod
+    * throughout (pmod; the `(s − pmod(s,60)) DIV 60` floorDiv), so
+    * pre-1970 timestamps keep their calendar hour exactly like the old
+    * fold's pmod-on-seconds. */
+  /** Adds the shared closed-form columns over (start_sec, dur_min):
+    * `__pkall` (whole-call peak-minute count) and `__cf` (the
+    * BASE-INDEPENDENT Σᵢ tierᵢ·bandSumᵢ charge factor, DECIMAL(38,0)) —
+    * so a charge is one decimal multiply + the final truncating DIV,
+    * and [[rerateDiff]]'s two tariff passes share ONE factor
+    * computation. Every shared subexpression (the day phase, per-tier
+    * segment bounds, phases, peak counts) is a REAL multi-referenced
+    * column: Catalyst keeps such non-cheap aliases as stacked projects
+    * instead of inlining, so each codegen'd method stays small enough
+    * to JIT (the single-expression form expanded to a ~50-pmod tree
+    * whose generated method ran interpreted — slower than the O(dur)
+    * fold it replaced). The `greatest(0, …)` clamps only bite for
+    * dur_min < 1 rows, whose outputs the call-site gate zeroes anyway —
+    * they keep ANSI long arithmetic overflow-free on garbage inputs. */
+  private def withBandTierCols(df: DataFrame, peakFromHour: Int,
+      peakToHour: Int, peakMultPpm: Long,
+      tiers: Seq[(Long, Long, Long)]): DataFrame = {
+    val p1 = peakFromHour * 60; val p2 = peakToHour * 60; val w = p2 - p1
+    def pkExpr(a: String, n: String): String =
+      s"""($n DIV 1440L) * ${w}L
+        + greatest(0L, least($a + pmod($n, 1440L), ${p2}L)
+            - greatest($a, ${p1}L))
+        + greatest(0L, least($a + pmod($n, 1440L) - 1440L, ${p2}L)
+            - ${p1}L)"""
+    var d = df.withColumn("__md0",
+      expr("pmod((start_sec - pmod(start_sec, 60L)) DIV 60L, 1440L)"))
+      .withColumn("__pkall", expr(pkExpr("__md0",
+        "greatest(0L, dur_min)")))
+    val terms = tiers.zipWithIndex.map { case ((lo, hi, ppm), i) =>
+      val sE = if (lo == 0L) "0L"
+        else s"greatest(0L, least(dur_min, ${lo}L))"
+      val eE = if (hi == Long.MaxValue) "dur_min"
+        else s"least(dur_min, ${hi}L)"
+      d = d.withColumn(s"__n$i", expr(s"greatest(0L, ($eE) - ($sE))"))
+        .withColumn(s"__a$i", expr(s"pmod(__md0 + ($sE), 1440L)"))
+        .withColumn(s"__pk$i", expr(pkExpr(s"__a$i", s"__n$i")))
+      s"""(CAST(__pk$i * ${peakMultPpm}L
+          + (__n$i - __pk$i) * 1000000L AS DECIMAL(38, 0)) * ${ppm}L)"""
+    }
+    d.withColumn("__cf", expr(terms.mkString(" + ")))
   }
 
-  /** The per-minute charge fold over `baseCol` (NULL base ⇒ 0, the q195
-    * never-drop contract) — map-side, no explode, no shuffle. */
-  private def minuteCharge(baseCol: String, bandPpm: String,
-      tierPpm: String): org.apache.spark.sql.Column =
+  /** The closed-form charge over `baseCol` (NULL base ⇒ 0, the q195
+    * never-drop contract) from the [[withBandTierCols]] factor: exactly
+    * Σₘ base·band(m)·tier(m) = base·__cf by distributivity — grouped,
+    * never divided, the single final `DIV 10¹²` applied to the
+    * identical total, so bit-equal to the per-minute unrolled oracle. */
+  private def chargeFromFactor(baseCol: String)
+      : org.apache.spark.sql.Column =
     when(col("dur_min") >= 1L && col(baseCol).isNotNull,
-      expr(s"""CAST(aggregate(
-          sequence(CAST(0 AS BIGINT), dur_min - 1),
-          CAST(0 AS DECIMAL(38, 0)),
-          (acc, m) -> acc +
-            CAST($baseCol * $bandPpm * $tierPpm AS DECIMAL(38, 0)))
+      expr(s"""CAST((CAST($baseCol AS DECIMAL(38, 0)) * __cf)
         DIV CAST(1000000000000 AS DECIMAL(38, 0)) AS BIGINT)"""))
       .otherwise(lit(0L))
 
@@ -1004,19 +1052,14 @@ object EventQ {
         Seq("call_type"), Seq("t_call_type"), "start_sec", "valid_from")
       .drop("t_call_type")
       .withColumnRenamed("valid_from", "version")
-    val (isPeak, bandPpm, tierPpm) =
-      bandTierSql(peakFromHour, peakToHour, peakMultPpm, tiers)
-    asof
-      .withColumn("charge_centi", minuteCharge("base_centi", bandPpm, tierPpm))
+    withBandTierCols(asof, peakFromHour, peakToHour, peakMultPpm, tiers)
+      .withColumn("charge_centi", chargeFromFactor("base_centi"))
       .withColumn("peak_min",
         // gated on base_centi like charge_centi: a call predating every
         // tariff version rates at 0 AND reports peak_min 0 — both
         // engines agree that an unrated call contributes no peak usage
         when(col("dur_min") >= 1L && col("base_centi").isNotNull,
-          expr(s"""aggregate(sequence(CAST(0 AS BIGINT), dur_min - 1),
-            CAST(0 AS BIGINT),
-            (acc, m) -> acc + (CASE WHEN $isPeak THEN CAST(1 AS BIGINT)
-              ELSE CAST(0 AS BIGINT) END))"""))
+          col("__pkall"))
           .otherwise(lit(0L)))
       .select(col("call_id"), col("call_type"), col("version"),
         col("base_centi"), col("dur_min"), col("peak_min"),
@@ -1117,15 +1160,33 @@ object EventQ {
           .drop("tc_old").withColumnRenamed("vf_old", "version_old"),
         tNew, Seq("call_type"), Seq("tc_new"), "start_sec", "vf_new")
       .drop("tc_new").withColumnRenamed("vf_new", "version_new")
-    val (_, bandPpm, tierPpm) =
-      bandTierSql(peakFromHour, peakToHour, peakMultPpm, tiers)
-    both
-      .withColumn("charge_old_centi",
-        minuteCharge("base_old", bandPpm, tierPpm))
-      .withColumn("charge_new_centi",
-        minuteCharge("base_new", bandPpm, tierPpm))
+    // round-15 (guide §2.3 "project/filter early"): a call whose as-of
+    // base rate is IDENTICAL under both tables rates identically —
+    // charge = base·factor with the same factor — so delta = 0 and the
+    // row cannot survive. This null-safe base inequality is a tiny
+    // pushable predicate that eliminates the unchanged bulk BEFORE the
+    // charge arithmetic (the classic re-rating prune: only potentially
+    // affected calls are re-rated); the exact delta ≠ 0 filter below
+    // then runs on the affected slice only. NULL cases covered: both
+    // NULL ⇒ both charge 0 ⇒ delta 0 (dropped, correctly); one NULL ⇒
+    // kept for the exact check.
+    val prefiltered = withBandTierCols(
+      both.filter(!(col("base_old") <=> col("base_new"))),
+      peakFromHour, peakToHour, peakMultPpm, tiers)
+    prefiltered
+      .withColumn("charge_old_centi", chargeFromFactor("base_old"))
+      .withColumn("charge_new_centi", chargeFromFactor("base_new"))
       .withColumn("delta_centi",
         col("charge_new_centi") - col("charge_old_centi"))
+      // pushdown barrier: without it Catalyst substitutes the FULL
+      // charge trees into the delta predicate and pushes it below every
+      // project — each row then evaluates both charges AGAIN through
+      // one generated method too large to JIT (measured 2.6× the whole
+      // query). The lazy checkpoint pins the rated AFFECTED-SLICE rows
+      // (post-prefilter — adjustment candidates, not the corpus) so the
+      // filter reads the computed delta column; still one pass, no
+      // extra job, no cross-run state.
+      .localCheckpoint(false)
       .filter(col("delta_centi") =!= 0L)
       .select(col("call_id"), col("call_type"), col("version_old"),
         col("version_new"), col("dur_min"), col("charge_old_centi"),
@@ -1171,7 +1232,10 @@ object EventQ {
           col("ts").cast(LongType).as("start_sec"),
           (lit(1L) + abs(expr("CAST(round(value) AS BIGINT)")) % 10L)
             .as("dur_min"))
+        // round-15: the type dim feeds BOTH tariff tables — one lazy
+        // checkpoint, one distinct scan instead of two
         val types = ev.select(col("event_type")).distinct()
+          .localCheckpoint(false)
         def tariffs(rows: Seq[(Long, Long)]) = types
           .crossJoin(broadcast(rows.toDF("valid_from", "b0")))
           .select(col("event_type").as("call_type"), col("valid_from"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,14 +64,21 @@ object GraphQ {
     val edges = snap(sym.join(deg, Seq("u")))
     var ranks = edges.select(col("u")).distinct()
       .withColumn("rank_ppm", lit(1000000L))
-    for (_ <- 1 to iterations) {
-      ranks = snap(edges.join(ranks, Seq("u"))
+    for (i <- 1 to iterations) {
+      ranks = edges.join(ranks, Seq("u"))
         .select(col("v"), expr("rank_ppm DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in_ppm"))
         .select(col("v").as("u"),
           (lit(1000000L - dampPpm) +
             expr(s"(CAST($dampPpm AS BIGINT) * in_ppm) DIV 1000000")
-          ).as("rank_ppm")))
+          ).as("rank_ppm"))
+      // round-15: `ranks` is consumed exactly once per round (the next
+      // round's join), so NO per-round materialization is needed — the
+      // lineage grows linearly, never doubles. A cadence cut every 8
+      // rounds bounds plan depth for big iteration budgets while a
+      // 3-round fixture runs the whole fixed point as ONE Spark action
+      // (each eager per-round snap was a full job + stage barrier).
+      if (i % 8 == 0 && i < iterations) ranks = snap(ranks)
     }
     ranks.join(deg, Seq("u"))
       .select(col("u").as("doc_id"), col("rank_ppm"),
@@ -401,19 +409,27 @@ object GraphQ {
     val p = snap(pairs.select(col("doc_a"), col("doc_b")))
     val sym = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    val edges = snap(sym)
-    var labels = snap(edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("label")))
-    for (_ <- 1 to rounds) {
-      val votes = edges
+    // round-15: the self-vote (each node's own label, count 1) is folded
+    // into the edge set as SELF-LOOPS — (u, u) joined to labels on v
+    // contributes exactly the old `unionAll(labels)` row. With the self
+    // vote on the edge side, `labels` is consumed exactly ONCE per round
+    // (the join), so the loop needs no per-round materialization: the
+    // whole fixed-round vote runs as one Spark action instead of one
+    // eager job per round (an 8-round cadence cut bounds plan depth for
+    // big budgets). Vote multisets are identical, so results are too.
+    val edges = snap(sym.unionAll(
+      sym.select(col("u")).distinct().select(col("u"), col("u").as("v"))))
+    var labels = edges.filter(col("u") === col("v"))
+      .select(col("u"), col("u").as("label"))
+    for (i <- 1 to rounds) {
+      labels = edges
         .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
         .select(col("u"), col("label"))
-        .unionAll(labels.select(col("u"), col("label")))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
-      labels = snap(votes
         .groupBy(col("u"))
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("top"))
-        .select(col("u"), (-col("top.nl")).as("label")))
+        .select(col("u"), (-col("top.nl")).as("label"))
+      if (i % 8 == 0 && i < rounds) labels = snap(labels)
     }
     labels.select(col("u").as("doc_id"), col("label").as("community"))
   }
@@ -471,15 +487,27 @@ object GraphQ {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val p = snap(pairs.select(col("doc_a"), col("doc_b")))
-    var edges = snap(p.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
-    for (_ <- 1 to rounds) {
-      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u"))
-      edges = snap(edges
-        .join(keep, Seq("u"))
-        .join(keep.select(col("u").as("v")), Seq("v"))
-        .select(col("u"), col("v")))
+    var edges: DataFrame =
+      p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // round-15: a peel keeps an edge iff BOTH endpoints have degree >= k,
+    // and on the symmetric edge list a node's degree is a window count
+    // over its own partition — so one peel is two window counts (two
+    // exchanges) over a SINGLE reference to the edge set, replacing the
+    // old degree-aggregate + two semi-join-backs (extra exchanges AND a
+    // triple reference that forced an eager snap per round). Single
+    // reference per round ⇒ lineage grows linearly and the whole peel
+    // budget runs as one Spark action (8-round cadence cut for big
+    // budgets, the pagerankPpm discipline).
+    val wu = Window.partitionBy(col("u"))
+    val wv = Window.partitionBy(col("v"))
+    for (i <- 1 to rounds) {
+      edges = edges
+        .withColumn("__du", count(lit(1)).over(wu))
+        .withColumn("__dv", count(lit(1)).over(wv))
+        .filter(col("__du") >= k && col("__dv") >= k)
+        .select(col("u"), col("v"))
+      if (i % 8 == 0 && i < rounds) edges = snap(edges)
     }
     edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("doc_id"), col("core_degree"))
@@ -557,11 +585,18 @@ object GraphQ {
       .withColumn("h", lit(1000000L))
     // iterations >= 1, so `auths` is always assigned before first read
     var auths: DataFrame = null
+    // round-15: snap the RAW half-step aggregate, not the normalized
+    // output — `normalized` references its input twice (the max
+    // aggregate's scalar AND the crossJoin side), so snapping after it
+    // executed the expensive edge-join + sum TWICE per half-step; the
+    // normalization itself is a cheap broadcast map over the node-grain
+    // snapshot and stays lazy (its two downstream references re-run only
+    // that map, never the join).
     for (_ <- 1 to iterations) {
-      auths = snap(normalized(edges.join(hubs, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("a")), "dst", "a"))
-      hubs = snap(normalized(edges.join(auths, Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("a")).as("h")), "src", "h"))
+      auths = normalized(snap(edges.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))), "dst", "a")
+      hubs = normalized(snap(edges.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))), "src", "h")
     }
     hubs.select(col("src").as("node"), lit("hub").as("role"),
         col("h").as("score_ppm"))
