@@ -137,11 +137,21 @@ object IncrementalAnn {
     require(maxBucketSize >= 1,
       s"maxBucketSize must be >= 1, got $maxBucketSize")
     requireBits(store, bits)
+    deltaNeighborsFrom(indexRows(newVecs, bits), store, k, minCos,
+      maxBucketSize)
+  }
+
+  /** [[deltaNeighbors]] over PRE-BUILT delta index rows — the [[sink]]
+    * seam (round-15): the micro-batch's norm+bucket pass is computed
+    * once and shared with the store append. Callers have already
+    * checked `requireBits`. */
+  private def deltaNeighborsFrom(newIdx: DataFrame, store: DataFrame,
+      k: Int, minCos: Double, maxBucketSize: Int): DataFrame = {
     val hot = store.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("bucket"))
     val s = store.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val d = indexRows(newVecs, bits)
+    val d = newIdx
       .select(col("vec_id").as("new_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket"))
     val w = org.apache.spark.sql.expressions.Window
@@ -180,12 +190,17 @@ object IncrementalAnn {
       val fs = new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasHistory = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+      // round-15: ONE norm+bucket pass per micro-batch (lazy
+      // checkpoint), shared by the neighbor derivation and the append
+      val newIdx = indexRows(batch, bits).localCheckpoint(false)
       val out =
-        if (hasHistory)
-          deltaNeighbors(batch,
-            spark.read.parquet(storePath)
-              .filter(col("batch_id") =!= batchId), bits, k)
-        else
+        if (hasHistory) {
+          val store = spark.read.parquet(storePath)
+            .filter(col("batch_id") =!= batchId)
+          requireBits(store, bits)
+          deltaNeighborsFrom(newIdx, store, k, minCos = -1.0,
+            maxBucketSize = 100000)
+        } else
           // under dynamic partition overwrite an empty DF touches no
           // partition at all — batch 0 leaves the neighbors path without
           // data files (the IncrementalDedup.sink convention; readers
@@ -197,7 +212,7 @@ object IncrementalAnn {
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(neighborsPath)
-      indexRows(batch, bits).withColumn("batch_id", lit(batchId))
+      newIdx.withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(storePath)

@@ -56,12 +56,20 @@ object IncrementalDedup {
     * store DataFrame — the streaming path uses this to exclude a retried
     * batch's own half-written partition. */
   def dedupDelta(newDocs: DataFrame, bands: DataFrame,
+      minJaccard: Double, maxBandSize: Int): DataFrame =
+    dedupDeltaBands(TextQ.minhashBands(newDocs), bands, minJaccard,
+      maxBandSize)
+
+  /** [[dedupDelta]] over PRE-BUILT delta band rows — the [[sink]] seam
+    * (round-15): the micro-batch's shingle→signature pass is computed
+    * once and shared with the store append instead of running twice. */
+  private def dedupDeltaBands(newBands: DataFrame, bands: DataFrame,
       minJaccard: Double, maxBandSize: Int): DataFrame = {
     val hot = bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBandSize)
       .select(col("band"), col("bkey"))
     val store = bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    TextQ.minhashBands(newDocs).as("x")
+    newBands.as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"),
@@ -95,9 +103,12 @@ object IncrementalDedup {
       val fs = new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasHistory = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+      // round-15: ONE shingle→signature pass per micro-batch (lazy
+      // checkpoint), shared by the candidate derivation and the append
+      val newBands = TextQ.minhashBands(batch).localCheckpoint(false)
       val cands =
         if (hasHistory)
-          dedupDelta(batch,
+          dedupDeltaBands(newBands,
             spark.read.parquet(storePath).filter(col("batch_id") =!= batchId),
             minJaccard, maxBandSize)
         else
@@ -107,7 +118,7 @@ object IncrementalDedup {
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(candidatesPath)
-      TextQ.minhashBands(batch).withColumn("batch_id", lit(batchId))
+      newBands.withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(storePath)

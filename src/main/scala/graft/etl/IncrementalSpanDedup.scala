@@ -61,9 +61,15 @@ object IncrementalSpanDedup {
     * store — the streaming path uses this to exclude a retried batch's
     * own half-written partition. */
   def coverageDelta(newDocs: DataFrame, store: DataFrame,
-      width: Int): DataFrame = {
+      width: Int): DataFrame =
+    coverageDeltaFrom(newDocs, spanHashes(newDocs, width), store, width)
+
+  /** [[coverageDelta]] over the PRE-BUILT span-hash rows of `newDocs` —
+    * the [[sink]] seam (round-15): the batch's tokenize+span+hash pass
+    * is computed once and shared with the store append. */
+  private def coverageDeltaFrom(newDocs: DataFrame, sp: DataFrame,
+      store: DataFrame, width: Int): DataFrame = {
     require(width >= 2, s"span width must be >= 2, got $width")
-    val sp = spanHashes(newDocs, width)
     val inStore = store.select(col("h")).distinct()
       .withColumn("in_store", lit(true))
     val marked = sp
@@ -95,12 +101,15 @@ object IncrementalSpanDedup {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("h", LongType))))
-      coverageDelta(batch, store, width)
+      // round-15: ONE tokenize+span+hash pass per micro-batch (lazy
+      // checkpoint), shared by the coverage derivation and the append
+      val sp = spanHashes(batch, width).localCheckpoint(false)
+      coverageDeltaFrom(batch, sp, store, width)
         .withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(coveragePath)
-      spanHashes(batch, width).select(col("h")).distinct()
+      sp.select(col("h")).distinct()
         .withColumn("batch_id", lit(batchId))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")

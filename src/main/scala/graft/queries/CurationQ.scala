@@ -200,12 +200,17 @@ object CurationQ {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val cw = chunkWords
+    // round-15: the chunk table feeds the frequency pass AND the
+    // flag-join reassembly — a lazy checkpoint runs the tokenize+chunk
+    // explode once instead of twice (it materializes inside the
+    // consumer's own job; no extra action)
     val chunked = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("chunks", expr(
         s"""transform(sequence(0, CAST(ceil(size(toks) / $cw.0) AS INT) - 1),
             i -> array_join(slice(toks, i * $cw + 1, $cw), ' '))"""))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .localCheckpoint(false)
     val boiler = chunked.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > maxDocs)

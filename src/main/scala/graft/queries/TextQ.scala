@@ -70,13 +70,24 @@ object TextQ {
     * est_jaccard directly — the expensive shingle→signature subtree is
     * built once per join side (identical sides → exchange reuse) instead
     * of being recomputed by two extra signature joins afterwards. */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
-      .withColumn("h1", md5(col("sh")))
-      .withColumn("h2", md5(concat(lit("x:"), col("sh"))))
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFrom(shingleHashes3(docs))
+
+  /** Shared 3-token shingle table (doc_id, pos, sh, h1 = md5(sh)) — the
+    * common prefix of [[minhashBands]] (which adds the second salted
+    * digest) and [[winnowFingerprints]] (whose fingerprint hash IS h1):
+    * round-15 seam so composite cards ([[contaminationReport]]) can
+    * tokenize + first-digest each side ONCE for both modalities. */
+  private[queries] def shingleHashes3(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("p0", "sh")))
+    .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+      col("sh"), md5(col("sh")).as("h1"))
+
+  /** [[minhashBands]] over a PRE-BUILT [[shingleHashes3]] table. */
+  private[queries] def minhashBandsFrom(sh3: DataFrame): DataFrame = {
+    val sh = sh3.withColumn("h2", md5(concat(lit("x:"), col("sh"))))
     val laneAggs = (0 until 8).map(i => min(expr(minhashLane(i, "h1", "h2"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(laneAggs.head, laneAggs.tail: _*)
       .selectExpr(
@@ -195,14 +206,15 @@ object TextQ {
     * count and the sliding min) share ONE hash exchange on doc_id, and
     * the frame min is O(window) state per row — no self-join, nothing
     * corpus-pairwise. Returns (doc_id, pos, h, n_sh). */
-  def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame =
+    winnowFingerprintsFrom(shingleHashes3(docs), window)
+
+  /** [[winnowFingerprints]] over a PRE-BUILT [[shingleHashes3]] table —
+    * its fingerprint hash is exactly the shared h1 = md5(shingle). */
+  private[queries] def winnowFingerprintsFrom(sh3: DataFrame,
+      window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val sh = docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(expr(shinglesExpr)).as(Seq("p0", "sh")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
-        md5(col("sh")).as("h"))
+    val sh = sh3.select(col("doc_id"), col("pos"), col("h1").as("h"))
     val wDoc = Window.partitionBy(col("doc_id"))
     val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
@@ -681,7 +693,11 @@ object TextQ {
       .select(greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
-    var converged = edges.isEmpty
+    // round-15: each round's edge count is remembered so the NEXT
+    // round's fixed-point check costs one count job, not two (the old
+    // `edges.count()` re-counted the already-materialized previous set)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the symmetric view: for each u, every larger
@@ -709,9 +725,11 @@ object TextQ {
       // probe only when the counts agree (both sides are distinct
       // canonical pairs, so leftanti-empty ⟺ the old `except`-empty,
       // without except's extra aggregate)
-      converged = ss.count() == edges.count() &&
+      val ssCount = ss.count()
+      converged = ssCount == edgeCount &&
         ss.join(edges, Seq("a", "b"), "leftanti").isEmpty
       edges = ss
+      edgeCount = ssCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -2085,15 +2103,25 @@ object TextQ {
     // that's the unsafe direction (a dropped bucket means contamination
     // passes unflagged). The opt-in check fails loudly instead; it runs
     // eagerly but only over the (small, broadcast-bound) eval side.
+    fuzzyDecontaminationBands(minhashBands(train), minhashBands(eval),
+      minEstJaccard, maxBandSize, failOnCappedBand)
+  }
+
+  /** [[fuzzyDecontamination]] over PRE-BUILT band tables — the
+    * [[contaminationReport]] seam (round-15: the composite card shares
+    * each side's shingle+digest pass across modalities). */
+  private def fuzzyDecontaminationBands(trBands: DataFrame,
+      evBands: DataFrame, minEstJaccard: Double, maxBandSize: Int,
+      failOnCappedBand: Boolean = false): DataFrame = {
     if (failOnCappedBand) {
-      val over = minhashBands(eval).groupBy(col("band"), col("bkey"))
+      val over = evBands.groupBy(col("band"), col("bkey"))
         .count().filter(col("count") > maxBandSize).count()
       require(over == 0, s"$over eval band buckets exceed maxBandSize=" +
         s"$maxBandSize and would be silently dropped; raise the cap, " +
         "tighten the band scheme, or pre-dedup the eval set")
     }
-    val pairs = minhashBands(train).as("x")
-      .join(broadcast(bandSizeGuard(minhashBands(eval), maxBandSize)).as("y"),
+    val pairs = trBands.as("x")
+      .join(broadcast(bandSizeGuard(evBands, maxBandSize)).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("train_doc"), col("y.doc_id").as("eval_doc"),
         laneAgreement.as("est_jaccard"))
@@ -2595,13 +2623,18 @@ object TextQ {
     * [[graft.pipelines.DedupGraphPipeline]] entry point. */
   def minhashAgreementFrom(docs: DataFrame, candidates: DataFrame)
       : DataFrame = {
+    // round-15: `cand` (often the whole LSH pipeline) feeds the inter
+    // join AND the final assembly; `dsh` feeds sizes and both sides of
+    // the intersection — lazy checkpoints make each compute once.
     val cand = candidates
       .withColumn("est_ppm",
         (col("est_jaccard") * 8).cast(LongType) * 125000L)
+      .localCheckpoint(false)
     val dsh = docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
       .distinct()
+      .localCheckpoint(false)
     val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand.select(col("doc_a"), col("doc_b"))
       .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -2636,10 +2669,13 @@ object TextQ {
     * aggregation on the agreement level. */
   def lshCalibration(docs: DataFrame, maxDist: Int = 64,
       maxBandSize: Int = 1000): DataFrame = {
+    // round-15: `cand` feeds the edit confirm AND the level assembly —
+    // one LSH pipeline run (lazy checkpoint), not two.
     val cand = lshCandidates(minhashBands(docs), maxBandSize)
       .filter(col("est_jaccard") >= 0.25)
       .withColumn("est_ppm",
         (col("est_jaccard") * 8).cast(LongType) * 125000L)
+      .localCheckpoint(false)
     val confirmed = editConfirmedFrom(docs, cand, maxDist)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("ok"))
     cand.join(confirmed, Seq("doc_a", "doc_b"), "left")
@@ -2758,8 +2794,13 @@ object TextQ {
     * the candidate pairs and a 2-row aggregate. */
   def splitLeakageAudit(docs: DataFrame, minEstJaccard: Double = 0.25,
       maxBandSize: Int = 1000): DataFrame = {
+    // round-15: the candidate set feeds THREE consumers (components +
+    // both policy audits) — materialize the LSH pipeline once (the
+    // DedupGraphPipeline discipline); without the cut each audit re-ran
+    // the whole shingle→signature→self-join chain.
     val cand = lshCandidates(minhashBands(docs), maxBandSize)
       .filter(col("est_jaccard") >= minEstJaccard)
+      .localCheckpoint()
     splitLeakageAuditFrom(docs, cand, connectedComponents(cand))
   }
 
@@ -3077,13 +3118,23 @@ object TextQ {
   def contaminationReport(train: DataFrame, eval: DataFrame,
       width: Int = 5, minEstJaccard: Double = 0.5,
       window: Int = 8): DataFrame = {
+    // round-15: the fuzzy and winnow modalities hash the IDENTICAL
+    // 3-token shingles (winnow's fingerprint hash IS MinHash's first
+    // digest) — one lazily-checkpointed shingle+md5 pass per side feeds
+    // both, instead of each modality re-tokenizing and re-digesting the
+    // corpus (guide §2.3: don't compute things twice).
+    val trSh3 = shingleHashes3(train).localCheckpoint(false)
+    val evSh3 = shingleHashes3(eval).localCheckpoint(false)
     val exact = decontaminationHits(train, eval, width)
       .select(col("doc_id"), col("n_hits").as("n_exact"))
-    val fuzzy = fuzzyDecontamination(train, eval, minEstJaccard)
+    val fuzzy = fuzzyDecontaminationBands(
+        minhashBandsFrom(trSh3), minhashBandsFrom(evSh3),
+        minEstJaccard, maxBandSize = 1000)
       .select(col("train_doc").as("doc_id"),
         col("n_eval_hits").as("n_fuzzy"))
-    val evFp = winnowFingerprints(eval, window).select(col("h")).distinct()
-    val winnow = winnowFingerprints(train, window)
+    val evFp = winnowFingerprintsFrom(evSh3, window)
+      .select(col("h")).distinct()
+    val winnow = winnowFingerprintsFrom(trSh3, window)
       .join(evFp, "h")
       .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("n_fp"))
     exact.join(fuzzy, Seq("doc_id"), "full_outer")
