@@ -19,6 +19,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Round-15 (guide §6): the default 4 MB per-file open-cost charge
+      // floors split sizing, so an input smaller than cores × 4 MB scans
+      // on a handful of tasks no matter how many cores are idle (an
+      // 11 MB table = 2 tasks on 32 cores; measured 15-30% of wall on
+      // scan-bound cards). 256 KB reflects local/manifest-cached open
+      // cost and lets `files.minPartitionNum` (= defaultParallelism)
+      // drive splits toward bytes/cores at ANY core count — on big
+      // inputs maxPartitionBytes dominates and this is a no-op, so the
+      // setting is scale-adaptive, not a local-mode constant. Env
+      // override for deployments where opens are genuinely expensive
+      // (high-latency object stores with many small files).
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "262144"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The synthetic tables carry isAdjustedToUTC=false timestamps, which

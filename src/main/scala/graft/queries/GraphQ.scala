@@ -64,21 +64,21 @@ object GraphQ {
     val edges = snap(sym.join(deg, Seq("u")))
     var ranks = edges.select(col("u")).distinct()
       .withColumn("rank_ppm", lit(1000000L))
-    for (i <- 1 to iterations) {
-      ranks = edges.join(ranks, Seq("u"))
+    // round-15 note: running the whole fixed-round budget as one lazy
+    // action (no per-round snap — `ranks` is consumed once per round,
+    // so lineage grows linearly) was tried and MEASURED SLOWER at sf0.1
+    // (q139 1.75 s → 2.19 s, q140 2.65 → 3.00): with live statistics
+    // AQE re-plans each round's join (broadcast build + driver
+    // round-trip per round) where the materialized round ran a plain
+    // co-partitioned hash join. The per-round cut stays.
+    for (_ <- 1 to iterations) {
+      ranks = snap(edges.join(ranks, Seq("u"))
         .select(col("v"), expr("rank_ppm DIV deg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in_ppm"))
         .select(col("v").as("u"),
           (lit(1000000L - dampPpm) +
             expr(s"(CAST($dampPpm AS BIGINT) * in_ppm) DIV 1000000")
-          ).as("rank_ppm"))
-      // round-15: `ranks` is consumed exactly once per round (the next
-      // round's join), so NO per-round materialization is needed — the
-      // lineage grows linearly, never doubles. A cadence cut every 8
-      // rounds bounds plan depth for big iteration budgets while a
-      // 3-round fixture runs the whole fixed point as ONE Spark action
-      // (each eager per-round snap was a full job + stage barrier).
-      if (i % 8 == 0 && i < iterations) ranks = snap(ranks)
+          ).as("rank_ppm")))
     }
     ranks.join(deg, Seq("u"))
       .select(col("u").as("doc_id"), col("rank_ppm"),
@@ -411,25 +411,24 @@ object GraphQ {
       .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     // round-15: the self-vote (each node's own label, count 1) is folded
     // into the edge set as SELF-LOOPS — (u, u) joined to labels on v
-    // contributes exactly the old `unionAll(labels)` row. With the self
-    // vote on the edge side, `labels` is consumed exactly ONCE per round
-    // (the join), so the loop needs no per-round materialization: the
-    // whole fixed-round vote runs as one Spark action instead of one
-    // eager job per round (an 8-round cadence cut bounds plan depth for
-    // big budgets). Vote multisets are identical, so results are too.
+    // contributes exactly the old `unionAll(labels)` row, so `labels`
+    // is consumed exactly ONCE per round and the round loses the
+    // second labels reference. Vote multisets are identical, so
+    // results are too. (Running the whole budget as one lazy action
+    // was tried on top and measured slower — the pagerankPpm note;
+    // the per-round cut stays.)
     val edges = snap(sym.unionAll(
       sym.select(col("u")).distinct().select(col("u"), col("u").as("v"))))
     var labels = edges.filter(col("u") === col("v"))
       .select(col("u"), col("u").as("label"))
-    for (i <- 1 to rounds) {
-      labels = edges
+    for (_ <- 1 to rounds) {
+      labels = snap(edges
         .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
         .select(col("u"), col("label"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
         .groupBy(col("u"))
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("top"))
-        .select(col("u"), (-col("top.nl")).as("label"))
-      if (i % 8 == 0 && i < rounds) labels = snap(labels)
+        .select(col("u"), (-col("top.nl")).as("label")))
     }
     labels.select(col("u").as("doc_id"), col("label").as("community"))
   }
@@ -487,27 +486,20 @@ object GraphQ {
     def snap(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val p = snap(pairs.select(col("doc_a"), col("doc_b")))
-    var edges: DataFrame =
-      p.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    // round-15: a peel keeps an edge iff BOTH endpoints have degree >= k,
-    // and on the symmetric edge list a node's degree is a window count
-    // over its own partition — so one peel is two window counts (two
-    // exchanges) over a SINGLE reference to the edge set, replacing the
-    // old degree-aggregate + two semi-join-backs (extra exchanges AND a
-    // triple reference that forced an eager snap per round). Single
-    // reference per round ⇒ lineage grows linearly and the whole peel
-    // budget runs as one Spark action (8-round cadence cut for big
-    // budgets, the pagerankPpm discipline).
-    val wu = Window.partitionBy(col("u"))
-    val wv = Window.partitionBy(col("v"))
-    for (i <- 1 to rounds) {
-      edges = edges
-        .withColumn("__du", count(lit(1)).over(wu))
-        .withColumn("__dv", count(lit(1)).over(wv))
-        .filter(col("__du") >= k && col("__dv") >= k)
-        .select(col("u"), col("v"))
-      if (i % 8 == 0 && i < rounds) edges = snap(edges)
+    var edges = snap(p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    // round-15 note: a window-count peel (degree as count over the u/v
+    // partitions, single edge reference, no per-round snap) was tried
+    // and MEASURED SLOWER — each WindowExec inserts a per-round sort
+    // the hash aggregate + semi-joins don't pay (q214 1.84 s → 2.50 s
+    // at sf0.1). The aggregate+join round with its per-round cut stays.
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      edges = snap(edges
+        .join(keep, Seq("u"))
+        .join(keep.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v")))
     }
     edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("doc_id"), col("core_degree"))

@@ -2623,18 +2623,19 @@ object TextQ {
     * [[graft.pipelines.DedupGraphPipeline]] entry point. */
   def minhashAgreementFrom(docs: DataFrame, candidates: DataFrame)
       : DataFrame = {
-    // round-15: `cand` (often the whole LSH pipeline) feeds the inter
-    // join AND the final assembly; `dsh` feeds sizes and both sides of
-    // the intersection — lazy checkpoints make each compute once.
+    // round-15 note: lazy-checkpointing `cand` and `dsh` here was tried
+    // and MEASURED SLOWER at sf0.1 (1.51 s → 2.43 s): the checkpointed
+    // sides lose statistics, flipping the sizes/inter joins from
+    // broadcast to sort-merge, which costs more than the deduped
+    // recompute saves. Left as-is; the shared subtrees are served by
+    // exchange reuse where plans are identical.
     val cand = candidates
       .withColumn("est_ppm",
         (col("est_jaccard") * 8).cast(LongType) * 125000L)
-      .localCheckpoint(false)
     val dsh = docs.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
       .distinct()
-      .localCheckpoint(false)
     val sizes = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand.select(col("doc_a"), col("doc_b"))
       .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
